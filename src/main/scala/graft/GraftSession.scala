@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standard session configuration for the graft engine (SURVEY.md §3, §5).
+  *
+  * Scale stance: these settings are the local[32] test profile of a config
+  * that is meant to scale to a 1000-executor cluster —
+  *  - AQE on: runtime broadcast conversion, skew-join splitting, and
+  *    post-shuffle partition coalescing are the mechanisms that keep the
+  *    same declarative plans efficient at 100 TB.
+  *  - `shuffle.partitions=32` matches local[32]; on a real cluster this is
+  *    sized to ~2-3x total cores (or left to AQE's initialPartitionNum).
+  *  - UTC session timezone everywhere (reference uses UTC as the canonical
+  *    zone, /root/reference/d2b_data/utc_converter.py:34).
+  *  - `nanosAsLong`: the synthetic `events` table carries parquet
+  *    TIMESTAMP(NANOS) which Spark does not read natively; we read the raw
+  *    int64 and normalize to microseconds in [[Tables.events]] (floor
+  *    division — identical to DuckDB/Arrow ns→us truncation).
+  *  - ANSI off: the reference's pandas semantics are permissive
+  *    (`to_numeric(errors="coerce")`, silent overflow); queries avoid
+  *    div-by-zero explicitly instead of relying on runtime errors.
+  */
+object GraftSession {
+
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+    .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / ad-hoc runs. */
+  def local(cores: String = "*"): SparkSession = {
+    val s = configure(SparkSession.builder().master(s"local[$cores]")).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,13 +1,347 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+import graft.sources.JsonReports
+import graft.functions.{text => T}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the capability map.
+  *
+  * Every implemented operator is registered in [[queries]]; those whose
+  * semantics are ANSI-SQL-expressible carry a DuckDB oracle in
+  * [[oracleSql]] (same column names, same rounding, same ordering). The
+  * rest (LSH/SimHash candidate generation, streaming, decode plumbing)
+  * are covered by ScalaTest specs with planted ground truth.
+  *
+  * Oracle conventions (why the SQL looks the way it does):
+  *  - `events.ts` is parquet TIMESTAMP(NANOS): DuckDB reads it as
+  *    TIMESTAMP_NS, Spark as int64 → microseconds; every oracle casts
+  *    `ts` to TIMESTAMP (µs, floor) so both sides agree.
+  *  - every float column is rounded to 4 dp on BOTH sides;
+  *  - every query has a deterministic total ORDER BY;
+  *  - counts are BIGINT on both sides (Spark `count`/casts ↔ DuckDB).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Reports.revenueByNation(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A-block: relational / report core
+    "q01_pricing_summary"        -> ((s, d) => Reports.pricingSummary(s, d)),
+    "q02_revenue_by_nation"      -> ((s, d) => Reports.revenueByNation(s, d)),
+    "q03_top_orders_per_segment" -> ((s, d) => Reports.topOrdersPerSegment(s, d)),
+    "q04_daily_order_spine"      -> ((s, d) => Reports.dailyOrderSpine(s, d)),
+    "q05_event_type_pivot"       -> ((s, d) => Reports.eventTypePivot(s, d)),
+    "q06_sales_report"           -> ((s, d) => Reports.salesReport(s, d)),
+    "q07_clean_strings"          -> ((s, d) => Reports.cleanStrings(s, d)),
+    "q08_dedup_latest"           -> ((s, d) => Dedup.dedupLatest(s, d)),
+    "q09_sessionize"             -> ((s, d) => Sessionize.sessionize(s, d)),
+    "q10_hourly_rollup"          -> ((s, d) => Reports.hourlyRollup(s, d)),
+    "q11_json_props"             -> ((s, d) => jsonProps(s, d)),
+    "q12_union_coalesce"         -> ((s, d) => Reports.unionCoalesce(s, d)),
+    "q13_utc_day_bounds"         -> ((s, d) => Reports.utcDayBounds(s, d)),
+    "q14_partitioned_sink"       -> ((s, d) => Reports.partitionedSink(s, d)),
+    // B-block: forecasting
+    "q15_forecast_daily"         -> ((s, d) => Forecast.forecastDailyValue(s, d)),
+    "q16_forecast_multi"         -> ((s, d) => Forecast.forecastMulti(s, d)),
+    // C-block: training-data pipeline
+    "q20_dedup_exact"            -> ((s, d) => Dedup.dedupExact(s, d)),
+    "q21_minhash_lsh"            -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "q22_simhash"                -> ((s, d) => Dedup.simhashDedup(s, d)),
+    "q23_ngram_jaccard"          -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q24_embedding_neardup"      -> ((s, d) => Similarity.embeddingNearDup(s, d)),
+    "q25_ann_bruteforce"         -> ((s, d) => Similarity.annBruteForce(s, d)),
+    "q26_ann_lsh"                -> ((s, d) => Similarity.annLsh(s, d)),
+    "q27_langid"                 -> ((s, d) => TextAnalysis.langId(s, d)),
+    "q28_quality_score"          -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "q29_token_counts"           -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "q30_fingerprint"            -> ((s, d) => TextAnalysis.fingerprintDocs(s, d)),
+    "q31_multimodal_meta"        -> ((s, d) => Multimodal.multimodalMeta(s, d))
+  )
+
+  /** A11 — JSON column flattening via the generic JsonReports source. */
+  private def jsonProps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables(spark, dir).events.select(col("event_id"), col("props"))
+    JsonReports.flattenJson(ev, "props", JsonReports.schemaOf("k INT"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---- oracle SQL ------------------------------------------------------
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val langScoreCols: String = T.stopwords.map { case (lang, ws) =>
+    s"len(list_filter(toks, t -> list_contains(${sqlList(ws)}, t))) AS s_$lang"
+  }.mkString(", ")
+
+  private val langBest: String =
+    "greatest(" + T.stopwords.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+
+  private val langCase: String =
+    "CASE " + T.stopwords.map { case (l, _) => s"WHEN s_$l = $langBest THEN '$l'" }.mkString(" ") +
+      " ELSE 'unknown' END"
+
+  private val enStops: String = sqlList(T.stopwords.head._2)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the non-SQL-expressible ops
+    * (q21/q22/q23 LSH candidate generation, q26 LSH ANN) → rows-only +
+    * ScalaTest specs. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),4) AS sum_qty,
+        | round(sum(l_extendedprice),4) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+        | count(*) AS n_lineitems
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q03_top_orders_per_segment" ->
+      """SELECT c_mktsegment, rn, o_orderkey, round(o_totalprice,4) AS o_totalprice FROM (
+        | SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        | FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q04_daily_order_spine" ->
+      """WITH bounds AS (
+        |  SELECT min(CAST(o_orderdate AS DATE)) AS lo, max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT s.day, coalesce(d.n_orders, 0) AS n_orders, round(coalesce(d.rev, 0),4) AS revenue
+        |FROM spine s LEFT JOIN daily d USING(day) ORDER BY s.day""".stripMargin,
+
+    "q05_event_type_pivot" ->
+      """SELECT user_id,
+        | coalesce(round(sum(CASE WHEN event_type='click' THEN value END),4),0) AS click_value,
+        | coalesce(round(sum(CASE WHEN event_type='error' THEN value END),4),0) AS error_value,
+        | coalesce(round(sum(CASE WHEN event_type='purchase' THEN value END),4),0) AS purchase_value,
+        | coalesce(round(sum(CASE WHEN event_type='signup' THEN value END),4),0) AS signup_value,
+        | coalesce(round(sum(CASE WHEN event_type='view' THEN value END),4),0) AS view_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q06_sales_report" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey,
+        |   sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS gross_d,
+        |   sum(CAST(l_extendedprice*l_discount AS DECIMAL(30,10))) AS disc_d,
+        |   sum(CAST(l_extendedprice*(1-l_discount)*l_tax AS DECIMAL(30,10))) AS tax_d
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderkey,
+        | CASE WHEN o_orderstatus='F' THEN 'fulfilled' WHEN o_orderstatus='O' THEN 'open'
+        |      WHEN o_orderstatus='P' THEN 'partial' ELSE 'unknown' END AS status_label,
+        | o_orderpriority IN ('1-URGENT','2-HIGH') AS is_priority,
+        | CAST(round(coalesce(gross_d, 0), 4) AS DOUBLE) AS gross,
+        | CAST(round(coalesce(disc_d, 0), 4) AS DOUBLE) AS discount_amt,
+        | CAST(round(coalesce(tax_d, 0), 4) AS DOUBLE) AS tax_amt,
+        | CAST(round(coalesce(gross_d - disc_d + tax_d, 0), 4) AS DOUBLE) AS net
+        |FROM orders LEFT JOIN per_order ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q07_clean_strings" ->
+      """SELECT p_partkey, p_name,
+        | trim(regexp_replace(regexp_replace(strip_accents(lower(trim(p_name))), '^ga:', ''), '[^a-z0-9]+', '_', 'g'), '_') AS clean_name,
+        | trim(regexp_replace(regexp_replace(strip_accents(lower(trim(p_type))), '^ga:', ''), '[^a-z0-9]+', '_', 'g'), '_') AS clean_type,
+        | trim(regexp_replace(regexp_replace(strip_accents(lower(trim(p_brand))), '^ga:', ''), '[^a-z0-9]+', '_', 'g'), '_') AS clean_brand
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q08_dedup_latest" ->
+      """SELECT user_id, event_type, event_id, ts, round(value,4) AS value FROM (
+        | SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        | FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q09_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),
+        |m AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new FROM l),
+        |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(ts) AS session_start, max(ts) AS session_end, round(sum(value),4) AS session_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q10_hourly_rollup" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
+        | count(*) AS n_events, round(sum(value),4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q11_json_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q12_union_coalesce" ->
+      """WITH u AS (
+        | SELECT o_orderkey, o_custkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority,
+        |        'open_extract' AS src
+        | FROM orders WHERE o_orderstatus = 'O'
+        | UNION ALL
+        | SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderpriority,
+        |        'closed_extract' AS src
+        | FROM orders WHERE o_orderstatus <> 'O')
+        |SELECT o_orderkey, o_custkey,
+        | round(coalesce(o_totalprice, 0),4) AS o_totalprice,
+        | coalesce(o_orderpriority, 'NONE') AS o_orderpriority,
+        | src, 'batch_2026_01' AS batch_id
+        |FROM u ORDER BY o_orderkey, src""".stripMargin,
+
+    "q13_utc_day_bounds" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS utc_ts FROM events),
+        |c AS (SELECT event_id, utc_ts,
+        |  CAST(timezone('America/Santiago', timezone('UTC', utc_ts)) AS TIMESTAMP) AS local_ts
+        | FROM e)
+        |SELECT event_id, utc_ts, local_ts, CAST(local_ts AS DATE) AS local_date,
+        | CAST(timezone('UTC', timezone('America/Santiago', CAST(CAST(local_ts AS DATE) AS TIMESTAMP))) AS TIMESTAMP) AS day_start_utc,
+        | CAST(timezone('UTC', timezone('America/Santiago', CAST(CAST(local_ts AS DATE) AS TIMESTAMP) + INTERVAL '23:59:59')) AS TIMESTAMP) AS day_end_utc
+        |FROM c ORDER BY event_id""".stripMargin,
+
+    "q14_partitioned_sink" ->
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_year,
+        | count(*) AS n_orders, round(sum(o_totalprice),4) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin,
+
+    "q15_forecast_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS ds, sum(value) AS y
+        |  FROM events GROUP BY 1, 2),
+        |wx AS (SELECT *, CAST(date_diff('day', min(ds) OVER (PARTITION BY event_type), ds) AS DOUBLE) AS x FROM daily),
+        |fit AS (SELECT event_type, regr_slope(y, x) AS slope, regr_intercept(y, x) AS icept,
+        |               max(x) AS xmax, max(ds) AS maxds
+        |        FROM wx GROUP BY event_type),
+        |dowm AS (SELECT w.event_type, dayofweek(w.ds) AS dow,
+        |                avg(w.y - (f.icept + f.slope*w.x)) AS dow_mean
+        |         FROM wx w JOIN fit f USING(event_type) GROUP BY 1, 2),
+        |future AS (SELECT event_type, slope, icept, xmax, maxds,
+        |                  CAST(unnest(generate_series(1, 7)) AS INTEGER) AS h FROM fit)
+        |SELECT f.event_type, f.maxds + f.h AS ds,
+        | round(greatest(0.0, f.icept + f.slope*(f.xmax + f.h) + coalesce(d.dow_mean, 0)),4) AS yhat
+        |FROM future f LEFT JOIN dowm d
+        |  ON f.event_type = d.event_type AND dayofweek(f.maxds + f.h) = d.dow
+        |ORDER BY f.event_type, ds""".stripMargin,
+
+    "q16_forecast_multi" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS ds,
+        |         sum(value) AS value_sum, CAST(count(*) AS DOUBLE) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |melted AS (
+        |  SELECT event_type, ds, 'value_sum' AS metric, value_sum AS y FROM daily
+        |  UNION ALL
+        |  SELECT event_type, ds, 'n_events' AS metric, n_events AS y FROM daily),
+        |wx AS (SELECT *, CAST(date_diff('day', min(ds) OVER (PARTITION BY event_type, metric), ds) AS DOUBLE) AS x FROM melted),
+        |fit AS (SELECT event_type, metric, regr_slope(y, x) AS slope, regr_intercept(y, x) AS icept,
+        |               max(x) AS xmax, max(ds) AS maxds
+        |        FROM wx GROUP BY event_type, metric),
+        |dowm AS (SELECT w.event_type, w.metric, dayofweek(w.ds) AS dow,
+        |                avg(w.y - (f.icept + f.slope*w.x)) AS dow_mean
+        |         FROM wx w JOIN fit f ON w.event_type = f.event_type AND w.metric = f.metric
+        |         GROUP BY 1, 2, 3),
+        |future AS (SELECT event_type, metric, slope, icept, xmax, maxds,
+        |                  CAST(unnest(generate_series(1, 7)) AS INTEGER) AS h FROM fit)
+        |SELECT f.event_type, f.metric, f.maxds + f.h AS ds,
+        | round(greatest(0.0, f.icept + f.slope*(f.xmax + f.h) + coalesce(d.dow_mean, 0)),4) AS yhat
+        |FROM future f LEFT JOIN dowm d
+        |  ON f.event_type = d.event_type AND f.metric = d.metric AND dayofweek(f.maxds + f.h) = d.dow
+        |ORDER BY f.event_type, f.metric, ds""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """SELECT fingerprint, keep_id, n_copies FROM (
+        | SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+        | FROM documents GROUP BY 1)
+        |ORDER BY keep_id""".stripMargin,
+
+    "q24_embedding_neardup" ->
+      """SELECT label, id_a, id_b, cos FROM (
+        | SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),4) AS cos
+        | FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cos >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+
+    "q25_ann_bruteforce" ->
+      """WITH scored AS (
+        | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |  round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+        |   / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+        |      * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),4) AS cos
+        | FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        | SELECT q_id, c_id, cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn
+        | FROM scored)
+        |SELECT q_id, rn AS rank, c_id, cos FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "q27_langid" ->
+      s"""WITH toked AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+         |scored AS (SELECT doc_id, $langScoreCols FROM toked)
+         |SELECT doc_id, s_en, s_es, s_fr, s_de, s_zh, $langCase AS pred_lang
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q28_quality_score" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |   CAST(length(text) AS BIGINT) AS n_chars,
+         |   CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+         |   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS punct,
+         |   CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |        t -> list_contains($enStops, t))) AS BIGINT) AS stops
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_tokens,
+         | round(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio,
+         | round(CAST(stops AS DOUBLE) / greatest(n_tokens, 1), 4) AS stop_ratio,
+         | round(least(1.0,
+         |   0.5 * (CAST(stops AS DOUBLE) / greatest(n_tokens, 1))
+         | + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 20.0)
+         | + 0.2 * (1.0 - CAST(punct AS DOUBLE) / greatest(n_chars, 1))) + 1e-9, 4) AS quality_score
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q29_token_counts" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        | round(CAST(length(text) AS DOUBLE)
+        |   / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT), 1), 4) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q30_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        | substring(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 32) AS norm_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_multimodal_meta" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | sha256(text) AS content_sha256,
+        | CAST(64 + (doc_id % 16) * 32 AS BIGINT) AS width,
+        | CAST(64 + (doc_id % 9) * 32 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text / schema-name cleaning and text-analysis column functions.
+  *
+  * Mirrors the reference's cleaning semantics
+  * (Google_Bigquery.py:57 `dataframe_clean_cols`: lower, space→_, "ga:"
+  * prefix strip, &→_, ___→_, ñ→n; utils accent stripping via unidecode)
+  * as pure, codegen-friendly column expressions — no UDFs.
+  */
+object text {
+
+  // Accent fold table (common Latin-1 accents, the unidecode subset the
+  // reference actually exercises). Built from pairs so src/dst stay aligned.
+  private val accentPairs: Seq[(String, Char)] = Seq(
+    ("áàâãäå", 'a'), ("ÁÀÂÃÄÅ", 'A'),
+    ("éèêë", 'e'), ("ÉÈÊË", 'E'),
+    ("íìîï", 'i'), ("ÍÌÎÏ", 'I'),
+    ("óòôõö", 'o'), ("ÓÒÔÕÖ", 'O'),
+    ("úùûü", 'u'), ("ÚÙÛÜ", 'U'),
+    ("ýÿ", 'y'), ("Ý", 'Y'),
+    ("ç", 'c'), ("Ç", 'C'),
+    ("ñ", 'n'), ("Ñ", 'N')
+  )
+  private val accentSrc: String = accentPairs.map(_._1).mkString
+  private val accentDst: String = accentPairs.flatMap { case (s, d) => s.map(_ => d) }.mkString
+  require(accentSrc.length == accentDst.length)
+
+  /** Strip Latin accents (á→a, ñ→n, …). Equivalent of DuckDB strip_accents
+    * for the Latin-1 range; a native `translate` — fully codegen'd. */
+  def stripAccents(c: Column): Column = translate(c, accentSrc, accentDst)
+
+  /** Scala-side twin for renaming schema columns. */
+  def stripAccentsStr(s: String): String =
+    s.map { ch => val i = accentSrc.indexOf(ch); if (i >= 0) accentDst(i) else ch }
+
+  /** Column-value cleaner: lower, accent-strip, "ga:" prefix strip, any
+    * non-alnum run → "_", trim outer "_". (Google_Bigquery.py:57.) */
+  def cleanName(c: Column): Column =
+    trim(regexp_replace(regexp_replace(stripAccents(lower(trim(c))), "^ga:", ""), "[^a-z0-9]+", "_"), "_")
+
+  /** String twin of [[cleanName]] for renaming DataFrame columns. */
+  def cleanNameStr(s: String): String =
+    stripAccentsStr(s.trim.toLowerCase)
+      .replaceAll("^ga:", "")
+      .replaceAll("[^a-z0-9]+", "_")
+      .replaceAll("^_+|_+$", "")
+
+  /** Rename every column of `df` with [[cleanNameStr]] — the DataFrame
+    * equivalent of `dataframe_clean_cols`. Pure metadata op, no job. */
+  def cleanColumnNames(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(cleanNameStr): _*)
+
+  /** Whitespace tokens of trimmed, lowercased text. Trim first so Spark and
+    * DuckDB agree on leading/trailing empty tokens. */
+  def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  // ---- language ID (C8): stopword-overlap heuristic -------------------
+
+  /** Tiny function-word lists per language. Deterministic, public-knowledge
+    * stopword sets — the classic n-gram/stopword language-ID heuristic. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "por", "con", "no", "se"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "que", "pour", "dans", "est", "du", "pas", "au"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von", "nicht", "den", "im", "auf"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "人", "有", "他", "这", "中", "大", "来", "上")
+  )
+
+  /** Count of tokens present in `words` (with repetition). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column = {
+    val lst = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(lst, t))).cast("long")
+  }
+
+  /** Predicted language: argmax of per-language stopword hits with a fixed
+    * preference order (en > es > fr > de > zh) for deterministic ties. */
+  def langIdScores(c: Column): Seq[(String, Column)] = {
+    val t = tokens(c)
+    stopwords.map { case (lang, words) => lang -> stopwordHits(t, words) }
+  }
+
+  // ---- fingerprinting (C11) -------------------------------------------
+
+  /** Whitespace-collapsed, lowercased, trimmed normal form. */
+  def normalizeText(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Content fingerprint: md5 over the normal form (C11 / q30). */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+}

@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family: keep-latest (A8), exact (C1), MinHash+LSH (C2),
+  * SimHash (C3), n-gram Jaccard (C4).
+  *
+  * Scale invariants (SURVEY §5): candidate generation is ALWAYS bucketed
+  * (band-hash / bit-band / shared-rare-gram equi-joins) — never an
+  * all-pairs cross join; giant buckets are capped (skew guard); the
+  * near-dup queries emit one row per document (doc_id, rep_id, is_dup) so
+  * the output is a dedup verdict, not an unbounded pair list.
+  */
+object Dedup {
+
+  /** A8 `q08_dedup_latest` — keep the latest record per key
+    * (Alodesk_API.py:30 `dedup_leads`: sort by ts, keep last). One window
+    * exchange on the key; deterministic tiebreak on event_id (pandas
+    * keep="last" is order-dependent; we make it explicit). */
+  def dedupLatest(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t.events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        round(col("value"), 4).as("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** C1 `q20_dedup_exact` — exact dedup by content hash: one hash-groupBy
+    * shuffle, keep min doc_id per fingerprint. At 100 TB this is the
+    * canonical first dedup pass: the shuffle key is the 128-bit hash, so
+    * data distributes uniformly regardless of content skew. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"), md5(col("text")).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  // ---- shared shingling ------------------------------------------------
+
+  /** Distinct 3-word shingles of lowercased text (padded: texts shorter
+    * than 3 tokens yield one shingle of what's there). */
+  def wordShingles(c: Column, k: Int = 3): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the min over shingles of xxhash64(shingle ++ seed). Evaluated as one
+    * `aggregate` fold per hash — all inside codegen, no UDF. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      aggregate(shingles, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(concat(s, lit(s"#$i")))))
+    }: _*)
+
+  /** Per-doc one-hop dedup verdict from a candidate-pair DF
+    * (cols id_a < id_b): representative = min(self, min matched partner).
+    * Single groupBy shuffle on doc_id. */
+  private def perDocVerdict(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val neighbors = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nb"))
+      .unionAll(pairs.select(col("id_b").as("doc_id"), col("id_a").as("nb")))
+      .groupBy(col("doc_id")).agg(min(col("nb")).as("min_nb"))
+    docs.select(col("doc_id"))
+      .join(neighbors, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        least(col("doc_id"), coalesce(col("min_nb"), col("doc_id"))).as("rep_id"))
+      .withColumn("is_dup", col("rep_id") < col("doc_id"))
+  }
+
+  /** Skew guard: drop candidate buckets larger than `cap`. A bucket that
+    * big is a degenerate cluster (boilerplate); at 100 TB scale those are
+    * handled by a dedicated salted pass rather than blowing up the
+    * pairwise join. The window rides the same exchange as the join key. */
+  private def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("_bsz", count(lit(1)).over(w)).filter(col("_bsz") <= cap).drop("_bsz")
+  }
+
+  /** C2 `q21_minhash_lsh` — MinHash+LSH near-dup dedup. 16 hashes, 4 bands
+    * of 4 rows: docs agreeing on all 4 minhashes of any band become
+    * candidates (band equi-join — shuffle on band hash, never cross).
+    * Candidates verified by signature agreement ≥ `simThreshold`.
+    * Output: one row per doc (doc_id, rep_id, is_dup, n_shingles). */
+  def minhashLsh(spark: SparkSession, dir: String,
+                 numHashes: Int = 16, bands: Int = 4,
+                 simThreshold: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
+    val t = Tables(spark, dir)
+    val rows = numHashes / bands
+    val sigs = t.documents
+      .select(col("doc_id"), wordShingles(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        minhashSignature(col("sh"), numHashes).as("sig"))
+
+    val banded = sigs.select(
+      col("doc_id"), col("sig"), col("n_shingles"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("n_shingles"), col("bk.band"), col("bk.bh"))
+
+    val capped = capBuckets(banded, Seq("band", "bh"), bucketCap)
+    val a = capped.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val pairs = a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .withColumn("est_sim",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / numHashes)
+      .filter(col("est_sim") >= simThreshold)
+      .select(col("id_a"), col("id_b")).distinct()
+
+    perDocVerdict(sigs, pairs)
+      .join(sigs.select(col("doc_id"), col("n_shingles")), Seq("doc_id"))
+      .select(col("doc_id"), col("rep_id"), col("is_dup"), col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** 64-bit SimHash of the word multiset: sum ±1 per bit of each token's
+    * xxhash64, sign → bit. One `aggregate` fold with a 64-int accumulator.
+    */
+  def simhash64(c: Column): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
+    val bitSums = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, w) => zip_with(
+        acc,
+        transform(powers, p => when(xxhash64(w).bitwiseAND(p) =!= 0, 1).otherwise(-1)),
+        (x, y) => x + y))
+    aggregate(zip_with(bitSums, powers, (s, p) => when(s > 0, p).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** C3 `q22_simhash` — SimHash near-dup: 4 bands of 16 bits guarantee any
+    * pair within hamming distance 3 shares at least one intact band
+    * (pigeonhole), so the candidate join is a band equi-join. Verified by
+    * `bit_count(xor) <= maxHamming`. Output: per-doc verdict + simhash. */
+  def simhashDedup(spark: SparkSession, dir: String,
+                   maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame = {
+    val t = Tables(spark, dir)
+    val sigs = t.documents.select(col("doc_id"), simhash64(col("text")).as("simhash"))
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bh"))
+    val capped = capBuckets(banded, Seq("band", "bh"), bucketCap)
+    val a = capped.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("simhash").as("ha"))
+    val b = capped.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("simhash").as("hb"))
+    val pairs = a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .select(col("id_a"), col("id_b")).distinct()
+    perDocVerdict(sigs, pairs)
+      .join(sigs, Seq("doc_id"))
+      .select(col("doc_id"), col("simhash"), col("rep_id"), col("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C4 `q23_ngram_jaccard` — character-3-gram Jaccard near-dup via an
+    * inverted index: explode grams → drop stop-grams (df > dfCap — the
+    * posting-list bound that keeps candidate pairs linear-ish at scale) →
+    * pairs sharing a rare gram → exact Jaccard on full distinct-gram sets.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String,
+                   n: Int = 3, jaccardThreshold: Double = 0.5,
+                   dfCap: Int = 50): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents.select(col("doc_id"),
+      array_distinct(transform(
+        sequence(lit(1), greatest(length(lower(trim(col("text")))) - (n - 1), lit(1))),
+        i => lower(trim(col("text"))).substr(i, lit(n)))).as("grams"))
+
+    val posting = docs.select(col("doc_id"), explode(col("grams")).as("g"))
+    val rare = posting
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("df") <= dfCap)
+    val cand = rare.select(col("g"), col("doc_id").as("id_a"))
+      .join(rare.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+
+    val ga = docs.select(col("doc_id").as("id_a"), col("grams").as("grams_a"))
+    val gb = docs.select(col("doc_id").as("id_b"), col("grams").as("grams_b"))
+    val pairs = cand.join(ga, Seq("id_a")).join(gb, Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b"))))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+
+    perDocVerdict(docs, pairs)
+      .join(docs.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("rep_id"), col("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+}

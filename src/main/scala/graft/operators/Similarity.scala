@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity: near-dup (C5) and ANN search (C6 brute-force
+  * baseline, C7 LSH-bucketed scale path).
+  *
+  * Scale stance (SURVEY §5): the corpus is never shuffled pairwise —
+  * near-dup joins are blocked on a partition key, ANN broadcasts the
+  * (small) query set over the corpus scan, and the LSH variant buckets the
+  * corpus once into reusable hash buckets.
+  */
+object Similarity {
+
+  /** C5 `q24_embedding_neardup` — blocked pairwise cosine near-dup: pairs
+    * within the same `label` block with cosine ≥ threshold. The block key
+    * stands in for the coarse pre-cluster a 100 TB pipeline would compute
+    * first (k-means/LSH partition); within-block pairing is the per-bucket
+    * verification step. AQE skew-join splits oversized blocks. */
+  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.25): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = t.embeddings.select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(vectors.cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("label"), col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** C6 `q25_ann_bruteforce` — exact top-k cosine ANN baseline. The query
+    * set (vec_id < 5 here; in production the batch of probe vectors) is
+    * broadcast over the corpus scan: cost is one linear pass over the
+    * corpus, zero corpus shuffle, top-k via window on the query key.
+    * Ranking is on 4-dp-rounded cosine with vec_id tiebreak so results
+    * are engine-independent under float summation-order differences. */
+  def annBruteForce(spark: SparkSession, dir: String, k: Int = 10, numQueries: Int = 5): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = broadcast(
+      e.filter(col("vec_id") < numQueries).select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    e.select(col("vec_id").as("c_id"), col("v").as("cv"))
+      .join(q, col("c_id") =!= col("q_id"))
+      .withColumn("cos", round(vectors.cosine(col("qv"), col("cv")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (LCG, fixed seed) — public
+    * textbook construction for sign-random-projection LSH. */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    var state = 0x5DEECE66DL
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Seq.fill(numPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** Sign-bit signature of `v` against `planes` as an array<int> of 0/1. */
+  private def signBits(v: org.apache.spark.sql.Column, planes: Seq[Seq[Double]]) =
+    array(planes.map { p =>
+      val plane = array(p.map(lit): _*)
+      when(vectors.dot(v, plane) > 0, 1).otherwise(0)
+    }: _*)
+
+  /** C7 `q26_ann_lsh` — sign-random-projection LSH ANN: 16 hyperplanes,
+    * 4 bands of 4 bits. The corpus is bucketed ONCE by (band, band-bits)
+    * — at scale this bucketing is computed in a single map pass and can
+    * be persisted as a bucketed table; queries join their buckets and
+    * rerank candidates by exact cosine. Recall vs the C6 baseline is
+    * spec-tested (SimilaritySpec). */
+  def annLsh(spark: SparkSession, dir: String, k: Int = 10, numQueries: Int = 5,
+             numPlanes: Int = 16, bands: Int = 4): DataFrame = {
+    val t = Tables(spark, dir)
+    val planes = hyperplanes(numPlanes, 64)
+    val rows = numPlanes / bands
+    val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bits", signBits(col("v"), planes))
+    val banded = e.select(col("vec_id"), col("v"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("", transform(slice(col("bits"), b * rows + 1, rows), x => x.cast("string"))).as("bh"))
+      }: _*)).as("bk"))
+      .select(col("vec_id"), col("v"), col("bk.band"), col("bk.bh"))
+    val qs = broadcast(banded.filter(col("vec_id") < numQueries)
+      .select(col("band"), col("bh"), col("vec_id").as("q_id"), col("v").as("qv")))
+    val cand = banded.filter(col("vec_id") >= numQueries)
+      .select(col("band"), col("bh"), col("vec_id").as("c_id"), col("v").as("cv"))
+      .join(qs, Seq("band", "bh"))
+      .select(col("q_id"), col("c_id"), col("qv"), col("cv")).distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    cand
+      .withColumn("cos", round(vectors.cosine(col("qv"), col("cv")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{text => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** C-block text analysis: language ID (C8), quality scoring (C9), token
+  * counting (C10), fingerprinting (C11). All pure column expressions —
+  * map-only narrow plans, fully codegen'd, zero shuffles (the ORDER BY in
+  * the query entries exists only for deterministic oracle comparison).
+  */
+object TextAnalysis {
+
+  /** C8 `q27_langid` — stopword-overlap language ID: per-language hit
+    * counts + argmax with fixed preference order (deterministic ties). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val scored = T.langIdScores(col("text"))
+    val scoreCols = scored.map { case (lang, c) => c.as(s"s_$lang") }
+    val langs = scored.map(_._1)
+    val best = greatest(langs.map(l => col(s"s_$l")): _*)
+    val pred = langs.foldRight(lit("unknown"): Column) { (l, acc) =>
+      when(col(s"s_$l") === best, lit(l)).otherwise(acc)
+    }
+    t.documents
+      .select(col("doc_id") +: scoreCols: _*)
+      .withColumn("pred_lang", pred)
+      .orderBy(col("doc_id"))
+  }
+
+  /** C9 `q28_quality_score` — length/punct/stopword-ratio quality score
+    * (the standard pretraining-corpus quality heuristics). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val toks = T.tokens(col("text"))
+    val nChars = length(col("text")).cast("long")
+    val nToks = size(toks).cast("long")
+    val punct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long")
+    val stops = T.stopwordHits(toks, T.stopwords.head._2) // en list
+    val punctRatio = punct.cast("double") / greatest(nChars, lit(1L))
+    val stopRatio = stops.cast("double") / greatest(nToks, lit(1L))
+    // composite computed from UNROUNDED ratios; +1e-9 epsilon nudges
+    // grid-aligned values (ratios are small rationals, so the weighted sum
+    // can land exactly on the .00005 rounding boundary) off the tie.
+    t.documents
+      .select(
+        col("doc_id"),
+        nChars.as("n_chars"),
+        nToks.as("n_tokens"),
+        round(punctRatio, 4).as("punct_ratio"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(least(lit(1.0),
+          lit(0.5) * stopRatio
+            + lit(0.3) * least(lit(1.0), nToks.cast("double") / 20.0)
+            + lit(0.2) * (lit(1.0) - punctRatio)) + lit(1e-9), 4).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BPE-ish token regex: letter runs, digit runs, single punctuation —
+    * the classic pre-tokenizer split (public GPT-2-style pattern, ASCII
+    * subset so Java and RE2 regex agree). */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** C10 `q29_token_counts` — whitespace + BPE-ish token counts and
+    * chars-per-token (the length stats every corpus pipeline tracks). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ws = size(split(trim(col("text")), "\\s+")).cast("long")
+    val bpe = regexp_count(col("text"), lit(bpeTokenPattern)).cast("long")
+    t.documents
+      .select(
+        col("doc_id"),
+        ws.as("ws_tokens"),
+        bpe.as("bpe_tokens"),
+        round(length(col("text")).cast("double") / greatest(bpe, lit(1L)), 4).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C11 `q30_fingerprint` — normalized content fingerprint (md5 of the
+    * whitespace-collapsed lowercase normal form). */
+  def fingerprintDocs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"), T.fingerprint(col("text")).as("fingerprint"),
+        T.normalizeText(col("text")).substr(lit(1), lit(32)).as("norm_prefix"))
+      .orderBy(col("doc_id"))
+  }
+}

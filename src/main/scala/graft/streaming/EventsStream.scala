@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** D-block Structured Streaming: windowed aggregation with watermark (D1)
+  * and stateful streaming dedup (D2).
+  *
+  * Both operators take unbounded DataFrames/Datasets (`readStream`
+  * sources in production; MemoryStream in specs) and are the streaming
+  * twins of the batch operators: D1 ≙ q10_hourly_rollup, D2 ≙
+  * q08_dedup_latest/q20_dedup_exact. State is bounded: the watermark
+  * expires window state, and the dedup state uses a processing-time
+  * timeout so seen-key state ages out instead of growing forever — the
+  * properties that keep a 1000-executor streaming job stable.
+  */
+object EventsStream {
+
+  /** D1 — tumbling-window rollup with watermark: per (1-hour window,
+    * event_type) counts and value sums. Late events beyond `watermark`
+    * are dropped and their window state is reclaimed. */
+  def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Event record for the stateful dedup stream. */
+  case class StreamEvent(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  /** D2 — stateful streaming dedup: first occurrence of each
+    * (user_id, event_type) key passes through, repeats are dropped.
+    * `flatMapGroupsWithState` with a processing-time timeout bounds the
+    * seen-key state (`stateTtl`); at scale the key space is partitioned
+    * across executors by the groupBy key. */
+  def dedupStream(events: Dataset[StreamEvent],
+                  stateTtl: String = "1 hour"): Dataset[StreamEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (_: (Long, String), batch: Iterator[StreamEvent], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            // key already seen — drop everything in this batch
+            Iterator.empty
+          } else {
+            state.update(true)
+            state.setTimeoutDuration(stateTtl)
+            // emit only the first event of the batch for this key
+            batch.take(1)
+          }
+      }
+  }
+}
