@@ -94,12 +94,15 @@ object Dedup {
     * candidates (band equi-join — shuffle on band hash, never cross).
     * Candidates verified by signature agreement ≥ `simThreshold`.
     * Output: one row per doc (doc_id, rep_id, is_dup, n_shingles). */
-  def minhashLsh(spark: SparkSession, dir: String,
-                 numHashes: Int = 16, bands: Int = 4,
-                 simThreshold: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
-    val t = Tables(spark, dir)
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshDocs(Tables(spark, dir).documents)
+
+  /** DataFrame-level MinHash+LSH over any (doc_id, text) frame. */
+  def minhashLshDocs(documents: DataFrame,
+                     numHashes: Int = 16, bands: Int = 4,
+                     simThreshold: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
     val rows = numHashes / bands
-    val sigs = t.documents
+    val sigs = documents
       .select(col("doc_id"), wordShingles(col("text")).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
         minhashSignature(col("sh"), numHashes).as("sig"))
@@ -149,10 +152,13 @@ object Dedup {
     * pair within hamming distance 3 shares at least one intact band
     * (pigeonhole), so the candidate join is a band equi-join. Verified by
     * `bit_count(xor) <= maxHamming`. Output: per-doc verdict + simhash. */
-  def simhashDedup(spark: SparkSession, dir: String,
-                   maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame = {
-    val t = Tables(spark, dir)
-    val sigs = t.documents.select(col("doc_id"), simhash64(col("text")).as("simhash"))
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame =
+    simhashDedupDocs(Tables(spark, dir).documents)
+
+  /** DataFrame-level SimHash dedup over any (doc_id, text) frame. */
+  def simhashDedupDocs(documents: DataFrame,
+                       maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame = {
+    val sigs = documents.select(col("doc_id"), simhash64(col("text")).as("simhash"))
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -176,11 +182,14 @@ object Dedup {
     * posting-list bound that keeps candidate pairs linear-ish at scale) →
     * pairs sharing a rare gram → exact Jaccard on full distinct-gram sets.
     */
-  def ngramJaccard(spark: SparkSession, dir: String,
-                   n: Int = 3, jaccardThreshold: Double = 0.5,
-                   dfCap: Int = 50): DataFrame = {
-    val t = Tables(spark, dir)
-    val docs = t.documents.select(col("doc_id"),
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardDocs(Tables(spark, dir).documents)
+
+  /** DataFrame-level n-gram Jaccard dedup over any (doc_id, text) frame. */
+  def ngramJaccardDocs(documents: DataFrame,
+                       n: Int = 3, jaccardThreshold: Double = 0.5,
+                       dfCap: Int = 50): DataFrame = {
+    val docs = documents.select(col("doc_id"),
       array_distinct(transform(
         sequence(lit(1), greatest(length(lower(trim(col("text")))) - (n - 1), lit(1))),
         i => lower(trim(col("text"))).substr(i, lit(n)))).as("grams"))

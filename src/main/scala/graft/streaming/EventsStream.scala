@@ -39,12 +39,14 @@ object EventsStream {
     * seen-key state (`stateTtl`); at scale the key space is partitioned
     * across executors by the groupBy key. */
   def dedupStream(events: Dataset[StreamEvent],
-                  stateTtl: String = "1 hour"): Dataset[StreamEvent] = {
+                  stateTtl: Option[String] = None): Dataset[StreamEvent] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(e => (e.user_id, e.event_type))
-      .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (_: (Long, String), batch: Iterator[StreamEvent], state: GroupState[Boolean]) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -54,7 +56,7 @@ object EventsStream {
             Iterator.empty
           } else {
             state.update(true)
-            state.setTimeoutDuration(stateTtl)
+            stateTtl.foreach(state.setTimeoutDuration)
             // emit only the first event of the batch for this key
             batch.take(1)
           }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // Planted corpus: 0/1 near-identical (one word差), 2 identical to 0,
+  // 3/4 unrelated. Reps should cluster {0,1,2} and leave {3,4} alone.
+  private val base = "the quick brown fox jumps over the lazy dog near the old river bank today " +
+    "while morning light spreads across quiet fields and distant hills beyond the water line slowly"
+  private lazy val planted = Seq(
+    (0L, base),
+    (1L, base.replace("today", "tonight")),
+    (2L, base),
+    (3L, "completely different content about spark catalyst optimizer rules and codegen stages"),
+    (4L, "yet another unrelated snippet mentioning shuffle partitions and broadcast joins only")
+  ).toDF("doc_id", "text")
+
+  test("minhashLsh clusters planted near-duplicates") {
+    val out = Dedup.minhashLshDocs(planted)
+      .select("doc_id", "rep_id", "is_dup").as[(Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((0L, 0L, false)))
+    assert(out(1) == ((1L, 0L, true)))   // near-dup of 0
+    assert(out(2) == ((2L, 0L, true)))   // exact dup of 0
+    assert(!out(3)._3 && !out(4)._3)
+  }
+
+  test("simhash clusters exact and 1-word-off duplicates") {
+    val out = Dedup.simhashDedupDocs(planted)
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect().sortBy(_._1)
+    assert(out(2)._2)                    // exact dup flagged
+    assert(!out(3)._2 && !out(4)._2)     // unrelated untouched
+  }
+
+  test("ngramJaccard flags high-overlap pairs only") {
+    val out = Dedup.ngramJaccardDocs(planted, dfCap = 10)
+      .select("doc_id", "rep_id", "is_dup").as[(Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out(1)._3 && out(2)._3)
+    assert(!out(3)._3 && !out(4)._3)
+  }
+
+  test("dedupLatest keeps exactly one row per key, the latest") {
+    val out = Dedup.dedupLatest(spark, sfDir)
+    val counts = out.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count()
+    assert(counts == 0)
+    // spot-check: kept ts is the max ts for its key
+    val ev = Tables(spark, sfDir).events
+    val maxes = ev.groupBy("user_id", "event_type").agg(max("ts").as("max_ts"))
+    val bad = out.join(maxes, Seq("user_id", "event_type"))
+      .filter(col("ts") =!= col("max_ts")).count()
+    assert(bad == 0)
+  }
+
+  test("candidate generation never cross-joins") {
+    val plan = Dedup.minhashLshDocs(planted).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "minhash plan must stay bucketed")
+    val plan2 = Dedup.ngramJaccardDocs(planted).queryExecution.executedPlan.toString
+    assert(!plan2.contains("CartesianProduct"), "ngram plan must stay bucketed")
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.{Reports, Similarity}
+
+/** Scale-design assertions (SURVEY §5): pushdown reaches scans, dims
+  * broadcast, candidate joins stay bucketed. These run against the
+  * physical plan, not row counts — the properties that survive a 100×
+  * scale-up. */
+class PlanSpec extends SparkSpecBase {
+
+  test("q01 pushes the shipdate filter into the parquet scan") {
+    val plan = Reports.pricingSummary(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n${plan.take(2000)}")
+  }
+
+  test("q01 prunes columns: scan reads only what the report needs") {
+    val plan = Reports.pricingSummary(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("l_orderkey"), "unused columns must not reach the scan")
+    assert(plan.contains("l_returnflag"))
+  }
+
+  test("q02 broadcasts the small dimensions") {
+    val plan = Reports.revenueByNation(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "nation/region must broadcast")
+  }
+
+  test("q02 whole-stage codegen covers the aggregation path") {
+    // AQE: the final plan (with codegen stages) only exists post-execution
+    val df = Reports.revenueByNation(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("codegen id"), s"no codegen span:\n${plan.take(1500)}")
+  }
+
+  test("ANN brute force broadcasts the query side, never shuffles corpus pairwise") {
+    val plan = Similarity.annBruteForce(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+  }
+
+  test("embedding near-dup is an equi-join on the block key") {
+    val plan = Similarity.embeddingNearDup(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.StreamEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("D1: windowed rollup with watermark aggregates per hour/type") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamEvent]
+    val q = EventsStream.hourlyRollup(mem.toDF(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("d1_out").outputMode("complete").start()
+    try {
+      mem.addData(
+        StreamEvent(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        StreamEvent(2, ts("2024-01-01 10:45:00"), 2, "click", 2.0),
+        StreamEvent(3, ts("2024-01-01 11:05:00"), 1, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("d1_out")
+        .select(col("hour_start").cast("string"), col("event_type"), col("n_events"), col("total_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", "click", 2L, 3.0),
+        ("2024-01-01 11:00:00", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("D2: stateful dedup stream passes first occurrence per key only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamEvent]
+    val q = EventsStream.dedupStream(mem.toDS())
+      .writeStream.format("memory").queryName("d2_out").outputMode("append").start()
+    try {
+      mem.addData(
+        StreamEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        StreamEvent(2, ts("2024-01-01 10:01:00"), 1, "click", 2.0), // dup key
+        StreamEvent(3, ts("2024-01-01 10:02:00"), 2, "click", 3.0))
+      q.processAllAvailable()
+      // second batch: repeats of seen keys must be dropped across batches
+      mem.addData(StreamEvent(4, ts("2024-01-01 10:03:00"), 1, "click", 4.0))
+      q.processAllAvailable()
+      val ids = spark.table("d2_out").select("event_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L))
+    } finally q.stop()
+  }
+}
