@@ -21,6 +21,14 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: first query otherwise pays JVM/codegen/file-listing startup
+    // (~4s) that is not a property of the query being measured
+    try {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

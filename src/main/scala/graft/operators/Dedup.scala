@@ -80,14 +80,21 @@ object Dedup {
       .withColumn("is_dup", col("rep_id") < col("doc_id"))
   }
 
-  /** Skew guard: drop candidate buckets larger than `cap`. A bucket that
-    * big is a degenerate cluster (boilerplate); at 100 TB scale those are
-    * handled by a dedicated salted pass rather than blowing up the
-    * pairwise join. The window rides the same exchange as the join key. */
-  private def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-    df.withColumn("_bsz", count(lit(1)).over(w)).filter(col("_bsz") <= cap).drop("_bsz")
-  }
+  /** Within-bucket pair expansion: group candidates by bucket key,
+    * collect members, emit all i<j combinations. ONE shuffle, ONE
+    * evaluation of the (expensive) upstream signature computation — a
+    * bucket self-join would re-evaluate the whole upstream plan per join
+    * side. The size filter doubles as the skew guard: buckets above
+    * `cap` are degenerate clusters (boilerplate) that a 100 TB pipeline
+    * routes to a dedicated salted pass instead of pair-exploding. */
+  private def bucketPairs(banded: DataFrame, keys: Seq[String], member: Column, cap: Int): DataFrame =
+    banded
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(member).as("m"))
+      .filter(size(col("m")).between(2, cap))
+      .select(explode(flatten(transform(col("m"), (x, i) =>
+        transform(slice(col("m"), i + 2, size(col("m"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
 
   /** C2 `q21_minhash_lsh` — MinHash+LSH near-dup dedup. 16 hashes, 4 bands
     * of 4 rows: docs agreeing on all 4 minhashes of any band become
@@ -108,20 +115,20 @@ object Dedup {
         minhashSignature(col("sh"), numHashes).as("sig"))
 
     val banded = sigs.select(
-      col("doc_id"), col("sig"), col("n_shingles"),
+      col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
       }: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"), col("n_shingles"), col("bk.band"), col("bk.bh"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bh"))
 
-    val capped = capBuckets(banded, Seq("band", "bh"), bucketCap)
-    val a = capped.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
-      .withColumn("est_sim",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
+    val pairs = bucketPairs(banded, Seq("band", "bh"),
+        struct(col("doc_id"), col("sig")), bucketCap)
+      .select(
+        least(col("p.a.doc_id"), col("p.b.doc_id")).as("id_a"),
+        greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("id_b"),
+        (aggregate(zip_with(col("p.a.sig"), col("p.b.sig"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-          .cast("double") / numHashes)
+          .cast("double") / numHashes).as("est_sim"))
       .filter(col("est_sim") >= simThreshold)
       .select(col("id_a"), col("id_b")).distinct()
 
@@ -165,12 +172,13 @@ object Dedup {
           shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bh"))
-    val capped = capBuckets(banded, Seq("band", "bh"), bucketCap)
-    val a = capped.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("simhash").as("ha"))
-    val b = capped.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("simhash").as("hb"))
-    val pairs = a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
-      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
-      .select(col("id_a"), col("id_b")).distinct()
+    val pairs = bucketPairs(banded, Seq("band", "bh"),
+        struct(col("doc_id"), col("simhash")), bucketCap)
+      .filter(bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))) <= maxHamming)
+      .select(
+        least(col("p.a.doc_id"), col("p.b.doc_id")).as("id_a"),
+        greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("id_b"))
+      .distinct()
     perDocVerdict(sigs, pairs)
       .join(sigs, Seq("doc_id"))
       .select(col("doc_id"), col("simhash"), col("rep_id"), col("is_dup"))
@@ -195,13 +203,13 @@ object Dedup {
         i => lower(trim(col("text"))).substr(i, lit(n)))).as("grams"))
 
     val posting = docs.select(col("doc_id"), explode(col("grams")).as("g"))
-    val rare = posting
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .filter(col("df") <= dfCap)
-    val cand = rare.select(col("g"), col("doc_id").as("id_a"))
-      .join(rare.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    // grams are distinct per doc, so bucket size == document frequency:
+    // the bucket-size filter IS the stop-gram removal (df <= dfCap), and
+    // pair expansion happens in the same single shuffle.
+    val cand = bucketPairs(posting, Seq("g"), col("doc_id"), dfCap)
+      .select(least(col("p.a"), col("p.b")).as("id_a"),
+        greatest(col("p.a"), col("p.b")).as("id_b"))
+      .distinct()
 
     val ga = docs.select(col("doc_id").as("id_a"), col("grams").as("grams_a"))
     val gb = docs.select(col("doc_id").as("id_b"), col("grams").as("grams_b"))

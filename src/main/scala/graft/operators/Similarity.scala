@@ -23,11 +23,16 @@ object Similarity {
     * verification step. AQE skew-join splits oversized blocks. */
   def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.25): DataFrame = {
     val t = Tables(spark, dir)
+    // Norms are computed ONCE per vector before the pairwise join — the
+    // join then does a single dot per pair instead of three (3x less
+    // floating-point work; the dominant cost at corpus scale).
     val e = t.embeddings.select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
-    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
+      .withColumn("nrm", vectors.norm(col("v")))
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(vectors.cosine(col("va"), col("vb")), 4))
+      .withColumn("cos", round(
+        vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select(col("label"), col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))
@@ -42,12 +47,15 @@ object Similarity {
   def annBruteForce(spark: SparkSession, dir: String, k: Int = 10, numQueries: Int = 5): DataFrame = {
     val t = Tables(spark, dir)
     val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", vectors.norm(col("v")))
     val q = broadcast(
-      e.filter(col("vec_id") < numQueries).select(col("vec_id").as("q_id"), col("v").as("qv")))
+      e.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    e.select(col("vec_id").as("c_id"), col("v").as("cv"))
+    e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
       .join(q, col("c_id") =!= col("q_id"))
-      .withColumn("cos", round(vectors.cosine(col("qv"), col("cv")), 4))
+      .withColumn("cos", round(
+        vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
