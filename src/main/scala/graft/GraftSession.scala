@@ -32,6 +32,7 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests / ad-hoc runs. */

@@ -14,7 +14,16 @@ object vectors {
 
   private def asDouble(a: Column): Column = a.cast("array<double>")
 
+  /** Dot product via the native codegen'd [[graft.expressions.DotProduct]]
+    * expression (registered by GraftExtensions — a bare primitive loop in
+    * whole-stage codegen). Sessions without the extension should use
+    * [[dotHof]]. */
   def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", asDouble(a), asDouble(b))
+
+  /** Portable higher-order-function dot product (no extension required);
+    * identical values — same sequential summation order. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
