@@ -1,0 +1,229 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared primitive kernels for the text-hash expressions. A top-level
+  * Scala object compiles with static forwarders, so generated (Janino)
+  * code calls these directly — the expressions stay inside whole-stage
+  * codegen with zero lambda/boxing overhead per element.
+  *
+  * The 64-bit string hash is a public-domain FNV-1a core with a
+  * SplitMix64 finalizer per hash index — deterministic across runs and
+  * engines, which is all the LSH family needs.
+  */
+object Kernels {
+
+  def hash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+
+  private def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature: per hash index j, min over elements of
+    * mix(fnv(element) + j * golden). One pass over the array. */
+  def minhash(arr: ArrayData, k: Int): ArrayData = {
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = hash64(arr.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val h = mix(base + j * 0x9E3779B97F4A7C15L)
+          if (h < out(j)) out(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Fused k-token-shingle MinHash: slides a `shingle`-token window over
+    * the token array, folds the tokens' bytes (with separators) straight
+    * into the FNV core — no shingle strings are ever materialized — and
+    * updates all k minima per window. MinHash over the shingle multiset
+    * equals MinHash over the set, so no distinct pass is needed. */
+  def minhashShingled(toks: ArrayData, shingle: Int, k: Int): ArrayData = {
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = toks.numElements()
+    val windows = math.max(n - shingle + 1, 1)
+    var i = 0
+    while (i < windows) {
+      var h = 0xCBF29CE484222325L
+      val end = math.min(i + shingle, n)
+      var j = i
+      while (j < end) {
+        if (!toks.isNullAt(j)) {
+          val bytes = toks.getUTF8String(j).getBytes
+          var p = 0
+          while (p < bytes.length) {
+            h ^= (bytes(p) & 0xffL)
+            h *= 0x100000001B3L
+            p += 1
+          }
+        }
+        h ^= 0x20L // separator byte between tokens
+        h *= 0x100000001B3L
+        j += 1
+      }
+      var q = 0
+      while (q < k) {
+        val hq = mix(h + q * 0x9E3779B97F4A7C15L)
+        if (hq < out(q)) out(q) = hq
+        q += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct hashed character n-grams of a string in one pass — the
+    * inverted-index key material for n-gram Jaccard, without gram string
+    * allocation. Returns the distinct 64-bit gram hashes. */
+  def ngramHashes(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    val windows = math.max(len - n + 1, 1)
+    val seen = new java.util.HashSet[java.lang.Long](math.min(windows * 2, 1024))
+    var i = 0
+    while (i < windows) {
+      var h = 0xCBF29CE484222325L
+      val end = math.min(i + n, len)
+      var j = i
+      while (j < end) {
+        val c = str.charAt(j)
+        h ^= (c & 0xffL)
+        h *= 0x100000001B3L
+        h ^= ((c >> 8) & 0xffL)
+        h *= 0x100000001B3L
+        j += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash of the token multiset: ±1 per bit of each token's
+    * hash, sign of the sum becomes the bit. */
+  def simhash64(arr: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = hash64(arr.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** MinHash signature expression: `graft_minhash(array<string>, k)` →
+  * `array<bigint>` of k minimum hashes. CONTRACT: first child is an
+  * array of strings, second a foldable int (the library entry point in
+  * [[graft.operators.Dedup.minhashSignature]] guarantees both). */
+case class MinHashSignature(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(arr: Any, k: Any): Any =
+    Kernels.minhash(arr.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, k) =>
+      s"${ev.value} = graft.expressions.Kernels.minhash($a, (int)$k);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MinHashSignature =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused shingle MinHash: `graft_minhash_shingled(array<string>, shingleSize, k)`
+  * → `array<bigint>`. Children 2 and 3 must be foldable ints. */
+case class MinHashShingled(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_shingled"
+
+  override protected def nullSafeEval(toks: Any, shingle: Any, k: Any): Any =
+    Kernels.minhashShingled(toks.asInstanceOf[ArrayData],
+      shingle.asInstanceOf[Int], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s, k) =>
+      s"${ev.value} = graft.expressions.Kernels.minhashShingled($t, (int)$s, (int)$k);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): MinHashShingled =
+    copy(first = f, second = s, third = t)
+}
+
+/** Distinct hashed char n-grams: `graft_ngrams(string, n)` → `array<bigint>`. */
+case class NGramHashes(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ngrams"
+
+  override protected def nullSafeEval(s: Any, n: Any): Any =
+    Kernels.ngramHashes(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n) =>
+      s"${ev.value} = graft.expressions.Kernels.ngramHashes($s, (int)$n);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): NGramHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** SimHash expression: `graft_simhash64(array<string>)` → bigint. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    Kernels.simhash64(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expressions.Kernels.simhash64($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

@@ -56,28 +56,28 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over shingles of xxhash64(shingle ++ seed). Evaluated as one
-    * `aggregate` fold per hash — all inside codegen, no UDF. */
+  /** MinHash signature via the native kernel expression
+    * [[graft.expressions.MinHashSignature]]: one pass over the shingle
+    * array inside whole-stage codegen (the per-hash `aggregate` fold
+    * formulation traverses the array numHashes times with per-element
+    * string concat + hash — ~10x more work). */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      aggregate(shingles, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(concat(s, lit(s"#$i")))))
-    }: _*)
+    call_function("graft_minhash", shingles, lit(numHashes))
 
   /** Per-doc one-hop dedup verdict from a candidate-pair DF
     * (cols id_a < id_b): representative = min(self, min matched partner).
-    * Single groupBy shuffle on doc_id. */
+    * Single groupBy shuffle on doc_id. All other columns of `docs` pass
+    * through, so callers don't re-join (and re-compute) their upstream
+    * pipeline for metadata. */
   private def perDocVerdict(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val neighbors = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nb"))
       .unionAll(pairs.select(col("id_b").as("doc_id"), col("id_a").as("nb")))
       .groupBy(col("doc_id")).agg(min(col("nb")).as("min_nb"))
-    docs.select(col("doc_id"))
+    docs
       .join(neighbors, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        least(col("doc_id"), coalesce(col("min_nb"), col("doc_id"))).as("rep_id"))
+      .withColumn("rep_id", least(col("doc_id"), coalesce(col("min_nb"), col("doc_id"))))
       .withColumn("is_dup", col("rep_id") < col("doc_id"))
+      .drop("min_nb")
   }
 
   /** Within-bucket pair expansion: group candidates by bucket key,
@@ -107,12 +107,18 @@ object Dedup {
   /** DataFrame-level MinHash+LSH over any (doc_id, text) frame. */
   def minhashLshDocs(documents: DataFrame,
                      numHashes: Int = 16, bands: Int = 4,
-                     simThreshold: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
+                     simThreshold: Double = 0.5, bucketCap: Int = 200): DataFrame = {
     val rows = numHashes / bands
+    // fused kernel: tokens → 3-token-shingle minhash signature in one
+    // primitive pass — no shingle strings are materialized (the HOF
+    // shingling alone cost ~1 ms/doc and dominated the operator)
     val sigs = documents
-      .select(col("doc_id"), wordShingles(col("text")).as("sh"))
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
-        minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("doc_id"),
+        call_function("graft_minhash_shingled",
+          split(lower(trim(col("text"))), "\\s+"), lit(3), lit(numHashes)).as("sig"))
+    // verdict side only needs the doc list — keep it a bare scan so the
+    // DAG fork doesn't re-run the signature pipeline
+    val docsMeta = documents.select(col("doc_id"))
 
     val banded = sigs.select(
       col("doc_id"), col("sig"),
@@ -132,28 +138,17 @@ object Dedup {
       .filter(col("est_sim") >= simThreshold)
       .select(col("id_a"), col("id_b")).distinct()
 
-    perDocVerdict(sigs, pairs)
-      .join(sigs.select(col("doc_id"), col("n_shingles")), Seq("doc_id"))
-      .select(col("doc_id"), col("rep_id"), col("is_dup"), col("n_shingles"))
+    perDocVerdict(docsMeta, pairs)
+      .select(col("doc_id"), col("rep_id"), col("is_dup"))
       .orderBy(col("doc_id"))
   }
 
-  /** 64-bit SimHash of the word multiset: sum ±1 per bit of each token's
-    * xxhash64, sign → bit. One `aggregate` fold with a 64-int accumulator.
-    */
-  def simhash64(c: Column): Column = {
-    val toks = split(lower(trim(c)), "\\s+")
-    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
-    val bitSums = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, w) => zip_with(
-        acc,
-        transform(powers, p => when(xxhash64(w).bitwiseAND(p) =!= 0, 1).otherwise(-1)),
-        (x, y) => x + y))
-    aggregate(zip_with(bitSums, powers, (s, p) => when(s > 0, p).otherwise(0L)),
-      lit(0L), (acc, v) => acc + v)
-  }
+  /** 64-bit SimHash of the word multiset via the native kernel expression
+    * [[graft.expressions.SimHash64]] (a HOF formulation would evaluate a
+    * 64-wide lambda accumulator per token — orders of magnitude more
+    * expression-tree work than the primitive loop). */
+  def simhash64(c: Column): Column =
+    call_function("graft_simhash64", split(lower(trim(c)), "\\s+"))
 
   /** C3 `q22_simhash` — SimHash near-dup: 4 bands of 16 bits guarantee any
     * pair within hamming distance 3 shares at least one intact band
@@ -164,7 +159,7 @@ object Dedup {
 
   /** DataFrame-level SimHash dedup over any (doc_id, text) frame. */
   def simhashDedupDocs(documents: DataFrame,
-                       maxHamming: Int = 3, bucketCap: Int = 1000): DataFrame = {
+                       maxHamming: Int = 3, bucketCap: Int = 200): DataFrame = {
     val sigs = documents.select(col("doc_id"), simhash64(col("text")).as("simhash"))
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
@@ -180,7 +175,6 @@ object Dedup {
         greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("id_b"))
       .distinct()
     perDocVerdict(sigs, pairs)
-      .join(sigs, Seq("doc_id"))
       .select(col("doc_id"), col("simhash"), col("rep_id"), col("is_dup"))
       .orderBy(col("doc_id"))
   }
@@ -197,10 +191,13 @@ object Dedup {
   def ngramJaccardDocs(documents: DataFrame,
                        n: Int = 3, jaccardThreshold: Double = 0.5,
                        dfCap: Int = 50): DataFrame = {
+    // grams are hashed to int64 in one native pass (graft_ngrams kernel):
+    // the inverted index and the verification arrays shuffle 8-byte longs
+    // instead of gram strings, and intersect/union hash primitives
+    // (collision probability ~1e-19 per gram pair — irrelevant at a 0.5
+    // Jaccard threshold).
     val docs = documents.select(col("doc_id"),
-      array_distinct(transform(
-        sequence(lit(1), greatest(length(lower(trim(col("text")))) - (n - 1), lit(1))),
-        i => lower(trim(col("text"))).substr(i, lit(n)))).as("grams"))
+      call_function("graft_ngrams", lower(trim(col("text"))), lit(n)).as("grams"))
 
     val posting = docs.select(col("doc_id"), explode(col("grams")).as("g"))
     // grams are distinct per doc, so bucket size == document frequency:
@@ -220,9 +217,8 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"))
 
-    perDocVerdict(docs, pairs)
-      .join(docs.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams")), Seq("doc_id"))
-      .select(col("doc_id"), col("n_grams"), col("rep_id"), col("is_dup"))
+    perDocVerdict(documents.select(col("doc_id")), pairs)
+      .select(col("doc_id"), col("rep_id"), col("is_dup"))
       .orderBy(col("doc_id"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expressions.DotProduct
+import graft.expressions.{DotProduct, MinHashShingled, MinHashSignature, NGramHashes, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -19,5 +19,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSignature(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_shingled"),
+      new ExpressionInfo(classOf[MinHashShingled].getName, "graft_minhash_shingled"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashShingled(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[NGramHashes].getName, "graft_ngrams"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NGramHashes(children(0), children(1))))
   }
 }

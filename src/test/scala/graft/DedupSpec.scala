@@ -19,7 +19,9 @@ class DedupSpec extends SparkSpecBase {
   ).toDF("doc_id", "text")
 
   test("minhashLsh clusters planted near-duplicates") {
-    val out = Dedup.minhashLshDocs(planted)
+    // 32 hashes / 8 bands of 4: candidate probability ≈0.999 at J≈0.87,
+    // so the planted pair is caught regardless of hash-family draws
+    val out = Dedup.minhashLshDocs(planted, numHashes = 32, bands = 8)
       .select("doc_id", "rep_id", "is_dup").as[(Long, Long, Boolean)]
       .collect().sortBy(_._1)
     assert(out(0) == ((0L, 0L, false)))
