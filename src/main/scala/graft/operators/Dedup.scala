@@ -20,16 +20,22 @@ object Dedup {
     * (Alodesk_API.py:30 `dedup_leads`: sort by ts, keep last). One window
     * exchange on the key; deterministic tiebreak on event_id (pandas
     * keep="last" is order-dependent; we make it explicit). */
-  def dedupLatest(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    t.events
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  def dedupLatest(spark: SparkSession, dir: String): DataFrame =
+    dedupLatestBy(Tables(spark, dir).events,
+      keys = Seq("user_id", "event_type"), tsCol = "ts", tieBreak = Seq("event_id"))
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
         round(col("value"), 4).as("value"))
       .orderBy(col("user_id"), col("event_type"))
+
+  /** Generic keep-latest-per-key over any frame (the library API a
+    * `dedup_leads` caller would use): one window exchange on `keys`,
+    * latest `tsCol` wins, `tieBreak` columns (descending) make the
+    * choice deterministic where pandas keep="last" is order-dependent. */
+  def dedupLatestBy(df: DataFrame, keys: Seq[String], tsCol: String,
+                    tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = col(tsCol).desc +: tieBreak.map(col(_).desc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
   /** C1 `q20_dedup_exact` — exact dedup by content hash: one hash-groupBy

@@ -14,18 +14,27 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
+  /** Annotate each row with a per-key `session_id` (1-based, increasing
+    * with time): the composable primitive — callers aggregate however
+    * they like. `tieBreak` disambiguates equal timestamps. */
+  def annotateSessions(df: DataFrame, keyCol: String, tsCol: String,
+                       gapMinutes: Int = 30, tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = col(tsCol).asc +: tieBreak.map(col(_).asc)
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val gap = expr(s"INTERVAL $gapMinutes MINUTES")
+    df.withColumn("_prev_ts", lag(col(tsCol), 1).over(byKey))
+      .withColumn("_is_new",
+        when(col("_prev_ts").isNull || col(tsCol) > col("_prev_ts") + gap, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("_is_new")).over(byKey))
+      .drop("_prev_ts", "_is_new")
+  }
+
   /** `q09_sessionize` — events → per-session rollup (user_id, session_id,
     * n_events, session_start, session_end, session_value). Session break
     * when the gap since the previous event exceeds `gapMinutes`. */
   def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     val t = Tables(spark, dir)
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
-    val gap = expr(s"INTERVAL $gapMinutes MINUTES")
-    t.events
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      .withColumn("is_new",
-        when(col("prev_ts").isNull || col("ts") > col("prev_ts") + gap, 1L).otherwise(0L))
-      .withColumn("session_id", sum(col("is_new")).over(byUser))
+    annotateSessions(t.events, "user_id", "ts", gapMinutes, tieBreak = Seq("event_id"))
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),
