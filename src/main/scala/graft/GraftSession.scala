@@ -33,6 +33,8 @@ object GraftSession {
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.sql.warehouse.dir",
+      s"${sys.props("java.io.tmpdir")}/graft_warehouse")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests / ad-hoc runs. */
