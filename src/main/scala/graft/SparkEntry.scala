@@ -145,18 +145,18 @@ object SparkEntry {
     "q06_sales_report" ->
       """WITH per_order AS (
         |  SELECT l_orderkey,
-        |   sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS gross_d,
-        |   sum(CAST(l_extendedprice*l_discount AS DECIMAL(30,10))) AS disc_d,
-        |   sum(CAST(l_extendedprice*(1-l_discount)*l_tax AS DECIMAL(30,10))) AS tax_d
+        |   CAST(sum(CAST(round(l_extendedprice*1000000.0) AS BIGINT)) AS BIGINT) AS gross_s,
+        |   CAST(sum(CAST(round(l_extendedprice*l_discount*1000000.0) AS BIGINT)) AS BIGINT) AS disc_s,
+        |   CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*l_tax*1000000.0) AS BIGINT)) AS BIGINT) AS tax_s
         |  FROM lineitem GROUP BY l_orderkey)
         |SELECT o_orderkey,
         | CASE WHEN o_orderstatus='F' THEN 'fulfilled' WHEN o_orderstatus='O' THEN 'open'
         |      WHEN o_orderstatus='P' THEN 'partial' ELSE 'unknown' END AS status_label,
         | o_orderpriority IN ('1-URGENT','2-HIGH') AS is_priority,
-        | CAST(round(coalesce(gross_d, 0), 4) AS DOUBLE) AS gross,
-        | CAST(round(coalesce(disc_d, 0), 4) AS DOUBLE) AS discount_amt,
-        | CAST(round(coalesce(tax_d, 0), 4) AS DOUBLE) AS tax_amt,
-        | CAST(round(coalesce(gross_d - disc_d + tax_d, 0), 4) AS DOUBLE) AS net
+        | round(CAST(coalesce(gross_s, 0) AS DOUBLE) / 1000000.0 + 1e-9, 4) AS gross,
+        | round(CAST(coalesce(disc_s, 0) AS DOUBLE) / 1000000.0 + 1e-9, 4) AS discount_amt,
+        | round(CAST(coalesce(tax_s, 0) AS DOUBLE) / 1000000.0 + 1e-9, 4) AS tax_amt,
+        | round(CAST(coalesce(gross_s - disc_s + tax_s, 0) AS DOUBLE) / 1000000.0 + 1e-9, 4) AS net
         |FROM orders LEFT JOIN per_order ON o_orderkey = l_orderkey
         |ORDER BY o_orderkey""".stripMargin,
 

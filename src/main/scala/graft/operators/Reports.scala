@@ -118,18 +118,27 @@ object Reports {
     * aggregation riding the same key. */
   def salesReport(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // Money sums accumulate as DECIMAL(30,10): decimal addition is exact
-    // and associative, so the result (and its 4-dp rounding) is identical
-    // regardless of partial-aggregation merge order — double sums would
-    // flip the last rounded digit on boundary values run-to-run.
-    val dec = "decimal(30,10)"
+    // Money sums accumulate EXACTLY, so 4-dp rounding is identical
+    // regardless of partial-aggregation merge order (double sums would
+    // flip the last rounded digit on boundary values run-to-run). The
+    // addends carry at most 6 decimal digits (price 2dp x discount 2dp x
+    // tax 2dp), so scaled-long accumulation (x1e6) is exact, far cheaper
+    // than DECIMAL aggregation, and bounded well under 2^53 per order —
+    // the sum converts back to double losslessly.
+    def scaled(c: org.apache.spark.sql.Column) = round(c * 1000000.0).cast("long")
     val perOrder = t.lineitem
       .groupBy(col("l_orderkey"))
       .agg(
-        sum(col("l_extendedprice").cast(dec)).as("gross_d"),
-        sum((col("l_extendedprice") * col("l_discount")).cast(dec)).as("disc_d"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * col("l_tax")).cast(dec)).as("tax_d"))
-    val zero = lit(0).cast(dec)
+        sum(scaled(col("l_extendedprice"))).as("gross_s"),
+        sum(scaled(col("l_extendedprice") * col("l_discount"))).as("disc_s"),
+        sum(scaled(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * col("l_tax"))).as("tax_s"))
+    // +1e-9 epsilon: sums are exact multiples of 1e-6, so values can land
+    // exactly ON the .00005 rounding boundary where engine round
+    // implementations disagree; the nudge (far above representation
+    // error, far below the 1e-6 value grid) breaks the tie identically
+    // everywhere without moving any non-tie value.
+    def money(c: org.apache.spark.sql.Column) =
+      round(coalesce(c, lit(0L)).cast("double") / 1000000.0 + lit(1e-9), 4)
     t.orders
       .join(perOrder, col("o_orderkey") === col("l_orderkey"), "left")
       .select(
@@ -139,10 +148,10 @@ object Reports {
           .when(col("o_orderstatus") === "P", "partial")
           .otherwise("unknown").as("status_label"),
         col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_priority"),
-        round(coalesce(col("gross_d"), zero), 4).cast("double").as("gross"),
-        round(coalesce(col("disc_d"), zero), 4).cast("double").as("discount_amt"),
-        round(coalesce(col("tax_d"), zero), 4).cast("double").as("tax_amt"),
-        round(coalesce(col("gross_d") - col("disc_d") + col("tax_d"), zero), 4).cast("double").as("net"))
+        money(col("gross_s")).as("gross"),
+        money(col("disc_s")).as("discount_amt"),
+        money(col("tax_s")).as("tax_amt"),
+        money(col("gross_s") - col("disc_s") + col("tax_s")).as("net"))
       .orderBy(col("o_orderkey"))
   }
 
