@@ -22,6 +22,13 @@ object Forecast {
 
   /** Generic per-key daily forecaster.
     *
+    * Scale note: the pipeline forks `daily` into fit / seasonality /
+    * spine branches, and Spark re-evaluates shared lineage per branch.
+    * `daily` is tiny (keys x days rows) but its lineage scans the raw
+    * events — in a 100 TB deployment, persist (or checkpoint) the daily
+    * aggregate before calling so the raw scan runs once:
+    * `forecastDaily(daily.persist(), ...)`.
+    *
     * @param daily   DataFrame with `keyCols`, a date col `ds`, metric `y`
     * @param horizon number of future days to emit
     * @return keyCols + ds + yhat (4-dp rounded, clamped at 0)

@@ -31,6 +31,21 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D1 batch twin: streaming rollup logic matches q10 on the same data") {
+    // the same hourlyRollup transformation applied to a bounded frame
+    // must agree with the batch operator — one logic, two runtimes
+    val ev = Tables(spark, sfDir).events
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    val streamingLogic = EventsStream.hourlyRollup(ev)
+      .select(org.apache.spark.sql.functions.col("hour_start").cast("timestamp_ntz").as("hour_start"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("n_events"),
+        org.apache.spark.sql.functions.round(org.apache.spark.sql.functions.col("total_value"), 4).as("total_value"))
+    val batch = graft.operators.Reports.hourlyRollup(spark, sfDir)
+    assert(streamingLogic.except(batch).count() == 0)
+    assert(batch.except(streamingLogic).count() == 0)
+  }
+
   test("D2: stateful dedup stream passes first occurrence per key only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
