@@ -59,7 +59,8 @@ object SparkEntry {
     "q28_quality_score"          -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q29_token_counts"           -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q30_fingerprint"            -> ((s, d) => TextAnalysis.fingerprintDocs(s, d)),
-    "q31_multimodal_meta"        -> ((s, d) => Multimodal.multimodalMeta(s, d))
+    "q31_multimodal_meta"        -> ((s, d) => Multimodal.multimodalMeta(s, d)),
+    "q32_doc_stats"              -> ((s, d) => TextAnalysis.docStats(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -334,6 +335,14 @@ object SparkEntry {
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         | substring(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 32) AS norm_prefix
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q32_doc_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | count(DISTINCT source) AS n_sources,
+        | round(avg(n_chars) + 1e-9, 4) AS avg_chars,
+        | round(quantile_cont(n_chars, 0.5) + 1e-9, 4) AS median_chars,
+        | round(quantile_cont(n_chars, 0.9) + 1e-9, 4) AS p90_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q31_multimodal_meta" ->
       """SELECT doc_id,

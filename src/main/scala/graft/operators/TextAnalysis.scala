@@ -77,6 +77,24 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Extension `q32_doc_stats` — per-language corpus length statistics:
+    * doc counts, distinct sources, mean/median/p90 length. The exact
+    * `percentile` is fine at per-group granularity (values collect per
+    * group); the 100 TB path swaps in `percentile_approx` (spec-tested
+    * against exact within tolerance in TextAnalysisSpec). */
+  def docStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        round(avg(col("n_chars")) + lit(1e-9), 4).as("avg_chars"),
+        round(percentile(col("n_chars"), lit(0.5)) + lit(1e-9), 4).as("median_chars"),
+        round(percentile(col("n_chars"), lit(0.9)) + lit(1e-9), 4).as("p90_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** C11 `q30_fingerprint` — normalized content fingerprint (md5 of the
     * whitespace-collapsed lowercase normal form). */
   def fingerprintDocs(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("docStats exact percentile vs percentile_approx stays within tolerance") {
+    val t = Tables(spark, sfDir)
+    val exact = t.documents.groupBy("lang")
+      .agg(percentile(col("n_chars"), lit(0.5)).as("med")).as[(String, Double)]
+      .collect().toMap
+    val approx = t.documents.groupBy("lang")
+      .agg(percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("med"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (lang, m) =>
+      assert(math.abs(approx(lang) - m) / m < 0.1,
+        s"$lang: approx ${approx(lang)} vs exact $m")
+    }
+  }
+
+  test("langid prefers the language with the most stopword hits") {
+    val df = Seq(
+      (1L, "the cat and the dog went to the house of the king"),
+      (2L, "el perro y el gato de la casa que no se ve"),
+      (3L, "der hund und die katze mit dem ball ist nicht da")
+    ).toDF("doc_id", "text")
+    // reuse the production scoring columns on a planted frame
+    val scored = graft.functions.text.langIdScores(col("text"))
+    val out = df.select(col("doc_id") +: scored.map { case (l, c) => c.as(s"s_$l") }: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 5).map(r.getLong).toSeq).toMap
+    assert(out(1L).head == out(1L).max)       // en wins for doc 1
+    assert(out(2L)(1) == out(2L).max)         // es wins for doc 2
+    assert(out(3L)(3) == out(3L).max)         // de wins for doc 3
+  }
+
+  test("quality score is bounded [0,1] over the corpus") {
+    val scores = TextAnalysis.qualityScore(spark, sfDir)
+      .select("quality_score").as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+}
