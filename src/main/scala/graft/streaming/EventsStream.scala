@@ -29,6 +29,20 @@ object EventsStream {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** D1 variant — sliding-window rollup (overlapping windows: each event
+    * contributes to windowLen/slide windows), the shape of a moving
+    * "last hour every 15 min" realtime metric. Same watermark-bounded
+    * state story as the tumbling version. */
+  def slidingRollup(events: DataFrame, windowLen: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Event record for the stateful dedup stream. */
   case class StreamEvent(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)

@@ -46,6 +46,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.except(streamingLogic).count() == 0)
   }
 
+  test("D1 sliding variant: each event lands in windowLen/slide windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamEvent]
+    val q = EventsStream.slidingRollup(mem.toDF(), "1 hour", "15 minutes")
+      .writeStream.format("memory").queryName("d1s_out").outputMode("complete").start()
+    try {
+      mem.addData(StreamEvent(1, ts("2024-01-01 10:31:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val starts = spark.table("d1s_out")
+        .select(col("window_start").cast("string")).as[String].collect().toSet
+      // 10:31 falls in the 1h windows starting 09:45, 10:00, 10:15, 10:30
+      assert(starts == Set("2024-01-01 09:45:00", "2024-01-01 10:00:00",
+        "2024-01-01 10:15:00", "2024-01-01 10:30:00"))
+    } finally q.stop()
+  }
+
   test("D2: stateful dedup stream passes first occurrence per key only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
