@@ -81,6 +81,35 @@ object Multimodal {
     spark.createDataFrame(rdd, decodeSchema)
   }
 
+  /** STUB RESIZE — declared-dimension transform for image payloads: the
+    * Spark-side contract is (payload, width, height) → (payload',
+    * width', height') with aspect-preserving fit into a bounding box.
+    * The codec is absent, so the payload passes through unchanged and
+    * only the typed dimension metadata is recomputed — which is the part
+    * Catalyst sees and prunes on. Pure column expressions, no shuffle. */
+  def resizeMeta(df: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(
+      lit(maxSide.toDouble) / col("width"),
+      lit(maxSide.toDouble) / col("height"),
+      lit(1.0))
+    df.withColumn("resized_width", floor(col("width") * scale).cast("long"))
+      .withColumn("resized_height", floor(col("height") * scale).cast("long"))
+      .withColumn("resize_scale", round(scale, 4))
+  }
+
+  /** STUB FRAME SAMPLER — video payload → up to `maxFrames` evenly-spaced
+    * frame records. The real sampler decodes container timestamps; the
+    * fake derives a deterministic frame count from the payload size and
+    * emits (doc_id, frame_idx, frame_ts_ms) rows via the same
+    * explode-shaped plan a real sampler would use (row count multiplies,
+    * payload bytes do NOT replicate per frame — only metadata explodes).
+    */
+  def sampleFrames(df: DataFrame, maxFrames: Int = 4, fpsMilli: Int = 40): DataFrame = {
+    val nFrames = least((octet_length(col("payload")) % 7 + 1).cast("int"), lit(maxFrames))
+    df.select(col("doc_id"), explode(sequence(lit(0), nFrames - 1)).as("frame_idx"))
+      .withColumn("frame_ts_ms", col("frame_idx").cast("long") * fpsMilli)
+  }
+
   /** Full decode pipeline: payload column → batched stub decode →
     * features. Used by MultimodalSpec; `q31` exposes the metadata half. */
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {

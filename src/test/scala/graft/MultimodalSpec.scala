@@ -24,6 +24,26 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows(0)._2 == expected)
   }
 
+  test("resize stub preserves aspect ratio and never upscales") {
+    val df = Seq((1L, 640L, 480L), (2L, 100L, 50L)).toDF("doc_id", "width", "height")
+      .withColumn("payload", lit(Array[Byte](1, 2)))
+    val out = Multimodal.resizeMeta(df, maxSide = 320)
+      .select("doc_id", "resized_width", "resized_height").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((1L, 320L, 240L)))   // downscaled, aspect kept
+    assert(out(1) == ((2L, 100L, 50L)))    // already small — untouched
+  }
+
+  test("frame sampler explodes metadata rows, bounded by maxFrames") {
+    val df = Seq((1L, "abcdefgh".getBytes), (2L, "ab".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.sampleFrames(df, maxFrames = 3)
+      .select("doc_id", "frame_idx", "frame_ts_ms").as[(Long, Int, Long)].collect()
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.values.forall(_.length <= 3))
+    assert(byDoc.values.forall(fs => fs.map(_._2).sorted.sameElements(fs.indices)))
+    assert(out.forall { case (_, idx, ts) => ts == idx * 40L })
+  }
+
   test("q31 metadata stays typed and payload-independent sizes line up") {
     val out = Multimodal.multimodalMeta(spark, sfDir)
     val docs = Tables(spark, sfDir).documents.count()
