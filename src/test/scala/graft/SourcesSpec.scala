@@ -21,13 +21,14 @@ class SourcesSpec extends SparkSpecBase {
   }
 
   test("applySchema from CSV coerces safely (to_numeric errors=coerce twin)") {
+    // reference header aliases (nombre/tipo) + BigQuery-style types
     val tmp = Files.createTempFile("graft_schema", ".csv")
-    Files.writeString(tmp, "column,type\namount,double\nwhen,date\nmissing_col,int\n")
+    Files.writeString(tmp, "nombre,tipo\namount,FLOAT\nwhen,DATE\nmissing_col,INTEGER\n")
     val df = Seq(("12.5", "2024-01-01"), ("oops", "not-a-date")).toDF("amount", "when")
     val out = Schemas.applySchemaFromCsv(spark, df, tmp.toString)
     assert(out.schema("amount").dataType.typeName == "double")
     assert(out.schema("when").dataType.typeName == "date")
-    assert(out.columns.contains("missing_col"))
+    assert(out.schema("missing_col").dataType.typeName == "long")
     val rows = out.select("amount").as[Option[Double]].collect()
     assert(rows.contains(Some(12.5)) && rows.contains(None)) // "oops" → null, no error
   }
