@@ -34,4 +34,62 @@ object JsonReports {
 
   /** Parse a DDL type string ("k INT, meta STRUCT<a: STRING>") → schema. */
   def schemaOf(ddl: String): StructType = StructType.fromDDL(ddl)
+
+  private val ga4Schema = schemaOf(
+    """reports ARRAY<STRUCT<
+      |  dimensionHeaders: ARRAY<STRUCT<name: STRING>>,
+      |  metricHeaders: ARRAY<STRUCT<name: STRING>>,
+      |  rows: ARRAY<STRUCT<
+      |    dimensionValues: ARRAY<STRUCT<value: STRING>>,
+      |    metricValues: ARRAY<STRUCT<value: STRING>>>>>>""".stripMargin)
+
+  /** GA4 batchRunReports response → flat DataFrame (Google_GA4.py:114
+    * `_to_df`: header names from dimensionHeaders/metricHeaders, one row
+    * per entry, dimension then metric values).
+    *
+    * Header names are data, not schema, so one driver-side peek at the
+    * first payload establishes the output columns (the same role pandas'
+    * first-row inference plays); the row explosion and value extraction
+    * then run fully distributed.
+    */
+  def ga4Report(df: DataFrame, jsonCol: String): DataFrame = {
+    val parsed = df.select(from_json(col(jsonCol), ga4Schema).getField("reports")
+      .getItem(0).as("r"))
+    val headRow = parsed.select(
+      col("r.dimensionHeaders.name").as("dims"),
+      col("r.metricHeaders.name").as("mets")).head()
+    val dims = headRow.getSeq[String](0)
+    val mets = headRow.getSeq[String](1)
+    val exploded = parsed.select(explode(col("r.rows")).as("row"))
+    exploded.select(
+      dims.zipWithIndex.map { case (n, i) =>
+        col("row.dimensionValues").getItem(i).getField("value").as(n)
+      } ++ mets.zipWithIndex.map { case (n, i) =>
+        col("row.metricValues").getItem(i).getField("value").as(n)
+      }: _*)
+  }
+
+  private val searchConsoleSchema = schemaOf(
+    """rows ARRAY<STRUCT<
+      |  keys: ARRAY<STRING>,
+      |  clicks: DOUBLE, impressions: DOUBLE, ctr: DOUBLE, position: DOUBLE>>""".stripMargin)
+
+  /** Search Console query response → report DataFrame
+    * (search_console.py:394 `_to_df`: positional `keys` zipped with the
+    * requested dimension names + clicks/impressions/ctr/position,
+    * missing values defaulting to null/0). */
+  def searchConsoleReport(df: DataFrame, jsonCol: String, dimensions: Seq[String]): DataFrame = {
+    val exploded = df
+      .select(explode(coalesce(
+        from_json(col(jsonCol), searchConsoleSchema).getField("rows"),
+        array())).as("row"))
+    exploded.select(
+      dimensions.zipWithIndex.map { case (d, i) =>
+        col("row.keys").getItem(i).as(d)
+      } ++ Seq(
+        coalesce(col("row.clicks"), lit(0.0)).as("clicks"),
+        coalesce(col("row.impressions"), lit(0.0)).as("impressions"),
+        coalesce(col("row.ctr"), lit(0.0)).as("ctr"),
+        coalesce(col("row.position"), lit(0.0)).as("position")): _*)
+  }
 }

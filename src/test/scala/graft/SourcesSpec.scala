@@ -33,6 +33,38 @@ class SourcesSpec extends SparkSpecBase {
     assert(rows.contains(Some(12.5)) && rows.contains(None)) // "oops" → null, no error
   }
 
+  test("ga4Report reproduces the header+row-zip report shape") {
+    val payload =
+      """{"reports": [{
+        |  "dimensionHeaders": [{"name": "date"}, {"name": "country"}],
+        |  "metricHeaders": [{"name": "sessions"}, {"name": "totalUsers"}],
+        |  "rows": [
+        |   {"dimensionValues": [{"value": "20240101"}, {"value": "CL"}],
+        |    "metricValues": [{"value": "120"}, {"value": "80"}]},
+        |   {"dimensionValues": [{"value": "20240102"}, {"value": "MX"}],
+        |    "metricValues": [{"value": "95"}, {"value": "60"}]}
+        |  ]}]}""".stripMargin
+    val out = JsonReports.ga4Report(Seq(payload).toDF("body"), "body")
+    assert(out.columns.toSeq == Seq("date", "country", "sessions", "totalUsers"))
+    val rows = out.as[(String, String, String, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(("20240101", "CL", "120", "80"), ("20240102", "MX", "95", "60")))
+  }
+
+  test("searchConsoleReport zips keys with requested dimensions") {
+    val payload =
+      """{"rows": [
+        | {"keys": ["2024-01-01", "cl"], "clicks": 10, "impressions": 200, "ctr": 0.05, "position": 3.2},
+        | {"keys": ["2024-01-02"], "clicks": 4, "impressions": 50, "ctr": 0.08, "position": 1.1}
+        |]}""".stripMargin
+    val out = JsonReports.searchConsoleReport(
+      Seq(payload).toDF("body"), "body", dimensions = Seq("date", "country"))
+    assert(out.columns.toSeq == Seq("date", "country", "clicks", "impressions", "ctr", "position"))
+    val rows = out.collect().sortBy(_.getString(0))
+    assert(rows(0).getString(1) == "cl")
+    assert(rows(1).getString(1) == null)  // short keys → null, like the reference
+    assert(rows(1).getDouble(2) == 4.0)
+  }
+
   test("partitioned sink round-trip preserves per-partition aggregates") {
     val rt = graft.operators.Reports.partitionedSink(spark, sfDir)
     val direct = Tables(spark, sfDir).orders
