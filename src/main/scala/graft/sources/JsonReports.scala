@@ -69,6 +69,34 @@ object JsonReports {
       }: _*)
   }
 
+  /** Facebook action-list fan-out (Facebook_Marketing.py:97-120 +
+    * `_unique_actions`/`_split_text`): a column of
+    * `array<struct<action_type, value>>` becomes one `_action_{type}`
+    * column per action type, holding the first matching element's value
+    * (0 when the list is null or the type is absent — `_split_text`
+    * returns 0 in both cases).
+    *
+    * Pass `actionTypes` to pin the output columns (no discovery scan);
+    * None discovers the distinct types with one aggregation first, the
+    * Spark analog of the reference's `_unique_actions` pass.
+    */
+  def actionColumns(df: DataFrame, listCol: String,
+                    actionTypes: Option[Seq[String]] = None): DataFrame = {
+    val types: Seq[String] = actionTypes.getOrElse {
+      df.select(explode(coalesce(col(listCol), array())).as("a"))
+        .select(col("a.action_type")).distinct()
+        .collect().map(_.getString(0)).filter(t => t != null && t.nonEmpty).toSeq.sorted
+    }
+    val withCols = types.foldLeft(df) { (acc, t) =>
+      acc.withColumn(s"_action_$t",
+        coalesce(
+          filter(col(listCol), a => a.getField("action_type") === t)
+            .getItem(0).getField("value"),
+          lit(0.0)))
+    }
+    withCols.drop(listCol)
+  }
+
   private val searchConsoleSchema = schemaOf(
     """rows ARRAY<STRUCT<
       |  keys: ARRAY<STRING>,

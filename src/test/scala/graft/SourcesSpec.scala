@@ -65,6 +65,22 @@ class SourcesSpec extends SparkSpecBase {
     assert(rows(1).getDouble(2) == 4.0)
   }
 
+  test("actionColumns fans the action list out to _action_{type} columns") {
+    val payloads = Seq(
+      (1L, """[{"action_type": "like", "value": 5.0}, {"action_type": "comment", "value": 2.0}]"""),
+      (2L, """[{"action_type": "like", "value": 1.0}]"""),
+      (3L, null.asInstanceOf[String]))
+      .toDF("ad_id", "actions_json")
+    val parsed = payloads.withColumn("actions",
+      from_json(col("actions_json"), org.apache.spark.sql.types.ArrayType(
+        JsonReports.schemaOf("action_type STRING, value DOUBLE")))).drop("actions_json")
+    val out = JsonReports.actionColumns(parsed, "actions")
+    assert(out.columns.toSet == Set("ad_id", "_action_comment", "_action_like"))
+    val rows = out.orderBy("ad_id")
+      .select("_action_like", "_action_comment").as[(Double, Double)].collect()
+    assert(rows.toSeq == Seq((5.0, 2.0), (1.0, 0.0), (0.0, 0.0)))  // missing → 0, like _split_text
+  }
+
   test("partitioned sink round-trip preserves per-partition aggregates") {
     val rt = graft.operators.Reports.partitionedSink(spark, sfDir)
     val direct = Tables(spark, sfDir).orders
