@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOf picks the latest right row at or before each left timestamp") {
+    val trades = Seq(
+      ("AAPL", ts("2024-01-01 10:00:30"), 100),
+      ("AAPL", ts("2024-01-01 10:02:00"), 200),
+      ("MSFT", ts("2024-01-01 10:00:10"), 50),
+      ("MSFT", ts("2024-01-01 09:59:00"), 10) // before any quote → null
+    ).toDF("sym", "trade_ts", "qty")
+    val quotes = Seq(
+      ("AAPL", ts("2024-01-01 10:00:00"), 185.0),
+      ("AAPL", ts("2024-01-01 10:01:00"), 186.5),
+      ("MSFT", ts("2024-01-01 10:00:10"), 410.0) // equal ts counts (as-of <=)
+    ).toDF("sym", "quote_ts", "price")
+
+    val out = AsOfJoin.asOf(trades, quotes, Seq("sym"), "trade_ts", "quote_ts", Seq("price"))
+      .select("sym", "qty", "price").as[(String, Int, Option[Double])]
+      .collect().sortBy(r => (r._1, r._2))
+
+    assert(out.toSeq == Seq(
+      ("AAPL", 100, Some(185.0)),   // 10:00:30 → 10:00 quote
+      ("AAPL", 200, Some(186.5)),   // 10:02   → 10:01 quote
+      ("MSFT", 10, None),           // no quote yet
+      ("MSFT", 50, Some(410.0))))   // equal timestamp matches
+  }
+
+  test("asOf plan is a single-shuffle window, not a range join") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "lt", "lv")
+    val r = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "rt", "rv")
+    val plan = AsOfJoin.asOf(l, r, Seq("k"), "lt", "rt", Seq("rv"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"as-of must compose via union+window:\n${plan.take(1200)}")
+  }
+}
