@@ -28,24 +28,38 @@ object AsOfJoin {
     * @param rightTs   timestamp column on `right`
     * @param rightCols right payload columns to carry (must not clash
     *                  with left column names)
+    * @param tieBreak  right-side columns ordering ties among right rows
+    *                  sharing (key, rightTs) — the HIGHEST tieBreak value
+    *                  wins (keep-latest convention). Empty = ties resolve
+    *                  arbitrarily (nondeterministic across runs).
     * @return left rows + rightCols (null when no right row is at or
     *         before the left timestamp)
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
-           leftTs: String, rightTs: String, rightCols: Seq[String]): DataFrame = {
+           leftTs: String, rightTs: String, rightCols: Seq[String],
+           tieBreak: Seq[String] = Nil): DataFrame = {
     val ts = "_asof_ts"
+    val temps = Set(ts, "_side", "_payload", "_match")
+    val clash = left.columns.toSet.intersect(temps ++ rightCols)
+    require(clash.isEmpty,
+      s"asOf: left columns collide with temp/right columns: ${clash.mkString(", ")}")
     val l = left
       .withColumn(ts, col(leftTs))
       .withColumn("_side", lit(1))
       .withColumn("_payload", lit(null).cast(payloadType(right, rightCols)))
+    val tbNames = tieBreak.indices.map(i => s"_tb$i")
     val r = right
-      .select((keys.map(col) :+ col(rightTs).as(ts)) :+
+      .select((keys.map(col) :+ col(rightTs).as(ts)) ++
+        tieBreak.zip(tbNames).map { case (c, n) => col(c).as(n) } :+
         struct(rightCols.map(col): _*).as("_payload"): _*)
       .withColumn("_side", lit(0))
 
-    // right rows sort BEFORE left rows at equal timestamps (as-of is <=)
+    // right rows sort BEFORE left rows at equal timestamps (as-of is <=);
+    // among right rows tied on (key, ts), the highest tieBreak sorts last
+    // and wins the `last(_payload)` carry below. Left rows carry null
+    // tieBreaks, which sort first and never reorder across right rows.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col("_side").asc)
+      .orderBy(col(ts).asc +: col("_side").asc +: tbNames.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val joined = l.unionByName(r, allowMissingColumns = true)

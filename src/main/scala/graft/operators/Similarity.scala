@@ -20,17 +20,69 @@ object Similarity {
     * within the same `label` block with cosine ≥ threshold. The block key
     * stands in for the coarse pre-cluster a 100 TB pipeline would compute
     * first (k-means/LSH partition); within-block pairing is the per-bucket
-    * verification step. AQE skew-join splits oversized blocks. */
-  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.25): DataFrame = {
-    val t = Tables(spark, dir)
+    * verification step. */
+  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.25,
+                       blockCap: Int = 1000): DataFrame =
+    embeddingNearDupFrame(
+      Tables(spark, dir).embeddings, threshold, blockCap)
+
+  /** DataFrame-level embedding near-dup over any (vec_id, label,
+    * embedding) frame.
+    *
+    * Skew guard (the invariant the whole candidate-generation family
+    * keeps): a label block of size B yields O(B²) pairs, and no
+    * partition-level mechanism (AQE skew split) can reduce that count —
+    * so blocks above `blockCap` NEVER enter the all-pairs join. They are
+    * sub-bucketed by sign-random-projection LSH (16 hyperplanes, 4 bands
+    * of 4 bits — the `annLsh` machinery) and paired only within
+    * (label, band, bucket), then exact-cosine verified. The exact path is
+    * unchanged for blocks ≤ cap, so results are identical at any scale
+    * where no block exceeds the cap; oversized blocks trade bounded
+    * recall loss for a pair count that stays near-linear in B.
+    */
+  def embeddingNearDupFrame(embeddings: DataFrame, threshold: Double = 0.25,
+                            blockCap: Int = 1000,
+                            numPlanes: Int = 16, bands: Int = 4): DataFrame = {
     // Norms are computed ONCE per vector before the pairwise join — the
     // join then does a single dot per pair instead of three (3x less
     // floating-point work; the dominant cost at corpus scale).
-    val e = t.embeddings.select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val e = embeddings
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", vectors.norm(col("v")))
-    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+    // Label census is a tiny aggregate broadcast back onto the scan: the
+    // corpus itself is never shuffled to learn its block sizes.
+    val sized = e.join(broadcast(e.groupBy(col("label")).agg(count(lit(1)).as("_bsz"))), Seq("label"))
+
+    def side(df: DataFrame, suffix: String, extra: Seq[String] = Nil) =
+      df.select((Seq("label") ++ extra).map(col) ++ Seq(
+        col("vec_id").as(s"id_$suffix"), col("v").as(s"v$suffix"), col("nrm").as(s"n$suffix")): _*)
+
+    // exact path: all pairs within blocks of bounded size
+    val small = sized.filter(col("_bsz") <= blockCap)
+    val exactPairs = side(small, "a").join(side(small, "b"), Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+
+    // capped path: oversized blocks pair only within an LSH sub-bucket
+    val planes = hyperplanes(numPlanes, 64)
+    val rows = numPlanes / bands
+    val big = sized.filter(col("_bsz") > blockCap)
+      .withColumn("bits", signBits(col("v"), planes))
+      .select(col("label"), col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("", transform(slice(col("bits"), b * rows + 1, rows), x => x.cast("string"))).as("bh"))
+        }: _*)).as("bk"))
+      .select(col("label"), col("vec_id"), col("v"), col("nrm"), col("bk.band"), col("bk.bh"))
+    val lshPairs = side(big, "a", Seq("band", "bh"))
+      .join(side(big, "b", Seq("band", "bh")), Seq("label", "band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"),
+        col("va"), col("na"), col("vb"), col("nb"))
+      .distinct()
+
+    exactPairs.select(col("label"), col("id_a"), col("id_b"),
+        col("va"), col("na"), col("vb"), col("nb"))
+      .unionByName(lshPairs)
       .withColumn("cos", round(
         vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
@@ -101,9 +153,13 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("bk.band"), col("bk.bh"))
     val qs = broadcast(banded.filter(col("vec_id") < numQueries)
       .select(col("band"), col("bh"), col("vec_id").as("q_id"), col("v").as("qv")))
-    val cand = banded.filter(col("vec_id") >= numQueries)
+    // Query vectors stay on the candidate side too (only self-matches are
+    // dropped) so this path answers the same question as annBruteForce —
+    // the recall spec compares the two directly.
+    val cand = banded
       .select(col("band"), col("bh"), col("vec_id").as("c_id"), col("v").as("cv"))
       .join(qs, Seq("band", "bh"))
+      .filter(col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"), col("qv"), col("cv")).distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     cand

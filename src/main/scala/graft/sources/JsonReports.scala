@@ -55,11 +55,17 @@ object JsonReports {
   def ga4Report(df: DataFrame, jsonCol: String): DataFrame = {
     val parsed = df.select(from_json(col(jsonCol), ga4Schema).getField("reports")
       .getItem(0).as("r"))
+    // Empty input or unparseable/missing `reports` payload → empty frame,
+    // matching Google_GA4.py:118 (`_to_df` returns an empty DataFrame
+    // rather than raising).
     val headRow = parsed.select(
       col("r.dimensionHeaders.name").as("dims"),
-      col("r.metricHeaders.name").as("mets")).head()
-    val dims = headRow.getSeq[String](0)
-    val mets = headRow.getSeq[String](1)
+      col("r.metricHeaders.name").as("mets")).take(1).headOption
+    val (dims, mets) = headRow match {
+      case Some(row) if !row.isNullAt(0) && !row.isNullAt(1) =>
+        (row.getSeq[String](0), row.getSeq[String](1))
+      case _ => return df.sparkSession.emptyDataFrame
+    }
     val exploded = parsed.select(explode(col("r.rows")).as("row"))
     exploded.select(
       dims.zipWithIndex.map { case (n, i) =>

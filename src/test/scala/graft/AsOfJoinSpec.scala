@@ -33,6 +33,27 @@ class AsOfJoinSpec extends SparkSpecBase {
       ("MSFT", 50, Some(410.0))))   // equal timestamp matches
   }
 
+  test("asOf tiebreak picks the highest tiebreak value among equal timestamps") {
+    val l = Seq(("k1", ts("2024-01-01 12:00:00"), 1)).toDF("k", "lt", "lv")
+    val r = Seq(
+      ("k1", ts("2024-01-01 10:00:00"), 7L, 1.0),
+      ("k1", ts("2024-01-01 10:00:00"), 9L, 2.0), // highest seq wins
+      ("k1", ts("2024-01-01 10:00:00"), 8L, 3.0)
+    ).toDF("k", "rt", "seq", "rv")
+    val out = AsOfJoin.asOf(l, r, Seq("k"), "lt", "rt", Seq("rv"), tieBreak = Seq("seq"))
+      .select("rv").as[Double].collect()
+    assert(out.toSeq == Seq(2.0))
+  }
+
+  test("asOf rejects left columns colliding with temps or right payload") {
+    val l = Seq(("k1", ts("2024-01-01 12:00:00"), 0.0)).toDF("k", "lt", "rv")
+    val r = Seq(("k1", ts("2024-01-01 10:00:00"), 1.0)).toDF("k", "rt", "rv")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(l, r, Seq("k"), "lt", "rt", Seq("rv"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("asOf plan is a single-shuffle window, not a range join") {
     val l = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "lt", "lv")
     val r = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "rt", "rv")

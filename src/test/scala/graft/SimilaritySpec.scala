@@ -38,4 +38,35 @@ class SimilaritySpec extends SparkSpecBase {
     val plan = Similarity.embeddingNearDup(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  /** Deterministic pseudo-random 64-dim vector for planted-truth tests. */
+  private def vec(seed: Int): Seq[Float] = {
+    var s = seed.toLong * 2654435761L + 1
+    Seq.fill(64) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 40).toDouble / (1L << 24).toDouble - 0.5).toFloat
+    }
+  }
+
+  test("near-dup caps oversized label blocks via LSH sub-buckets") {
+    // one label block of 31 vectors, cap 10 → block must NOT all-pairs join
+    val rows = (0 until 30).map(i => (i.toLong, 1, vec(i))) :+ ((100L, 1, vec(7)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val exact = Similarity.embeddingNearDupFrame(df, threshold = 0.9, blockCap = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Similarity.embeddingNearDupFrame(df, threshold = 0.9, blockCap = 10)
+    val cappedPairs = capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cappedPairs.contains((7L, 100L)),
+      "identical pair must survive LSH sub-bucketing (shares every band)")
+    assert(cappedPairs.subsetOf(exact), "capped path must not invent pairs")
+    assert(!capped.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("default blockCap is exact at test scale (no block exceeds it)") {
+    val dflt = Similarity.embeddingNearDup(spark, sfDir)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    val uncapped = Similarity.embeddingNearDup(spark, sfDir, blockCap = Int.MaxValue)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(dflt == uncapped)
+  }
 }

@@ -50,6 +50,15 @@ class SourcesSpec extends SparkSpecBase {
     assert(rows.toSeq == Seq(("20240101", "CL", "120", "80"), ("20240102", "MX", "95", "60")))
   }
 
+  test("ga4Report returns an empty frame on empty or unparseable payloads") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL("body STRING"))
+    assert(JsonReports.ga4Report(empty, "body").isEmpty)
+    val garbage = Seq("""{"nope": 1}""", "not json at all").toDF("body")
+    assert(JsonReports.ga4Report(garbage, "body").isEmpty)
+  }
+
   test("searchConsoleReport zips keys with requested dimensions") {
     val payload =
       """{"rows": [
