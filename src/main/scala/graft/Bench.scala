@@ -8,13 +8,20 @@ import org.apache.spark.sql.SparkSession
   * Materialization: results are written to the `noop` sink, which fully
   * executes the physical plan (every operator, every column) without
   * filesystem cost — `.count()` would let Spark prune columns and skip
-  * most compute (VERDICT r1 "What's wrong"). Failed queries report -1
-  * and are excluded from the total instead of being timed in.
+  * most compute (VERDICT r1 "What's wrong").
+  *
+  * Timing: each query runs `iters` times (default 3) and reports the
+  * MEDIAN; a single-iteration harness produced phantom 3x "regressions"
+  * from run-to-run noise (VERDICT r3: q22 reported 6.08s, re-timed at
+  * 1.3s). First-run times are kept in a separate `first_run` map so
+  * cold-path cost stays visible. Failed queries report -1 and are
+  * excluded from the total instead of being timed in.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = GraftSession.configure(
       SparkSession.builder()
         .master(s"local[$cpus]")
@@ -30,18 +37,25 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val times = (0 until iters).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      val median =
+        if (times.isEmpty) -1.0
+        else times.sorted.apply(times.size / 2)
+      (name, median, times.headOption.getOrElse(-1.0))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(f: ((String, Double, Double)) => Double) =
+      results.map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, m, _) if m >= 0 => m }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},"first_run":${jmap(_._3)},"sf":"$sfDir","iters":$iters}""")
     spark.stop()
   }
 }

@@ -47,6 +47,9 @@ object SparkEntry {
     // B-block: forecasting
     "q15_forecast_daily"         -> ((s, d) => Forecast.forecastDailyValue(s, d)),
     "q16_forecast_multi"         -> ((s, d) => Forecast.forecastMulti(s, d)),
+    "q17_forecast_bounded"       -> ((s, d) => Forecast.forecastBounded(s, d)),
+    "q18_forecast_regressor"     -> ((s, d) => Forecast.forecastRegressor(s, d)),
+    "q19_forecast_yearly"        -> ((s, d) => Forecast.forecastYearly(s, d)),
     // C-block: training-data pipeline
     "q20_dedup_exact"            -> ((s, d) => Dedup.dedupExact(s, d)),
     "q21_minhash_lsh"            -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -60,7 +63,10 @@ object SparkEntry {
     "q29_token_counts"           -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "q30_fingerprint"            -> ((s, d) => TextAnalysis.fingerprintDocs(s, d)),
     "q31_multimodal_meta"        -> ((s, d) => Multimodal.multimodalMeta(s, d)),
-    "q32_doc_stats"              -> ((s, d) => TextAnalysis.docStats(s, d))
+    "q32_doc_stats"              -> ((s, d) => TextAnalysis.docStats(s, d)),
+    // Shopify sales-report refunds/returns leg
+    "q33_sales_returns"          -> ((s, d) => Reports.salesReturns(s, d)),
+    "q34_refunds_frame"          -> ((s, d) => Reports.refundsFrame(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -268,6 +274,111 @@ object SparkEntry {
         |FROM future f LEFT JOIN dowm d
         |  ON f.event_type = d.event_type AND f.metric = d.metric AND dayofweek(f.maxds + f.h) = d.dow
         |ORDER BY f.event_type, f.metric, ds""".stripMargin,
+
+    "q17_forecast_bounded" -> {
+      // Same z literal as the Spark plan (driver-side Acklam quantile) so
+      // the two engines cannot disagree on the band width.
+      val z = operators.Forecast.intervalZ(0.80)
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS ds, sum(value) AS y
+         |  FROM events GROUP BY 1, 2),
+         |wx AS (SELECT *, CAST(date_diff('day', min(ds) OVER (PARTITION BY event_type), ds) AS DOUBLE) AS x FROM daily),
+         |fit AS (SELECT event_type, regr_slope(y, x) AS slope, regr_intercept(y, x) AS icept,
+         |               max(x) AS xmax, max(ds) AS maxds
+         |        FROM wx GROUP BY event_type),
+         |dowm AS (SELECT w.event_type, dayofweek(w.ds) AS dow,
+         |                avg(w.y - (f.icept + f.slope*w.x)) AS dow_mean
+         |         FROM wx w JOIN fit f USING(event_type) GROUP BY 1, 2),
+         |sig AS (SELECT w.event_type,
+         |               coalesce(stddev_samp(w.y - (f.icept + f.slope*w.x + coalesce(d.dow_mean, 0))), 0) AS sigma
+         |        FROM wx w JOIN fit f USING(event_type)
+         |        LEFT JOIN dowm d ON d.event_type = w.event_type AND dayofweek(w.ds) = d.dow
+         |        GROUP BY 1),
+         |future AS (SELECT event_type, slope, icept, xmax, maxds,
+         |                  CAST(unnest(generate_series(1, 7)) AS INTEGER) AS h FROM fit),
+         |pred AS (SELECT f.event_type, f.maxds + f.h AS ds,
+         |                f.icept + f.slope*(f.xmax + f.h) + coalesce(d.dow_mean, 0) AS raw
+         |         FROM future f LEFT JOIN dowm d
+         |           ON f.event_type = d.event_type AND dayofweek(f.maxds + f.h) = d.dow)
+         |SELECT p.event_type, p.ds,
+         | round(greatest(0.0, greatest(10.0, least(500.0, p.raw))), 4) AS yhat,
+         | round(greatest(0.0, greatest(10.0, least(500.0, p.raw - $z*s.sigma))), 4) AS yhat_lower,
+         | round(greatest(0.0, greatest(10.0, least(500.0, p.raw + $z*s.sigma))), 4) AS yhat_upper
+         |FROM pred p JOIN sig s USING(event_type)
+         |ORDER BY p.event_type, p.ds""".stripMargin
+    },
+
+    "q18_forecast_regressor" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS ds,
+        |         sum(value) AS y, CAST(count(*) AS DOUBLE) AS r
+        |  FROM events GROUP BY 1, 2),
+        |wx AS (SELECT *, CAST(date_diff('day', min(ds) OVER (PARTITION BY event_type), ds) AS DOUBLE) AS x FROM daily),
+        |sums AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |                sum(x) AS sx, sum(r) AS sr, sum(x*x) AS sxx, sum(x*r) AS sxr, sum(r*r) AS srr,
+        |                sum(y) AS sy, sum(x*y) AS sxy, sum(r*y) AS sry,
+        |                max(x) AS xmax, max(ds) AS maxds
+        |         FROM wx GROUP BY 1),
+        |betas AS (SELECT event_type, xmax, maxds,
+        |  (sy*(sxx*srr - sxr*sxr) - sx*(sxy*srr - sxr*sry) + sr*(sxy*sxr - sxx*sry))
+        |    / (n*(sxx*srr - sxr*sxr) - sx*(sx*srr - sxr*sr) + sr*(sx*sxr - sxx*sr)) AS b0,
+        |  (n*(sxy*srr - sxr*sry) - sy*(sx*srr - sxr*sr) + sr*(sx*sry - sxy*sr))
+        |    / (n*(sxx*srr - sxr*sxr) - sx*(sx*srr - sxr*sr) + sr*(sx*sxr - sxx*sr)) AS b1,
+        |  (n*(sxx*sry - sxy*sxr) - sx*(sx*sry - sxy*sr) + sy*(sx*sxr - sxx*sr))
+        |    / (n*(sxx*srr - sxr*sxr) - sx*(sx*srr - sxr*sr) + sr*(sx*sxr - sxx*sr)) AS b2
+        |  FROM sums),
+        |dowm AS (SELECT w.event_type, dayofweek(w.ds) AS dow,
+        |                avg(w.y - (b.b0 + b.b1*w.x + b.b2*w.r)) AS dow_mean
+        |         FROM wx w JOIN betas b USING(event_type) GROUP BY 1, 2),
+        |freg AS (SELECT event_type, avg(r) AS r FROM daily GROUP BY 1),
+        |future AS (SELECT b.event_type, b.b0, b.b1, b.b2, b.maxds + t.h AS ds, b.xmax + t.h AS x, g.r
+        |           FROM betas b
+        |           CROSS JOIN (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS h) t
+        |           JOIN freg g ON g.event_type = b.event_type)
+        |SELECT f.event_type, f.ds,
+        | round(greatest(0.0, f.b0 + f.b1*f.x + f.b2*f.r + coalesce(d.dow_mean, 0)), 4) AS yhat
+        |FROM future f LEFT JOIN dowm d
+        |  ON f.event_type = d.event_type AND dayofweek(f.ds) = d.dow
+        |ORDER BY f.event_type, f.ds""".stripMargin,
+
+    "q33_sales_returns" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey,
+        |   CAST(sum(CAST(round(l_extendedprice*1000000.0) AS BIGINT)) AS BIGINT) AS gross_s,
+        |   CAST(sum(CAST(round(l_extendedprice*l_discount*1000000.0) AS BIGINT)) AS BIGINT) AS disc_s,
+        |   CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*l_tax*1000000.0) AS BIGINT)) AS BIGINT) AS tax_s,
+        |   CAST(sum(CASE WHEN l_returnflag = 'R' THEN
+        |     CAST(round(l_extendedprice*(1-l_discount)*1000000.0) AS BIGINT)
+        |     - CAST(round(l_extendedprice*(1-l_discount)*l_tax*1000000.0) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS ret_s,
+        |   count(*) AS n_lines,
+        |   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderkey,
+        | CASE WHEN coalesce(n_returned, 0) = 0 THEN 'paid'
+        |      WHEN n_returned = n_lines THEN 'refunded'
+        |      ELSE 'partially_refunded' END AS financial_status,
+        | round(CAST(coalesce(gross_s, 0) AS DOUBLE) / 1000000.0 + 1e-9, 4) AS gross_sales,
+        | round(CAST(coalesce(disc_s, 0) AS DOUBLE) / 1000000.0 + 1e-9, 4) AS discounts,
+        | round(CAST(coalesce(ret_s, 0) AS DOUBLE) / 1000000.0 + 1e-9, 4) AS returns,
+        | round(CAST(coalesce(tax_s, 0) AS DOUBLE) / 1000000.0 + 1e-9, 4) AS taxes,
+        | round(o_totalprice + 1e-9, 4) AS total_sales,
+        | round(o_totalprice - CAST(coalesce(ret_s, 0) AS DOUBLE) / 1000000.0 + 1e-9, 4) AS custom_total_sales
+        |FROM orders LEFT JOIN per_order ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q34_refunds_frame" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey,
+        |   CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*1000000.0) AS BIGINT)
+        |      - CAST(round(l_extendedprice*(1-l_discount)*l_tax*1000000.0) AS BIGINT)) AS BIGINT) AS ret_s,
+        |   max(CAST(l_shipdate AS DATE)) AS refund_date
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+        |SELECT o_orderkey, refund_date,
+        | round(CAST(ret_s AS DOUBLE) / 1000000.0 + 1e-9, 4) AS returns,
+        | round(-o_totalprice + 1e-9, 4) AS total_sales
+        |FROM orders JOIN per_order ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q20_dedup_exact" ->
       """SELECT fingerprint, keep_id, n_copies FROM (

@@ -1,42 +1,134 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** B-block forecasting — the distributed analog of ProphetForecaster
   * (ProphetForecaster.py:267 `forecast`, :221 `_format_forecast`, :211
-  * `_apply_growth_bounds`).
+  * `_apply_growth_bounds`, :166 `add_regressor`, :152 custom
+  * seasonalities).
   *
   * Prophet's iterative MAP fit cannot run per-key inside a 1000-executor
   * job without driver round-trips, so the Spark-first re-expression is a
   * CLOSED-FORM per-key model: OLS linear trend (`regr_slope` /
   * `regr_intercept` — single-pass, partial-aggregatable) + additive
   * day-of-week seasonality (mean residual per weekday), then a generated
-  * future spine, non-negative clamp and rounding exactly as
+  * future spine, bounds clamp, non-negative clamp and rounding exactly as
   * `_format_forecast`/`round_decimals` do. Everything is groupBy/window
   * aggregation — one shuffle per stage, no collect, no iteration.
+  *
+  * Reference options modeled here:
+  *  - `growth='logistic'` cap/floor (`_apply_growth_bounds`,
+  *    ProphetForecaster.py:211): Prophet feeds cap/floor into an
+  *    iterative logistic-trend fit; the closed-form analog applies them
+  *    as saturation clamps on the prediction. Same contract (forecasts
+  *    never leave [floor, cap]), declarative realization.
+  *  - `include_intervals` / `interval_width`
+  *    (ProphetForecaster.py:221-236, default 0.80 at :273): Prophet
+  *    simulates trend uncertainty; the closed-form analog emits
+  *    `yhat ± z·σ` where σ is the per-key stddev of model residuals and
+  *    z the two-sided normal quantile for the width — one extra
+  *    distributed aggregate, no simulation.
+  *  - `include_history` (ProphetForecaster.py:271,300): when set, fitted
+  *    values over the observed dates are emitted alongside the future
+  *    rows, exactly like Prophet's `make_future_dataframe(include_history
+  *    =True)` → `predict` over history+future.
+  *  - `add_regressor` + future-regressor validation
+  *    (ProphetForecaster.py:166,190-205): [[forecastWithRegressor]] fits
+  *    y = b0 + b1·x + b2·r per key via closed-form normal equations
+  *    (Cramer's rule over distributed sums) and fails loudly when the
+  *    caller-supplied future frame is missing regressor values, matching
+  *    `_attach_regressors`' ValueError.
+  *  - yearly/custom seasonality + `seasonality_mode='multiplicative'`
+  *    (ProphetForecaster.py:152-163,277): [[forecastFourier]] fits a
+  *    per-key OLS over trend + weekly/yearly Fourier features (Prophet's
+  *    own seasonality basis) via distributed Gram sums + a tiny per-key
+  *    solve; multiplicative mode fits in log space and exponentiates —
+  *    the closed-form equivalent of seasonality scaling with the trend.
   */
 object Forecast {
 
-  /** Generic per-key daily forecaster.
+  /** Two-sided normal quantile z for a central interval of `width`
+    * (z = Φ⁻¹((1+width)/2)) — Acklam's rational approximation of the
+    * inverse normal CDF (public-domain constants, |rel err| < 1.15e-9).
+    * Evaluated driver-side once; the SAME literal feeds the Spark plan
+    * and the DuckDB oracle so the two engines cannot disagree. */
+  def intervalZ(width: Double): Double = {
+    require(width > 0 && width < 1, s"interval width must be in (0,1), got $width")
+    val p = (1.0 + width) / 2.0
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+      1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+      6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+      -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+      3.754408661907416e+00)
+    val plow = 0.02425
+    if (p < plow) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    } else if (p <= 1 - plow) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    }
+  }
+
+  /** cap/floor saturation clamp then non-negative clip — the closed-form
+    * `_apply_growth_bounds` + `_format_forecast(non_negative)` contract,
+    * applied to every predicted value column (yhat and interval bounds). */
+  private def bounded(v: Column, cap: Option[Double], floor: Option[Double],
+                      nonNegative: Boolean): Column = {
+    val capped = cap.fold(v)(c => least(lit(c), v))
+    val floored = floor.fold(capped)(f => greatest(lit(f), capped))
+    if (nonNegative) greatest(lit(0.0), floored) else floored
+  }
+
+  /** Generic per-key daily forecaster: OLS trend + additive day-of-week
+    * seasonality.
     *
     * Scale note: the pipeline forks the daily working set into fit /
-    * seasonality / spine branches, and Spark re-evaluates shared lineage
-    * per branch — so the (keys x days)-sized working set is materialized
-    * ONCE via `localCheckpoint` before the fan-out. Without it, the raw
-    * fact-table scan behind `daily` runs once per branch (~3 full scans;
-    * at 100 TB that is the difference between one pass and three). The
-    * checkpoint blocks live in executor storage and are GC-released with
-    * the plan, so there is no persist/unpersist lifecycle to thread
-    * through callers.
+    * seasonality / interval / spine branches, and Spark re-evaluates
+    * shared lineage per branch — so the (keys x days)-sized working set
+    * is materialized ONCE via `localCheckpoint` before the fan-out.
+    * Without it, the raw fact-table scan behind `daily` runs once per
+    * branch (~3-4 full scans; at 100 TB that is the difference between
+    * one pass and several). Trade-offs of localCheckpoint, deliberately
+    * accepted here: (1) it is EAGER — a Spark job runs at plan-build
+    * time even if the result is never consumed; (2) blocks are
+    * non-replicated executor-local storage with truncated lineage, so
+    * losing an executor mid-job (spot nodes, dynamic allocation) fails
+    * the job and the retry recomputes from source. For long-lived
+    * multi-tenant deployments where partial recovery matters more than
+    * latency, swap in `persist(MEMORY_AND_DISK)` (keeps lineage, needs
+    * an unpersist lifecycle) or a reliable `checkpoint()` to HDFS/object
+    * storage; for the single-job batch shape this library targets, the
+    * job-level retry is the recovery path and localCheckpoint is the
+    * cheapest correct materialization.
     *
-    * @param daily   DataFrame with `keyCols`, a date col `ds`, metric `y`
-    * @param horizon number of future days to emit
-    * @return keyCols + ds + yhat (4-dp rounded, clamped at 0)
+    * @param daily          DataFrame with `keyCols`, date col `ds`, metric `y`
+    * @param horizon        number of future days to emit
+    * @param cap            optional ceiling (growth='logistic' cap analog)
+    * @param floor          optional floor (logistic floor analog)
+    * @param includeIntervals emit `yhat_lower`/`yhat_upper` (±z·σ bands)
+    * @param intervalWidth  central interval mass (reference default 0.80)
+    * @param includeHistory also emit fitted values over observed dates
+    * @param nonNegative    clip predictions (and bands) at 0
+    * @return keyCols + ds + yhat [+ yhat_lower + yhat_upper] (4-dp)
     */
-  def forecastDaily(daily: DataFrame, keyCols: Seq[String], horizon: Int): DataFrame = {
+  def forecastDaily(daily: DataFrame, keyCols: Seq[String], horizon: Int,
+                    cap: Option[Double] = None, floor: Option[Double] = None,
+                    includeIntervals: Boolean = false, intervalWidth: Double = 0.80,
+                    includeHistory: Boolean = false,
+                    nonNegative: Boolean = true): DataFrame = {
     val keys = keyCols.map(col)
     val wk = Window.partitionBy(keys: _*)
 
@@ -63,30 +155,55 @@ object Forecast {
 
     // future spine: per-key `horizon` days past the last observation
     val future = fit
-      .select(keys ++ Seq(col("slope"), col("icept"), col("xmax"), col("maxds"),
+      .select(keys ++ Seq(col("xmax"), col("maxds"),
         explode(sequence(lit(1), lit(horizon))).as("h")): _*)
       .withColumn("ds", date_add(col("maxds"), col("h")))
       .withColumn("x", col("xmax") + col("h"))
-      .withColumn("dow", (dayofweek(col("ds")) - 1).cast("long"))
+      .select(keys ++ Seq(col("ds"), col("x")): _*)
 
-    future.join(dowMeans, keyCols :+ "dow", "left")
-      .select(keys ++ Seq(
-        col("ds"),
-        round(greatest(lit(0.0),
-          col("icept") + col("slope") * col("x") + coalesce(col("dow_mean"), lit(0.0))), 4).as("yhat")): _*)
-      .orderBy(keys :+ col("ds"): _*)
+    // history spine (include_history=True: fitted values over observed ds)
+    val spine =
+      if (includeHistory) wx.select(keys ++ Seq(col("ds"), col("x")): _*).unionByName(future)
+      else future
+
+    val pred = spine
+      .join(fit.select(keys ++ Seq(col("slope"), col("icept")): _*), keyCols)
+      .withColumn("dow", (dayofweek(col("ds")) - 1).cast("long"))
+      .join(dowMeans, keyCols :+ "dow", "left")
+      .withColumn("raw",
+        col("icept") + col("slope") * col("x") + coalesce(col("dow_mean"), lit(0.0)))
+
+    val out =
+      if (!includeIntervals) {
+        pred.select(keys ++ Seq(col("ds"),
+          round(bounded(col("raw"), cap, floor, nonNegative), 4).as("yhat")): _*)
+      } else {
+        // σ = per-key stddev of residuals AFTER trend + dow seasonality —
+        // one more aggregate over the checkpointed working set, no extra
+        // source scan. z is the driver-side normal quantile for the width.
+        val z = intervalZ(intervalWidth)
+        val sigma = wx.join(fit, keyCols)
+          .withColumn("dow", (dayofweek(col("ds")) - 1).cast("long"))
+          .join(dowMeans, keyCols :+ "dow", "left")
+          .groupBy(keys: _*)
+          .agg(coalesce(
+            stddev_samp(col("y") - (col("icept") + col("slope") * col("x") +
+              coalesce(col("dow_mean"), lit(0.0)))),
+            lit(0.0)).as("sigma"))
+        pred.join(sigma, keyCols)
+          .select(keys ++ Seq(col("ds"),
+            round(bounded(col("raw"), cap, floor, nonNegative), 4).as("yhat"),
+            round(bounded(col("raw") - lit(z) * col("sigma"), cap, floor, nonNegative), 4).as("yhat_lower"),
+            round(bounded(col("raw") + lit(z) * col("sigma"), cap, floor, nonNegative), 4).as("yhat_upper")): _*)
+      }
+    out.orderBy(keys :+ col("ds"): _*)
   }
 
   /** B1+B2 `q15_forecast_daily` — 7-day forecast of daily event value per
     * event_type: linear trend + weekly seasonality, clamped non-negative,
     * rounded (ProphetForecaster `non_negative=True`, `round_decimals`). */
-  def forecastDailyValue(spark: SparkSession, dir: String, horizon: Int = 7): DataFrame = {
-    val t = Tables(spark, dir)
-    val daily = t.events
-      .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
-      .agg(sum(col("value")).as("y"))
-    forecastDaily(daily, Seq("event_type"), horizon)
-  }
+  def forecastDailyValue(spark: SparkSession, dir: String, horizon: Int = 7): DataFrame =
+    forecastDaily(eventsDaily(spark, dir), Seq("event_type"), horizon)
 
   /** B3 `q16_forecast_multi` — multi-metric fan-out (`forecast(metrics=
     * None)` → every numeric column): melt metrics long via `stack`, then
@@ -101,4 +218,252 @@ object Forecast {
       expr("stack(2, 'value_sum', value_sum, 'n_events', n_events) AS (metric, y)"))
     forecastDaily(melted, Seq("event_type", "metric"), horizon)
   }
+
+  /** `q17_forecast_bounded` — the reference forecaster's bounded +
+    * intervals shape: growth cap/floor clamp (`_apply_growth_bounds`)
+    * and 80% prediction bands (`include_intervals=True`,
+    * `interval_width=0.80` — the reference defaults). */
+  def forecastBounded(spark: SparkSession, dir: String, horizon: Int = 7,
+                      cap: Double = 500.0, floor: Double = 10.0): DataFrame =
+    forecastDaily(eventsDaily(spark, dir), Seq("event_type"), horizon,
+      cap = Some(cap), floor = Some(floor), includeIntervals = true)
+
+  private def eventsDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
+      .agg(sum(col("value")).as("y"))
+
+  /** External-regressor forecaster (`add_regressor`,
+    * ProphetForecaster.py:166): per-key closed-form OLS of
+    * y = b0 + b1·x + b2·r via the 3×3 normal equations solved with
+    * Cramer's rule — the sums are one distributed partial aggregation,
+    * the determinant arithmetic is scalar column math, so the whole fit
+    * stays a single shuffle. Additive day-of-week seasonality rides on
+    * residuals exactly as [[forecastDaily]].
+    *
+    * Future regressor validation (`_attach_regressors`,
+    * ProphetForecaster.py:190-205): `futureReg` must cover every
+    * (key, future ds); a missing value raises at execution — the
+    * distributed analog of the reference's ValueError — rather than
+    * silently forecasting with nulls.
+    *
+    * @param daily     keyCols + `ds` + `y` + regressor column `r`
+    * @param futureReg keyCols + `ds` + `r` for the horizon dates
+    */
+  def forecastWithRegressor(daily: DataFrame, keyCols: Seq[String], horizon: Int,
+                            futureReg: DataFrame): DataFrame = {
+    val keys = keyCols.map(col)
+    val wk = Window.partitionBy(keys: _*)
+    val wx = daily
+      .withColumn("x", datediff(col("ds"), min(col("ds")).over(wk)).cast("double"))
+      .localCheckpoint()
+
+    // Normal-equation sums — one partial-aggregated shuffle.
+    val fit = wx.groupBy(keys: _*).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("r")).as("sr"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("r")).as("sxr"),
+      sum(col("r") * col("r")).as("srr"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("r") * col("y")).as("sry"),
+      max(col("x")).as("xmax"), max(col("ds")).as("maxds"))
+
+    // Cramer's rule on [[n,sx,sr],[sx,sxx,sxr],[sr,sxr,srr]]·b = [sy,sxy,sry].
+    def det3(a: Column, b: Column, c: Column, d: Column, e: Column, f: Column,
+             g: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val betas = fit
+      .withColumn("det", det3(col("n"), col("sx"), col("sr"),
+        col("sx"), col("sxx"), col("sxr"), col("sr"), col("sxr"), col("srr")))
+      .withColumn("b0", det3(col("sy"), col("sx"), col("sr"),
+        col("sxy"), col("sxx"), col("sxr"), col("sry"), col("sxr"), col("srr")) / col("det"))
+      .withColumn("b1", det3(col("n"), col("sy"), col("sr"),
+        col("sx"), col("sxy"), col("sxr"), col("sr"), col("sry"), col("srr")) / col("det"))
+      .withColumn("b2", det3(col("n"), col("sx"), col("sy"),
+        col("sx"), col("sxx"), col("sxy"), col("sr"), col("sxr"), col("sry")) / col("det"))
+      .select(keys ++ Seq(col("b0"), col("b1"), col("b2"), col("xmax"), col("maxds")): _*)
+
+    val dowMeans = wx.join(betas, keyCols)
+      .withColumn("dow", (dayofweek(col("ds")) - 1).cast("long"))
+      .groupBy(keys :+ col("dow"): _*)
+      .agg(avg(col("y") - (col("b0") + col("b1") * col("x") + col("b2") * col("r"))).as("dow_mean"))
+
+    val future = betas
+      .select(keys ++ Seq(col("b0"), col("b1"), col("b2"), col("xmax"), col("maxds"),
+        explode(sequence(lit(1), lit(horizon))).as("h")): _*)
+      .withColumn("ds", date_add(col("maxds"), col("h")))
+      .withColumn("x", col("xmax") + col("h"))
+      .join(futureReg.select(keys ++ Seq(col("ds"), col("r")): _*), keyCols :+ "ds", "left")
+      // missing future regressor values fail loudly, as the reference does
+      .withColumn("r", when(col("r").isNull,
+        raise_error(concat(lit("forecastWithRegressor: missing future regressor value for ds="),
+          col("ds").cast("string")))).otherwise(col("r")))
+      .withColumn("dow", (dayofweek(col("ds")) - 1).cast("long"))
+
+    future.join(dowMeans, keyCols :+ "dow", "left")
+      .select(keys ++ Seq(
+        col("ds"),
+        round(greatest(lit(0.0),
+          col("b0") + col("b1") * col("x") + col("b2") * col("r") +
+            coalesce(col("dow_mean"), lit(0.0))), 4).as("yhat")): _*)
+      .orderBy(keys :+ col("ds"): _*)
+  }
+
+  /** `q18_forecast_regressor` — daily event value per type with the
+    * daily event COUNT as an external regressor. Future regressor values
+    * are the per-key historical mean (the harness's stand-in for the
+    * user-supplied `future_regressors` frame — any keyCols+ds+r frame
+    * plugs in). */
+  def forecastRegressor(spark: SparkSession, dir: String, horizon: Int = 7): DataFrame = {
+    val t = Tables(spark, dir)
+    val daily = t.events
+      .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
+      .agg(sum(col("value")).as("y"), count(lit(1)).cast("double").as("r"))
+    val futureReg = daily
+      .groupBy(col("event_type"))
+      .agg(avg(col("r")).as("r"), max(col("ds")).as("maxds"))
+      .select(col("event_type"), col("r"), col("maxds"),
+        explode(sequence(lit(1), lit(horizon))).as("h"))
+      .withColumn("ds", date_add(col("maxds"), col("h")))
+      .select(col("event_type"), col("ds"), col("r"))
+    forecastWithRegressor(daily, Seq("event_type"), horizon, futureReg)
+  }
+
+  // ---- general OLS path: Fourier seasonality + multiplicative mode ----
+
+  /** Solve A·beta = rhs (A symmetric p×p as row-major array) by Gaussian
+    * elimination with partial pivoting + a tiny ridge (1e-9 on the
+    * diagonal) so near-singular designs stay deterministic. Runs per key
+    * on ALREADY-AGGREGATED rows (one row per key) — the distributed work
+    * is the Gram-sum aggregation; this scalar solve is O(p³) on p≤16. */
+  private[operators] def solveDense(p: Int, gram: Seq[Double], rhs: Seq[Double]): Array[Double] = {
+    val a = Array.ofDim[Double](p, p + 1)
+    var i = 0
+    while (i < p) {
+      var j = 0
+      while (j < p) { a(i)(j) = gram(i * p + j) + (if (i == j) 1e-9 else 0.0); j += 1 }
+      a(i)(p) = rhs(i); i += 1
+    }
+    var c = 0
+    while (c < p) {
+      var piv = c; var r = c + 1
+      while (r < p) { if (math.abs(a(r)(c)) > math.abs(a(piv)(c))) piv = r; r += 1 }
+      val tmp = a(c); a(c) = a(piv); a(piv) = tmp
+      r = c + 1
+      while (r < p) {
+        val f = if (a(c)(c) == 0.0) 0.0 else a(r)(c) / a(c)(c)
+        var j = c
+        while (j <= p) { a(r)(j) -= f * a(c)(j); j += 1 }
+        r += 1
+      }
+      c += 1
+    }
+    val beta = new Array[Double](p)
+    var r2 = p - 1
+    while (r2 >= 0) {
+      var s = a(r2)(p)
+      var j = r2 + 1
+      while (j < p) { s -= a(r2)(j) * beta(j); j += 1 }
+      beta(r2) = if (a(r2)(r2) == 0.0) 0.0 else s / a(r2)(r2)
+      r2 -= 1
+    }
+    beta
+  }
+
+  /** Fourier feature columns for period `period` and order `k` over a
+    * continuous day index `t` — Prophet's seasonality basis
+    * (sin/cos(2π·n·t/period), n=1..k). */
+  private def fourier(t: Column, period: Double, k: Int): Seq[Column] =
+    (1 to k).flatMap { n =>
+      val w = 2.0 * math.Pi * n / period
+      Seq(sin(t * lit(w)), cos(t * lit(w)))
+    }
+
+  /** Per-key OLS forecaster over trend + weekly/yearly Fourier
+    * seasonality (ProphetForecaster.py:152-163 custom/yearly
+    * seasonality; `seasonality_mode` at :277).
+    *
+    * Model: y ~ [1, x, sin/cos(2πn·t/7)ₙ≤wk, sin/cos(2πn·t/365.25)ₙ≤yr]
+    * where x = days since the key's first observation (trend, well-
+    * conditioned) and t = days since epoch (seasonality phase is
+    * calendar-anchored, consistent across keys). The Gram matrix and
+    * moment vector are ONE distributed partial aggregation (p(p+1)/2+p
+    * sums); the p×p solve runs per key on the aggregated row via
+    * [[solveDense]] — no iteration, no collect, no per-row UDF in the
+    * scan path.
+    *
+    * `multiplicative=true` fits in log space (ln y = trend + seasonality
+    * → y = e^trend · e^seasonality) — the closed-form equivalent of
+    * Prophet's seasonality-scales-with-trend mode; requires y > 0 and
+    * clamps at `logEps` below.
+    *
+    * Yearly 'auto' gate (Prophet's `yearly_seasonality='auto'`: yearly
+    * terms are fit only when the history spans ≥ 2 years): keys with a
+    * shorter span get their yearly features zeroed — an under-determined
+    * yearly basis on a sub-year series otherwise extrapolates wildly.
+    * The gate is per key and fully declarative (a `when` on the key's
+    * observed span), so mixed-span corpora fit in the same single pass.
+    */
+  def forecastFourier(daily: DataFrame, keyCols: Seq[String], horizon: Int,
+                      weeklyOrder: Int = 2, yearlyOrder: Int = 3,
+                      multiplicative: Boolean = false): DataFrame = {
+    val keys = keyCols.map(col)
+    val wk = Window.partitionBy(keys: _*)
+    val logEps = 1e-6
+    val minYearlySpanDays = 730.0
+    val base = daily
+      .withColumn("x", datediff(col("ds"), min(col("ds")).over(wk)).cast("double"))
+      .withColumn("t", datediff(col("ds"), lit("1970-01-01").cast("date")).cast("double"))
+      .withColumn("span", max(col("x")).over(wk))
+      .withColumn("yy", if (multiplicative) log(greatest(col("y"), lit(logEps))) else col("y"))
+      .localCheckpoint()
+
+    def features(x: Column, t: Column, yearlyGate: Column): Seq[Column] =
+      Seq(lit(1.0), x) ++ fourier(t, 7.0, weeklyOrder) ++
+        fourier(t, 365.25, yearlyOrder).map(_ * yearlyGate)
+    val p = 2 + 2 * weeklyOrder + 2 * yearlyOrder
+    val gate = when(col("span") >= minYearlySpanDays, lit(1.0)).otherwise(lit(0.0))
+    val f = features(col("x"), col("t"), gate)
+
+    // Gram sums: upper triangle mirrored row-major + moment vector —
+    // all plain `sum()` aggregates, partial map-side, one shuffle.
+    val gramCols = for (i <- 0 until p; j <- 0 until p) yield
+      sum(f(math.min(i, j)) * f(math.max(i, j))).as(s"g_${i}_$j")
+    val rhsCols = (0 until p).map(i => sum(f(i) * col("yy")).as(s"m_$i"))
+    val fit = base.groupBy(keys: _*)
+      .agg(gramCols.head, (gramCols.tail ++ rhsCols ++
+        Seq(max(col("x")).as("xmax"), max(col("ds")).as("maxds"))): _*)
+
+    val solve = udf((gram: Seq[Double], rhs: Seq[Double]) => solveDense(p, gram, rhs))
+    val betas = fit.withColumn("beta", solve(
+        array((for (i <- 0 until p; j <- 0 until p) yield col(s"g_${i}_$j")): _*),
+        array((0 until p).map(i => col(s"m_$i")): _*)))
+      .select(keys ++ Seq(col("beta"), col("xmax"), col("maxds")): _*)
+
+    val future = betas
+      .select(keys ++ Seq(col("beta"), col("xmax"), col("maxds"),
+        explode(sequence(lit(1), lit(horizon))).as("h")): _*)
+      .withColumn("ds", date_add(col("maxds"), col("h")))
+      .withColumn("x", col("xmax") + col("h"))
+      .withColumn("t", datediff(col("ds"), lit("1970-01-01").cast("date")).cast("double"))
+
+    // span == max(x) per key == xmax, so the same yearly gate applies
+    val futGate = when(col("xmax") >= minYearlySpanDays, lit(1.0)).otherwise(lit(0.0))
+    val dot = features(col("x"), col("t"), futGate).zipWithIndex
+      .map { case (c, i) => element_at(col("beta"), i + 1) * c }
+      .reduce(_ + _)
+    val raw = if (multiplicative) exp(dot) else dot
+    future
+      .select(keys ++ Seq(col("ds"),
+        round(greatest(lit(0.0), raw), 4).as("yhat")): _*)
+      .orderBy(keys :+ col("ds"): _*)
+  }
+
+  /** `q19_forecast_yearly` — Fourier-seasonality forecast of daily event
+    * value per event_type (weekly order 2 + yearly order 3, additive).
+    * Rows-only at the driver (the per-key dense solve is not
+    * ANSI-SQL-expressible); ForecastSpec verifies recovery of planted
+    * trend+sinusoid series in both additive and multiplicative modes. */
+  def forecastYearly(spark: SparkSession, dir: String, horizon: Int = 14): DataFrame =
+    forecastFourier(eventsDaily(spark, dir), Seq("event_type"), horizon)
 }

@@ -155,6 +155,86 @@ object Reports {
       .orderBy(col("o_orderkey"))
   }
 
+  /** `q33_sales_returns` — the Shopify sales report WITH the
+    * refunds/returns leg (shopify_api.py:98-155 `orders_to_dataframe`):
+    * returns = Σ over refunded items of (subtotal − total_tax)
+    * (shopify_api.py:113-117, where subtotal is the discounted line
+    * price), `custom_total_sales = total_sales − returns` (:145), and a
+    * financial-status label (paid / partially_refunded / refunded). On
+    * the TPC-H star schema, lineitems with `l_returnflag = 'R'` play the
+    * refund_line_items role; subtotal = extendedprice·(1−discount) and
+    * tax = subtotal·l_tax, mirroring the reference's per-refund-line
+    * arithmetic. Single groupBy on orderkey + one join riding the same
+    * key — the q06 plan shape with two more conditional sums.
+    */
+  def salesReturns(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // scaled-long exact money sums + boundary nudge — same rationale as
+    // salesReport above.
+    def scaled(c: org.apache.spark.sql.Column) = round(c * 1000000.0).cast("long")
+    val subtotal = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val returned = col("l_returnflag") === "R"
+    val perOrder = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum(scaled(col("l_extendedprice"))).as("gross_s"),
+        sum(scaled(col("l_extendedprice") * col("l_discount"))).as("disc_s"),
+        sum(scaled(subtotal * col("l_tax"))).as("tax_s"),
+        // returns = Σ (subtotal − tax_on_refund) over refunded lines
+        sum(when(returned, scaled(subtotal) - scaled(subtotal * col("l_tax")))
+          .otherwise(lit(0L))).as("ret_s"),
+        count(lit(1)).as("n_lines"),
+        sum(when(returned, 1L).otherwise(0L)).as("n_returned"))
+    def money(c: org.apache.spark.sql.Column) =
+      round(coalesce(c, lit(0L)).cast("double") / 1000000.0 + lit(1e-9), 4)
+    t.orders
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(
+        col("o_orderkey"),
+        // financial_status analog: no refunded lines → paid; all lines
+        // refunded → refunded; otherwise partially_refunded.
+        when(coalesce(col("n_returned"), lit(0L)) === 0L, "paid")
+          .when(col("n_returned") === col("n_lines"), "refunded")
+          .otherwise("partially_refunded").as("financial_status"),
+        money(col("gross_s")).as("gross_sales"),
+        money(col("disc_s")).as("discounts"),
+        money(col("ret_s")).as("returns"),
+        money(col("tax_s")).as("taxes"),
+        round(col("o_totalprice") + lit(1e-9), 4).as("total_sales"),
+        // custom_total_sales = total_sales − returns (shopify_api.py:145)
+        round(col("o_totalprice") - coalesce(col("ret_s"), lit(0L)).cast("double") / 1000000.0
+          + lit(1e-9), 4).as("custom_total_sales"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** `q34_refunds_frame` — the `refunds_input=True` branch of
+    * `orders_to_dataframe` (shopify_api.py:152-156): refund rows are
+    * DATED BY THE UPDATE TIME, not the order time, and `total_sales` is
+    * negated so the frame unions into a sales ledger as a correcting
+    * entry. On TPC-H: only orders with refunded lines appear, dated by
+    * the latest `l_shipdate` among their returned items (the
+    * updated_at analog). Same single-shuffle aggregate-then-join shape.
+    */
+  def refundsFrame(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def scaled(c: org.apache.spark.sql.Column) = round(c * 1000000.0).cast("long")
+    val subtotal = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val perOrder = t.lineitem
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum(scaled(subtotal) - scaled(subtotal * col("l_tax"))).as("ret_s"),
+        max(to_date(col("l_shipdate"))).as("refund_date"))
+    t.orders
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("o_orderkey"),
+        col("refund_date"),
+        round(col("ret_s").cast("double") / 1000000.0 + lit(1e-9), 4).as("returns"),
+        round(-col("o_totalprice") + lit(1e-9), 4).as("total_sales"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** A7 `q07_clean_strings` — value/schema-name cleaning
     * (Google_Bigquery.py:57 `dataframe_clean_cols` + unidecode accent
     * strip). Narrow map-only plan — zero shuffles. */
