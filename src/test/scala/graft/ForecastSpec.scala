@@ -49,6 +49,166 @@ class ForecastSpec extends SparkSpecBase {
     assert(sunAvg - restAvg > 40.0, s"sunday $sunAvg vs rest $restAvg")
   }
 
+  test("cap/floor growth bounds clamp predictions (_apply_growth_bounds)") {
+    // steeply rising series → raw forecast exceeds cap → clamped; floor
+    // binds a declining series before the non-negative clamp does.
+    val rising = (0 until 14).map { x =>
+      ("k1", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(x)), 10.0 + 20.0 * x)
+    }.toDF("key", "ds", "y")
+    val capped = Forecast.forecastDaily(rising, Seq("key"), horizon = 5,
+      cap = Some(200.0), floor = Some(0.0))
+      .select("yhat").as[Double].collect()
+    assert(capped.forall(_ <= 200.0))
+    assert(capped.exists(_ == 200.0), "rising series must hit the cap")
+
+    val falling = (0 until 14).map { x =>
+      ("k1", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(x)), 300.0 - 15.0 * x)
+    }.toDF("key", "ds", "y")
+    val floored = Forecast.forecastDaily(falling, Seq("key"), horizon = 6,
+      floor = Some(50.0))
+      .select("yhat").as[Double].collect()
+    assert(floored.forall(_ >= 50.0))
+    assert(floored.exists(_ == 50.0), "falling series must hit the floor")
+  }
+
+  test("prediction intervals are ±z·σ of model residuals (include_intervals)") {
+    // flat series with alternating ±10 noise: trend ≈ 0, every dow mean 0
+    // (each weekday sees +,-,+,- over 28 days), so σ = stddev(±10 × 28).
+    val daily = (0 until 28).map { x =>
+      val noise = if (x % 2 == 0) 10.0 else -10.0
+      ("k1", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(x)), 100.0 + noise)
+    }.toDF("key", "ds", "y")
+    val out = Forecast.forecastDaily(daily, Seq("key"), horizon = 7,
+      includeIntervals = true, intervalWidth = 0.80)
+      .select("yhat", "yhat_lower", "yhat_upper").as[(Double, Double, Double)].collect()
+    assert(out.length == 7)
+    out.foreach { case (y, lo, hi) =>
+      assert(lo <= y && y <= hi, s"band must bracket yhat: $lo $y $hi")
+    }
+    val sigma = math.sqrt(28.0 * 100.0 / 27.0)   // stddev_samp of ±10
+    val expectedWidth = 2.0 * Forecast.intervalZ(0.80) * sigma
+    // the fitted slope on alternating noise is tiny but nonzero, so σ
+    // deviates from the hand value by ~0.2% — bound the width loosely
+    out.foreach { case (_, lo, hi) =>
+      assert(math.abs((hi - lo) - expectedWidth) < 0.2, s"width ${hi - lo} vs $expectedWidth")
+    }
+  }
+
+  test("perfect fit yields degenerate intervals and include_history emits fitted history") {
+    val daily = (0 until 21).map { x =>
+      ("k1", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(x)), 10.0 + 2.0 * x)
+    }.toDF("key", "ds", "y")
+    val out = Forecast.forecastDaily(daily, Seq("key"), horizon = 7,
+      includeIntervals = true, includeHistory = true)
+      .select("ds", "yhat", "yhat_lower", "yhat_upper")
+      .as[(Date, Double, Double, Double)].collect()
+    assert(out.length == 28, "21 fitted history days + 7 future days")
+    out.foreach { case (ds, y, lo, hi) =>
+      assert(lo == y && hi == y, s"σ=0 on a perfect fit → bands collapse at $ds")
+    }
+    // fitted history values reproduce the series exactly
+    val hist = out.filter(_._1.toLocalDate.isBefore(java.time.LocalDate.of(2024, 1, 22)))
+    hist.foreach { case (ds, y, _, _) =>
+      val x = java.time.temporal.ChronoUnit.DAYS.between(java.time.LocalDate.of(2024, 1, 1), ds.toLocalDate)
+      assert(math.abs(y - (10.0 + 2.0 * x)) < 1e-6)
+    }
+  }
+
+  test("external regressor is recovered exactly (add_regressor analog)") {
+    // y = 2 + 0.5x + 3r with r varying independently of x → the 3×3
+    // normal equations recover (b0,b1,b2) exactly; all dow residuals 0.
+    val rs = Seq(5.0, 9.0, 3.0, 7.0, 1.0, 8.0, 4.0, 6.0, 2.0, 9.5, 3.5, 7.5, 1.5, 8.5,
+      4.5, 6.5, 2.5, 9.25, 0.5, 5.5, 10.0)
+    val daily = rs.zipWithIndex.map { case (r, x) =>
+      ("k1", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(x)), 2.0 + 0.5 * x + 3.0 * r, r)
+    }.toDF("key", "ds", "y", "r")
+    val futureR = (21 until 28).map { x =>
+      ("k1", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(x)), 4.0 + (x % 3))
+    }.toDF("key", "ds", "r")
+    val out = Forecast.forecastWithRegressor(daily, Seq("key"), horizon = 7, futureR)
+      .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
+    out.foreach { case (ds, yhat) =>
+      val x = java.time.temporal.ChronoUnit.DAYS.between(java.time.LocalDate.of(2024, 1, 1), ds.toLocalDate)
+      val expected = 2.0 + 0.5 * x + 3.0 * (4.0 + (x % 3))
+      assert(math.abs(yhat - expected) < 1e-4, s"$ds: $yhat vs $expected")
+    }
+  }
+
+  test("missing future regressor values fail loudly (_attach_regressors ValueError)") {
+    val daily = (0 until 14).map { x =>
+      ("k1", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(x)), 10.0 + x, 1.0 + x % 4)
+    }.toDF("key", "ds", "y", "r")
+    // future frame covers only 3 of the 7 horizon days
+    val partial = (14 until 17).map { x =>
+      ("k1", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(x)), 2.0)
+    }.toDF("key", "ds", "r")
+    val ex = intercept[Exception] {
+      Forecast.forecastWithRegressor(daily, Seq("key"), horizon = 7, partial).collect()
+    }
+    assert(ex.getMessage.contains("missing future regressor"))
+  }
+
+  test("Fourier forecaster recovers planted yearly+weekly seasonality (additive)") {
+    // 3 years of noiseless trend + yearly + weekly sinusoid: the per-key
+    // OLS over the Fourier basis must extrapolate the exact function.
+    val start = java.time.LocalDate.of(2021, 1, 1)
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    def truth(x: Long, t: Long): Double =
+      50.0 + 0.1 * x + 20.0 * math.sin(2 * math.Pi * t / 365.25) +
+        5.0 * math.sin(2 * math.Pi * t / 7.0)
+    val daily = (0 until 1096).map { x =>
+      val d = start.plusDays(x)
+      val t = java.time.temporal.ChronoUnit.DAYS.between(epoch, d)
+      ("k1", Date.valueOf(d), truth(x, t))
+    }.toDF("key", "ds", "y")
+    val out = Forecast.forecastFourier(daily, Seq("key"), horizon = 30)
+      .select("ds", "yhat").as[(Date, Double)].collect()
+    assert(out.length == 30)
+    out.foreach { case (ds, yhat) =>
+      val x = java.time.temporal.ChronoUnit.DAYS.between(start, ds.toLocalDate)
+      val t = java.time.temporal.ChronoUnit.DAYS.between(epoch, ds.toLocalDate)
+      assert(math.abs(yhat - truth(x, t)) < 0.5, s"$ds: $yhat vs ${truth(x, t)}")
+    }
+  }
+
+  test("Fourier multiplicative mode fits in log space (seasonality_mode)") {
+    // y = exp(3 + 0.001x + 0.5·sin(2πt/365.25)) — exactly log-linear, so
+    // the multiplicative (log-space) fit extrapolates it exactly.
+    val start = java.time.LocalDate.of(2021, 1, 1)
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    def truth(x: Long, t: Long): Double =
+      math.exp(3.0 + 0.001 * x + 0.5 * math.sin(2 * math.Pi * t / 365.25))
+    val daily = (0 until 1096).map { x =>
+      val d = start.plusDays(x)
+      val t = java.time.temporal.ChronoUnit.DAYS.between(epoch, d)
+      ("k1", Date.valueOf(d), truth(x, t))
+    }.toDF("key", "ds", "y")
+    val out = Forecast.forecastFourier(daily, Seq("key"), horizon = 30, multiplicative = true)
+      .select("ds", "yhat").as[(Date, Double)].collect()
+    out.foreach { case (ds, yhat) =>
+      val x = java.time.temporal.ChronoUnit.DAYS.between(start, ds.toLocalDate)
+      val t = java.time.temporal.ChronoUnit.DAYS.between(epoch, ds.toLocalDate)
+      val tv = truth(x, t)
+      assert(math.abs(yhat - tv) / tv < 0.01, s"$ds: $yhat vs $tv")
+    }
+  }
+
+  test("yearly terms auto-disable below 2 years of history (yearly_seasonality auto)") {
+    // 100-day series: yearly basis is under-determined → gate zeroes it,
+    // so the fit equals the weekly-only model.
+    val daily = (0 until 100).map { x =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(x)
+      ("k1", Date.valueOf(d), 100.0 + 0.5 * x + (if (x % 7 == 0) 10.0 else 0.0))
+    }.toDF("key", "ds", "y")
+    val withYearly = Forecast.forecastFourier(daily, Seq("key"), horizon = 14, yearlyOrder = 3)
+      .select("ds", "yhat").as[(Date, Double)].collect().toMap
+    val weeklyOnly = Forecast.forecastFourier(daily, Seq("key"), horizon = 14, yearlyOrder = 0)
+      .select("ds", "yhat").as[(Date, Double)].collect().toMap
+    withYearly.foreach { case (ds, y) =>
+      assert(math.abs(y - weeklyOnly(ds)) < 1e-6, s"$ds: gated yearly must equal weekly-only")
+    }
+  }
+
   test("multi-metric fan-out forecasts every metric per key") {
     val out = Forecast.forecastMulti(spark, sfDir)
     val keys = out.select("event_type", "metric").distinct().count()
