@@ -47,4 +47,17 @@ object time {
     * Google_GA4.py:230). Produces `array<date>` — explode to get rows. */
   def dateSpine(lo: Column, hi: Column): Column =
     sequence(lo, hi, expr("INTERVAL 1 DAY"))
+
+  /** N-day chunk windows covering [lo, hi] inclusive — the declarative
+    * analog of the reference's chunked-extraction loops
+    * (tiktok_marketing.py:288 `current_end = min(current_start + 29
+    * days, end_dt)` with a 30-day API limit). Produces
+    * `array<struct<win_start, win_end>>`; explode to drive one
+    * extraction partition per window. The last window truncates at
+    * `hi`, exactly like the reference's `min(...)`. */
+  def dateWindows(lo: Column, hi: Column, days: Int): Column = {
+    require(days >= 1, s"window size must be >= 1 day, got $days")
+    transform(sequence(lo, hi, expr(s"INTERVAL $days DAYS")),
+      s => struct(s.as("win_start"), least(date_add(s, days - 1), hi).as("win_end")))
+  }
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
 
 /** Nested-JSON report flattening — the Spark-native `json_normalize`
   * (reference: Linkedin_Marketing.py:72 `json_normalize(sep="_")`,
@@ -32,6 +32,18 @@ object JsonReports {
       }
     }
 
+  /** Recursively expand struct fields keeping only the LEAF name — the
+    * TikTok normalization (`col.split(".")[-1]`, tiktok_marketing.py:388):
+    * `{dimensions: {stat_time_day}, metrics: {spend}}` becomes columns
+    * `stat_time_day`, `spend`. */
+  def flattenLeaf(base: Column, schema: StructType): Seq[Column] =
+    schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case st: StructType => flattenLeaf(base.getField(f.name), st)
+        case _              => Seq(base.getField(f.name).as(f.name))
+      }
+    }
+
   /** Parse a DDL type string ("k INT, meta STRUCT<a: STRING>") → schema. */
   def schemaOf(ddl: String): StructType = StructType.fromDDL(ddl)
 
@@ -55,16 +67,19 @@ object JsonReports {
   def ga4Report(df: DataFrame, jsonCol: String): DataFrame = {
     val parsed = df.select(from_json(col(jsonCol), ga4Schema).getField("reports")
       .getItem(0).as("r"))
-    // Empty input or unparseable/missing `reports` payload → empty frame,
-    // matching Google_GA4.py:118 (`_to_df` returns an empty DataFrame
-    // rather than raising).
+    // Empty input or no parseable `reports` payload anywhere → empty
+    // frame, matching Google_GA4.py:118 (`_to_df` returns an empty
+    // DataFrame rather than raising). Headers come from the FIRST row
+    // with non-null headers, not row 1 blindly — an unparseable leading
+    // row must not silently drop the valid reports behind it.
     val headRow = parsed.select(
       col("r.dimensionHeaders.name").as("dims"),
-      col("r.metricHeaders.name").as("mets")).take(1).headOption
+      col("r.metricHeaders.name").as("mets"))
+      .filter(col("dims").isNotNull && col("mets").isNotNull)
+      .take(1).headOption
     val (dims, mets) = headRow match {
-      case Some(row) if !row.isNullAt(0) && !row.isNullAt(1) =>
-        (row.getSeq[String](0), row.getSeq[String](1))
-      case _ => return df.sparkSession.emptyDataFrame
+      case Some(row) => (row.getSeq[String](0), row.getSeq[String](1))
+      case _         => return df.sparkSession.emptyDataFrame
     }
     val exploded = parsed.select(explode(col("r.rows")).as("row"))
     exploded.select(
@@ -125,5 +140,85 @@ object JsonReports {
         coalesce(col("row.impressions"), lit(0.0)).as("impressions"),
         coalesce(col("row.ctr"), lit(0.0)).as("ctr"),
         coalesce(col("row.position"), lit(0.0)).as("position")): _*)
+  }
+
+  /** TikTok report response → flat DataFrame (tiktok_marketing.py:376-388:
+    * records accumulate from `data.list` across pages, `json_normalize`
+    * flattens the nested dimensions/metrics structs, and column names
+    * keep only the LEAF segment — `col.split(".")[-1]`).
+    *
+    * `recordSchema` describes ONE `data.list` element (e.g.
+    * `"dimensions STRUCT<stat_time_day: STRING, campaign_id: STRING>,
+    *   metrics STRUCT<spend: DOUBLE, impressions: DOUBLE>"`).
+    * Pagination is already unioned away: each input row is one page
+    * payload, and the explode concatenates pages exactly like the
+    * reference's `all_records.extend`. */
+  def tiktokReport(df: DataFrame, jsonCol: String, recordSchema: StructType): DataFrame = {
+    val schema = StructType(Seq(StructField("data", StructType(Seq(
+      StructField("list", org.apache.spark.sql.types.ArrayType(recordSchema)))))))
+    df.select(explode(coalesce(
+        from_json(col(jsonCol), schema).getField("data").getField("list"),
+        array())).as("rec"))
+      .select(flattenLeaf(col("rec"), recordSchema): _*)
+  }
+
+  /** LinkedIn report response → flat DataFrame (Linkedin_Marketing.py:72
+    * `_clean_and_transform_dataFrame`: `json_normalize(res["elements"],
+    * sep="_")`, an optional extraction-date column for the unsampled
+    * per-day path, and column names lowered / space→_ / -→_ / non-word
+    * stripped).
+    *
+    * `elementSchema` describes ONE `elements` entry. */
+  def linkedinReport(df: DataFrame, jsonCol: String, elementSchema: StructType,
+                     dateStr: Option[String] = None): DataFrame = {
+    val schema = StructType(Seq(StructField("elements",
+      org.apache.spark.sql.types.ArrayType(elementSchema))))
+    val flat = df.select(explode(coalesce(
+        from_json(col(jsonCol), schema).getField("elements"),
+        array())).as("e"))
+      .select(flattenStruct(col("e"), elementSchema, prefix = "", sep = "_"): _*)
+    val dated = dateStr.fold(flat)(d => flat.withColumn("date", lit(d).cast("date")))
+    // reference column cleaning: strip/lower, space and dash → _, drop
+    // the rest of the non-word chars (Linkedin_Marketing.py:80)
+    dated.toDF(dated.columns.map(
+      _.trim.toLowerCase.replace(" ", "_").replace("-", "_").replaceAll("[^\\w]", "")): _*)
+  }
+
+  /** X (Twitter) Ads analytics response → per-day metric rows
+    * (X_ads.py:264-299 `get_report_dataframe`: each response body holds
+    * `data[0].id_data[0].metrics` as one array per metric — one element
+    * per day at DAY granularity — which the reference explodes to rows,
+    * fills 0, and stamps with the request's entity metadata as strings).
+    *
+    * The Spark analog zips the metric arrays positionally
+    * (`arrays_zip` + `posexplode`), so one pass produces the same
+    * (metadata × day-index × metrics) grid; entities whose `data` is
+    * empty vanish, exactly like the reference's empty `iter_DF`. */
+  def xAdsReport(df: DataFrame, jsonCol: String, metrics: Seq[String]): DataFrame = {
+    val metricFields = metrics.map(m => s"$m: ARRAY<DOUBLE>").mkString(", ")
+    val schema = schemaOf(
+      s"""request STRUCT<params: STRUCT<
+         |  start_time: STRING, placement: STRING, platform: STRING,
+         |  entity: STRING, metric_groups: ARRAY<STRING>, entity_ids: ARRAY<STRING>>>,
+         |data ARRAY<STRUCT<id: STRING, id_data: ARRAY<STRUCT<metrics: STRUCT<$metricFields>>>>>""".stripMargin)
+    val perEntity = df
+      .select(from_json(col(jsonCol), schema).as("p"))
+      .select(
+        col("p.request.params.start_time").cast("string").as("start_time"),
+        col("p.request.params.placement").cast("string").as("placement"),
+        col("p.request.params.platform").cast("string").as("platform"),
+        col("p.request.params.entity").cast("string").as("entity"),
+        col("p.request.params.metric_groups").getItem(0).cast("string").as("metric_groups"),
+        col("p.request.params.entity_ids").getItem(0).cast("string").as("entity_ids"),
+        explode(col("p.data")).as("d"))
+    val m = col("d.id_data").getItem(0).getField("metrics")
+    val zipped = arrays_zip(metrics.map(mm => m.getField(mm).as(mm)): _*)
+    perEntity
+      .select(col("start_time"), col("placement"), col("platform"), col("entity"),
+        col("metric_groups"), col("entity_ids"), col("d.id").as("entity_id"),
+        posexplode(zipped).as(Seq("day_index", "vals")))
+      .select(Seq("start_time", "placement", "platform", "entity", "metric_groups",
+        "entity_ids", "entity_id", "day_index").map(col) ++
+        metrics.map(mm => coalesce(col("vals").getField(mm), lit(0.0)).as(mm)): _*)
   }
 }

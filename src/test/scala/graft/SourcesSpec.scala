@@ -90,6 +90,91 @@ class SourcesSpec extends SparkSpecBase {
     assert(rows.toSeq == Seq((5.0, 2.0), (1.0, 0.0), (0.0, 0.0)))  // missing → 0, like _split_text
   }
 
+  test("tiktokReport flattens data.list records to leaf-named columns") {
+    // faithful page shape: data.list of {dimensions, metrics} records,
+    // two pages arriving as two payload rows (the pagination union)
+    val page1 =
+      """{"code": 0, "data": {"page_info": {"total_page": 2}, "list": [
+        | {"dimensions": {"stat_time_day": "2024-01-01", "campaign_id": "c1"},
+        |  "metrics": {"spend": 12.5, "impressions": 1000}},
+        | {"dimensions": {"stat_time_day": "2024-01-02", "campaign_id": "c1"},
+        |  "metrics": {"spend": 8.0, "impressions": 600}}]}}""".stripMargin
+    val page2 =
+      """{"code": 0, "data": {"page_info": {"total_page": 2}, "list": [
+        | {"dimensions": {"stat_time_day": "2024-01-01", "campaign_id": "c2"},
+        |  "metrics": {"spend": 3.25, "impressions": 150}}]}}""".stripMargin
+    val recordSchema = JsonReports.schemaOf(
+      """dimensions STRUCT<stat_time_day: STRING, campaign_id: STRING>,
+        |metrics STRUCT<spend: DOUBLE, impressions: DOUBLE>""".stripMargin)
+    val out = JsonReports.tiktokReport(Seq(page1, page2).toDF("body"), "body", recordSchema)
+    // leaf names only — the col.split(".")[-1] normalization
+    assert(out.columns.toSeq == Seq("stat_time_day", "campaign_id", "spend", "impressions"))
+    assert(out.count() == 3)
+    val c2 = out.filter(col("campaign_id") === "c2")
+      .select("spend").as[Double].head()
+    assert(c2 == 3.25)
+  }
+
+  test("linkedinReport flattens elements with sep=_ and cleans column names") {
+    val payload =
+      """{"elements": [
+        | {"pivotValues": ["urn:li:campaign:1"],
+        |  "costInLocalCurrency": "12.3",
+        |  "Date Range": {"start": {"Day-Of": 1}}},
+        | {"pivotValues": ["urn:li:campaign:2"],
+        |  "costInLocalCurrency": "4.5",
+        |  "Date Range": {"start": {"Day-Of": 2}}}]}""".stripMargin
+    val elementSchema = JsonReports.schemaOf(
+      """pivotValues ARRAY<STRING>, costInLocalCurrency STRING,
+        |`Date Range` STRUCT<start: STRUCT<`Day-Of`: INT>>""".stripMargin)
+    val out = JsonReports.linkedinReport(
+      Seq(payload).toDF("body"), "body", elementSchema, dateStr = Some("2024-01-01"))
+    // json_normalize(sep="_") then lower/space→_/dash→_/strip-non-word
+    assert(out.columns.toSeq ==
+      Seq("pivotvalues", "costinlocalcurrency", "date_range_start_day_of", "date"))
+    val rows = out.orderBy("date_range_start_day_of")
+      .select("costinlocalcurrency", "date_range_start_day_of").as[(String, Int)].collect()
+    assert(rows.toSeq == Seq(("12.3", 1), ("4.5", 2)))
+    assert(out.select("date").distinct().as[java.sql.Date].head() ==
+      java.sql.Date.valueOf("2024-01-01"))
+  }
+
+  test("xAdsReport explodes per-day metric arrays with entity metadata") {
+    val payload =
+      """{"request": {"params": {
+        |   "start_time": "2024-01-01", "placement": "ALL_ON_TWITTER",
+        |   "entity": "CAMPAIGN", "metric_groups": ["ENGAGEMENT"],
+        |   "entity_ids": ["cmp1"]}},
+        | "data": [
+        |  {"id": "cmp1", "id_data": [{"metrics":
+        |     {"impressions": [100, 200, 300], "engagements": [5, null, 9]}}]},
+        |  {"id": "cmp2", "id_data": []}
+        |]}""".stripMargin
+    val out = JsonReports.xAdsReport(
+      Seq(payload).toDF("body"), "body", metrics = Seq("impressions", "engagements"))
+    // cmp2 has no id_data → vanishes, like the reference's empty iter_DF
+    assert(out.select("entity_id").distinct().as[String].collect().toSeq == Seq("cmp1"))
+    assert(out.count() == 3)
+    val rows = out.orderBy("day_index")
+      .select("day_index", "impressions", "engagements").as[(Int, Double, Double)].collect()
+    assert(rows.toSeq == Seq((0, 100.0, 5.0), (1, 200.0, 0.0), (2, 300.0, 9.0))) // null → 0
+    val meta = out.select("start_time", "entity", "metric_groups", "entity_ids").distinct()
+      .as[(String, String, String, String)].head()
+    assert(meta == (("2024-01-01", "CAMPAIGN", "ENGAGEMENT", "cmp1")))
+  }
+
+  test("ga4Report takes headers from the first PARSEABLE row, not row 1") {
+    val good =
+      """{"reports": [{
+        |  "dimensionHeaders": [{"name": "date"}],
+        |  "metricHeaders": [{"name": "sessions"}],
+        |  "rows": [{"dimensionValues": [{"value": "20240101"}],
+        |            "metricValues": [{"value": "42"}]}]}]}""".stripMargin
+    val out = JsonReports.ga4Report(Seq("not json", good).toDF("body"), "body")
+    assert(out.columns.toSeq == Seq("date", "sessions"))
+    assert(out.as[(String, String)].collect().toSeq == Seq(("20240101", "42")))
+  }
+
   test("partitioned sink round-trip preserves per-partition aggregates") {
     val rt = graft.operators.Reports.partitionedSink(spark, sfDir)
     val direct = Tables(spark, sfDir).orders

@@ -30,6 +30,19 @@ class TimeFunctionsSpec extends SparkSpecBase {
     assert(TM.zoneOf("MEXICO") == "America/Mexico_City")
   }
 
+  test("dateWindows chunks a range into N-day windows, last one truncated") {
+    import spark.implicits._
+    val out = Seq((java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-03-15")))
+      .toDF("lo", "hi")
+      .select(explode(TM.dateWindows(col("lo"), col("hi"), 30)).as("w"))
+      .select(col("w.win_start"), col("w.win_end"))
+      .as[(java.sql.Date, java.sql.Date)].collect().toSeq
+    assert(out == Seq(
+      (java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-01-30")),
+      (java.sql.Date.valueOf("2024-01-31"), java.sql.Date.valueOf("2024-02-29")),
+      (java.sql.Date.valueOf("2024-03-01"), java.sql.Date.valueOf("2024-03-15"))))
+  }
+
   test("dateSpine is inclusive and daily") {
     val n = Seq((java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-01-10")))
       .toDF("lo", "hi")
