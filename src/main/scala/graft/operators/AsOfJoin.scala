@@ -39,7 +39,8 @@ object AsOfJoin {
            leftTs: String, rightTs: String, rightCols: Seq[String],
            tieBreak: Seq[String] = Nil): DataFrame = {
     val ts = "_asof_ts"
-    val temps = Set(ts, "_side", "_payload", "_match")
+    val tbNames = tieBreak.indices.map(i => s"_tb$i")
+    val temps = Set(ts, "_side", "_payload", "_match") ++ tbNames
     val clash = left.columns.toSet.intersect(temps ++ rightCols)
     require(clash.isEmpty,
       s"asOf: left columns collide with temp/right columns: ${clash.mkString(", ")}")
@@ -47,7 +48,6 @@ object AsOfJoin {
       .withColumn(ts, col(leftTs))
       .withColumn("_side", lit(1))
       .withColumn("_payload", lit(null).cast(payloadType(right, rightCols)))
-    val tbNames = tieBreak.indices.map(i => s"_tb$i")
     val r = right
       .select((keys.map(col) :+ col(rightTs).as(ts)) ++
         tieBreak.zip(tbNames).map { case (c, n) => col(c).as(n) } :+

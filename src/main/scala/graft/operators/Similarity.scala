@@ -42,7 +42,8 @@ object Similarity {
     */
   def embeddingNearDupFrame(embeddings: DataFrame, threshold: Double = 0.25,
                             blockCap: Int = 1000,
-                            numPlanes: Int = 16, bands: Int = 4): DataFrame = {
+                            numPlanes: Int = 16, bands: Int = 4,
+                            dim: Int = 64): DataFrame = {
     // Norms are computed ONCE per vector before the pairwise join — the
     // join then does a single dot per pair instead of three (3x less
     // floating-point work; the dominant cost at corpus scale).
@@ -62,23 +63,38 @@ object Similarity {
     val exactPairs = side(small, "a").join(side(small, "b"), Seq("label"))
       .filter(col("id_a") < col("id_b"))
 
-    // capped path: oversized blocks pair only within an LSH sub-bucket
-    val planes = hyperplanes(numPlanes, 64)
+    // capped path: oversized blocks pair only within an LSH sub-bucket.
+    // `dim` must match the embedding dimension — hyperplanes only span
+    // the dimensions they are given, so a too-small dim would LSH-hash
+    // on a prefix of the vector and silently lose recall.
+    val planes = hyperplanes(numPlanes, dim)
     val rows = numPlanes / bands
-    val big = sized.filter(col("_bsz") > blockCap)
+    val bigVecs = sized.filter(col("_bsz") > blockCap)
+      .select(col("label"), col("vec_id"), col("v"), col("nrm"))
+    val banded = bigVecs
       .withColumn("bits", signBits(col("v"), planes))
-      .select(col("label"), col("vec_id"), col("v"), col("nrm"),
+      .select(col("label"), col("vec_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             concat_ws("", transform(slice(col("bits"), b * rows + 1, rows), x => x.cast("string"))).as("bh"))
         }: _*)).as("bk"))
-      .select(col("label"), col("vec_id"), col("v"), col("nrm"), col("bk.band"), col("bk.bh"))
-    val lshPairs = side(big, "a", Seq("band", "bh"))
-      .join(side(big, "b", Seq("band", "bh")), Seq("label", "band", "bh"))
+      .select(col("label"), col("vec_id"), col("bk.band"), col("bk.bh"))
+    // band-collision dedup runs over BARE ID PAIRS — a pair colliding in
+    // k bands must not hash two full vectors k times just to dedupe; the
+    // payload vectors rejoin once per surviving pair, after the distinct.
+    val idPairs = banded.select(col("label"), col("band"), col("bh"), col("vec_id").as("id_a"))
+      .join(banded.select(col("label"), col("band"), col("bh"), col("vec_id").as("id_b")),
+        Seq("label", "band", "bh"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"))
+      .distinct()
+    val lshPairs = idPairs
+      .join(bigVecs.select(col("label"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na")), Seq("label", "id_a"))
+      .join(bigVecs.select(col("label"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("label", "id_b"))
       .select(col("label"), col("id_a"), col("id_b"),
         col("va"), col("na"), col("vb"), col("nb"))
-      .distinct()
 
     exactPairs.select(col("label"), col("id_a"), col("id_b"),
         col("va"), col("na"), col("vb"), col("nb"))
@@ -139,9 +155,9 @@ object Similarity {
     * rerank candidates by exact cosine. Recall vs the C6 baseline is
     * spec-tested (SimilaritySpec). */
   def annLsh(spark: SparkSession, dir: String, k: Int = 10, numQueries: Int = 5,
-             numPlanes: Int = 16, bands: Int = 4): DataFrame = {
+             numPlanes: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
     val t = Tables(spark, dir)
-    val planes = hyperplanes(numPlanes, 64)
+    val planes = hyperplanes(numPlanes, dim)
     val rows = numPlanes / bands
     val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("bits", signBits(col("v"), planes))
