@@ -242,16 +242,19 @@ object Forecast {
     * residuals exactly as [[forecastDaily]].
     *
     * Future regressor validation (`_attach_regressors`,
-    * ProphetForecaster.py:190-205): `futureReg` must cover every
-    * (key, future ds); a missing value raises at execution — the
-    * distributed analog of the reference's ValueError — rather than
-    * silently forecasting with nulls.
+    * ProphetForecaster.py:190-205): a caller-supplied `futureReg` must
+    * cover every (key, future ds); a missing value raises at execution —
+    * the distributed analog of the reference's ValueError — rather than
+    * silently forecasting with nulls. When `futureReg` is None the
+    * per-key HISTORICAL MEAN of `r` stands in, computed from the
+    * already-checkpointed working set so no extra source scan runs.
     *
     * @param daily     keyCols + `ds` + `y` + regressor column `r`
-    * @param futureReg keyCols + `ds` + `r` for the horizon dates
+    * @param futureReg keyCols + `ds` + `r` for the horizon dates; None →
+    *                  per-key historical mean
     */
   def forecastWithRegressor(daily: DataFrame, keyCols: Seq[String], horizon: Int,
-                            futureReg: DataFrame): DataFrame = {
+                            futureReg: Option[DataFrame] = None): DataFrame = {
     val keys = keyCols.map(col)
     val wk = Window.partitionBy(keys: _*)
     val wx = daily
@@ -288,12 +291,19 @@ object Forecast {
       .groupBy(keys :+ col("dow"): _*)
       .agg(avg(col("y") - (col("b0") + col("b1") * col("x") + col("b2") * col("r"))).as("dow_mean"))
 
+    val frDf = futureReg.getOrElse {
+      wx.groupBy(keys: _*).agg(avg(col("r")).as("r"), max(col("ds")).as("maxds"))
+        .select(keys ++ Seq(col("r"), col("maxds"),
+          explode(sequence(lit(1), lit(horizon))).as("h")): _*)
+        .withColumn("ds", date_add(col("maxds"), col("h")))
+        .select(keys ++ Seq(col("ds"), col("r")): _*)
+    }
     val future = betas
       .select(keys ++ Seq(col("b0"), col("b1"), col("b2"), col("xmax"), col("maxds"),
         explode(sequence(lit(1), lit(horizon))).as("h")): _*)
       .withColumn("ds", date_add(col("maxds"), col("h")))
       .withColumn("x", col("xmax") + col("h"))
-      .join(futureReg.select(keys ++ Seq(col("ds"), col("r")): _*), keyCols :+ "ds", "left")
+      .join(frDf.select(keys ++ Seq(col("ds"), col("r")): _*), keyCols :+ "ds", "left")
       // missing future regressor values fail loudly, as the reference does
       .withColumn("r", when(col("r").isNull,
         raise_error(concat(lit("forecastWithRegressor: missing future regressor value for ds="),
@@ -310,23 +320,16 @@ object Forecast {
   }
 
   /** `q18_forecast_regressor` — daily event value per type with the
-    * daily event COUNT as an external regressor. Future regressor values
-    * are the per-key historical mean (the harness's stand-in for the
-    * user-supplied `future_regressors` frame — any keyCols+ds+r frame
-    * plugs in). */
+    * daily event COUNT as an external regressor. Uses the default
+    * future-regressor policy (per-key historical mean, derived from the
+    * checkpointed working set — one source scan total); any
+    * keyCols+ds+r frame plugs in instead via `futureReg`. */
   def forecastRegressor(spark: SparkSession, dir: String, horizon: Int = 7): DataFrame = {
     val t = Tables(spark, dir)
     val daily = t.events
       .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
       .agg(sum(col("value")).as("y"), count(lit(1)).cast("double").as("r"))
-    val futureReg = daily
-      .groupBy(col("event_type"))
-      .agg(avg(col("r")).as("r"), max(col("ds")).as("maxds"))
-      .select(col("event_type"), col("r"), col("maxds"),
-        explode(sequence(lit(1), lit(horizon))).as("h"))
-      .withColumn("ds", date_add(col("maxds"), col("h")))
-      .select(col("event_type"), col("ds"), col("r"))
-    forecastWithRegressor(daily, Seq("event_type"), horizon, futureReg)
+    forecastWithRegressor(daily, Seq("event_type"), horizon)
   }
 
   // ---- general OLS path: Fourier seasonality + multiplicative mode ----

@@ -125,7 +125,7 @@ class ForecastSpec extends SparkSpecBase {
     val futureR = (21 until 28).map { x =>
       ("k1", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(x)), 4.0 + (x % 3))
     }.toDF("key", "ds", "r")
-    val out = Forecast.forecastWithRegressor(daily, Seq("key"), horizon = 7, futureR)
+    val out = Forecast.forecastWithRegressor(daily, Seq("key"), horizon = 7, Some(futureR))
       .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
     out.foreach { case (ds, yhat) =>
       val x = java.time.temporal.ChronoUnit.DAYS.between(java.time.LocalDate.of(2024, 1, 1), ds.toLocalDate)
@@ -143,7 +143,7 @@ class ForecastSpec extends SparkSpecBase {
       ("k1", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(x)), 2.0)
     }.toDF("key", "ds", "r")
     val ex = intercept[Exception] {
-      Forecast.forecastWithRegressor(daily, Seq("key"), horizon = 7, partial).collect()
+      Forecast.forecastWithRegressor(daily, Seq("key"), horizon = 7, Some(partial)).collect()
     }
     assert(ex.getMessage.contains("missing future regressor"))
   }
