@@ -13,10 +13,15 @@ import org.apache.spark.sql.types._
   * content hash, declared dims) are ordinary typed columns so pruning and
   * predicate pushdown work on them WITHOUT touching payload bytes. The
   * decode step runs batched per partition (`mapPartitions` — the Scala
-  * twin of `mapInPandas` batch plumbing); actual image/audio codecs are
-  * not in this container, so [[fakeDecode]] is a clearly-marked
-  * deterministic stand-in with the real batch shape: Iterator[Row] in,
-  * fixed-width feature vector out.
+  * twin of `mapInPandas` batch plumbing).
+  *
+  * Codec status: the IMAGE path is REAL — [[decodeImages]] /
+  * [[resizeImages]] use the JDK's own `javax.imageio` (PNG/JPEG/BMP/GIF,
+  * no external native libs), so decode, aspect-preserving resize, and
+  * re-encode genuinely run on the payload bytes. Audio and video codecs
+  * are not in the JDK or this container, so [[fakeDecode]] (feature
+  * stand-in) and [[sampleFrames]] (container-timestamp stand-in) remain
+  * clearly-marked deterministic stubs with the real batch shape.
   */
 object Multimodal {
 
@@ -108,6 +113,105 @@ object Multimodal {
     val nFrames = least((octet_length(col("payload")) % 7 + 1).cast("int"), lit(maxFrames))
     df.select(col("doc_id"), explode(sequence(lit(0), nFrames - 1)).as("frame_idx"))
       .withColumn("frame_ts_ms", col("frame_idx").cast("long") * fpsMilli)
+  }
+
+  /** Output schema of the REAL image decode: intrinsic dimensions and a
+    * cheap content statistic, plus a decode_ok flag (corrupt/non-image
+    * payloads yield ok=false and null stats rather than failing the
+    * task — at corpus scale some payloads are always bad). */
+  val imageDecodeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_luma", DoubleType),
+    StructField("decode_ok", BooleanType, nullable = false)))
+
+  /** REAL image decode via the JDK's `javax.imageio` — batched per
+    * partition, binary in, typed metadata out. `ImageIO` disk caching is
+    * disabled per task (in-memory streams only): at 1000-executor scale
+    * a tmp-file per image would thrash local disks.
+    *
+    * Input: (doc_id, payload binary). Output: [[imageDecodeSchema]].
+    */
+  def decodeImages(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col("doc_id").cast("long"), col("payload")).rdd
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          if (img == null) Row(id, null, null, null, false)
+          else {
+            // mean luminance over a bounded sample grid: O(1) per image
+            // regardless of resolution, so giant images cannot skew tasks
+            val (w, h) = (img.getWidth, img.getHeight)
+            val stepX = math.max(1, w / 32); val stepY = math.max(1, h / 32)
+            var sum = 0.0; var n = 0; var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                n += 1; x += stepX
+              }
+              y += stepY
+            }
+            Row(id, w, h, if (n == 0) 0.0 else sum / n, true)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, imageDecodeSchema)
+  }
+
+  /** Output schema of the REAL resize: re-encoded payload + new dims. */
+  val imageResizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("decode_ok", BooleanType, nullable = false)))
+
+  /** REAL aspect-preserving image resize (fit into `maxSide` box,
+    * never upscale) via ImageIO decode → bilinear `Graphics2D` draw →
+    * PNG re-encode. Batched per partition; payload bytes are touched
+    * exactly once per image. Non-decodable payloads pass through
+    * unchanged with decode_ok=false — a 100 TB corpus job must not die
+    * on one corrupt blob. */
+  def resizeImages(df: DataFrame, maxSide: Int): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col("doc_id").cast("long"), col("payload")).rdd
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+          if (img == null) Row(id, payload, null, null, false)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+            val (nw, nh) = (math.max(1, math.round(w * scale).toInt),
+              math.max(1, math.round(h * scale).toInt))
+            val out = new java.awt.image.BufferedImage(nw, nh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, nw, nh, null)
+            g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            Row(id, buf.toByteArray, nw, nh, true)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, imageResizeSchema)
   }
 
   /** Full decode pipeline: payload column → batched stub decode →

@@ -24,6 +24,46 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows(0)._2 == expected)
   }
 
+  /** Render a real PNG in memory: `w`×`h`, solid RGB fill. */
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  test("decodeImages reads real PNG payloads via the JDK codec") {
+    val white = pngBytes(100, 60, 0xffffff)
+    val black = pngBytes(8, 8, 0x000000)
+    val df = Seq(
+      (0L, white), (1L, black), (2L, "not an image".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.decodeImages(df)
+      .select("doc_id", "width", "height", "mean_luma", "decode_ok")
+      .as[(Long, Option[Int], Option[Int], Option[Double], Boolean)]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((0L, Some(100), Some(60), Some(255.0), true)))
+    assert(out(1)._2 == Some(8) && out(1)._4 == Some(0.0) && out(1)._5)
+    assert(out(2) == ((2L, None, None, None, false)), "corrupt payload must not fail the task")
+  }
+
+  test("resizeImages really rescales: output PNG re-decodes at the new size") {
+    val df = Seq((1L, pngBytes(100, 60, 0x808080)), (2L, pngBytes(10, 5, 0x808080)),
+      (3L, "garbage".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = Multimodal.resizeImages(df, maxSide = 50)
+      .select("doc_id", "payload", "width", "height", "decode_ok")
+      .as[(Long, Array[Byte], Option[Int], Option[Int], Boolean)]
+      .collect().sortBy(_._1)
+    assert((out(0)._3, out(0)._4) == ((Some(50), Some(30))), "aspect-preserving downscale")
+    assert((out(1)._3, out(1)._4) == ((Some(10), Some(5))), "small image never upscales")
+    assert(!out(2)._5 && java.util.Arrays.equals(out(2)._2, "garbage".getBytes("UTF-8")),
+      "corrupt payload passes through unchanged")
+    // the emitted payload is a genuine image at the declared size
+    val redecoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(0)._2))
+    assert(redecoded.getWidth == 50 && redecoded.getHeight == 30)
+  }
+
   test("resize stub preserves aspect ratio and never upscales") {
     val df = Seq((1L, 640L, 480L), (2L, 100L, 50L)).toDF("doc_id", "width", "height")
       .withColumn("payload", lit(Array[Byte](1, 2)))
