@@ -50,6 +50,7 @@ object SparkEntry {
     "q17_forecast_bounded"       -> ((s, d) => Forecast.forecastBounded(s, d)),
     "q18_forecast_regressor"     -> ((s, d) => Forecast.forecastRegressor(s, d)),
     "q19_forecast_yearly"        -> ((s, d) => Forecast.forecastYearly(s, d)),
+    "q35_forecast_holidays"      -> ((s, d) => Forecast.forecastHolidays(s, d)),
     // C-block: training-data pipeline
     "q20_dedup_exact"            -> ((s, d) => Dedup.dedupExact(s, d)),
     "q21_minhash_lsh"            -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -340,6 +341,40 @@ object SparkEntry {
         |FROM future f LEFT JOIN dowm d
         |  ON f.event_type = d.event_type AND dayofweek(f.ds) = d.dow
         |ORDER BY f.event_type, f.ds""".stripMargin,
+
+    "q35_forecast_holidays" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS ds, sum(value) AS y
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT min(ds) AS lo, max(ds) AS hi FROM daily),
+        |spine AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |                 CAST(hi AS TIMESTAMP) + INTERVAL 7 DAY, INTERVAL 1 DAY)) AS DATE) AS ds
+        |          FROM bounds),
+        |hol AS (SELECT ds, 'payday_' || CAST(day(ds) AS VARCHAR) AS holiday
+        |        FROM spine WHERE day(ds) IN (1, 15)),
+        |wx AS (SELECT *, CAST(date_diff('day', min(ds) OVER (PARTITION BY event_type), ds) AS DOUBLE) AS x FROM daily),
+        |fit AS (SELECT event_type, regr_slope(y, x) AS slope, regr_intercept(y, x) AS icept,
+        |               max(x) AS xmax, max(ds) AS maxds
+        |        FROM wx GROUP BY event_type),
+        |resid AS (SELECT w.event_type, w.ds, w.y - (f.icept + f.slope*w.x) AS r1, h.holiday
+        |          FROM wx w JOIN fit f USING(event_type) LEFT JOIN hol h USING(ds)),
+        |holm AS (SELECT event_type, holiday, avg(r1) AS h_mean
+        |         FROM resid WHERE holiday IS NOT NULL GROUP BY 1, 2),
+        |dowm AS (SELECT r.event_type, dayofweek(r.ds) AS dow,
+        |                avg(r.r1 - coalesce(m.h_mean, 0)) AS dow_mean
+        |         FROM resid r LEFT JOIN holm m
+        |           ON m.event_type = r.event_type AND m.holiday = r.holiday
+        |         GROUP BY 1, 2),
+        |future AS (SELECT f.event_type, f.slope, f.icept, f.maxds + t.h AS ds, f.xmax + t.h AS x
+        |           FROM fit f CROSS JOIN (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS h) t)
+        |SELECT fu.event_type, fu.ds,
+        | round(greatest(0.0, fu.icept + fu.slope*fu.x
+        |   + coalesce(m.h_mean, 0) + coalesce(d.dow_mean, 0)), 4) AS yhat
+        |FROM future fu
+        |LEFT JOIN hol h ON h.ds = fu.ds
+        |LEFT JOIN holm m ON m.event_type = fu.event_type AND m.holiday = h.holiday
+        |LEFT JOIN dowm d ON d.event_type = fu.event_type AND dayofweek(fu.ds) = d.dow
+        |ORDER BY fu.event_type, fu.ds""".stripMargin,
 
     "q33_sales_returns" ->
       """WITH per_order AS (

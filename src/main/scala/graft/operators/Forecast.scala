@@ -332,6 +332,95 @@ object Forecast {
     forecastWithRegressor(daily, Seq("event_type"), horizon)
   }
 
+  /** Holiday-effects forecaster (`add_country_holidays` /
+    * `holidays=DataFrame`, ProphetForecaster.py:161,316-319): additive
+    * per-(key, holiday) effects on top of trend + weekly seasonality.
+    *
+    * Prophet fits one coefficient per holiday jointly; the closed-form
+    * analog estimates effects sequentially — holiday effect = mean
+    * trend-residual over that holiday's occurrences, then day-of-week
+    * means over the holiday-adjusted residuals — which coincides with
+    * the joint fit whenever holidays are sparse (the practical case).
+    * Like Prophet's holidays frame, `holidays` must list FUTURE holiday
+    * dates too (one holiday name per date); future dates absent from
+    * the frame simply get no holiday effect.
+    *
+    * All stages are groupBy/broadcast joins riding the checkpointed
+    * working set — holidays are a tiny dimension against the corpus.
+    *
+    * @param daily    keyCols + `ds` + `y`
+    * @param holidays (ds DATE, holiday STRING) covering history + horizon
+    */
+  def forecastWithHolidays(daily: DataFrame, keyCols: Seq[String], horizon: Int,
+                           holidays: DataFrame): DataFrame = {
+    val keys = keyCols.map(col)
+    val wk = Window.partitionBy(keys: _*)
+    val hol = broadcast(holidays.select(col("ds"), col("holiday")))
+    val wx = daily
+      .withColumn("x", datediff(col("ds"), min(col("ds")).over(wk)).cast("double"))
+      .localCheckpoint()
+
+    val fit = wx.groupBy(keys: _*).agg(
+      regr_slope(col("y"), col("x")).as("slope"),
+      regr_intercept(col("y"), col("x")).as("icept"),
+      max(col("x")).as("xmax"),
+      max(col("ds")).as("maxds"))
+
+    // trend residuals, tagged with the day's holiday (if any)
+    val resid = wx.join(fit, keyCols)
+      .withColumn("r1", col("y") - (col("icept") + col("slope") * col("x")))
+      .join(hol, Seq("ds"), "left")
+
+    val holMeans = resid.filter(col("holiday").isNotNull)
+      .groupBy(keys :+ col("holiday"): _*)
+      .agg(avg(col("r1")).as("h_mean"))
+
+    // weekly seasonality over holiday-adjusted residuals
+    val dowMeans = resid
+      .join(holMeans, keyCols :+ "holiday", "left")
+      .withColumn("dow", (dayofweek(col("ds")) - 1).cast("long"))
+      .groupBy(keys :+ col("dow"): _*)
+      .agg(avg(col("r1") - coalesce(col("h_mean"), lit(0.0))).as("dow_mean"))
+
+    val future = fit
+      .select(keys ++ Seq(col("slope"), col("icept"), col("xmax"), col("maxds"),
+        explode(sequence(lit(1), lit(horizon))).as("h")): _*)
+      .withColumn("ds", date_add(col("maxds"), col("h")))
+      .withColumn("x", col("xmax") + col("h"))
+      .withColumn("dow", (dayofweek(col("ds")) - 1).cast("long"))
+      .join(hol, Seq("ds"), "left")
+      .join(holMeans, keyCols :+ "holiday", "left")
+      .join(dowMeans, keyCols :+ "dow", "left")
+
+    future.select(keys ++ Seq(
+        col("ds"),
+        round(greatest(lit(0.0),
+          col("icept") + col("slope") * col("x") +
+            coalesce(col("h_mean"), lit(0.0)) +
+            coalesce(col("dow_mean"), lit(0.0))), 4).as("yhat")): _*)
+      .orderBy(keys :+ col("ds"): _*)
+  }
+
+  /** `q35_forecast_holidays` — holiday-effects forecast of daily event
+    * value per type, with day-of-month {1, 15} "payday" pseudo-holidays
+    * (a deterministic rule both engines can derive — the harness's
+    * stand-in for a country-holidays calendar; any (ds, holiday) frame
+    * plugs in). */
+  def forecastHolidays(spark: SparkSession, dir: String, horizon: Int = 7): DataFrame = {
+    // checkpoint the daily aggregate FIRST: both the holiday-calendar
+    // bounds and the forecast pipeline read it, and without this the
+    // raw events scan would run once per consumer
+    val daily = eventsDaily(spark, dir).localCheckpoint()
+    // holiday calendar spanning history + horizon, from the daily bounds
+    val holidays = daily
+      .agg(min(col("ds")).as("lo"), max(col("ds")).as("hi"))
+      .select(explode(sequence(col("lo"), date_add(col("hi"), horizon),
+        expr("INTERVAL 1 DAY"))).as("ds"))
+      .filter(dayofmonth(col("ds")).isin(1, 15))
+      .withColumn("holiday", concat(lit("payday_"), dayofmonth(col("ds")).cast("string")))
+    forecastWithHolidays(daily, Seq("event_type"), horizon, holidays)
+  }
+
   // ---- general OLS path: Fourier seasonality + multiplicative mode ----
 
   /** Solve A·beta = rhs (A symmetric p×p as row-major array) by Gaussian

@@ -209,6 +209,33 @@ class ForecastSpec extends SparkSpecBase {
     }
   }
 
+  test("holiday effects lift exactly the future holiday dates (add_country_holidays)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // flat series with +50 on the 1st and 15th; holidays frame covers
+    // history AND the horizon, like Prophet's holidays DataFrame
+    val start = java.time.LocalDate.of(2024, 1, 1)
+    val daily = (0 until 60).map { x =>
+      val d = start.plusDays(x)
+      val bump = if (d.getDayOfMonth == 1 || d.getDayOfMonth == 15) 50.0 else 0.0
+      ("k1", Date.valueOf(d), 100.0 + bump)
+    }.toDF("key", "ds", "y")
+    val holidays = (0 until 75).map(x => start.plusDays(x))
+      .filter(d => d.getDayOfMonth == 1 || d.getDayOfMonth == 15)
+      .map(d => (Date.valueOf(d), s"payday_${d.getDayOfMonth}"))
+      .toDF("ds", "holiday")
+    val out = Forecast.forecastWithHolidays(daily, Seq("key"), horizon = 14, holidays)
+      .select("ds", "yhat").as[(Date, Double)].collect()
+    assert(out.length == 14)
+    val (hol, plain) = out.partition { case (ds, _) =>
+      ds.toLocalDate.getDayOfMonth == 1 || ds.toLocalDate.getDayOfMonth == 15 }
+    assert(hol.nonEmpty, "horizon must contain a holiday date")
+    val holAvg = hol.map(_._2).sum / hol.length
+    val plainAvg = plain.map(_._2).sum / plain.length
+    assert(holAvg - plainAvg > 35.0, s"holiday lift: $holAvg vs $plainAvg")
+    assert(plain.forall { case (_, y) => math.abs(y - 100.0) < 8.0 },
+      "non-holiday forecasts stay near the base level")
+  }
+
   test("multi-metric fan-out forecasts every metric per key") {
     val out = Forecast.forecastMulti(spark, sfDir)
     val keys = out.select("event_type", "metric").distinct().count()
