@@ -43,6 +43,24 @@ object EventsStream {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** D1 variant — streaming sessionization via the native
+    * `session_window` bucketizer: per-user sessions close after
+    * `gapMinutes` of inactivity, the streaming twin of the batch
+    * lag+cumsum sessionizer (q09_sessionize / Sessionize.scala). Spark
+    * merges overlapping session windows in state; the watermark bounds
+    * how long an open session can wait for late events before the
+    * window is finalized and its state reclaimed — the same
+    * bounded-state story as the windowed rollups, with no custom
+    * flatMapGroupsWithState needed. */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_value"))
+
   /** Event record for the stateful dedup stream. */
   case class StreamEvent(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)

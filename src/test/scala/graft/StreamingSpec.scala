@@ -46,6 +46,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.except(streamingLogic).count() == 0)
   }
 
+  test("D1 session variant: session_window closes sessions after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamEvent]
+    val q = EventsStream.sessionizeStream(mem.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("d1_sess").outputMode("complete").start()
+    try {
+      mem.addData(
+        // user 1: two events 10 min apart (one session), then a 40-min
+        // gap (second session); user 2: one lone event
+        StreamEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        StreamEvent(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+        StreamEvent(3, ts("2024-01-01 10:50:00"), 1, "view", 4.0),
+        StreamEvent(4, ts("2024-01-01 09:00:00"), 2, "view", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("d1_sess")
+        .select(col("user_id"), col("session_start").cast("string"),
+          col("n_events"), col("session_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        (1L, "2024-01-01 10:00:00", 2L, 3.0),
+        (1L, "2024-01-01 10:50:00", 1L, 4.0),
+        (2L, "2024-01-01 09:00:00", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("D1 session twin: streaming sessionizer agrees with the batch q09 grouping") {
+    // same gap semantics, two runtimes: session event-counts per user
+    // from session_window must match the batch lag+cumsum sessionizer
+    val ev = Tables(spark, sfDir).events
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val streaming = EventsStream.sessionizeStream(ev)
+      .groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+    val batch = graft.operators.Sessionize.sessionize(spark, sfDir)
+      .groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+    assert(streaming.except(batch).count() == 0)
+    assert(batch.except(streaming).count() == 0)
+  }
+
   test("D1 sliding variant: each event lands in windowLen/slide windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
