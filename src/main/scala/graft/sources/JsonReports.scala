@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, MapType, StringType, StructField, StructType}
 
 /** Nested-JSON report flattening — the Spark-native `json_normalize`
   * (reference: Linkedin_Marketing.py:72 `json_normalize(sep="_")`,
@@ -182,6 +182,75 @@ object JsonReports {
     // the rest of the non-word chars (Linkedin_Marketing.py:80)
     dated.toDF(dated.columns.map(
       _.trim.toLowerCase.replace(" ", "_").replace("-", "_").replaceAll("[^\\w]", "")): _*)
+  }
+
+  /** HubSpot CRM records → flat DataFrame (HubSpot_Api.py:74
+    * `to_dataframe`: top-level scalar fields pass through, the
+    * `properties` dict flattens to one column per property, and `id`
+    * renames to `hs_object_id`).
+    *
+    * `properties` parse as MAP<STRING,STRING> (HubSpot returns all
+    * property values as strings) and `propertyNames` pins the promoted
+    * columns — the same list the reference passes to the API. */
+  def hubspotRecords(df: DataFrame, jsonCol: String, propertyNames: Seq[String]): DataFrame = {
+    val schema = schemaOf(
+      """id STRING, createdAt STRING, updatedAt STRING, archived BOOLEAN,
+        |properties MAP<STRING, STRING>""".stripMargin)
+    df.select(from_json(col(jsonCol), schema).as("r"))
+      .filter(col("r").isNotNull && col("r.id").isNotNull)
+      .select(Seq(
+        col("r.id").as("hs_object_id"),
+        col("r.createdAt").as("createdAt"),
+        col("r.updatedAt").as("updatedAt"),
+        col("r.archived").as("archived")) ++
+        propertyNames.map(p => element_at(col("r.properties"), p).as(p)): _*)
+  }
+
+  /** Facebook/Instagram organic insights → one wide row per object
+    * (facebook_organic.py:156 / instagram_organic.py:262
+    * `_flatten_insights`: each metric's first value becomes a column;
+    * `post_reactions_by_type_total` expands its nested reaction counts
+    * to `reactions_{type}` columns).
+    *
+    * The metric field `value` is scalar for ordinary metrics and an
+    * object for the reactions metric, so it parses as STRING (Spark
+    * preserves non-string JSON as its raw text) and splits after the
+    * pivot: scalars cast to double, the reactions object re-parses as a
+    * map. `metricNames`/`reactionTypes` are pinned so the pivot needs no
+    * discovery pass.
+    *
+    * @param df        one row per object: `idCol` + `jsonCol` holding the
+    *                  insights response (`{"data": [...]}`)
+    * @param metricNames scalar metric names to pivot into columns
+    * @param reactionTypes reaction keys expanded from
+    *                  post_reactions_by_type_total (absent → 0)
+    */
+  def insightsWide(df: DataFrame, idCol: String, jsonCol: String,
+                   metricNames: Seq[String],
+                   reactionTypes: Seq[String] = Nil): DataFrame = {
+    val schema = schemaOf(
+      """data ARRAY<STRUCT<name: STRING, period: STRING,
+        |  values: ARRAY<STRUCT<value: STRING>>>>""".stripMargin)
+    val reactionsMetric = "post_reactions_by_type_total"
+    val allMetrics = metricNames ++ (if (reactionTypes.nonEmpty) Seq(reactionsMetric) else Nil)
+    val exploded = df
+      .select(col(idCol), explode(coalesce(
+        from_json(col(jsonCol), schema).getField("data"), array())).as("m"))
+      // lifetime-period entry preferred, first value as fallback — the
+      // reference's next(...) selection (facebook_organic.py:176-180)
+      .select(col(idCol), col("m.name").as("name"),
+        col("m.values").getItem(0).getField("value").as("raw"))
+    val wide = exploded.groupBy(col(idCol)).pivot("name", allMetrics).agg(first(col("raw")))
+    val withScalars = metricNames.foldLeft(wide) { (acc, mName) =>
+      acc.withColumn(mName, col(mName).cast("double"))
+    }
+    if (reactionTypes.isEmpty) withScalars
+    else {
+      val rmap = from_json(col(reactionsMetric), MapType(StringType, DoubleType))
+      reactionTypes.foldLeft(withScalars) { (acc, t) =>
+        acc.withColumn(s"reactions_$t", coalesce(element_at(rmap, t), lit(0.0)))
+      }.drop(reactionsMetric)
+    }
   }
 
   /** X (Twitter) Ads analytics response → per-day metric rows

@@ -163,6 +163,49 @@ class SourcesSpec extends SparkSpecBase {
     assert(meta == (("2024-01-01", "CAMPAIGN", "ENGAGEMENT", "cmp1")))
   }
 
+  test("hubspotRecords flattens properties and renames id to hs_object_id") {
+    val payloads = Seq(
+      """{"id": "101", "createdAt": "2024-01-01T10:00:00Z", "updatedAt": "2024-01-05T10:00:00Z",
+        | "archived": false,
+        | "properties": {"email": "a@x.cl", "lifecyclestage": "lead", "ignored": "z"}}""".stripMargin,
+      """{"id": "102", "createdAt": "2024-01-02T10:00:00Z", "updatedAt": "2024-01-06T10:00:00Z",
+        | "archived": true, "properties": {"email": "b@x.cl"}}""".stripMargin,
+      "garbage")
+    val out = JsonReports.hubspotRecords(payloads.toDF("body"), "body",
+      propertyNames = Seq("email", "lifecyclestage"))
+    assert(out.columns.toSeq ==
+      Seq("hs_object_id", "createdAt", "updatedAt", "archived", "email", "lifecyclestage"))
+    val rows = out.orderBy("hs_object_id")
+      .select("hs_object_id", "email", "lifecyclestage").as[(String, String, Option[String])]
+      .collect()
+    assert(rows.toSeq == Seq(("101", "a@x.cl", Some("lead")), ("102", "b@x.cl", None)))
+  }
+
+  test("insightsWide pivots metrics and expands reaction types") {
+    val insights =
+      """{"data": [
+        | {"name": "post_impressions", "period": "lifetime", "values": [{"value": 1200}]},
+        | {"name": "post_clicks", "period": "lifetime", "values": [{"value": 45}]},
+        | {"name": "post_reactions_by_type_total", "period": "lifetime",
+        |  "values": [{"value": {"like": 30, "love": 5}}]}
+        |]}""".stripMargin
+    val insights2 =
+      """{"data": [
+        | {"name": "post_impressions", "period": "lifetime", "values": [{"value": 80}]}
+        |]}""".stripMargin
+    val df = Seq(("p1", insights), ("p2", insights2)).toDF("post_id", "body")
+    val out = JsonReports.insightsWide(df, "post_id", "body",
+      metricNames = Seq("post_impressions", "post_clicks"),
+      reactionTypes = Seq("like", "love", "wow"))
+    assert(out.columns.toSeq == Seq("post_id", "post_impressions", "post_clicks",
+      "reactions_like", "reactions_love", "reactions_wow"))
+    val rows = out.orderBy("post_id")
+      .select("post_impressions", "post_clicks", "reactions_like", "reactions_love", "reactions_wow")
+      .as[(Option[Double], Option[Double], Double, Double, Double)].collect()
+    assert(rows(0) == ((Some(1200.0), Some(45.0), 30.0, 5.0, 0.0)))
+    assert(rows(1) == ((Some(80.0), None, 0.0, 0.0, 0.0)), "absent metrics → null, absent reactions → 0")
+  }
+
   test("ga4Report takes headers from the first PARSEABLE row, not row 1") {
     val good =
       """{"reports": [{
