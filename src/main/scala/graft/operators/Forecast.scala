@@ -115,28 +115,55 @@ object Forecast {
     * cheapest correct materialization.
     *
     * @param daily          DataFrame with `keyCols`, date col `ds`, metric `y`
-    * @param horizon        number of future days to emit
+    * @param horizon        number of future periods to emit
     * @param cap            optional ceiling (growth='logistic' cap analog)
     * @param floor          optional floor (logistic floor analog)
     * @param includeIntervals emit `yhat_lower`/`yhat_upper` (±z·σ bands)
     * @param intervalWidth  central interval mass (reference default 0.80)
     * @param includeHistory also emit fitted values over observed dates
     * @param nonNegative    clip predictions (and bands) at 0
+    * @param freq           period of the series and future spine — "D"
+    *                       daily, "W" weekly, "MS" month-start (the
+    *                       reference `forecast(freq=...)` options;
+    *                       ProphetForecaster.py:299). x counts PERIODS
+    *                       since the key's first observation and the
+    *                       future spine steps by one period; day-of-week
+    *                       seasonality only applies at freq="D" (for
+    *                       coarser frequencies the per-key OLS residual
+    *                       mean is exactly 0, so the seasonal term
+    *                       vanishes by construction)
     * @return keyCols + ds + yhat [+ yhat_lower + yhat_upper] (4-dp)
     */
   def forecastDaily(daily: DataFrame, keyCols: Seq[String], horizon: Int,
                     cap: Option[Double] = None, floor: Option[Double] = None,
                     includeIntervals: Boolean = false, intervalWidth: Double = 0.80,
                     includeHistory: Boolean = false,
-                    nonNegative: Boolean = true): DataFrame = {
+                    nonNegative: Boolean = true,
+                    freq: String = "D"): DataFrame = {
+    require(Set("D", "W", "MS").contains(freq), s"freq must be D, W or MS, got $freq")
     val keys = keyCols.map(col)
     val wk = Window.partitionBy(keys: _*)
 
-    // x = days since the key's first observation (window rides one exchange);
-    // eagerly materialized — every downstream branch reads these blocks
-    // instead of re-running the upstream scan+aggregate.
+    def periodsSince(ds: Column, origin: Column): Column = freq match {
+      case "D"  => datediff(ds, origin).cast("double")
+      case "W"  => (datediff(ds, origin) / 7.0)
+      case "MS" => months_between(ds, origin)
+    }
+    def stepForward(origin: Column, h: Column): Column = freq match {
+      case "D"  => date_add(origin, h)
+      case "W"  => date_add(origin, h * 7)
+      case "MS" => add_months(origin, h)
+    }
+    // dow term only at daily frequency; the lit(0) dow collapses the
+    // seasonal aggregate to the per-key OLS residual mean, which is 0.
+    def dowOf(ds: Column): Column =
+      if (freq == "D") (dayofweek(ds) - 1).cast("long") else lit(0L)
+
+    // x = periods since the key's first observation (window rides one
+    // exchange); eagerly materialized — every downstream branch reads
+    // these blocks instead of re-running the upstream scan+aggregate.
     val wx = daily
-      .withColumn("x", datediff(col("ds"), min(col("ds")).over(wk)).cast("double"))
+      .withColumn("x", periodsSince(col("ds"), min(col("ds")).over(wk)))
       .localCheckpoint()
 
     // per-key OLS fit — single-pass distributed aggregation
@@ -149,15 +176,15 @@ object Forecast {
     // additive weekly seasonality: mean residual per (key, dow).
     // dow normalized to Sunday=0 (Spark dayofweek is Sunday=1).
     val dowMeans = wx.join(fit, keyCols)
-      .withColumn("dow", (dayofweek(col("ds")) - 1).cast("long"))
+      .withColumn("dow", dowOf(col("ds")))
       .groupBy(keys :+ col("dow"): _*)
       .agg(avg(col("y") - (col("icept") + col("slope") * col("x"))).as("dow_mean"))
 
-    // future spine: per-key `horizon` days past the last observation
+    // future spine: per-key `horizon` periods past the last observation
     val future = fit
       .select(keys ++ Seq(col("xmax"), col("maxds"),
         explode(sequence(lit(1), lit(horizon))).as("h")): _*)
-      .withColumn("ds", date_add(col("maxds"), col("h")))
+      .withColumn("ds", stepForward(col("maxds"), col("h")))
       .withColumn("x", col("xmax") + col("h"))
       .select(keys ++ Seq(col("ds"), col("x")): _*)
 
@@ -168,7 +195,7 @@ object Forecast {
 
     val pred = spine
       .join(fit.select(keys ++ Seq(col("slope"), col("icept")): _*), keyCols)
-      .withColumn("dow", (dayofweek(col("ds")) - 1).cast("long"))
+      .withColumn("dow", dowOf(col("ds")))
       .join(dowMeans, keyCols :+ "dow", "left")
       .withColumn("raw",
         col("icept") + col("slope") * col("x") + coalesce(col("dow_mean"), lit(0.0)))
@@ -183,7 +210,7 @@ object Forecast {
         // source scan. z is the driver-side normal quantile for the width.
         val z = intervalZ(intervalWidth)
         val sigma = wx.join(fit, keyCols)
-          .withColumn("dow", (dayofweek(col("ds")) - 1).cast("long"))
+          .withColumn("dow", dowOf(col("ds")))
           .join(dowMeans, keyCols :+ "dow", "left")
           .groupBy(keys: _*)
           .agg(coalesce(

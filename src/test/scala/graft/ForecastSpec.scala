@@ -209,6 +209,31 @@ class ForecastSpec extends SparkSpecBase {
     }
   }
 
+  test("freq='W' and freq='MS' step the future spine by period (forecast freq param)") {
+    // weekly series y = 100 + 3*week → slope 3 per week, spine steps 7 days
+    val weekly = (0 until 12).map { w =>
+      ("k1", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusWeeks(w)), 100.0 + 3.0 * w)
+    }.toDF("key", "ds", "y")
+    val wOut = Forecast.forecastDaily(weekly, Seq("key"), horizon = 4, freq = "W")
+      .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
+    assert(wOut.map(_._1.toLocalDate).toSeq ==
+      (12 until 16).map(w => java.time.LocalDate.of(2024, 1, 1).plusWeeks(w)))
+    wOut.zipWithIndex.foreach { case ((_, y), i) =>
+      assert(math.abs(y - (100.0 + 3.0 * (12 + i))) < 1e-6)
+    }
+    // month-start series y = 50 + 10*month → spine steps month starts
+    val monthly = (0 until 12).map { m =>
+      ("k1", Date.valueOf(java.time.LocalDate.of(2023, 1, 1).plusMonths(m)), 50.0 + 10.0 * m)
+    }.toDF("key", "ds", "y")
+    val mOut = Forecast.forecastDaily(monthly, Seq("key"), horizon = 3, freq = "MS")
+      .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
+    assert(mOut.map(_._1.toLocalDate).toSeq ==
+      (12 until 15).map(m => java.time.LocalDate.of(2023, 1, 1).plusMonths(m)))
+    mOut.zipWithIndex.foreach { case ((_, y), i) =>
+      assert(math.abs(y - (50.0 + 10.0 * (12 + i))) < 1e-6)
+    }
+  }
+
   test("holiday effects lift exactly the future holiday dates (add_country_holidays)") {
     import org.apache.spark.sql.functions.{col, lit}
     // flat series with +50 on the 1st and 15th; holidays frame covers
