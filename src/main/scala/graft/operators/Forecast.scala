@@ -359,6 +359,58 @@ object Forecast {
     forecastWithRegressor(daily, Seq("event_type"), horizon)
   }
 
+  /** Fit stage as a PERSISTABLE MODEL FRAME — the closed-form analog of
+    * `save_models`/`load_models` (ProphetForecaster.py:405,436): one row
+    * per key holding the trend coefficients, spine anchors, and the
+    * 7-slot day-of-week effect vector. Write it as parquet, read it back
+    * any time, and [[predictFromModel]] re-forecasts WITHOUT touching
+    * the training corpus — the `predict_from_loaded_models` path
+    * (ProphetForecaster.py:475), except the "pickle" is a queryable
+    * table. */
+  def fitDailyModel(daily: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    val wk = Window.partitionBy(keys: _*)
+    val wx = daily
+      .withColumn("x", datediff(col("ds"), min(col("ds")).over(wk)).cast("double"))
+      .localCheckpoint()
+    val fit = wx.groupBy(keys: _*).agg(
+      regr_slope(col("y"), col("x")).as("slope"),
+      regr_intercept(col("y"), col("x")).as("icept"),
+      max(col("x")).as("xmax"),
+      max(col("ds")).as("maxds"))
+    val dowMap = wx.join(fit, keyCols)
+      .withColumn("dow", (dayofweek(col("ds")) - 1).cast("long"))
+      .groupBy(keys :+ col("dow"): _*)
+      .agg(avg(col("y") - (col("icept") + col("slope") * col("x"))).as("dow_mean"))
+      .groupBy(keys: _*)
+      .agg(map_from_entries(collect_list(struct(col("dow"), col("dow_mean")))).as("dow_map"))
+    fit.join(dowMap, keyCols)
+      .withColumn("dows", transform(sequence(lit(0), lit(6)),
+        d => coalesce(element_at(col("dow_map"), d.cast("long")), lit(0.0))))
+      .select(keys ++ Seq(col("slope"), col("icept"), col("xmax"), col("maxds"), col("dows")): _*)
+  }
+
+  /** Forecast `horizon` days from a fitted model frame (from
+    * [[fitDailyModel]], possibly parquet-round-tripped) — pure column
+    * arithmetic over the tiny model table, zero passes over the
+    * training corpus. Matches [[forecastDaily]]'s output exactly on the
+    * same data (spec-asserted). */
+  def predictFromModel(model: DataFrame, keyCols: Seq[String], horizon: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    model
+      .select(keys ++ Seq(col("slope"), col("icept"), col("xmax"), col("maxds"), col("dows"),
+        explode(sequence(lit(1), lit(horizon))).as("h")): _*)
+      .withColumn("ds", date_add(col("maxds"), col("h")))
+      .withColumn("x", col("xmax") + col("h"))
+      .withColumn("dow", (dayofweek(col("ds")) - 1).cast("int"))
+      .select(keys ++ Seq(
+        col("ds"),
+        round(greatest(lit(0.0),
+          col("icept") + col("slope") * col("x") +
+            element_at(col("dows"), col("dow") + 1)), 4).as("yhat")): _*)
+      .orderBy(keys :+ col("ds"): _*)
+  }
+
   /** Holiday-effects forecaster (`add_country_holidays` /
     * `holidays=DataFrame`, ProphetForecaster.py:161,316-319): additive
     * per-(key, holiday) effects on top of trend + weekly seasonality.

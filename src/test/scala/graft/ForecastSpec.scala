@@ -261,6 +261,22 @@ class ForecastSpec extends SparkSpecBase {
       "non-holiday forecasts stay near the base level")
   }
 
+  test("model frame round-trips through parquet and predicts identically (save/load_models)") {
+    val daily = (0 until 28).map { x =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(x)
+      val bump = if (d.getDayOfWeek == java.time.DayOfWeek.SUNDAY) 40.0 else 0.0
+      ("k1", Date.valueOf(d), 100.0 + 1.5 * x + bump)
+    }.toDF("key", "ds", "y")
+    val direct = Forecast.forecastDaily(daily, Seq("key"), horizon = 7)
+      .select("ds", "yhat").as[(Date, Double)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString
+    Forecast.fitDailyModel(daily, Seq("key")).write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    val fromModel = Forecast.predictFromModel(loaded, Seq("key"), horizon = 7)
+      .select("ds", "yhat").as[(Date, Double)].collect().toMap
+    assert(fromModel == direct, "persisted model must reproduce the direct forecast exactly")
+  }
+
   test("multi-metric fan-out forecasts every metric per key") {
     val out = Forecast.forecastMulti(spark, sfDir)
     val keys = out.select("event_type", "metric").distinct().count()
