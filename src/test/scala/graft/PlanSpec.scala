@@ -43,4 +43,33 @@ class PlanSpec extends SparkSpecBase {
     val plan = Similarity.embeddingNearDup(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("near-dup band dedup never aggregates on embedding payloads") {
+    // the oversized-block distinct must run over bare id pairs — a
+    // HashAggregate keyed on the vector columns would re-shuffle two
+    // double[dim] arrays per band collision (the round-3 verdict's
+    // lshPairs finding)
+    val plan = Similarity.embeddingNearDup(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!"""HashAggregate\(keys=\[[^\]]*\bva\b""".r.findFirstIn(plan).isDefined &&
+           !"""HashAggregate\(keys=\[[^\]]*\bvb\b""".r.findFirstIn(plan).isDefined,
+      "distinct must key on (label, id_a, id_b), not the vectors")
+  }
+
+  test("q33 returns report: two scans, one agg shuffle, no cartesian") {
+    val plan = Reports.salesReturns(spark, sfDir).queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"expected lineitem+orders scans only, got $scans")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("forecast plans read the checkpointed working set, not the source") {
+    // the (keys x days) working set materializes ONCE at plan build; the
+    // executed plan must contain zero parquet scans — at 100 TB this is
+    // the one-pass-vs-several property
+    for (q <- Seq("q17_forecast_bounded", "q18_forecast_regressor")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("Scan parquet"),
+        s"$q re-scans the source instead of the checkpoint")
+    }
+  }
 }
