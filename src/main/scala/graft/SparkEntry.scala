@@ -59,6 +59,7 @@ object SparkEntry {
     "q24_embedding_neardup"      -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "q25_ann_bruteforce"         -> ((s, d) => Similarity.annBruteForce(s, d)),
     "q26_ann_lsh"                -> ((s, d) => Similarity.annLsh(s, d)),
+    "q36_ann_ivf"                -> ((s, d) => Similarity.annIvf(s, d)),
     "q27_langid"                 -> ((s, d) => TextAnalysis.langId(s, d)),
     "q28_quality_score"          -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q29_token_counts"           -> ((s, d) => TextAnalysis.tokenCounts(s, d)),

@@ -148,6 +148,63 @@ object Similarity {
       when(vectors.dot(v, plane) > 0, 1).otherwise(0)
     }: _*)
 
+  /** `q36_ann_ivf` — IVF (inverted-file) ANN, the other scale path the
+    * survey names alongside LSH: a coarse k-means quantizer partitions
+    * the corpus into `nClusters` cells; each query probes only its
+    * `nProbe` nearest cells and reranks those candidates by exact
+    * cosine.
+    *
+    * Spark realization: the quantizer is Spark ML's distributed KMeans
+    * (Lloyd's over the corpus — the standard IVF build step; like the
+    * LSH bucketing, the trained centroids + cell assignment are
+    * build-once, reuse-many artifacts a production index would persist
+    * as a bucketed table). Centroids are tiny (nClusters × dim) and ride
+    * to executors as plan literals; cell probing is an `array_sort` over
+    * per-centroid distances — no UDF, no corpus shuffle beyond the one
+    * cell-assignment pass, and the candidate join is an equi-join on the
+    * cell id. Recall vs the brute-force baseline is spec-tested like the
+    * LSH variant. */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 10, numQueries: Int = 5,
+             nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val t = Tables(spark, dir)
+    val e = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", vectors.norm(col("v")))
+    val fe = e.withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nClusters).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(fe)
+    val assigned = model.transform(fe)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+
+    // nProbe nearest cells per query: rank centroids by
+    // |c|² − 2·v·c (equivalent to squared distance for fixed v);
+    // centroids enter the plan as literals — they are the index metadata
+    val cents = model.clusterCenters.map(_.toArray)
+    val cellScores = array(cents.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit).toSeq: _*)
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * vectors.dot(col("v"), cLit)).as("d"),
+        lit(i).as("cell"))
+    }.toSeq: _*)
+    val probes = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(slice(array_sort(cellScores), 1, nProbe)).as("p"))
+      .select(col("q_id"), col("qv"), col("qn"), col("p.cell").as("cell"))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    assigned.select(col("cell"), col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cos", round(
+        vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** C7 `q26_ann_lsh` — sign-random-projection LSH ANN: 16 hyperplanes,
     * 4 bands of 4 bits. The corpus is bucketed ONCE by (band, band-bits)
     * — at scale this bucketing is computed in a single map pass and can

@@ -34,6 +34,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert(mean >= 0.2, s"mean recall $mean too low — bucketing likely broken")
   }
 
+  test("IVF ANN recall vs brute force is useful and candidate set is cell-bounded") {
+    val k = 10
+    val bf = Similarity.annBruteForce(spark, sfDir, k = k, numQueries = 5)
+      .as[(Long, Long, Long, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val ivf = Similarity.annIvf(spark, sfDir, k = k, numQueries = 5)
+      .as[(Long, Long, Long, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val recalls = bf.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 4 of 16 cells probed → ~1/4 of the corpus scanned per query; on
+    // near-uniform vectors the true neighbors concentrate in the probed
+    // cells, so recall should beat the scanned fraction by a wide margin
+    assert(mean >= 0.3, s"mean IVF recall $mean too low — quantizer or probing broken")
+    // and the reported neighbors must be genuine: every IVF cosine equals
+    // the brute-force cosine for the same (q, c) pair where both appear
+    val bfCos = Similarity.annBruteForce(spark, sfDir, k = k, numQueries = 5)
+      .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._3) -> r._4).toMap
+    Similarity.annIvf(spark, sfDir, k = k, numQueries = 5)
+      .as[(Long, Long, Long, Double)].collect().foreach { case (q, _, c, cos) =>
+        bfCos.get((q, c)).foreach(b => assert(b == cos, s"cosine mismatch for ($q,$c)"))
+      }
+  }
+
   test("near-dup join is label-blocked, not cross") {
     val plan = Similarity.embeddingNearDup(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
