@@ -227,4 +227,63 @@ object Dedup {
       .select(col("doc_id"), col("rep_id"), col("is_dup"))
       .orderBy(col("doc_id"))
   }
+
+  /** Duplicate-CLUSTER resolution: transitive closure over candidate
+    * pairs. Near-dup pair generation finds edges; an LLM-corpus dedup
+    * must then collapse each connected component to one canonical
+    * document — `perDocVerdict`'s one-hop min-neighbor is not
+    * transitive (a–b, b–c leaves c pointing at b, not a).
+    *
+    * Spark realization: min-label propagation — each iteration is ONE
+    * equi-join + ONE aggregation (labels pull the minimum over their
+    * neighborhood), with `localCheckpoint` per round so lineage stays
+    * flat. Converges in O(component diameter) rounds; near-dup graphs
+    * are dense clumps with tiny diameters, so 3–5 rounds is typical.
+    * (For adversarially long chains the alternating large-star /
+    * small-star variant gives O(log n) rounds — same per-round plan
+    * shape.) The per-round convergence probe is a `limit(1).count()` —
+    * the driver reads ONE row per round, never the labels.
+    *
+    * @param pairs edges as (id_a, id_b)
+    * @return (id, rep_id) for every id appearing in `pairs`, rep_id =
+    *         the component minimum
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
+        .groupBy(col("src")).agg(min(col("nrep")).as("min_nrep"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("min_nrep")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("min_nrep"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("id"), col("rep").as("old")), "id")
+        .filter(col("rep") =!= col("old"))
+        .limit(1).count()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("rep").as("rep_id"))
+  }
+
+  /** `q37_dup_clusters` — connected components over the embedding
+    * near-dup pairs (q24's edges): every vector in a duplicate cluster
+    * maps to the cluster's minimum vec_id. Oracle: DuckDB recursive CTE
+    * reachability over the same pair predicate. */
+  def dupClustersEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    dupClusters(Similarity.embeddingNearDup(spark, dir).select(col("id_a"), col("id_b")))
+      .orderBy(col("id"))
 }

@@ -64,4 +64,16 @@ class DedupSpec extends SparkSpecBase {
     val plan2 = Dedup.ngramJaccardDocs(planted).queryExecution.executedPlan.toString
     assert(!plan2.contains("CartesianProduct"), "ngram plan must stay bucketed")
   }
+
+  test("dupClusters resolves TRANSITIVE chains to the component minimum") {
+    import spark.implicits._
+    // chain 1-2-3-4 (no direct 1-4 edge!), pair 10-11, singleton edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L),
+      s"got $out — one-hop min-neighbor would leave 4 → 3")
+  }
 }
