@@ -263,16 +263,16 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
         .groupBy(col("src")).agg(min(col("nrep")).as("min_nrep"))
+      // the change flag rides the same join — no second labels join to
+      // detect convergence, and the limit(1) probe reads at most one row
       val next = labels
         .join(nbrMin.select(col("src").as("id"), col("min_nrep")), Seq("id"), "left")
         .select(col("id"),
-          least(col("rep"), coalesce(col("min_nrep"), col("rep"))).as("rep"))
+          least(col("rep"), coalesce(col("min_nrep"), col("rep"))).as("rep"),
+          (col("min_nrep") < col("rep")).as("chg"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("id"), col("rep").as("old")), "id")
-        .filter(col("rep") =!= col("old"))
-        .limit(1).count()
-      labels = next
+      val changed = next.filter(col("chg")).limit(1).count()
+      labels = next.select(col("id"), col("rep"))
       done = changed == 0
       iter += 1
     }
