@@ -51,6 +51,7 @@ object SparkEntry {
     "q18_forecast_regressor"     -> ((s, d) => Forecast.forecastRegressor(s, d)),
     "q19_forecast_yearly"        -> ((s, d) => Forecast.forecastYearly(s, d)),
     "q35_forecast_holidays"      -> ((s, d) => Forecast.forecastHolidays(s, d)),
+    "q38_forecast_changepoints"  -> ((s, d) => Forecast.forecastChangepoints(s, d)),
     // C-block: training-data pipeline
     "q20_dedup_exact"            -> ((s, d) => Dedup.dedupExact(s, d)),
     "q21_minhash_lsh"            -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -338,6 +339,41 @@ object SparkEntry {
         |           FROM betas b
         |           CROSS JOIN (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS h) t
         |           JOIN freg g ON g.event_type = b.event_type)
+        |SELECT f.event_type, f.ds,
+        | round(greatest(0.0, f.b0 + f.b1*f.x + f.b2*f.r + coalesce(d.dow_mean, 0)), 4) AS yhat
+        |FROM future f LEFT JOIN dowm d
+        |  ON f.event_type = d.event_type AND dayofweek(f.ds) = d.dow
+        |ORDER BY f.event_type, f.ds""".stripMargin,
+
+    // piecewise-linear trend, one knot at 0.8·span: the hinge is an
+    // auto-generated regressor, so the SQL is the q18 Cramer pattern
+    // with r = (x − 0.8·max(x))₊ — same formulas, same float tree.
+    "q38_forecast_changepoints" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS ds, sum(value) AS y
+        |  FROM events GROUP BY 1, 2),
+        |wx0 AS (SELECT *, CAST(date_diff('day', min(ds) OVER (PARTITION BY event_type), ds) AS DOUBLE) AS x FROM daily),
+        |wx AS (SELECT *, greatest(0.0, x - 0.8 * max(x) OVER (PARTITION BY event_type)) AS r FROM wx0),
+        |sums AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |                sum(x) AS sx, sum(r) AS sr, sum(x*x) AS sxx, sum(x*r) AS sxr, sum(r*r) AS srr,
+        |                sum(y) AS sy, sum(x*y) AS sxy, sum(r*y) AS sry,
+        |                max(x) AS xmax, max(ds) AS maxds
+        |         FROM wx GROUP BY 1),
+        |betas AS (SELECT event_type, xmax, maxds,
+        |  (sy*(sxx*srr - sxr*sxr) - sx*(sxy*srr - sxr*sry) + sr*(sxy*sxr - sxx*sry))
+        |    / (n*(sxx*srr - sxr*sxr) - sx*(sx*srr - sxr*sr) + sr*(sx*sxr - sxx*sr)) AS b0,
+        |  (n*(sxy*srr - sxr*sry) - sy*(sx*srr - sxr*sr) + sr*(sx*sry - sxy*sr))
+        |    / (n*(sxx*srr - sxr*sxr) - sx*(sx*srr - sxr*sr) + sr*(sx*sxr - sxx*sr)) AS b1,
+        |  (n*(sxx*sry - sxy*sxr) - sx*(sx*sry - sxy*sr) + sy*(sx*sxr - sxx*sr))
+        |    / (n*(sxx*srr - sxr*sxr) - sx*(sx*srr - sxr*sr) + sr*(sx*sxr - sxx*sr)) AS b2
+        |  FROM sums),
+        |dowm AS (SELECT w.event_type, dayofweek(w.ds) AS dow,
+        |                avg(w.y - (b.b0 + b.b1*w.x + b.b2*w.r)) AS dow_mean
+        |         FROM wx w JOIN betas b USING(event_type) GROUP BY 1, 2),
+        |future AS (SELECT b.event_type, b.b0, b.b1, b.b2, b.maxds + t.h AS ds, b.xmax + t.h AS x,
+        |                  b.xmax + t.h - 0.8*b.xmax AS r
+        |           FROM betas b
+        |           CROSS JOIN (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS h) t)
         |SELECT f.event_type, f.ds,
         | round(greatest(0.0, f.b0 + f.b1*f.x + f.b2*f.r + coalesce(d.dow_mean, 0)), 4) AS yhat
         |FROM future f LEFT JOIN dowm d

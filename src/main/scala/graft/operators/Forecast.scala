@@ -123,15 +123,24 @@ object Forecast {
     * @param includeHistory also emit fitted values over observed dates
     * @param nonNegative    clip predictions (and bands) at 0
     * @param freq           period of the series and future spine — "D"
-    *                       daily, "W" weekly, "MS" month-start (the
-    *                       reference `forecast(freq=...)` options;
-    *                       ProphetForecaster.py:299). x counts PERIODS
-    *                       since the key's first observation and the
-    *                       future spine steps by one period; day-of-week
-    *                       seasonality only applies at freq="D" (for
-    *                       coarser frequencies the per-key OLS residual
-    *                       mean is exactly 0, so the seasonal term
-    *                       vanishes by construction)
+    *                       daily, "W" weekly, "MS" month-start, "H"
+    *                       hourly (the reference `forecast(freq=...)`
+    *                       options; ProphetForecaster.py:299). x counts
+    *                       PERIODS since the key's first observation and
+    *                       the future spine steps by one period; the
+    *                       seasonal term is day-of-week at freq="D" and
+    *                       hour-of-day at freq="H" (Prophet's
+    *                       `daily_seasonality` for sub-daily series) —
+    *                       for W/MS the per-key OLS residual mean is
+    *                       exactly 0, so the term vanishes by
+    *                       construction. At freq="H" `ds` is a
+    *                       timestamp, not a date.
+    * @param growth         "linear" (default) or "flat" — Prophet's
+    *                       growth='flat' (ProphetForecaster.py:303):
+    *                       intercept-only trend at the key's mean, so
+    *                       the forecast never extrapolates a slope;
+    *                       seasonal terms still apply. (growth=
+    *                       'logistic' is linear + cap/floor, above.)
     * @return keyCols + ds + yhat [+ yhat_lower + yhat_upper] (4-dp)
     */
   def forecastDaily(daily: DataFrame, keyCols: Seq[String], horizon: Int,
@@ -139,8 +148,11 @@ object Forecast {
                     includeIntervals: Boolean = false, intervalWidth: Double = 0.80,
                     includeHistory: Boolean = false,
                     nonNegative: Boolean = true,
-                    freq: String = "D"): DataFrame = {
-    require(Set("D", "W", "MS").contains(freq), s"freq must be D, W or MS, got $freq")
+                    freq: String = "D",
+                    growth: String = "linear"): DataFrame = {
+    require(Set("D", "W", "MS", "H").contains(freq), s"freq must be D, W, MS or H, got $freq")
+    require(Set("linear", "flat").contains(growth),
+      s"growth must be linear or flat (logistic = linear + cap/floor), got $growth")
     val keys = keyCols.map(col)
     val wk = Window.partitionBy(keys: _*)
 
@@ -148,16 +160,22 @@ object Forecast {
       case "D"  => datediff(ds, origin).cast("double")
       case "W"  => (datediff(ds, origin) / 7.0)
       case "MS" => months_between(ds, origin)
+      case "H"  => (unix_timestamp(ds) - unix_timestamp(origin)) / 3600.0
     }
     def stepForward(origin: Column, h: Column): Column = freq match {
       case "D"  => date_add(origin, h)
       case "W"  => date_add(origin, h * 7)
       case "MS" => add_months(origin, h)
+      case "H"  => origin.cast("timestamp") + make_dt_interval(lit(0), h, lit(0), lit(0))
     }
-    // dow term only at daily frequency; the lit(0) dow collapses the
-    // seasonal aggregate to the per-key OLS residual mean, which is 0.
-    def dowOf(ds: Column): Column =
-      if (freq == "D") (dayofweek(ds) - 1).cast("long") else lit(0L)
+    // seasonal slot: day-of-week at D, hour-of-day at H; the lit(0) slot
+    // at W/MS collapses the seasonal aggregate to the per-key OLS
+    // residual mean, which is 0.
+    def dowOf(ds: Column): Column = freq match {
+      case "D" => (dayofweek(ds) - 1).cast("long")
+      case "H" => hour(ds).cast("long")
+      case _   => lit(0L)
+    }
 
     // x = periods since the key's first observation (window rides one
     // exchange); eagerly materialized — every downstream branch reads
@@ -166,12 +184,21 @@ object Forecast {
       .withColumn("x", periodsSince(col("ds"), min(col("ds")).over(wk)))
       .localCheckpoint()
 
-    // per-key OLS fit — single-pass distributed aggregation
-    val fit = wx.groupBy(keys: _*).agg(
-      regr_slope(col("y"), col("x")).as("slope"),
-      regr_intercept(col("y"), col("x")).as("icept"),
-      max(col("x")).as("xmax"),
-      max(col("ds")).as("maxds"))
+    // per-key fit — single-pass distributed aggregation; flat growth is
+    // the intercept-only model (mean level, zero slope)
+    val fit =
+      if (growth == "flat")
+        wx.groupBy(keys: _*).agg(
+          avg(col("y")).as("icept"),
+          max(col("x")).as("xmax"),
+          max(col("ds")).as("maxds"))
+          .withColumn("slope", lit(0.0))
+      else
+        wx.groupBy(keys: _*).agg(
+          regr_slope(col("y"), col("x")).as("slope"),
+          regr_intercept(col("y"), col("x")).as("icept"),
+          max(col("x")).as("xmax"),
+          max(col("ds")).as("maxds"))
 
     // additive weekly seasonality: mean residual per (key, dow).
     // dow normalized to Sunday=0 (Spark dayofweek is Sunday=1).
@@ -299,18 +326,37 @@ object Forecast {
       max(col("x")).as("xmax"), max(col("ds")).as("maxds"))
 
     // Cramer's rule on [[n,sx,sr],[sx,sxx,sxr],[sr,sxr,srr]]·b = [sy,sxy,sry].
+    // Singular-system guard (degenerate keys: <3 observations, constant
+    // regressor, or r collinear with x): det ≈ 0 would turn the divisions
+    // into null/±Inf betas and the final greatest(0, null) into a silent
+    // 0.0 "forecast" — instead such keys FALL BACK to the 2-parameter
+    // trend-only fit (b2 = 0), the same model forecastDaily fits. The
+    // threshold is RELATIVE (|det| vs the diagonal product n·sxx·srr,
+    // the determinant's leading term) because the sums' magnitude is
+    // data-dependent; 1e-9 is far above float cancellation noise and far
+    // below any genuinely solvable system's ratio.
     def det3(a: Column, b: Column, c: Column, d: Column, e: Column, f: Column,
              g: Column, h: Column, i: Column): Column =
       a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
     val betas = fit
       .withColumn("det", det3(col("n"), col("sx"), col("sr"),
         col("sx"), col("sxx"), col("sxr"), col("sr"), col("sxr"), col("srr")))
-      .withColumn("b0", det3(col("sy"), col("sx"), col("sr"),
-        col("sxy"), col("sxx"), col("sxr"), col("sry"), col("sxr"), col("srr")) / col("det"))
-      .withColumn("b1", det3(col("n"), col("sy"), col("sr"),
-        col("sx"), col("sxy"), col("sxr"), col("sr"), col("sry"), col("srr")) / col("det"))
-      .withColumn("b2", det3(col("n"), col("sx"), col("sy"),
-        col("sx"), col("sxx"), col("sxy"), col("sr"), col("sxr"), col("sry")) / col("det"))
+      .withColumn("degen",
+        abs(col("det")) <= lit(1e-9) * abs(col("n") * col("sxx") * col("srr")))
+      // trend-only fallback: simple OLS slope/intercept from the same sums
+      .withColumn("den2", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("b1f", when(abs(col("den2")) > lit(0.0),
+        (col("n") * col("sxy") - col("sx") * col("sy")) / col("den2")).otherwise(lit(0.0)))
+      .withColumn("b0f", (col("sy") - col("b1f") * col("sx")) / col("n"))
+      .withColumn("b0", when(col("degen"), col("b0f"))
+        .otherwise(det3(col("sy"), col("sx"), col("sr"),
+          col("sxy"), col("sxx"), col("sxr"), col("sry"), col("sxr"), col("srr")) / col("det")))
+      .withColumn("b1", when(col("degen"), col("b1f"))
+        .otherwise(det3(col("n"), col("sy"), col("sr"),
+          col("sx"), col("sxy"), col("sxr"), col("sr"), col("sry"), col("srr")) / col("det")))
+      .withColumn("b2", when(col("degen"), lit(0.0))
+        .otherwise(det3(col("n"), col("sx"), col("sy"),
+          col("sx"), col("sxx"), col("sxy"), col("sr"), col("sxr"), col("sry")) / col("det")))
       .select(keys ++ Seq(col("b0"), col("b1"), col("b2"), col("xmax"), col("maxds")): _*)
 
     val dowMeans = wx.join(betas, keyCols)
@@ -550,18 +596,31 @@ object Forecast {
       Seq(sin(t * lit(w)), cos(t * lit(w)))
     }
 
-  /** Per-key OLS forecaster over trend + weekly/yearly Fourier
-    * seasonality (ProphetForecaster.py:152-163 custom/yearly
-    * seasonality; `seasonality_mode` at :277).
+  /** Per-key OLS forecaster over trend + changepoints + weekly/yearly
+    * Fourier seasonality (ProphetForecaster.py:152-163 custom/yearly
+    * seasonality; `seasonality_mode` at :277; `n_changepoints` /
+    * `changepoint_range` / `changepoint_prior_scale` at :281-285).
     *
-    * Model: y ~ [1, x, sin/cos(2πn·t/7)ₙ≤wk, sin/cos(2πn·t/365.25)ₙ≤yr]
-    * where x = days since the key's first observation (trend, well-
-    * conditioned) and t = days since epoch (seasonality phase is
-    * calendar-anchored, consistent across keys). The Gram matrix and
-    * moment vector are ONE distributed partial aggregation (p(p+1)/2+p
-    * sums); the p×p solve runs per key on the aggregated row via
-    * [[solveDense]] — no iteration, no collect, no per-row UDF in the
-    * scan path.
+    * Model: y ~ [1, x, (x−kᵢ)₊ᵢ≤cp, sin/cos(2πn·t/7)ₙ≤wk,
+    * sin/cos(2πn·t/365.25)ₙ≤yr] where x = days since the key's first
+    * observation (trend, well-conditioned) and t = days since epoch
+    * (seasonality phase is calendar-anchored, consistent across keys).
+    * The Gram matrix and moment vector are ONE distributed partial
+    * aggregation (p(p+1)/2+p sums); the p×p solve runs per key on the
+    * aggregated row via [[solveDense]] — no iteration, no collect, no
+    * per-row UDF in the scan path.
+    *
+    * Changepoints (Prophet's piecewise-linear trend — the core trend
+    * model every reference `forecast()` call gets implicitly): `cp`
+    * hinge features (x − kᵢ)₊ at knots kᵢ evenly spaced over the first
+    * `changepointRange` of EACH key's history — kᵢ = range·span·i/cp,
+    * the closed-form twin of Prophet's `np.linspace` changepoint grid
+    * over the first `changepoint_range` of the index. A series with a
+    * trend break then extrapolates its FINAL slope (b_x + Σ hinge
+    * coefficients), not the global average slope. `changepointRidge`
+    * adds an L2 penalty on the hinge coefficients only (larger ridge →
+    * stiffer trend), the ridge-regression analog of a SMALLER
+    * `changepoint_prior_scale`; 0 = unpenalized exact OLS.
     *
     * `multiplicative=true` fits in log space (ln y = trend + seasonality
     * → y = e^trend · e^seasonality) — the closed-form equivalent of
@@ -577,7 +636,12 @@ object Forecast {
     */
   def forecastFourier(daily: DataFrame, keyCols: Seq[String], horizon: Int,
                       weeklyOrder: Int = 2, yearlyOrder: Int = 3,
-                      multiplicative: Boolean = false): DataFrame = {
+                      multiplicative: Boolean = false,
+                      changepoints: Int = 0, changepointRange: Double = 0.8,
+                      changepointRidge: Double = 0.0): DataFrame = {
+    require(changepoints >= 0, s"changepoints must be >= 0, got $changepoints")
+    require(changepointRange > 0 && changepointRange <= 1,
+      s"changepointRange must be in (0,1], got $changepointRange")
     val keys = keyCols.map(col)
     val wk = Window.partitionBy(keys: _*)
     val logEps = 1e-6
@@ -589,12 +653,18 @@ object Forecast {
       .withColumn("yy", if (multiplicative) log(greatest(col("y"), lit(logEps))) else col("y"))
       .localCheckpoint()
 
-    def features(x: Column, t: Column, yearlyGate: Column): Seq[Column] =
-      Seq(lit(1.0), x) ++ fourier(t, 7.0, weeklyOrder) ++
+    // hinge knots are PER KEY (fractions of that key's span), so mixed-
+    // history corpora fit in the same single pass
+    def hinges(x: Column, span: Column): Seq[Column] =
+      (1 to changepoints).map { i =>
+        greatest(lit(0.0), x - lit(changepointRange * i / changepoints) * span)
+      }
+    def features(x: Column, t: Column, span: Column, yearlyGate: Column): Seq[Column] =
+      Seq(lit(1.0), x) ++ hinges(x, span) ++ fourier(t, 7.0, weeklyOrder) ++
         fourier(t, 365.25, yearlyOrder).map(_ * yearlyGate)
-    val p = 2 + 2 * weeklyOrder + 2 * yearlyOrder
+    val p = 2 + changepoints + 2 * weeklyOrder + 2 * yearlyOrder
     val gate = when(col("span") >= minYearlySpanDays, lit(1.0)).otherwise(lit(0.0))
-    val f = features(col("x"), col("t"), gate)
+    val f = features(col("x"), col("t"), col("span"), gate)
 
     // Gram sums: upper triangle mirrored row-major + moment vector —
     // all plain `sum()` aggregates, partial map-side, one shuffle.
@@ -605,9 +675,16 @@ object Forecast {
       .agg(gramCols.head, (gramCols.tail ++ rhsCols ++
         Seq(max(col("x")).as("xmax"), max(col("ds")).as("maxds"))): _*)
 
+    // ridge lands only on the hinge-coefficient diagonal entries — trend
+    // and seasonality stay unpenalized, exactly like Prophet's prior
+    // structure (flat prior on k/m, Laplace prior on the deltas only)
+    val hingeIdx = (2 until 2 + changepoints).toSet
     val solve = udf((gram: Seq[Double], rhs: Seq[Double]) => solveDense(p, gram, rhs))
     val betas = fit.withColumn("beta", solve(
-        array((for (i <- 0 until p; j <- 0 until p) yield col(s"g_${i}_$j")): _*),
+        array((for (i <- 0 until p; j <- 0 until p) yield {
+          val g = col(s"g_${i}_$j")
+          if (i == j && hingeIdx(i) && changepointRidge > 0.0) g + lit(changepointRidge) else g
+        }): _*),
         array((0 until p).map(i => col(s"m_$i")): _*)))
       .select(keys ++ Seq(col("beta"), col("xmax"), col("maxds")): _*)
 
@@ -618,9 +695,11 @@ object Forecast {
       .withColumn("x", col("xmax") + col("h"))
       .withColumn("t", datediff(col("ds"), lit("1970-01-01").cast("date")).cast("double"))
 
-    // span == max(x) per key == xmax, so the same yearly gate applies
+    // span == max(x) per key == xmax, so the same yearly gate and hinge
+    // knots apply; beyond the last knot every hinge is active, so the
+    // extrapolated slope is the FINAL regime's slope
     val futGate = when(col("xmax") >= minYearlySpanDays, lit(1.0)).otherwise(lit(0.0))
-    val dot = features(col("x"), col("t"), futGate).zipWithIndex
+    val dot = features(col("x"), col("t"), col("xmax"), futGate).zipWithIndex
       .map { case (c, i) => element_at(col("beta"), i + 1) * c }
       .reduce(_ + _)
     val raw = if (multiplicative) exp(dot) else dot
@@ -637,4 +716,49 @@ object Forecast {
     * trend+sinusoid series in both additive and multiplicative modes. */
   def forecastYearly(spark: SparkSession, dir: String, horizon: Int = 14): DataFrame =
     forecastFourier(eventsDaily(spark, dir), Seq("event_type"), horizon)
+
+  /** Single-changepoint piecewise-linear trend forecast — the
+    * ORACLE-EXPRESSIBLE slice of Prophet's changepoint model
+    * (ProphetForecaster.py:281-285): one knot at `changepointRange` of
+    * each key's span, y ~ b0 + b1·x + b2·(x − k)₊, solved by the exact
+    * 3×3 Cramer normal equations [[forecastWithRegressor]] already
+    * implements (a changepoint IS an auto-generated regressor). DuckDB
+    * can mirror every formula, so the driver hash-checks this path;
+    * the general n-knot / ridge path is [[forecastFourier]]'s
+    * `changepoints` parameter (spec-verified).
+    *
+    * The hinge is active on every future step (future x > span ≥ knot),
+    * so the forecast extrapolates b1 + b2 — the final-regime slope —
+    * which is the entire point of changepoints: a series whose trend
+    * broke extrapolates its CURRENT slope, not the global average.
+    */
+  def forecastPiecewise(daily: DataFrame, keyCols: Seq[String], horizon: Int,
+                        changepointRange: Double = 0.8): DataFrame = {
+    val keys = keyCols.map(col)
+    val wk = Window.partitionBy(keys: _*)
+    // one materialization: the hinge augmentation and the future-hinge
+    // frame both read it, and forecastWithRegressor checkpoints its own
+    // working set downstream — the source aggregate still runs once
+    val aug = daily
+      .withColumn("x0", datediff(col("ds"), min(col("ds")).over(wk)).cast("double"))
+      .withColumn("span", max(col("x0")).over(wk))
+      .withColumn("r", greatest(lit(0.0), col("x0") - lit(changepointRange) * col("span")))
+      .localCheckpoint()
+    // future hinge values: x = span + h, all past the knot
+    val futureReg = aug.groupBy(keys: _*)
+      .agg(max(col("span")).as("span"), max(col("ds")).as("maxds"))
+      .select(keys ++ Seq(col("span"), col("maxds"),
+        explode(sequence(lit(1), lit(horizon))).as("h")): _*)
+      .withColumn("ds", date_add(col("maxds"), col("h")))
+      .withColumn("r", col("span") + col("h") - lit(changepointRange) * col("span"))
+      .select(keys ++ Seq(col("ds"), col("r")): _*)
+    forecastWithRegressor(aug.select(keys ++ Seq(col("ds"), col("y"), col("r")): _*),
+      keyCols, horizon, Some(futureReg))
+  }
+
+  /** `q38_forecast_changepoints` — piecewise-linear-trend forecast of
+    * daily event value per event_type, knot at 80% of the history
+    * (Prophet's `changepoint_range=0.8` default). */
+  def forecastChangepoints(spark: SparkSession, dir: String, horizon: Int = 7): DataFrame =
+    forecastPiecewise(eventsDaily(spark, dir), Seq("event_type"), horizon)
 }

@@ -277,6 +277,131 @@ class ForecastSpec extends SparkSpecBase {
     assert(fromModel == direct, "persisted model must reproduce the direct forecast exactly")
   }
 
+  test("changepoint hinges recover a planted two-slope trend (n_changepoints analog)") {
+    // slope 1 until x=48, slope 4 after; knots at 16i (i=1..5, range 0.8,
+    // span 100) so the break sits exactly ON a knot and the hinge basis
+    // represents the truth exactly — OLS must recover it and the
+    // forecast must extrapolate the FINAL slope, not the average.
+    val break_ = 48
+    def truth(x: Int): Double =
+      if (x <= break_) 100.0 + 1.0 * x else 100.0 + break_ + 4.0 * (x - break_)
+    val daily = (0 to 100).map { x =>
+      ("k1", Date.valueOf(java.time.LocalDate.of(2023, 1, 1).plusDays(x)), truth(x))
+    }.toDF("key", "ds", "y")
+    val out = Forecast.forecastFourier(daily, Seq("key"), horizon = 10,
+      weeklyOrder = 0, yearlyOrder = 0, changepoints = 5)
+      .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
+    assert(out.length == 10)
+    out.foreach { case (ds, yhat) =>
+      val x = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.of(2023, 1, 1), ds.toLocalDate).toInt
+      assert(math.abs(yhat - truth(x)) < 0.5, s"$ds: $yhat vs ${truth(x)}")
+    }
+    // a no-changepoint fit on the same series extrapolates the AVERAGE
+    // slope and lands far below the final regime — the gap is the point
+    val global = Forecast.forecastFourier(daily, Seq("key"), horizon = 10,
+      weeklyOrder = 0, yearlyOrder = 0, changepoints = 0)
+      .select("yhat").as[Double].collect()
+    assert(global.max < out.map(_._2).min - 10.0,
+      "global-slope fit must underestimate a late trend break")
+  }
+
+  test("changepointRidge shrinks hinges toward the global-slope fit (changepoint_prior_scale)") {
+    val daily = (0 to 100).map { x =>
+      val y = if (x <= 48) 100.0 + x else 148.0 + 4.0 * (x - 48)
+      ("k1", Date.valueOf(java.time.LocalDate.of(2023, 1, 1).plusDays(x)), y)
+    }.toDF("key", "ds", "y")
+    val stiff = Forecast.forecastFourier(daily, Seq("key"), horizon = 7,
+      weeklyOrder = 0, yearlyOrder = 0, changepoints = 5, changepointRidge = 1e12)
+      .select("ds", "yhat").as[(Date, Double)].collect().toMap
+    val global = Forecast.forecastFourier(daily, Seq("key"), horizon = 7,
+      weeklyOrder = 0, yearlyOrder = 0, changepoints = 0)
+      .select("ds", "yhat").as[(Date, Double)].collect().toMap
+    stiff.foreach { case (ds, y) =>
+      assert(math.abs(y - global(ds)) < 0.1,
+        s"$ds: infinite ridge must reduce to the no-changepoint fit")
+    }
+  }
+
+  test("single-knot piecewise forecast extrapolates the final slope (q38 path)") {
+    // break exactly at 0.8·span (the knot): slope 2 before, 6 after —
+    // the Cramer 3×3 with the hinge regressor fits it exactly.
+    def truth(x: Int): Double =
+      if (x <= 80) 100.0 + 2.0 * x else 100.0 + 160.0 + 6.0 * (x - 80)
+    val daily = (0 to 100).map { x =>
+      ("k1", Date.valueOf(java.time.LocalDate.of(2023, 1, 1).plusDays(x)), truth(x))
+    }.toDF("key", "ds", "y")
+    val out = Forecast.forecastPiecewise(daily, Seq("key"), horizon = 7)
+      .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
+    assert(out.length == 7)
+    out.foreach { case (ds, yhat) =>
+      val x = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.of(2023, 1, 1), ds.toLocalDate).toInt
+      assert(math.abs(yhat - truth(x)) < 1e-3, s"$ds: $yhat vs ${truth(x)}")
+    }
+  }
+
+  test("growth='flat' holds the level instead of extrapolating the slope") {
+    val rising = (0 until 28).map { x =>
+      ("k1", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(x)), 10.0 + 2.0 * x)
+    }.toDF("key", "ds", "y")
+    val flat = Forecast.forecastDaily(rising, Seq("key"), horizon = 7, growth = "flat")
+      .select("yhat").as[Double].collect()
+    val linear = Forecast.forecastDaily(rising, Seq("key"), horizon = 7)
+      .select("yhat").as[Double].collect()
+    assert(flat.max < linear.min,
+      s"flat (max ${flat.max}) must stay below the linear extrapolation (min ${linear.min})")
+    // constant series → flat forecast is exactly the level
+    val const = (0 until 28).map { x =>
+      ("k1", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(x)), 100.0)
+    }.toDF("key", "ds", "y")
+    val out = Forecast.forecastDaily(const, Seq("key"), horizon = 7, growth = "flat")
+      .select("yhat").as[Double].collect()
+    out.foreach(y => assert(math.abs(y - 100.0) < 1e-6))
+  }
+
+  test("freq='H' steps hourly and fits hour-of-day seasonality (daily_seasonality)") {
+    import java.sql.Timestamp
+    val start = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    // pure linear in hours → exact extrapolation on the hourly spine
+    val linear = (0 until 168).map { i =>
+      ("k1", Timestamp.valueOf(start.plusHours(i)), 50.0 + 0.5 * i)
+    }.toDF("key", "ds", "y")
+    val lOut = Forecast.forecastDaily(linear, Seq("key"), horizon = 24, freq = "H")
+      .select("ds", "yhat").as[(Timestamp, Double)].collect().sortBy(_._1.getTime)
+    assert(lOut.length == 24)
+    lOut.zipWithIndex.foreach { case ((ts, yhat), j) =>
+      assert(ts.toLocalDateTime == start.plusHours(168 + j), s"spine must step hours: $ts")
+      assert(math.abs(yhat - (50.0 + 0.5 * (168 + j))) < 1e-6, s"$ts: $yhat")
+    }
+    // constant level + bump at noon → hour-of-day term catches the bump
+    val bumped = (0 until 168).map { i =>
+      val t = start.plusHours(i)
+      ("k1", Timestamp.valueOf(t), 100.0 + (if (t.getHour == 12) 20.0 else 0.0))
+    }.toDF("key", "ds", "y")
+    val bOut = Forecast.forecastDaily(bumped, Seq("key"), horizon = 24, freq = "H")
+      .select("ds", "yhat").as[(Timestamp, Double)].collect()
+    val (noon, rest) = bOut.partition(_._1.toLocalDateTime.getHour == 12)
+    assert(noon.length == 1 && rest.length == 23)
+    assert(math.abs(noon.head._2 - 120.0) < 1.0, s"noon: ${noon.head._2}")
+    rest.foreach { case (ts, y) => assert(math.abs(y - 100.0) < 1.0, s"$ts: $y") }
+  }
+
+  test("constant regressor falls back to the trend-only fit instead of emitting 0.0 (det guard)") {
+    // r constant → 3×3 system singular; the guard must fall back to the
+    // 2-parameter fit, reproducing the trend exactly — not yhat = 0.0.
+    val daily = (0 until 21).map { x =>
+      ("k1", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(x)), 10.0 + 2.0 * x, 5.0)
+    }.toDF("key", "ds", "y", "r")
+    val out = Forecast.forecastWithRegressor(daily, Seq("key"), horizon = 7)
+      .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
+    assert(out.length == 7)
+    out.zipWithIndex.foreach { case ((ds, yhat), i) =>
+      val expected = 10.0 + 2.0 * (21 + i)
+      assert(math.abs(yhat - expected) < 1e-6, s"$ds: $yhat vs $expected")
+    }
+  }
+
   test("multi-metric fan-out forecasts every metric per key") {
     val out = Forecast.forecastMulti(spark, sfDir)
     val keys = out.select("event_type", "metric").distinct().count()
