@@ -244,6 +244,18 @@ object Dedup {
     * shape.) The per-round convergence probe is a `limit(1).count()` —
     * the driver reads ONE row per round, never the labels.
     *
+    * Storage hygiene: each round's labels frame is a fresh
+    * `localCheckpoint`; the SUPERSEDED round's blocks are explicitly
+    * unpersisted right after the probe (never read again) instead of
+    * waiting on GC/ContextCleaner — on a 10⁹-edge graph, N rounds of
+    * orphaned label blocks would otherwise pressure executor storage.
+    *
+    * Non-convergence is an ERROR, not a silent wrong answer: a
+    * component whose diameter exceeds `maxIter` would return partial
+    * labels that SPLIT clusters (diverging from the transitive-closure
+    * contract), so the loop throws if the final probe still saw
+    * changes.
+    *
     * @param pairs edges as (id_a, id_b)
     * @return (id, rep_id) for every id appearing in `pairs`, rep_id =
     *         the component minimum
@@ -254,9 +266,17 @@ object Dedup {
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
+    // free a superseded round's checkpoint blocks (the LogicalRDD leaf
+    // holds the materialized RDD; it is never read again once the next
+    // round is checkpointed, so dropping its blocks is safe)
+    def freeBlocks(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      }
+    var checkpointed = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
       .localCheckpoint()
+    var labels = checkpointed
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -272,10 +292,17 @@ object Dedup {
           (col("min_nrep") < col("rep")).as("chg"))
         .localCheckpoint()
       val changed = next.filter(col("chg")).limit(1).count()
+      freeBlocks(checkpointed)
+      checkpointed = next
       labels = next.select(col("id"), col("rep"))
       done = changed == 0
       iter += 1
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter rounds — a component's diameter exceeds " +
+          s"maxIter and the partial labels would split clusters. Raise maxIter (rounds needed " +
+          s"= component diameter) or pre-chunk adversarially long chains.")
     labels.select(col("id"), col("rep").as("rep_id"))
   }
 

@@ -148,50 +148,67 @@ object Similarity {
       when(vectors.dot(v, plane) > 0, 1).otherwise(0)
     }: _*)
 
-  /** `q36_ann_ivf` — IVF (inverted-file) ANN, the other scale path the
-    * survey names alongside LSH: a coarse k-means quantizer partitions
-    * the corpus into `nClusters` cells; each query probes only its
-    * `nProbe` nearest cells and reranks those candidates by exact
-    * cosine.
+  /** IVF index build — the build-once half of the inverted-file ANN
+    * path: a coarse k-means quantizer (Spark ML distributed KMeans —
+    * Lloyd's over the corpus, the standard IVF build step) assigns
+    * every corpus vector to a cell.
     *
-    * Spark realization: the quantizer is Spark ML's distributed KMeans
-    * (Lloyd's over the corpus — the standard IVF build step; like the
-    * LSH bucketing, the trained centroids + cell assignment are
-    * build-once, reuse-many artifacts a production index would persist
-    * as a bucketed table). Centroids are tiny (nClusters × dim) and ride
-    * to executors as plan literals; cell probing is an `array_sort` over
-    * per-centroid distances — no UDF, no corpus shuffle beyond the one
-    * cell-assignment pass, and the candidate join is an equi-join on the
-    * cell id. Recall vs the brute-force baseline is spec-tested like the
-    * LSH variant. */
-  def annIvf(spark: SparkSession, dir: String, k: Int = 10, numQueries: Int = 5,
-             nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    * Returns (assigned corpus, centroid table):
+    *  - assigned: (vec_id, v, nrm, cell) — persist it bucketed by
+    *    `cell` ([[graft.sources.Bucketing.writeBucketed]]) and repeated
+    *    query batches skip both the KMeans fit AND the cell-assignment
+    *    pass (spec-verified round trip in SimilaritySpec);
+    *  - centroids: (cell, cvec, c2) as a real (tiny) table, NOT plan
+    *    literals — a production IVF runs 10⁴–10⁵ cells, and literal
+    *    centroid arrays would bloat every query plan by tens of MB and
+    *    make the per-row probe O(C·dim) inside one expression. As a
+    *    table it broadcasts once; `c2 = |c|²` is precomputed so probe
+    *    scoring is one dot product per (query, centroid). */
+  def buildIvfIndex(embeddings: DataFrame, nClusters: Int = 16,
+                    seed: Long = 42L): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val t = Tables(spark, dir)
-    val e = t.embeddings
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", vectors.norm(col("v")))
     val fe = e.withColumn("fv", array_to_vector(col("v")))
-    val model = new KMeans().setK(nClusters).setSeed(42L)
+    val model = new KMeans().setK(nClusters).setSeed(seed)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(fe)
     val assigned = model.transform(fe)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val centroids = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) =>
+        val a = c.toArray
+        (i, a.toSeq, a.map(x => x * x).sum)
+      }
+      .toDF("cell", "cvec", "c2")
+    (assigned, centroids)
+  }
 
-    // nProbe nearest cells per query: rank centroids by
-    // |c|² − 2·v·c (equivalent to squared distance for fixed v);
-    // centroids enter the plan as literals — they are the index metadata
-    val cents = model.clusterCenters.map(_.toArray)
-    val cellScores = array(cents.zipWithIndex.map { case (c, i) =>
-      val cLit = array(c.map(lit).toSeq: _*)
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * vectors.dot(col("v"), cLit)).as("d"),
-        lit(i).as("cell"))
-    }.toSeq: _*)
-    val probes = assigned.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-        explode(slice(array_sort(cellScores), 1, nProbe)).as("p"))
-      .select(col("q_id"), col("qv"), col("qn"), col("p.cell").as("cell"))
+  /** IVF search over a built (or reloaded) index: each query scores the
+    * broadcast centroid table — |c|² − 2·q·c, squared-distance
+    * equivalent for fixed q — keeps its `nProbe` nearest cells
+    * (row_number over skinny (q_id, d, cell) rows: no wide collect, no
+    * giant arrays), and reranks that cell's candidates by exact cosine
+    * via the cell equi-join. The corpus is never shuffled; the probe
+    * set rejoins its query vectors once (small × small) and broadcasts
+    * onto the corpus scan. */
+  def annIvfSearch(assigned: DataFrame, centroids: DataFrame,
+                   k: Int = 10, numQueries: Int = 5, nProbe: Int = 4): DataFrame = {
+    val queries = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = queries.select(col("q_id"), col("qv"))
+      .crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("cell"),
+        (col("c2") - lit(2.0) * vectors.dot(col("qv"), col("cvec"))).as("d"))
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("d").asc, col("cell").asc)
+    val probeCells = scored
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("cell"))
+    val probes = probeCells.join(queries, Seq("q_id"))
 
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     assigned.select(col("cell"), col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
@@ -203,6 +220,16 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** `q36_ann_ivf` — IVF (inverted-file) ANN, the other scale path the
+    * survey names alongside LSH: [[buildIvfIndex]] + [[annIvfSearch]]
+    * in one shot. Recall + cosine parity vs the brute-force baseline
+    * and the persisted-index round trip are spec-tested. */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 10, numQueries: Int = 5,
+             nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (assigned, centroids) = buildIvfIndex(Tables(spark, dir).embeddings, nClusters)
+    annIvfSearch(assigned, centroids, k, numQueries, nProbe)
   }
 
   /** C7 `q26_ann_lsh` — sign-random-projection LSH ANN: 16 hyperplanes,

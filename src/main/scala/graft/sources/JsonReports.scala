@@ -63,8 +63,18 @@ object JsonReports {
     * first payload establishes the output columns (the same role pandas'
     * first-row inference plays); the row explosion and value extraction
     * then run fully distributed.
+    *
+    * @param expectedHeaders optional (dims, mets) declaring the report
+    *        shape: when NO headers are recoverable from the payloads
+    *        (empty day, unparseable page), the result is an EMPTY frame
+    *        with exactly those string columns instead of a zero-column
+    *        frame — so a caller unioning daily pages with
+    *        `allowMissingColumns` keeps the report schema on empty
+    *        days. Without it the zero-column contract stands (the
+    *        reference's bare `pd.DataFrame()`, Google_GA4.py:118).
     */
-  def ga4Report(df: DataFrame, jsonCol: String): DataFrame = {
+  def ga4Report(df: DataFrame, jsonCol: String,
+                expectedHeaders: Option[(Seq[String], Seq[String])] = None): DataFrame = {
     val parsed = df.select(from_json(col(jsonCol), ga4Schema).getField("reports")
       .getItem(0).as("r"))
     // Empty input or no parseable `reports` payload anywhere → empty
@@ -77,9 +87,14 @@ object JsonReports {
       col("r.metricHeaders.name").as("mets"))
       .filter(col("dims").isNotNull && col("mets").isNotNull)
       .take(1).headOption
-    val (dims, mets) = headRow match {
-      case Some(row) => (row.getSeq[String](0), row.getSeq[String](1))
-      case _         => return df.sparkSession.emptyDataFrame
+    val (dims, mets) = (headRow, expectedHeaders) match {
+      case (Some(row), _) => (row.getSeq[String](0), row.getSeq[String](1))
+      case (None, Some((d, m))) =>
+        val spark = df.sparkSession
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType((d ++ m).map(n => StructField(n, StringType))))
+      case _ => return df.sparkSession.emptyDataFrame
     }
     val exploded = parsed.select(explode(col("r.rows")).as("row"))
     exploded.select(
@@ -184,6 +199,143 @@ object JsonReports {
       _.trim.toLowerCase.replace(" ", "_").replace("-", "_").replaceAll("[^\\w]", "")): _*)
   }
 
+  /** LinkedIn organic follower statistics → per-dimension totals
+    * (linkedin_organic.py:404-457 `get_follower_stats`: takes
+    * `elements[0]`, resolves the org id from the URN tail, one row per
+    * `followerCountsByFunction` entry with 0-defaulted counts, then
+    * `pivot_table(index=[extraction_date, organizational_entity,
+    * dimension], values=[organic_followers, paid_followers],
+    * aggfunc="sum")` — the pivot SUMS across functions, so the output
+    * is one totals row per (date, org, dimension)).
+    *
+    * `extractionDate` is a parameter where the reference stamps
+    * `datetime.now()` — determinism over wall-clock. */
+  def linkedinFollowerStats(df: DataFrame, jsonCol: String,
+                            extractionDate: String): DataFrame = {
+    val schema = schemaOf(
+      """elements ARRAY<STRUCT<
+        |  organizationalEntity: STRING,
+        |  followerCountsByFunction: ARRAY<STRUCT<
+        |    function: STRING,
+        |    followerCounts: STRUCT<organicFollowerCount: BIGINT, paidFollowerCount: BIGINT>>>>>""".stripMargin)
+    df.select(from_json(col(jsonCol), schema).getField("elements").getItem(0).as("inner"))
+      .filter(col("inner").isNotNull)
+      .select(
+        element_at(split(col("inner.organizationalEntity"), ":"), -1).as("organizational_entity"),
+        explode(coalesce(col("inner.followerCountsByFunction"), array())).as("item"))
+      .groupBy(
+        lit(extractionDate).as("extraction_date"),
+        col("organizational_entity"),
+        lit("function").as("dimension"))
+      .agg(
+        sum(coalesce(col("item.followerCounts.organicFollowerCount"), lit(0L))).as("organic_followers"),
+        sum(coalesce(col("item.followerCounts.paidFollowerCount"), lit(0L))).as("paid_followers"))
+  }
+
+  /** LinkedIn organic posts → post-metadata frame
+    * (linkedin_organic.py:459-510 `get_posts`: one row per `elements`
+    * entry with `createdAt` epoch-millis formatted as a UTC
+    * "yyyy-MM-dd HH:mm:ss" string, content type resolved from
+    * whichever content key is present, and ""-defaulted metadata).
+    * `content` parses as MAP so presence of `article`/`media`/
+    * `multiImage` keys is checked without pinning their shapes. */
+  def linkedinPosts(df: DataFrame, jsonCol: String): DataFrame = {
+    val schema = schemaOf(
+      """elements ARRAY<STRUCT<
+        |  id: STRING, createdAt: BIGINT, commentary: STRING,
+        |  content: MAP<STRING, STRING>, visibility: STRING, lifecycleState: STRING>>""".stripMargin)
+    df.select(explode(coalesce(
+        from_json(col(jsonCol), schema).getField("elements"), array())).as("p"))
+      .select(
+        coalesce(col("p.id"), lit("")).as("post_urn"),
+        when(col("p.createdAt").isNotNull,
+          date_format(timestamp_millis(col("p.createdAt")), "yyyy-MM-dd HH:mm:ss"))
+          .as("created_at"),
+        coalesce(col("p.commentary"), lit("")).as("commentary"),
+        when(map_contains_key(col("p.content"), "article"), "ARTICLE")
+          .when(map_contains_key(col("p.content"), "media"), "MEDIA")
+          .when(map_contains_key(col("p.content"), "multiImage"), "MULTI_IMAGE")
+          .otherwise("NONE").as("content_type"),
+        coalesce(col("p.visibility"), lit("")).as("visibility"),
+        coalesce(col("p.lifecycleState"), lit("")).as("lifecycle_state"))
+  }
+
+  /** LinkedIn socialActions engagement → (post_urn, likes, comments,
+    * shares) (linkedin_organic.py:512-546 `get_engagement`: one
+    * response per URN, summary counts 0-defaulted). Input: one row per
+    * post with `urnCol` + `jsonCol` holding that post's response. */
+  def linkedinEngagement(df: DataFrame, urnCol: String, jsonCol: String): DataFrame = {
+    val schema = schemaOf(
+      """likesSummary STRUCT<totalLikes: BIGINT>,
+        |commentsSummary STRUCT<totalFirstLevelComments: BIGINT>,
+        |sharesSummary STRUCT<totalShares: BIGINT>""".stripMargin)
+    df.select(col(urnCol).as("post_urn"), from_json(col(jsonCol), schema).as("a"))
+      .select(
+        col("post_urn"),
+        coalesce(col("a.likesSummary.totalLikes"), lit(0L)).as("likes"),
+        coalesce(col("a.commentsSummary.totalFirstLevelComments"), lit(0L)).as("comments"),
+        coalesce(col("a.sharesSummary.totalShares"), lit(0L)).as("shares"))
+  }
+
+  /** Posts ⋈ engagement merge (linkedin_organic.py:589-595
+    * `get_posts_with_engagement`: left merge on post_urn, then
+    * `fillna(0).astype(int)` on the engagement counts — absent
+    * engagement becomes integer 0, never null). */
+  def linkedinPostsWithEngagement(posts: DataFrame, engagement: DataFrame): DataFrame = {
+    val merged = posts.join(engagement, Seq("post_urn"), "left")
+    Seq("likes", "comments", "shares").filter(merged.columns.contains).foldLeft(merged) {
+      (acc, c) => acc.withColumn(c, coalesce(col(c), lit(0L)).cast("long"))
+    }
+  }
+
+  /** YouTube public-API record frames (youtube_public.py:255,342,458:
+    * `pd.json_normalize(items)` + `_normalize_df_columns` dots→_ +
+    * `to_numeric(errors="coerce").astype("Int64")` on statistics
+    * counters — the API returns them as strings — +
+    * `to_datetime(utc=True, errors="coerce")` on published-at +
+    * `_filter_columns` + `_add_extracted_at`).
+    *
+    * Spark realization: each input row is one page payload
+    * (`{"items": [...]}` — pagination unions away exactly like the
+    * reference's `all_items +=`), flattened with sep="_" and coerced
+    * via [[Schemas.applySchema]] try_cast semantics: unparseable
+    * counters become NULL, the Int64-with-NA twin. Coercion columns
+    * apply only where present, like the reference's `if col in
+    * df.columns` guard; `columns` raises on absent requests exactly
+    * like `_filter_columns`.
+    *
+    * @param itemSchema  schema of ONE `items` entry
+    * @param intCols     string-counter columns to coerce to long
+    * @param tsCols      timestamp columns to coerce
+    * @param columns     optional projection (absent names throw)
+    * @param extractedAt optional lineage stamp (the reference uses
+    *                    now(); a parameter keeps runs deterministic)
+    */
+  def youtubeRecords(df: DataFrame, jsonCol: String, itemSchema: StructType,
+                     intCols: Seq[String] = Seq("statistics_viewCount",
+                       "statistics_likeCount", "statistics_commentCount",
+                       "statistics_favoriteCount"),
+                     tsCols: Seq[String] = Seq("snippet_publishedAt"),
+                     columns: Option[Seq[String]] = None,
+                     extractedAt: Option[String] = None): DataFrame = {
+    val schema = StructType(Seq(StructField("items", ArrayType(itemSchema))))
+    val flat = df.select(explode(coalesce(
+        from_json(col(jsonCol), schema).getField("items"), array())).as("it"))
+      .select(flattenStruct(col("it"), itemSchema, prefix = "", sep = "_"): _*)
+    val present = (intCols.map(_ -> "long") ++ tsCols.map(_ -> "timestamp"))
+      .filter { case (n, _) => flat.columns.contains(n) }
+    val coerced = Schemas.applySchema(flat, present)
+    columns.foreach { cs =>
+      val missing = cs.filterNot(coerced.columns.contains)
+      require(missing.isEmpty,
+        s"requested columns not in response: ${missing.mkString(", ")} " +
+          s"(available: ${coerced.columns.mkString(", ")})")
+    }
+    val filtered = columns.fold(coerced)(cs => coerced.select(cs.map(col): _*))
+    extractedAt.fold(filtered)(ts =>
+      filtered.withColumn("extracted_at", lit(ts).cast("timestamp")))
+  }
+
   /** HubSpot CRM records → flat DataFrame (HubSpot_Api.py:74
     * `to_dataframe`: top-level scalar fields pass through, the
     * `properties` dict flattens to one column per property, and `id`
@@ -234,13 +386,19 @@ object JsonReports {
     val reactionsMetric = "post_reactions_by_type_total"
     val allMetrics = metricNames ++ (if (reactionTypes.nonEmpty) Seq(reactionsMetric) else Nil)
     val exploded = df
-      .select(col(idCol), explode(coalesce(
-        from_json(col(jsonCol), schema).getField("data"), array())).as("m"))
+      .select(col(idCol), posexplode(coalesce(
+        from_json(col(jsonCol), schema).getField("data"), array())).as(Seq("pos", "m")))
       // lifetime-period entry preferred, first value as fallback — the
       // reference's next(...) selection (facebook_organic.py:176-180)
-      .select(col(idCol), col("m.name").as("name"),
+      .select(col(idCol), col("pos"), col("m.name").as("name"),
         col("m.values").getItem(0).getField("value").as("raw"))
-    val wide = exploded.groupBy(col(idCol)).pivot("name", allMetrics).agg(first(col("raw")))
+    // duplicate metric entries (same metric reported twice, e.g. under
+    // two periods) resolve to the LAST occurrence in the data array —
+    // the reference's `flat[name] = value` dict overwrite
+    // (facebook_organic.py:191); max_by on the array position makes the
+    // pick deterministic where an unordered first() was not
+    val wide = exploded.groupBy(col(idCol)).pivot("name", allMetrics)
+      .agg(max_by(col("raw"), col("pos")))
     val withScalars = metricNames.foldLeft(wide) { (acc, mName) =>
       acc.withColumn(mName, col(mName).cast("double"))
     }

@@ -76,4 +76,19 @@ class DedupSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L),
       s"got $out — one-hop min-neighbor would leave 4 → 3")
   }
+
+  test("dupClusters THROWS when a component's diameter exceeds maxIter (no silent splits)") {
+    import spark.implicits._
+    // a 12-node path needs ~11 propagation rounds; maxIter=3 must fail
+    // loudly rather than return partial labels that split the cluster
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.dupClusters(chain, maxIter = 3).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // and with enough rounds the same chain collapses to one component
+    val ok = Dedup.dupClusters(chain, maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet == Set(0L) && ok.size == 12)
+  }
 }

@@ -58,6 +58,42 @@ class SimilaritySpec extends SparkSpecBase {
       }
   }
 
+  test("IVF index persists (bucketed cells + centroid parquet) and searches identically") {
+    // build-once / reuse-many: the assigned corpus round-trips through a
+    // cell-bucketed table and the centroids through parquet; a search
+    // over the reloaded index must equal the direct search exactly —
+    // repeated query batches then skip the KMeans fit AND the
+    // cell-assignment pass entirely.
+    val (assigned, centroids) = Similarity.buildIvfIndex(Tables(spark, sfDir).embeddings)
+    val direct = Similarity.annIvfSearch(assigned, centroids)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    graft.sources.Bucketing.writeBucketed(assigned, "ivf_cells", Seq("cell"), 8)
+    val centDir = java.nio.file.Files.createTempDirectory("graft_ivf_cent").toString
+    centroids.write.mode("overwrite").parquet(centDir)
+    val reloaded = Similarity.annIvfSearch(
+      spark.table("ivf_cells"), spark.read.parquet(centDir))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(reloaded == direct, "persisted index must reproduce the direct search")
+  }
+
+  test("IVF search plan carries no literal centroid arrays (index is a table, not plan text)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.ArrayType
+    val (assigned, centroids) = Similarity.buildIvfIndex(Tables(spark, sfDir).embeddings)
+    val out = Similarity.annIvfSearch(assigned, centroids)
+    // a production index has 10⁴–10⁵ cells × dim doubles; none of that
+    // may ride the plan as literals (the r4 watch item)
+    val bigArrayLits = out.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case l: Literal if l.dataType.isInstanceOf[ArrayType] && l.value != null &&
+          l.value.asInstanceOf[ArrayData].numElements() > 8 => l
+      })
+    }.flatten
+    assert(bigArrayLits.isEmpty,
+      s"IVF search plan embeds ${bigArrayLits.size} literal arrays — centroids must stay a table")
+  }
+
   test("near-dup join is label-blocked, not cross") {
     val plan = Similarity.embeddingNearDup(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))

@@ -206,6 +206,139 @@ class SourcesSpec extends SparkSpecBase {
     assert(rows(1) == ((Some(80.0), None, 0.0, 0.0, 0.0)), "absent metrics → null, absent reactions → 0")
   }
 
+  test("insightsWide resolves duplicate metric entries to the LAST occurrence (dict overwrite)") {
+    // the same metric reported for two periods: the reference's
+    // flat[name] = value loop keeps the later entry; the pivot must
+    // pick by array position, not unordered first()
+    val insights =
+      """{"data": [
+        | {"name": "post_impressions", "period": "day", "values": [{"value": 100}]},
+        | {"name": "post_impressions", "period": "lifetime", "values": [{"value": 5000}]}
+        |]}""".stripMargin
+    val df = Seq(("p1", insights)).toDF("post_id", "body")
+    val out = JsonReports.insightsWide(df, "post_id", "body",
+      metricNames = Seq("post_impressions"))
+      .select("post_impressions").as[Double].collect()
+    assert(out.toSeq == Seq(5000.0), "last data-array entry must win")
+  }
+
+  test("linkedinFollowerStats sums function counts into one totals row (pivot_table aggfunc=sum)") {
+    val resp =
+      """{"elements": [{
+        |  "organizationalEntity": "urn:li:organization:12345",
+        |  "followerCountsByFunction": [
+        |    {"function": "urn:li:function:1",
+        |     "followerCounts": {"organicFollowerCount": 100, "paidFollowerCount": 7}},
+        |    {"function": "urn:li:function:2",
+        |     "followerCounts": {"organicFollowerCount": 40}},
+        |    {"function": "urn:li:function:3",
+        |     "followerCounts": {"paidFollowerCount": 3}}
+        |  ]}]}""".stripMargin
+    val out = JsonReports.linkedinFollowerStats(
+      Seq(resp).toDF("body"), "body", extractionDate = "2026-08-12")
+    assert(out.columns.toSeq == Seq("extraction_date", "organizational_entity",
+      "dimension", "organic_followers", "paid_followers"))
+    val rows = out.as[(String, String, String, Long, Long)].collect()
+    assert(rows.toSeq == Seq(("2026-08-12", "12345", "function", 140L, 10L)),
+      "counts sum across functions; missing counts default 0; org id = URN tail")
+    // no elements → empty frame, like the reference's early return
+    assert(JsonReports.linkedinFollowerStats(
+      Seq("""{"elements": []}""").toDF("body"), "body", "2026-08-12").count() == 0)
+  }
+
+  test("linkedinPosts resolves content_type by key presence and formats createdAt (get_posts)") {
+    val resp =
+      """{"elements": [
+        | {"id": "urn:li:share:1", "createdAt": 1704067200000, "commentary": "hello",
+        |  "content": {"article": {"source": "https://x"}}, "visibility": "PUBLIC",
+        |  "lifecycleState": "PUBLISHED"},
+        | {"id": "urn:li:share:2", "createdAt": 1704153600000,
+        |  "content": {"media": {"id": "urn:li:image:9"}}, "visibility": "PUBLIC",
+        |  "lifecycleState": "PUBLISHED"},
+        | {"id": "urn:li:share:3", "visibility": "PUBLIC", "lifecycleState": "DRAFT"}
+        |]}""".stripMargin
+    val out = JsonReports.linkedinPosts(Seq(resp).toDF("body"), "body")
+      .as[(String, Option[String], String, String, String, String)].collect().sortBy(_._1)
+    assert(out.length == 3)
+    assert(out(0) == (("urn:li:share:1", Some("2024-01-01 00:00:00"), "hello",
+      "ARTICLE", "PUBLIC", "PUBLISHED")))
+    assert(out(1)._4 == "MEDIA")
+    assert(out(2) == (("urn:li:share:3", None, "", "NONE", "PUBLIC", "DRAFT")),
+      "missing createdAt → null; missing commentary → ''; no content key → NONE")
+  }
+
+  test("linkedinPostsWithEngagement left-merges and int-fills engagement (fillna(0).astype(int))") {
+    val posts = JsonReports.linkedinPosts(Seq(
+      """{"elements": [
+        | {"id": "p1", "createdAt": 1704067200000, "visibility": "PUBLIC", "lifecycleState": "PUBLISHED"},
+        | {"id": "p2", "createdAt": 1704067200000, "visibility": "PUBLIC", "lifecycleState": "PUBLISHED"}
+        |]}""".stripMargin).toDF("body"), "body")
+    val eng = JsonReports.linkedinEngagement(Seq(
+      ("p1",
+        """{"likesSummary": {"totalLikes": 12},
+          |"commentsSummary": {"totalFirstLevelComments": 3},
+          |"sharesSummary": {"totalShares": 4}}""".stripMargin))
+      .toDF("urn", "body"), "urn", "body")
+    val out = JsonReports.linkedinPostsWithEngagement(posts, eng)
+      .select("post_urn", "likes", "comments", "shares")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("p1", 12L, 3L, 4L), ("p2", 0L, 0L, 0L)),
+      "unmatched posts get integer zeros, not nulls")
+  }
+
+  test("youtubeRecords coerces string statistics to nullable longs (to_numeric coerce + Int64)") {
+    val page =
+      """{"items": [
+        | {"id": "v1",
+        |  "snippet": {"publishedAt": "2024-03-01T10:00:00Z", "title": "a"},
+        |  "statistics": {"viewCount": "1200", "likeCount": "55", "commentCount": "7",
+        |                 "favoriteCount": "0"}},
+        | {"id": "v2",
+        |  "snippet": {"publishedAt": "not-a-date", "title": "b"},
+        |  "statistics": {"viewCount": "garbage", "likeCount": "9"}}
+        |]}""".stripMargin
+    val itemSchema = JsonReports.schemaOf(
+      """id STRING,
+        |snippet STRUCT<publishedAt: STRING, title: STRING>,
+        |statistics STRUCT<viewCount: STRING, likeCount: STRING,
+        |  commentCount: STRING, favoriteCount: STRING>""".stripMargin)
+    val out = JsonReports.youtubeRecords(Seq(page).toDF("body"), "body", itemSchema,
+      extractedAt = Some("2026-08-12 00:00:00"))
+    assert(out.columns.contains("statistics_viewCount"), "json_normalize sep='_' naming")
+    val rows = out.orderBy("id")
+      .select("id", "statistics_viewCount", "statistics_likeCount", "snippet_publishedAt")
+      .as[(String, Option[Long], Option[Long], Option[java.sql.Timestamp])].collect()
+    assert(rows(0)._2 == Some(1200L) && rows(0)._3 == Some(55L))
+    assert(rows(0)._4.exists(_.toInstant.toString.startsWith("2024-03-01T10:00")))
+    assert(rows(1)._2 == None, "unparseable counter → NULL (errors='coerce')")
+    assert(rows(1)._3 == Some(9L))
+    assert(rows(1)._4 == None, "unparseable date → NULL (to_datetime coerce)")
+    assert(out.columns.contains("extracted_at"))
+    // _filter_columns contract: absent request raises with the available list
+    val ex = intercept[IllegalArgumentException] {
+      JsonReports.youtubeRecords(Seq(page).toDF("body"), "body", itemSchema,
+        columns = Some(Seq("id", "nope")))
+    }
+    assert(ex.getMessage.contains("nope") && ex.getMessage.contains("available"))
+  }
+
+  test("ga4Report keeps the declared schema on empty days (expectedHeaders contract)") {
+    val empty = JsonReports.ga4Report(Seq.empty[String].toDF("body"), "body",
+      expectedHeaders = Some((Seq("date"), Seq("sessions"))))
+    assert(empty.columns.toSeq == Seq("date", "sessions") && empty.count() == 0)
+    // an empty-day union with a real day keeps the report schema
+    val good =
+      """{"reports": [{
+        |  "dimensionHeaders": [{"name": "date"}],
+        |  "metricHeaders": [{"name": "sessions"}],
+        |  "rows": [{"dimensionValues": [{"value": "20240101"}],
+        |            "metricValues": [{"value": "42"}]}]}]}""".stripMargin
+    val day = JsonReports.ga4Report(Seq(good).toDF("body"), "body")
+    val unioned = empty.unionByName(day, allowMissingColumns = true)
+    assert(unioned.columns.toSeq == Seq("date", "sessions"))
+    assert(unioned.as[(String, String)].collect().toSeq == Seq(("20240101", "42")))
+  }
+
   test("ga4Report takes headers from the first PARSEABLE row, not row 1") {
     val good =
       """{"reports": [{
