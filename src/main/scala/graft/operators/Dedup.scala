@@ -260,19 +260,20 @@ object Dedup {
     * @return (id, rep_id) for every id appearing in `pairs`, rep_id =
     *         the component minimum
     */
+  /** Free a superseded round's checkpoint blocks (the LogicalRDD leaf
+    * holds the materialized RDD; it is never read again once the next
+    * round is checkpointed, so dropping its blocks is safe). */
+  private def freeBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+    }
+
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint()
-    // free a superseded round's checkpoint blocks (the LogicalRDD leaf
-    // holds the materialized RDD; it is never read again once the next
-    // round is checkpointed, so dropping its blocks is safe)
-    def freeBlocks(df: DataFrame): Unit =
-      df.queryExecution.analyzed.collect {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      }
     var checkpointed = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
       .localCheckpoint()
@@ -304,6 +305,86 @@ object Dedup {
           s"maxIter and the partial labels would split clusters. Raise maxIter (rounds needed " +
           s"= component diameter) or pre-chunk adversarially long chains.")
     labels.select(col("id"), col("rep").as("rep_id"))
+  }
+
+  /** O(log n)-round connected components — the alternating large-star /
+    * small-star algorithm (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", public algorithm) for ADVERSARIAL graphs
+    * whose diameter defeats [[dupClusters]]'s O(diameter) label
+    * propagation (e.g. a 200-node near-dup chain: 199 propagation
+    * rounds vs ~8 star alternations).
+    *
+    *  - large-star: every node points its LARGER neighbors at its
+    *    neighborhood minimum (halves tree height);
+    *  - small-star: every node points its smaller-or-equal neighbors
+    *    (and itself) at their minimum (flattens toward the root).
+    *
+    * Each half-round is one groupBy + one join on the edge list —
+    * the same per-round plan shape as [[dupClusters]] — checkpointed
+    * with the same storage hygiene. Fixpoint = the canonical edge set
+    * stops changing (exact anti-join probe, limit(1)); at fixpoint the
+    * edges form stars rooted at each component's minimum id.
+    *
+    * Same contract as [[dupClusters]]: (id, rep_id) per id appearing in
+    * `pairs`, rep_id = component minimum; throws on non-convergence.
+    * Default choice guidance: near-dup graphs are clumps — label
+    * propagation converges in 3-5 cheap rounds and wins; switch to this
+    * variant when components can be long chains. */
+  def dupClustersLogN(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    def bothDirs(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    // nodes survive as self-star roots even after their star collapses
+    val nodes = bothDirs(pairs.select(col("id_a").as("a"), col("id_b").as("b")))
+      .select(col("u").as("id")).distinct().localCheckpoint()
+
+    var checkpointed = canon(pairs.select(col("id_a").as("a"), col("id_b").as("b")))
+      .localCheckpoint()
+    var edges = checkpointed
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrs = bothDirs(edges)
+      // large-star: (v, m(u)) for v > u, m = min(neighborhood ∪ self)
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = canon(nbrs.filter(col("v") > col("u"))
+        .join(mins, "u").select(col("v").as("a"), col("m").as("b")))
+      // small-star over the large-star result: smaller neighbors (and
+      // self) point at the minimum of that small neighborhood — emitted
+      // per edge (join against the per-node min), never collected into
+      // arrays, so a collapsing giant star cannot skew a task
+      val smallNbrs = bothDirs(large).filter(col("v") < col("u"))
+      val mins2 = smallNbrs.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = smallNbrs.join(mins2, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionAll(mins2.select(col("u").as("a"), col("m").as("b")))
+      val next = canon(small).localCheckpoint()
+      // fixpoint probe: canonical sets are distinct, so same count +
+      // empty one-way anti-join ⟺ equal sets; both probes are tiny
+      val changed =
+        next.join(edges, Seq("a", "b"), "left_anti").limit(1).count() > 0 ||
+          next.count() != edges.count()
+      freeBlocks(checkpointed)
+      checkpointed = next
+      edges = next
+      done = !changed
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"dupClustersLogN did not converge in $maxIter rounds — raise maxIter " +
+          s"(rounds needed ~ log2 of the largest component).")
+    // at fixpoint every edge is (member, root): rep = min over incident
+    // edges, self for isolated roots
+    nodes
+      .join(bothDirs(edges).groupBy(col("u").as("id")).agg(min(col("v")).as("mn")),
+        Seq("id"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("mn"), col("id"))).as("rep_id"))
   }
 
   /** `q37_dup_clusters` — connected components over the embedding

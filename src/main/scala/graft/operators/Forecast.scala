@@ -638,8 +638,11 @@ object Forecast {
                       weeklyOrder: Int = 2, yearlyOrder: Int = 3,
                       multiplicative: Boolean = false,
                       changepoints: Int = 0, changepointRange: Double = 0.8,
-                      changepointRidge: Double = 0.0): DataFrame = {
+                      changepointRidge: Double = 0.0,
+                      extraSeasonalities: Seq[(Double, Int)] = Nil): DataFrame = {
     require(changepoints >= 0, s"changepoints must be >= 0, got $changepoints")
+    require(extraSeasonalities.forall { case (per, k) => per > 0 && k > 0 },
+      s"extra seasonalities need period > 0 and order > 0, got $extraSeasonalities")
     require(changepointRange > 0 && changepointRange <= 1,
       s"changepointRange must be in (0,1], got $changepointRange")
     val keys = keyCols.map(col)
@@ -659,10 +662,16 @@ object Forecast {
       (1 to changepoints).map { i =>
         greatest(lit(0.0), x - lit(changepointRange * i / changepoints) * span)
       }
+    // custom seasonalities (ProphetForecaster.py:321 `custom_
+    // seasonalities` → add_seasonality(name, period, fourier_order)):
+    // extra (period-days, order) Fourier blocks appended to the basis —
+    // e.g. (30.5, 5) is Prophet's canonical monthly example
     def features(x: Column, t: Column, span: Column, yearlyGate: Column): Seq[Column] =
       Seq(lit(1.0), x) ++ hinges(x, span) ++ fourier(t, 7.0, weeklyOrder) ++
-        fourier(t, 365.25, yearlyOrder).map(_ * yearlyGate)
-    val p = 2 + changepoints + 2 * weeklyOrder + 2 * yearlyOrder
+        fourier(t, 365.25, yearlyOrder).map(_ * yearlyGate) ++
+        extraSeasonalities.flatMap { case (per, k) => fourier(t, per, k) }
+    val p = 2 + changepoints + 2 * weeklyOrder + 2 * yearlyOrder +
+      2 * extraSeasonalities.map(_._2).sum
     val gate = when(col("span") >= minYearlySpanDays, lit(1.0)).otherwise(lit(0.0))
     val f = features(col("x"), col("t"), col("span"), gate)
 

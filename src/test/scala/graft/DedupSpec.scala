@@ -91,4 +91,28 @@ class DedupSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toMap
     assert(ok.values.toSet == Set(0L) && ok.size == 12)
   }
+
+  test("dupClustersLogN collapses a 200-node chain in O(log n) rounds") {
+    import spark.implicits._
+    // diameter 199: label propagation would need ~199 rounds; the
+    // star-contraction variant needs ~log2(200) alternations
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dupClustersLogN(chain, maxIter = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(out.size == 200 && out.values.toSet == Set(0L),
+      s"chain must collapse to rep 0; got ${out.values.toSet}")
+  }
+
+  test("dupClustersLogN agrees with dupClusters on a clumpy multi-component graph") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),   // clump
+      (10L, 11L), (11L, 12L),                    // path
+      (21L, 20L),                                // pair (reversed)
+      (30L, 31L), (31L, 32L), (30L, 32L), (32L, 33L)
+    ).toDF("id_a", "id_b")
+    val prop = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    val star = Dedup.dupClustersLogN(pairs).as[(Long, Long)].collect().toMap
+    assert(star == prop, s"variants must agree: $star vs $prop")
+  }
 }

@@ -387,6 +387,38 @@ class ForecastSpec extends SparkSpecBase {
     rest.foreach { case (ts, y) => assert(math.abs(y - 100.0) < 1.0, s"$ts: $y") }
   }
 
+  test("custom seasonality recovers a planted monthly cycle (add_seasonality analog)") {
+    // y = 100 + 0.2x + 15·sin(2πt/30.5): neither weekly nor yearly terms
+    // can express a 30.5-day period; the custom block must capture it.
+    val start = java.time.LocalDate.of(2023, 1, 1)
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    def truth(x: Long, t: Long): Double =
+      100.0 + 0.2 * x + 15.0 * math.sin(2 * math.Pi * t / 30.5)
+    val daily = (0 until 366).map { x =>
+      val d = start.plusDays(x)
+      val t = java.time.temporal.ChronoUnit.DAYS.between(epoch, d)
+      ("k1", Date.valueOf(d), truth(x, t))
+    }.toDF("key", "ds", "y")
+    val out = Forecast.forecastFourier(daily, Seq("key"), horizon = 30,
+      weeklyOrder = 0, yearlyOrder = 0, extraSeasonalities = Seq((30.5, 2)))
+      .select("ds", "yhat").as[(Date, Double)].collect()
+    out.foreach { case (ds, yhat) =>
+      val x = java.time.temporal.ChronoUnit.DAYS.between(start, ds.toLocalDate)
+      val t = java.time.temporal.ChronoUnit.DAYS.between(epoch, ds.toLocalDate)
+      assert(math.abs(yhat - truth(x, t)) < 0.5, s"$ds: $yhat vs ${truth(x, t)}")
+    }
+    // without the custom block the monthly swing is invisible to the basis
+    val plain = Forecast.forecastFourier(daily, Seq("key"), horizon = 30,
+      weeklyOrder = 0, yearlyOrder = 0)
+      .select("ds", "yhat").as[(Date, Double)].collect()
+    val maxErr = plain.map { case (ds, yhat) =>
+      val x = java.time.temporal.ChronoUnit.DAYS.between(start, ds.toLocalDate)
+      val t = java.time.temporal.ChronoUnit.DAYS.between(epoch, ds.toLocalDate)
+      math.abs(yhat - truth(x, t))
+    }.max
+    assert(maxErr > 5.0, "trend-only fit must miss the monthly cycle")
+  }
+
   test("constant regressor falls back to the trend-only fit instead of emitting 0.0 (det guard)") {
     // r constant → 3×3 system singular; the guard must fall back to the
     // 2-parameter fit, reproducing the trend exactly — not yhat = 0.0.

@@ -360,4 +360,44 @@ class SourcesSpec extends SparkSpecBase {
       .filter(col("n_orders") =!= col("n")).count()
     assert(joined == 0)
   }
+
+  test("writeDayPartitioned replace touches ONLY the incoming dates (if_exists disposition)") {
+    import graft.sources.Sinks
+    val path = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    def mk(rows: (String, Long)*) = rows.toSeq.toDF("Ship Date", "qty")
+    // initial load: three dates
+    Sinks.writeDayPartitioned(
+      mk(("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-03", 3L)),
+      path, "Ship Date")
+    def readAll() = spark.read.parquet(path)
+      .select(col("ship_date").cast("string"), col("qty"))
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(readAll() == Seq(("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-03", 3L)),
+      "clean=true must normalize 'Ship Date' → ship_date")
+    // replace: carries day 2 (new value) and day 4 — days 1 and 3 must survive
+    Sinks.writeDayPartitioned(
+      mk(("2024-01-02", 20L), ("2024-01-04", 4L)), path, "Ship Date")
+    assert(readAll() == Seq(("2024-01-01", 1L), ("2024-01-02", 20L),
+      ("2024-01-03", 3L), ("2024-01-04", 4L)),
+      "dynamic overwrite replaces only the dates present in the frame")
+    // append: day 2 rows accumulate instead of replacing
+    Sinks.writeDayPartitioned(mk(("2024-01-02", 200L)), path, "Ship Date",
+      ifExists = "append")
+    assert(readAll().count(_._1 == "2024-01-02") == 2, "append must not replace")
+  }
+
+  test("updateRange overwrites its range in place; appendRange accumulates (Sheets analog)") {
+    import graft.sources.Sinks
+    val path = java.nio.file.Files.createTempDirectory("graft_sheet").toString
+    Sinks.updateRange(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), path, "Sheet1!A1")
+    Sinks.updateRange(Seq(("x", 9L)).toDF("k", "v"), path, "Sheet2!A1")
+    // updating Sheet1 replaces only Sheet1's contents
+    Sinks.updateRange(Seq(("c", 3L)).toDF("k", "v"), path, "Sheet1!A1")
+    assert(Sinks.readRange(spark, path, "Sheet1!A1").as[(String, Long)].collect().toSeq == Seq(("c", 3L)))
+    assert(Sinks.readRange(spark, path, "Sheet2!A1").as[(String, Long)].collect().toSeq == Seq(("x", 9L)))
+    // appending below Sheet1 keeps the existing rows
+    Sinks.appendRange(Seq(("d", 4L)).toDF("k", "v"), path, "Sheet1!A1")
+    assert(Sinks.readRange(spark, path, "Sheet1!A1")
+      .as[(String, Long)].collect().toSeq.sorted == Seq(("c", 3L), ("d", 4L)))
+  }
 }
