@@ -17,11 +17,14 @@ import org.apache.spark.sql.types._
   *
   * Codec status: the IMAGE path is REAL — [[decodeImages]] /
   * [[resizeImages]] use the JDK's own `javax.imageio` (PNG/JPEG/BMP/GIF,
-  * no external native libs), so decode, aspect-preserving resize, and
-  * re-encode genuinely run on the payload bytes. Audio and video codecs
-  * are not in the JDK or this container, so [[fakeDecode]] (feature
-  * stand-in) and [[sampleFrames]] (container-timestamp stand-in) remain
-  * clearly-marked deterministic stubs with the real batch shape.
+  * no external native libs) — and the AUDIO path is REAL too:
+  * [[decodeAudio]] uses the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+  * PCM containers), so sample-rate/duration extraction and
+  * amplitude-feature computation genuinely run on the payload bytes.
+  * VIDEO codecs are not in the JDK or this container, so
+  * [[fakeDecode]] (neural-feature stand-in) and [[sampleFrames]]
+  * (container-timestamp stand-in) remain clearly-marked deterministic
+  * stubs with the real batch shape.
   */
 object Multimodal {
 
@@ -56,12 +59,15 @@ object Multimodal {
     StructField("modality", StringType),
     StructField("features", ArrayType(FloatType, containsNull = false))))
 
-  /** STUB DECODER — the image/audio codec libraries are not available in
-    * this container, so the per-batch decode is a deterministic fake:
-    * feature[i] = ((byte-sum of payload) * (i+1) mod 997) / 997. The
-    * Spark-side plumbing is real: batched per-partition iteration (no
-    * per-row task overhead), binary-in / fixed-width-vector-out, schema
-    * declared up front — swap the body for a real codec unchanged.
+  /** STUB FEATURIZER — stands in for the NEURAL feature extractor
+    * (CLIP/CNN embedder, mel-spectrogram net) and for video decode,
+    * neither of which exists in this container; the per-batch output is
+    * a deterministic fake: feature[i] = ((byte-sum of payload) * (i+1)
+    * mod 997) / 997. The Spark-side plumbing is real: batched
+    * per-partition iteration (no per-row task overhead), binary-in /
+    * fixed-width-vector-out, schema declared up front — swap the body
+    * for a real model unchanged. (Codec-level decode IS real for
+    * images ([[decodeImages]]) and audio ([[decodeAudio]]).)
     */
   def fakeDecode(df: DataFrame, featureDim: Int = 8): DataFrame = {
     val spark = df.sparkSession
@@ -212,6 +218,70 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, imageResizeSchema)
+  }
+
+  /** Output schema of the REAL audio decode: container format facts
+    * (sample rate, channels, frame count, duration) + amplitude
+    * features (RMS and peak of the normalized signal — the cheap
+    * waveform statistics a quality-filter pipeline gates on), with the
+    * same decode_ok contract as images. */
+  val audioDecodeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_ms", DoubleType),
+    StructField("rms", DoubleType),
+    StructField("peak", DoubleType),
+    StructField("decode_ok", BooleanType, nullable = false)))
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV / AIFF /
+    * AU — the PCM containers the JDK ships codecs for; no external
+    * native libs). Batched per partition like the image path: binary
+    * in, typed format + amplitude features out. Whatever the container's
+    * sample width, the stream is converted to signed 16-bit PCM once
+    * and scanned linearly — one pass over the payload bytes, no
+    * temp files. Corrupt/unsupported payloads → decode_ok=false, the
+    * task never dies on one bad blob. */
+  def decodeAudio(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col("doc_id").cast("long"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val fmt = ais.getFormat
+            val target = new javax.sound.sampled.AudioFormat(
+              fmt.getSampleRate, 16, fmt.getChannels, true, false)
+            val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](8192)
+            var k = pcm.read(chunk)
+            while (k > 0) { buf.write(chunk, 0, k); k = pcm.read(chunk) }
+            val bytes = buf.toByteArray
+            val nSamples = bytes.length / 2
+            var i = 0; var sumSq = 0.0; var peak = 0.0
+            while (i < nSamples) {
+              // little-endian signed 16-bit, normalized to [-1, 1]
+              val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort / 32768.0
+              sumSq += s * s
+              val a = math.abs(s); if (a > peak) peak = a
+              i += 1
+            }
+            val channels = fmt.getChannels
+            val frames = nSamples.toLong / math.max(1, channels)
+            val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+            Row(id, fmt.getSampleRate.toInt, channels, frames,
+              frames * 1000.0 / fmt.getSampleRate, rms, peak, true)
+          } catch {
+            case _: Exception => Row(id, null, null, null, null, null, null, false)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, audioDecodeSchema)
   }
 
   /** Full decode pipeline: payload column → batched stub decode →

@@ -64,6 +64,39 @@ class MultimodalSpec extends SparkSpecBase {
     assert(redecoded.getWidth == 50 && redecoded.getHeight == 30)
   }
 
+  test("decodeAudio reads real WAV payloads via the JDK codec (javax.sound.sampled)") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // synthesize a genuine 16-bit PCM mono WAV: 0.5 s of a 440 Hz sine
+    // at amplitude 0.5 → RMS = 0.5/√2, peak ≈ 0.5, 4000 frames @ 8 kHz
+    val sr = 8000; val n = 4000
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s = (0.5 * math.sin(2 * math.Pi * 440 * i / sr) * 32767).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+    val wav = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, wav)
+    val df = Seq(
+      (1L, wav.toByteArray),
+      (2L, "definitely not audio".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.decodeAudio(df)
+      .select("doc_id", "sample_rate", "channels", "n_frames", "duration_ms", "rms", "peak", "decode_ok")
+      .as[(Long, Option[Int], Option[Int], Option[Long], Option[Double], Option[Double], Option[Double], Boolean)]
+      .collect().sortBy(_._1)
+    val good = out(0)
+    assert(good._8, "real WAV must decode")
+    assert(good._2 == Some(8000) && good._3 == Some(1) && good._4 == Some(4000L))
+    assert(math.abs(good._5.get - 500.0) < 1e-6, s"duration ${good._5}")
+    assert(math.abs(good._6.get - 0.5 / math.sqrt(2)) < 0.01, s"rms ${good._6}")
+    assert(math.abs(good._7.get - 0.5) < 0.01, s"peak ${good._7}")
+    assert(!out(1)._8 && out(1)._2.isEmpty, "garbage payload → decode_ok=false, null facts")
+  }
+
   test("resize stub preserves aspect ratio and never upscales") {
     val df = Seq((1L, 640L, 480L), (2L, 100L, 50L)).toDF("doc_id", "width", "height")
       .withColumn("payload", lit(Array[Byte](1, 2)))
