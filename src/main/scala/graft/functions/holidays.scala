@@ -1,0 +1,105 @@
+package graft.functions
+
+import java.time.{DayOfWeek, LocalDate}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Country holiday calendars — the `add_country_holidays` analog
+  * (ProphetForecaster.py:161: `country_holidays='CL'|'US'|'MX'`, backed
+  * by the public `holidays` package in the reference; its docstring
+  * names exactly these three codes).
+  *
+  * Calendars are DETERMINISTIC closed-form rules, all public knowledge:
+  * fixed dates, nth-weekday-of-month rules, and Easter-derived days via
+  * the Anonymous Gregorian computus (public-domain algorithm). The
+  * frame is generated driver-side — a few dozen rows per year, index
+  * metadata like broadcast join keys — and feeds
+  * [[graft.operators.Forecast.forecastWithHolidays]] as the broadcast
+  * holiday dimension.
+  */
+object holidays {
+
+  /** Gregorian Easter Sunday (Anonymous Gregorian computus). */
+  def easter(year: Int): LocalDate = {
+    val a = year % 19
+    val b = year / 100
+    val c = year % 100
+    val d = b / 4
+    val e = b % 4
+    val f = (b + 8) / 25
+    val g = (b - f + 1) / 3
+    val h = (19 * a + b - d - g + 15) % 30
+    val i = c / 4
+    val k = c % 4
+    val l = (32 + 2 * e + 2 * i - h - k) % 7
+    val m = (a + 11 * h + 22 * l) / 451
+    val month = (h + l - 7 * m + 114) / 31
+    val day = ((h + l - 7 * m + 114) % 31) + 1
+    LocalDate.of(year, month, day)
+  }
+
+  /** `n`-th `dow` of a month (n > 0: from the start; n < 0: from the
+    * end — -1 = last). */
+  def nthWeekday(year: Int, month: Int, dow: DayOfWeek, n: Int): LocalDate = {
+    require(n != 0, "n must be nonzero")
+    if (n > 0) {
+      val first = LocalDate.of(year, month, 1)
+      val offset = (dow.getValue - first.getDayOfWeek.getValue + 7) % 7
+      first.plusDays(offset + 7L * (n - 1))
+    } else {
+      val last = LocalDate.of(year, month, 1).plusMonths(1).minusDays(1)
+      val offset = (last.getDayOfWeek.getValue - dow.getValue + 7) % 7
+      last.minusDays(offset + 7L * (-n - 1))
+    }
+  }
+
+  /** (date, holiday-name) pairs for one country and year. */
+  def forYear(country: String, y: Int): Seq[(LocalDate, String)] = country.toUpperCase match {
+    case "US" => Seq(
+      LocalDate.of(y, 1, 1) -> "new_years_day",
+      nthWeekday(y, 1, DayOfWeek.MONDAY, 3) -> "mlk_day",
+      nthWeekday(y, 2, DayOfWeek.MONDAY, 3) -> "washingtons_birthday",
+      nthWeekday(y, 5, DayOfWeek.MONDAY, -1) -> "memorial_day",
+      LocalDate.of(y, 6, 19) -> "juneteenth",
+      LocalDate.of(y, 7, 4) -> "independence_day",
+      nthWeekday(y, 9, DayOfWeek.MONDAY, 1) -> "labor_day",
+      nthWeekday(y, 10, DayOfWeek.MONDAY, 2) -> "columbus_day",
+      LocalDate.of(y, 11, 11) -> "veterans_day",
+      nthWeekday(y, 11, DayOfWeek.THURSDAY, 4) -> "thanksgiving",
+      LocalDate.of(y, 12, 25) -> "christmas_day")
+    case "CL" => Seq(
+      LocalDate.of(y, 1, 1) -> "ano_nuevo",
+      easter(y).minusDays(2) -> "viernes_santo",
+      easter(y).minusDays(1) -> "sabado_santo",
+      LocalDate.of(y, 5, 1) -> "dia_del_trabajo",
+      LocalDate.of(y, 5, 21) -> "glorias_navales",
+      LocalDate.of(y, 7, 16) -> "virgen_del_carmen",
+      LocalDate.of(y, 8, 15) -> "asuncion",
+      LocalDate.of(y, 9, 18) -> "independencia",
+      LocalDate.of(y, 9, 19) -> "glorias_del_ejercito",
+      LocalDate.of(y, 10, 12) -> "encuentro_dos_mundos",
+      LocalDate.of(y, 11, 1) -> "todos_los_santos",
+      LocalDate.of(y, 12, 8) -> "inmaculada_concepcion",
+      LocalDate.of(y, 12, 25) -> "navidad")
+    case "MX" => Seq(
+      LocalDate.of(y, 1, 1) -> "ano_nuevo",
+      nthWeekday(y, 2, DayOfWeek.MONDAY, 1) -> "dia_constitucion",
+      nthWeekday(y, 3, DayOfWeek.MONDAY, 3) -> "natalicio_juarez",
+      LocalDate.of(y, 5, 1) -> "dia_del_trabajo",
+      LocalDate.of(y, 9, 16) -> "dia_independencia",
+      nthWeekday(y, 11, DayOfWeek.MONDAY, 3) -> "revolucion",
+      LocalDate.of(y, 12, 25) -> "navidad")
+    case other => throw new IllegalArgumentException(
+      s"unsupported country_holidays code '$other' (supported: US, CL, MX)")
+  }
+
+  /** Calendar frame (ds DATE, holiday STRING) spanning [fromYear,
+    * toYear] — plug directly into `forecastWithHolidays`. */
+  def calendar(spark: SparkSession, country: String,
+               fromYear: Int, toYear: Int): DataFrame = {
+    import spark.implicits._
+    (fromYear to toYear)
+      .flatMap(forYear(country, _))
+      .map { case (d, n) => (java.sql.Date.valueOf(d), n) }
+      .toDF("ds", "holiday")
+  }
+}

@@ -526,6 +526,23 @@ object Forecast {
       .orderBy(keys :+ col("ds"): _*)
   }
 
+  /** `add_country_holidays` convenience (ProphetForecaster.py:161,
+    * `country_holidays='CL'|'US'|'MX'`): derives the calendar span from
+    * the data (one tiny aggregate over the checkpointed working set),
+    * generates the country's deterministic calendar
+    * ([[graft.functions.holidays]]), and runs the holiday-effects
+    * forecast. */
+  def forecastWithCountryHolidays(daily: DataFrame, keyCols: Seq[String], horizon: Int,
+                                  country: String): DataFrame = {
+    val d = daily.localCheckpoint()
+    val bounds = d.agg(min(col("ds")).as("lo"), max(col("ds")).as("hi")).head()
+    val lo = bounds.getDate(0).toLocalDate
+    val hi = bounds.getDate(1).toLocalDate.plusDays(horizon.toLong)
+    val cal = graft.functions.holidays.calendar(
+      d.sparkSession, country, lo.getYear, hi.getYear)
+    forecastWithHolidays(d, keyCols, horizon, cal)
+  }
+
   /** `q35_forecast_holidays` — holiday-effects forecast of daily event
     * value per type, with day-of-month {1, 15} "payday" pseudo-holidays
     * (a deterministic rule both engines can derive — the harness's

@@ -261,6 +261,37 @@ class ForecastSpec extends SparkSpecBase {
       "non-holiday forecasts stay near the base level")
   }
 
+  test("country calendars: computus, nth-weekday rules, and the forecast lift (add_country_holidays)") {
+    import graft.functions.holidays
+    import java.time.LocalDate
+    // Easter computus against known dates
+    assert(holidays.easter(2024) == LocalDate.of(2024, 3, 31))
+    assert(holidays.easter(2025) == LocalDate.of(2025, 4, 20))
+    assert(holidays.easter(2026) == LocalDate.of(2026, 4, 5))
+    // nth-weekday rules against known US holidays
+    val byName = holidays.forYear("US", 2024).map { case (d, n) => n -> d }.toMap
+    assert(byName("thanksgiving") == LocalDate.of(2024, 11, 28))
+    assert(byName("memorial_day") == LocalDate.of(2024, 5, 27))
+    assert(byName("mlk_day") == LocalDate.of(2024, 1, 15))
+    assert(holidays.forYear("CL", 2024).toMap.get(LocalDate.of(2024, 3, 29))
+      .contains("viernes_santo"), "Good Friday 2024 = Mar 29")
+    intercept[IllegalArgumentException](holidays.forYear("XX", 2024))
+    // end-to-end: a July-4th bump learned from history lifts the
+    // July-4th forecast when the horizon crosses it
+    val start = LocalDate.of(2023, 6, 1)
+    val daily = (0 until 397).map { x =>   // 2023-06-01 .. 2024-07-01
+      val d = start.plusDays(x)
+      val bump = if (d.getMonthValue == 7 && d.getDayOfMonth == 4) 50.0 else 0.0
+      ("k1", Date.valueOf(d), 100.0 + bump)
+    }.toDF("key", "ds", "y")
+    val out = Forecast.forecastWithCountryHolidays(daily, Seq("key"), horizon = 7, "US")
+      .select("ds", "yhat").as[(Date, Double)].collect()
+    assert(out.length == 7)
+    val jul4 = out.find(_._1.toLocalDate == LocalDate.of(2024, 7, 4)).get._2
+    val rest = out.filter(_._1.toLocalDate != LocalDate.of(2024, 7, 4)).map(_._2)
+    assert(jul4 - rest.max > 30.0, s"july 4th ($jul4) must lift above the rest (max ${rest.max})")
+  }
+
   test("model frame round-trips through parquet and predicts identically (save/load_models)") {
     val daily = (0 until 28).map { x =>
       val d = java.time.LocalDate.of(2024, 1, 1).plusDays(x)
