@@ -656,7 +656,11 @@ object Forecast {
                       multiplicative: Boolean = false,
                       changepoints: Int = 0, changepointRange: Double = 0.8,
                       changepointRidge: Double = 0.0,
-                      extraSeasonalities: Seq[(Double, Int)] = Nil): DataFrame = {
+                      extraSeasonalities: Seq[(Double, Int)] = Nil,
+                      cap: Option[Double] = None, floor: Option[Double] = None,
+                      includeIntervals: Boolean = false, intervalWidth: Double = 0.80,
+                      includeHistory: Boolean = false,
+                      nonNegative: Boolean = true): DataFrame = {
     require(changepoints >= 0, s"changepoints must be >= 0, got $changepoints")
     require(extraSeasonalities.forall { case (per, k) => per > 0 && k > 0 },
       s"extra seasonalities need period > 0 and order > 0, got $extraSeasonalities")
@@ -714,25 +718,57 @@ object Forecast {
         array((0 until p).map(i => col(s"m_$i")): _*)))
       .select(keys ++ Seq(col("beta"), col("xmax"), col("maxds")): _*)
 
-    val future = betas
-      .select(keys ++ Seq(col("beta"), col("xmax"), col("maxds"),
+    // span == max(x) per key == xmax on the future spine, so the same
+    // yearly gate and hinge knots apply there; beyond the last knot
+    // every hinge is active, so the extrapolated slope is the FINAL
+    // regime's slope
+    val futSpine = betas
+      .select(keys ++ Seq(col("xmax"), col("maxds"),
         explode(sequence(lit(1), lit(horizon))).as("h")): _*)
       .withColumn("ds", date_add(col("maxds"), col("h")))
       .withColumn("x", col("xmax") + col("h"))
       .withColumn("t", datediff(col("ds"), lit("1970-01-01").cast("date")).cast("double"))
+      .select(keys ++ Seq(col("ds"), col("x"), col("t"), col("xmax").as("span")): _*)
+    // include_history: fitted values over the observed spine, same basis
+    val spine =
+      if (includeHistory)
+        base.select(keys ++ Seq(col("ds"), col("x"), col("t"), col("span")): _*)
+          .unionByName(futSpine)
+      else futSpine
 
-    // span == max(x) per key == xmax, so the same yearly gate and hinge
-    // knots apply; beyond the last knot every hinge is active, so the
-    // extrapolated slope is the FINAL regime's slope
-    val futGate = when(col("xmax") >= minYearlySpanDays, lit(1.0)).otherwise(lit(0.0))
-    val dot = features(col("x"), col("t"), col("xmax"), futGate).zipWithIndex
-      .map { case (c, i) => element_at(col("beta"), i + 1) * c }
-      .reduce(_ + _)
-    val raw = if (multiplicative) exp(dot) else dot
-    future
-      .select(keys ++ Seq(col("ds"),
-        round(greatest(lit(0.0), raw), 4).as("yhat")): _*)
-      .orderBy(keys :+ col("ds"): _*)
+    def dotOver(x: Column, t: Column, span: Column): Column = {
+      val g = when(span >= minYearlySpanDays, lit(1.0)).otherwise(lit(0.0))
+      features(x, t, span, g).zipWithIndex
+        .map { case (c, i) => element_at(col("beta"), i + 1) * c }
+        .reduce(_ + _)
+    }
+    val pred = spine
+      .join(betas.select(keys :+ col("beta"): _*), keyCols)
+      .withColumn("fitdot", dotOver(col("x"), col("t"), col("span")))
+    def toY(d: Column): Column = if (multiplicative) exp(d) else d
+
+    val out =
+      if (!includeIntervals) {
+        pred.select(keys ++ Seq(col("ds"),
+          round(bounded(toY(col("fitdot")), cap, floor, nonNegative), 4).as("yhat")): _*)
+      } else {
+        // σ = per-key stddev of residuals in FIT space (log space under
+        // multiplicative — bands transform through exp, staying
+        // positive and asymmetric exactly like a log-normal interval);
+        // one extra aggregate over the checkpointed working set.
+        val z = intervalZ(intervalWidth)
+        val sigma = base
+          .join(betas.select(keys :+ col("beta"): _*), keyCols)
+          .withColumn("fitdot", dotOver(col("x"), col("t"), col("span")))
+          .groupBy(keys: _*)
+          .agg(coalesce(stddev_samp(col("yy") - col("fitdot")), lit(0.0)).as("sigma"))
+        pred.join(sigma, keyCols)
+          .select(keys ++ Seq(col("ds"),
+            round(bounded(toY(col("fitdot")), cap, floor, nonNegative), 4).as("yhat"),
+            round(bounded(toY(col("fitdot") - lit(z) * col("sigma")), cap, floor, nonNegative), 4).as("yhat_lower"),
+            round(bounded(toY(col("fitdot") + lit(z) * col("sigma")), cap, floor, nonNegative), 4).as("yhat_upper")): _*)
+      }
+    out.orderBy(keys :+ col("ds"): _*)
   }
 
   /** `q19_forecast_yearly` — Fourier-seasonality forecast of daily event

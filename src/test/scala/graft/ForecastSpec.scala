@@ -418,6 +418,38 @@ class ForecastSpec extends SparkSpecBase {
     rest.foreach { case (ts, y) => assert(math.abs(y - 100.0) < 1.0, s"$ts: $y") }
   }
 
+  test("Fourier path composes bounds, intervals, and history like the simple path") {
+    // noiseless trend+weekly sinusoid: perfect fit → σ=0 bands collapse;
+    // include_history emits fitted values over the observed dates; cap
+    // clamps the extrapolation.
+    val start = java.time.LocalDate.of(2023, 1, 1)
+    val epoch = java.time.LocalDate.of(1970, 1, 1)
+    def truth(x: Long, t: Long): Double =
+      100.0 + 0.5 * x + 5.0 * math.sin(2 * math.Pi * t / 7.0)
+    val daily = (0 until 140).map { x =>
+      val d = start.plusDays(x)
+      val t = java.time.temporal.ChronoUnit.DAYS.between(epoch, d)
+      ("k1", Date.valueOf(d), truth(x, t))
+    }.toDF("key", "ds", "y")
+    val out = Forecast.forecastFourier(daily, Seq("key"), horizon = 7,
+      yearlyOrder = 0, includeIntervals = true, includeHistory = true)
+      .select("ds", "yhat", "yhat_lower", "yhat_upper")
+      .as[(Date, Double, Double, Double)].collect()
+    assert(out.length == 147, "140 fitted history days + 7 future")
+    out.foreach { case (ds, y, lo, hi) =>
+      assert(math.abs(lo - y) < 1e-3 && math.abs(hi - y) < 1e-3,
+        s"σ≈0 on a perfect fit → bands collapse at $ds")
+      val x = java.time.temporal.ChronoUnit.DAYS.between(start, ds.toLocalDate)
+      val t = java.time.temporal.ChronoUnit.DAYS.between(epoch, ds.toLocalDate)
+      assert(math.abs(y - truth(x, t)) < 0.1, s"$ds: $y vs ${truth(x, t)}")
+    }
+    val capped = Forecast.forecastFourier(daily, Seq("key"), horizon = 7,
+      yearlyOrder = 0, cap = Some(150.0))
+      .select("yhat").as[Double].collect()
+    assert(capped.forall(_ <= 150.0) && capped.exists(_ == 150.0),
+      "rising series must hit the cap on the Fourier path too")
+  }
+
   test("custom seasonality recovers a planted monthly cycle (add_seasonality analog)") {
     // y = 100 + 0.2x + 15·sin(2πt/30.5): neither weekly nor yearly terms
     // can express a 30.5-day period; the custom block must capture it.

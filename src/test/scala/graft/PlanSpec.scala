@@ -66,10 +66,19 @@ class PlanSpec extends SparkSpecBase {
     // the (keys x days) working set materializes ONCE at plan build; the
     // executed plan must contain zero parquet scans — at 100 TB this is
     // the one-pass-vs-several property
-    for (q <- Seq("q17_forecast_bounded", "q18_forecast_regressor")) {
+    for (q <- Seq("q17_forecast_bounded", "q18_forecast_regressor",
+                  "q38_forecast_changepoints")) {
       val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("Scan parquet"),
         s"$q re-scans the source instead of the checkpoint")
     }
+  }
+
+  test("IVF probe and candidate joins broadcast the small side, no cartesian operator") {
+    val plan = Similarity.annIvf(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "centroid scoring must be a broadcast nested loop over a tiny table, not a cartesian")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "probes must broadcast onto the corpus scan")
   }
 }
