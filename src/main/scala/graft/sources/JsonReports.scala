@@ -411,6 +411,37 @@ object JsonReports {
     }
   }
 
+  /** Instagram organic media metadata → one row per media object
+    * (instagram_organic.py:292-341 `_build_dataframe`: media fields
+    * ""-defaulted, `timestamp` cast to UTC datetime, stamped with the
+    * account id; the per-media insights columns merge on via
+    * [[instagramMediaWithInsights]]). Input rows hold media-list page
+    * payloads (`{"data": [...]}` — `_get_media`/`_paginate` pages
+    * union away in the explode). */
+  def instagramMedia(df: DataFrame, jsonCol: String, igAccountId: String): DataFrame = {
+    val schema = schemaOf(
+      """data ARRAY<STRUCT<
+        |  id: STRING, media_type: STRING, media_product_type: STRING,
+        |  caption: STRING, timestamp: STRING, permalink: STRING>>""".stripMargin)
+    df.select(explode(coalesce(
+        from_json(col(jsonCol), schema).getField("data"), array())).as("m"))
+      .select(
+        coalesce(col("m.id"), lit("")).as("media_id"),
+        lit(igAccountId).as("ig_account_id"),
+        coalesce(col("m.media_type"), lit("")).as("media_type"),
+        coalesce(col("m.media_product_type"), lit("")).as("media_product_type"),
+        coalesce(col("m.caption"), lit("")).as("caption"),
+        col("m.timestamp").cast("timestamp").as("timestamp"),
+        coalesce(col("m.permalink"), lit("")).as("permalink"))
+  }
+
+  /** Media metadata ⋈ per-media insights — the record assembly of
+    * `_build_dataframe` (`{**metadata, **insights}` per media): left
+    * join on media_id so media whose insights call failed keep their
+    * metadata row, like the reference's partial-failure behavior. */
+  def instagramMediaWithInsights(media: DataFrame, insights: DataFrame): DataFrame =
+    media.join(insights, Seq("media_id"), "left")
+
   /** X (Twitter) Ads analytics response → per-day metric rows
     * (X_ads.py:264-299 `get_report_dataframe`: each response body holds
     * `data[0].id_data[0].metrics` as one array per metric — one element

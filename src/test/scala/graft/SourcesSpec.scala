@@ -322,6 +322,34 @@ class SourcesSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("nope") && ex.getMessage.contains("available"))
   }
 
+  test("instagramMedia assembles metadata + insights records (_build_dataframe)") {
+    val mediaPage =
+      """{"data": [
+        | {"id": "m1", "media_type": "IMAGE", "media_product_type": "FEED",
+        |  "caption": "hi", "timestamp": "2024-05-01T12:00:00+0000",
+        |  "permalink": "https://instagr.am/p/m1"},
+        | {"id": "m2", "media_type": "VIDEO", "media_product_type": "REELS",
+        |  "timestamp": "2024-05-02T08:30:00+0000"}
+        |]}""".stripMargin
+    val media = JsonReports.instagramMedia(Seq(mediaPage).toDF("body"), "body", "17841400000000000")
+    val rows = media.orderBy("media_id").collect()
+    assert(media.columns.toSeq == Seq("media_id", "ig_account_id", "media_type",
+      "media_product_type", "caption", "timestamp", "permalink"))
+    assert(rows(0).getString(0) == "m1" && rows(0).getString(2) == "IMAGE")
+    assert(rows(1).getString(4) == "" && rows(1).getString(6) == "",
+      "missing caption/permalink default to ''")
+    assert(rows(0).getTimestamp(5).toInstant.toString.startsWith("2024-05-01T12:00"))
+    // insights merge: m2 has no insights row → metadata survives, nulls fill
+    val insights = JsonReports.insightsWide(
+      Seq(("m1", """{"data": [{"name": "reach", "period": "lifetime", "values": [{"value": 321}]}]}"""))
+        .toDF("media_id", "body"),
+      "media_id", "body", metricNames = Seq("reach"))
+    val merged = JsonReports.instagramMediaWithInsights(media, insights)
+      .orderBy("media_id").select("media_id", "reach")
+      .as[(String, Option[Double])].collect()
+    assert(merged.toSeq == Seq(("m1", Some(321.0)), ("m2", None)))
+  }
+
   test("ga4Report keeps the declared schema on empty days (expectedHeaders contract)") {
     val empty = JsonReports.ga4Report(Seq.empty[String].toDF("body"), "body",
       expectedHeaders = Some((Seq("date"), Seq("sessions"))))
