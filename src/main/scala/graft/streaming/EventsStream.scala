@@ -61,6 +61,31 @@ object EventsStream {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("session_value"))
 
+  /** D1→E bridge — stream INTO the day-partitioned lake with the
+    * E-block write disposition: each micro-batch lands via
+    * [[graft.sources.Sinks.writeDayPartitioned]] under dynamic
+    * partition overwrite, so a batch carrying (possibly updated)
+    * aggregates for dates D₁..Dₖ replaces exactly those date
+    * partitions and nothing else. Combined with a watermarked
+    * aggregation upstream this is the standard idempotent streaming
+    * load: replays of a micro-batch rewrite the same partitions
+    * instead of duplicating rows (`foreachBatch` + overwrite-by-
+    * partition — the exactly-once-per-partition recipe for file
+    * sinks that need in-place updates).
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def writeDayPartitionedStream(df: DataFrame, path: String, dateCol: String,
+                                checkpointDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.writeDayPartitioned(
+          batch, path, dateCol, ifExists = "replace", clean = false)
+      }
+      .start()
+
   /** Event record for the stateful dedup stream. */
   case class StreamEvent(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)

@@ -125,4 +125,37 @@ class StreamingSpec extends SparkSpecBase {
       assert(ids == Set(1L, 3L))
     } finally q.stop()
   }
+
+  test("D1→E: streaming into the day-partitioned lake replaces only updated dates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamEvent]
+    val daily = mem.toDF()
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_lake").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_stream_cp").toString
+    val q = EventsStream.writeDayPartitionedStream(daily, path, "day", cp)
+    try {
+      mem.addData(
+        StreamEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        StreamEvent(2, ts("2024-01-02 10:00:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      def lake() = spark.read.parquet(path)
+        .select(col("day").cast("string"), col("n"), col("v"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(lake() == Set(("2024-01-01", 1L, 1.0), ("2024-01-02", 1L, 2.0)))
+      // second micro-batch updates day 2 and adds day 3: day 1 partition
+      // must survive untouched, day 2 must be REPLACED (not duplicated)
+      mem.addData(
+        StreamEvent(3, ts("2024-01-02 11:00:00"), 2, "click", 5.0),
+        StreamEvent(4, ts("2024-01-03 09:00:00"), 1, "view", 7.0))
+      q.processAllAvailable()
+      assert(lake() == Set(
+        ("2024-01-01", 1L, 1.0),
+        ("2024-01-02", 2L, 7.0),
+        ("2024-01-03", 1L, 7.0)),
+        "updated dates replace in place; untouched dates survive")
+    } finally q.stop()
+  }
 }
