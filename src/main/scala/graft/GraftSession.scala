@@ -30,10 +30,6 @@ object GraftSession {
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // group-less MIN/MAX/COUNT answered from parquet footer statistics
-    // instead of scanning rows — the date-bounds aggregates behind the
-    // spine/calendar builders become metadata reads at any scale
-    .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")

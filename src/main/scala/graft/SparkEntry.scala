@@ -323,14 +323,21 @@ object SparkEntry {
         |                sum(y) AS sy, sum(x*y) AS sxy, sum(r*y) AS sry,
         |                max(x) AS xmax, max(ds) AS maxds
         |         FROM wx GROUP BY 1),
-        |betas AS (SELECT event_type, xmax, maxds,
-        |  (sy*(sxx*srr - sxr*sxr) - sx*(sxy*srr - sxr*sry) + sr*(sxy*sxr - sxx*sry))
-        |    / (n*(sxx*srr - sxr*sxr) - sx*(sx*srr - sxr*sr) + sr*(sx*sxr - sxx*sr)) AS b0,
-        |  (n*(sxy*srr - sxr*sry) - sy*(sx*srr - sxr*sr) + sr*(sx*sry - sxy*sr))
-        |    / (n*(sxx*srr - sxr*sxr) - sx*(sx*srr - sxr*sr) + sr*(sx*sxr - sxx*sr)) AS b1,
-        |  (n*(sxx*sry - sxy*sxr) - sx*(sx*sry - sxy*sr) + sy*(sx*sxr - sxx*sr))
-        |    / (n*(sxx*srr - sxr*sxr) - sx*(sx*srr - sxr*sr) + sr*(sx*sxr - sxx*sr)) AS b2
+        |dets AS (SELECT *,
+        |  n*(sxx*srr - sxr*sxr) - sx*(sx*srr - sxr*sr) + sr*(sx*sxr - sxx*sr) AS det,
+        |  n*sxx - sx*sx AS den2
         |  FROM sums),
+        |fb AS (SELECT *,
+        |  CASE WHEN abs(den2) > 0 THEN (n*sxy - sx*sy) / den2 ELSE 0.0 END AS b1f
+        |  FROM dets),
+        |betas AS (SELECT event_type, xmax, maxds,
+        |  CASE WHEN abs(det) <= 1e-9 * abs(n*sxx*srr) THEN (sy - b1f*sx) / n
+        |       ELSE (sy*(sxx*srr - sxr*sxr) - sx*(sxy*srr - sxr*sry) + sr*(sxy*sxr - sxx*sry)) / det END AS b0,
+        |  CASE WHEN abs(det) <= 1e-9 * abs(n*sxx*srr) THEN b1f
+        |       ELSE (n*(sxy*srr - sxr*sry) - sy*(sx*srr - sxr*sr) + sr*(sx*sry - sxy*sr)) / det END AS b1,
+        |  CASE WHEN abs(det) <= 1e-9 * abs(n*sxx*srr) THEN 0.0
+        |       ELSE (n*(sxx*sry - sxy*sxr) - sx*(sx*sry - sxy*sr) + sy*(sx*sxr - sxx*sr)) / det END AS b2
+        |  FROM fb),
         |dowm AS (SELECT w.event_type, dayofweek(w.ds) AS dow,
         |                avg(w.y - (b.b0 + b.b1*w.x + b.b2*w.r)) AS dow_mean
         |         FROM wx w JOIN betas b USING(event_type) GROUP BY 1, 2),
@@ -359,14 +366,21 @@ object SparkEntry {
         |                sum(y) AS sy, sum(x*y) AS sxy, sum(r*y) AS sry,
         |                max(x) AS xmax, max(ds) AS maxds
         |         FROM wx GROUP BY 1),
-        |betas AS (SELECT event_type, xmax, maxds,
-        |  (sy*(sxx*srr - sxr*sxr) - sx*(sxy*srr - sxr*sry) + sr*(sxy*sxr - sxx*sry))
-        |    / (n*(sxx*srr - sxr*sxr) - sx*(sx*srr - sxr*sr) + sr*(sx*sxr - sxx*sr)) AS b0,
-        |  (n*(sxy*srr - sxr*sry) - sy*(sx*srr - sxr*sr) + sr*(sx*sry - sxy*sr))
-        |    / (n*(sxx*srr - sxr*sxr) - sx*(sx*srr - sxr*sr) + sr*(sx*sxr - sxx*sr)) AS b1,
-        |  (n*(sxx*sry - sxy*sxr) - sx*(sx*sry - sxy*sr) + sy*(sx*sxr - sxx*sr))
-        |    / (n*(sxx*srr - sxr*sxr) - sx*(sx*srr - sxr*sr) + sr*(sx*sxr - sxx*sr)) AS b2
+        |dets AS (SELECT *,
+        |  n*(sxx*srr - sxr*sxr) - sx*(sx*srr - sxr*sr) + sr*(sx*sxr - sxx*sr) AS det,
+        |  n*sxx - sx*sx AS den2
         |  FROM sums),
+        |fb AS (SELECT *,
+        |  CASE WHEN abs(den2) > 0 THEN (n*sxy - sx*sy) / den2 ELSE 0.0 END AS b1f
+        |  FROM dets),
+        |betas AS (SELECT event_type, xmax, maxds,
+        |  CASE WHEN abs(det) <= 1e-9 * abs(n*sxx*srr) THEN (sy - b1f*sx) / n
+        |       ELSE (sy*(sxx*srr - sxr*sxr) - sx*(sxy*srr - sxr*sry) + sr*(sxy*sxr - sxx*sry)) / det END AS b0,
+        |  CASE WHEN abs(det) <= 1e-9 * abs(n*sxx*srr) THEN b1f
+        |       ELSE (n*(sxy*srr - sxr*sry) - sy*(sx*srr - sxr*sr) + sr*(sx*sry - sxy*sr)) / det END AS b1,
+        |  CASE WHEN abs(det) <= 1e-9 * abs(n*sxx*srr) THEN 0.0
+        |       ELSE (n*(sxx*sry - sxy*sxr) - sx*(sx*sry - sxy*sr) + sy*(sx*sxr - sxx*sr)) / det END AS b2
+        |  FROM fb),
         |dowm AS (SELECT w.event_type, dayofweek(w.ds) AS dow,
         |                avg(w.y - (b.b0 + b.b1*w.x + b.b2*w.r)) AS dow_mean
         |         FROM wx w JOIN betas b USING(event_type) GROUP BY 1, 2),

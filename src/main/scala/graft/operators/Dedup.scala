@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Free a superseded iteration's checkpoint blocks (the LogicalRDD
+    * leaf holds the materialized RDD; it is never read again once the
+    * next round is checkpointed, so dropping its blocks is safe). */
+  private def freeBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+    }
+
   /** A8 `q08_dedup_latest` — keep the latest record per key
     * (Alodesk_API.py:30 `dedup_leads`: sort by ts, keep last). One window
     * exchange on the key; deterministic tiebreak on event_id (pandas
@@ -260,14 +268,6 @@ object Dedup {
     * @return (id, rep_id) for every id appearing in `pairs`, rep_id =
     *         the component minimum
     */
-  /** Free a superseded round's checkpoint blocks (the LogicalRDD leaf
-    * holds the materialized RDD; it is never read again once the next
-    * round is checkpointed, so dropping its blocks is safe). */
-  private def freeBlocks(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-    }
-
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -345,6 +345,10 @@ object Dedup {
     var checkpointed = canon(pairs.select(col("id_a").as("a"), col("id_b").as("b")))
       .localCheckpoint()
     var edges = checkpointed
+    // each round compares its edge count against the previous round's —
+    // seeded once here so the loop runs ONE count job per round, not a
+    // recount of the prior set it already measured
+    var prevCount = edges.count()
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -366,12 +370,14 @@ object Dedup {
       val next = canon(small).localCheckpoint()
       // fixpoint probe: canonical sets are distinct, so same count +
       // empty one-way anti-join ⟺ equal sets; both probes are tiny
+      val nextCount = next.count()
       val changed =
-        next.join(edges, Seq("a", "b"), "left_anti").limit(1).count() > 0 ||
-          next.count() != edges.count()
+        nextCount != prevCount ||
+          next.join(edges, Seq("a", "b"), "left_anti").limit(1).count() > 0
       freeBlocks(checkpointed)
       checkpointed = next
       edges = next
+      prevCount = nextCount
       done = !changed
       iter += 1
     }

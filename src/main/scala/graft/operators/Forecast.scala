@@ -536,10 +536,14 @@ object Forecast {
                                   country: String): DataFrame = {
     val d = daily.localCheckpoint()
     val bounds = d.agg(min(col("ds")).as("lo"), max(col("ds")).as("hi")).head()
-    val lo = bounds.getDate(0).toLocalDate
-    val hi = bounds.getDate(1).toLocalDate.plusDays(horizon.toLong)
-    val cal = graft.functions.holidays.calendar(
-      d.sparkSession, country, lo.getYear, hi.getYear)
+    // empty input → min/max are null; an empty calendar keeps the whole
+    // pipeline an empty frame (like the other forecast paths) instead
+    // of NPE-ing on the null bounds
+    val (loYear, hiYear) =
+      if (bounds.isNullAt(0)) (1970, 1969)
+      else (bounds.getDate(0).toLocalDate.getYear,
+        bounds.getDate(1).toLocalDate.plusDays(horizon.toLong).getYear)
+    val cal = graft.functions.holidays.calendar(d.sparkSession, country, loYear, hiYear)
     forecastWithHolidays(d, keyCols, horizon, cal)
   }
 

@@ -257,22 +257,30 @@ object Multimodal {
             val target = new javax.sound.sampled.AudioFormat(
               fmt.getSampleRate, 16, fmt.getChannels, true, false)
             val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
-            val buf = new java.io.ByteArrayOutputStream()
+            // STREAM the fold — never materialize the decoded PCM (an
+            // hour of 48 kHz stereo is ~700 MB decoded; buffering it
+            // would OOM executors running many task threads). A sample
+            // can straddle a chunk boundary, so one byte carries over.
             val chunk = new Array[Byte](8192)
-            var k = pcm.read(chunk)
-            while (k > 0) { buf.write(chunk, 0, k); k = pcm.read(chunk) }
-            val bytes = buf.toByteArray
-            val nSamples = bytes.length / 2
-            var i = 0; var sumSq = 0.0; var peak = 0.0
-            while (i < nSamples) {
-              // little-endian signed 16-bit, normalized to [-1, 1]
-              val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort / 32768.0
+            var nSamples = 0L; var sumSq = 0.0; var peak = 0.0
+            var carry = 0; var haveCarry = false
+            // little-endian signed 16-bit samples, normalized to [-1, 1]
+            def fold(lo: Byte, hi: Byte): Unit = {
+              val s = ((lo & 0xff) | (hi << 8)).toShort / 32768.0
               sumSq += s * s
               val a = math.abs(s); if (a > peak) peak = a
-              i += 1
+              nSamples += 1
+            }
+            var k = pcm.read(chunk)
+            while (k > 0) {
+              var i = 0
+              if (haveCarry) { fold(carry.toByte, chunk(0)); haveCarry = false; i = 1 }
+              while (i + 1 < k) { fold(chunk(i), chunk(i + 1)); i += 2 }
+              if (i < k) { carry = chunk(i); haveCarry = true }
+              k = pcm.read(chunk)
             }
             val channels = fmt.getChannels
-            val frames = nSamples.toLong / math.max(1, channels)
+            val frames = nSamples / math.max(1, channels)
             val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
             Row(id, fmt.getSampleRate.toInt, channels, frames,
               frames * 1000.0 / fmt.getSampleRate, rms, peak, true)

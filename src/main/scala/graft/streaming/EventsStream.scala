@@ -64,27 +64,39 @@ object EventsStream {
   /** D1→E bridge — stream INTO the day-partitioned lake with the
     * E-block write disposition: each micro-batch lands via
     * [[graft.sources.Sinks.writeDayPartitioned]] under dynamic
-    * partition overwrite, so a batch carrying (possibly updated)
-    * aggregates for dates D₁..Dₖ replaces exactly those date
-    * partitions and nothing else. Combined with a watermarked
-    * aggregation upstream this is the standard idempotent streaming
-    * load: replays of a micro-batch rewrite the same partitions
-    * instead of duplicating rows (`foreachBatch` + overwrite-by-
-    * partition — the exactly-once-per-partition recipe for file
-    * sinks that need in-place updates).
+    * partition overwrite, so replays of a micro-batch rewrite the same
+    * partitions instead of duplicating rows (`foreachBatch` +
+    * overwrite-by-partition — the idempotent recipe for file sinks
+    * that need in-place updates).
+    *
+    * Output-mode correctness: partition overwrite replaces WHOLE date
+    * partitions, so the batch handed to `foreachBatch` must contain
+    * every row of every date it touches.
+    *  - `complete` (default): the full aggregate snapshot each trigger
+    *    — always correct, right shape for bounded-cardinality report
+    *    tables (the reference's day-partitioned uploads);
+    *  - `update`: only updated rows — incremental and cheap, but ONLY
+    *    sound when the aggregation key is exactly the date column (one
+    *    row per partition); with finer grouping an update batch would
+    *    silently drop the date's unchanged sibling rows, so callers
+    *    must opt in deliberately.
     *
     * Returns the started query; callers own its lifecycle. */
   def writeDayPartitionedStream(df: DataFrame, path: String, dateCol: String,
-                                checkpointDir: String):
-      org.apache.spark.sql.streaming.StreamingQuery =
+                                checkpointDir: String,
+                                mode: String = "complete"):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    require(Set("complete", "update").contains(mode),
+      s"mode must be complete or update, got $mode")
     df.writeStream
-      .outputMode(OutputMode.Update())
+      .outputMode(if (mode == "complete") OutputMode.Complete() else OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.sources.Sinks.writeDayPartitioned(
           batch, path, dateCol, ifExists = "replace", clean = false)
       }
       .start()
+  }
 
   /** Event record for the stateful dedup stream. */
   case class StreamEvent(event_id: Long, ts: Timestamp, user_id: Long,

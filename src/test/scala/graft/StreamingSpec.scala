@@ -130,8 +130,11 @@ class StreamingSpec extends SparkSpecBase {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val mem = MemoryStream[StreamEvent]
+    // grouping FINER than the partition key (day, event_type): the
+    // default complete-mode write must keep a date's unchanged sibling
+    // rows when another row of the same date updates
     val daily = mem.toDF()
-      .groupBy(to_date(col("ts")).as("day"))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
     val path = java.nio.file.Files.createTempDirectory("graft_stream_lake").toString
     val cp = java.nio.file.Files.createTempDirectory("graft_stream_cp").toString
@@ -142,20 +145,24 @@ class StreamingSpec extends SparkSpecBase {
         StreamEvent(2, ts("2024-01-02 10:00:00"), 1, "click", 2.0))
       q.processAllAvailable()
       def lake() = spark.read.parquet(path)
-        .select(col("day").cast("string"), col("n"), col("v"))
-        .as[(String, Long, Double)].collect().toSet
-      assert(lake() == Set(("2024-01-01", 1L, 1.0), ("2024-01-02", 1L, 2.0)))
-      // second micro-batch updates day 2 and adds day 3: day 1 partition
-      // must survive untouched, day 2 must be REPLACED (not duplicated)
+        .select(col("day").cast("string"), col("event_type"), col("n"), col("v"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(lake() == Set(
+        ("2024-01-01", "click", 1L, 1.0),
+        ("2024-01-02", "click", 1L, 2.0)))
+      // second micro-batch adds a view row on day 2 and a new day 3:
+      // day 1 survives, day 2 keeps its UNCHANGED click row alongside
+      // the new view row (no duplicates, no sibling loss), day 3 appears
       mem.addData(
-        StreamEvent(3, ts("2024-01-02 11:00:00"), 2, "click", 5.0),
+        StreamEvent(3, ts("2024-01-02 11:00:00"), 2, "view", 5.0),
         StreamEvent(4, ts("2024-01-03 09:00:00"), 1, "view", 7.0))
       q.processAllAvailable()
       assert(lake() == Set(
-        ("2024-01-01", 1L, 1.0),
-        ("2024-01-02", 2L, 7.0),
-        ("2024-01-03", 1L, 7.0)),
-        "updated dates replace in place; untouched dates survive")
+        ("2024-01-01", "click", 1L, 1.0),
+        ("2024-01-02", "click", 1L, 2.0),
+        ("2024-01-02", "view", 1L, 5.0),
+        ("2024-01-03", "view", 1L, 7.0)),
+        "replays/updates rewrite partitions wholesale; sibling rows survive")
     } finally q.stop()
   }
 }
