@@ -62,6 +62,7 @@ object SparkEntry {
     "q26_ann_lsh"                -> ((s, d) => Similarity.annLsh(s, d)),
     "q36_ann_ivf"                -> ((s, d) => Similarity.annIvf(s, d)),
     "q37_dup_clusters"           -> ((s, d) => Dedup.dupClustersEmbeddings(s, d)),
+    "q39_dup_clusters_logn"      -> ((s, d) => Dedup.dupClustersEmbeddingsLogN(s, d)),
     "q27_langid"                 -> ((s, d) => TextAnalysis.langId(s, d)),
     "q28_quality_score"          -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q29_token_counts"           -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
@@ -98,6 +99,28 @@ object SparkEntry {
       " ELSE 'unknown' END"
 
   private val enStops: String = sqlList(T.stopwords.head._2)
+
+  /** Transitive-closure ground truth shared by q37 (label propagation)
+    * and q39 (large-star/small-star): DuckDB recursive-CTE reachability
+    * over the embedding near-dup pair predicate. */
+  private val dupClustersOracle: String =
+    """WITH RECURSIVE edges0 AS (
+      | SELECT id_a, id_b FROM (
+      |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+      |   round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+      |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),4) AS cos
+      |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+      | WHERE cos >= 0.25),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM edges0
+      |          UNION SELECT id_b, id_a FROM edges0),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach AS (
+      | SELECT id, id AS r FROM nodes
+      | UNION
+      | SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+      |SELECT id, CAST(min(r) AS BIGINT) AS rep_id
+      |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the non-SQL-expressible ops
@@ -482,24 +505,10 @@ object SparkEntry {
         | FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cos >= 0.25 ORDER BY id_a, id_b""".stripMargin,
 
-    "q37_dup_clusters" ->
-      """WITH RECURSIVE edges0 AS (
-        | SELECT id_a, id_b FROM (
-        |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-        |   round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-        |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),4) AS cos
-        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
-        | WHERE cos >= 0.25),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM edges0
-        |          UNION SELECT id_b, id_a FROM edges0),
-        |nodes AS (SELECT DISTINCT src AS id FROM edges),
-        |reach AS (
-        | SELECT id, id AS r FROM nodes
-        | UNION
-        | SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
-        |SELECT id, CAST(min(r) AS BIGINT) AS rep_id
-        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    // q39 runs the large-star/small-star variant against the SAME
+    // transitive-closure ground truth as q37's label propagation
+    "q39_dup_clusters_logn" -> dupClustersOracle,
+    "q37_dup_clusters" -> dupClustersOracle,
 
     "q25_ann_bruteforce" ->
       """WITH scored AS (

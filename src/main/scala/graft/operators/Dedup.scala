@@ -400,4 +400,12 @@ object Dedup {
   def dupClustersEmbeddings(spark: SparkSession, dir: String): DataFrame =
     dupClusters(Similarity.embeddingNearDup(spark, dir).select(col("id_a"), col("id_b")))
       .orderBy(col("id"))
+
+  /** `q39_dup_clusters_logn` — the same connected-components contract
+    * computed by the large-star/small-star variant; shares q37's
+    * recursive-CTE oracle, so BOTH algorithms are value-checked against
+    * the same ground truth. */
+  def dupClustersEmbeddingsLogN(spark: SparkSession, dir: String): DataFrame =
+    dupClustersLogN(Similarity.embeddingNearDup(spark, dir).select(col("id_a"), col("id_b")))
+      .orderBy(col("id"))
 }
