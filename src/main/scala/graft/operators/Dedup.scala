@@ -338,12 +338,16 @@ object Dedup {
     def bothDirs(e: DataFrame): DataFrame =
       e.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    // materialize the INPUT pairs once: the node census and the first
+    // canonical edge set both derive from these blocks — without this,
+    // the (expensive) upstream pair-generation pipeline would run twice
+    val raw = pairs.select(col("id_a").as("a"), col("id_b").as("b")).localCheckpoint()
     // nodes survive as self-star roots even after their star collapses
-    val nodes = bothDirs(pairs.select(col("id_a").as("a"), col("id_b").as("b")))
+    val nodes = bothDirs(raw)
       .select(col("u").as("id")).distinct().localCheckpoint()
 
-    var checkpointed = canon(pairs.select(col("id_a").as("a"), col("id_b").as("b")))
-      .localCheckpoint()
+    var checkpointed = canon(raw).localCheckpoint()
+    freeBlocks(raw)
     var edges = checkpointed
     // each round compares its edge count against the previous round's —
     // seeded once here so the loop runs ONE count job per round, not a
