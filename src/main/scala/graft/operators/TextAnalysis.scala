@@ -13,18 +13,23 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** C8 `q27_langid` — stopword-overlap language ID: per-language hit
-    * counts + argmax with fixed preference order (deterministic ties). */
+    * counts + argmax with fixed preference order (deterministic ties).
+    * The five scores unpack from ONE packed single-pass fold
+    * ([[T.langScoresPacked]]) materialized as an attribute, so the
+    * token array is built and traversed once per row — not once per
+    * language. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val scored = T.langIdScores(col("text"))
-    val scoreCols = scored.map { case (lang, c) => c.as(s"s_$lang") }
-    val langs = scored.map(_._1)
+    val langs = T.stopwords.map(_._1)
     val best = greatest(langs.map(l => col(s"s_$l")): _*)
     val pred = langs.foldRight(lit("unknown"): Column) { (l, acc) =>
       when(col(s"s_$l") === best, lit(l)).otherwise(acc)
     }
     t.documents
-      .select(col("doc_id") +: scoreCols: _*)
+      .select(col("doc_id"), T.langScoresPacked(col("text")).as("_packed"))
+      .select(col("doc_id") +: langs.zipWithIndex.map { case (l, i) =>
+        T.unpackLangScore(col("_packed"), i).as(s"s_$l")
+      }: _*)
       .withColumn("pred_lang", pred)
       .orderBy(col("doc_id"))
   }
