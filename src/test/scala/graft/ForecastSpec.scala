@@ -497,6 +497,49 @@ class ForecastSpec extends SparkSpecBase {
     }
   }
 
+  test("Forecaster facade mirrors the reference call shape over a wide frame") {
+    import graft.operators.Forecaster
+    // wide frame: ds + two metric columns, one key column — the
+    // reference's __init__(df, date_column) + forecast(days) shape
+    val wide = (0 until 28).map { x =>
+      ("c1", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(x)),
+        10.0 + 2.0 * x, 100.0)
+    }.toDF("campaign", "ds", "revenue", "visits")
+    val fc = new Forecaster(wide, dateCol = "ds", keyCols = Seq("campaign"))
+    assert(fc.numericMetrics == Seq("revenue", "visits"))
+    // metrics=None → every numeric column forecasts in one pass
+    val out = fc.forecast(days = 7)
+      .select("campaign", "metric", "ds", "yhat")
+      .as[(String, String, Date, Double)].collect()
+    assert(out.length == 14, "2 metrics x 7 days")
+    out.filter(_._2 == "revenue").foreach { case (_, _, ds, y) =>
+      val x = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.of(2024, 1, 1), ds.toLocalDate)
+      assert(math.abs(y - (10.0 + 2.0 * x)) < 1e-6)
+    }
+    out.filter(_._2 == "visits").foreach { case (_, _, _, y) =>
+      assert(math.abs(y - 100.0) < 1e-6)
+    }
+    // round_decimals analog re-rounds the output
+    val r0 = fc.forecast(days = 3, metrics = Some(Seq("revenue")), roundDecimals = Some(0))
+      .select("yhat").as[Double].collect()
+    assert(r0.forall(y => y == math.rint(y)), "round_decimals=0 must yield integers")
+    // wide result pivots back to one column per metric
+    val w = fc.forecastWide(days = 3)
+    assert(w.columns.toSeq == Seq("campaign", "ds", "revenue", "visits") && w.count() == 3)
+    // unsupported joint fits fail loudly, not silently
+    val ex = intercept[IllegalArgumentException] {
+      fc.forecast(days = 3, regressor = Some("visits"), yearlySeasonality = 3)
+    }
+    assert(ex.getMessage.contains("unsupported option combination"))
+    // dispatch: flat growth holds the level through the facade too
+    val flat = fc.forecast(days = 7, metrics = Some(Seq("revenue")), growth = "flat")
+      .select("yhat").as[Double].collect()
+    val linear = fc.forecast(days = 7, metrics = Some(Seq("revenue")))
+      .select("yhat").as[Double].collect()
+    assert(flat.max < linear.min)
+  }
+
   test("multi-metric fan-out forecasts every metric per key") {
     val out = Forecast.forecastMulti(spark, sfDir)
     val keys = out.select("event_type", "metric").distinct().count()
