@@ -51,7 +51,7 @@ object text {
   /** Rename every column of `df` with [[cleanNameStr]] — the DataFrame
     * equivalent of `dataframe_clean_cols`. Pure metadata op, no job. */
   def cleanColumnNames(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(cleanNameStr): _*)
+    df.toDF(df.columns.toSeq.map(cleanNameStr): _*)
 
   /** Whitespace tokens of trimmed, lowercased text. Trim first so Spark and
     * DuckDB agree on leading/trailing empty tokens. */

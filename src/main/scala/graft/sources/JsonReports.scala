@@ -195,7 +195,7 @@ object JsonReports {
     val dated = dateStr.fold(flat)(d => flat.withColumn("date", lit(d).cast("date")))
     // reference column cleaning: strip/lower, space and dash → _, drop
     // the rest of the non-word chars (Linkedin_Marketing.py:80)
-    dated.toDF(dated.columns.map(
+    dated.toDF(dated.columns.toSeq.map(
       _.trim.toLowerCase.replace(" ", "_").replace("-", "_").replaceAll("[^\\w]", "")): _*)
   }
 
