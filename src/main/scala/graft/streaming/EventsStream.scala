@@ -102,6 +102,41 @@ object EventsStream {
   case class StreamEvent(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
 
+  /** Document record for the streaming content dedup. */
+  case class StreamDoc(doc_id: Long, text: String)
+
+  /** D2 variant — streaming EXACT dedup by content fingerprint: the
+    * ingest-time twin of batch C1 (`Dedup.dedupExact`). Documents hash
+    * to md5(text) BEFORE the stateful stage, the stream repartitions on
+    * the fingerprint (uniform under content skew — the same shuffle-key
+    * argument as the batch pass), and only the first document per
+    * fingerprint survives. `stateTtl` bounds the seen-fingerprint state
+    * like [[dedupStream]]; a production corpus loader would seed the
+    * state from the batch fingerprint table and let TTL age out cold
+    * hashes. */
+  def dedupDocsStream(docs: Dataset[StreamDoc],
+                      stateTtl: Option[String] = None): Dataset[StreamDoc] = {
+    import docs.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    docs
+      .groupByKey { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        java.util.HexFormat.of().formatHex(md.digest(d.text.getBytes("UTF-8")))
+      }
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (_: String, batch: Iterator[StreamDoc], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            stateTtl.foreach(state.setTimeoutDuration)
+            batch.take(1)
+          }
+      }
+  }
+
   /** D2 — stateful streaming dedup: first occurrence of each
     * (user_id, event_type) key passes through, repeats are dropped.
     * `flatMapGroupsWithState` with a processing-time timeout bounds the

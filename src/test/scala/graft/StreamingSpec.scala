@@ -126,6 +126,27 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2 variant: streaming content dedup passes one doc per fingerprint across batches") {
+    import graft.streaming.EventsStream.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamDoc]
+    val q = EventsStream.dedupDocsStream(mem.toDS())
+      .writeStream.format("memory").queryName("d2_docs").outputMode("append").start()
+    try {
+      mem.addData(
+        StreamDoc(1, "the quick brown fox"),
+        StreamDoc(2, "the quick brown fox"),   // exact dup in-batch
+        StreamDoc(3, "something else entirely"))
+      q.processAllAvailable()
+      // cross-batch: the same content arriving later is still a dup
+      mem.addData(StreamDoc(4, "the quick brown fox"), StreamDoc(5, "fresh content"))
+      q.processAllAvailable()
+      val ids = spark.table("d2_docs").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("D1→E: streaming into the day-partitioned lake replaces only updated dates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
