@@ -69,6 +69,7 @@ object SparkEntry {
     "q30_fingerprint"            -> ((s, d) => TextAnalysis.fingerprintDocs(s, d)),
     "q31_multimodal_meta"        -> ((s, d) => Multimodal.multimodalMeta(s, d)),
     "q32_doc_stats"              -> ((s, d) => TextAnalysis.docStats(s, d)),
+    "q40_word_stats"             -> ((s, d) => TextAnalysis.wordStats(s, d)),
     // Shopify sales-report refunds/returns leg
     "q33_sales_returns"          -> ((s, d) => Reports.salesReturns(s, d)),
     "q34_refunds_frame"          -> ((s, d) => Reports.refundsFrame(s, d))
@@ -569,6 +570,20 @@ object SparkEntry {
         | round(quantile_cont(n_chars, 0.5) + 1e-9, 4) AS median_chars,
         | round(quantile_cont(n_chars, 0.9) + 1e-9, 4) AS p90_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q40_word_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks, len(toks) AS n,
+        |  [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))] AS g2,
+        |  [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks)-1)] AS g3
+        | FROM t)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        | round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / greatest(n, 1) + 1e-9, 4) AS mean_word_len,
+        | round(CASE WHEN n = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n END + 1e-9, 4) AS dup_word_ratio,
+        | round(CASE WHEN len(g2) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END + 1e-9, 4) AS dup_2gram_ratio,
+        | round(CASE WHEN len(g3) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END + 1e-9, 4) AS dup_3gram_ratio
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "q31_multimodal_meta" ->
       """SELECT doc_id,

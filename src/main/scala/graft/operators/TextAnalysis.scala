@@ -82,6 +82,38 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Extension `q40_word_stats` — word-level repetition quality signals,
+    * the Gopher/C4-style filters a pretraining cleanup pass gates on
+    * (published rules: mean word length bounds, duplicate word/n-gram
+    * fractions): per doc, mean token length, duplicate-word ratio
+    * (1 − distinct/total), and duplicate 2-/3-gram ratios. All pure
+    * column expressions over ONE materialized token array (the q27
+    * lesson: attribute first, derive after — no re-splitting per
+    * metric); map-only, zero shuffles. */
+  def wordStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def grams(toks: Column, n: Int): Column =
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+        .otherwise(array())
+    def dupRatio(arr: Column): Column =
+      when(size(arr) === 0, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr))
+    t.documents
+      .select(col("doc_id"), T.tokens(col("text")).as("_t"))
+      .select(
+        col("doc_id"),
+        size(col("_t")).cast("long").as("n_tokens"),
+        round(aggregate(transform(col("_t"), x => length(x).cast("long")),
+            lit(0L), (acc, v) => acc + v).cast("double") /
+          greatest(size(col("_t")), lit(1)) + lit(1e-9), 4).as("mean_word_len"),
+        round(dupRatio(col("_t")) + lit(1e-9), 4).as("dup_word_ratio"),
+        round(dupRatio(grams(col("_t"), 2)) + lit(1e-9), 4).as("dup_2gram_ratio"),
+        round(dupRatio(grams(col("_t"), 3)) + lit(1e-9), 4).as("dup_3gram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Extension `q32_doc_stats` — per-language corpus length statistics:
     * doc counts, distinct sources, mean/median/p90 length. The exact
     * `percentile` is fine at per-group granularity (values collect per
