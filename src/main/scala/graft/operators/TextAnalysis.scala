@@ -92,16 +92,25 @@ object TextAnalysis {
     * metric); map-only, zero shuffles. */
   def wordStats(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // gram windows hash to int64 (xxhash64 over the window's tokens)
+    // instead of concatenating strings: the distinct pass then dedups
+    // 8-byte longs, and no gram text is ever materialized — same
+    // counts as the oracle's string grams (collision odds ~1e-19/pair)
     def grams(toks: Column, n: Int): Column =
       when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-          concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-        .otherwise(array())
+          xxhash64((0 until n).map(j => element_at(toks, i + j)): _*)))
+        .otherwise(array().cast("array<bigint>"))
     def dupRatio(arr: Column): Column =
       when(size(arr) === 0, lit(0.0)).otherwise(
         lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr))
+    // gram arrays materialize as attributes BEFORE the ratio math —
+    // dupRatio references each array twice (size + distinct), and an
+    // inlined constructor would be evaluated per reference
     t.documents
       .select(col("doc_id"), T.tokens(col("text")).as("_t"))
+      .select(col("doc_id"), col("_t"),
+        grams(col("_t"), 2).as("_g2"), grams(col("_t"), 3).as("_g3"))
       .select(
         col("doc_id"),
         size(col("_t")).cast("long").as("n_tokens"),
@@ -109,8 +118,8 @@ object TextAnalysis {
             lit(0L), (acc, v) => acc + v).cast("double") /
           greatest(size(col("_t")), lit(1)) + lit(1e-9), 4).as("mean_word_len"),
         round(dupRatio(col("_t")) + lit(1e-9), 4).as("dup_word_ratio"),
-        round(dupRatio(grams(col("_t"), 2)) + lit(1e-9), 4).as("dup_2gram_ratio"),
-        round(dupRatio(grams(col("_t"), 3)) + lit(1e-9), 4).as("dup_3gram_ratio"))
+        round(dupRatio(col("_g2")) + lit(1e-9), 4).as("dup_2gram_ratio"),
+        round(dupRatio(col("_g3")) + lit(1e-9), 4).as("dup_3gram_ratio"))
       .orderBy(col("doc_id"))
   }
 
