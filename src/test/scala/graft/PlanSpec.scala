@@ -74,6 +74,16 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("text-analysis queries stay map-only: no Exchange before the output sort") {
+    // q27/q40 claim zero shuffles (the ORDER BY for oracle determinism
+    // is the only exchange allowed in the plan)
+    for (q <- Seq("q27_langid", "q40_word_stats")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"$q must shuffle only for the final sort, found $exchanges:\n${plan.take(1200)}")
+    }
+  }
+
   test("IVF probe and candidate joins broadcast the small side, no cartesian operator") {
     val plan = Similarity.annIvf(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
