@@ -87,28 +87,39 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
       case other => throw new IllegalArgumentException(
         s"seasonality_mode must be additive or multiplicative, got $other")
     }
-    val wantsFourier = yearlySeasonality > 0 || customSeasonalities.nonEmpty ||
-      changepoints > 0 || multiplicative
+    val wantsFourier = yearlySeasonality > 0 || weeklySeasonality > 0 ||
+      customSeasonalities.nonEmpty || changepoints > 0 || multiplicative
     val wantsHolidays = holidays.isDefined || countryHolidays.isDefined
 
     def unsupported(what: String) = throw new IllegalArgumentException(
       s"unsupported option combination: $what (the closed-form paths fit " +
         "separately; see Forecaster scaladoc for the supported sets)")
+    if (changepointRidge > 0.0 && changepoints == 0)
+      unsupported("changepointRidge without changepoints")
 
     val out =
       if (regressor.isDefined) {
         if (wantsFourier || wantsHolidays) unsupported("regressors with seasonality/holiday options")
         if (freq != "D") unsupported("regressors with freq != D")
+        if (growth != "linear") unsupported(s"regressors with growth='$growth'")
+        if (!nonNegative) unsupported("regressors with nonNegative=false (that path clamps at 0)")
         if (cap.isDefined || floor.isDefined || includeIntervals || includeHistory)
           unsupported("regressors with bounds/intervals/history")
+        // the metric melt is this facade's internal: the caller supplies
+        // future regressor values per (keyCols, ds), and every melted
+        // metric shares them — expand across the metric list here
+        val fr = futureRegressor.map(
+          _.withColumn("metric", explode(array(ms.map(lit): _*))))
         Forecast.forecastWithRegressor(
           melt(ms, extra = Seq(regressor.get)).withColumnRenamed(regressor.get, "r"),
-          keys, days, futureRegressor)
+          keys, days, fr)
       } else if (wantsHolidays) {
         if (wantsFourier) unsupported("holidays with Fourier/changepoint options")
         if (cap.isDefined || floor.isDefined || includeIntervals || includeHistory)
           unsupported("holidays with bounds/intervals/history")
         if (freq != "D") unsupported("holidays with freq != D")
+        if (growth != "linear") unsupported(s"holidays with growth='$growth'")
+        if (!nonNegative) unsupported("holidays with nonNegative=false (that path clamps at 0)")
         (holidays, countryHolidays) match {
           case (Some(h), None) => Forecast.forecastWithHolidays(melt(ms), keys, days, h)
           case (None, Some(c)) => Forecast.forecastWithCountryHolidays(melt(ms), keys, days, c)

@@ -34,9 +34,18 @@ object Sharding {
                   maxRecordsPerFile: Long = 5000000L): Unit = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
     val h = seededHash(col(idCol), seed)
+    // range-partition on (shard, order-hash), NOT hash-partition on the
+    // shard id: repartition() re-murmurs the shard value, and hashing
+    // numShards small ints into numShards buckets collides ~1/e of them
+    // — empty tasks next to double-shard stragglers. Contiguous ranges
+    // give ~equal ROW counts per task and keep each shard's rows in
+    // consecutive tasks; shard CONTENT (what the spec pins) is set by
+    // the hash columns either way.
     df.withColumn("shard", pmod(h, lit(numShards)).cast("int"))
-      .repartition(numShards, col("shard"))
-      .sortWithinPartitions(col("shard"), seededHash(col(idCol), seed + 1))
+      .withColumn("_ord", seededHash(col(idCol), seed + 1))
+      .repartitionByRange(numShards, col("shard"), col("_ord"))
+      .sortWithinPartitions(col("shard"), col("_ord"))
+      .drop("_ord")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("shard")
@@ -57,6 +66,8 @@ object Sharding {
                   seed: Long = 0L): Map[String, DataFrame] = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       s"weights must be positive, got $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"split names must be distinct (a Map result keyed by name), got ${weights.map(_._1)}")
     val total = weights.map(_._2).sum
     // hash → [0, 1): shift into non-negative then scale by 2^63
     val u = (seededHash(col(idCol), seed) / lit(2.0) + lit(Long.MaxValue.toDouble / 2.0 + 1.0)) /

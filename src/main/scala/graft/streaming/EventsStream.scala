@@ -105,6 +105,37 @@ object EventsStream {
   /** Document record for the streaming content dedup. */
   case class StreamDoc(doc_id: Long, text: String)
 
+  /** Shared first-occurrence state machine for the dedup streams: the
+    * first element per key passes, repeats drop. GroupState's timeout
+    * contract CLEARS any pending timeout on every invocation of the
+    * function, so the TTL must be re-armed on EVERY branch that keeps
+    * the state — including the duplicate-drop branch (duplicates are
+    * the common case for a dedup stream; skipping the re-arm there
+    * would cancel the TTL of exactly the hot keys and grow state
+    * unboundedly). */
+  private def firstPerKey[T, K](ds: Dataset[T], key: T => K,
+                                stateTtl: Option[String])(
+      implicit kEnc: org.apache.spark.sql.Encoder[K],
+      tEnc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    implicit val boolEnc: org.apache.spark.sql.Encoder[Boolean] = Encoders.scalaBoolean
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(key)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (_: K, batch: Iterator[T], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            stateTtl.foreach(state.setTimeoutDuration)   // re-arm: see above
+            Iterator.empty
+          } else {
+            state.update(true)
+            stateTtl.foreach(state.setTimeoutDuration)
+            batch.take(1)
+          }
+      }
+  }
+
   /** D2 variant — streaming EXACT dedup by content fingerprint: the
     * ingest-time twin of batch C1 (`Dedup.dedupExact`). Documents hash
     * to md5(text) BEFORE the stateful stage, the stream repartitions on
@@ -117,24 +148,10 @@ object EventsStream {
   def dedupDocsStream(docs: Dataset[StreamDoc],
                       stateTtl: Option[String] = None): Dataset[StreamDoc] = {
     import docs.sparkSession.implicits._
-    val timeoutConf =
-      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
-    docs
-      .groupByKey { d =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        java.util.HexFormat.of().formatHex(md.digest(d.text.getBytes("UTF-8")))
-      }
-      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
-        (_: String, batch: Iterator[StreamDoc], state: GroupState[Boolean]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else if (state.exists) Iterator.empty
-          else {
-            state.update(true)
-            stateTtl.foreach(state.setTimeoutDuration)
-            batch.take(1)
-          }
-      }
+    firstPerKey[StreamDoc, String](docs, d => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.util.HexFormat.of().formatHex(md.digest(d.text.getBytes("UTF-8")))
+    }, stateTtl)
   }
 
   /** D2 — stateful streaming dedup: first occurrence of each
@@ -145,25 +162,7 @@ object EventsStream {
   def dedupStream(events: Dataset[StreamEvent],
                   stateTtl: Option[String] = None): Dataset[StreamEvent] = {
     import events.sparkSession.implicits._
-    val timeoutConf =
-      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
-    events
-      .groupByKey(e => (e.user_id, e.event_type))
-      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
-        (_: (Long, String), batch: Iterator[StreamEvent], state: GroupState[Boolean]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else if (state.exists) {
-            // key already seen — drop everything in this batch
-            Iterator.empty
-          } else {
-            state.update(true)
-            stateTtl.foreach(state.setTimeoutDuration)
-            // emit only the first event of the batch for this key
-            batch.take(1)
-          }
-      }
+    firstPerKey[StreamEvent, (Long, String)](
+      events, e => (e.user_id, e.event_type), stateTtl)
   }
 }

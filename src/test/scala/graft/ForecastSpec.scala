@@ -538,6 +538,40 @@ class ForecastSpec extends SparkSpecBase {
     val linear = fc.forecast(days = 7, metrics = Some(Seq("revenue")))
       .select("yhat").as[Double].collect()
     assert(flat.max < linear.min)
+    // weekly-only seasonality must dispatch to the Fourier path, not
+    // silently drop the requested order
+    val weeklyOnly = fc.forecast(days = 7, metrics = Some(Seq("revenue")),
+      weeklySeasonality = 2)
+    assert(weeklyOnly.count() == 7)
+    // contradicted kwargs raise instead of being ignored
+    intercept[IllegalArgumentException] {
+      fc.forecast(days = 3, regressor = Some("visits"),
+        metrics = Some(Seq("revenue")), growth = "flat")
+    }
+  }
+
+  test("Forecaster facade expands a caller futureRegressor across melted metrics") {
+    import graft.operators.Forecaster
+    // y = 5 + 3r exactly; future r supplied per (key, ds) in the
+    // documented shape — the facade must replicate it per metric
+    val rs = Seq(2.0, 7.0, 4.0, 9.0, 1.0, 6.0, 3.0, 8.0, 5.0, 2.5, 7.5, 4.5, 9.5, 1.5)
+    val wide = rs.zipWithIndex.map { case (r, x) =>
+      ("c1", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(x)), 5.0 + 3.0 * r, r)
+    }.toDF("campaign", "ds", "sales", "spend")
+    val futureR = (14 until 21).map { x =>
+      ("c1", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(x)), 4.0 + (x % 3))
+    }.toDF("campaign", "ds", "r")
+    val fc = new Forecaster(wide, dateCol = "ds", keyCols = Seq("campaign"))
+    val out = fc.forecast(days = 7, regressor = Some("spend"),
+      futureRegressor = Some(futureR))
+      .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
+    assert(out.length == 7)
+    out.foreach { case (ds, yhat) =>
+      val x = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.of(2024, 1, 1), ds.toLocalDate)
+      val expected = 5.0 + 3.0 * (4.0 + (x % 3))
+      assert(math.abs(yhat - expected) < 1e-4, s"$ds: $yhat vs $expected")
+    }
   }
 
   test("multi-metric fan-out forecasts every metric per key") {
