@@ -70,6 +70,7 @@ object SparkEntry {
     "q31_multimodal_meta"        -> ((s, d) => Multimodal.multimodalMeta(s, d)),
     "q32_doc_stats"              -> ((s, d) => TextAnalysis.docStats(s, d)),
     "q40_word_stats"             -> ((s, d) => TextAnalysis.wordStats(s, d)),
+    "q41_asof_attribution"       -> ((s, d) => AsOfJoin.clickAttribution(s, d)),
     // Shopify sales-report refunds/returns leg
     "q33_sales_returns"          -> ((s, d) => Reports.salesReturns(s, d)),
     "q34_refunds_frame"          -> ((s, d) => Reports.refundsFrame(s, d))
@@ -584,6 +585,18 @@ object SparkEntry {
         | round(CASE WHEN len(g2) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END + 1e-9, 4) AS dup_2gram_ratio,
         | round(CASE WHEN len(g3) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END + 1e-9, 4) AS dup_3gram_ratio
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN is the ground truth for the
+    // union+window as-of composition; clicks pre-collapsed per
+    // (user, ts) so the pick is unique on both engines
+    "q41_asof_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |p AS (SELECT event_id, user_id, ts, round(value, 4) AS value FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id, c.click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q31_multimodal_meta" ->
       """SELECT doc_id,

@@ -73,4 +73,23 @@ object AsOfJoin {
   private def payloadType(right: DataFrame, rightCols: Seq[String]) =
     org.apache.spark.sql.types.StructType(
       rightCols.map(c => right.schema(c)))
+
+  /** `q41_asof_attribution` — the classic attribution as-of join: each
+    * purchase event picks up the latest click of the same user at or
+    * before the purchase time. Clicks are first collapsed to one per
+    * (user, timestamp) — keep max click_id — so the as-of pick is
+    * unique on both engines (DuckDB's native ASOF JOIN, the oracle,
+    * leaves equal-timestamp ties unspecified). */
+  def clickAttribution(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables(spark, dir).events
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), round(col("value"), 4).as("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id"))
+      .groupBy("user_id", "click_ts")
+      .agg(max(col("event_id")).as("click_id"))
+    asOf(purchases, clicks, keys = Seq("user_id"),
+      leftTs = "ts", rightTs = "click_ts", rightCols = Seq("click_id", "click_ts"))
+      .orderBy(col("event_id"))
+  }
 }
