@@ -36,7 +36,14 @@ object Bench {
         .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q37,q39 times just
+    // those queries (prefix match); unset = the full registered suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only.fold(SparkEntry.queries.toSeq) { pfx =>
+      SparkEntry.queries.toSeq.filter { case (n, _) => pfx.exists(n.startsWith) }
+    }
+    val results = selected.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until iters).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

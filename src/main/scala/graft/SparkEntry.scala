@@ -63,6 +63,7 @@ object SparkEntry {
     "q36_ann_ivf"                -> ((s, d) => Similarity.annIvf(s, d)),
     "q37_dup_clusters"           -> ((s, d) => Dedup.dupClustersEmbeddings(s, d)),
     "q39_dup_clusters_logn"      -> ((s, d) => Dedup.dupClustersEmbeddingsLogN(s, d)),
+    "q42_dup_clusters_auto"      -> ((s, d) => Dedup.dupClustersEmbeddingsAuto(s, d)),
     "q27_langid"                 -> ((s, d) => TextAnalysis.langId(s, d)),
     "q28_quality_score"          -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "q29_token_counts"           -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
@@ -507,9 +508,12 @@ object SparkEntry {
         | FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cos >= 0.25 ORDER BY id_a, id_b""".stripMargin,
 
-    // q39 runs the large-star/small-star variant against the SAME
-    // transitive-closure ground truth as q37's label propagation
+    // q39 (large-star/small-star) and q42 (auto: propagation with a
+    // star-contraction fallback) run against the SAME transitive-closure
+    // ground truth as q37's label propagation — three algorithms, one
+    // oracle
     "q39_dup_clusters_logn" -> dupClustersOracle,
+    "q42_dup_clusters_auto" -> dupClustersOracle,
     "q37_dup_clusters" -> dupClustersOracle,
 
     "q25_ann_bruteforce" ->

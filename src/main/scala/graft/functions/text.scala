@@ -96,7 +96,12 @@ object text {
     * [[unpackLangScore]] over an ATTRIBUTE holding it (materialize via
     * withColumn first — re-deriving five columns from this expression
     * directly would re-evaluate the fold five times). */
-  def langScoresPacked(c: Column): Column = {
+  def langScoresPacked(c: Column): Column = langScoresPackedToks(tokens(c))
+
+  /** [[langScoresPacked]] over an already-materialized tokens attribute
+    * (callers that also need the tokens — e.g. the overflow gate below —
+    * build the array once). */
+  def langScoresPackedToks(toks: Column): Column = {
     val tokenMask: Map[String, Long] = stopwords.zipWithIndex.flatMap {
       case ((_, ws), i) => ws.map(w => w -> (1L << (12 * i)))
     }.groupMapReduce(_._1)(_._2)(_ | _)
@@ -104,7 +109,7 @@ object text {
       case (w, m) => Seq(lit(w), lit(m))
     }: _*)
     aggregate(
-      transform(tokens(c), tok => coalesce(element_at(mm, tok), lit(0L))),
+      transform(toks, tok => coalesce(element_at(mm, tok), lit(0L))),
       lit(0L), (acc, v) => acc + v)
   }
 
@@ -112,6 +117,25 @@ object text {
     * score column. */
   def unpackLangScore(packed: Column, i: Int): Column =
     shiftright(packed, 12 * i).bitwiseAND(lit(0xFFFL))
+
+  /** Per-language scores that are EXACT at any document length: unpack
+    * the packed fold while every field is provably in range (per-language
+    * hits are bounded by the token count, so `size(toks) < 4096` ⟹ no
+    * 12-bit field can overflow into its neighbor), and fall back to the
+    * five-pass exact count for longer documents. Long documents are rare
+    * in a filtered corpus, so the fallback's extra traversals price only
+    * the tail; a 12k-token page of English prose (>4096 hits of "the"
+    * alone is routine at pretraining scale) silently flipped predictions
+    * under the unconditional packed path.
+    *
+    * Both arguments must be ATTRIBUTES (materialize via select/withColumn
+    * first): the `when` keeps the fallback lazy per row, but a non-
+    * attribute `toks` expression tree would re-evaluate per language. */
+  def langScoresGated(toksAttr: Column, packedAttr: Column): Seq[(String, Column)] =
+    stopwords.zipWithIndex.map { case ((lang, words), i) =>
+      lang -> when(size(toksAttr) < 4096, unpackLangScore(packedAttr, i))
+        .otherwise(stopwordHits(toksAttr, words))
+    }
 
   // ---- fingerprinting (C11) -------------------------------------------
 

@@ -269,18 +269,35 @@ object Dedup {
     *         the component minimum
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    val (labels, done) = propagateLabels(symmetricEdges(pairs), maxIter)
+    if (!done)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter rounds — a component's diameter exceeds " +
+          s"maxIter and the partial labels would split clusters. Raise maxIter (rounds needed " +
+          s"= component diameter) or pre-chunk adversarially long chains.")
+    labels.select(col("id"), col("rep").as("rep_id"))
+  }
+
+  /** Symmetric directed edge list (src, dst) from canonical pairs,
+    * materialized once — every propagation round joins against it. */
+  private def symmetricEdges(pairs: DataFrame): DataFrame = pairs
+    .select(col("id_a").as("src"), col("id_b").as("dst"))
+    .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    .distinct()
+    .localCheckpoint()
+
+  /** Min-label propagation core: up to `rounds` iterations, returning the
+    * final labels and whether a round observed no change (= converged).
+    * Each round is one join + one aggregation; the change flag rides the
+    * same join so the per-round driver read is a limit(1) probe. */
+  private[graft] def propagateLabels(edges: DataFrame, rounds: Int): (DataFrame, Boolean) = {
     var checkpointed = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
       .localCheckpoint()
     var labels = checkpointed
     var iter = 0
     var done = false
-    while (!done && iter < maxIter) {
+    while (!done && iter < rounds) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("rep").as("nrep")), "dst")
         .groupBy(col("src")).agg(min(col("nrep")).as("min_nrep"))
@@ -299,12 +316,7 @@ object Dedup {
       done = changed == 0
       iter += 1
     }
-    if (!done)
-      throw new IllegalStateException(
-        s"dupClusters did not converge in $maxIter rounds — a component's diameter exceeds " +
-          s"maxIter and the partial labels would split clusters. Raise maxIter (rounds needed " +
-          s"= component diameter) or pre-chunk adversarially long chains.")
-    labels.select(col("id"), col("rep").as("rep_id"))
+    (labels, done)
   }
 
   /** O(log n)-round connected components — the alternating large-star /
@@ -349,10 +361,16 @@ object Dedup {
     var checkpointed = canon(raw).localCheckpoint()
     freeBlocks(raw)
     var edges = checkpointed
-    // each round compares its edge count against the previous round's —
-    // seeded once here so the loop runs ONE count job per round, not a
-    // recount of the prior set it already measured
-    var prevCount = edges.count()
+    // fixpoint probe cost model: canonical sets are distinct, so
+    // next == edges ⟺ |next| == |edges| AND next ⊆ edges. Both facts
+    // are derived from blocks the round materializes ANYWAY: the
+    // membership tag (was this edge already present?) rides the
+    // checkpoint join, and count + tag-scan collapse into ONE tiny
+    // aggregate over the in-memory blocks — 2 Spark jobs per round
+    // (materialize + probe) instead of the 3 (materialize, count,
+    // anti-join) that made q39 the suite's outlier. prevCount starts
+    // unknown (-1): round 1 always runs, so nothing is lost.
+    var prevCount = -1L
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -371,18 +389,23 @@ object Dedup {
       val small = smallNbrs.join(mins2, "u")
         .select(col("v").as("a"), col("m").as("b"))
         .unionAll(mins2.select(col("u").as("a"), col("m").as("b")))
-      val next = canon(small).localCheckpoint()
-      // fixpoint probe: canonical sets are distinct, so same count +
-      // empty one-way anti-join ⟺ equal sets; both probes are tiny
-      val nextCount = next.count()
-      val changed =
-        nextCount != prevCount ||
-          next.join(edges, Seq("a", "b"), "left_anti").limit(1).count() > 0
+      // membership tag fused into the materialization: both sides are
+      // hash-partitioned on (a, b) (canon's distinct / the previous
+      // checkpoint), so the tag join adds no extra exchange
+      val next = canon(small)
+        .join(edges.select(col("a"), col("b")).withColumn("seen", lit(1)),
+          Seq("a", "b"), "left")
+        .localCheckpoint()
+      val probe = next.agg(
+        count(lit(1)),
+        sum(when(col("seen").isNull, 1L).otherwise(0L))).head()
+      val nextCount = probe.getLong(0)
+      val fresh = if (probe.isNullAt(1)) 0L else probe.getLong(1)
       freeBlocks(checkpointed)
       checkpointed = next
-      edges = next
+      edges = next.select(col("a"), col("b"))
+      done = nextCount == prevCount && fresh == 0L
       prevCount = nextCount
-      done = !changed
       iter += 1
     }
     if (!done)
@@ -395,6 +418,36 @@ object Dedup {
       .join(bothDirs(edges).groupBy(col("u").as("id")).agg(min(col("v")).as("mn")),
         Seq("id"), "left")
       .select(col("id"), least(col("id"), coalesce(col("mn"), col("id"))).as("rep_id"))
+  }
+
+  /** Self-tuning cluster resolution — label propagation's cost profile
+    * (one cheap join+agg per round, converges in 3-5 rounds on the dense
+    * clumps near-dup graphs actually produce) with [[dupClustersLogN]]'s
+    * worst-case guarantee: run propagation for `propagationRounds`; if
+    * some component's diameter defeats it, CONTRACT the graph through
+    * the partial labels (every edge endpoint → its current label — a
+    * valid quotient: the component minimum always labels itself, so it
+    * survives contraction as a node) and finish on the much smaller
+    * residual graph with star contraction. One operator, best cost
+    * profile on both graph shapes, same (id, rep_id) contract. */
+  def dupClustersAuto(pairs: DataFrame, propagationRounds: Int = 4,
+                      maxIter: Int = 30): DataFrame = {
+    val edges = symmetricEdges(pairs)
+    val (labels, done) = propagateLabels(edges, propagationRounds)
+    if (done) labels.select(col("id"), col("rep").as("rep_id"))
+    else {
+      val contracted = edges
+        .join(labels.select(col("id").as("src"), col("rep").as("ra")), "src")
+        .join(labels.select(col("id").as("dst"), col("rep").as("rb")), "dst")
+        .select(col("ra").as("id_a"), col("rb").as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      val roots = dupClustersLogN(contracted, maxIter)
+        .select(col("id").as("rep"), col("rep_id").as("root"))
+      // compose id → rep → root; labels whose rep collapsed out of the
+      // residual graph (its whole cluster already contracted) keep rep
+      labels.join(roots, Seq("rep"), "left")
+        .select(col("id"), coalesce(col("root"), col("rep")).as("rep_id"))
+    }
   }
 
   /** `q37_dup_clusters` — connected components over the embedding
@@ -411,5 +464,12 @@ object Dedup {
     * the same ground truth. */
   def dupClustersEmbeddingsLogN(spark: SparkSession, dir: String): DataFrame =
     dupClustersLogN(Similarity.embeddingNearDup(spark, dir).select(col("id_a"), col("id_b")))
+      .orderBy(col("id"))
+
+  /** `q42_dup_clusters_auto` — the self-tuning variant on the same
+    * edges, again sharing q37's recursive-CTE oracle: all THREE cluster
+    * algorithms are value-checked against one ground truth. */
+  def dupClustersEmbeddingsAuto(spark: SparkSession, dir: String): DataFrame =
+    dupClustersAuto(Similarity.embeddingNearDup(spark, dir).select(col("id_a"), col("id_b")))
       .orderBy(col("id"))
 }

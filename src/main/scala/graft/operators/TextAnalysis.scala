@@ -15,20 +15,26 @@ object TextAnalysis {
   /** C8 `q27_langid` — stopword-overlap language ID: per-language hit
     * counts + argmax with fixed preference order (deterministic ties).
     * The five scores unpack from ONE packed single-pass fold
-    * ([[T.langScoresPacked]]) materialized as an attribute, so the
+    * ([[T.langScoresPackedToks]]) materialized as an attribute, so the
     * token array is built and traversed once per row — not once per
-    * language. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
+    * language; documents long enough to overflow a 12-bit packed field
+    * (≥4096 tokens) take the exact five-pass fallback instead
+    * ([[T.langScoresGated]]). */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdDocs(Tables(spark, dir).documents)
+
+  /** DataFrame-level language ID over any (doc_id, text) frame. */
+  def langIdDocs(documents: DataFrame): DataFrame = {
     val langs = T.stopwords.map(_._1)
     val best = greatest(langs.map(l => col(s"s_$l")): _*)
     val pred = langs.foldRight(lit("unknown"): Column) { (l, acc) =>
       when(col(s"s_$l") === best, lit(l)).otherwise(acc)
     }
-    t.documents
-      .select(col("doc_id"), T.langScoresPacked(col("text")).as("_packed"))
-      .select(col("doc_id") +: langs.zipWithIndex.map { case (l, i) =>
-        T.unpackLangScore(col("_packed"), i).as(s"s_$l")
+    documents
+      .select(col("doc_id"), T.tokens(col("text")).as("_toks"))
+      .withColumn("_packed", T.langScoresPackedToks(col("_toks")))
+      .select(col("doc_id") +: T.langScoresGated(col("_toks"), col("_packed")).map {
+        case (l, score) => score.as(s"s_$l")
       }: _*)
       .withColumn("pred_lang", pred)
       .orderBy(col("doc_id"))
@@ -124,20 +130,30 @@ object TextAnalysis {
   }
 
   /** Extension `q32_doc_stats` — per-language corpus length statistics:
-    * doc counts, distinct sources, mean/median/p90 length. The exact
-    * `percentile` is fine at per-group granularity (values collect per
-    * group); the 100 TB path swaps in `percentile_approx` (spec-tested
-    * against exact within tolerance in TextAnalysisSpec). */
-  def docStats(spark: SparkSession, dir: String): DataFrame = {
+    * doc counts, distinct sources, mean/median/p90 length.
+    *
+    * `exact = true` (the oracle-checked default) uses `percentile`,
+    * which collects each group's values into one aggregation buffer —
+    * fine at per-group granularity here, hostile at 100 TB where one
+    * language can hold billions of rows. `exact = false` swaps in
+    * `percentile_approx` (bounded GK-sketch memory per group, fully
+    * partial-aggregatable, `accuracy` trades memory for error) so the
+    * 100 TB call site is a flag, not a code edit — spec-tested against
+    * exact within tolerance in TextAnalysisSpec. */
+  def docStats(spark: SparkSession, dir: String,
+               exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     val t = Tables(spark, dir)
+    def pct(q: Double): Column =
+      if (exact) percentile(col("n_chars"), lit(q))
+      else percentile_approx(col("n_chars"), lit(q), lit(accuracy)).cast("double")
     t.documents
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("source")).as("n_sources"),
         round(avg(col("n_chars")) + lit(1e-9), 4).as("avg_chars"),
-        round(percentile(col("n_chars"), lit(0.5)) + lit(1e-9), 4).as("median_chars"),
-        round(percentile(col("n_chars"), lit(0.9)) + lit(1e-9), 4).as("p90_chars"))
+        round(pct(0.5) + lit(1e-9), 4).as("median_chars"),
+        round(pct(0.9) + lit(1e-9), 4).as("p90_chars"))
       .orderBy(col("lang"))
   }
 

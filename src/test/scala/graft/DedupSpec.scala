@@ -115,4 +115,35 @@ class DedupSpec extends SparkSpecBase {
     val star = Dedup.dupClustersLogN(pairs).as[(Long, Long)].collect().toMap
     assert(star == prop, s"variants must agree: $star vs $prop")
   }
+
+  test("dupClustersAuto finishes a long chain via the star switch") {
+    import spark.implicits._
+    // diameter 149 defeats 4 propagation rounds; auto must contract the
+    // partially-labeled graph and finish with star contraction
+    val chain = (0L until 149L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dupClustersAuto(chain, propagationRounds = 4, maxIter = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(out.size == 150 && out.values.toSet == Set(0L),
+      s"auto must collapse the chain to rep 0; got ${out.values.toSet}")
+  }
+
+  test("dupClustersAuto stays in propagation on a clumpy graph and matches dupClusters") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),
+      (10L, 11L), (11L, 12L),
+      (21L, 20L),
+      (30L, 31L), (31L, 32L), (30L, 32L), (32L, 33L)
+    ).toDF("id_a", "id_b")
+    // the clump graph's diameter is <= 3, so the propagation core itself
+    // reports convergence within the default 4 rounds (never switching)
+    val (_, converged) = Dedup.propagateLabels(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct(), 4)
+    assert(converged, "clump graph must converge inside the propagation budget")
+    val auto = Dedup.dupClustersAuto(pairs).as[(Long, Long)].collect().toMap
+    val prop = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(auto == prop, s"auto must match propagation: $auto vs $prop")
+  }
 }

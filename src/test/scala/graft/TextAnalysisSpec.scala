@@ -18,6 +18,19 @@ class TextAnalysisSpec extends SparkSpecBase {
       assert(math.abs(approx(lang) - m) / m < 0.1,
         s"$lang: approx ${approx(lang)} vs exact $m")
     }
+    // the operator-level toggle: approx mode stays within tolerance of
+    // the exact (oracle-checked) mode, same schema either way
+    val ex = TextAnalysis.docStats(spark, sfDir).as[(String, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val ap = TextAnalysis.docStats(spark, sfDir, exact = false)
+      .as[(String, Long, Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(ex.keySet == ap.keySet)
+    ex.foreach { case (lang, e) =>
+      val a = ap(lang)
+      assert(a._2 == e._2 && a._3 == e._3 && a._4 == e._4, s"$lang non-percentile cols must match")
+      assert(math.abs(a._5 - e._5) / e._5 < 0.1 && math.abs(a._6 - e._6) / e._6 < 0.1,
+        s"$lang: approx ($a) vs exact ($e)")
+    }
   }
 
   test("langid prefers the language with the most stopword hits") {
@@ -33,6 +46,19 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out(1L).head == out(1L).max)       // en wins for doc 1
     assert(out(2L)(1) == out(2L).max)         // es wins for doc 2
     assert(out(3L)(3) == out(3L).max)         // de wins for doc 3
+  }
+
+  test("langid stays exact past 4096 stopword hits (packed-field overflow gate)") {
+    // 6000 repetitions of "the": the unconditional packed path would
+    // carry 6000 - 4095 into the es field (bit 12) and flip the argmax;
+    // the gated path must report the exact en count and zero es hits
+    val big = ("the " * 6000).trim
+    val df = Seq((1L, big), (2L, "el perro y el gato de la casa")).toDF("doc_id", "text")
+    val out = TextAnalysis.langIdDocs(df)
+      .select("doc_id", "s_en", "s_es", "pred_lang")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 6000L, 0L, "en")), s"got ${out(0)}")
+    assert(out(1)._4 == "es")
   }
 
   test("quality score is bounded [0,1] over the corpus") {
