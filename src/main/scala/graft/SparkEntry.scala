@@ -50,6 +50,7 @@ object SparkEntry {
     "q17_forecast_bounded"       -> ((s, d) => Forecast.forecastBounded(s, d)),
     "q18_forecast_regressor"     -> ((s, d) => Forecast.forecastRegressor(s, d)),
     "q19_forecast_yearly"        -> ((s, d) => Forecast.forecastYearly(s, d)),
+    "q43_forecast_joint"         -> ((s, d) => Forecast.forecastJoint(s, d)),
     "q35_forecast_holidays"      -> ((s, d) => Forecast.forecastHolidays(s, d)),
     "q38_forecast_changepoints"  -> ((s, d) => Forecast.forecastChangepoints(s, d)),
     // C-block: training-data pipeline

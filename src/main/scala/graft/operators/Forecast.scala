@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   * Reference options modeled here:
   *  - `growth='logistic'` cap/floor (`_apply_growth_bounds`,
   *    ProphetForecaster.py:211): Prophet feeds cap/floor into an
-  *    iterative logistic-trend fit; the closed-form analog applies them
-  *    as saturation clamps on the prediction. Same contract (forecasts
-  *    never leave [floor, cap]), declarative realization.
+  *    iterative logistic-trend fit; the closed-form analog fits the
+  *    log-odds transform z = ln((y−floor)/(cap−y)) linearly and maps
+  *    predictions back through the sigmoid — a genuine saturating
+  *    trend (plus the same clamp contract: forecasts never leave
+  *    [floor, cap]).
   *  - `include_intervals` / `interval_width`
   *    (ProphetForecaster.py:221-236, default 0.80 at :273): Prophet
   *    simulates trend uncertainty; the closed-form analog emits
@@ -92,6 +94,64 @@ object Forecast {
     if (nonNegative) greatest(lit(0.0), floored) else floored
   }
 
+  // ---- freq machinery (shared by every forecaster path) ----------------
+  // x counts PERIODS since a key's first observation; the future spine
+  // steps by one period; t is (possibly fractional) DAYS since epoch so
+  // seasonality phase stays calendar-anchored at any freq.
+
+  private def periodsSinceF(freq: String)(ds: Column, origin: Column): Column = freq match {
+    case "D"  => datediff(ds, origin).cast("double")
+    case "W"  => (datediff(ds, origin) / 7.0)
+    case "MS" => months_between(ds, origin)
+    case "H"  => (unix_timestamp(ds) - unix_timestamp(origin)) / 3600.0
+  }
+
+  private def stepForwardF(freq: String)(origin: Column, h: Column): Column = freq match {
+    case "D"  => date_add(origin, h)
+    case "W"  => date_add(origin, h * 7)
+    case "MS" => add_months(origin, h)
+    case "H"  => origin.cast("timestamp") + make_dt_interval(lit(0), h, lit(0), lit(0))
+  }
+
+  private def daysSinceEpochF(freq: String)(ds: Column): Column =
+    if (freq == "H") unix_timestamp(ds).cast("double") / 86400.0
+    else datediff(ds, lit("1970-01-01").cast("date")).cast("double")
+
+  // ---- growth transforms -----------------------------------------------
+  // growth='logistic' is a TRUE saturating fit, not a clamp: the series
+  // maps through the log-odds transform z = ln((y−floor)/(cap−y)) — the
+  // inverse of the logistic curve y = floor + (cap−floor)·σ(z) — the
+  // model fits LINEARLY in z-space, and predictions map back through the
+  // sigmoid, so the forecast bends toward the cap as the series
+  // approaches saturation where a clamped linear trend would overshoot
+  // then flat-line. Observations at/outside the bounds clamp to
+  // [ε, 1−ε] odds before the log (the closed-form stand-in for
+  // Prophet's requirement that y lie strictly inside (floor, cap)).
+
+  private val logisticEps = 1e-6
+
+  /** Transform an observation into fit space for `growth`. */
+  private def toFitSpace(y: Column, growth: String, multiplicative: Boolean,
+                         cap: Option[Double], floor: Option[Double]): Column =
+    if (growth == "logistic") {
+      val lo = floor.getOrElse(0.0)
+      val hi = cap.getOrElse(Double.NaN)
+      val q = least(greatest((y - lit(lo)) / lit(hi - lo), lit(logisticEps)),
+        lit(1.0 - logisticEps))
+      log(q / (lit(1.0) - q))
+    } else if (multiplicative) log(greatest(y, lit(logisticEps)))
+    else y
+
+  /** Map a fit-space prediction back to the observation scale. */
+  private def fromFitSpace(d: Column, growth: String, multiplicative: Boolean,
+                           cap: Option[Double], floor: Option[Double]): Column =
+    if (growth == "logistic") {
+      val lo = floor.getOrElse(0.0)
+      val hi = cap.getOrElse(Double.NaN)
+      lit(lo) + lit(hi - lo) / (lit(1.0) + exp(-d))
+    } else if (multiplicative) exp(d)
+    else d
+
   /** Generic per-key daily forecaster: OLS trend + additive day-of-week
     * seasonality.
     *
@@ -135,12 +195,15 @@ object Forecast {
     *                       exactly 0, so the term vanishes by
     *                       construction. At freq="H" `ds` is a
     *                       timestamp, not a date.
-    * @param growth         "linear" (default) or "flat" — Prophet's
+    * @param growth         "linear" (default), "flat" — Prophet's
     *                       growth='flat' (ProphetForecaster.py:303):
     *                       intercept-only trend at the key's mean, so
     *                       the forecast never extrapolates a slope;
-    *                       seasonal terms still apply. (growth=
-    *                       'logistic' is linear + cap/floor, above.)
+    *                       seasonal terms still apply — or "logistic":
+    *                       a TRUE saturating fit via the log-odds
+    *                       transform (requires `cap`; optional `floor`),
+    *                       bending toward the cap where a clamped
+    *                       linear trend would overshoot then flat-line.
     * @return keyCols + ds + yhat [+ yhat_lower + yhat_upper] (4-dp)
     */
   def forecastDaily(daily: DataFrame, keyCols: Seq[String], horizon: Int,
@@ -151,23 +214,15 @@ object Forecast {
                     freq: String = "D",
                     growth: String = "linear"): DataFrame = {
     require(Set("D", "W", "MS", "H").contains(freq), s"freq must be D, W, MS or H, got $freq")
-    require(Set("linear", "flat").contains(growth),
-      s"growth must be linear or flat (logistic = linear + cap/floor), got $growth")
+    require(Set("linear", "flat", "logistic").contains(growth),
+      s"growth must be linear, flat or logistic, got $growth")
+    require(growth != "logistic" || cap.isDefined,
+      "growth='logistic' needs a cap (the saturation level the log-odds transform fits toward)")
+    require(growth != "logistic" || floor.getOrElse(0.0) < cap.get,
+      s"growth='logistic' needs floor < cap, got floor=$floor cap=$cap")
     val keys = keyCols.map(col)
     val wk = Window.partitionBy(keys: _*)
 
-    def periodsSince(ds: Column, origin: Column): Column = freq match {
-      case "D"  => datediff(ds, origin).cast("double")
-      case "W"  => (datediff(ds, origin) / 7.0)
-      case "MS" => months_between(ds, origin)
-      case "H"  => (unix_timestamp(ds) - unix_timestamp(origin)) / 3600.0
-    }
-    def stepForward(origin: Column, h: Column): Column = freq match {
-      case "D"  => date_add(origin, h)
-      case "W"  => date_add(origin, h * 7)
-      case "MS" => add_months(origin, h)
-      case "H"  => origin.cast("timestamp") + make_dt_interval(lit(0), h, lit(0), lit(0))
-    }
     // seasonal slot: day-of-week at D, hour-of-day at H; the lit(0) slot
     // at W/MS collapses the seasonal aggregate to the per-key OLS
     // residual mean, which is 0.
@@ -180,8 +235,13 @@ object Forecast {
     // x = periods since the key's first observation (window rides one
     // exchange); eagerly materialized — every downstream branch reads
     // these blocks instead of re-running the upstream scan+aggregate.
+    // yy = the observation in FIT SPACE (identity for linear/flat;
+    // log-odds toward the cap for logistic — see [[toFitSpace]]); the
+    // whole model (trend, seasonal residual means, σ) fits in that
+    // space and predictions map back through [[fromFitSpace]].
     val wx = daily
-      .withColumn("x", periodsSince(col("ds"), min(col("ds")).over(wk)))
+      .withColumn("x", periodsSinceF(freq)(col("ds"), min(col("ds")).over(wk)))
+      .withColumn("yy", toFitSpace(col("y"), growth, multiplicative = false, cap, floor))
       .localCheckpoint()
 
     // per-key fit — single-pass distributed aggregation; flat growth is
@@ -189,14 +249,14 @@ object Forecast {
     val fit =
       if (growth == "flat")
         wx.groupBy(keys: _*).agg(
-          avg(col("y")).as("icept"),
+          avg(col("yy")).as("icept"),
           max(col("x")).as("xmax"),
           max(col("ds")).as("maxds"))
           .withColumn("slope", lit(0.0))
       else
         wx.groupBy(keys: _*).agg(
-          regr_slope(col("y"), col("x")).as("slope"),
-          regr_intercept(col("y"), col("x")).as("icept"),
+          regr_slope(col("yy"), col("x")).as("slope"),
+          regr_intercept(col("yy"), col("x")).as("icept"),
           max(col("x")).as("xmax"),
           max(col("ds")).as("maxds"))
 
@@ -205,13 +265,13 @@ object Forecast {
     val dowMeans = wx.join(fit, keyCols)
       .withColumn("dow", dowOf(col("ds")))
       .groupBy(keys :+ col("dow"): _*)
-      .agg(avg(col("y") - (col("icept") + col("slope") * col("x"))).as("dow_mean"))
+      .agg(avg(col("yy") - (col("icept") + col("slope") * col("x"))).as("dow_mean"))
 
     // future spine: per-key `horizon` periods past the last observation
     val future = fit
       .select(keys ++ Seq(col("xmax"), col("maxds"),
         explode(sequence(lit(1), lit(horizon))).as("h")): _*)
-      .withColumn("ds", stepForward(col("maxds"), col("h")))
+      .withColumn("ds", stepForwardF(freq)(col("maxds"), col("h")))
       .withColumn("x", col("xmax") + col("h"))
       .select(keys ++ Seq(col("ds"), col("x")): _*)
 
@@ -227,28 +287,33 @@ object Forecast {
       .withColumn("raw",
         col("icept") + col("slope") * col("x") + coalesce(col("dow_mean"), lit(0.0)))
 
+    def toY(d: Column): Column = fromFitSpace(d, growth, multiplicative = false, cap, floor)
     val out =
       if (!includeIntervals) {
         pred.select(keys ++ Seq(col("ds"),
-          round(bounded(col("raw"), cap, floor, nonNegative), 4).as("yhat")): _*)
+          round(bounded(toY(col("raw")), cap, floor, nonNegative), 4).as("yhat")): _*)
       } else {
         // σ = per-key stddev of residuals AFTER trend + dow seasonality —
         // one more aggregate over the checkpointed working set, no extra
-        // source scan. z is the driver-side normal quantile for the width.
+        // source scan. z is the driver-side normal quantile for the
+        // width. Under logistic growth σ lives in z-space and the bands
+        // transform through the (monotone) sigmoid — asymmetric near the
+        // bounds and always inside [floor, cap], like a logit-normal
+        // interval.
         val z = intervalZ(intervalWidth)
         val sigma = wx.join(fit, keyCols)
           .withColumn("dow", dowOf(col("ds")))
           .join(dowMeans, keyCols :+ "dow", "left")
           .groupBy(keys: _*)
           .agg(coalesce(
-            stddev_samp(col("y") - (col("icept") + col("slope") * col("x") +
+            stddev_samp(col("yy") - (col("icept") + col("slope") * col("x") +
               coalesce(col("dow_mean"), lit(0.0)))),
             lit(0.0)).as("sigma"))
         pred.join(sigma, keyCols)
           .select(keys ++ Seq(col("ds"),
-            round(bounded(col("raw"), cap, floor, nonNegative), 4).as("yhat"),
-            round(bounded(col("raw") - lit(z) * col("sigma"), cap, floor, nonNegative), 4).as("yhat_lower"),
-            round(bounded(col("raw") + lit(z) * col("sigma"), cap, floor, nonNegative), 4).as("yhat_upper")): _*)
+            round(bounded(toY(col("raw")), cap, floor, nonNegative), 4).as("yhat"),
+            round(bounded(toY(col("raw") - lit(z) * col("sigma")), cap, floor, nonNegative), 4).as("yhat_lower"),
+            round(bounded(toY(col("raw") + lit(z) * col("sigma")), cap, floor, nonNegative), 4).as("yhat_upper")): _*)
       }
     out.orderBy(keys :+ col("ds"): _*)
   }
@@ -653,7 +718,30 @@ object Forecast {
     * shorter span get their yearly features zeroed — an under-determined
     * yearly basis on a sub-year series otherwise extrapolates wildly.
     * The gate is per key and fully declarative (a `when` on the key's
-    * observed span), so mixed-span corpora fit in the same single pass.
+    * observed span in DAYS), so mixed-span corpora fit in the same
+    * single pass.
+    *
+    * JOINT fit surface (Prophet fits ONE model over every option at
+    * once — `Prophet(**params)` at ProphetForecaster.py:267-356 — and
+    * so does this basis):
+    *  - `regressorCols` (`add_regressor`): the named input columns join
+    *    the basis as-is — one coefficient each, fit jointly with trend
+    *    and seasonality. Future values come from `futureReg`
+    *    (keyCols + ds + regressor columns; missing values raise, the
+    *    `_attach_regressors` ValueError analog) or default to the
+    *    per-key historical mean.
+    *  - `holidays` (ds DATE, holiday STRING — covering history AND
+    *    horizon): each holiday NAME becomes a 0/1 indicator basis
+    *    column, so holiday effects are fit jointly too. The name list
+    *    is read driver-side (tiny bounded metadata, like the schema-CSV
+    *    read); per-date membership stays a broadcast dimension join.
+    *  - `freq`: D / W / MS / H — x counts periods, t stays in
+    *    (fractional) days so Fourier periods keep their day units at
+    *    any freq (at freq='H' add an extra (1.0, k) seasonality for
+    *    hour-of-day cycles; the facade does this automatically).
+    *  - `growth`: linear (default), flat (intercept-only basis, no
+    *    changepoints), logistic (log-odds fit-space transform toward
+    *    `cap` — see [[toFitSpace]]; exclusive with multiplicative).
     */
   def forecastFourier(daily: DataFrame, keyCols: Seq[String], horizon: Int,
                       weeklyOrder: Int = 2, yearlyOrder: Int = 3,
@@ -664,25 +752,57 @@ object Forecast {
                       cap: Option[Double] = None, floor: Option[Double] = None,
                       includeIntervals: Boolean = false, intervalWidth: Double = 0.80,
                       includeHistory: Boolean = false,
-                      nonNegative: Boolean = true): DataFrame = {
+                      nonNegative: Boolean = true,
+                      freq: String = "D",
+                      growth: String = "linear",
+                      regressorCols: Seq[String] = Nil,
+                      futureReg: Option[DataFrame] = None,
+                      holidays: Option[DataFrame] = None): DataFrame = {
+    require(Set("D", "W", "MS", "H").contains(freq), s"freq must be D, W, MS or H, got $freq")
+    require(Set("linear", "flat", "logistic").contains(growth),
+      s"growth must be linear, flat or logistic, got $growth")
     require(changepoints >= 0, s"changepoints must be >= 0, got $changepoints")
+    require(growth != "flat" || changepoints == 0,
+      "growth='flat' has no trend slope for changepoints to bend")
+    require(growth != "logistic" || cap.isDefined,
+      "growth='logistic' needs a cap (the saturation level the log-odds transform fits toward)")
+    require(growth != "logistic" || floor.getOrElse(0.0) < cap.get,
+      s"growth='logistic' needs floor < cap, got floor=$floor cap=$cap")
+    require(!(growth == "logistic" && multiplicative),
+      "logistic growth and multiplicative seasonality are both fit-space transforms — pick one")
     require(extraSeasonalities.forall { case (per, k) => per > 0 && k > 0 },
       s"extra seasonalities need period > 0 and order > 0, got $extraSeasonalities")
     require(changepointRange > 0 && changepointRange <= 1,
       s"changepointRange must be in (0,1], got $changepointRange")
+    require(futureReg.isEmpty || regressorCols.nonEmpty,
+      "futureReg given but no regressorCols declared")
     val keys = keyCols.map(col)
     val wk = Window.partitionBy(keys: _*)
-    val logEps = 1e-6
     val minYearlySpanDays = 730.0
-    val base = daily
-      .withColumn("x", datediff(col("ds"), min(col("ds")).over(wk)).cast("double"))
-      .withColumn("t", datediff(col("ds"), lit("1970-01-01").cast("date")).cast("double"))
+
+    // holiday indicator dimension: names driver-side (bounded metadata),
+    // per-date membership a broadcast (ds → name-set) join on BOTH the
+    // history and the future spine
+    val holNames: Seq[String] = holidays.fold(Seq.empty[String])(h =>
+      h.select(col("holiday")).distinct().collect().map(_.getString(0)).toSeq.sorted)
+    val holDim = holidays.map(h =>
+      broadcast(h.groupBy(col("ds").as("_hds")).agg(collect_set(col("holiday")).as("_hset"))))
+    def withHol(df: DataFrame): DataFrame = holDim.fold(df) { dim =>
+      val key = if (freq == "H") to_date(col("ds")) else col("ds")
+      df.join(dim, key === col("_hds"), "left").drop("_hds")
+    }
+    val holCols = if (holidays.isDefined) Seq(col("_hset")) else Nil
+
+    val base = withHol(daily
+      .withColumn("x", periodsSinceF(freq)(col("ds"), min(col("ds")).over(wk)))
+      .withColumn("t", daysSinceEpochF(freq)(col("ds")))
       .withColumn("span", max(col("x")).over(wk))
-      .withColumn("yy", if (multiplicative) log(greatest(col("y"), lit(logEps))) else col("y"))
+      .withColumn("span_days", max(col("t")).over(wk) - min(col("t")).over(wk))
+      .withColumn("yy", toFitSpace(col("y"), growth, multiplicative, cap, floor)))
       .localCheckpoint()
 
-    // hinge knots are PER KEY (fractions of that key's span), so mixed-
-    // history corpora fit in the same single pass
+    // hinge knots are PER KEY (fractions of that key's span, in x/period
+    // units), so mixed-history corpora fit in the same single pass
     def hinges(x: Column, span: Column): Seq[Column] =
       (1 to changepoints).map { i =>
         greatest(lit(0.0), x - lit(changepointRange * i / changepoints) * span)
@@ -690,29 +810,42 @@ object Forecast {
     // custom seasonalities (ProphetForecaster.py:321 `custom_
     // seasonalities` → add_seasonality(name, period, fourier_order)):
     // extra (period-days, order) Fourier blocks appended to the basis —
-    // e.g. (30.5, 5) is Prophet's canonical monthly example
-    def features(x: Column, t: Column, span: Column, yearlyGate: Column): Seq[Column] =
-      Seq(lit(1.0), x) ++ hinges(x, span) ++ fourier(t, 7.0, weeklyOrder) ++
+    // e.g. (30.5, 5) is Prophet's canonical monthly example.
+    // Regressor and holiday-indicator features are frame-attribute
+    // references, valid on any frame carrying those columns (base and
+    // both spines do).
+    def features(x: Column, t: Column, span: Column, yearlyGate: Column): Seq[Column] = {
+      val trend = if (growth == "flat") Seq(lit(1.0)) else Seq(lit(1.0), x)
+      trend ++ hinges(x, span) ++ fourier(t, 7.0, weeklyOrder) ++
         fourier(t, 365.25, yearlyOrder).map(_ * yearlyGate) ++
-        extraSeasonalities.flatMap { case (per, k) => fourier(t, per, k) }
-    val p = 2 + changepoints + 2 * weeklyOrder + 2 * yearlyOrder +
-      2 * extraSeasonalities.map(_._2).sum
-    val gate = when(col("span") >= minYearlySpanDays, lit(1.0)).otherwise(lit(0.0))
+        extraSeasonalities.flatMap { case (per, k) => fourier(t, per, k) } ++
+        regressorCols.map(col) ++
+        holNames.map(n => when(col("_hset").isNotNull &&
+          array_contains(col("_hset"), lit(n)), lit(1.0)).otherwise(lit(0.0)))
+    }
+    val trendLen = if (growth == "flat") 1 else 2
+    val p = trendLen + changepoints + 2 * weeklyOrder + 2 * yearlyOrder +
+      2 * extraSeasonalities.map(_._2).sum + regressorCols.size + holNames.size
+    val gate = when(col("span_days") >= minYearlySpanDays, lit(1.0)).otherwise(lit(0.0))
     val f = features(col("x"), col("t"), col("span"), gate)
 
     // Gram sums: upper triangle mirrored row-major + moment vector —
     // all plain `sum()` aggregates, partial map-side, one shuffle.
+    // Per-key regressor means ride the same aggregate (the default
+    // future-regressor policy, zero extra passes).
     val gramCols = for (i <- 0 until p; j <- 0 until p) yield
       sum(f(math.min(i, j)) * f(math.max(i, j))).as(s"g_${i}_$j")
     val rhsCols = (0 until p).map(i => sum(f(i) * col("yy")).as(s"m_$i"))
+    val regMeanCols = regressorCols.map(rc => avg(col(rc)).as(s"_rm_$rc"))
     val fit = base.groupBy(keys: _*)
       .agg(gramCols.head, (gramCols.tail ++ rhsCols ++
-        Seq(max(col("x")).as("xmax"), max(col("ds")).as("maxds"))): _*)
+        Seq(max(col("x")).as("xmax"), max(col("ds")).as("maxds"),
+          max(col("span_days")).as("span_days")) ++ regMeanCols): _*)
 
     // ridge lands only on the hinge-coefficient diagonal entries — trend
     // and seasonality stay unpenalized, exactly like Prophet's prior
     // structure (flat prior on k/m, Laplace prior on the deltas only)
-    val hingeIdx = (2 until 2 + changepoints).toSet
+    val hingeIdx = (trendLen until trendLen + changepoints).toSet
     val solve = udf((gram: Seq[Double], rhs: Seq[Double]) => solveDense(p, gram, rhs))
     val betas = fit.withColumn("beta", solve(
         array((for (i <- 0 until p; j <- 0 until p) yield {
@@ -720,36 +853,56 @@ object Forecast {
           if (i == j && hingeIdx(i) && changepointRidge > 0.0) g + lit(changepointRidge) else g
         }): _*),
         array((0 until p).map(i => col(s"m_$i")): _*)))
-      .select(keys ++ Seq(col("beta"), col("xmax"), col("maxds")): _*)
+      .select(keys ++ Seq(col("beta"), col("xmax"), col("maxds"), col("span_days")) ++
+        regressorCols.map(rc => col(s"_rm_$rc")): _*)
 
     // span == max(x) per key == xmax on the future spine, so the same
     // yearly gate and hinge knots apply there; beyond the last knot
     // every hinge is active, so the extrapolated slope is the FINAL
     // regime's slope
-    val futSpine = betas
-      .select(keys ++ Seq(col("xmax"), col("maxds"),
-        explode(sequence(lit(1), lit(horizon))).as("h")): _*)
-      .withColumn("ds", date_add(col("maxds"), col("h")))
+    val futCore = betas
+      .select(keys ++ Seq(col("xmax"), col("maxds"), col("span_days")) ++
+        regressorCols.map(rc => col(s"_rm_$rc")) ++
+        Seq(explode(sequence(lit(1), lit(horizon))).as("h")): _*)
+      .withColumn("ds", stepForwardF(freq)(col("maxds"), col("h")))
       .withColumn("x", col("xmax") + col("h"))
-      .withColumn("t", datediff(col("ds"), lit("1970-01-01").cast("date")).cast("double"))
-      .select(keys ++ Seq(col("ds"), col("x"), col("t"), col("xmax").as("span")): _*)
+      .withColumn("t", daysSinceEpochF(freq)(col("ds")))
+      .withColumn("span", col("xmax"))
+    // future regressor values: caller-supplied frame (missing values
+    // fail loudly, as the reference does) or the per-key historical mean
+    val futWithReg =
+      if (regressorCols.isEmpty) futCore
+      else futureReg match {
+        case Some(fr) =>
+          val joined = futCore.join(
+            fr.select((keyCols :+ "ds").map(col) ++ regressorCols.map(col): _*),
+            keyCols :+ "ds", "left")
+          regressorCols.foldLeft(joined)((acc, rc) =>
+            acc.withColumn(rc, when(col(rc).isNull,
+              raise_error(concat(
+                lit(s"forecastFourier: missing future value for regressor '$rc' at ds="),
+                col("ds").cast("string")))).otherwise(col(rc))))
+        case None =>
+          regressorCols.foldLeft(futCore)((acc, rc) => acc.withColumn(rc, col(s"_rm_$rc")))
+      }
+    val spineCols = Seq(col("ds"), col("x"), col("t"), col("span"), col("span_days")) ++
+      regressorCols.map(col) ++ holCols
+    val futSpine = withHol(futWithReg).select(keys ++ spineCols: _*)
     // include_history: fitted values over the observed spine, same basis
     val spine =
-      if (includeHistory)
-        base.select(keys ++ Seq(col("ds"), col("x"), col("t"), col("span")): _*)
-          .unionByName(futSpine)
+      if (includeHistory) base.select(keys ++ spineCols: _*).unionByName(futSpine)
       else futSpine
 
-    def dotOver(x: Column, t: Column, span: Column): Column = {
-      val g = when(span >= minYearlySpanDays, lit(1.0)).otherwise(lit(0.0))
-      features(x, t, span, g).zipWithIndex
+    def dotOver: Column = {
+      val g = when(col("span_days") >= minYearlySpanDays, lit(1.0)).otherwise(lit(0.0))
+      features(col("x"), col("t"), col("span"), g).zipWithIndex
         .map { case (c, i) => element_at(col("beta"), i + 1) * c }
         .reduce(_ + _)
     }
     val pred = spine
       .join(betas.select(keys :+ col("beta"): _*), keyCols)
-      .withColumn("fitdot", dotOver(col("x"), col("t"), col("span")))
-    def toY(d: Column): Column = if (multiplicative) exp(d) else d
+      .withColumn("fitdot", dotOver)
+    def toY(d: Column): Column = fromFitSpace(d, growth, multiplicative, cap, floor)
 
     val out =
       if (!includeIntervals) {
@@ -757,13 +910,14 @@ object Forecast {
           round(bounded(toY(col("fitdot")), cap, floor, nonNegative), 4).as("yhat")): _*)
       } else {
         // σ = per-key stddev of residuals in FIT space (log space under
-        // multiplicative — bands transform through exp, staying
-        // positive and asymmetric exactly like a log-normal interval);
-        // one extra aggregate over the checkpointed working set.
+        // multiplicative, log-odds under logistic — bands transform
+        // through the monotone inverse, staying positive / inside the
+        // bounds and asymmetric exactly like a log-normal / logit-normal
+        // interval); one extra aggregate over the checkpointed set.
         val z = intervalZ(intervalWidth)
         val sigma = base
           .join(betas.select(keys :+ col("beta"): _*), keyCols)
-          .withColumn("fitdot", dotOver(col("x"), col("t"), col("span")))
+          .withColumn("fitdot", dotOver)
           .groupBy(keys: _*)
           .agg(coalesce(stddev_samp(col("yy") - col("fitdot")), lit(0.0)).as("sigma"))
         pred.join(sigma, keyCols)
@@ -782,6 +936,23 @@ object Forecast {
     * trend+sinusoid series in both additive and multiplicative modes. */
   def forecastYearly(spark: SparkSession, dir: String, horizon: Int = 14): DataFrame =
     forecastFourier(eventsDaily(spark, dir), Seq("event_type"), horizon)
+
+  /** `q43_forecast_joint` — the JOINT Gram-basis fit on real data:
+    * daily event value per type with the daily event COUNT as an
+    * external regressor AND weekly Fourier seasonality in ONE model —
+    * Prophet's `forecast(regressor=..., weekly_seasonality=...)`
+    * combination (ProphetForecaster.py:267-356 feeds every kwarg into
+    * the same fit), which previously raised `unsupported`. Rows-only at
+    * the driver (the per-key dense solve is not ANSI-SQL-expressible);
+    * ForecastSpec verifies planted trend+sinusoid+regressor recovery. */
+  def forecastJoint(spark: SparkSession, dir: String, horizon: Int = 7): DataFrame = {
+    val t = Tables(spark, dir)
+    val daily = t.events
+      .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
+      .agg(sum(col("value")).as("y"), count(lit(1)).cast("double").as("r"))
+    forecastFourier(daily, Seq("event_type"), horizon,
+      weeklyOrder = 1, yearlyOrder = 0, regressorCols = Seq("r"))
+  }
 
   /** Single-changepoint piecewise-linear trend forecast — the
     * ORACLE-EXPRESSIBLE slice of Prophet's changepoint model

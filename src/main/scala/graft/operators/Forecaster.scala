@@ -14,21 +14,34 @@ import org.apache.spark.sql.types.NumericType
   * Internally the wide frame melts to (keys, metric, ds, y) — the
   * reference's per-metric Python loop becomes one composite-key
   * distributed fit (every metric fits in the same pass, SURVEY B3) —
-  * and the options dispatch to the closed-form paths:
+  * and the options dispatch:
   *
-  *  - `regressors` → [[Forecast.forecastWithRegressor]] (Cramer 3×3);
-  *  - `holidays` / `countryHolidays` →
-  *    [[Forecast.forecastWithHolidays]] / country calendars;
-  *  - yearly/custom seasonality, multiplicative mode, or changepoints →
-  *    [[Forecast.forecastFourier]] (Gram-basis OLS);
-  *  - otherwise → [[Forecast.forecastDaily]] (trend + weekly/hourly
-  *    seasonality, freq D/W/MS/H, growth linear/flat).
+  *  - single-option calls keep their specialized (oracle-verified)
+  *    closed-form paths: a lone `regressor` →
+  *    [[Forecast.forecastWithRegressor]] (Cramer 3×3, q18's path);
+  *    lone `holidays` / `countryHolidays` →
+  *    [[Forecast.forecastWithHolidays]] (q35's path); seasonality /
+  *    changepoint options → [[Forecast.forecastFourier]]; plain calls →
+  *    [[Forecast.forecastDaily]] (freq D/W/MS/H, growth
+  *    linear/flat/logistic).
+  *  - option COMBINATIONS that need one model over everything —
+  *    Prophet fits ONE joint model over every kwarg
+  *    (`Prophet(**params)`, ProphetForecaster.py:267-356) — run the
+  *    JOINT Gram-basis fit: [[Forecast.forecastFourier]] with
+  *    regressor columns and holiday indicator columns appended to the
+  *    basis, at any freq, under any growth. `forecast(regressor=...,
+  *    yearlySeasonality=...)` is one fit here exactly as it is there.
   *
-  * Prophet fits one joint model over every option at once; the
-  * closed-form analogs are separate solvers, so option combinations
-  * that would need a joint fit (e.g. regressors + yearly seasonality)
-  * raise IllegalArgumentException up front instead of silently
-  * ignoring an option — a switching user finds out immediately.
+  * `weeklySeasonality` is an Option so "unset" and "explicitly off"
+  * stay distinct (Prophet's `weekly_seasonality=False`): None = auto
+  * (day-of-week means in the simple path; Fourier order 2 in the
+  * Fourier/joint paths), Some(0) = off (dispatches to the Fourier path
+  * with an empty weekly block), Some(k) = order k.
+  *
+  * Still refused loudly (IllegalArgumentException): `holidays` together
+  * with `countryHolidays`, `changepointRidge` without changepoints,
+  * multiplicative seasonality with logistic growth (two fit-space
+  * transforms), and changepoints with flat growth.
   *
   * Output is LONG (keys, metric, ds, yhat [, bounds]) — the scalable
   * shape; [[forecastWide]] pivots back to the reference's
@@ -44,12 +57,21 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
       !keyCols.contains(f.name) && f.name != dateCol => f.name
   }.toSeq
 
+  /** Backtick-escape a column name for safe `col()` resolution —
+    * metric names come from the caller's schema and may contain dots,
+    * quotes, or backticks. */
+  private def qcol(name: String): Column = col("`" + name.replace("`", "``") + "`")
+
   private def melt(metrics: Seq[String], extra: Seq[String] = Nil): DataFrame = {
     require(metrics.nonEmpty, "no metrics to forecast (none declared, none numeric)")
-    val stackExpr = s"stack(${metrics.length}, " +
-      metrics.map(m => s"'$m', `$m`").mkString(", ") + ") AS (metric, y)"
-    data.select((keyCols ++ extra).map(col) ++
-      Seq(col(dateCol).as("ds"), expr(stackExpr)): _*)
+    // explode over array-of-structs instead of a stack() SQL string so a
+    // metric name with a quote or backtick can't break (or mislabel) the
+    // melt — names never pass through a SQL parser here
+    data.select((keyCols ++ extra).map(qcol) ++ Seq(col(dateCol).as("ds"),
+      explode(array(metrics.map(m =>
+        struct(lit(m).as("metric"), qcol(m).cast("double").as("y"))): _*)).as("_mv")): _*)
+      .select((keyCols ++ extra).map(qcol) ++
+        Seq(col("ds"), col("_mv.metric").as("metric"), col("_mv.y").as("y")): _*)
   }
 
   /** The reference `forecast()` kwargs, same names modulo casing.
@@ -66,7 +88,7 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
                floor: Option[Double] = None,
                seasonalityMode: String = "additive",
                yearlySeasonality: Int = 0,
-               weeklySeasonality: Int = 0,
+               weeklySeasonality: Option[Int] = None,
                changepoints: Int = 0,
                changepointRange: Double = 0.8,
                changepointRidge: Double = 0.0,
@@ -87,57 +109,112 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
       case other => throw new IllegalArgumentException(
         s"seasonality_mode must be additive or multiplicative, got $other")
     }
-    val wantsFourier = yearlySeasonality > 0 || weeklySeasonality > 0 ||
-      customSeasonalities.nonEmpty || changepoints > 0 || multiplicative
-    val wantsHolidays = holidays.isDefined || countryHolidays.isDefined
-
     def unsupported(what: String) = throw new IllegalArgumentException(
-      s"unsupported option combination: $what (the closed-form paths fit " +
-        "separately; see Forecaster scaladoc for the supported sets)")
+      s"unsupported option combination: $what")
     if (changepointRidge > 0.0 && changepoints == 0)
       unsupported("changepointRidge without changepoints")
+    if (holidays.isDefined && countryHolidays.isDefined)
+      unsupported("both holidays and country_holidays")
+
+    // any DEFINED weeklySeasonality routes through the Fourier basis so
+    // Some(0) genuinely disables the weekly term (the simple path's
+    // day-of-week means have no off switch)
+    val wantsFourier = yearlySeasonality > 0 || weeklySeasonality.isDefined ||
+      customSeasonalities.nonEmpty || changepoints > 0 || multiplicative
+    val wantsHolidays = holidays.isDefined || countryHolidays.isDefined
+    val wantsBounds = cap.isDefined || floor.isDefined || includeIntervals ||
+      includeHistory || !nonNegative
+    val weeklyOrder = weeklySeasonality.getOrElse(2)
+
+    // resolve countryHolidays into a concrete (ds, holiday) calendar
+    // spanning the data plus the horizon (the bounds read is one tiny
+    // driver-side aggregate, as in forecastWithCountryHolidays)
+    lazy val holFrame: Option[DataFrame] = (holidays, countryHolidays) match {
+      case (Some(h), None) => Some(h)
+      case (None, Some(c)) =>
+        def yearOf(v: Any): Int = v match {
+          case d: java.sql.Date => d.toLocalDate.getYear
+          case t: java.sql.Timestamp => t.toLocalDateTime.getYear
+          case other => throw new IllegalArgumentException(
+            s"date column must be DATE or TIMESTAMP, got $other")
+        }
+        val b = data.agg(min(col(dateCol)), max(col(dateCol))).head()
+        val extraYears = freq match {
+          case "MS" => days / 12 + 1
+          case "W"  => days / 52 + 1
+          case _    => 1
+        }
+        val (lo, hi) =
+          if (b.isNullAt(0)) (1970, 1969)
+          else (yearOf(b.get(0)), yearOf(b.get(1)) + extraYears)
+        Some(graft.functions.holidays.calendar(data.sparkSession, c, lo, hi))
+      case _ => None
+    }
+    // at freq='H' append an hour-of-day Fourier block (Prophet's
+    // daily_seasonality auto-enable for sub-daily data) unless the
+    // caller already supplied a period-1 seasonality
+    def seasonWithDaily: Seq[(Double, Int)] =
+      if (freq == "H" && !customSeasonalities.exists(_._1 == 1.0))
+        customSeasonalities :+ ((1.0, 4))
+      else customSeasonalities
+
+    // a regressor or holidays COMBINED with anything their specialized
+    // paths can't express runs the joint Gram-basis fit
+    val needJoint =
+      (regressor.isDefined && (wantsFourier || wantsHolidays || freq != "D" ||
+        growth != "linear" || wantsBounds)) ||
+      (wantsHolidays && (wantsFourier || freq != "D" || growth != "linear" ||
+        wantsBounds))
 
     val out =
-      if (regressor.isDefined) {
-        if (wantsFourier || wantsHolidays) unsupported("regressors with seasonality/holiday options")
-        if (freq != "D") unsupported("regressors with freq != D")
-        if (growth != "linear") unsupported(s"regressors with growth='$growth'")
-        if (!nonNegative) unsupported("regressors with nonNegative=false (that path clamps at 0)")
-        if (cap.isDefined || floor.isDefined || includeIntervals || includeHistory)
-          unsupported("regressors with bounds/intervals/history")
-        // the metric melt is this facade's internal: the caller supplies
-        // future regressor values per (keyCols, ds), and every melted
-        // metric shares them — expand across the metric list here
-        val fr = futureRegressor.map(
-          _.withColumn("metric", explode(array(ms.map(lit): _*))))
-        Forecast.forecastWithRegressor(
-          melt(ms, extra = Seq(regressor.get)).withColumnRenamed(regressor.get, "r"),
-          keys, days, fr)
-      } else if (wantsHolidays) {
-        if (wantsFourier) unsupported("holidays with Fourier/changepoint options")
-        if (cap.isDefined || floor.isDefined || includeIntervals || includeHistory)
-          unsupported("holidays with bounds/intervals/history")
-        if (freq != "D") unsupported("holidays with freq != D")
-        if (growth != "linear") unsupported(s"holidays with growth='$growth'")
-        if (!nonNegative) unsupported("holidays with nonNegative=false (that path clamps at 0)")
-        (holidays, countryHolidays) match {
-          case (Some(h), None) => Forecast.forecastWithHolidays(melt(ms), keys, days, h)
-          case (None, Some(c)) => Forecast.forecastWithCountryHolidays(melt(ms), keys, days, c)
-          case _ => unsupported("both holidays and country_holidays")
-        }
-      } else if (wantsFourier) {
-        if (freq != "D") unsupported("Fourier/changepoint options with freq != D")
-        if (growth == "flat") unsupported("growth='flat' with Fourier/changepoint options")
-        Forecast.forecastFourier(melt(ms), keys, days,
-          weeklyOrder = if (weeklySeasonality > 0) weeklySeasonality else 2,
-          yearlyOrder = yearlySeasonality,
+      if (needJoint) {
+        // the caller's future-regressor frame is per (keyCols, ds) with
+        // value column `r`; every melted metric shares it — rename to
+        // the regressor's name and expand across the metric list
+        val fr = futureRegressor.map(f =>
+          f.withColumnRenamed("r", regressor.get)
+            .withColumn("metric", explode(array(ms.map(lit): _*))))
+        Forecast.forecastFourier(melt(ms, extra = regressor.toSeq), keys, days,
+          weeklyOrder = weeklyOrder, yearlyOrder = yearlySeasonality,
           multiplicative = multiplicative,
           changepoints = changepoints, changepointRange = changepointRange,
           changepointRidge = changepointRidge,
-          extraSeasonalities = customSeasonalities,
+          extraSeasonalities = seasonWithDaily,
           cap = cap, floor = floor,
           includeIntervals = includeIntervals, intervalWidth = intervalWidth,
-          includeHistory = includeHistory, nonNegative = nonNegative)
+          includeHistory = includeHistory, nonNegative = nonNegative,
+          freq = freq, growth = growth,
+          regressorCols = regressor.toSeq,
+          futureReg = fr,
+          holidays = holFrame)
+      } else if (regressor.isDefined) {
+        // lone regressor at freq=D: the oracle-backed Cramer 3×3 path
+        // (day-of-week seasonality as residual means, q18 semantics)
+        val fr = futureRegressor.map(
+          _.withColumn("metric", explode(array(ms.map(lit): _*))))
+        Forecast.forecastWithRegressor(
+          melt(ms, extra = Seq(regressor.get))
+            .withColumnRenamed(regressor.get, "r"),
+          keys, days, fr)
+      } else if (wantsHolidays) {
+        // lone holidays at freq=D: sequential residual-effects path
+        // (q35 semantics, coincides with the joint fit when holidays
+        // are sparse)
+        (holidays, countryHolidays) match {
+          case (Some(h), None) => Forecast.forecastWithHolidays(melt(ms), keys, days, h)
+          case _ => Forecast.forecastWithCountryHolidays(melt(ms), keys, days, countryHolidays.get)
+        }
+      } else if (wantsFourier) {
+        Forecast.forecastFourier(melt(ms), keys, days,
+          weeklyOrder = weeklyOrder, yearlyOrder = yearlySeasonality,
+          multiplicative = multiplicative,
+          changepoints = changepoints, changepointRange = changepointRange,
+          changepointRidge = changepointRidge,
+          extraSeasonalities = seasonWithDaily,
+          cap = cap, floor = floor,
+          includeIntervals = includeIntervals, intervalWidth = intervalWidth,
+          includeHistory = includeHistory, nonNegative = nonNegative,
+          freq = freq, growth = growth)
       } else {
         Forecast.forecastDaily(melt(ms), keys, days,
           cap = cap, floor = floor,

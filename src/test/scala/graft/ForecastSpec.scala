@@ -527,11 +527,12 @@ class ForecastSpec extends SparkSpecBase {
     // wide result pivots back to one column per metric
     val w = fc.forecastWide(days = 3)
     assert(w.columns.toSeq == Seq("campaign", "ds", "revenue", "visits") && w.count() == 3)
-    // unsupported joint fits fail loudly, not silently
-    val ex = intercept[IllegalArgumentException] {
-      fc.forecast(days = 3, regressor = Some("visits"), yearlySeasonality = 3)
-    }
-    assert(ex.getMessage.contains("unsupported option combination"))
+    // joint option combinations FIT (Prophet's one-model-over-all-
+    // kwargs shape) instead of raising: regressor + yearly seasonality
+    // runs the Gram-basis joint path and still returns a full horizon
+    val joint = fc.forecast(days = 3, regressor = Some("visits"),
+      metrics = Some(Seq("revenue")), yearlySeasonality = 3)
+    assert(joint.count() == 3)
     // dispatch: flat growth holds the level through the facade too
     val flat = fc.forecast(days = 7, metrics = Some(Seq("revenue")), growth = "flat")
       .select("yhat").as[Double].collect()
@@ -541,12 +542,30 @@ class ForecastSpec extends SparkSpecBase {
     // weekly-only seasonality must dispatch to the Fourier path, not
     // silently drop the requested order
     val weeklyOnly = fc.forecast(days = 7, metrics = Some(Seq("revenue")),
-      weeklySeasonality = 2)
+      weeklySeasonality = Some(2))
     assert(weeklyOnly.count() == 7)
-    // contradicted kwargs raise instead of being ignored
+    // regressor + flat growth is a joint fit too: basis [1, r] — the
+    // regressor still explains variance the flat level cannot
+    val flatReg = fc.forecast(days = 3, regressor = Some("visits"),
+      metrics = Some(Seq("revenue")), growth = "flat")
+    assert(flatReg.count() == 3)
+    // weekly_seasonality=Some(0) genuinely disables the weekly term:
+    // on a pure linear series trend-only and default agree, and the
+    // call must not throw (the old Int=0 conflated unset with off)
+    val weeklyOff = fc.forecast(days = 3, metrics = Some(Seq("revenue")),
+      weeklySeasonality = Some(0))
+      .select("yhat").as[Double].collect()
+    assert(weeklyOff.length == 3)
+    weeklyOff.zipWithIndex.foreach { case (y, i) =>
+      assert(math.abs(y - (10.0 + 2.0 * (28 + i))) < 1e-4, s"h=${i + 1}: $y")
+    }
+    // still refused loudly: contradictory option pairs
     intercept[IllegalArgumentException] {
-      fc.forecast(days = 3, regressor = Some("visits"),
-        metrics = Some(Seq("revenue")), growth = "flat")
+      fc.forecast(days = 3, holidays = Some(wide.select(col("ds"),
+        lit("h").as("holiday"))), countryHolidays = Some("US"))
+    }
+    intercept[IllegalArgumentException] {
+      fc.forecast(days = 3, metrics = Some(Seq("revenue")), changepointRidge = 1.0)
     }
   }
 
@@ -571,6 +590,166 @@ class ForecastSpec extends SparkSpecBase {
         java.time.LocalDate.of(2024, 1, 1), ds.toLocalDate)
       val expected = 5.0 + 3.0 * (4.0 + (x % 3))
       assert(math.abs(yhat - expected) < 1e-4, s"$ds: $yhat vs $expected")
+    }
+  }
+
+  test("joint Gram fit recovers planted trend+sinusoid+regressor (one model, all options)") {
+    // y = 2 + 0.5x + 3r + 10·sin(2πt/7) exactly — the joint basis
+    // [1, x, sin, cos, r] spans it, so the per-key solve recovers every
+    // coefficient and the future horizon reproduces the formula
+    val rs = Seq(5.0, 9.0, 3.0, 7.0, 1.0, 8.0, 4.0, 6.0, 2.0, 9.5, 3.5, 7.5, 1.5, 8.5,
+      4.5, 6.5, 2.5, 9.25, 0.5, 5.5, 10.0, 3.25, 6.75, 1.25, 8.25, 4.75, 7.25, 2.75)
+    def sinAt(epochDay: Long): Double = math.sin(2.0 * math.Pi * epochDay / 7.0)
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    val daily = rs.zipWithIndex.map { case (r, x) =>
+      val d = d0.plusDays(x)
+      ("k1", Date.valueOf(d), 2.0 + 0.5 * x + 3.0 * r + 10.0 * sinAt(d.toEpochDay), r)
+    }.toDF("key", "ds", "y", "r")
+    val futureR = (28 until 35).map { x =>
+      ("k1", Date.valueOf(d0.plusDays(x)), 4.0 + (x % 3))
+    }.toDF("key", "ds", "r")
+    val out = Forecast.forecastFourier(daily, Seq("key"), horizon = 7,
+      weeklyOrder = 1, yearlyOrder = 0,
+      regressorCols = Seq("r"), futureReg = Some(futureR))
+      .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
+    assert(out.length == 7)
+    out.foreach { case (ds, yhat) =>
+      val x = java.time.temporal.ChronoUnit.DAYS.between(d0, ds.toLocalDate)
+      val expected = 2.0 + 0.5 * x + 3.0 * (4.0 + (x % 3)) + 10.0 * sinAt(ds.toLocalDate.toEpochDay)
+      assert(math.abs(yhat - expected) < 1e-3, s"$ds: $yhat vs $expected")
+    }
+    // missing future regressor values still fail loudly in the joint path
+    val partial = (28 until 30).map { x =>
+      ("k1", Date.valueOf(d0.plusDays(x)), 2.0)
+    }.toDF("key", "ds", "r")
+    val ex = intercept[Exception] {
+      Forecast.forecastFourier(daily, Seq("key"), horizon = 7,
+        weeklyOrder = 1, yearlyOrder = 0,
+        regressorCols = Seq("r"), futureReg = Some(partial)).collect()
+    }
+    assert(ex.getMessage.contains("missing future value for regressor"))
+  }
+
+  test("joint fit adds holiday indicators to the basis (holidays + seasonality, one model)") {
+    // y = 50 + x + 20·I(payday) + 8·sin(2πt/7): holiday effect and
+    // weekly seasonality fit JOINTLY; future paydays lift by exactly 20
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    def sinAt(epochDay: Long): Double = math.sin(2.0 * math.Pi * epochDay / 7.0)
+    def isPay(d: java.time.LocalDate): Boolean = d.getDayOfMonth == 1 || d.getDayOfMonth == 15
+    val daily = (0 until 56).map { x =>
+      val d = d0.plusDays(x)
+      val hol = if (isPay(d)) 20.0 else 0.0
+      ("k1", Date.valueOf(d), 50.0 + x + hol + 8.0 * sinAt(d.toEpochDay))
+    }.toDF("key", "ds", "y")
+    // calendar covers history AND horizon, like Prophet's holidays frame
+    val cal = (0 until 70).map(x => Date.valueOf(d0.plusDays(x)))
+      .filter(d => isPay(d.toLocalDate)).map(d => (d, "payday")).toDF("ds", "holiday")
+    val out = Forecast.forecastFourier(daily, Seq("key"), horizon = 14,
+      weeklyOrder = 1, yearlyOrder = 0, holidays = Some(cal))
+      .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
+    assert(out.length == 14)
+    out.foreach { case (ds, yhat) =>
+      val x = java.time.temporal.ChronoUnit.DAYS.between(d0, ds.toLocalDate)
+      val expected = 50.0 + x + (if (isPay(ds.toLocalDate)) 20.0 else 0.0) +
+        8.0 * sinAt(ds.toLocalDate.toEpochDay)
+      assert(math.abs(yhat - expected) < 1e-3, s"$ds: $yhat vs $expected")
+    }
+    assert(out.map(_._1.toLocalDate).count(isPay) >= 1, "horizon must include a payday")
+    // the same combination through the facade (holidays + weekly
+    // seasonality used to raise 'unsupported')
+    import graft.operators.Forecaster
+    val fc = new Forecaster(daily.withColumnRenamed("y", "sales"), keyCols = Seq("key"))
+    val viaFacade = fc.forecast(days = 14, holidays = Some(cal),
+      weeklySeasonality = Some(1))
+      .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
+    assert(viaFacade.length == 14)
+    viaFacade.zip(out).foreach { case ((ds, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-6, s"facade must run the same joint fit at $ds: $a vs $b")
+    }
+  }
+
+  test("freq='W' fits yearly seasonality on a weekly series (freq unlock)") {
+    // 156 weekly points over 3 years: span_days ≈ 1085 ≥ 730 opens the
+    // yearly gate; y = 100 + 0.5x + 30·sin(2πt/365.25) recovers exactly
+    val d0 = java.time.LocalDate.of(2021, 1, 4)
+    def yearSin(epochDay: Long): Double = math.sin(2.0 * math.Pi * epochDay / 365.25)
+    val weekly = (0 until 156).map { x =>
+      val d = d0.plusWeeks(x)
+      ("k1", Date.valueOf(d), 100.0 + 0.5 * x + 30.0 * yearSin(d.toEpochDay))
+    }.toDF("key", "ds", "y")
+    val out = Forecast.forecastFourier(weekly, Seq("key"), horizon = 8,
+      weeklyOrder = 0, yearlyOrder = 1, freq = "W")
+      .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
+    assert(out.length == 8)
+    out.zipWithIndex.foreach { case ((ds, yhat), i) =>
+      assert(ds.toLocalDate == d0.plusWeeks(156 + i), s"spine must step 7 days: $ds")
+      val expected = 100.0 + 0.5 * (156 + i) + 30.0 * yearSin(ds.toLocalDate.toEpochDay)
+      assert(math.abs(yhat - expected) < 1e-2, s"$ds: $yhat vs $expected")
+    }
+  }
+
+  test("freq='H' joint regressor fit steps hourly (freq unlock through the facade)") {
+    // hourly wide frame, y = 10 + 0.5x + 2r; the facade's
+    // regressor+freq combination runs the joint path, futureRegressor
+    // joins on exact hour timestamps
+    val t0 = java.time.LocalDateTime.of(2024, 3, 1, 0, 0)
+    val rs = (0 until 96).map(x => 1.0 + (x * 7 % 11))
+    val wide = rs.zipWithIndex.map { case (r, x) =>
+      ("k1", java.sql.Timestamp.valueOf(t0.plusHours(x)), 10.0 + 0.5 * x + 2.0 * r, r)
+    }.toDF("key", "ds", "sales", "spend")
+    val futureR = (96 until 120).map { x =>
+      ("k1", java.sql.Timestamp.valueOf(t0.plusHours(x)), 3.0 + (x % 5))
+    }.toDF("key", "ds", "r")
+    import graft.operators.Forecaster
+    val fc = new Forecaster(wide, keyCols = Seq("key"))
+    val out = fc.forecast(days = 24, freq = "H", regressor = Some("spend"),
+      futureRegressor = Some(futureR), weeklySeasonality = Some(0))
+      .select("ds", "yhat").as[(java.sql.Timestamp, Double)].collect()
+      .sortBy(_._1.getTime)
+    assert(out.length == 24)
+    out.zipWithIndex.foreach { case ((ds, yhat), i) =>
+      val x = 96 + i
+      assert(ds.toLocalDateTime == t0.plusHours(x), s"spine must step 1 hour: $ds")
+      val expected = 10.0 + 0.5 * x + 2.0 * (3.0 + (x % 5))
+      assert(math.abs(yhat - expected) < 0.05, s"$ds: $yhat vs $expected")
+    }
+  }
+
+  test("growth='logistic' is a true saturating fit, not a clamp") {
+    // planted logistic curve toward cap=100: z = logit(y/100) is exactly
+    // linear in x, so the log-odds fit recovers the curve and the
+    // forecast BENDS toward the cap — where a clamped linear trend
+    // would overshoot the curve then flat-line at 100
+    def curve(x: Int): Double = 100.0 / (1.0 + math.exp(-(x - 10) / 3.0))
+    val daily = (0 until 20).map { x =>
+      ("k1", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(x)), curve(x))
+    }.toDF("key", "ds", "y")
+    val logistic = Forecast.forecastDaily(daily, Seq("key"), horizon = 7,
+      cap = Some(100.0), growth = "logistic")
+      .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
+    assert(logistic.length == 7)
+    logistic.zipWithIndex.foreach { case ((ds, yhat), i) =>
+      val expected = curve(20 + i)
+      assert(math.abs(yhat - expected) < 1e-3, s"$ds: $yhat vs $expected")
+      assert(yhat < 100.0, "logistic fit stays strictly inside the cap")
+    }
+    // monotone approach to saturation
+    assert(logistic.map(_._2).sliding(2).forall(p => p(0) < p(1)))
+    // the clamp analog (linear + cap) overshoots the planted curve where
+    // it is flattening: its late-horizon error must exceed the fit's
+    val clamped = Forecast.forecastDaily(daily, Seq("key"), horizon = 7,
+      cap = Some(100.0), growth = "linear")
+      .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
+    val errLogistic = math.abs(logistic.last._2 - curve(26))
+    val errClamp = math.abs(clamped.last._2 - curve(26))
+    assert(errLogistic < errClamp,
+      s"saturating fit must beat the clamp near the cap: $errLogistic vs $errClamp")
+    // the Fourier path shares the transform (same planted recovery)
+    val viaFourier = Forecast.forecastFourier(daily, Seq("key"), horizon = 7,
+      weeklyOrder = 0, yearlyOrder = 0, cap = Some(100.0), growth = "logistic")
+      .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
+    viaFourier.zipWithIndex.foreach { case ((ds, yhat), i) =>
+      assert(math.abs(yhat - curve(20 + i)) < 1e-3, s"Fourier logistic $ds: $yhat")
     }
   }
 
