@@ -52,20 +52,40 @@ object holidays {
     }
   }
 
+  /** Observed-day rule for FIXED-DATE holidays (the US federal rule,
+    * which the reference's `holidays` package applies, and its MX
+    * statutory analog): a holiday falling on Saturday is observed the
+    * preceding Friday; on Sunday, the following Monday. Both rows are
+    * emitted — the actual date keeps its name and the shifted day gets
+    * `<name>_observed` — mirroring the package's "(observed)" entries,
+    * so a forecast attributes effect to whichever day the data actually
+    * moves on. nth-weekday holidays never land on weekends; CL has no
+    * observed-day shifts (matching the package). A new-year observed
+    * day can land in December of the PREVIOUS year — harmless extra
+    * calendar row for the broadcast dimension. */
+  private def withObserved(fixed: Seq[(LocalDate, String)]): Seq[(LocalDate, String)] =
+    fixed.flatMap { case e @ (d, name) =>
+      d.getDayOfWeek match {
+        case DayOfWeek.SATURDAY => Seq(e, d.minusDays(1) -> s"${name}_observed")
+        case DayOfWeek.SUNDAY   => Seq(e, d.plusDays(1) -> s"${name}_observed")
+        case _                  => Seq(e)
+      }
+    }
+
   /** (date, holiday-name) pairs for one country and year. */
   def forYear(country: String, y: Int): Seq[(LocalDate, String)] = country.toUpperCase match {
-    case "US" => Seq(
+    case "US" => withObserved(Seq(
       LocalDate.of(y, 1, 1) -> "new_years_day",
+      LocalDate.of(y, 6, 19) -> "juneteenth",
+      LocalDate.of(y, 7, 4) -> "independence_day",
+      LocalDate.of(y, 11, 11) -> "veterans_day",
+      LocalDate.of(y, 12, 25) -> "christmas_day")) ++ Seq(
       nthWeekday(y, 1, DayOfWeek.MONDAY, 3) -> "mlk_day",
       nthWeekday(y, 2, DayOfWeek.MONDAY, 3) -> "washingtons_birthday",
       nthWeekday(y, 5, DayOfWeek.MONDAY, -1) -> "memorial_day",
-      LocalDate.of(y, 6, 19) -> "juneteenth",
-      LocalDate.of(y, 7, 4) -> "independence_day",
       nthWeekday(y, 9, DayOfWeek.MONDAY, 1) -> "labor_day",
       nthWeekday(y, 10, DayOfWeek.MONDAY, 2) -> "columbus_day",
-      LocalDate.of(y, 11, 11) -> "veterans_day",
-      nthWeekday(y, 11, DayOfWeek.THURSDAY, 4) -> "thanksgiving",
-      LocalDate.of(y, 12, 25) -> "christmas_day")
+      nthWeekday(y, 11, DayOfWeek.THURSDAY, 4) -> "thanksgiving")
     case "CL" => Seq(
       LocalDate.of(y, 1, 1) -> "ano_nuevo",
       easter(y).minusDays(2) -> "viernes_santo",
@@ -80,14 +100,14 @@ object holidays {
       LocalDate.of(y, 11, 1) -> "todos_los_santos",
       LocalDate.of(y, 12, 8) -> "inmaculada_concepcion",
       LocalDate.of(y, 12, 25) -> "navidad")
-    case "MX" => Seq(
+    case "MX" => withObserved(Seq(
       LocalDate.of(y, 1, 1) -> "ano_nuevo",
-      nthWeekday(y, 2, DayOfWeek.MONDAY, 1) -> "dia_constitucion",
-      nthWeekday(y, 3, DayOfWeek.MONDAY, 3) -> "natalicio_juarez",
       LocalDate.of(y, 5, 1) -> "dia_del_trabajo",
       LocalDate.of(y, 9, 16) -> "dia_independencia",
-      nthWeekday(y, 11, DayOfWeek.MONDAY, 3) -> "revolucion",
-      LocalDate.of(y, 12, 25) -> "navidad")
+      LocalDate.of(y, 12, 25) -> "navidad")) ++ Seq(
+      nthWeekday(y, 2, DayOfWeek.MONDAY, 1) -> "dia_constitucion",
+      nthWeekday(y, 3, DayOfWeek.MONDAY, 3) -> "natalicio_juarez",
+      nthWeekday(y, 11, DayOfWeek.MONDAY, 3) -> "revolucion")
     case other => throw new IllegalArgumentException(
       s"unsupported country_holidays code '$other' (supported: US, CL, MX)")
   }

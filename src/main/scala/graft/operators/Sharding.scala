@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Training-corpus layout operators: deterministic shuffling, sharding,
   * and splits. An LLM data build needs all three to be REPRODUCIBLE
-  * (same inputs + seed ⇒ bit-identical shards) and driver-free — no
-  * `rand()` (re-evaluates per task retry, breaking determinism under
-  * failure), no collect, no global sort bottleneck beyond the one
-  * intended shuffle.
+  * (same inputs + seed ⇒ identical shard MEMBERSHIP and read order;
+  * see the [[writeShards]] scaladoc for exactly what is and isn't
+  * byte-stable) and driver-free — no `rand()` (re-evaluates per task
+  * retry, breaking determinism under failure), no collect, no global
+  * sort bottleneck beyond the one intended shuffle.
   *
   * The primitive is a seeded 64-bit hash of a stable id column
   * (`xxhash64(seed, id)`): uniformly distributed, stable across runs,
@@ -23,12 +24,21 @@ object Sharding {
   /** Deterministic global shuffle + fixed shard layout: rows hash-route
     * to `numShards` shards and sort by the same hash within each, so
     * the corpus READ ORDER (shard by shard, row by row) is a seeded
-    * pseudo-random permutation — the training-order shuffle — while
-    * remaining bit-identical run to run. One shuffle; shard files are
-    * bounded by `maxRecordsPerFile`.
+    * pseudo-random permutation — the training-order shuffle — stable
+    * run to run. One shuffle; shard files are bounded by
+    * `maxRecordsPerFile`.
     *
-    * Re-seeding is re-shuffling: a new `seed` gives an independent
-    * permutation (fresh curriculum order) with zero extra machinery. */
+    * Determinism contract, precisely: shard MEMBERSHIP (which rows land
+    * in which shard=N directory) and the row SEQUENCE a reader sees per
+    * shard are functions of (inputs, seed) only — both hashes are
+    * seeded and retry-stable. File BOUNDARIES inside a shard directory
+    * are not: `repartitionByRange` samples its range bounds with an
+    * internal seed derived from the runtime RDD id, so the same write
+    * can split a shard's (identically ordered) rows into differently
+    * cut files across runs. Consumers that read a shard directory in
+    * filename-then-row order see the same row sequence either way;
+    * consumers that diff file listings byte-for-byte should not rely
+    * on byte-stable files. */
   def writeShards(df: DataFrame, path: String, idCol: String,
                   numShards: Int, seed: Long = 0L,
                   maxRecordsPerFile: Long = 5000000L): Unit = {

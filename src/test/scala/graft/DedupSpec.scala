@@ -65,6 +65,45 @@ class DedupSpec extends SparkSpecBase {
     assert(!plan2.contains("CartesianProduct"), "ngram plan must stay bucketed")
   }
 
+  test("incremental dedup verdicts a batch against a persisted bucketed index") {
+    import graft.sources.Bucketing
+    // corpus index persisted ONCE, bucketed on the probe key
+    Bucketing.writeBucketed(
+      Dedup.minhashIndexDocs(planted, numHashes = 32, bands = 8),
+      "mh_index", Seq("band", "bh"), numBuckets = 8)
+    val index = spark.table("mh_index")
+    // day-2 batch: near-dup of doc 0 (and its twin 2), exact copy of
+    // doc 3, and genuinely new content
+    val batch = Seq(
+      (100L, base.replace("morning", "evening")),
+      (101L, "completely different content about spark catalyst optimizer rules and codegen stages"),
+      (102L, "entirely novel passage with no counterpart in the corpus at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstIndex(batch, index, numHashes = 32, bands = 8)
+    out.collect()
+    val rows = out.as[(Long, Boolean, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows(100L)._2 && rows(100L)._3.contains(0L),
+      s"near-dup must match the smallest corpus twin: ${rows(100L)}")
+    assert(rows(101L)._2 && rows(101L)._3.contains(3L) && rows(101L)._4.contains(1.0),
+      s"exact copy must match doc 3 at sim 1.0: ${rows(101L)}")
+    assert(!rows(102L)._2 && rows(102L)._3.isEmpty, s"novel doc must pass: ${rows(102L)}")
+
+    // scale contract: the corpus side is pre-bucketed, so the stop-
+    // bucket census runs with no exchange at all...
+    val census = index.groupBy("band", "bh").agg(count(lit(1)))
+    census.collect()
+    val censusPlan = census.queryExecution.executedPlan.toString
+    assert(!censusPlan.contains("Exchange hashpartitioning"),
+      s"census over the bucketed index must not shuffle:\n${censusPlan.take(1200)}")
+    // ...and the probe join re-partitions at most the BATCH side on
+    // (band, bh) — the corpus never reshuffles on the probe key
+    val probePlan = out.queryExecution.executedPlan.toString
+    val bandExchanges = """Exchange hashpartitioning\(band""".r.findAllIn(probePlan).length
+    assert(bandExchanges <= 1,
+      s"only the batch side may shuffle on (band, bh), saw $bandExchanges:\n${probePlan.take(1500)}")
+  }
+
   test("dupClusters resolves TRANSITIVE chains to the component minimum") {
     import spark.implicits._
     // chain 1-2-3-4 (no direct 1-4 edge!), pair 10-11, singleton edge 20-21

@@ -276,6 +276,18 @@ class ForecastSpec extends SparkSpecBase {
     assert(holidays.forYear("CL", 2024).toMap.get(LocalDate.of(2024, 3, 29))
       .contains("viernes_santo"), "Good Friday 2024 = Mar 29")
     intercept[IllegalArgumentException](holidays.forYear("XX", 2024))
+    // observed-day rule (the `holidays` package behavior): a fixed-date
+    // holiday on a weekend adds a shifted _observed entry, keeping the
+    // actual date too; a weekday year adds none
+    val us2026 = holidays.forYear("US", 2026).map { case (d, n) => n -> d }.toMap
+    assert(us2026("independence_day") == LocalDate.of(2026, 7, 4), "Jul 4 2026 = Saturday")
+    assert(us2026("independence_day_observed") == LocalDate.of(2026, 7, 3),
+      "Saturday holiday observed the preceding Friday")
+    val us2027 = holidays.forYear("US", 2027).map { case (d, n) => n -> d }.toMap
+    assert(us2027("independence_day_observed") == LocalDate.of(2027, 7, 5),
+      "Sunday holiday observed the following Monday")
+    assert(!byName.keys.exists(_.endsWith("_observed")),
+      "2024's fixed-date US holidays all fall on weekdays")
     // end-to-end: a July-4th bump learned from history lifts the
     // July-4th forecast when the horizon crosses it
     val start = LocalDate.of(2023, 6, 1)
