@@ -113,13 +113,22 @@ object holidays {
   }
 
   /** Calendar frame (ds DATE, holiday STRING) spanning [fromYear,
-    * toYear] — plug directly into `forecastWithHolidays`. */
+    * toYear] — plug directly into `forecastWithHolidays`.
+    *
+    * Observed-day edge coverage is symmetric: year `toYear + 1` is also
+    * generated and filtered down to its rows that land INSIDE the span
+    * (a Saturday new year observes on Dec 31 of `toYear`), matching the
+    * low end, where `forYear(fromYear)` may emit Dec 31 of
+    * `fromYear − 1` (kept — harmless spillover in a broadcast dim). */
   def calendar(spark: SparkSession, country: String,
                fromYear: Int, toYear: Int): DataFrame = {
     import spark.implicits._
-    (fromYear to toYear)
-      .flatMap(forYear(country, _))
-      .map { case (d, n) => (java.sql.Date.valueOf(d), n) }
-      .toDF("ds", "holiday")
+    val rows =
+      if (toYear < fromYear) Seq.empty[(java.sql.Date, String)]
+      else (fromYear to toYear + 1)
+        .flatMap(forYear(country, _))
+        .filter { case (d, _) => d.getYear <= toYear }
+        .map { case (d, n) => (java.sql.Date.valueOf(d), n) }
+    rows.toDF("ds", "holiday")
   }
 }

@@ -70,6 +70,13 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
+  /** Estimated Jaccard similarity of two minhash signatures: the
+    * fraction of agreeing slots (shared by the one-shot LSH pass and
+    * the incremental index probe — one definition, one place). */
+  private def sigAgreement(a: Column, b: Column, numHashes: Int): Column =
+    (aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+
   /** MinHash signature via the native kernel expression
     * [[graft.expressions.MinHashSignature]]: one pass over the shingle
     * array inside whole-stage codegen (the per-hash `aggregate` fold
@@ -129,6 +136,15 @@ object Dedup {
   def minhashIndexDocs(documents: DataFrame,
                        numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
+    // the build parameters ride the sig column's schema METADATA
+    // (surviving parquet/table round-trips) so a later probe with
+    // mismatched parameters fails loudly instead of silently matching
+    // nothing — (band, bh) values from different (numHashes, bands)
+    // never align
+    val sigMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.minhash.numHashes", numHashes.toLong)
+      .putLong("graft.minhash.bands", bands.toLong)
+      .build()
     documents
       .select(col("doc_id"),
         call_function("graft_minhash_shingled",
@@ -138,7 +154,7 @@ object Dedup {
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
         }: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bh"))
+      .select(col("doc_id"), col("sig").as("sig", sigMeta), col("bk.band"), col("bk.bh"))
   }
 
   /** DataFrame-level MinHash+LSH over any (doc_id, text) frame. */
@@ -155,9 +171,7 @@ object Dedup {
       .select(
         least(col("p.a.doc_id"), col("p.b.doc_id")).as("id_a"),
         greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("id_b"),
-        (aggregate(zip_with(col("p.a.sig"), col("p.b.sig"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-          .cast("double") / numHashes).as("est_sim"))
+        sigAgreement(col("p.a.sig"), col("p.b.sig"), numHashes).as("est_sim"))
       .filter(col("est_sim") >= simThreshold)
       .select(col("id_a"), col("id_b")).distinct()
 
@@ -189,17 +203,36 @@ object Dedup {
   def dedupAgainstIndex(newDocs: DataFrame, index: DataFrame,
                         numHashes: Int = 16, bands: Int = 4,
                         simThreshold: Double = 0.5, bucketCap: Int = 200): DataFrame = {
+    // parameter-mismatch guard: a probe with different (numHashes,
+    // bands) than the index was built with computes incompatible
+    // (band, bh) buckets — every dup would silently verdict clean.
+    // The build parameters travel in the sig column's metadata; a
+    // hand-built index without it still hits the per-row signature-
+    // length check below.
+    val sigField = index.schema.fields.find(_.name == "sig").getOrElse(
+      throw new IllegalArgumentException(
+        "index must carry a 'sig' column — build it with minhashIndexDocs"))
+    if (sigField.metadata.contains("graft.minhash.numHashes")) {
+      val iN = sigField.metadata.getLong("graft.minhash.numHashes")
+      val iB = sigField.metadata.getLong("graft.minhash.bands")
+      require(iN == numHashes && iB == bands,
+        s"index was built with numHashes=$iN bands=$iB but the probe asked for " +
+          s"numHashes=$numHashes bands=$bands — buckets would not align and every " +
+          "duplicate would silently pass")
+    }
     val batch = minhashIndexDocs(newDocs, numHashes, bands)
       .select(col("band"), col("bh"), col("doc_id").as("new_id"), col("sig").as("new_sig"))
     val sizes = index.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("_bn"))
     val corpus = index.join(sizes.filter(col("_bn") <= bucketCap), Seq("band", "bh"))
-      .select(col("band"), col("bh"), col("doc_id").as("corpus_id"), col("sig").as("corpus_sig"))
+      .select(col("band"), col("bh"), col("doc_id").as("corpus_id"),
+        when(size(col("sig")) =!= numHashes,
+          raise_error(concat(lit("dedupAgainstIndex: index signature length "),
+            size(col("sig")).cast("string"),
+            lit(s" != numHashes=$numHashes — rebuild the index or fix the probe parameters"))))
+          .otherwise(col("sig")).as("corpus_sig"))
     val verified = batch.join(corpus, Seq("band", "bh"))
       .dropDuplicates("new_id", "corpus_id")
-      .withColumn("est_sim",
-        aggregate(zip_with(col("new_sig"), col("corpus_sig"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-          .cast("double") / numHashes)
+      .withColumn("est_sim", sigAgreement(col("new_sig"), col("corpus_sig"), numHashes))
       .filter(col("est_sim") >= simThreshold)
     newDocs.select(col("doc_id"))
       .join(verified.groupBy(col("new_id").as("doc_id"))

@@ -94,6 +94,12 @@ object Forecast {
     if (nonNegative) greatest(lit(0.0), floored) else floored
   }
 
+  /** Backtick-escape a caller-supplied column name for `col()`
+    * resolution — regressor names come from the caller's schema and may
+    * contain dots or backticks, which bare `col()` would parse as field
+    * access / delimiters. */
+  private def qcol(name: String): Column = col("`" + name.replace("`", "``") + "`")
+
   // ---- freq machinery (shared by every forecaster path) ----------------
   // x counts PERIODS since a key's first observation; the future spine
   // steps by one period; t is (possibly fractional) DAYS since epoch so
@@ -819,7 +825,7 @@ object Forecast {
       trend ++ hinges(x, span) ++ fourier(t, 7.0, weeklyOrder) ++
         fourier(t, 365.25, yearlyOrder).map(_ * yearlyGate) ++
         extraSeasonalities.flatMap { case (per, k) => fourier(t, per, k) } ++
-        regressorCols.map(col) ++
+        regressorCols.map(qcol) ++
         holNames.map(n => when(col("_hset").isNotNull &&
           array_contains(col("_hset"), lit(n)), lit(1.0)).otherwise(lit(0.0)))
     }
@@ -836,7 +842,7 @@ object Forecast {
     val gramCols = for (i <- 0 until p; j <- 0 until p) yield
       sum(f(math.min(i, j)) * f(math.max(i, j))).as(s"g_${i}_$j")
     val rhsCols = (0 until p).map(i => sum(f(i) * col("yy")).as(s"m_$i"))
-    val regMeanCols = regressorCols.map(rc => avg(col(rc)).as(s"_rm_$rc"))
+    val regMeanCols = regressorCols.map(rc => avg(qcol(rc)).as(s"_rm_$rc"))
     val fit = base.groupBy(keys: _*)
       .agg(gramCols.head, (gramCols.tail ++ rhsCols ++
         Seq(max(col("x")).as("xmax"), max(col("ds")).as("maxds"),
@@ -854,7 +860,7 @@ object Forecast {
         }): _*),
         array((0 until p).map(i => col(s"m_$i")): _*)))
       .select(keys ++ Seq(col("beta"), col("xmax"), col("maxds"), col("span_days")) ++
-        regressorCols.map(rc => col(s"_rm_$rc")): _*)
+        regressorCols.map(rc => qcol(s"_rm_$rc")): _*)
 
     // span == max(x) per key == xmax on the future spine, so the same
     // yearly gate and hinge knots apply there; beyond the last knot
@@ -862,7 +868,7 @@ object Forecast {
     // regime's slope
     val futCore = betas
       .select(keys ++ Seq(col("xmax"), col("maxds"), col("span_days")) ++
-        regressorCols.map(rc => col(s"_rm_$rc")) ++
+        regressorCols.map(rc => qcol(s"_rm_$rc")) ++
         Seq(explode(sequence(lit(1), lit(horizon))).as("h")): _*)
       .withColumn("ds", stepForwardF(freq)(col("maxds"), col("h")))
       .withColumn("x", col("xmax") + col("h"))
@@ -875,18 +881,18 @@ object Forecast {
       else futureReg match {
         case Some(fr) =>
           val joined = futCore.join(
-            fr.select((keyCols :+ "ds").map(col) ++ regressorCols.map(col): _*),
+            fr.select((keyCols :+ "ds").map(col) ++ regressorCols.map(qcol): _*),
             keyCols :+ "ds", "left")
           regressorCols.foldLeft(joined)((acc, rc) =>
-            acc.withColumn(rc, when(col(rc).isNull,
+            acc.withColumn(rc, when(qcol(rc).isNull,
               raise_error(concat(
                 lit(s"forecastFourier: missing future value for regressor '$rc' at ds="),
-                col("ds").cast("string")))).otherwise(col(rc))))
+                col("ds").cast("string")))).otherwise(qcol(rc))))
         case None =>
-          regressorCols.foldLeft(futCore)((acc, rc) => acc.withColumn(rc, col(s"_rm_$rc")))
+          regressorCols.foldLeft(futCore)((acc, rc) => acc.withColumn(rc, qcol(s"_rm_$rc")))
       }
     val spineCols = Seq(col("ds"), col("x"), col("t"), col("span"), col("span_days")) ++
-      regressorCols.map(col) ++ holCols
+      regressorCols.map(qcol) ++ holCols
     val futSpine = withHol(futWithReg).select(keys ++ spineCols: _*)
     // include_history: fitted values over the observed spine, same basis
     val spine =

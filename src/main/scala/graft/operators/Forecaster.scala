@@ -115,6 +115,8 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
       unsupported("changepointRidge without changepoints")
     if (holidays.isDefined && countryHolidays.isDefined)
       unsupported("both holidays and country_holidays")
+    if (futureRegressor.isDefined && regressor.isEmpty)
+      unsupported("futureRegressor without a regressor")
 
     // any DEFINED weeklySeasonality routes through the Fourier basis so
     // Some(0) genuinely disables the weekly term (the simple path's
@@ -139,10 +141,13 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
             s"date column must be DATE or TIMESTAMP, got $other")
         }
         val b = data.agg(min(col(dateCol)), max(col(dateCol))).head()
+        // cover the WHOLE horizon at every freq (days counts periods:
+        // months at MS, weeks at W, hours at H, days at D)
         val extraYears = freq match {
           case "MS" => days / 12 + 1
           case "W"  => days / 52 + 1
-          case _    => 1
+          case "H"  => days / (24 * 365) + 1
+          case _    => days / 365 + 1
         }
         val (lo, hi) =
           if (b.isNullAt(0)) (1970, 1969)

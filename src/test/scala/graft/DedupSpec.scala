@@ -102,6 +102,14 @@ class DedupSpec extends SparkSpecBase {
     val bandExchanges = """Exchange hashpartitioning\(band""".r.findAllIn(probePlan).length
     assert(bandExchanges <= 1,
       s"only the batch side may shuffle on (band, bh), saw $bandExchanges:\n${probePlan.take(1500)}")
+
+    // probing with parameters the index wasn't built with must fail
+    // loudly — the build parameters survive the table round-trip in the
+    // sig column's metadata
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(batch, index, numHashes = 16, bands = 4)
+    }
+    assert(ex.getMessage.contains("built with numHashes=32"), ex.getMessage)
   }
 
   test("dupClusters resolves TRANSITIVE chains to the component minimum") {

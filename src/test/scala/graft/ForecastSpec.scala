@@ -288,6 +288,14 @@ class ForecastSpec extends SparkSpecBase {
       "Sunday holiday observed the following Monday")
     assert(!byName.keys.exists(_.endsWith("_observed")),
       "2024's fixed-date US holidays all fall on weekdays")
+    // hi-end coverage: Jan 1 2028 is a Saturday, so its observed day is
+    // 2027-12-31 — a calendar ENDING in 2027 must still include it
+    val cal27 = holidays.calendar(spark, "US", 2022, 2027)
+      .as[(Date, String)].collect()
+    assert(cal27.contains((Date.valueOf("2027-12-31"), "new_years_day_observed")),
+      "calendar must cover an observed day spilling back from the year after its span")
+    assert(!cal27.exists(_._1.toLocalDate.getYear > 2027),
+      "no rows beyond the requested span")
     // end-to-end: a July-4th bump learned from history lifts the
     // July-4th forecast when the horizon crosses it
     val start = LocalDate.of(2023, 6, 1)
