@@ -51,6 +51,7 @@ object SparkEntry {
     "q18_forecast_regressor"     -> ((s, d) => Forecast.forecastRegressor(s, d)),
     "q19_forecast_yearly"        -> ((s, d) => Forecast.forecastYearly(s, d)),
     "q43_forecast_joint"         -> ((s, d) => Forecast.forecastJoint(s, d)),
+    "q44_forecast_joint_cramer"  -> ((s, d) => Forecast.forecastJointCramer(s, d)),
     "q35_forecast_holidays"      -> ((s, d) => Forecast.forecastHolidays(s, d)),
     "q38_forecast_changepoints"  -> ((s, d) => Forecast.forecastChangepoints(s, d)),
     // C-block: training-data pipeline
@@ -378,6 +379,53 @@ object SparkEntry {
         |FROM future f LEFT JOIN dowm d
         |  ON f.event_type = d.event_type AND dayofweek(f.ds) = d.dow
         |ORDER BY f.event_type, f.ds""".stripMargin,
+
+    // JOINT regressor + holiday-indicator fit: the 4×4 Cramer formula
+    // trees are GENERATED from the same structural definition the Spark
+    // plan uses (operators.Forecast.Cramer4 renders one tree to Columns
+    // and to fully-parenthesized SQL), so the two engines execute
+    // bit-identical float expressions — the q18 convention one
+    // dimension up, and the hash check covers a genuinely joint fit.
+    "q44_forecast_joint_cramer" -> {
+      import operators.Forecast.Cramer4
+      val det = Cramer4.det(Cramer4.SqlAlg)
+      def num(i: Int) = Cramer4.num(Cramer4.SqlAlg, i)
+      val guard = "abs(det) <= 1e-9 * abs(n*sxx*srr*shh)"
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS ds,
+         |         sum(value) AS y, CAST(count(*) AS DOUBLE) AS r
+         |  FROM events GROUP BY 1, 2),
+         |dh AS (SELECT *, CASE WHEN day(ds) IN (1, 15) THEN 1.0 ELSE 0.0 END AS h FROM daily),
+         |wx AS (SELECT *, CAST(date_diff('day', min(ds) OVER (PARTITION BY event_type), ds) AS DOUBLE) AS x FROM dh),
+         |sums AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         |  sum(x) AS sx, sum(r) AS sr, sum(h) AS sh,
+         |  sum(x*x) AS sxx, sum(x*r) AS sxr, sum(x*h) AS sxh,
+         |  sum(r*r) AS srr, sum(r*h) AS srh, sum(h*h) AS shh,
+         |  sum(y) AS sy, sum(x*y) AS sxy, sum(r*y) AS sry, sum(h*y) AS shy,
+         |  max(x) AS xmax, max(ds) AS maxds, avg(r) AS rmean
+         |  FROM wx GROUP BY 1),
+         |dets AS (SELECT *, $det AS det, n*sxx - sx*sx AS den2 FROM sums),
+         |fb AS (SELECT *, CASE WHEN abs(den2) > 0 THEN (n*sxy - sx*sy) / den2 ELSE 0.0 END AS b1f FROM dets),
+         |betas AS (SELECT event_type, xmax, maxds, rmean,
+         |  CASE WHEN $guard THEN (sy - b1f*sx) / n ELSE ${num(0)} / det END AS b0,
+         |  CASE WHEN $guard THEN b1f ELSE ${num(1)} / det END AS b1,
+         |  CASE WHEN $guard THEN 0.0 ELSE ${num(2)} / det END AS b2,
+         |  CASE WHEN $guard THEN 0.0 ELSE ${num(3)} / det END AS b3
+         |  FROM fb),
+         |dowm AS (SELECT w.event_type, dayofweek(w.ds) AS dow,
+         |                avg(w.y - (b.b0 + b.b1*w.x + b.b2*w.r + b.b3*w.h)) AS dow_mean
+         |         FROM wx w JOIN betas b USING(event_type) GROUP BY 1, 2),
+         |future AS (SELECT b.event_type, b.b0, b.b1, b.b2, b.b3,
+         |                  b.maxds + t.hz AS ds, b.xmax + t.hz AS x, b.rmean AS r
+         |           FROM betas b
+         |           CROSS JOIN (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS hz) t),
+         |fut2 AS (SELECT *, CASE WHEN day(ds) IN (1, 15) THEN 1.0 ELSE 0.0 END AS hh FROM future)
+         |SELECT f.event_type, f.ds,
+         | round(greatest(0.0, f.b0 + f.b1*f.x + f.b2*f.r + f.b3*f.hh + coalesce(d.dow_mean, 0)), 4) AS yhat
+         |FROM fut2 f LEFT JOIN dowm d
+         |  ON f.event_type = d.event_type AND dayofweek(f.ds) = d.dow
+         |ORDER BY f.event_type, f.ds""".stripMargin
+    },
 
     // piecewise-linear trend, one knot at 0.8·span: the hinge is an
     // auto-generated regressor, so the SQL is the q18 Cramer pattern

@@ -943,6 +943,158 @@ object Forecast {
   def forecastYearly(spark: SparkSession, dir: String, horizon: Int = 14): DataFrame =
     forecastFourier(eventsDaily(spark, dir), Seq("event_type"), horizon)
 
+  /** Shared 4×4 Cramer formula trees for the ORACLE-EXPRESSIBLE joint
+    * slice: one structural definition rendered to Spark `Column`s and
+    * to DuckDB SQL (fully parenthesized), so both engines execute
+    * bit-identical float expression trees — the q18/q38 3×3 convention
+    * one dimension up. A Gaussian-elimination solve could never
+    * hash-match an oracle; an explicitly shared Cramer tree can.
+    *
+    * Basis [1, x, r, h] over the Gram-sum names
+    * n/sx/sr/sh/sxx/sxr/sxh/srr/srh/shh and moments sy/sxy/sry/shy —
+    * the caller aggregates those columns; [[det]] and [[num]] are the
+    * Cramer denominator and per-coefficient numerators over them. */
+  private[graft] object Cramer4 {
+    trait Alg[T] {
+      def v(name: String): T
+      def mul(a: T, b: T): T
+      def sub(a: T, b: T): T
+      def add(a: T, b: T): T
+    }
+    object ColAlg extends Alg[Column] {
+      def v(name: String): Column = col(name)
+      def mul(a: Column, b: Column): Column = a * b
+      def sub(a: Column, b: Column): Column = a - b
+      def add(a: Column, b: Column): Column = a + b
+    }
+    object SqlAlg extends Alg[String] {
+      def v(name: String): String = name
+      def mul(a: String, b: String): String = s"($a * $b)"
+      def sub(a: String, b: String): String = s"($a - $b)"
+      def add(a: String, b: String): String = s"($a + $b)"
+    }
+    private val g = Vector(
+      Vector("n",  "sx",  "sr",  "sh"),
+      Vector("sx", "sxx", "sxr", "sxh"),
+      Vector("sr", "sxr", "srr", "srh"),
+      Vector("sh", "sxh", "srh", "shh"))
+    private val rhs = Vector("sy", "sxy", "sry", "shy")
+
+    // a(ei − fh) − b(di − fg) + c(dh − eg) — exactly the q18 det3 tree
+    private def det3[T](alg: Alg[T])(m: Vector[Vector[T]]): T = {
+      import alg._
+      add(
+        sub(
+          mul(m(0)(0), sub(mul(m(1)(1), m(2)(2)), mul(m(1)(2), m(2)(1)))),
+          mul(m(0)(1), sub(mul(m(1)(0), m(2)(2)), mul(m(1)(2), m(2)(0))))),
+        mul(m(0)(2), sub(mul(m(1)(0), m(2)(1)), mul(m(1)(1), m(2)(0)))))
+    }
+    private def minor[T](m: Vector[Vector[T]], colIdx: Int): Vector[Vector[T]] =
+      m.tail.map(r => r.zipWithIndex.collect { case (x, j) if j != colIdx => x })
+    // first-row cofactor expansion: t0 − t1 + t2 − t3, left-associated
+    private def det4[T](alg: Alg[T])(m: Vector[Vector[T]]): T = {
+      import alg._
+      val t = (0 until 4).map(j => mul(m(0)(j), det3(alg)(minor(m, j))))
+      sub(add(sub(t(0), t(1)), t(2)), t(3))
+    }
+    private def mat[T](alg: Alg[T])(names: Vector[Vector[String]]): Vector[Vector[T]] =
+      names.map(_.map(alg.v))
+
+    /** Cramer denominator det(G). */
+    def det[T](alg: Alg[T]): T = det4(alg)(mat(alg)(g))
+    /** Cramer numerator for coefficient `i` (column i ← moment vector). */
+    def num[T](alg: Alg[T], i: Int): T =
+      det4(alg)(mat(alg)(g.indices.map { r =>
+        g(r).indices.map(c => if (c == i) rhs(r) else g(r)(c)).toVector
+      }.toVector))
+  }
+
+  /** `q44_forecast_joint_cramer` — the ORACLE-EXPRESSIBLE slice of the
+    * joint surface (B11): y ~ b0 + b1·x + b2·r + b3·I(payday) per key —
+    * an external regressor AND a holiday indicator fit JOINTLY in one
+    * 4×4 normal-equation solve ([[Cramer4]] renders the identical
+    * formula trees into this plan and into the DuckDB oracle, so the
+    * driver hash-checks the joint fit, not just row counts). Degenerate
+    * systems (constant indicator, collinear regressor) fall back to the
+    * trend-only 2-parameter fit behind the same relative-determinant
+    * guard as q18, mirrored in the SQL. Day-of-week seasonality rides
+    * residual means; future r = per-key historical mean, future payday
+    * indicator derives from dayofmonth — both engines re-derive it. */
+  def forecastJointCramer(spark: SparkSession, dir: String, horizon: Int = 7): DataFrame = {
+    val t = Tables(spark, dir)
+    val daily = t.events
+      .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
+      .agg(sum(col("value")).as("y"), count(lit(1)).cast("double").as("r"))
+      .withColumn("h", when(dayofmonth(col("ds")).isin(1, 15), lit(1.0)).otherwise(lit(0.0)))
+    forecastJointCramerFrame(daily, Seq("event_type"), horizon)
+  }
+
+  /** Frame-level joint Cramer fit over any (keyCols, ds, y, r, h) daily
+    * frame — h is a 0/1 indicator column re-derivable from ds on the
+    * future spine via the payday rule (dayofmonth ∈ {1, 15}), which is
+    * the oracle-shared convention. */
+  def forecastJointCramerFrame(daily: DataFrame, keyCols: Seq[String],
+                               horizon: Int): DataFrame = {
+    import Cramer4.ColAlg
+    val keys = keyCols.map(col)
+    val wk = Window.partitionBy(keys: _*)
+    val wx = daily
+      .withColumn("x", datediff(col("ds"), min(col("ds")).over(wk)).cast("double"))
+      .localCheckpoint()
+    val sums = wx.groupBy(keys: _*).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("r")).as("sr"), sum(col("h")).as("sh"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("r")).as("sxr"),
+      sum(col("x") * col("h")).as("sxh"),
+      sum(col("r") * col("r")).as("srr"), sum(col("r") * col("h")).as("srh"),
+      sum(col("h") * col("h")).as("shh"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("r") * col("y")).as("sry"), sum(col("h") * col("y")).as("shy"),
+      max(col("x")).as("xmax"), max(col("ds")).as("maxds"),
+      avg(col("r")).as("rmean"))
+    val betas = sums
+      .withColumn("det", Cramer4.det(ColAlg))
+      .withColumn("degen",
+        abs(col("det")) <= lit(1e-9) * abs(col("n") * col("sxx") * col("srr") * col("shh")))
+      .withColumn("den2", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("b1f", when(abs(col("den2")) > lit(0.0),
+        (col("n") * col("sxy") - col("sx") * col("sy")) / col("den2")).otherwise(lit(0.0)))
+      .withColumn("b0f", (col("sy") - col("b1f") * col("sx")) / col("n"))
+      .withColumn("b0", when(col("degen"), col("b0f"))
+        .otherwise(Cramer4.num(ColAlg, 0) / col("det")))
+      .withColumn("b1", when(col("degen"), col("b1f"))
+        .otherwise(Cramer4.num(ColAlg, 1) / col("det")))
+      .withColumn("b2", when(col("degen"), lit(0.0))
+        .otherwise(Cramer4.num(ColAlg, 2) / col("det")))
+      .withColumn("b3", when(col("degen"), lit(0.0))
+        .otherwise(Cramer4.num(ColAlg, 3) / col("det")))
+      .select(keys ++ Seq(col("b0"), col("b1"), col("b2"), col("b3"),
+        col("xmax"), col("maxds"), col("rmean")): _*)
+
+    val dowMeans = wx.join(betas, keyCols)
+      .withColumn("dow", (dayofweek(col("ds")) - 1).cast("long"))
+      .groupBy(keys :+ col("dow"): _*)
+      .agg(avg(col("y") - (col("b0") + col("b1") * col("x") + col("b2") * col("r") +
+        col("b3") * col("h"))).as("dow_mean"))
+
+    val future = betas
+      .select(keys ++ Seq(col("b0"), col("b1"), col("b2"), col("b3"),
+        col("xmax"), col("maxds"), col("rmean"),
+        explode(sequence(lit(1), lit(horizon))).as("hz")): _*)
+      .withColumn("ds", date_add(col("maxds"), col("hz")))
+      .withColumn("x", col("xmax") + col("hz"))
+      .withColumn("h", when(dayofmonth(col("ds")).isin(1, 15), lit(1.0)).otherwise(lit(0.0)))
+      .withColumn("dow", (dayofweek(col("ds")) - 1).cast("long"))
+
+    future.join(dowMeans, keyCols :+ "dow", "left")
+      .select(keys ++ Seq(
+        col("ds"),
+        round(greatest(lit(0.0),
+          col("b0") + col("b1") * col("x") + col("b2") * col("rmean") + col("b3") * col("h") +
+            coalesce(col("dow_mean"), lit(0.0))), 4).as("yhat")): _*)
+      .orderBy(keys :+ col("ds"): _*)
+  }
+
   /** `q43_forecast_joint` — the JOINT Gram-basis fit on real data:
     * daily event value per type with the daily event COUNT as an
     * external regressor AND weekly Fourier seasonality in ONE model —

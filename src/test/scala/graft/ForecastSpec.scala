@@ -735,6 +735,30 @@ class ForecastSpec extends SparkSpecBase {
     }
   }
 
+  test("4x4 Cramer joint fit recovers planted trend+regressor+holiday coefficients") {
+    // y = 3 + 0.4x + 2r + 15·I(payday) exactly — the shared-formula
+    // Cramer solve must recover all four coefficients; future paydays
+    // (dayofmonth 1/15) lift by exactly 15
+    val d0 = java.time.LocalDate.of(2024, 1, 3)
+    def isPay(d: java.time.LocalDate): Boolean = d.getDayOfMonth == 1 || d.getDayOfMonth == 15
+    val rs = (0 until 42).map(x => 1.0 + (x * 5 % 9))
+    val daily = rs.zipWithIndex.map { case (r, x) =>
+      val d = d0.plusDays(x)
+      val h = if (isPay(d)) 1.0 else 0.0
+      ("k1", Date.valueOf(d), 3.0 + 0.4 * x + 2.0 * r + 15.0 * h, r, h)
+    }.toDF("key", "ds", "y", "r", "h")
+    val rMean = rs.sum / rs.length
+    val out = Forecast.forecastJointCramerFrame(daily, Seq("key"), horizon = 14)
+      .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
+    assert(out.length == 14)
+    assert(out.map(_._1.toLocalDate).count(isPay) >= 1, "horizon must include a payday")
+    out.foreach { case (ds, yhat) =>
+      val x = java.time.temporal.ChronoUnit.DAYS.between(d0, ds.toLocalDate)
+      val expected = 3.0 + 0.4 * x + 2.0 * rMean + (if (isPay(ds.toLocalDate)) 15.0 else 0.0)
+      assert(math.abs(yhat - expected) < 1e-3, s"$ds: $yhat vs $expected")
+    }
+  }
+
   test("growth='logistic' is a true saturating fit, not a clamp") {
     // planted logistic curve toward cap=100: z = logit(y/100) is exactly
     // linear in x, so the log-odds fit recovers the curve and the
