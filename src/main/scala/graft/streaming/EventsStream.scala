@@ -154,6 +154,57 @@ object EventsStream {
     }, stateTtl)
   }
 
+  /** D2→C2b bridge — streaming INGEST dedup against the persisted
+    * MinHash signature index: how a 100 TB corpus actually admits new
+    * documents. Each micro-batch is (1) deduped against ITSELF with the
+    * one-shot LSH pass (one representative per intra-batch cluster),
+    * (2) verdicted against the bucketed index table with
+    * [[graft.operators.Dedup.dedupAgainstIndex]] (zero corpus-side
+    * exchanges), then (3) accepted documents flow to `accept` AND their
+    * signatures APPEND to the index — so later batches (and the batch
+    * pipeline, which shares the table) dedup against them too.
+    *
+    * The index table is the stream's state, but durable and queryable:
+    * unlike GroupState, a restart resumes from the table with nothing
+    * to rebuild, and its size is the corpus — not a function of stream
+    * uptime. The accepted frame is localCheckpoint'd so the verdict
+    * pipeline runs ONCE and the index append cannot observe the table
+    * it is writing.
+    *
+    * `numBuckets` must match the existing index table's bucket spec
+    * (Spark validates and fails loudly on mismatch).
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def dedupAgainstIndexStream(docs: DataFrame, indexTable: String,
+                              checkpointDir: String,
+                              accept: DataFrame => Unit,
+                              numHashes: Int = 16, bands: Int = 4,
+                              simThreshold: Double = 0.5,
+                              numBuckets: Int = 8):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.Dedup
+        val spark = batch.sparkSession
+        val self = Dedup.minhashLshDocs(batch, numHashes, bands, simThreshold)
+        val reps = batch.join(self.filter(!col("is_dup")).select("doc_id"), Seq("doc_id"))
+        val verdicts = Dedup.dedupAgainstIndex(reps, spark.table(indexTable),
+          numHashes, bands, simThreshold)
+        val accepted = reps
+          .join(verdicts.filter(!col("is_dup")).select("doc_id"), Seq("doc_id"))
+          .localCheckpoint()
+        accept(accepted)
+        Dedup.minhashIndexDocs(accepted, numHashes, bands)
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet")
+          .bucketBy(numBuckets, "band", "bh")
+          .sortBy("band", "bh")
+          .saveAsTable(indexTable)
+      }
+      .start()
+
   /** D2 — stateful streaming dedup: first occurrence of each
     * (user_id, event_type) key passes through, repeats are dropped.
     * `flatMapGroupsWithState` with a processing-time timeout bounds the

@@ -67,7 +67,8 @@ class PlanSpec extends SparkSpecBase {
     // executed plan must contain zero parquet scans — at 100 TB this is
     // the one-pass-vs-several property
     for (q <- Seq("q17_forecast_bounded", "q18_forecast_regressor",
-                  "q38_forecast_changepoints")) {
+                  "q38_forecast_changepoints", "q43_forecast_joint",
+                  "q44_forecast_joint_cramer")) {
       val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("Scan parquet"),
         s"$q re-scans the source instead of the checkpoint")

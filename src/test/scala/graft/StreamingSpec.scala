@@ -147,6 +147,51 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C2b: streaming ingest dedups against the persisted index, which grows per batch") {
+    import graft.streaming.EventsStream.StreamDoc
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today " +
+      "while morning light spreads across quiet fields and distant hills beyond the water line"
+    val novel1 = "a totally distinct first passage about catalyst rules codegen stages and " +
+      "adaptive query execution with partition pruning runtime filters and shuffle reuse everywhere"
+    // seed the index with one corpus doc
+    graft.sources.Bucketing.writeBucketed(
+      Dedup.minhashIndexDocs(Seq((0L, base)).toDF("doc_id", "text"), 32, 8),
+      "stream_idx", Seq("band", "bh"), numBuckets = 8)
+    val acceptedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[StreamDoc]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ck").toString
+    val q = EventsStream.dedupAgainstIndexStream(
+      mem.toDF(), "stream_idx", ckpt,
+      accept = df => acceptedIds.synchronized {
+        acceptedIds ++= df.select("doc_id").as[Long](implicitly).collect()
+      },
+      numHashes = 32, bands = 8)
+    try {
+      // batch 1: near-dup of the corpus doc (rejected), novel doc
+      // (accepted + indexed), intra-batch twin of the novel doc
+      // (collapsed before the index probe)
+      mem.addData(
+        StreamDoc(100, base.replace("today", "tonight")),
+        StreamDoc(101, novel1),
+        StreamDoc(102, novel1.replace("everywhere", "everyplace")))
+      q.processAllAvailable()
+      // batch 2: near-dup of the doc ACCEPTED in batch 1 — only caught
+      // if the index actually grew — plus another novel doc
+      mem.addData(
+        StreamDoc(200, novel1.replace("distinct", "separate")),
+        StreamDoc(201, "completely fresh content about streaming state stores and watermark semantics"))
+      q.processAllAvailable()
+      assert(acceptedIds.sorted == Seq(101L, 201L), s"got ${acceptedIds.sorted}")
+      // the index now carries corpus + both accepted docs
+      val indexed = spark.table("stream_idx").select("doc_id").distinct()
+        .as[Long].collect().toSet
+      assert(indexed == Set(0L, 101L, 201L), s"got $indexed")
+    } finally q.stop()
+  }
+
   test("D1→E: streaming into the day-partitioned lake replaces only updated dates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
