@@ -516,7 +516,7 @@ object Dedup {
     * survives contraction as a node) and finish on the much smaller
     * residual graph with star contraction. One operator, best cost
     * profile on both graph shapes, same (id, rep_id) contract. */
-  def dupClustersAuto(pairs: DataFrame, propagationRounds: Int = 4,
+  def dupClustersAuto(pairs: DataFrame, propagationRounds: Int = 6,
                       maxIter: Int = 30): DataFrame = {
     val edges = symmetricEdges(pairs)
     val (labels, done) = propagateLabels(edges, propagationRounds)

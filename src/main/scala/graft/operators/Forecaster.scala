@@ -96,12 +96,17 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
                holidays: Option[DataFrame] = None,
                countryHolidays: Option[String] = None,
                regressor: Option[String] = None,
+               regressors: Seq[String] = Nil,
                futureRegressor: Option[DataFrame] = None,
                nonNegative: Boolean = true,
                roundDecimals: Option[Int] = None): DataFrame = {
-    // regressors are inputs, not targets — excluded from the metric
-    // auto-discovery exactly like the reference's _data_validation
-    val ms = metrics.getOrElse(numericMetrics.filterNot(regressor.contains))
+    // Prophet's add_regressor can be called repeatedly — `regressors`
+    // is the multi-column form; `regressor` stays as the single-column
+    // convenience. All named columns are inputs, not targets — excluded
+    // from the metric auto-discovery like the reference's
+    // _data_validation
+    val regs = (regressor.toSeq ++ regressors).distinct
+    val ms = metrics.getOrElse(numericMetrics.filterNot(regs.contains))
     val keys = keyCols :+ "metric"
     val multiplicative = seasonalityMode match {
       case "additive" => false
@@ -115,7 +120,7 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
       unsupported("changepointRidge without changepoints")
     if (holidays.isDefined && countryHolidays.isDefined)
       unsupported("both holidays and country_holidays")
-    if (futureRegressor.isDefined && regressor.isEmpty)
+    if (futureRegressor.isDefined && regs.isEmpty)
       unsupported("futureRegressor without a regressor")
 
     // any DEFINED weeklySeasonality routes through the Fourier basis so
@@ -164,22 +169,30 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
       else customSeasonalities
 
     // a regressor or holidays COMBINED with anything their specialized
-    // paths can't express runs the joint Gram-basis fit
+    // paths can't express — or MORE than one regressor (the Cramer 3×3
+    // fits exactly one) — runs the joint Gram-basis fit
     val needJoint =
-      (regressor.isDefined && (wantsFourier || wantsHolidays || freq != "D" ||
+      regs.size > 1 ||
+      (regs.nonEmpty && (wantsFourier || wantsHolidays || freq != "D" ||
         growth != "linear" || wantsBounds)) ||
       (wantsHolidays && (wantsFourier || freq != "D" || growth != "linear" ||
         wantsBounds))
 
     val out =
       if (needJoint) {
-        // the caller's future-regressor frame is per (keyCols, ds) with
-        // value column `r`; every melted metric shares it — rename to
-        // the regressor's name and expand across the metric list
-        val fr = futureRegressor.map(f =>
-          f.withColumnRenamed("r", regressor.get)
-            .withColumn("metric", explode(array(ms.map(lit): _*))))
-        Forecast.forecastFourier(melt(ms, extra = regressor.toSeq), keys, days,
+        // the caller's future-regressor frame is per (keyCols, ds);
+        // single-regressor calls may use the documented value column
+        // `r` (renamed to the regressor's name), multi-regressor frames
+        // carry one column per declared name. Every melted metric
+        // shares the frame — expand across the metric list
+        val fr = futureRegressor.map { f =>
+          val named =
+            if (regs.size == 1 && f.columns.contains("r") && !f.columns.contains(regs.head))
+              f.withColumnRenamed("r", regs.head)
+            else f
+          named.withColumn("metric", explode(array(ms.map(lit): _*)))
+        }
+        Forecast.forecastFourier(melt(ms, extra = regs), keys, days,
           weeklyOrder = weeklyOrder, yearlyOrder = yearlySeasonality,
           multiplicative = multiplicative,
           changepoints = changepoints, changepointRange = changepointRange,
@@ -189,17 +202,17 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
           includeIntervals = includeIntervals, intervalWidth = intervalWidth,
           includeHistory = includeHistory, nonNegative = nonNegative,
           freq = freq, growth = growth,
-          regressorCols = regressor.toSeq,
+          regressorCols = regs,
           futureReg = fr,
           holidays = holFrame)
-      } else if (regressor.isDefined) {
+      } else if (regs.nonEmpty) {
         // lone regressor at freq=D: the oracle-backed Cramer 3×3 path
         // (day-of-week seasonality as residual means, q18 semantics)
         val fr = futureRegressor.map(
           _.withColumn("metric", explode(array(ms.map(lit): _*))))
         Forecast.forecastWithRegressor(
-          melt(ms, extra = Seq(regressor.get))
-            .withColumnRenamed(regressor.get, "r"),
+          melt(ms, extra = regs)
+            .withColumnRenamed(regs.head, "r"),
           keys, days, fr)
       } else if (wantsHolidays) {
         // lone holidays at freq=D: sequential residual-effects path

@@ -735,6 +735,35 @@ class ForecastSpec extends SparkSpecBase {
     }
   }
 
+  test("facade fits MULTIPLE regressors jointly (repeated add_regressor)") {
+    // y = 1 + 0.5x + 2·r1 + 3·r2 exactly; two regressors force the
+    // joint Gram path (the Cramer 3×3 fits only one); the future frame
+    // carries one column per regressor name
+    val d0 = java.time.LocalDate.of(2024, 2, 1)
+    val r1s = (0 until 30).map(x => 1.0 + (x * 3 % 7))
+    val r2s = (0 until 30).map(x => 2.0 + (x * 5 % 11))
+    val wide = (0 until 30).map { x =>
+      ("k1", Date.valueOf(d0.plusDays(x)),
+        1.0 + 0.5 * x + 2.0 * r1s(x) + 3.0 * r2s(x), r1s(x), r2s(x))
+    }.toDF("key", "ds", "sales", "spend", "clicks")
+    val futureR = (30 until 37).map { x =>
+      ("k1", Date.valueOf(d0.plusDays(x)), 2.0 + (x % 4), 5.0 + (x % 3))
+    }.toDF("key", "ds", "spend", "clicks")
+    import graft.operators.Forecaster
+    val fc = new Forecaster(wide, keyCols = Seq("key"))
+    assert(fc.numericMetrics == Seq("sales", "spend", "clicks"))
+    val out = fc.forecast(days = 7, regressors = Seq("spend", "clicks"),
+      futureRegressor = Some(futureR), weeklySeasonality = Some(0))
+      .select("metric", "ds", "yhat").as[(String, Date, Double)].collect()
+    // regressors are excluded from metric auto-discovery
+    assert(out.map(_._1).toSet == Set("sales"))
+    out.sortBy(_._2.toString).zipWithIndex.foreach { case ((_, ds, yhat), i) =>
+      val x = 30 + i
+      val expected = 1.0 + 0.5 * x + 2.0 * (2.0 + (x % 4)) + 3.0 * (5.0 + (x % 3))
+      assert(math.abs(yhat - expected) < 1e-3, s"$ds: $yhat vs $expected")
+    }
+  }
+
   test("4x4 Cramer joint fit recovers planted trend+regressor+holiday coefficients") {
     // y = 3 + 0.4x + 2r + 15·I(payday) exactly — the shared-formula
     // Cramer solve must recover all four coefficients; future paydays
