@@ -74,6 +74,7 @@ object SparkEntry {
     "q32_doc_stats"              -> ((s, d) => TextAnalysis.docStats(s, d)),
     "q40_word_stats"             -> ((s, d) => TextAnalysis.wordStats(s, d)),
     "q41_asof_attribution"       -> ((s, d) => AsOfJoin.clickAttribution(s, d)),
+    "q45_token_packing"          -> ((s, d) => Sharding.tokenPacking(s, d)),
     // Shopify sales-report refunds/returns leg
     "q33_sales_returns"          -> ((s, d) => Reports.salesReturns(s, d)),
     "q34_refunds_frame"          -> ((s, d) => Reports.refundsFrame(s, d))
@@ -658,6 +659,24 @@ object SparkEntry {
         | sha256(text) AS content_sha256,
         | CAST(64 + (doc_id % 16) * 32 AS BIGINT) AS width,
         | CAST(64 + (doc_id % 9) * 32 AS BIGINT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // token packing: per-shard running token totals and greedy chunk
+    // assignment — pure ANSI window math, token counts via the q29
+    // whitespace formula both engines already hash-match on
+    "q45_token_packing" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |         CAST(doc_id % 8 AS INTEGER) AS shard
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum_tokens
+        |  FROM toks)
+        |SELECT doc_id, shard,
+        |       CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS chunk,
+        |       n_tokens, cum_tokens
+        |FROM packed ORDER BY doc_id""".stripMargin
   )
 }

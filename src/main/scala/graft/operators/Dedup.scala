@@ -243,6 +243,30 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark DECONTAMINATION — the near-dup machinery pointed at
+    * train/eval overlap: a training corpus must not contain documents
+    * that near-match evaluation benchmarks, or downstream eval metrics
+    * are contaminated. Build the eval-suite index ONCE with
+    * [[minhashIndexDocs]] (eval suites are tiny next to the corpus),
+    * then one probe pass drops every training row whose text
+    * near-matches any eval document.
+    *
+    * Defaults differ from ingest dedup on purpose: `bucketCap` is
+    * unbounded because SKIPPING a hot bucket here would leak
+    * contamination (safety beats the skew guard at eval-suite scale),
+    * and callers wanting the audit trail run [[dedupAgainstIndex]]
+    * directly — its verdict frame (dup_of, best_sim) names the matching
+    * eval doc per contaminated row. Identical probe semantics, one
+    * operator family, two pipeline roles. */
+  def decontaminate(train: DataFrame, evalIndex: DataFrame,
+                    numHashes: Int = 16, bands: Int = 4,
+                    simThreshold: Double = 0.5,
+                    bucketCap: Int = Int.MaxValue): DataFrame = {
+    val verdicts = dedupAgainstIndex(train, evalIndex, numHashes, bands,
+      simThreshold, bucketCap)
+    train.join(verdicts.filter(!col("is_dup")).select("doc_id"), Seq("doc_id"))
+  }
+
   /** 64-bit SimHash of the word multiset via the native kernel expression
     * [[graft.expressions.SimHash64]] (a HOF formulation would evaluate a
     * 64-wide lambda accumulator per token — orders of magnitude more

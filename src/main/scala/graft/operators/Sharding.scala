@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-corpus layout operators: deterministic shuffling, sharding,
@@ -79,9 +79,7 @@ object Sharding {
     require(weights.map(_._1).distinct.size == weights.size,
       s"split names must be distinct (a Map result keyed by name), got ${weights.map(_._1)}")
     val total = weights.map(_._2).sum
-    // hash → [0, 1): shift into non-negative then scale by 2^63
-    val u = (seededHash(col(idCol), seed) / lit(2.0) + lit(Long.MaxValue.toDouble / 2.0 + 1.0)) /
-      lit(Long.MaxValue.toDouble + 1.0)
+    val u = hashUnit(col(idCol), seed)
     val cuts = weights.map(_._2 / total).scanLeft(0.0)(_ + _)
     weights.zipWithIndex.map { case ((name, _), i) =>
       val lo = cuts(i); val hi = cuts(i + 1)
@@ -90,5 +88,81 @@ object Sharding {
         else u >= lit(lo) && u < lit(hi)
       name -> df.filter(pred)
     }.toMap
+  }
+
+  /** Seeded hash mapped to uniform [0, 1) — the shared primitive behind
+    * [[splitByHash]], [[sampleByHash]], and [[mixCorpora]]: shift the
+    * signed 64-bit hash into non-negative range, scale by 2⁶⁴. */
+  def hashUnit(id: Column, seed: Long): Column =
+    (seededHash(id, seed) / lit(2.0) + lit(Long.MaxValue.toDouble / 2.0 + 1.0)) /
+      lit(Long.MaxValue.toDouble + 1.0)
+
+  /** Deterministic Bernoulli sample: keep rows with u(id) < `fraction`.
+    * Same (inputs, seed) ⇒ the same sample on any cluster size, any
+    * retry — unlike `df.sample`, which draws per partition and changes
+    * membership when partitioning or task replays change. Map-only (a
+    * filter — composes with pushdown, no shuffle); re-seeding draws an
+    * independent sample. */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double,
+                   seed: Long = 0L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    df.filter(hashUnit(col(idCol), seed) < lit(fraction))
+  }
+
+  /** Deterministic corpus MIXING — the domain-weighting step of a
+    * training-data build ("keep all of wiki, 30% of web crawl, 5% of
+    * logs"): each row survives iff u(id) < rate(source). One map-only
+    * pass over the union; per-source rates are a tiny when-chain, so no
+    * joins, no shuffles, and the sample is retry-stable. Sources absent
+    * from `rates` fall to `defaultRate` (0 = drop unknown domains — the
+    * safe default for a curated mix). */
+  def mixCorpora(df: DataFrame, idCol: String, sourceCol: String,
+                 rates: Map[String, Double], defaultRate: Double = 0.0,
+                 seed: Long = 0L): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must be in [0,1], got $rates / default $defaultRate")
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(hashUnit(col(idCol), seed) < rate)
+  }
+
+  /** Sequence-PACKING layout (`q45_token_packing`): assign documents to
+    * fixed-token-budget chunks — the step that turns a filtered corpus
+    * into training-sequence bins. Documents route to `shards`
+    * deterministic shards (`id mod shards` — uniform for synthetic ids;
+    * route through [[seededHash]] upstream for clustered ids) and pack
+    * greedily in id order within each shard: chunk = ⌊cumBefore /
+    * budget⌋, where cumBefore is the running token total BEFORE the
+    * document — each chunk fills to the budget and the document that
+    * crosses the boundary starts the next chunk.
+    *
+    * Scale shape: ONE window per shard (the partition-by bounds the
+    * sort — no global ordering ever materializes); `shards` sets the
+    * parallelism. Every function is ANSI-expressible, so the driver
+    * hash-checks this operator against DuckDB.
+    */
+  def packByTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
+                        budget: Long, shards: Int = 32): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+    df.withColumn("shard", pmod(col(idCol), lit(shards)).cast("int"))
+      .withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .withColumn("chunk",
+        floor((col("cum_tokens") - col(tokensCol)).cast("double") / budget).cast("long"))
+  }
+
+  /** `q45_token_packing` — pack the documents table into 2048-token
+    * chunks across 8 shards; token counts use q29's whitespace formula
+    * (shared with the oracle), so the whole layout is hash-checked. */
+  def tokenPacking(spark: SparkSession, dir: String,
+                   budget: Long = 2048, shards: Int = 8): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    packByTokenBudget(docs, "doc_id", "n_tokens", budget, shards)
+      .select(col("doc_id"), col("shard"), col("chunk"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
   }
 }

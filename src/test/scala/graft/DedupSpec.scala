@@ -110,6 +110,12 @@ class DedupSpec extends SparkSpecBase {
       Dedup.dedupAgainstIndex(batch, index, numHashes = 16, bands = 4)
     }
     assert(ex.getMessage.contains("built with numHashes=32"), ex.getMessage)
+
+    // decontamination is the same probe with train/eval roles: the
+    // near-match of the "benchmark" doc drops, everything else survives
+    val cleaned = Dedup.decontaminate(batch, index, numHashes = 32, bands = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cleaned == Set(102L), s"near-matches of indexed docs must drop: $cleaned")
   }
 
   test("dupClusters resolves TRANSITIVE chains to the component minimum") {

@@ -53,4 +53,73 @@ class ShardingSpec extends SparkSpecBase {
     val plan = splits("train").queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "splitByHash must not shuffle")
   }
+
+  test("sampleByHash draws a deterministic retry-stable sample, no shuffle") {
+    val docs = Tables(spark, sfDir).documents.select("doc_id")
+    val n = docs.count().toDouble
+    val s1 = Sharding.sampleByHash(docs, "doc_id", 0.3, seed = 11L)
+    val ids1 = s1.as[Long].collect().toSet
+    assert(math.abs(ids1.size / n - 0.3) < 0.06, s"got ${ids1.size / n}")
+    // same seed = same membership; new seed = an independent draw
+    val ids2 = Sharding.sampleByHash(docs, "doc_id", 0.3, seed = 11L).as[Long].collect().toSet
+    assert(ids2 == ids1)
+    val ids3 = Sharding.sampleByHash(docs, "doc_id", 0.3, seed = 12L).as[Long].collect().toSet
+    assert(ids3 != ids1)
+    // nested property: a smaller fraction at the same seed is a SUBSET
+    // (u(id) doesn't change — only the cut moves)
+    val small = Sharding.sampleByHash(docs, "doc_id", 0.1, seed = 11L).as[Long].collect().toSet
+    assert(small.subsetOf(ids1))
+    assert(!s1.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("mixCorpora applies per-source rates in one map-only pass") {
+    val docs = Tables(spark, sfDir).documents.select("doc_id", "source")
+    val bySource = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val srcs = bySource.keys.toSeq.sorted
+    assert(srcs.size >= 2, s"need multiple sources, got $srcs")
+    val keepAll = srcs.head; val keepNone = srcs.last
+    val rates = Map(keepAll -> 1.0, keepNone -> 0.0) ++
+      srcs.drop(1).dropRight(1).map(_ -> 0.5)
+    val mixed = Sharding.mixCorpora(docs, "doc_id", "source", rates, seed = 7L)
+    val counts = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts(keepAll) == bySource(keepAll), "rate 1.0 keeps everything")
+    assert(!counts.contains(keepNone), "rate 0.0 drops the source entirely")
+    // per-source populations are small (25 docs at sf0.01), so assert
+    // the 0.5-rate proportion over their UNION (n≈450 → tight), and
+    // only sanity-bound each source individually
+    val half = srcs.drop(1).dropRight(1)
+    val keptHalf = half.map(s => counts.getOrElse(s, 0L)).sum.toDouble
+    val totalHalf = half.map(bySource).sum.toDouble
+    assert(math.abs(keptHalf / totalHalf - 0.5) < 0.08,
+      s"aggregate 0.5-rate fraction ${keptHalf / totalHalf}")
+    // unknown sources drop under the default rate
+    val defaulted = Sharding.mixCorpora(docs, "doc_id", "source",
+      Map(keepAll -> 1.0), seed = 7L)
+    assert(defaulted.select("source").distinct().as[String].collect().toSeq == Seq(keepAll))
+    assert(!mixed.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("packByTokenBudget fills chunks to the budget and never globally sorts") {
+    import spark.implicits._
+    // planted: 10 docs of 600 tokens in one shard → cumBefore/2048
+    // packs 600*4=2400>2048 — chunks of 4,4,2? cum before doc i = 600i;
+    // chunk = floor(600i/2048): i=0..3→0, i=4..6→1(2400..3600), ...
+    val docs = (0 until 10).map(i => (i * 8L, 600L)).toDF("doc_id", "n_tokens")
+    val out = Sharding.packByTokenBudget(docs, "doc_id", "n_tokens", budget = 2048, shards = 8)
+      .select("doc_id", "shard", "chunk").as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(out.forall(_._2 == 0), "ids are multiples of 8 → one shard")
+    out.zipWithIndex.foreach { case ((_, _, chunk), i) =>
+      assert(chunk == (600L * i) / 2048, s"doc $i in chunk $chunk")
+    }
+    // every chunk's token total stays under budget + one document (the
+    // greedy boundary property)
+    val totals = out.groupBy(_._3).view.mapValues(_.length * 600L).toMap
+    assert(totals.values.forall(_ <= 2048 + 600))
+    // the real-table query runs per-shard windows: the only exchanges
+    // are the shard hash-partition and the output sort — never a
+    // single-partition global window
+    val plan = Sharding.tokenPacking(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"packing must not funnel through one partition:\n${plan.take(1200)}")
+  }
 }
