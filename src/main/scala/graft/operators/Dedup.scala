@@ -222,15 +222,28 @@ object Dedup {
     }
     val batch = minhashIndexDocs(newDocs, numHashes, bands)
       .select(col("band"), col("bh"), col("doc_id").as("new_id"), col("sig").as("new_sig"))
-    val sizes = index.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("_bn"))
-    val corpus = index.join(sizes.filter(col("_bn") <= bucketCap), Seq("band", "bh"))
+    // bucketCap = Int.MaxValue means genuinely unbounded: skip the
+    // census aggregate + join entirely (decontamination's default —
+    // a filter that can never bind would be pure wasted work, and a
+    // >2³¹-row bucket must NOT silently drop)
+    val pruned =
+      if (bucketCap == Int.MaxValue) index
+      else {
+        val sizes = index.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("_bn"))
+        index.join(sizes.filter(col("_bn") <= bucketCap), Seq("band", "bh"))
+      }
+    val corpus = pruned
       .select(col("band"), col("bh"), col("doc_id").as("corpus_id"),
         when(size(col("sig")) =!= numHashes,
           raise_error(concat(lit("dedupAgainstIndex: index signature length "),
             size(col("sig")).cast("string"),
             lit(s" != numHashes=$numHashes — rebuild the index or fix the probe parameters"))))
           .otherwise(col("sig")).as("corpus_sig"))
+    // a batch doc matching ITS OWN id in the index is the same document
+    // seen again (a replayed micro-batch, a re-run) — not a duplicate
+    // OF something else; excluding self-pairs makes replays idempotent
     val verified = batch.join(corpus, Seq("band", "bh"))
+      .filter(col("new_id") =!= col("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
       .withColumn("est_sim", sigAgreement(col("new_sig"), col("corpus_sig"), numHashes))
       .filter(col("est_sim") >= simThreshold)

@@ -207,9 +207,14 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
           holidays = holFrame)
       } else if (regs.nonEmpty) {
         // lone regressor at freq=D: the oracle-backed Cramer 3×3 path
-        // (day-of-week seasonality as residual means, q18 semantics)
-        val fr = futureRegressor.map(
-          _.withColumn("metric", explode(array(ms.map(lit): _*))))
+        // (day-of-week seasonality as residual means, q18 semantics).
+        // The future frame may use either documented convention — the
+        // generic value column `r` or a column named after the
+        // regressor — so both dispatch targets accept the same frames
+        val fr = futureRegressor.map { f =>
+          val named = if (f.columns.contains("r")) f else f.withColumnRenamed(regs.head, "r")
+          named.withColumn("metric", explode(array(ms.map(lit): _*)))
+        }
         Forecast.forecastWithRegressor(
           melt(ms, extra = regs)
             .withColumnRenamed(regs.head, "r"),

@@ -91,8 +91,8 @@ object Sharding {
   }
 
   /** Seeded hash mapped to uniform [0, 1) — the shared primitive behind
-    * [[splitByHash]], [[sampleByHash]], and [[mixCorpora]]: shift the
-    * signed 64-bit hash into non-negative range, scale by 2⁶⁴. */
+    * [[splitByHash]], [[sampleByHash]], and [[mixCorpora]]: halve the
+    * signed 64-bit hash, shift into [0, 2⁶³), divide by 2⁶³. */
   def hashUnit(id: Column, seed: Long): Column =
     (seededHash(id, seed) / lit(2.0) + lit(Long.MaxValue.toDouble / 2.0 + 1.0)) /
       lit(Long.MaxValue.toDouble + 1.0)
@@ -134,8 +134,14 @@ object Sharding {
     * route through [[seededHash]] upstream for clustered ids) and pack
     * greedily in id order within each shard: chunk = ⌊cumBefore /
     * budget⌋, where cumBefore is the running token total BEFORE the
-    * document — each chunk fills to the budget and the document that
-    * crosses the boundary starts the next chunk.
+    * document. Boundary semantics, precisely: a document whose
+    * cumBefore is still inside the current chunk STAYS in it, so a
+    * chunk can exceed the budget by up to one document (and a single
+    * document longer than the budget owns however much it needs) —
+    * the right contract when the tokenizer-side consumer truncates or
+    * splits at sequence-assembly time. If the budget is a HARD cap,
+    * filter `n_tokens > budget` docs first and treat the final doc of
+    * each chunk as the split point.
     *
     * Scale shape: ONE window per shard (the partition-by bounds the
     * sort — no global ordering ever materializes); `shards` sets the

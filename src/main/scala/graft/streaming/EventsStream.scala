@@ -171,6 +171,15 @@ object EventsStream {
     * pipeline runs ONCE and the index append cannot observe the table
     * it is writing.
     *
+    * Replay semantics (foreachBatch can re-run a micro-batch after a
+    * crash): the index stays EXACTLY-ONCE — self-id matches don't
+    * count as duplicates (dedupAgainstIndex excludes new_id ==
+    * corpus_id pairs) and already-indexed ids are anti-joined away
+    * before the append, so a replayed batch re-verdicts identically
+    * and appends nothing twice. `accept` is AT-LEAST-ONCE, like every
+    * external foreachBatch sink — make it idempotent (write to a
+    * keyed/partition-overwrite target, not a blind append).
+    *
     * `numBuckets` must match the existing index table's bucket spec
     * (Spark validates and fails loudly on mismatch).
     *
@@ -185,8 +194,17 @@ object EventsStream {
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
         import graft.operators.Dedup
+        // materialize the micro-batch once: the self-dedup pass, the
+        // reps join, and the index probe all fork from it, and a
+        // file/Kafka-backed batch would otherwise re-read the source
+        // per branch. (The signature kernel still runs in both the
+        // self pass and the index probe — reusing the banded frame
+        // across the two operators would couple their internals for a
+        // per-doc cost of one fused hash pass; micro-batches are small,
+        // so the materialized-input trade wins.)
+        val batch = batch0.localCheckpoint()
         val spark = batch.sparkSession
         val self = Dedup.minhashLshDocs(batch, numHashes, bands, simThreshold)
         val reps = batch.join(self.filter(!col("is_dup")).select("doc_id"), Seq("doc_id"))
@@ -196,7 +214,12 @@ object EventsStream {
           .join(verdicts.filter(!col("is_dup")).select("doc_id"), Seq("doc_id"))
           .localCheckpoint()
         accept(accepted)
+        // replay-idempotent append: ids already in the index (this very
+        // batch, replayed after a crash between append and checkpoint
+        // commit) are excluded, so the index holds each doc exactly once
         Dedup.minhashIndexDocs(accepted, numHashes, bands)
+          .join(spark.table(indexTable).select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
           .write.mode(org.apache.spark.sql.SaveMode.Append)
           .format("parquet")
           .bucketBy(numBuckets, "band", "bh")
