@@ -75,6 +75,7 @@ object SparkEntry {
     "q40_word_stats"             -> ((s, d) => TextAnalysis.wordStats(s, d)),
     "q41_asof_attribution"       -> ((s, d) => AsOfJoin.clickAttribution(s, d)),
     "q45_token_packing"          -> ((s, d) => Sharding.tokenPacking(s, d)),
+    "q46_unigram_logprob"        -> ((s, d) => TextAnalysis.unigramLogProb(s, d)),
     // Shopify sales-report refunds/returns leg
     "q33_sales_returns"          -> ((s, d) => Reports.salesReturns(s, d)),
     "q34_refunds_frame"          -> ((s, d) => Reports.refundsFrame(s, d))
@@ -660,6 +661,26 @@ object SparkEntry {
         | CAST(64 + (doc_id % 16) * 32 AS BIGINT) AS width,
         | CAST(64 + (doc_id % 9) * 32 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // unigram LM quality score: corpus token counts are exact integers
+    // (< 2^53 — the double sum is order-independent, so both engines
+    // compute the identical total); ppl is derived from the ROUNDED
+    // avg_logprob on both sides so exp can't re-diverge the floats
+    "q46_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(c) AS t FROM vocab),
+        |scored AS (
+        |  SELECT d.doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_tokens,
+        |         round(avg(ln(v.c / (SELECT t FROM tot))), 4) AS avg_logprob
+        |  FROM toks d JOIN vocab v USING (tok)
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, n_tokens, avg_logprob,
+        |       round(exp(-avg_logprob), 4) AS ppl
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     // token packing: per-shard running token totals and greedy chunk
     // assignment — pure ANSI window math, token counts via the q29

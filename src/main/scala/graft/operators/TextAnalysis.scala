@@ -157,6 +157,44 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** `q46_unigram_logprob` — unigram language-model quality scoring:
+    * per-document mean log-probability under the CORPUS'S OWN unigram
+    * distribution (the closed-form core of CCNet/Gopher-style
+    * perplexity filtering — a document of common words scores high,
+    * boilerplate of rare junk tokens scores low; rank or threshold on
+    * `avg_logprob` / `ppl`).
+    *
+    * Distributed shape: explode tokens → one groupBy(token) count
+    * (the "LM training" pass — partial-aggregated, one shuffle) → join
+    * the token stream back on token (one shuffle of the token stream)
+    * → per-doc aggregate. The explode is DERIVED TWICE rather than
+    * checkpointed: it is map-only off the scan, and re-running a
+    * projection is far cheaper at 100 TB than materializing the
+    * token-stream blowup. The corpus total rides a broadcast one-row
+    * frame (counts are exact integers < 2⁵³, so the double sum is
+    * order-independent and both engines agree exactly).
+    *
+    * At 100 TB the vocabulary count table is the thing to manage: fold
+    * the tail into an OOV bucket (count floor) or top-K the vocab —
+    * both are one extra filter/agg on `vocab` here; the exact form is
+    * what the oracle checks. */
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def exploded = t.documents
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+    val vocab = exploded.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("c"))
+    val total = broadcast(vocab.agg(sum(col("c")).as("t")))
+    exploded
+      .join(vocab, Seq("tok"))
+      .crossJoin(total)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c") / col("t"))), 4).as("avg_logprob"))
+      .withColumn("ppl", round(exp(-col("avg_logprob")), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** C11 `q30_fingerprint` — normalized content fingerprint (md5 of the
     * whitespace-collapsed lowercase normal form). */
   def fingerprintDocs(spark: SparkSession, dir: String): DataFrame = {

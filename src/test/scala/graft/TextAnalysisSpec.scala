@@ -61,6 +61,17 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out(1)._4 == "es")
   }
 
+  test("unigram logprob scores every doc and inverts to perplexity") {
+    val out = TextAnalysis.unigramLogProb(spark, sfDir)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.length == Tables(spark, sfDir).documents.count())
+    out.foreach { case (id, n, lp, ppl) =>
+      assert(n > 0 && lp < 0.0, s"doc $id: n=$n lp=$lp")
+      assert(math.abs(ppl - math.exp(-lp)) < 5e-4, s"doc $id: ppl $ppl vs exp(${-lp})")
+      assert(ppl > 1.0, "perplexity under a non-degenerate unigram LM exceeds 1")
+    }
+  }
+
   test("quality score is bounded [0,1] over the corpus") {
     val scores = TextAnalysis.qualityScore(spark, sfDir)
       .select("quality_score").as[Double].collect()
