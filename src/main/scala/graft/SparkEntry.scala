@@ -63,6 +63,7 @@ object SparkEntry {
     "q25_ann_bruteforce"         -> ((s, d) => Similarity.annBruteForce(s, d)),
     "q26_ann_lsh"                -> ((s, d) => Similarity.annLsh(s, d)),
     "q36_ann_ivf"                -> ((s, d) => Similarity.annIvf(s, d)),
+    "q47_ann_pq"                 -> ((s, d) => Similarity.annPq(s, d)),
     "q37_dup_clusters"           -> ((s, d) => Dedup.dupClustersEmbeddings(s, d)),
     "q39_dup_clusters_logn"      -> ((s, d) => Dedup.dupClustersEmbeddingsLogN(s, d)),
     "q42_dup_clusters_auto"      -> ((s, d) => Dedup.dupClustersEmbeddingsAuto(s, d)),

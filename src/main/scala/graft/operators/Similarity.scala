@@ -232,6 +232,115 @@ object Similarity {
     annIvfSearch(assigned, centroids, k, numQueries, nProbe)
   }
 
+  /** PQ (product quantization) index build — the memory-side scale path
+    * of the ANN family: split each vector into `subspaces` sub-vectors,
+    * k-means each subspace into a `codebookSize`-entry codebook (one
+    * distributed Lloyd's run per subspace — m is small, each run
+    * distributed), and ENCODE every corpus vector as m small codes. At
+    * 100 TB the working set for candidate scoring drops from dim
+    * doubles to m bytes per vector (64-dim float64 → 8 codes is a 64×
+    * reduction) — the scan that ranks candidates reads ONLY the code
+    * column.
+    *
+    * Returns (encoded corpus, codebook table):
+    *  - encoded: (vec_id, v, nrm, codes array<int>) — persistable like
+    *    the IVF index; the ADC scan projects (vec_id, codes) only;
+    *  - codebook: (subspace, code, centroid) — a tiny REAL table (the
+    *    IVF plan-literal lesson), broadcast at query time. */
+  def buildPqIndex(embeddings: DataFrame, subspaces: Int = 8, codebookSize: Int = 16,
+                   dim: Int = 64, seed: Long = 42L): (DataFrame, DataFrame) = {
+    require(dim % subspaces == 0, s"dim $dim must divide into $subspaces subspaces")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dsub = dim / subspaces
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", vectors.norm(col("v")))
+    val models = (0 until subspaces).map { s =>
+      val sub = e.select(array_to_vector(slice(col("v"), s * dsub + 1, dsub)).as("fv"))
+      new KMeans().setK(codebookSize).setSeed(seed + s)
+        .setFeaturesCol("fv").setPredictionCol("code").fit(sub)
+    }
+    // encoding chains one nearest-centroid assignment per subspace onto
+    // a single projection pipeline — ONE pass over the corpus
+    val encoded0 = (0 until subspaces).foldLeft(e) { (acc, s) =>
+      models(s).setFeaturesCol("_fv").setPredictionCol(s"_c$s")
+        .transform(acc.withColumn("_fv", array_to_vector(slice(col("v"), s * dsub + 1, dsub))))
+        .drop("_fv")
+    }
+    val encoded = encoded0.select(col("vec_id"), col("v"), col("nrm"),
+      array((0 until subspaces).map(s => col(s"_c$s")): _*).as("codes"))
+    val codebook = models.zipWithIndex.flatMap { case (m, s) =>
+      m.clusterCenters.toSeq.zipWithIndex.map { case (c, k) => (s, k, c.toArray.toSeq) }
+    }.toDF("subspace", "code", "centroid")
+    (encoded, codebook)
+  }
+
+  /** PQ search via ADC (asymmetric distance computation): each query
+    * precomputes a distance table — squared L2 from its sub-vectors to
+    * every (subspace, code) centroid, |Q|·m·K skinny rows folded into
+    * one flat array per query — and the corpus scan scores each row
+    * with m ARRAY LOOKUPS into the broadcast table (no floating-point
+    * vector math touches the corpus side at all). Top-`rerank` ADC
+    * candidates per query rejoin their full vectors BY ID for exact
+    * cosine rerank: the wide vector column is read for rerank·|Q| rows,
+    * not the whole corpus. ADC ranks by L2 (monotone with cosine for
+    * the roughly-equal-norm embeddings this table holds); the exact
+    * rerank makes the final order cosine-true — recall vs brute force
+    * is spec-tested like the LSH and IVF paths. */
+  def annPqSearch(encoded: DataFrame, codebook: DataFrame, k: Int = 10,
+                  numQueries: Int = 5, rerank: Int = 50,
+                  subspaces: Int = 8, codebookSize: Int = 16, dim: Int = 64): DataFrame = {
+    val dsub = dim / subspaces
+    val queriesQ = encoded.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val qtab = queriesQ.select(col("q_id"), col("qv"))
+      .crossJoin(broadcast(codebook))
+      .withColumn("d", aggregate(
+        zip_with(slice(col("qv"), col("subspace") * dsub + 1, lit(dsub)), col("centroid"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(
+        (col("subspace") * codebookSize + col("code")).as("i"), col("d")))).as("ent"))
+      .select(col("q_id"), transform(col("ent"), e => e.getField("d")).as("tab"))
+    val probes = broadcast(qtab.join(queriesQ, Seq("q_id")))
+
+    // ADC scan: codes only — the corpus's vector column never loads here
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id").asc)
+    val cands = encoded.select(col("vec_id").as("c_id"), col("codes"))
+      .join(probes.select(col("q_id"), col("tab")), col("c_id") =!= col("q_id"))
+      .withColumn("adist", aggregate(
+        transform(col("codes"), (c, i) => element_at(col("tab"), i * codebookSize + c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("ar", row_number().over(wAdc))
+      .filter(col("ar") <= rerank)
+      .select(col("q_id"), col("c_id"))
+
+    // exact rerank: only the surviving candidates refetch vectors by id
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    cands
+      .join(encoded.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")), Seq("c_id"))
+      .join(broadcast(queriesQ), Seq("q_id"))
+      .withColumn("cos", round(
+        vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** `q47_ann_pq` — product-quantization ANN: [[buildPqIndex]] +
+    * [[annPqSearch]] in one shot. Rows-only at the driver (k-means is
+    * iterative/seeded); recall vs brute force, code-shape, and the
+    * persisted-index round trip are spec-tested. */
+  def annPq(spark: SparkSession, dir: String, k: Int = 10, numQueries: Int = 5): DataFrame = {
+    val (encoded, codebook) = buildPqIndex(Tables(spark, dir).embeddings)
+    annPqSearch(encoded, codebook, k, numQueries)
+  }
+
   /** C7 `q26_ann_lsh` — sign-random-projection LSH ANN: 16 hyperplanes,
     * 4 bands of 4 bits. The corpus is bucketed ONCE by (band, band-bits)
     * — at scale this bucketing is computed in a single map pass and can

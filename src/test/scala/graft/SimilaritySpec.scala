@@ -94,6 +94,41 @@ class SimilaritySpec extends SparkSpecBase {
       s"IVF search plan embeds ${bigArrayLits.size} literal arrays — centroids must stay a table")
   }
 
+  test("PQ ANN: recall vs brute force, true cosines, code shape, persisted round trip") {
+    val k = 10
+    val bf = Similarity.annBruteForce(spark, sfDir, k = k, numQueries = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    val truth = bf.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val (encoded, codebook) = Similarity.buildPqIndex(Tables(spark, sfDir).embeddings)
+    // encoded shape: m codes per vector, each within the codebook
+    val codeRows = encoded.select("codes").as[Seq[Int]].collect()
+    assert(codeRows.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    val pq = Similarity.annPqSearch(encoded, codebook)
+      .as[(Long, Long, Long, Double)].collect()
+    val got = pq.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val recalls = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 8 subspaces × 16 codes with a 50-candidate exact rerank: the ADC
+    // ordering concentrates true neighbors far above the random k/N
+    assert(mean >= 0.4, s"mean PQ recall $mean too low — codebooks or ADC lookup broken")
+    // reported cosines are genuine (match brute force where both appear)
+    val bfCos = bf.map(r => (r._1, r._3) -> r._4).toMap
+    pq.foreach { case (q, _, c, cos) =>
+      bfCos.get((q, c)).foreach(b => assert(b == cos, s"cosine mismatch for ($q,$c)"))
+    }
+    // build-once / reuse-many: parquet round trip reproduces the search
+    val encDir = java.nio.file.Files.createTempDirectory("graft_pq_enc").toString
+    val cbDir = java.nio.file.Files.createTempDirectory("graft_pq_cb").toString
+    encoded.write.mode("overwrite").parquet(encDir)
+    codebook.write.mode("overwrite").parquet(cbDir)
+    val reloaded = Similarity.annPqSearch(
+      spark.read.parquet(encDir), spark.read.parquet(cbDir))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(reloaded == pq.toSeq, "persisted PQ index must reproduce the search")
+  }
+
   test("near-dup join is label-blocked, not cross") {
     val plan = Similarity.embeddingNearDup(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
