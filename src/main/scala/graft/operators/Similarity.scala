@@ -255,14 +255,30 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val dsub = dim / subspaces
+    // materialized once: all m codebook fits and the encoding pass read
+    // these blocks instead of re-scanning the source per subspace
     val e = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", vectors.norm(col("v")))
-    val models = (0 until subspaces).map { s =>
-      val sub = e.select(array_to_vector(slice(col("v"), s * dsub + 1, dsub)).as("fv"))
-      new KMeans().setK(codebookSize).setSeed(seed + s)
-        .setFeaturesCol("fv").setPredictionCol("code").fit(sub)
-    }
+      .localCheckpoint()
+    // the m fits are INDEPENDENT — run them as concurrent Spark jobs
+    // (each internally distributed; the scheduler interleaves stages),
+    // so build wall-clock is ~one fit, not m sequential fits. Random
+    // init + bounded Lloyd's iterations: tiny per-subspace codebooks
+    // converge fast, and the exact rerank downstream absorbs residual
+    // quantization slack. Deterministic per (seed + subspace).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val models = Await.result(
+      Future.sequence((0 until subspaces).map { s =>
+        Future {
+          val sub = e.select(array_to_vector(slice(col("v"), s * dsub + 1, dsub)).as("fv"))
+          new KMeans().setK(codebookSize).setSeed(seed + s)
+            .setMaxIter(10).setInitMode("random")
+            .setFeaturesCol("fv").setPredictionCol("code").fit(sub)
+        }
+      }.toSeq),
+      scala.concurrent.duration.Duration.Inf)
     // encoding chains one nearest-centroid assignment per subspace onto
     // a single projection pipeline — ONE pass over the corpus
     val encoded0 = (0 until subspaces).foldLeft(e) { (acc, s) =>
