@@ -64,6 +64,7 @@ object SparkEntry {
     "q26_ann_lsh"                -> ((s, d) => Similarity.annLsh(s, d)),
     "q36_ann_ivf"                -> ((s, d) => Similarity.annIvf(s, d)),
     "q47_ann_pq"                 -> ((s, d) => Similarity.annPq(s, d)),
+    "q48_ann_ivfpq"              -> ((s, d) => Similarity.annIvfPq(s, d)),
     "q37_dup_clusters"           -> ((s, d) => Dedup.dupClustersEmbeddings(s, d)),
     "q39_dup_clusters_logn"      -> ((s, d) => Dedup.dupClustersEmbeddingsLogN(s, d)),
     "q42_dup_clusters_auto"      -> ((s, d) => Dedup.dupClustersEmbeddingsAuto(s, d)),

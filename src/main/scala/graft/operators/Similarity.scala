@@ -357,6 +357,83 @@ object Similarity {
     annPqSearch(encoded, codebook, k, numQueries)
   }
 
+  /** Composed IVF+PQ search — the production ANN shape at 100 TB: IVF
+    * cell pruning bounds WHICH rows are scored (nProbe/nClusters of the
+    * corpus), PQ codes bound WHAT the scoring scan reads (m small codes,
+    * no vector math), and the exact cosine rerank touches full vectors
+    * only for the top candidates, refetched by id. `corpus` carries
+    * (vec_id, v, nrm, cell, codes) — the join of the two persisted
+    * index halves; both upstream builds are one-time artifacts.
+    *
+    * (Codes here quantize RAW vectors, not per-cell residuals — the
+    * classical IVFADC refinement; with 16 coarse cells over this
+    * corpus the raw-code ADC ordering already lands within rerank
+    * range, which the recall spec pins.) */
+  def annIvfPqSearch(corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
+                     k: Int = 10, numQueries: Int = 5, nProbe: Int = 4,
+                     rerank: Int = 50,
+                     subspaces: Int = 8, codebookSize: Int = 16, dim: Int = 64): DataFrame = {
+    val dsub = dim / subspaces
+    val queries = corpus.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // IVF half: nProbe nearest cells per query (annIvfSearch's probe)
+    val scored = queries.select(col("q_id"), col("qv"))
+      .crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("cell"),
+        (col("c2") - lit(2.0) * vectors.dot(col("qv"), col("cvec"))).as("d"))
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("d").asc, col("cell").asc)
+    val probeCells = scored.withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nProbe).select(col("q_id"), col("cell"))
+    // PQ half: per-query flat ADC table (annPqSearch's table)
+    val qtab = queries.select(col("q_id"), col("qv"))
+      .crossJoin(broadcast(codebook))
+      .withColumn("d", aggregate(
+        zip_with(slice(col("qv"), col("subspace") * dsub + 1, lit(dsub)), col("centroid"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(
+        (col("subspace") * codebookSize + col("code")).as("i"), col("d")))).as("ent"))
+      .select(col("q_id"), transform(col("ent"), e => e.getField("d")).as("tab"))
+    val probes = broadcast(probeCells.join(qtab, Seq("q_id")))
+
+    // candidate scan: probed cells only, codes only
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id").asc)
+    val cands = corpus.select(col("cell"), col("vec_id").as("c_id"), col("codes"))
+      .join(probes, Seq("cell"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("adist", aggregate(
+        transform(col("codes"), (c, i) => element_at(col("tab"), i * codebookSize + c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("ar", row_number().over(wAdc))
+      .filter(col("ar") <= rerank)
+      .select(col("q_id"), col("c_id"))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    cands
+      .join(corpus.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")), Seq("c_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("cos", round(
+        vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** `q48_ann_ivfpq` — the composed scale path in one shot: both index
+    * halves build from one materialized projection, join on vec_id, and
+    * search with cell pruning + code-only scoring + id-based rerank. */
+  def annIvfPq(spark: SparkSession, dir: String, k: Int = 10, numQueries: Int = 5,
+               nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = Tables(spark, dir).embeddings.localCheckpoint()
+    val (assigned, centroids) = buildIvfIndex(e, nClusters)
+    val (encoded, codebook) = buildPqIndex(e)
+    val corpus = assigned.select(col("vec_id"), col("cell"))
+      .join(encoded, Seq("vec_id"))
+    annIvfPqSearch(corpus, centroids, codebook, k, numQueries, nProbe)
+  }
+
   /** C7 `q26_ann_lsh` — sign-random-projection LSH ANN: 16 hyperplanes,
     * 4 bands of 4 bits. The corpus is bucketed ONCE by (band, band-bits)
     * — at scale this bucketing is computed in a single map pass and can

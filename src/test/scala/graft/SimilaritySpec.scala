@@ -129,6 +129,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(reloaded == pq.toSeq, "persisted PQ index must reproduce the search")
   }
 
+  test("IVF+PQ composition: recall survives cell pruning plus code-only scoring") {
+    val k = 10
+    val bf = Similarity.annBruteForce(spark, sfDir, k = k, numQueries = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    val truth = bf.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val out = Similarity.annIvfPq(spark, sfDir, k = k, numQueries = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    val got = out.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val recalls = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    // two approximations stack (4/16 cells scanned, ADC ordering), so
+    // the floor sits below the single-approximation paths — but far
+    // above the random k/N ≈ 0.02 a broken composition would score
+    assert(mean >= 0.3, s"mean IVF+PQ recall $mean too low")
+    // cosines still genuine
+    val bfCos = bf.map(r => (r._1, r._3) -> r._4).toMap
+    out.foreach { case (q, _, c, cos) =>
+      bfCos.get((q, c)).foreach(b => assert(b == cos, s"cosine mismatch for ($q,$c)"))
+    }
+  }
+
   test("near-dup join is label-blocked, not cross") {
     val plan = Similarity.embeddingNearDup(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
