@@ -164,15 +164,26 @@ object Similarity {
     *    make the per-row probe O(C·dim) inside one expression. As a
     *    table it broadcasts once; `c2 = |c|²` is precomputed so probe
     *    scoring is one dot product per (query, centroid). */
-  def buildIvfIndex(embeddings: DataFrame, nClusters: Int = 16,
-                    seed: Long = 42L): (DataFrame, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val e = embeddings
+  /** Shared (vec_id, v, nrm) projection both index builders consume —
+    * prepare ONCE (and localCheckpoint) when building several index
+    * halves over the same corpus, so the cast+norm pass and its blocks
+    * aren't duplicated per builder. */
+  private[graft] def prepVectors(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", vectors.norm(col("v")))
+
+  def buildIvfIndex(embeddings: DataFrame, nClusters: Int = 16,
+                    seed: Long = 42L): (DataFrame, DataFrame) =
+    buildIvfIndexFrom(prepVectors(embeddings), nClusters, seed)
+
+  /** [[buildIvfIndex]] over an already-prepared (vec_id, v, nrm) frame. */
+  private[graft] def buildIvfIndexFrom(e: DataFrame, nClusters: Int,
+                                       seed: Long): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = e.sparkSession
+    import spark.implicits._
     val fe = e.withColumn("fv", array_to_vector(col("v")))
     val model = new KMeans().setK(nClusters).setSeed(seed)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(fe)
@@ -199,16 +210,7 @@ object Similarity {
                    k: Int = 10, numQueries: Int = 5, nProbe: Int = 4): DataFrame = {
     val queries = assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = queries.select(col("q_id"), col("qv"))
-      .crossJoin(broadcast(centroids))
-      .select(col("q_id"), col("cell"),
-        (col("c2") - lit(2.0) * vectors.dot(col("qv"), col("cvec"))).as("d"))
-    val wp = Window.partitionBy(col("q_id")).orderBy(col("d").asc, col("cell").asc)
-    val probeCells = scored
-      .withColumn("pr", row_number().over(wp))
-      .filter(col("pr") <= nProbe)
-      .select(col("q_id"), col("cell"))
-    val probes = probeCells.join(queries, Seq("q_id"))
+    val probes = probeNearestCells(queries, centroids, nProbe).join(queries, Seq("q_id"))
 
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     assigned.select(col("cell"), col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
@@ -248,19 +250,22 @@ object Similarity {
     *  - codebook: (subspace, code, centroid) — a tiny REAL table (the
     *    IVF plan-literal lesson), broadcast at query time. */
   def buildPqIndex(embeddings: DataFrame, subspaces: Int = 8, codebookSize: Int = 16,
-                   dim: Int = 64, seed: Long = 42L): (DataFrame, DataFrame) = {
+                   dim: Int = 64, seed: Long = 42L): (DataFrame, DataFrame) =
+    // materialized once: all m codebook fits and the encoding pass read
+    // these blocks instead of re-scanning the source per subspace
+    buildPqIndexFrom(prepVectors(embeddings).localCheckpoint(),
+      subspaces, codebookSize, dim, seed)
+
+  /** [[buildPqIndex]] over an already-prepared — and, for the m
+    * concurrent fits, already-MATERIALIZED — (vec_id, v, nrm) frame. */
+  private[graft] def buildPqIndexFrom(e: DataFrame, subspaces: Int, codebookSize: Int,
+                                      dim: Int, seed: Long): (DataFrame, DataFrame) = {
     require(dim % subspaces == 0, s"dim $dim must divide into $subspaces subspaces")
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = embeddings.sparkSession
+    val spark = e.sparkSession
     import spark.implicits._
     val dsub = dim / subspaces
-    // materialized once: all m codebook fits and the encoding pass read
-    // these blocks instead of re-scanning the source per subspace
-    val e = embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", vectors.norm(col("v")))
-      .localCheckpoint()
     // the m fits are INDEPENDENT — run them as concurrent Spark jobs
     // (each internally distributed; the scheduler interleaves stages),
     // so build wall-clock is ~one fit, not m sequential fits. Random
@@ -279,6 +284,16 @@ object Similarity {
         }
       }.toSeq),
       scala.concurrent.duration.Duration.Inf)
+    // a model with FEWER than codebookSize centers (corpus smaller than
+    // k) would leave holes in the flat ADC table and shift every later
+    // subspace's positions — out-of-bounds lookups then return null,
+    // which sorts NULLS FIRST in the ascending ADC window and silently
+    // promotes garbage candidates. Fail the build loudly instead.
+    models.zipWithIndex.foreach { case (m, s) =>
+      require(m.clusterCenters.length == codebookSize,
+        s"subspace $s trained ${m.clusterCenters.length} centers, need $codebookSize " +
+          "(corpus too small for this codebookSize)")
+    }
     // encoding chains one nearest-centroid assignment per subspace onto
     // a single projection pipeline — ONE pass over the corpus
     val encoded0 = (0 until subspaces).foldLeft(e) { (acc, s) =>
@@ -286,12 +301,89 @@ object Similarity {
         .transform(acc.withColumn("_fv", array_to_vector(slice(col("v"), s * dsub + 1, dsub))))
         .drop("_fv")
     }
+    // build parameters ride the codes column's schema metadata (the
+    // minhash-index convention): a probe with mismatched parameters
+    // fails loudly instead of reading wrong ADC slots
+    val codesMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.pq.subspaces", subspaces.toLong)
+      .putLong("graft.pq.codebookSize", codebookSize.toLong)
+      .putLong("graft.pq.dim", dim.toLong)
+      .build()
     val encoded = encoded0.select(col("vec_id"), col("v"), col("nrm"),
-      array((0 until subspaces).map(s => col(s"_c$s")): _*).as("codes"))
+      array((0 until subspaces).map(s => col(s"_c$s")): _*).as("codes", codesMeta))
     val codebook = models.zipWithIndex.flatMap { case (m, s) =>
       m.clusterCenters.toSeq.zipWithIndex.map { case (c, k) => (s, k, c.toArray.toSeq) }
     }.toDF("subspace", "code", "centroid")
     (encoded, codebook)
+  }
+
+  /** Validate probe parameters against the build parameters carried in
+    * the encoded frame's codes-column metadata (when present — frames
+    * assembled by hand without it just skip the check). */
+  private def checkPqParams(encoded: DataFrame, subspaces: Int, codebookSize: Int,
+                            dim: Int): Unit =
+    encoded.schema.fields.find(_.name == "codes").foreach { f =>
+      if (f.metadata.contains("graft.pq.subspaces")) {
+        val (bs, bk, bd) = (f.metadata.getLong("graft.pq.subspaces"),
+          f.metadata.getLong("graft.pq.codebookSize"), f.metadata.getLong("graft.pq.dim"))
+        require(bs == subspaces && bk == codebookSize && bd == dim,
+          s"PQ index was built with subspaces=$bs codebookSize=$bk dim=$bd but the probe " +
+            s"asked for subspaces=$subspaces codebookSize=$codebookSize dim=$dim — flat ADC " +
+            "positions would not align and the search would return wrong neighbors")
+      }
+    }
+
+  /** Per-query flat ADC distance table over the broadcast codebook:
+    * squared L2 from each query sub-vector to every (subspace, code)
+    * centroid, folded into one array ordered by subspace·K + code. */
+  private def adcTable(queries: DataFrame, codebook: DataFrame,
+                       dsub: Int, codebookSize: Int): DataFrame =
+    queries.select(col("q_id"), col("qv"))
+      .crossJoin(broadcast(codebook))
+      .withColumn("d", aggregate(
+        zip_with(slice(col("qv"), col("subspace") * dsub + 1, lit(dsub)), col("centroid"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(
+        (col("subspace") * codebookSize + col("code")).as("i"), col("d")))).as("ent"))
+      .select(col("q_id"), transform(col("ent"), e => e.getField("d")).as("tab"))
+
+  /** ADC score: m array lookups into the query's flat table. */
+  private def adcScore(codes: org.apache.spark.sql.Column,
+                       tab: org.apache.spark.sql.Column, codebookSize: Int) =
+    aggregate(
+      transform(codes, (c, i) => element_at(tab, i * codebookSize + c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** `nProbe` nearest IVF cells per query over the broadcast centroid
+    * table (|c|² − 2·q·c scoring, row_number over skinny rows). */
+  private def probeNearestCells(queries: DataFrame, centroids: DataFrame,
+                                nProbe: Int): DataFrame = {
+    val scored = queries.select(col("q_id"), col("qv"))
+      .crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("cell"),
+        (col("c2") - lit(2.0) * vectors.dot(col("qv"), col("cvec"))).as("d"))
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("d").asc, col("cell").asc)
+    scored.withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("cell"))
+  }
+
+  /** Exact cosine rerank of (q_id, c_id) candidates: full vectors
+    * refetched BY ID for the survivors only. */
+  private def exactRerankById(cands: DataFrame, corpus: DataFrame,
+                              queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    cands
+      .join(corpus.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")), Seq("c_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("cos", round(
+        vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** PQ search via ADC (asymmetric distance computation): each query
@@ -309,43 +401,22 @@ object Similarity {
   def annPqSearch(encoded: DataFrame, codebook: DataFrame, k: Int = 10,
                   numQueries: Int = 5, rerank: Int = 50,
                   subspaces: Int = 8, codebookSize: Int = 16, dim: Int = 64): DataFrame = {
-    val dsub = dim / subspaces
-    val queriesQ = encoded.filter(col("vec_id") < numQueries)
+    checkPqParams(encoded, subspaces, codebookSize, dim)
+    val queries = encoded.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val qtab = queriesQ.select(col("q_id"), col("qv"))
-      .crossJoin(broadcast(codebook))
-      .withColumn("d", aggregate(
-        zip_with(slice(col("qv"), col("subspace") * dsub + 1, lit(dsub)), col("centroid"),
-          (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x))
-      .groupBy(col("q_id"))
-      .agg(array_sort(collect_list(struct(
-        (col("subspace") * codebookSize + col("code")).as("i"), col("d")))).as("ent"))
-      .select(col("q_id"), transform(col("ent"), e => e.getField("d")).as("tab"))
-    val probes = broadcast(qtab.join(queriesQ, Seq("q_id")))
+    val qtab = broadcast(adcTable(queries, codebook, dim / subspaces, codebookSize))
 
     // ADC scan: codes only — the corpus's vector column never loads here
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id").asc)
     val cands = encoded.select(col("vec_id").as("c_id"), col("codes"))
-      .join(probes.select(col("q_id"), col("tab")), col("c_id") =!= col("q_id"))
-      .withColumn("adist", aggregate(
-        transform(col("codes"), (c, i) => element_at(col("tab"), i * codebookSize + c + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .join(qtab, col("c_id") =!= col("q_id"))
+      .withColumn("adist", adcScore(col("codes"), col("tab"), codebookSize))
       .withColumn("ar", row_number().over(wAdc))
       .filter(col("ar") <= rerank)
       .select(col("q_id"), col("c_id"))
 
     // exact rerank: only the surviving candidates refetch vectors by id
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    cands
-      .join(encoded.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")), Seq("c_id"))
-      .join(broadcast(queriesQ), Seq("q_id"))
-      .withColumn("cos", round(
-        vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
+    exactRerankById(cands, encoded, queries, k)
   }
 
   /** `q47_ann_pq` — product-quantization ANN: [[buildPqIndex]] +
@@ -373,52 +444,25 @@ object Similarity {
                      k: Int = 10, numQueries: Int = 5, nProbe: Int = 4,
                      rerank: Int = 50,
                      subspaces: Int = 8, codebookSize: Int = 16, dim: Int = 64): DataFrame = {
-    val dsub = dim / subspaces
+    checkPqParams(corpus, subspaces, codebookSize, dim)
     val queries = corpus.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    // IVF half: nProbe nearest cells per query (annIvfSearch's probe)
-    val scored = queries.select(col("q_id"), col("qv"))
-      .crossJoin(broadcast(centroids))
-      .select(col("q_id"), col("cell"),
-        (col("c2") - lit(2.0) * vectors.dot(col("qv"), col("cvec"))).as("d"))
-    val wp = Window.partitionBy(col("q_id")).orderBy(col("d").asc, col("cell").asc)
-    val probeCells = scored.withColumn("pr", row_number().over(wp))
-      .filter(col("pr") <= nProbe).select(col("q_id"), col("cell"))
-    // PQ half: per-query flat ADC table (annPqSearch's table)
-    val qtab = queries.select(col("q_id"), col("qv"))
-      .crossJoin(broadcast(codebook))
-      .withColumn("d", aggregate(
-        zip_with(slice(col("qv"), col("subspace") * dsub + 1, lit(dsub)), col("centroid"),
-          (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x))
-      .groupBy(col("q_id"))
-      .agg(array_sort(collect_list(struct(
-        (col("subspace") * codebookSize + col("code")).as("i"), col("d")))).as("ent"))
-      .select(col("q_id"), transform(col("ent"), e => e.getField("d")).as("tab"))
-    val probes = broadcast(probeCells.join(qtab, Seq("q_id")))
+    // IVF half: nProbe nearest cells; PQ half: per-query flat ADC table
+    val probes = broadcast(
+      probeNearestCells(queries, centroids, nProbe)
+        .join(adcTable(queries, codebook, dim / subspaces, codebookSize), Seq("q_id")))
 
     // candidate scan: probed cells only, codes only
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id").asc)
     val cands = corpus.select(col("cell"), col("vec_id").as("c_id"), col("codes"))
       .join(probes, Seq("cell"))
       .filter(col("c_id") =!= col("q_id"))
-      .withColumn("adist", aggregate(
-        transform(col("codes"), (c, i) => element_at(col("tab"), i * codebookSize + c + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("adist", adcScore(col("codes"), col("tab"), codebookSize))
       .withColumn("ar", row_number().over(wAdc))
       .filter(col("ar") <= rerank)
       .select(col("q_id"), col("c_id"))
 
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    cands
-      .join(corpus.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")), Seq("c_id"))
-      .join(broadcast(queries), Seq("q_id"))
-      .withColumn("cos", round(
-        vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
+    exactRerankById(cands, corpus, queries, k)
   }
 
   /** `q48_ann_ivfpq` — the composed scale path in one shot: both index
@@ -426,9 +470,12 @@ object Similarity {
     * search with cell pruning + code-only scoring + id-based rerank. */
   def annIvfPq(spark: SparkSession, dir: String, k: Int = 10, numQueries: Int = 5,
                nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
-    val e = Tables(spark, dir).embeddings.localCheckpoint()
-    val (assigned, centroids) = buildIvfIndex(e, nClusters)
-    val (encoded, codebook) = buildPqIndex(e)
+    // ONE prepared projection feeds both builders — the cast+norm pass
+    // and its materialized blocks are shared, not duplicated per half
+    val e = prepVectors(Tables(spark, dir).embeddings).localCheckpoint()
+    val (assigned, centroids) = buildIvfIndexFrom(e, nClusters, seed = 42L)
+    val (encoded, codebook) = buildPqIndexFrom(e, subspaces = 8, codebookSize = 16,
+      dim = 64, seed = 42L)
     val corpus = assigned.select(col("vec_id"), col("cell"))
       .join(encoded, Seq("vec_id"))
     annIvfPqSearch(corpus, centroids, codebook, k, numQueries, nProbe)

@@ -127,6 +127,13 @@ class SimilaritySpec extends SparkSpecBase {
       spark.read.parquet(encDir), spark.read.parquet(cbDir))
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(reloaded == pq.toSeq, "persisted PQ index must reproduce the search")
+    // probing with parameters the index wasn't built with fails loudly —
+    // build params ride the codes column's metadata through parquet
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.annPqSearch(spark.read.parquet(encDir), spark.read.parquet(cbDir),
+        codebookSize = 8)
+    }
+    assert(ex.getMessage.contains("built with"), ex.getMessage)
   }
 
   test("IVF+PQ composition: recall survives cell pruning plus code-only scoring") {
