@@ -280,6 +280,42 @@ object Dedup {
     train.join(verdicts.filter(!col("is_dup")).select("doc_id"), Seq("doc_id"))
   }
 
+  /** Exact n-gram contamination flagging — the OTHER classic
+    * decontamination rule (verbatim-overlap, the GPT-3 convention):
+    * flag every training document sharing ANY word n-gram (default 13)
+    * with any eval document. [[decontaminate]] catches near-duplicates
+    * of whole documents; this catches a benchmark QUESTION quoted
+    * inside an otherwise-unrelated page, which minhash similarity
+    * misses by design.
+    *
+    * Scale shape: eval suites are tiny next to the corpus, so their
+    * distinct gram set BROADCASTS and the train-side gram stream joins
+    * map-side — the corpus is never shuffled. Gram windows hash to
+    * 64-bit longs (the q40 convention): 8-byte comparisons, no gram
+    * strings materialized.
+    *
+    * @return (doc_id, contaminated) for every training document
+    */
+  def flagNgramContamination(train: DataFrame, evalDocs: DataFrame,
+                             n: Int = 13): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("_t"))
+      .select(col("doc_id"), explode(
+        when(size(col("_t")) >= n,
+          transform(sequence(lit(1), size(col("_t")) - (n - 1)),
+            i => xxhash64((0 until n).map(j => element_at(col("_t"), i + j)): _*)))
+          .otherwise(array().cast("array<bigint>"))).as("g"))
+    val evalGrams = broadcast(grams(evalDocs).select(col("g")).distinct())
+    val hits = grams(train).join(evalGrams, Seq("g"))
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash of the word multiset via the native kernel expression
     * [[graft.expressions.SimHash64]] (a HOF formulation would evaluate a
     * 64-wide lambda accumulator per token — orders of magnitude more

@@ -118,6 +118,27 @@ class DedupSpec extends SparkSpecBase {
     assert(cleaned == Set(102L), s"near-matches of indexed docs must drop: $cleaned")
   }
 
+  test("exact n-gram contamination flags verbatim quotes, not paraphrases") {
+    import spark.implicits._
+    val benchmark = Seq(
+      (0L, "what is the capital city of the ancient kingdom of lydia in western anatolia today")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // quotes a full 13-word window of the benchmark inside other text
+      (10L, "some page discussing trivia like what is the capital city of the ancient kingdom of lydia in western anatolia and more"),
+      // paraphrase: same topic, no shared 13-gram
+      (11L, "a page about lydia an ancient kingdom whose capital sardis lay in western anatolia near the pactolus river"),
+      (12L, "entirely unrelated content about spark shuffle partitions and memory tuning")
+    ).toDF("doc_id", "text")
+    val out = Dedup.flagNgramContamination(train, benchmark, n = 13)
+      .as[(Long, Boolean)].collect().toMap
+    assert(out == Map(10L -> true, 11L -> false, 12L -> false), s"got $out")
+    // the corpus side must not shuffle: eval grams broadcast
+    val plan = Dedup.flagNgramContamination(train, benchmark)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "eval gram set must broadcast")
+  }
+
   test("dupClusters resolves TRANSITIVE chains to the component minimum") {
     import spark.implicits._
     // chain 1-2-3-4 (no direct 1-4 edge!), pair 10-11, singleton edge 20-21
