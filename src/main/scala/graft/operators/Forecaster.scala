@@ -30,7 +30,10 @@ import org.apache.spark.sql.types.NumericType
   *    JOINT Gram-basis fit: [[Forecast.forecastFourier]] with
   *    regressor columns and holiday indicator columns appended to the
   *    basis, at any freq, under any growth. `forecast(regressor=...,
-  *    yearlySeasonality=...)` is one fit here exactly as it is there.
+  *    yearlySeasonality=...)` is one fit here exactly as it is there,
+  *    and MULTIPLE regressors (`regressors = Seq(...)`, Prophet's
+  *    repeated `add_regressor`) always take the joint path — the
+  *    Cramer 3×3 fits exactly one.
   *
   * `weeklySeasonality` is an Option so "unset" and "explicitly off"
   * stay distinct (Prophet's `weekly_seasonality=False`): None = auto
