@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Free a superseded iteration's checkpoint blocks (the LogicalRDD
-    * leaf holds the materialized RDD; it is never read again once the
-    * next round is checkpointed, so dropping its blocks is safe). */
-  private def freeBlocks(df: DataFrame): Unit =
+  /** Free a superseded checkpoint's blocks (the LogicalRDD leaf holds
+    * the materialized RDD; once every consumer reads a NEWER
+    * materialization, dropping the old blocks is safe). Shared by the
+    * iterative cluster loops here and the ANN index builders. */
+  private[graft] def freeBlocks(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
     }

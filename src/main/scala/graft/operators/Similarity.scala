@@ -148,6 +148,15 @@ object Similarity {
       when(vectors.dot(v, plane) > 0, 1).otherwise(0)
     }: _*)
 
+  /** Shared (vec_id, v, nrm) projection both index builders consume —
+    * prepare ONCE (and localCheckpoint) when building several index
+    * halves over the same corpus, so the cast+norm pass and its blocks
+    * aren't duplicated per builder. */
+  private[graft] def prepVectors(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", vectors.norm(col("v")))
+
   /** IVF index build — the build-once half of the inverted-file ANN
     * path: a coarse k-means quantizer (Spark ML distributed KMeans —
     * Lloyd's over the corpus, the standard IVF build step) assigns
@@ -164,15 +173,6 @@ object Similarity {
     *    make the per-row probe O(C·dim) inside one expression. As a
     *    table it broadcasts once; `c2 = |c|²` is precomputed so probe
     *    scoring is one dot product per (query, centroid). */
-  /** Shared (vec_id, v, nrm) projection both index builders consume —
-    * prepare ONCE (and localCheckpoint) when building several index
-    * halves over the same corpus, so the cast+norm pass and its blocks
-    * aren't duplicated per builder. */
-  private[graft] def prepVectors(embeddings: DataFrame): DataFrame =
-    embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", vectors.norm(col("v")))
-
   def buildIvfIndex(embeddings: DataFrame, nClusters: Int = 16,
                     seed: Long = 42L): (DataFrame, DataFrame) =
     buildIvfIndexFrom(prepVectors(embeddings), nClusters, seed)
@@ -250,11 +250,20 @@ object Similarity {
     *  - codebook: (subspace, code, centroid) — a tiny REAL table (the
     *    IVF plan-literal lesson), broadcast at query time. */
   def buildPqIndex(embeddings: DataFrame, subspaces: Int = 8, codebookSize: Int = 16,
-                   dim: Int = 64, seed: Long = 42L): (DataFrame, DataFrame) =
+                   dim: Int = 64, seed: Long = 42L): (DataFrame, DataFrame) = {
     // materialized once: all m codebook fits and the encoding pass read
     // these blocks instead of re-scanning the source per subspace
-    buildPqIndexFrom(prepVectors(embeddings).localCheckpoint(),
-      subspaces, codebookSize, dim, seed)
+    val e = prepVectors(embeddings).localCheckpoint()
+    val (encoded, codebook) = buildPqIndexFrom(e, subspaces, codebookSize, dim, seed)
+    // the encoded frame is read several times per search (ADC scan,
+    // rerank refetch, query projection) — materialize it ONCE and free
+    // the superseded preparation blocks (the codebook is driver-built;
+    // nothing else reads them), so repeated builds don't pin stale
+    // corpus copies in executor storage
+    val encodedCk = encoded.localCheckpoint()
+    Dedup.freeBlocks(e)
+    (encodedCk, codebook)
+  }
 
   /** [[buildPqIndex]] over an already-prepared — and, for the m
     * concurrent fits, already-MATERIALIZED — (vec_id, v, nrm) frame. */
@@ -277,10 +286,16 @@ object Similarity {
     val models = Await.result(
       Future.sequence((0 until subspaces).map { s =>
         Future {
-          val sub = e.select(array_to_vector(slice(col("v"), s * dsub + 1, dsub)).as("fv"))
-          new KMeans().setK(codebookSize).setSeed(seed + s)
-            .setMaxIter(10).setInitMode("random")
-            .setFeaturesCol("fv").setPredictionCol("code").fit(sub)
+          // blocking{}: each fit holds a pool thread for a full Spark
+          // action, so tell the fork-join pool to spawn replacements —
+          // otherwise a host with fewer cores than subspaces silently
+          // degrades the build toward sequential
+          scala.concurrent.blocking {
+            val sub = e.select(array_to_vector(slice(col("v"), s * dsub + 1, dsub)).as("fv"))
+            new KMeans().setK(codebookSize).setSeed(seed + s)
+              .setMaxIter(10).setInitMode("random")
+              .setFeaturesCol("fv").setPredictionCol("code").fit(sub)
+          }
         }
       }.toSeq),
       scala.concurrent.duration.Duration.Inf)
@@ -476,8 +491,13 @@ object Similarity {
     val (assigned, centroids) = buildIvfIndexFrom(e, nClusters, seed = 42L)
     val (encoded, codebook) = buildPqIndexFrom(e, subspaces = 8, codebookSize = 16,
       dim = 64, seed = 42L)
+    // the search reads the joined corpus in three branches — materialize
+    // it once and free the superseded preparation blocks (centroids and
+    // codebook are driver-built; nothing else reads e)
     val corpus = assigned.select(col("vec_id"), col("cell"))
       .join(encoded, Seq("vec_id"))
+      .localCheckpoint()
+    Dedup.freeBlocks(e)
     annIvfPqSearch(corpus, centroids, codebook, k, numQueries, nProbe)
   }
 

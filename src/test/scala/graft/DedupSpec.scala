@@ -133,10 +133,15 @@ class DedupSpec extends SparkSpecBase {
     val out = Dedup.flagNgramContamination(train, benchmark, n = 13)
       .as[(Long, Boolean)].collect().toMap
     assert(out == Map(10L -> true, 11L -> false, 12L -> false), s"got $out")
-    // the corpus side must not shuffle: eval grams broadcast
+    // the corpus side must not shuffle: the only gram-keyed exchange
+    // allowed is the one INSIDE the broadcast side (the eval distinct);
+    // a second would mean the train gram stream started shuffling on g
     val plan = Dedup.flagNgramContamination(train, benchmark)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "eval gram set must broadcast")
+    val gramExchanges = """Exchange hashpartitioning\(g#""".r.findAllIn(plan).length
+    assert(gramExchanges <= 1,
+      s"train grams must join map-side, saw $gramExchanges gram exchanges:\n${plan.take(1500)}")
   }
 
   test("dupClusters resolves TRANSITIVE chains to the component minimum") {
