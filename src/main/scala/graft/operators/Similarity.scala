@@ -266,9 +266,13 @@ object Similarity {
   }
 
   /** [[buildPqIndex]] over an already-prepared — and, for the m
-    * concurrent fits, already-MATERIALIZED — (vec_id, v, nrm) frame. */
+    * concurrent fits, already-MATERIALIZED (or derived map-only from a
+    * materialized frame) — input. `vecCol` selects WHAT gets quantized:
+    * "v" for raw vectors, a residual column for IVFADC; every input
+    * column is carried through to the encoded output. */
   private[graft] def buildPqIndexFrom(e: DataFrame, subspaces: Int, codebookSize: Int,
-                                      dim: Int, seed: Long): (DataFrame, DataFrame) = {
+                                      dim: Int, seed: Long,
+                                      vecCol: String = "v"): (DataFrame, DataFrame) = {
     require(dim % subspaces == 0, s"dim $dim must divide into $subspaces subspaces")
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -291,7 +295,7 @@ object Similarity {
           // otherwise a host with fewer cores than subspaces silently
           // degrades the build toward sequential
           scala.concurrent.blocking {
-            val sub = e.select(array_to_vector(slice(col("v"), s * dsub + 1, dsub)).as("fv"))
+            val sub = e.select(array_to_vector(slice(col(vecCol), s * dsub + 1, dsub)).as("fv"))
             new KMeans().setK(codebookSize).setSeed(seed + s)
               .setMaxIter(10).setInitMode("random")
               .setFeaturesCol("fv").setPredictionCol("code").fit(sub)
@@ -313,7 +317,7 @@ object Similarity {
     // a single projection pipeline — ONE pass over the corpus
     val encoded0 = (0 until subspaces).foldLeft(e) { (acc, s) =>
       models(s).setFeaturesCol("_fv").setPredictionCol(s"_c$s")
-        .transform(acc.withColumn("_fv", array_to_vector(slice(col("v"), s * dsub + 1, dsub))))
+        .transform(acc.withColumn("_fv", array_to_vector(slice(col(vecCol), s * dsub + 1, dsub))))
         .drop("_fv")
     }
     // build parameters ride the codes column's schema metadata (the
@@ -324,8 +328,8 @@ object Similarity {
       .putLong("graft.pq.codebookSize", codebookSize.toLong)
       .putLong("graft.pq.dim", dim.toLong)
       .build()
-    val encoded = encoded0.select(col("vec_id"), col("v"), col("nrm"),
-      array((0 until subspaces).map(s => col(s"_c$s")): _*).as("codes", codesMeta))
+    val encoded = encoded0.select(e.columns.map(col) :+
+      array((0 until subspaces).map(s => col(s"_c$s")): _*).as("codes", codesMeta): _*)
     val codebook = models.zipWithIndex.flatMap { case (m, s) =>
       m.clusterCenters.toSeq.zipWithIndex.map { case (c, k) => (s, k, c.toArray.toSeq) }
     }.toDF("subspace", "code", "centroid")
@@ -348,21 +352,23 @@ object Similarity {
       }
     }
 
-  /** Per-query flat ADC distance table over the broadcast codebook:
-    * squared L2 from each query sub-vector to every (subspace, code)
-    * centroid, folded into one array ordered by subspace·K + code. */
-  private def adcTable(queries: DataFrame, codebook: DataFrame,
-                       dsub: Int, codebookSize: Int): DataFrame =
-    queries.select(col("q_id"), col("qv"))
+  /** Flat ADC distance table over the broadcast codebook, one row per
+    * distinct `keys` tuple: squared L2 from `vecCol`'s sub-vectors to
+    * every (subspace, code) centroid, folded into one array ordered by
+    * subspace·K + code. Keyed by q_id for plain PQ; by (q_id, cell)
+    * for residual IVFADC, where the probe vector differs per cell. */
+  private def adcTable(frame: DataFrame, keys: Seq[String], vecCol: String,
+                       codebook: DataFrame, dsub: Int, codebookSize: Int): DataFrame =
+    frame.select(keys.map(col) :+ col(vecCol).as("_adcv"): _*)
       .crossJoin(broadcast(codebook))
       .withColumn("d", aggregate(
-        zip_with(slice(col("qv"), col("subspace") * dsub + 1, lit(dsub)), col("centroid"),
+        zip_with(slice(col("_adcv"), col("subspace") * dsub + 1, lit(dsub)), col("centroid"),
           (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x))
-      .groupBy(col("q_id"))
+      .groupBy(keys.map(col): _*)
       .agg(array_sort(collect_list(struct(
         (col("subspace") * codebookSize + col("code")).as("i"), col("d")))).as("ent"))
-      .select(col("q_id"), transform(col("ent"), e => e.getField("d")).as("tab"))
+      .select(keys.map(col) :+ transform(col("ent"), e => e.getField("d")).as("tab"): _*)
 
   /** ADC score: m array lookups into the query's flat table. */
   private def adcScore(codes: org.apache.spark.sql.Column,
@@ -419,7 +425,8 @@ object Similarity {
     checkPqParams(encoded, subspaces, codebookSize, dim)
     val queries = encoded.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val qtab = broadcast(adcTable(queries, codebook, dim / subspaces, codebookSize))
+    val qtab = broadcast(adcTable(queries, Seq("q_id"), "qv",
+      codebook, dim / subspaces, codebookSize))
 
     // ADC scan: codes only — the corpus's vector column never loads here
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id").asc)
@@ -448,13 +455,13 @@ object Similarity {
     * corpus), PQ codes bound WHAT the scoring scan reads (m small codes,
     * no vector math), and the exact cosine rerank touches full vectors
     * only for the top candidates, refetched by id. `corpus` carries
-    * (vec_id, v, nrm, cell, codes) — the join of the two persisted
-    * index halves; both upstream builds are one-time artifacts.
+    * (vec_id, v, nrm, cell, codes) — both upstream builds are one-time
+    * artifacts.
     *
-    * (Codes here quantize RAW vectors, not per-cell residuals — the
-    * classical IVFADC refinement; with 16 coarse cells over this
-    * corpus the raw-code ADC ordering already lands within rerank
-    * range, which the recall spec pins.) */
+    * Codes quantize per-cell RESIDUALS (classical IVFADC), so each
+    * query builds one ADC table per PROBED cell from its residual
+    * against that cell's centroid — nProbe small tables per query
+    * instead of one, all broadcast. */
   def annIvfPqSearch(corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
                      k: Int = 10, numQueries: Int = 5, nProbe: Int = 4,
                      rerank: Int = 50,
@@ -462,10 +469,16 @@ object Similarity {
     checkPqParams(corpus, subspaces, codebookSize, dim)
     val queries = corpus.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    // IVF half: nProbe nearest cells; PQ half: per-query flat ADC table
-    val probes = broadcast(
-      probeNearestCells(queries, centroids, nProbe)
-        .join(adcTable(queries, codebook, dim / subspaces, codebookSize), Seq("q_id")))
+    // IVF half: nProbe nearest cells. PQ half: the codes quantize
+    // RESIDUALS, so the ADC table is per (query, PROBED CELL) — the
+    // same query probes each cell with a different offset,
+    // qres = qv − cellCentroid. nProbe tables per query, still tiny.
+    val qres = probeNearestCells(queries, centroids, nProbe)
+      .join(queries.select(col("q_id"), col("qv")), Seq("q_id"))
+      .join(broadcast(centroids.select(col("cell"), col("cvec"))), Seq("cell"))
+      .withColumn("qres", zip_with(col("qv"), col("cvec"), (a, b) => a - b))
+    val probes = broadcast(adcTable(qres, Seq("q_id", "cell"), "qres",
+      codebook, dim / subspaces, codebookSize))
 
     // candidate scan: probed cells only, codes only
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id").asc)
@@ -485,19 +498,33 @@ object Similarity {
     * search with cell pruning + code-only scoring + id-based rerank. */
   def annIvfPq(spark: SparkSession, dir: String, k: Int = 10, numQueries: Int = 5,
                nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
-    // ONE prepared projection feeds both builders — the cast+norm pass
-    // and its materialized blocks are shared, not duplicated per half
+    // ONE prepared projection feeds both build stages — the cast+norm
+    // pass and its materialized blocks are shared, not duplicated
     val e = prepVectors(Tables(spark, dir).embeddings).localCheckpoint()
     val (assigned, centroids) = buildIvfIndexFrom(e, nClusters, seed = 42L)
-    val (encoded, codebook) = buildPqIndexFrom(e, subspaces = 8, codebookSize = 16,
-      dim = 64, seed = 42L)
-    // the search reads the joined corpus in three branches — materialize
-    // it once and free the superseded preparation blocks (centroids and
-    // codebook are driver-built; nothing else reads e)
-    val corpus = assigned.select(col("vec_id"), col("cell"))
-      .join(encoded, Seq("vec_id"))
+    // RESIDUAL quantization (the textbook IVFADC refinement): PQ encodes
+    // v − cellCentroid, which is far better concentrated than raw
+    // vectors once the coarse quantizer has explained the cell-level
+    // structure — the same code budget spends entirely on within-cell
+    // detail. ONE materialization: the cell assignment, the broadcast
+    // centroid join, and the residual math all land in the resid
+    // checkpoint, which the m concurrent codebook fits and the encode
+    // pass then read directly.
+    val resid = assigned
+      .join(broadcast(centroids.select(col("cell"), col("cvec"))), Seq("cell"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        zip_with(col("v"), col("cvec"), (a, b) => a - b).as("r"))
       .localCheckpoint()
     Dedup.freeBlocks(e)
+    val (encoded, codebook) = buildPqIndexFrom(resid, subspaces = 8, codebookSize = 16,
+      dim = 64, seed = 42L, vecCol = "r")
+    // the search reads the corpus in three branches — materialize once
+    // and free the superseded residual blocks (centroids/codebook are
+    // driver-built; nothing else reads them)
+    val corpus = encoded
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("codes"))
+      .localCheckpoint()
+    Dedup.freeBlocks(resid)
     annIvfPqSearch(corpus, centroids, codebook, k, numQueries, nProbe)
   }
 
