@@ -28,6 +28,13 @@ object vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Element-wise vector subtraction a − b. The IVFADC residual paths
+    * use this on BOTH the corpus side (encode v − centroid) and the
+    * query side (qres = qv − centroid) — one definition keeps the two
+    * bit-identical, which ADC distance comparability depends on. */
+  def sub(a: Column, b: Column): Column =
+    zip_with(asDouble(a), asDouble(b), (x, y) => x - y)
+
   /** Cosine similarity; 0.0 when either norm is 0 (guards div-by-zero). */
   def cosine(a: Column, b: Column): Column = {
     val d  = dot(a, b)

@@ -327,6 +327,7 @@ object Similarity {
       .putLong("graft.pq.subspaces", subspaces.toLong)
       .putLong("graft.pq.codebookSize", codebookSize.toLong)
       .putLong("graft.pq.dim", dim.toLong)
+      .putBoolean("graft.pq.residual", vecCol != "v")
       .build()
     val encoded = encoded0.select(e.columns.map(col) :+
       array((0 until subspaces).map(s => col(s"_c$s")): _*).as("codes", codesMeta): _*)
@@ -340,7 +341,7 @@ object Similarity {
     * the encoded frame's codes-column metadata (when present — frames
     * assembled by hand without it just skip the check). */
   private def checkPqParams(encoded: DataFrame, subspaces: Int, codebookSize: Int,
-                            dim: Int): Unit =
+                            dim: Int, residual: Boolean): Unit =
     encoded.schema.fields.find(_.name == "codes").foreach { f =>
       if (f.metadata.contains("graft.pq.subspaces")) {
         val (bs, bk, bd) = (f.metadata.getLong("graft.pq.subspaces"),
@@ -349,6 +350,16 @@ object Similarity {
           s"PQ index was built with subspaces=$bs codebookSize=$bk dim=$bd but the probe " +
             s"asked for subspaces=$subspaces codebookSize=$codebookSize dim=$dim — flat ADC " +
             "positions would not align and the search would return wrong neighbors")
+        // residual-ness is a build parameter too: raw codes probed with
+        // per-cell residual tables (or vice versa) score in the wrong
+        // space and silently collapse recall
+        if (f.metadata.contains("graft.pq.residual")) {
+          val br = f.metadata.getBoolean("graft.pq.residual")
+          require(br == residual,
+            s"PQ index codes quantize ${if (br) "RESIDUAL" else "RAW"} vectors but this " +
+              s"search scores them in ${if (residual) "residual" else "raw"} space — use " +
+              (if (br) "annIvfPqSearch with the matching centroids" else "annPqSearch"))
+        }
       }
     }
 
@@ -422,7 +433,7 @@ object Similarity {
   def annPqSearch(encoded: DataFrame, codebook: DataFrame, k: Int = 10,
                   numQueries: Int = 5, rerank: Int = 50,
                   subspaces: Int = 8, codebookSize: Int = 16, dim: Int = 64): DataFrame = {
-    checkPqParams(encoded, subspaces, codebookSize, dim)
+    checkPqParams(encoded, subspaces, codebookSize, dim, residual = false)
     val queries = encoded.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val qtab = broadcast(adcTable(queries, Seq("q_id"), "qv",
@@ -466,7 +477,7 @@ object Similarity {
                      k: Int = 10, numQueries: Int = 5, nProbe: Int = 4,
                      rerank: Int = 50,
                      subspaces: Int = 8, codebookSize: Int = 16, dim: Int = 64): DataFrame = {
-    checkPqParams(corpus, subspaces, codebookSize, dim)
+    checkPqParams(corpus, subspaces, codebookSize, dim, residual = true)
     val queries = corpus.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     // IVF half: nProbe nearest cells. PQ half: the codes quantize
@@ -476,7 +487,7 @@ object Similarity {
     val qres = probeNearestCells(queries, centroids, nProbe)
       .join(queries.select(col("q_id"), col("qv")), Seq("q_id"))
       .join(broadcast(centroids.select(col("cell"), col("cvec"))), Seq("cell"))
-      .withColumn("qres", zip_with(col("qv"), col("cvec"), (a, b) => a - b))
+      .withColumn("qres", vectors.sub(col("qv"), col("cvec")))
     val probes = broadcast(adcTable(qres, Seq("q_id", "cell"), "qres",
       codebook, dim / subspaces, codebookSize))
 
@@ -513,7 +524,7 @@ object Similarity {
     val resid = assigned
       .join(broadcast(centroids.select(col("cell"), col("cvec"))), Seq("cell"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
-        zip_with(col("v"), col("cvec"), (a, b) => a - b).as("r"))
+        vectors.sub(col("v"), col("cvec")).as("r"))
       .localCheckpoint()
     Dedup.freeBlocks(e)
     val (encoded, codebook) = buildPqIndexFrom(resid, subspaces = 8, codebookSize = 16,

@@ -157,6 +157,17 @@ class SimilaritySpec extends SparkSpecBase {
     out.foreach { case (q, _, c, cos) =>
       bfCos.get((q, c)).foreach(b => assert(b == cos, s"cosine mismatch for ($q,$c)"))
     }
+    // residual-ness is a build parameter: RAW-code indexes (the q47
+    // builder) hand-joined into an IVF corpus must be REJECTED by the
+    // residual search — scoring raw codes against per-cell residual
+    // tables would silently collapse recall
+    val (assigned, centroids) = Similarity.buildIvfIndex(Tables(spark, sfDir).embeddings)
+    val (rawEnc, rawCb) = Similarity.buildPqIndex(Tables(spark, sfDir).embeddings)
+    val rawCorpus = rawEnc.join(assigned.select("vec_id", "cell"), Seq("vec_id"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.annIvfPqSearch(rawCorpus, centroids, rawCb)
+    }
+    assert(ex.getMessage.contains("RAW"), ex.getMessage)
   }
 
   test("near-dup join is label-blocked, not cross") {
