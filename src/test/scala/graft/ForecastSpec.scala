@@ -826,6 +826,38 @@ class ForecastSpec extends SparkSpecBase {
     }
   }
 
+  test("logistic intervals stay inside (floor, cap) and freq='MS' steps the Fourier spine") {
+    // noisy logistic-ish series: bands transform through the sigmoid,
+    // so they must bracket yhat AND stay strictly inside the bounds
+    def curve(x: Int): Double = 100.0 / (1.0 + math.exp(-(x - 10) / 3.0))
+    val noisy = (0 until 20).map { x =>
+      val eps = if (x % 2 == 0) 1.5 else -1.5
+      ("k1", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(x)),
+        math.min(99.0, math.max(1.0, curve(x) + eps)))
+    }.toDF("key", "ds", "y")
+    val out = Forecast.forecastDaily(noisy, Seq("key"), horizon = 7,
+      cap = Some(100.0), growth = "logistic", includeIntervals = true)
+      .select("yhat", "yhat_lower", "yhat_upper").as[(Double, Double, Double)].collect()
+    assert(out.length == 7)
+    out.foreach { case (y, lo, hi) =>
+      assert(lo <= y && y <= hi, s"band must bracket yhat: $lo $y $hi")
+      assert(lo > 0.0 && hi < 100.0,
+        s"sigmoid-transformed bands stay strictly inside the bounds: $lo $hi")
+    }
+    // MS through the Fourier path: future spine steps by month
+    val monthly = (0 until 24).map { x =>
+      ("k1", Date.valueOf(java.time.LocalDate.of(2022, 1, 1).plusMonths(x)), 50.0 + 2.0 * x)
+    }.toDF("key", "ds", "y")
+    val ms = Forecast.forecastFourier(monthly, Seq("key"), horizon = 4,
+      weeklyOrder = 0, yearlyOrder = 0, freq = "MS")
+      .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
+    ms.zipWithIndex.foreach { case ((ds, yhat), i) =>
+      assert(ds.toLocalDate == java.time.LocalDate.of(2022, 1, 1).plusMonths(24 + i),
+        s"spine must step one month: $ds")
+      assert(math.abs(yhat - (50.0 + 2.0 * (24 + i))) < 1e-4, s"$ds: $yhat")
+    }
+  }
+
   test("multi-metric fan-out forecasts every metric per key") {
     val out = Forecast.forecastMulti(spark, sfDir)
     val keys = out.select("event_type", "metric").distinct().count()
