@@ -695,7 +695,8 @@ object SparkEntry {
         |  FROM documents),
         |packed AS (
         |  SELECT doc_id, shard, n_tokens,
-        |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum_tokens
+        |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM toks)
         |SELECT doc_id, shard,
         |       CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS chunk,

@@ -116,10 +116,11 @@ object holidays {
     * toYear] — plug directly into `forecastWithHolidays`.
     *
     * Observed-day edge coverage is symmetric: year `toYear + 1` is also
-    * generated and filtered down to its rows that land INSIDE the span
-    * (a Saturday new year observes on Dec 31 of `toYear`), matching the
-    * low end, where `forYear(fromYear)` may emit Dec 31 of
-    * `fromYear − 1` (kept — harmless spillover in a broadcast dim). */
+    * generated so a Saturday new year observes on Dec 31 of `toYear`,
+    * and every emitted row is then filtered to the requested
+    * [fromYear, toYear] span — so a `fromYear` new year observing on
+    * Dec 31 of `fromYear − 1` is dropped, exactly as the top end drops
+    * `toYear + 1` dates. No row ever lies outside the span. */
   def calendar(spark: SparkSession, country: String,
                fromYear: Int, toYear: Int): DataFrame = {
     import spark.implicits._
@@ -127,7 +128,7 @@ object holidays {
       if (toYear < fromYear) Seq.empty[(java.sql.Date, String)]
       else (fromYear to toYear + 1)
         .flatMap(forYear(country, _))
-        .filter { case (d, _) => d.getYear <= toYear }
+        .filter { case (d, _) => d.getYear >= fromYear && d.getYear <= toYear }
         .map { case (d, n) => (java.sql.Date.valueOf(d), n) }
     rows.toDF("ds", "holiday")
   }

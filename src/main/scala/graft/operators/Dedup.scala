@@ -136,6 +136,13 @@ object Dedup {
     * corpus-side exchanges. */
   def minhashIndexDocs(documents: DataFrame,
                        numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    // exact divisibility is the LSH banding contract: a remainder would
+    // silently leave the trailing signature slots out of every band
+    // (weaker candidate generation) while est_sim still used them — and
+    // the wrong parameters would persist into the index metadata as if
+    // valid
+    require(numHashes % bands == 0,
+      s"numHashes=$numHashes must be divisible by bands=$bands")
     val rows = numHashes / bands
     // the build parameters ride the sig column's schema METADATA
     // (surviving parquet/table round-trips) so a later probe with

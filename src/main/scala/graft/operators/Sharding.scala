@@ -152,8 +152,16 @@ object Sharding {
                         budget: Long, shards: Int = 32): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(shards > 0, s"shards must be positive, got $shards")
+    // ROWS frame, not the default RANGE: with duplicate idCol values the
+    // RANGE frame would include all peers' tokens in each peer's
+    // cum_tokens, so the cumBefore subtraction below would misassign
+    // chunks and overshoot the budget-plus-one-document bound. ROWS
+    // keeps results identical for unique ids and per-row-consistent
+    // (under some tie order) for duplicates.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     df.withColumn("shard", pmod(col(idCol), lit(shards)).cast("int"))
       .withColumn("cum_tokens", sum(col(tokensCol)).over(w))
       .withColumn("chunk",

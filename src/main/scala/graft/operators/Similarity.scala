@@ -279,6 +279,18 @@ object Similarity {
     val spark = e.sparkSession
     import spark.implicits._
     val dsub = dim / subspaces
+    // declarative length guard (the dedupAgainstIndex convention): a
+    // corpus whose vectors are longer than `dim` would otherwise be
+    // SILENTLY truncated to the first `dim` components (slice never
+    // complains), quantizing half of every vector away and degrading
+    // ADC recall with no error — and checkPqParams can't catch it later
+    // because build and probe would agree on the same wrong dim
+    val checked = e.withColumn(vecCol,
+      when(size(col(vecCol)) =!= dim,
+        raise_error(concat(lit("buildPqIndexFrom: vector length "),
+          size(col(vecCol)).cast("string"),
+          lit(s" != dim=$dim in column '$vecCol' — pass the actual embedding dim"))))
+        .otherwise(col(vecCol)))
     // the m fits are INDEPENDENT — run them as concurrent Spark jobs
     // (each internally distributed; the scheduler interleaves stages),
     // so build wall-clock is ~one fit, not m sequential fits. Random
@@ -295,7 +307,7 @@ object Similarity {
           // otherwise a host with fewer cores than subspaces silently
           // degrades the build toward sequential
           scala.concurrent.blocking {
-            val sub = e.select(array_to_vector(slice(col(vecCol), s * dsub + 1, dsub)).as("fv"))
+            val sub = checked.select(array_to_vector(slice(col(vecCol), s * dsub + 1, dsub)).as("fv"))
             new KMeans().setK(codebookSize).setSeed(seed + s)
               .setMaxIter(10).setInitMode("random")
               .setFeaturesCol("fv").setPredictionCol("code").fit(sub)
@@ -315,7 +327,7 @@ object Similarity {
     }
     // encoding chains one nearest-centroid assignment per subspace onto
     // a single projection pipeline — ONE pass over the corpus
-    val encoded0 = (0 until subspaces).foldLeft(e) { (acc, s) =>
+    val encoded0 = (0 until subspaces).foldLeft(checked) { (acc, s) =>
       models(s).setFeaturesCol("_fv").setPredictionCol(s"_c$s")
         .transform(acc.withColumn("_fv", array_to_vector(slice(col(vecCol), s * dsub + 1, dsub))))
         .drop("_fv")

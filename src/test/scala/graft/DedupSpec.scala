@@ -65,6 +65,16 @@ class DedupSpec extends SparkSpecBase {
     assert(!plan2.contains("CartesianProduct"), "ngram plan must stay bucketed")
   }
 
+  test("minhashIndexDocs rejects non-divisible banding parameters") {
+    // 16 hashes in 5 bands would band only slots 1..15 while est_sim
+    // used all 16 — and the broken parameters would persist into the
+    // index metadata as if valid
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.minhashIndexDocs(planted, numHashes = 16, bands = 5)
+    }
+    assert(ex.getMessage.contains("divisible"))
+  }
+
   test("incremental dedup verdicts a batch against a persisted bucketed index") {
     import graft.sources.Bucketing
     // corpus index persisted ONCE, bucketed on the probe key

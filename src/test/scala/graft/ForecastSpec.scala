@@ -296,6 +296,11 @@ class ForecastSpec extends SparkSpecBase {
       "calendar must cover an observed day spilling back from the year after its span")
     assert(!cal27.exists(_._1.toLocalDate.getYear > 2027),
       "no rows beyond the requested span")
+    // low-end symmetry: Jan 1 2022 was a Saturday, so its observed day
+    // is 2021-12-31 — OUTSIDE the requested span and must be dropped,
+    // mirroring the top-end filter
+    assert(!cal27.exists(_._1.toLocalDate.getYear < 2022),
+      "no rows before the requested span")
     // end-to-end: a July-4th bump learned from history lifts the
     // July-4th forecast when the horizon crosses it
     val start = LocalDate.of(2023, 6, 1)

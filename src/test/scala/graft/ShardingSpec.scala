@@ -122,4 +122,18 @@ class ShardingSpec extends SparkSpecBase {
     assert(!plan.contains("SinglePartition"),
       s"packing must not funnel through one partition:\n${plan.take(1200)}")
   }
+
+  test("packByTokenBudget keeps the budget bound under duplicate ids (ROWS frame)") {
+    import spark.implicits._
+    // four docs sharing one id, 600 tokens each, budget 1000: the ROWS
+    // running sum gives cumBefore 0/600/1200/1800 → chunks 0,0,1,1
+    // (each chunk 1200 ≤ budget + one doc). The default RANGE frame
+    // would give every peer cum=2400 → all land in chunk 1 with 2400
+    // tokens, blowing the documented bound.
+    val docs = Seq.fill(4)((8L, 600L)).toDF("doc_id", "n_tokens")
+    val out = Sharding.packByTokenBudget(docs, "doc_id", "n_tokens", budget = 1000, shards = 8)
+      .select("chunk").as[Long].collect().sorted
+    assert(out.toSeq == Seq(0L, 0L, 1L, 1L),
+      s"duplicate-id rows must pack row-by-row, got chunks ${out.toSeq}")
+  }
 }

@@ -113,6 +113,17 @@ class SimilaritySpec extends SparkSpecBase {
     // 8 subspaces × 16 codes with a 50-candidate exact rerank: the ADC
     // ordering concentrates true neighbors far above the random k/N
     assert(mean >= 0.4, s"mean PQ recall $mean too low — codebooks or ADC lookup broken")
+    // a corpus whose vectors are LONGER than the declared dim must fail
+    // the build loudly — slice would otherwise quantize only the first
+    // dim components and silently degrade ADC recall
+    import spark.implicits._
+    val wide = (0 until 40).map(i => (i.toLong, Seq.fill(8)(i * 0.1))).toDF("vec_id", "embedding")
+    val dimEx = intercept[Exception] {
+      Similarity.buildPqIndex(wide, subspaces = 2, codebookSize = 2, dim = 4)
+    }
+    assert(dimEx.getMessage.contains("vector length") ||
+        Option(dimEx.getCause).exists(_.getMessage.contains("vector length")),
+      s"dim mismatch must raise the length guard, got: ${dimEx.getMessage}")
     // reported cosines are genuine (match brute force where both appear)
     val bfCos = bf.map(r => (r._1, r._3) -> r._4).toMap
     pq.foreach { case (q, _, c, cos) =>
