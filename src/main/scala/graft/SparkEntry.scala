@@ -78,6 +78,10 @@ object SparkEntry {
     "q41_asof_attribution"       -> ((s, d) => AsOfJoin.clickAttribution(s, d)),
     "q45_token_packing"          -> ((s, d) => Sharding.tokenPacking(s, d)),
     "q46_unigram_logprob"        -> ((s, d) => TextAnalysis.unigramLogProb(s, d)),
+    "q49_pii_redact"             -> ((s, d) => TextClean.piiRedactDocs(s, d)),
+    "q50_html_strip"             -> ((s, d) => TextClean.htmlStripDocs(s, d)),
+    "q51_doc_chunks"             -> ((s, d) => Sharding.docChunks(s, d)),
+    "q52_tfidf_terms"            -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     // Shopify sales-report refunds/returns leg
     "q33_sales_returns"          -> ((s, d) => Reports.salesReturns(s, d)),
     "q34_refunds_frame"          -> ((s, d) => Reports.refundsFrame(s, d))
@@ -701,6 +705,99 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |       CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS chunk,
         |       n_tokens, cum_tokens
-        |FROM packed ORDER BY doc_id""".stripMargin
+        |FROM packed ORDER BY doc_id""".stripMargin,
+
+    // PII redaction: the patterns interpolate from TextClean's constants
+    // (one source of truth for both engines); the planted PII is built
+    // from doc_id identically on both sides, so the hash check exercises
+    // real detection + redaction, not zero counts over word-salad
+    "q49_pii_redact" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         text || ' email user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |              || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+         |              || ' phone 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234'
+         |              || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-45-6789' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '${TextClean.emailPattern}')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(text, '${TextClean.ipv4Pattern}')) AS BIGINT) AS n_ips,
+         |       CAST(len(regexp_extract_all(text, '${TextClean.phonePattern}')) AS BIGINT) AS n_phones,
+         |       CAST(len(regexp_extract_all(text, '${TextClean.ssnPattern}')) AS BIGINT) AS n_ids,
+         |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |         '${TextClean.emailPattern}', '[EMAIL]', 'g'),
+         |         '${TextClean.ipv4Pattern}', '[IP]', 'g'),
+         |         '${TextClean.phonePattern}', '[PHONE]', 'g'),
+         |         '${TextClean.ssnPattern}', '[ID]', 'g') AS redacted
+         |FROM planted ORDER BY doc_id""".stripMargin,
+
+    // HTML strip: tags out first, entities unescaped in TextClean's
+    // fixed order (&amp; last), whitespace collapsed — all replicated
+    // verbatim so entity-bracketed content survives on both sides
+    "q50_html_strip" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         '<div class="doc"><p id=''d''>' || text
+         |           || '</p> <a href="http://ex.com/?a=1&amp;b=2">link</a>&nbsp;&lt;end&gt;</div>' AS text
+         |  FROM documents),
+         |stripped AS (
+         |  SELECT doc_id,
+         |         CAST(len(regexp_extract_all(text, '${TextClean.tagPattern}')) AS BIGINT) AS n_tags,
+         |         replace(replace(replace(replace(replace(replace(
+         |           regexp_replace(text, '${TextClean.tagPattern}', ' ', 'g'),
+         |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS un
+         |  FROM planted)
+         |SELECT doc_id, n_tags,
+         |       trim(regexp_replace(un, '\\s+', ' ', 'g')) AS clean_text,
+         |       CAST(length(trim(regexp_replace(un, '\\s+', ' ', 'g'))) AS BIGINT) AS clean_chars
+         |FROM stripped ORDER BY doc_id""".stripMargin,
+
+    // sliding-window chunking: chunk starts via generate_series (the
+    // Spark side uses sequence+explode), chunk text via 1-based
+    // inclusive list slicing — both engines share the q29/q45
+    // whitespace-token convention, so text and spans hash-match
+    "q51_doc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |starts AS (
+        |  SELECT doc_id, tk, n, unnest(generate_series(0, n - 1, 12)) AS s
+        |  FROM toks)
+        |SELECT doc_id,
+        |       CAST(s // 12 AS BIGINT) AS chunk_idx,
+        |       CAST(s AS BIGINT) AS tok_start,
+        |       CAST(least(16, n - s) AS BIGINT) AS tok_len,
+        |       array_to_string(tk[CAST(s + 1 AS BIGINT):CAST(s + least(16, n - s) AS BIGINT)], ' ') AS chunk_text
+        |FROM starts ORDER BY doc_id, tok_start""".stripMargin,
+
+    // TF-IDF per language: corpus df recovered from per-(lang, term)
+    // distinct-doc counts by a window sum (a doc has exactly one lang);
+    // ranking on the ROUNDED score (q46 ln-parity + q28 epsilon
+    // conventions) with a term tiebreak keeps ordering engine-independent
+    "q52_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |per_lang AS (
+        |  SELECT lang, term, CAST(count(*) AS BIGINT) AS tf,
+        |         count(DISTINCT doc_id) AS dfl
+        |  FROM toks GROUP BY 1, 2),
+        |with_df AS (
+        |  SELECT lang, term, tf,
+        |         CAST(sum(dfl) OVER (PARTITION BY term) AS BIGINT) AS df
+        |  FROM per_lang),
+        |scored AS (
+        |  SELECT lang, term, tf, df,
+        |         round(tf * ln(CAST((SELECT n_docs FROM nd) AS DOUBLE) / df) + 1e-9, 4) AS score
+        |  FROM with_df),
+        |ranked AS (
+        |  SELECT lang, term, tf, df, score,
+        |         row_number() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS rn
+        |  FROM scored)
+        |SELECT lang, rn AS rank, term, tf, df, score
+        |FROM ranked WHERE rn <= 5 ORDER BY lang, rank""".stripMargin
   )
 }

@@ -168,6 +168,49 @@ object Sharding {
         floor((col("cum_tokens") - col(tokensCol)).cast("double") / budget).cast("long"))
   }
 
+  /** Sliding-window CHUNKING (`q51_doc_chunks`): split each document
+    * into fixed-token windows with overlap — the sequence-assembly step
+    * that turns long documents into training examples (window = max
+    * sequence length, stride < window keeps cross-boundary context).
+    * Chunk starts are `0, stride, 2·stride, …` while the start lies
+    * inside the document; the last chunk is truncated to the document
+    * end (never padded, never dropped — the consumer decides). Emits
+    * the chunk text itself plus (chunk_idx, tok_start, tok_len) so a
+    * downstream tokenizer can map spans back to source offsets.
+    *
+    * Scale shape: map-only — one `split`, one `sequence`+`explode`, no
+    * shuffle (the ORDER BY in the query entry is oracle-determinism
+    * only). Chunk fan-out is ~n_tokens/stride rows per doc, linear in
+    * corpus size. Every function is ANSI-expressible (DuckDB
+    * `generate_series` + list slicing), so the layout is hash-checked
+    * end to end, chunk text included. */
+  def chunkByTokenWindow(df: DataFrame, idCol: String, textCol: String,
+                         window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in (0, window=$window], got $stride")
+    df.withColumn("_tk", split(trim(col(textCol)), "\\s+"))
+      .withColumn("_n", size(col("_tk")).cast("long"))
+      .withColumn("s", explode(sequence(lit(0L), col("_n") - 1L, lit(stride.toLong))))
+      .select(
+        col(idCol),
+        (col("s") / stride).cast("long").as("chunk_idx"),
+        col("s").as("tok_start"),
+        least(lit(window.toLong), col("_n") - col("s")).as("tok_len"),
+        concat_ws(" ", slice(col("_tk"), (col("s") + 1L).cast("int"),
+          least(lit(window.toLong), col("_n") - col("s")).cast("int"))).as("chunk_text"))
+  }
+
+  /** `q51_doc_chunks` — chunk the documents table into 16-token windows
+    * with stride 12 (4-token overlap); tiny window so the ~30-token
+    * synthetic docs actually produce multi-chunk fan-out. */
+  def docChunks(spark: SparkSession, dir: String,
+                window: Int = 16, stride: Int = 12): DataFrame =
+    chunkByTokenWindow(
+      graft.Tables(spark, dir).documents.select(col("doc_id"), col("text")),
+      "doc_id", "text", window, stride)
+      .orderBy(col("doc_id"), col("tok_start"))
+
   /** `q45_token_packing` — pack the documents table into 2048-token
     * chunks across 8 shards; token counts use q29's whitespace formula
     * (shared with the oracle), so the whole layout is hash-checked. */

@@ -195,6 +195,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** `q52_tfidf_terms` — TF-IDF top terms per language: the
+    * vocabulary-characterization pass a corpus audit runs per slice
+    * (which terms distinguish each language/source bucket). tf counts
+    * term occurrences within the slice; df counts documents containing
+    * the term CORPUS-WIDE (a document has exactly one lang, so corpus
+    * df = Σ over langs of per-(lang, term) distinct-doc counts — which
+    * lets ONE grouped aggregation feed both numbers, with df recovered
+    * by a whole-partition window over the already-tiny (lang, term)
+    * frame instead of a second pass over the exploded corpus).
+    *
+    * Scale shape: one explode + one shuffle on (lang, term); the window
+    * and ranking run on the aggregated vocabulary (|V|·|langs| rows),
+    * never the corpus. Ranking is on the ROUNDED score (both engines
+    * round the same doubles — the q46 ln-parity convention) with a term
+    * tiebreak, so ordering is engine-independent. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    tfidfTopTermsDocs(Tables(spark, dir).documents, k)
+
+  /** DataFrame-level TF-IDF top terms over any (doc_id, lang, text)
+    * frame — `lang` is the slice key (any categorical column renamed to
+    * `lang` works). */
+  def tfidfTopTermsDocs(documents: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = documents
+      .select(col("doc_id"), col("lang"), explode(T.tokens(col("text"))).as("term"))
+    val nDocs = broadcast(documents.agg(count(lit(1)).as("n_docs")))
+    val perLang = exploded.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("dfl"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("term").asc)
+    perLang
+      .withColumn("df", sum(col("dfl")).over(Window.partitionBy(col("term"))))
+      .crossJoin(nDocs)
+      // +1e-9 nudges grid-aligned values off the .00005 rounding tie
+      // (the q28 epsilon convention); df == n_docs gives exactly 0
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")) + lit(1e-9), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** C11 `q30_fingerprint` — normalized content fingerprint (md5 of the
     * whitespace-collapsed lowercase normal form). */
   def fingerprintDocs(spark: SparkSession, dir: String): DataFrame = {

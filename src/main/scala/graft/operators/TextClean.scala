@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-cleaning operators a pretraining pipeline runs before anything
+  * else touches the text: PII detection/redaction and HTML/boilerplate
+  * stripping (the C4/CCNet-style cleanup stages; see the reference's
+  * string-cleaning pass, `d2b_data/utils.py` clean-string helpers, for
+  * the same shape at report scale).
+  *
+  * Everything is a pure column expression — map-only narrow plans, fully
+  * codegen'd, zero shuffles — so both operators stream through a 100 TB
+  * corpus scan at parquet-read speed. Patterns are ASCII-only and avoid
+  * backreferences/lookaround so Java regex (Spark) and RE2 (DuckDB, the
+  * oracle) agree byte-for-byte.
+  */
+object TextClean {
+
+  /** Shared detection patterns (public, textbook shapes). Kept as
+    * constants so the oracle SQL interpolates the SAME strings — one
+    * source of truth for both engines. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val ssnPattern   = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** PII detection + redaction over any (id, text) frame. Counts are
+    * per-pattern matches against the ORIGINAL text (independent — a
+    * later pattern never sees an earlier pattern's placeholder);
+    * redaction applies the patterns in a fixed order (email → IPv4 →
+    * phone → SSN) whose placeholders contain no digits, so no pass can
+    * create a match for a later one. Phone (3-3-4) and SSN (3-2-4)
+    * groupings are disjoint by construction. */
+  def piiRedact(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, emailPattern, "[EMAIL]"),
+            ipv4Pattern, "[IP]"),
+          phonePattern, "[PHONE]"),
+        ssnPattern, "[ID]")
+    df.withColumn("n_emails", regexp_count(t, lit(emailPattern)).cast("long"))
+      .withColumn("n_ips", regexp_count(t, lit(ipv4Pattern)).cast("long"))
+      .withColumn("n_phones", regexp_count(t, lit(phonePattern)).cast("long"))
+      .withColumn("n_ids", regexp_count(t, lit(ssnPattern)).cast("long"))
+      .withColumn("redacted", redacted)
+  }
+
+  /** HTML entity table, applied tag-strip-first then entities in this
+    * fixed order with `&amp;` LAST — unescaping the ampersand first
+    * would fabricate new entities out of literal text like `&amp;lt;`.
+    * Entity-encoded angle brackets (`&lt;tag&gt;`) are CONTENT, not
+    * markup: they unescape AFTER the tag strip and survive, by design. */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Tag pattern: anything between angle brackets, non-greedy by
+    * construction (`[^>]*` cannot cross a closing bracket). */
+  val tagPattern = "<[^>]*>"
+
+  /** HTML/boilerplate strip over any (id, text) frame: drop tags,
+    * unescape the common entities, collapse runs of whitespace. Emits
+    * the tag count (a boilerplate-density quality signal) alongside the
+    * cleaned text. */
+  def htmlStrip(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val unescaped = htmlEntities.foldLeft(
+      regexp_replace(t, tagPattern, " ")) { case (acc, (ent, ch)) =>
+      replace(acc, lit(ent), lit(ch))
+    }
+    df.withColumn("n_tags", regexp_count(t, lit(tagPattern)).cast("long"))
+      .withColumn("clean_text", trim(regexp_replace(unescaped, "\\s+", " ")))
+      .withColumn("clean_chars", length(trim(regexp_replace(unescaped, "\\s+", " "))).cast("long"))
+  }
+
+  /** `q49_pii_redact` — the documents table carries no PII (synthetic
+    * word-salad), so the query entry PLANTS one deterministic instance
+    * of each pattern per row from `doc_id` — the oracle builds the same
+    * augmented text, so the DuckDB hash check exercises the actual
+    * detection and redaction logic, not just zero counts. */
+  def piiRedactDocs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+    val planted = docs.select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        lit(" email user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"),
+        lit(" phone 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-1234"),
+        lit(" ssn "), lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-45-6789")
+      ).as("text"))
+    piiRedact(planted, "text")
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        col("n_ids"), col("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** `q50_html_strip` — same planting idea: wrap each document in
+    * deterministic markup (tags, an attribute URL with an encoded
+    * ampersand, entity-bracketed content) so the oracle checks the
+    * strip+unescape+collapse pipeline end to end. */
+  def htmlStripDocs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+    val planted = docs.select(
+      col("doc_id"),
+      concat(
+        lit("<div class=\"doc\"><p id='d'>"), col("text"),
+        lit("</p> <a href=\"http://ex.com/?a=1&amp;b=2\">link</a>&nbsp;&lt;end&gt;</div>")
+      ).as("text"))
+    htmlStrip(planted, "text")
+      .select(col("doc_id"), col("n_tags"), col("clean_text"), col("clean_chars"))
+      .orderBy(col("doc_id"))
+  }
+}

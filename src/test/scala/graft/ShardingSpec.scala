@@ -123,6 +123,30 @@ class ShardingSpec extends SparkSpecBase {
       s"packing must not funnel through one partition:\n${plan.take(1200)}")
   }
 
+  test("chunkByTokenWindow: overlapping spans, truncated tail, map-only plan") {
+    import spark.implicits._
+    // 28 tokens, window 16, stride 12 → starts 0/12/24, lens 16/16/4
+    val words = (1 to 28).map(i => s"w$i")
+    val docs = Seq((7L, words.mkString(" ")), (8L, "solo")).toDF("doc_id", "text")
+    val out = Sharding.chunkByTokenWindow(docs, "doc_id", "text", window = 16, stride = 12)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._3))
+    val d7 = out.filter(_._1 == 7L)
+    assert(d7.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0L, 0L, 16L), (1L, 12L, 16L), (2L, 24L, 4L)))
+    assert(d7(0)._5 == words.take(16).mkString(" "))
+    assert(d7(1)._5 == words.slice(12, 28).mkString(" "), "overlap keeps tokens 13..16 in both")
+    assert(d7(2)._5 == words.drop(24).mkString(" "), "tail truncates, never pads")
+    assert(out.filter(_._1 == 8L).toSeq == Seq((8L, 0L, 0L, 1L, "solo")),
+      "a doc shorter than the window is one whole chunk")
+    intercept[IllegalArgumentException] {
+      Sharding.chunkByTokenWindow(docs, "doc_id", "text", window = 8, stride = 12)
+    }
+    // map-only: no exchange anywhere in the chunking itself
+    val plan = Sharding.chunkByTokenWindow(docs, "doc_id", "text", 16, 12)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n${plan.take(800)}")
+  }
+
   test("packByTokenBudget keeps the budget bound under duplicate ids (ROWS frame)") {
     import spark.implicits._
     // four docs sharing one id, 600 tokens each, budget 1000: the ROWS

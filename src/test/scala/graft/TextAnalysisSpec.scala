@@ -72,6 +72,29 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+  test("tfidf top terms recover a planted vocabulary split") {
+    // N=4 docs; ln(4/2)=0.6931 per idf unit. Slice-local tf, CORPUS df.
+    val docs = Seq(
+      (1L, "en", "apple apple banana"),
+      (2L, "en", "apple cherry"),
+      (3L, "es", "banana banana banana"),
+      (4L, "es", "cherry")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.tfidfTopTermsDocs(docs, k = 5)
+      .as[(String, Long, String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("en", 1L, "apple", 3L, 2L, 2.0794),
+      ("en", 2L, "banana", 1L, 2L, 0.6931),   // tie with cherry → term asc
+      ("en", 3L, "cherry", 1L, 2L, 0.6931),
+      ("es", 1L, "banana", 3L, 2L, 2.0794),
+      ("es", 2L, "cherry", 1L, 2L, 0.6931)), s"got: $out")
+    // a term present in EVERY doc scores exactly 0 (ln 1), not negative
+    val flat = Seq((1L, "en", "the"), (2L, "es", "the")).toDF("doc_id", "lang", "text")
+    val zeros = TextAnalysis.tfidfTopTermsDocs(flat, k = 5)
+      .as[(String, Long, String, Long, Long, Double)].collect()
+    assert(zeros.forall(r => r._6 == 0.0 && r._5 == 2L))
+  }
+
   test("quality score is bounded [0,1] over the corpus") {
     val scores = TextAnalysis.qualityScore(spark, sfDir)
       .select("quality_score").as[Double].collect()

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.TextClean
+import org.apache.spark.sql.functions._
+
+/** Planted-truth coverage for the corpus-cleaning operators: the q49/q50
+  * query entries plant synthetic PII/markup from doc_id for the oracle
+  * hash check; these specs pin the exact detection/redaction semantics
+  * on adversarial hand-built strings the synthetic tables can't contain.
+  */
+class TextCleanSpec extends SparkSpecBase {
+
+  test("piiRedact counts and redacts each pattern, placeholders never cascade") {
+    import spark.implicits._
+    val docs = Seq(
+      // two emails, one IP, phone AND ssn side by side
+      (1L, "mail a.b+c@ex-corp.org and X@Y.IO srv 192.168.0.1 call 555-123-4567 id 123-45-6789"),
+      // decimals and short digit runs must NOT trip the IP/phone patterns
+      (2L, "pi is 3.14 and 1.2.3 is a version; dial 12-345-6789 maybe"),
+      (3L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val out = TextClean.piiRedact(docs, "text")
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "n_ids", "redacted")
+      .as[(Long, Long, Long, Long, Long, String)].collect().sortBy(_._1)
+
+    val r1 = out(0)
+    assert((r1._2, r1._3, r1._4, r1._5) == ((2L, 1L, 1L, 1L)), s"row1 counts: $r1")
+    assert(r1._6 ==
+      "mail [EMAIL] and [EMAIL] srv [IP] call [PHONE] id [ID]")
+    val r2 = out(1)
+    assert((r2._2, r2._3, r2._4, r2._5) == ((0L, 0L, 0L, 0L)),
+      s"decimals/version strings/2-digit groups are not PII: $r2")
+    assert(r2._6 == "pi is 3.14 and 1.2.3 is a version; dial 12-345-6789 maybe")
+    val r3 = out(2)
+    assert(r3._6 == "nothing sensitive here at all" && r3._2 == 0L)
+  }
+
+  test("piiRedact phone (3-3-4) and ssn (3-2-4) groupings stay disjoint") {
+    import spark.implicits._
+    val out = TextClean.piiRedact(
+      Seq((1L, "555-123-4567 then 555-12-4567")).toDF("doc_id", "text"), "text")
+      .select("n_phones", "n_ids", "redacted")
+      .as[(Long, Long, String)].head()
+    assert(out == ((1L, 1L, "[PHONE] then [ID]")))
+  }
+
+  test("htmlStrip drops tags, unescapes entities in order, keeps encoded brackets as content") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<p class=\"x\">Hello&nbsp;world</p><br/>&amp;lt; <b>bold</b> &quot;q&quot; &#39;a&#39;"),
+      (2L, "plain text, no markup"),
+      (3L, "  spaced   <i> out </i>   text  ")
+    ).toDF("doc_id", "text")
+    val out = TextClean.htmlStrip(docs, "text")
+      .select("doc_id", "n_tags", "clean_text", "clean_chars")
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1)
+
+    // &amp;lt; unescapes (amp LAST) to the literal string "&lt;" — the
+    // double-encoded bracket is CONTENT and must survive the strip
+    assert(out(0)._2 == 5L, "p + /p + br + b + /b = 5 tags")
+    assert(out(0)._3 == "Hello world &lt; bold \"q\" 'a'", s"got: '${out(0)._3}'")
+    assert(out(0)._4 == out(0)._3.length.toLong)
+    assert(out(1)._2 == 0L && out(1)._3 == "plain text, no markup")
+    assert(out(2)._3 == "spaced out text", "whitespace collapses and trims")
+  }
+
+  test("q49/q50 planted query entries produce one hit per pattern per row") {
+    import spark.implicits._
+    val pii = TextClean.piiRedactDocs(spark, sfDir)
+    val bad = pii.filter(col("n_emails") =!= 1 || col("n_ips") =!= 1 ||
+      col("n_phones") =!= 1 || col("n_ids") =!= 1).count()
+    assert(bad == 0L, "every planted row carries exactly one of each PII kind")
+    assert(pii.filter(col("redacted").contains("[EMAIL]") &&
+      col("redacted").contains("[IP]") && col("redacted").contains("[PHONE]") &&
+      col("redacted").contains("[ID]")).count() == pii.count())
+
+    val html = TextClean.htmlStripDocs(spark, sfDir)
+    assert(html.filter(col("n_tags") =!= 6).count() == 0L,
+      "div + p + /p + a + /a + /div = 6 planted tags per row")
+    assert(html.filter(col("clean_text").contains("<") &&
+      !col("clean_text").contains("<end>")).count() == 0L,
+      "only the entity-encoded bracket content survives")
+  }
+}
