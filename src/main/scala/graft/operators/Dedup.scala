@@ -596,8 +596,17 @@ object Dedup {
     * valid quotient: the component minimum always labels itself, so it
     * survives contraction as a node) and finish on the much smaller
     * residual graph with star contraction. One operator, best cost
-    * profile on both graph shapes, same (id, rep_id) contract. */
-  def dupClustersAuto(pairs: DataFrame, propagationRounds: Int = 6,
+    * profile on both graph shapes, same (id, rep_id) contract.
+    *
+    * `propagationRounds` must EXCEED the typical clump diameter or the
+    * auto path pays the star fixpoint's fixed job cost in exactly the
+    * common case it exists to avoid: clump diameter grows (slowly) with
+    * corpus size — the sf0.1 near-dup graph already needs 8 rounds
+    * where sf0.01 needed 4 — so the budget is 10, converging early on
+    * small graphs (propagation exits on the first no-change round) and
+    * bounding the waste on a true chain to ten cheap join+agg rounds
+    * before the switch. */
+  def dupClustersAuto(pairs: DataFrame, propagationRounds: Int = 10,
                       maxIter: Int = 30): DataFrame = {
     val edges = symmetricEdges(pairs)
     val (labels, done) = propagateLabels(edges, propagationRounds)
