@@ -82,6 +82,8 @@ object SparkEntry {
     "q50_html_strip"             -> ((s, d) => TextClean.htmlStripDocs(s, d)),
     "q51_doc_chunks"             -> ((s, d) => Sharding.docChunks(s, d)),
     "q52_tfidf_terms"            -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
+    "q53_quality_filter"         -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
+    "q54_stratified_sample"      -> ((s, d) => Sharding.stratifiedDocSample(s, d)),
     // Shopify sales-report refunds/returns leg
     "q33_sales_returns"          -> ((s, d) => Reports.salesReturns(s, d)),
     "q34_refunds_frame"          -> ((s, d) => Reports.refundsFrame(s, d))
@@ -112,6 +114,28 @@ object SparkEntry {
       " ELSE 'unknown' END"
 
   private val enStops: String = sqlList(T.stopwords.head._2)
+
+  /** Quality-score CTEs shared by q28 and q53 — ONE source of truth for
+    * the scoring formula on the oracle side (the Spark side shares
+    * `TextAnalysis.qualityScoreDocs` the same way). */
+  private val qualityCtes: String =
+    s"""base AS (
+       |  SELECT doc_id,
+       |   CAST(length(text) AS BIGINT) AS n_chars,
+       |   CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+       |   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS punct,
+       |   CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |        t -> list_contains($enStops, t))) AS BIGINT) AS stops
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, n_chars, n_tokens,
+       |   round(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio,
+       |   round(CAST(stops AS DOUBLE) / greatest(n_tokens, 1), 4) AS stop_ratio,
+       |   round(least(1.0,
+       |     0.5 * (CAST(stops AS DOUBLE) / greatest(n_tokens, 1))
+       |   + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 20.0)
+       |   + 0.2 * (1.0 - CAST(punct AS DOUBLE) / greatest(n_chars, 1))) + 1e-9, 4) AS quality_score
+       |  FROM base)""".stripMargin
 
   /** Transitive-closure ground truth shared by q37 (label propagation)
     * and q39 (large-star/small-star): DuckDB recursive-CTE reachability
@@ -594,22 +618,9 @@ object SparkEntry {
          |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q28_quality_score" ->
-      s"""WITH base AS (
-         |  SELECT doc_id,
-         |   CAST(length(text) AS BIGINT) AS n_chars,
-         |   CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
-         |   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS punct,
-         |   CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-         |        t -> list_contains($enStops, t))) AS BIGINT) AS stops
-         |  FROM documents)
-         |SELECT doc_id, n_chars, n_tokens,
-         | round(CAST(punct AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio,
-         | round(CAST(stops AS DOUBLE) / greatest(n_tokens, 1), 4) AS stop_ratio,
-         | round(least(1.0,
-         |   0.5 * (CAST(stops AS DOUBLE) / greatest(n_tokens, 1))
-         | + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 20.0)
-         | + 0.2 * (1.0 - CAST(punct AS DOUBLE) / greatest(n_chars, 1))) + 1e-9, 4) AS quality_score
-         |FROM base ORDER BY doc_id""".stripMargin,
+      s"""WITH $qualityCtes
+         |SELECT doc_id, n_chars, n_tokens, punct_ratio, stop_ratio, quality_score
+         |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q29_token_counts" ->
       """SELECT doc_id,
@@ -798,6 +809,34 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS rn
         |  FROM scored)
         |SELECT lang, rn AS rank, term, tf, df, score
-        |FROM ranked WHERE rn <= 5 ORDER BY lang, rank""".stripMargin
+        |FROM ranked WHERE rn <= 5 ORDER BY lang, rank""".stripMargin,
+
+    // per-language quality-percentile gate: the shared quality CTEs +
+    // percent_rank over a unique ordering — (rank-1)/(n-1) is exact
+    // integer-derived math, identical in both engines, so the kept set
+    // is deterministic
+    "q53_quality_filter" ->
+      s"""WITH $qualityCtes,
+         |ranked AS (
+         |  SELECT s.doc_id, d.lang, s.quality_score,
+         |         percent_rank() OVER (PARTITION BY d.lang
+         |           ORDER BY s.quality_score DESC, s.doc_id) AS pr
+         |  FROM scored s JOIN documents d USING (doc_id))
+         |SELECT doc_id, lang, quality_score, round(pr, 4) AS q_rank
+         |FROM ranked WHERE pr <= 0.5 ORDER BY doc_id""".stripMargin,
+
+    // stratified sampling: md5 of the decimal id string gives both
+    // engines the identical draw order (lowercase hex compares
+    // byte-equal), so the EXACT kept set hash-matches
+    "q54_stratified_sample" ->
+      """WITH hashed AS (
+        |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR) || ':7') AS h
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT lang, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS draw_rank
+        |  FROM hashed)
+        |SELECT lang, draw_rank, doc_id
+        |FROM ranked WHERE draw_rank <= 20 ORDER BY lang, draw_rank""".stripMargin
   )
 }

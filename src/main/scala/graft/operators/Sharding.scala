@@ -168,6 +168,41 @@ object Sharding {
         floor((col("cum_tokens") - col(tokensCol)).cast("double") / budget).cast("long"))
   }
 
+  /** Deterministic STRATIFIED sampling (`q54_stratified_sample`): the
+    * first `n` rows per stratum in seeded-md5 order — "n docs per
+    * language/source" for eval-set construction and per-slice audits.
+    * Complements [[sampleByHash]]: hash-Bernoulli keeps a binomial
+    * COUNT per stratum; this keeps EXACTLY n, and the md5-of-id draw
+    * order is retry-stable (re-running a failed stage redraws the same
+    * sample, unlike `rand()`), engine-reproducible (md5 of the decimal
+    * id string is ANSI-expressible — the oracle hash-checks the exact
+    * kept set), and seed-keyed (a different seed draws an independent
+    * order).
+    *
+    * Scale shape: one shuffle on the stratum key; the window never
+    * ranks more than one stratum per partition. For strata so large a
+    * partition can't hold them, pre-thin with `hashUnit < oversampled
+    * rate` first and rank the survivors — same contract. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       n: Int, seed: Long): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+      .withColumn("draw_rank", row_number().over(w).cast("long"))
+      .filter(col("draw_rank") <= n)
+      .drop("_h")
+  }
+
+  /** `q54_stratified_sample` — 20 documents per language, seed 7. */
+  def stratifiedDocSample(spark: SparkSession, dir: String,
+                          n: Int = 20, seed: Long = 7L): DataFrame =
+    stratifiedSample(
+      graft.Tables(spark, dir).documents.select(col("doc_id"), col("lang")),
+      "lang", "doc_id", n, seed)
+      .select(col("lang"), col("draw_rank"), col("doc_id"))
+      .orderBy(col("lang"), col("draw_rank"))
+
   /** Sliding-window CHUNKING (`q51_doc_chunks`): split each document
     * into fixed-token windows with overlap — the sequence-assembly step
     * that turns long documents into training examples (window = max

@@ -42,8 +42,13 @@ object TextAnalysis {
 
   /** C9 `q28_quality_score` — length/punct/stopword-ratio quality score
     * (the standard pretraining-corpus quality heuristics). */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreDocs(Tables(spark, dir).documents).orderBy(col("doc_id"))
+
+  /** DataFrame-level quality scoring over any (doc_id, text) frame;
+    * unsorted so composing operators (q53's percentile filter) don't
+    * inherit a wasted sort. */
+  def qualityScoreDocs(documents: DataFrame): DataFrame = {
     val toks = T.tokens(col("text"))
     val nChars = length(col("text")).cast("long")
     val nToks = size(toks).cast("long")
@@ -54,7 +59,7 @@ object TextAnalysis {
     // composite computed from UNROUNDED ratios; +1e-9 epsilon nudges
     // grid-aligned values (ratios are small rationals, so the weighted sum
     // can land exactly on the .00005 rounding boundary) off the tie.
-    t.documents
+    documents
       .select(
         col("doc_id"),
         nChars.as("n_chars"),
@@ -65,6 +70,31 @@ object TextAnalysis {
           lit(0.5) * stopRatio
             + lit(0.3) * least(lit(1.0), nToks.cast("double") / 20.0)
             + lit(0.2) * (lit(1.0) - punctRatio)) + lit(1e-9), 4).as("quality_score"))
+  }
+
+  /** `q53_quality_filter` — the FILTERING step the quality score exists
+    * for: keep each language's top `keep` quantile by quality (the
+    * percentile-threshold gate of a pretraining cleanup pass, applied
+    * per slice so one verbose language can't crowd out another).
+    * `percent_rank` is exact integer math ((rank−1)/(n−1), identical in
+    * both engines) over a unique ordering (rounded score desc, doc_id),
+    * so the kept set is deterministic and engine-independent.
+    *
+    * Scale shape: the score pass is map-only; the rank is one shuffle
+    * on `lang`. For strata too large for a single partition's window,
+    * swap in an approx-quantile threshold (computed once, broadcast) —
+    * the contract stays the same. */
+  def qualityFilter(spark: SparkSession, dir: String, keep: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val scored = qualityScoreDocs(docs).select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    scored.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") <= keep)
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        round(col("pr"), 4).as("q_rank"))
       .orderBy(col("doc_id"))
   }
 

@@ -76,9 +76,11 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("text-analysis queries stay map-only: no Exchange before the output sort") {
-    // q27/q40 claim zero shuffles (the ORDER BY for oracle determinism
-    // is the only exchange allowed in the plan)
-    for (q <- Seq("q27_langid", "q40_word_stats")) {
+    // q27/q40 claim zero shuffles, and the corpus-cleaning/chunking
+    // family (q49/q50/q51) must stream at scan speed (the ORDER BY for
+    // oracle determinism is the only exchange allowed in the plan)
+    for (q <- Seq("q27_langid", "q40_word_stats",
+                  "q49_pii_redact", "q50_html_strip", "q51_doc_chunks")) {
       val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
       val exchanges = "Exchange".r.findAllIn(plan).length
       assert(exchanges <= 1, s"$q must shuffle only for the final sort, found $exchanges:\n${plan.take(1200)}")

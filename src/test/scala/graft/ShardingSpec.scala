@@ -123,6 +123,27 @@ class ShardingSpec extends SparkSpecBase {
       s"packing must not funnel through one partition:\n${plan.take(1200)}")
   }
 
+  test("stratifiedSample draws exactly n per stratum, seed-keyed and stable") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir).documents.select(col("doc_id"), col("lang"))
+    val a = Sharding.stratifiedSample(docs, "lang", "doc_id", n = 20, seed = 7L)
+    val counts = a.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val strata = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    strata.foreach { case (lang, n) =>
+      assert(counts(lang) == math.min(20L, n), s"$lang: ${counts(lang)}")
+    }
+    val draw = a.select("doc_id").as[Long].collect().toSet
+    // same seed redraws the identical set (retry stability)
+    val again = Sharding.stratifiedSample(docs, "lang", "doc_id", 20, 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == draw)
+    // a different seed draws an independent order (some overlap is fine,
+    // identity is a broken seed)
+    val other = Sharding.stratifiedSample(docs, "lang", "doc_id", 20, 8L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(other != draw, "seed must key the draw order")
+  }
+
   test("chunkByTokenWindow: overlapping spans, truncated tail, map-only plan") {
     import spark.implicits._
     // 28 tokens, window 16, stride 12 → starts 0/12/24, lens 16/16/4

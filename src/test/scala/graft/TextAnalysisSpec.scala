@@ -95,6 +95,30 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(zeros.forall(r => r._6 == 0.0 && r._5 == 2L))
   }
 
+  test("quality filter keeps exactly the top half per language, none below the cut") {
+    val t = Tables(spark, sfDir)
+    val kept = TextAnalysis.qualityFilter(spark, sfDir, keep = 0.5)
+    val keptByLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totalByLang = t.documents.groupBy("lang").count().as[(String, Long)].collect().toMap
+    totalByLang.foreach { case (lang, n) =>
+      // percent_rank <= 0.5 keeps ranks 1 .. floor(0.5*(n-1))+1
+      val expected = (0.5 * (n - 1)).toLong + 1
+      assert(keptByLang(lang) == expected, s"$lang: kept ${keptByLang(lang)} of $n")
+    }
+    // every kept score >= every dropped score within the language
+    val scored = TextAnalysis.qualityScoreDocs(t.documents)
+      .join(t.documents.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "quality_score")
+      .as[(Long, String, Double)].collect()
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    scored.groupBy(_._2).foreach { case (lang, rows) =>
+      val (in, out) = rows.partition(r => keptIds.contains(r._1))
+      if (in.nonEmpty && out.nonEmpty)
+        assert(in.map(_._3).min >= out.map(_._3).max,
+          s"$lang: a dropped doc outscores a kept one")
+    }
+  }
+
   test("quality score is bounded [0,1] over the corpus") {
     val scores = TextAnalysis.qualityScore(spark, sfDir)
       .select("quality_score").as[Double].collect()
