@@ -86,7 +86,12 @@ object SparkEntry {
     "q54_stratified_sample"      -> ((s, d) => Sharding.stratifiedDocSample(s, d)),
     // Shopify sales-report refunds/returns leg
     "q33_sales_returns"          -> ((s, d) => Reports.salesReturns(s, d)),
-    "q34_refunds_frame"          -> ((s, d) => Reports.refundsFrame(s, d))
+    "q34_refunds_frame"          -> ((s, d) => Reports.refundsFrame(s, d)),
+    // engagement analytics over the events stream
+    "q55_cohort_retention"       -> ((s, d) => Analytics.cohortRetentionEvents(s, d)),
+    "q56_funnel_conversion"      -> ((s, d) => Analytics.funnelEvents(s, d)),
+    "q57_rolling_metrics"        -> ((s, d) => Analytics.rollingMetricsEvents(s, d)),
+    "q58_anomaly_flags"          -> ((s, d) => Analytics.anomalyFlagsEvents(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -837,6 +842,72 @@ object SparkEntry {
         |         CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS draw_rank
         |  FROM hashed)
         |SELECT lang, draw_rank, doc_id
-        |FROM ranked WHERE draw_rank <= 20 ORDER BY lang, draw_rank""".stripMargin
+        |FROM ranked WHERE draw_rank <= 20 ORDER BY lang, draw_rank""".stripMargin,
+
+    // weekly cohorts: Monday-start date_trunc('week') in both engines;
+    // the /7 offset is exact (both weeks are Monday-anchored) so the
+    // float division CASTs to the same INT
+    "q55_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |wk AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week_start FROM e),
+        |c AS (SELECT *, MIN(week_start) OVER (PARTITION BY user_id) AS cohort_week FROM wk),
+        |o AS (SELECT cohort_week,
+        |        CAST(datediff('day', cohort_week, week_start) / 7 AS INT) AS week_offset FROM c),
+        |counts AS (SELECT cohort_week, week_offset, count(*) AS active_users FROM o GROUP BY 1, 2),
+        |sizes AS (SELECT cohort_week, active_users AS cohort_size FROM counts WHERE week_offset = 0)
+        |SELECT cohort_week, week_offset, active_users, cohort_size,
+        | round(active_users * 1.0 / cohort_size, 4) AS retention_pct
+        |FROM counts JOIN sizes USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // strict-order funnel: step k's min-ts must lie strictly after the
+    // user's step k-1 timestamp — a click before the first view does
+    // NOT qualify (AnalyticsSpec plants exactly that user)
+    "q56_funnel_conversion" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |s1 AS (SELECT user_id, MIN(ts) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        |c AS (SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS users
+        |      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |SELECT step, step_name, users,
+        | round(users * 1.0 / first_value(users) OVER (ORDER BY step), 4) AS pct_of_first,
+        | round(users * 1.0 / lag(users) OVER (ORDER BY step), 4) AS pct_of_prev
+        |FROM c ORDER BY step""".stripMargin,
+
+    // RANGE frame over the day number, not ROWS: calendar gaps shrink
+    // the trailing window identically in both engines
+    "q57_rolling_metrics" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |d AS (SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS dv, count(*) AS n_events
+        |      FROM e GROUP BY 1, 2),
+        |n AS (SELECT *, datediff('day', DATE '1970-01-01', day) AS day_num FROM d)
+        |SELECT event_type, day, round(dv, 4) AS daily_value, n_events,
+        | round(sum(dv) OVER w, 4) AS rolling_7d_value,
+        | round(avg(dv) OVER w, 4) AS rolling_7d_avg,
+        | CAST(sum(n_events) OVER w AS BIGINT) AS rolling_7d_events
+        |FROM n
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+
+    // trailing baseline EXCLUDES the current day (a spike must not
+    // suppress its own z); z is null while the baseline has <2 days or
+    // is flat, and is_anomaly compares the ROUNDED z in both engines
+    "q58_anomaly_flags" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events FROM e GROUP BY 1, 2),
+        |b AS (SELECT *, avg(n_events) OVER w AS m, stddev_samp(n_events) OVER w AS s
+        |      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT *, CASE WHEN s IS NULL OR s = 0
+        |                     THEN CAST(NULL AS DOUBLE)
+        |                     ELSE round((n_events - m) / s, 4) END AS z_score FROM b)
+        |SELECT event_type, day, n_events, z_score,
+        | coalesce(abs(z_score) > 2.0, false) AS is_anomaly,
+        | round(m, 4) AS baseline_mean, round(s, 4) AS baseline_std
+        |FROM z ORDER BY event_type, day""".stripMargin
   )
 }

@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Engagement analytics over the events stream: cohort retention,
+  * ordered funnel conversion, rolling-window metrics, and
+  * trailing-baseline anomaly flags.
+  *
+  * The reference's clients all terminate in per-day marketing report
+  * tables (GA4 `_get_paginated_report`, Facebook `date_range` unions,
+  * youtube/linkedin day frames); these four operators are the standard
+  * second-order reports analysts derive FROM those tables. Each is
+  * ANSI-expressible, so the driver hash-checks all of them against
+  * DuckDB.
+  *
+  * Scale shapes (all verified against `.explain`):
+  *  - retention: events collapse to (user, week) FIRST (partial agg
+  *    map-side), so the per-user window runs on |users × weeks| rows,
+  *    not raw events; cohort sizes come from a window over the final
+  *    aggregate, never a second pass over the input.
+  *  - funnel: each step filters by event_type AT THE SCAN (pushdown),
+  *    then aggregates per user; step joins are user_id-keyed and AQE
+  *    co-partitions them with the per-step groupBys.
+  *  - rolling/anomaly: ONE groupBy to daily grain, then windows
+  *    partitioned by the series key — a single exchange that Spark
+  *    reuses for every windowed column.
+  */
+object Analytics {
+
+  /** Weekly cohort retention: users bucketed by the Monday of their
+    * first-ever event; for each (cohort, week-offset) the count of
+    * cohort members active that week and the retention ratio.
+    *
+    * Composable primitive: any (key, ts) frame works. Week grain keeps
+    * parity with DuckDB's Monday-start `date_trunc('week', ...)`.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    // collapse to user-week grain first: the heavy input (raw events)
+    // reduces map-side before anything user-partitioned runs
+    val weekly = df
+      .select(col(userCol), date_trunc("week", col(tsCol)).cast("date").as("week_start"))
+      .distinct()
+    val byUser = Window.partitionBy(col(userCol))
+    val offsets = weekly
+      .withColumn("cohort_week", min(col("week_start")).over(byUser))
+      .withColumn("week_offset",
+        (datediff(col("week_start"), col("cohort_week")) / 7).cast("int"))
+    val counts = offsets
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+    // cohort_size = the offset-0 count (every member is active in their
+    // first week by construction). A window over the already-aggregated
+    // counts frame (|cohorts × offsets| rows) gets it WITHOUT re-running
+    // the events pipeline — a self-join here doubled the scan count
+    counts
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("active_users")))
+          .over(Window.partitionBy(col("cohort_week"))))
+      .withColumn("retention_pct",
+        round(col("active_users").cast("double") / col("cohort_size"), 4))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** `q55_cohort_retention` on the events table. */
+  def cohortRetentionEvents(spark: SparkSession, dir: String): DataFrame =
+    cohortRetention(Tables(spark, dir).events, "user_id", "ts")
+
+  /** STRICT-ORDER funnel: a user reaches step k only via an event of
+    * step k's type strictly AFTER the timestamp that qualified them for
+    * step k−1 (first-touch per step). Returns one row per step with
+    * reach counts and conversion ratios.
+    *
+    * Each step is (filter by type at the scan) → per-user min-ts, joined
+    * to the survivors of the previous step. The per-step frames shrink
+    * monotonically, and every join + groupBy keys on the user column, so
+    * AQE plans them as co-partitioned (or broadcast once the survivor
+    * set is small — the common case from step 2 on).
+    */
+  def funnel(df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = df.sparkSession
+    val e = df.select(col(userCol), col(tsCol), col(typeCol))
+    // stepFrames(k): (user, t) = first qualifying timestamp at step k
+    val stepFrames = steps.tail.scanLeft(
+      e.filter(col(typeCol) === steps.head)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    ) { (prev, stepType) =>
+      e.filter(col(typeCol) === stepType).as("e")
+        .join(prev.as("p"), col(s"e.$userCol") === col(s"p.$userCol") &&
+          col(s"e.$tsCol") > col("p.t"))
+        .groupBy(col(s"e.$userCol").as(userCol))
+        .agg(min(col(s"e.$tsCol")).as("t"))
+    }
+    val counts = stepFrames.zip(steps).zipWithIndex.map { case ((f, name), i) =>
+      f.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step"), lit(name).as("step_name"), col("users"))
+    }.reduce(_ unionByName _)
+    // 1 row per step: the unpartitioned window is a deliberate
+    // single-partition op on a |steps|-row frame
+    val w = Window.orderBy(col("step"))
+    counts
+      .withColumn("pct_of_first",
+        round(col("users").cast("double") / first(col("users")).over(w), 4))
+      .withColumn("pct_of_prev",
+        round(col("users").cast("double") / lag(col("users"), 1).over(w), 4))
+      .orderBy(col("step"))
+  }
+
+  /** `q56_funnel_conversion`: view → click → purchase over events. */
+  def funnelEvents(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables(spark, dir).events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+
+  /** Daily series per key with TIME-ANCHORED rolling aggregates: the
+    * trailing `days`-day window is a RANGE frame over the day number,
+    * so calendar gaps SHRINK the window (a ROWS frame would silently
+    * reach back past the gap — wrong for sparse series).
+    */
+  def rollingDaily(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+                   days: Int = 7): DataFrame = {
+    require(days > 0, s"days must be positive, got $days")
+    val daily = df
+      .groupBy(col(keyCol), col(tsCol).cast("date").as("day"))
+      .agg(sum(col(valueCol)).as("_daily"), count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_day_num")).rangeBetween(-(days - 1), 0)
+    daily
+      .withColumn("_day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+      .withColumn(s"rolling_${days}d_value", round(sum(col("_daily")).over(w), 4))
+      .withColumn(s"rolling_${days}d_avg", round(avg(col("_daily")).over(w), 4))
+      .withColumn(s"rolling_${days}d_events", sum(col("n_events")).over(w))
+      .withColumn("daily_value", round(col("_daily"), 4))
+      .drop("_daily", "_day_num")
+      .orderBy(col(keyCol), col("day"))
+  }
+
+  /** `q57_rolling_metrics`: 7-day rolling value/events per event_type. */
+  def rollingMetricsEvents(spark: SparkSession, dir: String): DataFrame =
+    rollingDaily(Tables(spark, dir).events, "event_type", "ts", "value")
+
+  /** Daily-count anomaly flags: each day's event count scored against
+    * the TRAILING `baselineDays`-day baseline (current day excluded, so
+    * a spike can't suppress its own z-score). z is null until the
+    * baseline has ≥2 days or when the baseline is flat (σ=0) — a 0/0
+    * would otherwise produce engine-dependent NaN/Inf.
+    */
+  def anomalyFlags(df: DataFrame, keyCol: String, tsCol: String,
+                   baselineDays: Int = 7, zThreshold: Double = 2.0): DataFrame = {
+    require(baselineDays >= 2, s"baselineDays must be >= 2, got $baselineDays")
+    val daily = df
+      .groupBy(col(keyCol), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    // day is unique within a key at daily grain, so the ROWS frame
+    // order is total — trailing-window semantics are deterministic
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(-baselineDays, -1)
+    val z: Column = (col("n_events") - col("_mean")) / col("_std")
+    daily
+      .withColumn("_mean", avg(col("n_events")).over(w))
+      .withColumn("_std", stddev_samp(col("n_events")).over(w))
+      .withColumn("z_score",
+        when(col("_std").isNull || col("_std") === 0.0, lit(null)).otherwise(round(z, 4)))
+      .withColumn("is_anomaly", coalesce(abs(col("z_score")) > zThreshold, lit(false)))
+      .withColumn("baseline_mean", round(col("_mean"), 4))
+      .withColumn("baseline_std", round(col("_std"), 4))
+      .drop("_mean", "_std")
+      .orderBy(col(keyCol), col("day"))
+  }
+
+  /** `q58_anomaly_flags`: daily per-type counts vs 7-day baseline. */
+  def anomalyFlagsEvents(spark: SparkSession, dir: String): DataFrame =
+    anomalyFlags(Tables(spark, dir).events, "event_type", "ts")
+}
