@@ -91,7 +91,10 @@ object SparkEntry {
     "q55_cohort_retention"       -> ((s, d) => Analytics.cohortRetentionEvents(s, d)),
     "q56_funnel_conversion"      -> ((s, d) => Analytics.funnelEvents(s, d)),
     "q57_rolling_metrics"        -> ((s, d) => Analytics.rollingMetricsEvents(s, d)),
-    "q58_anomaly_flags"          -> ((s, d) => Analytics.anomalyFlagsEvents(s, d))
+    "q58_anomaly_flags"          -> ((s, d) => Analytics.anomalyFlagsEvents(s, d)),
+    // sketch-backed scale operators
+    "q59_bloom_semijoin"         -> ((s, d) => Sketches.bloomPrunedRevenue(s, d)),
+    "q60_hll_users"              -> ((s, d) => Sketches.hllUsersByType(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -908,6 +911,18 @@ object SparkEntry {
         |SELECT event_type, day, n_events, z_score,
         | coalesce(abs(z_score) > 2.0, false) AS is_anomaly,
         | round(m, 4) AS baseline_mean, round(s, 4) AS baseline_std
-        |FROM z ORDER BY event_type, day""".stripMargin
+        |FROM z ORDER BY event_type, day""".stripMargin,
+
+    // the Bloom prune is an internal pre-shuffle optimization; the
+    // trailing exact semi join makes the RESULT a plain semi join, so
+    // the oracle is the IN-subquery formulation (q60 has no oracle: an
+    // HLL estimate is engine-specific — covered by SketchesSpec's
+    // exact-vs-estimate tolerance and merge-losslessness asserts)
+    "q59_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        | round(sum(l_extendedprice), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Sketch-backed scale operators: explicit Bloom-filter semi-join
+  * pruning and mergeable HLL distinct-count rollups.
+  *
+  * Both exist for the 100 TB shape of problems the exact operators
+  * solve at test scale:
+  *  - a semi join against a dim too big to broadcast as a hash relation
+  *    still fits as a ~MB Bloom sketch, so the fact side can drop
+  *    non-matching rows BEFORE its shuffle instead of after;
+  *  - "distinct users over an arbitrary date range" over an append-only
+  *    event log is a re-scan per question when computed exactly, but a
+  *    once-per-day sketch table answers every range by REGISTER-WISE
+  *    merge (HLL union is lossless at equal lgK), no raw-data re-read.
+  */
+object Sketches {
+
+  /** Exact semi join with an explicit Bloom pre-filter on the fact side.
+    *
+    * The Bloom sketch of the dim keys is built distributed
+    * (`stat.bloomFilter` runs a tree aggregate), shipped once per
+    * executor as a broadcast, and applied BEFORE the fact side's
+    * exchange — at `fpp` false-positive rate the shuffle carries
+    * ~selectivity·|fact| rows instead of |fact|. The trailing equi semi
+    * join removes the false positives, so the result is EXACTLY
+    * `fact SEMI JOIN dim` (the driver hash-checks q59 against DuckDB's
+    * `IN` subquery on that contract; a Bloom filter has no false
+    * negatives, so no true match is ever lost).
+    *
+    * Spark's AQE injects this automatically in narrow cases
+    * (runtime row-level filters); the explicit operator covers the
+    * shapes the optimizer skips — pre-aggregated dims, reused filters,
+    * thresholds tuned per pipeline.
+    *
+    * Key column must be integral (checked) — string keys hash through
+    * UTF-8 bytes via [[BloomFilter.putString]]'s layout only when built
+    * that way; keep one code path and cast at the call site instead.
+    */
+  def bloomSemiJoin(fact: DataFrame, factKeyCol: String,
+                    dim: DataFrame, dimKeyCol: String,
+                    expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val integral = Set[org.apache.spark.sql.types.DataType](ShortType, IntegerType, LongType)
+    require(integral.contains(fact.schema(factKeyCol).dataType) &&
+      integral.contains(dim.schema(dimKeyCol).dataType),
+      s"bloomSemiJoin needs integral key columns, got " +
+        s"${fact.schema(factKeyCol).dataType}/${dim.schema(dimKeyCol).dataType}")
+    val keys = dim.select(col(dimKeyCol).cast("long").as("k"))
+    val bf: BloomFilter = keys.stat.bloomFilter("k", expectedItems, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf { k: java.lang.Long =>
+      k != null && bc.value.mightContainLong(k)
+    }
+    fact.filter(mightContain(col(factKeyCol).cast("long")))
+      .join(dim.select(col(dimKeyCol)), col(factKeyCol) === col(dimKeyCol), "left_semi")
+  }
+
+  /** `q59_bloom_semijoin`: revenue by return flag over lineitems whose
+    * part passes a dim-side predicate — the fact scan is Bloom-pruned
+    * before any exchange, then exact-semi-joined. */
+  def bloomPrunedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bigParts = t.part.filter(col("p_size") >= 40).select(col("p_partkey"))
+    bloomSemiJoin(t.lineitem, "l_partkey", bigParts, "p_partkey",
+      expectedItems = 20000L, fpp = 0.01)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 4).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Once-per-day mergeable HLL sketch table: (key, day, user sketch,
+    * exact row count). The persistable artifact — write it partitioned
+    * by day and every later distinct-count question is a sketch merge.
+    */
+  def dailySketches(df: DataFrame, keyCol: String, tsCol: String,
+                    idCol: String): DataFrame =
+    df.groupBy(col(keyCol), col(tsCol).cast("date").as("day"))
+      .agg(
+        hll_sketch_agg(col(idCol)).as("user_sketch"),
+        count(lit(1)).as("n_events"))
+
+  /** Roll daily sketches up to one estimate per key over [fromDay,
+    * toDay] (inclusive; null = unbounded). HLL union is register-wise
+    * max — lossless at equal lgK — so merging day sketches gives the
+    * SAME estimate as sketching the raw range directly (asserted in
+    * SketchesSpec), at the cost of reading only |days| sketch rows. */
+  def distinctOverRange(sketches: DataFrame, keyCol: String,
+                        fromDay: Option[String] = None,
+                        toDay: Option[String] = None): DataFrame = {
+    val ranged = (fromDay.map(d => col("day") >= lit(d).cast("date")) ++
+      toDay.map(d => col("day") <= lit(d).cast("date")))
+      .reduceOption(_ && _).map(sketches.filter).getOrElse(sketches)
+    ranged.groupBy(col(keyCol))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("user_sketch"))).as("distinct_est"),
+        sum(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_days"))
+  }
+
+  /** `q60_hll_users` (*rows-only*: a sketch estimate is not
+    * ANSI-reproducible): per-event-type distinct users for the back
+    * half of January, answered from the daily sketch table. */
+  def hllUsersByType(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailySketches(Tables(spark, dir).events, "event_type", "ts", "user_id")
+    distinctOverRange(daily, "event_type", fromDay = Some("2024-01-16"))
+      .orderBy(col("event_type"))
+  }
+}
