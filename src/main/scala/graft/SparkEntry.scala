@@ -94,7 +94,10 @@ object SparkEntry {
     "q58_anomaly_flags"          -> ((s, d) => Analytics.anomalyFlagsEvents(s, d)),
     // sketch-backed scale operators
     "q59_bloom_semijoin"         -> ((s, d) => Sketches.bloomPrunedRevenue(s, d)),
-    "q60_hll_users"              -> ((s, d) => Sketches.hllUsersByType(s, d))
+    "q60_hll_users"              -> ((s, d) => Sketches.hllUsersByType(s, d)),
+    // change-data-capture operators
+    "q61_snapshot_diff"          -> ((s, d) => Cdc.snapshotDiffOrders(s, d)),
+    "q62_scd2_merge"             -> ((s, d) => Cdc.scd2Customers(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -923,6 +926,62 @@ object SparkEntry {
         | round(sum(l_extendedprice), 4) AS revenue
         |FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the flat-10.00 rebate is a double SUBTRACTION (bit-identical in
+    // both engines); NULL-safe compares via IS NOT DISTINCT FROM mirror
+    // Spark's <=>
+    "q61_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |           WHERE o_orderkey % 10 <> 0),
+        |n AS (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice - 10.0
+        |             ELSE o_totalprice END AS o_totalprice,
+        |        o_orderstatus
+        |      FROM orders WHERE o_orderkey % 7 <> 0),
+        |j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |        CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |             WHEN n.o_orderkey IS NULL THEN 'removed'
+        |             WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+        |                       AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+        |             THEN 'changed' END AS change_type,
+        |        o.o_totalprice AS old_o_totalprice, o.o_orderstatus AS old_o_orderstatus,
+        |        n.o_totalprice AS new_o_totalprice, n.o_orderstatus AS new_o_orderstatus
+        |      FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, change_type,
+        | round(old_o_totalprice, 4) AS old_o_totalprice, old_o_orderstatus,
+        | round(new_o_totalprice, 4) AS new_o_totalprice, new_o_orderstatus
+        |FROM j WHERE change_type IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+
+    // SCD2: kept-current / closed / opened legs as explicit UNION ALL;
+    // the update key sets (resegmented vs +10^6 inserts) are disjoint,
+    // so the keep-latest collapse inside scd2Merge is a no-op here and
+    // both engines see the same single-update-per-key batch
+    "q62_scd2_merge" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer),
+        |dim AS (SELECT c_custkey, c_mktsegment,
+        |          DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to FROM c),
+        |upd AS (
+        |  SELECT c_custkey, c_mktsegment || '_V2' AS c_mktsegment,
+        |         DATE '2024-06-01' AS eff FROM c WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_mktsegment, DATE '2024-06-01'
+        |  FROM c WHERE c_custkey % 97 = 1),
+        |merged AS (
+        |  SELECT d.c_custkey, d.c_mktsegment, d.valid_from, d.valid_to
+        |  FROM dim d LEFT JOIN upd u ON d.c_custkey = u.c_custkey
+        |  WHERE u.c_custkey IS NULL OR d.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment
+        |  UNION ALL
+        |  SELECT d.c_custkey, d.c_mktsegment, d.valid_from, u.eff
+        |  FROM dim d JOIN upd u ON d.c_custkey = u.c_custkey
+        |  WHERE NOT (d.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment)
+        |  UNION ALL
+        |  SELECT u.c_custkey, u.c_mktsegment, u.eff, CAST(NULL AS DATE)
+        |  FROM upd u LEFT JOIN dim d ON d.c_custkey = u.c_custkey
+        |  WHERE d.c_custkey IS NULL
+        |     OR NOT (d.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment))
+        |SELECT c_custkey, c_mktsegment, valid_from,
+        | coalesce(valid_to, DATE '9999-12-31') AS valid_to
+        |FROM merged ORDER BY c_custkey, valid_from""".stripMargin
   )
 }

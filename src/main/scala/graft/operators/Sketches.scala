@@ -57,7 +57,7 @@ object Sketches {
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf { k: java.lang.Long =>
       k != null && bc.value.mightContainLong(k)
-    }
+    }.withName("bloomMightContain") // named so plan audits can locate the prune
     fact.filter(mightContain(col(factKeyCol).cast("long")))
       .join(dim.select(col(dimKeyCol)), col(factKeyCol) === col(dimKeyCol), "left_semi")
   }

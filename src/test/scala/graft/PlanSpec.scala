@@ -94,4 +94,43 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       "probes must broadcast onto the corpus scan")
   }
+
+  test("cohort retention reads events exactly once (sizes come from a window, not a re-scan)") {
+    val plan = SparkEntry.queries("q55_cohort_retention")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"cohort sizes must not replay the events pipeline, got $scans scans")
+  }
+
+  test("rolling metrics and anomaly flags reuse one series partitioning") {
+    // daily-grain groupBy + per-key window + output sort — at most 3
+    // exchanges; every windowed column must ride the same exchange
+    for (q <- Seq("q57_rolling_metrics", "q58_anomaly_flags")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 3, s"$q: windowed columns must share one exchange, found $exchanges")
+      assert("Scan parquet".r.findAllIn(plan).length == 1, s"$q must scan events once")
+    }
+  }
+
+  test("funnel steps stay equi-joins with pushed type filters, no cartesian") {
+    val plan = SparkEntry.queries("q56_funnel_conversion")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "strict-ordering ts predicate must ride the user equi-join, not a cartesian")
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type"),
+      "per-step type filters must reach the parquet scan")
+  }
+
+  test("bloom semi join prunes the fact side before its exchange") {
+    val df = operators.Sketches.bloomPrunedRevenue(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // the UDF filter must sit under the join, on the scan side: the
+    // whole point is shuffling/joining only rows that pass the sketch
+    val joinIdx = plan.indexOf("Join")
+    val filterIdx = plan.indexOf("bloomMightContain", joinIdx.max(0))
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"bloom filter must appear below the join in the plan tree:\n${plan.take(1500)}")
+  }
 }
