@@ -74,7 +74,11 @@ object TextClean {
     }
     df.withColumn("n_tags", regexp_count(t, lit(tagPattern)).cast("long"))
       .withColumn("clean_text", trim(regexp_replace(unescaped, "\\s+", " ")))
-      .withColumn("clean_chars", length(trim(regexp_replace(unescaped, "\\s+", " "))).cast("long"))
+      // reference the ATTRIBUTE, not the tree: Spark does not CSE
+      // repeated expressions across projection columns, so repeating
+      // the trim/replace chain here ran the whole strip+unescape
+      // pipeline twice per row (the q40 hashed-gram lesson)
+      .withColumn("clean_chars", length(col("clean_text")).cast("long"))
   }
 
   /** `q49_pii_redact` — the documents table carries no PII (synthetic
