@@ -99,11 +99,16 @@ object Sketches {
     val ranged = (fromDay.map(d => col("day") >= lit(d).cast("date")) ++
       toDay.map(d => col("day") <= lit(d).cast("date")))
       .reduceOption(_ && _).map(sketches.filter).getOrElse(sketches)
-    ranged.groupBy(col(keyCol))
-      .agg(
-        hll_sketch_estimate(hll_union_agg(col("user_sketch"))).as("distinct_est"),
-        sum(col("n_events")).as("n_events"),
-        count(lit(1)).as("n_days"))
+    // the streaming ingest table carries no n_events (an exact count is
+    // not replay-idempotent the way the sketch is) — aggregate it only
+    // when the batch-built table provides it
+    val aggs =
+      hll_sketch_estimate(hll_union_agg(col("user_sketch"))).as("distinct_est") +:
+        (if (sketches.columns.contains("n_events"))
+           Seq(sum(col("n_events")).as("n_events"))
+         else Nil) :+
+        count(lit(1)).as("n_days")
+    ranged.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** `q60_hll_users` (*rows-only*: a sketch estimate is not

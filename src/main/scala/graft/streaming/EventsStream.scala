@@ -228,6 +228,53 @@ object EventsStream {
       }
       .start()
 
+  /** D1→C23 bridge — streaming maintenance of the mergeable HLL
+    * sketch table: each micro-batch's per-(key, day) user sketches
+    * MERGE into the persisted day-partitioned table, so
+    * [[graft.operators.Sketches.distinctOverRange]] answers
+    * "distinct users over any date range" from a table that is always
+    * current — no raw-event re-scan, ever.
+    *
+    * Replay semantics: HLL insertion is IDEMPOTENT PER VALUE (a
+    * register can only move up to the same level once), so re-merging
+    * a replayed micro-batch's sketch is a no-op and the ESTIMATES are
+    * exactly-once without any dedup state — which is why this table
+    * carries only sketches, not exact event counts (a count column
+    * would double on replay; the batch pipeline owns exact counts).
+    *
+    * Per micro-batch cost: one groupBy of the batch, a merge join
+    * against ONLY the touched day partitions, and a dynamic partition
+    * overwrite of those days. The merged frame materializes before the
+    * write because it reads the same path it overwrites.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def sketchIngestStream(events: DataFrame, sketchPath: String,
+                         checkpointDir: String,
+                         keyCol: String = "event_type", tsCol: String = "ts",
+                         idCol: String = "user_id"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val daily = batch
+          .groupBy(col(keyCol), col(tsCol).cast("date").as("day"))
+          .agg(hll_sketch_agg(col(idCol)).as("user_sketch"))
+        val merged = scala.util.Try(spark.read.parquet(sketchPath)).toOption match {
+          case Some(existing) =>
+            existing.join(broadcast(daily.select(col("day")).distinct()), Seq("day"))
+              .unionByName(daily)
+              .groupBy(col(keyCol), col("day"))
+              .agg(hll_union_agg(col("user_sketch")).as("user_sketch"))
+          case None => daily // first batch: nothing to merge yet
+        }
+        graft.sources.Sinks.writeDayPartitioned(
+          merged.localCheckpoint(), sketchPath, "day",
+          ifExists = "replace", clean = false)
+      }
+      .start()
+
   /** D2 — stateful streaming dedup: first occurrence of each
     * (user_id, event_type) key passes through, repeats are dropped.
     * `flatMapGroupsWithState` with a processing-time timeout bounds the

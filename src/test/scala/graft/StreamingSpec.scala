@@ -231,4 +231,40 @@ class StreamingSpec extends SparkSpecBase {
         "replays/updates rewrite partitions wholesale; sibling rows survive")
     } finally q.stop()
   }
+
+  test("D1→C23: streaming sketch ingest merges batches; re-delivery leaves estimates unchanged") {
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamEvent]
+    val path = java.nio.file.Files.createTempDirectory("graft_sketch_tbl").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_sketch_cp").toString
+    val q = EventsStream.sketchIngestStream(mem.toDF(), path, cp)
+    def estimates() = Sketches.distinctOverRange(spark.read.parquet(path), "event_type")
+      .select("event_type", "distinct_est", "n_days")
+      .as[(String, Long, Long)].collect().toSet
+    try {
+      // batch 1: two days, users 1-2 clicking
+      mem.addData(
+        StreamEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        StreamEvent(2, ts("2024-01-01 11:00:00"), 2, "click", 1.0),
+        StreamEvent(3, ts("2024-01-02 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(estimates() == Set(("click", 2L, 2L)))
+      // batch 2: same day-1 partition gains user 3, plus a new type —
+      // the merge must extend existing day sketches, not replace them
+      mem.addData(
+        StreamEvent(4, ts("2024-01-01 12:00:00"), 3, "click", 1.0),
+        StreamEvent(5, ts("2024-01-02 12:00:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      assert(estimates() == Set(("click", 3L, 2L), ("view", 1L, 1L)))
+      // re-delivered data (the replay shape): HLL insertion is
+      // idempotent per value, so estimates must not move
+      mem.addData(
+        StreamEvent(6, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        StreamEvent(7, ts("2024-01-01 11:00:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      assert(estimates() == Set(("click", 3L, 2L), ("view", 1L, 1L)))
+    } finally q.stop()
+  }
 }
