@@ -97,7 +97,8 @@ object SparkEntry {
     "q60_hll_users"              -> ((s, d) => Sketches.hllUsersByType(s, d)),
     // change-data-capture operators
     "q61_snapshot_diff"          -> ((s, d) => Cdc.snapshotDiffOrders(s, d)),
-    "q62_scd2_merge"             -> ((s, d) => Cdc.scd2Customers(s, d))
+    "q62_scd2_merge"             -> ((s, d) => Cdc.scd2Customers(s, d)),
+    "q63_linear_attribution"     -> ((s, d) => Analytics.linearAttributionEvents(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -982,6 +983,26 @@ object SparkEntry {
         |     OR NOT (d.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment))
         |SELECT c_custkey, c_mktsegment, valid_from,
         | coalesce(valid_to, DATE '9999-12-31') AS valid_to
-        |FROM merged ORDER BY c_custkey, valid_from""".stripMargin
+        |FROM merged ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // linear multi-touch: value/n split per conversion (event_id is the
+    // shared conversion identity), credited to click days in the prior
+    // 7 days, strictly before the purchase
+    "q63_linear_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |           FROM events),
+        |t AS (SELECT user_id, ts AS touch_ts FROM e WHERE event_type = 'click'),
+        |c AS (SELECT event_id AS conv_id, user_id, ts AS conv_ts, value FROM e
+        |      WHERE event_type = 'purchase'),
+        |j AS (SELECT c.conv_id, c.value, t.touch_ts
+        |      FROM c JOIN t ON c.user_id = t.user_id
+        |      WHERE t.touch_ts < c.conv_ts
+        |        AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),
+        |w AS (SELECT *, count(*) OVER (PARTITION BY conv_id) AS n_touches FROM j)
+        |SELECT CAST(touch_ts AS DATE) AS touch_day,
+        | round(sum(value / n_touches), 4) AS credited_value,
+        | count(*) AS n_credited_touches,
+        | CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions
+        |FROM w GROUP BY 1 ORDER BY touch_day""".stripMargin
   )
 }

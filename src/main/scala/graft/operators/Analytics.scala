@@ -174,4 +174,57 @@ object Analytics {
   /** `q58_anomaly_flags`: daily per-type counts vs 7-day baseline. */
   def anomalyFlagsEvents(spark: SparkSession, dir: String): DataFrame =
     anomalyFlags(Tables(spark, dir).events, "event_type", "ts")
+
+  /** LINEAR multi-touch attribution: each conversion's value splits
+    * equally across that user's touch events inside the lookback
+    * window strictly BEFORE the conversion (q41's as-of join is the
+    * last-touch model; this is the equal-credit one). Returns daily
+    * credited revenue per touch day.
+    *
+    * Shape: touches and conversions are type-filtered AT THE SCAN,
+    * then joined per user with the window predicate riding the equi
+    * join — same monotone-shrinking pattern as [[funnel]]. The credit
+    * split (value / touches-per-conversion) is a window count over the
+    * joined frame keyed by the conversion, reusing its partitioning.
+    */
+  def linearAttribution(df: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, valueCol: String,
+                        touchType: String, convType: String,
+                        lookbackDays: Int = 7,
+                        convIdCol: Option[String] = None): DataFrame = {
+    require(lookbackDays > 0, s"lookbackDays must be positive, got $lookbackDays")
+    val touches = df.filter(col(typeCol) === touchType)
+      .select(col(userCol), col(tsCol).as("_touch_ts"))
+    // conversions need a stable identity for the per-conversion split:
+    // (user, ts) can collide on simultaneous conversions, which would
+    // silently merge their touch sets. Callers with a real event id
+    // pass it (it also makes the operator oracle-shareable); otherwise
+    // a synthetic per-run id — fine for the aggregate output, which
+    // never exposes id values
+    val convId = convIdCol.map(col).getOrElse(monotonically_increasing_id())
+    val convs = df.filter(col(typeCol) === convType)
+      .select(col(userCol), col(tsCol).as("_conv_ts"), col(valueCol).as("_value"),
+        convId.as("_conv_id"))
+    val window = expr(s"INTERVAL $lookbackDays DAYS")
+    val joined = convs.join(touches, Seq(userCol))
+      .filter(col("_touch_ts") < col("_conv_ts") &&
+        col("_touch_ts") >= col("_conv_ts") - window)
+    val perConv = Window.partitionBy(col("_conv_id"))
+    joined
+      .withColumn("_n_touches", count(lit(1)).over(perConv))
+      .withColumn("_credit", col("_value") / col("_n_touches"))
+      .groupBy(col("_touch_ts").cast("date").as("touch_day"))
+      .agg(
+        round(sum(col("_credit")), 4).as("credited_value"),
+        count(lit(1)).as("n_credited_touches"),
+        countDistinct(col("_conv_id")).as("n_conversions"))
+      .orderBy(col("touch_day"))
+  }
+
+  /** `q63_linear_attribution`: purchase value split across the user's
+    * clicks in the prior 7 days. */
+  def linearAttributionEvents(spark: SparkSession, dir: String): DataFrame =
+    linearAttribution(Tables(spark, dir).events, "user_id", "ts", "event_type",
+      "value", touchType = "click", convType = "purchase",
+      convIdCol = Some("event_id"))
 }

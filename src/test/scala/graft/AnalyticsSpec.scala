@@ -145,4 +145,45 @@ class AnalyticsSpec extends SparkSpecBase {
       Analytics.anomalyFlags(e, "k", "ts", baselineDays = 1)
     }
   }
+
+  // ---- linear attribution ----------------------------------------------
+
+  test("linearAttribution splits conversion value equally across in-window touches") {
+    val events = Seq(
+      // u1: two clicks then a 10.0 purchase → 5.0 credit to each day
+      (1L, 1L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (2L, 1L, ts("2024-01-02 10:00:00"), "click", 0.0),
+      (3L, 1L, ts("2024-01-03 10:00:00"), "purchase", 10.0),
+      // u2: click AFTER the purchase → no credit, purchase unattributed
+      (4L, 2L, ts("2024-01-03 12:00:00"), "purchase", 99.0),
+      (5L, 2L, ts("2024-01-04 10:00:00"), "click", 0.0),
+      // u3: click outside the 7-day lookback → excluded
+      (6L, 3L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (7L, 3L, ts("2024-01-09 11:00:00"), "purchase", 7.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+
+    val out = Analytics.linearAttribution(events, "user_id", "ts", "event_type",
+      "value", "click", "purchase", convIdCol = Some("event_id"))
+      .select("touch_day", "credited_value", "n_credited_touches", "n_conversions")
+      .as[(Date, Double, Long, Long)].collect().toSeq
+
+    assert(out == Seq(
+      (Date.valueOf("2024-01-01"), 5.0, 1L, 1L),
+      (Date.valueOf("2024-01-02"), 5.0, 1L, 1L)))
+  }
+
+  test("linearAttribution simultaneous conversions keep separate touch splits") {
+    // two purchases at the SAME (user, ts) with one prior click: the
+    // click earns credit from EACH conversion (ids keep them distinct)
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (2L, 1L, ts("2024-01-02 10:00:00"), "purchase", 4.0),
+      (3L, 1L, ts("2024-01-02 10:00:00"), "purchase", 6.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Analytics.linearAttribution(events, "user_id", "ts", "event_type",
+      "value", "click", "purchase", convIdCol = Some("event_id"))
+      .select("credited_value", "n_credited_touches", "n_conversions")
+      .as[(Double, Long, Long)].collect().toSeq
+    assert(out == Seq((10.0, 2L, 2L)))
+  }
 }
