@@ -95,6 +95,7 @@ object SparkEntry {
     // sketch-backed scale operators
     "q59_bloom_semijoin"         -> ((s, d) => Sketches.bloomPrunedRevenue(s, d)),
     "q60_hll_users"              -> ((s, d) => Sketches.hllUsersByType(s, d)),
+    "q64_kll_quantiles"          -> ((s, d) => Sketches.kllQuantilesByType(s, d)),
     // change-data-capture operators
     "q61_snapshot_diff"          -> ((s, d) => Cdc.snapshotDiffOrders(s, d)),
     "q62_scd2_merge"             -> ((s, d) => Cdc.scd2Customers(s, d)),

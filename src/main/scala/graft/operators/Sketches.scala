@@ -119,4 +119,51 @@ object Sketches {
     distinctOverRange(daily, "event_type", fromDay = Some("2024-01-16"))
       .orderBy(col("event_type"))
   }
+
+  /** Once-per-day mergeable KLL quantile sketch table — the percentile
+    * analog of [[dailySketches]], via the graft_kll_* native
+    * aggregates ([[graft.expressions.KllSketchAgg]]). Write it
+    * partitioned by day; every later "p95 over range X" reads |days|
+    * sketch rows instead of the raw log. */
+  def dailyQuantileSketches(df: DataFrame, keyCol: String, tsCol: String,
+                            valueCol: String, k: Int = 200): DataFrame =
+    df.groupBy(col(keyCol), col(tsCol).cast("date").as("day"))
+      .agg(call_function("graft_kll_agg",
+        col(valueCol).cast("double"), lit(k)).as("value_sketch"))
+
+  /** Quantiles per key over [fromDay, toDay] from the daily sketch
+    * table: ONE merge aggregate, then one scalar decode per requested
+    * rank over the tiny per-key result. */
+  def quantilesOverRange(sketches: DataFrame, keyCol: String,
+                         ranks: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                         fromDay: Option[String] = None,
+                         toDay: Option[String] = None): DataFrame = {
+    require(ranks.nonEmpty && ranks.forall(r => r >= 0 && r <= 1),
+      s"ranks must lie in [0,1], got $ranks")
+    val ranged = (fromDay.map(d => col("day") >= lit(d).cast("date")) ++
+      toDay.map(d => col("day") <= lit(d).cast("date")))
+      .reduceOption(_ && _).map(sketches.filter).getOrElse(sketches)
+    val merged = ranged.groupBy(col(keyCol))
+      .agg(call_function("graft_kll_merge", col("value_sketch")).as("_m"),
+        count(lit(1)).as("n_days"))
+    ranks.foldLeft(merged) { (acc, r) =>
+      acc.withColumn(s"p${(r * 100).round}",
+        round(call_function("graft_kll_quantile", col("_m"), lit(r)), 4))
+    }.drop("_m")
+  }
+
+  /** `q64_kll_quantiles` (*rows-only*: sketch internals aren't
+    * ANSI-reproducible): per-event-type p50/p90/p99 of event value for
+    * the back half of January, from the daily quantile-sketch table.
+    * k=4096 keeps every verify-scale sketch in EXACT mode (sf0.01 has
+    * ~1k values per type-range), so Verify outputs stay bit-identical;
+    * at bench/production scale the sketch compacts and the answer is
+    * the published ±1.65%-rank-error estimate — that trade IS the
+    * operator's contract (SketchesSpec pins both regimes). */
+  def kllQuantilesByType(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyQuantileSketches(Tables(spark, dir).events,
+      "event_type", "ts", "value", k = 4096)
+    quantilesOverRange(daily, "event_type", fromDay = Some("2024-01-16"))
+      .orderBy(col("event_type"))
+  }
 }

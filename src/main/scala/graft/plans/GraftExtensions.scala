@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expressions.{DotProduct, MinHashShingled, MinHashSignature, NGramHashes, SimHash64}
+import graft.expressions.{DotProduct, KllMergeAgg, KllQuantile, KllSketchAgg, MinHashShingled, MinHashSignature, NGramHashes, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -39,5 +39,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NGramHashes].getName, "graft_ngrams"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NGramHashes(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllSketchAgg(children(0), children(1)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_merge"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "graft_kll_merge"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllMergeAgg(children(0)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "graft_kll_quantile"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllQuantile(children(0), children(1))))
   }
 }

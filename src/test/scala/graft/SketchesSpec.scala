@@ -90,6 +90,60 @@ class SketchesSpec extends SparkSpecBase {
     assert(merged == direct)
   }
 
+  // ---- KLL quantile sketches -------------------------------------------
+
+  test("KLL exact regime: sub-k sketches return true percentiles, merged == direct") {
+    // 3 keys × 10 days × 40 values/day = 400 values per key, k=4096 →
+    // no compaction anywhere: quantiles are EXACT order statistics
+    val rows = (0 until 3).flatMap { t =>
+      (1 to 10).flatMap { d =>
+        (0 until 40).map { i =>
+          (s"type$t", ts(f"2024-01-$d%02d 10:00:00"), ((d - 1) * 40 + i).toDouble)
+        }
+      }
+    }.toDF("k", "ts", "v")
+    val daily = Sketches.dailyQuantileSketches(rows, "k", "ts", "v", k = 4096)
+    val out = Sketches.quantilesOverRange(daily, "k", ranks = Seq(0.5, 0.99))
+      .select("k", "n_days", "p50", "p99").as[(String, Long, Double, Double)]
+      .collect().toSeq.sortBy(_._1)
+    // 400 values 0..399: inclusive-rank p50 = value at ceil(0.5*400)-1 = 199
+    out.foreach { case (_, nDays, p50, p99) =>
+      assert(nDays == 10)
+      assert(p50 == 199.0, s"p50=$p50")
+      assert(p99 == 395.0, s"p99=$p99")
+    }
+  }
+
+  test("KLL compacted regime: estimates stay within the published rank-error bound") {
+    // 20k uniform values through k=200 → heavy compaction; normalized
+    // rank error at k=200 is ~1.65%, assert a loose 3% envelope
+    val n = 20000
+    val rows = (0 until n).map { i =>
+      ("a", ts(f"2024-01-${i % 28 + 1}%02d 10:00:00"), i.toDouble)
+    }.toDF("k", "ts", "v")
+    val daily = Sketches.dailyQuantileSketches(rows, "k", "ts", "v", k = 200)
+    val Seq((p50, p90)) = Sketches.quantilesOverRange(daily, "k", ranks = Seq(0.5, 0.9))
+      .select("p50", "p90").as[(Double, Double)].collect().toSeq
+    assert(math.abs(p50 - n * 0.5) / n < 0.03, s"p50=$p50")
+    assert(math.abs(p90 - n * 0.9) / n < 0.03, s"p90=$p90")
+  }
+
+  test("KLL empty groups merge harmlessly and empty sketches decode to null") {
+    val rows = Seq(("a", ts("2024-01-01 10:00:00"), Some(1.0)),
+      ("a", ts("2024-01-01 11:00:00"), None: Option[Double])).toDF("k", "ts", "v")
+    val daily = Sketches.dailyQuantileSketches(rows, "k", "ts", "v")
+    val p = Sketches.quantilesOverRange(daily, "k", ranks = Seq(0.5))
+      .select("p50").as[Double].collect().toSeq
+    assert(p == Seq(1.0)) // null value skipped, single retained item
+    // an all-null day produces an EMPTY sketch; its quantile is null
+    val allNull = Seq(("b", ts("2024-01-02 10:00:00"), None: Option[Double]))
+      .toDF("k", "ts", "v")
+    val pn = Sketches.quantilesOverRange(
+      Sketches.dailyQuantileSketches(allNull, "k", "ts", "v"), "k", ranks = Seq(0.5))
+      .select("p50").as[Option[Double]].collect().toSeq
+    assert(pn == Seq(None))
+  }
+
   test("distinctOverRange counts only the requested days") {
     val daily = Sketches.dailySketches(plantedEvents, "event_type", "ts", "user_id")
     val out = Sketches.distinctOverRange(daily, "event_type",
