@@ -275,6 +275,87 @@ object EventsStream {
       }
       .start()
 
+  /** D1→A20 bridge — streaming anomaly flags: the q58 semantics
+    * (daily counts z-scored against the trailing `baselineDays`-day
+    * baseline, current day excluded) applied IN-FLIGHT.
+    *
+    * Shape: a watermarked 1-day tumbling aggregation emits each
+    * (key, day, n_events) row once, when the watermark passes the day's
+    * end (append mode = days are FINAL — a day is scored exactly once,
+    * never re-scored on late refinement). `foreachBatch` then (1)
+    * scores the finalized days against the durable daily-counts table
+    * via the same trailing-window join semantics as the batch operator,
+    * (2) hands flagged rows to `alert`, and (3) lands the new days into
+    * the table by dynamic partition overwrite — idempotent under
+    * replay because finalized days are complete by construction, so
+    * rewriting one is a no-op in content.
+    *
+    * The counts table is the stream's baseline state — durable,
+    * queryable, shared with the batch pipeline (it IS q58's daily
+    * grain), and bounded by |keys × days|, not stream uptime.
+    *
+    * Baseline nuance vs the batch operator: this one is
+    * CALENDAR-anchored ([day−N, day−1]), so a silent gap SHRINKS the
+    * baseline, where q58's ROWS frame reaches back to the last N days
+    * PRESENT. Identical on gapless series; for a stream, shrinking is
+    * the safer reading (a gap usually means the pipeline was down —
+    * stale days shouldn't vote).
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def anomalyIngestStream(events: DataFrame, countsPath: String,
+                          checkpointDir: String,
+                          alert: DataFrame => Unit,
+                          keyCol: String = "event_type", tsCol: String = "ts",
+                          baselineDays: Int = 7, zThreshold: Double = 2.0,
+                          watermark: String = "1 day"):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    require(baselineDays >= 2, s"baselineDays must be >= 2, got $baselineDays")
+    val daily = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), window(col(tsCol), "1 day"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("window.start").cast("date").as("day"), col("n_events"))
+    daily.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val batch = batch0.localCheckpoint() // scored AND landed below
+        val spark = batch.sparkSession
+        val history = scala.util.Try(spark.read.parquet(countsPath)).toOption
+        // a multi-day batch (cold start, recovery catch-up) must let its
+        // own EARLIER days baseline its later ones — the join's
+        // h.day < b.day keeps self/future days out
+        val baseline = history
+          .map(_.select(col(keyCol), col("day"), col("n_events")).unionByName(batch))
+          .getOrElse(batch)
+        // trailing-window join: one baseline row per (batch day, prior
+        // day within the window); a day with no baseline rows keeps a
+        // null z (the q58 short-baseline contract)
+        val b = batch.as("b")
+        val scored = b
+          .join(baseline.as("h"),
+            col(s"h.$keyCol") === col(s"b.$keyCol") &&
+              col("h.day") < col("b.day") &&
+              col("h.day") >= date_add(col("b.day"), -baselineDays),
+            "left_outer")
+          .groupBy(col(s"b.$keyCol").as(keyCol), col("b.day").as("day"),
+            col("b.n_events").as("n_events"))
+          .agg(avg(col("h.n_events")).as("_mean"),
+            stddev_samp(col("h.n_events")).as("_std"))
+          .withColumn("z_score",
+            when(col("_std").isNull || col("_std") === 0.0, lit(null))
+              .otherwise(round((col("n_events") - col("_mean")) / col("_std"), 4)))
+          .withColumn("is_anomaly", coalesce(abs(col("z_score")) > zThreshold, lit(false)))
+          .withColumn("baseline_mean", round(col("_mean"), 4))
+          .withColumn("baseline_std", round(col("_std"), 4))
+          .drop("_mean", "_std")
+        alert(scored.filter(col("is_anomaly")))
+        graft.sources.Sinks.writeDayPartitioned(
+          batch, countsPath, "day", ifExists = "replace", clean = false)
+      }
+      .start()
+  }
+
   /** D2 — stateful streaming dedup: first occurrence of each
     * (user_id, event_type) key passes through, repeats are dropped.
     * `flatMapGroupsWithState` with a processing-time timeout bounds the

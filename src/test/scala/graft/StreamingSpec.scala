@@ -267,4 +267,46 @@ class StreamingSpec extends SparkSpecBase {
       assert(estimates() == Set(("click", 3L, 2L), ("view", 1L, 1L)))
     } finally q.stop()
   }
+
+  test("D1→A20: streaming anomaly flags score finalized days against the durable baseline") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamEvent]
+    val path = java.nio.file.Files.createTempDirectory("graft_anom_tbl").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_anom_cp").toString
+    val alerts = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Double)]
+    val q = EventsStream.anomalyIngestStream(
+      mem.toDF(), path, cp,
+      alert = df => alerts.synchronized {
+        alerts ++= df
+          .select(col("event_type"), col("day").cast("string"),
+            col("n_events"), col("z_score"))
+          .as[(String, String, Long, Double)].collect()
+      })
+    try {
+      // noisy-but-normal week: alternating 1/3 clicks on days 1..7
+      val base = Seq(1, 3, 1, 3, 1, 3, 1).zipWithIndex.flatMap { case (n, i) =>
+        (0 until n).map { j =>
+          StreamEvent(i * 10 + j, ts(f"2024-01-${i + 1}%02d 10:00:00"), j, "click", 1.0)
+        }
+      }
+      mem.addData(base: _*)
+      q.processAllAvailable()
+      assert(alerts.isEmpty, s"normal week must not alert: $alerts")
+      // spike on day 8, plus a day-10 marker that advances the
+      // watermark (1-day lag) past day 8's window end to finalize it
+      mem.addData((0 until 10).map { j =>
+        StreamEvent(100 + j, ts("2024-01-08 10:00:00"), j, "click", 1.0)
+      }: _*)
+      mem.addData(StreamEvent(200, ts("2024-01-10 23:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(alerts.map(a => (a._1, a._2, a._3)).toSeq == Seq(("click", "2024-01-08", 10L)),
+        s"spike day must alert exactly once: $alerts")
+      assert(alerts.head._4 > 2.0)
+      // the durable counts table carries every finalized day
+      val days = spark.read.parquet(path).select(col("day").cast("string"))
+        .as[String].collect().toSet
+      assert(days == (1 to 8).map(d => f"2024-01-$d%02d").toSet, days)
+    } finally q.stop()
+  }
 }
