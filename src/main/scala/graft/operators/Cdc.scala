@@ -114,20 +114,23 @@ object Cdc {
             lit(" not after current valid_from "),
             col("c.valid_from").cast("string"))))
           .otherwise(col(s"u.$effCol")))
-    val keptCurrent = joined.filter(hasCur && (!hasUpd || sameTracked))
-      .select(keyCols.map(k => col(s"c.$k").as(k)) ++
-        trackedCols.map(c => col(s"c.$c").as(c)) ++
-        Seq(col("c.valid_from").as("valid_from"), col("c.valid_to").as("valid_to")): _*)
-    val closed = joined.filter(hasCur && hasUpd && !sameTracked)
-      .select(keyCols.map(k => col(s"c.$k").as(k)) ++
-        trackedCols.map(c => col(s"c.$c").as(c)) ++
-        Seq(col("c.valid_from").as("valid_from"), col("_eff").as("valid_to")): _*)
-    val opened = joined.filter(hasUpd && (!hasCur || !sameTracked))
-      .select(keyCols.map(k => col(s"u.$k").as(k)) ++
-        trackedCols.map(c => col(s"u.$c").as(c)) ++
-        Seq(col("_eff").as("valid_from"),
-          lit(null).cast(dim.schema("valid_to").dataType).as("valid_to")): _*)
-    history.unionByName(keptCurrent).unionByName(closed).unionByName(opened)
+    // ONE pass over the join: each row emits its result rows (1 for
+    // kept/insert, 2 for close+reopen) as an exploded struct array —
+    // three filtered branches here tripled the join in the physical
+    // plan (and the dim scans with it)
+    def leg(side: String, from: Column, to: Column) = struct(
+      keyCols.map(k => col(s"$side.$k").as(k)) ++
+        trackedCols.map(c => col(s"$side.$c").as(c)) ++
+        Seq(from.as("valid_from"), to.as("valid_to")): _*)
+    val nullTo = lit(null).cast(dim.schema("valid_to").dataType)
+    val emitted =
+      when(hasCur && (!hasUpd || sameTracked),
+        array(leg("c", col("c.valid_from"), col("c.valid_to"))))
+        .when(hasCur && hasUpd && !sameTracked,
+          array(leg("c", col("c.valid_from"), col("_eff")),
+            leg("u", col("_eff"), nullTo)))
+        .otherwise(array(leg("u", col("_eff"), nullTo)))
+    history.unionByName(joined.select(explode(emitted).as("_r")).select(col("_r.*")))
   }
 
   /** `q62_scd2_merge`: customer market segments as a versioned
