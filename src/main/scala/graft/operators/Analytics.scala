@@ -175,26 +175,42 @@ object Analytics {
   def anomalyFlagsEvents(spark: SparkSession, dir: String): DataFrame =
     anomalyFlags(Tables(spark, dir).events, "event_type", "ts")
 
-  /** LINEAR multi-touch attribution: each conversion's value splits
-    * equally across that user's touch events inside the lookback
-    * window strictly BEFORE the conversion (q41's as-of join is the
-    * last-touch model; this is the equal-credit one). Returns daily
-    * credited revenue per touch day.
+  /** Multi-touch attribution: each conversion's value splits across
+    * that user's touch events inside the lookback window strictly
+    * BEFORE the conversion (q41's as-of join is the last-touch model).
+    * Returns daily credited revenue per touch day.
+    *
+    * `model` picks the split:
+    *  - `linear`: equal credit, value/n;
+    *  - `u_shaped`: 40% first touch, 40% last, middles share 20%
+    *    (position-based; 1 touch → 100%, 2 touches → 50/50);
+    *  - `time_decay`: weight 0.5^(age_days/halfLifeDays), normalized
+    *    per conversion — recent touches dominate.
     *
     * Shape: touches and conversions are type-filtered AT THE SCAN,
     * then joined per user with the window predicate riding the equi
-    * join — same monotone-shrinking pattern as [[funnel]]. The credit
-    * split (value / touches-per-conversion) is a window count over the
-    * joined frame keyed by the conversion, reusing its partitioning.
+    * join — same monotone-shrinking pattern as [[funnel]]. All three
+    * models compute their weights from window functions over the
+    * joined frame keyed by the conversion id, so they share ONE
+    * partitioning; position ties break on the touch timestamp then
+    * `touchIdCol` (pass it when touch timestamps can collide —
+    * u_shaped's first/last are otherwise tie-ambiguous).
     */
-  def linearAttribution(df: DataFrame, userCol: String, tsCol: String,
-                        typeCol: String, valueCol: String,
-                        touchType: String, convType: String,
-                        lookbackDays: Int = 7,
-                        convIdCol: Option[String] = None): DataFrame = {
+  def attribution(df: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, valueCol: String,
+                  touchType: String, convType: String,
+                  lookbackDays: Int = 7,
+                  convIdCol: Option[String] = None,
+                  model: String = "linear",
+                  halfLifeDays: Double = 2.0,
+                  touchIdCol: Option[String] = None): DataFrame = {
     require(lookbackDays > 0, s"lookbackDays must be positive, got $lookbackDays")
+    require(Set("linear", "u_shaped", "time_decay").contains(model),
+      s"model must be linear|u_shaped|time_decay, got $model")
+    require(halfLifeDays > 0, s"halfLifeDays must be positive, got $halfLifeDays")
     val touches = df.filter(col(typeCol) === touchType)
-      .select(col(userCol), col(tsCol).as("_touch_ts"))
+      .select(col(userCol) +: col(tsCol).as("_touch_ts") +:
+        touchIdCol.map(c => col(c).as("_touch_id")).toSeq: _*)
     // conversions need a stable identity for the per-conversion split:
     // (user, ts) can collide on simultaneous conversions, which would
     // silently merge their touch sets. Callers with a real event id
@@ -210,9 +226,33 @@ object Analytics {
       .filter(col("_touch_ts") < col("_conv_ts") &&
         col("_touch_ts") >= col("_conv_ts") - window)
     val perConv = Window.partitionBy(col("_conv_id"))
-    joined
-      .withColumn("_n_touches", count(lit(1)).over(perConv))
-      .withColumn("_credit", col("_value") / col("_n_touches"))
+    val posOrder = col("_touch_ts").asc +: touchIdCol.map(_ => col("_touch_id").asc).toSeq
+    val weighted = model match {
+      case "linear" =>
+        joined
+          .withColumn("_n", count(lit(1)).over(perConv))
+          .withColumn("_w", lit(1.0) / col("_n"))
+      case "u_shaped" =>
+        joined
+          .withColumn("_n", count(lit(1)).over(perConv))
+          .withColumn("_pos", row_number().over(perConv.orderBy(posOrder: _*)))
+          .withColumn("_w",
+            when(col("_n") === 1, 1.0)
+              .when(col("_n") === 2, 0.5)
+              .when(col("_pos") === 1 || col("_pos") === col("_n"), 0.4)
+              .otherwise(lit(0.2) / (col("_n") - 2)))
+      case "time_decay" =>
+        // NTZ-safe epoch seconds: NTZ→TIMESTAMP is a valid cast (UTC
+        // session), TIMESTAMP→DOUBLE is epoch seconds; both operands
+        // take the same path so the difference is exact
+        def secs(c: Column) = c.cast("timestamp").cast("double")
+        val ageDays = (secs(col("_conv_ts")) - secs(col("_touch_ts"))) / 86400.0
+        joined
+          .withColumn("_raw", pow(lit(0.5), ageDays / halfLifeDays))
+          .withColumn("_w", col("_raw") / sum(col("_raw")).over(perConv))
+    }
+    weighted
+      .withColumn("_credit", col("_value") * col("_w"))
       .groupBy(col("_touch_ts").cast("date").as("touch_day"))
       .agg(
         round(sum(col("_credit")), 4).as("credited_value"),
@@ -220,6 +260,16 @@ object Analytics {
         countDistinct(col("_conv_id")).as("n_conversions"))
       .orderBy(col("touch_day"))
   }
+
+  /** [[attribution]] with the equal-credit model (kept as the named
+    * entry point the q63 oracle shares). */
+  def linearAttribution(df: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, valueCol: String,
+                        touchType: String, convType: String,
+                        lookbackDays: Int = 7,
+                        convIdCol: Option[String] = None): DataFrame =
+    attribution(df, userCol, tsCol, typeCol, valueCol, touchType, convType,
+      lookbackDays, convIdCol, model = "linear")
 
   /** `q63_linear_attribution`: purchase value split across the user's
     * clicks in the prior 7 days. */

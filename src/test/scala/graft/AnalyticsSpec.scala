@@ -172,6 +172,64 @@ class AnalyticsSpec extends SparkSpecBase {
       (Date.valueOf("2024-01-02"), 5.0, 1L, 1L)))
   }
 
+  test("u_shaped attribution gives 40/20/40 with first/last resolved by position") {
+    // 4 touches before one 10.0 purchase: 4.0 / 1.0 / 1.0 / 4.0
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (2L, 1L, ts("2024-01-02 10:00:00"), "click", 0.0),
+      (3L, 1L, ts("2024-01-03 10:00:00"), "click", 0.0),
+      (4L, 1L, ts("2024-01-04 10:00:00"), "click", 0.0),
+      (5L, 1L, ts("2024-01-05 10:00:00"), "purchase", 10.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Analytics.attribution(events, "user_id", "ts", "event_type",
+      "value", "click", "purchase", convIdCol = Some("event_id"),
+      model = "u_shaped", touchIdCol = Some("event_id"))
+      .select("touch_day", "credited_value").as[(Date, Double)].collect().toSeq
+    assert(out == Seq(
+      (Date.valueOf("2024-01-01"), 4.0),
+      (Date.valueOf("2024-01-02"), 1.0),
+      (Date.valueOf("2024-01-03"), 1.0),
+      (Date.valueOf("2024-01-04"), 4.0)))
+  }
+
+  test("u_shaped attribution degenerate sizes: 1 touch takes all, 2 split evenly") {
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (2L, 1L, ts("2024-01-02 10:00:00"), "purchase", 8.0),
+      (3L, 2L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (4L, 2L, ts("2024-01-02 10:00:00"), "click", 0.0),
+      (5L, 2L, ts("2024-01-03 10:00:00"), "purchase", 6.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Analytics.attribution(events, "user_id", "ts", "event_type",
+      "value", "click", "purchase", convIdCol = Some("event_id"),
+      model = "u_shaped", touchIdCol = Some("event_id"))
+      .select("touch_day", "credited_value").as[(Date, Double)].collect().toSeq
+    // day1: u1's only touch 8.0 + u2's first-of-two 3.0; day2: u2's 3.0
+    assert(out == Seq(
+      (Date.valueOf("2024-01-01"), 11.0),
+      (Date.valueOf("2024-01-02"), 3.0)))
+  }
+
+  test("time_decay attribution favors recent touches and credits sum to the value") {
+    // touches 2 days and 0.5 days before conversion, half-life 1 day:
+    // raw weights 0.25 vs ~0.7071 → newer touch gets ~73.9%
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), "click", 0.0),
+      (2L, 1L, ts("2024-01-02 12:00:00"), "click", 0.0),
+      (3L, 1L, ts("2024-01-03 00:00:00"), "purchase", 100.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Analytics.attribution(events, "user_id", "ts", "event_type",
+      "value", "click", "purchase", convIdCol = Some("event_id"),
+      model = "time_decay", halfLifeDays = 1.0)
+      .select("touch_day", "credited_value").as[(Date, Double)].collect().toSeq
+    val total = out.map(_._2).sum
+    assert(math.abs(total - 100.0) < 1e-6, s"credits must sum to the value: $out")
+    val newer = out.find(_._1 == Date.valueOf("2024-01-02")).get._2
+    val older = out.find(_._1 == Date.valueOf("2024-01-01")).get._2
+    assert(newer > older, out)
+    assert(math.abs(newer - 100.0 * (math.pow(0.5, 0.5) / (math.pow(0.5, 0.5) + 0.25))) < 0.01)
+  }
+
   test("linearAttribution simultaneous conversions keep separate touch splits") {
     // two purchases at the SAME (user, ts) with one prior click: the
     // click earns credit from EACH conversion (ids keep them distinct)
