@@ -206,6 +206,27 @@ object Similarity {
     * via the cell equi-join. The corpus is never shuffled; the probe
     * set rejoins its query vectors once (small × small) and broadcasts
     * onto the corpus scan. */
+  /** Day-2 IVF maintenance: assign NEW vectors to the EXISTING
+    * quantizer's nearest cells and return index-shaped rows to append
+    * — no KMeans re-fit, no touch of the existing assigned rows (the
+    * ANN analog of `dedupAgainstIndex`: the corpus artifact is extended
+    * incrementally, not rebuilt). Cell balance drifts as the
+    * distribution shifts; re-run [[buildIvfIndex]] when recall decays
+    * — that refit cadence is an operational knob, not a per-batch
+    * cost.
+    *
+    * Assignment is the same broadcast-centroid scoring the probes use
+    * (one dot product per vector × cell, top-1 by the shared
+    * argmin-distance rule), so an appended vector lands in exactly the
+    * cell a search probe would look in. */
+  def appendToIvfIndex(newEmbeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val e = prepVectors(newEmbeddings)
+    val assigned = probeNearestCells(
+      e.select(col("vec_id").as("q_id"), col("v").as("qv")), centroids, nProbe = 1)
+    e.join(assigned.withColumnRenamed("q_id", "vec_id"), Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+  }
+
   def annIvfSearch(assigned: DataFrame, centroids: DataFrame,
                    k: Int = 10, numQueries: Int = 5, nProbe: Int = 4): DataFrame = {
     val queries = assigned.filter(col("vec_id") < numQueries)

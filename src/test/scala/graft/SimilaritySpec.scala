@@ -76,6 +76,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(reloaded == direct, "persisted index must reproduce the direct search")
   }
 
+  test("IVF append assigns new vectors to the quantizer's nearest cells, search finds them") {
+    import org.apache.spark.sql.functions._
+    val all = Tables(spark, sfDir).embeddings
+    // build on the first 400 ids, append the rest WITHOUT re-fitting
+    val (assigned, centroids) = Similarity.buildIvfIndex(all.filter(col("vec_id") < 400))
+    val appended = Similarity.appendToIvfIndex(all.filter(col("vec_id") >= 400), centroids)
+    // every appended cell must be the argmin-distance cell under the
+    // SAME centroid table (computed independently here)
+    val check = appended.as("a")
+      .crossJoin(broadcast(centroids.withColumnRenamed("cell", "ccell")))
+      .withColumn("d", col("c2") - lit(2.0) * graft.functions.vectors.dot(col("a.v"), col("cvec")))
+      .withColumn("best", min_by(col("ccell"), struct(col("d"), col("ccell")))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("a.vec_id"))))
+      .filter(col("ccell") === col("a.cell"))
+      .select(col("a.vec_id"), (col("ccell") === col("best")).as("ok"))
+      .as[(Long, Boolean)].collect()
+    assert(check.nonEmpty && check.forall(_._2), "appended rows must land in the argmin cell")
+    // an appended vector is findable: search the unioned index with a
+    // query that exists only in the appended half
+    val union = assigned.unionByName(appended)
+    val out = Similarity.annIvfSearch(union, centroids, k = 5, numQueries = 450, nProbe = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    val fromAppended = out.filter(_._3 >= 400)
+    assert(fromAppended.nonEmpty, "appended vectors must be reachable as neighbors")
+    assert(out.exists(_._1 >= 400), "appended vectors must be queryable")
+  }
+
   test("IVF search plan carries no literal centroid arrays (index is a table, not plan text)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
