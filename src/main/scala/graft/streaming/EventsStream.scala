@@ -275,6 +275,48 @@ object EventsStream {
       }
       .start()
 
+  /** D2→C7b bridge — streaming IVF index ingest: each micro-batch of
+    * new embeddings is cell-assigned against the FROZEN quantizer
+    * ([[graft.operators.Similarity.appendToIvfIndex]] — broadcast
+    * centroid scoring, no refit) and appended to the cell-bucketed
+    * index table, so searches see new vectors within one trigger.
+    *
+    * Replay-idempotent the same way the signature-index stream is:
+    * already-indexed ids are anti-joined away before the append, so a
+    * replayed micro-batch appends nothing twice. `numBuckets` must
+    * match the existing table's bucket spec (Spark fails loudly on
+    * mismatch). Quantizer drift is the operational caveat — re-run the
+    * batch build when recall decays; the stream only extends cells.
+    *
+    * Visibility: OTHER sessions (including the one that started this
+    * query) cache the table's file listing — call
+    * `spark.catalog.refreshTable(cellTable)` before reading to see
+    * rows appended since their last read (standard Spark semantics for
+    * file tables modified behind a session's back; the stream's own
+    * batches always see the current files).
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def ivfIngestStream(embeddings: DataFrame, cellTable: String,
+                      centroidsPath: String, checkpointDir: String,
+                      numBuckets: Int = 8):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val centroids = spark.read.parquet(centroidsPath)
+        graft.operators.Similarity.appendToIvfIndex(batch, centroids)
+          .join(spark.table(cellTable).select(col("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet")
+          .bucketBy(numBuckets, "cell")
+          .sortBy("cell")
+          .saveAsTable(cellTable)
+      }
+      .start()
+
   /** D1→A20 bridge — streaming anomaly flags: the q58 semantics
     * (daily counts z-scored against the trailing `baselineDays`-day
     * baseline, current day excluded) applied IN-FLIGHT.

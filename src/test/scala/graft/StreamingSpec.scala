@@ -268,6 +268,56 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C7b: streaming IVF ingest extends cells exactly once, searches see new vectors") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // seed: build the index on the real embeddings table's first 300 ids
+    val all = Tables(spark, sfDir).embeddings
+    val (assigned, centroids) = Similarity.buildIvfIndex(
+      all.filter(col("vec_id") < 300))
+    graft.sources.Bucketing.writeBucketed(assigned, "stream_ivf", Seq("cell"), 8)
+    val centDir = java.nio.file.Files.createTempDirectory("graft_ivf_cent_s").toString
+    centroids.write.mode("overwrite").parquet(centDir)
+    val before = spark.table("stream_ivf").count()
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val cp = java.nio.file.Files.createTempDirectory("graft_ivf_cp").toString
+    val q = EventsStream.ivfIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), "stream_ivf", centDir, cp)
+    try {
+      // stream TWINS of indexed vectors 5 and 7 under the fresh ids
+      // 300/302 (ids the seed build never saw)
+      val donors = all.filter(col("vec_id").isin(5L, 7L))
+        .select(col("vec_id") + 295L, col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect().toSeq
+      mem.addData(donors: _*)
+      q.processAllAvailable()
+      // the writer appends behind this session's back - refresh the
+      // cached file listing before reading (see ivfIngestStream doc)
+      def indexCount() = {
+        spark.catalog.refreshTable("stream_ivf")
+        spark.table("stream_ivf").count()
+      }
+      assert(indexCount() == before + 2)
+      // re-delivery: already-indexed ids append nothing
+      mem.addData(donors: _*)
+      q.processAllAvailable()
+      assert(indexCount() == before + 2,
+        "replayed ids must not duplicate index rows")
+      // a streamed vector is reachable: the indexed donor must list its
+      // streamed twin as an exact-match neighbor (identical vector →
+      // cos 1.0, same cell by construction)
+      val out = Similarity.annIvfSearch(spark.table("stream_ivf"), centroids,
+        k = 3, numQueries = 10)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(out.exists(r => r._1 == 5L && r._3 == 300L && r._4 == 1.0),
+        s"donor 5 must see its streamed twin at cos 1.0: ${out.filter(_._1 == 5L).toSeq}")
+      assert(out.exists(r => r._1 == 7L && r._3 == 302L && r._4 == 1.0),
+        s"donor 7 must see its streamed twin at cos 1.0: ${out.filter(_._1 == 7L).toSeq}")
+    } finally q.stop()
+  }
+
   test("D1→A20: streaming anomaly flags score finalized days against the durable baseline") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
