@@ -463,6 +463,43 @@ object Similarity {
     * the roughly-equal-norm embeddings this table holds); the exact
     * rerank makes the final order cosine-true — recall vs brute force
     * is spec-tested like the LSH and IVF paths. */
+  /** Day-2 PQ maintenance: encode NEW vectors against the FROZEN
+    * persisted codebook table — no KMeans model objects needed, so the
+    * parquet codebook alone extends the index (the PQ analog of
+    * [[appendToIvfIndex]]). Per subspace the code is the argmin-L2
+    * centroid, computed from the same flat distance table the ADC scan
+    * uses; ties break to the LOWEST code, matching Spark ML's
+    * first-strict-minimum predict rule, so table-encoded codes are
+    * IDENTICAL to build-encoded codes (spec-asserted over the whole
+    * corpus). Output carries the standard codes metadata, so
+    * `checkPqParams` guards mismatched probes exactly as for built
+    * rows. */
+  def appendToPqIndex(newEmbeddings: DataFrame, codebook: DataFrame,
+                      subspaces: Int = 8, codebookSize: Int = 16,
+                      dim: Int = 64): DataFrame = {
+    require(dim % subspaces == 0, s"dim $dim must divide into $subspaces subspaces")
+    val e = prepVectors(newEmbeddings)
+      .withColumn("v",
+        when(size(col("v")) =!= dim,
+          raise_error(concat(lit("appendToPqIndex: vector length "),
+            size(col("v")).cast("string"), lit(s" != dim=$dim"))))
+          .otherwise(col("v")))
+    val tabbed = adcTable(e.select(col("vec_id"), col("v")), Seq("vec_id"), "v",
+      codebook, dim / subspaces, codebookSize)
+    val codes = array((0 until subspaces).map { s =>
+      val seg = slice(col("tab"), s * codebookSize + 1, codebookSize)
+      (array_position(seg, array_min(seg)) - 1).cast("int")
+    }: _*)
+    val codesMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.pq.subspaces", subspaces.toLong)
+      .putLong("graft.pq.codebookSize", codebookSize.toLong)
+      .putLong("graft.pq.dim", dim.toLong)
+      .putBoolean("graft.pq.residual", false)
+      .build()
+    e.join(tabbed, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), codes.as("codes", codesMeta))
+  }
+
   def annPqSearch(encoded: DataFrame, codebook: DataFrame, k: Int = 10,
                   numQueries: Int = 5, rerank: Int = 50,
                   subspaces: Int = 8, codebookSize: Int = 16, dim: Int = 64): DataFrame = {

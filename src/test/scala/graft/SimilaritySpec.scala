@@ -103,6 +103,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.exists(_._1 >= 400), "appended vectors must be queryable")
   }
 
+  test("PQ append encodes via the codebook table identically to the build encoding") {
+    import org.apache.spark.sql.functions._
+    val all = Tables(spark, sfDir).embeddings
+    val (encoded, codebook) = Similarity.buildPqIndex(all)
+    // re-encode the ENTIRE corpus from the persisted codebook alone:
+    // every code array must match the KMeans-model encoding bit for bit
+    val centDir = java.nio.file.Files.createTempDirectory("graft_pq_cb").toString
+    codebook.write.mode("overwrite").parquet(centDir)
+    val reEncoded = Similarity.appendToPqIndex(all, spark.read.parquet(centDir))
+    val mismatch = encoded.select(col("vec_id"), col("codes").as("built"))
+      .join(reEncoded.select(col("vec_id"), col("codes").as("appended")), Seq("vec_id"))
+      .filter(col("built") =!= col("appended"))
+      .count()
+    assert(mismatch == 0, s"$mismatch/${all.count()} code arrays differ")
+    // appended rows carry valid build metadata: a search over them
+    // passes checkPqParams and returns ranked neighbors
+    val out = Similarity.annPqSearch(reEncoded, codebook, k = 3, numQueries = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty && out.forall(_._2 <= 3))
+  }
+
   test("IVF search plan carries no literal centroid arrays (index is a table, not plan text)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
