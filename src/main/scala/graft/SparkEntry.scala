@@ -99,7 +99,8 @@ object SparkEntry {
     // change-data-capture operators
     "q61_snapshot_diff"          -> ((s, d) => Cdc.snapshotDiffOrders(s, d)),
     "q62_scd2_merge"             -> ((s, d) => Cdc.scd2Customers(s, d)),
-    "q63_linear_attribution"     -> ((s, d) => Analytics.linearAttributionEvents(s, d))
+    "q63_linear_attribution"     -> ((s, d) => Analytics.linearAttributionEvents(s, d)),
+    "q65_data_quality"           -> ((s, d) => Validation.ordersQuality(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1004,6 +1005,28 @@ object SparkEntry {
         | round(sum(value / n_touches), 4) AS credited_value,
         | count(*) AS n_credited_touches,
         | CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions
-        |FROM w GROUP BY 1 ORDER BY touch_day""".stripMargin
+        |FROM w GROUP BY 1 ORDER BY touch_day""".stripMargin,
+
+    // every rule is a conditional sum over ONE aggregate row, unpivoted;
+    // passed compares the ROUNDED pct so both engines agree at the
+    // tolerance boundary
+    "q65_data_quality" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN coalesce(o_totalprice <= 0, true) THEN 1 ELSE 0 END) AS v_nonpositive_price,
+        |  sum(CASE WHEN coalesce(o_totalprice > 400000, true) THEN 1 ELSE 0 END) AS v_price_above_cap,
+        |  sum(CASE WHEN coalesce(o_orderstatus NOT IN ('O','F','P'), true) THEN 1 ELSE 0 END) AS v_unknown_status,
+        |  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS v_null_priority,
+        |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS v_null_date
+        | FROM orders),
+        |u AS (
+        |  SELECT 'nonpositive_price' AS rule, v_nonpositive_price AS n_violations, n AS n_rows FROM a
+        |  UNION ALL SELECT 'price_above_cap', v_price_above_cap, n FROM a
+        |  UNION ALL SELECT 'unknown_status', v_unknown_status, n FROM a
+        |  UNION ALL SELECT 'null_priority', v_null_priority, n FROM a
+        |  UNION ALL SELECT 'null_date', v_null_date, n FROM a)
+        |SELECT rule, CAST(n_violations AS BIGINT) AS n_violations, n_rows,
+        | round(n_violations * 100.0 / n_rows, 4) AS violation_pct,
+        | round(n_violations * 100.0 / n_rows, 4) <= 1.0 AS passed
+        |FROM u ORDER BY rule""".stripMargin
   )
 }
