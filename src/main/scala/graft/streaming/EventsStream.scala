@@ -275,6 +275,57 @@ object EventsStream {
       }
       .start()
 
+  /** E→A24 bridge — the GATED day-partitioned lake sink: each
+    * micro-batch is validated against `rules`
+    * ([[graft.operators.Validation.checkRules]] — one conditional
+    * aggregate, one pass) BEFORE its dynamic partition overwrite. A
+    * batch that fails any rule is diverted WHOLE to the quarantine
+    * path (append, keyed by batch id) and the lake keeps its last good
+    * partitions — the point of validating at the sink: a bad extract
+    * must never replace a good partition.
+    *
+    * Whole-batch diversion, not row filtering, is deliberate: partition
+    * overwrite replaces complete dates, so shipping only a batch's
+    * clean rows would silently drop its dirty ones from the replaced
+    * partition. Fix upstream, replay the batch. Use
+    * [[graft.operators.Validation.flagViolations]] + a filter BEFORE
+    * the sink when row-level routing is the intended policy.
+    *
+    * Same output-mode contract as [[writeDayPartitionedStream]]
+    * (complete snapshots by default).
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def gatedDayPartitionedStream(df: DataFrame, path: String, quarantinePath: String,
+                                dateCol: String, checkpointDir: String,
+                                rules: Seq[(String, org.apache.spark.sql.Column)],
+                                maxViolationPct: Double = 0.0,
+                                mode: String = "complete"):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    require(Set("complete", "update").contains(mode),
+      s"mode must be complete or update, got $mode")
+    df.writeStream
+      .outputMode(if (mode == "complete") OutputMode.Complete() else OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // the verdict aggregate and the write both consume the batch
+        val batch = batch0.localCheckpoint()
+        val failed = graft.operators.Validation
+          .checkRules(batch, rules, maxViolationPct)
+          .filter(!col("passed"))
+          .select(col("rule")).collect().map(_.getString(0)) // |rules| rows max
+        if (failed.isEmpty)
+          graft.sources.Sinks.writeDayPartitioned(
+            batch, path, dateCol, ifExists = "replace", clean = false)
+        else
+          batch
+            .withColumn("_quarantine_batch", lit(batchId))
+            .withColumn("_failed_rules", lit(failed))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(quarantinePath)
+      }
+      .start()
+  }
+
   /** D2→C7b bridge — streaming IVF index ingest: each micro-batch of
     * new embeddings is cell-assigned against the FROZEN quantizer
     * ([[graft.operators.Similarity.appendToIvfIndex]] — broadcast

@@ -268,6 +268,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("E→A24: gated lake sink quarantines failing batches, good partitions survive") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamEvent]
+    val lake = java.nio.file.Files.createTempDirectory("graft_gate_lake").toString
+    val quar = java.nio.file.Files.createTempDirectory("graft_gate_quar").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_gate_cp").toString
+    val daily = mem.toDF()
+      .groupBy(col("ts").cast("date").cast("string").as("date"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    val q = EventsStream.gatedDayPartitionedStream(
+      daily, lake, quar, "date", cp,
+      rules = Seq("negative_total" -> (col("total") < 0)))
+    def lakeRows() = spark.read.parquet(lake)
+      .select("date", "n", "total").as[(String, Long, Double)].collect().toSet
+    try {
+      // good batch lands in the lake
+      mem.addData(
+        StreamEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 5.0),
+        StreamEvent(2, ts("2024-01-02 10:00:00"), 1, "click", 7.0))
+      q.processAllAvailable()
+      assert(lakeRows() == Set(("2024-01-01", 1L, 5.0), ("2024-01-02", 1L, 7.0)))
+      // a poisoned refund flips day 2 negative: the WHOLE snapshot is
+      // quarantined and the lake keeps its last good day-2 row
+      mem.addData(StreamEvent(3, ts("2024-01-02 11:00:00"), 2, "refund", -50.0))
+      q.processAllAvailable()
+      assert(lakeRows() == Set(("2024-01-01", 1L, 5.0), ("2024-01-02", 1L, 7.0)),
+        "a failing batch must not replace good partitions")
+      val quarantined = spark.read.parquet(quar)
+      assert(quarantined.count() == 2) // the full bad snapshot
+      val flagged = quarantined.select(explode(col("_failed_rules")))
+        .as[String].collect().toSet
+      assert(flagged == Set("negative_total"))
+    } finally q.stop()
+  }
+
   test("D2→C7b: streaming IVF ingest extends cells exactly once, searches see new vectors") {
     import graft.operators.Similarity
     implicit val sqlCtx = spark.sqlContext
