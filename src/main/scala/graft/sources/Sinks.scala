@@ -54,6 +54,52 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Small-files compaction for the day-partitioned lake: rewrite ONLY
+    * the date partitions whose file count exceeds what their row count
+    * justifies (> ceil(rows / targetRecordsPerFile) + slack), leaving
+    * every healthy partition's files untouched — at 100 TB the lake is
+    * mostly cold healthy dates, and a compactor that rewrites them all
+    * is itself the incident.
+    *
+    * Fragmentation is the append dispositions' debt: every
+    * `ifExists="append"` batch and every streaming micro-batch lands
+    * at least one file per partition it touches. This pass restores
+    * scan efficiency (file-open cost, splittable sizes) without
+    * changing a single row — spec asserts bit-identical content and
+    * untouched-partition file identity.
+    *
+    * Returns the rewritten partition values (empty = lake was already
+    * compact). Run it on a maintenance cadence, not per batch. */
+  def compactDayPartitions(spark: org.apache.spark.sql.SparkSession,
+                           path: String, dateCol: String,
+                           targetRecordsPerFile: Long = 5000000L,
+                           slackFiles: Int = 0): Seq[String] = {
+    require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
+    val lake = spark.read.parquet(path)
+    require(lake.columns.contains(dateCol), s"$dateCol not in ${lake.columns.mkString(",")}")
+    // per-partition health census: one scan, file identity via the
+    // scan-time input file name (projected to an attribute first —
+    // nondeterministic expressions may not sit inside an aggregate)
+    val census = lake
+      .withColumn("_f", input_file_name())
+      .groupBy(col(dateCol).cast("string").as("_d"))
+      .agg(count(lit(1)).as("_rows"),
+        countDistinct(col("_f")).as("_files"))
+      .withColumn("_need", ceil(col("_rows").cast("double") / targetRecordsPerFile))
+      .filter(col("_files") > col("_need") + slackFiles)
+      .select(col("_d")).collect().map(_.getString(0)).toSeq
+    if (census.nonEmpty) {
+      // rewrite only the fragmented dates: dynamic partition overwrite
+      // replaces exactly these, coalesced to the justified file count
+      val frag = lake.filter(col(dateCol).cast("string").isin(census: _*))
+        .repartition(col(dateCol)) // one task group per date, then maxRecordsPerFile splits
+        .localCheckpoint()         // the write reads the files it replaces
+      writeDayPartitioned(frag, path, dateCol, ifExists = "replace",
+        clean = false, maxRecordsPerFile = targetRecordsPerFile)
+    }
+    census.sorted
+  }
+
   /** Sheets `update_data` analog: overwrite one "range" (= one keyed
     * slice of the sink, e.g. a report tab) in place. Realized as a
     * constant-key partition so updates and appends address the same

@@ -414,6 +414,41 @@ class SourcesSpec extends SparkSpecBase {
     assert(readAll().count(_._1 == "2024-01-02") == 2, "append must not replace")
   }
 
+  test("compactDayPartitions rewrites only fragmented dates, preserving content and cold files") {
+    import graft.sources.Sinks
+    val path = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    def mk(d: String, from: Long, n: Long) =
+      (from until from + n).map(i => (d, i)).toDF("date", "v")
+    // date A: 5 append batches → >= 5 files; date B: one clean write
+    Sinks.writeDayPartitioned(mk("2024-01-01", 0, 10), path, "date")
+    (1 to 4).foreach { b =>
+      Sinks.writeDayPartitioned(mk("2024-01-01", b * 10L, 10), path, "date",
+        ifExists = "append")
+    }
+    // cold date: one task → one file, so it reads as healthy below
+    Sinks.writeDayPartitioned(mk("2024-01-02", 100, 10).coalesce(1), path, "date",
+      ifExists = "append")
+    def files(d: String) = spark.read.parquet(path)
+      .filter(col("date") === d)
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    def content() = spark.read.parquet(path)
+      .select(col("date").cast("string"), col("v"))
+      .as[(String, Long)].collect().toSeq.sorted
+    val coldBefore = files("2024-01-02")
+    val before = content()
+    assert(files("2024-01-01").size >= 5)
+
+    val rewritten = Sinks.compactDayPartitions(spark, path, "date",
+      targetRecordsPerFile = 1000)
+    assert(rewritten == Seq("2024-01-01"), s"only the fragmented date: $rewritten")
+    assert(content() == before, "compaction must not change a single row")
+    assert(files("2024-01-01").size == 1, "50 rows fit one file at target 1000")
+    assert(files("2024-01-02") == coldBefore,
+      "healthy partitions must keep their exact files")
+    // idempotent: a second pass finds nothing to do
+    assert(Sinks.compactDayPartitions(spark, path, "date", 1000).isEmpty)
+  }
+
   test("updateRange overwrites its range in place; appendRange accumulates (Sheets analog)") {
     import graft.sources.Sinks
     val path = java.nio.file.Files.createTempDirectory("graft_sheet").toString
