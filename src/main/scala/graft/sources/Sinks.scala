@@ -100,6 +100,22 @@ object Sinks {
     census.sorted
   }
 
+  /** Lake completeness census: which dates in [fromDate, toDate]
+    * (inclusive) have NO partition in the lake — the freshness check a
+    * per-day extraction pipeline runs before trusting a range query
+    * (the A4 date spine pointed at the sink instead of the source).
+    * Spine anti-join; the spine is `datediff` rows, the lake side
+    * reduces to its distinct dates before joining. */
+  def missingDates(spark: org.apache.spark.sql.SparkSession, path: String,
+                   dateCol: String, fromDate: String, toDate: String): DataFrame = {
+    val spine = spark.range(1).select(explode(sequence(
+      lit(fromDate).cast("date"), lit(toDate).cast("date"))).as("expected_date"))
+    val present = spark.read.parquet(path)
+      .select(col(dateCol).cast("date").as("expected_date")).distinct()
+    spine.join(present, Seq("expected_date"), "left_anti")
+      .orderBy(col("expected_date"))
+  }
+
   /** Sheets `update_data` analog: overwrite one "range" (= one keyed
     * slice of the sink, e.g. a report tab) in place. Realized as a
     * constant-key partition so updates and appends address the same

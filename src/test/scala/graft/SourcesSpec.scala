@@ -449,6 +449,20 @@ class SourcesSpec extends SparkSpecBase {
     assert(Sinks.compactDayPartitions(spark, path, "date", 1000).isEmpty)
   }
 
+  test("missingDates reports exactly the absent partitions in the requested span") {
+    import graft.sources.Sinks
+    val path = java.nio.file.Files.createTempDirectory("graft_missing").toString
+    Sinks.writeDayPartitioned(
+      Seq(("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-05", 5L))
+        .toDF("date", "v"), path, "date")
+    val gaps = Sinks.missingDates(spark, path, "date", "2024-01-01", "2024-01-06")
+      .select(col("expected_date").cast("string")).as[String].collect().toSeq
+    assert(gaps == Seq("2024-01-03", "2024-01-04", "2024-01-06"))
+    // complete span → empty
+    assert(Sinks.missingDates(spark, path, "date", "2024-01-01", "2024-01-02")
+      .count() == 0)
+  }
+
   test("updateRange overwrites its range in place; appendRange accumulates (Sheets analog)") {
     import graft.sources.Sinks
     val path = java.nio.file.Files.createTempDirectory("graft_sheet").toString
