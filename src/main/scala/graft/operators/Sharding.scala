@@ -109,6 +109,26 @@ object Sharding {
     df.filter(hashUnit(col(idCol), seed) < lit(fraction))
   }
 
+  /** Deterministic WEIGHTED Bernoulli sample: row kept with probability
+    * `scale · weight(row)`, clamped to [0,1] — the quality-weighted
+    * corpus-curation draw ("upsample good documents") with
+    * [[sampleByHash]]'s retry-stability: same (inputs, seed) ⇒ same
+    * sample on any cluster size, because the uniform draw is a hash of
+    * the ID, not a per-partition RNG. Still a map-only filter.
+    *
+    * Expected kept fraction = scale · mean(weight) over rows whose
+    * scaled weight stays below 1 (heavier rows saturate at certain
+    * keep). Negative weights reject always (treated as 0). Nested
+    * property: for the same seed a smaller scale's sample ⊆ a larger
+    * scale's — weights only move each row's threshold, the draw itself
+    * is fixed per id. */
+  def sampleByWeight(df: DataFrame, idCol: String, weightCol: String,
+                     scale: Double = 1.0, seed: Long = 0L): DataFrame = {
+    require(scale > 0.0, s"scale must be positive, got $scale")
+    val p = least(greatest(col(weightCol).cast("double") * scale, lit(0.0)), lit(1.0))
+    df.filter(hashUnit(col(idCol), seed) < p)
+  }
+
   /** Deterministic corpus MIXING — the domain-weighting step of a
     * training-data build ("keep all of wiki, 30% of web crawl, 5% of
     * logs"): each row survives iff u(id) < rate(source). One map-only

@@ -72,6 +72,35 @@ class ShardingSpec extends SparkSpecBase {
     assert(!s1.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("sampleByWeight keeps rows proportionally to their weights, deterministic and nested") {
+    import org.apache.spark.sql.functions._
+    // two weight classes: 10k light (0.1) + 10k heavy (0.8)
+    val docs = spark.range(20000)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0, 0.1).otherwise(0.8).as("w"))
+    val kept = Sharding.sampleByWeight(docs, "doc_id", "w", seed = 7L)
+    val byClass = kept.groupBy("w").count()
+      .as[(Double, Long)].collect().toMap
+    assert(math.abs(byClass(0.1) / 10000.0 - 0.1) < 0.02, byClass)
+    assert(math.abs(byClass(0.8) / 10000.0 - 0.8) < 0.02, byClass)
+    // deterministic across runs
+    val ids1 = kept.select("doc_id").as[Long].collect().toSet
+    val ids2 = Sharding.sampleByWeight(docs, "doc_id", "w", seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+    // nested in scale: halving scale shrinks membership to a subset
+    val half = Sharding.sampleByWeight(docs, "doc_id", "w", scale = 0.5, seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(half.subsetOf(ids1))
+    // saturation + rejection: weight >= 1/scale keeps always, < 0 never
+    val edge = Seq((1L, 5.0), (2L, -1.0)).toDF("doc_id", "w")
+    val e = Sharding.sampleByWeight(edge, "doc_id", "w", seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(e == Set(1L))
+    // still a map-only filter
+    assert(!kept.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("mixCorpora applies per-source rates in one map-only pass") {
     val docs = Tables(spark, sfDir).documents.select("doc_id", "source")
     val bySource = docs.groupBy("source").count().as[(String, Long)].collect().toMap
