@@ -100,7 +100,8 @@ object SparkEntry {
     "q61_snapshot_diff"          -> ((s, d) => Cdc.snapshotDiffOrders(s, d)),
     "q62_scd2_merge"             -> ((s, d) => Cdc.scd2Customers(s, d)),
     "q63_linear_attribution"     -> ((s, d) => Analytics.linearAttributionEvents(s, d)),
-    "q65_data_quality"           -> ((s, d) => Validation.ordersQuality(s, d))
+    "q65_data_quality"           -> ((s, d) => Validation.ordersQuality(s, d)),
+    "q66_session_attribution"    -> ((s, d) => IntervalJoin.sessionAttribution(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -128,6 +129,20 @@ object SparkEntry {
       " ELSE 'unknown' END"
 
   private val enStops: String = sqlList(T.stopwords.head._2)
+
+  /** Session rollup SQL shared by q09 and q66: q09's Spark side IS the
+    * sessionizer; q66's Spark side re-derives session membership with
+    * the keyed binned interval join — two independent computations,
+    * ONE oracle truth. */
+  private val sessionSql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),
+      |m AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new FROM l),
+      |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      | min(ts) AS session_start, max(ts) AS session_end, round(sum(value),4) AS session_value
+      |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
   /** Quality-score CTEs shared by q28 and q53 — ONE source of truth for
     * the scoring formula on the oracle side (the Spark side shares
@@ -260,15 +275,7 @@ object SparkEntry {
         | FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
-    "q09_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
-        |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),
-        |m AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new FROM l),
-        |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM m)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        | min(ts) AS session_start, max(ts) AS session_end, round(sum(value),4) AS session_value
-        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q09_sessionize" -> sessionSql,
 
     "q10_hourly_rollup" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
@@ -1027,6 +1034,12 @@ object SparkEntry {
         |SELECT rule, CAST(n_violations AS BIGINT) AS n_violations, n_rows,
         | round(n_violations * 100.0 / n_rows, 4) AS violation_pct,
         | round(n_violations * 100.0 / n_rows, 4) <= 1.0 AS passed
-        |FROM u ORDER BY rule""".stripMargin
+        |FROM u ORDER BY rule""".stripMargin,
+
+    // q66 shares q09's oracle VERBATIM: the Spark side re-derives each
+    // session's membership through the keyed binned interval join and
+    // rolls it up — hash-matching the sessionizer's truth reconciles
+    // two independent computations of the same windows
+    "q66_session_attribution" -> sessionSql
   )
 }

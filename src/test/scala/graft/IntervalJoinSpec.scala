@@ -48,6 +48,31 @@ class IntervalJoinSpec extends SparkSpecBase {
       s"range predicate must ride the bin equi-join:\n${plan.take(1200)}")
   }
 
+  test("pointInInterval keyCols scope containment to matching keys") {
+    val keyedIntervals = Seq(
+      ("u1", "w1", ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")),
+      ("u2", "w2", ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")) // same span, other key
+    ).toDF("user", "win", "start_ts", "end_ts")
+    val keyedPoints = Seq(
+      ("u1", 1L, ts("2024-01-01 12:00:00")),
+      ("u2", 2L, ts("2024-01-01 12:00:00"))
+    ).toDF("user", "event_id", "ts")
+    val out = IntervalJoin.pointInInterval(keyedPoints, "ts", keyedIntervals,
+      "start_ts", "end_ts", keyCols = Seq("user"))
+      .select("event_id", "win").as[(Long, String)].collect().toSet
+    // without the key scope both events would match both windows
+    assert(out == Set((1L, "w1"), (2L, "w2")))
+  }
+
+  test("session attribution reconciles the interval join with the sessionizer") {
+    val viaJoin = IntervalJoin.sessionAttribution(spark, sfDir)
+      .select("user_id", "session_id", "n_events", "session_value")
+    val viaSessionizer = graft.operators.Sessionize.sessionize(spark, sfDir)
+      .select("user_id", "session_id", "n_events", "session_value")
+    assert(viaJoin.except(viaSessionizer).count() == 0)
+    assert(viaSessionizer.except(viaJoin).count() == 0)
+  }
+
   test("pointInInterval rejects colliding column names") {
     intercept[IllegalArgumentException] {
       IntervalJoin.pointInInterval(
