@@ -84,16 +84,23 @@ object Analytics {
     require(steps.nonEmpty, "funnel needs at least one step")
     val spark = df.sparkSession
     val e = df.select(col(userCol), col(tsCol), col(typeCol))
-    // stepFrames(k): (user, t) = first qualifying timestamp at step k
+    // stepFrames(k): (user, t) = first qualifying timestamp at step k.
+    // Each step MATERIALIZES (localCheckpoint of a tiny per-user frame):
+    // lazily, step k's plan embeds steps 1..k-1 wholesale, so a k-step
+    // funnel re-scanned the input O(k²) times — with the checkpoint
+    // each event type is scanned exactly once and later steps join
+    // against in-memory survivor frames
     val stepFrames = steps.tail.scanLeft(
       e.filter(col(typeCol) === steps.head)
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+        .localCheckpoint()
     ) { (prev, stepType) =>
       e.filter(col(typeCol) === stepType).as("e")
         .join(prev.as("p"), col(s"e.$userCol") === col(s"p.$userCol") &&
           col(s"e.$tsCol") > col("p.t"))
         .groupBy(col(s"e.$userCol").as(userCol))
         .agg(min(col(s"e.$tsCol")).as("t"))
+        .localCheckpoint()
     }
     val counts = stepFrames.zip(steps).zipWithIndex.map { case ((f, name), i) =>
       f.agg(count(lit(1)).as("users"))

