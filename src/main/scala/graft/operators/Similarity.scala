@@ -47,9 +47,15 @@ object Similarity {
     // Norms are computed ONCE per vector before the pairwise join — the
     // join then does a single dot per pair instead of three (3x less
     // floating-point work; the dominant cost at corpus scale).
+    // MATERIALIZED: the census, both exact-pair sides, both banded
+    // sides, and both payload rejoins all fork from this frame — lazily
+    // that was TWELVE scans of the corpus (and twelve norm
+    // recomputations); checkpointed it is one scan, and every consumer
+    // reads the cached (v, nrm) blocks.
     val e = embeddings
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", vectors.norm(col("v")))
+      .localCheckpoint()
     // Label census is a tiny aggregate broadcast back onto the scan: the
     // corpus itself is never shuffled to learn its block sizes.
     val sized = e.join(broadcast(e.groupBy(col("label")).agg(count(lit(1)).as("_bsz"))), Seq("label"))
