@@ -172,7 +172,10 @@ object Dedup {
     // verdict side only needs the doc list — keep it a bare scan so the
     // DAG fork doesn't re-run the signature pipeline
     val docsMeta = documents.select(col("doc_id"))
-    val banded = minhashIndexDocs(documents, numHashes, bands)
+    // materialized: bucketPairs forks this frame for BOTH pair sides,
+    // which lazily re-ran the fused minhash kernel over every document
+    // twice
+    val banded = minhashIndexDocs(documents, numHashes, bands).localCheckpoint()
 
     val pairs = bucketPairs(banded, Seq("band", "bh"),
         struct(col("doc_id"), col("sig")), bucketCap)
@@ -341,7 +344,10 @@ object Dedup {
   /** DataFrame-level SimHash dedup over any (doc_id, text) frame. */
   def simhashDedupDocs(documents: DataFrame,
                        maxHamming: Int = 3, bucketCap: Int = 200): DataFrame = {
+    // materialized for the same reason as the minhash path: the pair
+    // expansion forks this frame, re-hashing every document per side
     val sigs = documents.select(col("doc_id"), simhash64(col("text")).as("simhash"))
+      .localCheckpoint()
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -377,8 +383,11 @@ object Dedup {
     // instead of gram strings, and intersect/union hash primitives
     // (collision probability ~1e-19 per gram pair — irrelevant at a 0.5
     // Jaccard threshold).
+    // materialized: the posting explode and BOTH verification sides
+    // fork this frame — lazily the gram kernel ran three times per doc
     val docs = documents.select(col("doc_id"),
       call_function("graft_ngrams", lower(trim(col("text"))), lit(n)).as("grams"))
+      .localCheckpoint()
 
     val posting = docs.select(col("doc_id"), explode(col("grams")).as("g"))
     // grams are distinct per doc, so bucket size == document frequency:
