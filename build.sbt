@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round harness parses the bench metrics JSON out of the last 2000
+// chars of the sbt log. With the default LoggedOutput strategy the
+// forked program's stdout is re-emitted through sbt's logger as
+// "[info] {...}", and sbt appends a "[success] Total time..." trailer —
+// either is enough to break a line-oriented JSON parse. StdoutOutput
+// passes the forked JVM's stdout through verbatim, and showSuccess
+// drops the trailer, so the metrics line Bench prints after
+// spark.stop() is the LAST line of the log, unprefixed.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -61,15 +61,20 @@ object Bench {
     }
     val total = results.collect { case (_, m, _) if m >= 0 => m }.sum
     // The round harness keeps only the LAST 2000 chars of the log and
-    // parses the JSON line out of that tail: rounds 1-6 all printed a
+    // parses the JSON line out of that tail. Rounds 1-6 printed a
     // ~3.5k-char line (medians + first-run at full double precision),
-    // so the head of the line was always cut and every BENCH_r{N}.json
-    // came back `parsed: null`. Budget: ~1920 chars after sbt's
-    // "[success] Total time..." trailer. So: first-run times go to
-    // stderr (human signal only), the stdout line carries medians alone
-    // at 3-decimal precision, and if the suite ever grows past the
-    // budget the keys degrade to their qNN prefix rather than letting
-    // the line overflow again.
+    // so the head of the line was always cut. Round 7 shrank the line
+    // to ~1.8k chars — and STILL parsed null, because sbt's logger
+    // re-emitted it as "[info] {...}" with a "[success] Total time..."
+    // trailer after it (both visible verbatim in BENCH_r07.json's
+    // tail). Round 8: build.sbt switches the forked run to
+    // StdoutOutput (no logger prefix) and showSuccess := false (no
+    // trailer), and the line prints AFTER spark.stop() so nothing Spark
+    // logs can land behind it. First-run times go to stderr (human
+    // signal only), the stdout line carries medians alone at 3-decimal
+    // precision, and if the suite ever grows past the budget the keys
+    // degrade to their qNN prefix rather than letting the line
+    // overflow again.
     def fmt(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     results.foreach { case (n, m, f0) =>
       System.err.println(s"[bench] $n median=${fmt(m)} first=${fmt(f0)}")
@@ -83,8 +88,13 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sf,"iters":$iters,"queries":$qs}"""
     }
+    // budget: the line is the LAST log content (StdoutOutput, no
+    // trailer), so it may use nearly the whole 2000-char tail; 1950
+    // leaves margin for the trailing newline and tail-boundary slack
     val full = line(identity)
-    println(if (full.length <= 1850) full else line(_.split("_").head))
+    val out = if (full.length <= 1950) full else line(_.split("_").head)
     spark.stop()
+    println(out)
+    System.out.flush()
   }
 }

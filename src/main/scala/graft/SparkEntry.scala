@@ -100,6 +100,7 @@ object SparkEntry {
     "q61_snapshot_diff"          -> ((s, d) => Cdc.snapshotDiffOrders(s, d)),
     "q62_scd2_merge"             -> ((s, d) => Cdc.scd2Customers(s, d)),
     "q63_linear_attribution"     -> ((s, d) => Analytics.linearAttributionEvents(s, d)),
+    "q67_ushaped_attribution"    -> ((s, d) => Analytics.ushapedAttributionEvents(s, d)),
     "q65_data_quality"           -> ((s, d) => Validation.ordersQuality(s, d)),
     "q66_session_attribution"    -> ((s, d) => IntervalJoin.sessionAttribution(s, d))
   )
@@ -911,13 +912,16 @@ object SparkEntry {
 
     // trailing baseline EXCLUDES the current day (a spike must not
     // suppress its own z); z is null while the baseline has <2 days or
-    // is flat, and is_anomaly compares the ROUNDED z in both engines
+    // is flat, and is_anomaly compares the ROUNDED z in both engines.
+    // RANGE over the day number, not ROWS: calendar gaps SHRINK the
+    // baseline instead of letting stale pre-gap days vote
     "q58_anomaly_flags" ->
       """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events FROM e GROUP BY 1, 2),
+        |n AS (SELECT *, datediff('day', DATE '1970-01-01', day) AS day_num FROM d),
         |b AS (SELECT *, avg(n_events) OVER w AS m, stddev_samp(n_events) OVER w AS s
-        |      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
-        |                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |      FROM n WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+        |                          RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
         |z AS (SELECT *, CASE WHEN s IS NULL OR s = 0
         |                     THEN CAST(NULL AS DOUBLE)
         |                     ELSE round((n_events - m) / s, 4) END AS z_score FROM b)
@@ -996,7 +1000,10 @@ object SparkEntry {
 
     // linear multi-touch: value/n split per conversion (event_id is the
     // shared conversion identity), credited to click days in the prior
-    // 7 days, strictly before the purchase
+    // 7 days, strictly before the purchase. Credits quantize to the
+    // 1e-8 grid and sum as exact BIGINTs (the q33 scaled-long money
+    // convention): day 2024-01-05's true sum is exactly 3491.31575 — a
+    // 4dp grid tie that a double sum rounds engine-dependently
     "q63_linear_attribution" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |           FROM events),
@@ -1009,10 +1016,42 @@ object SparkEntry {
         |        AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),
         |w AS (SELECT *, count(*) OVER (PARTITION BY conv_id) AS n_touches FROM j)
         |SELECT CAST(touch_ts AS DATE) AS touch_day,
-        | round(sum(value / n_touches), 4) AS credited_value,
+        | round(CAST(sum(CAST(round(value / n_touches * 100000000.0) AS BIGINT)) AS DOUBLE)
+        |       / 100000000.0 + 1e-9, 4) AS credited_value,
         | count(*) AS n_credited_touches,
         | CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions
         |FROM w GROUP BY 1 ORDER BY touch_day""".stripMargin,
+
+    // u_shaped multi-touch: 40% first / 40% last / middles share 20%,
+    // ties broken on the touch event id; the weight CASE is plain IEEE
+    // arithmetic mirrored from the Spark when-chain, credits take the
+    // same scaled-long path as q63
+    "q67_ushaped_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |           FROM events),
+        |t AS (SELECT event_id AS touch_id, user_id, ts AS touch_ts FROM e
+        |      WHERE event_type = 'click'),
+        |c AS (SELECT event_id AS conv_id, user_id, ts AS conv_ts, value FROM e
+        |      WHERE event_type = 'purchase'),
+        |j AS (SELECT c.conv_id, c.value, t.touch_ts, t.touch_id
+        |      FROM c JOIN t ON c.user_id = t.user_id
+        |      WHERE t.touch_ts < c.conv_ts
+        |        AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),
+        |w AS (SELECT *, count(*) OVER (PARTITION BY conv_id) AS n,
+        |        row_number() OVER (PARTITION BY conv_id ORDER BY touch_ts, touch_id) AS pos
+        |      FROM j),
+        |k AS (SELECT conv_id, touch_ts, value *
+        |        (CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+        |              WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+        |              WHEN pos = 1 OR pos = n THEN CAST(0.4 AS DOUBLE)
+        |              ELSE CAST(0.2 AS DOUBLE) / (n - 2) END) AS credit
+        |      FROM w)
+        |SELECT CAST(touch_ts AS DATE) AS touch_day,
+        | round(CAST(sum(CAST(round(credit * 100000000.0) AS BIGINT)) AS DOUBLE)
+        |       / 100000000.0 + 1e-9, 4) AS credited_value,
+        | count(*) AS n_credited_touches,
+        | CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions
+        |FROM k GROUP BY 1 ORDER BY touch_day""".stripMargin,
 
     // every rule is a conditional sum over ONE aggregate row, unpivoted;
     // passed compares the ROUNDED pct so both engines agree at the

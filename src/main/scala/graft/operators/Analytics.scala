@@ -161,12 +161,17 @@ object Analytics {
     val daily = df
       .groupBy(col(keyCol), col(tsCol).cast("date").as("day"))
       .agg(count(lit(1)).as("n_events"))
-    // day is unique within a key at daily grain, so the ROWS frame
-    // order is total — trailing-window semantics are deterministic
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
-      .rowsBetween(-baselineDays, -1)
+    // CALENDAR-anchored baseline: a RANGE frame over the day number, so
+    // a reporting gap SHRINKS the trailing window (possibly to empty →
+    // null z) instead of letting stale pre-gap days vote — the same
+    // rationale rollingDaily states, and the contract the streaming twin
+    // advertises. A ROWS frame here would silently bridge a 30-day
+    // outage and score the first post-gap day against month-old counts.
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_day_num"))
+      .rangeBetween(-baselineDays, -1)
     val z: Column = (col("n_events") - col("_mean")) / col("_std")
     daily
+      .withColumn("_day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
       .withColumn("_mean", avg(col("n_events")).over(w))
       .withColumn("_std", stddev_samp(col("n_events")).over(w))
       .withColumn("z_score",
@@ -174,7 +179,7 @@ object Analytics {
       .withColumn("is_anomaly", coalesce(abs(col("z_score")) > zThreshold, lit(false)))
       .withColumn("baseline_mean", round(col("_mean"), 4))
       .withColumn("baseline_std", round(col("_std"), 4))
-      .drop("_mean", "_std")
+      .drop("_mean", "_std", "_day_num")
       .orderBy(col(keyCol), col("day"))
   }
 
@@ -234,11 +239,21 @@ object Analytics {
         col("_touch_ts") >= col("_conv_ts") - window)
     val perConv = Window.partitionBy(col("_conv_id"))
     val posOrder = col("_touch_ts").asc +: touchIdCol.map(_ => col("_touch_id").asc).toSeq
+    // Per-touch credits quantize to a fixed 1e-8 grid and accumulate as
+    // exact longs (the q33 scaled-long money convention). A double sum
+    // is merge-order-DEPENDENT: at sf0.01 touch-day 2024-01-05's true
+    // credited sum is exactly 3491.31575 — a dead-center 4dp grid tie —
+    // so Spark's and DuckDB's different summation orders rounded it to
+    // opposite sides. Everything BEFORE the quantization is plain IEEE
+    // arithmetic on identical inputs (bit-identical across engines), the
+    // long sum is order-free, and the trailing 1e-9 nudge keeps
+    // grid-exact totals off the half-up boundary.
+    def scaledCredit(c: Column): Column = round(c * 100000000.0).cast("long")
     val weighted = model match {
       case "linear" =>
         joined
           .withColumn("_n", count(lit(1)).over(perConv))
-          .withColumn("_w", lit(1.0) / col("_n"))
+          .withColumn("_credit_s", scaledCredit(col("_value") / col("_n")))
       case "u_shaped" =>
         joined
           .withColumn("_n", count(lit(1)).over(perConv))
@@ -248,6 +263,7 @@ object Analytics {
               .when(col("_n") === 2, 0.5)
               .when(col("_pos") === 1 || col("_pos") === col("_n"), 0.4)
               .otherwise(lit(0.2) / (col("_n") - 2)))
+          .withColumn("_credit_s", scaledCredit(col("_value") * col("_w")))
       case "time_decay" =>
         // NTZ-safe epoch seconds: NTZ→TIMESTAMP is a valid cast (UTC
         // session), TIMESTAMP→DOUBLE is epoch seconds; both operands
@@ -255,14 +271,20 @@ object Analytics {
         def secs(c: Column) = c.cast("timestamp").cast("double")
         val ageDays = (secs(col("_conv_ts")) - secs(col("_touch_ts"))) / 86400.0
         joined
-          .withColumn("_raw", pow(lit(0.5), ageDays / halfLifeDays))
-          .withColumn("_w", col("_raw") / sum(col("_raw")).over(perConv))
+          // raw decay weights quantize BEFORE normalization so the
+          // per-conversion weight denominator is an exact long sum (the
+          // double sum over the window is order-dependent too)
+          .withColumn("_raw_s",
+            round(pow(lit(0.5), ageDays / halfLifeDays) * 1.0e9).cast("long"))
+          .withColumn("_w",
+            col("_raw_s").cast("double") / sum(col("_raw_s")).over(perConv).cast("double"))
+          .withColumn("_credit_s", scaledCredit(col("_value") * col("_w")))
     }
     weighted
-      .withColumn("_credit", col("_value") * col("_w"))
       .groupBy(col("_touch_ts").cast("date").as("touch_day"))
       .agg(
-        round(sum(col("_credit")), 4).as("credited_value"),
+        round(sum(col("_credit_s")).cast("double") / 100000000.0 + lit(1e-9), 4)
+          .as("credited_value"),
         count(lit(1)).as("n_credited_touches"),
         countDistinct(col("_conv_id")).as("n_conversions"))
       .orderBy(col("touch_day"))
@@ -284,4 +306,15 @@ object Analytics {
     linearAttribution(Tables(spark, dir).events, "user_id", "ts", "event_type",
       "value", touchType = "click", convType = "purchase",
       convIdCol = Some("event_id"))
+
+  /** `q67_ushaped_attribution`: the position-based 40/20/40 model on the
+    * same touch/conversion frame — its weights (1, 0.5, 0.4, 0.2/(n−2))
+    * are plain IEEE expressions both engines evaluate bit-identically,
+    * so unlike time_decay it is fully ANSI-expressible and DuckDB
+    * hash-checks it (position ties break on the event id). */
+  def ushapedAttributionEvents(spark: SparkSession, dir: String): DataFrame =
+    attribution(Tables(spark, dir).events, "user_id", "ts", "event_type",
+      "value", touchType = "click", convType = "purchase",
+      convIdCol = Some("event_id"), model = "u_shaped",
+      touchIdCol = Some("event_id"))
 }

@@ -58,8 +58,17 @@ object Sketches {
     val mightContain = udf { k: java.lang.Long =>
       k != null && bc.value.mightContainLong(k)
     }.withName("bloomMightContain") // named so plan audits can locate the prune
+    // the dim key gets a reserved name for the trailing join: with the
+    // natural `col(factKeyCol) === col(dimKeyCol)` a generic call where
+    // both sides share a key name (both "part_key") is ambiguous and
+    // fails analysis. Left-semi output carries only fact columns, so
+    // the rename never leaks.
+    val dimKeyTmp = "_graft_bloom_dim_key"
+    require(!fact.columns.contains(dimKeyTmp),
+      s"fact frame may not contain reserved column $dimKeyTmp")
     fact.filter(mightContain(col(factKeyCol).cast("long")))
-      .join(dim.select(col(dimKeyCol)), col(factKeyCol) === col(dimKeyCol), "left_semi")
+      .join(dim.select(col(dimKeyCol).as(dimKeyTmp)),
+        col(factKeyCol) === col(dimKeyTmp), "left_semi")
   }
 
   /** `q59_bloom_semijoin`: revenue by return flag over lineitems whose

@@ -387,12 +387,11 @@ object EventsStream {
     * queryable, shared with the batch pipeline (it IS q58's daily
     * grain), and bounded by |keys × days|, not stream uptime.
     *
-    * Baseline nuance vs the batch operator: this one is
-    * CALENDAR-anchored ([day−N, day−1]), so a silent gap SHRINKS the
-    * baseline, where q58's ROWS frame reaches back to the last N days
-    * PRESENT. Identical on gapless series; for a stream, shrinking is
-    * the safer reading (a gap usually means the pipeline was down —
-    * stale days shouldn't vote).
+    * Baseline semantics match the batch operator exactly: both are
+    * CALENDAR-anchored ([day−N, day−1] — q58's RANGE frame over the day
+    * number), so a silent gap SHRINKS the baseline instead of letting
+    * stale pre-gap days vote (a gap usually means the pipeline was
+    * down).
     *
     * Returns the started query; callers own its lifecycle. */
   def anomalyIngestStream(events: DataFrame, countsPath: String,
@@ -417,9 +416,17 @@ object EventsStream {
         val history = scala.util.Try(spark.read.parquet(countsPath)).toOption
         // a multi-day batch (cold start, recovery catch-up) must let its
         // own EARLIER days baseline its later ones — the join's
-        // h.day < b.day keeps self/future days out
+        // h.day < b.day keeps self/future days out. History rows whose
+        // (key, day) the batch re-delivers anti-join away first: on a
+        // REPLAYED batch those days already sit in countsPath, and a
+        // duplicated baseline row leaves avg unchanged but shrinks
+        // stddev_samp — replayed batches would score (and alert)
+        // differently from first delivery. With the dedup, scoring is
+        // replay-idempotent, not just the landed write.
         val baseline = history
-          .map(_.select(col(keyCol), col("day"), col("n_events")).unionByName(batch))
+          .map(_.select(col(keyCol), col("day"), col("n_events"))
+            .join(batch.select(col(keyCol), col("day")), Seq(keyCol, "day"), "left_anti")
+            .unionByName(batch))
           .getOrElse(batch)
         // trailing-window join: one baseline row per (batch day, prior
         // day within the window); a day with no baseline rows keeps a

@@ -139,6 +139,32 @@ class AnalyticsSpec extends SparkSpecBase {
     out.init.foreach { r => assert(!r._3, r) }
   }
 
+  test("anomalyFlags baseline shrinks across a calendar gap instead of going stale") {
+    // noisy week, a 30-day pipeline outage, then activity resumes: the
+    // first post-gap day has NO trailing-7-calendar-day baseline, so z
+    // must be null — a ROWS frame would score it against month-old
+    // counts and (here) flag a perfectly normal day
+    val preGap = Seq(1, 3, 1, 3, 1, 3, 1).zipWithIndex.flatMap { case (n, i) =>
+      Seq.fill(n)(("a", ts(f"2024-01-${i + 1}%02d 10:00:00")))
+    }
+    val postGap = Seq.fill(10)(("a", ts("2024-02-07 10:00:00"))) ++
+      Seq.fill(2)(("a", ts("2024-02-08 10:00:00")))
+    val events = (preGap ++ postGap).toDF("k", "ts")
+
+    val out = Analytics.anomalyFlags(events, "k", "ts")
+      .select("day", "z_score", "is_anomaly", "baseline_mean")
+      .as[(Date, Option[Double], Boolean, Option[Double])].collect().toSeq
+
+    val firstAfterGap = out.find(_._1 == Date.valueOf("2024-02-07")).get
+    assert(firstAfterGap._2.isEmpty && !firstAfterGap._3, firstAfterGap)
+    assert(firstAfterGap._4.isEmpty, s"empty baseline must have null mean: $firstAfterGap")
+    // the second post-gap day sees ONLY the one in-range day (baseline
+    // size 1 → stddev null → null z), never the pre-gap week
+    val secondAfterGap = out.find(_._1 == Date.valueOf("2024-02-08")).get
+    assert(secondAfterGap._2.isEmpty && !secondAfterGap._3, secondAfterGap)
+    assert(secondAfterGap._4.contains(10.0), secondAfterGap)
+  }
+
   test("anomalyFlags rejects a degenerate baseline window") {
     val e = Seq(("a", ts("2024-01-01 00:00:00"))).toDF("k", "ts")
     intercept[IllegalArgumentException] {
