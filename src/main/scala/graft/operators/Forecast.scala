@@ -754,6 +754,8 @@ object Forecast {
                       multiplicative: Boolean = false,
                       changepoints: Int = 0, changepointRange: Double = 0.8,
                       changepointRidge: Double = 0.0,
+                      seasonalityRidge: Double = 0.0,
+                      holidaysRidge: Double = 0.0,
                       extraSeasonalities: Seq[(Double, Int)] = Nil,
                       cap: Option[Double] = None, floor: Option[Double] = None,
                       includeIntervals: Boolean = false, intervalWidth: Double = 0.80,
@@ -782,6 +784,8 @@ object Forecast {
       s"changepointRange must be in (0,1], got $changepointRange")
     require(futureReg.isEmpty || regressorCols.nonEmpty,
       "futureReg given but no regressorCols declared")
+    require(seasonalityRidge >= 0 && holidaysRidge >= 0,
+      s"ridge penalties must be >= 0, got $seasonalityRidge/$holidaysRidge")
     val keys = keyCols.map(col)
     val wk = Window.partitionBy(keys: _*)
     val minYearlySpanDays = 730.0
@@ -848,15 +852,29 @@ object Forecast {
         Seq(max(col("x")).as("xmax"), max(col("ds")).as("maxds"),
           max(col("span_days")).as("span_days")) ++ regMeanCols): _*)
 
-    // ridge lands only on the hinge-coefficient diagonal entries — trend
-    // and seasonality stay unpenalized, exactly like Prophet's prior
-    // structure (flat prior on k/m, Laplace prior on the deltas only)
+    // block-structured ridge on the diagonal, mirroring Prophet's prior
+    // structure: flat prior on trend (k/m — never penalized), Laplace
+    // prior on the changepoint deltas (`changepointRidge`), and normal
+    // priors on the seasonality and holiday blocks
+    // (`seasonalityRidge`/`holidaysRidge` — the
+    // seasonality_prior_scale / holidays_prior_scale analogs at
+    // ProphetForecaster.py:282-283; a LARGER ridge is a SMALLER prior
+    // scale, shrinking that block's effects toward zero). Regressor
+    // coefficients stay unpenalized like the trend.
     val hingeIdx = (trendLen until trendLen + changepoints).toSet
+    val seasLen = 2 * weeklyOrder + 2 * yearlyOrder +
+      2 * extraSeasonalities.map(_._2).sum
+    val seasIdx = (trendLen + changepoints until trendLen + changepoints + seasLen).toSet
+    val holIdx = (p - holNames.size until p).toSet
+    def diagRidge(i: Int): Double =
+      (if (hingeIdx(i)) changepointRidge else 0.0) +
+        (if (seasIdx(i)) seasonalityRidge else 0.0) +
+        (if (holIdx(i)) holidaysRidge else 0.0)
     val solve = udf((gram: Seq[Double], rhs: Seq[Double]) => solveDense(p, gram, rhs))
     val betas = fit.withColumn("beta", solve(
         array((for (i <- 0 until p; j <- 0 until p) yield {
           val g = col(s"g_${i}_$j")
-          if (i == j && hingeIdx(i) && changepointRidge > 0.0) g + lit(changepointRidge) else g
+          if (i == j && diagRidge(i) > 0.0) g + lit(diagRidge(i)) else g
         }): _*),
         array((0 until p).map(i => col(s"m_$i")): _*)))
       .select(keys ++ Seq(col("beta"), col("xmax"), col("maxds"), col("span_days")) ++

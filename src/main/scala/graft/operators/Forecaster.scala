@@ -41,8 +41,16 @@ import org.apache.spark.sql.types.NumericType
   * Fourier/joint paths), Some(0) = off (dispatches to the Fourier path
   * with an empty weekly block), Some(k) = order k.
   *
-  * Still refused loudly (IllegalArgumentException): `holidays` together
-  * with `countryHolidays`, `changepointRidge` without changepoints,
+  * `holidays` and `countryHolidays` together merge into ONE calendar
+  * before the per-name effect/indicator build, exactly as Prophet feeds
+  * a custom holidays frame and add_country_holidays into the same model
+  * (ProphetForecaster.py:316-319 + :161). `seasonalityRidge` /
+  * `holidaysRidge` are the seasonality_prior_scale /
+  * holidays_prior_scale analogs (:282-283): block-diagonal ridge terms
+  * on the Gram solve — a larger ridge is a smaller prior scale.
+  *
+  * Still refused loudly (IllegalArgumentException): `changepointRidge`
+  * without changepoints, `holidaysRidge` without holidays,
   * multiplicative seasonality with logistic growth (two fit-space
   * transforms), and changepoints with flat growth.
   *
@@ -95,6 +103,8 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
                changepoints: Int = 0,
                changepointRange: Double = 0.8,
                changepointRidge: Double = 0.0,
+               seasonalityRidge: Double = 0.0,
+               holidaysRidge: Double = 0.0,
                customSeasonalities: Seq[(Double, Int)] = Nil,
                holidays: Option[DataFrame] = None,
                countryHolidays: Option[String] = None,
@@ -121,16 +131,19 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
       s"unsupported option combination: $what")
     if (changepointRidge > 0.0 && changepoints == 0)
       unsupported("changepointRidge without changepoints")
-    if (holidays.isDefined && countryHolidays.isDefined)
-      unsupported("both holidays and country_holidays")
+    if (holidaysRidge > 0.0 && holidays.isEmpty && countryHolidays.isEmpty)
+      unsupported("holidaysRidge without holidays")
     if (futureRegressor.isDefined && regs.isEmpty)
       unsupported("futureRegressor without a regressor")
 
     // any DEFINED weeklySeasonality routes through the Fourier basis so
     // Some(0) genuinely disables the weekly term (the simple path's
     // day-of-week means have no off switch)
+    // a prior-scale ridge needs the Gram-basis fit (the simple paths'
+    // residual means have no coefficients to penalize)
     val wantsFourier = yearlySeasonality > 0 || weeklySeasonality.isDefined ||
-      customSeasonalities.nonEmpty || changepoints > 0 || multiplicative
+      customSeasonalities.nonEmpty || changepoints > 0 || multiplicative ||
+      seasonalityRidge > 0.0 || holidaysRidge > 0.0
     val wantsHolidays = holidays.isDefined || countryHolidays.isDefined
     val wantsBounds = cap.isDefined || floor.isDefined || includeIntervals ||
       includeHistory || !nonNegative
@@ -139,28 +152,38 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
     // resolve countryHolidays into a concrete (ds, holiday) calendar
     // spanning the data plus the horizon (the bounds read is one tiny
     // driver-side aggregate, as in forecastWithCountryHolidays)
+    def countryCal(c: String): DataFrame = {
+      def yearOf(v: Any): Int = v match {
+        case d: java.sql.Date => d.toLocalDate.getYear
+        case t: java.sql.Timestamp => t.toLocalDateTime.getYear
+        case other => throw new IllegalArgumentException(
+          s"date column must be DATE or TIMESTAMP, got $other")
+      }
+      val b = data.agg(min(col(dateCol)), max(col(dateCol))).head()
+      // cover the WHOLE horizon at every freq (days counts periods:
+      // months at MS, weeks at W, hours at H, days at D)
+      val extraYears = freq match {
+        case "MS" => days / 12 + 1
+        case "W"  => days / 52 + 1
+        case "H"  => days / (24 * 365) + 1
+        case _    => days / 365 + 1
+      }
+      val (lo, hi) =
+        if (b.isNullAt(0)) (1970, 1969)
+        else (yearOf(b.get(0)), yearOf(b.get(1)) + extraYears)
+      graft.functions.holidays.calendar(data.sparkSession, c, lo, hi)
+    }
     lazy val holFrame: Option[DataFrame] = (holidays, countryHolidays) match {
       case (Some(h), None) => Some(h)
-      case (None, Some(c)) =>
-        def yearOf(v: Any): Int = v match {
-          case d: java.sql.Date => d.toLocalDate.getYear
-          case t: java.sql.Timestamp => t.toLocalDateTime.getYear
-          case other => throw new IllegalArgumentException(
-            s"date column must be DATE or TIMESTAMP, got $other")
-        }
-        val b = data.agg(min(col(dateCol)), max(col(dateCol))).head()
-        // cover the WHOLE horizon at every freq (days counts periods:
-        // months at MS, weeks at W, hours at H, days at D)
-        val extraYears = freq match {
-          case "MS" => days / 12 + 1
-          case "W"  => days / 52 + 1
-          case "H"  => days / (24 * 365) + 1
-          case _    => days / 365 + 1
-        }
-        val (lo, hi) =
-          if (b.isNullAt(0)) (1970, 1969)
-          else (yearOf(b.get(0)), yearOf(b.get(1)) + extraYears)
-        Some(graft.functions.holidays.calendar(data.sparkSession, c, lo, hi))
+      case (None, Some(c)) => Some(countryCal(c))
+      case (Some(h), Some(c)) =>
+        // Prophet feeds a custom `holidays` frame AND a country calendar
+        // into ONE model (ProphetForecaster.py:316-319 with
+        // add_country_holidays at :161): union the calendars BEFORE the
+        // per-name effect/indicator build. distinct() so a custom row
+        // duplicating a country entry can't double-join calendar days
+        Some(h.select(col("ds").cast("date").as("ds"), col("holiday"))
+          .unionByName(countryCal(c)).distinct())
       case _ => None
     }
     // at freq='H' append an hour-of-day Fourier block (Prophet's
@@ -200,6 +223,8 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
           multiplicative = multiplicative,
           changepoints = changepoints, changepointRange = changepointRange,
           changepointRidge = changepointRidge,
+          seasonalityRidge = seasonalityRidge,
+          holidaysRidge = holidaysRidge,
           extraSeasonalities = seasonWithDaily,
           cap = cap, floor = floor,
           includeIntervals = includeIntervals, intervalWidth = intervalWidth,
@@ -227,8 +252,11 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
         // (q35 semantics, coincides with the joint fit when holidays
         // are sparse)
         (holidays, countryHolidays) match {
-          case (Some(h), None) => Forecast.forecastWithHolidays(melt(ms), keys, days, h)
-          case _ => Forecast.forecastWithCountryHolidays(melt(ms), keys, days, countryHolidays.get)
+          case (None, Some(c)) =>
+            Forecast.forecastWithCountryHolidays(melt(ms), keys, days, c)
+          // custom-only passes the caller frame through; custom+country
+          // passes the merged calendar — same per-name effects path
+          case _ => Forecast.forecastWithHolidays(melt(ms), keys, days, holFrame.get)
         }
       } else if (wantsFourier) {
         Forecast.forecastFourier(melt(ms), keys, days,
@@ -236,6 +264,8 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
           multiplicative = multiplicative,
           changepoints = changepoints, changepointRange = changepointRange,
           changepointRidge = changepointRidge,
+          seasonalityRidge = seasonalityRidge,
+          holidaysRidge = holidaysRidge,
           extraSeasonalities = seasonWithDaily,
           cap = cap, floor = floor,
           includeIntervals = includeIntervals, intervalWidth = intervalWidth,

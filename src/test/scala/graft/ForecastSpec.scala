@@ -586,12 +586,107 @@ class ForecastSpec extends SparkSpecBase {
     }
     // still refused loudly: contradictory option pairs
     intercept[IllegalArgumentException] {
-      fc.forecast(days = 3, holidays = Some(wide.select(col("ds"),
-        lit("h").as("holiday"))), countryHolidays = Some("US"))
-    }
-    intercept[IllegalArgumentException] {
       fc.forecast(days = 3, metrics = Some(Seq("revenue")), changepointRidge = 1.0)
     }
+  }
+
+  test("seasonality/holiday prior-scale ridges shrink their blocks toward zero") {
+    import graft.operators.{Forecast, Forecaster}
+    // flat 100 + 40 on promo days (4 in history, one in the horizon):
+    // holidaysRidge is the holidays_prior_scale analog — tightening the
+    // prior (larger ridge) shrinks the fitted promo effect monotonically
+    val start = java.time.LocalDate.of(2024, 6, 2)
+    val promos = Set(java.time.LocalDate.of(2024, 6, 5),
+      java.time.LocalDate.of(2024, 6, 19), java.time.LocalDate.of(2024, 7, 3),
+      java.time.LocalDate.of(2024, 7, 17), java.time.LocalDate.of(2024, 8, 1))
+    val hist = (0 until 56).map { i =>
+      val d = start.plusDays(i)
+      ("k", Date.valueOf(d), if (promos(d)) 140.0 else 100.0)
+    }.toDF("key", "ds", "y")
+    val cal = promos.toSeq.sorted.map(d => (Date.valueOf(d), "promo")).toDF("ds", "holiday")
+    // horizon Jul 28 – Aug 10: Aug 1 is the promo day, Aug 8 the
+    // same-dow holiday-free control (flat trend → difference = effect)
+    def promoEffect(ridge: Double): Double = {
+      val m = Forecast.forecastFourier(hist, Seq("key"), horizon = 14,
+        weeklyOrder = 1, yearlyOrder = 0, holidays = Some(cal),
+        holidaysRidge = ridge)
+        .select("ds", "yhat").as[(Date, Double)].collect().toMap
+      m(Date.valueOf("2024-08-01")) - m(Date.valueOf("2024-08-08"))
+    }
+    val loose = promoEffect(0.0)
+    val mid = promoEffect(10.0)
+    val tight = promoEffect(1e6)
+    assert(loose > 30.0, s"unpenalized promo effect: $loose")
+    assert(mid > 2.0 && mid < loose - 5.0, s"mid ridge must shrink partially: $mid")
+    assert(math.abs(tight) < 1.0, s"tight prior must crush the effect: $tight")
+
+    // flat 100 + weekly sinusoid: seasonalityRidge flattens the
+    // forecast's weekly swing the same way
+    val seasonal = (0 until 56).map { i =>
+      val d = start.plusDays(i)
+      val phase = 2.0 * math.Pi * (d.toEpochDay % 7) / 7.0
+      ("k", Date.valueOf(d), 100.0 + 10.0 * math.sin(phase))
+    }.toDF("key", "ds", "y")
+    def weeklySwing(ridge: Double): Double = {
+      val ys = Forecast.forecastFourier(seasonal, Seq("key"), horizon = 7,
+        weeklyOrder = 1, yearlyOrder = 0, seasonalityRidge = ridge)
+        .select("yhat").as[Double].collect()
+      ys.max - ys.min
+    }
+    assert(weeklySwing(0.0) > 15.0)
+    assert(weeklySwing(1e6) < 1.0)
+
+    // facade pass-through: the kwargs reach the joint fit, and
+    // holidaysRidge without a calendar is refused
+    val fc = new Forecaster(hist.withColumnRenamed("y", "sales"), keyCols = Seq("key"))
+    val viaFacade = fc.forecast(days = 14, holidays = Some(cal), holidaysRidge = 1e6)
+      .select("ds", "yhat").as[(Date, Double)].collect().toMap
+    assert(math.abs(viaFacade(Date.valueOf("2024-08-01")) -
+      viaFacade(Date.valueOf("2024-08-08"))) < 1.0)
+    intercept[IllegalArgumentException] {
+      fc.forecast(days = 3, holidaysRidge = 1.0)
+    }
+  }
+
+  test("Forecaster facade fits custom holidays AND a country calendar in one model") {
+    import graft.operators.Forecaster
+    // Prophet merges the `holidays` frame WITH add_country_holidays
+    // into one fit (ProphetForecaster.py:316-319 + :161) — the facade
+    // must match a call where the caller pre-merged the calendars
+    val start = java.time.LocalDate.of(2024, 6, 1)
+    val wide = (0 until 56).map { x =>
+      val d = start.plusDays(x)
+      val promo = if (d.getDayOfMonth == 15) 30.0 else 0.0
+      val july4 = if (d == java.time.LocalDate.of(2024, 7, 4)) 50.0 else 0.0
+      ("c1", Date.valueOf(d), 100.0 + promo + july4)
+    }.toDF("campaign", "ds", "sales")
+    val fc = new Forecaster(wide, dateCol = "ds", keyCols = Seq("campaign"))
+    // the custom calendar covers history AND the horizon, like
+    // Prophet's holidays frame (history ends Jul 26; horizon runs
+    // Jul 27 – Aug 16, so Aug 15 is the in-horizon promo day)
+    val custom = (0 until 90).map(start.plusDays(_))
+      .filter(_.getDayOfMonth == 15)
+      .map(d => (Date.valueOf(d), "promo")).toDF("ds", "holiday")
+
+    val both = fc.forecast(days = 21, holidays = Some(custom),
+      countryHolidays = Some("US"))
+      .select("ds", "yhat").as[(Date, Double)].collect().toMap
+    // the facade derives the country span from the data + horizon:
+    // freq=D, days=21 → one extra year past the max date
+    val cal = graft.functions.holidays.calendar(spark, "US", 2024, 2025)
+    val premerged = fc.forecast(days = 21,
+      holidays = Some(custom.unionByName(cal)))
+      .select("ds", "yhat").as[(Date, Double)].collect().toMap
+
+    assert(both.keySet == premerged.keySet && both.size == 21)
+    both.foreach { case (ds, y) =>
+      assert(math.abs(y - premerged(ds)) < 1e-9, s"$ds: $y vs ${premerged(ds)}")
+    }
+    // the custom effect survives the merge: the in-horizon Aug 15
+    // carries the promo lift over a plain baseline day
+    val plain = both(Date.valueOf("2024-08-16"))
+    assert(both(Date.valueOf("2024-08-15")) - plain > 20.0,
+      s"promo lift missing: ${both(Date.valueOf("2024-08-15"))} vs $plain")
   }
 
   test("Forecaster facade expands a caller futureRegressor across melted metrics") {
