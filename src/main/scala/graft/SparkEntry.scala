@@ -101,6 +101,7 @@ object SparkEntry {
     "q62_scd2_merge"             -> ((s, d) => Cdc.scd2Customers(s, d)),
     "q63_linear_attribution"     -> ((s, d) => Analytics.linearAttributionEvents(s, d)),
     "q67_ushaped_attribution"    -> ((s, d) => Analytics.ushapedAttributionEvents(s, d)),
+    "q68_paragraph_dedup"        -> ((s, d) => Dedup.paragraphDedupPages(s, d)),
     "q65_data_quality"           -> ((s, d) => Validation.ordersQuality(s, d)),
     "q66_session_attribution"    -> ((s, d) => IntervalJoin.sessionAttribution(s, d))
   )
@@ -1052,6 +1053,37 @@ object SparkEntry {
         | count(*) AS n_credited_touches,
         | CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions
         |FROM k GROUP BY 1 ORDER BY touch_day""".stripMargin,
+
+    // repeated-paragraph boilerplate removal over derived pages (page p
+    // = docs p..p+2 joined by newline): paragraphs in > 2 distinct
+    // pages drop everywhere, pages reassemble in order (string_agg
+    // ORDER BY pos = Spark's array_sort on (pos, para) structs); blank
+    // paragraphs are filtered as whitespace on both engines
+    "q68_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |pages AS (SELECT d0.doc_id AS page_id,
+        |            d0.text || chr(10) || d1.text || chr(10) || d2.text AS page_text
+        |          FROM d d0
+        |          JOIN d d1 ON d1.doc_id = d0.doc_id + 1
+        |          JOIN d d2 ON d2.doc_id = d0.doc_id + 2),
+        |p AS (SELECT page_id, pos, para FROM (
+        |        SELECT page_id,
+        |          unnest(range(1, len(parts) + 1)) AS pos,
+        |          unnest(parts) AS para
+        |        FROM (SELECT page_id, string_split(page_text, chr(10)) AS parts FROM pages))
+        |      WHERE para <> ''),
+        |hot AS (SELECT para FROM p GROUP BY para HAVING count(DISTINCT page_id) > 2),
+        |kept AS (SELECT * FROM p WHERE para NOT IN (SELECT para FROM hot)),
+        |r AS (SELECT page_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+        |        count(*) AS n_kept FROM kept GROUP BY 1),
+        |np AS (SELECT page_id,
+        |         len(list_filter(string_split(page_text, chr(10)), x -> x <> '')) AS n_paras
+        |       FROM pages)
+        |SELECT np.page_id AS page_id, coalesce(r.text, '') AS text,
+        | CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        | CAST(np.n_paras - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM np LEFT JOIN r ON np.page_id = r.page_id
+        |ORDER BY np.page_id""".stripMargin,
 
     // every rule is a conditional sum over ONE aggregate row, unpivoted;
     // passed compares the ROUNDED pct so both engines agree at the

@@ -657,4 +657,73 @@ object Dedup {
   def dupClustersEmbeddingsAuto(spark: SparkSession, dir: String): DataFrame =
     dupClustersAuto(Similarity.embeddingNearDup(spark, dir).select(col("id_a"), col("id_b")))
       .orderBy(col("id"))
+
+  /** Corpus-level repeated-paragraph removal — the RefinedWeb/CCNet
+    * boilerplate rule, the line-grain sibling of document-level dedup: a
+    * paragraph appearing in MORE than `maxDocs` distinct documents is
+    * boilerplate (nav bars, cookie banners, legal footers) and is
+    * dropped from EVERY document; each document reassembles from its
+    * surviving paragraphs in original order. Blank paragraphs (empty
+    * splits) are whitespace, not content — they drop in normalization
+    * and never vote in the census.
+    *
+    * Returns (idCol, textCol cleaned, n_kept, n_dropped) — every input
+    * document survives, possibly with empty text (all-boilerplate pages
+    * are a real outcome the caller may want to filter on).
+    *
+    * Scale shape: one map-only split/posexplode fan-out, ONE
+    * paragraph-keyed census groupBy, one anti-join back on the same
+    * paragraph key (both shuffles hash the paragraph — no executor ever
+    * holds more than one hash bucket of the census), one doc-keyed
+    * reassembly groupBy whose collect_list is bounded by the document's
+    * own paragraph count — the same per-row bound the input already had.
+    */
+  def dropRepeatedParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                             maxDocs: Int = 2, sep: String = "\n"): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val parts = docs
+      .select(col(idCol), posexplode(split(col(textCol), sepRe)))
+      .withColumnRenamed("col", "para")
+      .filter(length(col("para")) > 0)
+    val hot = parts
+      .groupBy(col("para"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") > maxDocs)
+      .select(col("para"))
+    val kept = parts.join(hot, Seq("para"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x.getField("para")), sep).as("_clean"),
+        count(lit(1)).as("n_kept"))
+    docs
+      .select(col(idCol),
+        size(filter(split(col(textCol), sepRe), x => length(x) > 0)).as("_n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_clean"), lit("")).as(textCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("_n_paras") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_dropped"))
+  }
+
+  /** `q68_paragraph_dedup` — the boilerplate rule exercised on derived
+    * multi-paragraph "pages": page p = documents p, p+1, p+2 joined by
+    * newline (the q61/q62 pattern of deriving structured inputs from a
+    * base table — every document text is a paragraph of up to three
+    * consecutive pages, so inner paragraphs repeat across 3 pages and
+    * cross the maxDocs=2 threshold while boundary paragraphs survive).
+    * The page build is two id-shifted equi self-joins, no window. */
+  def paragraphDedupPages(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val p0 = d.select(col("doc_id").as("page_id"), col("text").as("t0"))
+    val p1 = d.select((col("doc_id") - 1).as("page_id"), col("text").as("t1"))
+    val p2 = d.select((col("doc_id") - 2).as("page_id"), col("text").as("t2"))
+    val pages = p0.join(p1, Seq("page_id")).join(p2, Seq("page_id"))
+      .select(col("page_id"), concat_ws("\n", col("t0"), col("t1"), col("t2")).as("text"))
+    dropRepeatedParagraphs(pages, "page_id", "text", maxDocs = 2, sep = "\n")
+      .orderBy(col("page_id"))
+  }
 }

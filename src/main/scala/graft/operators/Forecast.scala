@@ -764,6 +764,7 @@ object Forecast {
                       freq: String = "D",
                       growth: String = "linear",
                       regressorCols: Seq[String] = Nil,
+                      regressorRidge: Map[String, Double] = Map.empty,
                       futureReg: Option[DataFrame] = None,
                       holidays: Option[DataFrame] = None): DataFrame = {
     require(Set("D", "W", "MS", "H").contains(freq), s"freq must be D, W, MS or H, got $freq")
@@ -786,6 +787,10 @@ object Forecast {
       "futureReg given but no regressorCols declared")
     require(seasonalityRidge >= 0 && holidaysRidge >= 0,
       s"ridge penalties must be >= 0, got $seasonalityRidge/$holidaysRidge")
+    require(regressorRidge.keySet.subsetOf(regressorCols.toSet),
+      s"regressorRidge names ${regressorRidge.keySet} must be declared regressors $regressorCols")
+    require(regressorRidge.values.forall(_ >= 0),
+      s"regressorRidge penalties must be >= 0, got $regressorRidge")
     val keys = keyCols.map(col)
     val wk = Window.partitionBy(keys: _*)
     val minYearlySpanDays = 730.0
@@ -860,15 +865,20 @@ object Forecast {
     // seasonality_prior_scale / holidays_prior_scale analogs at
     // ProphetForecaster.py:282-283; a LARGER ridge is a SMALLER prior
     // scale, shrinking that block's effects toward zero). Regressor
-    // coefficients stay unpenalized like the trend.
+    // coefficients take a PER-NAME ridge (`regressorRidge` — the
+    // per-regressor add_regressor(prior_scale=...) analog); unlisted
+    // regressors stay unpenalized like the trend.
     val hingeIdx = (trendLen until trendLen + changepoints).toSet
     val seasLen = 2 * weeklyOrder + 2 * yearlyOrder +
       2 * extraSeasonalities.map(_._2).sum
     val seasIdx = (trendLen + changepoints until trendLen + changepoints + seasLen).toSet
+    val regStart = p - holNames.size - regressorCols.size
     val holIdx = (p - holNames.size until p).toSet
     def diagRidge(i: Int): Double =
       (if (hingeIdx(i)) changepointRidge else 0.0) +
         (if (seasIdx(i)) seasonalityRidge else 0.0) +
+        (if (i >= regStart && i < p - holNames.size)
+          regressorRidge.getOrElse(regressorCols(i - regStart), 0.0) else 0.0) +
         (if (holIdx(i)) holidaysRidge else 0.0)
     val solve = udf((gram: Seq[Double], rhs: Seq[Double]) => solveDense(p, gram, rhs))
     val betas = fit.withColumn("beta", solve(

@@ -97,14 +97,18 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
                growth: String = "linear",
                cap: Option[Double] = None,
                floor: Option[Double] = None,
+               capByMetric: Map[String, Double] = Map.empty,
+               floorByMetric: Map[String, Double] = Map.empty,
                seasonalityMode: String = "additive",
                yearlySeasonality: Int = 0,
                weeklySeasonality: Option[Int] = None,
+               dailySeasonality: Option[Int] = None,
                changepoints: Int = 0,
                changepointRange: Double = 0.8,
                changepointRidge: Double = 0.0,
                seasonalityRidge: Double = 0.0,
                holidaysRidge: Double = 0.0,
+               regressorRidge: Map[String, Double] = Map.empty,
                customSeasonalities: Seq[(Double, Int)] = Nil,
                holidays: Option[DataFrame] = None,
                countryHolidays: Option[String] = None,
@@ -120,6 +124,32 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
     // _data_validation
     val regs = (regressor.toSeq ++ regressors).distinct
     val ms = metrics.getOrElse(numericMetrics.filterNot(regs.contains))
+    // per-metric cap/floor — the reference accepts a number OR a
+    // {metric: value} dict for both. The fit paths take scalar bounds,
+    // so metrics group by their EFFECTIVE (cap, floor) pair (the map
+    // value, else the scalar default) and each group runs one batched
+    // fit — bounded metric counts keep this a handful of passes, each
+    // still fitting all its metrics in one distributed aggregate.
+    if (capByMetric.nonEmpty || floorByMetric.nonEmpty) {
+      val unknown = (capByMetric.keySet ++ floorByMetric.keySet) -- ms.toSet
+      require(unknown.isEmpty, s"capByMetric/floorByMetric name unknown metrics: $unknown")
+      return ms.groupBy(m => (capByMetric.get(m).orElse(cap), floorByMetric.get(m).orElse(floor)))
+        .toSeq.sortBy(_._2.head)
+        .map { case ((c, f), group) =>
+          forecast(days, metrics = Some(group), freq = freq,
+            includeHistory = includeHistory, includeIntervals = includeIntervals,
+            intervalWidth = intervalWidth, growth = growth, cap = c, floor = f,
+            seasonalityMode = seasonalityMode, yearlySeasonality = yearlySeasonality,
+            weeklySeasonality = weeklySeasonality, dailySeasonality = dailySeasonality,
+            changepoints = changepoints, changepointRange = changepointRange,
+            changepointRidge = changepointRidge, seasonalityRidge = seasonalityRidge,
+            holidaysRidge = holidaysRidge, regressorRidge = regressorRidge,
+            customSeasonalities = customSeasonalities, holidays = holidays,
+            countryHolidays = countryHolidays, regressor = regressor,
+            regressors = regressors, futureRegressor = futureRegressor,
+            nonNegative = nonNegative, roundDecimals = roundDecimals)
+        }.reduce(_ unionByName _)
+    }
     val keys = keyCols :+ "metric"
     val multiplicative = seasonalityMode match {
       case "additive" => false
@@ -133,6 +163,8 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
       unsupported("changepointRidge without changepoints")
     if (holidaysRidge > 0.0 && holidays.isEmpty && countryHolidays.isEmpty)
       unsupported("holidaysRidge without holidays")
+    if (regressorRidge.nonEmpty && regs.isEmpty)
+      unsupported("regressorRidge without regressors")
     if (futureRegressor.isDefined && regs.isEmpty)
       unsupported("futureRegressor without a regressor")
 
@@ -143,7 +175,12 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
     // residual means have no coefficients to penalize)
     val wantsFourier = yearlySeasonality > 0 || weeklySeasonality.isDefined ||
       customSeasonalities.nonEmpty || changepoints > 0 || multiplicative ||
-      seasonalityRidge > 0.0 || holidaysRidge > 0.0
+      seasonalityRidge > 0.0 || holidaysRidge > 0.0 ||
+      // any DEFINED dailySeasonality routes through the Fourier basis
+      // too: the simple path's hour-of-day residual means (freq='H')
+      // have no off switch, so Some(0) must land where the daily block
+      // genuinely disappears
+      dailySeasonality.isDefined
     val wantsHolidays = holidays.isDefined || countryHolidays.isDefined
     val wantsBounds = cap.isDefined || floor.isDefined || includeIntervals ||
       includeHistory || !nonNegative
@@ -186,13 +223,19 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
           .unionByName(countryCal(c)).distinct())
       case _ => None
     }
-    // at freq='H' append an hour-of-day Fourier block (Prophet's
-    // daily_seasonality auto-enable for sub-daily data) unless the
-    // caller already supplied a period-1 seasonality
-    def seasonWithDaily: Seq[(Double, Int)] =
-      if (freq == "H" && !customSeasonalities.exists(_._1 == 1.0))
-        customSeasonalities :+ ((1.0, 4))
-      else customSeasonalities
+    // daily seasonality = a period-1-day Fourier block. None = auto
+    // (Prophet's rule: enable only for sub-daily data, i.e. freq='H'),
+    // Some(0) = explicitly off even at freq='H', Some(k) = order k at
+    // any freq. A caller-supplied period-1 custom seasonality wins.
+    def seasonWithDaily: Seq[(Double, Int)] = {
+      val hasDaily = customSeasonalities.exists(_._1 == 1.0)
+      dailySeasonality match {
+        case Some(0)            => customSeasonalities
+        case Some(k) if !hasDaily => customSeasonalities :+ ((1.0, k))
+        case None if freq == "H" && !hasDaily => customSeasonalities :+ ((1.0, 4))
+        case _                  => customSeasonalities
+      }
+    }
 
     // a regressor or holidays COMBINED with anything their specialized
     // paths can't express — or MORE than one regressor (the Cramer 3×3
@@ -200,7 +243,7 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
     val needJoint =
       regs.size > 1 ||
       (regs.nonEmpty && (wantsFourier || wantsHolidays || freq != "D" ||
-        growth != "linear" || wantsBounds)) ||
+        growth != "linear" || wantsBounds || regressorRidge.nonEmpty)) ||
       (wantsHolidays && (wantsFourier || freq != "D" || growth != "linear" ||
         wantsBounds))
 
@@ -231,6 +274,7 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
           includeHistory = includeHistory, nonNegative = nonNegative,
           freq = freq, growth = growth,
           regressorCols = regs,
+          regressorRidge = regressorRidge,
           futureReg = fr,
           holidays = holFrame)
       } else if (regs.nonEmpty) {

@@ -235,4 +235,51 @@ class DedupSpec extends SparkSpecBase {
     val prop = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
     assert(auto == prop, s"auto must match propagation: $auto vs $prop")
   }
+
+  test("dropRepeatedParagraphs removes cross-document boilerplate, keeps order") {
+    val banner = "accept our cookies"
+    val footer = "all rights reserved"
+    val docs = Seq(
+      // banner in 3 docs (> maxDocs=2) → dropped everywhere;
+      // footer in exactly 2 → kept; unique bodies always survive
+      (1L, s"$banner\nalpha body one\n\nbravo body one\n$footer"),
+      (2L, s"$banner\ncharlie body two\n$footer"),
+      (3L, s"delta body three\n$banner\necho body three"),
+      // all-boilerplate doc collapses to empty text but SURVIVES as a row
+      (4L, s"$banner"),
+      // blank-only doc: empty splits are whitespace, not paragraphs
+      (5L, "\n\n")
+    ).toDF("doc_id", "text")
+
+    val out = Dedup.dropRepeatedParagraphs(docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+
+    assert(out == Seq(
+      // doc 1: blank split dropped as whitespace; order preserved
+      (1L, s"alpha body one\nbravo body one\n$footer", 3L, 1L),
+      (2L, s"charlie body two\n$footer", 2L, 1L),
+      // doc 3: banner was MID-document — surrounding order intact
+      (3L, s"delta body three\necho body three", 2L, 1L),
+      (4L, "", 0L, 1L),
+      (5L, "", 0L, 0L)), out.toString)
+  }
+
+  test("dropRepeatedParagraphs threshold boundary: exactly maxDocs docs keep theirs") {
+    val shared = "shared once per doc"
+    val docs = (1L to 4L).map(i => (i, s"$shared\nbody $i")).toDF("doc_id", "text")
+    // maxDocs=4: shared appears in exactly 4 docs → NOT hot → kept
+    val keep = Dedup.dropRepeatedParagraphs(docs, "doc_id", "text", maxDocs = 4)
+      .orderBy(col("doc_id")).as[(Long, String, Long, Long)].collect()
+    assert(keep.forall(r => r._2.startsWith(shared) && r._3 == 2L), keep.toSeq.toString)
+    // maxDocs=3: 4 > 3 → dropped from all
+    val drop = Dedup.dropRepeatedParagraphs(docs, "doc_id", "text", maxDocs = 3)
+      .orderBy(col("doc_id")).as[(Long, String, Long, Long)].collect()
+    assert(drop.forall(r => r._2 == s"body ${r._1}" && r._4 == 1L), drop.toSeq.toString)
+    // repeats WITHIN one doc don't make a paragraph hot (distinct docs vote)
+    val intra = Seq((1L, "dup line\ndup line\nunique"), (2L, "other")).toDF("doc_id", "text")
+    val kept = Dedup.dropRepeatedParagraphs(intra, "doc_id", "text")
+      .orderBy(col("doc_id")).as[(Long, String, Long, Long)].collect()
+    assert(kept.head == ((1L, "dup line\ndup line\nunique", 3L, 0L)), kept.toSeq.toString)
+  }
 }

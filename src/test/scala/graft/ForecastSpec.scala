@@ -590,6 +590,69 @@ class ForecastSpec extends SparkSpecBase {
     }
   }
 
+  test("facade per-metric bounds, daily-seasonality control, regressor prior ridge") {
+    import graft.operators.Forecaster
+    // cap/floor as {metric: value} dicts (the reference accepts a
+    // number OR a dict): two rising metrics, only `a` capped — metrics
+    // group by effective bounds and fit in batched passes
+    val wide = (0 until 28).map { x =>
+      ("c1", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(x)),
+        10.0 + 2.0 * x, 10.0 + 2.0 * x)
+    }.toDF("campaign", "ds", "a", "b")
+    val fc = new Forecaster(wide, dateCol = "ds", keyCols = Seq("campaign"))
+    val out = fc.forecast(days = 7, capByMetric = Map("a" -> 60.0))
+      .select("metric", "ds", "yhat").as[(String, Date, Double)].collect()
+    assert(out.length == 14)
+    val aVals = out.filter(_._1 == "a").map(_._3)
+    val bVals = out.filter(_._1 == "b").map(_._3)
+    assert(aVals.max <= 60.0 + 1e-9 && aVals.contains(60.0), s"a must clamp at 60: ${aVals.toSeq}")
+    assert(bVals.max > 70.0, s"b must keep rising uncapped: ${bVals.toSeq}")
+    require(out.map(r => (r._1, r._2)).distinct.length == 14, "no dup (metric, ds) rows")
+    // unknown metric names in the dict are refused
+    intercept[IllegalArgumentException] {
+      fc.forecast(days = 3, capByMetric = Map("nope" -> 1.0))
+    }
+
+    // daily_seasonality: Some(0) disables the hour-of-day block even at
+    // freq='H'; auto (None) fits it — planted 24h cycle
+    val hourly = (0 until 24 * 14).map { h =>
+      val ts0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(h)
+      ("k", java.sql.Timestamp.valueOf(ts0),
+        100.0 + 20.0 * math.sin(2.0 * math.Pi * ts0.getHour / 24.0))
+    }.toDF("key", "ds", "load")
+    val fch = new Forecaster(hourly, dateCol = "ds", keyCols = Seq("key"))
+    def swing(daily: Option[Int]): Double = {
+      val ys = fch.forecast(days = 24, freq = "H", dailySeasonality = daily)
+        .select("yhat").as[Double].collect()
+      ys.max - ys.min
+    }
+    assert(swing(None) > 25.0, "auto must fit the 24h cycle at freq='H'")
+    assert(swing(Some(0)) < 5.0, "Some(0) must disable the daily block")
+
+    // per-regressor prior ridge (add_regressor prior_scale analog):
+    // y = 5 + 3r; a tight ridge shrinks the coefficient so the forecast
+    // stops tracking the future regressor spike
+    val rs = Seq(2.0, 7.0, 4.0, 9.0, 1.0, 6.0, 3.0, 8.0, 5.0, 2.5, 7.5, 4.5, 9.5, 1.5)
+    val reg = rs.zipWithIndex.map { case (r, x) =>
+      ("c1", Date.valueOf(java.time.LocalDate.of(2024, 2, 1).plusDays(x)), 5.0 + 3.0 * r, r)
+    }.toDF("campaign", "ds", "sales", "spend")
+    val futureR = (14 until 17).map { x =>
+      ("c1", Date.valueOf(java.time.LocalDate.of(2024, 2, 1).plusDays(x)), 20.0)
+    }.toDF("campaign", "ds", "r")
+    val fcr = new Forecaster(reg, dateCol = "ds", keyCols = Seq("campaign"))
+    def spikeYhat(ridge: Map[String, Double]): Double =
+      fcr.forecast(days = 3, regressor = Some("spend"),
+        futureRegressor = Some(futureR), regressorRidge = ridge)
+        .select("yhat").as[Double].collect().head
+    val loose = spikeYhat(Map.empty)
+    val tight = spikeYhat(Map("spend" -> 1e9))
+    assert(math.abs(loose - 65.0) < 1.0, s"unpenalized fit must track r=20: $loose")
+    assert(tight < 40.0, s"tight regressor prior must stop tracking the spike: $tight")
+    intercept[IllegalArgumentException] {
+      fcr.forecast(days = 3, regressorRidge = Map("spend" -> 1.0))
+    }
+  }
+
   test("seasonality/holiday prior-scale ridges shrink their blocks toward zero") {
     import graft.operators.{Forecast, Forecaster}
     // flat 100 + 40 on promo days (4 in history, one in the horizon):

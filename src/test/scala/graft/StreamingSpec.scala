@@ -393,6 +393,57 @@ class StreamingSpec extends SparkSpecBase {
       val days = spark.read.parquet(path).select(col("day").cast("string"))
         .as[String].collect().toSet
       assert(days == (1 to 8).map(d => f"2024-01-$d%02d").toSet, days)
+
+      // REPLAY idempotency: a recovery restart re-delivers day 8 while
+      // countsPath already holds it. Without the (key, day) anti-join
+      // the baseline for day 9 would contain day 8 TWICE (history ∪
+      // batch), shrinking stddev_samp and shifting every downstream
+      // z-score — replays would alert differently from first delivery.
+      val firstDeliveryZ = alerts.head._4
+      alerts.clear()
+      val mem2 = MemoryStream[StreamEvent]
+      val cp2 = java.nio.file.Files.createTempDirectory("graft_anom_cp2").toString
+      val q2 = EventsStream.anomalyIngestStream(
+        mem2.toDF(), path, cp2,
+        alert = df => alerts.synchronized {
+          alerts ++= df
+            .select(col("event_type"), col("day").cast("string"),
+              col("n_events"), col("z_score"))
+            .as[(String, String, Long, Double)].collect()
+        })
+      try {
+        // re-deliver the day-8 spike verbatim, plus a new day-9 spike
+        // and a day-11 marker that finalizes both
+        mem2.addData((0 until 10).map { j =>
+          StreamEvent(100 + j, ts("2024-01-08 10:00:00"), j, "click", 1.0)
+        }: _*)
+        mem2.addData((0 until 12).map { j =>
+          StreamEvent(300 + j, ts("2024-01-09 10:00:00"), j, "click", 1.0)
+        }: _*)
+        mem2.addData(StreamEvent(400, ts("2024-01-11 23:00:00"), 1, "click", 1.0))
+        q2.processAllAvailable()
+        val replayed = alerts.sortBy(_._2).toSeq
+        // day 8 re-scores with EXACTLY its first-delivery z (baseline
+        // days 1-7 from history, untouched by the replay)
+        assert(replayed.map(a => (a._1, a._2, a._3)) ==
+          Seq(("click", "2024-01-08", 10L), ("click", "2024-01-09", 12L)), replayed)
+        assert(replayed.head._4 == firstDeliveryZ, s"replayed day-8 z must match: $replayed")
+        // day 9's baseline is days 2-8 with the re-delivered day 8
+        // counted ONCE (batch copy; the history copy anti-joins away)
+        val b = Seq(3.0, 1.0, 3.0, 1.0, 3.0, 1.0, 10.0)
+        val m = b.sum / b.size
+        val sd = math.sqrt(b.map(v => (v - m) * (v - m)).sum / (b.size - 1))
+        val expected = BigDecimal((12.0 - m) / sd)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(replayed(1)._4 == expected,
+          s"day-9 z must use a deduped baseline: ${replayed(1)._4} vs $expected")
+        // the landed table gains day 9 and keeps day 8 single-copy
+        val days2 = spark.read.parquet(path)
+          .groupBy(col("day").cast("string").as("d")).count()
+          .as[(String, Long)].collect().toMap
+        assert(days2.keySet == (1 to 9).map(d => f"2024-01-$d%02d").toSet, days2)
+        assert(days2.values.forall(_ == 1L), s"one row per (key, day): $days2")
+      } finally q2.stop()
     } finally q.stop()
   }
 }
