@@ -671,12 +671,18 @@ object Dedup {
     * document survives, possibly with empty text (all-boilerplate pages
     * are a real outcome the caller may want to filter on).
     *
-    * Scale shape: one map-only split/posexplode fan-out, ONE
-    * paragraph-keyed census groupBy, one anti-join back on the same
-    * paragraph key (both shuffles hash the paragraph — no executor ever
-    * holds more than one hash bucket of the census), one doc-keyed
-    * reassembly groupBy whose collect_list is bounded by the document's
-    * own paragraph count — the same per-row bound the input already had.
+    * Scale shape: the exploded paragraph frame MATERIALIZES once
+    * (localCheckpoint — the census groupBy, the hot join, and the
+    * per-doc counts all fork from it, and lazily each fork would
+    * re-derive the caller's input; for q68 that input is itself a
+    * 3-way self-join), then ONE paragraph-keyed census groupBy, one
+    * left join of the tiny hot set back on the same key (AQE
+    * broadcasts it — boilerplate sets are small by definition), and
+    * one doc-keyed reassembly groupBy computing counts AND ordered
+    * text in the same aggregate; collect_list is bounded by the
+    * document's own paragraph count — the same per-row bound the input
+    * already had. The trailing id-only join resurrects documents with
+    * zero non-blank paragraphs and is column-pruned to the id.
     */
   def dropRepeatedParagraphs(docs: DataFrame, idCol: String, textCol: String,
                              maxDocs: Int = 2, sep: String = "\n"): DataFrame = {
@@ -686,27 +692,32 @@ object Dedup {
       .select(col(idCol), posexplode(split(col(textCol), sepRe)))
       .withColumnRenamed("col", "para")
       .filter(length(col("para")) > 0)
+      .localCheckpoint()
     val hot = parts
       .groupBy(col("para"))
       .agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") > maxDocs)
-      .select(col("para"))
-    val kept = parts.join(hot, Seq("para"), "left_anti")
-    val rebuilt = kept
+      .select(col("para"), lit(true).as("_hot"))
+    val rebuilt = parts
+      .join(hot, Seq("para"), "left")
+      .withColumn("_keep", col("_hot").isNull)
       .groupBy(col(idCol))
       .agg(
         array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          transform(
+            filter(array_sort(collect_list(struct(col("pos"), col("para"), col("_keep")))),
+              x => x.getField("_keep")),
             x => x.getField("para")), sep).as("_clean"),
-        count(lit(1)).as("n_kept"))
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        count(lit(1)).as("_n_paras"))
     docs
-      .select(col(idCol),
-        size(filter(split(col(textCol), sepRe), x => length(x) > 0)).as("_n_paras"))
+      .select(col(idCol))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("_clean"), lit("")).as(textCol),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("_n_paras") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_dropped"))
+        (coalesce(col("_n_paras"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_dropped"))
   }
 
   /** `q68_paragraph_dedup` — the boilerplate rule exercised on derived

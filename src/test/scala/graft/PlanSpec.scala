@@ -144,4 +144,19 @@ class PlanSpec extends SparkSpecBase {
     assert(joinIdx >= 0 && filterIdx > joinIdx,
       s"bloom filter must appear below the join in the plan tree:\n${plan.take(1500)}")
   }
+
+  test("paragraph dedup materializes the exploded frame: census/join/counts never replay the page build") {
+    // the paragraph frame derives from a 3-way self-join of documents;
+    // lazily, the census groupBy, the hot join, and the per-doc counts
+    // would each re-run that join. The localCheckpoint bounds the final
+    // plan to the id-resurrection branch's pruned scans — the TEXT
+    // column must never be re-read from parquet.
+    val plan = SparkEntry.queries("q68_paragraph_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "page build must stay an equi-join")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 3, s"only the id-only resurrection branch may scan, got $scans")
+    assert(!plan.contains("ReadSchema: struct<doc_id:bigint,text:string"),
+      s"post-checkpoint scans must prune to the id column:\n${plan.take(1500)}")
+  }
 }
