@@ -687,19 +687,35 @@ object Dedup {
   def dropRepeatedParagraphs(docs: DataFrame, idCol: String, textCol: String,
                              maxDocs: Int = 2, sep: String = "\n"): DataFrame = {
     require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
-    val sepRe = java.util.regex.Pattern.quote(sep)
-    val parts = docs
-      .select(col(idCol), posexplode(split(col(textCol), sepRe)))
-      .withColumnRenamed("col", "para")
-      .filter(length(col("para")) > 0)
-      .localCheckpoint()
+    val parts = explodeParagraphs(docs, idCol, textCol, sep).localCheckpoint()
     val hot = parts
-      .groupBy(col("para"))
+      .groupBy(col("para_hash"))
       .agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") > maxDocs)
-      .select(col("para"), lit(true).as("_hot"))
+      .select(col("para_hash"), lit(true).as("_hot"))
+    reassembleKept(docs, parts, hot, idCol, textCol, sep)
+  }
+
+  /** Paragraph fan-out shared by the batch rule and the census paths:
+    * non-blank paragraphs with position and a 64-bit identity hash
+    * (xxhash64 — the C2c hashed-window precedent). All census shuffles
+    * and joins key on the 8-byte hash, never the paragraph text. */
+  private def explodeParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                                sep: String): DataFrame =
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .withColumnRenamed("col", "para")
+      .filter(length(col("para")) > 0)
+      .withColumn("para_hash", xxhash64(col("para")))
+
+  /** Rebuild documents from a (checkpointed) paragraph frame minus the
+    * hot set: one doc-keyed groupBy computing ordered text and counts
+    * in the same aggregate, then the pruned id-only join resurrects
+    * documents with zero surviving (or zero non-blank) paragraphs. */
+  private def reassembleKept(docs: DataFrame, parts: DataFrame, hot: DataFrame,
+                             idCol: String, textCol: String, sep: String): DataFrame = {
     val rebuilt = parts
-      .join(hot, Seq("para"), "left")
+      .join(hot, Seq("para_hash"), "left")
       .withColumn("_keep", col("_hot").isNull)
       .groupBy(col(idCol))
       .agg(
@@ -719,6 +735,89 @@ object Dedup {
         (coalesce(col("_n_paras"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
           .cast("long").as("n_dropped"))
   }
+
+  /** Persistable paragraph census — the day-2 shape for the boilerplate
+    * rule at 100 TB (the C2b incremental-index pattern): (para_hash,
+    * n_docs) distinct-document counts, |distinct paragraphs| rows of
+    * two longs, never the text. Write it once (bucketed by para_hash if
+    * probes should keep the census side exchange-free, like the minhash
+    * index), then each new batch probes WITHOUT rescanning the corpus.
+    * The separator rides the para_hash column's schema metadata so a
+    * probe splitting differently fails loudly instead of silently
+    * matching nothing. */
+  def buildParagraphCensus(docs: DataFrame, idCol: String, textCol: String,
+                           sep: String = "\n"): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("graft.paracensus.sep", sep).build()
+    explodeParagraphs(docs, idCol, textCol, sep)
+      .groupBy(col("para_hash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .select(col("para_hash").as("para_hash", meta), col("n_docs"))
+  }
+
+  /** Merge a day's census delta into the corpus census. CONTRACT: the
+    * two censuses cover DISJOINT document sets (day batches) — distinct
+    * counts then add exactly; overlapping doc sets would double-count.
+    * Counts are plain sums, so the merge is associative and any day
+    * ordering lands the same table. */
+  def mergeParagraphCensus(census: DataFrame, delta: DataFrame): DataFrame = {
+    requireSameCensusSep(census, delta)
+    val meta = census.schema("para_hash").metadata
+    census.select(col("para_hash"), col("n_docs"))
+      .unionByName(delta.select(col("para_hash"), col("n_docs")))
+      .groupBy(col("para_hash"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .select(col("para_hash").as("para_hash", meta), col("n_docs"))
+  }
+
+  /** Probe an incoming batch against the persisted census: a paragraph
+    * is boilerplate when its corpus count PLUS its batch count crosses
+    * `maxDocs` — so cross-boundary repeats (twice in the corpus, once
+    * in the batch) are caught exactly as a full re-census would. Only
+    * the batch explodes and shuffles; the census joins on the 8-byte
+    * hash (bucketed storage keeps even that exchange off the census
+    * side). Returns the same (id, text, n_kept, n_dropped) contract as
+    * [[dropRepeatedParagraphs]], for the BATCH docs only. */
+  def dropRepeatedParagraphsAgainstCensus(batch: DataFrame, census: DataFrame,
+                                          idCol: String, textCol: String,
+                                          maxDocs: Int = 2,
+                                          sep: String = "\n"): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val f = census.schema("para_hash")
+    if (f.metadata.contains("graft.paracensus.sep")) {
+      val indexSep = f.metadata.getString("graft.paracensus.sep")
+      require(indexSep == sep,
+        s"census was built with sep=${escapeSep(indexSep)}, probe uses sep=${escapeSep(sep)}")
+    }
+    val parts = explodeParagraphs(batch, idCol, textCol, sep).localCheckpoint()
+    val hot = parts
+      .groupBy(col("para_hash"))
+      .agg(countDistinct(col(idCol)).as("_bn"))
+      .join(census.select(col("para_hash"), col("n_docs")), Seq("para_hash"), "left")
+      .filter(col("_bn") + coalesce(col("n_docs"), lit(0L)) > maxDocs)
+      .select(col("para_hash"), lit(true).as("_hot"))
+    reassembleKept(batch, parts, hot, idCol, textCol, sep)
+  }
+
+  private def requireSameCensusSep(a: DataFrame, b: DataFrame): Unit = {
+    def sepOf(df: DataFrame): Option[String] = {
+      val m = df.schema("para_hash").metadata
+      if (m.contains("graft.paracensus.sep")) Some(m.getString("graft.paracensus.sep")) else None
+    }
+    (sepOf(a), sepOf(b)) match {
+      case (Some(x), Some(y)) =>
+        require(x == y, s"census separators differ: ${escapeSep(x)} vs ${escapeSep(y)}")
+      case _ => ()
+    }
+  }
+
+  private def escapeSep(s: String): String =
+    "\"" + s.flatMap {
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case '\r' => "\\r"
+      case c => c.toString
+    } + "\""
 
   /** `q68_paragraph_dedup` — the boilerplate rule exercised on derived
     * multi-paragraph "pages": page p = documents p, p+1, p+2 joined by

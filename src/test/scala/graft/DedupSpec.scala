@@ -282,4 +282,55 @@ class DedupSpec extends SparkSpecBase {
       .orderBy(col("doc_id")).as[(Long, String, Long, Long)].collect()
     assert(kept.head == ((1L, "dup line\ndup line\nunique", 3L, 0L)), kept.toSeq.toString)
   }
+
+  test("incremental paragraph census: day-2 probe matches a full re-census") {
+    val banner = "accept our cookies"
+    // day 1: banner in docs 1,2 (count 2 — at the threshold, not over)
+    val day1 = Seq(
+      (1L, s"$banner\nbody one"),
+      (2L, s"$banner\nbody two"),
+      (3L, "body three")
+    ).toDF("doc_id", "text")
+    // day 2: banner ONCE more — hot only via corpus+batch union (2+1 > 2)
+    val day2 = Seq(
+      (4L, s"$banner\nbody four"),
+      (5L, "body five\nbody five shared"),
+      (6L, "body five shared\nbody six")
+    ).toDF("doc_id", "text")
+
+    val census1 = Dedup.buildParagraphCensus(day1, "doc_id", "text")
+    val viaIndex = Dedup.dropRepeatedParagraphsAgainstCensus(day2, census1, "doc_id", "text")
+      .orderBy(col("doc_id")).as[(Long, String, Long, Long)].collect().toSeq
+    // the cross-boundary banner drops; the day-2-internal pair (count 2)
+    // stays under the threshold
+    assert(viaIndex == Seq(
+      (4L, "body four", 1L, 1L),
+      (5L, "body five\nbody five shared", 2L, 0L),
+      (6L, "body five shared\nbody six", 2L, 0L)), viaIndex.toString)
+    // parity: the probe's verdicts for day-2 docs equal a full
+    // re-census over day1 ∪ day2 restricted to those docs
+    val full = Dedup.dropRepeatedParagraphs(day1.unionByName(day2), "doc_id", "text")
+      .filter(col("doc_id") >= 4).orderBy(col("doc_id"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(full == viaIndex, s"incremental must match full re-census: $full vs $viaIndex")
+
+    // merge: disjoint day censuses sum to the union's census exactly
+    val census2 = Dedup.buildParagraphCensus(day2, "doc_id", "text")
+    val merged = Dedup.mergeParagraphCensus(census1, census2)
+      .as[(Long, Long)].collect().toMap
+    val direct = Dedup.buildParagraphCensus(day1.unionByName(day2), "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(merged == direct, "merged day censuses must equal the direct union census")
+
+    // the census round-trips through parquet WITH its separator guard
+    val dir = java.nio.file.Files.createTempDirectory("graft_paracensus").toString
+    census1.write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    val viaLoaded = Dedup.dropRepeatedParagraphsAgainstCensus(day2, loaded, "doc_id", "text")
+      .orderBy(col("doc_id")).as[(Long, String, Long, Long)].collect().toSeq
+    assert(viaLoaded == viaIndex, "persisted census must probe identically")
+    intercept[IllegalArgumentException] {
+      Dedup.dropRepeatedParagraphsAgainstCensus(day2, loaded, "doc_id", "text", sep = "\t")
+    }
+  }
 }
