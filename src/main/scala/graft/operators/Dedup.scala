@@ -799,6 +799,19 @@ object Dedup {
     reassembleKept(batch, parts, hot, idCol, textCol, sep)
   }
 
+  /** Roll a DAY-PARTITIONED census table (the streaming twin's layout,
+    * one (para_hash, n_docs) delta per ingest day) up to the probe's
+    * corpus-total shape. Day deltas cover disjoint doc sets by
+    * construction, so the sum is the exact distinct count; the
+    * separator metadata from the stored schema rides through. */
+  def loadParagraphCensus(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val meta = raw.schema("para_hash").metadata
+    raw.groupBy(col("para_hash"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .select(col("para_hash").as("para_hash", meta), col("n_docs"))
+  }
+
   private def requireSameCensusSep(a: DataFrame, b: DataFrame): Unit = {
     def sepOf(df: DataFrame): Option[String] = {
       val m = df.schema("para_hash").metadata

@@ -105,6 +105,9 @@ object EventsStream {
   /** Document record for the streaming content dedup. */
   case class StreamDoc(doc_id: Long, text: String)
 
+  /** Timestamped document record for the streaming census maintenance. */
+  case class StreamDocTs(doc_id: Long, ts: Timestamp, text: String)
+
   /** Shared first-occurrence state machine for the dedup streams: the
     * first element per key passes, repeats drop. GroupState's timeout
     * contract CLEARS any pending timeout on every invocation of the
@@ -274,6 +277,61 @@ object EventsStream {
           ifExists = "replace", clean = false)
       }
       .start()
+
+  /** D1→C2d bridge — streaming maintenance of the PARAGRAPH CENSUS
+    * (the day-2 boilerplate table): each finalized ingest day's
+    * (para_hash, n_docs) delta lands as a day partition, so
+    * [[graft.operators.Dedup.dropRepeatedParagraphsAgainstCensus]]
+    * probes a census that is always current — no corpus re-scan, ever.
+    * [[graft.operators.Dedup.loadParagraphCensus]] rolls the day
+    * partitions up to the probe's (para_hash, n_docs) shape.
+    *
+    * Replay semantics: counts are NOT value-idempotent (unlike the HLL
+    * twin's registers), so exactly-once comes from DAY COMPLETENESS
+    * instead — the streamed aggregate keys on (day window, doc,
+    * para_hash) under the watermark, so a day's rows emit only when
+    * the watermark finalizes the whole day, the foreachBatch sees
+    * complete days, and the dynamic partition overwrite rewrites a
+    * replayed day with identical content.
+    *
+    * State cost: one in-flight row per (doc, distinct paragraph) until
+    * the day finalizes — bounded by a day's exploded batch, the price
+    * of exact counts (the HLL twin's sketches are cheaper but
+    * approximate and non-decrementable).
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def censusIngestStream(docs: DataFrame, censusPath: String,
+                         checkpointDir: String,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         tsCol: String = "ts", sep: String = "\n",
+                         watermark: String = "1 day"):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val perDocDay = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(idCol),
+        explode(split(col(textCol), sepRe)).as("para"))
+      .filter(length(col("para")) > 0)
+      .select(col(tsCol), col(idCol), xxhash64(col("para")).as("para_hash"))
+      .groupBy(window(col(tsCol), "1 day"), col(idCol), col("para_hash"))
+      .agg(count(lit(1)).as("_n"))
+      .select(col("window.start").cast("date").as("day"), col(idCol), col("para_hash"))
+    perDocDay.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val batch = batch0.localCheckpoint()
+        val meta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("graft.paracensus.sep", sep).build()
+        val delta = batch
+          .groupBy(col("day"), col("para_hash"))
+          .agg(countDistinct(col(idCol)).as("n_docs"))
+          .select(col("day"), col("para_hash").as("para_hash", meta), col("n_docs"))
+        graft.sources.Sinks.writeDayPartitioned(
+          delta, censusPath, "day", ifExists = "replace", clean = false)
+      }
+      .start()
+  }
 
   /** E→A24 bridge — the GATED day-partitioned lake sink: each
     * micro-batch is validated against `rules`

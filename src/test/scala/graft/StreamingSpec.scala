@@ -232,6 +232,60 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D1→C2d: streaming census ingest lands finalized days; replay rewrites them identically") {
+    import graft.operators.Dedup
+    import graft.streaming.EventsStream.StreamDocTs
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val banner = "accept our cookies"
+    val bannerHash = spark.range(1).select(xxhash64(lit(banner))).as[Long].head()
+    val path = java.nio.file.Files.createTempDirectory("graft_census_tbl").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_census_cp").toString
+    val mem = MemoryStream[StreamDocTs]
+    val q = EventsStream.censusIngestStream(mem.toDF(), path, cp)
+    try {
+      // day 1: banner in two docs; a day-3 marker finalizes day 1
+      mem.addData(
+        StreamDocTs(1, ts("2024-01-01 10:00:00"), s"$banner\nbody one"),
+        StreamDocTs(2, ts("2024-01-01 11:00:00"), s"$banner\nbody two"))
+      mem.addData(StreamDocTs(99, ts("2024-01-03 01:00:00"), "marker"))
+      q.processAllAvailable()
+      val m1 = Dedup.loadParagraphCensus(spark, path).as[(Long, Long)].collect().toMap
+      assert(m1(bannerHash) == 2L, m1.toString)
+      assert(m1.size == 3, s"only day 1 is finalized (marker day pending): $m1")
+      // day 3 brings the banner once more; a day-5 marker finalizes it
+      mem.addData(StreamDocTs(3, ts("2024-01-03 02:00:00"), s"$banner\nbody three"))
+      mem.addData(StreamDocTs(98, ts("2024-01-05 01:00:00"), "marker2"))
+      q.processAllAvailable()
+      val m2 = Dedup.loadParagraphCensus(spark, path).as[(Long, Long)].collect().toMap
+      assert(m2(bannerHash) == 3L, m2.toString)
+      // the maintained census feeds the batch probe: a fresh doc's
+      // banner paragraph is boilerplate (3 > 2), its body survives
+      val probe = Seq((10L, s"$banner\nnew body")).toDF("doc_id", "text")
+      val out = Dedup.dropRepeatedParagraphsAgainstCensus(
+        probe, Dedup.loadParagraphCensus(spark, path), "doc_id", "text")
+        .as[(Long, String, Long, Long)].collect().head
+      assert(out == ((10L, "new body", 1L, 1L)), out.toString)
+      // replay from scratch (fresh checkpoint, same table): finalized
+      // days are complete by construction, so the partition overwrite
+      // rewrites identical content — counts never double
+      val mem2 = MemoryStream[StreamDocTs]
+      val cp2 = java.nio.file.Files.createTempDirectory("graft_census_cp2").toString
+      val q2 = EventsStream.censusIngestStream(mem2.toDF(), path, cp2)
+      try {
+        mem2.addData(
+          StreamDocTs(1, ts("2024-01-01 10:00:00"), s"$banner\nbody one"),
+          StreamDocTs(2, ts("2024-01-01 11:00:00"), s"$banner\nbody two"),
+          StreamDocTs(99, ts("2024-01-03 01:00:00"), "marker"),
+          StreamDocTs(3, ts("2024-01-03 02:00:00"), s"$banner\nbody three"))
+        mem2.addData(StreamDocTs(98, ts("2024-01-05 01:00:00"), "marker2"))
+        q2.processAllAvailable()
+        val m3 = Dedup.loadParagraphCensus(spark, path).as[(Long, Long)].collect().toMap
+        assert(m3 == m2, s"replay must leave the census unchanged: $m3 vs $m2")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("D1→C23: streaming sketch ingest merges batches; re-delivery leaves estimates unchanged") {
     import graft.operators.Sketches
     implicit val sqlCtx = spark.sqlContext
