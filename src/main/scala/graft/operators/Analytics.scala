@@ -271,11 +271,19 @@ object Analytics {
         def secs(c: Column) = c.cast("timestamp").cast("double")
         val ageDays = (secs(col("_conv_ts")) - secs(col("_touch_ts"))) / 86400.0
         joined
+          // decay ages are RELATIVE to the conversion's newest touch:
+          // the normalization divides the common factor out, so _w is
+          // unchanged, but the newest touch's raw weight is always
+          // exactly 1 — an absolute-age formulation underflowed the
+          // quantization grid for small half-lives (every _raw_s = 0 →
+          // 0/0 weights silently zeroed the conversion's whole credit)
+          .withColumn("_min_age", min(ageDays).over(perConv))
           // raw decay weights quantize BEFORE normalization so the
           // per-conversion weight denominator is an exact long sum (the
           // double sum over the window is order-dependent too)
           .withColumn("_raw_s",
-            round(pow(lit(0.5), ageDays / halfLifeDays) * 1.0e9).cast("long"))
+            round(pow(lit(0.5), (ageDays - col("_min_age")) / halfLifeDays) * 1.0e9)
+              .cast("long"))
           .withColumn("_w",
             col("_raw_s").cast("double") / sum(col("_raw_s")).over(perConv).cast("double"))
           .withColumn("_credit_s", scaledCredit(col("_value") * col("_w")))
@@ -283,8 +291,12 @@ object Analytics {
     weighted
       .groupBy(col("_touch_ts").cast("date").as("touch_day"))
       .agg(
-        round(sum(col("_credit_s")).cast("double") / 100000000.0 + lit(1e-9), 4)
-          .as("credited_value"),
+        // the scaled credits sum in DECIMAL, not LONG: Spark's long sum
+        // wraps silently past 2^63 (a ~9e10 credited day at the 1e-8
+        // grid) while DuckDB promotes BIGINT sums to HUGEINT — decimal
+        // keeps the sum exact on both engines at any scale
+        round(sum(col("_credit_s").cast("decimal(38,0)")).cast("double")
+          / 100000000.0 + lit(1e-9), 4).as("credited_value"),
         count(lit(1)).as("n_credited_touches"),
         countDistinct(col("_conv_id")).as("n_conversions"))
       .orderBy(col("touch_day"))

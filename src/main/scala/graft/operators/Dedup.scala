@@ -696,14 +696,21 @@ object Dedup {
     reassembleKept(docs, parts, hot, idCol, textCol, sep)
   }
 
-  /** Paragraph fan-out shared by the batch rule and the census paths:
+  /** Paragraph fan-out shared by the batch rule, the census paths, AND
+    * the streaming census twin (private[graft] so EventsStream reuses
+    * THIS normalization — probe correctness depends on every census
+    * producer splitting, blank-filtering, and hashing identically):
     * non-blank paragraphs with position and a 64-bit identity hash
     * (xxhash64 — the C2c hashed-window precedent). All census shuffles
-    * and joins key on the 8-byte hash, never the paragraph text. */
-  private def explodeParagraphs(docs: DataFrame, idCol: String, textCol: String,
-                                sep: String): DataFrame =
+    * and joins key on the 8-byte hash, never the paragraph text.
+    * `extraCols` carry through untouched (the streaming twin keeps its
+    * event-time column for the watermark). */
+  private[graft] def explodeParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                                       sep: String,
+                                       extraCols: Seq[String] = Nil): DataFrame =
     docs
-      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .select(col(idCol) +: extraCols.map(col) :+
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))): _*)
       .withColumnRenamed("col", "para")
       .filter(length(col("para")) > 0)
       .withColumn("para_hash", xxhash64(col("para")))
@@ -762,7 +769,12 @@ object Dedup {
     * ordering lands the same table. */
   def mergeParagraphCensus(census: DataFrame, delta: DataFrame): DataFrame = {
     requireSameCensusSep(census, delta)
-    val meta = census.schema("para_hash").metadata
+    // keep whichever side still carries the separator guard: a census
+    // rewritten by a non-Spark tool may have lost its schema metadata,
+    // and taking only the census side's would strip the guard from
+    // every later merge output
+    val metas = Seq(census, delta).map(_.schema("para_hash").metadata)
+    val meta = metas.find(_.contains("graft.paracensus.sep")).getOrElse(metas.head)
     census.select(col("para_hash"), col("n_docs"))
       .unionByName(delta.select(col("para_hash"), col("n_docs")))
       .groupBy(col("para_hash"))
@@ -777,7 +789,15 @@ object Dedup {
     * the batch explodes and shuffles; the census joins on the 8-byte
     * hash (bucketed storage keeps even that exchange off the census
     * side). Returns the same (id, text, n_kept, n_dropped) contract as
-    * [[dropRepeatedParagraphs]], for the BATCH docs only. */
+    * [[dropRepeatedParagraphs]], for the BATCH docs only.
+    *
+    * CONTRACT (same as [[mergeParagraphCensus]]): the batch's documents
+    * are NOT already counted in the census — a re-delivered document
+    * would vote twice and could push a threshold-boundary paragraph
+    * over the line. Exactly-once delivery belongs to the ingest layer:
+    * the streaming twin's day-complete partition overwrites give it,
+    * and batch pipelines should probe a batch BEFORE folding its
+    * census delta in. */
   def dropRepeatedParagraphsAgainstCensus(batch: DataFrame, census: DataFrame,
                                           idCol: String, textCol: String,
                                           maxDocs: Int = 2,

@@ -73,6 +73,49 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
     * quotes, or backticks. */
   private def qcol(name: String): Column = col("`" + name.replace("`", "``") + "`")
 
+  /** Resolve (custom holidays, country code) into ONE concrete
+    * (ds, holiday) calendar spanning the data plus the horizon (the
+    * bounds read is one tiny driver-side aggregate, as in
+    * forecastWithCountryHolidays). Prophet feeds a custom `holidays`
+    * frame AND a country calendar into ONE model
+    * (ProphetForecaster.py:316-319 with add_country_holidays at :161):
+    * both-present unions the calendars BEFORE the per-name
+    * effect/indicator build, distinct() so a custom row duplicating a
+    * country entry can't double-join calendar days. */
+  private def resolveHolidayFrame(holidays: Option[DataFrame],
+                                  countryHolidays: Option[String],
+                                  freq: String, days: Int): Option[DataFrame] = {
+    def countryCal(c: String): DataFrame = {
+      def yearOf(v: Any): Int = v match {
+        case d: java.sql.Date => d.toLocalDate.getYear
+        case t: java.sql.Timestamp => t.toLocalDateTime.getYear
+        case other => throw new IllegalArgumentException(
+          s"date column must be DATE or TIMESTAMP, got $other")
+      }
+      val b = data.agg(min(col(dateCol)), max(col(dateCol))).head()
+      // cover the WHOLE horizon at every freq (days counts periods:
+      // months at MS, weeks at W, hours at H, days at D)
+      val extraYears = freq match {
+        case "MS" => days / 12 + 1
+        case "W"  => days / 52 + 1
+        case "H"  => days / (24 * 365) + 1
+        case _    => days / 365 + 1
+      }
+      val (lo, hi) =
+        if (b.isNullAt(0)) (1970, 1969)
+        else (yearOf(b.get(0)), yearOf(b.get(1)) + extraYears)
+      graft.functions.holidays.calendar(data.sparkSession, c, lo, hi)
+    }
+    (holidays, countryHolidays) match {
+      case (Some(h), None) => Some(h)
+      case (None, Some(c)) => Some(countryCal(c))
+      case (Some(h), Some(c)) =>
+        Some(h.select(col("ds").cast("date").as("ds"), col("holiday"))
+          .unionByName(countryCal(c)).distinct())
+      case _ => None
+    }
+  }
+
   private def melt(metrics: Seq[String], extra: Seq[String] = Nil): DataFrame = {
     require(metrics.nonEmpty, "no metrics to forecast (none declared, none numeric)")
     // explode over array-of-structs instead of a stack() SQL string so a
@@ -133,6 +176,10 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
     if (capByMetric.nonEmpty || floorByMetric.nonEmpty) {
       val unknown = (capByMetric.keySet ++ floorByMetric.keySet) -- ms.toSet
       require(unknown.isEmpty, s"capByMetric/floorByMetric name unknown metrics: $unknown")
+      // resolve any country calendar ONCE before the fan-out — each
+      // recursive call would otherwise re-run the driver-side min/max
+      // scan and rebuild an identical calendar per bounds group
+      val resolvedHol = resolveHolidayFrame(holidays, countryHolidays, freq, days)
       return ms.groupBy(m => (capByMetric.get(m).orElse(cap), floorByMetric.get(m).orElse(floor)))
         .toSeq.sortBy(_._2.head)
         .map { case ((c, f), group) =>
@@ -144,8 +191,8 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
             changepoints = changepoints, changepointRange = changepointRange,
             changepointRidge = changepointRidge, seasonalityRidge = seasonalityRidge,
             holidaysRidge = holidaysRidge, regressorRidge = regressorRidge,
-            customSeasonalities = customSeasonalities, holidays = holidays,
-            countryHolidays = countryHolidays, regressor = regressor,
+            customSeasonalities = customSeasonalities, holidays = resolvedHol,
+            countryHolidays = None, regressor = regressor,
             regressors = regressors, futureRegressor = futureRegressor,
             nonNegative = nonNegative, roundDecimals = roundDecimals)
         }.reduce(_ unionByName _)
@@ -186,43 +233,8 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
       includeHistory || !nonNegative
     val weeklyOrder = weeklySeasonality.getOrElse(2)
 
-    // resolve countryHolidays into a concrete (ds, holiday) calendar
-    // spanning the data plus the horizon (the bounds read is one tiny
-    // driver-side aggregate, as in forecastWithCountryHolidays)
-    def countryCal(c: String): DataFrame = {
-      def yearOf(v: Any): Int = v match {
-        case d: java.sql.Date => d.toLocalDate.getYear
-        case t: java.sql.Timestamp => t.toLocalDateTime.getYear
-        case other => throw new IllegalArgumentException(
-          s"date column must be DATE or TIMESTAMP, got $other")
-      }
-      val b = data.agg(min(col(dateCol)), max(col(dateCol))).head()
-      // cover the WHOLE horizon at every freq (days counts periods:
-      // months at MS, weeks at W, hours at H, days at D)
-      val extraYears = freq match {
-        case "MS" => days / 12 + 1
-        case "W"  => days / 52 + 1
-        case "H"  => days / (24 * 365) + 1
-        case _    => days / 365 + 1
-      }
-      val (lo, hi) =
-        if (b.isNullAt(0)) (1970, 1969)
-        else (yearOf(b.get(0)), yearOf(b.get(1)) + extraYears)
-      graft.functions.holidays.calendar(data.sparkSession, c, lo, hi)
-    }
-    lazy val holFrame: Option[DataFrame] = (holidays, countryHolidays) match {
-      case (Some(h), None) => Some(h)
-      case (None, Some(c)) => Some(countryCal(c))
-      case (Some(h), Some(c)) =>
-        // Prophet feeds a custom `holidays` frame AND a country calendar
-        // into ONE model (ProphetForecaster.py:316-319 with
-        // add_country_holidays at :161): union the calendars BEFORE the
-        // per-name effect/indicator build. distinct() so a custom row
-        // duplicating a country entry can't double-join calendar days
-        Some(h.select(col("ds").cast("date").as("ds"), col("holiday"))
-          .unionByName(countryCal(c)).distinct())
-      case _ => None
-    }
+    lazy val holFrame: Option[DataFrame] =
+      resolveHolidayFrame(holidays, countryHolidays, freq, days)
     // daily seasonality = a period-1-day Fourier block. None = auto
     // (Prophet's rule: enable only for sub-daily data, i.e. freq='H'),
     // Some(0) = explicitly off even at freq='H', Some(k) = order k at

@@ -306,13 +306,13 @@ object EventsStream {
                          tsCol: String = "ts", sep: String = "\n",
                          watermark: String = "1 day"):
       org.apache.spark.sql.streaming.StreamingQuery = {
-    val sepRe = java.util.regex.Pattern.quote(sep)
-    val perDocDay = docs
-      .withWatermark(tsCol, watermark)
-      .select(col(tsCol), col(idCol),
-        explode(split(col(textCol), sepRe)).as("para"))
-      .filter(length(col("para")) > 0)
-      .select(col(tsCol), col(idCol), xxhash64(col("para")).as("para_hash"))
+    // the shared Dedup projection — NOT an inline re-implementation:
+    // probe correctness requires the maintained census and the batch
+    // paths to split/blank-filter/hash identically, forever
+    val perDocDay = graft.operators.Dedup
+      .explodeParagraphs(docs.withWatermark(tsCol, watermark),
+        idCol, textCol, sep, extraCols = Seq(tsCol))
+      .select(col(tsCol), col(idCol), col("para_hash"))
       .groupBy(window(col(tsCol), "1 day"), col(idCol), col("para_hash"))
       .agg(count(lit(1)).as("_n"))
       .select(col("window.start").cast("date").as("day"), col(idCol), col("para_hash"))

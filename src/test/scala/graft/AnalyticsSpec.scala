@@ -256,6 +256,27 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(math.abs(newer - 100.0 * (math.pow(0.5, 0.5) / (math.pow(0.5, 0.5) + 0.25))) < 0.01)
   }
 
+  test("time_decay attribution survives tiny half-lives (relative-age quantization)") {
+    // with ABSOLUTE ages, halfLifeDays=0.05 puts every touch past ~30
+    // half-lives → every quantized raw weight 0 → 0/0 weights silently
+    // zeroed the conversion's whole credit. Relative-to-newest ages pin
+    // the newest touch's raw weight at exactly 1, so credit always
+    // lands somewhere and recency still dominates.
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), "click", 0.0),
+      (2L, 1L, ts("2024-01-02 12:00:00"), "click", 0.0),
+      (3L, 1L, ts("2024-01-03 00:00:00"), "purchase", 100.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Analytics.attribution(events, "user_id", "ts", "event_type",
+      "value", "click", "purchase", convIdCol = Some("event_id"),
+      model = "time_decay", halfLifeDays = 0.05)
+      .select("touch_day", "credited_value").as[(Date, Double)].collect().toSeq
+    val total = out.map(_._2).sum
+    assert(math.abs(total - 100.0) < 1e-4, s"credit must not vanish: $out")
+    assert(out.find(_._1 == Date.valueOf("2024-01-02")).get._2 > 99.9,
+      s"newest touch must take essentially all credit: $out")
+  }
+
   test("linearAttribution simultaneous conversions keep separate touch splits") {
     // two purchases at the SAME (user, ts) with one prior click: the
     // click earns credit from EACH conversion (ids keep them distinct)
