@@ -102,6 +102,7 @@ object SparkEntry {
     "q63_linear_attribution"     -> ((s, d) => Analytics.linearAttributionEvents(s, d)),
     "q67_ushaped_attribution"    -> ((s, d) => Analytics.ushapedAttributionEvents(s, d)),
     "q68_paragraph_dedup"        -> ((s, d) => Dedup.paragraphDedupPages(s, d)),
+    "q69_canonical_docs"         -> ((s, d) => Dedup.canonicalDocsEmbeddings(s, d)),
     "q65_data_quality"           -> ((s, d) => Validation.ordersQuality(s, d)),
     "q66_session_attribution"    -> ((s, d) => IntervalJoin.sessionAttribution(s, d))
   )
@@ -171,8 +172,8 @@ object SparkEntry {
   /** Transitive-closure ground truth shared by q37 (label propagation)
     * and q39 (large-star/small-star): DuckDB recursive-CTE reachability
     * over the embedding near-dup pair predicate. */
-  private val dupClustersOracle: String =
-    """WITH RECURSIVE edges0 AS (
+  private val clusterCtes: String =
+    """edges0 AS (
       | SELECT id_a, id_b FROM (
       |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
       |   round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
@@ -186,7 +187,10 @@ object SparkEntry {
       |reach AS (
       | SELECT id, id AS r FROM nodes
       | UNION
-      | SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+      | SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst)""".stripMargin
+
+  private val dupClustersOracle: String =
+    s"""WITH RECURSIVE $clusterCtes
       |SELECT id, CAST(min(r) AS BIGINT) AS rep_id
       |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
@@ -619,6 +623,24 @@ object SparkEntry {
     "q39_dup_clusters_logn" -> dupClustersOracle,
     "q42_dup_clusters_auto" -> dupClustersOracle,
     "q37_dup_clusters" -> dupClustersOracle,
+
+    // the dedup-curation composite: q37's recursive-CTE clusters +
+    // q28's shared quality CTEs + a window argmax (score desc, id asc
+    // over the ROUNDED score — both engines elect identically)
+    "q69_canonical_docs" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |clusters AS (SELECT id, CAST(min(r) AS BIGINT) AS cluster_id
+         |             FROM reach GROUP BY id),
+         |$qualityCtes,
+         |j AS (SELECT c.id, c.cluster_id, s.quality_score
+         |      FROM clusters c JOIN scored s ON s.doc_id = c.id),
+         |w AS (SELECT *, first_value(id) OVER (
+         |        PARTITION BY cluster_id ORDER BY quality_score DESC, id ASC
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS canonical_id
+         |      FROM j)
+         |SELECT id, cluster_id, quality_score, canonical_id,
+         | id = canonical_id AS is_canonical
+         |FROM w ORDER BY id""".stripMargin,
 
     "q25_ann_bruteforce" ->
       """WITH scored AS (

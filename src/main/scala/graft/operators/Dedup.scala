@@ -658,6 +658,48 @@ object Dedup {
     dupClustersAuto(Similarity.embeddingNearDup(spark, dir).select(col("id_a"), col("id_b")))
       .orderBy(col("id"))
 
+  /** Quality-aware canonical selection — the curation rule dedup
+    * exists to serve: inside each duplicate cluster keep the
+    * HIGHEST-QUALITY copy, not the lowest-numbered one (min-id
+    * representatives are a graph-algorithm artifact, not an editorial
+    * choice). Ties break on the id, so the election is total and
+    * engine-independent when the score is pre-rounded.
+    *
+    * `clusters` = (idCol, clusterCol) assignments (any of the three
+    * dupClusters variants); `scores` = (idCol, scoreCol). One id-keyed
+    * join + one window over the cluster partitioning — the frames are
+    * |clustered docs|-sized, not corpus-sized. */
+  def pickRepresentatives(clusters: DataFrame, scores: DataFrame,
+                          idCol: String = "id", clusterCol: String = "rep_id",
+                          scoreCol: String = "score"): DataFrame = {
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    clusters
+      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .withColumn("canonical_id", first(col(idCol)).over(w))
+      .withColumn("is_canonical", col(idCol) === col("canonical_id"))
+  }
+
+  /** `q69_canonical_docs` — the dedup-curation pipeline end-to-end:
+    * embedding near-dup clusters (q37's machinery) re-elect their
+    * representatives by the q28 quality score (vec_id indexes the
+    * parallel documents row). The whole composite is oracle-checked:
+    * recursive-CTE reachability + the shared quality CTEs + a window
+    * argmax compose the same answer in DuckDB. */
+  def canonicalDocsEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val clusters =
+      dupClusters(Similarity.embeddingNearDup(spark, dir).select(col("id_a"), col("id_b")))
+        .withColumnRenamed("rep_id", "cluster_id")
+    val scores = TextAnalysis.qualityScoreDocs(Tables(spark, dir).documents)
+      .select(col("doc_id").as("id"), col("quality_score"))
+    pickRepresentatives(clusters, scores,
+      idCol = "id", clusterCol = "cluster_id", scoreCol = "quality_score")
+      .select(col("id"), col("cluster_id"), col("quality_score"),
+        col("canonical_id"), col("is_canonical"))
+      .orderBy(col("id"))
+  }
+
   /** Corpus-level repeated-paragraph removal — the RefinedWeb/CCNet
     * boilerplate rule, the line-grain sibling of document-level dedup: a
     * paragraph appearing in MORE than `maxDocs` distinct documents is

@@ -283,6 +283,26 @@ class DedupSpec extends SparkSpecBase {
     assert(kept.head == ((1L, "dup line\ndup line\nunique", 3L, 0L)), kept.toSeq.toString)
   }
 
+  test("pickRepresentatives elects the highest-quality copy per cluster, ties on id") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),   // cluster 1: best score is doc 2
+      (5L, 5L), (6L, 5L),             // cluster 5: tie → min id 5
+      (9L, 9L)                        // singleton: canonical itself
+    ).toDF("id", "rep_id")
+    val scores = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5),
+      (5L, 0.7), (6L, 0.7),
+      (9L, 0.1)
+    ).toDF("id", "score")
+    val out = Dedup.pickRepresentatives(clusters, scores)
+      .select("id", "canonical_id", "is_canonical")
+      .orderBy(col("id")).as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, false), (2L, 2L, true), (3L, 2L, false),
+      (5L, 5L, true), (6L, 5L, false),
+      (9L, 9L, true)), out.toString)
+  }
+
   test("incremental paragraph census: day-2 probe matches a full re-census") {
     val banner = "accept our cookies"
     // day 1: banner in docs 1,2 (count 2 — at the threshold, not over)
