@@ -103,6 +103,7 @@ object SparkEntry {
     "q67_ushaped_attribution"    -> ((s, d) => Analytics.ushapedAttributionEvents(s, d)),
     "q68_paragraph_dedup"        -> ((s, d) => Dedup.paragraphDedupPages(s, d)),
     "q69_canonical_docs"         -> ((s, d) => Dedup.canonicalDocsEmbeddings(s, d)),
+    "q70_span_dedup"             -> ((s, d) => Dedup.spanDedupDocs(s, d)),
     "q65_data_quality"           -> ((s, d) => Validation.ordersQuality(s, d)),
     "q66_session_attribution"    -> ((s, d) => IntervalJoin.sessionAttribution(s, d))
   )
@@ -1106,6 +1107,39 @@ object SparkEntry {
         | CAST(np.n_paras - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
         |FROM np LEFT JOIN r ON np.page_id = r.page_id
         |ORDER BY np.page_id""".stripMargin,
+
+    // ExactSubstr span removal: 6-token windows shared by >= 2 docs cut
+    // from ALL docs. The census key differs by design — Spark hashes
+    // windows (xxhash64), the oracle uses the window STRING — because
+    // hotness only needs EQUALITY within each engine; the removed spans
+    // (and so the output text) agree unless xxhash64 collides, which
+    // the hash-compare would surface. Positions stay dense (empty split
+    // tokens kept) so the trailing coverage window sees identical spans
+    "q70_span_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+        |w AS (SELECT doc_id,
+        |        unnest(range(0, greatest(len(parts) - 6 + 1, 0))) AS wstart,
+        |        unnest(list_transform(range(0, greatest(len(parts) - 6 + 1, 0)),
+        |          i -> array_to_string(parts[i+1:i+6], ' '))) AS win
+        |      FROM d),
+        |hot AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1),
+        |hs AS (SELECT w.doc_id, w.wstart, (hot.win IS NOT NULL) AS h
+        |       FROM w LEFT JOIN hot ON w.win = hot.win),
+        |t AS (SELECT doc_id, unnest(range(0, len(parts))) AS pos, unnest(parts) AS tok FROM d),
+        |cov AS (SELECT t.doc_id, t.pos, t.tok,
+        |         max(CASE WHEN coalesce(hs.h, false) THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY t.doc_id ORDER BY t.pos
+        |                 ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS c
+        |        FROM t LEFT JOIN hs ON hs.doc_id = t.doc_id AND hs.wstart = t.pos),
+        |r AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+        |        count(*) AS n_kept
+        |      FROM cov WHERE c = 0 GROUP BY doc_id),
+        |nt AS (SELECT doc_id, len(parts) AS n_tokens FROM d)
+        |SELECT nt.doc_id AS doc_id, coalesce(r.text, '') AS text,
+        | CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+        | CAST(nt.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM nt LEFT JOIN r ON nt.doc_id = r.doc_id
+        |ORDER BY nt.doc_id""".stripMargin,
 
     // every rule is a conditional sum over ONE aggregate row, unpivoted;
     // passed compares the ROUNDED pct so both engines agree at the

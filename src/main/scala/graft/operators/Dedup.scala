@@ -658,6 +658,90 @@ object Dedup {
     dupClustersAuto(Similarity.embeddingNearDup(spark, dir).select(col("id_a"), col("id_b")))
       .orderBy(col("id"))
 
+  /** Exact repeated-SUBSTRING removal — the ExactSubstr rule (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"):
+    * any verbatim token run of length ≥ `k` appearing in more than
+    * `maxDocs` distinct documents is removed from EVERY document (all
+    * copies go — the paper's choice; pair with [[pickRepresentatives]]
+    * when one canonical copy should survive at the document grain).
+    * Whole-document near-dup misses a boilerplate paragraph QUOTED
+    * inside an otherwise-unique page; this catches the span itself.
+    *
+    * Mechanics: every k-token window hashes to 64 bits (the C2c
+    * hashed-window precedent — census keys are 8-byte hashes, never
+    * text; collisions are ~(windows²)/2⁶⁴, negligible and detectable
+    * by the oracle), ONE window-hash census finds the hot windows, and
+    * a token is removed iff some hot window covers it — a per-doc
+    * trailing ROWS max over the dense token positions, one exchange.
+    * Tokens reassemble in order; empty split tokens are kept so
+    * positions stay dense and both engines see identical spans.
+    *
+    * Scale shape: the token-array frame materializes once (token rows
+    * AND window rows fork from it), the census and hot-start joins key
+    * on the hash, the coverage join keys on (id, pos), and the
+    * reassembly groupBy is bounded per doc — no corpus-sized state
+    * anywhere.
+    */
+  def dropRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 6, maxDocs: Int = 1,
+                        sep: String = " "): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (a 1-token span is a stopword filter), got $k")
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val arr = docs
+      .select(col(idCol), split(col(textCol), sepRe).as("_toks"))
+      .localCheckpoint()
+    val n = size(col("_toks"))
+    // guard sequence()'s descending-on-reversed-bounds behavior: a doc
+    // shorter than k has NO windows, not a [0, n-k] walked backwards
+    val starts = when(n >= k, sequence(lit(0), n - k))
+      .otherwise(array().cast("array<int>"))
+    val wins = arr
+      .select(col(idCol), posexplode(transform(starts,
+        i => xxhash64(concat_ws(sep, slice(col("_toks"), i + lit(1), lit(k)))))))
+      .toDF(idCol, "wstart", "whash")
+    val hot = wins
+      .groupBy(col("whash"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") > maxDocs)
+      .select(col("whash"), lit(true).as("_hot"))
+    val hotStarts = wins
+      .join(hot, Seq("whash"), "left")
+      .select(col(idCol), col("wstart"), coalesce(col("_hot"), lit(false)).as("_hs"))
+    val tokRows = arr.select(col(idCol), posexplode(col("_toks"))).toDF(idCol, "pos", "tok")
+    val covW = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(k - 1), 0)
+    val covered = tokRows
+      .join(hotStarts, tokRows(idCol) === hotStarts(idCol) &&
+        col("pos") === col("wstart"), "left")
+      .select(tokRows(idCol).as(idCol), col("pos"), col("tok"),
+        coalesce(col("_hs"), lit(false)).as("_hs"))
+      .withColumn("_cov", max(when(col("_hs"), 1).otherwise(0)).over(covW) > 0)
+    val rebuilt = covered
+      .filter(!col("_cov"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), sep).as("_clean"),
+        count(lit(1)).as("_n_kept"))
+    arr
+      .select(col(idCol), n.cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_clean"), lit("")).as(textCol),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_n_kept"), lit(0L))).cast("long").as("n_removed"))
+  }
+
+  /** `q70_span_dedup` — ExactSubstr over the documents table: 6-token
+    * verbatim runs shared by ≥ 2 documents are cut from all of them
+    * (the corpus's planted near-duplicates share long runs, so the rule
+    * has real work: ~1k hot windows across ~50 docs at sf0.01). */
+  def spanDedupDocs(spark: SparkSession, dir: String): DataFrame =
+    dropRepeatedSpans(Tables(spark, dir).documents.select(col("doc_id"), col("text")),
+      "doc_id", "text", k = 6, maxDocs = 1)
+      .orderBy(col("doc_id"))
+
   /** Quality-aware canonical selection — the curation rule dedup
     * exists to serve: inside each duplicate cluster keep the
     * HIGHEST-QUALITY copy, not the lowest-numbered one (min-id

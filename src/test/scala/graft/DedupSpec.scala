@@ -283,6 +283,41 @@ class DedupSpec extends SparkSpecBase {
     assert(kept.head == ((1L, "dup line\ndup line\nunique", 3L, 0L)), kept.toSeq.toString)
   }
 
+  test("dropRepeatedSpans cuts shared k-token runs from every doc, keeps unique tails") {
+    // docs 1 and 2 share a verbatim 7-token run; with k=4 every token
+    // of the run is covered by some hot 4-window IN BOTH docs, while
+    // their distinct prefixes/suffixes survive. doc 3 is untouched and
+    // doc 4 is shorter than k (no windows — must pass through whole).
+    val run = "the quick brown fox jumps over fences"
+    // the tokens flanking the run DIFFER between the two docs — a
+    // shared neighbor would verbatim-extend the shared run itself
+    val docs = Seq(
+      (1L, s"alpha one $run tail one"),
+      (2L, s"beta $run endx two two"),
+      (3L, "entirely unique words nothing shared here at all"),
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedSpans(docs, "doc_id", "text", k = 4)
+      .orderBy(col("doc_id")).as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "alpha one tail one", 11L, 7L),
+      (2L, "beta endx two two", 11L, 7L),
+      (3L, "entirely unique words nothing shared here at all", 8L, 0L),
+      (4L, "too short", 2L, 0L)), out.toString)
+
+    // a doc that IS entirely a hot span collapses to empty but survives
+    val full = Seq((1L, run), (2L, run), (3L, s"prefix $run")).toDF("doc_id", "text")
+    val out2 = Dedup.dropRepeatedSpans(full, "doc_id", "text", k = 4)
+      .orderBy(col("doc_id")).as[(Long, String, Long, Long)].collect().toSeq
+    assert(out2.take(2) == Seq((1L, "", 7L, 7L), (2L, "", 7L, 7L)), out2.toString)
+    assert(out2(2) == ((3L, "prefix", 8L, 7L)), out2.toString)
+
+    // maxDocs raises the vote threshold: shared by 2 docs <= maxDocs=2 → kept
+    val lax = Dedup.dropRepeatedSpans(docs, "doc_id", "text", k = 4, maxDocs = 2)
+      .orderBy(col("doc_id")).as[(Long, String, Long, Long)].collect().toSeq
+    assert(lax.forall(_._4 == 0L), s"threshold 2 must keep 2-doc runs: $lax")
+  }
+
   test("pickRepresentatives elects the highest-quality copy per cluster, ties on id") {
     val clusters = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L),   // cluster 1: best score is doc 2
