@@ -96,6 +96,41 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Per-start hashed k-token windows — the ExactSubstr census key
+    * material (out(i) = fold of tokens i..i+k-1 with separator bytes):
+    * position IS the array index, so posexplode yields (wstart, whash)
+    * directly and no window string is ever materialized. Documents
+    * shorter than k yield an EMPTY array (no windows — the span
+    * coverage math depends on that, unlike minhashShingled's clamp
+    * which always emits at least one window). */
+  def spanWindowHashes(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var h = 0xCBF29CE484222325L
+      var j = i
+      while (j < i + k) {
+        if (!toks.isNullAt(j)) {
+          val bytes = toks.getUTF8String(j).getBytes
+          var p = 0
+          while (p < bytes.length) {
+            h ^= (bytes(p) & 0xffL)
+            h *= 0x100000001B3L
+            p += 1
+          }
+        }
+        h ^= 0x20L // separator byte between tokens
+        h *= 0x100000001B3L
+        j += 1
+      }
+      out(i) = mix(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct hashed character n-grams of a string in one pass — the
     * inverted-index key material for n-gram Jaccard, without gram string
     * allocation. Returns the distinct 64-bit gram hashes. */
@@ -193,6 +228,24 @@ case class MinHashShingled(first: Expression, second: Expression, third: Express
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): MinHashShingled =
     copy(first = f, second = s, third = t)
+}
+
+/** Per-start hashed token windows: `graft_span_windows(array<string>, k)`
+  * → `array<bigint>` (index = window start; empty below k tokens). */
+case class SpanWindowHashes(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_span_windows"
+
+  override protected def nullSafeEval(arr: Any, k: Any): Any =
+    Kernels.spanWindowHashes(arr.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, k) =>
+      s"${ev.value} = graft.expressions.Kernels.spanWindowHashes($a, (int)$k);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SpanWindowHashes =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Distinct hashed char n-grams: `graft_ngrams(string, n)` → `array<bigint>`. */

@@ -692,13 +692,14 @@ object Dedup {
       .select(col(idCol), split(col(textCol), sepRe).as("_toks"))
       .localCheckpoint()
     val n = size(col("_toks"))
-    // guard sequence()'s descending-on-reversed-bounds behavior: a doc
-    // shorter than k has NO windows, not a [0, n-k] walked backwards
-    val starts = when(n >= k, sequence(lit(0), n - k))
-      .otherwise(array().cast("array<int>"))
+    // the native kernel emits one 64-bit hash per window start (array
+    // index = start; empty below k tokens) with zero window-string
+    // allocation — the O(n·k) concat_ws/slice/xxhash64 formulation this
+    // replaces materialized every window as a string first. posexplode
+    // of the result IS the (wstart, whash) frame.
     val wins = arr
-      .select(col(idCol), posexplode(transform(starts,
-        i => xxhash64(concat_ws(sep, slice(col("_toks"), i + lit(1), lit(k)))))))
+      .select(col(idCol),
+        posexplode(call_function("graft_span_windows", col("_toks"), lit(k))))
       .toDF(idCol, "wstart", "whash")
     val hot = wins
       .groupBy(col("whash"))

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expressions.{DotProduct, KllMergeAgg, KllQuantile, KllSketchAgg, MinHashShingled, MinHashSignature, NGramHashes, SimHash64}
+import graft.expressions.{DotProduct, KllMergeAgg, KllQuantile, KllSketchAgg, MinHashShingled, MinHashSignature, NGramHashes, SimHash64, SpanWindowHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NGramHashes].getName, "graft_ngrams"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NGramHashes(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_span_windows"),
+      new ExpressionInfo(classOf[SpanWindowHashes].getName, "graft_span_windows"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SpanWindowHashes(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_kll_agg"),
       new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_agg"),
