@@ -283,6 +283,22 @@ class DedupSpec extends SparkSpecBase {
     assert(kept.head == ((1L, "dup line\ndup line\nunique", 3L, 0L)), kept.toSeq.toString)
   }
 
+  test("graft_span_windows kernel: index = window start, empty below k, equality by content") {
+    val out = spark.sql(
+      """SELECT graft_span_windows(array('a','b','c','d'), 2) AS w,
+        |       graft_span_windows(array('x'), 2) AS short,
+        |       graft_span_windows(array('a','b'), 2) AS ab,
+        |       graft_span_windows(array('b','c'), 2) AS bc""".stripMargin).head()
+    val w = out.getSeq[Long](0)
+    assert(w.length == 3, s"4 tokens, k=2 -> 3 windows: $w")
+    assert(out.getSeq[Long](1).isEmpty, "below k -> no windows")
+    // window content drives equality: ('a','b') at start 0 equals the
+    // standalone ('a','b') window; ('b','c') matches position 1
+    assert(w(0) == out.getSeq[Long](2).head, "same 2-token window, same hash")
+    assert(w(1) == out.getSeq[Long](3).head, "window at start 1 is (b, c)")
+    assert(w.distinct.length == 3, "distinct windows get distinct hashes")
+  }
+
   test("dropRepeatedSpans cuts shared k-token runs from every doc, keeps unique tails") {
     // docs 1 and 2 share a verbatim 7-token run; with k=4 every token
     // of the run is covered by some hot 4-window IN BOTH docs, while
