@@ -97,12 +97,22 @@ object Kernels {
   }
 
   /** Per-start hashed k-token windows — the ExactSubstr census key
-    * material (out(i) = fold of tokens i..i+k-1 with separator bytes):
-    * position IS the array index, so posexplode yields (wstart, whash)
-    * directly and no window string is ever materialized. Documents
-    * shorter than k yield an EMPTY array (no windows — the span
-    * coverage math depends on that, unlike minhashShingled's clamp
-    * which always emits at least one window). */
+    * material (out(i) = fold of tokens i..i+k-1): position IS the array
+    * index, so posexplode yields (wstart, whash) directly and no window
+    * string is ever materialized. Documents shorter than k yield an
+    * EMPTY array (no windows — the span coverage math depends on that,
+    * unlike minhashShingled's clamp which always emits at least one
+    * window).
+    *
+    * Framing: each token folds as (byte-length, bytes) — a
+    * length-prefixed code is uniquely decodable, so distinct token
+    * PARTITIONS of the same concatenated bytes hash differently
+    * (['a b','c'] vs ['a','b c']). A fixed separator byte would be
+    * ambiguous here because dropRepeatedSpans exposes `sep`: with e.g.
+    * sep='\n' tokens legitimately contain 0x20, making separator-byte
+    * collisions deterministic rather than ~2^-64 random.
+    * (minhashShingled keeps its 0x20 separator: its callers always
+    * split on whitespace, so its tokens cannot contain 0x20.) */
   def spanWindowHashes(toks: ArrayData, k: Int): ArrayData = {
     val n = toks.numElements()
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
@@ -112,7 +122,12 @@ object Kernels {
       var h = 0xCBF29CE484222325L
       var j = i
       while (j < i + k) {
-        if (!toks.isNullAt(j)) {
+        val len = if (toks.isNullAt(j)) -1 else toks.getUTF8String(j).numBytes()
+        h ^= (len & 0xffL);         h *= 0x100000001B3L
+        h ^= ((len >> 8) & 0xffL);  h *= 0x100000001B3L
+        h ^= ((len >> 16) & 0xffL); h *= 0x100000001B3L
+        h ^= ((len >> 24) & 0xffL); h *= 0x100000001B3L
+        if (len > 0) {
           val bytes = toks.getUTF8String(j).getBytes
           var p = 0
           while (p < bytes.length) {
@@ -121,8 +136,6 @@ object Kernels {
             p += 1
           }
         }
-        h ^= 0x20L // separator byte between tokens
-        h *= 0x100000001B3L
         j += 1
       }
       out(i) = mix(h)

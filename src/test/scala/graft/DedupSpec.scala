@@ -297,6 +297,16 @@ class DedupSpec extends SparkSpecBase {
     assert(w(0) == out.getSeq[Long](2).head, "same 2-token window, same hash")
     assert(w(1) == out.getSeq[Long](3).head, "window at start 1 is (b, c)")
     assert(w.distinct.length == 3, "distinct windows get distinct hashes")
+
+    // length-prefixed framing: distinct token PARTITIONS of the same
+    // concatenated bytes must hash differently — tokens may contain
+    // spaces when sep != ' ' (e.g. dropRepeatedSpans with sep='\n')
+    val part = spark.sql(
+      """SELECT graft_span_windows(array('a b','c'), 2) AS p1,
+        |       graft_span_windows(array('a','b c'), 2) AS p2,
+        |       graft_span_windows(array('ab','c'), 2) AS p3""".stripMargin).head()
+    val hashes = Seq(part.getSeq[Long](0).head, part.getSeq[Long](1).head, part.getSeq[Long](2).head)
+    assert(hashes.distinct.length == 3, s"token boundaries must disambiguate: $hashes")
   }
 
   test("dropRepeatedSpans cuts shared k-token runs from every doc, keeps unique tails") {
