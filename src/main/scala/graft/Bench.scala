@@ -71,10 +71,7 @@ object Bench {
     // StdoutOutput (no logger prefix) and showSuccess := false (no
     // trailer), and the line prints AFTER spark.stop() so nothing Spark
     // logs can land behind it. First-run times go to stderr (human
-    // signal only), the stdout line carries medians alone at 3-decimal
-    // precision, and if the suite ever grows past the budget the keys
-    // degrade to their qNN prefix rather than letting the line
-    // overflow again.
+    // signal only); the stdout line schema lives in [[metricsLine]].
     def fmt(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     results.foreach { case (n, m, f0) =>
       System.err.println(s"[bench] $n median=${fmt(m)} first=${fmt(f0)}")
@@ -83,18 +80,29 @@ object Bench {
     // stays a (short) quoted string so the line is still valid JSON
     val sf = scala.util.Try(sfDir.split("sf").last.toDouble.toString)
       .getOrElse("\"" + sfDir.takeRight(24) + "\"")
-    def line(key: String => String) = {
-      val qs = results.map { case (n, m, _) => "\"" + key(n) + "\":" + fmt(m) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sf,"iters":$iters,"queries":$qs}"""
-    }
-    // budget: the line is the LAST log content (StdoutOutput, no
-    // trailer), so it may use nearly the whole 2000-char tail; 1950
-    // leaves margin for the trailing newline and tail-boundary slack
-    val full = line(identity)
-    val out = if (full.length <= 1950) full else line(_.split("_").head)
+    val out = metricsLine(results.map { case (n, m, _) => (n, m) }, total, sf, iters)
     spark.stop()
     println(out)
     System.out.flush()
+  }
+
+  /** The stdout metrics line — the round artifact's ONLY machine-read
+    * surface. SCHEMA (settled in round 9, spec-pinned in BenchSpec):
+    * `queries` keys are each query's `qNN` prefix, ALWAYS — not a
+    * degrade path. The r8 line measured 1,931 chars against the
+    * harness's 1,950-char tail budget, so registering one more query
+    * under full-name keys would have silently flipped every key; a
+    * schema that depends on the registration count is not a schema.
+    * Full names stay on stderr (`[bench] qNN_name median=… first=…`),
+    * one line per query, where humans read them. Compact keys hold
+    * ~140 queries in budget. Prefix collisions (two queries sharing a
+    * qNN) would silently merge keys, so they fail loud here. */
+  def metricsLine(medians: Seq[(String, Double)], total: Double, sf: String, iters: Int): String = {
+    def fmt(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val keyed = medians.map { case (n, m) => (n.split("_").head, m) }
+    val dups = keyed.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"qNN key collision in registered queries: ${dups.mkString(",")}")
+    val qs = keyed.map { case (k, m) => "\"" + k + "\":" + fmt(m) }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sf,"iters":$iters,"queries":$qs}"""
   }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench stdout metrics-line schema (settled round 9): compact
+  * qNN keys ALWAYS, valid JSON, inside the harness's 2000-char tail
+  * budget with headroom, loud on key collisions. No SparkSession — the
+  * line builder is pure. */
+class BenchSpec extends AnyFunSuite {
+
+  test("metricsLine keys are qNN prefixes, values 3-decimal, envelope intact") {
+    val line = Bench.metricsLine(
+      Seq(("q01_pricing_summary", 1.23456), ("q70_span_dedup", 0.5)),
+      1.73456, "0.1", 3)
+    assert(line ==
+      """{"metric":"total","value":1.735,"unit":"sec","sf":0.1,"iters":3,"queries":{"q01":1.235,"q70":0.500}}""",
+      line)
+  }
+
+  test("metricsLine holds 140 queries inside the 1950-char tail budget") {
+    val many = (1 to 140).map(i => (f"q$i%02d_some_long_descriptive_name", 12.345))
+    val line = Bench.metricsLine(many, 140 * 12.345, "1.0", 3)
+    assert(line.length <= 1950, s"${line.length} chars")
+    assert(line.contains("\"q140\":12.345"))
+  }
+
+  test("metricsLine fails loud on qNN prefix collisions") {
+    val e = intercept[IllegalArgumentException] {
+      Bench.metricsLine(Seq(("q07_a", 1.0), ("q07_b", 2.0)), 3.0, "0.1", 3)
+    }
+    assert(e.getMessage.contains("q07"), e.getMessage)
+  }
+
+  test("every registered query has a unique well-formed qNN prefix") {
+    val names = SparkEntry.queries.keys.toSeq
+    val prefixes = names.map(_.split("_").head)
+    assert(names.forall(_.matches("q\\d{2}_\\w+")), names.filterNot(_.matches("q\\d{2}_\\w+")).toString)
+    assert(prefixes.distinct.length == prefixes.length,
+      prefixes.groupBy(identity).filter(_._2.size > 1).keys.toString)
+  }
+}
