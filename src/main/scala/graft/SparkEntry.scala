@@ -104,6 +104,7 @@ object SparkEntry {
     "q68_paragraph_dedup"        -> ((s, d) => Dedup.paragraphDedupPages(s, d)),
     "q69_canonical_docs"         -> ((s, d) => Dedup.canonicalDocsEmbeddings(s, d)),
     "q70_span_dedup"             -> ((s, d) => Dedup.spanDedupDocs(s, d)),
+    "q71_neardup_verdicts"       -> ((s, d) => Dedup.neardupVerdicts(s, d)),
     "q65_data_quality"           -> ((s, d) => Validation.ordersQuality(s, d)),
     "q66_session_attribution"    -> ((s, d) => IntervalJoin.sessionAttribution(s, d))
   )
@@ -194,6 +195,24 @@ object SparkEntry {
     s"""WITH RECURSIVE $clusterCtes
       |SELECT id, CAST(min(r) AS BIGINT) AS rep_id
       |FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+  /** Exact all-pairs 3-word-shingle Jaccard ground truth for the
+    * MinHash near-dup verdicts (q21/q71). Tokenization mirrors
+    * [[graft.operators.Dedup.minhashIndexDocs]]: lower(trim(text))
+    * split on whitespace, distinct 3-token windows, with the short-doc
+    * clamp (< 3 tokens yields one shingle of what's there). MinHash+LSH
+    * is an approximation of this — the oracle is valid because the
+    * corpus's pair-similarity distribution is bimodal (nothing within
+    * [0.15, 0.85] at sf0.01, measured), so estimate and truth agree at
+    * the 0.5 threshold with a wide margin on both sides. */
+  private val jaccardCtes: String =
+    """toks AS (
+      | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      | FROM documents),
+      |grams AS (
+      | SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+      | FROM toks, UNNEST(generate_series(1, greatest(len(t)-2, 1))) AS u(i)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the non-SQL-expressible ops
@@ -607,6 +626,47 @@ object SparkEntry {
         | SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
         | FROM documents GROUP BY 1)
         |ORDER BY keep_id""".stripMargin,
+
+    // the near-dup FINAL verdicts are exact-checkable even though the
+    // LSH candidate generation is not (see jaccardCtes for the margin
+    // argument). q21: one-shot all-pairs verdict. q71: the incremental
+    // batch-vs-corpus verdict over the deterministic 80/20 split.
+    "q21_minhash_lsh" ->
+      s"""WITH $jaccardCtes,
+         |inter AS (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+         | FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2),
+         |pairs AS (
+         | SELECT id_a, id_b FROM inter
+         | JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         | WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.5),
+         |nb AS (SELECT id_a AS doc_id, id_b AS nb FROM pairs
+         |       UNION ALL SELECT id_b, id_a FROM pairs),
+         |rep AS (SELECT doc_id, min(nb) AS min_nb FROM nb GROUP BY 1)
+         |SELECT d.doc_id,
+         | least(d.doc_id, coalesce(r.min_nb, d.doc_id)) AS rep_id,
+         | least(d.doc_id, coalesce(r.min_nb, d.doc_id)) < d.doc_id AS is_dup
+         |FROM documents d LEFT JOIN rep r USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q71_neardup_verdicts" ->
+      s"""WITH $jaccardCtes,
+         |inter AS (
+         | SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, count(*) AS ix
+         | FROM grams a JOIN grams b ON a.g = b.g
+         | WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+         | GROUP BY 1, 2),
+         |pairs AS (
+         | SELECT batch_id, corpus_id FROM inter
+         | JOIN sizes sa ON sa.doc_id = batch_id JOIN sizes sb ON sb.doc_id = corpus_id
+         | WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.5),
+         |agg AS (SELECT batch_id AS doc_id, min(corpus_id) AS dup_of FROM pairs GROUP BY 1)
+         |SELECT d.doc_id, a.dup_of IS NOT NULL AS is_dup,
+         | CAST(coalesce(a.dup_of, -1) AS BIGINT) AS dup_of
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |WHERE d.doc_id % 5 = 4
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q24_embedding_neardup" ->
       """SELECT label, id_a, id_b, cos FROM (

@@ -191,6 +191,30 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** C2b `q71_neardup_verdicts` — the INCREMENTAL pipeline's per-doc
+    * verdict over a deterministic 80/20 corpus/batch split of the
+    * documents table (corpus = doc_id % 5 != 4, batch = the rest):
+    * build the MinHash index from the corpus, probe the batch with
+    * [[dedupAgainstIndex]], emit (doc_id, is_dup, dup_of) per batch doc.
+    *
+    * This is the family's oracle hook: candidate generation (bands,
+    * signatures) is approximate and not ANSI-expressible, but the FINAL
+    * verdict is — at sf0.01 DuckDB brute-forces exact all-pairs shingle
+    * Jaccard and the corpus's similarity mass is far from the 0.5
+    * threshold on both sides, so the approximate and exact verdicts
+    * coincide. `best_sim` is dropped here (a minhash-estimate detail no
+    * exact oracle can reproduce); `dup_of` is -1 when clean so neither
+    * engine's null ordering can leak into the hash. */
+  def neardupVerdicts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    dedupAgainstIndex(batch, minhashIndexDocs(corpus))
+      .select(col("doc_id"), col("is_dup"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental (batch-vs-corpus) near-dup dedup — how a 100 TB
     * pipeline actually runs on day 2: instead of re-scanning the full
     * corpus per ingest, each incoming batch probes a PERSISTED MinHash
