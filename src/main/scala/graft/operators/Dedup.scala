@@ -711,25 +711,45 @@ object Dedup {
                         sep: String = " "): DataFrame = {
     require(k >= 2, s"k must be >= 2 (a 1-token span is a stopword filter), got $k")
     require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
-    val sepRe = java.util.regex.Pattern.quote(sep)
-    val arr = docs
-      .select(col(idCol), split(col(textCol), sepRe).as("_toks"))
-      .localCheckpoint()
-    val n = size(col("_toks"))
-    // the native kernel emits one 64-bit hash per window start (array
-    // index = start; empty below k tokens) with zero window-string
-    // allocation — the O(n·k) concat_ws/slice/xxhash64 formulation this
-    // replaces materialized every window as a string first. posexplode
-    // of the result IS the (wstart, whash) frame.
-    val wins = arr
-      .select(col(idCol),
-        posexplode(call_function("graft_span_windows", col("_toks"), lit(k))))
-      .toDF(idCol, "wstart", "whash")
+    val arr = tokenArrays(docs, idCol, textCol, sep).localCheckpoint()
+    val wins = spanWindows(arr, idCol, k)
     val hot = wins
       .groupBy(col("whash"))
       .agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") > maxDocs)
       .select(col("whash"), lit(true).as("_hot"))
+    removeCoveredSpans(arr, wins, hot, idCol, textCol, k, sep)
+  }
+
+  /** Token-array frame shared by the one-shot span rule and every span
+    * census producer — probe correctness depends on all of them
+    * splitting identically. */
+  private def tokenArrays(docs: DataFrame, idCol: String, textCol: String,
+                          sep: String): DataFrame =
+    docs.select(col(idCol),
+      split(col(textCol), java.util.regex.Pattern.quote(sep)).as("_toks"))
+
+  /** (id, wstart, whash) per k-token window. The native kernel emits
+    * one 64-bit hash per window start (array index = start; empty below
+    * k tokens) with zero window-string allocation — the O(n·k)
+    * concat_ws/slice/xxhash64 formulation this replaces materialized
+    * every window as a string first. posexplode of the result IS the
+    * (wstart, whash) frame. */
+  private def spanWindows(arr: DataFrame, idCol: String, k: Int): DataFrame =
+    arr
+      .select(col(idCol),
+        posexplode(call_function("graft_span_windows", col("_toks"), lit(k))))
+      .toDF(idCol, "wstart", "whash")
+
+  /** Cut every token covered by a hot window and reassemble: a per-doc
+    * trailing ROWS max over the dense token positions marks coverage
+    * (one exchange), tokens rejoin in order, and the trailing id-only
+    * join resurrects docs that collapsed to empty. Shared by the
+    * one-shot rule and the census probe — the verdict semantics live
+    * here, the two callers differ only in how windows become hot. */
+  private def removeCoveredSpans(arr: DataFrame, wins: DataFrame, hot: DataFrame,
+                                 idCol: String, textCol: String,
+                                 k: Int, sep: String): DataFrame = {
     val hotStarts = wins
       .join(hot, Seq("whash"), "left")
       .select(col(idCol), col("wstart"), coalesce(col("_hot"), lit(false)).as("_hs"))
@@ -750,7 +770,7 @@ object Dedup {
           x => x.getField("tok")), sep).as("_clean"),
         count(lit(1)).as("_n_kept"))
     arr
-      .select(col(idCol), n.cast("long").as("n_tokens"))
+      .select(col(idCol), size(col("_toks")).cast("long").as("n_tokens"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("_clean"), lit("")).as(textCol),
@@ -766,6 +786,95 @@ object Dedup {
     dropRepeatedSpans(Tables(spark, dir).documents.select(col("doc_id"), col("text")),
       "doc_id", "text", k = 6, maxDocs = 1)
       .orderBy(col("doc_id"))
+
+  /** Persistable SPAN census — ExactSubstr's day-2 shape, the window-
+    * grain sibling of [[buildParagraphCensus]]: (whash, n_docs)
+    * distinct-document counts per k-token window hash, |distinct
+    * windows| rows of two longs, never the text. Write it once
+    * (bucketed by whash to keep probe-side exchanges off the census),
+    * then each new batch probes WITHOUT rescanning the corpus — the
+    * one-shot [[dropRepeatedSpans]] re-hashes the whole corpus per run,
+    * which at 100 TB is a day-1 tool only. Both k and sep ride the
+    * whash column's schema metadata so a probe tokenizing differently
+    * (or hashing different-width windows) fails loudly instead of
+    * silently matching nothing. */
+  def buildSpanCensus(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 6, sep: String = " "): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (a 1-token span is a stopword filter), got $k")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.spancensus.k", k.toLong)
+      .putString("graft.spancensus.sep", sep).build()
+    spanWindows(tokenArrays(docs, idCol, textCol, sep), idCol, k)
+      .groupBy(col("whash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .select(col("whash").as("whash", meta), col("n_docs"))
+  }
+
+  /** Merge a day's span-census delta into the corpus census. CONTRACT
+    * (same as [[mergeParagraphCensus]]): the two censuses cover
+    * DISJOINT document sets, so distinct counts add exactly; the merge
+    * is associative and any day ordering lands the same table. Guards
+    * that both sides were built with the same (k, sep). */
+  def mergeSpanCensus(census: DataFrame, delta: DataFrame): DataFrame = {
+    val params = Seq(census, delta).map(spanCensusParams)
+    (params(0), params(1)) match {
+      case (Some((k1, s1)), Some((k2, s2))) =>
+        require(k1 == k2 && s1 == s2,
+          s"span censuses differ: k=$k1 sep=${escapeSep(s1)} vs k=$k2 sep=${escapeSep(s2)}")
+      case _ => ()
+    }
+    val metas = Seq(census, delta).map(_.schema("whash").metadata)
+    val meta = metas.find(_.contains("graft.spancensus.k")).getOrElse(metas.head)
+    census.select(col("whash"), col("n_docs"))
+      .unionByName(delta.select(col("whash"), col("n_docs")))
+      .groupBy(col("whash"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .select(col("whash").as("whash", meta), col("n_docs"))
+  }
+
+  /** Probe an incoming batch against the persisted span census: a
+    * window is hot when its corpus count PLUS its batch distinct-doc
+    * count crosses `maxDocs`, so cross-boundary repeats (once in the
+    * corpus, once in the batch) are cut exactly as a full re-census
+    * would cut them — probe-vs-full parity is spec-asserted. Only the
+    * batch tokenizes and shuffles; the census joins on the 8-byte
+    * hash. Returns the [[dropRepeatedSpans]] contract (id, text,
+    * n_tokens, n_removed) for the BATCH docs only — corpus copies of a
+    * newly-hot span are cleaned when their partition is next rewritten,
+    * the same day-2 convention as the paragraph rule.
+    *
+    * CONTRACT (same as [[dropRepeatedParagraphsAgainstCensus]]): the
+    * batch's documents are NOT already counted in the census — probe a
+    * batch BEFORE folding its census delta in. */
+  def dropRepeatedSpansAgainstCensus(batch: DataFrame, census: DataFrame,
+                                     idCol: String, textCol: String,
+                                     k: Int = 6, maxDocs: Int = 1,
+                                     sep: String = " "): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (a 1-token span is a stopword filter), got $k")
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    spanCensusParams(census).foreach { case (ck, cs) =>
+      require(ck == k && cs == sep,
+        s"census was built with k=$ck sep=${escapeSep(cs)} but the probe asked for " +
+          s"k=$k sep=${escapeSep(sep)} — window hashes would not align and every " +
+          "repeated span would silently pass")
+    }
+    val arr = tokenArrays(batch, idCol, textCol, sep).localCheckpoint()
+    val wins = spanWindows(arr, idCol, k)
+    val hot = wins
+      .groupBy(col("whash"))
+      .agg(countDistinct(col(idCol)).as("_bn"))
+      .join(census.select(col("whash"), col("n_docs")), Seq("whash"), "left")
+      .filter(col("_bn") + coalesce(col("n_docs"), lit(0L)) > maxDocs)
+      .select(col("whash"), lit(true).as("_hot"))
+    removeCoveredSpans(arr, wins, hot, idCol, textCol, k, sep)
+  }
+
+  private def spanCensusParams(census: DataFrame): Option[(Int, String)] = {
+    val m = census.schema("whash").metadata
+    if (m.contains("graft.spancensus.k") && m.contains("graft.spancensus.sep"))
+      Some((m.getLong("graft.spancensus.k").toInt, m.getString("graft.spancensus.sep")))
+    else None
+  }
 
   /** Quality-aware canonical selection — the curation rule dedup
     * exists to serve: inside each duplicate cluster keep the

@@ -414,4 +414,62 @@ class DedupSpec extends SparkSpecBase {
       Dedup.dropRepeatedParagraphsAgainstCensus(day2, loaded, "doc_id", "text", sep = "\t")
     }
   }
+
+  test("incremental span census: day-2 probe matches a full re-census") {
+    val run1 = "the quick brown fox jumps"   // cross-boundary: day1 doc 1 + day2 doc 4
+    val run2 = "lorem ipsum dolor sit amet"  // batch-internal: day2 docs 5 + 6
+    val day1 = Seq(
+      (1L, s"alpha one $run1 tail one"),
+      (2L, "corpus only words nothing shared"),
+      (3L, "another unique corpus document entirely")
+    ).toDF("doc_id", "text")
+    val day2 = Seq(
+      (4L, s"beta $run1 endx two"),
+      (5L, s"gamma $run2 five"),
+      (6L, s"delta $run2 sixx"),
+      (7L, "tiny")
+    ).toDF("doc_id", "text")
+
+    val census1 = Dedup.buildSpanCensus(day1, "doc_id", "text", k = 4)
+    val viaCensus = Dedup.dropRepeatedSpansAgainstCensus(day2, census1, "doc_id", "text", k = 4)
+      .orderBy(col("doc_id")).as[(Long, String, Long, Long)].collect().toSeq
+    // doc 4's run is hot only via corpus+batch (1+1 > 1); docs 5/6
+    // share a batch-internal run (2 > 1); doc 7 is below k
+    assert(viaCensus == Seq(
+      (4L, "beta endx two", 8L, 5L),
+      (5L, "gamma five", 7L, 5L),
+      (6L, "delta sixx", 7L, 5L),
+      (7L, "tiny", 1L, 0L)), viaCensus.toString)
+    // parity: probe verdicts equal a full re-census over day1 ∪ day2
+    // restricted to the batch docs
+    val full = Dedup.dropRepeatedSpans(day1.unionByName(day2), "doc_id", "text", k = 4)
+      .filter(col("doc_id") >= 4).orderBy(col("doc_id"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(full == viaCensus, s"incremental must match full re-census: $full vs $viaCensus")
+
+    // merge: disjoint day censuses sum to the union's census exactly
+    val census2 = Dedup.buildSpanCensus(day2, "doc_id", "text", k = 4)
+    val merged = Dedup.mergeSpanCensus(census1, census2).as[(Long, Long)].collect().toMap
+    val direct = Dedup.buildSpanCensus(day1.unionByName(day2), "doc_id", "text", k = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(merged == direct, "merged day censuses must equal the direct union census")
+    // merging censuses built with different parameters fails loud
+    intercept[IllegalArgumentException] {
+      Dedup.mergeSpanCensus(census1, Dedup.buildSpanCensus(day2, "doc_id", "text", k = 5))
+    }
+
+    // the census round-trips through parquet WITH its (k, sep) guard
+    val dir = java.nio.file.Files.createTempDirectory("graft_spancensus").toString
+    census1.write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    val viaLoaded = Dedup.dropRepeatedSpansAgainstCensus(day2, loaded, "doc_id", "text", k = 4)
+      .orderBy(col("doc_id")).as[(Long, String, Long, Long)].collect().toSeq
+    assert(viaLoaded == viaCensus, "persisted census must probe identically")
+    intercept[IllegalArgumentException] {
+      Dedup.dropRepeatedSpansAgainstCensus(day2, loaded, "doc_id", "text", k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.dropRepeatedSpansAgainstCensus(day2, loaded, "doc_id", "text", k = 4, sep = "\t")
+    }
+  }
 }
