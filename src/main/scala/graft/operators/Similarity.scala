@@ -585,10 +585,21 @@ object Similarity {
     * search with cell pruning + code-only scoring + id-based rerank. */
   def annIvfPq(spark: SparkSession, dir: String, k: Int = 10, numQueries: Int = 5,
                nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (corpus, centroids, codebook) =
+      buildIvfPqIndex(Tables(spark, dir).embeddings, nClusters)
+    annIvfPqSearch(corpus, centroids, codebook, k, numQueries, nProbe)
+  }
+
+  /** The composed IVFADC artifact build — IVF coarse quantizer + PQ
+    * codebooks over per-cell residuals — as its own one-time step, so
+    * day-2 pipelines (and the bench) persist (corpus, centroids,
+    * codebook) once and pay only [[annIvfPqSearch]] per query. */
+  def buildIvfPqIndex(embeddings: DataFrame, nClusters: Int = 16,
+                      seed: Long = 42L): (DataFrame, DataFrame, DataFrame) = {
     // ONE prepared projection feeds both build stages — the cast+norm
     // pass and its materialized blocks are shared, not duplicated
-    val e = prepVectors(Tables(spark, dir).embeddings).localCheckpoint()
-    val (assigned, centroids) = buildIvfIndexFrom(e, nClusters, seed = 42L)
+    val e = prepVectors(embeddings).localCheckpoint()
+    val (assigned, centroids) = buildIvfIndexFrom(e, nClusters, seed)
     // RESIDUAL quantization (the textbook IVFADC refinement): PQ encodes
     // v − cellCentroid, which is far better concentrated than raw
     // vectors once the coarse quantizer has explained the cell-level
@@ -604,7 +615,7 @@ object Similarity {
       .localCheckpoint()
     Dedup.freeBlocks(e)
     val (encoded, codebook) = buildPqIndexFrom(resid, subspaces = 8, codebookSize = 16,
-      dim = 64, seed = 42L, vecCol = "r")
+      dim = 64, seed = seed, vecCol = "r")
     // the search reads the corpus in three branches — materialize once
     // and free the superseded residual blocks (centroids/codebook are
     // driver-built; nothing else reads them)
@@ -612,7 +623,7 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("codes"))
       .localCheckpoint()
     Dedup.freeBlocks(resid)
-    annIvfPqSearch(corpus, centroids, codebook, k, numQueries, nProbe)
+    (corpus, centroids, codebook)
   }
 
   /** C7 `q26_ann_lsh` — sign-random-projection LSH ANN: 16 hyperplanes,

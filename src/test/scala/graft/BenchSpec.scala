@@ -24,6 +24,15 @@ class BenchSpec extends AnyFunSuite {
     assert(line.contains("\"q140\":12.345"))
   }
 
+  test("metricsLine carries one-time build costs separately from query medians") {
+    val line = Bench.metricsLine(
+      Seq(("q47_ann_pq", 0.4)), 0.4, "0.1", 3,
+      builds = Seq(("q47_ann_pq", 2.1)))
+    assert(line ==
+      """{"metric":"total","value":0.400,"unit":"sec","sf":0.1,"iters":3,"build":{"q47":2.100},"queries":{"q47":0.400}}""",
+      line)
+  }
+
   test("metricsLine fails loud on qNN prefix collisions") {
     val e = intercept[IllegalArgumentException] {
       Bench.metricsLine(Seq(("q07_a", 1.0), ("q07_b", 2.0)), 3.0, "0.1", 3)
