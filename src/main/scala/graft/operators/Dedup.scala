@@ -693,8 +693,12 @@ object Dedup {
     *
     * Mechanics: every k-token window hashes to 64 bits (the C2c
     * hashed-window precedent — census keys are 8-byte hashes, never
-    * text; collisions are ~(windows²)/2⁶⁴, negligible and detectable
-    * by the oracle), ONE window-hash census finds the hot windows, and
+    * text). The kernel length-prefixes each token, so two windows
+    * collide only by 64-bit hash accident, ~(windows²)/2⁶⁴ — at that
+    * rate a collision marks an innocent window hot and cuts it from
+    * its documents; the registered q70 query is oracle-checked
+    * end-to-end against a string-keyed census, direct calls carry the
+    * probabilistic bound only. ONE window-hash census finds the hot windows, and
     * a token is removed iff some hot window covers it — a per-doc
     * trailing ROWS max over the dense token positions, one exchange.
     * Tokens reassemble in order; empty split tokens are kept so
@@ -886,15 +890,21 @@ object Dedup {
     * `clusters` = (idCol, clusterCol) assignments (any of the three
     * dupClusters variants); `scores` = (idCol, scoreCol). One id-keyed
     * join + one window over the cluster partitioning — the frames are
-    * |clustered docs|-sized, not corpus-sized. */
+    * |clustered docs|-sized, not corpus-sized.
+    *
+    * Scores join LEFT: a cluster member with no score row stays in the
+    * output (null score) and ranks BEHIND every scored sibling — an
+    * inner join would silently erase it, letting a missing metric
+    * delete a document from the election entirely. An all-unscored
+    * cluster still elects its min id, so the election stays total. */
   def pickRepresentatives(clusters: DataFrame, scores: DataFrame,
                           idCol: String = "id", clusterCol: String = "rep_id",
                           scoreCol: String = "score"): DataFrame = {
     val w = Window.partitionBy(col(clusterCol))
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     clusters
-      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol), "left")
       .withColumn("canonical_id", first(col(idCol)).over(w))
       .withColumn("is_canonical", col(idCol) === col("canonical_id"))
   }

@@ -320,13 +320,45 @@ object EventsStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
-        val batch = batch0.localCheckpoint()
         val meta = new org.apache.spark.sql.types.MetadataBuilder()
           .putString("graft.paracensus.sep", sep).build()
-        val delta = batch
+        // checkpointed once: the split-day guard and the partition
+        // overwrite both consume the delta
+        val delta = batch0
           .groupBy(col("day"), col("para_hash"))
           .agg(countDistinct(col(idCol)).as("n_docs"))
           .select(col("day"), col("para_hash").as("para_hash", meta), col("n_docs"))
+          .localCheckpoint()
+        // GUARD (advice r8): the replace-mode overwrite is correct only
+        // if a finalized day's rows evict in ONE micro-batch — current
+        // watermark eviction gives that, but if a day ever emitted
+        // across two batches the second replace would silently drop the
+        // first batch's rows. A day already on disk must therefore be
+        // an exact replay (identical rows — idempotent rewrite, pass)
+        // or this batch is half of a split day: fail the query loudly
+        // instead of losing census rows. Cost: one partition-pruned
+        // read of just this batch's days.
+        val spark0 = delta.sparkSession
+        val days = delta.select(col("day")).distinct().collect().map(_.getDate(0))
+        scala.util.Try(spark0.read.parquet(censusPath)).toOption.foreach { disk =>
+          val existing = disk
+            .filter(col("day").isin(days.map(d => lit(d)): _*))
+            .select(col("day"), col("para_hash"), col("n_docs"))
+            .localCheckpoint()
+          val exDays = existing.select(col("day")).distinct().collect().map(_.getDate(0))
+          if (exDays.nonEmpty) {
+            val replayed = delta
+              .select(col("day"), col("para_hash"), col("n_docs"))
+              .filter(col("day").isin(exDays.map(d => lit(d)): _*))
+            val differs = replayed.exceptAll(existing)
+              .unionAll(existing.exceptAll(replayed)).limit(1).count() > 0
+            if (differs) throw new IllegalStateException(
+              s"censusIngestStream: day(s) ${exDays.mkString(", ")} already persisted with " +
+                "DIFFERENT content — this batch is half of a split day, and replacing the " +
+                "partition would silently drop the earlier half's census rows. Repair the " +
+                "day partition (or widen the watermark so days finalize whole) and restart.")
+          }
+        }
         graft.sources.Sinks.writeDayPartitioned(
           delta, censusPath, "day", ifExists = "replace", clean = false)
       }

@@ -348,20 +348,27 @@ class DedupSpec extends SparkSpecBase {
     val clusters = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L),   // cluster 1: best score is doc 2
       (5L, 5L), (6L, 5L),             // cluster 5: tie → min id 5
-      (9L, 9L)                        // singleton: canonical itself
+      (9L, 9L),                       // singleton: canonical itself
+      (11L, 11L), (12L, 11L),         // cluster 11: doc 12 UNSCORED
+      (14L, 14L), (15L, 14L)          // cluster 14: fully unscored → min id
     ).toDF("id", "rep_id")
     val scores = Seq(
       (1L, 0.2), (2L, 0.9), (3L, 0.5),
       (5L, 0.7), (6L, 0.7),
-      (9L, 0.1)
+      (9L, 0.1),
+      (11L, 0.3)
     ).toDF("id", "score")
     val out = Dedup.pickRepresentatives(clusters, scores)
       .select("id", "canonical_id", "is_canonical")
       .orderBy(col("id")).as[(Long, Long, Boolean)].collect().toSeq
+    // unscored members survive the left join, rank behind every scored
+    // sibling, and an all-unscored cluster still elects its min id
     assert(out == Seq(
       (1L, 2L, false), (2L, 2L, true), (3L, 2L, false),
       (5L, 5L, true), (6L, 5L, false),
-      (9L, 9L, true)), out.toString)
+      (9L, 9L, true),
+      (11L, 11L, true), (12L, 11L, false),
+      (14L, 14L, true), (15L, 14L, false)), out.toString)
   }
 
   test("incremental paragraph census: day-2 probe matches a full re-census") {

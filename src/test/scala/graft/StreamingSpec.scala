@@ -286,6 +286,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D1→C2d guard: a day persisted with different content fails the census stream loudly") {
+    import graft.streaming.EventsStream.StreamDocTs
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_census_tbl2").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_census_cp3").toString
+    // pre-seed 2024-01-01 with census content the stream will NOT
+    // reproduce — the half-a-split-day scenario the replace-mode
+    // overwrite would otherwise silently clobber
+    graft.sources.Sinks.writeDayPartitioned(
+      Seq((java.sql.Date.valueOf("2024-01-01"), 12345L, 1L))
+        .toDF("day", "para_hash", "n_docs"),
+      path, "day", ifExists = "replace", clean = false)
+    val mem = MemoryStream[StreamDocTs]
+    val q = EventsStream.censusIngestStream(mem.toDF(), path, cp)
+    try {
+      mem.addData(StreamDocTs(1, ts("2024-01-01 10:00:00"), "body one"))
+      mem.addData(StreamDocTs(99, ts("2024-01-03 01:00:00"), "marker"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+      assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("split day")), e.toString)
+    } finally q.stop()
+  }
+
   test("D1→C23: streaming sketch ingest merges batches; re-delivery leaves estimates unchanged") {
     import graft.operators.Sketches
     implicit val sqlCtx = spark.sqlContext
