@@ -898,6 +898,50 @@ class ForecastSpec extends SparkSpecBase {
     }
   }
 
+  test("facade regressor dicts: standardize implemented, mode/prophet_kwargs refused loudly") {
+    import graft.operators.Forecaster
+    // y = 5 + 3r exactly; future spike r=20 — the per-regressor-dict
+    // scenario (add_regressor(standardize=, mode=, prior_scale=))
+    val rs = Seq(2.0, 7.0, 4.0, 9.0, 1.0, 6.0, 3.0, 8.0, 5.0, 2.5, 7.5, 4.5, 9.5, 1.5)
+    val reg = rs.zipWithIndex.map { case (r, x) =>
+      ("c1", Date.valueOf(java.time.LocalDate.of(2024, 2, 1).plusDays(x)), 5.0 + 3.0 * r, r)
+    }.toDF("campaign", "ds", "sales", "spend")
+    val futureR = (14 until 17).map { x =>
+      ("c1", Date.valueOf(java.time.LocalDate.of(2024, 2, 1).plusDays(x)), 20.0)
+    }.toDF("campaign", "ds", "r")
+    val fc = new Forecaster(reg, dateCol = "ds", keyCols = Seq("campaign"))
+    def run(std: Map[String, Boolean], ridge: Map[String, Double]): Double =
+      fc.forecast(days = 3, regressor = Some("spend"), futureRegressor = Some(futureR),
+        regressorStandardize = std, regressorRidge = ridge)
+        .select("yhat").as[Double].collect().head
+    // no prior: standardization is affine-invariant — same forecast
+    assert(math.abs(run(Map("spend" -> true), Map.empty) - run(Map.empty, Map.empty)) < 1e-3)
+    // same lambda, different scales: standardized spend (sigma ~2.8)
+    // has x'x ~n while raw has ~n*sigma^2, so the standardized prior
+    // shrinks the coefficient harder and tracks the r=20 spike less
+    val stdM = run(Map("spend" -> true), Map("spend" -> 50.0))
+    val rawM = run(Map.empty, Map("spend" -> 50.0))
+    assert(stdM < rawM - 1.0, s"standardized prior must shrink harder: std=$stdM raw=$rawM")
+    // per-regressor multiplicative mode: different fit space — loud
+    val eMode = intercept[IllegalArgumentException] {
+      fc.forecast(days = 3, regressor = Some("spend"), futureRegressor = Some(futureR),
+        regressorMode = Map("spend" -> "multiplicative"))
+    }
+    assert(eMode.getMessage.contains("multiplicative"), eMode.getMessage)
+    // prophet_kwargs never pass through; the error names each analog
+    val eKw = intercept[IllegalArgumentException] {
+      fc.forecast(days = 3,
+        prophetKwargs = Map("mcmc_samples" -> "300", "changepoint_prior_scale" -> "0.1"))
+    }
+    assert(eKw.getMessage.contains("changepointRidge"), eKw.getMessage)
+    assert(eKw.getMessage.contains("residual-sigma"), eKw.getMessage)
+    // dict keys must name declared regressors
+    intercept[IllegalArgumentException] {
+      fc.forecast(days = 3, regressor = Some("spend"), futureRegressor = Some(futureR),
+        regressorStandardize = Map("nope" -> true))
+    }
+  }
+
   test("facade fits MULTIPLE regressors jointly (repeated add_regressor)") {
     // y = 1 + 0.5x + 2·r1 + 3·r2 exactly; two regressors force the
     // joint Gram path (the Cramer 3×3 fits only one); the future frame
