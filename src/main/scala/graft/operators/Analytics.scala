@@ -227,12 +227,28 @@ object Analytics {
     // (user, ts) can collide on simultaneous conversions, which would
     // silently merge their touch sets. Callers with a real event id
     // pass it (it also makes the operator oracle-shareable); otherwise
-    // a synthetic per-run id — fine for the aggregate output, which
-    // never exposes id values
-    val convId = convIdCol.map(col).getOrElse(monotonically_increasing_id())
-    val convs = df.filter(col(typeCol) === convType)
-      .select(col(userCol), col(tsCol).as("_conv_ts"), col(valueCol).as("_value"),
-        convId.as("_conv_id"))
+    // the id DERIVES from the data: a per-user sequence number over the
+    // (ts, value) order. Unlike monotonically_increasing_id (which
+    // renumbers when a task retries or the partition layout changes),
+    // the sequence is a pure function of the rows — the order is total
+    // except for fully-identical conversion rows, and those are
+    // interchangeable in every downstream aggregate, so recomputation
+    // always lands the same credits (spec-asserted). Costs one window
+    // over the CONVERSIONS frame only (sparse next to touches).
+    val convs = {
+      val base = df.filter(col(typeCol) === convType)
+      convIdCol match {
+        case Some(c) =>
+          base.select(col(userCol), col(tsCol).as("_conv_ts"),
+            col(valueCol).as("_value"), col(c).as("_conv_id"))
+        case None =>
+          val seqW = Window.partitionBy(col(userCol))
+            .orderBy(col(tsCol).asc, col(valueCol).asc)
+          base.select(col(userCol), col(tsCol).as("_conv_ts"),
+            col(valueCol).as("_value"),
+            struct(col(userCol), row_number().over(seqW)).as("_conv_id"))
+      }
+    }
     val window = expr(s"INTERVAL $lookbackDays DAYS")
     val joined = convs.join(touches, Seq(userCol))
       .filter(col("_touch_ts") < col("_conv_ts") &&

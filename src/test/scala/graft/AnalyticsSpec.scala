@@ -198,6 +198,36 @@ class AnalyticsSpec extends SparkSpecBase {
       (Date.valueOf("2024-01-02"), 5.0, 1L, 1L)))
   }
 
+  test("attribution without convIdCol: derived ids split simultaneous conversions, stay recompute-stable") {
+    // u1 converts TWICE at the same instant with different values — a
+    // (user, ts) identity would merge their touch sets; the derived
+    // per-user sequence id must keep them distinct conversions
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (1L, ts("2024-01-02 10:00:00"), "click", 0.0),
+      (1L, ts("2024-01-03 10:00:00"), "purchase", 10.0),
+      (1L, ts("2024-01-03 10:00:00"), "purchase", 4.0),
+      (2L, ts("2024-01-02 12:00:00"), "click", 0.0),
+      (2L, ts("2024-01-04 10:00:00"), "purchase", 6.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+
+    def run(parts: Int): Seq[(Date, Double, Long, Long)] =
+      Analytics.attribution(events.repartition(parts), "user_id", "ts", "event_type",
+        "value", "click", "purchase")
+        .select("touch_day", "credited_value", "n_credited_touches", "n_conversions")
+        .as[(Date, Double, Long, Long)].collect().toSeq
+
+    val out = run(5)
+    // u1: both purchases split (10+4)/2 = 7.0 per touch day, each day
+    // credited by BOTH conversions; u2's 6.0 lands whole on 01-02
+    assert(out == Seq(
+      (Date.valueOf("2024-01-01"), 7.0, 2L, 2L),
+      (Date.valueOf("2024-01-02"), 13.0, 3L, 3L)), out.toString)
+    // the derived identity is a pure function of the rows — a different
+    // physical layout must land identical credits
+    assert(run(2) == out, "credits must not depend on partitioning")
+  }
+
   test("u_shaped attribution gives 40/20/40 with first/last resolved by position") {
     // 4 touches before one 10.0 purchase: 4.0 / 1.0 / 1.0 / 4.0
     val events = Seq(
