@@ -105,6 +105,8 @@ object SparkEntry {
     "q69_canonical_docs"         -> ((s, d) => Dedup.canonicalDocsEmbeddings(s, d)),
     "q70_span_dedup"             -> ((s, d) => Dedup.spanDedupDocs(s, d)),
     "q71_neardup_verdicts"       -> ((s, d) => Dedup.neardupVerdicts(s, d)),
+    "q72_corpus_mix"             -> ((s, d) => Sharding.corpusMixDocs(s, d)),
+    "q73_weighted_sample"        -> ((s, d) => Sharding.weightedSampleDocs(s, d)),
     "q65_data_quality"           -> ((s, d) => Validation.ordersQuality(s, d)),
     "q66_session_attribution"    -> ((s, d) => IntervalJoin.sessionAttribution(s, d))
   )
@@ -944,6 +946,31 @@ object SparkEntry {
         |  FROM hashed)
         |SELECT lang, draw_rank, doc_id
         |FROM ranked WHERE draw_rank <= 20 ORDER BY lang, draw_rank""".stripMargin,
+
+    // the corpus-mix / weighted-sample draws use the engine-portable
+    // md5 unit (first 13 hex nibbles / 2^52 — 52 bits fit a double
+    // exactly, the power-of-two division is exact), so the EXACT kept
+    // sets hash-match across engines
+    "q72_corpus_mix" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 13)) AS BIGINT)
+        |     / 4503599627370496.0 AS draw
+        |  FROM documents)
+        |SELECT doc_id, source FROM u
+        |WHERE draw < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |                         WHEN 'src2' THEN 0.25 ELSE 0.1 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q73_weighted_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, n_chars,
+        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 13)) AS BIGINT)
+        |     / 4503599627370496.0 AS draw
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM u
+        |WHERE draw < least(greatest(n_chars * (1.0 / 400.0), 0.0), 1.0)
+        |ORDER BY doc_id""".stripMargin,
 
     // weekly cohorts: Monday-start date_trunc('week') in both engines;
     // the /7 offset is exact (both weeks are Monday-anchored) so the

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -97,6 +98,18 @@ object Sharding {
     (seededHash(id, seed) / lit(2.0) + lit(Long.MaxValue.toDouble / 2.0 + 1.0)) /
       lit(Long.MaxValue.toDouble + 1.0)
 
+  /** ENGINE-PORTABLE seeded unit draw: the first 13 hex nibbles of
+    * md5("id:seed") over 2⁵². Any engine with md5 reproduces the draw
+    * bit-for-bit (52 bits fit a double exactly; /2⁵² is a power-of-two
+    * division, exact) — this is how the q72/q73 oracles recompute the
+    * EXACT kept sets in DuckDB. Prefer [[hashUnit]] in pure-Spark
+    * pipelines: xxhash64 is codegen'd and byte-cheap, md5 hashes a
+    * rendered string. Pass as the `draw` of [[sampleByWeight]] /
+    * [[mixCorpora]] when the sample must replay outside Spark. */
+  def md5Unit(id: Column, seed: Long): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(s":$seed"))), 1, 13), 16, 10)
+      .cast("bigint").cast("double") / lit(4503599627370496.0)
+
   /** Deterministic Bernoulli sample: keep rows with u(id) < `fraction`.
     * Same (inputs, seed) ⇒ the same sample on any cluster size, any
     * retry — unlike `df.sample`, which draws per partition and changes
@@ -123,10 +136,11 @@ object Sharding {
     * scale's — weights only move each row's threshold, the draw itself
     * is fixed per id. */
   def sampleByWeight(df: DataFrame, idCol: String, weightCol: String,
-                     scale: Double = 1.0, seed: Long = 0L): DataFrame = {
+                     scale: Double = 1.0, seed: Long = 0L,
+                     draw: Option[Column] = None): DataFrame = {
     require(scale > 0.0, s"scale must be positive, got $scale")
     val p = least(greatest(col(weightCol).cast("double") * scale, lit(0.0)), lit(1.0))
-    df.filter(hashUnit(col(idCol), seed) < p)
+    df.filter(draw.getOrElse(hashUnit(col(idCol), seed)) < p)
   }
 
   /** Deterministic corpus MIXING — the domain-weighting step of a
@@ -138,13 +152,38 @@ object Sharding {
     * safe default for a curated mix). */
   def mixCorpora(df: DataFrame, idCol: String, sourceCol: String,
                  rates: Map[String, Double], defaultRate: Double = 0.0,
-                 seed: Long = 0L): DataFrame = {
+                 seed: Long = 0L, draw: Option[Column] = None): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
       s"rates must be in [0,1], got $rates / default $defaultRate")
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
       case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
     }
-    df.filter(hashUnit(col(idCol), seed) < rate)
+    df.filter(draw.getOrElse(hashUnit(col(idCol), seed)) < rate)
+  }
+
+  /** C15 `q72_corpus_mix` — [[mixCorpora]] over the documents table
+    * with the portable [[md5Unit]] draw, so the EXACT kept set is
+    * oracle-checkable: named per-source rates plus the drop-by-default
+    * rate for unlisted domains. */
+  def corpusMixDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    mixCorpora(d, "doc_id", "source",
+      rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+      defaultRate = 0.1, seed = 7L,
+      draw = Some(md5Unit(col("doc_id"), 7L)))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C15 `q73_weighted_sample` — [[sampleByWeight]] with the portable
+    * draw: longer documents are proportionally likelier to survive and
+    * docs past 400 chars saturate at certain keep (the clamp leg). */
+  def weightedSampleDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    sampleByWeight(d, "doc_id", "n_chars", scale = 1.0 / 400.0, seed = 11L,
+      draw = Some(md5Unit(col("doc_id"), 11L)))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
   }
 
   /** Sequence-PACKING layout (`q45_token_packing`): assign documents to

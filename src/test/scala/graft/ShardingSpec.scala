@@ -128,6 +128,28 @@ class ShardingSpec extends SparkSpecBase {
     assert(!mixed.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("md5Unit draw: uniform-ish, stable, and accepted by the sampling operators") {
+    val docs = Tables(spark, sfDir).documents.select("doc_id", "source", "n_chars")
+    // the portable draw is a real unit draw: [0,1), roughly uniform
+    val us = docs.select(Sharding.md5Unit(col("doc_id"), 7L)).as[Double].collect()
+    assert(us.forall(u => u >= 0.0 && u < 1.0))
+    assert(math.abs(us.sum / us.length - 0.5) < 0.05, s"mean ${us.sum / us.length}")
+    // same formula, same kept set — the draw override routes through
+    // the same threshold logic as the built-in hashUnit
+    val viaDraw = Sharding.mixCorpora(docs, "doc_id", "source",
+      Map("src0" -> 1.0), defaultRate = 0.2, seed = 7L,
+      draw = Some(Sharding.md5Unit(col("doc_id"), 7L)))
+      .select("doc_id").as[Long].collect().toSet
+    val manual = docs.filter(Sharding.md5Unit(col("doc_id"), 7L) <
+        when(col("source") === "src0", 1.0).otherwise(0.2))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaDraw == manual)
+    // still map-only with the portable draw
+    val planned = Sharding.sampleByWeight(docs, "doc_id", "n_chars",
+      scale = 1.0 / 400.0, draw = Some(Sharding.md5Unit(col("doc_id"), 11L)))
+    assert(!planned.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("packByTokenBudget fills chunks to the budget and never globally sorts") {
     import spark.implicits._
     // planted: 10 docs of 600 tokens in one shard → cumBefore/2048
