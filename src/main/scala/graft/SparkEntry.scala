@@ -652,6 +652,44 @@ object SparkEntry {
          |FROM documents d LEFT JOIN rep r USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
+    // q23's verdict is exact-checkable too: char-3-gram Jaccard with
+    // the dfCap=50 stop-gram pruning replicated (candidates must share
+    // a NON-STOP gram; verification then uses ALL grams — exactly the
+    // operator's bucket-size filter semantics). Spark compares hashed
+    // grams, the oracle compares gram strings: the match certifies the
+    // verdict semantics, not the hash function.
+    "q23_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(trim(text)) AS s FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, substr(s, i, 3) AS g
+        |  FROM toks, UNNEST(generate_series(1, greatest(length(s) - 2, 1))) AS u(i)),
+        |df AS (SELECT g, count(*) AS df FROM grams GROUP BY 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  JOIN df ON df.g = a.g
+        |  WHERE df.df BETWEEN 2 AND 50),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS ix
+        |  FROM cand c
+        |  JOIN grams a ON a.doc_id = c.id_a
+        |  JOIN grams b ON b.doc_id = c.id_b AND b.g = a.g
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.id_a, i.id_b FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b
+        |  WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.5),
+        |nb AS (SELECT id_a AS doc_id, id_b AS nb FROM pairs
+        |       UNION ALL SELECT id_b, id_a FROM pairs),
+        |rep AS (SELECT doc_id, min(nb) AS min_nb FROM nb GROUP BY 1)
+        |SELECT d.doc_id,
+        | least(d.doc_id, coalesce(r.min_nb, d.doc_id)) AS rep_id,
+        | least(d.doc_id, coalesce(r.min_nb, d.doc_id)) < d.doc_id AS is_dup
+        |FROM documents d LEFT JOIN rep r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q71_neardup_verdicts" ->
       s"""WITH $jaccardCtes,
          |inter AS (
