@@ -107,6 +107,7 @@ object SparkEntry {
     "q71_neardup_verdicts"       -> ((s, d) => Dedup.neardupVerdicts(s, d)),
     "q72_corpus_mix"             -> ((s, d) => Sharding.corpusMixDocs(s, d)),
     "q73_weighted_sample"        -> ((s, d) => Sharding.weightedSampleDocs(s, d)),
+    "q74_simhash_verdicts"       -> ((s, d) => Dedup.simhashDedupPortable(s, d)),
     "q65_data_quality"           -> ((s, d) => Validation.ordersQuality(s, d)),
     "q66_session_attribution"    -> ((s, d) => IntervalJoin.sessionAttribution(s, d))
   )
@@ -689,6 +690,49 @@ object SparkEntry {
         | least(d.doc_id, coalesce(r.min_nb, d.doc_id)) < d.doc_id AS is_dup
         |FROM documents d LEFT JOIN rep r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q74: the ENTIRE simhash pipeline — signature, banding, bucket cap,
+    // hamming verification, verdict — recomputed from scratch in SQL.
+    // Portable because the signature is the 60-bit md5-token-hash
+    // variant (graft_simhash60_md5): both engines hash identical UTF-8
+    // token bytes through md5, so the signatures (also in the output)
+    // must match bit-for-bit, not just the verdicts. The bucket-size
+    // gate (BETWEEN 2 AND 200) replicates bucketPairs' cap; the 4×15-bit
+    // banding is pigeonhole-exact at hamming <= 3 on both sides.
+    "q74_simhash_verdicts" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, UNNEST(generate_series(0, 59)) AS u(b) GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |   CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 15)) & 32767 AS bh
+        |  FROM sig, UNNEST(generate_series(0, 3)) AS u(b)),
+        |bsz AS (SELECT band, bh, count(*) AS n FROM banded GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |  JOIN bsz z ON z.band = a.band AND z.bh = a.bh
+        |  WHERE z.n BETWEEN 2 AND 200),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+        |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
+        |nb AS (SELECT id_a AS doc_id, id_b AS nb FROM pairs
+        |       UNION ALL SELECT id_b, id_a FROM pairs),
+        |rep AS (SELECT doc_id, min(nb) AS min_nb FROM nb GROUP BY 1)
+        |SELECT s.doc_id, s.simhash,
+        | least(s.doc_id, coalesce(r.min_nb, s.doc_id)) AS rep_id,
+        | least(s.doc_id, coalesce(r.min_nb, s.doc_id)) < s.doc_id AS is_dup
+        |FROM sig s LEFT JOIN rep r USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q71_neardup_verdicts" ->
       s"""WITH $jaccardCtes,

@@ -201,6 +201,52 @@ object Kernels {
     }
     sig
   }
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit SimHash over md5-derived token hashes — the ENGINE-PORTABLE
+    * variant. Per token, the hash is the first 15 hex nibbles of
+    * md5(token) (= the big-endian long of digest bytes 0–7, >>> 4),
+    * which any engine with md5 reproduces exactly:
+    * `('0x' || substr(md5(tok), 1, 15))::BIGINT` in ANSI-ish SQL. 60
+    * bits keeps every value, shift, and 15-bit band inside a signed
+    * 64-bit integer on engines that check overflow. Same ±1 multiset
+    * accumulation and strict sign rule as [[simhash64]]; that kernel
+    * (FNV, full 64 bits) stays the production path — this one exists so
+    * the LSH verdict can be certified against an exact external oracle.
+    */
+  def simhash60Md5(arr: ArrayData): Long = {
+    val md = md5Digest.get()
+    val acc = new Array[Int](60)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var top = 0L
+        var j = 0
+        while (j < 8) { top = (top << 8) | (d(j) & 0xffL); j += 1 }
+        val h = top >>> 4
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) != 0L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (acc(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
 }
 
 /** MinHash signature expression: `graft_minhash(array<string>, k)` →
@@ -291,5 +337,22 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, a => s"graft.expressions.Kernels.simhash64($a)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Portable SimHash expression: `graft_simhash60_md5(array<string>)` →
+  * bigint (60-bit, md5 token hashes — see [[Kernels.simhash60Md5]]). */
+case class SimHash60Md5(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash60_md5"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    Kernels.simhash60Md5(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expressions.Kernels.simhash60Md5($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60Md5 =
     copy(child = newChild)
 }

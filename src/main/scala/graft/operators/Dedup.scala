@@ -365,17 +365,44 @@ object Dedup {
   def simhashDedup(spark: SparkSession, dir: String): DataFrame =
     simhashDedupDocs(Tables(spark, dir).documents)
 
+  /** `q74_simhash_verdicts` — the portable-hash SimHash verdict (see
+    * [[simhashDedupPortableDocs]]) over the documents table. */
+  def simhashDedupPortable(spark: SparkSession, dir: String): DataFrame =
+    simhashDedupPortableDocs(Tables(spark, dir).documents)
+
   /** DataFrame-level SimHash dedup over any (doc_id, text) frame. */
   def simhashDedupDocs(documents: DataFrame,
-                       maxHamming: Int = 3, bucketCap: Int = 200): DataFrame = {
+                       maxHamming: Int = 3, bucketCap: Int = 200): DataFrame =
+    simhashDedupCore(documents, simhash64(col("text")), bandBits = 16,
+      maxHamming = maxHamming, bucketCap = bucketCap)
+
+  /** The ENGINE-PORTABLE twin of [[simhashDedupDocs]]: same banding,
+    * verification, and verdict, but signatures come from the 60-bit
+    * md5-token-hash kernel (`graft_simhash60_md5`) that external engines
+    * reproduce exactly — which is what lets `q74_simhash_verdicts`
+    * hash-check the FINAL verdict (and the signatures themselves)
+    * against an exact all-pairs oracle. Banding shifts to 4 bands of 15
+    * bits; pigeonhole exactness at hamming ≤ 3 is unchanged. Production
+    * callers should prefer the native-FNV [[simhashDedupDocs]].
+    */
+  def simhashDedupPortableDocs(documents: DataFrame,
+                               maxHamming: Int = 3, bucketCap: Int = 200): DataFrame =
+    simhashDedupCore(documents,
+      call_function("graft_simhash60_md5", split(lower(trim(col("text"))), "\\s+")),
+      bandBits = 15, maxHamming = maxHamming, bucketCap = bucketCap)
+
+  private def simhashDedupCore(documents: DataFrame, sigExpr: Column,
+                               bandBits: Int, maxHamming: Int,
+                               bucketCap: Int): DataFrame = {
     // materialized for the same reason as the minhash path: the pair
     // expansion forks this frame, re-hashing every document per side
-    val sigs = documents.select(col("doc_id"), simhash64(col("text")).as("simhash"))
+    val sigs = documents.select(col("doc_id"), sigExpr.as("simhash"))
       .localCheckpoint()
+    val mask = (1L << bandBits) - 1L
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bh"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bh"))
     val pairs = bucketPairs(banded, Seq("band", "bh"),

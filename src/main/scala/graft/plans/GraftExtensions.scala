@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expressions.{DotProduct, KllMergeAgg, KllQuantile, KllSketchAgg, MinHashShingled, MinHashSignature, NGramHashes, SimHash64, SpanWindowHashes}
+import graft.expressions.{DotProduct, KllMergeAgg, KllQuantile, KllSketchAgg, MinHashShingled, MinHashSignature, NGramHashes, SimHash60Md5, SimHash64, SpanWindowHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash64(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash60_md5"),
+      new ExpressionInfo(classOf[SimHash60Md5].getName, "graft_simhash60_md5"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash60Md5(children(0))))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_shingled"),
       new ExpressionInfo(classOf[MinHashShingled].getName, "graft_minhash_shingled"),

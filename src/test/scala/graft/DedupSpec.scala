@@ -37,6 +37,35 @@ class DedupSpec extends SparkSpecBase {
     assert(!out(3)._2 && !out(4)._2)     // unrelated untouched
   }
 
+  test("portable simhash matches a reference md5 signature and clusters dups") {
+    val out = Dedup.simhashDedupPortableDocs(planted)
+      .select("doc_id", "simhash", "is_dup").as[(Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out(2)._3)                    // exact dup flagged
+    assert(!out(3)._3 && !out(4)._3)     // unrelated untouched
+    // signatures stay in the 60-bit portable range
+    assert(out.forall(r => r._2 >= 0L && r._2 < (1L << 60)))
+    // exact docs agree bit-for-bit; the 1-word-off pair is hamming-close
+    assert(out(0)._2 == out(2)._2)
+    assert(java.lang.Long.bitCount(out(0)._2 ^ out(1)._2) <= 3)
+    // pin the kernel against an independently-computed reference: the
+    // same tokens hashed via MessageDigest md5 here, first 15 nibbles,
+    // strict-majority sign per bit — the contract the DuckDB oracle
+    // relies on (('0x' || substr(md5(tok), 1, 15))::BIGINT)
+    val toks = planted.filter(col("doc_id") === 0L).select("text")
+      .as[String].head().toLowerCase.trim.split("\\s+")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val acc = new Array[Int](60)
+    toks.foreach { t =>
+      md.reset()
+      val d = md.digest(t.getBytes("UTF-8"))
+      val h = (0 until 8).foldLeft(0L)((a, j) => (a << 8) | (d(j) & 0xffL)) >>> 4
+      (0 until 60).foreach(b => if (((h >>> b) & 1L) != 0L) acc(b) += 1 else acc(b) -= 1)
+    }
+    val expected = (0 until 60).foldLeft(0L)((s, b) => if (acc(b) > 0) s | (1L << b) else s)
+    assert(out(0)._2 == expected)
+  }
+
   test("ngramJaccard flags high-overlap pairs only") {
     val out = Dedup.ngramJaccardDocs(planted, dfCap = 10)
       .select("doc_id", "rep_id", "is_dup").as[(Long, Long, Boolean)]
