@@ -756,9 +756,9 @@ object Dedup {
     * census producer — probe correctness depends on all of them
     * splitting identically. */
   private def tokenArrays(docs: DataFrame, idCol: String, textCol: String,
-                          sep: String): DataFrame =
-    docs.select(col(idCol),
-      split(col(textCol), java.util.regex.Pattern.quote(sep)).as("_toks"))
+                          sep: String, extraCols: Seq[String] = Nil): DataFrame =
+    docs.select(col(idCol) +: extraCols.map(col) :+
+      split(col(textCol), java.util.regex.Pattern.quote(sep)).as("_toks"): _*)
 
   /** (id, wstart, whash) per k-token window. The native kernel emits
     * one 64-bit hash per window start (array index = start; empty below
@@ -766,11 +766,23 @@ object Dedup {
     * concat_ws/slice/xxhash64 formulation this replaces materialized
     * every window as a string first. posexplode of the result IS the
     * (wstart, whash) frame. */
-  private def spanWindows(arr: DataFrame, idCol: String, k: Int): DataFrame =
+  private def spanWindows(arr: DataFrame, idCol: String, k: Int,
+                          extraCols: Seq[String] = Nil): DataFrame =
     arr
-      .select(col(idCol),
-        posexplode(call_function("graft_span_windows", col("_toks"), lit(k))))
-      .toDF(idCol, "wstart", "whash")
+      .select(col(idCol) +: extraCols.map(col) :+
+        posexplode(call_function("graft_span_windows", col("_toks"), lit(k))): _*)
+      .withColumnRenamed("pos", "wstart")
+      .withColumnRenamed("col", "whash")
+
+  /** (id, extras..., wstart, whash) from raw docs — the streaming census
+    * twin's projection. DELIBERATELY composed from [[tokenArrays]] +
+    * [[spanWindows]]: the maintained census is probe-correct only if
+    * the stream and the batch paths split and hash identically,
+    * forever. */
+  private[graft] def explodeSpanWindows(docs: DataFrame, idCol: String, textCol: String,
+                                        k: Int, sep: String,
+                                        extraCols: Seq[String] = Nil): DataFrame =
+    spanWindows(tokenArrays(docs, idCol, textCol, sep, extraCols), idCol, k, extraCols)
 
   /** Cut every token covered by a hot window and reassemble: a per-doc
     * trailing ROWS max over the dense token positions marks coverage
@@ -1127,6 +1139,20 @@ object Dedup {
     raw.groupBy(col("para_hash"))
       .agg(sum(col("n_docs")).as("n_docs"))
       .select(col("para_hash").as("para_hash", meta), col("n_docs"))
+  }
+
+  /** Roll a DAY-PARTITIONED span census (the streaming twin's layout,
+    * one (whash, n_docs) delta per ingest day) up to the probe's
+    * corpus-total shape — [[loadParagraphCensus]] at window grain. Day
+    * deltas cover disjoint doc sets by construction, so the sum is the
+    * exact distinct count; (k, sep) metadata rides through from the
+    * stored schema, keeping the probe's loud-mismatch guard armed. */
+  def loadSpanCensus(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val meta = raw.schema("whash").metadata
+    raw.groupBy(col("whash"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .select(col("whash").as("whash", meta), col("n_docs"))
   }
 
   private def requireSameCensusSep(a: DataFrame, b: DataFrame): Unit = {

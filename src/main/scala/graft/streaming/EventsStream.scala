@@ -322,47 +322,112 @@ object EventsStream {
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         val meta = new org.apache.spark.sql.types.MetadataBuilder()
           .putString("graft.paracensus.sep", sep).build()
-        // checkpointed once: the split-day guard and the partition
-        // overwrite both consume the delta
-        val delta = batch0
-          .groupBy(col("day"), col("para_hash"))
-          .agg(countDistinct(col(idCol)).as("n_docs"))
-          .select(col("day"), col("para_hash").as("para_hash", meta), col("n_docs"))
-          .localCheckpoint()
-        // GUARD (advice r8): the replace-mode overwrite is correct only
-        // if a finalized day's rows evict in ONE micro-batch — current
-        // watermark eviction gives that, but if a day ever emitted
-        // across two batches the second replace would silently drop the
-        // first batch's rows. A day already on disk must therefore be
-        // an exact replay (identical rows — idempotent rewrite, pass)
-        // or this batch is half of a split day: fail the query loudly
-        // instead of losing census rows. Cost: one partition-pruned
-        // read of just this batch's days.
-        val spark0 = delta.sparkSession
-        val days = delta.select(col("day")).distinct().collect().map(_.getDate(0))
-        scala.util.Try(spark0.read.parquet(censusPath)).toOption.foreach { disk =>
-          val existing = disk
-            .filter(col("day").isin(days.map(d => lit(d)): _*))
-            .select(col("day"), col("para_hash"), col("n_docs"))
-            .localCheckpoint()
-          val exDays = existing.select(col("day")).distinct().collect().map(_.getDate(0))
-          if (exDays.nonEmpty) {
-            val replayed = delta
-              .select(col("day"), col("para_hash"), col("n_docs"))
-              .filter(col("day").isin(exDays.map(d => lit(d)): _*))
-            val differs = replayed.exceptAll(existing)
-              .unionAll(existing.exceptAll(replayed)).limit(1).count() > 0
-            if (differs) throw new IllegalStateException(
-              s"censusIngestStream: day(s) ${exDays.mkString(", ")} already persisted with " +
-                "DIFFERENT content — this batch is half of a split day, and replacing the " +
-                "partition would silently drop the earlier half's census rows. Repair the " +
-                "day partition (or widen the watermark so days finalize whole) and restart.")
-          }
-        }
-        graft.sources.Sinks.writeDayPartitioned(
-          delta, censusPath, "day", ifExists = "replace", clean = false)
+        writeCensusDayDelta(batch0, censusPath, idCol, "para_hash", meta,
+          opName = "censusIngestStream")
       }
       .start()
+  }
+
+  /** D1→C2e bridge — streaming maintenance of the SPAN CENSUS
+    * (ExactSubstr's day-2 table), [[censusIngestStream]] at window
+    * grain: each finalized ingest day's (whash, n_docs) delta lands as
+    * a day partition, so
+    * [[graft.operators.Dedup.dropRepeatedSpansAgainstCensus]] probes a
+    * census that is always current — no corpus re-hash, ever.
+    * [[graft.operators.Dedup.loadSpanCensus]] rolls the day partitions
+    * up to the probe's (whash, n_docs) shape, (k, sep) metadata intact
+    * so mismatched probes still fail loudly.
+    *
+    * Same exactly-once mechanism as the paragraph twin: counts are not
+    * value-idempotent, so correctness comes from DAY COMPLETENESS —
+    * the aggregate keys on (day window, doc, whash) under the
+    * watermark, days emit whole, and a replayed day's partition
+    * overwrite rewrites identical content (the shared split-day guard
+    * fails loudly otherwise).
+    *
+    * State cost: one in-flight row per (doc, distinct window) until
+    * the day finalizes — the window grain is ~tokens-per-doc rows
+    * where the paragraph twin held ~paragraphs-per-doc, the price of
+    * span-exact day-2 probes.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def spanCensusIngestStream(docs: DataFrame, censusPath: String,
+                             checkpointDir: String,
+                             idCol: String = "doc_id", textCol: String = "text",
+                             tsCol: String = "ts", k: Int = 6, sep: String = " ",
+                             watermark: String = "1 day"):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    require(k >= 2, s"k must be >= 2 (a 1-token span is a stopword filter), got $k")
+    // the shared Dedup projection — NOT an inline re-implementation:
+    // probe correctness requires the maintained census and the batch
+    // paths to tokenize and window-hash identically, forever
+    val perDocDay = graft.operators.Dedup
+      .explodeSpanWindows(docs.withWatermark(tsCol, watermark),
+        idCol, textCol, k, sep, extraCols = Seq(tsCol))
+      .select(col(tsCol), col(idCol), col("whash"))
+      .groupBy(window(col(tsCol), "1 day"), col(idCol), col("whash"))
+      .agg(count(lit(1)).as("_n"))
+      .select(col("window.start").cast("date").as("day"), col(idCol), col("whash"))
+    perDocDay.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val meta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("graft.spancensus.k", k.toLong)
+          .putString("graft.spancensus.sep", sep).build()
+        writeCensusDayDelta(batch0, censusPath, idCol, "whash", meta,
+          opName = "spanCensusIngestStream")
+      }
+      .start()
+  }
+
+  /** Shared foreachBatch body of the census ingest twins: roll the
+    * batch's (day, id, hash) rows to (day, hash, n_docs), guard
+    * against split days, land each day as a partition overwrite.
+    *
+    * GUARD (advice r8): the replace-mode overwrite is correct only if
+    * a finalized day's rows evict in ONE micro-batch — current
+    * watermark eviction gives that, but if a day ever emitted across
+    * two batches the second replace would silently drop the first
+    * batch's rows. A day already on disk must therefore be an exact
+    * replay (identical rows — idempotent rewrite, pass) or this batch
+    * is half of a split day: fail the query loudly instead of losing
+    * census rows. Cost: one partition-pruned read of just this batch's
+    * days. */
+  private def writeCensusDayDelta(batch0: DataFrame, censusPath: String,
+                                  idCol: String, hashCol: String,
+                                  meta: org.apache.spark.sql.types.Metadata,
+                                  opName: String): Unit = {
+    // checkpointed once: the split-day guard and the partition
+    // overwrite both consume the delta
+    val delta = batch0
+      .groupBy(col("day"), col(hashCol))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .select(col("day"), col(hashCol).as(hashCol, meta), col("n_docs"))
+      .localCheckpoint()
+    val spark0 = delta.sparkSession
+    val days = delta.select(col("day")).distinct().collect().map(_.getDate(0))
+    scala.util.Try(spark0.read.parquet(censusPath)).toOption.foreach { disk =>
+      val existing = disk
+        .filter(col("day").isin(days.map(d => lit(d)): _*))
+        .select(col("day"), col(hashCol), col("n_docs"))
+        .localCheckpoint()
+      val exDays = existing.select(col("day")).distinct().collect().map(_.getDate(0))
+      if (exDays.nonEmpty) {
+        val replayed = delta
+          .select(col("day"), col(hashCol), col("n_docs"))
+          .filter(col("day").isin(exDays.map(d => lit(d)): _*))
+        val differs = replayed.exceptAll(existing)
+          .unionAll(existing.exceptAll(replayed)).limit(1).count() > 0
+        if (differs) throw new IllegalStateException(
+          s"$opName: day(s) ${exDays.mkString(", ")} already persisted with " +
+            "DIFFERENT content — this batch is half of a split day, and replacing the " +
+            "partition would silently drop the earlier half's census rows. Repair the " +
+            "day partition (or widen the watermark so days finalize whole) and restart.")
+      }
+    }
+    graft.sources.Sinks.writeDayPartitioned(
+      delta, censusPath, "day", ifExists = "replace", clean = false)
   }
 
   /** E→A24 bridge — the GATED day-partitioned lake sink: each

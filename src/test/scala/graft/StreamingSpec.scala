@@ -286,6 +286,68 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D1→C2e: streaming span census ingest lands finalized days; probe and replay agree") {
+    import graft.operators.Dedup
+    import graft.streaming.EventsStream.StreamDocTs
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the shared 3-token run; texts diverge right after it so it is the
+    // ONLY window two documents have in common
+    val run = "alpha beta gamma"
+    val path = java.nio.file.Files.createTempDirectory("graft_spancensus_tbl").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_spancensus_cp").toString
+    val mem = MemoryStream[StreamDocTs]
+    val q = EventsStream.spanCensusIngestStream(mem.toDF(), path, cp, k = 3)
+    try {
+      // day 1: the run in two docs; a day-3 marker finalizes day 1
+      mem.addData(
+        StreamDocTs(1, ts("2024-01-01 10:00:00"), s"$run one uno eins"),
+        StreamDocTs(2, ts("2024-01-01 11:00:00"), s"$run two dos zwei"))
+      mem.addData(StreamDocTs(99, ts("2024-01-03 01:00:00"), "marker beyond day one here"))
+      q.processAllAvailable()
+      val m1 = Dedup.loadSpanCensus(spark, path).as[(Long, Long)].collect().toMap
+      // 4 windows per 6-token doc, exactly one shared between the two
+      assert(m1.size == 7, s"only day 1 is finalized (marker day pending): $m1")
+      assert(m1.values.count(_ == 2L) == 1, s"exactly the shared run's window: $m1")
+      // day 3 brings the run once more; a day-5 marker finalizes it
+      mem.addData(StreamDocTs(3, ts("2024-01-03 02:00:00"), s"$run three tres drei"))
+      mem.addData(StreamDocTs(98, ts("2024-01-05 01:00:00"), "marker two beyond day three"))
+      q.processAllAvailable()
+      val m2 = Dedup.loadSpanCensus(spark, path).as[(Long, Long)].collect().toMap
+      assert(m2.values.count(_ == 3L) == 1, s"cross-day repeats accumulate: $m2")
+      // the maintained census feeds the batch probe: the run is cut
+      // from a fresh doc, its unique tail survives
+      val probe = Seq((10L, s"$run keep these tokens")).toDF("doc_id", "text")
+      val out = Dedup.dropRepeatedSpansAgainstCensus(
+        probe, Dedup.loadSpanCensus(spark, path), "doc_id", "text", k = 3)
+        .as[(Long, String, Long, Long)].collect().head
+      assert(out == ((10L, "keep these tokens", 6L, 3L)), out.toString)
+      // (k, sep) metadata survives the parquet round-trip: a mismatched
+      // probe fails loudly instead of silently matching nothing
+      val e = intercept[IllegalArgumentException] {
+        Dedup.dropRepeatedSpansAgainstCensus(
+          probe, Dedup.loadSpanCensus(spark, path), "doc_id", "text", k = 4)
+      }
+      assert(e.getMessage.contains("k=3"), e.getMessage)
+      // replay from scratch (fresh checkpoint, same table): finalized
+      // days rewrite identical content — counts never double
+      val mem2 = MemoryStream[StreamDocTs]
+      val cp2 = java.nio.file.Files.createTempDirectory("graft_spancensus_cp2").toString
+      val q2 = EventsStream.spanCensusIngestStream(mem2.toDF(), path, cp2, k = 3)
+      try {
+        mem2.addData(
+          StreamDocTs(1, ts("2024-01-01 10:00:00"), s"$run one uno eins"),
+          StreamDocTs(2, ts("2024-01-01 11:00:00"), s"$run two dos zwei"),
+          StreamDocTs(99, ts("2024-01-03 01:00:00"), "marker beyond day one here"),
+          StreamDocTs(3, ts("2024-01-03 02:00:00"), s"$run three tres drei"))
+        mem2.addData(StreamDocTs(98, ts("2024-01-05 01:00:00"), "marker two beyond day three"))
+        q2.processAllAvailable()
+        val m3 = Dedup.loadSpanCensus(spark, path).as[(Long, Long)].collect().toMap
+        assert(m3 == m2, s"replay must leave the census unchanged: $m3 vs $m2")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("D1→C2d guard: a day persisted with different content fails the census stream loudly") {
     import graft.streaming.EventsStream.StreamDocTs
     implicit val sqlCtx = spark.sqlContext
