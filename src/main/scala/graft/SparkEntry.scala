@@ -108,6 +108,7 @@ object SparkEntry {
     "q72_corpus_mix"             -> ((s, d) => Sharding.corpusMixDocs(s, d)),
     "q73_weighted_sample"        -> ((s, d) => Sharding.weightedSampleDocs(s, d)),
     "q74_simhash_verdicts"       -> ((s, d) => Dedup.simhashDedupPortable(s, d)),
+    "q75_span_census_probe"      -> ((s, d) => Dedup.spanCensusProbeDocs(s, d)),
     "q65_data_quality"           -> ((s, d) => Validation.ordersQuality(s, d)),
     "q66_session_attribution"    -> ((s, d) => IntervalJoin.sessionAttribution(s, d))
   )
@@ -1304,6 +1305,48 @@ object SparkEntry {
         |        count(*) AS n_kept
         |      FROM cov WHERE c = 0 GROUP BY doc_id),
         |nt AS (SELECT doc_id, len(parts) AS n_tokens FROM d)
+        |SELECT nt.doc_id AS doc_id, coalesce(r.text, '') AS text,
+        | CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+        | CAST(nt.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM nt LEFT JOIN r ON nt.doc_id = r.doc_id
+        |ORDER BY nt.doc_id""".stripMargin,
+
+    // q75: the day-2 span probe — q70's oracle with the census boundary
+    // reproduced: corpus windows (doc_id % 5 <> 0) feed counts only, the
+    // batch (doc_id % 5 = 0) tokenizes/covers/reassembles, and a window
+    // is hot when the two sides' distinct-doc counts SUM past maxDocs=1
+    // — exactly dropRepeatedSpansAgainstCensus's cross-boundary rule.
+    // Same independent string-keyed census as q70: the hash match
+    // certifies the probe semantics, not the hash function.
+    "q75_span_census_probe" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+        |db AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+        |dc AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+        |wb AS (SELECT doc_id,
+        |        unnest(range(0, greatest(len(parts) - 6 + 1, 0))) AS wstart,
+        |        unnest(list_transform(range(0, greatest(len(parts) - 6 + 1, 0)),
+        |          i -> array_to_string(parts[i+1:i+6], ' '))) AS win
+        |      FROM db),
+        |wc AS (SELECT doc_id,
+        |        unnest(list_transform(range(0, greatest(len(parts) - 6 + 1, 0)),
+        |          i -> array_to_string(parts[i+1:i+6], ' '))) AS win
+        |      FROM dc),
+        |cn AS (SELECT win, count(DISTINCT doc_id) AS n FROM wc GROUP BY win),
+        |bn AS (SELECT win, count(DISTINCT doc_id) AS n FROM wb GROUP BY win),
+        |hot AS (SELECT bn.win FROM bn LEFT JOIN cn ON cn.win = bn.win
+        |        WHERE bn.n + coalesce(cn.n, 0) > 1),
+        |hs AS (SELECT wb.doc_id, wb.wstart, (hot.win IS NOT NULL) AS h
+        |       FROM wb LEFT JOIN hot ON wb.win = hot.win),
+        |t AS (SELECT doc_id, unnest(range(0, len(parts))) AS pos, unnest(parts) AS tok FROM db),
+        |cov AS (SELECT t.doc_id, t.pos, t.tok,
+        |         max(CASE WHEN coalesce(hs.h, false) THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY t.doc_id ORDER BY t.pos
+        |                 ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS c
+        |        FROM t LEFT JOIN hs ON hs.doc_id = t.doc_id AND hs.wstart = t.pos),
+        |r AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+        |        count(*) AS n_kept
+        |      FROM cov WHERE c = 0 GROUP BY doc_id),
+        |nt AS (SELECT doc_id, len(parts) AS n_tokens FROM db)
         |SELECT nt.doc_id AS doc_id, coalesce(r.text, '') AS text,
         | CAST(nt.n_tokens AS BIGINT) AS n_tokens,
         | CAST(nt.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed

@@ -912,6 +912,20 @@ object Dedup {
     removeCoveredSpans(arr, wins, hot, idCol, textCol, k, sep)
   }
 
+  /** `q75_span_census_probe` — the ExactSubstr DAY-2 path end-to-end
+    * over a deterministic 80/20 corpus/batch split of the documents
+    * table (doc_id mod 5): build the span census on the corpus side,
+    * probe the batch against it. The q71 pattern at span grain — the
+    * cross-boundary rule (corpus count + batch count crosses maxDocs)
+    * is exactly what the one-shot q70 cannot exercise. */
+  def spanCensusProbeDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val census = buildSpanCensus(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", k = 6)
+    dropRepeatedSpansAgainstCensus(docs.filter(col("doc_id") % 5 === 0), census,
+      "doc_id", "text", k = 6, maxDocs = 1)
+      .orderBy(col("doc_id"))
+  }
+
   private def spanCensusParams(census: DataFrame): Option[(Int, String)] = {
     val m = census.schema("whash").metadata
     if (m.contains("graft.spancensus.k") && m.contains("graft.spancensus.sep"))
