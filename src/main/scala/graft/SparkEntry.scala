@@ -109,6 +109,7 @@ object SparkEntry {
     "q73_weighted_sample"        -> ((s, d) => Sharding.weightedSampleDocs(s, d)),
     "q74_simhash_verdicts"       -> ((s, d) => Dedup.simhashDedupPortable(s, d)),
     "q75_span_census_probe"      -> ((s, d) => Dedup.spanCensusProbeDocs(s, d)),
+    "q76_paragraph_census_probe" -> ((s, d) => Dedup.paragraphCensusProbePages(s, d)),
     "q65_data_quality"           -> ((s, d) => Validation.ordersQuality(s, d)),
     "q66_session_attribution"    -> ((s, d) => IntervalJoin.sessionAttribution(s, d))
   )
@@ -1310,6 +1311,45 @@ object SparkEntry {
         | CAST(nt.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
         |FROM nt LEFT JOIN r ON nt.doc_id = r.doc_id
         |ORDER BY nt.doc_id""".stripMargin,
+
+    // q76: the day-2 paragraph probe — q68's derived-page oracle with
+    // the census boundary reproduced (corpus pages feed counts only,
+    // batch pages reassemble; hotness = the two sides' distinct-page
+    // counts summing past maxDocs=2). Completes the oracle-backed
+    // day-2 probe family: q71 minhash, q75 span, q76 paragraph.
+    "q76_paragraph_census_probe" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |pages AS (SELECT d0.doc_id AS page_id,
+        |            d0.text || chr(10) || d1.text || chr(10) || d2.text AS page_text
+        |          FROM d d0
+        |          JOIN d d1 ON d1.doc_id = d0.doc_id + 1
+        |          JOIN d d2 ON d2.doc_id = d0.doc_id + 2),
+        |pb AS (SELECT * FROM pages WHERE page_id % 5 = 0),
+        |pc AS (SELECT * FROM pages WHERE page_id % 5 <> 0),
+        |p AS (SELECT page_id, pos, para FROM (
+        |        SELECT page_id,
+        |          unnest(range(1, len(parts) + 1)) AS pos,
+        |          unnest(parts) AS para
+        |        FROM (SELECT page_id, string_split(page_text, chr(10)) AS parts FROM pb))
+        |      WHERE para <> ''),
+        |cp AS (SELECT page_id, para FROM (
+        |        SELECT page_id, unnest(string_split(page_text, chr(10))) AS para FROM pc)
+        |       WHERE para <> ''),
+        |cn AS (SELECT para, count(DISTINCT page_id) AS n FROM cp GROUP BY para),
+        |bn AS (SELECT para, count(DISTINCT page_id) AS n FROM p GROUP BY para),
+        |hot AS (SELECT bn.para FROM bn LEFT JOIN cn ON cn.para = bn.para
+        |        WHERE bn.n + coalesce(cn.n, 0) > 2),
+        |kept AS (SELECT * FROM p WHERE para NOT IN (SELECT para FROM hot)),
+        |r AS (SELECT page_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+        |        count(*) AS n_kept FROM kept GROUP BY 1),
+        |np AS (SELECT page_id,
+        |         len(list_filter(string_split(page_text, chr(10)), x -> x <> '')) AS n_paras
+        |       FROM pb)
+        |SELECT np.page_id AS page_id, coalesce(r.text, '') AS text,
+        | CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        | CAST(np.n_paras - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM np LEFT JOIN r ON np.page_id = r.page_id
+        |ORDER BY np.page_id""".stripMargin,
 
     // q75: the day-2 span probe — q70's oracle with the census boundary
     // reproduced: corpus windows (doc_id % 5 <> 0) feed counts only, the

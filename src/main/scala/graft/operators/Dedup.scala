@@ -1196,14 +1196,36 @@ object Dedup {
     * consecutive pages, so inner paragraphs repeat across 3 pages and
     * cross the maxDocs=2 threshold while boundary paragraphs survive).
     * The page build is two id-shifted equi self-joins, no window. */
-  def paragraphDedupPages(spark: SparkSession, dir: String): DataFrame = {
+  def paragraphDedupPages(spark: SparkSession, dir: String): DataFrame =
+    dropRepeatedParagraphs(derivedPages(spark, dir), "page_id", "text",
+      maxDocs = 2, sep = "\n")
+      .orderBy(col("page_id"))
+
+  /** The q68 derived-page frame (3 consecutive docs per page, so inner
+    * docs' paragraphs genuinely repeat across up to 3 pages) — shared
+    * by the one-shot rule and the census probe so both exercise the
+    * same planted repetition structure. */
+  private def derivedPages(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
     val p0 = d.select(col("doc_id").as("page_id"), col("text").as("t0"))
     val p1 = d.select((col("doc_id") - 1).as("page_id"), col("text").as("t1"))
     val p2 = d.select((col("doc_id") - 2).as("page_id"), col("text").as("t2"))
-    val pages = p0.join(p1, Seq("page_id")).join(p2, Seq("page_id"))
+    p0.join(p1, Seq("page_id")).join(p2, Seq("page_id"))
       .select(col("page_id"), concat_ws("\n", col("t0"), col("t1"), col("t2")).as("text"))
-    dropRepeatedParagraphs(pages, "page_id", "text", maxDocs = 2, sep = "\n")
+  }
+
+  /** `q76_paragraph_census_probe` — the C2d DAY-2 path end-to-end over
+    * the derived pages, completing the probe family (q71 minhash, q75
+    * span, q76 paragraph): census on the 80% corpus pages, 20% batch
+    * pages probed, cross-boundary hotness = corpus + batch distinct
+    * counts crossing maxDocs. A page's inner paragraphs sit in up to 3
+    * pages, so a batch page's paragraph with 2 corpus appearances goes
+    * hot only through the SUM — the boundary rule carries the signal. */
+  def paragraphCensusProbePages(spark: SparkSession, dir: String): DataFrame = {
+    val pages = derivedPages(spark, dir)
+    val census = buildParagraphCensus(pages.filter(col("page_id") % 5 =!= 0), "page_id", "text")
+    dropRepeatedParagraphsAgainstCensus(pages.filter(col("page_id") % 5 === 0), census,
+      "page_id", "text", maxDocs = 2)
       .orderBy(col("page_id"))
   }
 }
