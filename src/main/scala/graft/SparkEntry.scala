@@ -95,6 +95,7 @@ object SparkEntry {
     // sketch-backed scale operators
     "q59_bloom_semijoin"         -> ((s, d) => Sketches.bloomPrunedRevenue(s, d)),
     "q60_hll_users"              -> ((s, d) => Sketches.hllUsersByType(s, d)),
+    "q77_hll_portable"           -> ((s, d) => Sketches.hllUsersPortable(s, d)),
     "q64_kll_quantiles"          -> ((s, d) => Sketches.kllQuantilesByType(s, d)),
     // change-data-capture operators
     "q61_snapshot_diff"          -> ((s, d) => Cdc.snapshotDiffOrders(s, d)),
@@ -1125,10 +1126,46 @@ object SparkEntry {
         | round(m, 4) AS baseline_mean, round(s, 4) AS baseline_std
         |FROM z ORDER BY event_type, day""".stripMargin,
 
+    // q77: the portable-hash HLL twin. HLL is deterministic given its
+    // hash, so with the repo's 60-bit md5 convention DuckDB reproduces
+    // the IDENTICAL registers (idx = top 12 bits, rho = 49 - bitlen of
+    // the 48-bit remainder) and estimate (harmonic mean with the
+    // 2^-rho sum carried as exact scaled longs; linear counting below
+    // 2.5m). The alpha·m²·2⁴⁹ constant is the same shortest-repr
+    // double literal both engines parse bit-identically; the oracle
+    // goes straight from raw rows where Spark merges day-grain
+    // registers — max is associative, so hash-equality certifies the
+    // merge too. This oracles the SKETCH SEMANTICS q60 rides through
+    // DataSketches' private hash (the q22→q74 relationship).
+    "q77_hll_portable" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS uid FROM events
+        |  WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-16'),
+        |h AS (SELECT event_type,
+        |        CAST(('0x' || substr(md5(uid), 1, 15)) AS BIGINT) AS h FROM e),
+        |r AS (SELECT event_type, h >> 48 AS idx,
+        |        max(CASE WHEN (h & 281474976710655) = 0 THEN 49
+        |            ELSE 49 - length(format('{:b}', h & 281474976710655)) END) AS r
+        |      FROM h GROUP BY 1, 2),
+        |a AS (SELECT event_type, count(*) AS n_regs,
+        |        sum(CAST(pow(2.0, 49 - r) AS BIGINT)) AS s
+        |      FROM r GROUP BY 1),
+        |est AS (SELECT event_type, n_regs,
+        |          6.810691763087074e21 /
+        |            CAST(s + (4096 - n_regs) * 562949953421312 AS DOUBLE) AS raw,
+        |          4096 - n_regs AS zeros
+        |        FROM a)
+        |SELECT event_type, n_regs,
+        | round(CASE WHEN raw <= 10240.0 AND zeros > 0
+        |        THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END + 1e-9, 4)
+        |   AS distinct_est
+        |FROM est ORDER BY event_type""".stripMargin,
+
     // the Bloom prune is an internal pre-shuffle optimization; the
     // trailing exact semi join makes the RESULT a plain semi join, so
-    // the oracle is the IN-subquery formulation (q60 has no oracle: an
-    // HLL estimate is engine-specific — covered by SketchesSpec's
+    // the oracle is the IN-subquery formulation (q60's own estimate
+    // stays engine-specific — its semantics are oracle-certified
+    // through the portable twin q77, and SketchesSpec keeps the
     // exact-vs-estimate tolerance and merge-losslessness asserts)
     "q59_bloom_semijoin" ->
       """SELECT l_returnflag, count(*) AS n_lines,

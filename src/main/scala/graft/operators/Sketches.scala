@@ -129,6 +129,91 @@ object Sketches {
       .orderBy(col("event_type"))
   }
 
+  // ---- portable-hash HLL twin (the q74 pattern for sketches) -------
+  //
+  // HLL is DETERMINISTIC given its hash function: a register is just
+  // max(rho) over the bucket's hashed values and the estimate is pure
+  // arithmetic over the registers. The production path (q60) rides
+  // DataSketches' private hash, so its estimate is rows-only; this twin
+  // swaps ONLY the hash family for the repo's portable 60-bit md5
+  // convention (first 15 hex nibbles — the q74/md5Unit idiom) and keeps
+  // the HLL semantics (p=12 → 4096 registers, 48-bit rho domain,
+  // harmonic mean + linear-counting small-range correction), so DuckDB
+  // reproduces the IDENTICAL estimate from the raw rows and the driver
+  // hash-checks the whole register→merge→estimate pipeline.
+
+  /** Number of index bits (p); m = 2^p = 4096 registers. */
+  private val HllP = 12
+  private val HllM = 1 << HllP                // 4096
+  private val HllRemBits = 60 - HllP          // 48-bit rho domain
+  private val HllRemMask = (1L << HllRemBits) - 1
+  /** 2^(remBits+1) — the scaled-long unit: a register's 2^-rho term is
+    * the INTEGER 2^(49-rho), so the harmonic-mean denominator sums as
+    * exact longs (order-independent across engines), the q33/q63
+    * scaled-long convention applied to HLL. */
+  private val HllScale = 1L << (HllRemBits + 1)
+  /** alpha_m * m^2 * 2^49 as one shortest-repr double literal, embedded
+    * identically in the oracle SQL — both engines parse the same
+    * IEEE-754 value, so the estimate arithmetic is bit-identical. */
+  private val HllAlphaMMScaled = 6.810691763087074e21
+
+  /** Once-per-day PORTABLE HLL register table: (key, day, idx, r) with
+    * idx the top-12 hash bits and r = max(rho) over the bucket. The
+    * same persistable day-partitioned artifact shape as
+    * [[dailySketches]], with registers exploded into rows instead of a
+    * binary blob — |days|·|keys|·≤4096 rows, still tiny next to the
+    * raw log, and register-wise merge is a plain groupBy-max. */
+  def portableDailyRegisters(df: DataFrame, keyCol: String, tsCol: String,
+                             idCol: String): DataFrame =
+    df.select(col(keyCol), col(tsCol).cast("date").as("day"),
+        conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("idx", shiftright(col("h"), HllRemBits))
+      .withColumn("rem", col("h").bitwiseAND(lit(HllRemMask)))
+      // rho = leading zeros of the 48-bit remainder + 1; bin() prints
+      // no leading zeros, so bitlen = length(bin(rem)) and
+      // rho = 49 - bitlen (49 when the remainder is all zeros)
+      .withColumn("rho", when(col("rem") === 0, lit(HllRemBits + 1))
+        .otherwise(lit(HllRemBits + 1) - length(bin(col("rem")))))
+      .groupBy(col(keyCol), col("day"), col("idx"))
+      .agg(max(col("rho")).as("r"))
+
+  /** Distinct estimate per key over [fromDay, toDay] from the portable
+    * register table: one groupBy-max merge (associative, so day-grain
+    * registers give the SAME registers as hashing the raw range), then
+    * the standard HLL estimator with the 2^-rho sum carried as exact
+    * scaled longs and the small-range linear-counting branch. */
+  def portableDistinctOverRange(registers: DataFrame, keyCol: String,
+                                fromDay: Option[String] = None,
+                                toDay: Option[String] = None): DataFrame = {
+    val ranged = (fromDay.map(d => col("day") >= lit(d).cast("date")) ++
+      toDay.map(d => col("day") <= lit(d).cast("date")))
+      .reduceOption(_ && _).map(registers.filter).getOrElse(registers)
+    val merged = ranged.groupBy(col(keyCol), col("idx")).agg(max(col("r")).as("r"))
+    val agg = merged.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_regs"),
+      // 2^(49-r) is exact in a double for r ≥ 1 and casts to the exact long
+      sum(pow(lit(2.0), lit(HllRemBits + 1) - col("r")).cast("long")).as("s"))
+    val t = (col("s") + (lit(HllM.toLong) - col("n_regs")) * lit(HllScale)).cast("double")
+    val zeros = lit(HllM.toLong) - col("n_regs")
+    val raw = lit(HllAlphaMMScaled) / t
+    val est = when(raw <= lit(2.5 * HllM) && zeros > 0,
+      lit(HllM.toDouble) * log(lit(HllM.toDouble) / zeros.cast("double"))).otherwise(raw)
+    agg.select(col(keyCol), col("n_regs"),
+      round(est + lit(1e-9), 4).as("distinct_est"))
+  }
+
+  /** `q77_hll_portable`: q60's question (per-event-type distinct users,
+    * back half of January) through the portable twin — oracle-backed,
+    * certifying the register/merge/estimate semantics the DataSketches
+    * path can't expose (the q22→q74 relationship, for sketches). */
+  def hllUsersPortable(spark: SparkSession, dir: String): DataFrame = {
+    val regs = portableDailyRegisters(Tables(spark, dir).events,
+      "event_type", "ts", "user_id")
+    portableDistinctOverRange(regs, "event_type", fromDay = Some("2024-01-16"))
+      .orderBy(col("event_type"))
+  }
+
   /** Once-per-day mergeable KLL quantile sketch table — the percentile
     * analog of [[dailySketches]], via the graft_kll_* native
     * aggregates ([[graft.expressions.KllSketchAgg]]). Write it

@@ -90,6 +90,52 @@ class SketchesSpec extends SparkSpecBase {
     assert(merged == direct)
   }
 
+  test("portable HLL twin tracks the exact distinct count within 5%") {
+    val regs = Sketches.portableDailyRegisters(plantedEvents, "event_type", "ts", "user_id")
+    val est = Sketches.portableDistinctOverRange(regs, "event_type")
+      .select("event_type", "distinct_est").as[(String, Double)].collect().toMap
+    val exact = plantedEvents.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      val e = est(k)
+      assert(math.abs(e - n) / n < 0.05, s"$k: est=$e exact=$n")
+    }
+  }
+
+  test("portable HLL day-grain register merge equals hashing the range directly") {
+    val e = plantedEvents
+    val daily = Sketches.portableDailyRegisters(e, "event_type", "ts", "user_id")
+    val merged = Sketches.portableDistinctOverRange(daily, "event_type",
+      fromDay = Some("2024-01-05"), toDay = Some("2024-01-15"))
+      .select("event_type", "n_regs", "distinct_est")
+      .as[(String, Long, Double)].collect().toSet
+    // direct: one register table over the filtered raw rows (single
+    // synthetic day), no day-grain intermediate
+    val direct = Sketches.portableDistinctOverRange(
+      Sketches.portableDailyRegisters(
+        e.filter(col("ts").cast("date").between("2024-01-05", "2024-01-15"))
+          .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp")),
+        "event_type", "ts", "user_id"),
+      "event_type")
+      .select("event_type", "n_regs", "distinct_est")
+      .as[(String, Long, Double)].collect().toSet
+    assert(merged == direct)
+  }
+
+  test("portable HLL leaves linear counting for the harmonic estimator at scale") {
+    // 40k distinct ids in one key: raw estimate > 2.5m = 10240, so the
+    // CASE takes the harmonic-mean branch — the branch q77's sf0.01
+    // data (~150 users) never exercises; planted truth covers it here
+    val big = (0 until 40000).map(i => ("k", ts("2024-01-01 10:00:00"), i.toLong))
+      .toDF("event_type", "ts", "user_id")
+    val regs = Sketches.portableDailyRegisters(big, "event_type", "ts", "user_id")
+    val est = Sketches.portableDistinctOverRange(regs, "event_type")
+      .select("distinct_est").as[Double].head()
+    assert(est > 10240.0, s"harmonic branch expected, est=$est")
+    assert(math.abs(est - 40000.0) / 40000.0 < 0.05, s"est=$est exact=40000")
+  }
+
   // ---- KLL quantile sketches -------------------------------------------
 
   test("KLL exact regime: sub-k sketches return true percentiles, merged == direct") {
