@@ -62,6 +62,7 @@ object SparkEntry {
     "q24_embedding_neardup"      -> ((s, d) => Similarity.embeddingNearDup(s, d)),
     "q25_ann_bruteforce"         -> ((s, d) => Similarity.annBruteForce(s, d)),
     "q26_ann_lsh"                -> ((s, d) => Similarity.annLsh(s, d)),
+    "q78_ann_lsh_portable"       -> ((s, d) => Similarity.annLshPortable(s, d)),
     "q36_ann_ivf"                -> ((s, d) => Similarity.annIvf(s, d)),
     "q47_ann_pq"                 -> ((s, d) => Similarity.annPq(s, d)),
     "q48_ann_ivfpq"              -> ((s, d) => Similarity.annIvfPq(s, d)),
@@ -801,6 +802,37 @@ object SparkEntry {
         | SELECT q_id, c_id, cos,
         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn
         | FROM scored)
+        |SELECT q_id, rn AS rank, c_id, cos FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // q78: the LSH ANN pipeline on the md5-sign plane family — the
+    // oracle REGENERATES the ±1 planes from the shared md5("j:d")
+    // formula (low bit of the first hex nibble), so signatures,
+    // banding, bucket join, candidate dedup, exact-cosine rerank and
+    // tie-break are all hash-checked. Sign parity is exact: both
+    // engines fold the dot product in index order over identical
+    // doubles. q26 differs only in the plane constants (LCG family).
+    "q78_ann_lsh_portable" ->
+      """WITH planes AS (
+        | SELECT j, list_transform(range(0, 64), d ->
+        |   CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) AS INT) % 2 = 1
+        |        THEN 1.0 ELSE -1.0 END) AS plane
+        | FROM range(0, 16) t(j)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bits AS (SELECT e.vec_id, p.j,
+        |          CASE WHEN list_dot_product(e.v, p.plane) > 0 THEN 1 ELSE 0 END AS bit
+        |        FROM e CROSS JOIN planes p),
+        |bands AS (SELECT vec_id, j // 4 AS band,
+        |           string_agg(CAST(bit AS VARCHAR), '' ORDER BY j) AS bh
+        |         FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        |        FROM bands q JOIN bands c ON q.band = c.band AND q.bh = c.bh
+        |        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |scored AS (SELECT cand.q_id, cand.c_id,
+        |           round(list_dot_product(qe.v, ce.v) /
+        |             (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cos
+        |          FROM cand JOIN e qe ON qe.vec_id = cand.q_id JOIN e ce ON ce.vec_id = cand.c_id),
+        |ranked AS (SELECT q_id, c_id, cos,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM scored)
         |SELECT q_id, rn AS rank, c_id, cos FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin,
 
     "q27_langid" ->

@@ -633,9 +633,45 @@ object Similarity {
     * rerank candidates by exact cosine. Recall vs the C6 baseline is
     * spec-tested (SimilaritySpec). */
   def annLsh(spark: SparkSession, dir: String, k: Int = 10, numQueries: Int = 5,
-             numPlanes: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame = {
+             numPlanes: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame =
+    annLshWith(spark, dir, hyperplanes(numPlanes, dim), k, numQueries, bands)
+
+  /** ±1 (Rademacher) hyperplanes derived from md5("j:d") — the
+    * portable-plane family for [[annLshPortable]]: sign projection
+    * against random-SIGN vectors is a valid SimHash-style LSH family,
+    * and the md5 formula lets ANY engine regenerate the identical
+    * planes, so the whole signature→band→candidate→rerank pipeline
+    * becomes oracle-checkable. The low bit of the first hex nibble is
+    * the repo's md5-convention analog of a fair coin per (plane, dim).
+    */
+  def md5SignPlanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { j =>
+      (0 until dim).map { d =>
+        val h = md.digest(s"$j:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (((h(0) >> 4) & 1) == 1) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** C7 `q78_ann_lsh_portable` — [[annLsh]] with the md5-sign plane
+    * family instead of the LCG Gaussian-ish one: the ONLY difference is
+    * the plane constants, so the q26 pipeline's semantics (signatures,
+    * banding, bucket join, dedup, exact-cosine rerank, tie-break) are
+    * certified by the DuckDB oracle that regenerates the planes from
+    * the shared formula (the q74/q77 portable-twin pattern). Sign
+    * parity is EXACT across engines: both fold the dot product in
+    * index order over identical doubles. */
+  def annLshPortable(spark: SparkSession, dir: String, k: Int = 10,
+                     numQueries: Int = 5, numPlanes: Int = 16,
+                     bands: Int = 4, dim: Int = 64): DataFrame =
+    annLshWith(spark, dir, md5SignPlanes(numPlanes, dim), k, numQueries, bands)
+
+  private def annLshWith(spark: SparkSession, dir: String,
+                         planes: Seq[Seq[Double]], k: Int, numQueries: Int,
+                         bands: Int): DataFrame = {
     val t = Tables(spark, dir)
-    val planes = hyperplanes(numPlanes, dim)
+    val numPlanes = planes.size
     val rows = numPlanes / bands
     val e = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("bits", signBits(col("v"), planes))

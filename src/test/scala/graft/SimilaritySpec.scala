@@ -34,6 +34,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(mean >= 0.2, s"mean recall $mean too low — bucketing likely broken")
   }
 
+  test("portable md5-sign LSH planes are balanced and keep useful recall") {
+    // the Rademacher family must behave like the LCG one: fair-ish ±1
+    // coins (a stuck md5 bit would collapse every bucket) and the same
+    // recall floor vs brute force as the q26 family
+    val planes = Similarity.md5SignPlanes(16, 64)
+    assert(planes.size == 16 && planes.forall(_.size == 64))
+    val pos = planes.flatten.count(_ == 1.0)
+    assert(pos > 400 && pos < 624, s"md5 sign bias: $pos/1024 positive")
+    val k = 10
+    val bf = Similarity.annBruteForce(spark, sfDir, k = k, numQueries = 5)
+      .as[(Long, Long, Long, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val lsh = Similarity.annLshPortable(spark, sfDir, k = k, numQueries = 5)
+      .as[(Long, Long, Long, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val recalls = bf.map { case (q, truth) =>
+      lsh.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean recall $mean too low — portable bucketing broken")
+  }
+
   test("IVF ANN recall vs brute force is useful and candidate set is cell-bounded") {
     val k = 10
     val bf = Similarity.annBruteForce(spark, sfDir, k = k, numQueries = 5)
