@@ -1206,6 +1206,31 @@ object SparkEntry {
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // q64: k=4096 keeps every verify-scale sketch in the EXACT regime
+    // (~1k values per type-range at sf0.01, no compaction anywhere —
+    // that sizing is the operator's documented verification contract),
+    // so the sketch answer IS the inclusive-rank order statistic: the
+    // value at 1-indexed sorted position ceil(rank·n). The oracle
+    // checks that rule end-to-end (insert → day-sketch → merge →
+    // decode); the compacted regime's ±1.65% rank-error behavior stays
+    // spec-pinned (SketchesSpec's 20k-value envelope test).
+    "q64_kll_quantiles" ->
+      """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS value,
+        |             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |           FROM events
+        |           WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-16'),
+        |n AS (SELECT event_type, count(DISTINCT day) AS n_days,
+        |        count(value) AS nv FROM v GROUP BY 1),
+        |r AS (SELECT event_type, value,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+        |      FROM v WHERE value IS NOT NULL)
+        |SELECT n.event_type, n.n_days,
+        | round(max(CASE WHEN rn = greatest(CAST(ceil(0.5 * nv) AS BIGINT), 1) THEN value END), 4) AS p50,
+        | round(max(CASE WHEN rn = greatest(CAST(ceil(0.9 * nv) AS BIGINT), 1) THEN value END), 4) AS p90,
+        | round(max(CASE WHEN rn = greatest(CAST(ceil(0.99 * nv) AS BIGINT), 1) THEN value END), 4) AS p99
+        |FROM n JOIN r ON r.event_type = n.event_type
+        |GROUP BY n.event_type, n.n_days ORDER BY n.event_type""".stripMargin,
+
     // the flat-10.00 rebate is a double SUBTRACTION (bit-identical in
     // both engines); NULL-safe compares via IS NOT DISTINCT FROM mirror
     // Spark's <=>

@@ -246,13 +246,15 @@ object Sketches {
     }.drop("_m")
   }
 
-  /** `q64_kll_quantiles` (*rows-only*: sketch internals aren't
-    * ANSI-reproducible): per-event-type p50/p90/p99 of event value for
+  /** `q64_kll_quantiles`: per-event-type p50/p90/p99 of event value for
     * the back half of January, from the daily quantile-sketch table.
     * k=4096 keeps every verify-scale sketch in EXACT mode (sf0.01 has
-    * ~1k values per type-range), so Verify outputs stay bit-identical;
-    * at bench/production scale the sketch compacts and the answer is
-    * the published ±1.65%-rank-error estimate — that trade IS the
+    * ~1k values per type-range), so the answer IS the inclusive-rank
+    * order statistic (value at sorted position ceil(rank·n)) — which
+    * is ANSI-expressible, and the DuckDB oracle hash-checks the whole
+    * insert→day-sketch→merge→decode pipeline on that rule. At
+    * bench/production scale the sketch compacts and the answer is the
+    * published ±1.65%-rank-error estimate — that trade IS the
     * operator's contract (SketchesSpec pins both regimes). */
   def kllQuantilesByType(spark: SparkSession, dir: String): DataFrame = {
     val daily = dailyQuantileSketches(Tables(spark, dir).events,
