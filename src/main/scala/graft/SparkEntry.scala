@@ -63,6 +63,7 @@ object SparkEntry {
     "q25_ann_bruteforce"         -> ((s, d) => Similarity.annBruteForce(s, d)),
     "q26_ann_lsh"                -> ((s, d) => Similarity.annLsh(s, d)),
     "q78_ann_lsh_portable"       -> ((s, d) => Similarity.annLshPortable(s, d)),
+    "q79_ann_ivf_portable"       -> ((s, d) => Similarity.annIvfPortable(s, d)),
     "q36_ann_ivf"                -> ((s, d) => Similarity.annIvf(s, d)),
     "q47_ann_pq"                 -> ((s, d) => Similarity.annPq(s, d)),
     "q48_ann_ivfpq"              -> ((s, d) => Similarity.annIvfPq(s, d)),
@@ -827,6 +828,38 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
         |        FROM bands q JOIN bands c ON q.band = c.band AND q.bh = c.bh
         |        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |scored AS (SELECT cand.q_id, cand.c_id,
+        |           round(list_dot_product(qe.v, ce.v) /
+        |             (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cos
+        |          FROM cand JOIN e qe ON qe.vec_id = cand.q_id JOIN e ce ON ce.vec_id = cand.c_id),
+        |ranked AS (SELECT q_id, c_id, cos,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM scored)
+        |SELECT q_id, rn AS rank, c_id, cos FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // q79: the IVF ANN search path on formula-chosen centroids (the
+    // first 16 corpus vectors). KMeans training is the only part of
+    // q36 an oracle can't reproduce; everything else — the day-2
+    // assignment rule (argmin |c|² − 2·v·c, tie → lower cell), nProbe
+    // cell probing, candidate generation by cell equi-join, exact
+    // cosine rerank and tie-break — is deterministic arithmetic both
+    // engines fold in index order, so the whole search pipeline
+    // hash-checks.
+    "q79_ann_ivf_portable" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec, list_dot_product(v, v) AS c2
+        |      FROM e WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, cell FROM (
+        |         SELECT e.vec_id, c.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY c.c2 - 2.0 * list_dot_product(e.v, c.cvec) ASC, c.cell ASC) AS rn
+        |         FROM e CROSS JOIN c) WHERE rn = 1),
+        |probes AS (SELECT q_id, cell FROM (
+        |            SELECT e.vec_id AS q_id, c.cell,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                ORDER BY c.c2 - 2.0 * list_dot_product(e.v, c.cvec) ASC, c.cell ASC) AS rn
+        |            FROM e CROSS JOIN c WHERE e.vec_id < 5) WHERE rn <= 4),
+        |cand AS (SELECT p.q_id, a.vec_id AS c_id
+        |        FROM probes p JOIN asg a ON a.cell = p.cell WHERE a.vec_id <> p.q_id),
         |scored AS (SELECT cand.q_id, cand.c_id,
         |           round(list_dot_product(qe.v, ce.v) /
         |             (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cos

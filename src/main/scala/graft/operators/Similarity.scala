@@ -261,6 +261,28 @@ object Similarity {
     annIvfSearch(assigned, centroids, k, numQueries, nProbe)
   }
 
+  /** C7b `q79_ann_ivf_portable` — the IVF SEARCH semantics on
+    * formula-chosen centroids: the first 16 corpus vectors anchor the
+    * cells (each centroid-vector provably lands in its own cell — the
+    * self-distance −|v|² is the Cauchy-Schwarz minimum), every corpus
+    * vector is assigned through the PRODUCTION day-2 rule
+    * ([[appendToIvfIndex]]: argmin of |c|² − 2·v·c, tie → lower cell)
+    * and queries run the production [[annIvfSearch]] (nProbe nearest
+    * cells, exact-cosine rerank, cos-desc/id-asc tie-break). KMeans
+    * training is the ONLY piece of q36 an oracle can't reproduce, so
+    * this twin pins everything else: assignment, probing, candidate
+    * generation and rerank all hash-check against a from-scratch
+    * DuckDB reformulation (the q74/q77/q78 portable-twin pattern). */
+  def annIvfPortable(spark: SparkSession, dir: String, k: Int = 10,
+                     numQueries: Int = 5, nProbe: Int = 4): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val centroids = prepVectors(emb).filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cvec"),
+        vectors.dot(col("v"), col("v")).as("c2"))
+    val assigned = appendToIvfIndex(emb, centroids)
+    annIvfSearch(assigned, centroids, k, numQueries, nProbe)
+  }
+
   /** PQ (product quantization) index build — the memory-side scale path
     * of the ANN family: split each vector into `subspaces` sub-vectors,
     * k-means each subspace into a `codebookSize`-entry codebook (one

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Similarity
+import org.apache.spark.sql.functions.col
 
 class SimilaritySpec extends SparkSpecBase {
   import spark.implicits._
@@ -52,6 +53,31 @@ class SimilaritySpec extends SparkSpecBase {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.2, s"mean recall $mean too low — portable bucketing broken")
+  }
+
+  test("portable IVF twin: anchor vectors own their cells, recall is useful") {
+    // each centroid-vector must land in its own cell — its
+    // self-distance −|v|² is the Cauchy-Schwarz minimum, so any other
+    // outcome means the assignment rule broke
+    val out = Similarity.annIvfPortable(spark, sfDir, k = 10, numQueries = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    val emb = graft.Tables(spark, sfDir).embeddings
+    val centroids = Similarity.prepVectors(emb).filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cvec"),
+        graft.functions.vectors.dot(col("v"), col("v")).as("c2"))
+    val anchorCells = Similarity.appendToIvfIndex(emb.filter(col("vec_id") < 16), centroids)
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect()
+    anchorCells.foreach { case (id, cell) =>
+      assert(cell.toLong == id, s"anchor $id assigned to foreign cell $cell")
+    }
+    val bf = Similarity.annBruteForce(spark, sfDir, k = 10, numQueries = 5)
+      .as[(Long, Long, Long, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val got = out.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val recalls = bf.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean recall $mean too low for nProbe=4/16 cells")
   }
 
   test("IVF ANN recall vs brute force is useful and candidate set is cell-bounded") {
