@@ -55,22 +55,35 @@ object Bench {
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
+    // builds follow the same failure convention as the timed loop
+    // (advice r9): a KMeans build failure logs, drops the build entry,
+    // and the query falls back to its registered build+search closure —
+    // which is then timed normally or benched as -1 if it also fails.
+    // A build failure must never abort the whole run unmetered.
+    def tryBuild(n: String)(b: => (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[(String, (Double, (SparkSession, String) => org.apache.spark.sql.DataFrame))] =
+      try { val (f, t) = timed(b); Some(n -> ((t, f))) }
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] $n build failed: ${e.getMessage} — falling back to registered closure")
+        None
+      }
     val annBuilds: Map[String, (Double, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       selected.map(_._1).collect {
-        case n @ "q36_ann_ivf" =>
-          val ((a, c), t) = timed {
-            val (a0, c0) = Similarity.buildIvfIndex(Tables(spark, sfDir).embeddings)
-            (a0.localCheckpoint(), c0)
-          }
-          n -> ((t, (_: SparkSession, _: String) => Similarity.annIvfSearch(a, c)))
-        case n @ "q47_ann_pq" =>
-          val ((e, cb), t) = timed(Similarity.buildPqIndex(Tables(spark, sfDir).embeddings))
-          n -> ((t, (_: SparkSession, _: String) => Similarity.annPqSearch(e, cb)))
-        case n @ "q48_ann_ivfpq" =>
-          val ((corpus, cents, cb), t) =
-            timed(Similarity.buildIvfPqIndex(Tables(spark, sfDir).embeddings))
-          n -> ((t, (_: SparkSession, _: String) => Similarity.annIvfPqSearch(corpus, cents, cb)))
-      }.toMap
+        case n @ "q36_ann_ivf" => tryBuild(n) {
+          val (a0, c0) = Similarity.buildIvfIndex(Tables(spark, sfDir).embeddings)
+          val a = a0.localCheckpoint()
+          (_: SparkSession, _: String) => Similarity.annIvfSearch(a, c0)
+        }
+        case n @ "q47_ann_pq" => tryBuild(n) {
+          val (e, cb) = Similarity.buildPqIndex(Tables(spark, sfDir).embeddings)
+          (_: SparkSession, _: String) => Similarity.annPqSearch(e, cb)
+        }
+        case n @ "q48_ann_ivfpq" => tryBuild(n) {
+          val (corpus, cents, cb) = Similarity.buildIvfPqIndex(Tables(spark, sfDir).embeddings)
+          (_: SparkSession, _: String) => Similarity.annIvfPqSearch(corpus, cents, cb)
+        }
+      }.flatten.toMap
     val results = selected.sortBy(_._1).map { case (name, registered) =>
       val fn = annBuilds.get(name).map(_._2).getOrElse(registered)
       val times = (0 until iters).flatMap { _ =>

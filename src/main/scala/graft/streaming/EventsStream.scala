@@ -407,7 +407,20 @@ object EventsStream {
       .localCheckpoint()
     val spark0 = delta.sparkSession
     val days = delta.select(col("day")).distinct().collect().map(_.getDate(0))
-    scala.util.Try(spark0.read.parquet(censusPath)).toOption.foreach { disk =>
+    // ONLY the first-run no-census-yet cases are benign here: a missing
+    // path, or an existing-but-empty directory (no files → Spark cannot
+    // infer a schema). Corruption, permission and transient FS failures
+    // must PROPAGATE and fail the query — swallowing every Throwable
+    // (the old Try(...).toOption) silently disabled the split-day guard
+    // this method exists for (advice r9).
+    val diskOpt =
+      try Some(spark0.read.parquet(censusPath))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+               e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+      }
+    diskOpt.foreach { disk =>
       val existing = disk
         .filter(col("day").isin(days.map(d => lit(d)): _*))
         .select(col("day"), col(hashCol), col("n_docs"))

@@ -508,4 +508,70 @@ class DedupSpec extends SparkSpecBase {
       Dedup.dropRepeatedSpansAgainstCensus(day2, loaded, "doc_id", "text", k = 4, sep = "\t")
     }
   }
+
+  // The q21/q71 DuckDB oracles compute EXACT all-pairs Jaccard while the
+  // operators run MinHash estimates through LSH banding with a
+  // bucketCap=200 prune. Their equality rests on corpus properties that
+  // were measured but never asserted (advice r9) — pin them here at BOTH
+  // the spec and the verify scale so the precondition fails loudly if a
+  // future data generator erodes it instead of flaking the hash check:
+  //  (1) margin: no pair's exact Jaccard lands in a band around the 0.5
+  //      threshold (bimodal similarity — estimates can't cross over);
+  //  (2) no LSH bucket exceeds bucketCap (the prune never drops a pair);
+  //  (3) the candidate pairs the operator verifies ≥ 0.5 are EXACTLY the
+  //      pairs whose true Jaccard is ≥ 0.5 (recall AND precision at the
+  //      pair level — which implies the per-doc verdicts coincide).
+  test("q21/q71 oracle precondition: Jaccard margin, bucket caps and pair-level parity hold") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      // exact distinct 3-token shingles — same construction as the
+      // oracle's jaccardCtes (t[i:i+2] over whitespace tokens)
+      val grams = docs
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("t"))
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), greatest(size(col("t")) - 2, lit(1))),
+            i => concat_ws(" ", slice(col("t"), i, lit(3)))))).as("g"))
+        .localCheckpoint()
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val exact = grams.select(col("doc_id").as("id_a"), col("g"))
+        .join(grams.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("ix"))
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (col("ix") / (col("na") + col("nb") - col("ix"))).as("j"))
+        .localCheckpoint()
+      val ambiguous = exact.filter(col("j").between(0.35, 0.65)).count()
+      assert(ambiguous == 0L,
+        s"$dir: $ambiguous pair(s) with exact Jaccard in [0.35, 0.65] — the q21/q71 " +
+          "oracle's bimodal-margin precondition no longer holds")
+
+      val banded = Dedup.minhashIndexDocs(docs).localCheckpoint()
+      val maxBucket = banded.groupBy("band", "bh").agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head().getLong(0)
+      assert(maxBucket <= 200L,
+        s"$dir: largest LSH bucket $maxBucket exceeds bucketCap=200 — the prune " +
+          "would drop candidate pairs the oracle keeps")
+
+      // operator-side verified candidates (band collision + signature
+      // agreement ≥ 0.5) vs exact truth (J ≥ 0.5): set equality
+      val numHashes = 16
+      val cand = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sig").as("sa"))
+        .join(banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sig").as("sb")),
+          Seq("band", "bh"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("est", aggregate(
+          zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x) / lit(numHashes.toDouble))
+        .filter(col("est") >= 0.5)
+        .select("id_a", "id_b").distinct()
+      val truePairs = exact.filter(col("j") >= 0.5).select("id_a", "id_b")
+      val missed = truePairs.exceptAll(cand).count()
+      val spurious = cand.exceptAll(truePairs).count()
+      assert(missed == 0L && spurious == 0L,
+        s"$dir: LSH pair set diverges from exact truth (missed=$missed spurious=$spurious) " +
+          "— the q21/q71 oracle equivalence is eroding")
+    }
+  }
 }
