@@ -64,6 +64,7 @@ object SparkEntry {
     "q26_ann_lsh"                -> ((s, d) => Similarity.annLsh(s, d)),
     "q78_ann_lsh_portable"       -> ((s, d) => Similarity.annLshPortable(s, d)),
     "q79_ann_ivf_portable"       -> ((s, d) => Similarity.annIvfPortable(s, d)),
+    "q80_ann_pq_portable"        -> ((s, d) => Similarity.annPqPortable(s, d)),
     "q36_ann_ivf"                -> ((s, d) => Similarity.annIvf(s, d)),
     "q47_ann_pq"                 -> ((s, d) => Similarity.annPq(s, d)),
     "q48_ann_ivfpq"              -> ((s, d) => Similarity.annIvfPq(s, d)),
@@ -860,6 +861,49 @@ object SparkEntry {
         |            FROM e CROSS JOIN c WHERE e.vec_id < 5) WHERE rn <= 4),
         |cand AS (SELECT p.q_id, a.vec_id AS c_id
         |        FROM probes p JOIN asg a ON a.cell = p.cell WHERE a.vec_id <> p.q_id),
+        |scored AS (SELECT cand.q_id, cand.c_id,
+        |           round(list_dot_product(qe.v, ce.v) /
+        |             (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cos
+        |          FROM cand JOIN e qe ON qe.vec_id = cand.q_id JOIN e ce ON ce.vec_id = cand.c_id),
+        |ranked AS (SELECT q_id, c_id, cos,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM scored)
+        |SELECT q_id, rn AS rank, c_id, cos FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // q80: the PQ ANN search path on formula-chosen codebooks (subspace
+    // s's entry k = the s-th sub-vector of corpus vector k, k < 16).
+    // KMeans codebook training is the only part of q47 an oracle can't
+    // reproduce; the production encode rule (per-subspace argmin
+    // squared-L2 against the frozen codebook, tie → lowest code), the
+    // per-query flat ADC table, the code-only candidate scan with its
+    // top-50 adist cut, and the exact-cosine rerank are deterministic
+    // arithmetic both engines fold in index order (sub-vector squared
+    // diffs left-to-right; candidate adist summed in subspace order via
+    // the ordered list), so the whole search pipeline hash-checks.
+    "q80_ann_pq_portable" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (SELECT s.s AS subspace, CAST(c.vec_id AS INT) AS code,
+        |         c.v[s.s*8+1 : s.s*8+8] AS centroid
+        |       FROM e c CROSS JOIN range(0, 8) s(s) WHERE c.vec_id < 16),
+        |d AS (SELECT e.vec_id, cb.subspace, cb.code,
+        |        list_sum(list_transform(range(1, 9), i ->
+        |          (e.v[cb.subspace*8 + i] - cb.centroid[i])
+        |          * (e.v[cb.subspace*8 + i] - cb.centroid[i]))) AS dist
+        |      FROM e CROSS JOIN cb),
+        |codes AS (SELECT vec_id, subspace, code FROM (
+        |           SELECT vec_id, subspace, code,
+        |             row_number() OVER (PARTITION BY vec_id, subspace
+        |               ORDER BY dist ASC, code ASC) AS rn
+        |           FROM d) WHERE rn = 1),
+        |adist AS (SELECT qd.vec_id AS q_id, co.vec_id AS c_id,
+        |            list_sum(list(qd.dist ORDER BY qd.subspace)) AS ad
+        |          FROM codes co JOIN d qd
+        |            ON qd.subspace = co.subspace AND qd.code = co.code
+        |          WHERE qd.vec_id < 5 AND co.vec_id <> qd.vec_id
+        |          GROUP BY 1, 2),
+        |cand AS (SELECT q_id, c_id FROM (
+        |          SELECT q_id, c_id,
+        |            row_number() OVER (PARTITION BY q_id ORDER BY ad ASC, c_id ASC) AS ar
+        |          FROM adist) WHERE ar <= 50),
         |scored AS (SELECT cand.q_id, cand.c_id,
         |           round(list_dot_product(qe.v, ce.v) /
         |             (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cos

@@ -559,6 +559,42 @@ object Similarity {
     annPqSearch(encoded, codebook, k, numQueries)
   }
 
+  /** Formula-chosen PQ codebook: subspace s's entry k is the s-th
+    * sub-vector of corpus vector k (k < codebookSize). Continuous
+    * embeddings make the entries distinct with probability 1, and ANY
+    * engine can regenerate the identical table from the corpus itself
+    * — the PQ analog of q79's first-16-vectors centroid choice. */
+  private def formulaPqCodebook(e: DataFrame, subspaces: Int, codebookSize: Int,
+                                dsub: Int): DataFrame =
+    e.filter(col("vec_id") < codebookSize)
+      .select(explode(array((0 until subspaces).map { s =>
+        struct(lit(s).as("subspace"), col("vec_id").cast("int").as("code"),
+          slice(col("v"), s * dsub + 1, dsub).as("centroid"))
+      }: _*)).as("cb"))
+      .select(col("cb.subspace"), col("cb.code"), col("cb.centroid"))
+
+  /** C7c `q80_ann_pq_portable` — the PQ SEARCH semantics on
+    * formula-chosen codebooks ([[formulaPqCodebook]]): the corpus is
+    * encoded through the PRODUCTION day-2 rule ([[appendToPqIndex]]:
+    * per-subspace argmin-L2 against the frozen codebook table, tie →
+    * lowest code) and queries run the production [[annPqSearch]]
+    * (per-query flat ADC table, code-only candidate scan, top-`rerank`
+    * cut, exact-cosine rerank, cos-desc/id-asc tie-break). KMeans
+    * codebook training is the ONLY piece of q47 an oracle can't
+    * reproduce, so this twin pins everything else — encode, ADC
+    * scoring, candidate cut and rerank all hash-check against a
+    * from-scratch DuckDB reformulation (the q79 pattern). */
+  def annPqPortable(spark: SparkSession, dir: String, k: Int = 10,
+                    numQueries: Int = 5, rerank: Int = 50,
+                    subspaces: Int = 8, codebookSize: Int = 16,
+                    dim: Int = 64): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val codebook = formulaPqCodebook(prepVectors(emb), subspaces, codebookSize,
+      dim / subspaces)
+    val encoded = appendToPqIndex(emb, codebook, subspaces, codebookSize, dim)
+    annPqSearch(encoded, codebook, k, numQueries, rerank, subspaces, codebookSize, dim)
+  }
+
   /** Composed IVF+PQ search — the production ANN shape at 100 TB: IVF
     * cell pruning bounds WHICH rows are scored (nProbe/nClusters of the
     * corpus), PQ codes bound WHAT the scoring scan reads (m small codes,

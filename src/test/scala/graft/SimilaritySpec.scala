@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Similarity
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{array, col, explode, lit, slice, struct}
 
 class SimilaritySpec extends SparkSpecBase {
   import spark.implicits._
@@ -78,6 +78,39 @@ class SimilaritySpec extends SparkSpecBase {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.2, s"mean recall $mean too low for nProbe=4/16 cells")
+  }
+
+  test("portable PQ twin: anchor vectors encode to their own codes, recall is useful") {
+    // codebook entry k of subspace s IS vector k's s-th sub-vector, so
+    // vector k (k < 16) must encode to codes = [k, k, ..., k] — its
+    // self-distance 0.0 is the exact minimum in every subspace; any
+    // other outcome means the table-encode argmin rule broke
+    val emb = graft.Tables(spark, sfDir).embeddings
+    val e = Similarity.prepVectors(emb)
+    val codebook = e.filter(col("vec_id") < 16)
+      .select(explode(array((0 until 8).map { s =>
+        struct(lit(s).as("subspace"), col("vec_id").cast("int").as("code"),
+          slice(col("v"), s * 8 + 1, 8).as("centroid"))
+      }: _*)).as("cb"))
+      .select(col("cb.subspace"), col("cb.code"), col("cb.centroid"))
+    val anchorCodes = Similarity.appendToPqIndex(emb.filter(col("vec_id") < 16), codebook)
+      .select(col("vec_id"), col("codes")).as[(Long, Seq[Int])].collect()
+    anchorCodes.foreach { case (id, codes) =>
+      assert(codes.forall(_.toLong == id),
+        s"anchor $id encoded to foreign codes ${codes.mkString(",")}")
+    }
+    val bf = Similarity.annBruteForce(spark, sfDir, k = 10, numQueries = 5)
+      .as[(Long, Long, Long, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val got = Similarity.annPqPortable(spark, sfDir, k = 10, numQueries = 5)
+      .as[(Long, Long, Long, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val recalls = bf.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 16 arbitrary corpus vectors are a WEAK codebook (no training), but
+    // the top-50 ADC cut + exact rerank still recovers most of the true
+    // top-10 — this floor guards encode/ADC plumbing, not codebook quality
+    assert(mean >= 0.2, s"mean recall $mean too low — portable PQ encode/ADC broken")
   }
 
   test("IVF ANN recall vs brute force is useful and candidate set is cell-bounded") {
