@@ -65,6 +65,7 @@ object SparkEntry {
     "q78_ann_lsh_portable"       -> ((s, d) => Similarity.annLshPortable(s, d)),
     "q79_ann_ivf_portable"       -> ((s, d) => Similarity.annIvfPortable(s, d)),
     "q80_ann_pq_portable"        -> ((s, d) => Similarity.annPqPortable(s, d)),
+    "q81_ann_ivfpq_portable"     -> ((s, d) => Similarity.annIvfPqPortable(s, d)),
     "q36_ann_ivf"                -> ((s, d) => Similarity.annIvf(s, d)),
     "q47_ann_pq"                 -> ((s, d) => Similarity.annPq(s, d)),
     "q48_ann_ivfpq"              -> ((s, d) => Similarity.annIvfPq(s, d)),
@@ -899,6 +900,72 @@ object SparkEntry {
         |          FROM codes co JOIN d qd
         |            ON qd.subspace = co.subspace AND qd.code = co.code
         |          WHERE qd.vec_id < 5 AND co.vec_id <> qd.vec_id
+        |          GROUP BY 1, 2),
+        |cand AS (SELECT q_id, c_id FROM (
+        |          SELECT q_id, c_id,
+        |            row_number() OVER (PARTITION BY q_id ORDER BY ad ASC, c_id ASC) AS ar
+        |          FROM adist) WHERE ar <= 50),
+        |scored AS (SELECT cand.q_id, cand.c_id,
+        |           round(list_dot_product(qe.v, ce.v) /
+        |             (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cos
+        |          FROM cand JOIN e qe ON qe.vec_id = cand.q_id JOIN e ce ON ce.vec_id = cand.c_id),
+        |ranked AS (SELECT q_id, c_id, cos,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM scored)
+        |SELECT q_id, rn AS rank, c_id, cos FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // q81: the composed residual-IVFADC search path on formula-chosen
+    // artifacts — q79's first-16-vector centroids plus a residual
+    // codebook whose entry (s, k) is vector (16+k)'s residual
+    // sub-vector (the anchors' own residuals are identically zero, so
+    // the next sixteen vectors provide the entries). Cell assignment,
+    // residual arithmetic, frozen-codebook encode, per-(query, cell)
+    // residual ADC tables, the cell-pruned top-50 cut and the exact
+    // rerank are all deterministic index-order arithmetic, so the
+    // entire composed pipeline hash-checks; with q79/q80 only KMeans
+    // training itself remains oracle-free.
+    "q81_ann_ivfpq_portable" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec, list_dot_product(v, v) AS c2
+        |      FROM e WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, cell FROM (
+        |         SELECT e.vec_id, c.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY c.c2 - 2.0 * list_dot_product(e.v, c.cvec) ASC, c.cell ASC) AS rn
+        |         FROM e CROSS JOIN c) WHERE rn = 1),
+        |res AS (SELECT a.vec_id, a.cell,
+        |          list_transform(range(1, 65), i -> e.v[i] - c.cvec[i]) AS r
+        |        FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN c ON c.cell = a.cell),
+        |cb AS (SELECT s.s AS subspace, CAST(r.vec_id - 16 AS INT) AS code,
+        |         r.r[s.s*8+1 : s.s*8+8] AS centroid
+        |       FROM res r CROSS JOIN range(0, 8) s(s) WHERE r.vec_id BETWEEN 16 AND 31),
+        |d AS (SELECT r.vec_id, r.cell, cb.subspace, cb.code,
+        |        list_sum(list_transform(range(1, 9), i ->
+        |          (r.r[cb.subspace*8 + i] - cb.centroid[i])
+        |          * (r.r[cb.subspace*8 + i] - cb.centroid[i]))) AS dist
+        |      FROM res r CROSS JOIN cb),
+        |codes AS (SELECT vec_id, cell, subspace, code FROM (
+        |           SELECT vec_id, cell, subspace, code,
+        |             row_number() OVER (PARTITION BY vec_id, subspace
+        |               ORDER BY dist ASC, code ASC) AS rn
+        |           FROM d) WHERE rn = 1),
+        |probes AS (SELECT q_id, cell FROM (
+        |            SELECT e.vec_id AS q_id, c.cell,
+        |              row_number() OVER (PARTITION BY e.vec_id
+        |                ORDER BY c.c2 - 2.0 * list_dot_product(e.v, c.cvec) ASC, c.cell ASC) AS rn
+        |            FROM e CROSS JOIN c WHERE e.vec_id < 5) WHERE rn <= 4),
+        |qres AS (SELECT p.q_id, p.cell,
+        |           list_transform(range(1, 65), i -> e.v[i] - c.cvec[i]) AS qr
+        |         FROM probes p JOIN e ON e.vec_id = p.q_id JOIN c ON c.cell = p.cell),
+        |qd AS (SELECT q.q_id, q.cell, cb.subspace, cb.code,
+        |         list_sum(list_transform(range(1, 9), i ->
+        |           (q.qr[cb.subspace*8 + i] - cb.centroid[i])
+        |           * (q.qr[cb.subspace*8 + i] - cb.centroid[i]))) AS dist
+        |       FROM qres q CROSS JOIN cb),
+        |adist AS (SELECT qd.q_id, co.vec_id AS c_id,
+        |            list_sum(list(qd.dist ORDER BY qd.subspace)) AS ad
+        |          FROM codes co JOIN qd ON qd.cell = co.cell
+        |            AND qd.subspace = co.subspace AND qd.code = co.code
+        |          WHERE co.vec_id <> qd.q_id
         |          GROUP BY 1, 2),
         |cand AS (SELECT q_id, c_id FROM (
         |          SELECT q_id, c_id,

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.vectors
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -514,18 +514,61 @@ object Similarity {
           .otherwise(col("v")))
     val tabbed = adcTable(e.select(col("vec_id"), col("v")), Seq("vec_id"), "v",
       codebook, dim / subspaces, codebookSize)
-    val codes = array((0 until subspaces).map { s =>
+    e.join(tabbed, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        argminCodes(subspaces, codebookSize)
+          .as("codes", pqCodesMeta(subspaces, codebookSize, dim, residual = false)))
+  }
+
+  /** Per-subspace argmin over a flat ADC `tab` column: the code is the
+    * position of the segment's minimum distance, ties to the LOWEST
+    * code — Spark ML's first-strict-minimum predict rule, so
+    * table-encoded codes equal model-encoded codes exactly. */
+  private def argminCodes(subspaces: Int, codebookSize: Int): Column =
+    array((0 until subspaces).map { s =>
       val seg = slice(col("tab"), s * codebookSize + 1, codebookSize)
       (array_position(seg, array_min(seg)) - 1).cast("int")
     }: _*)
-    val codesMeta = new org.apache.spark.sql.types.MetadataBuilder()
+
+  private def pqCodesMeta(subspaces: Int, codebookSize: Int, dim: Int,
+                          residual: Boolean): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("graft.pq.subspaces", subspaces.toLong)
       .putLong("graft.pq.codebookSize", codebookSize.toLong)
       .putLong("graft.pq.dim", dim.toLong)
-      .putBoolean("graft.pq.residual", false)
+      .putBoolean("graft.pq.residual", residual)
       .build()
-    e.join(tabbed, Seq("vec_id"))
-      .select(col("vec_id"), col("v"), col("nrm"), codes.as("codes", codesMeta))
+
+  /** Day-2 IVFADC maintenance — the composed-index analog of
+    * [[appendToIvfIndex]]/[[appendToPqIndex]]: extend the (vec_id, v,
+    * nrm, cell, codes) corpus with NEW vectors using ONLY the persisted
+    * artifacts (centroid table + residual codebook), no KMeans model
+    * objects. Each vector is assigned to its nearest cell by the
+    * production probe rule, its RESIDUAL against that cell's centroid
+    * is computed, and the residual is encoded against the frozen
+    * codebook with the same flat-table argmin the PQ append uses
+    * (tie → lowest code). Output rows carry residual=true codes
+    * metadata, so a day-2-extended index hits the same checkPqParams
+    * guards as built rows. */
+  def appendToIvfPqIndex(newEmbeddings: DataFrame, centroids: DataFrame,
+                         codebook: DataFrame, subspaces: Int = 8,
+                         codebookSize: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % subspaces == 0, s"dim $dim must divide into $subspaces subspaces")
+    val assigned = appendToIvfIndex(newEmbeddings, centroids)
+      .withColumn("v",
+        when(size(col("v")) =!= dim,
+          raise_error(concat(lit("appendToIvfPqIndex: vector length "),
+            size(col("v")).cast("string"), lit(s" != dim=$dim"))))
+          .otherwise(col("v")))
+    val resid = assigned
+      .join(broadcast(centroids.select(col("cell"), col("cvec"))), Seq("cell"))
+      .withColumn("r", vectors.sub(col("v"), col("cvec")))
+    val tabbed = adcTable(resid.select(col("vec_id"), col("r")), Seq("vec_id"), "r",
+      codebook, dim / subspaces, codebookSize)
+    resid.join(tabbed, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        argminCodes(subspaces, codebookSize)
+          .as("codes", pqCodesMeta(subspaces, codebookSize, dim, residual = true)))
   }
 
   def annPqSearch(encoded: DataFrame, codebook: DataFrame, k: Int = 10,
@@ -646,6 +689,43 @@ object Similarity {
     val (corpus, centroids, codebook) =
       buildIvfPqIndex(Tables(spark, dir).embeddings, nClusters)
     annIvfPqSearch(corpus, centroids, codebook, k, numQueries, nProbe)
+  }
+
+  /** C7d `q81_ann_ivfpq_portable` — the composed residual-IVFADC
+    * SEARCH semantics on formula-chosen artifacts: centroids are q79's
+    * first-16 corpus vectors; the residual codebook's entry (s, k) is
+    * the s-th sub-vector of corpus vector (16+k)'s residual against
+    * its own assigned cell (the anchors' residuals are identically
+    * zero, so the NEXT sixteen vectors provide the entries). The whole
+    * corpus is then encoded through the PRODUCTION day-2 path
+    * ([[appendToIvfPqIndex]]: probe-rule cell assignment → residual →
+    * frozen-codebook argmin) and queries run the production
+    * [[annIvfPqSearch]] (per-(query, probed-cell) residual ADC tables,
+    * cell-pruned code-only scan, top-`rerank` cut, exact-cosine
+    * rerank). With q79 + q80 this pins the entire composed pipeline;
+    * only KMeans training itself remains oracle-free. */
+  def annIvfPqPortable(spark: SparkSession, dir: String, k: Int = 10,
+                       numQueries: Int = 5, nProbe: Int = 4, rerank: Int = 50,
+                       subspaces: Int = 8, codebookSize: Int = 16,
+                       dim: Int = 64): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val dsub = dim / subspaces
+    val centroids = prepVectors(emb).filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cvec"),
+        vectors.dot(col("v"), col("v")).as("c2"))
+    val codebook = appendToIvfIndex(
+        emb.filter(col("vec_id") >= 16 && col("vec_id") < 16 + codebookSize), centroids)
+      .join(broadcast(centroids.select(col("cell"), col("cvec"))), Seq("cell"))
+      .select((col("vec_id") - 16).cast("int").as("code"),
+        vectors.sub(col("v"), col("cvec")).as("r"))
+      .select(explode(array((0 until subspaces).map { s =>
+        struct(lit(s).as("subspace"), col("code"),
+          slice(col("r"), s * dsub + 1, dsub).as("centroid"))
+      }: _*)).as("cb"))
+      .select(col("cb.subspace"), col("cb.code"), col("cb.centroid"))
+    val corpus = appendToIvfPqIndex(emb, centroids, codebook, subspaces, codebookSize, dim)
+    annIvfPqSearch(corpus, centroids, codebook, k, numQueries, nProbe, rerank,
+      subspaces, codebookSize, dim)
   }
 
   /** The composed IVFADC artifact build — IVF coarse quantizer + PQ

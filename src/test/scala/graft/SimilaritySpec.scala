@@ -203,6 +203,50 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.nonEmpty && out.forall(_._2 <= 3))
   }
 
+  test("IVFADC day-2 append re-encodes the built corpus identically from persisted artifacts") {
+    import org.apache.spark.sql.functions._
+    val all = Tables(spark, sfDir).embeddings
+    val (corpus, centroids, codebook) = Similarity.buildIvfPqIndex(all)
+    // re-derive the ENTIRE corpus from the persisted artifacts alone
+    // (no KMeans model objects): cells and residual codes must match
+    // the build bit for bit — the appendToPqIndex parity contract,
+    // extended to the composed index
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_art").toString
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+    val re = Similarity.appendToIvfPqIndex(all,
+      spark.read.parquet(s"$dir/centroids"), spark.read.parquet(s"$dir/codebook"))
+    val mismatch = corpus.select(col("vec_id"), col("cell").as("bc"), col("codes").as("bcodes"))
+      .join(re.select(col("vec_id"), col("cell").as("ac"), col("codes").as("acodes")), Seq("vec_id"))
+      .filter(col("bc") =!= col("ac") || col("bcodes") =!= col("acodes"))
+      .count()
+    assert(mismatch == 0, s"$mismatch rows differ between build and day-2 re-encode")
+    // appended rows carry residual=true metadata: the composed search
+    // accepts them, and the raw-space search rejects them loudly
+    val out = Similarity.annIvfPqSearch(re, centroids, codebook, k = 3, numQueries = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty && out.forall(_._2 <= 3))
+    intercept[IllegalArgumentException] {
+      Similarity.annPqSearch(re, codebook, k = 3, numQueries = 2)
+    }
+  }
+
+  test("portable IVFADC twin: returns ranked neighbors with useful recall") {
+    val bf = Similarity.annBruteForce(spark, sfDir, k = 10, numQueries = 5)
+      .as[(Long, Long, Long, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val got = Similarity.annIvfPqPortable(spark, sfDir, k = 10, numQueries = 5)
+      .as[(Long, Long, Long, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val recalls = bf.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    // untrained centroids AND untrained residual codebook stack two
+    // approximations; this floor guards the assignment/encode/ADC
+    // plumbing (broken ≈ k/N ≈ 0.02), not artifact quality — semantic
+    // exactness is the q81 oracle's job
+    assert(mean >= 0.1, s"mean recall $mean too low — composed portable pipeline broken")
+  }
+
   test("IVF search plan carries no literal centroid arrays (index is a table, not plan text)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
