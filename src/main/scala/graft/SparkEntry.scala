@@ -66,6 +66,7 @@ object SparkEntry {
     "q79_ann_ivf_portable"       -> ((s, d) => Similarity.annIvfPortable(s, d)),
     "q80_ann_pq_portable"        -> ((s, d) => Similarity.annPqPortable(s, d)),
     "q81_ann_ivfpq_portable"     -> ((s, d) => Similarity.annIvfPqPortable(s, d)),
+    "q82_forecast_planted"       -> ((s, d) => Forecast.forecastPlanted(s, d)),
     "q36_ann_ivf"                -> ((s, d) => Similarity.annIvf(s, d)),
     "q47_ann_pq"                 -> ((s, d) => Similarity.annPq(s, d)),
     "q48_ann_ivfpq"              -> ((s, d) => Similarity.annIvfPq(s, d)),
@@ -978,6 +979,39 @@ object SparkEntry {
         |ranked AS (SELECT q_id, c_id, cos,
         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM scored)
         |SELECT q_id, rn AS rank, c_id, cos FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // q82: planted-coefficient certification of the dense-solve
+    // forecast path. The oracle regenerates the noiseless truth from
+    // the SAME closed-form formula with the same float expression
+    // trees (ω constants folded identically, knot = 0.8*119.0,
+    // left-associated sum) and pins recovered_ok TRUE — the Spark side
+    // computes it as |yhat − y_true| < 1e-3, so solver drift at any of
+    // the 402 points flips the flag and fails the hash. Coefficient
+    // literals are cast to DOUBLE up front (DuckDB parses decimal
+    // literals as DECIMAL; mixed-type arithmetic would diverge).
+    "q82_forecast_planted" ->
+      """WITH coefs0(grp, c0, c1, c2, a1, b1, a2, b2, rc) AS (VALUES
+        |  ('a', 120.0, 0.8, -1.5, 10.0, 6.0, -4.0, 2.5, 5.0),
+        |  ('b', 80.0, -0.4, 1.2, -7.0, 3.5, 2.0, -5.5, -3.0),
+        |  ('c', 200.0, 1.6, -2.4, 4.0, -9.0, 6.5, 1.0, 8.0)),
+        |coefs AS (SELECT grp, CAST(c0 AS DOUBLE) AS c0, CAST(c1 AS DOUBLE) AS c1,
+        |            CAST(c2 AS DOUBLE) AS c2, CAST(a1 AS DOUBLE) AS a1,
+        |            CAST(b1 AS DOUBLE) AS b1, CAST(a2 AS DOUBLE) AS a2,
+        |            CAST(b2 AS DOUBLE) AS b2, CAST(rc AS DOUBLE) AS rc
+        |          FROM coefs0),
+        |spine AS (SELECT grp, c0, c1, c2, a1, b1, a2, b2, rc,
+        |            CAST(xi AS DOUBLE) AS x,
+        |            DATE '2025-01-01' + CAST(xi AS INT) AS ds,
+        |            CAST(date_diff('day', DATE '1970-01-01',
+        |              DATE '2025-01-01' + CAST(xi AS INT)) AS DOUBLE) AS t
+        |          FROM coefs CROSS JOIN range(0, 134) r(xi))
+        |SELECT grp, ds,
+        |  round(c0 + c1*x + c2*greatest(0.0, x - 0.8*119.0)
+        |    + a1*sin(t*(2*pi()/7)) + b1*cos(t*(2*pi()/7))
+        |    + a2*sin(t*(2*pi()*2/7)) + b2*cos(t*(2*pi()*2/7))
+        |    + rc*sin(t*(2*pi()/30.5)), 4) AS y_true,
+        |  TRUE AS recovered_ok
+        |FROM spine ORDER BY grp, ds""".stripMargin,
 
     "q27_langid" ->
       s"""WITH toked AS (

@@ -971,6 +971,67 @@ object Forecast {
   def forecastYearly(spark: SparkSession, dir: String, horizon: Int = 14): DataFrame =
     forecastFourier(eventsDaily(spark, dir), Seq("event_type"), horizon)
 
+  /** `q82_forecast_planted` — the PLANTED-COEFFICIENT certification of
+    * the general dense-solve path ([[forecastFourier]] +
+    * [[solveDense]]) that q19 and q43 run on real data: three series
+    * are generated NOISELESSLY from explicit (intercept, slope,
+    * changepoint-delta, weekly-Fourier, regressor) coefficients, the
+    * production pipeline fits them (trend + 1 hinge + weekly order-2 +
+    * gated yearly + external regressor — the full joint basis, p=14),
+    * and because the truth lies exactly in the basis span, OLS must
+    * reproduce it. The per-key Gaussian-elimination solve itself is
+    * not ANSI-SQL-expressible, but the CONTRACT is: the oracle
+    * regenerates `y_true` from the same closed-form formula (identical
+    * float expression trees) and pins `recovered_ok` TRUE — a
+    * hash-mismatch fires if the solver's output drifts more than 1e-3
+    * from the planted truth at ANY of the 402 fitted/forecast points.
+    * (Direct 4-dp hashing of yhat would be flaky: the solve carries
+    * ~1e-9 ridge + elimination error, enough to straddle a rounding
+    * boundary occasionally; the tolerance-boolean keeps the check
+    * discrete and robust while still oracle-backing the solve.) */
+  def forecastPlanted(spark: SparkSession, dir: String, horizon: Int = 14): DataFrame = {
+    import spark.implicits._
+    val n = 120
+    val coefs = Seq(
+      ("a", 120.0, 0.8, -1.5, 10.0, 6.0, -4.0, 2.5, 5.0),
+      ("b", 80.0, -0.4, 1.2, -7.0, 3.5, 2.0, -5.5, -3.0),
+      ("c", 200.0, 1.6, -2.4, 4.0, -9.0, 6.5, 1.0, 8.0)
+    ).toDF("grp", "c0", "c1", "c2", "a1", "b1", "a2", "b2", "rc")
+    // full spine: history x ∈ [0, n) plus horizon x ∈ [n, n+horizon)
+    val spine = coefs
+      .select(col("grp"), col("c0"), col("c1"), col("c2"), col("a1"), col("b1"),
+        col("a2"), col("b2"), col("rc"),
+        explode(sequence(lit(0), lit(n - 1 + horizon))).as("xi"))
+      .withColumn("ds", date_add(lit(java.sql.Date.valueOf("2025-01-01")), col("xi")))
+      .withColumn("x", col("xi").cast("double"))
+      .withColumn("t", datediff(col("ds"), lit(java.sql.Date.valueOf("1970-01-01"))).cast("double"))
+    // the planted formula — every constant mirrors the operator's own
+    // float arithmetic (knot = fl(0.8)·fl(119), ω = fl(2π/period)) so
+    // the DuckDB twin can reproduce bit-compatible doubles
+    val w1 = 2.0 * math.Pi / 7.0
+    val w2 = 2.0 * math.Pi * 2.0 / 7.0
+    val wr = 2.0 * math.Pi / 30.5
+    val truthed = spine
+      .withColumn("reg", sin(col("t") * lit(wr)))
+      .withColumn("y_true",
+        col("c0") + col("c1") * col("x") +
+          col("c2") * greatest(lit(0.0), col("x") - lit(0.8) * lit((n - 1).toDouble)) +
+          col("a1") * sin(col("t") * lit(w1)) + col("b1") * cos(col("t") * lit(w1)) +
+          col("a2") * sin(col("t") * lit(w2)) + col("b2") * cos(col("t") * lit(w2)) +
+          col("rc") * col("reg"))
+      .localCheckpoint()
+    val hist = truthed.filter(col("xi") < n)
+      .select(col("grp"), col("ds"), col("y_true").as("y"), col("reg"))
+    val futR = truthed.filter(col("xi") >= n).select(col("grp"), col("ds"), col("reg"))
+    val out = forecastFourier(hist, Seq("grp"), horizon,
+      weeklyOrder = 2, yearlyOrder = 3, changepoints = 1,
+      regressorCols = Seq("reg"), futureReg = Some(futR), includeHistory = true)
+    out.join(truthed.select(col("grp"), col("ds"), col("y_true")), Seq("grp", "ds"))
+      .select(col("grp"), col("ds"), round(col("y_true"), 4).as("y_true"),
+        (abs(col("yhat") - col("y_true")) < 0.001).as("recovered_ok"))
+      .orderBy(col("grp"), col("ds"))
+  }
+
   /** Shared 4×4 Cramer formula trees for the ORACLE-EXPRESSIBLE joint
     * slice: one structural definition rendered to Spark `Column`s and
     * to DuckDB SQL (fully parenthesized), so both engines execute
