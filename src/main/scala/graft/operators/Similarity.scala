@@ -342,10 +342,13 @@ object Similarity {
         .otherwise(col(vecCol)))
     // the m fits are INDEPENDENT — run them as concurrent Spark jobs
     // (each internally distributed; the scheduler interleaves stages),
-    // so build wall-clock is ~one fit, not m sequential fits. Random
-    // init + bounded Lloyd's iterations: tiny per-subspace codebooks
-    // converge fast, and the exact rerank downstream absorbs residual
-    // quantization slack. Deterministic per (seed + subspace).
+    // so build wall-clock is ~one fit, not m sequential fits. k-means||
+    // init (the IVF build's default) + bounded Lloyd's iterations:
+    // random init collapses duplicate seeds on tightly-clustered
+    // subspace distributions (two seeds in one tight cluster → an empty
+    // cluster dies → fewer than codebookSize centers → the loud guard
+    // below fires), while k-means|| oversamples and keeps k spread
+    // centers. Deterministic per (seed + subspace).
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val models = Await.result(
@@ -358,7 +361,7 @@ object Similarity {
           scala.concurrent.blocking {
             val sub = checked.select(array_to_vector(slice(col(vecCol), s * dsub + 1, dsub)).as("fv"))
             new KMeans().setK(codebookSize).setSeed(seed + s)
-              .setMaxIter(10).setInitMode("random")
+              .setMaxIter(10)
               .setFeaturesCol("fv").setPredictionCol("code").fit(sub)
           }
         }

@@ -247,6 +247,86 @@ class SimilaritySpec extends SparkSpecBase {
     assert(mean >= 0.1, s"mean recall $mean too low — composed portable pipeline broken")
   }
 
+  // The one computation q79/q80/q81 deliberately leave uncertified is
+  // KMeans TRAINING itself (the q36 quantizer and the q47/q48
+  // codebooks). Certify it here on planted ground truth: 16 clusters
+  // whose centers differ by ≥ 4.0 in EVERY dimension (and in every
+  // 8-dim subspace) with ±0.01 jitter — a separation/diameter ratio
+  // where Lloyd's must recover the planted partition exactly, or the
+  // training is broken. Deterministic seed → no flake.
+  test("KMeans training recovers planted separable clusters: IVF quantizer and PQ codebooks") {
+    import org.apache.spark.sql.functions._
+    val nClusters = 16; val perCluster = 50; val dim = 64
+    def center(k: Int, d: Int): Double = ((k * 31 + d * 17) % 16).toDouble * 4.0
+    val pts = for (k <- 0 until nClusters; i <- 0 until perCluster) yield {
+      val id = (k * perCluster + i).toLong
+      val v = Array.tabulate(dim) { d =>
+        center(k, d) + ((id * 13 + d * 7) % 5 - 2).toDouble * 0.005
+      }
+      (id, k, v.toSeq)
+    }
+    val emb = pts.toDF("vec_id", "planted", "embedding")
+
+    // IVF quantizer: the planted partition must be recovered exactly
+    val (assigned, centroids) = Similarity.buildIvfIndex(emb, nClusters = nClusters)
+    val purity = assigned
+      .join(emb.select(col("vec_id"), col("planted")), Seq("vec_id"))
+      .groupBy(col("planted")).agg(countDistinct(col("cell")).as("ncells"),
+        first(col("cell")).as("cell"))
+      .collect()
+    assert(purity.forall(_.getLong(1) == 1L),
+      s"split planted clusters: ${purity.filter(_.getLong(1) != 1L).mkString(", ")}")
+    assert(purity.map(_.getInt(2)).distinct.length == nClusters,
+      "two planted clusters merged into one cell")
+    // and every planted center is recovered to within the jitter scale
+    // (inter-center gaps are ≥ 4·√64 ≈ 32 in L2 — 0.1 is conclusive)
+    val recovered = centroids.select(col("cvec")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    (0 until nClusters).foreach { k =>
+      val truth = Array.tabulate(dim)(center(k, _))
+      val best = recovered.map(c =>
+        math.sqrt(c.zip(truth).map { case (a, b) => (a - b) * (a - b) }.sum)).min
+      assert(best < 0.1, s"planted center $k not recovered: nearest centroid at L2 $best")
+    }
+
+    // PQ codebooks: train k=16 over EIGHT planted sub-patterns per
+    // subspace — k exactly equal to the tight-cluster count can land in
+    // a merged/split local optimum (seen at k=16/16: one subspace merged
+    // a pair), which is a property of Lloyd's, not a training bug.
+    // Over-provisioned k must (a) recover every planted sub-centroid
+    // and (b) quantize every point with distortion at jitter scale.
+    val pqPts = for (k <- 0 until 8; i <- 0 until 100) yield {
+      val id = (k * 100 + i).toLong
+      val v = Array.tabulate(dim) { d =>
+        center(k, d) + ((id * 13 + d * 7) % 5 - 2).toDouble * 0.005
+      }
+      (id, k, v.toSeq)
+    }
+    val pqEmb = pqPts.toDF("vec_id", "planted", "embedding")
+    val (encoded, codebook) = Similarity.buildPqIndex(pqEmb)
+    val cbRows = codebook.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val cbBySub = cbRows.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    for (s <- 0 until 8; k <- 0 until 8) {
+      val truth = Array.tabulate(8)(j => center(k, s * 8 + j))
+      val best = cbBySub(s).map(c =>
+        math.sqrt(c.zip(truth).map { case (a, b) => (a - b) * (a - b) }.sum)).min
+      assert(best < 0.1, s"subspace $s planted sub-centroid $k not recovered (L2 $best)")
+    }
+    val cbByCode = cbRows.map(r => (r._1, r._2) -> r._3).toMap
+    encoded.select(col("v"), col("codes")).collect().foreach { r =>
+      val v = r.getSeq[Double](0).toArray
+      val codes = r.getSeq[Int](1)
+      for (s <- 0 until 8) {
+        val c = cbByCode((s, codes(s)))
+        val dist = math.sqrt((0 until 8)
+          .map(j => (v(s * 8 + j) - c(j)) * (v(s * 8 + j) - c(j))).sum)
+        assert(dist < 0.1,
+          s"quantization distortion $dist in subspace $s — codebook lost a planted pattern")
+      }
+    }
+  }
+
   test("IVF search plan carries no literal centroid arrays (index is a table, not plan text)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
