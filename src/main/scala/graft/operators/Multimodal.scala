@@ -17,14 +17,16 @@ import org.apache.spark.sql.types._
   *
   * Codec status: the IMAGE path is REAL — [[decodeImages]] /
   * [[resizeImages]] use the JDK's own `javax.imageio` (PNG/JPEG/BMP/GIF,
-  * no external native libs) — and the AUDIO path is REAL too:
-  * [[decodeAudio]] uses the JDK's `javax.sound.sampled` (WAV/AIFF/AU
-  * PCM containers), so sample-rate/duration extraction and
-  * amplitude-feature computation genuinely run on the payload bytes.
-  * VIDEO codecs are not in the JDK or this container, so
-  * [[fakeDecode]] (neural-feature stand-in) and [[sampleFrames]]
-  * (container-timestamp stand-in) remain clearly-marked deterministic
-  * stubs with the real batch shape.
+  * no external native libs) — the AUDIO path is REAL
+  * ([[decodeAudio]] via the JDK's `javax.sound.sampled` WAV/AIFF/AU
+  * PCM containers), and the VIDEO path is REAL at the CONTAINER level:
+  * [[decodeVideo]] / [[sampleFrames]] parse the ISO-BMFF (MP4/MOV) box
+  * tree with the pure-JVM [[Mp4]] parser — dimensions, duration, frame
+  * count and per-frame stts timestamps, the metadata a media pipeline
+  * filters and shards on. The only remaining stub is the NEURAL
+  * featurizer [[fakeDecode]] (CLIP/CNN embedder — no model weights or
+  * pixel-level video codec exist in the JDK), clearly marked, with the
+  * real batch shape.
   */
 object Multimodal {
 
@@ -108,17 +110,174 @@ object Multimodal {
       .withColumn("resize_scale", round(scale, 4))
   }
 
-  /** STUB FRAME SAMPLER — video payload → up to `maxFrames` evenly-spaced
-    * frame records. The real sampler decodes container timestamps; the
-    * fake derives a deterministic frame count from the payload size and
-    * emits (doc_id, frame_idx, frame_ts_ms) rows via the same
-    * explode-shaped plan a real sampler would use (row count multiplies,
-    * payload bytes do NOT replicate per frame — only metadata explodes).
-    */
-  def sampleFrames(df: DataFrame, maxFrames: Int = 4, fpsMilli: Int = 40): DataFrame = {
-    val nFrames = least((octet_length(col("payload")) % 7 + 1).cast("int"), lit(maxFrames))
-    df.select(col("doc_id"), explode(sequence(lit(0), nFrames - 1)).as("frame_idx"))
-      .withColumn("frame_ts_ms", col("frame_idx").cast("long") * fpsMilli)
+  /** Minimal ISO-BMFF (MP4/MOV) container parser — pure JVM, no codec
+    * libraries: walks the box tree (public spec ISO/IEC 14496-12) and
+    * extracts the movie header (timescale, duration), the first VIDEO
+    * track's tkhd dimensions (16.16 fixed point), its media timescale,
+    * its stsz sample count (= frame count) and its stts duration
+    * entries (per-frame timestamps). This is container METADATA decode
+    * — the real thing a data pipeline filters/samples on — not pixel
+    * decode (the JDK has no video codec; the neural featurizer
+    * [[fakeDecode]] remains the declared stub). */
+  private[operators] object Mp4 {
+    final case class Meta(timescale: Long, durationMs: Double,
+                          width: Int, height: Int, nFrames: Long,
+                          mediaTimescale: Long, stts: Vector[(Long, Long)])
+
+    private def be16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def be64(b: Array[Byte], o: Int): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
+    private def boxType(b: Array[Byte], o: Int): String =
+      new String(b, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Child boxes of [start, end): (type, payloadStart, payloadEnd).
+      * size==1 → 64-bit largesize; size==0 → box runs to `end`. */
+    private def children(b: Array[Byte], start: Int, end: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var o = start
+        def hasNext: Boolean = o + 8 <= end
+        def next(): (String, Int, Int) = {
+          val sz = be32(b, o)
+          val tp = boxType(b, o)
+          val (pStart, boxEnd) =
+            if (sz == 1L) (o + 16, o + be64(b, o + 8).toInt)
+            else if (sz == 0L) (o + 8, end)
+            else (o + 8, o + sz.toInt)
+          if (boxEnd <= o || boxEnd > end)
+            throw new IllegalArgumentException(s"bad box size $sz for $tp at $o")
+          o = boxEnd
+          (tp, pStart, boxEnd)
+        }
+      }
+
+    private def find(b: Array[Byte], start: Int, end: Int, tp: String): Option[(Int, Int)] =
+      children(b, start, end).collectFirst { case (`tp`, s, e) => (s, e) }
+
+    def parse(b: Array[Byte]): Option[Meta] =
+      try {
+        val (moovS, moovE) = find(b, 0, b.length, "moov").getOrElse(return None)
+        val (mvhdS, _) = find(b, moovS, moovE, "mvhd").getOrElse(return None)
+        val mvhdVer = b(mvhdS) & 0xff
+        val (timescale, duration) =
+          if (mvhdVer == 1) (be32(b, mvhdS + 20), be64(b, mvhdS + 24))
+          else (be32(b, mvhdS + 12), be32(b, mvhdS + 16))
+        // first trak whose mdia/hdlr handler is 'vide'
+        val video = children(b, moovS, moovE).collectFirst {
+          case ("trak", ts, te) if find(b, ts, te, "mdia").exists { case (ms, me) =>
+            find(b, ms, me, "hdlr").exists { case (hs, _) =>
+              new String(b, hs + 8, 4, java.nio.charset.StandardCharsets.US_ASCII) == "vide" }
+          } => (ts, te)
+        }.getOrElse(return None)
+        val (trakS, trakE) = video
+        val (tkhdS, _) = find(b, trakS, trakE, "tkhd").getOrElse(return None)
+        val tkhdVer = b(tkhdS) & 0xff
+        val dimOff = if (tkhdVer == 1) 88 else 76
+        val width = be16(b, tkhdS + dimOff)       // 16.16 fixed → integer part
+        val height = be16(b, tkhdS + dimOff + 4)
+        val (mdiaS, mdiaE) = find(b, trakS, trakE, "mdia").get
+        val (mdhdS, _) = find(b, mdiaS, mdiaE, "mdhd").getOrElse(return None)
+        val mediaTimescale =
+          if ((b(mdhdS) & 0xff) == 1) be32(b, mdhdS + 20) else be32(b, mdhdS + 12)
+        val (minfS, minfE) = find(b, mdiaS, mdiaE, "minf").getOrElse(return None)
+        val (stblS, stblE) = find(b, minfS, minfE, "stbl").getOrElse(return None)
+        val (stszS, _) = find(b, stblS, stblE, "stsz").getOrElse(return None)
+        val nFrames = be32(b, stszS + 8)
+        val stts = find(b, stblS, stblE, "stts").map { case (s, _) =>
+          val n = be32(b, s + 4).toInt
+          Vector.tabulate(n)(i => (be32(b, s + 8 + i * 8), be32(b, s + 12 + i * 8)))
+        }.getOrElse(Vector.empty)
+        if (timescale == 0 || mediaTimescale == 0) None
+        else Some(Meta(timescale, duration * 1000.0 / timescale, width, height,
+          nFrames, mediaTimescale, stts))
+      } catch { case _: Exception => None }
+
+    /** Timestamps (ms) of `idxs` (ASCENDING sample indices) from the
+      * stts table — ONE cumulative walk, O(entries + idxs). */
+    def sampleTimesMs(m: Meta, idxs: Seq[Long]): Seq[Double] = {
+      val out = Vector.newBuilder[Double]
+      var cum = 0L; var sample = 0L
+      var it = idxs.iterator
+      var want = if (it.hasNext) it.next() else -1L
+      m.stts.foreach { case (count, delta) =>
+        while (want >= 0 && want < sample + count) {
+          out += (cum + (want - sample) * delta) * 1000.0 / m.mediaTimescale
+          want = if (it.hasNext) it.next() else -1L
+        }
+        cum += count * delta; sample += count
+      }
+      // indices past the stts table (malformed container): clamp to end
+      while (want >= 0) {
+        out += cum * 1000.0 / m.mediaTimescale
+        want = if (it.hasNext) it.next() else -1L
+      }
+      out.result()
+    }
+  }
+
+  /** Output schema of the REAL video container decode. */
+  val videoDecodeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", DoubleType),
+    StructField("n_frames", LongType),
+    StructField("fps", DoubleType),
+    StructField("decode_ok", BooleanType, nullable = false)))
+
+  /** REAL video container decode via the pure-JVM [[Mp4]] box parser:
+    * dimensions, duration, frame count and mean fps from the MP4/MOV
+    * container structure — the metadata a 100 TB media pipeline
+    * filters and shards on. Batched per partition; non-MP4/corrupt
+    * payloads → decode_ok=false, the task never dies on one bad blob. */
+  def decodeVideo(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col("doc_id").cast("long"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Mp4.parse(r.getAs[Array[Byte]](1)) match {
+            case Some(m) =>
+              val fps = if (m.durationMs > 0) m.nFrames * 1000.0 / m.durationMs else 0.0
+              Row(id, m.width, m.height, m.durationMs, m.nFrames,
+                math.rint(fps * 10000) / 10000, true)
+            case None => Row(id, null, null, null, null, null, false)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, videoDecodeSchema)
+  }
+
+  /** Output schema of the REAL frame sampler. */
+  val frameSampleSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("frame_ts_ms", DoubleType)))
+
+  /** REAL frame sampler: up to `maxFrames` evenly-spaced sample indices
+    * per video, with CONTAINER timestamps from the stts table (replacing
+    * the former payload-size stub). Row count multiplies per frame but
+    * payload bytes do NOT replicate — only (doc_id, idx, ts) rows leave
+    * the partition. Undecodable payloads contribute zero rows. */
+  def sampleFrames(df: DataFrame, maxFrames: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col("doc_id").cast("long"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          Mp4.parse(r.getAs[Array[Byte]](1)) match {
+            case Some(m) if m.nFrames > 0 =>
+              val k = math.min(maxFrames.toLong, m.nFrames)
+              val idxs = (0L until k).map(j => j * m.nFrames / k)
+              idxs.zip(Mp4.sampleTimesMs(m, idxs)).map { case (i, ts) => Row(id, i, ts) }
+            case _ => Nil
+          }
+        }
+      }
+    spark.createDataFrame(rdd, frameSampleSchema)
   }
 
   /** Output schema of the REAL image decode: intrinsic dimensions and a

@@ -107,14 +107,59 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(1) == ((2L, 100L, 50L)))    // already small — untouched
   }
 
-  test("frame sampler explodes metadata rows, bounded by maxFrames") {
-    val df = Seq((1L, "abcdefgh".getBytes), (2L, "ab".getBytes)).toDF("doc_id", "payload")
-    val out = Multimodal.sampleFrames(df, maxFrames = 3)
-      .select("doc_id", "frame_idx", "frame_ts_ms").as[(Long, Int, Long)].collect()
-    val byDoc = out.groupBy(_._1)
-    assert(byDoc.values.forall(_.length <= 3))
-    assert(byDoc.values.forall(fs => fs.map(_._2).sorted.sameElements(fs.indices)))
-    assert(out.forall { case (_, idx, ts) => ts == idx * 40L })
+  // --- planted MP4 construction: a spec-conformant ISO-BMFF box tree
+  // (ISO/IEC 14496-12 layouts), built byte by byte so every parsed
+  // value has a known planted truth ---
+  private def beInt(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v).array()
+  private def zeros(n: Int): Array[Byte] = new Array[Byte](n)
+  private def mbox(tp: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    beInt(body.length + 8) ++ tp.getBytes("US-ASCII") ++ body
+  }
+  private def plantedTrak(handler: String, w: Int, h: Int, nSamples: Int,
+                          sttsEntries: Seq[(Int, Int)]): Array[Byte] = {
+    val tkhd = mbox("tkhd", zeros(12), beInt(1), zeros(4), beInt(1200), zeros(52),
+      beInt(w << 16), beInt(h << 16))
+    val mdhd = mbox("mdhd", zeros(12), beInt(600), beInt(1200), zeros(4))
+    val hdlr = mbox("hdlr", zeros(8), handler.getBytes("US-ASCII"), zeros(13))
+    val stsz = mbox("stsz", zeros(4), beInt(1), beInt(nSamples))
+    val stts = mbox("stts", zeros(4), beInt(sttsEntries.size),
+      sttsEntries.toArray.flatMap { case (c, d) => beInt(c) ++ beInt(d) })
+    mbox("trak", tkhd, mbox("mdia", mdhd, hdlr, mbox("minf", mbox("stbl", stsz, stts))))
+  }
+  private lazy val plantedMp4: Array[Byte] = {
+    val ftyp = mbox("ftyp", "isom".getBytes("US-ASCII"), beInt(0), "isom".getBytes("US-ASCII"))
+    // movie: timescale 600, duration 1200 → 2000 ms; an AUDIO trak
+    // FIRST (the handler filter must skip it), then the video trak:
+    // 320×240, 48 frames, stts deltas 24×20 then 24×30 media ticks
+    val mvhd = mbox("mvhd", zeros(12), beInt(600), beInt(1200), zeros(80))
+    val audio = plantedTrak("soun", 0, 0, 999, Seq((999, 10)))
+    val video = plantedTrak("vide", 320, 240, 48, Seq((24, 20), (24, 30)))
+    ftyp ++ mbox("moov", mvhd, audio, video)
+  }
+
+  test("video container decode parses planted MP4 metadata; corrupt payloads flag cleanly") {
+    val df = Seq((1L, plantedMp4), (2L, "not an mp4 at all".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeVideo(df)
+      .select("doc_id", "width", "height", "duration_ms", "n_frames", "fps", "decode_ok")
+      .as[(Long, Option[Int], Option[Int], Option[Double], Option[Long], Option[Double], Boolean)]
+      .collect().sortBy(_._1)
+    assert(out(0) == ((1L, Some(320), Some(240), Some(2000.0), Some(48L), Some(24.0), true)))
+    assert(!out(1)._7 && out(1)._2.isEmpty, "garbage payload → decode_ok=false, null facts")
+  }
+
+  test("frame sampler emits real container timestamps, bounded by maxFrames") {
+    val df = Seq((1L, plantedMp4), (2L, "junk".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.sampleFrames(df, maxFrames = 4)
+      .select("doc_id", "frame_idx", "frame_ts_ms").as[(Long, Long, Double)]
+      .collect().sortBy(_._2)
+    // 48 frames sampled at 4 → indices 0, 12, 24, 36; stts walk:
+    // first 24 frames 20 ticks, rest 30 ticks, media timescale 600 →
+    // 0 ms, 240/600 s, 480/600 s, (480+360)/600 s
+    assert(out.forall(_._1 == 1L), "undecodable payload must contribute zero rows")
+    assert(out.map(r => (r._2, r._3)).toSeq ==
+      Seq((0L, 0.0), (12L, 400.0), (24L, 800.0), (36L, 1400.0)))
   }
 
   test("q31 metadata stays typed and payload-independent sizes line up") {
