@@ -723,9 +723,16 @@ object Dedup {
     * text). The kernel length-prefixes each token, so two windows
     * collide only by 64-bit hash accident, ~(windows²)/2⁶⁴ — at that
     * rate a collision marks an innocent window hot and cuts it from
-    * its documents; the registered q70 query is oracle-checked
-    * end-to-end against a string-keyed census, direct calls carry the
-    * probabilistic bound only. ONE window-hash census finds the hot windows, and
+    * its documents. `verified = true` closes even that gap: hashes
+    * that census hot are RE-CHECKED BY TOKEN CONTENT before any cut —
+    * only (hash, exact-text) occurrences repeated across > maxDocs
+    * docs are removed, so an innocent window sharing a hash with a
+    * genuinely-hot one survives. The re-check touches ONLY hot-hash
+    * windows (a vanishing fraction of the corpus), so the verified
+    * mode costs one extra join over a tiny frame. The registered q70
+    * query is oracle-checked end-to-end against a string-keyed census;
+    * unverified direct calls carry the probabilistic bound.
+    * ONE window-hash census finds the hot windows, and
     * a token is removed iff some hot window covers it — a per-doc
     * trailing ROWS max over the dense token positions, one exchange.
     * Tokens reassemble in order; empty split tokens are kept so
@@ -739,7 +746,7 @@ object Dedup {
     */
   def dropRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 6, maxDocs: Int = 1,
-                        sep: String = " "): DataFrame = {
+                        sep: String = " ", verified: Boolean = false): DataFrame = {
     require(k >= 2, s"k must be >= 2 (a 1-token span is a stopword filter), got $k")
     require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
     val arr = tokenArrays(docs, idCol, textCol, sep).localCheckpoint()
@@ -749,7 +756,26 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") > maxDocs)
       .select(col("whash"), lit(true).as("_hot"))
-    removeCoveredSpans(arr, wins, hot, idCol, textCol, k, sep)
+    if (!verified)
+      removeCoveredSpans(arr, wins, hot, idCol, textCol, k, sep)
+    else {
+      // refetch the ACTUAL tokens of hot-hash windows only and
+      // re-census at (hash, exact text) grain: a 64-bit collision puts
+      // two different texts under one hash, and only the text repeated
+      // across > maxDocs docs gets its occurrences cut
+      val withText = wins.join(hot, Seq("whash"))
+        .join(arr, Seq(idCol))
+        .select(col(idCol), col("wstart"), col("whash"),
+          array_join(slice(col("_toks"), col("wstart") + 1, lit(k)), sep).as("_wtext"))
+      val verifiedKeys = withText
+        .groupBy(col("whash"), col("_wtext"))
+        .agg(countDistinct(col(idCol)).as("_nd"))
+        .filter(col("_nd") > maxDocs)
+        .select(col("whash"), col("_wtext"))
+      val hotStarts = withText.join(verifiedKeys, Seq("whash", "_wtext"))
+        .select(col(idCol), col("wstart"), lit(true).as("_hs"))
+      removeCoveredSpansFromStarts(arr, hotStarts, idCol, textCol, k, sep)
+    }
   }
 
   /** Token-array frame shared by the one-shot span rule and every span
@@ -792,10 +818,18 @@ object Dedup {
     * here, the two callers differ only in how windows become hot. */
   private def removeCoveredSpans(arr: DataFrame, wins: DataFrame, hot: DataFrame,
                                  idCol: String, textCol: String,
-                                 k: Int, sep: String): DataFrame = {
-    val hotStarts = wins
-      .join(hot, Seq("whash"), "left")
-      .select(col(idCol), col("wstart"), coalesce(col("_hot"), lit(false)).as("_hs"))
+                                 k: Int, sep: String): DataFrame =
+    removeCoveredSpansFromStarts(arr,
+      wins.join(hot, Seq("whash"), "left")
+        .select(col(idCol), col("wstart"), coalesce(col("_hot"), lit(false)).as("_hs")),
+      idCol, textCol, k, sep)
+
+  /** [[removeCoveredSpans]] from an already-resolved hot-start frame
+    * (id, wstart, _hs) — the verified mode resolves hotness at
+    * (hash, exact-text) occurrence grain instead of hash grain. */
+  private def removeCoveredSpansFromStarts(arr: DataFrame, hotStarts: DataFrame,
+                                           idCol: String, textCol: String,
+                                           k: Int, sep: String): DataFrame = {
     val tokRows = arr.select(col(idCol), posexplode(col("_toks"))).toDF(idCol, "pos", "tok")
     val covW = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(-(k - 1), 0)

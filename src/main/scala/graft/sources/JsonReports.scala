@@ -115,13 +115,28 @@ object JsonReports {
     * Pass `actionTypes` to pin the output columns (no discovery scan);
     * None discovers the distinct types with one aggregation first, the
     * Spark analog of the reference's `_unique_actions` pass.
+    *
+    * `maxActionTypes` bounds the discovery collect: the action-type
+    * vocabulary is small in practice (FB's is a few dozen), but the
+    * discovered set sizes BOTH the driver collect and the output schema
+    * — an adversarial or malformed upstream with high-cardinality
+    * action_type values would otherwise blow the driver and produce a
+    * thousand-column frame silently. Over the bound, fail loudly and
+    * point at the pin-the-types escape hatch.
     */
   def actionColumns(df: DataFrame, listCol: String,
-                    actionTypes: Option[Seq[String]] = None): DataFrame = {
+                    actionTypes: Option[Seq[String]] = None,
+                    maxActionTypes: Int = 256): DataFrame = {
     val types: Seq[String] = actionTypes.getOrElse {
-      df.select(explode(coalesce(col(listCol), array())).as("a"))
+      val found = df.select(explode(coalesce(col(listCol), array())).as("a"))
         .select(col("a.action_type")).distinct()
+        .limit(maxActionTypes + 1)
         .collect().map(_.getString(0)).filter(t => t != null && t.nonEmpty).toSeq.sorted
+      require(found.size <= maxActionTypes,
+        s"actionColumns discovered more than $maxActionTypes distinct action types in " +
+          s"'$listCol' — the upstream is malformed or adversarial; pass actionTypes=Some(...) " +
+          "to pin the expected vocabulary (or raise maxActionTypes deliberately)")
+      found
     }
     val withCols = types.foldLeft(df) { (acc, t) =>
       acc.withColumn(s"_action_$t",

@@ -373,6 +373,33 @@ class DedupSpec extends SparkSpecBase {
     assert(lax.forall(_._4 == 0L), s"threshold 2 must keep 2-doc runs: $lax")
   }
 
+  test("dropRepeatedSpans verified mode re-checks hot windows by content, matching unverified output") {
+    // a 64-bit window-hash collision cannot be constructed by design
+    // (that IS the guarantee), so the verified mode is asserted two
+    // ways: it still cuts genuinely repeated spans (content re-check
+    // confirms real hot windows), and absent collisions its output is
+    // IDENTICAL to the unverified path — on planted docs and on the
+    // real corpus at spec scale
+    val run = "the quick brown fox jumps over fences"
+    val docs = Seq(
+      (1L, s"alpha one $run tail one"),
+      (2L, s"beta $run endx two two"),
+      (3L, "entirely unique words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val ver = Dedup.dropRepeatedSpans(docs, "doc_id", "text", k = 4, verified = true)
+      .orderBy(col("doc_id")).as[(Long, String, Long, Long)].collect().toSeq
+    val unver = Dedup.dropRepeatedSpans(docs, "doc_id", "text", k = 4)
+      .orderBy(col("doc_id")).as[(Long, String, Long, Long)].collect().toSeq
+    assert(ver == unver, s"verified/unverified diverge on planted docs:\n$ver\n$unver")
+    assert(ver.head._4 == 7L, "verified mode must still cut the genuinely repeated run")
+
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val verC = Dedup.dropRepeatedSpans(corpus, "doc_id", "text", k = 6, verified = true)
+    val unverC = Dedup.dropRepeatedSpans(corpus, "doc_id", "text", k = 6)
+    assert(verC.exceptAll(unverC).unionAll(unverC.exceptAll(verC)).isEmpty,
+      "verified/unverified diverge on the real corpus (no collisions exist at this scale)")
+  }
+
   test("pickRepresentatives elects the highest-quality copy per cluster, ties on id") {
     val clusters = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L),   // cluster 1: best score is doc 2

@@ -90,6 +90,25 @@ class SourcesSpec extends SparkSpecBase {
     assert(rows.toSeq == Seq((5.0, 2.0), (1.0, 0.0), (0.0, 0.0)))  // missing → 0, like _split_text
   }
 
+  test("actionColumns discovery is bounded: over maxActionTypes fails loud, pinned types bypass") {
+    val wide = (0 until 40).map { i =>
+      (i.toLong, s"""[{"action_type": "t$i", "value": 1.0}]""")
+    }.toDF("ad_id", "actions_json")
+    val parsed = wide.withColumn("actions",
+      from_json(col("actions_json"), org.apache.spark.sql.types.ArrayType(
+        JsonReports.schemaOf("action_type STRING, value DOUBLE")))).drop("actions_json")
+    val e = intercept[IllegalArgumentException] {
+      JsonReports.actionColumns(parsed, "actions", maxActionTypes = 10)
+    }
+    assert(e.getMessage.contains("pass actionTypes"), e.getMessage)
+    // pinned types never scan, so the bound does not apply
+    val pinned = JsonReports.actionColumns(parsed, "actions",
+      actionTypes = Some(Seq("t1", "t2")), maxActionTypes = 1)
+    assert(pinned.columns.toSet == Set("ad_id", "_action_t1", "_action_t2"))
+    // and the default bound admits normal vocabularies
+    assert(JsonReports.actionColumns(parsed, "actions").columns.length == 41)
+  }
+
   test("tiktokReport flattens data.list records to leaf-named columns") {
     // faithful page shape: data.list of {dimensions, metrics} records,
     // two pages arriving as two payload rows (the pagination union)
