@@ -563,15 +563,22 @@ object Similarity {
           raise_error(concat(lit("appendToIvfPqIndex: vector length "),
             size(col("v")).cast("string"), lit(s" != dim=$dim"))))
           .otherwise(col("v")))
+    // materialized once: the ADC distance table AND the final code join
+    // both fork from this frame — lazily the cell-assignment window and
+    // the residual math would run twice per append
     val resid = assigned
       .join(broadcast(centroids.select(col("cell"), col("cvec"))), Seq("cell"))
       .withColumn("r", vectors.sub(col("v"), col("cvec")))
+      .localCheckpoint()
     val tabbed = adcTable(resid.select(col("vec_id"), col("r")), Seq("vec_id"), "r",
       codebook, dim / subspaces, codebookSize)
-    resid.join(tabbed, Seq("vec_id"))
+    val out = resid.join(tabbed, Seq("vec_id"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
         argminCodes(subspaces, codebookSize)
           .as("codes", pqCodesMeta(subspaces, codebookSize, dim, residual = true)))
+      .localCheckpoint()
+    Dedup.freeBlocks(resid)
+    out
   }
 
   def annPqSearch(encoded: DataFrame, codebook: DataFrame, k: Int = 10,
