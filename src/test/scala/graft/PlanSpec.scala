@@ -95,6 +95,20 @@ class PlanSpec extends SparkSpecBase {
       "probes must broadcast onto the corpus scan")
   }
 
+  test("portable PQ/IVFADC twins broadcast codebooks and probes, no cartesian operator") {
+    // q80/q81 run the PRODUCTION encode+search paths on formula
+    // artifacts — the certification is only meaningful if those paths
+    // keep the production plan shape: tiny codebook/centroid/query
+    // tables broadcast onto the corpus scan, never a real cartesian
+    for (q <- Seq("q80_ann_pq_portable", "q81_ann_ivfpq_portable")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: codebook/probe joins must broadcast, not cartesian:\n${plan.take(1200)}")
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: expected broadcast joins in the search path")
+    }
+  }
+
   test("cohort retention reads events exactly once (sizes come from a window, not a re-scan)") {
     val plan = SparkEntry.queries("q55_cohort_retention")(spark, sfDir)
       .queryExecution.executedPlan.toString
