@@ -23,10 +23,15 @@ import org.apache.spark.sql.types._
   * [[decodeVideo]] / [[sampleFrames]] parse the ISO-BMFF (MP4/MOV) box
   * tree with the pure-JVM [[Mp4]] parser — dimensions, duration, frame
   * count and per-frame stts timestamps, the metadata a media pipeline
-  * filters and shards on. The only remaining stub is the NEURAL
-  * featurizer [[fakeDecode]] (CLIP/CNN embedder — no model weights or
-  * pixel-level video codec exist in the JDK), clearly marked, with the
-  * real batch shape.
+  * filters and shards on. CLASSICAL feature extraction is REAL too:
+  * [[imageFeatures]] (grid-luma descriptor from decoded pixels) and
+  * [[audioFeatures]] (temporal RMS envelope from decoded PCM) emit
+  * model-shaped Array[Float] vectors the ANN/dedup operators consume
+  * unchanged. The only remaining stub is the NEURAL embedder
+  * [[fakeDecode]] (CLIP/CNN — no model weights exist in this
+  * container), clearly marked, with the real batch shape; swap its
+  * body for a model call and every downstream path is already proven
+  * on real media.
   */
 object Multimodal {
 
@@ -330,6 +335,142 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, imageDecodeSchema)
+  }
+
+  /** Output schema of the REAL image featurizer. */
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("features", ArrayType(FloatType, containsNull = false)),
+    StructField("decode_ok", BooleanType, nullable = false)))
+
+  /** REAL image feature extraction — a classical grid-luma descriptor
+    * computed from ACTUAL decoded pixels: the image is divided into
+    * `grid`×`grid` cells and each feature is that cell's mean
+    * luminance in [0, 1], row-major (the 8×8 default gives the same
+    * 64-dim Array[Float] shape a CLIP embedder would emit, so the
+    * downstream ANN/dedup operators consume it unchanged). Pixels are
+    * sampled on a bounded stride (≤ ~64 samples per cell axis), so a
+    * giant image costs the same as a small one. This is what closes
+    * the featurizer gap honestly: the NEURAL embedder ([[fakeDecode]])
+    * stays a stub because no model weights ship here, but the
+    * decode→feature plumbing is proven on real pixels end to end —
+    * swap the per-cell statistic for a model call and nothing else
+    * changes. Corrupt payloads → empty features + decode_ok=false. */
+  def imageFeatures(df: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 1, s"grid must be >= 1, got $grid")
+    val spark = df.sparkSession
+    val rdd = df.select(col("doc_id").cast("long"), col("payload")).rdd
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            catch { case _: Exception => null }
+          if (img == null) Row(id, Seq.empty[Float], false)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val sums = new Array[Double](grid * grid)
+            val counts = new Array[Long](grid * grid)
+            val stepX = math.max(1, w / (grid * 64))
+            val stepY = math.max(1, h / (grid * 64))
+            var y = 0
+            while (y < h) {
+              val cy = math.min(grid - 1, y * grid / h)
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val luma = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                  0.114 * (rgb & 0xff)
+                val c = cy * grid + math.min(grid - 1, x * grid / w)
+                sums(c) += luma; counts(c) += 1
+                x += stepX
+              }
+              y += stepY
+            }
+            val feats = Array.tabulate(grid * grid)(c =>
+              if (counts(c) == 0) 0f else (sums(c) / counts(c) / 255.0).toFloat)
+            Row(id, feats.toSeq, true)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, imageFeatureSchema)
+  }
+
+  /** Output schema of the REAL audio featurizer. */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("features", ArrayType(FloatType, containsNull = false)),
+    StructField("decode_ok", BooleanType, nullable = false)))
+
+  /** REAL audio feature extraction — the temporal RMS envelope from
+    * ACTUAL decoded PCM: the signal is divided into `slices` equal
+    * time slices and each feature is that slice's RMS amplitude in
+    * [0, 1] (the classical energy envelope a speech/music gate
+    * thresholds on). Decoding streams in bounded chunks exactly like
+    * [[decodeAudio]] — per-block (sumSq, n) accumulators are folded,
+    * never the raw samples, so an hour of audio costs O(blocks)
+    * memory. Same honest division of labor as [[imageFeatures]]: the
+    * mel-spectrogram NET stays [[fakeDecode]]'s stub, the
+    * decode→feature plumbing runs on real samples. */
+  def audioFeatures(df: DataFrame, slices: Int = 8): DataFrame = {
+    require(slices >= 1, s"slices must be >= 1, got $slices")
+    val spark = df.sparkSession
+    val rdd = df.select(col("doc_id").cast("long"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val fmt = ais.getFormat
+            val target = new javax.sound.sampled.AudioFormat(
+              fmt.getSampleRate, 16, fmt.getChannels, true, false)
+            val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+            // per-block energy: 4096 samples per block keeps the buffer
+            // ~n/4096 entries of two numbers — bounded for any payload
+            val blockSamples = 4096
+            val blocks = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+            var bSum = 0.0; var bN = 0L
+            def fold(lo: Byte, hi: Byte): Unit = {
+              val s = ((lo & 0xff) | (hi << 8)).toShort / 32768.0
+              bSum += s * s; bN += 1
+              if (bN == blockSamples) { blocks += ((bSum, bN)); bSum = 0.0; bN = 0 }
+            }
+            val chunk = new Array[Byte](8192)
+            var carry = 0; var haveCarry = false
+            var k = pcm.read(chunk)
+            while (k > 0) {
+              var i = 0
+              if (haveCarry) { fold(carry.toByte, chunk(0)); haveCarry = false; i = 1 }
+              while (i + 1 < k) { fold(chunk(i), chunk(i + 1)); i += 2 }
+              if (i < k) { carry = chunk(i); haveCarry = true }
+              k = pcm.read(chunk)
+            }
+            if (bN > 0) blocks += ((bSum, bN))
+            val total = blocks.map(_._2).sum
+            if (total == 0) Row(id, Seq.empty[Float], false)
+            else {
+              // assign whole blocks to slices by cumulative sample
+              // position (block-granularity boundaries — exact for any
+              // signal longer than slices·blockSamples)
+              val sums = new Array[Double](slices)
+              val counts = new Array[Long](slices)
+              var cum = 0L
+              blocks.foreach { case (sq, n) =>
+                val s = math.min(slices - 1, (cum * slices / total).toInt)
+                sums(s) += sq; counts(s) += n; cum += n
+              }
+              val feats = Array.tabulate(slices)(s =>
+                if (counts(s) == 0) 0f else math.sqrt(sums(s) / counts(s)).toFloat)
+              Row(id, feats.toSeq, true)
+            }
+          } catch {
+            case _: Exception => Row(id, Seq.empty[Float], false)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, audioFeatureSchema)
   }
 
   /** Output schema of the REAL resize: re-encoded payload + new dims. */

@@ -107,6 +107,55 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(1) == ((2L, 100L, 50L)))    // already small — untouched
   }
 
+  test("imageFeatures computes the grid-luma descriptor from real pixels") {
+    // left half black, right half white, 64×64: grid=2 features are
+    // row-major [left≈0, right≈1, left≈0, right≈1]
+    val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) img.setRGB(x, y, if (x < 32) 0x000000 else 0xffffff)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val df = Seq((1L, buf.toByteArray), (2L, "junk".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.imageFeatures(df, grid = 2)
+      .select("doc_id", "features", "decode_ok").as[(Long, Seq[Float], Boolean)]
+      .collect().sortBy(_._1)
+    assert(out(0)._3 && out(0)._2.length == 4)
+    val f = out(0)._2
+    assert(f(0) < 0.01 && f(2) < 0.01, s"black cells must be ~0: $f")
+    assert(f(1) > 0.99 && f(3) > 0.99, s"white cells must be ~1: $f")
+    assert(!out(1)._3 && out(1)._2.isEmpty, "corrupt payload → empty features, ok=false")
+    // default grid emits the 64-dim CLIP-shaped vector
+    assert(Multimodal.imageFeatures(df).select("features").as[Seq[Float]]
+      .collect().head.length == 64)
+  }
+
+  test("audioFeatures computes the temporal RMS envelope from real samples") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // first half silence, second half a constant-amplitude square wave
+    // at 0.5 → slices=2 envelope is [0, 0.5]; length is a multiple of
+    // the 4096-sample block so the slice boundary is exact
+    val n = 4096 * 4
+    val pcm = new Array[Byte](n * 2)
+    (n / 2 until n).foreach { i =>
+      val s: Short = if (i % 2 == 0) 16384 else -16384
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val wav = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, wav)
+    val df = Seq((1L, wav.toByteArray), (2L, "junk".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.audioFeatures(df, slices = 2)
+      .select("doc_id", "features", "decode_ok").as[(Long, Seq[Float], Boolean)]
+      .collect().sortBy(_._1)
+    assert(out(0)._3 && out(0)._2.length == 2)
+    val f = out(0)._2
+    assert(f(0) < 0.001, s"silent slice must be ~0: $f")
+    assert(math.abs(f(1) - 0.5) < 0.01, s"square-wave slice RMS must be ~0.5: $f")
+    assert(!out(1)._3 && out(1)._2.isEmpty)
+  }
+
   // --- planted MP4 construction: a spec-conformant ISO-BMFF box tree
   // (ISO/IEC 14496-12 layouts), built byte by byte so every parsed
   // value has a known planted truth ---
