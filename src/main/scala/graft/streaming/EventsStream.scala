@@ -536,6 +536,41 @@ object EventsStream {
       }
       .start()
 
+  /** D2→C7d bridge — streaming COMPOSED-index (residual IVFADC)
+    * ingest: each micro-batch of new embeddings extends the corpus
+    * table through the production day-2 append
+    * ([[graft.operators.Similarity.appendToIvfPqIndex]] — probe-rule
+    * cell assignment, residual encode against the FROZEN persisted
+    * codebook; no KMeans model objects), so composed searches see new
+    * vectors within one trigger. Replay-idempotent like
+    * [[ivfIngestStream]]: already-indexed ids anti-join away before
+    * the append. Same visibility/bucket-spec/drift caveats as the IVF
+    * twin — re-run the batch build when recall decays; the stream only
+    * extends cells.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def ivfPqIngestStream(embeddings: DataFrame, corpusTable: String,
+                        centroidsPath: String, codebookPath: String,
+                        checkpointDir: String, numBuckets: Int = 8):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val centroids = spark.read.parquet(centroidsPath)
+        val codebook = spark.read.parquet(codebookPath)
+        graft.operators.Similarity.appendToIvfPqIndex(batch, centroids, codebook)
+          .join(spark.table(corpusTable).select(col("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet")
+          .bucketBy(numBuckets, "cell")
+          .sortBy("cell")
+          .saveAsTable(corpusTable)
+      }
+      .start()
+
   /** D1→A20 bridge — streaming anomaly flags: the q58 semantics
     * (daily counts z-scored against the trailing `baselineDays`-day
     * baseline, current day excluded) applied IN-FLIGHT.

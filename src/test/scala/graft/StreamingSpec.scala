@@ -498,6 +498,58 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C7d: streaming IVFADC ingest extends the composed index exactly once") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // seed: build the composed index on the first 300 ids, persist the
+    // artifacts the stream is allowed to use (centroids + codebook
+    // parquet — no model objects cross the batch/stream boundary)
+    val all = Tables(spark, sfDir).embeddings
+    val (corpus, centroids, codebook) = Similarity.buildIvfPqIndex(
+      all.filter(col("vec_id") < 300))
+    graft.sources.Bucketing.writeBucketed(corpus, "stream_ivfpq", Seq("cell"), 8)
+    val artDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_art_s").toString
+    centroids.write.mode("overwrite").parquet(s"$artDir/centroids")
+    codebook.write.mode("overwrite").parquet(s"$artDir/codebook")
+    val before = spark.table("stream_ivfpq").count()
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val cp = java.nio.file.Files.createTempDirectory("graft_ivfpq_cp").toString
+    val q = EventsStream.ivfPqIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), "stream_ivfpq",
+      s"$artDir/centroids", s"$artDir/codebook", cp)
+    try {
+      // stream TWINS of indexed vectors 5 and 7 under fresh ids 300/302
+      val donors = all.filter(col("vec_id").isin(5L, 7L))
+        .select(col("vec_id") + 295L, col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect().toSeq
+      mem.addData(donors: _*)
+      q.processAllAvailable()
+      def indexCount() = {
+        spark.catalog.refreshTable("stream_ivfpq")
+        spark.table("stream_ivfpq").count()
+      }
+      assert(indexCount() == before + 2)
+      // re-delivery: already-indexed ids append nothing
+      mem.addData(donors: _*)
+      q.processAllAvailable()
+      assert(indexCount() == before + 2,
+        "replayed ids must not duplicate index rows")
+      // a streamed twin is reachable through the COMPOSED search — it
+      // lands in the donor's cell with the donor's codes (identical
+      // vector → identical residual → identical argmin), so ADC keeps
+      // it and the exact rerank scores cos 1.0
+      val out = Similarity.annIvfPqSearch(spark.table("stream_ivfpq"),
+        centroids, codebook, k = 3, numQueries = 10)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(out.exists(r => r._1 == 5L && r._3 == 300L && r._4 == 1.0),
+        s"donor 5 must see its streamed twin at cos 1.0: ${out.filter(_._1 == 5L).toSeq}")
+      assert(out.exists(r => r._1 == 7L && r._3 == 302L && r._4 == 1.0),
+        s"donor 7 must see its streamed twin at cos 1.0: ${out.filter(_._1 == 7L).toSeq}")
+    } finally q.stop()
+  }
+
   test("D1→A20: streaming anomaly flags score finalized days against the durable baseline") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
