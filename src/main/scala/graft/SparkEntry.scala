@@ -67,6 +67,7 @@ object SparkEntry {
     "q80_ann_pq_portable"        -> ((s, d) => Similarity.annPqPortable(s, d)),
     "q81_ann_ivfpq_portable"     -> ((s, d) => Similarity.annIvfPqPortable(s, d)),
     "q82_forecast_planted"       -> ((s, d) => Forecast.forecastPlanted(s, d)),
+    "q83_forecast_planted_mult"  -> ((s, d) => Forecast.forecastPlantedMult(s, d)),
     "q36_ann_ivf"                -> ((s, d) => Similarity.annIvf(s, d)),
     "q47_ann_pq"                 -> ((s, d) => Similarity.annPq(s, d)),
     "q48_ann_ivfpq"              -> ((s, d) => Similarity.annIvfPq(s, d)),
@@ -1010,6 +1011,35 @@ object SparkEntry {
         |    + a1*sin(t*(2*pi()/7)) + b1*cos(t*(2*pi()/7))
         |    + a2*sin(t*(2*pi()*2/7)) + b2*cos(t*(2*pi()*2/7))
         |    + rc*sin(t*(2*pi()/30.5)), 4) AS y_true,
+        |  TRUE AS recovered_ok
+        |FROM spine ORDER BY grp, ds""".stripMargin,
+
+    // q83: q82's multiplicative twin — the planted truth exponentiates
+    // the same closed-form tree (log-scale coefficients), certifying
+    // the log-fit-space transform around the dense solve; tolerance is
+    // RELATIVE 1e-4 on the Spark side since exp turns additive solve
+    // error into relative output error.
+    "q83_forecast_planted_mult" ->
+      """WITH coefs0(grp, c0, c1, c2, a1, b1, a2, b2, rc) AS (VALUES
+        |  ('a', 4.2, 0.010, -0.004, 0.12, 0.07, -0.05, 0.03, 0.08),
+        |  ('b', 3.8, -0.006, 0.009, -0.09, 0.04, 0.02, -0.06, -0.05),
+        |  ('c', 4.6, 0.016, -0.008, 0.05, -0.11, 0.07, 0.01, 0.10)),
+        |coefs AS (SELECT grp, CAST(c0 AS DOUBLE) AS c0, CAST(c1 AS DOUBLE) AS c1,
+        |            CAST(c2 AS DOUBLE) AS c2, CAST(a1 AS DOUBLE) AS a1,
+        |            CAST(b1 AS DOUBLE) AS b1, CAST(a2 AS DOUBLE) AS a2,
+        |            CAST(b2 AS DOUBLE) AS b2, CAST(rc AS DOUBLE) AS rc
+        |          FROM coefs0),
+        |spine AS (SELECT grp, c0, c1, c2, a1, b1, a2, b2, rc,
+        |            CAST(xi AS DOUBLE) AS x,
+        |            DATE '2025-01-01' + CAST(xi AS INT) AS ds,
+        |            CAST(date_diff('day', DATE '1970-01-01',
+        |              DATE '2025-01-01' + CAST(xi AS INT)) AS DOUBLE) AS t
+        |          FROM coefs CROSS JOIN range(0, 134) r(xi))
+        |SELECT grp, ds,
+        |  round(exp(c0 + c1*x + c2*greatest(0.0, x - 0.8*119.0)
+        |    + a1*sin(t*(2*pi()/7)) + b1*cos(t*(2*pi()/7))
+        |    + a2*sin(t*(2*pi()*2/7)) + b2*cos(t*(2*pi()*2/7))
+        |    + rc*sin(t*(2*pi()/30.5))), 4) AS y_true,
         |  TRUE AS recovered_ok
         |FROM spine ORDER BY grp, ds""".stripMargin,
 

@@ -1032,6 +1032,55 @@ object Forecast {
       .orderBy(col("grp"), col("ds"))
   }
 
+  /** `q83_forecast_planted_mult` — [[forecastPlanted]]'s twin for the
+    * MULTIPLICATIVE (log-fit-space) mode, the one dense-solve path q82
+    * leaves uncertified: the planted truth is y = exp(trend + hinge +
+    * weekly Fourier + regressor) with log-scale coefficients, the
+    * production pipeline fits ln y and transforms back through
+    * [[fromFitSpace]], and exact log-space recovery means yhat must
+    * match the planted truth to RELATIVE 1e-4 at every point (the
+    * fit-space transform turns additive solve error into relative
+    * output error, so the tolerance is relative where q82's is
+    * absolute). Oracle: same closed-form regeneration + pinned flag. */
+  def forecastPlantedMult(spark: SparkSession, dir: String, horizon: Int = 14): DataFrame = {
+    import spark.implicits._
+    val n = 120
+    val coefs = Seq(
+      ("a", 4.2, 0.010, -0.004, 0.12, 0.07, -0.05, 0.03, 0.08),
+      ("b", 3.8, -0.006, 0.009, -0.09, 0.04, 0.02, -0.06, -0.05),
+      ("c", 4.6, 0.016, -0.008, 0.05, -0.11, 0.07, 0.01, 0.10)
+    ).toDF("grp", "c0", "c1", "c2", "a1", "b1", "a2", "b2", "rc")
+    val spine = coefs
+      .select(col("grp"), col("c0"), col("c1"), col("c2"), col("a1"), col("b1"),
+        col("a2"), col("b2"), col("rc"),
+        explode(sequence(lit(0), lit(n - 1 + horizon))).as("xi"))
+      .withColumn("ds", date_add(lit(java.sql.Date.valueOf("2025-01-01")), col("xi")))
+      .withColumn("x", col("xi").cast("double"))
+      .withColumn("t", datediff(col("ds"), lit(java.sql.Date.valueOf("1970-01-01"))).cast("double"))
+    val w1 = 2.0 * math.Pi / 7.0
+    val w2 = 2.0 * math.Pi * 2.0 / 7.0
+    val wr = 2.0 * math.Pi / 30.5
+    val truthed = spine
+      .withColumn("reg", sin(col("t") * lit(wr)))
+      .withColumn("y_true", exp(
+        col("c0") + col("c1") * col("x") +
+          col("c2") * greatest(lit(0.0), col("x") - lit(0.8) * lit((n - 1).toDouble)) +
+          col("a1") * sin(col("t") * lit(w1)) + col("b1") * cos(col("t") * lit(w1)) +
+          col("a2") * sin(col("t") * lit(w2)) + col("b2") * cos(col("t") * lit(w2)) +
+          col("rc") * col("reg")))
+      .localCheckpoint()
+    val hist = truthed.filter(col("xi") < n)
+      .select(col("grp"), col("ds"), col("y_true").as("y"), col("reg"))
+    val futR = truthed.filter(col("xi") >= n).select(col("grp"), col("ds"), col("reg"))
+    val out = forecastFourier(hist, Seq("grp"), horizon,
+      weeklyOrder = 2, yearlyOrder = 3, changepoints = 1, multiplicative = true,
+      regressorCols = Seq("reg"), futureReg = Some(futR), includeHistory = true)
+    out.join(truthed.select(col("grp"), col("ds"), col("y_true")), Seq("grp", "ds"))
+      .select(col("grp"), col("ds"), round(col("y_true"), 4).as("y_true"),
+        (abs(col("yhat") / col("y_true") - 1.0) < 1e-4).as("recovered_ok"))
+      .orderBy(col("grp"), col("ds"))
+  }
+
   /** Shared 4×4 Cramer formula trees for the ORACLE-EXPRESSIBLE joint
     * slice: one structural definition rendered to Spark `Column`s and
     * to DuckDB SQL (fully parenthesized), so both engines execute
