@@ -68,6 +68,7 @@ object SparkEntry {
     "q81_ann_ivfpq_portable"     -> ((s, d) => Similarity.annIvfPqPortable(s, d)),
     "q82_forecast_planted"       -> ((s, d) => Forecast.forecastPlanted(s, d)),
     "q83_forecast_planted_mult"  -> ((s, d) => Forecast.forecastPlantedMult(s, d)),
+    "q85_semantic_dedup"         -> ((s, d) => Similarity.semanticDedupPortable(s, d)),
     "q36_ann_ivf"                -> ((s, d) => Similarity.annIvf(s, d)),
     "q47_ann_pq"                 -> ((s, d) => Similarity.annPq(s, d)),
     "q48_ann_ivfpq"              -> ((s, d) => Similarity.annIvfPq(s, d)),
@@ -103,6 +104,7 @@ object SparkEntry {
     "q60_hll_users"              -> ((s, d) => Sketches.hllUsersByType(s, d)),
     "q77_hll_portable"           -> ((s, d) => Sketches.hllUsersPortable(s, d)),
     "q64_kll_quantiles"          -> ((s, d) => Sketches.kllQuantilesByType(s, d)),
+    "q84_cms_heavy_hitters"      -> ((s, d) => Sketches.cmsTopUsers(s, d)),
     // change-data-capture operators
     "q61_snapshot_diff"          -> ((s, d) => Cdc.snapshotDiffOrders(s, d)),
     "q62_scd2_merge"             -> ((s, d) => Cdc.scd2Customers(s, d)),
@@ -1400,6 +1402,60 @@ object SparkEntry {
         |        THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END + 1e-9, 4)
         |   AS distinct_est
         |FROM est ORDER BY event_type""".stripMargin,
+
+    // q84: the Count-Min heavy-hitter rollup is built ENTIRELY on the
+    // portable md5 bucket convention, so unlike q60 it needs no twin —
+    // DuckDB rebuilds the identical d×w counter grid from the raw rows
+    // (merged-over-range counters = sum of per-item counts mapping to
+    // each bucket), re-derives the per-day top-64 candidate lists,
+    // estimates each candidate by the same min-over-d rule and ranks
+    // with the same est-desc/item-asc tie-break
+    "q84_cms_heavy_hitters" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS item,
+        |             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |           FROM events
+        |           WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-16'),
+        |cnts AS (SELECT day, item, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |b AS (SELECT i.item, j.j,
+        |        CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || i.item), 1, 15)) AS BIGINT) % 1024 AS bucket
+        |      FROM (SELECT DISTINCT item FROM cnts) i CROSS JOIN range(0, 4) j(j)),
+        |merged AS (SELECT b.j, b.bucket, sum(c.cnt) AS cnt
+        |           FROM cnts c JOIN b ON b.item = c.item GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT item FROM (
+        |          SELECT item, row_number() OVER (PARTITION BY day
+        |            ORDER BY cnt DESC, item ASC) AS rn FROM cnts) WHERE rn <= 64),
+        |est AS (SELECT b.item, CAST(min(m.cnt) AS BIGINT) AS est_count
+        |        FROM cand JOIN b ON b.item = cand.item
+        |        JOIN merged m ON m.j = b.j AND m.bucket = b.bucket
+        |        GROUP BY 1),
+        |ranked AS (SELECT item, est_count,
+        |           row_number() OVER (ORDER BY est_count DESC, item ASC) AS rank FROM est)
+        |SELECT rank, item, est_count FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // q85: SemDeDup on the q79 formula-chosen centroids — assignment
+    // (argmin |c|²−2·v·c, tie → lower cell), within-cell pairing, the
+    // 4-dp-rounded cosine threshold and the keep-lowest-id verdict are
+    // all deterministic index-order arithmetic, so the whole semantic-
+    // dedup pipeline hash-checks from scratch
+    "q85_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec, list_dot_product(v, v) AS c2
+        |      FROM e WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, cell FROM (
+        |         SELECT e.vec_id, c.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY c.c2 - 2.0 * list_dot_product(e.v, c.cvec) ASC, c.cell ASC) AS rn
+        |         FROM e CROSS JOIN c) WHERE rn = 1),
+        |m AS (SELECT a.vec_id, a.cell, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm
+        |      FROM asg a JOIN e ON e.vec_id = a.vec_id),
+        |dups AS (SELECT id_b AS vec_id, min(id_a) AS dup_of FROM (
+        |          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |            round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cos
+        |          FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+        |         WHERE cos >= 0.25 GROUP BY 1)
+        |SELECT m.vec_id, m.cell, d.vec_id IS NOT NULL AS is_dup, d.dup_of
+        |FROM m LEFT JOIN dups d ON d.vec_id = m.vec_id
+        |ORDER BY m.vec_id""".stripMargin,
 
     // the Bloom prune is an internal pre-shuffle optimization; the
     // trailing exact semi join makes the RESULT a plain semi join, so

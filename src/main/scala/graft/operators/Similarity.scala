@@ -847,4 +847,83 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  // ---- C26: semantic dedup (SemDeDup) ------------------------------
+
+  /** Semantic (embedding-space) dedup — the SemDeDup recipe (Abbas et
+    * al. 2023, arXiv:2303.09540): cluster the corpus with a coarse
+    * quantizer, then compare pairs ONLY within a cluster, so the pair
+    * count is Σ|cell|² instead of |corpus|² — the property that makes
+    * embedding dedup feasible at 100 TB. A doc is a semantic duplicate
+    * iff a LOWER-ID doc in the same cell is within `threshold` rounded
+    * cosine; `dup_of` is the smallest such id (keep-lowest-id is the
+    * repo's deterministic stand-in for the paper's arbitrary-keep —
+    * same clusters, engine-portable verdicts).
+    *
+    * Centroids arrive as the SAME (cell, cvec, c2) artifact the IVF
+    * index persists — ONE trained quantizer serves ANN search and
+    * semantic dedup — and assignment is the production day-2 rule
+    * ([[appendToIvfIndex]]: argmin |c|²−2·v·c, tie → lower cell), so a
+    * doc deduplicates in exactly the cell a search probe would find it
+    * in.
+    *
+    * Skew guard (the candidate-generation invariant): a cell of size B
+    * yields O(B²) pairs and no partition-level mechanism can shrink
+    * that count, so cells above `maxCellSize` fail LOUDLY — an in-plan
+    * raise_error riding the cell column, the scd2Merge convention —
+    * instead of silently exploding the join; the fix is retraining the
+    * quantizer with more cells. */
+  def semanticDedup(embeddings: DataFrame, centroids: DataFrame,
+                    threshold: Double = 0.25,
+                    maxCellSize: Int = 10000): DataFrame = {
+    require(threshold > -1 && threshold <= 1,
+      s"threshold must lie in (-1, 1], got $threshold")
+    require(maxCellSize > 0, s"maxCellSize must be positive, got $maxCellSize")
+    // MATERIALIZED: the census, both pair sides and the verdict join
+    // all fork this frame — lazily the assignment window would run four
+    // times per job
+    val assigned = appendToIvfIndex(embeddings, centroids).localCheckpoint()
+    val census = assigned.groupBy(col("cell")).agg(count(lit(1)).as("_csz"))
+    val sized = assigned.join(broadcast(census), Seq("cell"))
+      .withColumn("cell",
+        when(col("_csz") > maxCellSize,
+          raise_error(concat(lit("semanticDedup: cell "), col("cell").cast("string"),
+            lit(" holds "), col("_csz").cast("string"),
+            lit(s" vectors (maxCellSize $maxCellSize) — retrain the quantizer with more cells"))))
+          .otherwise(col("cell")))
+    def side(s: String) = sized.select(col("cell"),
+      col("vec_id").as(s"id_$s"), col("v").as(s"v$s"), col("nrm").as(s"n$s"))
+    // threshold compares the 4-dp ROUNDED cosine (the q24 convention)
+    // so verdicts are engine-independent under float summation-order
+    // differences
+    val dups = side("a").join(side("b"), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(
+        vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .withColumn("is_dup", col("dup_of").isNotNull)
+      .select(col("vec_id"), col("cell"), col("is_dup"), col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** C26 `q85_semantic_dedup` — [[semanticDedup]] on the q79
+    * formula-chosen centroid artifact (the first 16 corpus vectors), so
+    * the ENTIRE pipeline — production assignment rule, within-cell
+    * pairing, rounded-cosine threshold, keep-lowest-id verdict — is
+    * directly oracle-backed by a from-scratch DuckDB reformulation.
+    * Production use feeds [[buildIvfIndex]] centroids instead (KMeans
+    * training is planted-cluster-certified in SimilaritySpec); the two
+    * differ ONLY in where the centroid table comes from. */
+  def semanticDedupPortable(spark: SparkSession, dir: String,
+                            threshold: Double = 0.25): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val centroids = prepVectors(emb).filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cvec"),
+        vectors.dot(col("v"), col("v")).as("c2"))
+    semanticDedup(emb, centroids, threshold)
+  }
 }

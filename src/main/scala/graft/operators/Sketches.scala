@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.util.sketch.BloomFilter
@@ -261,5 +262,128 @@ object Sketches {
       "event_type", "ts", "value", k = 4096)
     quantilesOverRange(daily, "event_type", fromDay = Some("2024-01-16"))
       .orderBy(col("event_type"))
+  }
+
+  // ---- C25: mergeable Count-Min heavy-hitter rollups ---------------
+  //
+  // "Top items over an arbitrary date range" is the frequency analog
+  // of the HLL/KLL questions above: exact answers re-scan the raw log
+  // per question, while a once-per-day Count-Min sketch table (Cormode
+  // & Muthukrishnan 2005 — the CM sketch is a d×w counter grid; the
+  // estimate min over d hashed counters never underestimates) answers
+  // every range from depth·width counter rows per day, a size
+  // INDEPENDENT of item cardinality. The sketch is represented as a
+  // plain (day, row, bucket, cnt) TABLE — the repo's q77 exploded-
+  // register idiom — so the range merge is one groupBy-sum, the
+  // artifact is day-partitionable parquet, and the whole pipeline
+  // stays in whole-stage codegen (no binary blobs, no UDAFs).
+  //
+  // CMS alone estimates ANY item but enumerates none, so the operator
+  // pairs it with the standard candidate-list companion: a per-day
+  // exact top-N table (N rows/day — also tiny). A range query merges
+  // the counters, estimates each candidate seen in the range, and
+  // keeps the top k. The candidate contract: an item can only be
+  // missed if it is outside the top N on EVERY day of the range yet
+  // top-k overall — at N ≫ k that needs adversarial day-splitting,
+  // and the contract is spec-pinned on planted data.
+  //
+  // Hashing rides the repo's portable 60-bit md5 convention
+  // (row j's bucket = md5("j:item") first 15 nibbles mod width), so —
+  // unlike q60's DataSketches path — the ENTIRE pipeline is
+  // ANSI-reproducible and q84 is directly oracle-backed: DuckDB
+  // rebuilds the same counters from the raw rows and the driver
+  // hash-checks counts, estimates, ranks and tie-breaks.
+
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+
+  /** Row j's counter index for an item: portable md5 bucket, the q77
+    * hash convention (h < 2^60, so `%` is already nonnegative). */
+  private def cmsBucket(j: Int, item: Column, width: Int): Column =
+    conv(substring(md5(concat(lit(j.toString), lit(":"), item)), 1, 15), 16, 10)
+      .cast("long") % width
+
+  /** Once-per-day CMS counter table: (day, row, bucket, cnt) with
+    * ≤ depth·width rows per day regardless of item cardinality. Each
+    * event lands in one bucket per hash row (posexplode of the d
+    * bucket expressions — map-side, stays in codegen); the groupBy
+    * partial-aggregates before the day shuffle. Write it partitioned
+    * by day next to the HLL/KLL sketch tables. */
+  def dailyCmsSketches(df: DataFrame, tsCol: String, itemCol: String,
+                       depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
+    require(depth > 0 && width > 0, s"depth/width must be positive, got $depth/$width")
+    df.select(col(tsCol).cast("date").as("day"),
+        col(itemCol).cast("string").as("item"))
+      .select(col("day"), posexplode(array((0 until depth).map(j =>
+        cmsBucket(j, col("item"), width)): _*)).as(Seq("row", "bucket")))
+      .groupBy(col("day"), col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-day exact top-N candidate table: (day, item, cnt). The
+    * enumeration companion to [[dailyCmsSketches]] — N rows per day,
+    * built by the same day-grain pass that builds the counters. */
+  def dailyTopCandidates(df: DataFrame, tsCol: String, itemCol: String,
+                         topN: Int = 64): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("cnt").desc, col("item").asc)
+    df.select(col(tsCol).cast("date").as("day"),
+        col(itemCol).cast("string").as("item"))
+      .groupBy(col("day"), col("item")).agg(count(lit(1)).as("cnt"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= topN)
+      .drop("_rn")
+  }
+
+  /** Top-k heavy hitters over [fromDay, toDay] from the two persisted
+    * artifacts: counters merge with ONE groupBy-sum over |days|·d·w
+    * rows, every candidate seen in the range is estimated by the CMS
+    * rule (min over its d merged counters — recomputed from the item
+    * string by the same bucket formula, so the candidate table carries
+    * no hash state), and the top k by (estimate desc, item asc)
+    * survive. `est_count` ≥ the item's true range count, always —
+    * CMS errs only upward (spec-pinned). The global rank window runs
+    * on ≤ |range days|·topN candidate rows — bounded by the artifact
+    * contract, not by the data (the Analytics.scala:111 tiny-frame
+    * precedent). */
+  def heavyHittersOverRange(cms: DataFrame, candidates: DataFrame, k: Int = 20,
+                            fromDay: Option[String] = None,
+                            toDay: Option[String] = None,
+                            depth: Int = CmsDepth,
+                            width: Int = CmsWidth): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def ranged(df: DataFrame) =
+      (fromDay.map(d => col("day") >= lit(d).cast("date")) ++
+        toDay.map(d => col("day") <= lit(d).cast("date")))
+        .reduceOption(_ && _).map(df.filter).getOrElse(df)
+    val merged = ranged(cms).groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val probes = ranged(candidates).select(col("item")).distinct()
+      .select(col("item"), posexplode(array((0 until depth).map(j =>
+        cmsBucket(j, col("item"), width)): _*)).as(Seq("row", "bucket")))
+    // merged is ≤ d·w rows by construction — broadcast it onto the
+    // (also tiny) probe side; an in-range candidate's counters always
+    // exist (its own occurrences are in them), so the inner join keeps
+    // exactly d rows per item
+    val est = probes.join(broadcast(merged), Seq("row", "bucket"))
+      .groupBy(col("item")).agg(min(col("cnt")).as("est_count"))
+    val w = Window.orderBy(col("est_count").desc, col("item").asc)
+    est.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("item"), col("est_count"))
+      .orderBy(col("rank"))
+  }
+
+  /** `q84_cms_heavy_hitters`: top-20 users by event count for the back
+    * half of January, answered from the day-grain CMS counter table +
+    * per-day top-64 candidate lists — never from the raw log. Directly
+    * oracle-backed (portable md5 buckets): DuckDB rebuilds identical
+    * counters, estimates and ranks from the raw rows. */
+  def cmsTopUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val cms = dailyCmsSketches(ev, "ts", "user_id")
+    val cands = dailyTopCandidates(ev, "ts", "user_id", topN = 64)
+    heavyHittersOverRange(cms, cands, k = 20, fromDay = Some("2024-01-16"))
   }
 }

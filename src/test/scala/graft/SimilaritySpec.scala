@@ -467,4 +467,89 @@ class SimilaritySpec extends SparkSpecBase {
       .as[(Int, Long, Long, Double)].collect().toSeq
     assert(dflt == uncapped)
   }
+
+  // ---- semantic dedup (SemDeDup) -----------------------------------
+
+  /** Two planted clusters around e1 and e2 (4-dim): cell-0 holds a
+    * tight dup pair (10,11) plus a trailing near copy (14), a mid
+    * vector (12) below threshold to the pair but tight with (13), and
+    * the pair (13, 22) is near-identical but SPLIT across cells — the
+    * documented SemDeDup miss mode. */
+  private def plantedSemanticCorpus = {
+    val rows = Seq(
+      (10L, Seq(1.00, 0.010, 0.0, 0.0)),
+      (11L, Seq(1.00, 0.020, 0.0, 0.0)),
+      (12L, Seq(0.60, 0.580, 0.0, 0.0)),
+      (13L, Seq(0.75, 0.700, 0.0, 0.0)),
+      (14L, Seq(1.00, 0.015, 0.0, 0.0)),
+      (20L, Seq(0.010, 1.00, 0.0, 0.0)),
+      (21L, Seq(0.020, 1.00, 0.0, 0.0)),
+      (22L, Seq(0.70, 0.750, 0.0, 0.0)))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def axisCentroids = Seq(
+    (0, Seq(1.0, 0.0, 0.0, 0.0), 1.0),
+    (1, Seq(0.0, 1.0, 0.0, 0.0), 1.0)
+  ).toDF("cell", "cvec", "c2")
+
+  test("semantic dedup: within-cell verdicts, keep-lowest-id, cross-cell miss mode") {
+    val out = Similarity.semanticDedup(plantedSemanticCorpus, axisCentroids,
+        threshold = 0.85)
+      .as[(Long, Int, Boolean, Option[Long])].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.map(_._1).sorted == Seq(10L, 11L, 12L, 13L, 14L, 20L, 21L, 22L),
+      "every vector gets exactly one verdict row")
+    // assignment follows the production argmin rule
+    assert(out.filter(_._2 == 0).map(_._1).toSet == Set(10L, 11L, 12L, 13L, 14L))
+    assert(out.filter(_._2 == 1).map(_._1).toSet == Set(20L, 21L, 22L))
+    // tight pair: 11 dups onto 10; 14 is near BOTH 10 and 11 → the
+    // keep-lowest-id verdict must pick min(10, 11) = 10
+    assert(byId(11L)._3 && byId(11L)._4.contains(10L))
+    assert(byId(14L)._3 && byId(14L)._4.contains(10L))
+    // 12 is below threshold to every LOWER cell-mate → kept
+    assert(!byId(12L)._3 && byId(12L)._4.isEmpty)
+    // 13 is near only 12 among lower ids → dup_of = 12
+    assert(byId(13L)._3 && byId(13L)._4.contains(12L))
+    // cluster anchors are never dups of anything
+    assert(!byId(10L)._3 && !byId(20L)._3)
+    assert(byId(21L)._3 && byId(21L)._4.contains(20L))
+    // (13, 22) have cosine ≈ 0.998 but sit in DIFFERENT cells — the
+    // SemDeDup contract compares within a cell only, so 22 is kept
+    assert(!byId(22L)._3 && byId(22L)._4.isEmpty)
+  }
+
+  test("semantic dedup: oversized cells fail loudly instead of exploding the pair join") {
+    val e = intercept[Exception] {
+      Similarity.semanticDedup(plantedSemanticCorpus, axisCentroids,
+        threshold = 0.85, maxCellSize = 3).collect()
+    }
+    def msg(t: Throwable) = Option(t.getMessage).getOrElse("") +
+      Option(t.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg(e).contains("semanticDedup") && msg(e).contains("retrain"),
+      s"wrong error: ${msg(e)}")
+  }
+
+  test("semantic dedup pair join is cell-blocked, not cross") {
+    val plan = Similarity.semanticDedupPortable(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("semantic dedup portable twin is self-consistent on real embeddings") {
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val out = Similarity.semanticDedupPortable(spark, sfDir)
+      .as[(Long, Int, Boolean, Option[Long])].collect().toSeq
+    assert(out.size.toLong == n, "one verdict row per corpus vector")
+    assert(out.map(_._2).forall(c => c >= 0 && c < 16), "cells come from the 16 anchors")
+    out.foreach { case (id, _, isDup, dupOf) =>
+      assert(isDup == dupOf.isDefined)
+      dupOf.foreach(d => assert(d < id, "dup_of must be a LOWER surviving id"))
+    }
+    // dup_of targets sit in the same cell as their duplicates
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    out.foreach { case (id, cell, _, dupOf) =>
+      dupOf.foreach(d => assert(cellOf(d) == cell, s"$id dups onto $d across cells"))
+    }
+  }
 }

@@ -199,4 +199,84 @@ class SketchesSpec extends SparkSpecBase {
     assert(out.map(_._2).forall(_ == 5))          // days 16..20
     assert(out.map(_._3).forall(_ == 5L * 120L))  // 120 events/day
   }
+
+  // ---- Count-Min heavy hitters -----------------------------------------
+
+  /** 5 days: one planted hitter (100/day), one mid item (10/day), and a
+    * 40-item singleton tail rotating daily (each tail item once total). */
+  private def plantedCmsEvents = {
+    (1 to 5).flatMap { d =>
+      val hh = (0 until 100).map(_ => ("hot", ts(f"2024-02-0$d 10:00:00")))
+      val mid = (0 until 10).map(_ => ("mid", ts(f"2024-02-0$d 11:00:00")))
+      val tail = (0 until 40).map(i => (f"tail_${d}%02d_$i%02d", ts(f"2024-02-0$d 12:00:00")))
+      hh ++ mid ++ tail
+    }.toDF("item_s", "ts")
+  }
+
+  test("CMS estimates never undercount (the one-sided error contract)") {
+    val ev = plantedCmsEvents
+    val cms = Sketches.dailyCmsSketches(ev, "ts", "item_s")
+    val cands = Sketches.dailyTopCandidates(ev, "ts", "item_s", topN = 64)
+    val est = Sketches.heavyHittersOverRange(cms, cands, k = 200)
+      .select("item", "est_count").as[(String, Long)].collect().toMap
+    val exact = ev.groupBy(col("item_s")).agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    assert(est.nonEmpty)
+    est.foreach { case (item, e) =>
+      assert(e >= exact(item), s"$item estimated $e < exact ${exact(item)}")
+    }
+  }
+
+  test("CMS planted heavy hitters rank first with exact-at-this-width counts") {
+    val ev = plantedCmsEvents
+    val top = Sketches.heavyHittersOverRange(
+      Sketches.dailyCmsSketches(ev, "ts", "item_s"),
+      Sketches.dailyTopCandidates(ev, "ts", "item_s", topN = 64), k = 2)
+      .select("rank", "item", "est_count").as[(Long, String, Long)].collect().toSeq
+    assert(top.map(t => (t._1, t._2)) == Seq((1L, "hot"), (2L, "mid")))
+    // 250 items into 4×1024 counters: the planted hitters' buckets are
+    // collision-free at this size, so min-over-rows recovers the EXACT
+    // counts (fixed md5 buckets — deterministic, not a flake surface)
+    assert(top.map(_._3) == Seq(500L, 50L))
+  }
+
+  test("CMS day-grain merge equals sketching the whole range directly") {
+    val ev = plantedCmsEvents
+    val daily = Sketches.dailyCmsSketches(ev, "ts", "item_s")
+    val merged = daily.groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    val direct = Sketches.dailyCmsSketches(
+      ev.withColumn("ts", lit(ts("2024-02-01 10:00:00"))), "ts", "item_s")
+      .select(col("row"), col("bucket"), col("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == direct)
+  }
+
+  test("CMS range filter keeps candidates and counters to the requested days") {
+    val ev = plantedCmsEvents
+    val cms = Sketches.dailyCmsSketches(ev, "ts", "item_s")
+    val cands = Sketches.dailyTopCandidates(ev, "ts", "item_s", topN = 64)
+    val top = Sketches.heavyHittersOverRange(cms, cands, k = 1,
+      fromDay = Some("2024-02-04"))
+      .select("item", "est_count").as[(String, Long)].collect().toSeq
+    assert(top == Seq(("hot", 200L))) // days 4..5 only
+    // a day-3 tail singleton is not a candidate in the 4..5 range
+    val items = Sketches.heavyHittersOverRange(cms, cands, k = 500,
+      fromDay = Some("2024-02-04"))
+      .select("item").as[String].collect().toSet
+    assert(!items.exists(_.startsWith("tail_03")))
+  }
+
+  test("CMS candidate contract: per-day top-N bounds what a range query can see") {
+    // an item outside every day's top-N is invisible to the rollup —
+    // the documented miss mode; N ≫ k makes it need adversarial
+    // day-splitting. topN=1 forces it: only the hitter survives.
+    val ev = plantedCmsEvents
+    val top = Sketches.heavyHittersOverRange(
+      Sketches.dailyCmsSketches(ev, "ts", "item_s"),
+      Sketches.dailyTopCandidates(ev, "ts", "item_s", topN = 1), k = 10)
+      .select("item").as[String].collect().toSeq
+    assert(top == Seq("hot"))
+  }
 }
