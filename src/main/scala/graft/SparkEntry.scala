@@ -120,7 +120,8 @@ object SparkEntry {
     "q75_span_census_probe"      -> ((s, d) => Dedup.spanCensusProbeDocs(s, d)),
     "q76_paragraph_census_probe" -> ((s, d) => Dedup.paragraphCensusProbePages(s, d)),
     "q65_data_quality"           -> ((s, d) => Validation.ordersQuality(s, d)),
-    "q66_session_attribution"    -> ((s, d) => IntervalJoin.sessionAttribution(s, d))
+    "q66_session_attribution"    -> ((s, d) => IntervalJoin.sessionAttribution(s, d)),
+    "q86_edit_join"              -> ((s, d) => FuzzyJoin.editJoinCustomers(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1456,6 +1457,19 @@ object SparkEntry {
         |SELECT m.vec_id, m.cell, d.vec_id IS NOT NULL AS is_dup, d.dup_of
         |FROM m LEFT JOIN dups d ON d.vec_id = m.vec_id
         |ORDER BY m.vec_id""".stripMargin,
+
+    // q86: the prefix-filter blocking is lossless by the Ed-Join
+    // theorem and the Levenshtein verify is the final predicate, so
+    // the RESULT is exactly the all-pairs fuzzy join — the oracle is
+    // the brute-force formulation (the q59 losslessness convention)
+    "q86_edit_join" ->
+      """WITH v AS (SELECT DISTINCT c_name AS s FROM customer
+        |           WHERE c_name IS NOT NULL)
+        |SELECT a.s AS name_a, b.s AS name_b,
+        |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM v a JOIN v b ON a.s < b.s
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
 
     // the Bloom prune is an internal pre-shuffle optimization; the
     // trailing exact semi join makes the RESULT a plain semi join, so

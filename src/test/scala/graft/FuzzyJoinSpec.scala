@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.FuzzyJoin
+import org.apache.spark.sql.functions._
+
+class FuzzyJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def pairs(vocab: Seq[String], maxDist: Int): Set[(String, String, Long)] =
+    FuzzyJoin.editDistanceJoin(vocab.toDF("s"), "s", maxDist)
+      .as[(String, String, Long)].collect().toSet
+
+  test("finds substitution, insertion and deletion variants at d=1, anywhere in the string") {
+    val out = pairs(Seq(
+      "red widget",  // base
+      "ted widget",  // substitution at position 1
+      "red widgets", // insertion at the end
+      "red widget!", // insertion at the end (other char)
+      "rd widget",   // deletion at position 2
+      "red midget",  // substitution mid-string
+      "blue bolt"    // unrelated — no pair
+    ), maxDist = 1)
+    assert(out == Set(
+      ("red widget", "ted widget", 1L),
+      ("red widget", "red widgets", 1L),
+      ("red widget", "red widget!", 1L),
+      ("rd widget", "red widget", 1L),
+      ("red midget", "red widget", 1L),
+      // the variants also pair with each other where 1 edit suffices
+      ("red widget!", "red widgets", 1L)))
+  }
+
+  test("d=2 reaches two-edit pairs; d=1 does not") {
+    val vocab = Seq("spark", "sparkle", "shark")
+    assert(pairs(vocab, maxDist = 1) == Set(("shark", "spark", 1L)))
+    assert(pairs(vocab, maxDist = 2) == Set(
+      ("shark", "spark", 1L),
+      ("spark", "sparkle", 2L)))
+  }
+
+  test("repetitive and sub-2-char strings still pair (no gram-entropy assumption)") {
+    // ed("bb","bc")=1 with DISJOINT bigram sets — the case that breaks
+    // gram blocking is exactly covered by deletion keys
+    val out = pairs(Seq("bb", "bc", "aaaaaa", "aaaaab", "a", "b"), maxDist = 1)
+    assert(out == Set(
+      ("bb", "bc", 1L),
+      ("aaaaaa", "aaaaab", 1L),
+      ("a", "b", 1L),
+      ("b", "bb", 1L),
+      ("b", "bc", 1L)))
+  }
+
+  test("matches brute-force Levenshtein exactly on a mixed vocabulary (d=1 and d=2)") {
+    val vocab = Seq("alpha", "alpho", "alphaa", "lpha", "beta", "betta", "bata",
+      "gamma", "gamma ray", "gama", "x", "xy", "yx", "zz", "z z", "aaaa", "aaab")
+    val df = vocab.toDF("s")
+    for (d <- Seq(1, 2)) {
+      val brute = df.as("a").crossJoin(df.as("b"))
+        .filter(col("a.s") < col("b.s"))
+        .select(col("a.s"), col("b.s"),
+          levenshtein(col("a.s"), col("b.s")).cast("long").as("dist"))
+        .filter(col("dist").between(1, d))
+        .as[(String, String, Long)].collect().toSet
+      assert(pairs(vocab, d) == brute, s"mismatch vs brute force at d=$d")
+    }
+  }
+
+  test("input rows deduplicate to the vocabulary; nulls are ignored") {
+    val df = Seq(Some("kit"), Some("kit"), Some("kat"), None, Some("kat"))
+      .toDF("s")
+    val out = FuzzyJoin.editDistanceJoin(df, "s", maxDist = 1)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("kat", "kit", 1L)),
+      "duplicate rows must yield one vocabulary pair; null must not join")
+  }
+
+  test("maxDist outside {1,2} is refused loudly") {
+    val df = Seq("a").toDF("s")
+    val e = intercept[IllegalArgumentException] {
+      FuzzyJoin.editDistanceJoin(df, "s", maxDist = 3)
+    }
+    assert(e.getMessage.contains("maxDist"))
+  }
+
+  test("plan stays an equi join — no cartesian, no nested loop") {
+    val df = Seq("red widget", "ted widget", "blue bolt").toDF("s")
+    val plan = FuzzyJoin.editDistanceJoin(df, "s", maxDist = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must block on deletion keys, got:\n$plan")
+  }
+}
