@@ -105,6 +105,7 @@ object SparkEntry {
     "q77_hll_portable"           -> ((s, d) => Sketches.hllUsersPortable(s, d)),
     "q64_kll_quantiles"          -> ((s, d) => Sketches.kllQuantilesByType(s, d)),
     "q84_cms_heavy_hitters"      -> ((s, d) => Sketches.cmsTopUsers(s, d)),
+    "q87_kmv_overlap"            -> ((s, d) => Sketches.kmvSourceOverlap(s, d)),
     // change-data-capture operators
     "q61_snapshot_diff"          -> ((s, d) => Cdc.snapshotDiffOrders(s, d)),
     "q62_scd2_merge"             -> ((s, d) => Cdc.scd2Customers(s, d)),
@@ -1470,6 +1471,54 @@ object SparkEntry {
         |FROM v a JOIN v b ON a.s < b.s
         |WHERE levenshtein(a.s, b.s) <= 1
         |ORDER BY name_a, name_b""".stripMargin,
+
+    // q87: the KMV/theta estimator is a deterministic function of the
+    // portable md5 hashes, so DuckDB rebuilds the identical sketches
+    // (min-256 distinct hashes per source×lang, rolled up to source),
+    // order statistics and overlap estimates from the raw rows —
+    // estimate regime included; no twin, no exact-regime dodge
+    "q87_kmv_overlap" ->
+      """WITH d AS (SELECT source, lang,
+        |             regexp_split_to_array(lower(trim(text)), '\s+') w
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT source, lang, sh FROM (
+        |        SELECT source, lang, unnest(list_distinct(list_transform(
+        |          generate_series(1, greatest(len(w) - 2, 1)),
+        |          i -> array_to_string(w[i:i+2], ' ')))) AS sh FROM d)),
+        |h AS (SELECT DISTINCT source, lang,
+        |        CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h FROM sh),
+        |fine AS (SELECT source, lang, h FROM (
+        |          SELECT h.*, row_number() OVER (PARTITION BY source, lang
+        |            ORDER BY h ASC) AS rn FROM h) WHERE rn <= 256),
+        |merged AS (SELECT source, h FROM (
+        |            SELECT source, h, row_number() OVER (PARTITION BY source
+        |              ORDER BY h ASC) AS rn
+        |            FROM (SELECT DISTINCT source, h FROM fine)) WHERE rn <= 256),
+        |stats AS (SELECT source, count(*) AS cnt,
+        |            CASE WHEN count(*) < 256 THEN 1152921504606846976
+        |                 ELSE max(h) END AS ht,
+        |            CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+        |                 ELSE floor(255.0 / (CAST(max(h) AS DOUBLE)
+        |                                     / 1152921504606846976.0)) END AS est
+        |          FROM merged GROUP BY 1),
+        |pairs AS (SELECT a.source AS key_a, b.source AS key_b,
+        |            a.est AS est_a, b.est AS est_b,
+        |            least(a.ht, b.ht) AS ht_min
+        |          FROM stats a JOIN stats b ON a.source < b.source),
+        |m AS (SELECT x.source AS key_a, y.source AS key_b, count(*) AS m
+        |      FROM merged x JOIN merged y ON x.h = y.h AND x.source < y.source
+        |      JOIN pairs p ON p.key_a = x.source AND p.key_b = y.source
+        |        AND x.h < p.ht_min
+        |      GROUP BY 1, 2),
+        |est AS (SELECT p.key_a, p.key_b, p.est_a, p.est_b,
+        |          floor(coalesce(m.m, 0) / (CAST(p.ht_min AS DOUBLE)
+        |                                    / 1152921504606846976.0)) AS ei
+        |        FROM pairs p LEFT JOIN m ON m.key_a = p.key_a AND m.key_b = p.key_b)
+        |SELECT key_a AS source_a, key_b AS source_b,
+        |  CAST(est_a AS BIGINT) AS est_a, CAST(est_b AS BIGINT) AS est_b,
+        |  CAST(ei AS BIGINT) AS est_inter,
+        |  round(ei / (est_a + est_b - ei), 4) AS jaccard_est
+        |FROM est ORDER BY source_a, source_b""".stripMargin,
 
     // the Bloom prune is an internal pre-shuffle optimization; the
     // trailing exact semi join makes the RESULT a plain semi join, so

@@ -386,4 +386,156 @@ object Sketches {
     val cands = dailyTopCandidates(ev, "ts", "user_id", topN = 64)
     heavyHittersOverRange(cms, cands, k = 20, fromDay = Some("2024-01-16"))
   }
+
+  // ---- C28: mergeable KMV set-OVERLAP sketches ---------------------
+  //
+  // HLL (C23) answers "how many distinct" but cannot intersect; the
+  // overlap questions a training-data pipeline actually asks — how
+  // much does corpus A share with corpus B? is the eval set
+  // contaminated? how much do two snapshots overlap? — need a sketch
+  // whose INTERSECTION is estimable. That is the KMV / theta sketch
+  // (Bar-Yossef et al. 2002; Beyer et al. SIGMOD 2007 — public
+  // literature): keep the k smallest distinct hash values of a set;
+  // the kth smallest, as a fraction θ of the hash space, estimates the
+  // density, D̂ = (k−1)/θ, and two sketches intersect by counting
+  // common hashes below min(θ_a, θ_b) — a deterministic function of
+  // the hashes, so on the portable 60-bit md5 convention the WHOLE
+  // pipeline (sketch → merge → estimate) is ANSI-reproducible and q87
+  // is directly oracle-backed even in the estimate regime (unlike KLL,
+  // whose compaction randomizes, or HLL, whose production hash is
+  // private — this family needs no twin and no exact-regime dodge).
+  //
+  // The sketch is k plain (group, h) ROWS — the exploded-register
+  // idiom: partition-friendly parquet, one groupBy to merge, whole
+  // pipeline in codegen. Merging is LOSSLESS by construction: the k
+  // smallest of a union are among the union of the parts' k smallest,
+  // so fine-grained sketches (per source×lang, per day) roll up to
+  // any coarser grain with set semantics preserved.
+
+  private val KmvK = 256
+
+  /** Unit-interval position of the hash; 2^60 as an exact double. */
+  private val KmvSpace = 1152921504606846976.0d
+
+  /** The persistable sketch table: (groupCols..., h) with ≤ k rows per
+    * group — the k smallest distinct portable-md5 hashes of
+    * `valueCol`'s values (an ARRAY column contributes its elements —
+    * shingle sets ride without an explode; a scalar contributes
+    * itself). Built by the `graft_kmv_agg` native aggregate
+    * ([[graft.expressions.KmvSketchAgg]]): hashing and bounded min-k
+    * selection fuse into the map side, so the exchange carries
+    * |groups|·k longs — a distinct+window formulation (the first cut)
+    * shuffled the corpus's whole distinct hash set first, which is the
+    * plan that stops working at 100 TB. Build at the finest grain you
+    * will ever query (source×lang, key×day); [[kmvMerge]] rolls up
+    * losslessly. */
+  def kmvSketches(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                  k: Int = KmvK): DataFrame = {
+    require(k > 1, s"k must be > 1, got $k")
+    require(groupCols.nonEmpty, "kmvSketches needs at least one group column")
+    val isArray = df.select(valueCol).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    val vals = if (isArray) valueCol.cast("array<string>")
+               else array(valueCol.cast("string"))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_kmv_agg", vals, lit(k)).as("_hs"))
+      .select(groupCols.map(col) :+ explode(col("_hs")).as("h"): _*)
+  }
+
+  /** [[kmvSketches]] fused with the shingling corpus pass: sketch the
+    * k-token-shingle SET of each group's text directly from token
+    * arrays (`graft_kmv_shingled` — shingle strings are built and
+    * hashed inside the kernel, never as Column values; the expression
+    * formulation paid 7.8 s at sf0.1 just materializing them). Same
+    * shingle definition as [[Dedup.wordShingles]], same portable md5
+    * domain, same oracle. */
+  def kmvShingleSketches(df: DataFrame, groupCols: Seq[String], textCol: Column,
+                         shingle: Int = 3, k: Int = KmvK): DataFrame = {
+    require(k > 1, s"k must be > 1, got $k")
+    require(shingle >= 1, s"shingle must be >= 1, got $shingle")
+    require(groupCols.nonEmpty, "kmvShingleSketches needs at least one group column")
+    val toks = split(lower(trim(textCol)), "\\s+")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_kmv_shingled", toks, lit(shingle), lit(k)).as("_hs"))
+      .select(groupCols.map(col) :+ explode(col("_hs")).as("h"): _*)
+  }
+
+  /** Roll fine sketches up to `keepCols` grain: the k smallest of the
+    * union (`graft_kmv_merge` — the same bounded buffer over
+    * already-hashed rows). Lossless by construction: every global
+    * top-k hash is its part's top-k, and the same value seen under two
+    * fine groups is one set member (the buffer is a set). */
+  def kmvMerge(sketches: DataFrame, keepCols: Seq[String],
+               k: Int = KmvK): DataFrame = {
+    require(k > 1, s"k must be > 1, got $k")
+    require(keepCols.nonEmpty, "kmvMerge needs at least one keep column")
+    sketches.groupBy(keepCols.map(col): _*)
+      .agg(call_function("graft_kmv_merge", col("h"), lit(k)).as("_hs"))
+      .select(keepCols.map(col) :+ explode(col("_hs")).as("h"): _*)
+  }
+
+  /** Pairwise overlap of every two keys' sets, from sketches alone:
+    * (key_a, key_b, est_a, est_b, est_inter, jaccard_est) for
+    * key_a < key_b. Distinct estimates are EXACT below k (θ = 1) and
+    * (k−1)/θ above; the intersection counts common hashes below
+    * min(θ) — thresholds compare as exact longs, only the final
+    * estimates divide as doubles (floored, then Jaccard rounded to
+    * 4 dp — the repo's float convention). |keys| is assumed small
+    * (sources, corpora, snapshots): the stats frame broadcasts and the
+    * common-hash join runs on the 8-byte h key. */
+  def kmvOverlap(sketches: DataFrame, keyCol: String, k: Int = KmvK): DataFrame = {
+    require(k > 1, s"k must be > 1, got $k")
+    // stats and both sides of the common-hash join fork the sketch
+    // frame; with the aggregate-built sketch the recomputed subtree is
+    // one map-side pass over ≤ k·|keys| rows per fork (Spark's reused
+    // exchange dedupes the shuffles within the query), so no
+    // materialization barrier is warranted — measured indistinguishable
+    // from a localCheckpoint at sf0.1, and a checkpoint would block
+    // the sketch build's pipelining into the join
+    val stats = sketches.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"), max(col("h")).as("hk"))
+      // θ in the exact long domain: 2^60 when the sketch holds the
+      // whole set (cnt < k), else the kth smallest hash
+      .withColumn("h_theta",
+        when(col("cnt") < k, lit(1152921504606846976L)).otherwise(col("hk")))
+      .withColumn("est",
+        when(col("cnt") < k, col("cnt").cast("double"))
+          .otherwise(floor(lit((k - 1).toDouble) / (col("hk").cast("double") / KmvSpace))))
+    def side(s: String) = stats.select(col(keyCol).as(s"key_$s"),
+      col("h_theta").as(s"ht_$s"), col("est").as(s"est_$s"))
+    val pairs = side("a").join(side("b"), col("key_a") < col("key_b"))
+      .withColumn("ht_min", least(col("ht_a"), col("ht_b")))
+    val common = sketches.select(col(keyCol).as("key_a"), col("h"))
+      .join(sketches.select(col(keyCol).as("key_b"), col("h")), Seq("h"))
+      .filter(col("key_a") < col("key_b"))
+    val m = common.join(broadcast(pairs.select(col("key_a"), col("key_b"), col("ht_min"))),
+        Seq("key_a", "key_b"))
+      .filter(col("h") < col("ht_min"))
+      .groupBy(col("key_a"), col("key_b")).agg(count(lit(1)).as("m"))
+    pairs.join(m, Seq("key_a", "key_b"), "left")
+      .withColumn("m", coalesce(col("m"), lit(0L)))
+      .withColumn("est_inter",
+        floor(col("m").cast("double") / (col("ht_min").cast("double") / KmvSpace)))
+      .withColumn("est_union", col("est_a") + col("est_b") - col("est_inter"))
+      .select(col("key_a"), col("key_b"),
+        col("est_a").cast("long").as("est_a"),
+        col("est_b").cast("long").as("est_b"),
+        col("est_inter").cast("long").as("est_inter"),
+        round(col("est_inter") / col("est_union"), 4).as("jaccard_est"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
+  /** C28 `q87_kmv_overlap`: shingle-set overlap between every pair of
+    * document sources — the decontamination/provenance question — from
+    * per-(source, lang) sketches rolled up to source grain, never from
+    * pairwise corpus scans. Directly oracle-backed: DuckDB rebuilds
+    * the identical hashes, order statistics and estimates from raw
+    * rows, estimate regime included. */
+  def kmvSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val fine = kmvShingleSketches(docs, Seq("source", "lang"), col("text"))
+    kmvOverlap(kmvMerge(fine, Seq("source")), "source")
+      .withColumnRenamed("key_a", "source_a")
+      .withColumnRenamed("key_b", "source_b")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expressions.{DotProduct, KllMergeAgg, KllQuantile, KllSketchAgg, MinHashShingled, MinHashSignature, NGramHashes, SimHash60Md5, SimHash64, SpanWindowHashes}
+import graft.expressions.{DotProduct, KllMergeAgg, KllQuantile, KllSketchAgg, KmvMergeAgg, KmvShingledAgg, KmvSketchAgg, MinHashShingled, MinHashSignature, NGramHashes, SimHash60Md5, SimHash64, SpanWindowHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -64,5 +64,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KllQuantile].getName, "graft_kll_quantile"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         KllQuantile(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv_agg"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KmvSketchAgg(children(0), children(1)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv_shingled"),
+      new ExpressionInfo(classOf[KmvShingledAgg].getName, "graft_kmv_shingled"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KmvShingledAgg(children(0), children(1), children(2)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv_merge"),
+      new ExpressionInfo(classOf[KmvMergeAgg].getName, "graft_kmv_merge"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KmvMergeAgg(children(0), children(1)).toAggregateExpression()))
   }
 }

@@ -279,4 +279,76 @@ class SketchesSpec extends SparkSpecBase {
       .select("item").as[String].collect().toSeq
     assert(top == Seq("hot"))
   }
+
+  // ---- C28: KMV set-overlap sketches -------------------------------
+
+  test("KMV exact regime: sub-k sketches give exact counts, intersections and Jaccard") {
+    // |A|=6, |B|=5, |A∩B|=3 — all below k, so θ=1 and every estimate
+    // must be the true set arithmetic, not an approximation
+    val rows = (Seq("a", "b", "c", "d", "e", "f").map(("A", _)) ++
+      Seq("d", "e", "f", "x", "y").map(("B", _)) ++
+      Seq("d", "e", "f", "x", "y").map(("B", _))) // duplicates: set semantics
+      .toDF("src", "v")
+    val sk = Sketches.kmvSketches(rows, Seq("src"), col("v"), k = 64)
+    val out = Sketches.kmvOverlap(sk, "src", k = 64)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq(("A", "B", 6L, 5L, 3L, 0.375)))
+  }
+
+  test("KMV rollup is lossless: fine sketches merged == sketching the coarse grain directly") {
+    val rows = (1 to 3000).map(i => ("S", s"lang${i % 4}", s"val$i")) ++
+      (1 to 500).map(i => ("T", "lang0", s"val$i"))
+    val df = rows.toDF("src", "lang", "v")
+    val fine = Sketches.kmvSketches(df, Seq("src", "lang"), col("v"), k = 128)
+    val merged = Sketches.kmvMerge(fine, Seq("src"), k = 128)
+      .as[(String, Long)].collect().toSet
+    val direct = Sketches.kmvSketches(df, Seq("src"), col("v"), k = 128)
+      .as[(String, Long)].collect().toSet
+    assert(merged == direct,
+      "k smallest of a union must equal k smallest of the parts' k-smallests")
+  }
+
+  test("KMV bounded-buffer aggregate equals the naive global order statistic") {
+    val df = (1 to 10000).map(i => ("G", s"item$i")).toDF("src", "v")
+    val sk = Sketches.kmvSketches(df, Seq("src"), col("v"), k = 256)
+      .as[(String, Long)].collect().map(_._2).sorted.toSeq
+    val naive = df.select(
+        conv(substring(md5(col("v")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct().as[Long].collect().sorted.take(256).toSeq
+    assert(sk == naive)
+  }
+
+  test("KMV fused shingle kernel equals sketching exploded wordShingles") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val fused = Sketches.kmvShingleSketches(docs, Seq("source"), col("text"), k = 128)
+      .as[(String, Long)].collect().toSet
+    val exploded = docs.select(col("source"),
+        explode(graft.operators.Dedup.wordShingles(col("text"))).as("sh"))
+    val viaColumns = Sketches.kmvSketches(exploded, Seq("source"), col("sh"), k = 128)
+      .as[(String, Long)].collect().toSet
+    assert(fused == viaColumns,
+      "kernel-built shingle strings must hash identically to the Column formulation")
+  }
+
+  test("KMV estimate regime tracks true distinct counts and overlaps on real documents") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir).documents
+    val shingled = docs.select(col("source"),
+      explode(graft.operators.Dedup.wordShingles(col("text"))).as("sh"))
+    val truth = shingled.select(col("source"), col("sh")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val sk = Sketches.kmvSketches(shingled, Seq("source"), col("sh"), k = 256)
+    val out = Sketches.kmvOverlap(sk, "source", k = 256)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, estA, estB, estI, jac) =>
+      // k=256 → σ ≈ 1/√(k−2) ≈ 6.3%; 4σ envelope (deterministic data,
+      // this is a fixed arithmetic check, not a flaky statistical one)
+      def close(est: Long, t: Long) = math.abs(est - t).toDouble / t < 0.25
+      assert(close(estA, truth(a)), s"$a: est $estA vs true ${truth(a)}")
+      assert(close(estB, truth(b)), s"$b: est $estB vs true ${truth(b)}")
+      assert(estI >= 0 && jac >= 0.0 && jac <= 1.0)
+    }
+  }
 }
