@@ -69,6 +69,7 @@ object SparkEntry {
     "q82_forecast_planted"       -> ((s, d) => Forecast.forecastPlanted(s, d)),
     "q83_forecast_planted_mult"  -> ((s, d) => Forecast.forecastPlantedMult(s, d)),
     "q85_semantic_dedup"         -> ((s, d) => Similarity.semanticDedupPortable(s, d)),
+    "q88_cluster_sample"         -> ((s, d) => Similarity.clusterSamplePortable(s, d)),
     "q36_ann_ivf"                -> ((s, d) => Similarity.annIvf(s, d)),
     "q47_ann_pq"                 -> ((s, d) => Similarity.annPq(s, d)),
     "q48_ann_ivfpq"              -> ((s, d) => Similarity.annIvfPq(s, d)),
@@ -1458,6 +1459,35 @@ object SparkEntry {
         |SELECT m.vec_id, m.cell, d.vec_id IS NOT NULL AS is_dup, d.dup_of
         |FROM m LEFT JOIN dups d ON d.vec_id = m.vec_id
         |ORDER BY m.vec_id""".stripMargin,
+
+    // q88: cluster-balanced sampling on the q85/q79 formula centroids —
+    // assignment (argmin rule), the 4-dp rounded prototypicality
+    // cosine, per-cell ranks and the ceil-keep rule are deterministic
+    // index-order arithmetic, reproducible from scratch
+    "q88_cluster_sample" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec,
+        |        list_dot_product(v, v) AS c2
+        |      FROM e WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, cell FROM (
+        |         SELECT e.vec_id, c.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY c.c2 - 2.0 * list_dot_product(e.v, c.cvec) ASC,
+        |                      c.cell ASC) AS rn
+        |         FROM e CROSS JOIN c) WHERE rn = 1),
+        |scored AS (SELECT a.vec_id, a.cell,
+        |             round(list_dot_product(e.v, c.cvec)
+        |                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(c.c2)), 4) AS cos_c
+        |           FROM asg a JOIN e ON e.vec_id = a.vec_id
+        |           JOIN c ON c.cell = a.cell),
+        |ranked AS (SELECT vec_id, cell, cos_c,
+        |             row_number() OVER (PARTITION BY cell
+        |               ORDER BY cos_c DESC, vec_id ASC) AS cell_rank,
+        |             count(*) OVER (PARTITION BY cell) AS csz
+        |           FROM scored)
+        |SELECT vec_id, cell, cos_c, CAST(cell_rank AS BIGINT) AS cell_rank
+        |FROM ranked WHERE cell_rank <= ceil(0.25 * csz)
+        |ORDER BY vec_id""".stripMargin,
 
     // q86: the prefix-filter blocking is lossless by the Ed-Join
     // theorem and the Levenshtein verify is the final predicate, so

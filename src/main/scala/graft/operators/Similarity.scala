@@ -926,4 +926,69 @@ object Similarity {
         vectors.dot(col("v"), col("v")).as("c2"))
     semanticDedup(emb, centroids, threshold)
   }
+
+  // ---- C29: cluster-balanced sampling (density-based pruning) ------
+
+  /** Cluster-balanced corpus sampling — the data-PRUNING operator from
+    * the scaling-law literature (Sorscher et al. 2022, "Beyond neural
+    * scaling laws", arXiv:2206.14486; applied to LLM corpora in D4,
+    * Tirumala et al. 2023, arXiv:2308.12284 — both public): rank every
+    * vector by prototypicality (cosine to its cluster centroid) and
+    * keep a per-CELL fraction, so selection pressure applies inside
+    * every semantic region instead of letting a global score empty the
+    * small clusters — the failure mode of global top-k pruning.
+    * `keepHard = false` keeps the most prototypical members (denoised
+    * cores; the scarce-data regime), `true` keeps the hardest
+    * (boundary examples; the abundant-data regime) — the paper's
+    * central finding is that which end to keep depends on the
+    * data-per-parameter budget, so the knob is explicit.
+    *
+    * Same artifact economics as [[semanticDedup]]: centroids are the
+    * persisted IVF quantizer table, assignment is the production
+    * [[appendToIvfIndex]] rule, and the whole pass is one broadcast
+    * join + one per-cell window — no corpus self-join anywhere, and
+    * the per-cell frame never exceeds the quantizer's cell size. Ranks
+    * compare the 4-dp ROUNDED cosine (ties → lower vec_id), the q24
+    * convention, so kept sets are engine-portable.
+    *
+    * Output: (vec_id, cell, cos_c, cell_rank) for the KEPT rows —
+    * ceil(fraction·|cell|) per cell, so every non-empty cell retains
+    * at least one representative. */
+  def clusterBalancedSample(embeddings: DataFrame, centroids: DataFrame,
+                            fraction: Double,
+                            keepHard: Boolean = false): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0, 1], got $fraction")
+    val assigned = appendToIvfIndex(embeddings, centroids)
+    val scored = assigned
+      .join(broadcast(centroids.select(col("cell"), col("cvec"),
+        sqrt(col("c2")).as("cnrm"))), Seq("cell"))
+      .withColumn("cos_c", round(
+        vectors.dot(col("v"), col("cvec")) / (col("nrm") * col("cnrm")), 4))
+    val order = if (keepHard) Seq(col("cos_c").asc, col("vec_id").asc)
+                else Seq(col("cos_c").desc, col("vec_id").asc)
+    val w = Window.partitionBy(col("cell")).orderBy(order: _*)
+    val wc = Window.partitionBy(col("cell"))
+    scored
+      .withColumn("cell_rank", row_number().over(w).cast("long"))
+      .withColumn("_keep", ceil(lit(fraction) * count(lit(1)).over(wc)))
+      .filter(col("cell_rank") <= col("_keep"))
+      .select(col("vec_id"), col("cell"), col("cos_c"), col("cell_rank"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** C29 `q88_cluster_sample` — [[clusterBalancedSample]] keeping the
+    * most prototypical quarter of every cell, on the q79
+    * formula-chosen centroids: assignment, scoring, per-cell ranking
+    * and the ceil-keep rule are all directly oracle-backed. Production
+    * use feeds [[buildIvfIndex]] centroids; the two differ only in
+    * where the centroid table comes from. */
+  def clusterSamplePortable(spark: SparkSession, dir: String,
+                            fraction: Double = 0.25): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val centroids = prepVectors(emb).filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cvec"),
+        vectors.dot(col("v"), col("v")).as("c2"))
+    clusterBalancedSample(emb, centroids, fraction)
+  }
 }

@@ -552,4 +552,57 @@ class SimilaritySpec extends SparkSpecBase {
       dupOf.foreach(d => assert(cellOf(d) == cell, s"$id dups onto $d across cells"))
     }
   }
+
+  // ---- C29: cluster-balanced sampling ------------------------------
+
+  test("cluster sampling keeps a per-cell ceil fraction, prototypes first") {
+    // cell 0 holds 5 members (10-14), cell 1 holds 3 (20-22);
+    // fraction 0.5 → keep 3 and 2 — selection is per cell, so the
+    // small cluster cannot be emptied by the big one's scores
+    val out = Similarity.clusterBalancedSample(
+        plantedSemanticCorpus, axisCentroids, fraction = 0.5)
+      .as[(Long, Int, Double, Long)].collect().toSeq
+    val byCell = out.groupBy(_._2)
+    assert(byCell(0).size == 3 && byCell(1).size == 2)
+    // prototypes = highest cosine to the centroid: in cell 0 the tight
+    // axis-aligned trio (10, 11, 14) outranks the diagonal 12/13; in
+    // cell 1 the anchors (20, 21) outrank the diagonal 22
+    assert(byCell(0).map(_._1).toSet == Set(10L, 11L, 14L))
+    assert(byCell(1).map(_._1).toSet == Set(20L, 21L))
+    // ranks are contiguous from 1 within each cell
+    assert(byCell(0).map(_._4).sorted == Seq(1L, 2L, 3L))
+    assert(byCell(1).map(_._4).sorted == Seq(1L, 2L))
+  }
+
+  test("cluster sampling keepHard=true flips to the boundary examples") {
+    val out = Similarity.clusterBalancedSample(
+        plantedSemanticCorpus, axisCentroids, fraction = 0.5, keepHard = true)
+      .as[(Long, Int, Double, Long)].collect().toSeq
+    val byCell = out.groupBy(_._2)
+    // hardest = lowest cosine to the centroid: the diagonal vectors
+    // (12, 13 in cell 0; 22 in cell 1) lead, then the least-tight
+    // axis vector fills the ceil quota
+    assert(byCell(0).map(_._1).toSet == Set(11L, 12L, 13L),
+      s"cell 0 hard picks: ${byCell(0).map(_._1).sorted}")
+    assert(byCell(1).map(_._1).toSet == Set(21L, 22L),
+      s"cell 1 hard picks: ${byCell(1).map(_._1).sorted}")
+  }
+
+  test("cluster sampling at fraction 1.0 keeps everything; bad fractions are refused") {
+    val all = Similarity.clusterBalancedSample(
+        plantedSemanticCorpus, axisCentroids, fraction = 1.0)
+      .collect()
+    assert(all.length == 8)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.clusterBalancedSample(plantedSemanticCorpus, axisCentroids, 0.0)
+    }
+    assert(e.getMessage.contains("fraction"))
+  }
+
+  test("cluster sampling plan is one broadcast join + windows, no self-join") {
+    val plan = Similarity.clusterSamplePortable(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "sampling must never pair corpus rows with each other")
+  }
 }
