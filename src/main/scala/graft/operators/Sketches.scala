@@ -294,8 +294,8 @@ object Sketches {
   // rebuilds the same counters from the raw rows and the driver
   // hash-checks counts, estimates, ranks and tie-breaks.
 
-  private val CmsDepth = 4
-  private val CmsWidth = 1024
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 1024
 
   /** Row j's counter index for an item: portable md5 bucket, the q77
     * hash convention (h < 2^60, so `%` is already nonnegative). */
@@ -312,25 +312,46 @@ object Sketches {
   def dailyCmsSketches(df: DataFrame, tsCol: String, itemCol: String,
                        depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
     require(depth > 0 && width > 0, s"depth/width must be positive, got $depth/$width")
+    cmsCountersFromCounts(dayItemCounts(df, tsCol, itemCol), depth, width)
+  }
+
+  /** (day, item, cnt) day-grain counts — the shared projection both
+    * CMS artifacts (and their streaming twin) hang off. Counting per
+    * item BEFORE the ×depth bucket fan-out keeps the exploded frame at
+    * |distinct items| rows, not |events| rows. */
+  private[graft] def dayItemCounts(df: DataFrame, tsCol: String,
+                                   itemCol: String): DataFrame =
     df.select(col(tsCol).cast("date").as("day"),
         col(itemCol).cast("string").as("item"))
-      .select(col("day"), posexplode(array((0 until depth).map(j =>
+      .groupBy(col("day"), col("item")).agg(count(lit(1)).as("cnt"))
+
+  /** Counter grid from (day, item, cnt) rows — the kernel the batch
+    * builder and [[graft.streaming.EventsStream.cmsIngestStream]]
+    * SHARE: range-merge correctness requires both paths to bucket and
+    * sum identically, forever. */
+  private[graft] def cmsCountersFromCounts(counts: DataFrame, depth: Int,
+                                           width: Int): DataFrame =
+    counts
+      .select(col("day"), col("cnt"), posexplode(array((0 until depth).map(j =>
         cmsBucket(j, col("item"), width)): _*)).as(Seq("row", "bucket")))
       .groupBy(col("day"), col("row"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-  }
+      .agg(sum(col("cnt")).as("cnt"))
 
   /** Per-day exact top-N candidate table: (day, item, cnt). The
     * enumeration companion to [[dailyCmsSketches]] — N rows per day,
     * built by the same day-grain pass that builds the counters. */
   def dailyTopCandidates(df: DataFrame, tsCol: String, itemCol: String,
-                         topN: Int = 64): DataFrame = {
+                         topN: Int = 64): DataFrame =
+    topCandidatesFromCounts(dayItemCounts(df, tsCol, itemCol), topN)
+
+  /** Top-N filter over (day, item, cnt) rows — shared with the
+    * streaming twin for the same reason as [[cmsCountersFromCounts]]. */
+  private[graft] def topCandidatesFromCounts(counts: DataFrame,
+                                             topN: Int): DataFrame = {
     require(topN > 0, s"topN must be positive, got $topN")
     val w = Window.partitionBy(col("day"))
       .orderBy(col("cnt").desc, col("item").asc)
-    df.select(col(tsCol).cast("date").as("day"),
-        col(itemCol).cast("string").as("item"))
-      .groupBy(col("day"), col("item")).agg(count(lit(1)).as("cnt"))
+    counts
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= topN)
       .drop("_rn")

@@ -264,7 +264,17 @@ object EventsStream {
         val daily = batch
           .groupBy(col(keyCol), col(tsCol).cast("date").as("day"))
           .agg(hll_sketch_agg(col(idCol)).as("user_sketch"))
-        val merged = scala.util.Try(spark.read.parquet(sketchPath)).toOption match {
+        // first-run-only benign catch (the advice-r9 rule, same hazard
+        // as the census guard): a swallowed read failure here would
+        // REPLACE day partitions with batch-only sketches
+        val diskOpt =
+          try Some(spark.read.parquet(sketchPath))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" ||
+                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+          }
+        val merged = diskOpt match {
           case Some(existing) =>
             existing.join(broadcast(daily.select(col("day")).distinct()), Seq("day"))
               .unionByName(daily)
@@ -277,6 +287,127 @@ object EventsStream {
           ifExists = "replace", clean = false)
       }
       .start()
+
+  /** D1→C28 bridge — streaming maintenance of the mergeable KMV
+    * sketch table: each micro-batch's per-(key, day) k-minimum-values
+    * sketches MERGE into the persisted day-partitioned table, so
+    * [[graft.operators.Sketches.kmvMerge]] +
+    * [[graft.operators.Sketches.kmvOverlap]] answer overlap questions
+    * over any range from a table that is always current.
+    *
+    * Replay semantics: the [[sketchIngestStream]] argument verbatim —
+    * KMV insertion is IDEMPOTENT PER VALUE (the buffer is a SET of the
+    * k smallest hashes; re-inserting a seen value cannot change it),
+    * so re-merging a replayed micro-batch is a no-op and the sketches
+    * are exactly-once without dedup state or day-completeness
+    * machinery.
+    *
+    * Per micro-batch cost: one aggregate of the batch (bounded
+    * buffers, map-side partials), a merge against ONLY the touched day
+    * partitions, and a dynamic partition overwrite of those days.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def kmvIngestStream(events: DataFrame, sketchPath: String,
+                      checkpointDir: String,
+                      keyCol: String = "event_type", tsCol: String = "ts",
+                      idCol: String = "user_id", k: Int = 256):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val daily = graft.operators.Sketches.kmvSketches(
+          batch.withColumn("day", col(tsCol).cast("date")),
+          Seq(keyCol, "day"), col(idCol), k)
+        // first-run-only benign catch (the advice-r9 rule): a missing
+        // or still-empty table means nothing to merge; any other read
+        // failure must fail the query — merging against a silently
+        // dropped disk state would REPLACE day partitions with
+        // batch-only sketches
+        val diskOpt =
+          try Some(spark.read.parquet(sketchPath))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" ||
+                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+          }
+        val merged = diskOpt match {
+          case Some(existing) =>
+            graft.operators.Sketches.kmvMerge(
+              existing.join(broadcast(daily.select(col("day")).distinct()), Seq("day"))
+                .unionByName(daily),
+              Seq(keyCol, "day"), k)
+          case None => daily // first batch: nothing to merge yet
+        }
+        graft.sources.Sinks.writeDayPartitioned(
+          merged.localCheckpoint(), sketchPath, "day",
+          ifExists = "replace", clean = false)
+      }
+      .start()
+
+  /** D1→C25 bridge — streaming maintenance of the Count-Min
+    * heavy-hitter artifacts: each FINALIZED ingest day lands its
+    * (day, row, bucket, cnt) counter grid and its exact top-N
+    * candidate list as day partitions, so
+    * [[graft.operators.Sketches.heavyHittersOverRange]] answers range
+    * top-k from tables that are always current — no raw-log re-scan,
+    * ever.
+    *
+    * Replay semantics: counter ADDS are not value-idempotent (the
+    * census argument, not the HLL/KMV one), so exactly-once comes from
+    * DAY COMPLETENESS — the streamed aggregate keys on (day window,
+    * item) under the watermark, a day's counts emit only when the
+    * watermark finalizes the whole day, and the shared split-day guard
+    * fails loudly if a day would land in halves. Both artifacts are
+    * then pure functions of the finalized counts, computed by the SAME
+    * kernels as the batch builders
+    * ([[graft.operators.Sketches.cmsCountersFromCounts]] /
+    * `topCandidatesFromCounts`) — range-merge correctness requires the
+    * two paths to bucket, sum and rank identically, forever.
+    *
+    * State cost: one in-flight row per (day, distinct item) until the
+    * day finalizes — the pre-fan-out grain, so the ×depth bucket
+    * explosion happens only on finalized counts.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def cmsIngestStream(events: DataFrame, cmsPath: String,
+                      candidatesPath: String, checkpointDir: String,
+                      itemCol: String = "user_id", tsCol: String = "ts",
+                      topN: Int = 64, watermark: String = "1 day"):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val perDay = events.withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(itemCol).cast("string").as("item"))
+      .groupBy(window(col(tsCol), "1 day"), col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("date").as("day"), col("item"), col("cnt"))
+    perDay.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // checkpointed once: counters, candidates and both guards all
+        // fork the finalized counts
+        val counts = batch0.localCheckpoint()
+        val counters = graft.operators.Sketches
+          .cmsCountersFromCounts(counts,
+            depth = graft.operators.Sketches.CmsDepth,
+            width = graft.operators.Sketches.CmsWidth)
+          .localCheckpoint()
+        val cands = graft.operators.Sketches
+          .topCandidatesFromCounts(counts, topN)
+          .localCheckpoint()
+        assertNoSplitDay(counters, cmsPath, Seq("row", "bucket", "cnt"),
+          opName = "cmsIngestStream(counters)")
+        assertNoSplitDay(cands, candidatesPath, Seq("item", "cnt"),
+          opName = "cmsIngestStream(candidates)")
+        graft.sources.Sinks.writeDayPartitioned(
+          counters, cmsPath, "day", ifExists = "replace", clean = false)
+        graft.sources.Sinks.writeDayPartitioned(
+          cands, candidatesPath, "day", ifExists = "replace", clean = false)
+      }
+      .start()
+  }
 
   /** D1→C2d bridge — streaming maintenance of the PARAGRAPH CENSUS
     * (the day-2 boilerplate table): each finalized ingest day's
@@ -405,42 +536,55 @@ object EventsStream {
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .select(col("day"), col(hashCol).as(hashCol, meta), col("n_docs"))
       .localCheckpoint()
+    assertNoSplitDay(delta, censusPath, Seq(hashCol, "n_docs"), opName)
+    graft.sources.Sinks.writeDayPartitioned(
+      delta, censusPath, "day", ifExists = "replace", clean = false)
+  }
+
+  /** Split-day guard shared by every finalized-day streaming sink
+    * whose values are NOT replay-idempotent (census counts, CMS
+    * counters): a day already on disk must be an exact replay
+    * (identical rows — idempotent rewrite, pass) or this batch is half
+    * of a split day and the replace-mode overwrite would silently drop
+    * the earlier half. Cost: one partition-pruned read of just this
+    * batch's days.
+    *
+    * ONLY the first-run no-table-yet cases are benign: a missing path,
+    * or an existing-but-empty directory (no files → Spark cannot infer
+    * a schema). Corruption, permission and transient FS failures must
+    * PROPAGATE and fail the query — swallowing every Throwable (the
+    * old Try(...).toOption) silently disabled the guard (advice r9). */
+  private def assertNoSplitDay(delta: DataFrame, path: String,
+                               valueCols: Seq[String], opName: String): Unit = {
     val spark0 = delta.sparkSession
     val days = delta.select(col("day")).distinct().collect().map(_.getDate(0))
-    // ONLY the first-run no-census-yet cases are benign here: a missing
-    // path, or an existing-but-empty directory (no files → Spark cannot
-    // infer a schema). Corruption, permission and transient FS failures
-    // must PROPAGATE and fail the query — swallowing every Throwable
-    // (the old Try(...).toOption) silently disabled the split-day guard
-    // this method exists for (advice r9).
     val diskOpt =
-      try Some(spark0.read.parquet(censusPath))
+      try Some(spark0.read.parquet(path))
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition == "PATH_NOT_FOUND" ||
                e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
       }
     diskOpt.foreach { disk =>
+      val cols = col("day") +: valueCols.map(col)
       val existing = disk
         .filter(col("day").isin(days.map(d => lit(d)): _*))
-        .select(col("day"), col(hashCol), col("n_docs"))
+        .select(cols: _*)
         .localCheckpoint()
       val exDays = existing.select(col("day")).distinct().collect().map(_.getDate(0))
       if (exDays.nonEmpty) {
         val replayed = delta
-          .select(col("day"), col(hashCol), col("n_docs"))
+          .select(cols: _*)
           .filter(col("day").isin(exDays.map(d => lit(d)): _*))
         val differs = replayed.exceptAll(existing)
           .unionAll(existing.exceptAll(replayed)).limit(1).count() > 0
         if (differs) throw new IllegalStateException(
           s"$opName: day(s) ${exDays.mkString(", ")} already persisted with " +
             "DIFFERENT content — this batch is half of a split day, and replacing the " +
-            "partition would silently drop the earlier half's census rows. Repair the " +
+            "partition would silently drop the earlier half's rows. Repair the " +
             "day partition (or widen the watermark so days finalize whole) and restart.")
       }
     }
-    graft.sources.Sinks.writeDayPartitioned(
-      delta, censusPath, "day", ifExists = "replace", clean = false)
   }
 
   /** E→A24 bridge — the GATED day-partitioned lake sink: each

@@ -412,6 +412,110 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D1→C28: streaming KMV ingest merges batches; re-delivery leaves sketches unchanged") {
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamEvent]
+    val path = java.nio.file.Files.createTempDirectory("graft_kmv_tbl").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_kmv_cp").toString
+    val q = EventsStream.kmvIngestStream(mem.toDF(), path, cp, k = 64)
+    def table() = spark.read.parquet(path)
+      .select(col("event_type"), col("day").cast("string"), col("h"))
+      .as[(String, String, Long)].collect().toSet
+    try {
+      mem.addData(
+        StreamEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        StreamEvent(2, ts("2024-01-01 11:00:00"), 2, "click", 1.0),
+        StreamEvent(3, ts("2024-01-02 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val t1 = table()
+      // the maintained table equals the batch-built sketch of the same
+      // static rows — the twin contract
+      val static1 = Seq((1L, "2024-01-01", "click"), (2L, "2024-01-01", "click"),
+        (1L, "2024-01-02", "click")).toDF("user_id", "day", "event_type")
+      val batchBuilt = Sketches.kmvSketches(static1,
+          Seq("event_type", "day"), col("user_id"), k = 64)
+        .as[(String, String, Long)].collect().toSet
+      assert(t1 == batchBuilt, s"streamed $t1 vs batch $batchBuilt")
+      // batch 2 extends an existing day partition and a new day
+      mem.addData(
+        StreamEvent(4, ts("2024-01-01 12:00:00"), 3, "click", 1.0),
+        StreamEvent(5, ts("2024-01-03 12:00:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      val t2 = table()
+      assert(t2.count(r => r._1 == "click" && r._2 == "2024-01-01") == 3,
+        "day-1 sketch must gain user 3's hash")
+      // re-delivery: KMV insertion is idempotent per value
+      mem.addData(
+        StreamEvent(6, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        StreamEvent(7, ts("2024-01-01 11:00:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      assert(table() == t2, "re-delivered values must not change the sketches")
+    } finally q.stop()
+  }
+
+  test("D1→C25: streaming CMS ingest lands finalized days; range top-k and replay agree") {
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamEvent]
+    val cms = java.nio.file.Files.createTempDirectory("graft_cms_tbl").toString
+    val cand = java.nio.file.Files.createTempDirectory("graft_cms_cand").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_cms_cp").toString
+    val q = EventsStream.cmsIngestStream(mem.toDF(), cms, cand, cp, topN = 8)
+    try {
+      // day 1: user 7 is the hitter (3 events), users 1-2 one each;
+      // a day-3 marker finalizes day 1 (watermark passes its end)
+      mem.addData(
+        StreamEvent(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        StreamEvent(2, ts("2024-01-01 10:05:00"), 7, "click", 1.0),
+        StreamEvent(3, ts("2024-01-01 10:10:00"), 7, "view", 1.0),
+        StreamEvent(4, ts("2024-01-01 11:00:00"), 1, "click", 1.0),
+        StreamEvent(5, ts("2024-01-01 12:00:00"), 2, "click", 1.0))
+      mem.addData(StreamEvent(99, ts("2024-01-03 01:00:00"), 99, "marker", 1.0))
+      q.processAllAvailable()
+      val top1 = Sketches.heavyHittersOverRange(
+          spark.read.parquet(cms), spark.read.parquet(cand), k = 3,
+          toDay = Some("2024-01-02"))
+        .as[(Long, String, Long)].collect().toSeq
+      assert(top1.head._2 == "7" && top1.head._3 == 3L,
+        s"the planted hitter must rank first with its exact count: $top1")
+      // day 3 adds two more events for user 7; a day-5 marker finalizes
+      mem.addData(StreamEvent(6, ts("2024-01-03 02:00:00"), 7, "click", 1.0),
+        StreamEvent(7, ts("2024-01-03 03:00:00"), 7, "click", 1.0))
+      mem.addData(StreamEvent(98, ts("2024-01-05 01:00:00"), 98, "marker2", 1.0))
+      q.processAllAvailable()
+      val top2 = Sketches.heavyHittersOverRange(
+          spark.read.parquet(cms), spark.read.parquet(cand), k = 3)
+        .as[(Long, String, Long)].collect().toSeq
+      assert(top2.head._2 == "7" && top2.head._3 == 5L,
+        s"range merge must sum the hitter across finalized days: $top2")
+      // replay from scratch (fresh checkpoint, same tables): finalized
+      // days rewrite identically, the split-day guard stays silent
+      val mem2 = MemoryStream[StreamEvent]
+      val cp2 = java.nio.file.Files.createTempDirectory("graft_cms_cp2").toString
+      val q2 = EventsStream.cmsIngestStream(mem2.toDF(), cms, cand, cp2, topN = 8)
+      try {
+        mem2.addData(
+          StreamEvent(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+          StreamEvent(2, ts("2024-01-01 10:05:00"), 7, "click", 1.0),
+          StreamEvent(3, ts("2024-01-01 10:10:00"), 7, "view", 1.0),
+          StreamEvent(4, ts("2024-01-01 11:00:00"), 1, "click", 1.0),
+          StreamEvent(5, ts("2024-01-01 12:00:00"), 2, "click", 1.0),
+          StreamEvent(99, ts("2024-01-03 01:00:00"), 99, "marker", 1.0))
+        mem2.addData(StreamEvent(6, ts("2024-01-03 02:00:00"), 7, "click", 1.0),
+          StreamEvent(7, ts("2024-01-03 03:00:00"), 7, "click", 1.0),
+          StreamEvent(98, ts("2024-01-05 01:00:00"), 98, "marker2", 1.0))
+        q2.processAllAvailable()
+        val top3 = Sketches.heavyHittersOverRange(
+            spark.read.parquet(cms), spark.read.parquet(cand), k = 3)
+          .as[(Long, String, Long)].collect().toSeq
+        assert(top3 == top2, s"replay must leave the artifacts unchanged: $top3 vs $top2")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("E→A24: gated lake sink quarantines failing batches, good partitions survive") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
