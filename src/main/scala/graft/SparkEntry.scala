@@ -123,7 +123,8 @@ object SparkEntry {
     "q76_paragraph_census_probe" -> ((s, d) => Dedup.paragraphCensusProbePages(s, d)),
     "q65_data_quality"           -> ((s, d) => Validation.ordersQuality(s, d)),
     "q66_session_attribution"    -> ((s, d) => IntervalJoin.sessionAttribution(s, d)),
-    "q86_edit_join"              -> ((s, d) => FuzzyJoin.editJoinCustomers(s, d))
+    "q86_edit_join"              -> ((s, d) => FuzzyJoin.editJoinCustomers(s, d)),
+    "q89_fuzzy_canonical"        -> ((s, d) => FuzzyJoin.fuzzyCanonicalParts(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1501,6 +1502,28 @@ object SparkEntry {
         |FROM v a JOIN v b ON a.s < b.s
         |WHERE levenshtein(a.s, b.s) <= 1
         |ORDER BY name_a, name_b""".stripMargin,
+
+    // q89: both composition halves re-derived from scratch — brute
+    // Levenshtein pairs (q86's oracle shape) feeding the q37
+    // recursive-CTE transitive closure; min label is lexicographic,
+    // identical on both engines
+    "q89_fuzzy_canonical" ->
+      """WITH RECURSIVE v AS (SELECT DISTINCT p_name AS s FROM part
+        |           WHERE p_name IS NOT NULL),
+        |p0 AS (SELECT a.s AS id_a, b.s AS id_b FROM v a JOIN v b
+        |       ON a.s < b.s WHERE levenshtein(a.s, b.s) <= 2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p0
+        |          UNION SELECT id_b, id_a FROM p0),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (SELECT id, id AS r FROM nodes
+        |          UNION
+        |          SELECT e.src AS id, reach.r FROM edges e
+        |          JOIN reach ON reach.id = e.dst),
+        |clus AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+        |SELECT v.s AS name, coalesce(c.rep, v.s) AS canonical,
+        |       coalesce(c.rep, v.s) <> v.s AS is_variant
+        |FROM v LEFT JOIN clus c ON c.id = v.s
+        |ORDER BY name""".stripMargin,
 
     // q87: the KMV/theta estimator is a deterministic function of the
     // portable md5 hashes, so DuckDB rebuilds the identical sketches

@@ -110,4 +110,45 @@ object FuzzyJoin {
     * blocking losslessness IS the contract, the q59 convention. */
   def editJoinCustomers(spark: SparkSession, dir: String): DataFrame =
     editDistanceJoin(Tables(spark, dir).customer, "c_name", maxDist = 1)
+
+  /** Canonical-form mapping for a string column's vocabulary — the
+    * end-to-end entity-resolution deliverable: variant pairs from
+    * [[editDistanceJoin]] become edges, connected components resolve
+    * through the CERTIFIED cluster machinery
+    * ([[Dedup.dupClusters]] — min-label propagation, q37's contract;
+    * label min is lexicographic here, deterministic on any engine),
+    * and every vocabulary entry maps to its component minimum
+    * (singletons to themselves). Joining `canonical` back onto the
+    * corpus normalizes the column in one equi join.
+    *
+    * Transitive closure is the documented semantics, stated honestly:
+    * chains merge ("cold X" ~ "old X" ~ ... pulls whole families into
+    * one canonical), which is what makes the result a PARTITION of the
+    * vocabulary rather than a pair list — choose `maxDist` for the
+    * variation you mean to collapse.
+    *
+    * Output: (name, canonical, is_variant), one row per distinct
+    * non-null value. */
+  def canonicalVocabulary(df: DataFrame, strCol: String,
+                          maxDist: Int = 1): DataFrame = {
+    val strs = df.select(col(strCol).cast("string").as("name"))
+      .filter(col("name").isNotNull).distinct()
+    val pairs = editDistanceJoin(df, strCol, maxDist)
+      .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
+    val clusters = Dedup.dupClusters(pairs)
+      .select(col("id").as("name"), col("rep_id"))
+    strs.join(clusters, Seq("name"), "left")
+      .select(col("name"),
+        coalesce(col("rep_id"), col("name")).as("canonical"),
+        coalesce(col("rep_id"), col("name")).=!=(col("name")).as("is_variant"))
+      .orderBy(col("name"))
+  }
+
+  /** C27b `q89_fuzzy_canonical` — the part-name vocabulary resolved at
+    * maxDist 2 ("cold anvil" / "old anvil" / "red anvil" / "new anvil"
+    * families collapse per noun). Oracle: brute-force pairs + the
+    * q37 recursive-CTE closure in DuckDB — both halves of the
+    * composition re-derived from scratch. */
+  def fuzzyCanonicalParts(spark: SparkSession, dir: String): DataFrame =
+    canonicalVocabulary(Tables(spark, dir).part, "p_name", maxDist = 2)
 }

@@ -82,6 +82,32 @@ class FuzzyJoinSpec extends SparkSpecBase {
     assert(e.getMessage.contains("maxDist"))
   }
 
+  test("canonicalVocabulary maps chains to the component minimum, singletons to themselves") {
+    // kit–kat–cat is a d=1 CHAIN: transitive closure must pull all
+    // three to the lexicographic minimum even though ed(kit,cat)=2
+    val df = Seq("kit", "kat", "cat", "dog", "dig").toDF("s")
+    val out = FuzzyJoin.canonicalVocabulary(df, "s", maxDist = 1)
+      .as[(String, String, Boolean)].collect().toSet
+    assert(out == Set(
+      ("cat", "cat", false),
+      ("kat", "cat", true),
+      ("kit", "cat", true),
+      ("dig", "dig", false),
+      ("dog", "dig", true)))
+  }
+
+  test("canonicalVocabulary is a partition: every name maps into its own cluster") {
+    val df = Seq("alpha", "alphb", "alphc", "beta", "solo").toDF("s")
+    val out = FuzzyJoin.canonicalVocabulary(df, "s", maxDist = 1)
+      .as[(String, String, Boolean)].collect().toSeq
+    assert(out.length == 5, "one row per vocabulary entry")
+    val canonicals = out.map(_._2).toSet
+    assert(out.filter(r => canonicals.contains(r._1)).forall(!_._3),
+      "a canonical is never itself a variant")
+    assert(out.count(_._2 == "alpha") == 3 && out.count(_._2 == "beta") == 1
+      && out.count(_._2 == "solo") == 1)
+  }
+
   test("plan stays an equi join — no cartesian, no nested loop") {
     val df = Seq("red widget", "ted widget", "blue bolt").toDF("s")
     val plan = FuzzyJoin.editDistanceJoin(df, "s", maxDist = 1)
