@@ -124,7 +124,8 @@ object SparkEntry {
     "q65_data_quality"           -> ((s, d) => Validation.ordersQuality(s, d)),
     "q66_session_attribution"    -> ((s, d) => IntervalJoin.sessionAttribution(s, d)),
     "q86_edit_join"              -> ((s, d) => FuzzyJoin.editJoinCustomers(s, d)),
-    "q89_fuzzy_canonical"        -> ((s, d) => FuzzyJoin.fuzzyCanonicalParts(s, d))
+    "q89_fuzzy_canonical"        -> ((s, d) => FuzzyJoin.fuzzyCanonicalParts(s, d)),
+    "q90_bm25_search"            -> ((s, d) => Search.bm25SearchDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1524,6 +1525,38 @@ object SparkEntry {
         |       coalesce(c.rep, v.s) <> v.s AS is_variant
         |FROM v LEFT JOIN clus c ON c.id = v.s
         |ORDER BY name""".stripMargin,
+
+    // q90: postings, stats, Lucene-IDF and the scaled-long score sum
+    // (the q33/q63 convention — per-term contributions are
+    // bit-identical IEEE, the sum rides exact longs) rebuilt from raw
+    // rows; DuckDB ln == Spark log (natural); top-20 by (score desc,
+    // doc_id asc)
+    "q90_bm25_search" ->
+      """WITH d AS (SELECT doc_id,
+        |             regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |           FROM documents),
+        |tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d),
+        |post AS (SELECT term, doc_id, dl, count(*) AS tf
+        |         FROM tok GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+        |          FROM (SELECT DISTINCT doc_id, dl FROM tok)),
+        |probe AS (SELECT * FROM post WHERE term IN ('spark', 'window', 'batch')),
+        |dfs AS (SELECT term, count(*) AS df FROM probe GROUP BY 1),
+        |contrib AS (SELECT p.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |      * (p.tf * (1.2 + 1.0))
+        |      / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+        |      * 100000000.0) AS BIGINT) AS cs
+        |  FROM probe p JOIN dfs f ON f.term = p.term CROSS JOIN stats s),
+        |scored AS (SELECT doc_id,
+        |    round(CAST(sum(cs) AS DOUBLE) / 100000000.0 + 1e-9, 4) AS score
+        |  FROM contrib GROUP BY 1),
+        |ranked AS (SELECT doc_id, score,
+        |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
+        |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // q87: the KMV/theta estimator is a deterministic function of the
     // portable md5 hashes, so DuckDB rebuilds the identical sketches

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval over a persistable postings index — the
+  * corpus-exploration primitive (audit queries, eval-set sourcing,
+  * targeted quality review) that C21's TF-IDF term profiles don't
+  * give: TF-IDF summarizes a document, BM25 RANKS documents for a
+  * query. Okapi BM25 with the Lucene-style non-negative IDF
+  * (Robertson & Zaragoza 2009, "The Probabilistic Relevance
+  * Framework" — public literature).
+  *
+  * The index is two plain tables, built in ONE corpus pass:
+  * postings (term, doc_id, tf, dl) and stats (N, avgdl — one row).
+  * df(t) needs no third table: postings hold one row per (term, doc),
+  * so document frequency is a count over the query's own probe slice.
+  * At 100 TB the postings table is the persisted artifact (partition
+  * by term hash range); a query broadcasts its handful of terms,
+  * semi-joins the postings — touching only those terms' rows, never
+  * the corpus — and aggregates ≤ |matching docs| rows. Query cost
+  * scales with posting-list length, not corpus size.
+  *
+  * Scoring is engine-portable by the q33/q63 scaled-long convention:
+  * each per-term contribution is plain IEEE arithmetic on identical
+  * inputs (bit-identical across engines), quantizes to a 1e-8 grid,
+  * and SUMS AS EXACT LONGS — a double sum is merge-order-dependent
+  * and Spark's vs DuckDB's orders can round a grid-tie apart. The
+  * trailing 1e-9 nudge keeps grid-exact totals off the half-up
+  * boundary before the 4-dp round.
+  */
+object Search {
+
+  /** Tokens of `textCol` under the corpus convention (lower, trim,
+    * whitespace split) — the [[Dedup.wordShingles]] base projection. */
+  private def toks(textCol: Column): Column = split(lower(trim(textCol)), "\\s+")
+
+  /** One-pass index build. Returns (postings, stats):
+    * postings = (term, doc_id, tf, dl) — one row per distinct term per
+    * doc; stats = (n_docs, avgdl) — one row. Persist both (postings
+    * partitioned/bucketed by term at scale); every later query is a
+    * probe. */
+  def buildPostings(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): (DataFrame, DataFrame) = {
+    val tokened = docs
+      .select(col(idCol).cast("long").as("doc_id"), toks(col(textCol)).as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).as("dl"), explode(col("_toks")).as("term"))
+    val postings = tokened
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val stats = tokened.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    (postings, stats)
+  }
+
+  /** Top-k documents for `query` terms from the persisted index.
+    * Terms are matched under the index's own tokenization (lowercased
+    * exact terms); duplicate query terms count once (bag-of-terms
+    * query with set semantics — the standard BM25 query shape).
+    * Output: (rank, doc_id, score) — score 4-dp rounded, ties broken
+    * by doc_id. */
+  def bm25Search(postings: DataFrame, stats: DataFrame, query: Seq[String],
+                 k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25Search needs at least one query term")
+    require(k > 0, s"k must be positive, got $k")
+    val terms = query.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    // probe slice: ONLY the query terms' posting rows participate —
+    // the isin literal pushes into the scan, so a term-partitioned
+    // index reads just those partitions
+    val probe = postings.filter(col("term").isin(terms.map(t => t: Any): _*))
+    val df = probe.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = probe
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      // Lucene-style IDF: ln(1 + (N - df + 0.5)/(df + 0.5)) — always
+      // positive, so a term in most docs dilutes instead of flipping
+      // the ranking sign
+      .withColumn("_idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("_c", col("_idf") * (col("tf") * (lit(k1) + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      // quantize-then-long-sum (the q33/q63 convention): per-term
+      // contributions are bit-identical IEEE on both engines; the sum
+      // must be order-free
+      .withColumn("_cs", round(col("_c") * 100000000.0).cast("long"))
+    val scored = contrib.groupBy(col("doc_id"))
+      .agg(sum(col("_cs")).as("_ss"))
+      .withColumn("score",
+        round(col("_ss").cast("double") / 100000000.0 + lit(1e-9), 4))
+    // top-k via sort+limit (TakeOrdered — a distributed per-partition
+    // top-k then a k-row merge), NOT a global rank window: a common
+    // term matches a corpus-sized doc set, and an unpartitioned window
+    // would serialize all of it onto one task. Ranks attach after the
+    // limit, over exactly k rows.
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("rank"))
+  }
+
+  /** C30 `q90_bm25_search` — top-20 documents for a three-term query
+    * over the documents corpus, answered from the one-pass postings
+    * index. Oracle: DuckDB rebuilds postings, stats, IDF and the
+    * scaled-long score from raw rows — the whole retrieval pipeline
+    * hash-checked. */
+  def bm25SearchDocs(spark: SparkSession, dir: String): DataFrame = {
+    val (postings, stats) = buildPostings(Tables(spark, dir).documents)
+    bm25Search(postings, stats, Seq("spark", "window", "batch"), k = 20)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Search
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "cat cat dog"),
+    (2L, "cat fish"),
+    (3L, "bird")
+  ).toDF("doc_id", "text")
+
+  test("BM25 scores match the hand-computed Okapi formula exactly") {
+    val (postings, stats) = Search.buildPostings(corpus)
+    val out = Search.bm25Search(postings, stats, Seq("cat"), k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    // N=3, avgdl=2.0, df(cat)=2, idf=ln(1 + 1.5/2.5)
+    val idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    def c(tf: Int, dl: Int) =
+      idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / 2.0))
+    def grid(x: Double) =
+      BigDecimal(math.round(x * 1e8).toDouble / 1e8 + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(r => (r._2, r._3)) == Seq(
+      (1L, grid(c(2, 3))), (2L, grid(c(1, 2)))),
+      s"got $out")
+    assert(out.map(_._1) == Seq(1L, 2L), "ranks are contiguous from 1")
+  }
+
+  test("BM25 multi-term queries add contributions; unmatched docs never appear") {
+    val docs = Seq(
+      (1L, "spark streaming joins"),
+      (2L, "spark window functions window"),
+      (3L, "pandas dataframe")
+    ).toDF("doc_id", "text")
+    val (postings, stats) = Search.buildPostings(docs)
+    val out = Search.bm25Search(postings, stats, Seq("spark", "window"), k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(_._2).toSet == Set(1L, 2L), "doc 3 matches nothing")
+    assert(out.head._2 == 2L,
+      "two matched terms (one twice) must outrank a single match")
+  }
+
+  test("BM25 duplicate query terms count once; unknown terms contribute nothing") {
+    val (postings, stats) = Search.buildPostings(corpus)
+    val once = Search.bm25Search(postings, stats, Seq("cat"), k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    val dup = Search.bm25Search(postings, stats, Seq("cat", "CAT", " cat "), k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    val extra = Search.bm25Search(postings, stats, Seq("cat", "zzz_absent"), k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(dup == once, "set semantics over normalized query terms")
+    assert(extra == once, "an absent term has no postings and changes nothing")
+  }
+
+  test("BM25 rarer terms weigh more at equal tf and dl") {
+    val docs = Seq(
+      (1L, "rare common"),
+      (2L, "dull common"),
+      (3L, "dull other")
+    ).toDF("doc_id", "text")
+    val (postings, stats) = Search.buildPostings(docs)
+    def score(term: String) = Search.bm25Search(postings, stats, Seq(term), k = 10)
+      .filter(col("doc_id") === 1L).select(col("score")).as[Double].head()
+    assert(score("rare") > score("common"),
+      "df=1 term must outscore df=2 term for the same doc")
+  }
+
+  test("BM25 top-k is a distributed TakeOrdered, not a global rank window over matches") {
+    val (postings, stats) = Search.buildPostings(corpus)
+    val plan = Search.bm25Search(postings, stats, Seq("cat"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected sort+limit top-k, got:\n$plan")
+  }
+}
