@@ -125,7 +125,8 @@ object SparkEntry {
     "q66_session_attribution"    -> ((s, d) => IntervalJoin.sessionAttribution(s, d)),
     "q86_edit_join"              -> ((s, d) => FuzzyJoin.editJoinCustomers(s, d)),
     "q89_fuzzy_canonical"        -> ((s, d) => FuzzyJoin.fuzzyCanonicalParts(s, d)),
-    "q90_bm25_search"            -> ((s, d) => Search.bm25SearchDocs(s, d))
+    "q90_bm25_search"            -> ((s, d) => Search.bm25SearchDocs(s, d)),
+    "q91_bm25_incremental"       -> ((s, d) => Search.bm25IncrementalDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1538,9 +1539,43 @@ object SparkEntry {
         |tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d),
         |post AS (SELECT term, doc_id, dl, count(*) AS tf
         |         FROM tok GROUP BY 1, 2, 3),
-        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+        |stats AS (SELECT count(*) AS n_docs,
+        |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
         |          FROM (SELECT DISTINCT doc_id, dl FROM tok)),
         |probe AS (SELECT * FROM post WHERE term IN ('spark', 'window', 'batch')),
+        |dfs AS (SELECT term, count(*) AS df FROM probe GROUP BY 1),
+        |contrib AS (SELECT p.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |      * (p.tf * (1.2 + 1.0))
+        |      / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+        |      * 100000000.0) AS BIGINT) AS cs
+        |  FROM probe p JOIN dfs f ON f.term = p.term CROSS JOIN stats s),
+        |scored AS (SELECT doc_id,
+        |    round(CAST(sum(cs) AS DOUBLE) / 100000000.0 + 1e-9, 4) AS score
+        |  FROM contrib GROUP BY 1),
+        |ranked AS (SELECT doc_id, score,
+        |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
+        |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // q91: the day-2 contract IS the oracle — append-then-search must
+    // equal the from-scratch full-corpus computation bit-exactly
+    // (postings union is disjoint by doc, stats add as longs), so the
+    // oracle is q90's reformulation over the WHOLE corpus with q91's
+    // query terms
+    "q91_bm25_incremental" ->
+      """WITH d AS (SELECT doc_id,
+        |             regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |           FROM documents),
+        |tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d),
+        |post AS (SELECT term, doc_id, dl, count(*) AS tf
+        |         FROM tok GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS n_docs,
+        |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |          FROM (SELECT DISTINCT doc_id, dl FROM tok)),
+        |probe AS (SELECT * FROM post WHERE term IN ('query', 'filter', 'join')),
         |dfs AS (SELECT term, count(*) AS df FROM probe GROUP BY 1),
         |contrib AS (SELECT p.doc_id,
         |    CAST(round(

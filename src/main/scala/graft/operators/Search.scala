@@ -39,9 +39,13 @@ object Search {
 
   /** One-pass index build. Returns (postings, stats):
     * postings = (term, doc_id, tf, dl) — one row per distinct term per
-    * doc; stats = (n_docs, avgdl) — one row. Persist both (postings
-    * partitioned/bucketed by term at scale); every later query is a
-    * probe. */
+    * doc; stats = (n_docs, dl_sum) — one row. Stats carry the dl SUM,
+    * not the average: longs merge EXACTLY under [[appendToPostings]]
+    * (avgdl reconstructed from a merged average would differ from the
+    * from-scratch value in the last ulp — (sum/n)·n ≠ sum in IEEE —
+    * and the append-equals-rebuild contract is bit-exact). Persist
+    * both (postings partitioned/bucketed by term at scale); every
+    * later query is a probe. */
   def buildPostings(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): (DataFrame, DataFrame) = {
     val tokened = docs
@@ -52,8 +56,30 @@ object Search {
       .agg(count(lit(1)).as("tf"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     val stats = tokened.select(col("doc_id"), col("dl")).distinct()
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
     (postings, stats)
+  }
+
+  /** Day-2 index growth: index ONLY the new documents and extend the
+    * persisted artifacts — postings append by pure union (a posting
+    * row belongs to one doc, so no merge), stats add as exact longs.
+    * The result is IDENTICAL to rebuilding from the full corpus
+    * (spec-asserted and the q91 oracle contract), at the cost of one
+    * pass over the new docs — never the indexed corpus.
+    *
+    * Caller contract (the [[Similarity.appendToIvfIndex]] convention):
+    * new doc ids are disjoint from the indexed ones — id ownership
+    * belongs to the table owner, and a re-sent doc would double its
+    * postings the same way it would double any append-only table. */
+  def appendToPostings(newDocs: DataFrame, postings: DataFrame, stats: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text")
+      : (DataFrame, DataFrame) = {
+    val (np, ns) = buildPostings(newDocs, idCol, textCol)
+    val mergedStats = stats
+      .crossJoin(broadcast(ns.select(col("n_docs").as("_n2"), col("dl_sum").as("_s2"))))
+      .select((col("n_docs") + col("_n2")).as("n_docs"),
+        (col("dl_sum") + col("_s2")).as("dl_sum"))
+    (postings.unionByName(np), mergedStats)
   }
 
   /** Top-k documents for `query` terms from the persisted index.
@@ -74,7 +100,8 @@ object Search {
     val df = probe.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val contrib = probe
       .join(broadcast(df), Seq("term"))
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(stats
+        .withColumn("avgdl", col("dl_sum").cast("double") / col("n_docs"))))
       // Lucene-style IDF: ln(1 + (N - df + 0.5)/(df + 0.5)) — always
       // positive, so a term in most docs dilutes instead of flipping
       // the ranking sign
@@ -110,5 +137,19 @@ object Search {
   def bm25SearchDocs(spark: SparkSession, dir: String): DataFrame = {
     val (postings, stats) = buildPostings(Tables(spark, dir).documents)
     bm25Search(postings, stats, Seq("spark", "window", "batch"), k = 20)
+  }
+
+  /** C30b `q91_bm25_incremental` — the day-2 path: 80% of the corpus
+    * is the indexed artifact, the remaining 20% arrives as new docs
+    * through [[appendToPostings]], and the search answers from the
+    * extended index. The oracle is the FULL-corpus reformulation —
+    * append-equals-rebuild is the contract, bit-exact because stats
+    * merge as longs. */
+  def bm25IncrementalDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val (p1, s1) = buildPostings(docs.filter(col("doc_id") % 5 =!= 0))
+    val (pm, sm) = appendToPostings(
+      docs.filter(col("doc_id") % 5 === 0), p1, s1)
+    bm25Search(pm, sm, Seq("query", "filter", "join"), k = 20)
   }
 }

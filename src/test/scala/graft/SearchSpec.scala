@@ -68,6 +68,22 @@ class SearchSpec extends SparkSpecBase {
       "df=1 term must outscore df=2 term for the same doc")
   }
 
+  test("BM25 day-2 append equals the from-scratch rebuild bit-exactly") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val (fullP, fullS) = Search.buildPostings(docs)
+    val (p1, s1) = Search.buildPostings(docs.filter(col("doc_id") % 3 =!= 0))
+    val (pm, sm) = Search.appendToPostings(docs.filter(col("doc_id") % 3 === 0), p1, s1)
+    assert(sm.as[(Long, Long)].head() == fullS.as[(Long, Long)].head(),
+      "stats must add as exact longs")
+    for (q <- Seq(Seq("data"), Seq("spark", "table"))) {
+      val fromScratch = Search.bm25Search(fullP, fullS, q, k = 50)
+        .as[(Long, Long, Double)].collect().toSeq
+      val appended = Search.bm25Search(pm, sm, q, k = 50)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(appended == fromScratch, s"query $q diverged after append")
+    }
+  }
+
   test("BM25 top-k is a distributed TakeOrdered, not a global rank window over matches") {
     val (postings, stats) = Search.buildPostings(corpus)
     val plan = Search.bm25Search(postings, stats, Seq("cat"), k = 5)
