@@ -82,6 +82,18 @@ class FuzzyJoinSpec extends SparkSpecBase {
     assert(e.getMessage.contains("maxDist"))
   }
 
+  test("edit distance and deletion keys operate on characters, not bytes") {
+    // "müller"/"muller" differ by ONE character (ü is 2 UTF-8 bytes):
+    // Column.substr and levenshtein are both character-based, so the
+    // pair must be found at d=1. Pins the semantics a byte-based
+    // implementation would silently break.
+    val out = pairs(Seq("müller", "muller", "möller"), maxDist = 1)
+    assert(out == Set(
+      ("muller", "müller", 1L),
+      ("muller", "möller", 1L),
+      ("möller", "müller", 1L)))
+  }
+
   test("canonicalVocabulary maps chains to the component minimum, singletons to themselves") {
     // kit–kat–cat is a d=1 CHAIN: transitive closure must pull all
     // three to the lexicographic minimum even though ed(kit,cat)=2
