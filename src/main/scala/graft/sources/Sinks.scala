@@ -139,4 +139,31 @@ object Sinks {
   def readRange(spark: org.apache.spark.sql.SparkSession, path: String,
                 range: String): DataFrame =
     spark.read.parquet(path).filter(col("_range") === range).drop("_range")
+
+  /** E4: RANGE-SORTED write — the data-skipping layout for key-filtered
+    * scans, the third layout lever next to day partitioning (prunes by
+    * date) and bucketing (co-locates joins). `repartitionByRange` +
+    * `sortWithinPartitions` clusters each key's rows into one narrow
+    * key range per file, so parquet's per-row-group min/max stats let
+    * a pushed `key = x` / `key BETWEEN a AND b` filter skip everything
+    * else AT THE SCAN — on a 100 TB table the difference between "read
+    * one row group" and "read the table and filter". An unsorted
+    * layout defeats the same stats silently: every row group spans
+    * nearly the full key range, so nothing prunes and the scan's row
+    * count is the table's (spec-asserted both ways — the contract is
+    * measured, not assumed).
+    *
+    * `numFiles` sizes the range partitions (range boundaries come from
+    * a sample pass — that is `repartitionByRange`'s documented
+    * behavior and exactly what a layout pass wants). Composes with
+    * [[writeDayPartitioned]]: partition by day first, range-sort the
+    * keys within each day's writer. */
+  def writeRangeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                       numFiles: Int = 8): Unit = {
+    require(sortCols.nonEmpty, "writeRangeSorted needs at least one sort column")
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
 }

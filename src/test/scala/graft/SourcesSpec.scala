@@ -496,4 +496,36 @@ class SourcesSpec extends SparkSpecBase {
     assert(Sinks.readRange(spark, path, "Sheet1!A1")
       .as[(String, Long)].collect().toSeq.sorted == Seq(("c", 3L), ("d", 4L)))
   }
+
+  test("E4: range-sorted layout prunes row groups at the scan; unsorted reads everything") {
+    import graft.sources.Sinks
+    import org.apache.spark.sql.functions.col
+    val events = Tables(spark, "/root/testdata/sf0.001").events
+      .select(col("event_id"), col("user_id"))
+    val total = events.count()
+    val probeId = events.agg(org.apache.spark.sql.functions.min(col("user_id")))
+      .collect()(0).getLong(0)
+    val sorted = java.nio.file.Files.createTempDirectory("graft_rs_sorted").toString
+    val unsorted = java.nio.file.Files.createTempDirectory("graft_rs_unsorted").toString
+    Sinks.writeRangeSorted(events, sorted, Seq("user_id"), numFiles = 8)
+    events.repartition(8).write.mode("overwrite").parquet(unsorted)
+    // rows EMITTED by the scan = rows in row groups the pushed filter
+    // could not prove away via parquet min/max stats
+    def scanRows(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("user_id") === probeId)
+      q.collect()
+      val scans = q.queryExecution.executedPlan.collectLeaves()
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val sortedRows = scanRows(sorted)
+    val unsortedRows = scanRows(unsorted)
+    assert(sortedRows <= total / 4,
+      s"sorted layout must skip most row groups: scanned $sortedRows of $total")
+    assert(unsortedRows >= (total * 0.9).toLong,
+      s"unsorted layout should defeat min/max stats (scanned $unsortedRows of $total) — " +
+        "if this starts pruning, the fixture stopped spanning the key range per file")
+    // same answer either way — layout is a performance lever, not a semantic one
+    assert(spark.read.parquet(sorted).filter(col("user_id") === probeId).count() ==
+      spark.read.parquet(unsorted).filter(col("user_id") === probeId).count())
+  }
 }
