@@ -126,7 +126,8 @@ object SparkEntry {
     "q86_edit_join"              -> ((s, d) => FuzzyJoin.editJoinCustomers(s, d)),
     "q89_fuzzy_canonical"        -> ((s, d) => FuzzyJoin.fuzzyCanonicalParts(s, d)),
     "q90_bm25_search"            -> ((s, d) => Search.bm25SearchDocs(s, d)),
-    "q91_bm25_incremental"       -> ((s, d) => Search.bm25IncrementalDocs(s, d))
+    "q91_bm25_incremental"       -> ((s, d) => Search.bm25IncrementalDocs(s, d)),
+    "q92_phrase_search"          -> ((s, d) => Search.phraseSearchDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1591,6 +1592,26 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
         |  FROM scored)
         |SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
+        |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // q92: phrase matching is pure integer position arithmetic —
+    // DuckDB re-derives (term, pos) pairs via zipped unnest and counts
+    // consecutive-position joins; top-20 by (n_occ desc, doc_id)
+    "q92_phrase_search" ->
+      """WITH d AS (SELECT doc_id,
+        |             regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS term,
+        |          unnest(generate_series(1, len(w))) AS pos FROM d),
+        |occ AS (SELECT t0.doc_id, count(*) AS n_occ
+        |        FROM tok t0 JOIN tok t1
+        |          ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+        |         AND t1.term = 'hash'
+        |        WHERE t0.term = 'table' GROUP BY 1),
+        |ranked AS (SELECT doc_id, n_occ,
+        |    row_number() OVER (ORDER BY n_occ DESC, doc_id ASC) AS rank
+        |  FROM occ)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, n_occ
         |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // q87: the KMV/theta estimator is a deterministic function of the

@@ -139,6 +139,59 @@ object Search {
     bm25Search(postings, stats, Seq("spark", "window", "batch"), k = 20)
   }
 
+  /** Positional postings: (term, doc_id, positions) with positions the
+    * sorted 1-based token offsets of `term` in the doc — the phrase-
+    * query artifact. One corpus pass, same tokenization as
+    * [[buildPostings]]; ~|postings| rows with an int array instead of
+    * a tf, so the layout advice is identical (partition/bucket by
+    * term). */
+  def buildPositionalPostings(docs: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), toks(col(textCol)).as("_toks"))
+      .select(col("doc_id"), posexplode(col("_toks")).as(Seq("_p0", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("_p0") + 1)).as("positions"))
+
+  /** Exact phrase search: documents containing `phrase`'s terms at
+    * CONSECUTIVE positions, ranked by occurrence count. An anchor
+    * position p matches iff term i of the phrase sits at p+i for every
+    * i — the anchor term's positions explode to candidate anchors and
+    * each later term verifies by `array_contains` on its own posting
+    * row, so the whole query touches only the phrase terms' postings
+    * and joins them per doc (equi on doc_id, posting-list-sized
+    * sides). Counts are integers end to end — no float portability
+    * machinery needed. Output: (rank, doc_id, n_occ), top-k via
+    * distributed TakeOrdered, ties → doc_id. */
+  def phraseSearch(positional: DataFrame, phrase: Seq[String],
+                   k: Int = 20): DataFrame = {
+    val terms = phrase.map(_.trim.toLowerCase).filter(_.nonEmpty)
+    require(terms.nonEmpty, "phraseSearch needs at least one term")
+    require(k > 0, s"k must be positive, got $k")
+    def of(t: String) = positional.filter(col("term") === t)
+    val anchors = of(terms.head)
+      .select(col("doc_id"), explode(col("positions")).as("p"))
+    val matched = terms.tail.zipWithIndex.foldLeft(anchors) {
+      case (acc, (t, i)) =>
+        acc.join(of(t).select(col("doc_id"), col("positions").as(s"_ps$i")), Seq("doc_id"))
+          .filter(array_contains(col(s"_ps$i"), col("p") + (i + 1)))
+          .drop(s"_ps$i")
+    }
+    val scored = matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occ"))
+    val w = Window.orderBy(col("n_occ").desc, col("doc_id").asc)
+    scored.orderBy(col("n_occ").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_occ"))
+      .orderBy(col("rank"))
+  }
+
+  /** C30c `q92_phrase_search` — docs containing the exact phrase
+    * "table hash", ranked by occurrence count from the positional
+    * postings artifact. Integer-exact, oracle-backed end to end. */
+  def phraseSearchDocs(spark: SparkSession, dir: String): DataFrame =
+    phraseSearch(buildPositionalPostings(Tables(spark, dir).documents),
+      Seq("table", "hash"), k = 20)
+
   /** C30b `q91_bm25_incremental` — the day-2 path: 80% of the corpus
     * is the indexed artifact, the remaining 20% arrives as new docs
     * through [[appendToPostings]], and the search answers from the

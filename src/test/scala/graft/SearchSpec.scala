@@ -84,6 +84,26 @@ class SearchSpec extends SparkSpecBase {
     }
   }
 
+  test("phrase search counts consecutive-position matches exactly") {
+    val docs = Seq(
+      (1L, "a b a b a"),    // "a b" twice, "b a" twice
+      (2L, "a x b"),        // terms present, never adjacent
+      (3L, "b a"),          // reversed only
+      (4L, "a a a")         // repeated-term phrase territory
+    ).toDF("doc_id", "text")
+    val pos = Search.buildPositionalPostings(docs)
+    def run(phrase: Seq[String]) = Search.phraseSearch(pos, phrase, k = 10)
+      .as[(Long, Long, Long)].collect().toSeq.map(r => (r._2, r._3))
+    assert(run(Seq("a", "b")) == Seq((1L, 2L)),
+      "docs 2 (non-adjacent) and 3 (reversed) must not match")
+    assert(run(Seq("b", "a")) == Seq((1L, 2L), (3L, 1L)))
+    assert(run(Seq("a", "a")) == Seq((4L, 2L)), "overlapping repeats both count")
+    assert(run(Seq("a")) == Seq((1L, 3L), (4L, 3L), (2L, 1L), (3L, 1L)),
+      "single-term phrase ranks by term frequency, ties by doc_id")
+    assert(run(Seq("a", "b", "a")) == Seq((1L, 2L)), "three-term phrase chains")
+    assert(run(Seq("zzz")) == Seq())
+  }
+
   test("BM25 top-k is a distributed TakeOrdered, not a global rank window over matches") {
     val (postings, stats) = Search.buildPostings(corpus)
     val plan = Search.bm25Search(postings, stats, Seq("cat"), k = 5)
