@@ -127,7 +127,8 @@ object SparkEntry {
     "q89_fuzzy_canonical"        -> ((s, d) => FuzzyJoin.fuzzyCanonicalParts(s, d)),
     "q90_bm25_search"            -> ((s, d) => Search.bm25SearchDocs(s, d)),
     "q91_bm25_incremental"       -> ((s, d) => Search.bm25IncrementalDocs(s, d)),
-    "q92_phrase_search"          -> ((s, d) => Search.phraseSearchDocs(s, d))
+    "q92_phrase_search"          -> ((s, d) => Search.phraseSearchDocs(s, d)),
+    "q93_bigram_nll"             -> ((s, d) => TextAnalysis.bigramNll(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1593,6 +1594,33 @@ object SparkEntry {
         |  FROM scored)
         |SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
         |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // q93: Laplace-smoothed bigram NLL — counts are integers, each
+    // per-bigram ln rides the proven ln-parity convention, the
+    // per-doc sum rides the scaled-long grid (order-free), and the
+    // 1e-9 nudge keeps grid-exact averages off the half-up boundary
+    "q93_bigram_nll" ->
+      """WITH d AS (SELECT doc_id,
+        |             regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS tok,
+        |          unnest(generate_series(1, len(w))) AS pos FROM d),
+        |bg AS (SELECT t0.doc_id, t0.tok AS a, t1.tok AS b
+        |       FROM tok t0 JOIN tok t1
+        |         ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1),
+        |bc AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT a, sum(cab) AS ca FROM bc GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM tok),
+        |lp AS (SELECT g.doc_id,
+        |         CAST(round(ln(CAST(c.cab + 1 AS DOUBLE)
+        |                       / CAST(x.ca + v.v AS DOUBLE))
+        |                    * 100000000.0) AS BIGINT) AS lps
+        |       FROM bg g JOIN bc c ON c.a = g.a AND c.b = g.b
+        |       JOIN ctx x ON x.a = g.a CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(-(CAST(sum(lps) AS DOUBLE) / 100000000.0) / count(*)
+        |        + 1e-9, 4) AS nll
+        |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // q92: phrase matching is pure integer position arithmetic —
     // DuckDB re-derives (term, pos) pairs via zipped unnest and counts

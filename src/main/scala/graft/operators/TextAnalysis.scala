@@ -225,6 +225,54 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** `q93_bigram_nll` — bigram language-model quality scoring: each
+    * document's average negative log-likelihood under the corpus's own
+    * Laplace-smoothed bigram model, P(b|a) = (c(a,b)+1)/(c(a·)+V) —
+    * the sequence-aware upgrade of [[unigramLogProb]] (word salad with
+    * a plausible unigram mix now scores badly; this is the
+    * perplexity-filter core of the CCNet-family pipelines, with the
+    * closed-form smoother instead of a shipped KenLM binary). Rank or
+    * threshold on `nll`; perplexity = exp(nll) is the caller's
+    * monotonic transform (left un-applied so the oracle surface stays
+    * inside the proven ln-parity convention).
+    *
+    * Distributed shape mirrors q46: the bigram stream derives from one
+    * lead() window per doc (map-side after the per-doc sort), counts
+    * are TWO grouped aggregations (bigram, then context — the second
+    * aggregates the already-small count table, not the corpus), and
+    * the vocabulary size rides a broadcast one-row frame. Per-bigram
+    * log-probs quantize to the 1e-8 grid and SUM AS EXACT LONGS (the
+    * q33/q63 convention — a double sum is merge-order-dependent).
+    * Documents with fewer than two tokens have no bigrams and are
+    * absent by construction. */
+  def bigramNll(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    def tok = docs.select(col("doc_id"),
+      posexplode(T.tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    def bigrams = tok
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("tok"), col("nxt"))
+    val bc = bigrams.groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("cab"))
+    val ctx = bc.groupBy(col("tok")).agg(sum(col("cab")).as("ca"))
+    val v = broadcast(tok.agg(countDistinct(col("tok")).as("v")))
+    bigrams
+      .join(bc, Seq("tok", "nxt"))
+      .join(ctx, Seq("tok"))
+      .crossJoin(v)
+      .withColumn("_lps", round(log(
+        (col("cab") + 1).cast("double") / (col("ca") + col("v")).cast("double"))
+        * 100000000.0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_lps")).as("_s"))
+      .withColumn("nll", round(
+        -(col("_s").cast("double") / 100000000.0) / col("n_bigrams") + lit(1e-9), 4))
+      .select(col("doc_id"), col("n_bigrams"), col("nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** `q52_tfidf_terms` — TF-IDF top terms per language: the
     * vocabulary-characterization pass a corpus audit runs per slice
     * (which terms distinguish each language/source bucket). tf counts

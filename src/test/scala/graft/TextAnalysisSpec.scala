@@ -124,4 +124,34 @@ class TextAnalysisSpec extends SparkSpecBase {
       .select("quality_score").as[Double].collect()
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
   }
+
+  test("bigram NLL matches the hand-computed Laplace model; word order matters") {
+    // corpus: "a b" ×2 + "a c" → c(a,b)=2, c(a,c)=1, ctx(a)=3, V=3
+    // P(b|a) = (2+1)/(3+3) = 1/2; P(c|a) = (1+1)/6 = 1/3
+    val out = TextAnalysis.bigramNll(spark, sfDir)
+    assert(out.columns.toSeq == Seq("doc_id", "n_bigrams", "nll"))
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bigram").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    def grid(p: Double) = {
+      val lps = math.round(math.log(p) * 1e8)
+      BigDecimal(-(lps.toDouble / 1e8) + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val scored = TextAnalysis.bigramNll(spark, tmp)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(scored == Seq(
+      (1L, 1L, grid(0.5)), (2L, 1L, grid(0.5)), (3L, 1L, grid(1.0 / 3.0))),
+      s"got $scored")
+    // sequence awareness: same token MULTISET, different order → the
+    // model trained on the pair must score the in-order doc better
+    val pair = Seq((1L, "x y x y x y"), (2L, "y y y x x x")).toDF("doc_id", "text")
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_bigram2").toString
+    pair.write.parquet(s"$tmp2/documents.parquet")
+    val m = TextAnalysis.bigramNll(spark, tmp2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(m(1L) < m(2L),
+      s"in-order doc must have lower NLL than its scramble: $m")
+  }
 }
