@@ -680,6 +680,63 @@ object EventsStream {
       }
       .start()
 
+  /** D2→C30 bridge — streaming postings-index maintenance: each
+    * micro-batch of new documents extends the BM25/phrase artifacts
+    * through the production day-2 kernel
+    * ([[graft.operators.Search.buildPostings]] on the batch alone —
+    * postings append by pure union, stats add as exact longs), so
+    * searches see new documents within one trigger without any corpus
+    * re-tokenize.
+    *
+    * Replay-idempotent like [[ivfIngestStream]]: already-indexed doc
+    * ids anti-join away before the append (postings counts are not
+    * value-idempotent, and a re-delivered doc would double its tf),
+    * and within-batch duplicate ids collapse first. Stats live as a
+    * one-row parquet whose merge arithmetic happens on the driver —
+    * two longs, read before the overwrite.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def postingsIngestStream(docs: DataFrame, postingsPath: String,
+                           statsPath: String, checkpointDir: String,
+                           idCol: String = "doc_id", textCol: String = "text"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.dropDuplicates(idCol)
+        // first-run-only benign catch (the advice-r9 rule)
+        def readOpt(path: String) =
+          try Some(spark.read.parquet(path))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" ||
+                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+          }
+        val fresh = readOpt(postingsPath) match {
+          case Some(existing) =>
+            batch.join(existing.select(col("doc_id")).distinct()
+                .withColumnRenamed("doc_id", idCol),
+              Seq(idCol), "left_anti")
+          case None => batch
+        }
+        val (np, ns) = graft.operators.Search.buildPostings(fresh, idCol, textCol)
+        val (nNew, sNew) = ns.collect()(0) match {
+          case r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
+        if (nNew > 0) {
+          np.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(postingsPath)
+          val (nOld, sOld) = readOpt(statsPath)
+            .map(_.collect()(0)).map(r => (r.getLong(0), r.getLong(1)))
+            .getOrElse((0L, 0L))
+          spark.range(1)
+            .select(lit(nOld + nNew).as("n_docs"), lit(sOld + sNew).as("dl_sum"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(statsPath)
+        }
+      }
+      .start()
+
   /** D2→C7d bridge — streaming COMPOSED-index (residual IVFADC)
     * ingest: each micro-batch of new embeddings extends the corpus
     * table through the production day-2 append

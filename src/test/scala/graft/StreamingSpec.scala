@@ -516,6 +516,38 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C30: streaming postings ingest extends the index exactly once; search matches batch build") {
+    import graft.operators.Search
+    import graft.streaming.EventsStream.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamDoc]
+    val postings = java.nio.file.Files.createTempDirectory("graft_post_tbl").toString
+    val stats = java.nio.file.Files.createTempDirectory("graft_post_stats").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_post_cp").toString
+    val q = EventsStream.postingsIngestStream(mem.toDF(), postings, stats, cp)
+    try {
+      mem.addData(StreamDoc(1, "spark window functions"), StreamDoc(2, "spark batch"))
+      q.processAllAvailable()
+      // batch 2 re-delivers doc 1 (must anti-join away) plus a new doc
+      mem.addData(StreamDoc(1, "spark window functions"), StreamDoc(3, "window joins"))
+      q.processAllAvailable()
+      // no doubling: doc 1 holds exactly its three distinct-term rows
+      val p = spark.read.parquet(postings)
+      assert(p.filter(col("doc_id") === 1L).count() == 3,
+        "re-delivered doc must not duplicate its postings")
+      // streamed artifacts answer EXACTLY like the one-shot batch build
+      val all = Seq((1L, "spark window functions"), (2L, "spark batch"),
+        (3L, "window joins")).toDF("doc_id", "text")
+      val (bp, bs) = Search.buildPostings(all)
+      val streamed = Search.bm25Search(p, spark.read.parquet(stats),
+        Seq("spark", "window"), k = 10).as[(Long, Long, Double)].collect().toSeq
+      val batchBuilt = Search.bm25Search(bp, bs,
+        Seq("spark", "window"), k = 10).as[(Long, Long, Double)].collect().toSeq
+      assert(streamed == batchBuilt, s"streamed $streamed vs batch $batchBuilt")
+    } finally q.stop()
+  }
+
   test("E→A24: gated lake sink quarantines failing batches, good partitions survive") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
