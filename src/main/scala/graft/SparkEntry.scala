@@ -128,7 +128,8 @@ object SparkEntry {
     "q90_bm25_search"            -> ((s, d) => Search.bm25SearchDocs(s, d)),
     "q91_bm25_incremental"       -> ((s, d) => Search.bm25IncrementalDocs(s, d)),
     "q92_phrase_search"          -> ((s, d) => Search.phraseSearchDocs(s, d)),
-    "q93_bigram_nll"             -> ((s, d) => TextAnalysis.bigramNll(s, d))
+    "q93_bigram_nll"             -> ((s, d) => TextAnalysis.bigramNll(s, d)),
+    "q94_collocations"           -> ((s, d) => TextAnalysis.collocations(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1594,6 +1595,33 @@ object SparkEntry {
         |  FROM scored)
         |SELECT CAST(rank AS BIGINT) AS rank, doc_id, score
         |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // q94: PMI's ln argument is a ratio of exact integers, so the
+    // rounded score rides the ln-parity convention; ranks break ties
+    // on (a, b)
+    "q94_collocations" ->
+      """WITH d AS (SELECT doc_id,
+        |             regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS tok,
+        |          unnest(generate_series(1, len(w))) AS pos FROM d),
+        |bc AS (SELECT t0.tok AS a, t1.tok AS b, count(*) AS cab
+        |       FROM tok t0 JOIN tok t1
+        |         ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+        |       GROUP BY 1, 2),
+        |l AS (SELECT a, sum(cab) AS ca FROM bc GROUP BY 1),
+        |r AS (SELECT b, sum(cab) AS cb FROM bc GROUP BY 1),
+        |n AS (SELECT sum(cab) AS n FROM bc),
+        |scored AS (SELECT bc.a, bc.b, bc.cab,
+        |    round(ln(CAST(bc.cab AS DOUBLE) * CAST(n.n AS DOUBLE)
+        |             / (CAST(l.ca AS DOUBLE) * CAST(r.cb AS DOUBLE)))
+        |          + 1e-9, 4) AS pmi
+        |  FROM bc JOIN l ON l.a = bc.a JOIN r ON r.b = bc.b CROSS JOIN n
+        |  WHERE bc.cab >= 5),
+        |ranked AS (SELECT *, row_number() OVER
+        |    (ORDER BY pmi DESC, a ASC, b ASC) AS rank FROM scored)
+        |SELECT CAST(rank AS BIGINT) AS rank, a, b, cab, pmi
+        |FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     // q93: Laplace-smoothed bigram NLL — counts are integers, each
     // per-bigram ln rides the proven ln-parity convention, the

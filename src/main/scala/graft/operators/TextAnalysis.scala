@@ -273,6 +273,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** `q94_collocations` — PMI collocation extraction (Church & Hanks
+    * 1990, "Word association norms, mutual information, and
+    * lexicography" — public literature): the corpus's most-associated
+    * adjacent term pairs, PMI = ln(c(a,b)·N / (c(a·)·c(·b))) over the
+    * bigram event space (N = total bigrams, margins from the SAME
+    * count table). The collocation audit is how a corpus review finds
+    * boilerplate phrases, template artifacts and tokenizer-merge
+    * candidates; the `minCount` floor is the standard guard against
+    * PMI's low-frequency bias (a hapax pair maxes the score).
+    *
+    * Scale shape: everything after the one bigram-count aggregation
+    * runs on the COUNT table (margins are two grouped sums of it, N
+    * is a broadcast one-row frame), and the ranking is a distributed
+    * TakeOrdered over the floored pairs. PMI's ln argument is a ratio
+    * of exact integers — identical on any engine — so the rounded
+    * score rides the proven ln-parity convention. */
+  def collocations(spark: SparkSession, dir: String,
+                   minCount: Long = 5L, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    def tok = docs.select(col("doc_id"),
+      posexplode(T.tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bc = tok
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("tok").as("a"), col("nxt").as("b"))
+      .agg(count(lit(1)).as("cab"))
+    val left = bc.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val right = bc.groupBy(col("b")).agg(sum(col("cab")).as("cb"))
+    val n = broadcast(bc.agg(sum(col("cab")).as("n")))
+    val scored = bc.filter(col("cab") >= minCount)
+      .join(left, Seq("a")).join(right, Seq("b"))
+      .crossJoin(n)
+      .withColumn("pmi", round(log(
+        col("cab").cast("double") * col("n").cast("double")
+          / (col("ca").cast("double") * col("cb").cast("double"))) + lit(1e-9), 4))
+    val wr = Window.orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+    scored.orderBy(col("pmi").desc, col("a").asc, col("b").asc).limit(k)
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .select(col("rank"), col("a"), col("b"), col("cab"), col("pmi"))
+      .orderBy(col("rank"))
+  }
+
   /** `q52_tfidf_terms` — TF-IDF top terms per language: the
     * vocabulary-characterization pass a corpus audit runs per slice
     * (which terms distinguish each language/source bucket). tf counts

@@ -154,4 +154,32 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(m(1L) < m(2L),
       s"in-order doc must have lower NLL than its scramble: $m")
   }
+
+  test("collocations rank exclusive pairs above promiscuous ones; minCount floors hapaxes") {
+    import org.apache.spark.sql.functions._
+    // "x y" is exclusive (x only precedes y, y only follows x);
+    // "c z" shares both margins with other pairs; "q r" is a hapax
+    val docs = Seq(
+      (1L, "x y c z c w c z x y"),
+      (2L, "x y c z a z q r"),
+      (3L, "x y c w c z x y")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_colloc").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.collocations(spark, tmp, minCount = 2L, k = 10)
+      .as[(Long, String, String, Long, Double)].collect().toSeq
+    assert(!out.exists(r => r._2 == "q" && r._3 == "r"),
+      "hapax pair must be floored away")
+    val pmiOf = out.map(r => (r._2, r._3) -> r._5).toMap
+    assert(pmiOf(("x", "y")) > pmiOf(("c", "z")),
+      s"exclusive pair must out-score the shared-margin pair: $pmiOf")
+    // hand check "x y": cab=5, ca(x·)=5, cb(·y)=5, N=total bigrams
+    val totalBigrams = Seq("x y c z c w c z x y", "x y c z a z q r", "x y c w c z x y")
+      .map(_.split(" ").length - 1).sum
+    val expect = BigDecimal(math.log(5.0 * totalBigrams / (5.0 * 5.0)) + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(pmiOf(("x", "y")) == expect, s"got ${pmiOf(("x", "y"))}, want $expect")
+    // ranks are contiguous and ordered by (pmi desc, a, b)
+    assert(out.map(_._1) == (1L to out.length))
+  }
 }
