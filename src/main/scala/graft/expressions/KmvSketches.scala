@@ -157,10 +157,17 @@ case class KmvShingledAgg(first: Expression, second: Expression, third: Expressi
       while (i < windows) {
         sb.setLength(0)
         val end = math.min(i + shingle, n)
+        // concat_ws semantics: null tokens vanish WITH their
+        // separator (a separator joins two emitted tokens, never
+        // pads a skipped one) — track emission, not position
+        var emitted = false
         var j = i
         while (j < end) {
-          if (j > i) sb.append(' ')
-          if (!toks.isNullAt(j)) sb.append(toks.getUTF8String(j).toString)
+          if (!toks.isNullAt(j)) {
+            if (emitted) sb.append(' ')
+            sb.append(toks.getUTF8String(j).toString)
+            emitted = true
+          }
           j += 1
         }
         insert(b, k, md5Hash60(UTF8String.fromString(sb.toString)))

@@ -90,9 +90,13 @@ object Search {
     * by doc_id. */
   def bm25Search(postings: DataFrame, stats: DataFrame, query: Seq[String],
                  k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(query.nonEmpty, "bm25Search needs at least one query term")
     require(k > 0, s"k must be positive, got $k")
     val terms = query.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    // validate AFTER normalization (the phraseSearch convention): a
+    // whitespace-only query would otherwise pass the guard and return
+    // a silently empty result via a zero-argument isin
+    require(terms.nonEmpty,
+      "bm25Search needs at least one non-blank query term")
     // probe slice: ONLY the query terms' posting rows participate —
     // the isin literal pushes into the scan, so a term-partitioned
     // index reads just those partitions

@@ -691,9 +691,23 @@ object EventsStream {
     * Replay-idempotent like [[ivfIngestStream]]: already-indexed doc
     * ids anti-join away before the append (postings counts are not
     * value-idempotent, and a re-delivered doc would double its tf),
-    * and within-batch duplicate ids collapse first. Stats live as a
-    * one-row parquet whose merge arithmetic happens on the driver —
-    * two longs, read before the overwrite.
+    * and within-batch duplicate ids collapse first.
+    *
+    * Crash-safety: the postings APPEND is the only commit — stats
+    * ((n_docs, dl_sum), one row) are REBUILT from the postings
+    * artifact after each append (n_docs = distinct doc_id, dl_sum =
+    * sum of dl over the per-doc projection), never incremented from
+    * a prior stats read. A crash between the two writes therefore
+    * loses nothing: the replayed batch anti-joins its docs away (they
+    * are in postings) and the rebuild still derives stats from the
+    * full artifact — stale stats self-heal on the next trigger. The
+    * incremental-arithmetic alternative ([[Search.appendToPostings]],
+    * the right call for single-writer batch jobs) would silently skew
+    * IDF/avgdl on exactly that crash. Cost: one (doc_id, dl) distinct
+    * aggregate over the postings table per trigger — at scale,
+    * partition postings by doc_id hash range so the distinct is
+    * map-side-partial; the aggregate moves |docs| pairs, not |postings|
+    * rows.
     *
     * Returns the started query; callers own its lifecycle. */
   def postingsIngestStream(docs: DataFrame, postingsPath: String,
@@ -722,16 +736,16 @@ object EventsStream {
           case None => batch
         }
         val (np, ns) = graft.operators.Search.buildPostings(fresh, idCol, textCol)
-        val (nNew, sNew) = ns.collect()(0) match {
-          case r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-        }
+        val nNew = ns.collect()(0).getLong(0)
         if (nNew > 0) {
           np.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(postingsPath)
-          val (nOld, sOld) = readOpt(statsPath)
-            .map(_.collect()(0)).map(r => (r.getLong(0), r.getLong(1)))
-            .getOrElse((0L, 0L))
-          spark.range(1)
-            .select(lit(nOld + nNew).as("n_docs"), lit(sOld + sNew).as("dl_sum"))
+          // stats derive from the just-appended artifact, not from a
+          // prior stats read — the append is the sole commit point, so
+          // a crash before this write merely leaves stats one rebuild
+          // behind (healed here on replay). See docstring.
+          spark.read.parquet(postingsPath)
+            .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(statsPath)
         }
       }

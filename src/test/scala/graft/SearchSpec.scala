@@ -104,6 +104,16 @@ class SearchSpec extends SparkSpecBase {
     assert(run(Seq("zzz")) == Seq())
   }
 
+  test("BM25 refuses blank-only queries loudly (normalized-terms guard)") {
+    val (postings, stats) = Search.buildPostings(corpus)
+    // whitespace-only queries normalize to nothing — must throw, not
+    // return a silently empty frame (the phraseSearch convention)
+    val e = intercept[IllegalArgumentException] {
+      Search.bm25Search(postings, stats, Seq("  ", "\t"), k = 10)
+    }
+    assert(e.getMessage.contains("non-blank"))
+  }
+
   test("BM25 top-k is a distributed TakeOrdered, not a global rank window over matches") {
     val (postings, stats) = Search.buildPostings(corpus)
     val plan = Search.bm25Search(postings, stats, Seq("cat"), k = 5)

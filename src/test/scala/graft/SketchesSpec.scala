@@ -330,6 +330,20 @@ class SketchesSpec extends SparkSpecBase {
       "kernel-built shingle strings must hash identically to the Column formulation")
   }
 
+  test("graft_kmv_shingled null tokens follow concat_ws: skipped WITH their separator") {
+    // ['a', NULL, 'b', 'c'] size-2 windows under concat_ws(' ', ...):
+    // ('a',NULL)→"a", (NULL,'b')→"b", ('b','c')→"b c" — no double or
+    // trailing spaces. The public SQL function must agree with the
+    // oracle convention even on arbitrary (nullable) token arrays.
+    val got = spark.sql(
+        "SELECT graft_kmv_shingled(array('a', NULL, 'b', 'c'), 2, 8) AS sk")
+      .selectExpr("explode(sk) AS h").as[Long].collect().toSet
+    val want = Seq("a", "b", "b c").toDF("s")
+      .select(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .as[Long].collect().toSet
+    assert(got == want, s"got $got want $want")
+  }
+
   test("KMV estimate regime tracks true distinct counts and overlaps on real documents") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables(spark, dir).documents

@@ -548,6 +548,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2e crash-safety: stats rebuild heals a postings-appended/stats-lost crash window") {
+    import graft.operators.Search
+    import graft.streaming.EventsStream.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamDoc]
+    val postings = java.nio.file.Files.createTempDirectory("graft_postcr_tbl").toString
+    val stats = java.nio.file.Files.createTempDirectory("graft_postcr_stats").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_postcr_cp").toString
+    val q = EventsStream.postingsIngestStream(mem.toDF(), postings, stats, cp)
+    try {
+      mem.addData(StreamDoc(1, "spark window functions"), StreamDoc(2, "spark batch"))
+      q.processAllAvailable()
+      // simulate the crash-between-writes: doc 3's postings land (the
+      // append committed) but the job dies before the stats write —
+      // exactly the hazard where incremental stats would skew forever,
+      // because the replayed doc anti-joins away and never re-counts
+      val (crashP, _) = Search.buildPostings(
+        Seq((3L, "window joins")).toDF("doc_id", "text"))
+      crashP.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(postings)
+      // replayed batch: doc 3 re-delivered (anti-joins away), doc 4 new
+      mem.addData(StreamDoc(3, "window joins"), StreamDoc(4, "batch joins fast"))
+      q.processAllAvailable()
+      // stats must equal the from-scratch build over ALL FOUR docs —
+      // including crash-window doc 3 that no stats increment ever saw
+      val all = Seq((1L, "spark window functions"), (2L, "spark batch"),
+        (3L, "window joins"), (4L, "batch joins fast")).toDF("doc_id", "text")
+      val (_, bs) = Search.buildPostings(all)
+      val got = spark.read.parquet(stats).as[(Long, Long)].collect().toSeq
+      val want = bs.as[(Long, Long)].collect().toSeq
+      assert(got == want, s"stats must self-heal from the artifact: $got vs $want")
+    } finally q.stop()
+  }
+
   test("E→A24: gated lake sink quarantines failing batches, good partitions survive") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
