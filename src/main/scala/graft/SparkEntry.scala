@@ -129,7 +129,8 @@ object SparkEntry {
     "q91_bm25_incremental"       -> ((s, d) => Search.bm25IncrementalDocs(s, d)),
     "q92_phrase_search"          -> ((s, d) => Search.phraseSearchDocs(s, d)),
     "q93_bigram_nll"             -> ((s, d) => TextAnalysis.bigramNll(s, d)),
-    "q94_collocations"           -> ((s, d) => TextAnalysis.collocations(s, d))
+    "q94_collocations"           -> ((s, d) => TextAnalysis.collocations(s, d)),
+    "q95_text_embed_neardup"     -> ((s, d) => TextEmbed.textEmbedNearDup(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -2038,6 +2039,44 @@ object SparkEntry {
     // session's membership through the keyed binned interval join and
     // rolls it up — hash-matching the sessionizer's truth reconciles
     // two independent computations of the same windows
-    "q66_session_attribution" -> sessionSql
+    "q66_session_attribution" -> sessionSql,
+
+    // q95: the WHOLE text→vector→verdict pipeline from scratch — the
+    // embedding components are exact ±1 integer sums keyed off md5
+    // bits (engine-portable by construction), so the oracle rebuilds
+    // the projection per (doc, dim), assembles ordered vectors, and
+    // replays q85's assignment + within-cell verdict on top
+    "q95_text_embed_neardup" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |th AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+        |comp AS (SELECT doc_id, j,
+        |    CAST(sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS DOUBLE) AS cmp
+        |  FROM th CROSS JOIN generate_series(0, 31) AS dims(j)
+        |  GROUP BY doc_id, j),
+        |e AS (SELECT doc_id AS vec_id, list(cmp ORDER BY j) AS v
+        |      FROM comp GROUP BY doc_id),
+        |c AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec,
+        |        list_dot_product(v, v) AS c2
+        |      FROM e WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, cell FROM (
+        |         SELECT e.vec_id, c.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY c.c2 - 2.0 * list_dot_product(e.v, c.cvec) ASC,
+        |                      c.cell ASC) AS rn
+        |         FROM e CROSS JOIN c) WHERE rn = 1),
+        |m AS (SELECT a.vec_id, a.cell, e.v,
+        |        sqrt(list_dot_product(e.v, e.v)) AS nrm
+        |      FROM asg a JOIN e ON e.vec_id = a.vec_id),
+        |dups AS (SELECT id_b AS vec_id, min(id_a) AS dup_of FROM (
+        |          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |            round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cos
+        |          FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+        |         WHERE cos >= 0.92 GROUP BY 1)
+        |SELECT m.vec_id, m.cell, d.vec_id IS NOT NULL AS is_dup, d.dup_of
+        |FROM m LEFT JOIN dups d ON d.vec_id = m.vec_id
+        |ORDER BY m.vec_id""".stripMargin
   )
 }

@@ -247,6 +247,40 @@ object Kernels {
     }
     sig
   }
+
+  /** `dims`-component hashed random-projection text embedding — the
+    * SimHash accumulation WITHOUT the sign threshold: component j is
+    * the exact ±1 sum over tokens (bit j of the md5-derived 60-bit
+    * token hash decides the sign), i.e. the bag-of-tokens vector
+    * projected onto `dims` hash-defined ±1 hyperplanes (the hashing
+    * trick / sparse random projection — Achlioptas 2003, public math;
+    * Charikar 2002 is the thresholded special case). Components are
+    * INTEGERS, so downstream dot products and norms are exact integer
+    * arithmetic — any engine with md5 reproduces the embedding
+    * bit-for-bit. `dims` ≤ 60 (one hash's worth of sign bits). */
+  def textEmbedMd5(arr: ArrayData, dims: Int): ArrayData = {
+    val md = md5Digest.get()
+    val acc = new Array[Long](dims)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var top = 0L
+        var j = 0
+        while (j < 8) { top = (top << 8) | (d(j) & 0xffL); j += 1 }
+        val h = top >>> 4
+        var b = 0
+        while (b < dims) {
+          if (((h >>> b) & 1L) != 0L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(acc)
+  }
 }
 
 /** MinHash signature expression: `graft_minhash(array<string>, k)` →
@@ -338,6 +372,26 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
+}
+
+/** Hashed random-projection embedding: `graft_text_embed(array<string>, dims)`
+  * → `array<bigint>` of exact integer components — see
+  * [[Kernels.textEmbedMd5]]. Second child is a foldable int ≤ 60
+  * (the [[graft.operators.TextEmbed]] entry point guarantees both). */
+case class TextEmbedMd5(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_text_embed"
+
+  override protected def nullSafeEval(arr: Any, dims: Any): Any =
+    Kernels.textEmbedMd5(arr.asInstanceOf[ArrayData], dims.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, d) =>
+      s"${ev.value} = graft.expressions.Kernels.textEmbedMd5($a, (int)$d);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): TextEmbedMd5 =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Portable SimHash expression: `graft_simhash60_md5(array<string>)` →

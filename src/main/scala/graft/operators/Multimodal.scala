@@ -31,7 +31,11 @@ import org.apache.spark.sql.types._
   * [[fakeDecode]] (CLIP/CNN — no model weights exist in this
   * container), clearly marked, with the real batch shape; swap its
   * body for a model call and every downstream path is already proven
-  * on real media.
+  * on real media. For TEXT the classical embedder is fully real:
+  * [[TextEmbed.embedDocuments]] (hashed random projection) feeds the
+  * ANN/SemDeDup/sampling family straight from raw `documents.text`,
+  * oracle-backed end-to-end by `q95_text_embed_neardup` — the neural
+  * swap point there is the same single projection call.
   */
 object Multimodal {
 

@@ -921,11 +921,17 @@ object Similarity {
   def semanticDedupPortable(spark: SparkSession, dir: String,
                             threshold: Double = 0.25): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val centroids = prepVectors(emb).filter(col("vec_id") < 16)
+    semanticDedup(emb, formulaCentroids(emb), threshold)
+  }
+
+  /** The q79 formula-chosen centroid table (first `n` corpus vectors as
+    * cells) shared by every *Portable twin — deterministic, so the
+    * full pipeline stays reproducible from scratch in an external
+    * engine. Production paths feed [[buildIvfIndex]] output instead. */
+  private[graft] def formulaCentroids(embeddings: DataFrame, n: Int = 16): DataFrame =
+    prepVectors(embeddings).filter(col("vec_id") < n)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("cvec"),
         vectors.dot(col("v"), col("v")).as("c2"))
-    semanticDedup(emb, centroids, threshold)
-  }
 
   // ---- C29: cluster-balanced sampling (density-based pruning) ------
 
@@ -986,9 +992,6 @@ object Similarity {
   def clusterSamplePortable(spark: SparkSession, dir: String,
                             fraction: Double = 0.25): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val centroids = prepVectors(emb).filter(col("vec_id") < 16)
-      .select(col("vec_id").cast("int").as("cell"), col("v").as("cvec"),
-        vectors.dot(col("v"), col("v")).as("c2"))
-    clusterBalancedSample(emb, centroids, fraction)
+    clusterBalancedSample(emb, formulaCentroids(emb), fraction)
   }
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic text → vector embedding — the classical half of C12's
+  * embedder contract, closing the gap between raw `documents.text` and
+  * the vector-native operator family (ANN search, SemDeDup,
+  * cluster-balanced sampling), which until now required a
+  * pre-materialized embeddings table.
+  *
+  * The embedder is a hashed random projection of the bag-of-tokens
+  * vector (the "hashing trick"; sparse ±1 projections are Achlioptas
+  * 2003, "Database-friendly random projections" — public math;
+  * Charikar 2002's SimHash is this with a sign threshold): component j
+  * of a document's vector is the exact ±1 sum over its tokens, with
+  * bit j of the md5-derived 60-bit token hash choosing the sign. Two
+  * properties make this the right classical featurizer here:
+  *
+  *  - cosine between two documents' projections concentrates around
+  *    the cosine of their token-count vectors (Johnson–Lindenstrauss),
+  *    so token-overlap near-dups score near 1 and unrelated docs near
+  *    0 — the contract SemDeDup and ANN need;
+  *  - components are exact INTEGERS from md5 bits, so the embedding is
+  *    reproducible bit-for-bit by any engine with md5 (the q74/q78
+  *    portability convention) — the whole downstream pipeline stays
+  *    hash-checkable end-to-end.
+  *
+  * Scale shape: one map-only pass (tokenize + one md5 per token inside
+  * the [[graft.expressions.TextEmbedMd5]] codegen kernel — no explode,
+  * no shuffle); the output is exactly the (vec_id, embedding) shape
+  * [[Similarity]] consumes, so everything downstream inherits the
+  * bucketed-IVF economics. A learned neural encoder drops in by
+  * replacing this projection only — the reference's embedding consumers
+  * never see the difference (that swap point is the one remaining
+  * [[Multimodal]] stub; no model weights ship in this container).
+  */
+object TextEmbed {
+
+  /** Default dimensionality: 32 sign-planes from one md5 (≤ 60). JL
+    * noise at d=32 is σ ≈ 1/√32 ≈ 0.18 around the true bag-of-tokens
+    * cosine — enough to separate near-dup (≈1) from unrelated (≈0)
+    * verdicts; raise toward 60 for tighter ANN ranking. */
+  val DefaultDims = 32
+
+  /** (vec_id, embedding: array<double>) from raw documents — the
+    * corpus tokenization convention (lower, trim, whitespace split =
+    * [[Dedup.wordShingles]] / [[Search.buildPostings]] base), then the
+    * fused projection kernel. Components are integer-valued doubles. */
+  def embedDocuments(docs: DataFrame, dims: Int = DefaultDims,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(dims >= 2 && dims <= 60,
+      s"dims must lie in [2, 60] (one md5's worth of sign bits), got $dims")
+    docs.select(
+      col(idCol).cast("long").as("vec_id"),
+      transform(
+        call_function("graft_text_embed",
+          split(lower(trim(col(textCol))), "\\s+"), lit(dims)),
+        x => x.cast("double")).as("embedding"))
+  }
+
+  /** C12→C26 `q95_text_embed_neardup` — the END-TO-END raw-text
+    * pipeline: embed documents, take the q79 formula-chosen centroids
+    * (first 16 embedded docs) as the quantizer, and run the production
+    * [[Similarity.semanticDedup]] verdict. Every stage — tokenize,
+    * projection, assignment argmin, within-cell pairing, 4-dp rounded
+    * cosine, keep-lowest-id — is reproducible from scratch in ANSI-ish
+    * SQL, so the whole text→vector→verdict path is oracle-backed.
+    * Production swaps the centroid table for [[Similarity.buildIvfIndex]]
+    * output (KMeans training is planted-cluster-certified), exactly as
+    * q85 documents.
+    *
+    * Threshold 0.92: at d=32 the planted near-dup pairs (token overlap
+    * ≈ 1) survive JL noise while unrelated pairs (true cosine ≈ 0,
+    * noise σ ≈ 0.18) stay far below. */
+  def textEmbedNearDup(spark: SparkSession, dir: String,
+                       dims: Int = DefaultDims,
+                       threshold: Double = 0.92): DataFrame = {
+    val emb = embedDocuments(Tables(spark, dir).documents, dims)
+    val centroids = Similarity.formulaCentroids(emb)
+    Similarity.semanticDedup(emb, centroids, threshold)
+  }
+}

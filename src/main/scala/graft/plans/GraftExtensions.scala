@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expressions.{DotProduct, KllMergeAgg, KllQuantile, KllSketchAgg, KmvMergeAgg, KmvShingledAgg, KmvSketchAgg, MinHashShingled, MinHashSignature, NGramHashes, SimHash60Md5, SimHash64, SpanWindowHashes}
+import graft.expressions.{DotProduct, KllMergeAgg, KllQuantile, KllSketchAgg, KmvMergeAgg, KmvShingledAgg, KmvSketchAgg, MinHashShingled, MinHashSignature, NGramHashes, SimHash60Md5, SimHash64, SpanWindowHashes, TextEmbedMd5}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -49,6 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SpanWindowHashes].getName, "graft_span_windows"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SpanWindowHashes(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_text_embed"),
+      new ExpressionInfo(classOf[TextEmbedMd5].getName, "graft_text_embed"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TextEmbedMd5(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_kll_agg"),
       new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_agg"),

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{Similarity, TextEmbed}
+import org.apache.spark.sql.functions._
+
+class TextEmbedSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("fused embed kernel equals the per-token Column formulation on real documents") {
+    val docs = Tables(spark, sfDir).documents
+    val dims = 32
+    val fused = TextEmbed.embedDocuments(docs, dims)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // independent formulation: explode tokens, md5-derive the 60-bit
+    // hash as a Column, sum signs per (doc, dim)
+    val viaColumns = docs
+      .select(col("doc_id").cast("long").as("vec_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      .select(col("vec_id"), col("h"),
+        explode(array((0 until dims).map(lit): _*)).as("j"))
+      .withColumn("s", when(expr("shiftright(h, j)").bitwiseAND(1) === 1, 1)
+        .otherwise(-1))
+      .groupBy(col("vec_id"), col("j")).agg(sum(col("s")).as("c"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("c")))).as("p"))
+      .select(col("vec_id"),
+        expr("transform(p, x -> cast(x.c as double))").as("embedding"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(fused.keySet == viaColumns.keySet)
+    fused.foreach { case (id, v) =>
+      assert(v == viaColumns(id), s"doc $id: $v vs ${viaColumns(id)}")
+    }
+  }
+
+  test("planted truth: exact and near-dup texts verdict as dups, unrelated do not") {
+    // 20 unrelated docs (ids 0-19, each a distinct token universe) act
+    // as centroid donors and distractors; 100/101 are copies of doc 3's
+    // text (one with a single appended token), 102 is fresh
+    val base = (0 until 20).map(i =>
+      (i.toLong, (1 to 12).map(k => s"tok${i}_$k").mkString(" ")))
+    val docs = (base ++ Seq(
+      (100L, base(3)._2),
+      (101L, base(3)._2 + " extra"),
+      (102L, (1 to 12).map(k => s"fresh_$k").mkString(" ")))).toDF("doc_id", "text")
+    val emb = TextEmbed.embedDocuments(docs)
+    val out = Similarity.semanticDedup(emb, Similarity.formulaCentroids(emb), 0.92)
+      .select(col("vec_id"), col("is_dup"), col("dup_of"))
+      .as[(Long, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(100L) == ((true, Some(3L))), s"exact copy must dup onto 3: ${out(100L)}")
+    assert(out(101L)._1, s"near copy must verdict as dup: ${out(101L)}")
+    assert(!out(102L)._1, "fresh doc must survive")
+    assert(base.forall(b => !out(b._1)._1), "unrelated originals keep themselves")
+  }
+
+  test("embedding cosine tracks token overlap (JL contract)") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),         // identical → cos 1
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")  // disjoint → cos ≈ 0
+    ).toDF("doc_id", "text")
+    val e = TextEmbed.embedDocuments(docs)
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(math.abs(cos(e(1L), e(2L)) - 1.0) < 1e-12)
+    assert(math.abs(cos(e(1L), e(3L))) < 0.6,
+      s"disjoint docs must not look similar: ${cos(e(1L), e(3L))}")
+  }
+
+  test("dims outside [2, 60] refuse loudly") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] { TextEmbed.embedDocuments(docs, 1) }
+    intercept[IllegalArgumentException] { TextEmbed.embedDocuments(docs, 61) }
+  }
+}
