@@ -130,7 +130,8 @@ object SparkEntry {
     "q92_phrase_search"          -> ((s, d) => Search.phraseSearchDocs(s, d)),
     "q93_bigram_nll"             -> ((s, d) => TextAnalysis.bigramNll(s, d)),
     "q94_collocations"           -> ((s, d) => TextAnalysis.collocations(s, d)),
-    "q95_text_embed_neardup"     -> ((s, d) => TextEmbed.textEmbedNearDup(s, d))
+    "q95_text_embed_neardup"     -> ((s, d) => TextEmbed.textEmbedNearDup(s, d)),
+    "q96_timedecay_attribution"  -> ((s, d) => Analytics.timeDecayAttributionEvents(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -2077,6 +2078,36 @@ object SparkEntry {
         |         WHERE cos >= 0.92 GROUP BY 1)
         |SELECT m.vec_id, m.cell, d.vec_id IS NOT NULL AS is_dup, d.dup_of
         |FROM m LEFT JOIN dups d ON d.vec_id = m.vec_id
-        |ORDER BY m.vec_id""".stripMargin
+        |ORDER BY m.vec_id""".stripMargin,
+
+    // q96: time-decay attribution — the transcendental 0.5^x weight is
+    // plain IEEE on exact inputs (µs-epoch age differences relative to
+    // the conversion's newest touch), quantizes to a 1e9 grid BEFORE
+    // normalization so the weight denominator is an exact long sum,
+    // and credits ride q63's scaled-long/decimal path
+    "q96_timedecay_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |           FROM events),
+        |t AS (SELECT user_id, ts AS touch_ts FROM e WHERE event_type = 'click'),
+        |c AS (SELECT event_id AS conv_id, user_id, ts AS conv_ts, value FROM e
+        |      WHERE event_type = 'purchase'),
+        |j AS (SELECT c.conv_id, c.value, c.conv_ts, t.touch_ts
+        |      FROM c JOIN t ON c.user_id = t.user_id
+        |      WHERE t.touch_ts < c.conv_ts
+        |        AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),
+        |a AS (SELECT *, (epoch_us(conv_ts) / 1000000.0
+        |                 - epoch_us(touch_ts) / 1000000.0) / 86400.0 AS age FROM j),
+        |m AS (SELECT *, min(age) OVER (PARTITION BY conv_id) AS min_age FROM a),
+        |r AS (SELECT *, CAST(round(power(0.5, (age - min_age) / 2.0) * 1.0e9)
+        |                     AS BIGINT) AS raw_s FROM m),
+        |w AS (SELECT *, CAST(raw_s AS DOUBLE)
+        |                / CAST(sum(raw_s) OVER (PARTITION BY conv_id) AS DOUBLE) AS w
+        |      FROM r)
+        |SELECT CAST(touch_ts AS DATE) AS touch_day,
+        | round(CAST(sum(CAST(round(value * w * 100000000.0) AS BIGINT)) AS DOUBLE)
+        |       / 100000000.0 + 1e-9, 4) AS credited_value,
+        | count(*) AS n_credited_touches,
+        | CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions
+        |FROM w GROUP BY 1 ORDER BY touch_day""".stripMargin
   )
 }

@@ -345,4 +345,17 @@ object Analytics {
       "value", touchType = "click", convType = "purchase",
       convIdCol = Some("event_id"), model = "u_shaped",
       touchIdCol = Some("event_id"))
+
+  /** `q96_timedecay_attribution`: the half-life model on the same
+    * touch/conversion frame. Despite the transcendental weight, every
+    * stage is engine-portable: ages are exact µs-epoch differences,
+    * the 0.5^x weights quantize to a 1e9 grid BEFORE the
+    * per-conversion normalization (so the weight denominator is an
+    * exact long sum), and credits ride the shared q63 scaled-long
+    * path — the one model that was spec-only until round 11. */
+  def timeDecayAttributionEvents(spark: SparkSession, dir: String): DataFrame =
+    attribution(Tables(spark, dir).events, "user_id", "ts", "event_type",
+      "value", touchType = "click", convType = "purchase",
+      convIdCol = Some("event_id"), model = "time_decay",
+      halfLifeDays = 2.0)
 }
