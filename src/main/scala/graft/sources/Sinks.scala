@@ -166,4 +166,71 @@ object Sinks {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Sheets `delete_data` analog (Google_Spreadsheet.py:49): the
+    * reference issues an `updateCells` request that CLEARS the
+    * addressed cells' values in place — nothing shifts. Three modes,
+    * same names and index conventions (0-based start inclusive, end
+    * exclusive):
+    *
+    *  - `vector="ALL"`: clear the whole range — the partition's data
+    *    is removed (a values-table has no empty-grid residue to keep);
+    *  - `vector="ROWS"`: clear rows [startIndex, endIndex) BY ROW
+    *    POSITION — a sheet has an intrinsic row order, a distributed
+    *    table does not, so the caller names it via `orderBy` (refused
+    *    loudly when missing); a full-row hash breaks residual ties so
+    *    the deleted set is deterministic under recomputation;
+    *  - `vector="COLUMNS"`: clear columns [startIndex, endIndex) by
+    *    SCHEMA POSITION — values become NULL, rows and schema stay
+    *    (exactly the `userEnteredValue`-fields clear).
+    *
+    * Other ranges in the sink are never touched: ALL drops one
+    * partition directory, ROWS/COLUMNS rewrite one partition under
+    * dynamic overwrite. Scale note: a "range" models a report tab
+    * (sheet-sized by construction); the positional-row window is
+    * per-range and fine at that size — bulk lake deletes belong to
+    * predicate-based rewrites, not this operator. */
+  def deleteRange(spark: org.apache.spark.sql.SparkSession, path: String,
+                  range: String, vector: String = "ALL",
+                  startIndex: Option[Int] = None, endIndex: Option[Int] = None,
+                  orderBy: Seq[String] = Nil): Unit = {
+    require(Set("ALL", "ROWS", "COLUMNS").contains(vector.toUpperCase),
+      s"vector must be ALL|ROWS|COLUMNS, got $vector")
+    vector.toUpperCase match {
+      case "ALL" =>
+        val dir = new org.apache.hadoop.fs.Path(path,
+          "_range=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(range))
+        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(dir, true)
+        ()
+      case "ROWS" =>
+        require(orderBy.nonEmpty,
+          "deleteRange(vector=ROWS) needs orderBy: a distributed table has no " +
+            "intrinsic row order — name the columns that define sheet order")
+        val (lo, hi) = (startIndex.getOrElse(0), endIndex.getOrElse(Int.MaxValue))
+        val cur = readRange(spark, path, range)
+        val w = org.apache.spark.sql.expressions.Window.orderBy(
+          orderBy.map(col(_).asc) :+ xxhash64(struct(cur.columns.map(col): _*)).asc: _*)
+        val kept = cur
+          .withColumn("_pos", row_number().over(w) - 1)
+          .filter(col("_pos") < lo || col("_pos") >= hi)
+          .drop("_pos")
+          .localCheckpoint() // the rewrite replaces the files it reads
+        // a zero-row dynamic overwrite replaces nothing — deleting
+        // every row must fall through to the partition drop
+        if (kept.isEmpty) deleteRange(spark, path, range, "ALL")
+        else updateRange(kept, path, range)
+      case "COLUMNS" =>
+        val cur = readRange(spark, path, range)
+        val (lo, hi) = (startIndex.getOrElse(0), endIndex.getOrElse(cur.columns.length))
+        require(lo >= 0 && hi <= cur.columns.length && lo < hi,
+          s"column range [$lo, $hi) out of bounds for ${cur.columns.length} columns")
+        val cleared = cur.select(cur.columns.zipWithIndex.map { case (c, i) =>
+          if (i >= lo && i < hi) lit(null).cast(cur.schema(i).dataType).as(c)
+          else col(c)
+        }: _*).localCheckpoint()
+        updateRange(cleared, path, range)
+    }
+  }
 }

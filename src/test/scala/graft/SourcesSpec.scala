@@ -497,6 +497,48 @@ class SourcesSpec extends SparkSpecBase {
       .as[(String, Long)].collect().toSeq.sorted == Seq(("c", 3L), ("d", 4L)))
   }
 
+  test("deleteRange clears ALL / ROWS-by-position / COLUMNS-by-position; other ranges survive") {
+    import graft.sources.Sinks
+    val path = java.nio.file.Files.createTempDirectory("graft_sheet_del").toString
+    def rows(r: String) = Sinks.readRange(spark, path, r)
+      .as[(String, Long)].collect().toSeq.sorted
+    val five = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L), ("e", 5L))
+    Sinks.updateRange(five.toDF("k", "v"), path, "Sheet1!A1")
+    Sinks.updateRange(Seq(("x", 9L)).toDF("k", "v"), path, "Sheet2!A1")
+
+    // ROWS: delete positions [1, 3) in k-order → b, c go; a, d, e stay
+    Sinks.deleteRange(spark, path, "Sheet1!A1", vector = "ROWS",
+      startIndex = Some(1), endIndex = Some(3), orderBy = Seq("k"))
+    assert(rows("Sheet1!A1") == Seq(("a", 1L), ("d", 4L), ("e", 5L)))
+    assert(rows("Sheet2!A1") == Seq(("x", 9L)), "sibling range untouched")
+
+    // COLUMNS: clear schema position [1, 2) → v nulled, rows + k kept
+    Sinks.deleteRange(spark, path, "Sheet1!A1", vector = "COLUMNS",
+      startIndex = Some(1), endIndex = Some(2))
+    val cleared = Sinks.readRange(spark, path, "Sheet1!A1")
+      .as[(String, Option[Long])].collect().toSeq.sorted
+    assert(cleared == Seq(("a", None), ("d", None), ("e", None)),
+      s"values cleared in place, schema intact: $cleared")
+
+    // ALL: the whole range empties; the sibling still reads back
+    Sinks.deleteRange(spark, path, "Sheet1!A1")
+    assert(Sinks.readRange(spark, path, "Sheet1!A1").count() == 0)
+    assert(rows("Sheet2!A1") == Seq(("x", 9L)))
+
+    // loud contracts
+    intercept[IllegalArgumentException] {
+      Sinks.deleteRange(spark, path, "Sheet2!A1", vector = "DIAGONAL")
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.deleteRange(spark, path, "Sheet2!A1", vector = "ROWS",
+        startIndex = Some(0), endIndex = Some(1))
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.deleteRange(spark, path, "Sheet2!A1", vector = "COLUMNS",
+        startIndex = Some(5), endIndex = Some(9))
+    }
+  }
+
   test("E4: range-sorted layout prunes row groups at the scan; unsorted reads everything") {
     import graft.sources.Sinks
     import org.apache.spark.sql.functions.col
