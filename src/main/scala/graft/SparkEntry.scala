@@ -131,7 +131,8 @@ object SparkEntry {
     "q93_bigram_nll"             -> ((s, d) => TextAnalysis.bigramNll(s, d)),
     "q94_collocations"           -> ((s, d) => TextAnalysis.collocations(s, d)),
     "q95_text_embed_neardup"     -> ((s, d) => TextEmbed.textEmbedNearDup(s, d)),
-    "q96_timedecay_attribution"  -> ((s, d) => Analytics.timeDecayAttributionEvents(s, d))
+    "q96_timedecay_attribution"  -> ((s, d) => Analytics.timeDecayAttributionEvents(s, d)),
+    "q97_ingest_gate"            -> ((s, d) => Validation.ingestGateOrders(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -2108,6 +2109,41 @@ object SparkEntry {
         |       / 100000000.0 + 1e-9, 4) AS credited_value,
         | count(*) AS n_credited_touches,
         | CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions
-        |FROM w GROUP BY 1 ORDER BY touch_day""".stripMargin
+        |FROM w GROUP BY 1 ORDER BY touch_day""".stripMargin,
+
+    // q97: the composed ingest gate replayed from scratch — the same
+    // planted corruption, TRY_CAST coercions (null-on-unparseable on
+    // both engines), the NULL-typed missing column, and q65's
+    // conditional-aggregate + stack shape. Values that are NOT mangled
+    // round-trip through each engine's own string format back to the
+    // identical double/date, so the violation counts are exact.
+    "q97_ingest_gate" ->
+      """WITH staging AS (SELECT
+        |    CAST(o_orderkey AS VARCHAR) AS k,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'N/A'
+        |         ELSE CAST(o_totalprice AS VARCHAR) END AS p,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'not-a-date'
+        |         ELSE CAST(o_orderdate AS VARCHAR) END AS d,
+        |    o_orderstatus AS st
+        |  FROM orders),
+        |typed AS (SELECT TRY_CAST(p AS DOUBLE) AS p, TRY_CAST(d AS DATE) AS d,
+        |    st, CAST(NULL AS VARCHAR) AS channel FROM staging),
+        |a AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS v_unparseable_price,
+        |  sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS v_unparseable_date,
+        |  sum(CASE WHEN coalesce(p <= 0, true) THEN 1 ELSE 0 END) AS v_nonpositive_price,
+        |  sum(CASE WHEN coalesce(st NOT IN ('O','F','P'), true) THEN 1 ELSE 0 END) AS v_unknown_status,
+        |  sum(CASE WHEN channel IS NULL THEN 1 ELSE 0 END) AS v_missing_channel
+        | FROM typed),
+        |u AS (
+        |  SELECT 'unparseable_price' AS rule, v_unparseable_price AS n_violations, n AS n_rows FROM a
+        |  UNION ALL SELECT 'unparseable_date', v_unparseable_date, n FROM a
+        |  UNION ALL SELECT 'nonpositive_price', v_nonpositive_price, n FROM a
+        |  UNION ALL SELECT 'unknown_status', v_unknown_status, n FROM a
+        |  UNION ALL SELECT 'missing_channel', v_missing_channel, n FROM a)
+        |SELECT rule, CAST(n_violations AS BIGINT) AS n_violations, n_rows,
+        | round(n_violations * 100.0 / n_rows, 4) AS violation_pct,
+        | round(n_violations * 100.0 / n_rows, 4) <= 20.0 AS passed
+        |FROM u ORDER BY rule""".stripMargin
   )
 }

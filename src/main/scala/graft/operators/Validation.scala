@@ -64,6 +64,43 @@ object Validation {
       filter(array(flags: _*), x => x.isNotNull))
   }
 
+  /** `q97_ingest_gate` — A16+A24 COMPOSED in the reference's real
+    * ingest order (`utils.load_schema_from_csv` coerce-apply, then
+    * validate before the partition upload): an all-strings staging
+    * frame (the shape a CSV extract lands as, with deterministic
+    * corruption planted by key) goes through
+    * [[graft.sources.Schemas.applySchema]] (try_cast coercion, a
+    * declared-but-absent column added as NULL) and straight into
+    * [[checkRules]]. The point the spec pins: composing the two adds
+    * NO pass — schema apply is a projection, so the whole gate is
+    * still one scan + one conditional aggregate.
+    *
+    * Rules mix coercion checks (nulls MADE by try_cast), a value
+    * check over coerced numbers, and the missing-column tripwire;
+    * tolerance 20% lets some rules pass and some fail. */
+  def ingestGateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    val staging = o.select(
+      col("o_orderkey").cast("string").as("o_orderkey"),
+      when(col("o_orderkey") % 7 === 0, lit("N/A"))
+        .otherwise(col("o_totalprice").cast("string")).as("o_totalprice"),
+      when(col("o_orderkey") % 11 === 0, lit("not-a-date"))
+        .otherwise(col("o_orderdate").cast("string")).as("o_orderdate"),
+      col("o_orderstatus"))
+    val typed = graft.sources.Schemas.applySchema(staging, Seq(
+      "o_orderkey" -> "long",
+      "o_totalprice" -> "double",
+      "o_orderdate" -> "date",
+      "channel" -> "string"))
+    checkRules(typed, Seq(
+      "unparseable_price" -> col("o_totalprice").isNull,
+      "unparseable_date" -> col("o_orderdate").isNull,
+      "nonpositive_price" -> (col("o_totalprice") <= 0),
+      "unknown_status" -> !col("o_orderstatus").isin("O", "F", "P"),
+      "missing_channel" -> col("channel").isNull
+    ), maxViolationPct = 20.0)
+  }
+
   /** `q65_data_quality`: contract checks over the orders table at 1%
     * tolerance — a mix of firing rules (price cap) and clean ones. */
   def ordersQuality(spark: SparkSession, dir: String): DataFrame = {

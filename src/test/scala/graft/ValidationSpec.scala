@@ -43,6 +43,24 @@ class ValidationSpec extends SparkSpecBase {
       "rule count must not add passes over the data")
   }
 
+  test("q97 composed ingest gate stays single-scan and coercion nulls hit the right rules") {
+    val out = Validation.ingestGateOrders(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      "schema apply is a projection — composing it with the rules must not add a pass")
+    val rows = out.as[(String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._5))).toMap
+    val n = rows("missing_channel")._2
+    assert(rows("missing_channel")._1 == n && !rows("missing_channel")._3,
+      "the declared-but-absent column is all-NULL and fails the gate")
+    // keys ≡ 0 (mod 7) were mangled: try_cast made exactly those null
+    // (orderkeys are TPC-H-sparse, so ~1/7 of rows, not exactly n/7)
+    val badPrice = rows("unparseable_price")._1
+    assert(badPrice > 0 && badPrice < n / 4, s"planted corruption must surface: $badPrice of $n")
+    assert(rows("unparseable_price")._3, "~14% corruption passes the 20% tolerance")
+    assert(rows("unparseable_date")._3, "~9% corruption passes the 20% tolerance")
+  }
+
   test("flagViolations routes rows with their failed rule names, in rule order") {
     val out = Validation.flagViolations(frame, rules)
       .select(col("id"), col("violations"))
