@@ -151,4 +151,66 @@ object FuzzyJoin {
     * composition re-derived from scratch. */
   def fuzzyCanonicalParts(spark: SparkSession, dir: String): DataFrame =
     canonicalVocabulary(Tables(spark, dir).part, "p_name", maxDist = 2)
+
+  /** Day-2 vocabulary maintenance — the fuzzy-family analog of
+    * [[Dedup.dedupAgainstIndex]] / [[Similarity.appendToIvfIndex]]:
+    * resolve ONLY the genuinely-new strings against the persisted
+    * vocabulary and return rows to APPEND; existing rows are never
+    * rewritten.
+    *
+    * Mechanics: new strings (distinct, anti-joined by name — replay
+    * re-delivery is a no-op) probe the vocabulary's deletion-key
+    * buckets exactly like [[editDistanceJoin]]'s self-join (shuffle-
+    * hash on 8-byte keys; persist the key table bucketed by `k` to
+    * skip even the vocab-side key pass at scale), verify by bounded
+    * Levenshtein, and then resolve through the CERTIFIED closure over
+    * new-new edges PLUS new→existing-canonical edges, so chains of new
+    * strings reaching the old vocabulary through one another land on
+    * the same canonical.
+    *
+    * Canonical rule, stated honestly (the incremental-index drift
+    * contract): a cluster touching ≥1 EXISTING canonical adopts the
+    * MIN existing canonical — existing entries keep their mapping even
+    * when a new string lexicographically undercuts it, and a new
+    * string BRIDGING two existing clusters does NOT merge them (it
+    * maps to the min; the other cluster is untouched). Re-run
+    * [[canonicalVocabulary]] when accumulated drift matters — the
+    * refit cadence is an operational knob, exactly the IVF convention.
+    * Clusters of only-new strings take their min label (the q89
+    * batch rule, so append == rebuild when nothing touches the old
+    * vocabulary — spec-asserted). */
+  def appendToVocabulary(newDf: DataFrame, strCol: String, vocab: DataFrame,
+                         maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"maxDist must be 1 or 2 (deletion-key fan-out is C(len, d)); got $maxDist")
+    val fresh = newDf.select(col(strCol).cast("string").as("name"))
+      .filter(col("name").isNotNull).distinct()
+      .join(vocab.select(col("name")), Seq("name"), "left_anti")
+      .localCheckpoint() // keys, pairs, closure and the final map all fork it
+    val newKeys = fresh.select(col("name"),
+      explode(delKeys(col("name"), maxDist)).as("k"))
+    val vocabKeys = vocab.select(col("name").as("v_name"), col("canonical"))
+      .withColumn("k", explode(delKeys(col("v_name"), maxDist)))
+    // new→existing matches carry the EXISTING canonical as the edge target
+    val matches = newKeys.hint("shuffle_hash").join(vocabKeys, Seq("k"))
+      .withColumn("dist", levenshtein(col("name"), col("v_name"), maxDist))
+      .filter(col("dist") >= 1)
+      .select(col("name").as("id_a"), col("canonical").as("id_b"))
+      .distinct()
+    val newPairs = editDistanceJoin(fresh, "name", maxDist)
+      .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
+    val clusters = Dedup.dupClusters(newPairs.unionByName(matches))
+    // per cluster: min EXISTING canonical wins if the cluster touches
+    // the old vocabulary; otherwise the closure's min label stands
+    val existingMin = clusters
+      .join(vocab.select(col("canonical").as("id")).distinct(), Seq("id"))
+      .groupBy(col("rep_id")).agg(min(col("id")).as("_exist_min"))
+    fresh
+      .join(clusters.select(col("id").as("name"), col("rep_id")), Seq("name"), "left")
+      .join(existingMin, Seq("rep_id"), "left")
+      .select(col("name"),
+        coalesce(col("_exist_min"), col("rep_id"), col("name")).as("canonical"))
+      .withColumn("is_variant", col("canonical") =!= col("name"))
+      .orderBy(col("name"))
+  }
 }

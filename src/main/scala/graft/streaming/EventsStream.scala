@@ -680,6 +680,50 @@ object EventsStream {
       }
       .start()
 
+  /** D2→C27b bridge — streaming canonical-VOCABULARY maintenance: each
+    * micro-batch of strings resolves through the production day-2
+    * kernel ([[graft.operators.FuzzyJoin.appendToVocabulary]] — new
+    * strings probe the vocabulary's deletion-key buckets, chains of
+    * new strings resolve through the certified closure, clusters
+    * touching the old vocabulary adopt its min canonical) and APPENDS
+    * the new rows; existing rows are never rewritten.
+    *
+    * Replay-idempotent like [[ivfIngestStream]]: already-known names
+    * anti-join away inside the kernel, so a re-delivered batch appends
+    * nothing. Same drift caveat as the batch kernel: bridges don't
+    * merge existing clusters — re-run `canonicalVocabulary` on the
+    * refit cadence. First batch against an empty path bootstraps the
+    * vocabulary (every cluster is new, the q89 batch rule).
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def vocabIngestStream(strings: DataFrame, vocabPath: String,
+                        checkpointDir: String, strCol: String = "name",
+                        maxDist: Int = 1):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    strings.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        def readOpt(path: String) =
+          try Some(spark.read.parquet(path))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" ||
+                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+          }
+        val vocab = readOpt(vocabPath).getOrElse {
+          import spark.implicits._
+          Seq.empty[(String, String, Boolean)]
+            .toDF("name", "canonical", "is_variant")
+        }
+        val fresh = graft.operators.FuzzyJoin
+          .appendToVocabulary(batch, strCol, vocab, maxDist)
+        if (!fresh.isEmpty)
+          fresh.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(vocabPath)
+      }
+      .start()
+
   /** D2→C30 bridge — streaming postings-index maintenance: each
     * micro-batch of new documents extends the BM25/phrase artifacts
     * through the production day-2 kernel

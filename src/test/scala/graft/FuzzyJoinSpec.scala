@@ -127,4 +127,44 @@ class FuzzyJoinSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"fuzzy join must block on deletion keys, got:\n$plan")
   }
+
+  test("appendToVocabulary: attach, chain, bridge-no-merge, replay no-op") {
+    val vocab = FuzzyJoin.canonicalVocabulary(
+      Seq("aaaa", "aaab", "mmmm", "mmnn", "zzzz").toDF("s"), "s", maxDist = 1)
+      .localCheckpoint()
+    // sanity on the starting partition: aaaa/aaab one cluster; the two
+    // m-strings are distance 2 apart → separate canonicals
+    val v0 = vocab.as[(String, String, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    assert(v0("aaab") == "aaaa" && v0("mmmm") == "mmmm" && v0("mmnn") == "mmnn")
+    val out = FuzzyJoin.appendToVocabulary(
+      Seq("aabb",           // 1 edit from aaab → attaches to its canonical aaaa
+        "qqqq", "qqqr",     // new-only chain → min label qqqq
+        "mmmn",             // 1 edit from BOTH mmmm and mmnn → bridge
+        "solo").toDF("s"), "s", vocab, maxDist = 1)
+      .as[(String, String, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size == 5, "exactly the new strings, nothing rewritten")
+    assert(out("aabb") == (("aaaa", true)), s"attach through the chain: ${out("aabb")}")
+    assert(out("qqqq") == (("qqqq", false)) && out("qqqr") == (("qqqq", true)))
+    assert(out("mmmn") == (("mmmm", true)),
+      "a bridge adopts the MIN existing canonical and merges nothing")
+    assert(out("solo") == (("solo", false)))
+    // replay: every name already known → empty append
+    val replay = FuzzyJoin.appendToVocabulary(
+      Seq("aaaa", "aaab", "zzzz").toDF("s"), "s", vocab, maxDist = 1)
+    assert(replay.isEmpty, "re-delivered names must append nothing")
+  }
+
+  test("appendToVocabulary == full rebuild when day-2 strings do not undercut or bridge") {
+    val day1 = Seq("cat", "cbt", "dog", "xylophone")
+    val day2 = Seq("cct", "dpg", "newt") // each attaches or is fresh; all lex-larger
+    val vocab1 = FuzzyJoin.canonicalVocabulary(day1.toDF("s"), "s", maxDist = 1)
+      .localCheckpoint()
+    val appended = vocab1.unionByName(
+      FuzzyJoin.appendToVocabulary(day2.toDF("s"), "s", vocab1, maxDist = 1))
+      .as[(String, String, Boolean)].collect().toSet
+    val rebuilt = FuzzyJoin.canonicalVocabulary(
+      (day1 ++ day2).toDF("s"), "s", maxDist = 1)
+      .as[(String, String, Boolean)].collect().toSet
+    assert(appended == rebuilt, s"append $appended vs rebuild $rebuilt")
+  }
 }

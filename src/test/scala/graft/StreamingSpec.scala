@@ -516,6 +516,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C27b: streaming vocabulary ingest bootstraps, attaches, and replays idempotently") {
+    import graft.streaming.EventsStream.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamDoc]
+    val vocab = java.nio.file.Files.createTempDirectory("graft_vocab_tbl").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_vocab_cp").toString
+    // the stream carries strings in the text column
+    val q = EventsStream.vocabIngestStream(
+      mem.toDF().select(col("text").as("name")), vocab, cp)
+    def read() = spark.read.parquet(vocab)
+      .as[(String, String, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    try {
+      // batch 1 bootstraps: cat/cbt cluster, dog singleton
+      mem.addData(StreamDoc(1, "cat"), StreamDoc(2, "cbt"), StreamDoc(3, "dog"))
+      q.processAllAvailable()
+      val v1 = read()
+      assert(v1 == Map("cat" -> "cat", "cbt" -> "cat", "dog" -> "dog"), s"$v1")
+      // batch 2: re-delivers cat (no-op), attaches cct, fresh newt
+      mem.addData(StreamDoc(4, "cat"), StreamDoc(5, "cct"), StreamDoc(6, "newt"))
+      q.processAllAvailable()
+      val v2 = read()
+      assert(v2 == Map("cat" -> "cat", "cbt" -> "cat", "dog" -> "dog",
+        "cct" -> "cat", "newt" -> "newt"), s"$v2")
+      assert(spark.read.parquet(vocab).count() == 5,
+        "re-delivered names must not duplicate rows")
+    } finally q.stop()
+  }
+
   test("D2→C30: streaming postings ingest extends the index exactly once; search matches batch build") {
     import graft.operators.Search
     import graft.streaming.EventsStream.StreamDoc
