@@ -55,6 +55,7 @@ object Bench {
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
+    def fmt(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // builds follow the same failure convention as the timed loop
     // (advice r9): a KMeans build failure logs, drops the build entry,
     // and the query falls back to its registered build+search closure —
@@ -84,24 +85,53 @@ object Bench {
           (_: SparkSession, _: String) => Similarity.annIvfPqSearch(corpus, cents, cb)
         }
       }.flatten.toMap
-    val results = selected.sortBy(_._1).map { case (name, registered) =>
-      val fn = annBuilds.get(name).map(_._2).getOrElse(registered)
-      val times = (0 until iters).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
+    def runSuite(): Seq[(String, Double, Double)] =
+      selected.sortBy(_._1).map { case (name, registered) =>
+        val fn = annBuilds.get(name).map(_._2).getOrElse(registered)
+        val times = (0 until iters).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
+          }
         }
+        val median =
+          if (times.isEmpty) -1.0
+          else times.sorted.apply(times.size / 2)
+        (name, median, times.headOption.getOrElse(-1.0))
       }
-      val median =
-        if (times.isEmpty) -1.0
-        else times.sorted.apply(times.size / 2)
-      (name, median, times.headOption.getOrElse(-1.0))
-    }
+    val results = runSuite()
     val total = results.collect { case (_, m, _) if m >= 0 => m }.sum
+    // back-to-back CONTROL run (round 11, verdict protocol item): a
+    // median-of-3 under transient machine load still misleads — r10's
+    // primary read q37/q39 at ~1.9× their same-code control. Running
+    // the identical suite twice in one session makes every round's
+    // artifact self-controlling: a real regression reproduces in both
+    // totals, load noise reverts. The line carries the control TOTAL
+    // plus control medians for only the queries whose two runs
+    // disagree >1.3× (the suspects) — full duplication would blow the
+    // harness's ~1950-char tail budget.
+    val control = if (sys.env.get("SPARK_GRAFT_BENCH_CONTROL").contains("0")) None else {
+      val c = runSuite()
+      val cTotal = c.collect { case (_, m, _) if m >= 0 => m }.sum
+      val cMap = c.map { case (n, m, _) => n -> m }.toMap
+      // floor 0.5s (sub-second queries jitter by constant overheads,
+      // not load) and cap at the 10 largest — a warm-up-skewed first
+      // suite can flag half the registry, and the tail budget is hard
+      val suspects = results.collect {
+        case (n, p, _) if p > 0 && cMap.getOrElse(n, -1.0) > 0 &&
+          math.max(p, cMap(n)) >= 0.5 &&
+          math.max(p, cMap(n)) / math.min(p, cMap(n)) > 1.3 => (n, p, cMap(n))
+      }.sortBy { case (_, p, c) => -math.max(p, c) }.take(10)
+        .map { case (n, _, c) => (n, c) }
+      c.foreach { case (n, m, f0) =>
+        System.err.println(s"[bench] control $n median=${fmt(m)} first=${fmt(f0)}")
+      }
+      Some((cTotal, suspects))
+    }
     // The round harness keeps only the LAST 2000 chars of the log and
     // parses the JSON line out of that tail. Rounds 1-6 printed a
     // ~3.5k-char line (medians + first-run at full double precision),
@@ -114,7 +144,6 @@ object Bench {
     // trailer), and the line prints AFTER spark.stop() so nothing Spark
     // logs can land behind it. First-run times go to stderr (human
     // signal only); the stdout line schema lives in [[metricsLine]].
-    def fmt(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     results.foreach { case (n, m, f0) =>
       System.err.println(s"[bench] $n median=${fmt(m)} first=${fmt(f0)}")
     }
@@ -126,7 +155,8 @@ object Bench {
       System.err.println(s"[bench] $n build=${fmt(t)}")
     }
     val out = metricsLine(results.map { case (n, m, _) => (n, m) }, total, sf, iters,
-      builds = annBuilds.toSeq.map { case (n, (t, _)) => (n, t) }.sortBy(_._1))
+      builds = annBuilds.toSeq.map { case (n, (t, _)) => (n, t) }.sortBy(_._1),
+      control = control)
     spark.stop()
     println(out)
     System.out.flush()
@@ -144,7 +174,8 @@ object Bench {
     * ~140 queries in budget. Prefix collisions (two queries sharing a
     * qNN) would silently merge keys, so they fail loud here. */
   def metricsLine(medians: Seq[(String, Double)], total: Double, sf: String, iters: Int,
-                  builds: Seq[(String, Double)] = Nil): String = {
+                  builds: Seq[(String, Double)] = Nil,
+                  control: Option[(Double, Seq[(String, Double)])] = None): String = {
     def fmt(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val keyed = medians.map { case (n, m) => (n.split("_").head, m) }
     val dups = keyed.groupBy(_._1).filter(_._2.size > 1).keys
@@ -156,6 +187,24 @@ object Bench {
       if (builds.isEmpty) ""
       else builds.map { case (n, t) => "\"" + n.split("_").head + "\":" + fmt(t) }
         .mkString(""","build":{""", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sf,"iters":$iters$bs,"queries":$qs}"""
+    // back-to-back control (round 11): total of the in-session rerun,
+    // plus control medians for only the >1.3× primary/control outliers
+    // — the compact self-control that separates load noise (suspects
+    // revert here) from real regressions (they reproduce)
+    def assemble(suspectCap: Int): String = {
+      val cs = control.fold("") { case (ct, suspects) =>
+        val kept = suspects.take(suspectCap)
+        val sus =
+          if (kept.isEmpty) ""
+          else kept.map { case (n, t) => "\"" + n.split("_").head + "\":" + fmt(t) }
+            .mkString(""","suspects":{""", ",", "}")
+        s""","control":{"value":${fmt(ct)}$sus}"""
+      }
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sf,"iters":$iters$bs$cs,"queries":$qs}"""
+    }
+    // the harness keeps the LAST ~2000 chars: an over-budget line loses
+    // its HEAD and stops parsing, so suspects shed before anything else
+    val caps = control.map(_._2.size).getOrElse(0) to 0 by -1
+    caps.map(assemble).find(_.length <= 1950).getOrElse(assemble(0))
   }
 }

@@ -132,7 +132,9 @@ object SparkEntry {
     "q94_collocations"           -> ((s, d) => TextAnalysis.collocations(s, d)),
     "q95_text_embed_neardup"     -> ((s, d) => TextEmbed.textEmbedNearDup(s, d)),
     "q96_timedecay_attribution"  -> ((s, d) => Analytics.timeDecayAttributionEvents(s, d)),
-    "q97_ingest_gate"            -> ((s, d) => Validation.ingestGateOrders(s, d))
+    "q97_ingest_gate"            -> ((s, d) => Validation.ingestGateOrders(s, d)),
+    "q98_semantic_dedup_probe"   -> ((s, d) => Similarity.semanticDedupProbePortable(s, d)),
+    "q99_perplexity_buckets"     -> ((s, d) => TextAnalysis.perplexityBuckets(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -2144,6 +2146,78 @@ object SparkEntry {
         |SELECT rule, CAST(n_violations AS BIGINT) AS n_violations, n_rows,
         | round(n_violations * 100.0 / n_rows, 4) AS violation_pct,
         | round(n_violations * 100.0 / n_rows, 4) <= 20.0 AS passed
-        |FROM u ORDER BY rule""".stripMargin
+        |FROM u ORDER BY rule""".stripMargin,
+
+    // q98: the day-2 SemDeDup probe replayed from scratch — the q71
+    // 80/20 split, corpus-side formula centroids, BOTH assignment
+    // argmins, cell-blocked pairing, rounded-cosine verdict and the
+    // -1 sentinels
+    "q98_semantic_dedup_probe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corp AS (SELECT * FROM e WHERE vec_id % 5 <> 4),
+        |bat AS (SELECT * FROM e WHERE vec_id % 5 = 4),
+        |c AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec,
+        |        list_dot_product(v, v) AS c2
+        |      FROM corp WHERE vec_id < 16),
+        |asgc AS (SELECT vec_id, cell FROM (
+        |         SELECT corp.vec_id, c.cell,
+        |           row_number() OVER (PARTITION BY corp.vec_id
+        |             ORDER BY c.c2 - 2.0 * list_dot_product(corp.v, c.cvec) ASC,
+        |                      c.cell ASC) AS rn
+        |         FROM corp CROSS JOIN c) WHERE rn = 1),
+        |asgb AS (SELECT vec_id, cell FROM (
+        |         SELECT bat.vec_id, c.cell,
+        |           row_number() OVER (PARTITION BY bat.vec_id
+        |             ORDER BY c.c2 - 2.0 * list_dot_product(bat.v, c.cvec) ASC,
+        |                      c.cell ASC) AS rn
+        |         FROM bat CROSS JOIN c) WHERE rn = 1),
+        |m AS (SELECT a.vec_id, a.cell, corp.v,
+        |        sqrt(list_dot_product(corp.v, corp.v)) AS nrm
+        |      FROM asgc a JOIN corp ON corp.vec_id = a.vec_id),
+        |b AS (SELECT a.vec_id, a.cell, bat.v,
+        |        sqrt(list_dot_product(bat.v, bat.v)) AS nrm
+        |      FROM asgb a JOIN bat ON bat.vec_id = a.vec_id),
+        |pairs AS (SELECT b.vec_id AS bv, m.vec_id AS m_id,
+        |            round(list_dot_product(b.v, m.v) / (b.nrm * m.nrm), 4) AS cos
+        |          FROM b JOIN m ON m.cell = b.cell),
+        |mt AS (SELECT bv AS vec_id, min(m_id) AS dup_of, max(cos) AS best
+        |       FROM pairs WHERE cos >= 0.25 GROUP BY 1)
+        |SELECT b.vec_id, b.cell, mt.vec_id IS NOT NULL AS is_dup,
+        |  coalesce(mt.dup_of, -1) AS dup_of,
+        |  coalesce(mt.best, -1.0) AS best_cos
+        |FROM b LEFT JOIN mt ON mt.vec_id = b.vec_id
+        |ORDER BY b.vec_id""".stripMargin,
+
+    // q99: CCNet terciles — the q46 score (already ln-parity-proven)
+    // feeds a bin-table bucket rule: integer cumulative counts, one
+    // exact division whose floor boundaries are exact integer
+    // quotients, bin-level assignment (a score bin never splits)
+    "q99_perplexity_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(c) AS t FROM vocab),
+        |scored AS (
+        |  SELECT d.doc_id, round(avg(ln(v.c / (SELECT t FROM tot))), 4) AS avg_logprob
+        |  FROM toks d JOIN vocab v USING (tok)
+        |  GROUP BY d.doc_id),
+        |sl AS (SELECT s.doc_id, d2.lang, s.avg_logprob
+        |       FROM scored s JOIN documents d2 USING (doc_id)),
+        |bins AS (SELECT lang, avg_logprob, count(*) AS bn FROM sl GROUP BY 1, 2),
+        |lab AS (SELECT lang, avg_logprob,
+        |          coalesce(sum(bn) OVER (PARTITION BY lang
+        |            ORDER BY avg_logprob DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+        |          sum(bn) OVER (PARTITION BY lang) AS nl
+        |        FROM bins),
+        |lab2 AS (SELECT lang, avg_logprob,
+        |           CASE CAST(floor(cb * 3 / nl) AS INT)
+        |             WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+        |           END AS bucket
+        |         FROM lab)
+        |SELECT s.doc_id, s.lang, s.avg_logprob, l.bucket
+        |FROM sl s JOIN lab2 l ON l.lang = s.lang AND l.avg_logprob = s.avg_logprob
+        |ORDER BY s.doc_id""".stripMargin
   )
 }

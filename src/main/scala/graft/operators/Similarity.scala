@@ -924,6 +924,76 @@ object Similarity {
     semanticDedup(emb, formulaCentroids(emb), threshold)
   }
 
+  /** Day-2 semantic dedup — [[semanticDedup]]'s incremental shape, the
+    * C2b/q71 convention lifted to the embedding tier: each ingest
+    * batch probes the PERSISTED assigned corpus ((vec_id, v, nrm,
+    * cell) — [[buildIvfIndex]]'s first half, bucketed by cell) instead
+    * of re-pairing the whole corpus. New vectors assign by the
+    * production probe rule, compare ONLY against their own cell's
+    * members, and verdict on the 4-dp rounded cosine. The corpus side
+    * never exchanges when the index is read cell-bucketed; only the
+    * (small) batch shuffles.
+    *
+    * Batch-vs-corpus only, like [[graft.operators.Dedup.dedupAgainstIndex]]:
+    * within-batch duplicates surface when the accepted batch appends
+    * and the NEXT batch probes — run [[semanticDedup]] over the batch
+    * alone first when same-batch collisions matter.
+    *
+    * The cell-size guard runs on the INDEX at query time (an appended
+    * index's cell sizes aren't knowable at build time): cells past
+    * `maxCellSize` fail loudly in-plan — retrain the quantizer.
+    *
+    * @return one verdict row per batch vector: (vec_id, cell, is_dup,
+    *         dup_of = smallest matching corpus id or -1, best_cos =
+    *         highest matching cosine or -1) */
+  def semanticDedupAgainstIndex(newEmbeddings: DataFrame, assigned: DataFrame,
+                                centroids: DataFrame, threshold: Double = 0.25,
+                                maxCellSize: Int = 10000): DataFrame = {
+    require(threshold > -1 && threshold <= 1,
+      s"threshold must lie in (-1, 1], got $threshold")
+    require(maxCellSize > 0, s"maxCellSize must be positive, got $maxCellSize")
+    val probe = appendToIvfIndex(newEmbeddings, centroids)
+    val census = assigned.groupBy(col("cell")).agg(count(lit(1)).as("_csz"))
+    val corpus = assigned.join(broadcast(census), Seq("cell"))
+      .withColumn("cell",
+        when(col("_csz") > maxCellSize,
+          raise_error(concat(lit("semanticDedupAgainstIndex: cell "),
+            col("cell").cast("string"), lit(" holds "), col("_csz").cast("string"),
+            lit(s" vectors (maxCellSize $maxCellSize) — retrain the quantizer"))))
+          .otherwise(col("cell")))
+      .select(col("cell"), col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val matches = probe
+      .join(corpus, Seq("cell"))
+      .withColumn("cos", round(
+        vectors.dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 4))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(min(col("c_id")).as("_dup_of"), max(col("cos")).as("_best"))
+    probe.select(col("vec_id"), col("cell"))
+      .join(matches, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("_dup_of").isNotNull.as("is_dup"),
+        coalesce(col("_dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("_best"), lit(-1.0)).as("best_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** C26b `q98_semantic_dedup_probe` — [[semanticDedupAgainstIndex]]
+    * with the q71 80/20 split on the q79 formula centroids (built from
+    * the CORPUS side, the artifact a day-2 batch actually probes), so
+    * assignment, cell pairing, verdict and both sentinels are
+    * oracle-backed end-to-end. Production feeds [[buildIvfIndex]]
+    * artifacts; the two differ only in where the centroids came from. */
+  def semanticDedupProbePortable(spark: SparkSession, dir: String,
+                                 threshold: Double = 0.25): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val corpus = emb.filter(col("vec_id") % 5 =!= 4)
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    val centroids = formulaCentroids(corpus)
+    val assigned = appendToIvfIndex(corpus, centroids)
+    semanticDedupAgainstIndex(batch, assigned, centroids, threshold)
+  }
+
   /** The q79 formula-chosen centroid table (first `n` corpus vectors as
     * cells) shared by every *Portable twin — deterministic, so the
     * full pipeline stays reproducible from scratch in an external

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.{text => T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** C-block text analysis: language ID (C8), quality scoring (C9), token
@@ -222,6 +223,53 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"),
         round(avg(log(col("c") / col("t"))), 4).as("avg_logprob"))
       .withColumn("ppl", round(exp(-col("avg_logprob")), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** `q99_perplexity_buckets` — CCNet-style per-language perplexity
+    * TERCILES (Wenzek et al. 2019, "CCNet: Extracting high quality
+    * monolingual datasets from web crawl data", arXiv:1911.00359 —
+    * public): each document lands in head/middle/tail of its
+    * language's quality distribution under the corpus's own unigram LM
+    * ([[unigramLogProb]]'s score), the split downstream mixing
+    * policies key on (train mostly-head, audit the tail).
+    *
+    * Scale shape — NO corpus-sized window: a naive per-language
+    * ntile(3) serializes each language's whole corpus through one
+    * task, which is the 100 TB failure mode. Scores are already 4-dp
+    * ROUNDED (the q46 grid), so they are their own histogram bins:
+    * bucket boundaries compute on the tiny (lang, score) bin table
+    * (≤ |langs|·|grid| rows — the only window in the plan), and docs
+    * take their bin's bucket via a broadcast equi-join. Tie semantics,
+    * stated honestly: a score bin never splits across buckets (the
+    * first-doc rule, `1 + floor(3·cum_before/n)`), which is exactly
+    * what a quantized-score pipeline gives you and is engine-exact —
+    * integer counts both sides, and the only division's boundary
+    * cases are exact integer quotients (< 2⁵³, representable). */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    def exploded = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+    val vocab = exploded.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("c"))
+    val total = broadcast(vocab.agg(sum(col("c")).as("t")))
+    val scored = exploded
+      .join(vocab, Seq("tok"))
+      .crossJoin(total)
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(col("c") / col("t"))), 4).as("avg_logprob"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val bins = scored.groupBy(col("lang"), col("avg_logprob"))
+      .agg(count(lit(1)).as("_bn"))
+    val wl = Window.partitionBy(col("lang")).orderBy(col("avg_logprob").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val labeled = bins
+      .withColumn("_cb", coalesce(sum(col("_bn")).over(wl), lit(0L)))
+      .withColumn("_nl", sum(col("_bn")).over(Window.partitionBy(col("lang"))))
+      .withColumn("bucket", element_at(
+        array(lit("head"), lit("middle"), lit("tail")),
+        (floor(col("_cb") * 3 / col("_nl")) + 1).cast("int")))
+      .select(col("lang"), col("avg_logprob"), col("bucket"))
+    scored.join(broadcast(labeled), Seq("lang", "avg_logprob"))
+      .select(col("doc_id"), col("lang"), col("avg_logprob"), col("bucket"))
       .orderBy(col("doc_id"))
   }
 

@@ -33,6 +33,29 @@ class BenchSpec extends AnyFunSuite {
       line)
   }
 
+  test("metricsLine carries the back-to-back control total and only outlier suspects") {
+    val line = Bench.metricsLine(
+      Seq(("q37_dup_clusters", 5.5), ("q01_pricing_summary", 1.0)),
+      6.5, "0.1", 3,
+      control = Some((4.2, Seq(("q37_dup_clusters", 3.0)))))
+    assert(line ==
+      """{"metric":"total","value":6.500,"unit":"sec","sf":0.1,"iters":3,"control":{"value":4.200,"suspects":{"q37":3.000}},"queries":{"q37":5.500,"q01":1.000}}""",
+      line)
+    val noSus = Bench.metricsLine(Seq(("q01_a", 1.0)), 1.0, "0.1", 3,
+      control = Some((1.05, Nil)))
+    assert(noSus.contains(""""control":{"value":1.050},"queries""""), noSus)
+  }
+
+  test("metricsLine holds 120 queries plus control-with-suspects inside the tail budget") {
+    // control costs ~15 chars + ~14 per suspect: 120 queries + 8
+    // suspects still clear the harness tail with headroom over the
+    // ~90 actually registered
+    val many = (1 to 120).map(i => (f"q$i%02d_some_long_descriptive_name", 12.345))
+    val line = Bench.metricsLine(many, 120 * 12.345, "1.0", 3,
+      control = Some((120 * 12.0, many.take(8).map { case (n, _) => (n, 9.876) })))
+    assert(line.length <= 1950, s"${line.length} chars")
+  }
+
   test("metricsLine fails loud on qNN prefix collisions") {
     val e = intercept[IllegalArgumentException] {
       Bench.metricsLine(Seq(("q07_a", 1.0), ("q07_b", 2.0)), 3.0, "0.1", 3)

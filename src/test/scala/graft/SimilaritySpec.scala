@@ -519,6 +519,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(!byId(22L)._3 && byId(22L)._4.isEmpty)
   }
 
+  test("day-2 semantic dedup probes only its own cell and reports both sentinels") {
+    val corpus = Similarity.appendToIvfIndex(plantedSemanticCorpus, axisCentroids)
+    val batch = Seq(
+      (100L, Seq(1.00, 0.010, 0.0, 0.0)), // identical to corpus 10 → dup, cos 1
+      (101L, Seq(0.0, 0.0, 1.0, 0.0)),    // orthogonal to everything → clean
+      (102L, Seq(0.015, 1.00, 0.0, 0.0))  // tight to 20/21 → dup_of min = 20
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedupAgainstIndex(batch, corpus, axisCentroids,
+        threshold = 0.85)
+      .as[(Long, Int, Boolean, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(100L)._3 && out(100L)._4 == 10L && out(100L)._5 == 1.0,
+      s"identical vector must dup onto its twin: ${out(100L)}")
+    assert(out(102L)._3 && out(102L)._4 == 20L, s"${out(102L)}")
+    assert(!out(101L)._3 && out(101L)._4 == -1L && out(101L)._5 == -1.0,
+      s"clean vector carries both sentinels: ${out(101L)}")
+    // corpus rows never verdict (batch-vs-corpus only)
+    assert(out.keySet == Set(100L, 101L, 102L))
+    // oversize guard runs on the INDEX census
+    val e = intercept[Exception] {
+      Similarity.semanticDedupAgainstIndex(batch, corpus, axisCentroids,
+        threshold = 0.85, maxCellSize = 3).collect()
+    }
+    def msg(t: Throwable) = Option(t.getMessage).getOrElse("") +
+      Option(t.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg(e).contains("retrain"), s"wrong error: ${msg(e)}")
+  }
+
   test("semantic dedup: oversized cells fail loudly instead of exploding the pair join") {
     val e = intercept[Exception] {
       Similarity.semanticDedup(plantedSemanticCorpus, axisCentroids,

@@ -182,4 +182,33 @@ class TextAnalysisSpec extends SparkSpecBase {
     // ranks are contiguous and ordered by (pmi desc, a, b)
     assert(out.map(_._1) == (1L to out.length))
   }
+
+  test("perplexity buckets: per-language terciles are score-ordered, bins never split") {
+    val out = TextAnalysis.perplexityBuckets(spark, sfDir)
+      .as[(Long, String, Double, String)].collect().toSeq
+    val n = Tables(spark, sfDir).documents.count()
+    assert(out.size.toLong == n, "every document gets exactly one bucket row")
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.map(_._4).toSet.subsetOf(order.keySet))
+      // ordering invariant: head scores ≥ middle scores ≥ tail scores
+      // (avg_logprob DESC defines quality)
+      for (Seq(hi, lo) <- Seq("head", "middle", "tail").sliding(2)) {
+        val his = rows.filter(_._4 == hi).map(_._3)
+        val los = rows.filter(_._4 == lo).map(_._3)
+        if (his.nonEmpty && los.nonEmpty)
+          assert(his.min >= los.max,
+            s"$lang: $hi min ${his.min} must be >= $lo max ${los.max}")
+      }
+      // bin atomicity: docs sharing (lang, score) share the bucket
+      rows.groupBy(_._3).foreach { case (s, g) =>
+        assert(g.map(_._4).distinct.size == 1, s"$lang score $s split across buckets")
+      }
+      // tercile balance within bin-tie slack: every bucket non-empty
+      // for languages with ≥ 3 distinct scores
+      if (rows.map(_._3).distinct.size >= 3)
+        assert(order.keySet.forall(b => rows.exists(_._4 == b)),
+          s"$lang: some tercile is empty: ${rows.map(_._4).distinct}")
+    }
+  }
 }
