@@ -680,6 +680,22 @@ object EventsStream {
       }
       .start()
 
+  /** D2→C12b bridge — streaming RAW-TEXT embedding ingest: new
+    * documents embed through the deterministic projection
+    * ([[graft.operators.TextEmbed.embedDocuments]] — a map-only
+    * column expression, so it composes into the streaming plan with
+    * no extra state) and extend the IVF corpus table through
+    * [[ivfIngestStream]]'s exact machinery; similarity search sees new
+    * documents within one trigger, no embeddings table anywhere.
+    * Same replay idempotence (indexed-id anti-join) and quantizer
+    * drift caveats as the embedding-stream twin. */
+  def textEmbedIngestStream(docs: DataFrame, cellTable: String,
+                            centroidsPath: String, checkpointDir: String,
+                            numBuckets: Int = 8, dims: Int = graft.operators.TextEmbed.DefaultDims):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    ivfIngestStream(graft.operators.TextEmbed.embedDocuments(docs, dims),
+      cellTable, centroidsPath, checkpointDir, numBuckets)
+
   /** D2→C27b bridge — streaming canonical-VOCABULARY maintenance: each
     * micro-batch of strings resolves through the production day-2
     * kernel ([[graft.operators.FuzzyJoin.appendToVocabulary]] — new

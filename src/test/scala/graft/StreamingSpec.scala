@@ -697,6 +697,49 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C12b: streaming raw-text ingest embeds and indexes; a copied doc is found at cos 1.0") {
+    import graft.operators.{Similarity, TextEmbed}
+    import graft.streaming.EventsStream.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // seed corpus: embed the real documents table, index the first 300
+    val docs = Tables(spark, sfDir).documents
+    val emb = TextEmbed.embedDocuments(docs).filter(col("vec_id") < 300)
+    val (assigned, centroids) = Similarity.buildIvfIndex(emb)
+    graft.sources.Bucketing.writeBucketed(assigned, "stream_text_ivf", Seq("cell"), 8)
+    val centDir = java.nio.file.Files.createTempDirectory("graft_tivf_cent").toString
+    centroids.write.mode("overwrite").parquet(centDir)
+    val before = spark.table("stream_text_ivf").count()
+
+    val mem = MemoryStream[StreamDoc]
+    val cp = java.nio.file.Files.createTempDirectory("graft_tivf_cp").toString
+    val q = EventsStream.textEmbedIngestStream(
+      mem.toDF(), "stream_text_ivf", centDir, cp)
+    try {
+      // stream a verbatim COPY of doc 5's text under a fresh id — its
+      // embedding is identical by determinism, so the donor must see
+      // it at cos 1.0 in its own cell
+      val donorText = docs.filter(col("doc_id") === 5L)
+        .select(col("text")).as[String].head()
+      mem.addData(StreamDoc(9005L, donorText), StreamDoc(9006L, "a fresh unrelated doc"))
+      q.processAllAvailable()
+      def indexCount() = {
+        spark.catalog.refreshTable("stream_text_ivf")
+        spark.table("stream_text_ivf").count()
+      }
+      assert(indexCount() == before + 2)
+      // re-delivery appends nothing
+      mem.addData(StreamDoc(9005L, donorText))
+      q.processAllAvailable()
+      assert(indexCount() == before + 2)
+      val out = Similarity.annIvfSearch(spark.table("stream_text_ivf"), centroids,
+        k = 3, numQueries = 10)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(out.exists(r => r._1 == 5L && r._3 == 9005L && r._4 == 1.0),
+        s"doc 5 must see its streamed text copy at cos 1.0: ${out.filter(_._1 == 5L).toSeq}")
+    } finally q.stop()
+  }
+
   test("D2→C7d: streaming IVFADC ingest extends the composed index exactly once") {
     import graft.operators.Similarity
     implicit val sqlCtx = spark.sqlContext
