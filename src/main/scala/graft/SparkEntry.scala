@@ -134,7 +134,8 @@ object SparkEntry {
     "q96_timedecay_attribution"  -> ((s, d) => Analytics.timeDecayAttributionEvents(s, d)),
     "q97_ingest_gate"            -> ((s, d) => Validation.ingestGateOrders(s, d)),
     "q98_semantic_dedup_probe"   -> ((s, d) => Similarity.semanticDedupProbePortable(s, d)),
-    "q99_perplexity_buckets"     -> ((s, d) => TextAnalysis.perplexityBuckets(s, d))
+    "q99_perplexity_buckets"     -> ((s, d) => TextAnalysis.perplexityBuckets(s, d)),
+    "q100_repetition_signals"    -> ((s, d) => TextAnalysis.repetitionSignals(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -2218,6 +2219,41 @@ object SparkEntry {
         |         FROM lab)
         |SELECT s.doc_id, s.lang, s.avg_logprob, l.bucket
         |FROM sl s JOIN lab2 l ON l.lang = s.lang AND l.avg_logprob = s.avg_logprob
-        |ORDER BY s.doc_id""".stripMargin
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // q100: Gopher repetition signals — every ratio is exact integers
+    // over exact integers (counts, gram lengths, char lengths), the
+    // top-gram tie breaks lexicographically, and the flag compares the
+    // ROUNDED values, so the whole filter replays from raw rows
+    "q100_repetition_signals" ->
+      """WITH d AS (SELECT doc_id, length(trim(text)) AS n_chars,
+        |             regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |           FROM documents),
+        |tok AS (SELECT doc_id, n_chars, unnest(w) AS tok,
+        |          unnest(generate_series(1, len(w))) AS pos FROM d),
+        |ts AS (SELECT doc_id, max(n_chars) AS n_chars, count(*) AS n_tokens,
+        |         count(DISTINCT tok) AS nd FROM tok GROUP BY 1),
+        |bc AS (SELECT t0.doc_id, t0.tok || ' ' || t1.tok AS g, count(*) AS c
+        |       FROM tok t0 JOIN tok t1
+        |         ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+        |       GROUP BY 1, 2),
+        |top AS (SELECT doc_id, c AS topc, g AS top_g FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY c DESC, g ASC) AS rn FROM bc) WHERE rn = 1),
+        |mass AS (SELECT doc_id, sum(c * length(g)) AS tot,
+        |           sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup
+        |         FROM bc GROUP BY 1),
+        |o AS (SELECT ts.doc_id, ts.n_tokens,
+        |  round(CAST(ts.n_tokens - ts.nd AS DOUBLE) / ts.n_tokens, 4) AS dup_token_frac,
+        |  coalesce(top.top_g, '') AS top_bigram,
+        |  round(CAST(coalesce(top.topc * length(top.top_g), 0) AS DOUBLE)
+        |        / greatest(ts.n_chars, 1), 4) AS top2_char_frac,
+        |  round(CAST(coalesce(mass.dup, 0) AS DOUBLE)
+        |        / greatest(coalesce(mass.tot, 0), 1), 4) AS dup2_mass_frac
+        | FROM ts LEFT JOIN top ON top.doc_id = ts.doc_id
+        |         LEFT JOIN mass ON mass.doc_id = ts.doc_id)
+        |SELECT *, (dup_token_frac > 0.80 OR top2_char_frac > 0.20
+        |           OR dup2_mass_frac > 0.60) AS flagged
+        |FROM o ORDER BY doc_id""".stripMargin
   )
 }

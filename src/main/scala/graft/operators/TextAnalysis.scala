@@ -321,6 +321,79 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** `q100_repetition_signals` — Gopher-family within-document
+    * REPETITION filters (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher",
+    * arXiv:2112.11446, Appendix A1.1 — public): the quality-filter
+    * class that catches looping/templated text which per-token LM
+    * scores miss (a doc repeating one plausible phrase scores fine
+    * under C17 but is training poison). Three signals per document,
+    * all integer-ratio arithmetic:
+    *
+    *  - `dup_token_frac` — fraction of tokens that repeat an earlier
+    *    token, (n − distinct)/n;
+    *  - `top2_char_frac` — characters covered by the single most
+    *    frequent bigram (count·len / doc chars), Gopher's
+    *    top-n-gram-char-fraction at n=2; ties break to the
+    *    lexicographically smallest gram;
+    *  - `dup2_mass_frac` — the duplicated-n-gram fraction in the
+    *    frequency-mass formulation: Σ c·len over bigrams with c ≥ 2,
+    *    over Σ c·len for all bigrams (the overlap-free restatement the
+    *    public reimplementations use).
+    *
+    * `flagged` ORs the three thresholds over the ROUNDED values, so
+    * the verdict is engine-reproducible. Scale shape: one
+    * posexplode + lead per doc (the q93 bigram stream), counts keyed
+    * by (doc, gram) — every window and aggregate partitions by
+    * doc_id, nothing corpus-wide. */
+  def repetitionSignals(spark: SparkSession, dir: String,
+                        tokenRepMax: Double = 0.80,
+                        topFracMax: Double = 0.20,
+                        dupMassMax: Double = 0.60): DataFrame =
+    repetitionSignalsDocs(Tables(spark, dir).documents,
+      tokenRepMax, topFracMax, dupMassMax)
+
+  /** [[repetitionSignals]] over an arbitrary (doc_id, text) frame. */
+  def repetitionSignalsDocs(docs: DataFrame,
+                            tokenRepMax: Double = 0.80,
+                            topFracMax: Double = 0.20,
+                            dupMassMax: Double = 0.60): DataFrame = {
+    def tok = docs.select(col("doc_id"),
+      length(trim(col("text"))).as("n_chars"),
+      posexplode(T.tokens(col("text"))).as(Seq("pos", "tok")))
+    val ts = tok.groupBy(col("doc_id"))
+      .agg(max(col("n_chars")).as("n_chars"), count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("_nd"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    def bigrams = tok
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("g"))
+    val bc = bigrams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val wTop = Window.partitionBy(col("doc_id"))
+      .orderBy(col("c").desc, col("g").asc)
+    val top = bc.withColumn("_rn", row_number().over(wTop))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("c").as("_topc"), col("g").as("top_bigram"))
+    val mass = bc.groupBy(col("doc_id")).agg(
+      sum(col("c") * length(col("g"))).as("_tot"),
+      sum(when(col("c") >= 2, col("c") * length(col("g"))).otherwise(0L)).as("_dup"))
+    ts.join(top, Seq("doc_id"), "left").join(mass, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round((col("n_tokens") - col("_nd")).cast("double") / col("n_tokens"), 4)
+          .as("dup_token_frac"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        round(coalesce(col("_topc") * length(col("top_bigram")), lit(0L)).cast("double")
+          / greatest(col("n_chars"), lit(1L)), 4).as("top2_char_frac"),
+        round(coalesce(col("_dup"), lit(0L)).cast("double")
+          / greatest(coalesce(col("_tot"), lit(0L)), lit(1L)), 4).as("dup2_mass_frac"))
+      .withColumn("flagged",
+        col("dup_token_frac") > tokenRepMax ||
+        col("top2_char_frac") > topFracMax ||
+        col("dup2_mass_frac") > dupMassMax)
+      .orderBy(col("doc_id"))
+  }
+
   /** `q94_collocations` — PMI collocation extraction (Church & Hanks
     * 1990, "Word association norms, mutual information, and
     * lexicography" — public literature): the corpus's most-associated

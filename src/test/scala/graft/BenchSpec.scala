@@ -63,10 +63,13 @@ class BenchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("q07"), e.getMessage)
   }
 
-  test("every registered query has a unique well-formed qNN prefix") {
+  test("every registered query has a unique well-formed qNN(N) prefix") {
+    // q01–q99 filled in rounds 1–11; the scheme widens to three digits
+    // from q100 on (split("_").head keys stay unique and compact)
     val names = SparkEntry.queries.keys.toSeq
     val prefixes = names.map(_.split("_").head)
-    assert(names.forall(_.matches("q\\d{2}_\\w+")), names.filterNot(_.matches("q\\d{2}_\\w+")).toString)
+    assert(names.forall(_.matches("q\\d{2,3}_\\w+")),
+      names.filterNot(_.matches("q\\d{2,3}_\\w+")).toString)
     assert(prefixes.distinct.length == prefixes.length,
       prefixes.groupBy(identity).filter(_._2.size > 1).keys.toString)
   }

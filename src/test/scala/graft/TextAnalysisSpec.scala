@@ -183,6 +183,30 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out.map(_._1) == (1L to out.length))
   }
 
+  test("repetition signals: hand-computed fractions, loop flagged, clean doc passes") {
+    val docs = Seq(
+      (1L, "a a a a"),                       // the degenerate loop
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),    // all distinct
+      (3L, "x y x y x y zz")                 // phrase loop with a tail
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignalsDocs(docs)
+      .as[(Long, Long, Double, String, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1: 4 tokens, 1 distinct → dup_token 0.75; bigram "a a" ×3,
+    // chars 7 → top2 = 3·3/7; all bigram mass duplicated → dup2 = 1
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((1L, 4L, 0.75, "a a", r4(9.0 / 7), 1.0, true)), s"${out(1L)}")
+    // doc 2: nothing repeats → every signal 0-ish, unflagged; top
+    // bigram is the lexicographically smallest of the count-1 grams
+    assert(out(2L)._3 == 0.0 && out(2L)._6 == 0.0 && !out(2L)._7, s"${out(2L)}")
+    assert(out(2L)._4 == "w1 w2", s"tie → lexicographic min: ${out(2L)}")
+    // doc 3: 7 tokens, 3 distinct → dup_token 4/7; "x y" ×3 over 14
+    // chars; mass: x y:3·3=9 dup, y x:2·3=6 dup, y zz:1·4=4 single →
+    // tot 19, dup 15
+    assert(out(3L) == ((3L, 7L, r4(4.0 / 7), "x y", r4(9.0 / 14), r4(15.0 / 19), true)),
+      s"${out(3L)}")
+  }
+
   test("perplexity buckets: per-language terciles are score-ordered, bins never split") {
     val out = TextAnalysis.perplexityBuckets(spark, sfDir)
       .as[(Long, String, Double, String)].collect().toSeq
