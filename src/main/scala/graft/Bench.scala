@@ -105,6 +105,16 @@ object Bench {
       }
     val results = runSuite()
     val total = results.collect { case (_, m, _) if m >= 0 => m }.sum
+    // crash-resilience: the harness parses the LAST JSON line of the
+    // stdout tail, and Spark logs ride stderr in the forked run — so
+    // printing the primary-only line NOW means a run killed mid-control
+    // still leaves a parseable artifact; the richer two-run line
+    // supersedes it at the end of a full run
+    val sfEarly = scala.util.Try(sfDir.split("sf").last.toDouble.toString)
+      .getOrElse("\"" + sfDir.takeRight(24) + "\"")
+    println(metricsLine(results.map { case (n, m, _) => (n, m) }, total, sfEarly, iters,
+      builds = annBuilds.toSeq.map { case (n, (t, _)) => (n, t) }.sortBy(_._1)))
+    System.out.flush()
     // back-to-back CONTROL run (round 11, verdict protocol item): a
     // median-of-3 under transient machine load still misleads — r10's
     // primary read q37/q39 at ~1.9× their same-code control. Running
