@@ -110,9 +110,11 @@ object Bench {
     // printing the primary-only line NOW means a run killed mid-control
     // still leaves a parseable artifact; the richer two-run line
     // supersedes it at the end of a full run
-    val sfEarly = scala.util.Try(sfDir.split("sf").last.toDouble.toString)
+    // "/root/testdata/sf0.1" -> bare number 0.1; anything unparseable
+    // stays a (short) quoted string so the line is still valid JSON
+    val sf = scala.util.Try(sfDir.split("sf").last.toDouble.toString)
       .getOrElse("\"" + sfDir.takeRight(24) + "\"")
-    println(metricsLine(results.map { case (n, m, _) => (n, m) }, total, sfEarly, iters,
+    println(metricsLine(results.map { case (n, m, _) => (n, m) }, total, sf, iters,
       builds = annBuilds.toSeq.map { case (n, (t, _)) => (n, t) }.sortBy(_._1)))
     System.out.flush()
     // back-to-back CONTROL run (round 11, verdict protocol item): a
@@ -157,10 +159,6 @@ object Bench {
     results.foreach { case (n, m, f0) =>
       System.err.println(s"[bench] $n median=${fmt(m)} first=${fmt(f0)}")
     }
-    // "/root/testdata/sf0.1" -> bare number 0.1; anything unparseable
-    // stays a (short) quoted string so the line is still valid JSON
-    val sf = scala.util.Try(sfDir.split("sf").last.toDouble.toString)
-      .getOrElse("\"" + sfDir.takeRight(24) + "\"")
     annBuilds.toSeq.sortBy(_._1).foreach { case (n, (t, _)) =>
       System.err.println(s"[bench] $n build=${fmt(t)}")
     }

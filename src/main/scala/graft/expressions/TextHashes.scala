@@ -259,6 +259,13 @@ object Kernels {
     * arithmetic — any engine with md5 reproduces the embedding
     * bit-for-bit. `dims` ≤ 60 (one hash's worth of sign bits). */
   def textEmbedMd5(arr: ArrayData, dims: Int): ArrayData = {
+    // enforced HERE, not only in the Scala entry point: the expression
+    // is a public SQL function, and out-of-range dims would not crash —
+    // 61–64 yield constant components (h has 60 meaningful bits) and
+    // ≥ 65 silently repeats low components via Java's mod-64 shift:
+    // plausible-looking garbage that corrupts downstream verdicts
+    require(dims >= 2 && dims <= 60,
+      s"graft_text_embed dims must lie in [2, 60] (one md5's worth of sign bits), got $dims")
     val md = md5Digest.get()
     val acc = new Array[Long](dims)
     val n = arr.numElements()

@@ -952,7 +952,10 @@ object Similarity {
     require(threshold > -1 && threshold <= 1,
       s"threshold must lie in (-1, 1], got $threshold")
     require(maxCellSize > 0, s"maxCellSize must be positive, got $maxCellSize")
-    val probe = appendToIvfIndex(newEmbeddings, centroids)
+    // MATERIALIZED (the semanticDedup convention): the probe forks into
+    // the match join and the verdict select — lazily its assignment
+    // window would run twice per job
+    val probe = appendToIvfIndex(newEmbeddings, centroids).localCheckpoint()
     val census = assigned.groupBy(col("cell")).agg(count(lit(1)).as("_csz"))
     val corpus = assigned.join(broadcast(census), Seq("cell"))
       .withColumn("cell",
@@ -990,7 +993,9 @@ object Similarity {
     val corpus = emb.filter(col("vec_id") % 5 =!= 4)
     val batch = emb.filter(col("vec_id") % 5 === 4)
     val centroids = formulaCentroids(corpus)
-    val assigned = appendToIvfIndex(corpus, centroids)
+    // materialized: the index frame is scanned twice (census + corpus
+    // side); production reads it from a persisted bucketed table
+    val assigned = appendToIvfIndex(corpus, centroids).localCheckpoint()
     semanticDedupAgainstIndex(batch, assigned, centroids, threshold)
   }
 

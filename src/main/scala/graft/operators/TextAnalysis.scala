@@ -209,9 +209,17 @@ object TextAnalysis {
     * the tail into an OOV bucket (count floor) or top-K the vocab —
     * both are one extra filter/agg on `vocab` here; the exact form is
     * what the oracle checks. */
-  def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    def exploded = t.documents
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame =
+    unigramScores(Tables(spark, dir).documents)
+      .withColumn("ppl", round(exp(-col("avg_logprob")), 4))
+      .orderBy(col("doc_id"))
+
+  /** The q46 scoring core — (doc_id, n_tokens, avg_logprob) under the
+    * corpus's own unigram distribution. ONE definition, consumed by
+    * both [[unigramLogProb]] and [[perplexityBuckets]], so the score
+    * q99 buckets can never drift from the score q46 hash-checks. */
+  private def unigramScores(docs: DataFrame): DataFrame = {
+    def exploded = docs
       .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
     val vocab = exploded.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("c"))
     val total = broadcast(vocab.agg(sum(col("c")).as("t")))
@@ -222,8 +230,6 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_tokens"),
         round(avg(log(col("c") / col("t"))), 4).as("avg_logprob"))
-      .withColumn("ppl", round(exp(-col("avg_logprob")), 4))
-      .orderBy(col("doc_id"))
   }
 
   /** `q99_perplexity_buckets` — CCNet-style per-language perplexity
@@ -248,14 +254,8 @@ object TextAnalysis {
     * cases are exact integer quotients (< 2⁵³, representable). */
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    def exploded = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
-    val vocab = exploded.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("c"))
-    val total = broadcast(vocab.agg(sum(col("c")).as("t")))
-    val scored = exploded
-      .join(vocab, Seq("tok"))
-      .crossJoin(total)
-      .groupBy(col("doc_id"))
-      .agg(round(avg(log(col("c") / col("t"))), 4).as("avg_logprob"))
+    val scored = unigramScores(docs)
+      .select(col("doc_id"), col("avg_logprob"))
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
     val bins = scored.groupBy(col("lang"), col("avg_logprob"))
       .agg(count(lit(1)).as("_bn"))

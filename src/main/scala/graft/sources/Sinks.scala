@@ -209,6 +209,11 @@ object Sinks {
           "deleteRange(vector=ROWS) needs orderBy: a distributed table has no " +
             "intrinsic row order — name the columns that define sheet order")
         val (lo, hi) = (startIndex.getOrElse(0), endIndex.getOrElse(Int.MaxValue))
+        // same loud contract as COLUMNS: a negative start with the
+        // default end would keep NOTHING and fall through to the
+        // partition drop — a caller typo must not wipe a sheet
+        require(lo >= 0 && lo < hi,
+          s"row range [$lo, $hi) must satisfy 0 <= start < end")
         val cur = readRange(spark, path, range)
         val w = org.apache.spark.sql.expressions.Window.orderBy(
           orderBy.map(col(_).asc) :+ xxhash64(struct(cur.columns.map(col): _*)).asc: _*)

@@ -797,14 +797,16 @@ object EventsStream {
         }
         val (np, ns) = graft.operators.Search.buildPostings(fresh, idCol, textCol)
         val nNew = ns.collect()(0).getLong(0)
-        if (nNew > 0) {
+        if (nNew > 0)
           np.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(postingsPath)
-          // stats derive from the just-appended artifact, not from a
-          // prior stats read — the append is the sole commit point, so
-          // a crash before this write merely leaves stats one rebuild
-          // behind (healed here on replay). See docstring.
-          spark.read.parquet(postingsPath)
-            .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        // stats derive from the artifact whenever the trigger carried
+        // ANY docs — NOT only when nNew > 0: a pure replay of a
+        // crashed batch (postings landed, stats write lost) anti-joins
+        // every doc away, so nNew == 0 is exactly the case the heal
+        // exists for. The rebuild reads the postings, never a prior
+        // stats row — the append above is the sole commit point.
+        if (!batch.isEmpty) readOpt(postingsPath).foreach { p =>
+          p.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
             .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(statsPath)
         }

@@ -171,7 +171,7 @@ class PlanSpec extends SparkSpecBase {
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans <= 3, s"only the id-only resurrection branch may scan, got $scans")
     assert(!plan.contains("ReadSchema: struct<doc_id:bigint,text:string"),
-      s"post-checkpoint scans must plan to the id column:\n${plan.take(1500)}")
+      s"post-checkpoint scans must prune to the id column:\n${plan.take(1500)}")
   }
 
   test("explain audit: EVERY registered query plans without a CartesianProduct") {

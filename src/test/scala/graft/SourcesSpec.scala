@@ -537,6 +537,17 @@ class SourcesSpec extends SparkSpecBase {
       Sinks.deleteRange(spark, path, "Sheet2!A1", vector = "COLUMNS",
         startIndex = Some(5), endIndex = Some(9))
     }
+    // a negative ROWS start with the default end would keep NOTHING
+    // and fall through to the partition drop — must refuse, not wipe
+    intercept[IllegalArgumentException] {
+      Sinks.deleteRange(spark, path, "Sheet2!A1", vector = "ROWS",
+        startIndex = Some(-5), orderBy = Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.deleteRange(spark, path, "Sheet2!A1", vector = "ROWS",
+        startIndex = Some(3), endIndex = Some(1), orderBy = Seq("k"))
+    }
+    assert(rows("Sheet2!A1") == Seq(("x", 9L)), "guards must not touch data")
   }
 
   test("E4: range-sorted layout prunes row groups at the scan; unsorted reads everything") {

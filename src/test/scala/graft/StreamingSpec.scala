@@ -597,15 +597,23 @@ class StreamingSpec extends SparkSpecBase {
       val (crashP, _) = Search.buildPostings(
         Seq((3L, "window joins")).toDF("doc_id", "text"))
       crashP.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(postings)
-      // replayed batch: doc 3 re-delivered (anti-joins away), doc 4 new
-      mem.addData(StreamDoc(3, "window joins"), StreamDoc(4, "batch joins fast"))
+      // replay the crashed batch ALONE: every doc anti-joins away
+      // (nNew == 0) — the heal must still rebuild stats from the
+      // artifact, not skip because nothing new appended
+      mem.addData(StreamDoc(3, "window joins"))
       q.processAllAvailable()
-      // stats must equal the from-scratch build over ALL FOUR docs —
-      // including crash-window doc 3 that no stats increment ever saw
-      val all = Seq((1L, "spark window functions"), (2L, "spark batch"),
-        (3L, "window joins"), (4L, "batch joins fast")).toDF("doc_id", "text")
+      def statsRow() = spark.read.parquet(stats).as[(Long, Long)].collect().toSeq
+      val threeDocs = Seq((1L, "spark window functions"), (2L, "spark batch"),
+        (3L, "window joins"))
+      assert(statsRow() == Search.buildPostings(threeDocs.toDF("doc_id", "text"))
+        ._2.as[(Long, Long)].collect().toSeq,
+        s"a pure replay of the crashed batch must heal stats: ${statsRow()}")
+      // and a later batch with a genuinely new doc stays exact too
+      mem.addData(StreamDoc(4, "batch joins fast"))
+      q.processAllAvailable()
+      val all = (threeDocs :+ (4L, "batch joins fast")).toDF("doc_id", "text")
       val (_, bs) = Search.buildPostings(all)
-      val got = spark.read.parquet(stats).as[(Long, Long)].collect().toSeq
+      val got = statsRow()
       val want = bs.as[(Long, Long)].collect().toSeq
       assert(got == want, s"stats must self-heal from the artifact: $got vs $want")
     } finally q.stop()

@@ -72,9 +72,18 @@ class TextEmbedSpec extends SparkSpecBase {
       s"disjoint docs must not look similar: ${cos(e(1L), e(3L))}")
   }
 
-  test("dims outside [2, 60] refuse loudly") {
+  test("dims outside [2, 60] refuse loudly — through the library AND the raw SQL function") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] { TextEmbed.embedDocuments(docs, 1) }
     intercept[IllegalArgumentException] { TextEmbed.embedDocuments(docs, 61) }
+    // the public SQL function must enforce the same bound: dims 61-64
+    // would silently yield constant components (md5 carries 60 bits)
+    // and >= 65 would repeat low components via the mod-64 shift
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_text_embed(array('a','b'), 64)").collect()
+    }
+    def msg(t: Throwable) = Option(t.getMessage).getOrElse("") +
+      Option(t.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg(e).contains("[2, 60]"), s"wrong error: ${msg(e)}")
   }
 }
