@@ -135,7 +135,9 @@ object SparkEntry {
     "q97_ingest_gate"            -> ((s, d) => Validation.ingestGateOrders(s, d)),
     "q98_semantic_dedup_probe"   -> ((s, d) => Similarity.semanticDedupProbePortable(s, d)),
     "q99_perplexity_buckets"     -> ((s, d) => TextAnalysis.perplexityBuckets(s, d)),
-    "q100_repetition_signals"    -> ((s, d) => TextAnalysis.repetitionSignals(s, d))
+    "q100_repetition_signals"    -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
+    "q101_dsir_selection"        -> ((s, d) => Sharding.dsirSelectDocs(s, d)),
+    "q102_line_filter"           -> ((s, d) => TextClean.lineFilterDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -2254,6 +2256,78 @@ object SparkEntry {
         |         LEFT JOIN mass ON mass.doc_id = ts.doc_id)
         |SELECT *, (dup_token_frac > 0.80 OR top2_char_frac > 0.20
         |           OR dup2_mass_frac > 0.60) AS flagged
-        |FROM o ORDER BY doc_id""".stripMargin
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    // q101: DSIR selection — bucket hash, Laplace log-ratio, Gumbel
+    // draw, and the top-k key are all the established md5/ln-parity
+    // conventions (15-hex bucket, 13-hex 52-bit uniform + 0.5 center,
+    // 1e-8 scaled-long quantization, exact integer sums), so the
+    // selected SET, its scores, and its ranking replay exactly
+    "q101_dsir_selection" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source = 'src0' AS t,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tb AS (SELECT doc_id, t,
+        |         CAST(('0x' || substr(md5('dsir:' || tok), 1, 15)) AS BIGINT) % 256 AS b
+        |       FROM tk),
+        |dist AS (SELECT b,
+        |           sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+        |           sum(CASE WHEN t THEN 0 ELSE 1 END) AS cr
+        |         FROM tb GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM dist),
+        |ratio AS (SELECT b,
+        |            CAST(round((ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))
+        |                      - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 256 AS DOUBLE)))
+        |                       * 100000000.0) AS BIGINT) AS lr
+        |          FROM dist CROSS JOIN tot),
+        |w AS (SELECT tb.doc_id, count(*) AS n_tokens, sum(r.lr) AS w
+        |      FROM tb JOIN ratio r USING (b) WHERE NOT tb.t GROUP BY 1),
+        |g AS (SELECT doc_id, n_tokens, w,
+        |        w + CAST(round(-ln(-ln(
+        |              (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':13'), 1, 13)) AS BIGINT)
+        |               + 0.5) / 4503599627370496.0)) * 100000000.0) AS BIGINT) AS s
+        |      FROM w),
+        |r AS (SELECT doc_id, n_tokens,
+        |        CAST(w AS DOUBLE) / 100000000.0 AS logweight,
+        |        CAST(s AS DOUBLE) / 100000000.0 AS score,
+        |        row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+        |      FROM g)
+        |SELECT * FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
+    // q102: C4/RefinedWeb line rules — the oracle rebuilds the planted
+    // six-line page and re-derives every verdict (terminal punct, word
+    // count, phrase list, exact-integer uppercase ratio); clean_text
+    // reassembles in line order, coalesced to '' when nothing survives
+    // (the Spark array_join convention)
+    "q102_line_filter" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || '.' || chr(10) ||
+        |    'Please enable JavaScript and cookies to continue viewing.' || chr(10) ||
+        |    'continue reading more about' || chr(10) ||
+        |    'Copyright 2024 Example Corp id ' || CAST(doc_id AS VARCHAR) || '.' || chr(10) ||
+        |    'BREAKING NEWS ALERT READ THIS NOW!' || chr(10) ||
+        |    'Click here.' AS text
+        |  FROM documents),
+        |arr AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM p),
+        |ln AS (SELECT doc_id, trim(unnest(ls)) AS l,
+        |         unnest(generate_series(1, len(ls))) AS pos
+        |       FROM arr),
+        |nb AS (SELECT doc_id, l, pos,
+        |         (regexp_matches(l, '[.!?"]$')
+        |          AND len(string_split_regex(l, '\s+')) >= 3
+        |          AND NOT (contains(lower(l), 'javascript')
+        |                OR contains(lower(l), 'cookie')
+        |                OR contains(lower(l), 'all rights reserved')
+        |                OR contains(lower(l), 'copyright')
+        |                OR contains(lower(l), '©'))
+        |          AND length(regexp_replace(l, '[^A-Z]', '', 'g')) * 100
+        |              <= length(l) * 40) AS keep
+        |       FROM ln WHERE l <> '')
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(l, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS clean_text
+        |FROM nb GROUP BY 1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -316,4 +316,103 @@ object Sharding {
       .select(col("doc_id"), col("shard"), col("chunk"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  // ---- DSIR data selection (importance resampling) -------------------
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169 — public): pick the `k` documents from a big RAW
+    * pool whose hashed-n-gram profile best matches a small TARGET
+    * corpus, the distribution-matching upgrade of threshold quality
+    * filters (C17's LM scores rank by fluency; DSIR ranks by
+    * target-domain likeness, which is what "give me more data like my
+    * curated set" actually asks for).
+    *
+    * The estimator is the paper's: token features hash into `buckets`
+    * bins (the hashing trick — md5-derived so any engine replays it);
+    * target and raw bucket distributions are Laplace-smoothed counts;
+    * a document's log importance weight is Σ over its tokens of
+    * log p̂_target(b) − log p̂_raw(b); selection is Gumbel-top-k over
+    * the log weights (Gumbel noise + top-k ≡ sampling WITHOUT
+    * replacement proportional to the importance weights — the paper's
+    * resampling step, made retry-stable here by drawing the Gumbel
+    * from a seeded md5 of the id, not an RNG).
+    *
+    * Exactness convention (the q93 ln-parity idiom): per-bucket log
+    * ratios quantize to the 1e-8 grid and carry as exact longs, the
+    * per-doc sum is an integer sum (merge-order-independent), and the
+    * Gumbel term is itself a quantized long off a 52-bit exact uniform
+    * — so the selected SET and its ranking replay bit-for-bit in any
+    * engine with md5/ln, and the driver hash-checks all of it.
+    *
+    * Scale shape: the token stream is a map-side explode off the scan,
+    * re-derived per pass rather than materialized (the q46 call — a
+    * projection re-run is cheaper than persisting the token blowup at
+    * 100 TB); the bucket-distribution table is ≤ `buckets` rows and
+    * broadcast-joined back onto the token stream; per-doc weights are
+    * one doc-keyed aggregation; the final top-k is a TakeOrdered, not
+    * a corpus-wide sort. Nothing shuffles more than once and nothing
+    * corpus-sized ever sits in one task.
+    *
+    * Returns the selected rows: (idCol, n_tokens, logweight, score,
+    * rank) — logweight is the importance estimate itself (useful
+    * beyond selection, e.g. as a mixing weight), score = logweight +
+    * gumbel is the resampling key, rank ∈ [1, k].
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, k: Int, buckets: Int = 256,
+                 seed: Long = 13L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must lie in [2, 2^20], got $buckets")
+    val SCALE = 100000000.0 // the shared 1e-8 quantization grid
+    def toks = docs.select(
+      col(idCol), isTarget.as("_t"),
+      explode(graft.functions.text.tokens(col(textCol))).as("tok"))
+      .withColumn("_b",
+        pmod(conv(substring(md5(concat(lit("dsir:"), col("tok"))), 1, 15), 16, 10)
+          .cast("long"), lit(buckets.toLong)))
+    val dist = toks.groupBy(col("_b")).agg(
+      sum(when(col("_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("_t"), 0L).otherwise(1L)).as("cr"))
+    val tot = broadcast(dist.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr")))
+    // log p̂_t(b) − log p̂_r(b), Laplace-smoothed, quantized to exact longs.
+    // All divisions are exact-integer-over-exact-integer doubles, so both
+    // engines feed ln the same bits; the 1e-8 rounding absorbs ln ulps.
+    val ratio = dist.crossJoin(tot).select(
+      col("_b"),
+      round((log((col("ct") + 1).cast("double") / (col("tt") + buckets).cast("double"))
+           - log((col("cr") + 1).cast("double") / (col("tr") + buckets).cast("double")))
+        * SCALE).cast("long").as("_lr"))
+    // 52-bit exact uniform, centered off zero so ln(ln) never sees 0/1.
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"), lit(s":$seed"))), 1, 13), 16, 10)
+      .cast("bigint").cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    val scored = toks.filter(!col("_t"))
+      .join(broadcast(ratio), Seq("_b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_lr")).as("_w"))
+      .withColumn("_g", round(-log(-log(u)) * SCALE).cast("long"))
+      .withColumn("_s", col("_w") + col("_g"))
+    scored
+      .orderBy(col("_s").desc, col(idCol))
+      .limit(k)
+      .select(
+        col(idCol), col("n_tokens"),
+        (col("_w").cast("double") / SCALE).as("logweight"),
+        (col("_s").cast("double") / SCALE).as("score"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("_s").desc, col(idCol))).cast("long").as("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /** `q101_dsir_selection` — [[dsirSelect]] over the documents table:
+    * src0 plays the curated target corpus, the other 19 sources the
+    * raw pool; pick the 100 pool documents whose hashed-unigram
+    * profile is most src0-like (Gumbel-top-k, seed 13, 256 buckets).
+    * The window in the final ranking is over k rows (post-limit), not
+    * the corpus. */
+  def dsirSelectDocs(spark: SparkSession, dir: String,
+                     targetSource: String = "src0", k: Int = 100): DataFrame =
+    dsirSelect(Tables(spark, dir).documents, "doc_id", "text",
+      col("source") === targetSource, k)
 }

@@ -119,4 +119,94 @@ object TextClean {
       .select(col("doc_id"), col("n_tags"), col("clean_text"), col("clean_chars"))
       .orderBy(col("doc_id"))
   }
+
+  // ---- line-level rule filtering (C4/RefinedWeb) ---------------------
+
+  /** Boilerplate phrases whose presence (case-insensitive) drops a
+    * line — the C4 policy list (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", arXiv:1910.10683 §2.2 — public; "javascript" /
+    * cookie-notice / rights-reserved lines are the published
+    * examples). Shared constant: the oracle SQL interpolates the SAME
+    * strings. */
+  val lineBadPhrases: Seq[String] =
+    Seq("javascript", "cookie", "all rights reserved", "copyright", "©")
+
+  /** WITHIN-document line filtering — the C4 page-cleaning stage, the
+    * rule-based sibling of [[graft.operators.Dedup.dropRepeatedParagraphs]]
+    * (that rule needs a corpus census; these need only the line itself,
+    * so they run first and for free). A line survives iff ALL of:
+    *
+    *  - ends in terminal punctuation (`.` `!` `?` `"`) — C4's
+    *    retained-lines rule;
+    *  - has at least `minWords` whitespace words — C4's short-line
+    *    rule;
+    *  - contains no [[lineBadPhrases]] member (case-insensitive);
+    *  - uppercase chars ≤ `maxUpperPct`% of line chars — the
+    *    RefinedWeb-family shouting/navigation heuristic (Penedo et
+    *    al. 2023, arXiv:2306.01116 — public), compared as EXACT
+    *    integers (`100·upper ≤ pct·chars`), so the verdict has no
+    *    float boundary.
+    *
+    * Scale shape: there is NO explode — lines live inside a
+    * `split`/`filter`/`array_join` higher-order chain, so the whole
+    * operator is one codegen'd projection per row (map-only, zero
+    * shuffles, streams at scan speed, trivially valid under
+    * Structured Streaming because it is stateless). Documents whose
+    * every line drops survive with empty text (the caller's mixing
+    * policy decides; same contract as paragraph dedup).
+    *
+    * Returns (…, n_lines, n_kept, clean_text): counts of non-blank
+    * lines before/after, and the surviving lines rejoined in original
+    * order. */
+  def lineFilter(df: DataFrame, textCol: String,
+                 minWords: Int = 3, maxUpperPct: Int = 40): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    require(maxUpperPct >= 0 && maxUpperPct <= 100,
+      s"maxUpperPct must lie in [0,100], got $maxUpperPct")
+    def keeps(l: Column): Column = {
+      val t = trim(l)
+      val lower_t = lower(t)
+      val badHit = lineBadPhrases
+        .map(p => lower_t.contains(lit(p)))
+        .reduce(_ || _)
+      val nUpper = length(regexp_replace(t, "[^A-Z]", ""))
+      t.rlike("[.!?\"]$") &&
+        (size(split(t, "\\s+")) >= minWords) &&
+        !badHit &&
+        (nUpper * 100 <= length(t) * maxUpperPct)
+    }
+    val lines = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
+    val kept = filter(lines, keeps(_))
+    df.withColumn("_lines", lines)
+      .withColumn("_kept", kept)
+      .withColumn("n_lines", size(col("_lines")).cast("long"))
+      .withColumn("n_kept", size(col("_kept")).cast("long"))
+      .withColumn("clean_text", array_join(transform(col("_kept"), trim(_)), "\n"))
+      .drop("_lines", "_kept")
+  }
+
+  /** `q102_line_filter` — the documents table is single-line word
+    * salad, so the entry PLANTS a six-line page per row exercising
+    * every rule: a kept content line (the doc's own text, terminated),
+    * a javascript/cookie notice, a dangling un-terminated fragment, a
+    * copyright footer, an all-caps shout, and a too-short line. The
+    * oracle rebuilds the same page and re-derives the verdicts, so
+    * every rule is hash-checked, not just exercised. */
+  def lineFilterDocs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+    val planted = docs.select(
+      col("doc_id"),
+      concat_ws("\n",
+        concat(col("text"), lit(".")),
+        lit("Please enable JavaScript and cookies to continue viewing."),
+        lit("continue reading more about"),
+        concat(lit("Copyright 2024 Example Corp id "), col("doc_id").cast("string"), lit(".")),
+        lit("BREAKING NEWS ALERT READ THIS NOW!"),
+        lit("Click here.")
+      ).as("text"))
+    lineFilter(planted, "text")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -232,4 +232,49 @@ class ShardingSpec extends SparkSpecBase {
     assert(out.toSeq == Seq(0L, 0L, 1L, 1L),
       s"duplicate-id rows must pack row-by-row, got chunks ${out.toSeq}")
   }
+
+  test("dsirSelect ranks target-like pool docs first (planted vocabularies)") {
+    // Target corpus speaks vocabulary A; the pool has 30 docs in
+    // vocabulary A (target-like) and 30 in vocabulary B (off-domain).
+    // With 256 buckets and disjoint vocabularies, every A-token's
+    // bucket has high target mass and every B-token's only raw mass,
+    // so each A-doc's log-weight sits ~tokens·log-ratio above every
+    // B-doc's — far beyond the O(1) Gumbel noise. DSIR must select
+    // exactly the A-pool under k = 30.
+    val vocabA = Seq("alpha", "bravo", "charlie", "delta", "echo")
+    val vocabB = Seq("zulu", "yankee", "xray", "whiskey", "victor")
+    def doc(id: Long, v: Seq[String], t: Boolean) =
+      (id, Seq.tabulate(40)(i => v(i % v.size)).mkString(" "), t)
+    val docs = (
+      (1L to 10L).map(doc(_, vocabA, true)) ++        // target
+      (101L to 130L).map(doc(_, vocabA, false)) ++    // target-like pool
+      (201L to 230L).map(doc(_, vocabB, false))       // off-domain pool
+    ).toDF("id", "text", "is_t")
+    val sel = Sharding.dsirSelect(docs, "id", "text", col("is_t"), k = 30)
+    val rows = sel.collect()
+    assert(rows.length == 30)
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(ids == (101L to 130L).toSet,
+      s"selection must be exactly the target-like pool, got $ids")
+    // ranks are a 1..k permutation ordered by the score key
+    assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 30L),
+      "rank must be a dense 1..k")
+    val scores = sel.orderBy(col("rank")).select(col("score")).as[Double].collect()
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores must be non-increasing in rank")
+    // target docs never appear in the selection even when k exceeds the pool
+    val all = Sharding.dsirSelect(docs, "id", "text", col("is_t"), k = 1000)
+    assert(all.count() == 60, "selection draws from the raw pool only")
+    // retry-stability: the same inputs reproduce the identical ranking
+    val again = Sharding.dsirSelect(docs, "id", "text", col("is_t"), k = 30)
+      .orderBy(col("rank")).select(col("id")).as[Long].collect().toSeq
+    assert(again == sel.orderBy(col("rank")).select(col("id")).as[Long].collect().toSeq)
+    // guards
+    intercept[IllegalArgumentException] {
+      Sharding.dsirSelect(docs, "id", "text", col("is_t"), k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sharding.dsirSelect(docs, "id", "text", col("is_t"), k = 5, buckets = 1)
+    }
+  }
 }

@@ -81,4 +81,49 @@ class TextCleanSpec extends SparkSpecBase {
       !col("clean_text").contains("<end>")).count() == 0L,
       "only the entity-encoded bracket content survives")
   }
+
+  test("lineFilter applies each C4/RefinedWeb rule independently, map-only") {
+    import spark.implicits._
+    val page = Seq(
+      "This line is real content and it survives the filter.", // kept
+      "Short one.",                                 // < 3 words
+      "no terminal punctuation on this line",       // punct rule
+      "Please enable JavaScript to continue here.", // phrase (case-insensitive)
+      "We use cookies on this site, accept now.",   // phrase inside a word run
+      "THIS ENTIRE LINE IS SHOUTING AT YOU NOW!",   // uppercase ratio
+      "   ",                                        // blank: not a line at all
+      "A second honest sentence also makes it through?" // kept ('?' terminal)
+    ).mkString("\n")
+    val out = TextClean.lineFilter(Seq((1L, page)).toDF("id", "text"), "text")
+    val row = out.select("n_lines", "n_kept", "clean_text").head()
+    assert(row.getLong(0) == 7L, "blank lines never count")
+    assert(row.getLong(1) == 2L, s"exactly the two content lines survive: ${row.getString(2)}")
+    assert(row.getString(2) ==
+      "This line is real content and it survives the filter.\n" +
+      "A second honest sentence also makes it through?")
+
+    // boundary: uppercase ratio compares as exact integers (≤, not <)
+    val edge = "AAAA ab cd." // 4 upper of 11 chars → 400 ≤ 440 keeps at 40%
+    assert(TextClean.lineFilter(Seq((1L, edge)).toDF("id", "text"), "text")
+      .head().getAs[Long]("n_kept") == 1L)
+    val over = "AAAAA b cd." // 5 of 11 → 500 > 440 drops
+    assert(TextClean.lineFilter(Seq((1L, over)).toDF("id", "text"), "text")
+      .head().getAs[Long]("n_kept") == 0L)
+
+    // all-boilerplate pages survive with empty text, not a lost row
+    val gone = TextClean.lineFilter(Seq((1L, "Click here.")).toDF("id", "text"), "text")
+    assert(gone.count() == 1L && gone.head().getAs[String]("clean_text") == "")
+
+    // stateless scale shape: a single projection, no Exchange anywhere
+    val plan = TextClean.lineFilter(
+      Tables(spark, sfDir).documents, "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"line filter must not shuffle:\n${plan.take(600)}")
+
+    intercept[IllegalArgumentException] {
+      TextClean.lineFilter(Seq((1L, "x")).toDF("id", "text"), "text", minWords = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextClean.lineFilter(Seq((1L, "x")).toDF("id", "text"), "text", maxUpperPct = 101)
+    }
+  }
 }
