@@ -363,46 +363,115 @@ object Sharding {
                  isTarget: Column, k: Int, buckets: Int = 256,
                  seed: Long = 13L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(buckets >= 2 && buckets <= (1 << 20),
-      s"buckets must lie in [2, 2^20], got $buckets")
-    val SCALE = 100000000.0 // the shared 1e-8 quantization grid
-    def toks = docs.select(
-      col(idCol), isTarget.as("_t"),
-      explode(graft.functions.text.tokens(col(textCol))).as("tok"))
-      .withColumn("_b",
-        pmod(conv(substring(md5(concat(lit("dsir:"), col("tok"))), 1, 15), 16, 10)
-          .cast("long"), lit(buckets.toLong)))
-    val dist = toks.groupBy(col("_b")).agg(
-      sum(when(col("_t"), 1L).otherwise(0L)).as("ct"),
-      sum(when(col("_t"), 0L).otherwise(1L)).as("cr"))
-    val tot = broadcast(dist.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr")))
-    // log p̂_t(b) − log p̂_r(b), Laplace-smoothed, quantized to exact longs.
-    // All divisions are exact-integer-over-exact-integer doubles, so both
-    // engines feed ln the same bits; the 1e-8 rounding absorbs ln ulps.
-    val ratio = dist.crossJoin(tot).select(
-      col("_b"),
-      round((log((col("ct") + 1).cast("double") / (col("tt") + buckets).cast("double"))
-           - log((col("cr") + 1).cast("double") / (col("tr") + buckets).cast("double")))
-        * SCALE).cast("long").as("_lr"))
+    val model = dsirFit(docs, textCol, isTarget, buckets)
+    val scored = dsirWeigh(docs.filter(!isTarget), idCol, textCol, model, buckets)
     // 52-bit exact uniform, centered off zero so ln(ln) never sees 0/1.
     val u = (conv(substring(md5(concat(col(idCol).cast("string"), lit(s":$seed"))), 1, 13), 16, 10)
       .cast("bigint").cast("double") + lit(0.5)) / lit(4503599627370496.0)
-    val scored = toks.filter(!col("_t"))
-      .join(broadcast(ratio), Seq("_b"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("_lr")).as("_w"))
-      .withColumn("_g", round(-log(-log(u)) * SCALE).cast("long"))
-      .withColumn("_s", col("_w") + col("_g"))
     scored
+      .withColumn("_g", round(-log(-log(u)) * DsirScale).cast("long"))
+      .withColumn("_s", col("_w") + col("_g"))
       .orderBy(col("_s").desc, col(idCol))
       .limit(k)
       .select(
         col(idCol), col("n_tokens"),
-        (col("_w").cast("double") / SCALE).as("logweight"),
-        (col("_s").cast("double") / SCALE).as("score"),
+        (col("_w").cast("double") / DsirScale).as("logweight"),
+        (col("_s").cast("double") / DsirScale).as("score"),
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("_s").desc, col(idCol))).cast("long").as("rank"))
       .orderBy(col("rank"))
+  }
+
+  /** The shared 1e-8 quantization grid (the q93 ln-parity convention). */
+  private val DsirScale = 100000000.0
+
+  /** Feature bucket of a token: md5("dsir:"+tok) mod `buckets` — the
+    * hashing-trick feature map, md5-derived so any engine replays it. */
+  private def dsirBucket(tok: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(concat(lit("dsir:"), tok)), 1, 15), 16, 10)
+      .cast("long"), lit(buckets.toLong))
+
+  /** The doc → (bucketed token stream) fan-out shared by fit and
+    * scoring — one tokenization convention for both, or day-2 weights
+    * silently drift from the fit. */
+  private def dsirToks(docs: DataFrame, textCol: String, buckets: Int): DataFrame =
+    docs.withColumn("tok", explode(graft.functions.text.tokens(col(textCol))))
+      .withColumn("_b", dsirBucket(col("tok"), buckets))
+      .drop("tok")
+
+  /** FIT the DSIR importance model: the per-bucket quantized log ratio
+    * log p̂_target(b) − log p̂_raw(b), Laplace-smoothed. This table IS
+    * the model — `buckets` rows of (bucket, scaled-long ratio), a tiny
+    * persistable artifact (parquet it next to the corpus the way the
+    * IVF centroid and postings artifacts persist), fit ONCE from the
+    * target/raw pools and then applied to any number of later shards
+    * or ingest days without touching the fit corpora again.
+    *
+    * The model is DENSE: every bucket in [0, buckets) has a row, with
+    * never-observed buckets carrying the pure-Laplace ratio
+    * ln((tr+m)/(tt+m)) — so day-2 documents whose tokens hash to
+    * buckets the fit corpora never produced still score (an inner join
+    * against a sparse table would silently DROP those tokens, skewing
+    * weights toward zero exactly on the most out-of-distribution
+    * text — the documents selection most needs to rank).
+    *
+    * All divisions are exact-integer-over-exact-integer doubles, so
+    * both engines feed ln the same bits; the 1e-8 rounding absorbs ln
+    * ulps (the q93 convention). */
+  def dsirFit(docs: DataFrame, textCol: String, isTarget: Column,
+              buckets: Int = 256): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must lie in [2, 2^20], got $buckets")
+    val spark = docs.sparkSession
+    val dist = dsirToks(docs.withColumn("_t", isTarget), textCol, buckets)
+      .groupBy(col("_b")).agg(
+        sum(when(col("_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("_t"), 0L).otherwise(1L)).as("cr"))
+    val dense = spark.range(buckets).select(col("id").as("_b"))
+      .join(dist, Seq("_b"), "left")
+      .select(col("_b"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val tot = broadcast(dense.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr")))
+    dense.crossJoin(tot).select(
+      col("_b").as("bucket"),
+      round((log((col("ct") + 1).cast("double") / (col("tt") + buckets).cast("double"))
+           - log((col("cr") + 1).cast("double") / (col("tr") + buckets).cast("double")))
+        * DsirScale).cast("long").as("log_ratio_e8"))
+  }
+
+  /** Internal scorer: (idCol, n_tokens, _w) with `_w` the scaled-long
+    * log weight — kept on the integer grid so [[dsirSelect]] can add
+    * the Gumbel term exactly. */
+  private def dsirWeigh(docs: DataFrame, idCol: String, textCol: String,
+                        model: DataFrame, buckets: Int): DataFrame =
+    dsirToks(docs.select(col(idCol), col(textCol)), textCol, buckets)
+      .join(broadcast(model.select(col("bucket").as("_b"), col("log_ratio_e8"))),
+        Seq("_b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("log_ratio_e8")).as("_w"))
+
+  /** DAY-2 scoring — apply a persisted [[dsirFit]] model to NEW
+    * documents (the next crawl shard, the next ingest day) with ZERO
+    * fit-corpus work: the model broadcast-joins onto the new batch's
+    * token stream, so the plan is one map-side explode + one doc-keyed
+    * aggregation regardless of how big the original fit corpora were.
+    * `buckets` is read off the model itself (it is dense by
+    * construction), so a fit/score bucket-count mismatch cannot happen
+    * silently.
+    *
+    * Returns (idCol, n_tokens, logweight) — rank, threshold, or
+    * Gumbel-sample downstream; the weights land on the same 1e-8 grid
+    * as the fit-time pipeline, so day-2 scores are exactly comparable
+    * with day-1 scores (spec-pinned). */
+  def dsirScoreAgainstModel(newDocs: DataFrame, model: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
+    val buckets = model.count().toInt
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"model must be a dense bucket table with [2, 2^20] rows, got $buckets")
+    dsirWeigh(newDocs, idCol, textCol, model, buckets)
+      .select(col(idCol), col("n_tokens"),
+        (col("_w").cast("double") / DsirScale).as("logweight"))
   }
 
   /** `q101_dsir_selection` — [[dsirSelect]] over the documents table:

@@ -277,4 +277,54 @@ class ShardingSpec extends SparkSpecBase {
       Sharding.dsirSelect(docs, "id", "text", col("is_t"), k = 5, buckets = 1)
     }
   }
+
+  test("dsirFit persists as a dense model and day-2 scoring matches fit-time weights") {
+    import spark.implicits._
+    val vocabA = Seq("alpha", "bravo", "charlie", "delta", "echo")
+    val vocabB = Seq("zulu", "yankee", "xray", "whiskey", "victor")
+    def doc(id: Long, v: Seq[String], t: Boolean) =
+      (id, Seq.tabulate(40)(i => v(i % v.size)).mkString(" "), t)
+    val docs = (
+      (1L to 10L).map(doc(_, vocabA, true)) ++
+      (101L to 110L).map(doc(_, vocabA, false)) ++
+      (201L to 210L).map(doc(_, vocabB, false))
+    ).toDF("id", "text", "is_t")
+
+    // the model is DENSE: every bucket exists exactly once
+    val model = Sharding.dsirFit(docs, "text", col("is_t"), buckets = 64)
+    val bs = model.select("bucket").as[Long].collect().sorted
+    assert(bs.toSeq == (0L until 64L), "fit must emit one row per bucket")
+
+    // parquet round-trip: the persisted artifact scores identically
+    val path = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    model.write.mode("overwrite").parquet(path)
+    val loaded = spark.read.parquet(path)
+    val pool = docs.filter(!col("is_t")).select("id", "text")
+    val w1 = Sharding.dsirScoreAgainstModel(pool, model, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val w2 = Sharding.dsirScoreAgainstModel(pool, loaded, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(w1 == w2, "persisted model must reproduce fit-time weights exactly")
+    // target-like pool docs outrank off-domain ones under the model too
+    val wm = w1.toMap
+    assert((101L to 110L).map(wm).min > (201L to 210L).map(wm).max,
+      "A-pool weights must dominate B-pool weights")
+
+    // DAY-2 docs with vocabulary the fit never saw: every token still
+    // scores through the dense Laplace fallback — none silently drop
+    val novel = Seq((301L, "quux corge grault garply waldo fred plugh")).toDF("id", "text")
+    val nv = Sharding.dsirScoreAgainstModel(novel, model, "id", "text").head()
+    assert(nv.getLong(1) == 7L, "all 7 unseen tokens must be counted, not dropped")
+
+    // day-2 probe never touches the fit corpora: the plan reads only
+    // the new batch (broadcast model), no fit-side scan or shuffle of it
+    val plan = Sharding.dsirScoreAgainstModel(novel, loaded, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"model must ride a broadcast, not a shuffle join:\n${plan.take(800)}")
+
+    intercept[IllegalArgumentException] {
+      Sharding.dsirScoreAgainstModel(novel, model.limit(1), "id", "text")
+    }
+  }
 }
