@@ -137,7 +137,8 @@ object SparkEntry {
     "q99_perplexity_buckets"     -> ((s, d) => TextAnalysis.perplexityBuckets(s, d)),
     "q100_repetition_signals"    -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
     "q101_dsir_selection"        -> ((s, d) => Sharding.dsirSelectDocs(s, d)),
-    "q102_line_filter"           -> ((s, d) => TextClean.lineFilterDocs(s, d))
+    "q102_line_filter"           -> ((s, d) => TextClean.lineFilterDocs(s, d)),
+    "q103_gopher_filters"        -> ((s, d) => TextAnalysis.gopherFiltersDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -2328,6 +2329,55 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_lines,
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  coalesce(string_agg(l, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS clean_text
-        |FROM nb GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |FROM nb GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // q103: Gopher page filters — every signal is exact integers over
+    // exact integers (token/line counts, char lengths, distinct
+    // stopwords), ratios round on the 4-dp grid and the verdict ANDs
+    // the ROUNDED values (the q100 convention)
+    "q103_gopher_filters" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10), text, '- first bullet item',
+        |      CASE WHEN doc_id % 2 = 0
+        |        THEN '- second bullet item' || chr(10) || '- third bullet item' END,
+        |      CASE WHEN doc_id % 3 = 0
+        |        THEN 'the story continues next week...' END) AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM p),
+        |ts AS (SELECT doc_id, count(*) AS n, sum(length(w)) AS sl,
+        |         sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS aw
+        |       FROM tok GROUP BY 1),
+        |sh AS (SELECT doc_id, count(DISTINCT lower(w)) AS stop_hits FROM tok
+        |       WHERE lower(w) IN ('the','be','to','of','and','that','have','with')
+        |       GROUP BY 1),
+        |sy AS (SELECT doc_id,
+        |         len(regexp_extract_all(trim(text), '#'))
+        |         + len(regexp_extract_all(trim(text), '\.\.\.'))
+        |         + len(regexp_extract_all(trim(text), '…')) AS sym
+        |       FROM p),
+        |ln AS (SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS l FROM p),
+        |ls AS (SELECT doc_id, count(*) AS nl,
+        |         sum(CASE WHEN regexp_matches(l, '^[-*•]') THEN 1 ELSE 0 END) AS bl,
+        |         sum(CASE WHEN regexp_matches(l, '(\.\.\.|…)$') THEN 1 ELSE 0 END) AS el
+        |       FROM ln WHERE l <> '' GROUP BY 1),
+        |o AS (SELECT ts.doc_id, ts.n AS n_tokens,
+        |        round(CAST(ts.sl AS DOUBLE) / ts.n, 4) AS mean_word_len,
+        |        round(CAST(sy.sym AS DOUBLE) / ts.n, 4) AS symbol_ratio,
+        |        round(CAST(coalesce(ls.bl, 0) AS DOUBLE) / greatest(coalesce(ls.nl, 0), 1), 4) AS bullet_frac,
+        |        round(CAST(coalesce(ls.el, 0) AS DOUBLE) / greatest(coalesce(ls.nl, 0), 1), 4) AS ellipsis_frac,
+        |        round(CAST(ts.aw AS DOUBLE) / ts.n, 4) AS alpha_frac,
+        |        CAST(coalesce(sh.stop_hits, 0) AS BIGINT) AS stop_hits
+        |      FROM ts JOIN sy ON sy.doc_id = ts.doc_id
+        |        LEFT JOIN ls ON ls.doc_id = ts.doc_id
+        |        LEFT JOIN sh ON sh.doc_id = ts.doc_id)
+        |SELECT *, (n_tokens BETWEEN 20 AND 100000
+        |           AND mean_word_len BETWEEN 3.0 AND 10.0
+        |           AND symbol_ratio <= 0.10
+        |           AND bullet_frac <= 0.50
+        |           AND ellipsis_frac <= 0.30
+        |           AND alpha_frac >= 0.80
+        |           AND stop_hits >= 2) AS pass
+        |FROM o ORDER BY doc_id""".stripMargin
   )
 }

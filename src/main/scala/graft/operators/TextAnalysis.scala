@@ -490,4 +490,109 @@ object TextAnalysis {
         T.normalizeText(col("text")).substr(lit(1), lit(32)).as("norm_prefix"))
       .orderBy(col("doc_id"))
   }
+
+  // ---- Gopher document-level rule filters ----------------------------
+
+  /** Gopher's stop-word presence list (Rae et al. 2021, arXiv:2112.11446
+    * Appendix A1.1 — public): a page must contain at least `minStopHits`
+    * DISTINCT members to pass. Shared constant — the oracle SQL
+    * interpolates the SAME strings. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-family DOCUMENT-level rule filters (Rae et al. 2021,
+    * arXiv:2112.11446 Appendix A1.1 — public) — the page-structure
+    * quality class that completes the trio: [[qualityScoreDocs]] scores
+    * composition, [[repetitionSignalsDocs]] catches looping text, and
+    * these catch pages that are structurally not prose (symbol spam,
+    * bullet-list dumps, word fragments, no function words). Signals,
+    * all exact-integer or exact-ratio arithmetic:
+    *
+    *  - `n_tokens` within [minTokens, maxTokens] (Gopher's word-count
+    *    window);
+    *  - `mean_word_len` within [minMeanLen, maxMeanLen] chars;
+    *  - `symbol_ratio` — `#` and ellipsis occurrences per word,
+    *    ≤ maxSymbolRatio;
+    *  - `bullet_frac` / `ellipsis_frac` — fraction of non-blank lines
+    *    starting with a bullet (`-` `*` `•`) / ending in an ellipsis,
+    *    ≤ their maxima;
+    *  - `alpha_frac` — fraction of words containing ≥1 alphabetic
+    *    char, ≥ minAlphaFrac;
+    *  - `stop_hits` — DISTINCT [[gopherStopwords]] present,
+    *    ≥ minStopHits.
+    *
+    * `pass` ANDs the rules over the ROUNDED values (the q100
+    * convention — the verdict is engine-reproducible). Scale shape:
+    * like [[graft.operators.TextClean.lineFilter]] there is NO explode
+    * — tokens and lines live inside higher-order `filter`/`aggregate`
+    * chains, so the whole operator is one codegen'd map-only
+    * projection (stateless, streams at scan speed). */
+  def gopherFilters(docs: DataFrame,
+                    minTokens: Long = 20, maxTokens: Long = 100000,
+                    minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                    maxSymbolRatio: Double = 0.10,
+                    maxBulletFrac: Double = 0.50,
+                    maxEllipsisFrac: Double = 0.30,
+                    minAlphaFrac: Double = 0.80,
+                    minStopHits: Long = 2): DataFrame = {
+    require(minTokens >= 1 && maxTokens >= minTokens,
+      s"need 1 <= minTokens <= maxTokens, got [$minTokens, $maxTokens]")
+    require(minMeanLen > 0 && maxMeanLen >= minMeanLen,
+      s"need 0 < minMeanLen <= maxMeanLen, got [$minMeanLen, $maxMeanLen]")
+    val t = trim(col("text"))
+    val toks = split(t, "\\s+")
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+    val alphaWords = size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
+    val symbols = (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))
+      + regexp_count(t, lit("…"))).cast("long")
+    val lines = filter(split(col("text"), "\n"), l => trim(l) =!= "")
+    val nLines = greatest(size(lines).cast("long"), lit(1L))
+    val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("long")
+    val ellipsisLines = size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("long")
+    val stopHits = size(array_intersect(
+      split(lower(t), "\\s+"),
+      array(gopherStopwords.map(lit): _*))).cast("long")
+    docs
+      .withColumn("n_tokens", n)
+      .withColumn("mean_word_len",
+        round(sumLen.cast("double") / col("n_tokens"), 4))
+      .withColumn("symbol_ratio", round(symbols.cast("double") / col("n_tokens"), 4))
+      .withColumn("bullet_frac", round(bulletLines.cast("double") / nLines, 4))
+      .withColumn("ellipsis_frac", round(ellipsisLines.cast("double") / nLines, 4))
+      .withColumn("alpha_frac", round(alphaWords.cast("double") / col("n_tokens"), 4))
+      .withColumn("stop_hits", stopHits)
+      .withColumn("pass",
+        col("n_tokens").between(minTokens, maxTokens) &&
+        col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+        col("symbol_ratio") <= maxSymbolRatio &&
+        col("bullet_frac") <= maxBulletFrac &&
+        col("ellipsis_frac") <= maxEllipsisFrac &&
+        col("alpha_frac") >= minAlphaFrac &&
+        col("stop_hits") >= minStopHits)
+  }
+
+  /** `q103_gopher_filters` — [[gopherFilters]] over a planted page per
+    * document: the doc's own text plus a bullet block whose size
+    * depends on doc_id (even ids get three bullet lines — bullet_frac
+    * 0.75 fails the 0.5 gate; odd ids get one — 0.5 passes at ≤) and,
+    * for ids ≡ 0 mod 3, one ellipsis-terminated line — so every rule
+    * fires on some real slice of the corpus and the oracle re-derives
+    * verdicts that actually vary. */
+  def gopherFiltersDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val planted = docs.select(
+      col("doc_id"),
+      concat_ws("\n",
+        col("text"),
+        lit("- first bullet item"),
+        when(col("doc_id") % 2 === 0, lit("- second bullet item\n- third bullet item")),
+        when(col("doc_id") % 3 === 0, lit("the story continues next week..."))
+      ).as("text"))
+    gopherFilters(planted)
+      .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+        col("symbol_ratio"), col("bullet_frac"), col("ellipsis_frac"),
+        col("alpha_frac"), col("stop_hits"), col("pass"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -235,4 +235,50 @@ class TextAnalysisSpec extends SparkSpecBase {
           s"$lang: some tercile is empty: ${rows.map(_._4).distinct}")
     }
   }
+
+  test("gopher filters: hand-computed signals, each rule fails independently, map-only") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def run(text: String) = TextAnalysis.gopherFilters(
+      Seq((1L, text)).toDF("doc_id", "text"), minTokens = 5).head()
+
+    // a prose page passing every rule: 12 words, mean len in range,
+    // two distinct stopwords, no symbols/bullets/ellipses
+    val good = run("the quick brown fox jumps over and over the lazy sleeping dog")
+    assert(good.getAs[Boolean]("pass"), s"prose must pass: $good")
+    assert(good.getAs[Long]("n_tokens") == 12L)
+    assert(good.getAs[Long]("stop_hits") == 2L, "the + and = 2 distinct")
+    // mean_word_len = 50 chars over 12 words (hand-computed)
+    assert(good.getAs[Double]("mean_word_len") == math.rint(50.0 / 12 * 1e4) / 1e4)
+
+    // each rule trips on its own adversarial page
+    val fragments = run("a b c d e f g h i j") // mean len 1 < 3
+    assert(!fragments.getAs[Boolean]("pass") &&
+      fragments.getAs[Double]("mean_word_len") == 1.0)
+    val symbols = run("the code and tags # # # markers ... listed here")
+    assert(symbols.getAs[Double]("symbol_ratio") == math.rint(4.0 / 11 * 1e4) / 1e4
+      && !symbols.getAs[Boolean]("pass"))
+    val bullets = run("the intro line with and\n- one\n- two\n- three")
+    assert(bullets.getAs[Double]("bullet_frac") == 0.75 && !bullets.getAs[Boolean]("pass"))
+    val trailing = run("the first thought trails off and then...\nthe second one does too...")
+    assert(trailing.getAs[Double]("ellipsis_frac") == 1.0 && !trailing.getAs[Boolean]("pass"))
+    val numeric = run("the 10 20 30 40 50 60 70 80 and 90")
+    assert(numeric.getAs[Double]("alpha_frac") == math.rint(2.0 / 11 * 1e4) / 1e4
+      && !numeric.getAs[Boolean]("pass"))
+    val noStops = run("quick brown foxes jump quietly across seven frozen rivers daily")
+    assert(noStops.getAs[Long]("stop_hits") == 0L && !noStops.getAs[Boolean]("pass"))
+
+    // stateless scale shape: one projection, no Exchange
+    val plan = TextAnalysis.gopherFilters(Tables(spark, sfDir).documents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopher filters must not shuffle:\n${plan.take(600)}")
+
+    intercept[IllegalArgumentException] {
+      TextAnalysis.gopherFilters(Seq((1L, "x")).toDF("doc_id", "text"), minTokens = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.gopherFilters(Seq((1L, "x")).toDF("doc_id", "text"),
+        minMeanLen = 5.0, maxMeanLen = 4.0)
+    }
+  }
 }
