@@ -138,7 +138,8 @@ object SparkEntry {
     "q100_repetition_signals"    -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
     "q101_dsir_selection"        -> ((s, d) => Sharding.dsirSelectDocs(s, d)),
     "q102_line_filter"           -> ((s, d) => TextClean.lineFilterDocs(s, d)),
-    "q103_gopher_filters"        -> ((s, d) => TextAnalysis.gopherFiltersDocs(s, d))
+    "q103_gopher_filters"        -> ((s, d) => TextAnalysis.gopherFiltersDocs(s, d)),
+    "q104_fix_mojibake"          -> ((s, d) => TextClean.fixMojibakeDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -2378,6 +2379,45 @@ object SparkEntry {
         |           AND ellipsis_frac <= 0.30
         |           AND alpha_frac >= 0.80
         |           AND stop_hits >= 2) AS pass
-        |FROM o ORDER BY doc_id""".stripMargin
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    // q104: mojibake repair — the oracle is GENERATED from the same
+    // fix table the operator folds over (one CTE per repair, counting
+    // before replacing, exactly the operator's sequential semantics),
+    // so the two engines cannot apply different tables by accident
+    "q104_fix_mojibake" -> mojibakeOracleSql
   )
+
+  /** DuckDB literal for a fix-table string: quotes double, and the
+    * invisible U+009D control char renders as chr(157) so the SQL
+    * stays printable. */
+  private def mojibakeSqlLit(s: String): String =
+    "'" + s.flatMap {
+      case '\'' => "''"
+      case c if c == '\u009d' => "' || chr(157) || '"
+      case c => c.toString
+    } + "'"
+
+  /** The q104 oracle: a CTE chain s0 → sN, one step per
+    * [[TextClean.mojibakeFixes]] entry, each counting the pattern on
+    * the PRE-step text (integer //) then applying the replace —
+    * mirroring the operator's fold step for step. */
+  private def mojibakeOracleSql: String = {
+    val base =
+      s"""WITH s0 AS (
+         |  SELECT doc_id,
+         |    text || CASE WHEN doc_id % 2 = 0
+         |      THEN ${mojibakeSqlLit(TextClean.mojibakePlant)}
+         |      ELSE ${mojibakeSqlLit(TextClean.mojibakeCleanTail)} END AS t,
+         |    CAST(0 AS BIGINT) AS c
+         |  FROM documents)""".stripMargin
+    val steps = TextClean.mojibakeFixes.zipWithIndex.map { case ((bad, good), i) =>
+      s"""s${i + 1} AS (SELECT doc_id,
+         |  replace(t, ${mojibakeSqlLit(bad)}, ${mojibakeSqlLit(good)}) AS t,
+         |  c + (length(t) - length(replace(t, ${mojibakeSqlLit(bad)}, ''))) // ${bad.length} AS c
+         |  FROM s$i)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT doc_id, c AS n_fixes, t AS fixed_text FROM s${TextClean.mojibakeFixes.size} ORDER BY doc_id"
+  }
 }

@@ -186,6 +186,82 @@ object TextClean {
       .drop("_lines", "_kept")
   }
 
+  // ---- mojibake / encoding repair ------------------------------------
+
+  /** UTF-8-read-as-Latin-1 double-encoding artifacts and their
+    * repairs — the classic mojibake table (the public ftfy fix;
+    * Speer 2019, "ftfy: fixes text for you" — the sequences are pure
+    * encoding arithmetic: é = U+00E9 = bytes C3 A9 = "Ã©" when those
+    * bytes re-decode as cp1252). Applied IN THIS ORDER — written
+    * defensively so no pattern prefixes a later one: every "â€¦"-family
+    * artifact is three chars with a distinct tail, and the mangled ”
+    * tail is the INVISIBLE control U+009D, kept as an explicit escape
+    * so nobody deletes it as trailing junk; "Â«"/"Â»" list before the
+    * bare "Â " space artifact. Shared constant: the oracle SQL is
+    * GENERATED from the same pairs, so both engines apply the same
+    * fold. */
+  val mojibakeFixes: Seq[(String, String)] = Seq(
+    "â€™" -> "'", "â€œ" -> "“", "â€\u009d" -> "”",
+    "â€“" -> "–", "â€”" -> "—", "â€¦" -> "…",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü",
+    "Ã±" -> "ñ", "Ã§" -> "ç", "Ã " -> "à", "Ã®" -> "î", "Ã´" -> "ô",
+    "Â«" -> "«", "Â»" -> "»", "Â " -> " ")
+
+  /** Mojibake repair over any (id, text) frame — the encoding-fix
+    * stage a web-crawl pipeline runs before tokenization (CCNet runs
+    * exactly this class of normalization first; double-encoded pages
+    * otherwise shred into garbage shingles that defeat dedup and
+    * language-ID both). Emits `n_fixes` — artifact occurrences
+    * counted SEQUENTIALLY, each pattern against the text as already
+    * repaired by its predecessors, exactly mirroring the applied fold
+    * (an earlier repair can in principle fabricate a later pattern;
+    * the count and the text can never disagree about what happened) —
+    * and `fixed_text`. The count is the fix-density quality signal:
+    * pages where it is high relative to length were likely mangled
+    * more than once and deserve quarantine.
+    *
+    * Pure column expressions: one `replace` fold carrying the running
+    * count, map-only, zero shuffles, codegen'd — streams at scan
+    * speed like the rest of this file. The table is the COMMON cp1252
+    * core, not all of ftfy; extending it is adding a pair to
+    * [[mojibakeFixes]]. */
+  def fixMojibake(df: DataFrame, textCol: String): DataFrame = {
+    val (fixed, nFixes) = mojibakeFixes.foldLeft((col(textCol), lit(0L))) {
+      case ((acc, n), (bad, good)) =>
+        val hits = ((length(acc) - length(replace(acc, lit(bad), lit(""))))
+          / bad.length).cast("long")
+        (replace(acc, lit(bad), lit(good)), n + hits)
+    }
+    df.withColumn("n_fixes", nFixes)
+      .withColumn("fixed_text", fixed)
+  }
+
+  /** `q104_fix_mojibake` — the documents table is clean ASCII, so the
+    * entry PLANTS a mangled suffix on even doc_ids (accents, curly
+    * quote, dash, guillemets — eight artifacts) and a clean suffix on
+    * odd ones, so counts vary across the corpus and the zero-fix path
+    * is exercised too. The oracle rebuilds the same suffixes and
+    * re-derives counts + repaired text, hash-checking the whole
+    * table-driven fold. */
+  /** The q104 planted suffixes, shared with the generated oracle:
+    * eight artifacts on even ids (é ×2, à-with-space, curly
+    * apostrophe, em-dash, ellipsis, both guillemets), clean ASCII on
+    * odd ids so the zero-fix path is exercised. */
+  val mojibakePlant: String = " visit the cafÃ© â€” itâ€™s dÃ©jÃ  vu Â«againÂ» soonâ€¦"
+  val mojibakeCleanTail: String = " plain ascii tail"
+
+  def fixMojibakeDocs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+    val planted = docs.select(
+      col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 2 === 0, lit(mojibakePlant))
+          .otherwise(lit(mojibakeCleanTail))).as("text"))
+    fixMojibake(planted, "text")
+      .select(col("doc_id"), col("n_fixes"), col("fixed_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** `q102_line_filter` — the documents table is single-line word
     * salad, so the entry PLANTS a six-line page per row exercising
     * every rule: a kept content line (the doc's own text, terminated),

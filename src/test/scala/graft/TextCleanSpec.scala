@@ -126,4 +126,46 @@ class TextCleanSpec extends SparkSpecBase {
       TextClean.lineFilter(Seq((1L, "x")).toDF("id", "text"), "text", maxUpperPct = 101)
     }
   }
+
+  test("fixMojibake repairs every table entry, counts sequentially, map-only") {
+    import spark.implicits._
+    // one instance of every artifact, built FROM the table itself so
+    // the test can never drift from the constant
+    val allBad = TextClean.mojibakeFixes.map(_._1).mkString(" ")
+    val allGood = TextClean.mojibakeFixes.map(_._2).mkString(" ")
+    val all = TextClean.fixMojibake(Seq((1L, allBad)).toDF("id", "text"), "text").head()
+    assert(all.getAs[Long]("n_fixes") == TextClean.mojibakeFixes.size.toLong,
+      s"each artifact must count once: $all")
+    assert(all.getAs[String]("fixed_text") == allGood)
+
+    // clean text is untouched, zero fixes
+    val clean = TextClean.fixMojibake(
+      Seq((1L, "plain ascii text stays put.")).toDF("id", "text"), "text").head()
+    assert(clean.getAs[Long]("n_fixes") == 0L)
+    assert(clean.getAs[String]("fixed_text") == "plain ascii text stays put.")
+
+    // multiplicity: the same artifact thrice counts thrice
+    val thrice = TextClean.fixMojibake(
+      Seq((1L, "cafÃ© cafÃ© cafÃ©")).toDF("id", "text"), "text").head()
+    assert(thrice.getAs[Long]("n_fixes") == 3L)
+    assert(thrice.getAs[String]("fixed_text") == "café café café")
+
+    // the invisible-tail artifact (mangled ” = â€ + U+009D) repairs too
+    val ninetyD = TextClean.fixMojibake(
+      Seq((1L, "quoteâ€\u009dend")).toDF("id", "text"), "text").head()
+    assert(ninetyD.getAs[String]("fixed_text") == "quote”end"
+      && ninetyD.getAs[Long]("n_fixes") == 1L)
+
+    // the planted query entry: even ids carry exactly 8 fixes, odd 0
+    val q = TextClean.fixMojibakeDocs(spark, sfDir)
+    assert(q.filter(col("doc_id") % 2 === 0 && col("n_fixes") =!= 8).count() == 0L)
+    assert(q.filter(col("doc_id") % 2 === 1 && col("n_fixes") =!= 0).count() == 0L)
+    assert(q.filter(col("fixed_text").contains("café — it's déjà vu «again» soon…"))
+      .count() == q.filter(col("doc_id") % 2 === 0).count())
+
+    // stateless scale shape
+    val plan = TextClean.fixMojibake(Tables(spark, sfDir).documents, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mojibake repair must not shuffle:\n${plan.take(600)}")
+  }
 }
