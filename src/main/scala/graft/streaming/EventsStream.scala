@@ -947,4 +947,55 @@ object EventsStream {
     firstPerKey[StreamEvent, (Long, String)](
       events, e => (e.user_id, e.event_type), stateTtl)
   }
+
+  /** D2→C31 bridge — streaming DSIR scoring: each micro-batch of new
+    * documents scores against the PERSISTED importance model
+    * ([[graft.operators.Sharding.dsirFit]]'s dense bucket-ratio
+    * artifact — fit once from the target/raw pools, never touched by
+    * the stream) through the production day-2 kernel
+    * ([[graft.operators.Sharding.dsirScoreAgainstModel]], broadcast
+    * join), and APPENDS (doc_id, n_tokens, logweight) to the scored
+    * table — the continuously-maintained ranking a selection policy
+    * thresholds downstream.
+    *
+    * The model path must exist BEFORE the stream starts (fit-first
+    * contract — scoring against a half-written or missing model is a
+    * pipeline-order bug, so that failure propagates loudly; this is
+    * deliberately NOT the sketch sinks' first-run-bootstrap shape,
+    * because an empty model is not a valid zero object the way an
+    * empty sketch table is). Replay-idempotent per the postings
+    * convention: already-scored doc_ids anti-join away, so a
+    * re-delivered batch appends nothing; scores are pure functions of
+    * (doc, frozen model), so there is no stats row to heal.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def dsirScoreStream(docs: DataFrame, modelPath: String, scoredPath: String,
+                      checkpointDir: String,
+                      idCol: String = "doc_id", textCol: String = "text"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.dropDuplicates(idCol)
+        val model = spark.read.parquet(modelPath) // loud if absent: fit-first
+        // first-run-only benign catch on the SCORED table (advice-r9 rule)
+        val existing =
+          try Some(spark.read.parquet(scoredPath))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" ||
+                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+          }
+        val fresh = existing match {
+          case Some(s) =>
+            batch.join(s.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+          case None => batch
+        }
+        if (!fresh.isEmpty)
+          graft.operators.Sharding.dsirScoreAgainstModel(fresh, model, idCol, textCol)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(scoredPath)
+      }
+      .start()
 }

@@ -892,4 +892,50 @@ class StreamingSpec extends SparkSpecBase {
       } finally q2.stop()
     } finally q.stop()
   }
+
+  test("D2→C31: streaming DSIR scoring appends exactly once and matches batch day-2 scores") {
+    import graft.operators.Sharding
+    import graft.streaming.EventsStream.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // fit the model from a tiny planted target/raw split and persist it
+    val fitDocs = Seq(
+      (1L, "alpha bravo alpha charlie", true),
+      (2L, "zulu yankee zulu xray", false),
+      (3L, "zulu alpha yankee bravo", false)
+    ).toDF("doc_id", "text", "is_t")
+    val modelPath = java.nio.file.Files.createTempDirectory("graft_dsir_model").toString
+    Sharding.dsirFit(fitDocs, "text", col("is_t"), buckets = 64)
+      .write.mode("overwrite").parquet(modelPath)
+
+    val mem = MemoryStream[StreamDoc]
+    val scored = java.nio.file.Files.createTempDirectory("graft_dsir_scored").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_dsir_cp").toString
+    val q = EventsStream.dsirScoreStream(mem.toDF(), modelPath, scored, cp)
+    def read() = spark.read.parquet(scored)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    try {
+      // batch 1: two new docs score and land
+      mem.addData(StreamDoc(10, "alpha bravo charlie"), StreamDoc(11, "zulu xray"))
+      q.processAllAvailable()
+      val s1 = read()
+      assert(s1.map(_._1) == Seq(10L, 11L), s"both docs scored: $s1")
+      // streamed scores == the batch day-2 kernel on the same rows
+      val batchScores = Sharding.dsirScoreAgainstModel(
+        Seq((10L, "alpha bravo charlie"), (11L, "zulu xray")).toDF("doc_id", "text"),
+        spark.read.parquet(modelPath), "doc_id", "text")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(s1 == batchScores, s"stream $s1 vs batch $batchScores")
+      // target-like doc 10 outranks off-domain doc 11
+      assert(s1(0)._3 > s1(1)._3, s"alpha-doc must outscore zulu-doc: $s1")
+
+      // batch 2: re-delivers doc 10 (no-op) + one new doc
+      mem.addData(StreamDoc(10, "alpha bravo charlie"), StreamDoc(12, "alpha alpha"))
+      q.processAllAvailable()
+      val s2 = read()
+      assert(s2.map(_._1) == Seq(10L, 11L, 12L),
+        s"re-delivered doc must not duplicate: $s2")
+      assert(s2.take(2) == s1, "existing scores are never rewritten")
+    } finally q.stop()
+  }
 }
