@@ -139,7 +139,10 @@ object SparkEntry {
     "q101_dsir_selection"        -> ((s, d) => Sharding.dsirSelectDocs(s, d)),
     "q102_line_filter"           -> ((s, d) => TextClean.lineFilterDocs(s, d)),
     "q103_gopher_filters"        -> ((s, d) => TextAnalysis.gopherFiltersDocs(s, d)),
-    "q104_fix_mojibake"          -> ((s, d) => TextClean.fixMojibakeDocs(s, d))
+    "q104_fix_mojibake"          -> ((s, d) => TextClean.fixMojibakeDocs(s, d)),
+    "q105_url_dedup"             -> ((s, d) => Urls.urlDedupDocs(s, d)),
+    "q106_domain_gate"           -> ((s, d) => Urls.domainGateDocs(s, d)),
+    "q107_exact_probe"           -> ((s, d) => Dedup.exactProbeDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -2385,7 +2388,91 @@ object SparkEntry {
     // fix table the operator folds over (one CTE per repair, counting
     // before replacing, exactly the operator's sequential semantics),
     // so the two engines cannot apply different tables by accident
-    "q104_fix_mojibake" -> mojibakeOracleSql
+    "q104_fix_mojibake" -> mojibakeOracleSql,
+
+    // q105: URL canonicalization + canonical-URL dedup — the oracle
+    // rebuilds the same planted messy URLs, re-derives the canonical
+    // form rule by rule (shared regex pieces + the shared tracking-
+    // param list), and re-elects keepers, so every canonicalization
+    // rule is hash-checked, not just exercised
+    "q105_url_dedup" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 6
+         |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM/articles/' || CAST(doc_id % 100 AS VARCHAR)
+         |      WHEN 1 THEN 'https://' || source || '.example.com/articles/' || CAST(doc_id % 100 AS VARCHAR)
+         |      WHEN 2 THEN 'https://www.' || source || '.example.com:443/articles/' || CAST(doc_id % 100 AS VARCHAR) || '/'
+         |      WHEN 3 THEN 'https://' || source || '.example.com/articles/' || CAST(doc_id % 100 AS VARCHAR) || '#sec-2'
+         |      WHEN 4 THEN 'https://' || source || '.example.com/articles/' || CAST(doc_id % 100 AS VARCHAR) || '?page=2&fbclid=IwAB12&utm_source=t.co'
+         |      ELSE 'HTTPS://' || source || '.EXAMPLE.com/articles/' || CAST(doc_id % 100 AS VARCHAR) || '/?utm_medium=social'
+         |    END AS url
+         |  FROM documents),
+         |p1 AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nofrag FROM planted),
+         |p2 AS (SELECT doc_id,
+         |         regexp_replace(nofrag, '\\?.*$$', '') AS base,
+         |         coalesce(regexp_extract(nofrag, '\\?(.*)$$', 1), '') AS q FROM p1),
+         |p3 AS (SELECT doc_id, q,
+         |         lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |         regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM p2),
+         |p4 AS (SELECT doc_id, q, scheme,
+         |         lower(regexp_extract(rest, '^([^/]*)', 1)) AS auth,
+         |         regexp_replace(rest, '^[^/]*', '') AS path FROM p3),
+         |p5 AS (SELECT doc_id,
+         |         scheme || '://' ||
+         |         regexp_replace(CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+         |                             WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$$', '')
+         |                             ELSE auth END, '^www\\.', '') ||
+         |         regexp_replace(path, '/+$$', '') ||
+         |         CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS canon_url
+         |       FROM (SELECT *,
+         |               -- coalesce: DuckDB's array_to_string of an EMPTY list is
+         |               -- NULL, not '' (Spark's array_join returns '')
+         |               coalesce(array_to_string(list_filter(string_split(q, '&'),
+         |                 p -> p <> ''
+         |                   AND substr(lower(regexp_extract(p, '^([^=]*)', 1)), 1, 4) <> 'utm_'
+         |                   AND lower(regexp_extract(p, '^([^=]*)', 1)) NOT IN (${Urls.trackingParams.map(t => s"'$t'").mkString(", ")})), '&'), '') AS kq
+         |             FROM p4)),
+         |rep AS (SELECT canon_url, min(doc_id) AS keep FROM p5 GROUP BY 1)
+         |SELECT c.doc_id, c.canon_url, (c.doc_id <> r.keep) AS is_dup,
+         |       CAST(CASE WHEN c.doc_id <> r.keep THEN r.keep ELSE -1 END AS BIGINT) AS dup_of
+         |FROM p5 c JOIN rep r USING (canon_url) ORDER BY c.doc_id""".stripMargin,
+
+    // q106: domain-reputation gate — per-domain integer-exact rules
+    // (doc floor, mean-words floor as sum >= k·n, short-page percent
+    // cap as 100·short <= pct·n) re-derived from raw rows
+    "q106_domain_gate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source AS domain,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words
+        |  FROM documents),
+        |s AS (
+        |  SELECT domain, CAST(count(*) AS BIGINT) AS domain_docs,
+        |         CAST(sum(n_words) AS BIGINT) AS domain_words,
+        |         CAST(count(*) FILTER (n_words < 40) AS BIGINT) AS domain_short
+        |  FROM d GROUP BY 1),
+        |v AS (SELECT *, (domain_docs >= 5 AND domain_words >= 54 * domain_docs
+        |                 AND domain_short * 100 <= 40 * domain_docs) AS domain_ok FROM s)
+        |SELECT d.doc_id, d.domain, d.n_words, v.domain_docs, v.domain_words,
+        |       v.domain_short, v.domain_ok
+        |FROM d JOIN v USING (domain) ORDER BY d.doc_id""".stripMargin,
+
+    // q107: day-2 exact-dedup probe — the oracle keys its index on the
+    // TEXT itself where the operator keys on md5 (within-engine
+    // equality is all hotness needs — the C2e convention), re-plants
+    // the same donor texts, and re-derives the verdicts + sentinels
+    "q107_exact_probe" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),
+        |b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4),
+        |batch AS (
+        |  SELECT b0.doc_id,
+        |         CASE WHEN b0.doc_id % 10 = 9 THEN d.text ELSE b0.text END AS text
+        |  FROM b0 LEFT JOIN documents d ON d.doc_id = b0.doc_id - 4),
+        |idx AS (SELECT text, min(doc_id) AS keep_id FROM corpus GROUP BY 1)
+        |SELECT b.doc_id,
+        |       (i.keep_id IS NOT NULL AND i.keep_id <> b.doc_id) AS is_dup,
+        |       CAST(CASE WHEN i.keep_id IS NOT NULL AND i.keep_id <> b.doc_id
+        |                 THEN i.keep_id ELSE -1 END AS BIGINT) AS dup_of
+        |FROM batch b LEFT JOIN idx i USING (text) ORDER BY b.doc_id""".stripMargin
   )
 
   /** DuckDB literal for a fix-table string: quotes double, and the

@@ -60,6 +60,64 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
+  /** C1b: persistable exact-dedup index — (fingerprint, keep_id,
+    * n_copies), the q20 aggregate as a day-2 artifact. Write it once,
+    * probe every ingest batch with [[dedupExactAgainstIndex]]; the
+    * incremental tier the MinHash (C2b), paragraph (C2d), span (C2e)
+    * and semantic (C26b) families already have, completed at the
+    * exact tier. Accepting a batch appends its kept rows' fingerprints
+    * (a groupBy-merge of old + new, associative like the sketch
+    * tables). */
+  def buildExactIndex(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("keep_id"), md5(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("keep_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Day-2 exact dedup: verdict an ingest batch against the PERSISTED
+    * fingerprint index with zero corpus work — one md5 per batch row,
+    * one join against the (already small: one row per distinct text)
+    * index. A batch row whose fingerprint maps to ITS OWN id is the
+    * same document seen again (a replayed micro-batch) — not a
+    * duplicate of something else; excluding self-matches makes
+    * replays idempotent, the [[dedupAgainstIndex]] rule.
+    *
+    * @return one verdict row per batch document: (id, is_dup,
+    *         dup_of = the index's elected keeper, -1 sentinel when
+    *         clean — the q98 sentinel convention) */
+  def dedupExactAgainstIndex(batch: DataFrame, index: DataFrame,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    require(index.columns.contains("fingerprint") && index.columns.contains("keep_id"),
+      "index must carry (fingerprint, keep_id) — build it with buildExactIndex")
+    val hit = col("keep_id").isNotNull && col("keep_id") =!= col(idCol)
+    batch.select(col(idCol), md5(col(textCol)).as("fingerprint"))
+      .join(index.select(col("fingerprint"), col("keep_id")), Seq("fingerprint"), "left")
+      .select(col(idCol), hit.as("is_dup"),
+        when(hit, col("keep_id")).otherwise(lit(-1L)).as("dup_of"))
+  }
+
+  /** `q107_exact_probe` — the day-2 exact tier over the standard 80/20
+    * corpus/batch split (the q71/q98 convention). The corpus has no
+    * natural exact dups (synthetic word salad), so odd batch ids take
+    * the TEXT of corpus doc (id − 4) — id ≡ 4 (mod 5) ⇒ the donor is
+    * ≡ 0 (mod 5), always corpus-side — planting a genuine exact match
+    * for half the batch while the other half exercises the clean path.
+    * The oracle keys its index on the TEXT itself (not md5): hotness
+    * needs only within-engine equality, so the hash-match certifies
+    * the dedup SEMANTICS, not the hash function — the C2e oracle
+    * convention. */
+  def exactProbeDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs   = Tables(spark, dir).documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val donors = docs.select((col("doc_id") + 4).as("doc_id"), col("text").as("_donor"))
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+      .join(donors, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 9, col("_donor")).otherwise(col("text")).as("text"))
+    dedupExactAgainstIndex(batch, buildExactIndex(corpus)).orderBy(col("doc_id"))
+  }
+
   // ---- shared shingling ------------------------------------------------
 
   /** Distinct 3-word shingles of lowercased text (padded: texts shorter

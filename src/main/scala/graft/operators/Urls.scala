@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Web-provenance curation: URL canonicalization + canonical-URL dedup
+  * and domain-reputation gating — the FIRST stages of every published
+  * web-corpus pipeline (C4's URL policies, Raffel et al. 2020,
+  * arXiv:1910.10683; RefinedWeb's "URL filtering" stage, Penedo et
+  * al. 2023, arXiv:2306.01116 §3.1: curation decisions made from the
+  * URL and the site BEFORE any text is read). The reference's closest
+  * analog is its per-client report provenance (source columns stamped
+  * by every extractor, e.g. `youtube_public.py:123`); at corpus scale
+  * provenance becomes the cheapest dedup key and quality prior there
+  * is: canonical-URL dedup removes the recrawl copies MinHash would
+  * pay shingle costs to find, and a domain verdict prunes whole sites
+  * with one tiny join.
+  *
+  * Scale shapes:
+  *  - canonicalization is a pure column expression chain (map-only,
+  *    codegen'd, zero shuffles — streams at scan speed);
+  *  - URL dedup is ONE hash exchange on the canonical string (a window
+  *    min — no second join exchange);
+  *  - the domain gate aggregates to a |domains|-sized verdict frame
+  *    (map-side partial agg) and joins back broadcast; at 100 TB the
+  *    verdict frame is ~|hosts| rows (millions), still broadcastable
+  *    at tens of MB, with a shuffle-join fallback flag for when it
+  *    is not.
+  */
+object Urls {
+
+  /** Query-parameter names dropped by canonicalization (click-tracking
+    * identifiers that vary per click, never per resource — the public
+    * lists shipped by every link-sanitizer). `utm_*` is matched by
+    * prefix. Shared constants: the oracle SQL interpolates the SAME
+    * names, one source of truth for both engines. */
+  val trackingParams: Seq[String] = Seq("fbclid", "gclid", "msclkid", "yclid", "mc_eid")
+
+  /** Canonicalize one URL column. Rules (all scheme-preserving — an
+    * http and an https fetch of the same path are different resources
+    * until a crawler proves otherwise):
+    *
+    *  1. drop the fragment (`#...` — client-side only, never sent);
+    *  2. lowercase the scheme and the authority (RFC 3986 §6.2.2.1 —
+    *     host is case-insensitive; the PATH keeps its case, which is
+    *     significant on most origins);
+    *  3. strip the scheme's default port (`:80` http, `:443` https);
+    *  4. strip one leading `www.` label;
+    *  5. strip trailing `/` runs from the path (so `/a/` = `/a` and a
+    *     bare-host `/` = empty path);
+    *  6. drop tracking query params ([[trackingParams]] + the `utm_`
+    *     prefix family) and empty params, KEEPING the survivors in
+    *     their original order (reordering would conflate genuinely
+    *     different server-side semantics on some origins);
+    *  7. drop the `?` entirely when no param survives.
+    *
+    * Pure column expressions end to end — no UDF, no parse_url
+    * (DuckDB, the oracle engine, has none; the shared regex pieces
+    * keep both engines byte-identical). */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base   = regexp_replace(noFrag, "\\?.*$", "")
+    val query  = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest   = regexp_replace(base, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val auth   = lower(regexp_extract(rest, "^([^/]*)", 1))
+    val path   = regexp_replace(rest, "^[^/]*", "")
+    val noPort = when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .otherwise(auth)
+    val host      = regexp_replace(noPort, "^www\\.", "")
+    val cleanPath = regexp_replace(path, "/+$", "")
+    val kept = filter(split(query, "&"), p => {
+      val name = lower(regexp_extract(p, "^([^=]*)", 1))
+      p =!= "" && substring(name, 1, 4) =!= "utm_" && !name.isin(trackingParams: _*)
+    })
+    val keptQuery = array_join(kept, "&")
+    concat(scheme, lit("://"), host, cleanPath,
+      when(keptQuery === "", lit("")).otherwise(concat(lit("?"), keptQuery)))
+  }
+
+  /** Canonical-URL dedup over any (id, url) frame: rows whose URLs
+    * canonicalize identically are one resource; the smallest id is
+    * elected keeper (the q20 exact-dedup election rule). ONE exchange
+    * total — the keeper comes from a window min over the canonical
+    * string, not a groupBy + join (which would shuffle twice).
+    *
+    * @return one verdict row per input row: (id, canon_url, is_dup,
+    *         dup_of = keeper id, -1 sentinel on keepers — the q98
+    *         sentinel convention) */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val canon = df.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
+    val keep  = min(col(idCol)).over(Window.partitionBy(col("canon_url")))
+    canon.withColumn("_keep", keep)
+      .select(col(idCol), col("canon_url"),
+        (col(idCol) =!= col("_keep")).as("is_dup"),
+        when(col(idCol) =!= col("_keep"), col("_keep")).otherwise(lit(-1L)).as("dup_of"))
+  }
+
+  /** `q105_url_dedup` — the documents table carries no URL, so the
+    * entry PLANTS one per row from (source, doc_id): article number
+    * doc_id % 100 on host `{source}.example.com`, dressed in one of
+    * six deterministic messy variants by doc_id % 6 (upper-cased
+    * scheme/host + www, clean, `www.` + `:443` + trailing slash,
+    * fragment, a kept `page=2` param behind fbclid/utm noise, and a
+    * dropped-query trailing-slash form). Because source = doc_id % 20
+    * and 100 ≡ 0 (mod 20), the five docs sharing an article number
+    * share a host — and their variants canonicalize together EXCEPT
+    * the `page=2` form, which (correctly) remains its own resource;
+    * group sizes 5 vs 3+2 depending on variant phase, so the oracle
+    * hash-checks both the collapsing and the non-collapsing paths.
+    * The http `:80` rule (unreachable here — mixing schemes would
+    * split every group) is spec-covered in UrlsSpec instead. */
+  def urlDedupDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+    val art  = (col("doc_id") % 100).cast("string")
+    val urls = docs.select(
+      col("doc_id"),
+      when(col("doc_id") % 6 === 0,
+        concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM/articles/"), art))
+      .when(col("doc_id") % 6 === 1,
+        concat(lit("https://"), col("source"), lit(".example.com/articles/"), art))
+      .when(col("doc_id") % 6 === 2,
+        concat(lit("https://www."), col("source"), lit(".example.com:443/articles/"), art, lit("/")))
+      .when(col("doc_id") % 6 === 3,
+        concat(lit("https://"), col("source"), lit(".example.com/articles/"), art, lit("#sec-2")))
+      .when(col("doc_id") % 6 === 4,
+        concat(lit("https://"), col("source"), lit(".example.com/articles/"), art,
+          lit("?page=2&fbclid=IwAB12&utm_source=t.co")))
+      .otherwise(
+        concat(lit("HTTPS://"), col("source"), lit(".EXAMPLE.com/articles/"), art,
+          lit("/?utm_medium=social")))
+        .as("url"))
+    urlDedup(urls, "doc_id", "url").orderBy(col("doc_id"))
+  }
+
+  /** Domain-reputation gate: aggregate per-document signals to a
+    * per-domain verdict, then gate every document by its domain's
+    * verdict — RefinedWeb's site-level curation move (a domain whose
+    * pages are mostly junk is junk; one tiny join prunes all of it,
+    * no per-page scoring needed). All three rules compare EXACT
+    * integers (sums and counts scaled by the thresholds), so no
+    * verdict sits on a float boundary:
+    *
+    *  - `domain_docs >= minDocs` — too few pages to judge ⇒ fail
+    *    closed (curation, not safety: unknown sites wait);
+    *  - `domain_words >= minMeanWords · domain_docs` — mean page
+    *    length floor, the Gopher/C4 short-page rule lifted to sites;
+    *  - `100 · domain_short <= maxShortPct · domain_docs` — a site
+    *    can't be mostly stubs even if its mean clears the floor.
+    *
+    * Scale shape: one map-side-partial aggregate to |domains| rows,
+    * verdicts join back broadcast (`broadcastVerdict = false` falls
+    * back to a shuffle join for host cardinalities past broadcast
+    * reach). The corpus is scanned once and never re-shuffled. */
+  def domainReputation(docs: DataFrame, idCol: String, domainCol: String,
+                       textCol: String, minDocs: Int = 5, minMeanWords: Int = 54,
+                       maxShortPct: Int = 40, shortWords: Int = 40,
+                       broadcastVerdict: Boolean = true): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    require(maxShortPct >= 0 && maxShortPct <= 100,
+      s"maxShortPct must lie in [0,100], got $maxShortPct")
+    val words = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val perDoc = docs.select(col(idCol), col(domainCol).as("domain"), words.as("n_words"))
+    val stats = perDoc.groupBy(col("domain")).agg(
+      count(lit(1)).as("domain_docs"),
+      sum(col("n_words")).as("domain_words"),
+      sum(when(col("n_words") < shortWords, 1L).otherwise(0L)).as("domain_short"))
+    val verdict = stats.withColumn("domain_ok",
+      col("domain_docs") >= minDocs &&
+        col("domain_words") >= lit(minMeanWords.toLong) * col("domain_docs") &&
+        col("domain_short") * 100 <= lit(maxShortPct.toLong) * col("domain_docs"))
+    val right = if (broadcastVerdict) broadcast(verdict) else verdict
+    perDoc.join(right, Seq("domain"))
+      .select(col(idCol), col("domain"), col("n_words"), col("domain_docs"),
+        col("domain_words"), col("domain_short"), col("domain_ok"))
+  }
+
+  /** `q106_domain_gate` — `source` is the documents table's domain
+    * analog (20 sites, 25 pages each). The default thresholds land
+    * INSIDE the corpus's per-source spread (mean words 45–62, short
+    * fraction 12–52%), so both verdicts occur and the boundary cases
+    * (a site at exactly the short-percent cap, a site one word over
+    * the mean floor) are decided by exact integer comparisons the
+    * oracle reproduces digit for digit. */
+  def domainGateDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+    domainReputation(docs, "doc_id", "source", "text").orderBy(col("doc_id"))
+  }
+}
