@@ -142,7 +142,8 @@ object SparkEntry {
     "q104_fix_mojibake"          -> ((s, d) => TextClean.fixMojibakeDocs(s, d)),
     "q105_url_dedup"             -> ((s, d) => Urls.urlDedupDocs(s, d)),
     "q106_domain_gate"           -> ((s, d) => Urls.domainGateDocs(s, d)),
-    "q107_exact_probe"           -> ((s, d) => Dedup.exactProbeDocs(s, d))
+    "q107_exact_probe"           -> ((s, d) => Dedup.exactProbeDocs(s, d)),
+    "q108_nb_classifier"         -> ((s, d) => Classify.nbLangDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -2472,7 +2473,48 @@ object SparkEntry {
         |       (i.keep_id IS NOT NULL AND i.keep_id <> b.doc_id) AS is_dup,
         |       CAST(CASE WHEN i.keep_id IS NOT NULL AND i.keep_id <> b.doc_id
         |                 THEN i.keep_id ELSE -1 END AS BIGINT) AS dup_of
-        |FROM batch b LEFT JOIN idx i USING (text) ORDER BY b.doc_id""".stripMargin
+        |FROM batch b LEFT JOIN idx i USING (text) ORDER BY b.doc_id""".stripMargin,
+
+    // q108: multinomial Naive Bayes language classifier — the oracle
+    // re-derives BOTH halves (count fit on the seed, Laplace-smoothed
+    // argmax scoring on the batch) with every ln quantized to the 1e-8
+    // grid and summed as exact longs (the q93 convention), so the
+    // scores and the predictions hash-check digit for digit
+    "q108_nb_classifier" ->
+      """WITH planted AS (SELECT doc_id, lang, text || ' marker_' || lang AS text
+        |                 FROM documents),
+        |seed AS (SELECT * FROM planted WHERE doc_id % 5 <> 4),
+        |batch AS (SELECT * FROM planted WHERE doc_id % 5 = 4),
+        |stoks AS (SELECT doc_id, lang AS label,
+        |                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |          FROM seed),
+        |tc AS (SELECT tok, label, CAST(count(*) AS BIGINT) AS c FROM stoks GROUP BY 1, 2),
+        |cs AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens
+        |       FROM seed GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tc),
+        |td AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS td FROM cs),
+        |consts AS (SELECT label,
+        |       CAST(round(ln(CAST(n_tokens + (SELECT v FROM v) AS DOUBLE)) * 100000000) AS BIGINT) AS lden,
+        |       CAST(round(ln(CAST(n_docs AS DOUBLE) / (SELECT td FROM td)) * 100000000) AS BIGINT) AS lprior
+        |       FROM cs),
+        |btoks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM batch),
+        |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM btoks GROUP BY 1, 2),
+        |part AS (SELECT doc_id, label,
+        |         CAST(sum(n * CAST(round(ln(CAST(c + 1 AS DOUBLE)) * 100000000) AS BIGINT)) AS BIGINT) AS part
+        |         FROM dt JOIN tc USING (tok) GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, lang,
+        |              CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS nd
+        |       FROM batch),
+        |grid AS (SELECT d.doc_id, d.lang, c.label,
+        |         coalesce(p.part, 0) - d.nd * c.lden + c.lprior AS score
+        |         FROM dl d CROSS JOIN consts c
+        |         LEFT JOIN part p ON p.doc_id = d.doc_id AND p.label = c.label),
+        |win AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                     ORDER BY score DESC, label ASC) AS rk FROM grid)
+        |SELECT doc_id, lang AS true_lang, label AS pred_label,
+        |       (label = lang) AS correct, CAST(score AS BIGINT) AS score
+        |FROM win WHERE rk = 1 ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB literal for a fix-table string: quotes double, and the
