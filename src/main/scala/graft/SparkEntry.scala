@@ -143,7 +143,8 @@ object SparkEntry {
     "q105_url_dedup"             -> ((s, d) => Urls.urlDedupDocs(s, d)),
     "q106_domain_gate"           -> ((s, d) => Urls.domainGateDocs(s, d)),
     "q107_exact_probe"           -> ((s, d) => Dedup.exactProbeDocs(s, d)),
-    "q108_nb_classifier"         -> ((s, d) => Classify.nbLangDocs(s, d))
+    "q108_nb_classifier"         -> ((s, d) => Classify.nbLangDocs(s, d)),
+    "q109_hybrid_rrf"            -> ((s, d) => Search.hybridSearchDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -2514,7 +2515,74 @@ object SparkEntry {
         |                                     ORDER BY score DESC, label ASC) AS rk FROM grid)
         |SELECT doc_id, lang AS true_lang, label AS pred_label,
         |       (label = lang) AS correct, CAST(score AS BIGINT) AS score
-        |FROM win WHERE rk = 1 ORDER BY doc_id""".stripMargin
+        |FROM win WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    // q109: hybrid RRF — the BM25 leg is q90's derivation with a
+    // top-30 pool, the dense leg rebuilds the md5 ±1 projection (the
+    // q95 CTEs) for corpus AND query and ranks by 4-dp cosine, and the
+    // fusion is floor(1e12/(60+rank)) exact-long addition — one
+    // correctly-rounded IEEE division per leg, so the fused ordering
+    // is engine-exact with no float-sum machinery
+    "q109_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id,
+        |             regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |           FROM documents),
+        |tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM d),
+        |post AS (SELECT term, doc_id, dl, count(*) AS tf
+        |         FROM tok GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS n_docs,
+        |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |          FROM (SELECT DISTINCT doc_id, dl FROM tok)),
+        |probe AS (SELECT * FROM post WHERE term IN ('spark', 'window', 'batch')),
+        |dfs AS (SELECT term, count(*) AS df FROM probe GROUP BY 1),
+        |contrib AS (SELECT p.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+        |      * (p.tf * (1.2 + 1.0))
+        |      / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+        |      * 100000000.0) AS BIGINT) AS cs
+        |  FROM probe p JOIN dfs f ON f.term = p.term CROSS JOIN stats s),
+        |sscored AS (SELECT doc_id,
+        |    round(CAST(sum(cs) AS DOUBLE) / 100000000.0 + 1e-9, 4) AS score
+        |  FROM contrib GROUP BY 1),
+        |sleg AS (SELECT doc_id, bm25_rank FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (ORDER BY score DESC, doc_id ASC) AS bm25_rank
+        |    FROM sscored) WHERE bm25_rank <= 30),
+        |th AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h FROM tok),
+        |comp AS (SELECT doc_id, j,
+        |    CAST(sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS DOUBLE) AS cmp
+        |  FROM th CROSS JOIN generate_series(0, 31) AS dims(j)
+        |  GROUP BY doc_id, j),
+        |e AS (SELECT doc_id, list(cmp ORDER BY j) AS v FROM comp GROUP BY doc_id),
+        |qh AS (SELECT CAST(('0x' || substr(md5(tq), 1, 15)) AS BIGINT) AS h
+        |       FROM unnest(['spark', 'window', 'batch']) AS qt(tq)),
+        |qcomp AS (SELECT j,
+        |    CAST(sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS DOUBLE) AS cmp
+        |  FROM qh CROSS JOIN generate_series(0, 31) AS dims(j) GROUP BY j),
+        |qv AS (SELECT list(cmp ORDER BY j) AS v FROM qcomp),
+        |dn AS (SELECT e.doc_id,
+        |    round(list_dot_product(e.v, q.v)
+        |          / (sqrt(list_dot_product(e.v, e.v))
+        |             * sqrt(list_dot_product(q.v, q.v))), 4) AS cos
+        |  FROM e CROSS JOIN qv q),
+        |dleg AS (SELECT doc_id, dense_rank FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS dense_rank
+        |    FROM dn) WHERE dense_rank <= 30),
+        |fused AS (SELECT coalesce(s.doc_id, dd.doc_id) AS doc_id,
+        |    coalesce(CAST(floor(1000000000000.0 / (60 + s.bm25_rank)) AS BIGINT), 0)
+        |    + coalesce(CAST(floor(1000000000000.0 / (60 + dd.dense_rank)) AS BIGINT), 0)
+        |      AS rrf_score,
+        |    CAST(coalesce(s.bm25_rank, -1) AS BIGINT) AS bm25_rank,
+        |    CAST(coalesce(dd.dense_rank, -1) AS BIGINT) AS dense_rank
+        |  FROM sleg s FULL OUTER JOIN dleg dd ON s.doc_id = dd.doc_id),
+        |final AS (SELECT *,
+        |    row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+        |  FROM fused)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, rrf_score, bm25_rank, dense_rank
+        |FROM final WHERE rank <= 20 ORDER BY rank""".stripMargin
   )
 
   /** DuckDB literal for a fix-table string: quotes double, and the

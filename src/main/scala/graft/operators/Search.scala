@@ -209,4 +209,91 @@ object Search {
       docs.filter(col("doc_id") % 5 === 0), p1, s1)
     bm25Search(pm, sm, Seq("query", "filter", "join"), k = 20)
   }
+
+  /** C31: hybrid retrieval — BM25 keyword ranking fused with dense
+    * embedding ranking by reciprocal-rank fusion (Cormack, Clarke &
+    * Büttcher 2009, "Reciprocal rank fusion outperforms Condorcet and
+    * individual rank learning methods" — the standard hybrid-search
+    * combiner; every production RAG/eval-sourcing stack runs exactly
+    * this shape). Each leg retrieves its own top-`legK`; a candidate's
+    * fused score is Σ_legs 1/(rrfK + rank), missing legs contributing
+    * zero.
+    *
+    * Portability: RRF scores are computed as `floor(1e12/(rrfK+rank))`
+    * longs — ONE correctly-rounded IEEE division per leg on exact
+    * integer inputs, bit-identical across engines, then exact long
+    * addition — so the fused ordering needs no float-comparison
+    * machinery at all. Ranks inside each leg are already
+    * engine-reproducible (4-dp-rounded scores, doc_id tiebreak).
+    *
+    * Scale shape: both legs are index probes (postings slice for
+    * BM25; one broadcast query vector over the embedding scan for the
+    * dense leg) ending in distributed TakeOrdered top-`legK`; the
+    * fusion join touches ≤ 2·legK rows — driver-free and
+    * corpus-size-independent. At 100 TB both indexes are the persisted
+    * artifacts ([[buildPostings]] / [[TextEmbed.embedDocuments]] into
+    * a bucketed IVF); this entry builds them inline because the oracle
+    * re-derives from raw rows.
+    *
+    * @return top-`k` fused: (rank, doc_id, rrf_score, bm25_rank,
+    *         dense_rank) — leg ranks carry the -1 sentinel (the q98
+    *         convention) when the doc missed that leg's top-`legK` */
+  def hybridRrfSearch(docs: DataFrame, query: Seq[String], k: Int = 20,
+                      legK: Int = 30, rrfK: Int = 60,
+                      dims: Int = TextEmbed.DefaultDims): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(legK >= k, s"legK ($legK) must be >= k ($k) — fused top-k draws from the leg pools")
+    require(rrfK > 0, s"rrfK must be positive, got $rrfK")
+    val spark = docs.sparkSession
+    import graft.functions.vectors
+
+    val sparse = {
+      val (p, s) = buildPostings(docs)
+      bm25Search(p, s, query, legK)
+    }.select(col("doc_id"), col("rank").as("bm25_rank"))
+
+    val qdf = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(0L, query.mkString(" "))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    val qv = broadcast(TextEmbed.embedDocuments(qdf, dims)
+      .select(col("embedding").as("qv"))
+      .withColumn("qn", vectors.norm(col("qv"))))
+    val wd = Window.orderBy(col("cos").desc, col("doc_id").asc)
+    val dense = TextEmbed.embedDocuments(docs, dims)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("v"))
+      .withColumn("nrm", vectors.norm(col("v")))
+      .crossJoin(qv)
+      .withColumn("cos", round(
+        vectors.dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 4))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(legK)
+      .withColumn("dense_rank", row_number().over(wd).cast("long"))
+      .select(col("doc_id"), col("dense_rank"))
+
+    def leg(rank: org.apache.spark.sql.Column) =
+      coalesce(floor(lit(1.0e12) / (lit(rrfK) + rank)).cast("long"), lit(0L))
+    val fused = sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", leg(col("bm25_rank")) + leg(col("dense_rank")))
+      .withColumn("bm25_rank", coalesce(col("bm25_rank"), lit(-1L)))
+      .withColumn("dense_rank", coalesce(col("dense_rank"), lit(-1L)))
+    val w = Window.orderBy(col("rrf_score").desc, col("doc_id").asc)
+    fused.orderBy(col("rrf_score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("rrf_score"),
+        col("bm25_rank"), col("dense_rank"))
+      .orderBy(col("rank"))
+  }
+
+  /** C31 `q109_hybrid_rrf` — fused top-20 for the q90 query over the
+    * documents corpus: the BM25 leg is exactly q90's ranking (top-30
+    * pool), the dense leg ranks by cosine against the
+    * [[TextEmbed.embedDocuments]] projection of the SAME query string,
+    * and both legs plus the fusion re-derive from raw rows in the
+    * oracle — the whole hybrid pipeline hash-checked. */
+  def hybridSearchDocs(spark: SparkSession, dir: String): DataFrame =
+    hybridRrfSearch(Tables(spark, dir).documents,
+      Seq("spark", "window", "batch"), k = 20, legK = 30)
 }

@@ -121,4 +121,38 @@ class SearchSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected sort+limit top-k, got:\n$plan")
   }
+
+  test("hybrid RRF fuses leg ranks with exact integer scores and honest sentinels") {
+    val docs = Tables(spark, sfDir).documents
+    val out = Search.hybridRrfSearch(docs, Seq("spark", "window", "batch"),
+      k = 20, legK = 30).as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 20)
+    assert(out.map(_._1).toSeq === (1L to 20L), "dense rank sequence")
+    def leg(r: Long) = if (r == -1L) 0L else math.floor(1.0e12 / (60 + r)).toLong
+    out.foreach { case (_, id, score, br, dr) =>
+      assert(score === leg(br) + leg(dr), s"doc $id RRF arithmetic")
+      assert(br != -1L || dr != -1L, s"doc $id fused from no leg")
+    }
+    // fused order: score desc, doc_id asc — and the top doc must sit in
+    // BOTH legs (a single leg's best possible score, floor(1e12/61),
+    // is below any two-leg sum)
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && a._2 < b._2) },
+      "fused ordering broken")
+    assert(out.head._4 != -1L && out.head._5 != -1L,
+      "top fused doc should appear in both legs for this corpus")
+  }
+
+  test("hybrid RRF refuses bad parameters loudly") {
+    val docs = Tables(spark, sfDir).documents
+    intercept[IllegalArgumentException] {
+      Search.hybridRrfSearch(docs, Seq("spark"), k = 20, legK = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Search.hybridRrfSearch(docs, Seq("spark"), k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Search.hybridRrfSearch(docs, Seq("spark"), rrfK = 0)
+    }
+  }
 }
