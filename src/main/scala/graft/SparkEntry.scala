@@ -144,7 +144,8 @@ object SparkEntry {
     "q106_domain_gate"           -> ((s, d) => Urls.domainGateDocs(s, d)),
     "q107_exact_probe"           -> ((s, d) => Dedup.exactProbeDocs(s, d)),
     "q108_nb_classifier"         -> ((s, d) => Classify.nbLangDocs(s, d)),
-    "q109_hybrid_rrf"            -> ((s, d) => Search.hybridSearchDocs(s, d))
+    "q109_hybrid_rrf"            -> ((s, d) => Search.hybridSearchDocs(s, d)),
+    "q110_leakage_split"         -> ((s, d) => Sharding.leakageSplitDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -2397,47 +2398,29 @@ object SparkEntry {
     // form rule by rule (shared regex pieces + the shared tracking-
     // param list), and re-elects keepers, so every canonicalization
     // rule is hash-checked, not just exercised
-    "q105_url_dedup" ->
-      s"""WITH planted AS (
-         |  SELECT doc_id,
-         |    CASE doc_id % 6
-         |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM/articles/' || CAST(doc_id % 100 AS VARCHAR)
-         |      WHEN 1 THEN 'https://' || source || '.example.com/articles/' || CAST(doc_id % 100 AS VARCHAR)
-         |      WHEN 2 THEN 'https://www.' || source || '.example.com:443/articles/' || CAST(doc_id % 100 AS VARCHAR) || '/'
-         |      WHEN 3 THEN 'https://' || source || '.example.com/articles/' || CAST(doc_id % 100 AS VARCHAR) || '#sec-2'
-         |      WHEN 4 THEN 'https://' || source || '.example.com/articles/' || CAST(doc_id % 100 AS VARCHAR) || '?page=2&fbclid=IwAB12&utm_source=t.co'
-         |      ELSE 'HTTPS://' || source || '.EXAMPLE.com/articles/' || CAST(doc_id % 100 AS VARCHAR) || '/?utm_medium=social'
-         |    END AS url
-         |  FROM documents),
-         |p1 AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nofrag FROM planted),
-         |p2 AS (SELECT doc_id,
-         |         regexp_replace(nofrag, '\\?.*$$', '') AS base,
-         |         coalesce(regexp_extract(nofrag, '\\?(.*)$$', 1), '') AS q FROM p1),
-         |p3 AS (SELECT doc_id, q,
-         |         lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-         |         regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM p2),
-         |p4 AS (SELECT doc_id, q, scheme,
-         |         lower(regexp_extract(rest, '^([^/]*)', 1)) AS auth,
-         |         regexp_replace(rest, '^[^/]*', '') AS path FROM p3),
-         |p5 AS (SELECT doc_id,
-         |         scheme || '://' ||
-         |         regexp_replace(CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
-         |                             WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$$', '')
-         |                             ELSE auth END, '^www\\.', '') ||
-         |         regexp_replace(path, '/+$$', '') ||
-         |         CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS canon_url
-         |       FROM (SELECT *,
-         |               -- coalesce: DuckDB's array_to_string of an EMPTY list is
-         |               -- NULL, not '' (Spark's array_join returns '')
-         |               coalesce(array_to_string(list_filter(string_split(q, '&'),
-         |                 p -> p <> ''
-         |                   AND substr(lower(regexp_extract(p, '^([^=]*)', 1)), 1, 4) <> 'utm_'
-         |                   AND lower(regexp_extract(p, '^([^=]*)', 1)) NOT IN (${Urls.trackingParams.map(t => s"'$t'").mkString(", ")})), '&'), '') AS kq
-         |             FROM p4)),
-         |rep AS (SELECT canon_url, min(doc_id) AS keep FROM p5 GROUP BY 1)
-         |SELECT c.doc_id, c.canon_url, (c.doc_id <> r.keep) AS is_dup,
-         |       CAST(CASE WHEN c.doc_id <> r.keep THEN r.keep ELSE -1 END AS BIGINT) AS dup_of
-         |FROM p5 c JOIN rep r USING (canon_url) ORDER BY c.doc_id""".stripMargin,
+    "q105_url_dedup" -> (urlCanonCtes +
+      """,
+        |rep AS (SELECT canon_url, min(doc_id) AS keep FROM p5 GROUP BY 1)
+        |SELECT c.doc_id, c.canon_url, (c.doc_id <> r.keep) AS is_dup,
+        |       CAST(CASE WHEN c.doc_id <> r.keep THEN r.keep ELSE -1 END AS BIGINT) AS dup_of
+        |FROM p5 c JOIN rep r USING (canon_url) ORDER BY c.doc_id""".stripMargin),
+
+    // q110: leakage-safe split over the q105 canonical groups — the
+    // oracle re-derives canonicalization (shared CTEs), the 13-nibble
+    // md5 bucket, and the split label; identical group strings hash to
+    // identical buckets BY CONSTRUCTION on both engines, so the
+    // hash-match certifies that no recrawl group straddles splits
+    "q110_leakage_split" -> (urlCanonCtes +
+      """,
+        |b AS (SELECT doc_id, canon_url,
+        |        CAST(('0x' || substr(md5(canon_url || ':split:7'), 1, 13)) AS BIGINT) % 100
+        |          AS bucket
+        |      FROM p5)
+        |SELECT doc_id, canon_url, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin),
 
     // q106: domain-reputation gate — per-domain integer-exact rules
     // (doc floor, mean-words floor as sum >= k·n, short-page percent
@@ -2599,6 +2582,49 @@ object SparkEntry {
     * [[TextClean.mojibakeFixes]] entry, each counting the pattern on
     * the PRE-step text (integer //) then applying the replace —
     * mirroring the operator's fold step for step. */
+  /** Shared q105/q110 oracle prefix: plant the six messy URL variants
+    * and re-derive the canonical form rule by rule (shared regex
+    * pieces + the shared tracking-param list — one source of truth
+    * with [[graft.operators.Urls.canonicalizeUrl]]). Ends at `p5`,
+    * which yields (doc_id, canon_url). */
+  private def urlCanonCtes: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 6
+       |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM/articles/' || CAST(doc_id % 100 AS VARCHAR)
+       |      WHEN 1 THEN 'https://' || source || '.example.com/articles/' || CAST(doc_id % 100 AS VARCHAR)
+       |      WHEN 2 THEN 'https://www.' || source || '.example.com:443/articles/' || CAST(doc_id % 100 AS VARCHAR) || '/'
+       |      WHEN 3 THEN 'https://' || source || '.example.com/articles/' || CAST(doc_id % 100 AS VARCHAR) || '#sec-2'
+       |      WHEN 4 THEN 'https://' || source || '.example.com/articles/' || CAST(doc_id % 100 AS VARCHAR) || '?page=2&fbclid=IwAB12&utm_source=t.co'
+       |      ELSE 'HTTPS://' || source || '.EXAMPLE.com/articles/' || CAST(doc_id % 100 AS VARCHAR) || '/?utm_medium=social'
+       |    END AS url
+       |  FROM documents),
+       |p1 AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nofrag FROM planted),
+       |p2 AS (SELECT doc_id,
+       |         regexp_replace(nofrag, '\\?.*$$', '') AS base,
+       |         coalesce(regexp_extract(nofrag, '\\?(.*)$$', 1), '') AS q FROM p1),
+       |p3 AS (SELECT doc_id, q,
+       |         lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |         regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM p2),
+       |p4 AS (SELECT doc_id, q, scheme,
+       |         lower(regexp_extract(rest, '^([^/]*)', 1)) AS auth,
+       |         regexp_replace(rest, '^[^/]*', '') AS path FROM p3),
+       |p5 AS (SELECT doc_id,
+       |         scheme || '://' ||
+       |         regexp_replace(CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+       |                             WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$$', '')
+       |                             ELSE auth END, '^www\\.', '') ||
+       |         regexp_replace(path, '/+$$', '') ||
+       |         CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS canon_url
+       |       FROM (SELECT *,
+       |               -- coalesce: DuckDB's array_to_string of an EMPTY list is
+       |               -- NULL, not '' (Spark's array_join returns '')
+       |               coalesce(array_to_string(list_filter(string_split(q, '&'),
+       |                 p -> p <> ''
+       |                   AND substr(lower(regexp_extract(p, '^([^=]*)', 1)), 1, 4) <> 'utm_'
+       |                   AND lower(regexp_extract(p, '^([^=]*)', 1)) NOT IN (${Urls.trackingParams.map(t => s"'$t'").mkString(", ")})), '&'), '') AS kq
+       |             FROM p4))""".stripMargin
+
   private def mojibakeOracleSql: String = {
     val base =
       s"""WITH s0 AS (

@@ -91,6 +91,49 @@ object Sharding {
     }.toMap
   }
 
+  /** C38: leakage-safe (group-aware) split — the contamination lesson
+    * of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499 — public): splitting ROWS leaks
+    * near-identical copies across train/test; the split key must be
+    * the DUPLICATE GROUP, so every member of a cluster (exact-dup
+    * fingerprint, canonical URL, resolved near-dup cluster — any
+    * group column) lands in the same named split by construction.
+    *
+    * Assignment is an md5 bucket of the GROUP key ([[md5Unit]]'s
+    * portability convention, integer-percent form): bucket =
+    * md5("group:split:seed")[first 13 nibbles] mod 100, train below
+    * `trainPct`, val below `trainPct+valPct`, test above. Map-only —
+    * a pure column expression over whatever frame already carries the
+    * group column; no shuffle, no join, reproducible on any cluster
+    * size and any engine with md5.
+    *
+    * @return `df` plus (bucket, split) columns */
+  def leakageSafeSplit(df: DataFrame, groupCol: String, trainPct: Int = 80,
+                       valPct: Int = 10, seed: Long = 7L): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      s"need positive train/val and a non-empty test remainder, got train=$trainPct val=$valPct")
+    val bucket = (conv(substring(md5(concat(col(groupCol).cast("string"),
+      lit(s":split:$seed"))), 1, 13), 16, 10).cast("long") % 100L).as("bucket")
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  /** C38 `q110_leakage_split` — the composed anti-leakage path: the
+    * q105 planted recrawl URLs collapse to canonical groups (sizes up
+    * to 5), and the split keys on the CANONICAL URL, so every recrawl
+    * copy of a page travels to the same split — the oracle re-derives
+    * canonicalization, bucket, and split label and hash-checks that
+    * no group straddles. */
+  def leakageSplitDocs(spark: SparkSession, dir: String): DataFrame = {
+    val urls = Urls.plantedUrls(Tables(spark, dir).documents)
+    val canon = urls.select(col("doc_id"),
+      Urls.canonicalizeUrl(col("url")).as("canon_url"))
+    leakageSafeSplit(canon, "canon_url").orderBy(col("doc_id"))
+  }
+
   /** Seeded hash mapped to uniform [0, 1) — the shared primitive behind
     * [[splitByHash]], [[sampleByHash]], and [[mixCorpora]]: halve the
     * signed 64-bit hash, shift into [0, 2⁶³), divide by 2⁶³. */

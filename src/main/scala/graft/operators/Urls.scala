@@ -112,10 +112,17 @@ object Urls {
     * hash-checks both the collapsing and the non-collapsing paths.
     * The http `:80` rule (unreachable here — mixing schemes would
     * split every group) is spec-covered in UrlsSpec instead. */
-  def urlDedupDocs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables(spark, dir).documents
-    val art  = (col("doc_id") % 100).cast("string")
-    val urls = docs.select(
+  def urlDedupDocs(spark: SparkSession, dir: String): DataFrame =
+    urlDedup(plantedUrls(graft.Tables(spark, dir).documents), "doc_id", "url")
+      .orderBy(col("doc_id"))
+
+  /** The q105 planted messy-URL frame — (doc_id, url), six
+    * deterministic variants keyed off doc_id (shared with q110, which
+    * splits on the canonical groups these collapse to; the oracle
+    * SQL replants the identical variants). */
+  private[operators] def plantedUrls(docs: DataFrame): DataFrame = {
+    val art = (col("doc_id") % 100).cast("string")
+    docs.select(
       col("doc_id"),
       when(col("doc_id") % 6 === 0,
         concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM/articles/"), art))
@@ -132,7 +139,6 @@ object Urls {
         concat(lit("HTTPS://"), col("source"), lit(".EXAMPLE.com/articles/"), art,
           lit("/?utm_medium=social")))
         .as("url"))
-    urlDedup(urls, "doc_id", "url").orderBy(col("doc_id"))
   }
 
   /** Domain-reputation gate: aggregate per-document signals to a

@@ -327,4 +327,43 @@ class ShardingSpec extends SparkSpecBase {
       Sharding.dsirScoreAgainstModel(novel, model.limit(1), "id", "text")
     }
   }
+
+  test("leakage-safe split keeps every group member in one split, map-only") {
+    val rows = Seq(
+      (1L, "g1"), (2L, "g1"), (3L, "g1"),
+      (4L, "g2"), (5L, "g2"),
+      (6L, "g3")
+    ).toDF("doc_id", "grp")
+    val out = Sharding.leakageSafeSplit(rows, "grp")
+    val got = out.as[(Long, String, Long, String)].collect()
+    assert(got.length === 6)
+    // one (bucket, split) per group — members never straddle
+    val byGroup = got.groupBy(_._2).map { case (g, rs) =>
+      g -> rs.map(r => (r._3, r._4)).distinct }
+    assert(byGroup.values.forall(_.size == 1), s"group straddled a split: $byGroup")
+    // bucket is the md5 convention, split thresholds honored
+    got.foreach { case (_, g, b, s) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$g:split:7".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      assert(b === java.lang.Long.parseLong(h, 16) % 100L)
+      assert(s === (if (b < 80) "train" else if (b < 90) "val" else "test"))
+    }
+    // map-only: no Exchange in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split must not shuffle:\n${plan.take(600)}")
+    intercept[IllegalArgumentException] {
+      Sharding.leakageSafeSplit(rows, "grp", trainPct = 90, valPct = 10)
+    }
+  }
+
+  test("q110 entry: recrawl URL groups co-travel and all three splits occur") {
+    val out = Sharding.leakageSplitDocs(spark, sfDir)
+      .as[(Long, String, Long, String)].collect()
+    val byCanon = out.groupBy(_._2)
+    assert(byCanon.exists(_._2.length > 1), "planted groups must collapse")
+    assert(byCanon.values.forall(_.map(_._4).distinct.length == 1),
+      "a canonical group straddled splits")
+    assert(out.map(_._4).distinct.sorted.toSeq === Seq("test", "train", "val"))
+  }
 }
