@@ -145,7 +145,9 @@ object SparkEntry {
     "q107_exact_probe"           -> ((s, d) => Dedup.exactProbeDocs(s, d)),
     "q108_nb_classifier"         -> ((s, d) => Classify.nbLangDocs(s, d)),
     "q109_hybrid_rrf"            -> ((s, d) => Search.hybridSearchDocs(s, d)),
-    "q110_leakage_split"         -> ((s, d) => Sharding.leakageSplitDocs(s, d))
+    "q110_leakage_split"         -> ((s, d) => Sharding.leakageSplitDocs(s, d)),
+    "q111_url_probe"             -> ((s, d) => Urls.urlProbeDocs(s, d)),
+    "q112_nb_incremental"        -> ((s, d) => Classify.nbIncrementalDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -2422,6 +2424,20 @@ object SparkEntry {
         |            ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin),
 
+    // q111: day-2 canonical-URL probe — the oracle re-derives the
+    // canonicalization (shared CTEs), elects corpus-side keepers, and
+    // replays the batch verdicts with the self-match exclusion
+    "q111_url_probe" -> (urlCanonCtes +
+      """,
+        |idx AS (SELECT canon_url, min(doc_id) AS keep_id FROM p5
+        |        WHERE doc_id % 5 <> 4 GROUP BY 1),
+        |b AS (SELECT doc_id, canon_url FROM p5 WHERE doc_id % 5 = 4)
+        |SELECT b.doc_id, b.canon_url,
+        |       (i.keep_id IS NOT NULL AND i.keep_id <> b.doc_id) AS is_dup,
+        |       CAST(CASE WHEN i.keep_id IS NOT NULL AND i.keep_id <> b.doc_id
+        |                 THEN i.keep_id ELSE -1 END AS BIGINT) AS dup_of
+        |FROM b LEFT JOIN idx i USING (canon_url) ORDER BY b.doc_id""".stripMargin),
+
     // q106: domain-reputation gate — per-domain integer-exact rules
     // (doc floor, mean-words floor as sum >= k·n, short-page percent
     // cap as 100·short <= pct·n) re-derived from raw rows
@@ -2464,41 +2480,12 @@ object SparkEntry {
     // argmax scoring on the batch) with every ln quantized to the 1e-8
     // grid and summed as exact longs (the q93 convention), so the
     // scores and the predictions hash-check digit for digit
-    "q108_nb_classifier" ->
-      """WITH planted AS (SELECT doc_id, lang, text || ' marker_' || lang AS text
-        |                 FROM documents),
-        |seed AS (SELECT * FROM planted WHERE doc_id % 5 <> 4),
-        |batch AS (SELECT * FROM planted WHERE doc_id % 5 = 4),
-        |stoks AS (SELECT doc_id, lang AS label,
-        |                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
-        |          FROM seed),
-        |tc AS (SELECT tok, label, CAST(count(*) AS BIGINT) AS c FROM stoks GROUP BY 1, 2),
-        |cs AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs,
-        |              CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens
-        |       FROM seed GROUP BY 1),
-        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tc),
-        |td AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS td FROM cs),
-        |consts AS (SELECT label,
-        |       CAST(round(ln(CAST(n_tokens + (SELECT v FROM v) AS DOUBLE)) * 100000000) AS BIGINT) AS lden,
-        |       CAST(round(ln(CAST(n_docs AS DOUBLE) / (SELECT td FROM td)) * 100000000) AS BIGINT) AS lprior
-        |       FROM cs),
-        |btoks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM batch),
-        |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM btoks GROUP BY 1, 2),
-        |part AS (SELECT doc_id, label,
-        |         CAST(sum(n * CAST(round(ln(CAST(c + 1 AS DOUBLE)) * 100000000) AS BIGINT)) AS BIGINT) AS part
-        |         FROM dt JOIN tc USING (tok) GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, lang,
-        |              CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS nd
-        |       FROM batch),
-        |grid AS (SELECT d.doc_id, d.lang, c.label,
-        |         coalesce(p.part, 0) - d.nd * c.lden + c.lprior AS score
-        |         FROM dl d CROSS JOIN consts c
-        |         LEFT JOIN part p ON p.doc_id = d.doc_id AND p.label = c.label),
-        |win AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-        |                                     ORDER BY score DESC, label ASC) AS rk FROM grid)
-        |SELECT doc_id, lang AS true_lang, label AS pred_label,
-        |       (label = lang) AS correct, CAST(score AS BIGINT) AS score
-        |FROM win WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "q108_nb_classifier" -> nbOracleSql,
+
+    // q112: the day-2 NB contract IS the oracle — fit-in-halves +
+    // merge must equal the full-seed fit bit-exactly (counts sum as
+    // longs before any log), so the oracle is q108's verbatim
+    "q112_nb_incremental" -> nbOracleSql,
 
     // q109: hybrid RRF — the BM25 leg is q90's derivation with a
     // top-30 pool, the dense leg rebuilds the md5 ±1 projection (the
@@ -2624,6 +2611,47 @@ object SparkEntry {
        |                   AND substr(lower(regexp_extract(p, '^([^=]*)', 1)), 1, 4) <> 'utm_'
        |                   AND lower(regexp_extract(p, '^([^=]*)', 1)) NOT IN (${Urls.trackingParams.map(t => s"'$t'").mkString(", ")})), '&'), '') AS kq
        |             FROM p4))""".stripMargin
+
+  /** Shared q108/q112 oracle: the multinomial-NB fit on the FULL
+    * marker-planted seed plus the Laplace-smoothed scaled-long argmax
+    * scoring of the held-out batch. q112's merged two-half fit must
+    * match this full-seed derivation bit for bit (counts sum as longs
+    * before any log is taken). */
+  private def nbOracleSql: String =
+    """WITH planted AS (SELECT doc_id, lang, text || ' marker_' || lang AS text
+      |                 FROM documents),
+      |seed AS (SELECT * FROM planted WHERE doc_id % 5 <> 4),
+      |batch AS (SELECT * FROM planted WHERE doc_id % 5 = 4),
+      |stoks AS (SELECT doc_id, lang AS label,
+      |                 unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |          FROM seed),
+      |tc AS (SELECT tok, label, CAST(count(*) AS BIGINT) AS c FROM stoks GROUP BY 1, 2),
+      |cs AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs,
+      |              CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens
+      |       FROM seed GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tc),
+      |td AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS td FROM cs),
+      |consts AS (SELECT label,
+      |       CAST(round(ln(CAST(n_tokens + (SELECT v FROM v) AS DOUBLE)) * 100000000) AS BIGINT) AS lden,
+      |       CAST(round(ln(CAST(n_docs AS DOUBLE) / (SELECT td FROM td)) * 100000000) AS BIGINT) AS lprior
+      |       FROM cs),
+      |btoks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM batch),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM btoks GROUP BY 1, 2),
+      |part AS (SELECT doc_id, label,
+      |         CAST(sum(n * CAST(round(ln(CAST(c + 1 AS DOUBLE)) * 100000000) AS BIGINT)) AS BIGINT) AS part
+      |         FROM dt JOIN tc USING (tok) GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, lang,
+      |              CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS nd
+      |       FROM batch),
+      |grid AS (SELECT d.doc_id, d.lang, c.label,
+      |         coalesce(p.part, 0) - d.nd * c.lden + c.lprior AS score
+      |         FROM dl d CROSS JOIN consts c
+      |         LEFT JOIN part p ON p.doc_id = d.doc_id AND p.label = c.label),
+      |win AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                                     ORDER BY score DESC, label ASC) AS rk FROM grid)
+      |SELECT doc_id, lang AS true_lang, label AS pred_label,
+      |       (label = lang) AS correct, CAST(score AS BIGINT) AS score
+      |FROM win WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
   private def mojibakeOracleSql: String = {
     val base =

@@ -105,6 +105,43 @@ object Classify {
       .select(col(idCol), col("label").as("pred_label"), col("score"))
   }
 
+  /** Day-2 model growth: merge two fitted NB models by summing their
+    * count frames — EXACT (integer sums are associative and
+    * commutative), so merge-then-score equals refit-then-score bit for
+    * bit; that is the q112 oracle contract (the
+    * [[Search.appendToPostings]] append-equals-rebuild convention).
+    * Labels present in only one half pass through untouched. */
+  def mergeNbModels(tc1: DataFrame, cs1: DataFrame,
+                    tc2: DataFrame, cs2: DataFrame): (DataFrame, DataFrame) = {
+    val tc = tc1.unionByName(tc2).groupBy(col("tok"), col("label"))
+      .agg(sum(col("c")).as("c"))
+    val cs = cs1.unionByName(cs2).groupBy(col("label"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    (tc, cs)
+  }
+
+  /** `q112_nb_incremental` — the day-2 path: the q108 seed arrives as
+    * TWO ingest batches (odd/even doc_id halves), each fitted
+    * separately, merged with [[mergeNbModels]], and the held-out batch
+    * scores against the merged model. The oracle is q108's full-seed
+    * reformulation verbatim — merge-equals-refit is the contract,
+    * bit-exact because counts sum as longs before any log is taken. */
+  def nbIncrementalDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" marker_"), col("lang")).as("text"))
+    val seed  = docs.filter(col("doc_id") % 5 =!= 4)
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    val (tc1, cs1) = nbFit(seed.filter(col("doc_id") % 2 === 0), "lang", "text")
+    val (tc2, cs2) = nbFit(seed.filter(col("doc_id") % 2 === 1), "lang", "text")
+    val (tc, cs) = mergeNbModels(tc1, cs1, tc2, cs2)
+    nbScore(batch, tc, cs)
+      .join(batch.select(col("doc_id"), col("lang").as("true_lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("true_lang"), col("pred_label"),
+        (col("pred_label") === col("true_lang")).as("correct"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** `q108_nb_classifier` — classification end to end on the standard
     * 80/20 split. The synthetic corpus's text is the SAME shared word
     * salad for every `lang` value (token distributions carry no class

@@ -141,6 +141,51 @@ object Urls {
         .as("url"))
   }
 
+  /** Persistable canonical-URL index — (canon_url, keep_id, n_copies),
+    * the [[urlDedup]] election as a day-2 artifact (the
+    * [[Dedup.buildExactIndex]] convention at the URL tier). Write once,
+    * probe every crawl batch with [[urlDedupAgainstIndex]]; appends
+    * merge associatively (groupBy-min over old + new). */
+  def buildUrlIndex(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol).as("keep_id"), canonicalizeUrl(col(urlCol)).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("keep_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Day-2 canonical-URL dedup: verdict a crawl batch against the
+    * PERSISTED index with zero corpus work — canonicalize the batch
+    * (map-only), one join against the one-row-per-resource index. A
+    * batch row whose canonical URL maps to ITS OWN id is the same page
+    * re-sent (a replayed fetch), not a duplicate — excluding
+    * self-matches keeps replays idempotent (the
+    * [[Dedup.dedupExactAgainstIndex]] rule).
+    *
+    * @return (id, canon_url, is_dup, dup_of — the index's keeper, -1
+    *         sentinel when the resource is new) */
+  def urlDedupAgainstIndex(batch: DataFrame, index: DataFrame,
+                           idCol: String, urlCol: String): DataFrame = {
+    require(index.columns.contains("canon_url") && index.columns.contains("keep_id"),
+      "index must carry (canon_url, keep_id) — build it with buildUrlIndex")
+    val hit = col("keep_id").isNotNull && col("keep_id") =!= col(idCol)
+    batch.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canon_url"))
+      .join(index.select(col("canon_url"), col("keep_id")), Seq("canon_url"), "left")
+      .select(col(idCol), col("canon_url"), hit.as("is_dup"),
+        when(hit, col("keep_id")).otherwise(lit(-1L)).as("dup_of"))
+  }
+
+  /** `q111_url_probe` — the day-2 URL tier over the standard 80/20
+    * split of the q105 planted recrawl URLs: the corpus's canonical
+    * index is the persisted artifact, the held-out batch probes it,
+    * and because article groups span the split, batch pages genuinely
+    * hit corpus keepers while fresh resources exercise the -1 path.
+    * The oracle re-derives canonicalization, the index election, and
+    * the probe verdicts from raw rows. */
+  def urlProbeDocs(spark: SparkSession, dir: String): DataFrame = {
+    val urls = plantedUrls(graft.Tables(spark, dir).documents)
+    val index = buildUrlIndex(urls.filter(col("doc_id") % 5 =!= 4), "doc_id", "url")
+    urlDedupAgainstIndex(urls.filter(col("doc_id") % 5 === 4), index, "doc_id", "url")
+      .orderBy(col("doc_id"))
+  }
+
   /** Domain-reputation gate: aggregate per-document signals to a
     * per-domain verdict, then gate every document by its domain's
     * verdict — RefinedWeb's site-level curation move (a domain whose

@@ -61,6 +61,22 @@ class ClassifySpec extends SparkSpecBase {
     }
   }
 
+  test("merged two-half fit equals the full fit exactly (merge-equals-refit)") {
+    val full = seed
+    val (tcA, csA) = Classify.nbFit(full.filter(col("doc_id") % 2 === 0), "label", "text")
+    val (tcB, csB) = Classify.nbFit(full.filter(col("doc_id") % 2 === 1), "label", "text")
+    val (tcM, csM) = Classify.mergeNbModels(tcA, csA, tcB, csB)
+    val (tcF, csF) = Classify.nbFit(full, "label", "text")
+    assert(tcM.as[(String, String, Long)].collect().toSet ===
+      tcF.as[(String, String, Long)].collect().toSet)
+    assert(csM.as[(String, Long, Long)].collect().toSet ===
+      csF.as[(String, Long, Long)].collect().toSet)
+    // scoring through the merged model is byte-identical to the refit
+    val batch = Seq((20L, "aa dd dd"), (21L, "zz")).toDF("doc_id", "text")
+    assert(Classify.nbScore(batch, tcM, csM).collect().toSet ===
+      Classify.nbScore(batch, tcF, csF).collect().toSet)
+  }
+
   test("q108 entry: one verdict per held-out doc, correct flag consistent, classes learned") {
     val out = Classify.nbLangDocs(spark, sfDir)
     val rows = out.collect()

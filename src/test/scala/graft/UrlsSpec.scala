@@ -124,4 +124,30 @@ class UrlsSpec extends SparkSpecBase {
       .as[(Long, Boolean, Long)].collect().sortBy(_._1).toList
     assert(out === List((2L, false, -1L), (10L, true, 1L), (11L, false, -1L)))
   }
+
+  test("URL-tier day-2 probe: recrawl variants hit the index keeper, replay idempotent") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "https://a.com/x"),
+      (2L, "HTTPS://WWW.A.com/x/"),       // same resource, messy recrawl
+      (3L, "https://b.com/y?utm_source=t")
+    ).toDF("doc_id", "url")
+    val index = Urls.buildUrlIndex(corpus, "doc_id", "url")
+    val idx = index.as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(idx("https://a.com/x") === ((1L, 2L)), "variants collapse, min id keeps")
+    assert(idx("https://b.com/y") === ((3L, 1L)))
+    val batch = Seq(
+      (10L, "https://a.com/x#frag"),      // recrawl of the kept resource
+      (11L, "https://c.com/new"),         // brand-new resource
+      (3L, "https://b.com/y?utm_source=t") // the SAME page re-sent → not a dup
+    ).toDF("doc_id", "url")
+    val out = Urls.urlDedupAgainstIndex(batch, index, "doc_id", "url")
+      .select("doc_id", "is_dup", "dup_of")
+      .as[(Long, Boolean, Long)].collect().sortBy(_._1).toList
+    assert(out === List((3L, false, -1L), (10L, true, 1L), (11L, false, -1L)))
+    intercept[IllegalArgumentException] {
+      Urls.urlDedupAgainstIndex(batch, index.drop("keep_id"), "doc_id", "url")
+    }
+  }
 }
