@@ -210,7 +210,7 @@ object Search {
     bm25Search(pm, sm, Seq("query", "filter", "join"), k = 20)
   }
 
-  /** C31: hybrid retrieval — BM25 keyword ranking fused with dense
+  /** C30d: hybrid retrieval — BM25 keyword ranking fused with dense
     * embedding ranking by reciprocal-rank fusion (Cormack, Clarke &
     * Büttcher 2009, "Reciprocal rank fusion outperforms Condorcet and
     * individual rank learning methods" — the standard hybrid-search
@@ -287,7 +287,7 @@ object Search {
       .orderBy(col("rank"))
   }
 
-  /** C31 `q109_hybrid_rrf` — fused top-20 for the q90 query over the
+  /** C30d `q109_hybrid_rrf` — fused top-20 for the q90 query over the
     * documents corpus: the BM25 leg is exactly q90's ranking (top-30
     * pool), the dense leg ranks by cosine against the
     * [[TextEmbed.embedDocuments]] projection of the SAME query string,
