@@ -147,6 +147,7 @@ object SparkEntry {
     "q109_hybrid_rrf"            -> ((s, d) => Search.hybridSearchDocs(s, d)),
     "q110_leakage_split"         -> ((s, d) => Sharding.leakageSplitDocs(s, d)),
     "q111_url_probe"             -> ((s, d) => Urls.urlProbeDocs(s, d)),
+    "q113_blocklist_gate"        -> ((s, d) => Urls.blocklistGateDocs(s, d)),
     "q112_nb_incremental"        -> ((s, d) => Classify.nbIncrementalDocs(s, d))
   )
 
@@ -2438,6 +2439,28 @@ object SparkEntry {
         |                 THEN i.keep_id ELSE -1 END AS BIGINT) AS dup_of
         |FROM b LEFT JOIN idx i USING (canon_url) ORDER BY b.doc_id""".stripMargin),
 
+    // q113: domain-suffix blocklist gate — host extraction, the
+    // boundary-suffix expansion, and the list join re-derived from the
+    // SAME shared suffix constants (Urls.docBlocklist interpolates
+    // into both engines)
+    "q113_blocklist_gate" -> (urlPlantedCte +
+      s""",
+         |h AS (SELECT doc_id,
+         |        regexp_replace(regexp_replace(
+         |          lower(regexp_extract(regexp_replace(regexp_replace(url, '#.*$$', ''),
+         |            '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?]*)', 1)),
+         |          ':[0-9]+$$', ''), '^www\\.', '') AS host
+         |      FROM planted),
+         |sufs AS (SELECT doc_id,
+         |           array_to_string(list_slice(string_split(host, '.'), i + 1,
+         |             len(string_split(host, '.'))), '.') AS suf
+         |         FROM h CROSS JOIN generate_series(0, 7) AS g(i)
+         |         WHERE i < len(string_split(host, '.'))),
+         |bl AS (SELECT unnest([${Urls.docBlocklist.map(p => s"'$p'").mkString(", ")}]) AS suf),
+         |hits AS (SELECT DISTINCT s.doc_id FROM sufs s JOIN bl USING (suf))
+         |SELECT h.doc_id, h.host, (t.doc_id IS NOT NULL) AS blocked
+         |FROM h LEFT JOIN hits t USING (doc_id) ORDER BY h.doc_id""".stripMargin),
+
     // q106: domain-reputation gate — per-domain integer-exact rules
     // (doc floor, mean-words floor as sum >= k·n, short-page percent
     // cap as 100·short <= pct·n) re-derived from raw rows
@@ -2574,18 +2597,24 @@ object SparkEntry {
     * pieces + the shared tracking-param list — one source of truth
     * with [[graft.operators.Urls.canonicalizeUrl]]). Ends at `p5`,
     * which yields (doc_id, canon_url). */
-  private def urlCanonCtes: String =
-    s"""WITH planted AS (
-       |  SELECT doc_id,
-       |    CASE doc_id % 6
-       |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM/articles/' || CAST(doc_id % 100 AS VARCHAR)
-       |      WHEN 1 THEN 'https://' || source || '.example.com/articles/' || CAST(doc_id % 100 AS VARCHAR)
-       |      WHEN 2 THEN 'https://www.' || source || '.example.com:443/articles/' || CAST(doc_id % 100 AS VARCHAR) || '/'
-       |      WHEN 3 THEN 'https://' || source || '.example.com/articles/' || CAST(doc_id % 100 AS VARCHAR) || '#sec-2'
-       |      WHEN 4 THEN 'https://' || source || '.example.com/articles/' || CAST(doc_id % 100 AS VARCHAR) || '?page=2&fbclid=IwAB12&utm_source=t.co'
-       |      ELSE 'HTTPS://' || source || '.EXAMPLE.com/articles/' || CAST(doc_id % 100 AS VARCHAR) || '/?utm_medium=social'
-       |    END AS url
-       |  FROM documents),
+  /** The q105 messy-URL planting alone (WITH planted AS …) — shared by
+    * every URL-family oracle; one source of truth with
+    * [[graft.operators.Urls.plantedUrls]]. */
+  private def urlPlantedCte: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 6
+      |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM/articles/' || CAST(doc_id % 100 AS VARCHAR)
+      |      WHEN 1 THEN 'https://' || source || '.example.com/articles/' || CAST(doc_id % 100 AS VARCHAR)
+      |      WHEN 2 THEN 'https://www.' || source || '.example.com:443/articles/' || CAST(doc_id % 100 AS VARCHAR) || '/'
+      |      WHEN 3 THEN 'https://' || source || '.example.com/articles/' || CAST(doc_id % 100 AS VARCHAR) || '#sec-2'
+      |      WHEN 4 THEN 'https://' || source || '.example.com/articles/' || CAST(doc_id % 100 AS VARCHAR) || '?page=2&fbclid=IwAB12&utm_source=t.co'
+      |      ELSE 'HTTPS://' || source || '.EXAMPLE.com/articles/' || CAST(doc_id % 100 AS VARCHAR) || '/?utm_medium=social'
+      |    END AS url
+      |  FROM documents)""".stripMargin
+
+  private def urlCanonCtes: String = urlPlantedCte +
+    s""",
        |p1 AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nofrag FROM planted),
        |p2 AS (SELECT doc_id,
        |         regexp_replace(nofrag, '\\?.*$$', '') AS base,

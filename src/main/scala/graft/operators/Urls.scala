@@ -141,6 +141,79 @@ object Urls {
         .as("url"))
   }
 
+  /** Canonical HOST of a URL column: authority lowercased, ANY port
+    * stripped (blocklists judge hosts, not ports — unlike
+    * [[canonicalizeUrl]], which keeps non-default ports because they
+    * address distinct resources), one leading `www.` label stripped.
+    * Pure column expressions. */
+  def hostOf(url: Column): Column = {
+    val rest = regexp_replace(regexp_replace(url, "#.*$", ""),
+      "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val auth = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    regexp_replace(regexp_replace(auth, ":[0-9]+$", ""), "^www\\.", "")
+  }
+
+  /** The q113 entry's blocklist — shared constants: the oracle SQL
+    * interpolates the SAME suffixes, one source of truth. */
+  val docBlocklist: Seq[String] =
+    Seq("src3.example.com", "src7.example.com", "src12.example.com", "spam.example.org")
+
+  /** C36b: domain-suffix blocklist gate — the URL-filtering stage every
+    * published web pipeline runs FIRST (C4's blocklist, RefinedWeb
+    * §3.1: a curated list of adult/malware/spam domains prunes pages
+    * before any byte of text is fetched or scored). Suffix semantics:
+    * an entry blocks the host itself AND every subdomain
+    * (`example.com` blocks `a.b.example.com`), the convention the
+    * public lists assume.
+    *
+    * Scale shape — real blocklists run to millions of entries, so the
+    * list is a TABLE, not a plan literal: each host expands to its
+    * ≤ |labels| boundary suffixes (a bounded map-only transform, no
+    * corpus blowup), suffixes join the list (broadcast by default;
+    * `broadcastList = false` falls back to a shuffle join for lists
+    * past broadcast reach), and the distinct blocked ids — a frame no
+    * larger than the corpus and typically far smaller — join back on
+    * the id. The corpus is scanned once.
+    *
+    * @param blocklist one `pattern` column of lowercase domain suffixes
+    * @return (id, host, blocked) — one verdict row per input row */
+  def blocklistGate(df: DataFrame, idCol: String, urlCol: String,
+                    blocklist: DataFrame, broadcastList: Boolean = true): DataFrame = {
+    require(blocklist.columns.contains("pattern"),
+      "blocklist must carry a 'pattern' column of domain suffixes")
+    val withHost = df
+      .withColumn("host", hostOf(col(urlCol)))
+      .withColumn("_labels", split(col("host"), "\\."))
+      .withColumn("_sufs", transform(
+        sequence(lit(0), size(col("_labels")) - 1),
+        i => array_join(slice(col("_labels"), i + 1, size(col("_labels")) - i), ".")))
+    val list = blocklist.select(col("pattern").as("_suf"))
+    val right = if (broadcastList) broadcast(list) else list
+    val blocked = withHost
+      .select(col(idCol), explode(col("_sufs")).as("_suf"))
+      .join(right, Seq("_suf"))
+      .select(col(idCol)).distinct()
+      .withColumn("_hit", lit(true))
+    withHost.join(blocked, Seq(idCol), "left")
+      .select(col(idCol), col("host"),
+        coalesce(col("_hit"), lit(false)).as("blocked"))
+  }
+
+  /** `q113_blocklist_gate` — the planted recrawl URLs (hosts
+    * `src{N}.example.com` in six messy dressings) gated by
+    * [[docBlocklist]]: three exact-host entries plus one suffix that
+    * matches nothing (the clean path is real, not vacuous). The
+    * oracle re-derives host extraction, the boundary-suffix
+    * expansion, and the list join from the same shared constants.
+    * Subdomain-suffix blocking (deeper hosts) is spec-covered in
+    * UrlsSpec, where hosts with 4+ labels exist. */
+  def blocklistGateDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urls = plantedUrls(graft.Tables(spark, dir).documents)
+    blocklistGate(urls, "doc_id", "url", docBlocklist.toDF("pattern"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Persistable canonical-URL index — (canon_url, keep_id, n_copies),
     * the [[urlDedup]] election as a day-2 artifact (the
     * [[Dedup.buildExactIndex]] convention at the URL tier). Write once,

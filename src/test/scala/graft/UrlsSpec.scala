@@ -150,4 +150,30 @@ class UrlsSpec extends SparkSpecBase {
       Urls.urlDedupAgainstIndex(batch, index.drop("keep_id"), "doc_id", "url")
     }
   }
+
+  test("blocklist gate: suffix semantics block subdomains, exact hosts, nothing else") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "https://bad.example.com/a"),          // exact entry
+      (2L, "https://deep.sub.bad.example.com/b"), // subdomain of an entry
+      (3L, "https://WWW.Bad.Example.COM:8443/c"), // messy dressing, same host
+      (4L, "https://notbad.example.com/d"),       // suffix boundary: NOT blocked
+      (5L, "https://good.example.com/e"),
+      (6L, "https://bad.example.com.evil.net/f")  // entry as a NON-suffix infix
+    ).toDF("doc_id", "url")
+    val bl = Seq("bad.example.com", "blocked.org").toDF("pattern")
+    val out = Urls.blocklistGate(rows, "doc_id", "url", bl)
+      .as[(Long, String, Boolean)].collect().sortBy(_._1).toList
+    assert(out.map(r => r._1 -> r._3) ===
+      List(1L -> true, 2L -> true, 3L -> true, 4L -> false, 5L -> false, 6L -> false))
+    assert(out.find(_._1 == 3L).get._2 === "bad.example.com",
+      "host extraction must strip scheme case, www, and port")
+    // broadcast path by default; shuffle fallback flag honors the choice
+    val planB = Urls.blocklistGate(rows, "doc_id", "url", bl)
+      .queryExecution.executedPlan.toString
+    assert(planB.contains("BroadcastHashJoin"), s"list should broadcast:\n${planB.take(500)}")
+    intercept[IllegalArgumentException] {
+      Urls.blocklistGate(rows, "doc_id", "url", bl.withColumnRenamed("pattern", "p"))
+    }
+  }
 }
