@@ -148,7 +148,8 @@ object SparkEntry {
     "q110_leakage_split"         -> ((s, d) => Sharding.leakageSplitDocs(s, d)),
     "q111_url_probe"             -> ((s, d) => Urls.urlProbeDocs(s, d)),
     "q113_blocklist_gate"        -> ((s, d) => Urls.blocklistGateDocs(s, d)),
-    "q112_nb_incremental"        -> ((s, d) => Classify.nbIncrementalDocs(s, d))
+    "q112_nb_incremental"        -> ((s, d) => Classify.nbIncrementalDocs(s, d)),
+    "q114_corpus_datasheet"      -> ((s, d) => TextAnalysis.corpusDatasheetDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -2460,6 +2461,28 @@ object SparkEntry {
          |hits AS (SELECT DISTINCT s.doc_id FROM sufs s JOIN bl USING (suf))
          |SELECT h.doc_id, h.host, (t.doc_id IS NOT NULL) AS blocked
          |FROM h LEFT JOIN hits t USING (doc_id) ORDER BY h.doc_id""".stripMargin),
+
+    // q114: per-source corpus datasheet — the q107 donor planting
+    // re-derived, the global dup election keyed on text (the C2e
+    // within-engine-equality convention), every aggregate an exact
+    // integer except the 4-dp mean
+    "q114_corpus_datasheet" ->
+      """WITH planted AS (
+        |  SELECT d.doc_id, d.source, d.lang,
+        |         CASE WHEN d.doc_id % 10 = 9 THEN o.text ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN documents o ON o.doc_id = d.doc_id - 4),
+        |w AS (SELECT doc_id, source, lang, text,
+        |        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |        min(doc_id) OVER (PARTITION BY text) AS keep
+        |      FROM planted)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_words) AS BIGINT) AS total_words,
+        |       round(CAST(sum(n_words) AS DOUBLE) / count(*), 4) AS mean_words,
+        |       CAST(count(*) FILTER (n_words < 40) AS BIGINT) AS n_short,
+        |       CAST(count(*) FILTER (doc_id <> keep) AS BIGINT) AS n_exact_dups,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM w GROUP BY source ORDER BY source""".stripMargin,
 
     // q106: domain-reputation gate — per-domain integer-exact rules
     // (doc floor, mean-words floor as sum >= k·n, short-page percent

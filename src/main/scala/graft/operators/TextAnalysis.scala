@@ -595,4 +595,55 @@ object TextAnalysis {
         col("alpha_frac"), col("stop_hits"), col("pass"))
       .orderBy(col("doc_id"))
   }
+
+  /** C39: per-source corpus DATASHEET — the composition/provenance
+    * report card every released corpus ships (Gebru et al. 2018,
+    * "Datasheets for Datasets", arXiv:1803.09010; the Pile/Dolma
+    * per-source composition tables): one row per source with size,
+    * length profile, exact-duplication rate, and language spread —
+    * the numbers a curator reads before touching mixing weights.
+    *
+    * Scale shape: one map-only projection (words + text fingerprint),
+    * ONE window exchange on the fingerprint for the global dup
+    * verdict (the q105 single-exchange election, here at the text
+    * tier), then one partial-aggregating groupBy to |sources| rows.
+    * Nothing corpus-wide beyond those two exchanges; the output is
+    * dashboard-sized.
+    *
+    * `mean_words` is the only float (4-dp rounded IEEE division of
+    * exact longs — the q46 convention); every other column is an
+    * exact integer. */
+  def corpusDatasheet(docs: DataFrame): DataFrame = {
+    val words = size(split(trim(col("text")), "\\s+")).cast("long")
+    val perDoc = docs.select(col("doc_id"), col("source"), col("lang"),
+      words.as("n_words"), md5(col("text")).as("_fp"))
+    val keep = min(col("doc_id")).over(Window.partitionBy(col("_fp")))
+    perDoc.withColumn("_dup", col("doc_id") =!= keep)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(when(col("n_words") < 40, 1L).otherwise(0L)).as("n_short"),
+        sum(when(col("_dup"), 1L).otherwise(0L)).as("n_exact_dups"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("mean_words",
+        round(col("total_words").cast("double") / col("n_docs"), 4))
+      .select(col("source"), col("n_docs"), col("total_words"),
+        col("mean_words"), col("n_short"), col("n_exact_dups"), col("n_langs"))
+  }
+
+  /** C39 `q114_corpus_datasheet` — the datasheet over the documents
+    * corpus with the q107 donor planting folded in (odd held-out ids
+    * take a corpus donor's text), so the exact-duplication column
+    * counts REAL planted dups instead of reading all-zero on the
+    * word-salad corpus. The oracle re-derives the planting, the
+    * text-keyed dup election, and every aggregate. */
+  def corpusDatasheetDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val donors = docs.select((col("doc_id") + 4).as("doc_id"), col("text").as("_donor"))
+    val planted = docs.join(donors, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("lang"),
+        when(col("doc_id") % 10 === 9, col("_donor")).otherwise(col("text")).as("text"))
+    corpusDatasheet(planted).orderBy(col("source"))
+  }
 }

@@ -281,4 +281,23 @@ class TextAnalysisSpec extends SparkSpecBase {
         minMeanLen = 5.0, maxMeanLen = 4.0)
     }
   }
+
+  test("corpus datasheet aggregates size, length, dup rate, and lang spread per source") {
+    val docs = Seq(
+      (1L, "a", "en", "alpha beta gamma"),            // 3 words, keeper of the dup pair
+      (2L, "a", "en", Seq.fill(50)("w").mkString(" ")), // 50 words, not short
+      (3L, "a", "fr", "alpha beta gamma"),            // cross-doc exact dup of 1
+      (4L, "b", "de", "solo")                         // 1 word, short
+    ).toDF("doc_id", "source", "lang", "text")
+    val out = TextAnalysis.corpusDatasheet(docs).orderBy(col("source"))
+      .as[(String, Long, Long, Double, Long, Long, Long)].collect().toList
+    assert(out === List(
+      ("a", 3L, 56L, math.rint(56.0 / 3 * 1e4) / 1e4, 2L, 1L, 2L),
+      ("b", 1L, 1L, 1.0, 1L, 0L, 1L)))
+    // two exchanges total: the fingerprint window + the source agg —
+    // nothing else shuffles
+    val nEx = "Exchange".r.findAllIn(
+      TextAnalysis.corpusDatasheet(docs).queryExecution.executedPlan.toString).size
+    assert(nEx <= 3, s"datasheet plan grew unexpected exchanges: $nEx")
+  }
 }
