@@ -740,6 +740,57 @@ object EventsStream {
       }
       .start()
 
+  /** D2→C35b bridge — streaming canonical-URL index maintenance: each
+    * micro-batch of crawled pages canonicalizes
+    * ([[graft.operators.Urls.buildUrlIndex]] on the batch alone) and
+    * APPENDS only canonical URLs the index has never seen; existing
+    * rows are never rewritten, so a resource's keeper is stable for
+    * the life of the index.
+    *
+    * Keeper semantics, stated honestly: the batch builder elects the
+    * GLOBAL min id; this stream elects first-arrival (min id within
+    * the first batch that carries the resource). Probes
+    * ([[graft.operators.Urls.urlDedupAgainstIndex]]) need only A
+    * stable keeper, and first-arrival is the natural streaming
+    * election — recrawls are dups of the first fetch. `n_copies` is
+    * deliberately not maintained (it would force rewrites of a
+    * corpus-sized artifact per trigger); the census streams own count
+    * maintenance.
+    *
+    * Replay-idempotent like [[vocabIngestStream]]: a re-delivered
+    * batch's canonical URLs anti-join away against the index, so
+    * nothing doubles. First batch against an empty path bootstraps.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def urlIndexIngestStream(pages: DataFrame, indexPath: String,
+                           checkpointDir: String,
+                           idCol: String = "doc_id", urlCol: String = "url"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    pages.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        def readOpt(path: String) =
+          try Some(spark.read.parquet(path))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" ||
+                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+          }
+        val batchIdx = graft.operators.Urls
+          .buildUrlIndex(batch, idCol, urlCol)
+          .select(col("canon_url"), col("keep_id"))
+        val fresh = readOpt(indexPath) match {
+          case Some(ix) =>
+            batchIdx.join(ix.select(col("canon_url")), Seq("canon_url"), "left_anti")
+          case None => batchIdx
+        }
+        if (!fresh.isEmpty)
+          fresh.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(indexPath)
+      }
+      .start()
+
   /** D2→C30 bridge — streaming postings-index maintenance: each
     * micro-batch of new documents extends the BM25/phrase artifacts
     * through the production day-2 kernel

@@ -545,6 +545,41 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C35b: streaming URL-index ingest bootstraps, keeps keepers stable, replays idempotently") {
+    import graft.operators.Urls
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    case class Page(doc_id: Long, url: String)
+    val mem = MemoryStream[(Long, String)]
+    val idx = java.nio.file.Files.createTempDirectory("graft_url_idx").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_url_cp").toString
+    val q = EventsStream.urlIndexIngestStream(
+      mem.toDF().toDF("doc_id", "url"), idx, cp)
+    def read() = spark.read.parquet(idx)
+      .as[(String, Long)].collect().toMap
+    try {
+      // batch 1 bootstraps: two variants of one resource + one other
+      mem.addData((2L, "HTTPS://WWW.A.com/x/"), (1L, "https://a.com/x"),
+        (3L, "https://b.com/y"))
+      q.processAllAvailable()
+      assert(read() === Map("https://a.com/x" -> 1L, "https://b.com/y" -> 3L))
+      // batch 2: recrawl of a known resource with a SMALLER id must NOT
+      // steal the keepership (first-arrival is stable); new resource appends
+      mem.addData((0L, "https://a.com/x#frag"), (9L, "https://c.com/z"))
+      q.processAllAvailable()
+      assert(read() === Map("https://a.com/x" -> 1L, "https://b.com/y" -> 3L,
+        "https://c.com/z" -> 9L))
+      assert(spark.read.parquet(idx).count() === 3, "replay/recrawl must not duplicate")
+      // the maintained index drives the production day-2 probe
+      val batch = Seq((20L, "https://b.com/y?utm_source=x"), (21L, "https://d.com/w"))
+        .toDF("doc_id", "url")
+      val verdicts = Urls.urlDedupAgainstIndex(batch, spark.read.parquet(idx),
+        "doc_id", "url").select("doc_id", "is_dup", "dup_of")
+        .as[(Long, Boolean, Long)].collect().sortBy(_._1).toList
+      assert(verdicts === List((20L, true, 3L), (21L, false, -1L)))
+    } finally q.stop()
+  }
+
   test("D2→C30: streaming postings ingest extends the index exactly once; search matches batch build") {
     import graft.operators.Search
     import graft.streaming.EventsStream.StreamDoc
