@@ -149,7 +149,8 @@ object SparkEntry {
     "q111_url_probe"             -> ((s, d) => Urls.urlProbeDocs(s, d)),
     "q113_blocklist_gate"        -> ((s, d) => Urls.blocklistGateDocs(s, d)),
     "q112_nb_incremental"        -> ((s, d) => Classify.nbIncrementalDocs(s, d)),
-    "q114_corpus_datasheet"      -> ((s, d) => TextAnalysis.corpusDatasheetDocs(s, d))
+    "q114_corpus_datasheet"      -> ((s, d) => TextAnalysis.corpusDatasheetDocs(s, d)),
+    "q115_boilerplate_strip"     -> ((s, d) => TextClean.boilerplateStripDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -2483,6 +2484,34 @@ object SparkEntry {
         |       CAST(count(*) FILTER (doc_id <> keep) AS BIGINT) AS n_exact_dups,
         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM w GROUP BY source ORDER BY source""".stripMargin,
+
+    // q115: per-domain boilerplate line removal — planting, census
+    // (blank lines exempt), per-domain boilerplate sets, and the
+    // order-preserving strip all re-derived from raw rows
+    "q115_boilerplate_strip" ->
+      """WITH planted AS (
+        |  SELECT doc_id, source,
+        |    concat_ws(chr(10),
+        |      'SITE HEADER ' || source,
+        |      'home | about | contact',
+        |      CASE WHEN doc_id % 5 = 0 THEN 'subscribe to ' || source || ' today' ELSE text END,
+        |      CASE WHEN doc_id % 5 = 0 THEN text ELSE '' END,
+        |      CASE WHEN doc_id % 125 = 4 THEN 'rare notice ' || source ELSE '' END,
+        |      '(c) 2024 ' || source || ' all rights reserved') AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM planted),
+        |ex AS (SELECT doc_id, source, unnest(ls) AS line FROM l),
+        |census AS (SELECT source, line, count(DISTINCT doc_id) AS nd
+        |           FROM ex WHERE trim(line) <> '' GROUP BY 1, 2),
+        |bp AS (SELECT source, list(line ORDER BY line) AS bls
+        |       FROM census WHERE nd >= 3 GROUP BY 1),
+        |sel AS (SELECT l.doc_id, l.source, l.ls,
+        |          list_filter(l.ls, x -> NOT coalesce(list_contains(b.bls, x), false)) AS kept
+        |        FROM l LEFT JOIN bp b USING (source))
+        |SELECT doc_id, source, CAST(len(ls) AS BIGINT) AS n_lines,
+        |       CAST(len(ls) - len(kept) AS BIGINT) AS n_removed,
+        |       array_to_string(kept, chr(10)) AS clean_text
+        |FROM sel ORDER BY doc_id""".stripMargin,
 
     // q106: domain-reputation gate — per-domain integer-exact rules
     // (doc floor, mean-words floor as sum >= k·n, short-page percent

@@ -269,6 +269,84 @@ object TextClean {
     * copyright footer, an all-caps shout, and a too-short line. The
     * oracle rebuilds the same page and re-derives the verdicts, so
     * every rule is hash-checked, not just exercised. */
+  /** C40: per-domain boilerplate LINE removal — the inter-document
+    * half of line cleaning (C32's rules judge a line by its own shape;
+    * this judges it by REPETITION ACROSS A SITE): navigation menus,
+    * headers, cookie banners, and copyright footers repeat on every
+    * page of a domain, and CCNet/RefinedWeb-class pipelines strip
+    * exactly these before dedup and LM scoring (Penedo et al. 2023
+    * §3.3 line-wise corrections; Wenzek et al. 2019 §4.1 per-shard
+    * duplicated-paragraph removal).
+    *
+    * A line is boilerplate iff it appears in ≥ `minDocs` DISTINCT
+    * documents of the same domain. Scale shape: one line explode →
+    * (domain, line) census (two map-side-partial aggregates) → the
+    * per-domain boilerplate SETS — a tiny frame (sites repeat dozens
+    * of lines, not millions) — collect per domain as an array and
+    * broadcast-join back onto the corpus, where the strip itself is a
+    * higher-order `filter` (map-only, order-preserving, no second
+    * explode and no per-line shuffle). The corpus shuffles ZERO times;
+    * only the line census exchanges.
+    *
+    * @return input plus (n_lines, n_removed, clean_text) — empty-line
+    *         runs are preserved as-is unless themselves boilerplate
+    *         (blank lines repeat everywhere, so pass `dropBlank` to
+    *         exempt them from the census instead of letting the
+    *         threshold strip all paragraph breaks) */
+  def boilerplateStrip(df: DataFrame, idCol: String, domainCol: String,
+                       textCol: String, minDocs: Int = 3, sep: String = "\n",
+                       dropBlank: Boolean = true): DataFrame = {
+    require(minDocs >= 2,
+      s"minDocs must be >= 2 (1 would strip every line), got $minDocs")
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val exploded = df
+      .select(col(domainCol).as("_dom"), col(idCol).as("_rid"),
+        explode(lines).as("_line"))
+      .filter(if (dropBlank) trim(col("_line")) =!= "" else lit(true))
+    val census = exploded
+      .groupBy(col("_dom"), col("_line"))
+      .agg(countDistinct(col("_rid")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+    val bp = census.groupBy(col("_dom"))
+      .agg(sort_array(collect_set(col("_line"))).as("_bls"))
+    df.join(broadcast(bp), col(domainCol) === col("_dom"), "left")
+      .withColumn("_ls", lines)
+      .withColumn("_kept", filter(col("_ls"),
+        l => !coalesce(array_contains(col("_bls"), l), lit(false))))
+      .withColumn("n_lines", size(col("_ls")).cast("long"))
+      .withColumn("n_removed", (size(col("_ls")) - size(col("_kept"))).cast("long"))
+      .withColumn("clean_text", array_join(col("_kept"), sep))
+      .drop("_dom", "_bls", "_ls", "_kept")
+  }
+
+  /** C40 `q115_boilerplate_strip` — the documents corpus dressed as a
+    * crawled site: every page of a source gains that site's header,
+    * nav, and footer lines (25 pages/source ≫ minDocs → stripped), a
+    * 5-pages-per-source promo line (≥ minDocs → stripped), and a
+    * sub-threshold "rare notice" line (≤ 1 page per source at sf0.01 —
+    * BELOW minDocs → kept, proving the threshold bites both ways); the
+    * original word-salad body is unique per page and always survives.
+    * The oracle re-plants, re-censuses, and re-strips from raw rows. */
+  def boilerplateStripDocs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+    val planted = docs.select(col("doc_id"), col("source"),
+      concat_ws("\n",
+        concat(lit("SITE HEADER "), col("source")),
+        lit("home | about | contact"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("subscribe to "), col("source"), lit(" today")))
+          .otherwise(col("text")),
+        when(col("doc_id") % 5 === 0, col("text")).otherwise(lit("")),
+        when(col("doc_id") % 125 === 4,
+          concat(lit("rare notice "), col("source"))).otherwise(lit("")),
+        concat(lit("(c) 2024 "), col("source"), lit(" all rights reserved"))
+      ).as("text"))
+    boilerplateStrip(planted, "doc_id", "source", "text")
+      .select(col("doc_id"), col("source"), col("n_lines"), col("n_removed"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   def lineFilterDocs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables(spark, dir).documents
     val planted = docs.select(

@@ -168,4 +168,47 @@ class TextCleanSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"mojibake repair must not shuffle:\n${plan.take(600)}")
   }
+
+  test("boilerplate strip: site-repeated lines removed, rare and unique lines kept, order preserved") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a.com", "MENU\nunique one\nRARE\nFOOTER"),
+      (2L, "a.com", "MENU\nunique two\nFOOTER"),
+      (3L, "a.com", "MENU\nunique three\nRARE\nFOOTER"),
+      (4L, "b.com", "MENU\nother site body") // MENU repeats only per-domain: kept on b.com
+    ).toDF("doc_id", "domain", "text")
+    val out = TextClean.boilerplateStrip(docs, "doc_id", "domain", "text")
+      .select("doc_id", "n_lines", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toList
+    assert(out === List(
+      (1L, 4L, 2L, "unique one\nRARE"),   // RARE in 2 docs < minDocs=3 → kept
+      (2L, 3L, 2L, "unique two"),
+      (3L, 4L, 2L, "unique three\nRARE"),
+      (4L, 2L, 0L, "MENU\nother site body")))
+    // a doc repeating a line internally counts ONE doc in the census
+    val rep = Seq(
+      (1L, "c.com", "X\nX\nbody1"), (2L, "c.com", "X\nbody2")
+    ).toDF("doc_id", "domain", "text")
+    val kept = TextClean.boilerplateStrip(rep, "doc_id", "domain", "text")
+      .select("clean_text").as[String].collect().toSet
+    assert(kept === Set("X\nX\nbody1", "X\nbody2"),
+      "2 distinct docs < minDocs → X survives even when repeated within a doc")
+    // blank lines are census-exempt (paragraph breaks survive) but
+    // boilerplate around them still strips
+    val blanky = Seq(
+      (1L, "d", "HDR\n\nbody1"), (2L, "d", "HDR\n\nbody2"), (3L, "d", "HDR\n\nbody3")
+    ).toDF("doc_id", "domain", "text")
+    val b = TextClean.boilerplateStrip(blanky, "doc_id", "domain", "text")
+      .filter(col("doc_id") === 1L).select("clean_text").as[String].head()
+    assert(b === "\nbody1")
+    intercept[IllegalArgumentException] {
+      TextClean.boilerplateStrip(docs, "doc_id", "domain", "text", minDocs = 1)
+    }
+    // the corpus never shuffles: the only exchanges belong to the line
+    // census; the strip side is a broadcast join + higher-order filter
+    val plan = TextClean.boilerplateStrip(docs, "doc_id", "domain", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boilerplate sets must broadcast back:\n${plan.take(600)}")
+  }
 }
