@@ -1020,6 +1020,56 @@ object EventsStream {
     * (doc, frozen model), so there is no stats row to heal.
     *
     * Returns the started query; callers own its lifecycle. */
+  /** D2→C37 bridge — streaming Naive Bayes classification against the
+    * PERSISTED model: each micro-batch of new documents scores through
+    * the production kernel ([[graft.operators.Classify.nbScore]] —
+    * one model join + broadcast constants grid) and appends its
+    * (id, pred_label, score) verdicts. Fit-first contract (the
+    * [[dsirScoreStream]] rule): a missing model fails LOUDLY — an
+    * empty count frame is not a valid zero classifier. Day-2 model
+    * GROWTH stays a batch concern
+    * ([[graft.operators.Classify.mergeNbModels]] on the refit
+    * cadence); this stream reads whatever model the paths currently
+    * hold, so a hot-swapped merged model takes effect on the next
+    * trigger.
+    *
+    * Replay-idempotent: already-scored ids anti-join away; scores are
+    * pure functions of (doc, frozen model) — no stats row to heal.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def nbScoreStream(docs: DataFrame, tokenCountsPath: String, classStatsPath: String,
+                    scoredPath: String, checkpointDir: String,
+                    idCol: String = "doc_id", textCol: String = "text"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.dropDuplicates(idCol)
+        // loud if absent: fit-first
+        val tokenCounts = spark.read.parquet(tokenCountsPath)
+          .select(col("tok"), col("label"), col("c"))
+        val classStats = spark.read.parquet(classStatsPath)
+          .select(col("label"), col("n_docs"), col("n_tokens"))
+        val existing =
+          try Some(spark.read.parquet(scoredPath))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" ||
+                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+          }
+        val fresh = existing match {
+          case Some(s) =>
+            batch.join(s.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+          case None => batch
+        }
+        if (!fresh.isEmpty)
+          graft.operators.Classify.nbScore(fresh, tokenCounts, classStats, idCol, textCol)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(scoredPath)
+      }
+      .start()
+
   def dsirScoreStream(docs: DataFrame, modelPath: String, scoredPath: String,
                       checkpointDir: String,
                       idCol: String = "doc_id", textCol: String = "text"):

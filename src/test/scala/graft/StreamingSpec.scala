@@ -580,6 +580,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C37: streaming NB scoring matches the batch kernel, replays idempotently, fit-first") {
+    import graft.operators.Classify
+    import graft.streaming.EventsStream.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val seed = Seq((1L, "A", "aa bb aa"), (2L, "A", "aa cc"),
+      (3L, "B", "dd ee"), (4L, "B", "dd dd ff")).toDF("doc_id", "label", "text")
+    val (tc, cs) = Classify.nbFit(seed, "label", "text")
+    val tcp = java.nio.file.Files.createTempDirectory("graft_nb_tc").toString
+    val csp = java.nio.file.Files.createTempDirectory("graft_nb_cs").toString
+    val scored = java.nio.file.Files.createTempDirectory("graft_nb_scored").toString + "/t"
+    val cp = java.nio.file.Files.createTempDirectory("graft_nb_cp").toString
+    tc.write.mode("overwrite").parquet(tcp); cs.write.mode("overwrite").parquet(csp)
+    val mem = MemoryStream[StreamDoc]
+    val q = EventsStream.nbScoreStream(mem.toDF(), tcp, csp, scored, cp)
+    try {
+      mem.addData(StreamDoc(10, "aa aa bb"), StreamDoc(11, "dd ff"))
+      q.processAllAvailable()
+      // batch 2 re-delivers doc 10 (must not re-score) plus a new doc
+      mem.addData(StreamDoc(10, "aa aa bb"), StreamDoc(12, "zz"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(scored)
+        .as[(Long, String, Long)].collect().sortBy(_._1).toList
+      val expect = Classify.nbScore(
+        Seq((10L, "aa aa bb"), (11L, "dd ff"), (12L, "zz")).toDF("doc_id", "text"),
+        tc, cs).as[(Long, String, Long)].collect().sortBy(_._1).toList
+      assert(got === expect, "streamed verdicts must equal the batch kernel")
+      assert(got.map(_._1) === List(10L, 11L, 12L), "re-delivery must not duplicate")
+    } finally q.stop()
+  }
+
   test("D2→C30: streaming postings ingest extends the index exactly once; search matches batch build") {
     import graft.operators.Search
     import graft.streaming.EventsStream.StreamDoc
