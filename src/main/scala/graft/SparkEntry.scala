@@ -150,7 +150,8 @@ object SparkEntry {
     "q113_blocklist_gate"        -> ((s, d) => Urls.blocklistGateDocs(s, d)),
     "q112_nb_incremental"        -> ((s, d) => Classify.nbIncrementalDocs(s, d)),
     "q114_corpus_datasheet"      -> ((s, d) => TextAnalysis.corpusDatasheetDocs(s, d)),
-    "q115_boilerplate_strip"     -> ((s, d) => TextClean.boilerplateStripDocs(s, d))
+    "q115_boilerplate_strip"     -> ((s, d) => TextClean.boilerplateStripDocs(s, d)),
+    "q116_curation_pipeline"     -> ((s, d) => Pipeline.curationPipelineDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -2512,6 +2513,46 @@ object SparkEntry {
         |       CAST(len(ls) - len(kept) AS BIGINT) AS n_removed,
         |       array_to_string(kept, chr(10)) AS clean_text
         |FROM sel ORDER BY doc_id""".stripMargin,
+
+    // q116: the composed curation pipeline replayed from scratch —
+    // donor planting under per-site templates, the line census +
+    // strip, the clean-text dup election, the length gate, and the
+    // disjoint per-domain rollup
+    "q116_curation_pipeline" ->
+      """WITH pages AS (
+        |  SELECT d.doc_id, d.source,
+        |    concat_ws(chr(10),
+        |      'SITE HEADER ' || d.source,
+        |      'home | about | contact',
+        |      CASE WHEN d.doc_id % 10 = 9 THEN o.text ELSE d.text END,
+        |      '(c) 2024 ' || d.source) AS text
+        |  FROM documents d LEFT JOIN documents o ON o.doc_id = d.doc_id - 4),
+        |l AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM pages),
+        |ex AS (SELECT doc_id, source, unnest(ls) AS line FROM l),
+        |census AS (SELECT source, line, count(DISTINCT doc_id) AS nd
+        |           FROM ex WHERE trim(line) <> '' GROUP BY 1, 2),
+        |bp AS (SELECT source, list(line ORDER BY line) AS bls
+        |       FROM census WHERE nd >= 3 GROUP BY 1),
+        |clean AS (SELECT l.doc_id, l.source,
+        |            array_to_string(list_filter(l.ls,
+        |              x -> NOT coalesce(list_contains(b.bls, x), false)), chr(10)) AS clean_text
+        |          FROM l LEFT JOIN bp b USING (source)),
+        |w AS (SELECT doc_id, source, clean_text,
+        |        CASE WHEN trim(clean_text) = '' THEN 0
+        |             ELSE len(string_split_regex(trim(clean_text), '\s+')) END AS w,
+        |        min(doc_id) OVER (PARTITION BY clean_text) AS keep
+        |      FROM clean),
+        |v AS (SELECT source AS domain, w,
+        |        (doc_id <> keep) AS dup,
+        |        (w >= 40 AND w <= 200) AS pass
+        |      FROM w)
+        |SELECT domain,
+        |       CAST(count(*) AS BIGINT) AS n_pages,
+        |       CAST(count(*) FILTER (dup) AS BIGINT) AS n_dups,
+        |       CAST(count(*) FILTER (NOT dup AND NOT pass) AS BIGINT) AS n_gate_failed,
+        |       CAST(count(*) FILTER (NOT dup AND pass) AS BIGINT) AS n_kept,
+        |       CAST(coalesce(sum(CASE WHEN NOT dup AND pass THEN w END), 0) AS BIGINT) AS kept_words
+        |FROM v GROUP BY domain ORDER BY domain""".stripMargin,
 
     // q106: domain-reputation gate — per-domain integer-exact rules
     // (doc floor, mean-words floor as sum >= k·n, short-page percent
