@@ -151,7 +151,9 @@ object SparkEntry {
     "q112_nb_incremental"        -> ((s, d) => Classify.nbIncrementalDocs(s, d)),
     "q114_corpus_datasheet"      -> ((s, d) => TextAnalysis.corpusDatasheetDocs(s, d)),
     "q115_boilerplate_strip"     -> ((s, d) => TextClean.boilerplateStripDocs(s, d)),
-    "q116_curation_pipeline"     -> ((s, d) => Pipeline.curationPipelineDocs(s, d))
+    "q116_curation_pipeline"     -> ((s, d) => Pipeline.curationPipelineDocs(s, d)),
+    "q117_boilerplate_probe"     -> ((s, d) => TextClean.boilerplateProbeDocs(s, d)),
+    "q118_temperature_sample"    -> ((s, d) => Sharding.temperatureSampleDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1318,6 +1320,30 @@ object SparkEntry {
         |SELECT doc_id, source FROM u
         |WHERE draw < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
         |                         WHEN 'src2' THEN 0.25 ELSE 0.1 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // q118: temperature resampling — the skew slice, per-source counts,
+    // 1e-6-quantized n^alpha terms summed as exact longs, the fixed-
+    // order rate chain with the min(1,·) clamp, and the md5 draw all
+    // re-derived; sqrt(= pow at alpha 0.5) is correctly-rounded IEEE
+    "q118_temperature_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source FROM documents
+        |  WHERE CAST(floor(doc_id / 20.0) AS BIGINT) % 10 < (doc_id % 20) % 10 + 1),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM d GROUP BY 1),
+        |t AS (SELECT source, ns,
+        |        CAST(round(pow(CAST(ns AS DOUBLE), 0.5) * 1000000.0) AS BIGINT) AS ts
+        |      FROM c),
+        |z AS (SELECT CAST(sum(ts) AS BIGINT) AS z FROM t),
+        |r AS (SELECT source,
+        |        least(1.0, 200.0 * (CAST(ts AS DOUBLE) / CAST((SELECT z FROM z) AS DOUBLE))
+        |                   / CAST(ns AS DOUBLE)) AS rate
+        |      FROM t),
+        |u AS (SELECT d.doc_id, d.source, r.rate,
+        |        CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':13'), 1, 13)) AS BIGINT)
+        |          / 4503599627370496.0 AS draw
+        |      FROM d JOIN r USING (source))
+        |SELECT doc_id, source FROM u WHERE draw < rate
         |ORDER BY doc_id""".stripMargin,
 
     "q73_weighted_sample" ->
@@ -2553,6 +2579,35 @@ object SparkEntry {
         |       CAST(count(*) FILTER (NOT dup AND pass) AS BIGINT) AS n_kept,
         |       CAST(coalesce(sum(CASE WHEN NOT dup AND pass THEN w END), 0) AS BIGINT) AS kept_words
         |FROM v GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // q117: day-2 boilerplate probe — the census builds from the
+    // CORPUS side only, the batch strips against it; the batch-only
+    // rare-notice line is absent from the census and must survive
+    "q117_boilerplate_probe" ->
+      """WITH planted AS (
+        |  SELECT doc_id, source,
+        |    concat_ws(chr(10),
+        |      'SITE HEADER ' || source,
+        |      'home | about | contact',
+        |      CASE WHEN doc_id % 5 = 0 THEN 'subscribe to ' || source || ' today' ELSE text END,
+        |      CASE WHEN doc_id % 5 = 0 THEN text ELSE '' END,
+        |      CASE WHEN doc_id % 125 = 4 THEN 'rare notice ' || source ELSE '' END,
+        |      '(c) 2024 ' || source || ' all rights reserved') AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM planted),
+        |ex AS (SELECT doc_id, source, unnest(ls) AS line FROM l WHERE doc_id % 5 <> 4),
+        |census AS (SELECT source, line, count(DISTINCT doc_id) AS nd
+        |           FROM ex WHERE trim(line) <> '' GROUP BY 1, 2),
+        |bp AS (SELECT source, list(line ORDER BY line) AS bls
+        |       FROM census WHERE nd >= 3 GROUP BY 1),
+        |sel AS (SELECT l.doc_id, l.source, l.ls,
+        |          list_filter(l.ls, x -> NOT coalesce(list_contains(b.bls, x), false)) AS kept
+        |        FROM l LEFT JOIN bp b USING (source)
+        |        WHERE l.doc_id % 5 = 4)
+        |SELECT doc_id, source, CAST(len(ls) AS BIGINT) AS n_lines,
+        |       CAST(len(ls) - len(kept) AS BIGINT) AS n_removed,
+        |       array_to_string(kept, chr(10)) AS clean_text
+        |FROM sel ORDER BY doc_id""".stripMargin,
 
     // q106: domain-reputation gate — per-domain integer-exact rules
     // (doc floor, mean-words floor as sum >= k·n, short-page percent

@@ -134,6 +134,62 @@ object Sharding {
     leakageSafeSplit(canon, "canon_url").orderBy(col("doc_id"))
   }
 
+  /** C42: temperature (α) source resampling — the multilingual mixing
+    * rule (Conneau & Lample 2019, arXiv:1901.07291 §3.1; the T5/XLM-R
+    * sampling-temperature family): source s keeps documents at a rate
+    * proportional to n_s^α / n_s, so α < 1 UPsamples small sources
+    * relative to their share and α = 1 is proportional sampling.
+    * Concretely: w_s = n_s^α / Σ_t n_t^α and keep-rate
+    * p_s = min(1, targetDocs · w_s / n_s), drawn per document with the
+    * retry-stable hash draw ([[sampleByHash]]'s contract).
+    *
+    * Portability: each n_s^α quantizes to a 1e-6 grid and Z sums those
+    * as EXACT LONGS (a double Σ over sources is merge-order-dependent);
+    * the remaining arithmetic is a fixed-order chain of single IEEE
+    * ops on exact inputs, so the keep set replays engine-exactly.
+    *
+    * Scale shape: ONE |sources|-row count aggregate (map-side
+    * partial), rates broadcast back, the sample itself a map-only
+    * filter. */
+  def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
+                        alpha: Double, targetDocs: Long, seed: Long = 0L,
+                        draw: Option[Column] = None): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must lie in (0,1], got $alpha")
+    require(targetDocs > 0, s"targetDocs must be positive, got $targetDocs")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_ns"))
+      .withColumn("_ts",
+        round(pow(col("_ns").cast("double"), lit(alpha)) * 1000000.0).cast("long"))
+    val z = counts.agg(sum(col("_ts")).as("_z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .withColumn("_rate", least(lit(1.0),
+        lit(targetDocs.toDouble)
+          * (col("_ts").cast("double") / col("_z").cast("double"))
+          / col("_ns").cast("double")))
+      .select(col(sourceCol), col("_rate"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(draw.getOrElse(hashUnit(col(idCol), seed)) < col("_rate"))
+      .drop("_rate")
+  }
+
+  /** C42 `q118_temperature_sample` — α = 0.5 over a deterministically
+    * SKEWED slice of the corpus (source sizes 3…25 via the
+    * floor(id/20) mod rule — the uniform synthetic table carries no
+    * skew of its own, and temperature sampling over equal sources
+    * degenerates to one flat rate), with the portable [[md5Unit]]
+    * draw. targetDocs = 200 lands the small sources ABOVE the clamp
+    * (rate pins to 1.0 — they keep everything) while big sources
+    * sample fractionally, so both legs of min(1, ·) are hash-checked
+    * along with the exact kept set. */
+  def temperatureSampleDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+      .filter(floor(col("doc_id") / 20.0).cast("long") % 10 <
+        (col("doc_id") % 20) % 10 + 1)
+    temperatureSample(d, "doc_id", "source", alpha = 0.5, targetDocs = 200L,
+      seed = 13L, draw = Some(md5Unit(col("doc_id"), 13L)))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Seeded hash mapped to uniform [0, 1) — the shared primitive behind
     * [[splitByHash]], [[sampleByHash]], and [[mixCorpora]]: halve the
     * signed 64-bit hash, shift into [0, 2⁶³), divide by 2⁶³. */

@@ -295,21 +295,57 @@ object TextClean {
     *         threshold strip all paragraph breaks) */
   def boilerplateStrip(df: DataFrame, idCol: String, domainCol: String,
                        textCol: String, minDocs: Int = 3, sep: String = "\n",
-                       dropBlank: Boolean = true): DataFrame = {
+                       dropBlank: Boolean = true): DataFrame =
+    stripAgainstCensus(df,
+      buildLineCensus(df, idCol, domainCol, textCol, sep, dropBlank),
+      domainCol, textCol, minDocs, sep)
+
+  /** The (domain, line, n_docs) LINE CENSUS — [[boilerplateStrip]]'s
+    * aggregate as a persistable day-2 artifact (the
+    * [[graft.operators.Dedup]] census convention at the line tier).
+    * Build it once over the crawled corpus, persist it, and strip
+    * every later batch with [[stripAgainstCensus]] — zero corpus
+    * re-explode. Censuses over DISJOINT document sets merge with
+    * [[mergeLineCensus]]. */
+  def buildLineCensus(df: DataFrame, idCol: String, domainCol: String,
+                      textCol: String, sep: String = "\n",
+                      dropBlank: Boolean = true): DataFrame = {
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    df.select(col(domainCol).as("domain"), col(idCol).as("_rid"),
+        explode(lines).as("line"))
+      .filter(if (dropBlank) trim(col("line")) =!= "" else lit(true))
+      .groupBy(col("domain"), col("line"))
+      .agg(countDistinct(col("_rid")).as("n_docs"))
+  }
+
+  /** Merge two line censuses over DISJOINT document sets: counts add
+    * as exact longs, so merge-equals-rebuild holds bit-for-bit
+    * (spec-asserted). Caller contract (the
+    * [[graft.operators.Search.appendToPostings]] convention): a
+    * document's lines are censused whole in exactly one input — a doc
+    * split across both would double-count itself. */
+  def mergeLineCensus(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("domain"), col("line"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+
+  /** Day-2 boilerplate strip: clean a batch against the PERSISTED
+    * census — the per-domain boilerplate sets derive from the census
+    * alone (tiny), broadcast onto the batch, and the strip is the same
+    * order-preserving higher-order `filter`; the censused corpus is
+    * never touched. A batch-only line (absent from the census) is by
+    * definition below any threshold and survives. */
+  def stripAgainstCensus(batch: DataFrame, census: DataFrame,
+                         domainCol: String, textCol: String,
+                         minDocs: Int = 3, sep: String = "\n"): DataFrame = {
     require(minDocs >= 2,
       s"minDocs must be >= 2 (1 would strip every line), got $minDocs")
+    require(Seq("domain", "line", "n_docs").forall(census.columns.contains),
+      "census must carry (domain, line, n_docs) — build it with buildLineCensus")
     val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
-    val exploded = df
-      .select(col(domainCol).as("_dom"), col(idCol).as("_rid"),
-        explode(lines).as("_line"))
-      .filter(if (dropBlank) trim(col("_line")) =!= "" else lit(true))
-    val census = exploded
-      .groupBy(col("_dom"), col("_line"))
-      .agg(countDistinct(col("_rid")).as("_nd"))
-      .filter(col("_nd") >= minDocs)
-    val bp = census.groupBy(col("_dom"))
-      .agg(sort_array(collect_set(col("_line"))).as("_bls"))
-    df.join(broadcast(bp), col(domainCol) === col("_dom"), "left")
+    val bp = census.filter(col("n_docs") >= minDocs)
+      .groupBy(col("domain").as("_dom"))
+      .agg(sort_array(collect_set(col("line"))).as("_bls"))
+    batch.join(broadcast(bp), col(domainCol) === col("_dom"), "left")
       .withColumn("_ls", lines)
       .withColumn("_kept", filter(col("_ls"),
         l => !coalesce(array_contains(col("_bls"), l), lit(false))))
@@ -327,9 +363,17 @@ object TextClean {
     * BELOW minDocs → kept, proving the threshold bites both ways); the
     * original word-salad body is unique per page and always survives.
     * The oracle re-plants, re-censuses, and re-strips from raw rows. */
-  def boilerplateStripDocs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables(spark, dir).documents
-    val planted = docs.select(col("doc_id"), col("source"),
+  def boilerplateStripDocs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    boilerplateStrip(plantedSitePages(graft.Tables(spark, dir).documents),
+      "doc_id", "source", "text")
+      .select(col("doc_id"), col("source"), col("n_lines"), col("n_removed"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+
+  /** The q115 site dressing — shared with q117 (which censuses the
+    * 80% corpus side and probes the 20% batch). */
+  private def plantedSitePages(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
       concat_ws("\n",
         concat(lit("SITE HEADER "), col("source")),
         lit("home | about | contact"),
@@ -341,7 +385,22 @@ object TextClean {
           concat(lit("rare notice "), col("source"))).otherwise(lit("")),
         concat(lit("(c) 2024 "), col("source"), lit(" all rights reserved"))
       ).as("text"))
-    boilerplateStrip(planted, "doc_id", "source", "text")
+
+  /** C40b `q117_boilerplate_probe` — the day-2 line tier over the
+    * standard 80/20 split of the planted site pages: the corpus
+    * side's census is the persisted artifact, the held-out batch
+    * strips against it with zero corpus work. Header/nav/footer carry
+    * 20 corpus pages per source (≥ threshold → stripped from batch
+    * pages); the promo line lives only on corpus pages (doc_id ≡ 0
+    * mod 5 is never batch-side) so it proves census content beyond
+    * the batch's own lines; the rare-notice line (doc_id ≡ 4 mod 125
+    * ⇒ always batch-side) is ABSENT from the census and survives —
+    * the batch-only-line contract. */
+  def boilerplateProbeDocs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val pages = plantedSitePages(graft.Tables(spark, dir).documents)
+    val census = buildLineCensus(pages.filter(col("doc_id") % 5 =!= 4),
+      "doc_id", "source", "text")
+    stripAgainstCensus(pages.filter(col("doc_id") % 5 === 4), census, "source", "text")
       .select(col("doc_id"), col("source"), col("n_lines"), col("n_removed"),
         col("clean_text"))
       .orderBy(col("doc_id"))

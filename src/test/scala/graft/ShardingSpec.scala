@@ -328,6 +328,32 @@ class ShardingSpec extends SparkSpecBase {
     }
   }
 
+  test("temperature sampling: alpha upsamples small sources, clamp pins them to keep-all") {
+    val rows = Seq(
+      (1L, "small", 0.99), (2L, "small", 0.01),
+      (3L, "big", 0.49), (4L, "big", 0.51), (5L, "big", 0.10), (6L, "big", 0.90),
+      (7L, "big", 0.30), (8L, "big", 0.70), (9L, "big", 0.20), (10L, "big", 0.80)
+    ).toDF("doc_id", "src", "u")
+    // alpha=.5, target=6: t_small=round(sqrt(2)e6), t_big=round(sqrt(8)e6),
+    // rate_small = 6·w/2 > 1 → clamps (keeps BOTH docs);
+    // rate_big = 6·w/8 ≈ 0.5 → keeps exactly the u<rate docs
+    val kept = Sharding.temperatureSample(rows, "doc_id", "src",
+        alpha = 0.5, targetDocs = 6L, draw = Some(col("u")))
+      .select("doc_id").as[Long].collect().sorted.toList
+    assert(kept === List(1L, 2L, 3L, 5L, 7L, 9L))
+    intercept[IllegalArgumentException] {
+      Sharding.temperatureSample(rows, "doc_id", "src", alpha = 0.0, targetDocs = 6L)
+    }
+    intercept[IllegalArgumentException] {
+      Sharding.temperatureSample(rows, "doc_id", "src", alpha = 0.5, targetDocs = 0L)
+    }
+    // rates ride a broadcast; the sample is a filter, not a shuffle of df
+    val plan = Sharding.temperatureSample(rows, "doc_id", "src",
+        alpha = 0.5, targetDocs = 6L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast:\n${plan.take(500)}")
+  }
+
   test("leakage-safe split keeps every group member in one split, map-only") {
     val rows = Seq(
       (1L, "g1"), (2L, "g1"), (3L, "g1"),

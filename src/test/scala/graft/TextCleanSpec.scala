@@ -211,4 +211,27 @@ class TextCleanSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"boilerplate sets must broadcast back:\n${plan.take(600)}")
   }
+
+  test("line census: merge over disjoint doc sets equals rebuild; day-2 probe honors batch-only lines") {
+    import spark.implicits._
+    def page(id: Long, dom: String, body: String) =
+      (id, dom, s"HDR-$dom\n$body")
+    val a = Seq(page(1, "x", "b1"), page(2, "x", "b2")).toDF("doc_id", "domain", "text")
+    val b = Seq(page(3, "x", "b3"), page(4, "y", "b4")).toDF("doc_id", "domain", "text")
+    val merged = TextClean.mergeLineCensus(
+      TextClean.buildLineCensus(a, "doc_id", "domain", "text"),
+      TextClean.buildLineCensus(b, "doc_id", "domain", "text"))
+    val rebuilt = TextClean.buildLineCensus(a.unionByName(b), "doc_id", "domain", "text")
+    assert(merged.as[(String, String, Long)].collect().toSet ===
+      rebuilt.as[(String, String, Long)].collect().toSet)
+    // probe: HDR-x has 3 corpus docs → stripped from a new batch page;
+    // the batch's own new line (never censused) survives
+    val batch = Seq((10L, "x", "HDR-x\nfresh body\nNEW-LINE")).toDF("doc_id", "domain", "text")
+    val out = TextClean.stripAgainstCensus(batch, merged, "domain", "text")
+      .select("clean_text").as[String].head()
+    assert(out === "fresh body\nNEW-LINE")
+    intercept[IllegalArgumentException] {
+      TextClean.stripAgainstCensus(batch, merged.drop("n_docs"), "domain", "text")
+    }
+  }
 }
