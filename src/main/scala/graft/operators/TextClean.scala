@@ -328,6 +328,20 @@ object TextClean {
     a.unionByName(b).groupBy(col("domain"), col("line"))
       .agg(sum(col("n_docs")).as("n_docs"))
 
+  /** Roll a day-partitioned streamed line census
+    * ([[graft.streaming.EventsStream.lineCensusIngestStream]]'s sink)
+    * up to the (domain, line, n_docs) probe shape — day deltas cover
+    * disjoint documents, so the sum IS [[mergeLineCensus]]. The sep
+    * metadata stamped by the stream survives on the `line` column so a
+    * mismatched probe can be detected by the caller. */
+  def loadLineCensus(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val meta = raw.schema("line").metadata
+    raw.groupBy(col("domain"), col("line"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .select(col("domain"), col("line").as("line", meta), col("n_docs"))
+  }
+
   /** Day-2 boilerplate strip: clean a batch against the PERSISTED
     * census — the per-domain boilerplate sets derive from the census
     * alone (tiny), broadcast onto the batch, and the strip is the same

@@ -453,8 +453,52 @@ object EventsStream {
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         val meta = new org.apache.spark.sql.types.MetadataBuilder()
           .putString("graft.paracensus.sep", sep).build()
-        writeCensusDayDelta(batch0, censusPath, idCol, "para_hash", meta,
-          opName = "censusIngestStream")
+        writeCensusDayDelta(batch0, censusPath, idCol, Seq("para_hash"), meta,
+          metaCol = "para_hash", opName = "censusIngestStream")
+      }
+      .start()
+  }
+
+  /** D1→C40 bridge — streaming maintenance of the per-domain LINE
+    * CENSUS (the boilerplate-strip artifact): each finalized ingest
+    * day's (domain, line, n_docs) delta lands as a day partition, so
+    * [[graft.operators.TextClean.stripAgainstCensus]] probes a census
+    * that is always current ([[graft.operators.TextClean.loadLineCensus]]
+    * rolls the partitions up — day deltas over disjoint doc sets are
+    * exactly the [[graft.operators.TextClean.mergeLineCensus]] sum).
+    *
+    * Same exactly-once mechanism as the paragraph/span twins: counts
+    * are not value-idempotent, so correctness comes from DAY
+    * COMPLETENESS — the aggregate keys on (day window, doc, domain,
+    * line) under the watermark, days emit whole, and a replayed day
+    * rewrites identical content (the shared split-day guard fails
+    * loudly otherwise). Tokenization parity with the batch builder
+    * (same split, same blank-line exemption) is structural: both sides
+    * call the same split/trim projection.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def lineCensusIngestStream(pages: DataFrame, censusPath: String,
+                             checkpointDir: String,
+                             idCol: String = "doc_id", domainCol: String = "domain",
+                             textCol: String = "text", tsCol: String = "ts",
+                             sep: String = "\n", watermark: String = "1 day"):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val perDocDay = pages.withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(idCol), col(domainCol).as("domain"),
+        explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("line"))
+      .filter(trim(col("line")) =!= "")
+      .groupBy(window(col(tsCol), "1 day"), col(idCol), col("domain"), col("line"))
+      .agg(count(lit(1)).as("_n"))
+      .select(col("window.start").cast("date").as("day"), col(idCol),
+        col("domain"), col("line"))
+    perDocDay.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val meta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("graft.linecensus.sep", sep).build()
+        writeCensusDayDelta(batch0, censusPath, idCol, Seq("domain", "line"), meta,
+          metaCol = "line", opName = "lineCensusIngestStream")
       }
       .start()
   }
@@ -506,8 +550,8 @@ object EventsStream {
         val meta = new org.apache.spark.sql.types.MetadataBuilder()
           .putLong("graft.spancensus.k", k.toLong)
           .putString("graft.spancensus.sep", sep).build()
-        writeCensusDayDelta(batch0, censusPath, idCol, "whash", meta,
-          opName = "spanCensusIngestStream")
+        writeCensusDayDelta(batch0, censusPath, idCol, Seq("whash"), meta,
+          metaCol = "whash", opName = "spanCensusIngestStream")
       }
       .start()
   }
@@ -526,17 +570,18 @@ object EventsStream {
     * census rows. Cost: one partition-pruned read of just this batch's
     * days. */
   private def writeCensusDayDelta(batch0: DataFrame, censusPath: String,
-                                  idCol: String, hashCol: String,
+                                  idCol: String, keyCols: Seq[String],
                                   meta: org.apache.spark.sql.types.Metadata,
-                                  opName: String): Unit = {
+                                  metaCol: String, opName: String): Unit = {
     // checkpointed once: the split-day guard and the partition
     // overwrite both consume the delta
     val delta = batch0
-      .groupBy(col("day"), col(hashCol))
+      .groupBy((col("day") +: keyCols.map(col)): _*)
       .agg(countDistinct(col(idCol)).as("n_docs"))
-      .select(col("day"), col(hashCol).as(hashCol, meta), col("n_docs"))
+      .select((col("day") +: keyCols.map(k =>
+        if (k == metaCol) col(k).as(k, meta) else col(k))) :+ col("n_docs"): _*)
       .localCheckpoint()
-    assertNoSplitDay(delta, censusPath, Seq(hashCol, "n_docs"), opName)
+    assertNoSplitDay(delta, censusPath, keyCols :+ "n_docs", opName)
     graft.sources.Sinks.writeDayPartitioned(
       delta, censusPath, "day", ifExists = "replace", clean = false)
   }

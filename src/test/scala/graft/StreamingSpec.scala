@@ -286,6 +286,56 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D1→C40: streaming line census lands finalized days; the probe strips against it") {
+    import graft.operators.TextClean
+    import graft.streaming.EventsStream.StreamDocTs
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_linecensus_tbl").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_linecensus_cp").toString
+    val mem = MemoryStream[StreamDocTs]
+    // domains derive from the doc id so StreamDocTs carries them
+    val pages = mem.toDF().withColumn("domain",
+      when(col("doc_id") < 50, "x.com").otherwise("other"))
+    val q = EventsStream.lineCensusIngestStream(pages, path, cp)
+    try {
+      // day 1: x.com header on three pages; a day-3 marker finalizes it
+      mem.addData(
+        StreamDocTs(1, ts("2024-01-01 10:00:00"), "HDR-X\nbody one"),
+        StreamDocTs(2, ts("2024-01-01 11:00:00"), "HDR-X\nbody two"),
+        StreamDocTs(3, ts("2024-01-01 12:00:00"), "HDR-X\nbody three"))
+      mem.addData(StreamDocTs(99, ts("2024-01-03 01:00:00"), "marker"))
+      q.processAllAvailable()
+      val census = TextClean.loadLineCensus(spark, path)
+      val m1 = census.as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(m1(("x.com", "HDR-X")) === 3L, m1.toString)
+      // the maintained census drives the production day-2 strip: the
+      // header goes, the fresh body and a never-censused line stay
+      val batch = Seq((10L, "x.com", "HDR-X\nfresh body\nNEW")).toDF("doc_id", "domain", "text")
+      val out = TextClean.stripAgainstCensus(batch, census, "domain", "text")
+        .select("clean_text").as[String].head()
+      assert(out === "fresh body\nNEW")
+      // replay from scratch: finalized days rewrite identically
+      val mem2 = MemoryStream[StreamDocTs]
+      val cp2 = java.nio.file.Files.createTempDirectory("graft_linecensus_cp2").toString
+      val q2 = EventsStream.lineCensusIngestStream(
+        mem2.toDF().withColumn("domain",
+          when(col("doc_id") < 50, "x.com").otherwise("other")), path, cp2)
+      try {
+        mem2.addData(
+          StreamDocTs(1, ts("2024-01-01 10:00:00"), "HDR-X\nbody one"),
+          StreamDocTs(2, ts("2024-01-01 11:00:00"), "HDR-X\nbody two"),
+          StreamDocTs(3, ts("2024-01-01 12:00:00"), "HDR-X\nbody three"),
+          StreamDocTs(99, ts("2024-01-03 01:00:00"), "marker"))
+        q2.processAllAvailable()
+        val m2 = TextClean.loadLineCensus(spark, path)
+          .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+        assert(m2 === m1, s"replay must leave the census unchanged: $m2 vs $m1")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("D1→C2e: streaming span census ingest lands finalized days; probe and replay agree") {
     import graft.operators.Dedup
     import graft.streaming.EventsStream.StreamDocTs
