@@ -2476,14 +2476,18 @@ object SparkEntry {
       s""",
          |h AS (SELECT doc_id,
          |        regexp_replace(regexp_replace(
-         |          lower(regexp_extract(regexp_replace(regexp_replace(url, '#.*$$', ''),
-         |            '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?]*)', 1)),
+         |          lower(regexp_extract(regexp_replace(regexp_replace(regexp_replace(
+         |            url, '#.*$$', ''),
+         |            '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/@?]*@', ''),
+         |            '^([^/?]*)', 1)),
          |          ':[0-9]+$$', ''), '^www\\.', '') AS host
          |      FROM planted),
+         |-- 31 labels is far past any real host; the WHERE guard keeps
+         |-- the expansion exact for shorter ones
          |sufs AS (SELECT doc_id,
          |           array_to_string(list_slice(string_split(host, '.'), i + 1,
          |             len(string_split(host, '.'))), '.') AS suf
-         |         FROM h CROSS JOIN generate_series(0, 7) AS g(i)
+         |         FROM h CROSS JOIN generate_series(0, 31) AS g(i)
          |         WHERE i < len(string_split(host, '.'))),
          |bl AS (SELECT unnest([${Urls.docBlocklist.map(p => s"'$p'").mkString(", ")}]) AS suf),
          |hits AS (SELECT DISTINCT s.doc_id FROM sufs s JOIN bl USING (suf))
@@ -2500,7 +2504,9 @@ object SparkEntry {
         |         CASE WHEN d.doc_id % 10 = 9 THEN o.text ELSE d.text END AS text
         |  FROM documents d LEFT JOIN documents o ON o.doc_id = d.doc_id - 4),
         |w AS (SELECT doc_id, source, lang, text,
-        |        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |        CASE WHEN trim(text) = '' THEN 0
+        |             ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |        END AS n_words,
         |        min(doc_id) OVER (PARTITION BY text) AS keep
         |      FROM planted)
         |SELECT source,
@@ -2615,7 +2621,9 @@ object SparkEntry {
     "q106_domain_gate" ->
       """WITH d AS (
         |  SELECT doc_id, source AS domain,
-        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words
+        |         CASE WHEN trim(text) = '' THEN 0
+        |              ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |         END AS n_words
         |  FROM documents),
         |s AS (
         |  SELECT domain, CAST(count(*) AS BIGINT) AS domain_docs,
@@ -2769,7 +2777,8 @@ object SparkEntry {
        |         coalesce(regexp_extract(nofrag, '\\?(.*)$$', 1), '') AS q FROM p1),
        |p3 AS (SELECT doc_id, q,
        |         lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-       |         regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM p2),
+       |         regexp_replace(regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+       |                        '^[^/@]*@', '') AS rest FROM p2),
        |p4 AS (SELECT doc_id, q, scheme,
        |         lower(regexp_extract(rest, '^([^/]*)', 1)) AS auth,
        |         regexp_replace(rest, '^[^/]*', '') AS path FROM p3),

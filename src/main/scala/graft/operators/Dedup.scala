@@ -108,15 +108,27 @@ object Dedup {
     * the dedup SEMANTICS, not the hash function — the C2e oracle
     * convention. */
   def exactProbeDocs(spark: SparkSession, dir: String): DataFrame = {
-    val docs   = Tables(spark, dir).documents
-    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
-    val donors = docs.select((col("doc_id") + 4).as("doc_id"), col("text").as("_donor"))
-    val batch = docs.filter(col("doc_id") % 5 === 4)
-      .join(donors, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("doc_id") % 10 === 9, col("_donor")).otherwise(col("text")).as("text"))
-    dedupExactAgainstIndex(batch, buildExactIndex(corpus)).orderBy(col("doc_id"))
+    val planted = donorPlantedText(Tables(spark, dir).documents)
+    dedupExactAgainstIndex(
+      planted.filter(col("doc_id") % 5 === 4).select(col("doc_id"), col("text")),
+      buildExactIndex(planted.filter(col("doc_id") % 5 =!= 4)))
+      .orderBy(col("doc_id"))
   }
+
+  /** The standard donor planting, ONE definition for q107/q114/q116
+    * (each oracle mirrors it): docs with doc_id ≡ 9 (mod 10) take the
+    * TEXT of doc (id − 4) — the donor is ≡ 5 (mod 10), so under the
+    * 80/20 split the recipient is always batch-side and the donor
+    * always corpus-side — planting genuine cross-document exact dups
+    * into the otherwise dup-free word-salad corpus. All other columns
+    * pass through untouched. */
+  private[operators] def donorPlantedText(docs: DataFrame): DataFrame =
+    docs
+      .join(docs.select((col("doc_id") + 4).as("doc_id"), col("text").as("_donor")),
+        Seq("doc_id"), "left")
+      .withColumn("text",
+        when(col("doc_id") % 10 === 9, col("_donor")).otherwise(col("text")))
+      .drop("_donor")
 
   // ---- shared shingling ------------------------------------------------
 

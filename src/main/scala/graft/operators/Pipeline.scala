@@ -67,14 +67,12 @@ object Pipeline {
     * gate splits the survivors (the corpus's 40-word short tail fails
     * it). The oracle replays all four stages from raw rows. */
   def curationPipelineDocs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables(spark, dir).documents
-    val donors = docs.select((col("doc_id") + 4).as("doc_id"), col("text").as("_donor"))
-    val pages = docs.join(donors, Seq("doc_id"), "left")
+    val pages = Dedup.donorPlantedText(graft.Tables(spark, dir).documents)
       .select(col("doc_id"), col("source"),
         concat_ws("\n",
           concat(lit("SITE HEADER "), col("source")),
           lit("home | about | contact"),
-          when(col("doc_id") % 10 === 9, col("_donor")).otherwise(col("text")),
+          col("text"),
           concat(lit("(c) 2024 "), col("source"))
         ).as("text"))
     curationReport(pages, "doc_id", "source", "text").orderBy(col("domain"))

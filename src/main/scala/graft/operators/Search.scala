@@ -252,13 +252,8 @@ object Search {
       bm25Search(p, s, query, legK)
     }.select(col("doc_id"), col("rank").as("bm25_rank"))
 
-    val qdf = spark.createDataFrame(
-      java.util.Arrays.asList(org.apache.spark.sql.Row(0L, query.mkString(" "))),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType, nullable = false))))
+    import spark.implicits._
+    val qdf = Seq((0L, query.mkString(" "))).toDF("doc_id", "text")
     val qv = broadcast(TextEmbed.embedDocuments(qdf, dims)
       .select(col("embedding").as("qv"))
       .withColumn("qn", vectors.norm(col("qv"))))

@@ -614,7 +614,10 @@ object TextAnalysis {
     * exact longs — the q46 convention); every other column is an
     * exact integer. */
   def corpusDatasheet(docs: DataFrame): DataFrame = {
-    val words = size(split(trim(col("text")), "\\s+")).cast("long")
+    // empty pages weigh zero words (the q106 guard — split of "" is
+    // [""], size 1, and the three word-count operators must agree)
+    val words = when(trim(col("text")) === "", lit(0L))
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
     val perDoc = docs.select(col("doc_id"), col("source"), col("lang"),
       words.as("n_words"), md5(col("text")).as("_fp"))
     val keep = min(col("doc_id")).over(Window.partitionBy(col("_fp")))
@@ -638,12 +641,8 @@ object TextAnalysis {
     * counts REAL planted dups instead of reading all-zero on the
     * word-salad corpus. The oracle re-derives the planting, the
     * text-keyed dup election, and every aggregate. */
-  def corpusDatasheetDocs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
-    val donors = docs.select((col("doc_id") + 4).as("doc_id"), col("text").as("_donor"))
-    val planted = docs.join(donors, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"), col("lang"),
-        when(col("doc_id") % 10 === 9, col("_donor")).otherwise(col("text")).as("text"))
-    corpusDatasheet(planted).orderBy(col("source"))
-  }
+  def corpusDatasheetDocs(spark: SparkSession, dir: String): DataFrame =
+    corpusDatasheet(Dedup.donorPlantedText(Tables(spark, dir).documents)
+      .select(col("doc_id"), col("source"), col("lang"), col("text")))
+      .orderBy(col("source"))
 }

@@ -42,7 +42,9 @@ object Urls {
     * until a crawler proves otherwise):
     *
     *  1. drop the fragment (`#...` — client-side only, never sent);
-    *  2. lowercase the scheme and the authority (RFC 3986 §6.2.2.1 —
+    *  2. drop any userinfo (`user:pass@` — never part of the resource
+    *     identity, and a classic gate-evasion dressing), then
+    *     lowercase the scheme and the authority (RFC 3986 §6.2.2.1 —
     *     host is case-insensitive; the PATH keeps its case, which is
     *     significant on most origins);
     *  3. strip the scheme's default port (`:80` http, `:443` https);
@@ -63,7 +65,8 @@ object Urls {
     val base   = regexp_replace(noFrag, "\\?.*$", "")
     val query  = regexp_extract(noFrag, "\\?(.*)$", 1)
     val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val rest   = regexp_replace(base, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val rest0  = regexp_replace(base, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val rest   = regexp_replace(rest0, "^[^/@]*@", "")
     val auth   = lower(regexp_extract(rest, "^([^/]*)", 1))
     val path   = regexp_replace(rest, "^[^/]*", "")
     val noPort = when(scheme === "https", regexp_replace(auth, ":443$", ""))
@@ -147,8 +150,11 @@ object Urls {
     * address distinct resources), one leading `www.` label stripped.
     * Pure column expressions. */
   def hostOf(url: Column): Column = {
-    val rest = regexp_replace(regexp_replace(url, "#.*$", ""),
+    val rest0 = regexp_replace(regexp_replace(url, "#.*$", ""),
       "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    // userinfo never identifies the host — and 'user@bad.com' dressing
+    // must not slip a blocked site past the gate
+    val rest = regexp_replace(rest0, "^[^/@?]*@", "")
     val auth = lower(regexp_extract(rest, "^([^/?]*)", 1))
     regexp_replace(regexp_replace(auth, ":[0-9]+$", ""), "^www\\.", "")
   }
@@ -218,7 +224,9 @@ object Urls {
     * the [[urlDedup]] election as a day-2 artifact (the
     * [[Dedup.buildExactIndex]] convention at the URL tier). Write once,
     * probe every crawl batch with [[urlDedupAgainstIndex]]; appends
-    * merge associatively (groupBy-min over old + new). */
+    * over disjoint crawls merge associatively per column — `keep_id`
+    * by min, `n_copies` by SUM (a min over the copies column would
+    * silently corrupt the counts). */
   def buildUrlIndex(df: DataFrame, idCol: String, urlCol: String): DataFrame =
     df.select(col(idCol).as("keep_id"), canonicalizeUrl(col(urlCol)).as("canon_url"))
       .groupBy(col("canon_url"))
@@ -285,7 +293,11 @@ object Urls {
     require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
     require(maxShortPct >= 0 && maxShortPct <= 100,
       s"maxShortPct must lie in [0,100], got $maxShortPct")
-    val words = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    // empty/whitespace-only pages weigh ZERO words (split of "" yields
+    // [""], size 1 — the guard keeps the three word-count operators
+    // q106/q114/q116 in agreement)
+    val words = when(trim(col(textCol)) === "", lit(0L))
+      .otherwise(size(split(trim(col(textCol)), "\\s+")).cast("long"))
     val perDoc = docs.select(col(idCol), col(domainCol).as("domain"), words.as("n_words"))
     val stats = perDoc.groupBy(col("domain")).agg(
       count(lit(1)).as("domain_docs"),

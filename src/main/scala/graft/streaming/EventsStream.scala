@@ -1065,6 +1065,36 @@ object EventsStream {
     * (doc, frozen model), so there is no stats row to heal.
     *
     * Returns the started query; callers own its lifecycle. */
+  def dsirScoreStream(docs: DataFrame, modelPath: String, scoredPath: String,
+                      checkpointDir: String,
+                      idCol: String = "doc_id", textCol: String = "text"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.dropDuplicates(idCol)
+        val model = spark.read.parquet(modelPath) // loud if absent: fit-first
+        // first-run-only benign catch on the SCORED table (advice-r9 rule)
+        val existing =
+          try Some(spark.read.parquet(scoredPath))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" ||
+                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+          }
+        val fresh = existing match {
+          case Some(s) =>
+            batch.join(s.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+          case None => batch
+        }
+        if (!fresh.isEmpty)
+          graft.operators.Sharding.dsirScoreAgainstModel(fresh, model, idCol, textCol)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(scoredPath)
+      }
+      .start()
+
   /** D2→C37 bridge — streaming Naive Bayes classification against the
     * PERSISTED model: each micro-batch of new documents scores through
     * the production kernel ([[graft.operators.Classify.nbScore]] —
@@ -1111,36 +1141,6 @@ object EventsStream {
         }
         if (!fresh.isEmpty)
           graft.operators.Classify.nbScore(fresh, tokenCounts, classStats, idCol, textCol)
-            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(scoredPath)
-      }
-      .start()
-
-  def dsirScoreStream(docs: DataFrame, modelPath: String, scoredPath: String,
-                      checkpointDir: String,
-                      idCol: String = "doc_id", textCol: String = "text"):
-      org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
-        val spark = batch0.sparkSession
-        val batch = batch0.dropDuplicates(idCol)
-        val model = spark.read.parquet(modelPath) // loud if absent: fit-first
-        // first-run-only benign catch on the SCORED table (advice-r9 rule)
-        val existing =
-          try Some(spark.read.parquet(scoredPath))
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" ||
-                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
-          }
-        val fresh = existing match {
-          case Some(s) =>
-            batch.join(s.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
-          case None => batch
-        }
-        if (!fresh.isEmpty)
-          graft.operators.Sharding.dsirScoreAgainstModel(fresh, model, idCol, textCol)
             .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(scoredPath)
       }
       .start()

@@ -159,13 +159,15 @@ class UrlsSpec extends SparkSpecBase {
       (3L, "https://WWW.Bad.Example.COM:8443/c"), // messy dressing, same host
       (4L, "https://notbad.example.com/d"),       // suffix boundary: NOT blocked
       (5L, "https://good.example.com/e"),
-      (6L, "https://bad.example.com.evil.net/f")  // entry as a NON-suffix infix
+      (6L, "https://bad.example.com.evil.net/f"), // entry as a NON-suffix infix
+      (7L, "https://user:pw@bad.example.com/g")   // userinfo must not evade the gate
     ).toDF("doc_id", "url")
     val bl = Seq("bad.example.com", "blocked.org").toDF("pattern")
     val out = Urls.blocklistGate(rows, "doc_id", "url", bl)
       .as[(Long, String, Boolean)].collect().sortBy(_._1).toList
     assert(out.map(r => r._1 -> r._3) ===
-      List(1L -> true, 2L -> true, 3L -> true, 4L -> false, 5L -> false, 6L -> false))
+      List(1L -> true, 2L -> true, 3L -> true, 4L -> false, 5L -> false,
+        6L -> false, 7L -> true))
     assert(out.find(_._1 == 3L).get._2 === "bad.example.com",
       "host extraction must strip scheme case, www, and port")
     // broadcast path by default; shuffle fallback flag honors the choice
