@@ -153,7 +153,9 @@ object SparkEntry {
     "q115_boilerplate_strip"     -> ((s, d) => TextClean.boilerplateStripDocs(s, d)),
     "q116_curation_pipeline"     -> ((s, d) => Pipeline.curationPipelineDocs(s, d)),
     "q117_boilerplate_probe"     -> ((s, d) => TextClean.boilerplateProbeDocs(s, d)),
-    "q118_temperature_sample"    -> ((s, d) => Sharding.temperatureSampleDocs(s, d))
+    "q118_temperature_sample"    -> ((s, d) => Sharding.temperatureSampleDocs(s, d)),
+    "q119_token_entropy"         -> ((s, d) => TextAnalysis.tokenEntropyDocs(s, d)),
+    "q120_wet_records"           -> ((s, d) => graft.sources.Warc.wetRecordsDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1345,6 +1347,70 @@ object SparkEntry {
         |      FROM d JOIN r USING (source))
         |SELECT doc_id, source FROM u WHERE draw < rate
         |ORDER BY doc_id""".stripMargin,
+
+    // q119: token entropy — per-(doc, token) counts, the 1e-8
+    // scaled-long Σ c·ln(c), and the fixed-order closing chain with
+    // the single-token guard, all re-derived from raw rows
+    "q119_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |       FROM toks GROUP BY 1, 2),
+        |a AS (SELECT doc_id,
+        |        CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        CAST(count(*) AS BIGINT) AS n_distinct,
+        |        CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 100000000.0) AS BIGINT))
+        |             AS BIGINT) AS s
+        |      FROM tc GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  round(ln(CAST(n_tokens AS DOUBLE))
+        |        - CAST(s AS DOUBLE) / 100000000.0 / CAST(n_tokens AS DOUBLE), 4) AS entropy,
+        |  CASE WHEN n_tokens = 1 THEN 1.0
+        |       ELSE round((ln(CAST(n_tokens AS DOUBLE))
+        |                   - CAST(s AS DOUBLE) / 100000000.0 / CAST(n_tokens AS DOUBLE))
+        |                  / ln(CAST(n_tokens AS DOUBLE)), 4)
+        |  END AS diversity
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // q120: WET record extraction — the oracle SERIALIZES the same
+    // chunk files (string_agg in doc order behind a preamble) and
+    // PARSES them back with the same split/strpos/regex rules;
+    // Spark's 0-based posexplode over all fragments aligns with
+    // generate_subscripts via rec_idx = gi - 1, records keeping >= 1
+    "q120_wet_records" ->
+      """WITH rec AS (
+        |  SELECT doc_id, doc_id % 25 AS chunk_id,
+        |    'WARC/1.0' || chr(10) ||
+        |    'WARC-Type: conversion' || chr(10) ||
+        |    'WARC-Target-URI: https://' || source || '.example.com/articles/'
+        |      || CAST(doc_id % 100 AS VARCHAR) || chr(10) ||
+        |    'WARC-Date: 2024-01-01T00:00:00Z' || chr(10) ||
+        |    'Content-Length: ' || CAST(CASE WHEN doc_id % 7 = 0 THEN length(text) + 5
+        |                                    ELSE length(text) END AS VARCHAR) || chr(10) ||
+        |    chr(10) || text || chr(10) || chr(10) AS r
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT chunk_id,
+        |         'warcinfo preamble' || chr(10) || string_agg(r, '' ORDER BY doc_id) AS content
+        |  FROM rec GROUP BY 1),
+        |f AS (SELECT chunk_id, string_split(content, 'WARC/1.0' || chr(10)) AS fs FROM chunks),
+        |e AS (SELECT chunk_id, unnest(fs) AS frag, generate_subscripts(fs, 1) AS gi FROM f),
+        |g AS (SELECT chunk_id, gi - 1 AS rec_idx, frag,
+        |        strpos(frag, chr(10) || chr(10)) AS p
+        |      FROM e WHERE gi >= 2 AND strpos(frag, chr(10) || chr(10)) > 0),
+        |h AS (SELECT chunk_id, CAST(rec_idx AS BIGINT) AS rec_idx,
+        |        substr(frag, 1, p - 1) AS hdr,
+        |        regexp_replace(substr(frag, p + 2), '\n+$', '') AS payload
+        |      FROM g)
+        |SELECT chunk_id, rec_idx,
+        |  regexp_extract(hdr, '(?m)^WARC-Target-URI: (.*)$', 1) AS uri,
+        |  regexp_extract(hdr, '(?m)^WARC-Date: (.*)$', 1) AS warc_date,
+        |  CAST(regexp_extract(hdr, '(?m)^Content-Length: ([0-9]+)$', 1) AS BIGINT) AS content_length,
+        |  CAST(length(payload) AS BIGINT) AS payload_len,
+        |  (length(payload) = CAST(regexp_extract(hdr, '(?m)^Content-Length: ([0-9]+)$', 1) AS BIGINT)) AS length_ok,
+        |  payload
+        |FROM h ORDER BY chunk_id, rec_idx""".stripMargin,
 
     "q73_weighted_sample" ->
       """WITH u AS (

@@ -596,6 +596,52 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** C43: token-entropy diversity signal — Shannon entropy of the
+    * within-document token distribution, H = ln(n) − (Σ c·ln c)/n.
+    * The information-theoretic cousin of C9b's repetition ratios
+    * (entropy-based junk detection is standard corpus-quality
+    * practice: low H ⇒ looping/templated text, H near ln(n) ⇒ every
+    * token distinct): `diversity` = H / ln(n) lands in [0, 1] and is
+    * length-comparable, the thresholdable form.
+    *
+    * Exactness: Σ c·ln(c) accumulates 1e-8-quantized logs of exact
+    * integer counts as LONGS (the q93 convention — the per-doc sum is
+    * order-free), and the closing arithmetic is a fixed-order chain
+    * of single IEEE ops on exact inputs, so both engines agree digit
+    * for digit. Single-token documents define H = 0 and diversity = 1
+    * (the ln(1) = 0 division guard, stated rather than NaN'd).
+    *
+    * Scale shape: one explode → (doc, tok) count → per-doc aggregate;
+    * everything partitions by doc_id, nothing corpus-wide. */
+  def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    def ln8(c: Column) = round(log(c) * 100000000.0).cast("long")
+    docs.select(col(idCol), explode(T.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * ln8(col("c").cast("double"))).as("_s"))
+      .withColumn("entropy", round(
+        log(col("n_tokens").cast("double"))
+          - col("_s").cast("double") / 100000000.0 / col("n_tokens").cast("double"),
+        4))
+      .withColumn("diversity",
+        when(col("n_tokens") === 1, lit(1.0)).otherwise(round(
+          (log(col("n_tokens").cast("double"))
+            - col("_s").cast("double") / 100000000.0 / col("n_tokens").cast("double"))
+            / log(col("n_tokens").cast("double")), 4)))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        col("entropy"), col("diversity"))
+  }
+
+  /** C43 `q119_token_entropy` — the signal over the documents corpus,
+    * re-derived from raw rows in the oracle (counts, scaled-long log
+    * sum, the closing chain, and the single-token guard). */
+  def tokenEntropyDocs(spark: SparkSession, dir: String): DataFrame =
+    tokenEntropy(Tables(spark, dir).documents).orderBy(col("doc_id"))
+
   /** C39: per-source corpus DATASHEET — the composition/provenance
     * report card every released corpus ships (Gebru et al. 2018,
     * "Datasheets for Datasets", arXiv:1803.09010; the Pile/Dolma

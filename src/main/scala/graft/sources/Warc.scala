@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** C44: WET/WARC record extraction — the step BEFORE everything else
+  * in a web-corpus pipeline: Common Crawl ships its text as WET files
+  * (ISO 28500 WARC envelopes around extracted text), and the very
+  * first distributed job turns crawl chunks into one row per record
+  * with its envelope metadata (target URI, date, declared length).
+  * Everything downstream — URL gating (C35/C36b), boilerplate (C40),
+  * dedup, quality — consumes these rows.
+  *
+  * Parser contract (stated honestly): newline-framed records after CR
+  * normalization — each record is `WARC/1.0\n<headers>\n\n<payload>`,
+  * records back-to-back within a chunk, payloads free of blank lines
+  * (true of WET text extracts, whose paragraphs the conversion step
+  * separates with single newlines; a Content-Length–framed binary
+  * WARC parser is a byte-level reader, not a string pipeline, and
+  * belongs next to [[graft.operators.Multimodal]]'s container
+  * parsers). The declared `Content-Length` is CHECKED against the
+  * extracted payload, not trusted: `length_ok = false` rows are the
+  * truncation/corruption surface a crawl-ingest job must quarantine,
+  * not silently keep.
+  *
+  * Scale shape: one map-only split + posexplode per chunk (records
+  * explode ~1000× per chunk file, the format's design grain), all
+  * header extraction inside codegen'd regex/substr expressions; no
+  * shuffle at all — the natural partition is the chunk file, exactly
+  * how Common Crawl shards.
+  */
+object Warc {
+
+  /** One row per WARC record in `contentCol`:
+    * (idCol, rec_idx, uri, warc_date, content_length, payload_len,
+    * length_ok, payload). `rec_idx` is the record's 1-based position
+    * in its chunk; fragments before the first `WARC/1.0` marker
+    * (e.g. a warcinfo preamble) and header-only fragments with no
+    * blank-line boundary are dropped. */
+  def wetRecords(chunks: DataFrame, idCol: String,
+                 contentCol: String): DataFrame = {
+    val norm = regexp_replace(col(contentCol), "\r", "")
+    val frags = split(norm, "WARC/1\\.0\\n")
+    val pos = instr(col("frag"), "\n\n")
+    chunks
+      .select(col(idCol), posexplode(frags).as(Seq("rec_idx", "frag")))
+      .filter(col("rec_idx") >= 1 && instr(col("frag"), "\n\n") > 0)
+      .withColumn("_hdr", col("frag").substr(lit(1), pos - 1))
+      .withColumn("_payload", regexp_replace(
+        col("frag").substr(pos + 2, length(col("frag"))), "\n+$", ""))
+      .select(
+        col(idCol),
+        col("rec_idx").cast("long").as("rec_idx"),
+        regexp_extract(col("_hdr"), "(?m)^WARC-Target-URI: (.*)$", 1).as("uri"),
+        regexp_extract(col("_hdr"), "(?m)^WARC-Date: (.*)$", 1).as("warc_date"),
+        regexp_extract(col("_hdr"), "(?m)^Content-Length: ([0-9]+)$", 1)
+          .cast("long").as("content_length"),
+        length(col("_payload")).cast("long").as("payload_len"),
+        (length(col("_payload")).cast("long") ===
+          regexp_extract(col("_hdr"), "(?m)^Content-Length: ([0-9]+)$", 1)
+            .cast("long")).as("length_ok"),
+        col("_payload").as("payload"))
+  }
+
+  /** C44 `q120_wet_records` — the documents corpus serialized into WET
+    * chunk files (25 chunks of 20 records each, records concatenated
+    * in doc order behind a warcinfo preamble) and parsed back: URI and
+    * date from the envelope, payload byte-for-byte, and the declared
+    * Content-Length CHECK — docs with doc_id ≡ 0 (mod 7) declare five
+    * bytes too many (a planted truncation), so both verdict legs are
+    * real. The oracle serializes AND parses from raw rows. */
+  def wetRecordsDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+    val declared = when(col("doc_id") % 7 === 0, length(col("text")) + 5)
+      .otherwise(length(col("text")))
+    val rec = concat(
+      lit("WARC/1.0\n"),
+      lit("WARC-Type: conversion\n"),
+      concat(lit("WARC-Target-URI: https://"), col("source"),
+        lit(".example.com/articles/"), (col("doc_id") % 100).cast("string"), lit("\n")),
+      lit("WARC-Date: 2024-01-01T00:00:00Z\n"),
+      concat(lit("Content-Length: "), declared.cast("string"), lit("\n")),
+      lit("\n"), col("text"), lit("\n\n"))
+    val chunks = docs
+      .select((col("doc_id") % 25).as("chunk_id"), col("doc_id"), rec.as("_rec"))
+      .groupBy(col("chunk_id"))
+      .agg(concat(lit("warcinfo preamble\n"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("_rec")))),
+          s => s.getField("_rec")), "")).as("content"))
+    wetRecords(chunks, "chunk_id", "content")
+      .orderBy(col("chunk_id"), col("rec_idx"))
+  }
+}

@@ -581,4 +581,32 @@ class SourcesSpec extends SparkSpecBase {
     assert(spark.read.parquet(sorted).filter(col("user_id") === probeId).count() ==
       spark.read.parquet(unsorted).filter(col("user_id") === probeId).count())
   }
+
+  test("WET records: envelope parse, preamble drop, CRLF tolerance, length check, malformed drop") {
+    import graft.sources.Warc
+    def rec(uri: String, clen: Int, payload: String) =
+      s"WARC/1.0\nWARC-Type: conversion\nWARC-Target-URI: $uri\n" +
+        s"WARC-Date: 2024-02-02T00:00:00Z\nContent-Length: $clen\n\n$payload\n\n"
+    val good = rec("https://a.com/1", 9, "body text")
+    val bad = rec("https://a.com/2", 99, "short")          // declared length lies
+    val chunk1 = "warcinfo: preamble to drop\n\n" + good + bad
+    // CRLF framing normalizes; a header-only fragment (no blank line) drops
+    val chunk2 = rec("https://b.com/1", 2, "xy").replace("\n", "\r\n") +
+      "WARC/1.0\nWARC-Type: broken-no-boundary"
+    val out = Warc.wetRecords(
+      Seq((1L, chunk1), (2L, chunk2)).toDF("chunk_id", "content"),
+      "chunk_id", "content")
+      .select("chunk_id", "rec_idx", "uri", "content_length", "payload_len",
+        "length_ok", "payload")
+      .as[(Long, Long, String, Long, Long, Boolean, String)]
+      .collect().sortBy(r => (r._1, r._2)).toList
+    assert(out === List(
+      (1L, 1L, "https://a.com/1", 9L, 9L, true, "body text"),
+      (1L, 2L, "https://a.com/2", 99L, 5L, false, "short"),
+      (2L, 1L, "https://b.com/1", 2L, 2L, true, "xy")))
+    // map-only: the chunk stream never shuffles
+    val plan = Warc.wetRecords(Seq((1L, chunk1)).toDF("chunk_id", "content"),
+      "chunk_id", "content").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"record extraction must not shuffle:\n${plan.take(500)}")
+  }
 }

@@ -282,6 +282,28 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+  test("token entropy: uniform text maxes diversity, loops floor it, single-token guard holds") {
+    def ln8(x: Double): Long = math.round(math.log(x) * 1e8)
+    val docs = Seq(
+      (1L, "a b c d"),       // all distinct: H = ln(4), diversity 1
+      (2L, "a a a a"),       // one token looped: H = 0, diversity 0
+      (3L, "a a b b"),       // H = ln(4) - (2·ln2·2)/4 = ln 2
+      (4L, "solo")           // n = 1: guard → H = 0, diversity 1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toList
+    def h(n: Long, counts: Seq[Long]): Double = {
+      val s = counts.map(c => c * ln8(c.toDouble)).sum
+      math.rint((math.log(n.toDouble) - s.toDouble / 1e8 / n) * 1e4) / 1e4
+    }
+    assert(out === List(
+      (1L, 4L, 4L, h(4, Seq(1, 1, 1, 1)), 1.0),
+      (2L, 4L, 1L, 0.0, 0.0),
+      (3L, 4L, 2L, h(4, Seq(2, 2)), math.rint(h(4, Seq(2, 2)) / math.log(4.0) * 1e4) / 1e4),
+      (4L, 1L, 1L, 0.0, 1.0)))
+    assert(out(0)._4 === math.rint(math.log(4.0) * 1e4) / 1e4, "distinct-only doc is ln(n)")
+  }
+
   test("corpus datasheet aggregates size, length, dup rate, and lang spread per source") {
     val docs = Seq(
       (1L, "a", "en", "alpha beta gamma"),            // 3 words, keeper of the dup pair
