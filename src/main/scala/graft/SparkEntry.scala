@@ -155,7 +155,8 @@ object SparkEntry {
     "q117_boilerplate_probe"     -> ((s, d) => TextClean.boilerplateProbeDocs(s, d)),
     "q118_temperature_sample"    -> ((s, d) => Sharding.temperatureSampleDocs(s, d)),
     "q119_token_entropy"         -> ((s, d) => TextAnalysis.tokenEntropyDocs(s, d)),
-    "q120_wet_records"           -> ((s, d) => graft.sources.Warc.wetRecordsDocs(s, d))
+    "q120_wet_records"           -> ((s, d) => graft.sources.Warc.wetRecordsDocs(s, d)),
+    "q121_crawl_ingest"          -> ((s, d) => Pipeline.crawlIngestDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1411,6 +1412,69 @@ object SparkEntry {
         |  (length(payload) = CAST(regexp_extract(hdr, '(?m)^Content-Length: ([0-9]+)$', 1) AS BIGINT)) AS length_ok,
         |  payload
         |FROM h ORDER BY chunk_id, rec_idx""".stripMargin,
+
+    // q121: the crawl→corpus front half replayed from scratch — the
+    // q120 serialization + parse, then quarantine → blocklist →
+    // canonical-URL election → per-domain rollup. The planted URIs are
+    // already canonical (lowercase, no port/www/query), so canon_url =
+    // uri and host = the authority — exact equivalence holds by
+    // construction; the full rule chains are hash-checked by q105/q113
+    "q121_crawl_ingest" ->
+      (s"""WITH rec AS (
+         |  SELECT doc_id, doc_id % 25 AS chunk_id,
+         |    'WARC/1.0' || chr(10) ||
+         |    'WARC-Type: conversion' || chr(10) ||
+         |    'WARC-Target-URI: https://' || source || '.example.com/articles/'
+         |      || CAST(doc_id % 100 AS VARCHAR) || chr(10) ||
+         |    'WARC-Date: 2024-01-01T00:00:00Z' || chr(10) ||
+         |    'Content-Length: ' || CAST(CASE WHEN doc_id % 7 = 0 THEN length(text) + 5
+         |                                    ELSE length(text) END AS VARCHAR) || chr(10) ||
+         |    chr(10) || text || chr(10) || chr(10) AS r
+         |  FROM documents),
+         |chunks AS (
+         |  SELECT chunk_id,
+         |         'warcinfo preamble' || chr(10) || string_agg(r, '' ORDER BY doc_id) AS content
+         |  FROM rec GROUP BY 1),
+         |f AS (SELECT chunk_id, string_split(content, 'WARC/1.0' || chr(10)) AS fs FROM chunks),
+         |e AS (SELECT chunk_id, unnest(fs) AS frag, generate_subscripts(fs, 1) AS gi FROM f),
+         |g AS (SELECT chunk_id, gi - 1 AS rec_idx, frag,
+         |        strpos(frag, chr(10) || chr(10)) AS p
+         |      FROM e WHERE gi >= 2 AND strpos(frag, chr(10) || chr(10)) > 0),
+         |h AS (SELECT chunk_id, rec_idx,
+         |        substr(frag, 1, p - 1) AS hdr,
+         |        regexp_replace(substr(frag, p + 2), '\\n+$$', '') AS payload
+         |      FROM g),
+         |pp AS (SELECT chunk_id * 100000 + rec_idx AS rec_id,
+         |        regexp_extract(hdr, '(?m)^WARC-Target-URI: (.*)$$', 1) AS uri,
+         |        payload,
+         |        (length(payload) = CAST(regexp_extract(hdr, '(?m)^Content-Length: ([0-9]+)$$', 1) AS BIGINT)) AS length_ok
+         |      FROM h),
+         |hh AS (SELECT *, regexp_extract(uri, '^https://([^/]*)', 1) AS host FROM pp),
+         |bl AS (SELECT unnest([${Urls.docBlocklist.map(p => s"'$p'").mkString(", ")}]) AS b),
+         |hits AS (SELECT DISTINCT hh.rec_id FROM hh
+         |         JOIN bl ON hh.host = bl.b OR hh.host LIKE '%.' || bl.b),
+         |cc AS (SELECT hh.*, (t.rec_id IS NOT NULL) AS blocked
+         |       FROM hh LEFT JOIN hits t USING (rec_id)),
+         |el AS (SELECT *,
+         |        min(CASE WHEN length_ok AND NOT blocked THEN rec_id END)
+         |          OVER (PARTITION BY uri) AS keep
+         |       FROM cc),
+         |v AS (SELECT host AS domain,
+         |        CASE WHEN NOT length_ok THEN 'bad_length'
+         |             WHEN blocked THEN 'blocked'
+         |             WHEN rec_id <> keep THEN 'url_dup'
+         |             ELSE 'kept' END AS cat,
+         |        CASE WHEN trim(payload) = '' THEN 0
+         |             ELSE len(string_split_regex(trim(payload), '\\s+')) END AS w
+         |      FROM el)
+         |SELECT domain,
+         |       CAST(count(*) AS BIGINT) AS n_records,
+         |       CAST(count(*) FILTER (cat = 'bad_length') AS BIGINT) AS n_bad_length,
+         |       CAST(count(*) FILTER (cat = 'blocked') AS BIGINT) AS n_blocked,
+         |       CAST(count(*) FILTER (cat = 'url_dup') AS BIGINT) AS n_url_dups,
+         |       CAST(count(*) FILTER (cat = 'kept') AS BIGINT) AS n_kept,
+         |       CAST(coalesce(sum(CASE WHEN cat = 'kept' THEN w END), 0) AS BIGINT) AS kept_words
+         |FROM v GROUP BY domain ORDER BY domain""").stripMargin,
 
     "q73_weighted_sample" ->
       """WITH u AS (

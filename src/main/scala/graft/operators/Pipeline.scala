@@ -66,6 +66,69 @@ object Pipeline {
     * raw text hides, the election must remove them, and the length
     * gate splits the survivors (the corpus's 40-word short tail fails
     * it). The oracle replays all four stages from raw rows. */
+  /** C45: the crawl→corpus INGEST pipeline — WET record extraction
+    * (C44) → declared-length quarantine → domain-suffix blocklist gate
+    * (C36b) → canonical-URL dedup election (C35) → per-domain audit,
+    * chained as one declarative plan. This is the published front half
+    * of every web pipeline (RefinedWeb §3.1 "reading the data → URL
+    * filtering → deduplication"), composed from operators this library
+    * certifies individually.
+    *
+    * Counting is disjoint and ORDERED (a record quarantines for a
+    * lying length FIRST, is gate-blocked only if intact, a URL dup
+    * only if it also cleared the gate — and the dup election runs
+    * among exactly the clean unblocked survivors, so a blocked
+    * keeper never shields its recrawls), so the columns sum to
+    * `n_records`.
+    *
+    * Scale: the record stream shuffles for the suffix-join (tiny
+    * blocked-id frame back on id), the canonical-URL election window,
+    * and the |domains| rollup; chunk parsing itself is map-only. */
+  def crawlIngestReport(chunks: DataFrame, idCol: String, contentCol: String,
+                        blocklist: DataFrame): DataFrame = {
+    val recs = graft.sources.Warc.wetRecords(chunks, idCol, contentCol)
+      .withColumn("rec_id", col(idCol).cast("long") * 100000L + col("rec_idx"))
+    val gated = Urls.blocklistGate(recs, "rec_id", "uri", blocklist)
+    val base = recs.join(gated, Seq("rec_id"))
+      .withColumn("canon_url", Urls.canonicalizeUrl(col("uri")))
+    val eligible = col("length_ok") && !col("blocked")
+    val keep = min(when(eligible, col("rec_id")))
+      .over(Window.partitionBy(col("canon_url")))
+    val words = when(trim(col("payload")) === "", lit(0L))
+      .otherwise(size(split(trim(col("payload")), "\\s+")).cast("long"))
+    base
+      .withColumn("_dup", eligible && col("rec_id") =!= keep)
+      .withColumn("_cat",
+        when(!col("length_ok"), "bad_length")
+          .when(col("blocked"), "blocked")
+          .when(col("_dup"), "url_dup")
+          .otherwise("kept"))
+      .withColumn("_w", words)
+      .groupBy(col("host").as("domain"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when(col("_cat") === "bad_length", 1L).otherwise(0L)).as("n_bad_length"),
+        sum(when(col("_cat") === "blocked", 1L).otherwise(0L)).as("n_blocked"),
+        sum(when(col("_cat") === "url_dup", 1L).otherwise(0L)).as("n_url_dups"),
+        sum(when(col("_cat") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_cat") === "kept", col("_w")).otherwise(0L)).as("kept_words"))
+  }
+
+  /** C45 `q121_crawl_ingest` — the whole front half on the q120 chunk
+    * files: lying-length records (doc_id ≡ 0 mod 7) quarantine, three
+    * blocklisted sites' records gate out whole, five-way recrawl URL
+    * groups (article ≡ source mod 20) collapse to their elected
+    * keeper, and the survivors report per domain. The oracle
+    * re-serializes the chunks AND replays all four stages from raw
+    * rows. */
+  def crawlIngestDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    crawlIngestReport(
+      graft.sources.Warc.plantedWetChunks(graft.Tables(spark, dir).documents),
+      "chunk_id", "content", Urls.docBlocklist.toDF("pattern"))
+      .orderBy(col("domain"))
+  }
+
   def curationPipelineDocs(spark: SparkSession, dir: String): DataFrame = {
     val pages = Dedup.donorPlantedText(graft.Tables(spark, dir).documents)
       .select(col("doc_id"), col("source"),

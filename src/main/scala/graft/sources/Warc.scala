@@ -69,8 +69,16 @@ object Warc {
     * Content-Length CHECK — docs with doc_id ≡ 0 (mod 7) declare five
     * bytes too many (a planted truncation), so both verdict legs are
     * real. The oracle serializes AND parses from raw rows. */
-  def wetRecordsDocs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables(spark, dir).documents
+  def wetRecordsDocs(spark: SparkSession, dir: String): DataFrame =
+    wetRecords(plantedWetChunks(graft.Tables(spark, dir).documents),
+      "chunk_id", "content")
+      .orderBy(col("chunk_id"), col("rec_idx"))
+
+  /** The q120 serialization — the documents corpus as 25 WET chunk
+    * files (records in doc order behind a warcinfo preamble; docs with
+    * doc_id ≡ 0 mod 7 declare five bytes too many). Shared with q121,
+    * whose oracle re-serializes identically. */
+  private[graft] def plantedWetChunks(docs: DataFrame): DataFrame = {
     val declared = when(col("doc_id") % 7 === 0, length(col("text")) + 5)
       .otherwise(length(col("text")))
     val rec = concat(
@@ -81,14 +89,12 @@ object Warc {
       lit("WARC-Date: 2024-01-01T00:00:00Z\n"),
       concat(lit("Content-Length: "), declared.cast("string"), lit("\n")),
       lit("\n"), col("text"), lit("\n\n"))
-    val chunks = docs
+    docs
       .select((col("doc_id") % 25).as("chunk_id"), col("doc_id"), rec.as("_rec"))
       .groupBy(col("chunk_id"))
       .agg(concat(lit("warcinfo preamble\n"),
         array_join(transform(
           array_sort(collect_list(struct(col("doc_id"), col("_rec")))),
           s => s.getField("_rec")), "")).as("content"))
-    wetRecords(chunks, "chunk_id", "content")
-      .orderBy(col("chunk_id"), col("rec_idx"))
   }
 }

@@ -37,6 +37,32 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("crawl ingest: quarantine beats gate beats dup, blocked keeper never shields recrawls") {
+    def rec(uri: String, payload: String, declared: Int) =
+      s"WARC/1.0\nWARC-Type: conversion\nWARC-Target-URI: $uri\n" +
+        s"WARC-Date: 2024-03-03T00:00:00Z\nContent-Length: $declared\n\n$payload\n\n"
+    val chunk =
+      rec("https://good.com/a", "one two three", 13) +     // kept
+      rec("https://good.com/a", "one two three", 13) +     // recrawl → url_dup
+      rec("https://bad.com/x", "spam spam", 9) +           // blocked
+      rec("https://good.com/b", "truncated", 99) +         // bad length
+      // the FIRST fetch of /c is blocked-host? no — same-URI pair where the
+      // earlier record is quarantined: the later intact one must be KEPT,
+      // not a dup of a quarantined keeper
+      rec("https://good.com/c", "broken", 42) +
+      rec("https://good.com/c", "four five", 9)
+    val chunks = Seq((1L, chunk)).toDF("chunk_id", "content")
+    val bl = Seq("bad.com").toDF("pattern")
+    val out = Pipeline.crawlIngestReport(chunks, "chunk_id", "content", bl)
+      .orderBy(col("domain"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(out === List(
+      ("bad.com", 1L, 0L, 1L, 0L, 0L, 0L),
+      ("good.com", 5L, 2L, 0L, 1L, 2L, 5L)))
+    out.foreach { case (d, n, b, bk, du, k, _) =>
+      assert(b + bk + du + k === n, s"domain $d counts overlap") }
+  }
+
   test("q116 entry: planted donors dedup through the templates, every domain reports") {
     val out = Pipeline.curationPipelineDocs(spark, sfDir)
       .as[(String, Long, Long, Long, Long, Long)].collect()
