@@ -2608,9 +2608,9 @@ object SparkEntry {
          |        regexp_replace(regexp_replace(
          |          lower(regexp_extract(regexp_replace(regexp_replace(regexp_replace(
          |            url, '#.*$$', ''),
-         |            '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/@?]*@', ''),
+         |            '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?]*@', ''),
          |            '^([^/?]*)', 1)),
-         |          ':[0-9]+$$', ''), '^www\\.', '') AS host
+         |          ':[0-9]+$$', ''), '^(www\\.)+', '') AS host
          |      FROM planted),
          |-- 31 labels is far past any real host; the WHERE guard keeps
          |-- the expansion exact for shorter ones
@@ -2908,7 +2908,7 @@ object SparkEntry {
        |p3 AS (SELECT doc_id, q,
        |         lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
        |         regexp_replace(regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-       |                        '^[^/@]*@', '') AS rest FROM p2),
+       |                        '^[^/]*@', '') AS rest FROM p2),
        |p4 AS (SELECT doc_id, q, scheme,
        |         lower(regexp_extract(rest, '^([^/]*)', 1)) AS auth,
        |         regexp_replace(rest, '^[^/]*', '') AS path FROM p3),
@@ -2916,7 +2916,7 @@ object SparkEntry {
        |         scheme || '://' ||
        |         regexp_replace(CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
        |                             WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$$', '')
-       |                             ELSE auth END, '^www\\.', '') ||
+       |                             ELSE auth END, '^(www\\.)+', '') ||
        |         regexp_replace(path, '/+$$', '') ||
        |         CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS canon_url
        |       FROM (SELECT *,

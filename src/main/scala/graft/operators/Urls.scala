@@ -48,7 +48,8 @@ object Urls {
     *     host is case-insensitive; the PATH keeps its case, which is
     *     significant on most origins);
     *  3. strip the scheme's default port (`:80` http, `:443` https);
-    *  4. strip one leading `www.` label;
+    *  4. strip ALL leading `www.` labels (one strip is not
+    *     idempotent on `www.www.host` — property-tested);
     *  5. strip trailing `/` runs from the path (so `/a/` = `/a` and a
     *     bare-host `/` = empty path);
     *  6. drop tracking query params ([[trackingParams]] + the `utm_`
@@ -66,13 +67,13 @@ object Urls {
     val query  = regexp_extract(noFrag, "\\?(.*)$", 1)
     val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest0  = regexp_replace(base, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val rest   = regexp_replace(rest0, "^[^/@]*@", "")
+    val rest   = regexp_replace(rest0, "^[^/]*@", "")
     val auth   = lower(regexp_extract(rest, "^([^/]*)", 1))
     val path   = regexp_replace(rest, "^[^/]*", "")
     val noPort = when(scheme === "https", regexp_replace(auth, ":443$", ""))
       .when(scheme === "http", regexp_replace(auth, ":80$", ""))
       .otherwise(auth)
-    val host      = regexp_replace(noPort, "^www\\.", "")
+    val host      = regexp_replace(noPort, "^(www\\.)+", "")
     val cleanPath = regexp_replace(path, "/+$", "")
     val kept = filter(split(query, "&"), p => {
       val name = lower(regexp_extract(p, "^([^=]*)", 1))
@@ -154,9 +155,9 @@ object Urls {
       "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     // userinfo never identifies the host — and 'user@bad.com' dressing
     // must not slip a blocked site past the gate
-    val rest = regexp_replace(rest0, "^[^/@?]*@", "")
+    val rest = regexp_replace(rest0, "^[^/?]*@", "")
     val auth = lower(regexp_extract(rest, "^([^/?]*)", 1))
-    regexp_replace(regexp_replace(auth, ":[0-9]+$", ""), "^www\\.", "")
+    regexp_replace(regexp_replace(auth, ":[0-9]+$", ""), "^(www\\.)+", "")
   }
 
   /** The q113 entry's blocklist — shared constants: the oracle SQL
