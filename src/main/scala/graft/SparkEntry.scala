@@ -156,7 +156,8 @@ object SparkEntry {
     "q118_temperature_sample"    -> ((s, d) => Sharding.temperatureSampleDocs(s, d)),
     "q119_token_entropy"         -> ((s, d) => TextAnalysis.tokenEntropyDocs(s, d)),
     "q120_wet_records"           -> ((s, d) => graft.sources.Warc.wetRecordsDocs(s, d)),
-    "q121_crawl_ingest"          -> ((s, d) => Pipeline.crawlIngestDocs(s, d))
+    "q121_crawl_ingest"          -> ((s, d) => Pipeline.crawlIngestDocs(s, d)),
+    "q122_signal_battery"        -> ((s, d) => TextAnalysis.signalBatteryDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -2744,6 +2745,61 @@ object SparkEntry {
         |       CAST(len(ls) - len(kept) AS BIGINT) AS n_removed,
         |       array_to_string(kept, chr(10)) AS clean_text
         |FROM sel ORDER BY doc_id""".stripMargin,
+
+    // q122: the one-pass signal battery — every family re-derived from
+    // raw rows in one combined SQL built from the SAME modular pieces
+    // the individual q27/q28/q29/q103 oracles use, joined per document
+    "q122_signal_battery" ->
+      (s"""WITH toked AS (
+          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+          |lsc AS (SELECT doc_id, $langScoreCols FROM toked),
+          |lang AS (SELECT doc_id, $langCase AS pred_lang FROM lsc),
+          |$qualityCtes,
+          |bpe AS (SELECT doc_id,
+          |   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+          |   round(CAST(length(text) AS DOUBLE)
+          |     / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT), 1), 4) AS chars_per_token
+          |  FROM documents),
+          |gtok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
+          |gts AS (SELECT doc_id, count(*) AS n, sum(length(w)) AS sl,
+          |         sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS aw
+          |       FROM gtok GROUP BY 1),
+          |gsh AS (SELECT doc_id, count(DISTINCT lower(w)) AS stop_hits FROM gtok
+          |       WHERE lower(w) IN ('the','be','to','of','and','that','have','with')
+          |       GROUP BY 1),
+          |gsy AS (SELECT doc_id,
+          |         len(regexp_extract_all(trim(text), '#'))
+          |         + len(regexp_extract_all(trim(text), '\\.\\.\\.'))
+          |         + len(regexp_extract_all(trim(text), '…')) AS sym
+          |       FROM documents),
+          |gln AS (SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS l FROM documents),
+          |gls AS (SELECT doc_id, count(*) AS nl,
+          |         sum(CASE WHEN regexp_matches(l, '^[-*•]') THEN 1 ELSE 0 END) AS bl,
+          |         sum(CASE WHEN regexp_matches(l, '(\\.\\.\\.|…)$$') THEN 1 ELSE 0 END) AS el
+          |       FROM gln WHERE l <> '' GROUP BY 1),
+          |go AS (SELECT gts.doc_id,
+          |        round(CAST(gts.sl AS DOUBLE) / gts.n, 4) AS mean_word_len,
+          |        round(CAST(gsy.sym AS DOUBLE) / gts.n, 4) AS symbol_ratio,
+          |        round(CAST(coalesce(gls.bl, 0) AS DOUBLE) / greatest(coalesce(gls.nl, 0), 1), 4) AS bullet_frac,
+          |        round(CAST(coalesce(gls.el, 0) AS DOUBLE) / greatest(coalesce(gls.nl, 0), 1), 4) AS ellipsis_frac,
+          |        round(CAST(gts.aw AS DOUBLE) / gts.n, 4) AS alpha_frac,
+          |        CAST(coalesce(gsh.stop_hits, 0) AS BIGINT) AS stop_hits,
+          |        gts.n AS gn
+          |      FROM gts JOIN gsy ON gsy.doc_id = gts.doc_id
+          |        LEFT JOIN gls ON gls.doc_id = gts.doc_id
+          |        LEFT JOIN gsh ON gsh.doc_id = gts.doc_id)
+          |SELECT s.doc_id, lang.pred_lang, s.n_chars, s.n_tokens, b.bpe_tokens, b.chars_per_token,
+          |       s.punct_ratio, s.stop_ratio, s.quality_score,
+          |       go.mean_word_len, go.symbol_ratio, go.bullet_frac, go.ellipsis_frac,
+          |       go.alpha_frac, go.stop_hits,
+          |       (go.gn BETWEEN 20 AND 100000 AND go.mean_word_len BETWEEN 3.0 AND 10.0
+          |        AND go.symbol_ratio <= 0.10 AND go.bullet_frac <= 0.50
+          |        AND go.ellipsis_frac <= 0.30 AND go.alpha_frac >= 0.80
+          |        AND go.stop_hits >= 2) AS gopher_pass
+          |FROM scored s JOIN lang ON lang.doc_id = s.doc_id
+          |  JOIN bpe b ON b.doc_id = s.doc_id
+          |  JOIN go ON go.doc_id = s.doc_id
+          |ORDER BY s.doc_id""").stripMargin,
 
     // q106: domain-reputation gate — per-domain integer-exact rules
     // (doc floor, mean-words floor as sum >= k·n, short-page percent

@@ -49,28 +49,32 @@ object TextAnalysis {
   /** DataFrame-level quality scoring over any (doc_id, text) frame;
     * unsorted so composing operators (q53's percentile filter) don't
     * inherit a wasted sort. */
-  def qualityScoreDocs(documents: DataFrame): DataFrame = {
-    val toks = T.tokens(col("text"))
+  def qualityScoreDocs(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id") +:
+      qualityExprs(T.tokens(col("text"))).map { case (n, c) => c.as(n) }: _*)
+
+  /** The q28 quality formulas as named columns over a token-array
+    * expression — ONE definition, consumed by [[qualityScoreDocs]] and
+    * the q122 battery so the two can never drift. The composite is
+    * computed from UNROUNDED ratios; +1e-9 nudges grid-aligned values
+    * (small rationals can land exactly on the .00005 boundary) off
+    * the rounding tie. */
+  private def qualityExprs(toks: Column): Seq[(String, Column)] = {
     val nChars = length(col("text")).cast("long")
     val nToks = size(toks).cast("long")
     val punct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long")
     val stops = T.stopwordHits(toks, T.stopwords.head._2) // en list
     val punctRatio = punct.cast("double") / greatest(nChars, lit(1L))
     val stopRatio = stops.cast("double") / greatest(nToks, lit(1L))
-    // composite computed from UNROUNDED ratios; +1e-9 epsilon nudges
-    // grid-aligned values (ratios are small rationals, so the weighted sum
-    // can land exactly on the .00005 rounding boundary) off the tie.
-    documents
-      .select(
-        col("doc_id"),
-        nChars.as("n_chars"),
-        nToks.as("n_tokens"),
-        round(punctRatio, 4).as("punct_ratio"),
-        round(stopRatio, 4).as("stop_ratio"),
-        round(least(lit(1.0),
-          lit(0.5) * stopRatio
-            + lit(0.3) * least(lit(1.0), nToks.cast("double") / 20.0)
-            + lit(0.2) * (lit(1.0) - punctRatio)) + lit(1e-9), 4).as("quality_score"))
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nToks,
+      "punct_ratio" -> round(punctRatio, 4),
+      "stop_ratio" -> round(stopRatio, 4),
+      "quality_score" -> round(least(lit(1.0),
+        lit(0.5) * stopRatio
+          + lit(0.3) * least(lit(1.0), nToks.cast("double") / 20.0)
+          + lit(0.2) * (lit(1.0) - punctRatio)) + lit(1e-9), 4))
   }
 
   /** `q53_quality_filter` — the FILTERING step the quality score exists
@@ -595,6 +599,57 @@ object TextAnalysis {
         col("alpha_frac"), col("stop_hits"), col("pass"))
       .orderBy(col("doc_id"))
   }
+
+  /** C46: the one-pass QUALITY-SIGNAL BATTERY — language ID (C8),
+    * composition quality (C9), token counts (C10), and the Gopher
+    * page-structure rules (C33) emitted together from ONE map-only
+    * projection, the Dolma/RedPajama-V2 "quality signals" artifact
+    * shape (every released-corpus pipeline ships exactly this wide
+    * per-document frame, computed in one scan so the corpus is read
+    * once, not once per signal).
+    *
+    * Composition is withColumn-chaining over shared ATTRIBUTES (the
+    * token array and the packed language fold materialize once and
+    * every signal derives from them — the q27 lesson); Catalyst
+    * collapses the chain to a single projection, so the plan carries
+    * ZERO exchanges (spec-asserted). Each signal family keeps its own
+    * certified definition: the battery calls the same shared
+    * functions/formulas the individual q27/q28/q29/q103 entries
+    * hash-check. */
+  def signalBattery(docs: DataFrame): DataFrame = {
+    val langs = T.stopwords.map(_._1)
+    val withAttrs = docs
+      .withColumn("_toks", T.tokens(col("text")))
+      .withColumn("_packed", T.langScoresPackedToks(col("_toks")))
+    val withScores = T.langScoresGated(col("_toks"), col("_packed"))
+      .foldLeft(withAttrs) { case (df, (l, s)) => df.withColumn(s"s_$l", s) }
+    val best = greatest(langs.map(l => col(s"s_$l")): _*)
+    val pred = langs.foldRight(lit("unknown"): Column) { (l, acc) =>
+      when(col(s"s_$l") === best, lit(l)).otherwise(acc)
+    }
+    val bpe = regexp_count(col("text"), lit(bpeTokenPattern)).cast("long")
+    val staged = qualityExprs(col("_toks"))
+      .foldLeft(withScores.withColumn("pred_lang", pred)) {
+        case (df, (n, c)) => df.withColumn(n, c)
+      }
+      .withColumn("bpe_tokens", bpe)
+      .withColumn("chars_per_token",
+        round(length(col("text")).cast("double") / greatest(bpe, lit(1L)), 4))
+    gopherFilters(staged)
+      .select(col("doc_id"), col("pred_lang"),
+        col("n_chars"), col("n_tokens"), col("bpe_tokens"), col("chars_per_token"),
+        col("punct_ratio"), col("stop_ratio"), col("quality_score"),
+        col("mean_word_len"), col("symbol_ratio"), col("bullet_frac"),
+        col("ellipsis_frac"), col("alpha_frac"), col("stop_hits"),
+        col("pass").as("gopher_pass"))
+  }
+
+  /** C46 `q122_signal_battery` — the battery over the documents corpus;
+    * the oracle re-derives every signal family from raw rows in one
+    * combined SQL (the same modular pieces the individual oracles
+    * use), joined per document. */
+  def signalBatteryDocs(spark: SparkSession, dir: String): DataFrame =
+    signalBattery(Tables(spark, dir).documents).orderBy(col("doc_id"))
 
   /** C43: token-entropy diversity signal — Shannon entropy of the
     * within-document token distribution, H = ln(n) − (Σ c·ln c)/n.

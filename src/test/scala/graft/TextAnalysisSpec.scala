@@ -282,6 +282,28 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+  test("signal battery: one map-only plan whose columns equal the certified single-signal operators") {
+    val docs = Tables(spark, sfDir).documents
+    val battery = TextAnalysis.signalBattery(docs)
+    // THE claim: one scan, zero exchanges — the corpus is read once,
+    // not once per signal family
+    val plan = battery.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"battery must be map-only:\n${plan.take(800)}")
+    // every family matches its own certified operator, row for row
+    val b = battery.orderBy(col("doc_id")).collect()
+    val lang = TextAnalysis.langIdDocs(docs).orderBy(col("doc_id"))
+      .select("pred_lang").as[String].collect()
+    val q = TextAnalysis.qualityScoreDocs(docs).orderBy(col("doc_id"))
+      .select("quality_score").as[Double].collect()
+    val g = TextAnalysis.gopherFilters(docs).orderBy(col("doc_id"))
+      .select("pass").as[Boolean].collect()
+    b.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[String]("pred_lang") === lang(i), s"lang drift at row $i")
+      assert(r.getAs[Double]("quality_score") === q(i), s"quality drift at row $i")
+      assert(r.getAs[Boolean]("gopher_pass") === g(i), s"gopher drift at row $i")
+    }
+  }
+
   test("token entropy: uniform text maxes diversity, loops floor it, single-token guard holds") {
     def ln8(x: Double): Long = math.round(math.log(x) * 1e8)
     val docs = Seq(
