@@ -157,7 +157,8 @@ object SparkEntry {
     "q119_token_entropy"         -> ((s, d) => TextAnalysis.tokenEntropyDocs(s, d)),
     "q120_wet_records"           -> ((s, d) => graft.sources.Warc.wetRecordsDocs(s, d)),
     "q121_crawl_ingest"          -> ((s, d) => Pipeline.crawlIngestDocs(s, d)),
-    "q122_signal_battery"        -> ((s, d) => TextAnalysis.signalBatteryDocs(s, d))
+    "q122_signal_battery"        -> ((s, d) => TextAnalysis.signalBatteryDocs(s, d)),
+    "q123_epoch_expansion"       -> ((s, d) => Sharding.epochExpansionDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1349,6 +1350,25 @@ object SparkEntry {
         |      FROM d JOIN r USING (source))
         |SELECT doc_id, source FROM u WHERE draw < rate
         |ORDER BY doc_id""".stripMargin,
+
+    // q123: epoch expansion — the per-source when-chain target, the
+    // md5 coin on the fractional part, and the per-copy epoch tags
+    // re-derived; generate_series bound 7 is far past the max target
+    "q123_epoch_expansion" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+        |                WHEN 'src2' THEN 0.25 ELSE 1.0 END AS e,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':17'), 1, 13)) AS BIGINT)
+        |      / 4503599627370496.0 AS u
+        |  FROM documents),
+        |n AS (SELECT doc_id, source,
+        |        CAST(floor(e) AS BIGINT)
+        |        + CASE WHEN u < e - floor(e) THEN 1 ELSE 0 END AS n
+        |      FROM d)
+        |SELECT doc_id, source, CAST(i AS BIGINT) AS epoch
+        |FROM n CROSS JOIN generate_series(0, 7) AS g(i)
+        |WHERE i < n ORDER BY doc_id, epoch""".stripMargin,
 
     // q119: token entropy — per-(doc, token) counts, the 1e-8
     // scaled-long Σ c·ln(c), and the fixed-order closing chain with

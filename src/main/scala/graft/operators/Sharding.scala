@@ -171,6 +171,50 @@ object Sharding {
       .drop("_rate")
   }
 
+  /** C47: EPOCH EXPANSION — materialize a per-source mixture weight as
+    * actual row repetition (the T5/LLaMA mixing table shape: "this
+    * source is seen 2.5 epochs, that one 0.25"): each document emits
+    * `floor(e)` copies plus one more with probability `frac(e)` under
+    * the retry-stable hash draw, each copy tagged with its epoch
+    * index — the frame a packing/shuffling stage consumes directly.
+    * In expectation every source contributes exactly `e · n_s`
+    * documents; e < 1 is deterministic downsampling, e = 0 drops the
+    * source.
+    *
+    * Map-only: a `when`-chain rate, one `explode(sequence)` per row
+    * (bounded by ⌈e⌉ — the format's design grain), zero shuffles. */
+  def expandEpochs(df: DataFrame, idCol: String, sourceCol: String,
+                   epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+                   seed: Long = 0L, draw: Option[Column] = None): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0.0 && e <= 100.0),
+      s"epoch targets must lie in [0,100], got $epochs / default $defaultEpochs")
+    val e = epochs.toSeq.sortBy(_._1).foldLeft(lit(defaultEpochs): Column) {
+      case (acc, (s, v)) => when(col(sourceCol) === s, lit(v)).otherwise(acc)
+    }
+    val base = floor(e).cast("long")
+    val extra = when(
+      draw.getOrElse(hashUnit(col(idCol), seed)) < (e - base.cast("double")), 1L)
+      .otherwise(0L)
+    df.withColumn("_n", base + extra)
+      .filter(col("_n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_n") - 1)))
+      .drop("_n")
+  }
+
+  /** C47 `q123_epoch_expansion` — mixed integer/fractional targets over
+    * the documents table with the portable [[md5Unit]] draw: src0 sees
+    * 2.5 epochs (2 or 3 copies per doc), src1 exactly 1, src2 is
+    * downsampled to 0.25 (kept docs emit one copy), everything else
+    * 1.0 — so whole-copy replication, the fractional coin, the
+    * keep/drop leg, and the epoch tags all hash-check. */
+  def epochExpansionDocs(spark: SparkSession, dir: String): DataFrame =
+    expandEpochs(Tables(spark, dir).documents, "doc_id", "source",
+      epochs = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25),
+      defaultEpochs = 1.0, seed = 17L,
+      draw = Some(md5Unit(col("doc_id"), 17L)))
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+
   /** C42 `q118_temperature_sample` — α = 0.5 over a deterministically
     * SKEWED slice of the corpus (source sizes 3…25 via the
     * floor(id/20) mod rule — the uniform synthetic table carries no

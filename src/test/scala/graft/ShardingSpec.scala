@@ -328,6 +328,29 @@ class ShardingSpec extends SparkSpecBase {
     }
   }
 
+  test("epoch expansion: whole copies, fractional coin, drop leg, map-only") {
+    val rows = Seq(
+      (1L, "three", 0.10), (2L, "three", 0.90),  // e=3.0: always 3 copies, coin ignored
+      (3L, "half", 0.49), (4L, "half", 0.51),    // e=0.5: u<.5 keeps one copy
+      (5L, "mix", 0.49), (6L, "mix", 0.51)       // e=2.5: 3 vs 2 copies
+    ).toDF("doc_id", "src", "u")
+    val out = Sharding.expandEpochs(rows, "doc_id", "src",
+        epochs = Map("three" -> 3.0, "half" -> 0.5, "mix" -> 2.5),
+        draw = Some(col("u")))
+      .select("doc_id", "epoch").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (id, es) => id -> es.map(_._2).sorted.toList }
+    assert(out === Map(
+      1L -> List(0L, 1L, 2L), 2L -> List(0L, 1L, 2L),
+      3L -> List(0L),                              // doc 4 dropped entirely
+      5L -> List(0L, 1L, 2L), 6L -> List(0L, 1L)))
+    intercept[IllegalArgumentException] {
+      Sharding.expandEpochs(rows, "doc_id", "src", epochs = Map("x" -> -1.0))
+    }
+    val plan = Sharding.expandEpochs(rows, "doc_id", "src", Map("three" -> 2.0))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expansion must be map-only:\n${plan.take(500)}")
+  }
+
   test("temperature sampling: alpha upsamples small sources, clamp pins them to keep-all") {
     val rows = Seq(
       (1L, "small", 0.99), (2L, "small", 0.01),
