@@ -167,6 +167,34 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** E5: JSONL shard export — the dataset-interchange format every
+    * training stack ingests (Hugging Face datasets, webdataset-style
+    * loaders, eval harnesses): newline-delimited JSON in bounded,
+    * compressed shard files. `maxRecordsPerFile` bounds shard size
+    * WITHOUT a repartition (Spark rolls files within each task), so
+    * the export is shuffle-free and parallel; gzip is the interchange
+    * default (splittability doesn't matter — the shard IS the split).
+    * Read back with [[readJsonl]], passing the schema so ingestion
+    * never pays the inference scan and types survive exactly. */
+  def writeJsonlShards(df: DataFrame, path: String,
+                       maxRecordsPerFile: Int = 100000,
+                       compression: String = "gzip"): Unit = {
+    require(maxRecordsPerFile > 0,
+      s"maxRecordsPerFile must be positive, got $maxRecordsPerFile")
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .option("compression", compression)
+      .json(path)
+  }
+
+  /** Schema-pinned JSONL read (the [[writeJsonlShards]] round trip):
+    * inference on JSONL both costs a full extra pass and widens types
+    * (ints to longs, dates to strings) — production ingestion pins the
+    * schema. */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Sheets `delete_data` analog (Google_Spreadsheet.py:49): the
     * reference issues an `updateCells` request that CLEARS the
     * addressed cells' values in place — nothing shifts. Three modes,

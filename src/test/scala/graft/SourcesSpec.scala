@@ -582,6 +582,28 @@ class SourcesSpec extends SparkSpecBase {
       spark.read.parquet(unsorted).filter(col("user_id") === probeId).count())
   }
 
+  test("JSONL shard export: bounded gzip shards round-trip bit-exact under a pinned schema") {
+    import graft.sources.Sinks
+    val docs = Tables(spark, sfDir).documents
+      .select("doc_id", "source", "lang", "text")
+    val path = Files.createTempDirectory("graft_jsonl").toString + "/t"
+    Sinks.writeJsonlShards(docs.repartition(2), path, maxRecordsPerFile = 30)
+    // shards are rolled at the record bound and gzip-compressed
+    val files = new java.io.File(path).listFiles.filter(_.getName.endsWith(".json.gz"))
+    assert(files.nonEmpty, "expected gzip JSONL shards")
+    val n = docs.count()
+    assert(files.length >= (n / 30).toInt,
+      s"file rolling should bound shards at 30 records (${files.length} files for $n rows)")
+    // round trip: exact same rows, exact same types
+    val back = Sinks.readJsonl(spark, path, docs.schema)
+    assert(back.schema === docs.schema)
+    assert(back.as[(Long, String, String, String)].collect().toSet ===
+      docs.as[(Long, String, String, String)].collect().toSet)
+    intercept[IllegalArgumentException] {
+      Sinks.writeJsonlShards(docs, path, maxRecordsPerFile = 0)
+    }
+  }
+
   test("WET records: envelope parse, preamble drop, CRLF tolerance, length check, malformed drop") {
     import graft.sources.Warc
     def rec(uri: String, clen: Int, payload: String) =
