@@ -1408,8 +1408,8 @@ object SparkEntry {
         |    'WARC-Target-URI: https://' || source || '.example.com/articles/'
         |      || CAST(doc_id % 100 AS VARCHAR) || chr(10) ||
         |    'WARC-Date: 2024-01-01T00:00:00Z' || chr(10) ||
-        |    'Content-Length: ' || CAST(CASE WHEN doc_id % 7 = 0 THEN length(text) + 5
-        |                                    ELSE length(text) END AS VARCHAR) || chr(10) ||
+        |    'Content-Length: ' || CAST(CASE WHEN doc_id % 7 = 0 THEN strlen(text) + 5
+        |                                    ELSE strlen(text) END AS VARCHAR) || chr(10) ||
         |    chr(10) || text || chr(10) || chr(10) AS r
         |  FROM documents),
         |chunks AS (
@@ -1423,14 +1423,14 @@ object SparkEntry {
         |      FROM e WHERE gi >= 2 AND strpos(frag, chr(10) || chr(10)) > 0),
         |h AS (SELECT chunk_id, CAST(rec_idx AS BIGINT) AS rec_idx,
         |        substr(frag, 1, p - 1) AS hdr,
-        |        regexp_replace(substr(frag, p + 2), '\n+$', '') AS payload
+        |        regexp_replace(substr(frag, p + 2), '\n\n$', '') AS payload
         |      FROM g)
         |SELECT chunk_id, rec_idx,
         |  regexp_extract(hdr, '(?m)^WARC-Target-URI: (.*)$', 1) AS uri,
         |  regexp_extract(hdr, '(?m)^WARC-Date: (.*)$', 1) AS warc_date,
         |  CAST(regexp_extract(hdr, '(?m)^Content-Length: ([0-9]+)$', 1) AS BIGINT) AS content_length,
-        |  CAST(length(payload) AS BIGINT) AS payload_len,
-        |  (length(payload) = CAST(regexp_extract(hdr, '(?m)^Content-Length: ([0-9]+)$', 1) AS BIGINT)) AS length_ok,
+        |  CAST(strlen(payload) AS BIGINT) AS payload_len,
+        |  coalesce(strlen(payload) = TRY_CAST(regexp_extract(hdr, '(?m)^Content-Length: ([0-9]+)$', 1) AS BIGINT), false) AS length_ok,
         |  payload
         |FROM h ORDER BY chunk_id, rec_idx""".stripMargin,
 
@@ -1448,8 +1448,8 @@ object SparkEntry {
          |    'WARC-Target-URI: https://' || source || '.example.com/articles/'
          |      || CAST(doc_id % 100 AS VARCHAR) || chr(10) ||
          |    'WARC-Date: 2024-01-01T00:00:00Z' || chr(10) ||
-         |    'Content-Length: ' || CAST(CASE WHEN doc_id % 7 = 0 THEN length(text) + 5
-         |                                    ELSE length(text) END AS VARCHAR) || chr(10) ||
+         |    'Content-Length: ' || CAST(CASE WHEN doc_id % 7 = 0 THEN strlen(text) + 5
+         |                                    ELSE strlen(text) END AS VARCHAR) || chr(10) ||
          |    chr(10) || text || chr(10) || chr(10) AS r
          |  FROM documents),
          |chunks AS (
@@ -1463,12 +1463,12 @@ object SparkEntry {
          |      FROM e WHERE gi >= 2 AND strpos(frag, chr(10) || chr(10)) > 0),
          |h AS (SELECT chunk_id, rec_idx,
          |        substr(frag, 1, p - 1) AS hdr,
-         |        regexp_replace(substr(frag, p + 2), '\\n+$$', '') AS payload
+         |        regexp_replace(substr(frag, p + 2), '\\n\\n$$', '') AS payload
          |      FROM g),
          |pp AS (SELECT chunk_id * 100000 + rec_idx AS rec_id,
          |        regexp_extract(hdr, '(?m)^WARC-Target-URI: (.*)$$', 1) AS uri,
          |        payload,
-         |        (length(payload) = CAST(regexp_extract(hdr, '(?m)^Content-Length: ([0-9]+)$$', 1) AS BIGINT)) AS length_ok
+         |        coalesce(strlen(payload) = TRY_CAST(regexp_extract(hdr, '(?m)^Content-Length: ([0-9]+)$$', 1) AS BIGINT), false) AS length_ok
          |      FROM h),
          |hh AS (SELECT *, regexp_extract(uri, '^https://([^/]*)', 1) AS host FROM pp),
          |bl AS (SELECT unnest([${Urls.docBlocklist.map(p => s"'$p'").mkString(", ")}]) AS b),
@@ -1477,11 +1477,11 @@ object SparkEntry {
          |cc AS (SELECT hh.*, (t.rec_id IS NOT NULL) AS blocked
          |       FROM hh LEFT JOIN hits t USING (rec_id)),
          |el AS (SELECT *,
-         |        min(CASE WHEN length_ok AND NOT blocked THEN rec_id END)
+         |        min(CASE WHEN length_ok AND uri <> '' AND NOT blocked THEN rec_id END)
          |          OVER (PARTITION BY uri) AS keep
          |       FROM cc),
          |v AS (SELECT host AS domain,
-         |        CASE WHEN NOT length_ok THEN 'bad_length'
+         |        CASE WHEN NOT (length_ok AND uri <> '') THEN 'bad_envelope'
          |             WHEN blocked THEN 'blocked'
          |             WHEN rec_id <> keep THEN 'url_dup'
          |             ELSE 'kept' END AS cat,
@@ -1490,7 +1490,7 @@ object SparkEntry {
          |      FROM el)
          |SELECT domain,
          |       CAST(count(*) AS BIGINT) AS n_records,
-         |       CAST(count(*) FILTER (cat = 'bad_length') AS BIGINT) AS n_bad_length,
+         |       CAST(count(*) FILTER (cat = 'bad_envelope') AS BIGINT) AS n_bad_envelope,
          |       CAST(count(*) FILTER (cat = 'blocked') AS BIGINT) AS n_blocked,
          |       CAST(count(*) FILTER (cat = 'url_dup') AS BIGINT) AS n_url_dups,
          |       CAST(count(*) FILTER (cat = 'kept') AS BIGINT) AS n_kept,

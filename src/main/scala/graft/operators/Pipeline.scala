@@ -59,39 +59,47 @@ object Pipeline {
         sum(when(!col("_dup") && col("_pass"), col("_w")).otherwise(0L)).as("kept_words"))
   }
 
-  /** C41 `q116_curation_pipeline` — the documents corpus dressed as a
-    * crawled site (header/nav/footer per source, body = the q107
-    * donor planting so cross-source exact dups exist UNDER the
-    * differing site templates): the strip must uncover the dups the
-    * raw text hides, the election must remove them, and the length
-    * gate splits the survivors (the corpus's 40-word short tail fails
-    * it). The oracle replays all four stages from raw rows. */
   /** C45: the crawl→corpus INGEST pipeline — WET record extraction
-    * (C44) → declared-length quarantine → domain-suffix blocklist gate
-    * (C36b) → canonical-URL dedup election (C35) → per-domain audit,
-    * chained as one declarative plan. This is the published front half
-    * of every web pipeline (RefinedWeb §3.1 "reading the data → URL
-    * filtering → deduplication"), composed from operators this library
-    * certifies individually.
+    * (C44) → envelope quarantine → domain-suffix blocklist gate
+    * (C36b) → canonical-URL dedup election (C35) → per-domain audit.
+    * This is the published front half of every web pipeline
+    * (RefinedWeb §3.1 "reading the data → URL filtering →
+    * deduplication"), composed from operators this library certifies
+    * individually.
     *
-    * Counting is disjoint and ORDERED (a record quarantines for a
-    * lying length FIRST, is gate-blocked only if intact, a URL dup
-    * only if it also cleared the gate — and the dup election runs
-    * among exactly the clean unblocked survivors, so a blocked
-    * keeper never shields its recrawls), so the columns sum to
-    * `n_records`.
+    * Counting is disjoint and ORDERED (a record quarantines for a bad
+    * envelope FIRST — a lying/missing declared length or a missing
+    * target URI, without which neither gate nor dedup can judge it —
+    * is gate-blocked only if intact, a URL dup only if it also
+    * cleared the gate; the dup election runs among exactly the clean
+    * unblocked survivors, so a blocked keeper never shields its
+    * recrawls), so the columns sum to `n_records`.
     *
-    * Scale: the record stream shuffles for the suffix-join (tiny
-    * blocked-id frame back on id), the canonical-URL election window,
-    * and the |domains| rollup; chunk parsing itself is map-only. */
+    * Scale: the chunk parse runs ONCE — records materialize
+    * (localCheckpoint standing in for the persisted records table a
+    * production ingest writes first) before the gate's two scans and
+    * the join-back would otherwise re-execute the regex-heavy parse
+    * subtree three times; the record stream then shuffles only for
+    * the suffix-join, the election window, and the |domains| rollup. */
   def crawlIngestReport(chunks: DataFrame, idCol: String, contentCol: String,
                         blocklist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+      .contains(chunks.schema(idCol).dataType),
+      s"chunk id column '$idCol' must be integral (a string id would cast to " +
+        "null rec_ids and silently join nothing) — hash string chunk names first")
     val recs = graft.sources.Warc.wetRecords(chunks, idCol, contentCol)
       .withColumn("rec_id", col(idCol).cast("long") * 100000L + col("rec_idx"))
-    val gated = Urls.blocklistGate(recs, "rec_id", "uri", blocklist)
+      .localCheckpoint()
+    val gated = Urls.blocklistGate(
+      recs.select(col("rec_id"), col("uri")), "rec_id", "uri", blocklist)
     val base = recs.join(gated, Seq("rec_id"))
       .withColumn("canon_url", Urls.canonicalizeUrl(col("uri")))
-    val eligible = col("length_ok") && !col("blocked")
+    // a record with no target URI has nothing to gate or dedup on —
+    // it quarantines with the bad envelopes instead of colliding in
+    // the constant empty-URI canonical group
+    val sound = col("length_ok") && col("uri") =!= ""
+    val eligible = sound && !col("blocked")
     val keep = min(when(eligible, col("rec_id")))
       .over(Window.partitionBy(col("canon_url")))
     val words = when(trim(col("payload")) === "", lit(0L))
@@ -99,7 +107,7 @@ object Pipeline {
     base
       .withColumn("_dup", eligible && col("rec_id") =!= keep)
       .withColumn("_cat",
-        when(!col("length_ok"), "bad_length")
+        when(!sound, "bad_envelope")
           .when(col("blocked"), "blocked")
           .when(col("_dup"), "url_dup")
           .otherwise("kept"))
@@ -107,7 +115,7 @@ object Pipeline {
       .groupBy(col("host").as("domain"))
       .agg(
         count(lit(1)).as("n_records"),
-        sum(when(col("_cat") === "bad_length", 1L).otherwise(0L)).as("n_bad_length"),
+        sum(when(col("_cat") === "bad_envelope", 1L).otherwise(0L)).as("n_bad_envelope"),
         sum(when(col("_cat") === "blocked", 1L).otherwise(0L)).as("n_blocked"),
         sum(when(col("_cat") === "url_dup", 1L).otherwise(0L)).as("n_url_dups"),
         sum(when(col("_cat") === "kept", 1L).otherwise(0L)).as("n_kept"),
@@ -129,6 +137,13 @@ object Pipeline {
       .orderBy(col("domain"))
   }
 
+  /** C41 `q116_curation_pipeline` — the documents corpus dressed as a
+    * crawled site (header/nav/footer per source, body = the q107
+    * donor planting so cross-source exact dups exist UNDER the
+    * differing site templates): the strip must uncover the dups the
+    * raw text hides, the election must remove them, and the length
+    * gate splits the survivors (the corpus's 40-word short tail fails
+    * it). The oracle replays all four stages from raw rows. */
   def curationPipelineDocs(spark: SparkSession, dir: String): DataFrame = {
     val pages = Dedup.donorPlantedText(graft.Tables(spark, dir).documents)
       .select(col("doc_id"), col("source"),

@@ -25,20 +25,25 @@ object TextAnalysis {
     langIdDocs(Tables(spark, dir).documents)
 
   /** DataFrame-level language ID over any (doc_id, text) frame. */
-  def langIdDocs(documents: DataFrame): DataFrame = {
-    val langs = T.stopwords.map(_._1)
-    val best = greatest(langs.map(l => col(s"s_$l")): _*)
-    val pred = langs.foldRight(lit("unknown"): Column) { (l, acc) =>
-      when(col(s"s_$l") === best, lit(l)).otherwise(acc)
-    }
+  def langIdDocs(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), T.tokens(col("text")).as("_toks"))
       .withColumn("_packed", T.langScoresPackedToks(col("_toks")))
       .select(col("doc_id") +: T.langScoresGated(col("_toks"), col("_packed")).map {
         case (l, score) => score.as(s"s_$l")
       }: _*)
-      .withColumn("pred_lang", pred)
+      .withColumn("pred_lang", langPredExpr)
       .orderBy(col("doc_id"))
+
+  /** The q27 argmax-with-fixed-preference fold over materialized
+    * `s_<lang>` score columns — ONE definition for [[langIdDocs]] and
+    * the q122 battery so the tie-break order can never drift. */
+  private def langPredExpr: Column = {
+    val langs = T.stopwords.map(_._1)
+    val best = greatest(langs.map(l => col(s"s_$l")): _*)
+    langs.foldRight(lit("unknown"): Column) { (l, acc) =>
+      when(col(s"s_$l") === best, lit(l)).otherwise(acc)
+    }
   }
 
   /** C9 `q28_quality_score` — length/punct/stopword-ratio quality score
@@ -113,14 +118,21 @@ object TextAnalysis {
   def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val ws = size(split(trim(col("text")), "\\s+")).cast("long")
-    val bpe = regexp_count(col("text"), lit(bpeTokenPattern)).cast("long")
     t.documents
-      .select(
-        col("doc_id"),
-        ws.as("ws_tokens"),
-        bpe.as("bpe_tokens"),
-        round(length(col("text")).cast("double") / greatest(bpe, lit(1L)), 4).as("chars_per_token"))
+      .select(col("doc_id") +: (("ws_tokens", ws) +: tokenCountExprs).map {
+        case (n, c) => c.as(n)
+      }: _*)
       .orderBy(col("doc_id"))
+  }
+
+  /** The q29 BPE-ish formulas — ONE definition for [[tokenCounts]] and
+    * the q122 battery (the [[qualityExprs]] convention). */
+  private def tokenCountExprs: Seq[(String, Column)] = {
+    val bpe = regexp_count(col("text"), lit(bpeTokenPattern)).cast("long")
+    Seq(
+      "bpe_tokens" -> bpe,
+      "chars_per_token" ->
+        round(length(col("text")).cast("double") / greatest(bpe, lit(1L)), 4))
   }
 
   /** Extension `q40_word_stats` — word-level repetition quality signals,
@@ -617,24 +629,19 @@ object TextAnalysis {
     * functions/formulas the individual q27/q28/q29/q103 entries
     * hash-check. */
   def signalBattery(docs: DataFrame): DataFrame = {
-    val langs = T.stopwords.map(_._1)
     val withAttrs = docs
       .withColumn("_toks", T.tokens(col("text")))
       .withColumn("_packed", T.langScoresPackedToks(col("_toks")))
     val withScores = T.langScoresGated(col("_toks"), col("_packed"))
       .foldLeft(withAttrs) { case (df, (l, s)) => df.withColumn(s"s_$l", s) }
-    val best = greatest(langs.map(l => col(s"s_$l")): _*)
-    val pred = langs.foldRight(lit("unknown"): Column) { (l, acc) =>
-      when(col(s"s_$l") === best, lit(l)).otherwise(acc)
-    }
-    val bpe = regexp_count(col("text"), lit(bpeTokenPattern)).cast("long")
-    val staged = qualityExprs(col("_toks"))
-      .foldLeft(withScores.withColumn("pred_lang", pred)) {
+    // gopherFilters overwrites `n_tokens` with its own whitespace count
+    // — value-equal to qualityExprs' (lower() does not change the token
+    // count), and the battery spec asserts the equality so a tokenizer
+    // change in either family trips the build, not the oracle
+    val staged = (qualityExprs(col("_toks")) ++ tokenCountExprs)
+      .foldLeft(withScores.withColumn("pred_lang", langPredExpr)) {
         case (df, (n, c)) => df.withColumn(n, c)
       }
-      .withColumn("bpe_tokens", bpe)
-      .withColumn("chars_per_token",
-        round(length(col("text")).cast("double") / greatest(bpe, lit(1L)), 4))
     gopherFilters(staged)
       .select(col("doc_id"), col("pred_lang"),
         col("n_chars"), col("n_tokens"), col("bpe_tokens"), col("chars_per_token"),

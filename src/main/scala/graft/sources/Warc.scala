@@ -36,29 +36,38 @@ object Warc {
     * length_ok, payload). `rec_idx` is the record's 1-based position
     * in its chunk; fragments before the first `WARC/1.0` marker
     * (e.g. a warcinfo preamble) and header-only fragments with no
-    * blank-line boundary are dropped. */
+    * blank-line boundary are dropped.
+    *
+    * `payload_len` counts OCTETS (Content-Length is octets per
+    * ISO 28500 §5.3, not characters — a char count falsely quarantines
+    * every intact non-ASCII record); only the exact two-newline record
+    * separator is stripped, so a payload that legitimately ends with
+    * its own newline keeps it. A missing or malformed Content-Length
+    * header makes `length_ok` FALSE, never null — an unverifiable
+    * record is exactly what the quarantine exists for, and a null
+    * would slip through every downstream `when` chain as "kept". */
   def wetRecords(chunks: DataFrame, idCol: String,
                  contentCol: String): DataFrame = {
     val norm = regexp_replace(col(contentCol), "\r", "")
     val frags = split(norm, "WARC/1\\.0\\n")
     val pos = instr(col("frag"), "\n\n")
+    val declared = regexp_extract(col("_hdr"), "(?m)^Content-Length: ([0-9]+)$", 1)
+      .cast("long")
     chunks
       .select(col(idCol), posexplode(frags).as(Seq("rec_idx", "frag")))
       .filter(col("rec_idx") >= 1 && instr(col("frag"), "\n\n") > 0)
       .withColumn("_hdr", col("frag").substr(lit(1), pos - 1))
       .withColumn("_payload", regexp_replace(
-        col("frag").substr(pos + 2, length(col("frag"))), "\n+$", ""))
+        col("frag").substr(pos + 2, length(col("frag"))), "\n\n$", ""))
       .select(
         col(idCol),
         col("rec_idx").cast("long").as("rec_idx"),
         regexp_extract(col("_hdr"), "(?m)^WARC-Target-URI: (.*)$", 1).as("uri"),
         regexp_extract(col("_hdr"), "(?m)^WARC-Date: (.*)$", 1).as("warc_date"),
-        regexp_extract(col("_hdr"), "(?m)^Content-Length: ([0-9]+)$", 1)
-          .cast("long").as("content_length"),
-        length(col("_payload")).cast("long").as("payload_len"),
-        (length(col("_payload")).cast("long") ===
-          regexp_extract(col("_hdr"), "(?m)^Content-Length: ([0-9]+)$", 1)
-            .cast("long")).as("length_ok"),
+        declared.as("content_length"),
+        octet_length(col("_payload")).cast("long").as("payload_len"),
+        coalesce(octet_length(col("_payload")).cast("long") === declared,
+          lit(false)).as("length_ok"),
         col("_payload").as("payload"))
   }
 
@@ -79,8 +88,8 @@ object Warc {
     * doc_id ≡ 0 mod 7 declare five bytes too many). Shared with q121,
     * whose oracle re-serializes identically. */
   private[graft] def plantedWetChunks(docs: DataFrame): DataFrame = {
-    val declared = when(col("doc_id") % 7 === 0, length(col("text")) + 5)
-      .otherwise(length(col("text")))
+    val declared = when(col("doc_id") % 7 === 0, octet_length(col("text")) + 5)
+      .otherwise(octet_length(col("text")))
     val rec = concat(
       lit("WARC/1.0\n"),
       lit("WARC-Type: conversion\n"),

@@ -46,21 +46,33 @@ class PipelineSpec extends SparkSpecBase {
       rec("https://good.com/a", "one two three", 13) +     // recrawl → url_dup
       rec("https://bad.com/x", "spam spam", 9) +           // blocked
       rec("https://good.com/b", "truncated", 99) +         // bad length
-      // the FIRST fetch of /c is blocked-host? no — same-URI pair where the
-      // earlier record is quarantined: the later intact one must be KEPT,
-      // not a dup of a quarantined keeper
+      // same-URI pair where the earlier record is quarantined: the
+      // later intact one must be KEPT, not a dup of a quarantined keeper
       rec("https://good.com/c", "broken", 42) +
-      rec("https://good.com/c", "four five", 9)
+      rec("https://good.com/c", "four five", 9) +
+      // envelope failures beyond a lying length: a record with NO
+      // Content-Length header and one with NO target URI both
+      // quarantine (never null-skip to kept, never collide in an
+      // empty-URI dedup group)
+      "WARC/1.0\nWARC-Target-URI: https://good.com/d\n\nno length header\n\n" +
+      "WARC/1.0\nWARC-Type: conversion\nContent-Length: 6\n\nno uri\n\n"
     val chunks = Seq((1L, chunk)).toDF("chunk_id", "content")
     val bl = Seq("bad.com").toDF("pattern")
     val out = Pipeline.crawlIngestReport(chunks, "chunk_id", "content", bl)
       .orderBy(col("domain"))
       .as[(String, Long, Long, Long, Long, Long, Long)].collect().toList
     assert(out === List(
+      ("", 1L, 1L, 0L, 0L, 0L, 0L),              // the URI-less record
       ("bad.com", 1L, 0L, 1L, 0L, 0L, 0L),
-      ("good.com", 5L, 2L, 0L, 1L, 2L, 5L)))
+      ("good.com", 6L, 3L, 0L, 1L, 2L, 5L)))
     out.foreach { case (d, n, b, bk, du, k, _) =>
       assert(b + bk + du + k === n, s"domain $d counts overlap") }
+    // a string chunk-id column must refuse loudly, not join nothing
+    intercept[IllegalArgumentException] {
+      Pipeline.crawlIngestReport(
+        Seq(("CC-MAIN-0001", chunk)).toDF("chunk_id", "content"),
+        "chunk_id", "content", bl)
+    }
   }
 
   test("q116 entry: planted donors dedup through the templates, every domain reports") {

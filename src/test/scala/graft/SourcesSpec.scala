@@ -626,6 +626,16 @@ class SourcesSpec extends SparkSpecBase {
       (1L, 1L, "https://a.com/1", 9L, 9L, true, "body text"),
       (1L, 2L, "https://a.com/2", 99L, 5L, false, "short"),
       (2L, 1L, "https://b.com/1", 2L, 2L, true, "xy")))
+    // a record with NO Content-Length header is unverifiable:
+    // length_ok must be FALSE (never null — a null would slip through
+    // downstream when-chains as "kept"); and a payload's own trailing
+    // newline survives (only the record separator strips)
+    val noLen = "WARC/1.0\nWARC-Target-URI: https://c.com/1\n\nline one\nline two\n\n\n"
+    val r = Warc.wetRecords(Seq((3L, noLen)).toDF("chunk_id", "content"),
+      "chunk_id", "content").collect().head
+    assert(r.isNullAt(r.fieldIndex("content_length")))
+    assert(r.getAs[Boolean]("length_ok") === false, "missing declared length must be false, not null")
+    assert(r.getAs[String]("payload") === "line one\nline two\n")
     // map-only: the chunk stream never shuffles
     val plan = Warc.wetRecords(Seq((1L, chunk1)).toDF("chunk_id", "content"),
       "chunk_id", "content").queryExecution.executedPlan.toString

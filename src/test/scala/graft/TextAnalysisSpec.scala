@@ -297,10 +297,16 @@ class TextAnalysisSpec extends SparkSpecBase {
       .select("quality_score").as[Double].collect()
     val g = TextAnalysis.gopherFilters(docs).orderBy(col("doc_id"))
       .select("pass").as[Boolean].collect()
+    // n_tokens is overwritten by gopher's own whitespace count inside
+    // the battery — assert it still equals the quality family's, so a
+    // tokenizer change in either trips here, not at the oracle
+    val qn = TextAnalysis.qualityScoreDocs(docs).orderBy(col("doc_id"))
+      .select("n_tokens").as[Long].collect()
     b.zipWithIndex.foreach { case (r, i) =>
       assert(r.getAs[String]("pred_lang") === lang(i), s"lang drift at row $i")
       assert(r.getAs[Double]("quality_score") === q(i), s"quality drift at row $i")
       assert(r.getAs[Boolean]("gopher_pass") === g(i), s"gopher drift at row $i")
+      assert(r.getAs[Long]("n_tokens") === qn(i), s"n_tokens tokenizer drift at row $i")
     }
   }
 
