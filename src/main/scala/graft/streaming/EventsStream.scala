@@ -836,6 +836,48 @@ object EventsStream {
       }
       .start()
 
+  /** D2→C44 bridge — streaming WET chunk ingest: each micro-batch of
+    * crawl chunk files parses through the production extractor
+    * ([[graft.sources.Warc.wetRecords]]) and APPENDS its records to
+    * the records table — the persisted artifact every downstream
+    * stage (C45's ingest report, URL gating, dedup) probes instead of
+    * re-parsing chunks.
+    *
+    * Replay-idempotent at the CHUNK grain (the delivery unit of a
+    * crawl: a chunk file arrives whole or not at all): already-ingested
+    * chunk ids anti-join away, so a re-delivered chunk appends
+    * nothing; within-batch duplicate chunk ids collapse first.
+    * Records land with their (chunk_id, rec_idx) identity, so the
+    * C45 rec_id derivation is stable across the batch and streaming
+    * paths. */
+  def wetIngestStream(chunks: DataFrame, recordsPath: String,
+                      checkpointDir: String,
+                      idCol: String = "chunk_id", contentCol: String = "content"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    chunks.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.dropDuplicates(idCol)
+        val existing =
+          try Some(spark.read.parquet(recordsPath))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" ||
+                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+          }
+        val fresh = existing match {
+          case Some(r) =>
+            batch.join(r.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+          case None => batch
+        }
+        if (!fresh.isEmpty)
+          graft.sources.Warc.wetRecords(fresh, idCol, contentCol)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(recordsPath)
+      }
+      .start()
+
   /** D2→C30 bridge — streaming postings-index maintenance: each
     * micro-batch of new documents extends the BM25/phrase artifacts
     * through the production day-2 kernel

@@ -661,6 +661,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C44: streaming WET ingest parses chunks once, replays idempotently, matches batch parse") {
+    import graft.sources.Warc
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def rec(uri: String, payload: String) =
+      s"WARC/1.0\nWARC-Target-URI: $uri\nContent-Length: ${payload.length}\n\n$payload\n\n"
+    val c1 = rec("https://a.com/1", "alpha beta") + rec("https://a.com/2", "gamma")
+    val c2 = rec("https://b.com/1", "delta")
+    val mem = MemoryStream[(Long, String)]
+    val records = java.nio.file.Files.createTempDirectory("graft_wet_tbl").toString + "/t"
+    val cp = java.nio.file.Files.createTempDirectory("graft_wet_cp").toString
+    val q = EventsStream.wetIngestStream(mem.toDF().toDF("chunk_id", "content"), records, cp)
+    try {
+      mem.addData((1L, c1))
+      q.processAllAvailable()
+      // batch 2 re-delivers chunk 1 (must anti-join away) plus chunk 2
+      mem.addData((1L, c1), (2L, c2))
+      q.processAllAvailable()
+      val got = spark.read.parquet(records)
+      assert(got.count() === 3L, "re-delivered chunk must not duplicate records")
+      // streamed records equal the one-shot batch parse
+      val batchParsed = Warc.wetRecords(
+        Seq((1L, c1), (2L, c2)).toDF("chunk_id", "content"), "chunk_id", "content")
+      assert(got.select("chunk_id", "rec_idx", "uri", "payload", "length_ok")
+        .as[(Long, Long, String, String, Boolean)].collect().toSet ===
+        batchParsed.select("chunk_id", "rec_idx", "uri", "payload", "length_ok")
+          .as[(Long, Long, String, String, Boolean)].collect().toSet)
+    } finally q.stop()
+  }
+
   test("D2→C30: streaming postings ingest extends the index exactly once; search matches batch build") {
     import graft.operators.Search
     import graft.streaming.EventsStream.StreamDoc
