@@ -158,7 +158,8 @@ object SparkEntry {
     "q120_wet_records"           -> ((s, d) => graft.sources.Warc.wetRecordsDocs(s, d)),
     "q121_crawl_ingest"          -> ((s, d) => Pipeline.crawlIngestDocs(s, d)),
     "q122_signal_battery"        -> ((s, d) => TextAnalysis.signalBatteryDocs(s, d)),
-    "q123_epoch_expansion"       -> ((s, d) => Sharding.epochExpansionDocs(s, d))
+    "q123_epoch_expansion"       -> ((s, d) => Sharding.epochExpansionDocs(s, d)),
+    "q124_packed_sequences"      -> ((s, d) => Sharding.packedSequencesDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1350,6 +1351,34 @@ object SparkEntry {
         |      FROM d JOIN r USING (source))
         |SELECT doc_id, source FROM u WHERE draw < rate
         |ORDER BY doc_id""".stripMargin,
+
+    // q124: sequence assembly — q45's packing windows plus the
+    // exclusive-prefix offsets (one window min per sequence) and the
+    // in-order member lists, comma-joined so element order hash-checks
+    "q124_packed_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |         CAST(doc_id % 8 AS INTEGER) AS shard
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM toks),
+        |ch AS (SELECT *,
+        |         CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS chunk
+        |       FROM packed),
+        |o AS (SELECT *,
+        |        (cum_tokens - n_tokens)
+        |        - min(cum_tokens - n_tokens) OVER (PARTITION BY shard, chunk) AS off
+        |      FROM ch)
+        |SELECT shard, chunk,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids,
+        |       array_to_string(list(off ORDER BY doc_id), ',') AS offsets
+        |FROM o GROUP BY 1, 2 ORDER BY shard, chunk""".stripMargin,
 
     // q123: epoch expansion — the per-source when-chain target, the
     // md5 coin on the fractional part, and the per-copy epoch tags

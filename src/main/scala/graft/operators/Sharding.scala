@@ -370,6 +370,53 @@ object Sharding {
         floor((col("cum_tokens") - col(tokensCol)).cast("double") / budget).cast("long"))
   }
 
+  /** C48: SEQUENCE ASSEMBLY — turn the q45 packing into the artifact a
+    * training loader actually mmaps: one row per packed sequence with
+    * its member documents IN ORDER and their token OFFSETS (the
+    * boundary metadata attention masking / document-causal masking
+    * needs — a packed file without offsets cannot rebuild example
+    * boundaries). `offsets(i)` is the exclusive prefix sum of member
+    * token counts: where document i starts inside the sequence.
+    *
+    * Offsets derive from the packer's own cum_tokens via one window
+    * min per (shard, chunk) — plain integer arithmetic both engines
+    * reproduce — and the member lists aggregate in doc order.
+    * Scale shape: the packing window (per-shard) plus one grouped
+    * aggregation to |sequences| rows; nothing corpus-wide. */
+  def assembleSequences(df: DataFrame, idCol: String, tokensCol: String,
+                        budget: Long, shards: Int = 32): DataFrame = {
+    val packed = packByTokenBudget(df, idCol, tokensCol, budget, shards)
+    val start = col("cum_tokens") - col(tokensCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("chunk"))
+    packed
+      .withColumn("_off", start - min(start).over(w))
+      .groupBy(col("shard"), col("chunk"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).as("total_tokens"),
+        sort_array(collect_list(struct(col(idCol).as("i"), col("_off").as("o"))))
+          .as("_d"))
+      .withColumn("doc_ids",
+        array_join(transform(col("_d"), s => s.getField("i")), ","))
+      .withColumn("offsets",
+        array_join(transform(col("_d"), s => s.getField("o")), ","))
+      .drop("_d")
+  }
+
+  /** C48 `q124_packed_sequences` — the assembly over the q45 packing
+    * (whitespace token counts, budget 2048, 8 shards): member lists,
+    * exclusive-prefix offsets, and per-sequence totals all hash-check
+    * (lists ride comma-joined strings so both engines compare the
+    * exact element order). */
+  def packedSequencesDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    assembleSequences(docs, "doc_id", "n_tokens", budget = 2048L, shards = 8)
+      .orderBy(col("shard"), col("chunk"))
+  }
+
   /** Deterministic STRATIFIED sampling (`q54_stratified_sample`): the
     * first `n` rows per stratum in seeded-md5 order — "n docs per
     * language/source" for eval-set construction and per-slice audits.

@@ -328,6 +328,34 @@ class ShardingSpec extends SparkSpecBase {
     }
   }
 
+  test("sequence assembly: in-order members, exclusive-prefix offsets, budget respected") {
+    // one shard (ids ≡ 0 mod 32? use shards=1), budget 10:
+    // docs 1(4) 2(5) pack into seq 0 (offsets 0,4); 3(6) starts seq 0?
+    // cum: 4,9,15 → chunk = floor((cum-n)/10): 0,0,0 for doc3 (9/10=0)!
+    // doc3 starts at 9 < 10 → same chunk (budget-plus-one-doc bound,
+    // the q45 contract); doc4(8) cum 23 start 15 → chunk 1
+    val rows = Seq((1L, 4L), (2L, 5L), (3L, 6L), (4L, 8L))
+      .toDF("doc_id", "n_tokens")
+    val out = Sharding.assembleSequences(rows, "doc_id", "n_tokens",
+        budget = 10L, shards = 1)
+      .orderBy(col("chunk"))
+      .as[(Int, Long, Long, Long, String, String)].collect().toList
+    assert(out === List(
+      (0, 0L, 3L, 15L, "1,2,3", "0,4,9"),
+      (0, 1L, 1L, 8L, "4", "0")))
+    // round trip: every offset is the sum of prior members' tokens
+    val toks = Map(1L -> 4L, 2L -> 5L, 3L -> 6L, 4L -> 8L)
+    out.foreach { case (_, _, _, _, ids, offs) =>
+      val is = ids.split(",").map(_.toLong)
+      val os = offs.split(",").map(_.toLong)
+      assert(os.head === 0L)
+      is.zip(os).sliding(2).foreach {
+        case Array((i, o), (_, o2)) => assert(o2 === o + toks(i))
+        case _ => ()
+      }
+    }
+  }
+
   test("epoch expansion: whole copies, fractional coin, drop leg, map-only") {
     val rows = Seq(
       (1L, "three", 0.10), (2L, "three", 0.90),  // e=3.0: always 3 copies, coin ignored
