@@ -159,7 +159,8 @@ object SparkEntry {
     "q121_crawl_ingest"          -> ((s, d) => Pipeline.crawlIngestDocs(s, d)),
     "q122_signal_battery"        -> ((s, d) => TextAnalysis.signalBatteryDocs(s, d)),
     "q123_epoch_expansion"       -> ((s, d) => Sharding.epochExpansionDocs(s, d)),
-    "q124_packed_sequences"      -> ((s, d) => Sharding.packedSequencesDocs(s, d))
+    "q124_packed_sequences"      -> ((s, d) => Sharding.packedSequencesDocs(s, d)),
+    "q125_bpe_encode"            -> ((s, d) => Bpe.bpeEncodeDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1351,6 +1352,33 @@ object SparkEntry {
         |      FROM d JOIN r USING (source))
         |SELECT doc_id, source FROM u WHERE draw < rate
         |ORDER BY doc_id""".stripMargin,
+
+    // q125: BPE encode — the oracle is GENERATED from the same planted
+    // merge table the operator folds over (one replace per merge in
+    // rank order, the subword-nmt left-to-right exhaustive convention),
+    // so the two engines cannot apply different tables by accident
+    "q125_bpe_encode" -> {
+      val folds = Bpe.docMerges.foldLeft(
+        "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' " +
+          Bpe.EndOfWord + " '") {
+        // two passes per rank — the operator's exhaustive-application
+        // convention (a single scan merges only alternate members of a
+        // back-to-back chain)
+        case (acc, (a, b)) =>
+          s"replace(replace($acc, ' $a $b ', ' $a$b '), ' $a $b ', ' $a$b ')"
+      }
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+         |  FROM documents),
+         |e AS (SELECT doc_id, w,
+         |        CAST(len(string_split(trim($folds), ' ')) AS BIGINT) AS p,
+         |        CAST(length(w) AS BIGINT) AS c
+         |      FROM w WHERE w <> '')
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(p) AS BIGINT) AS n_pieces,
+         |       round(CAST(sum(c) AS DOUBLE) / sum(p), 4) AS chars_per_piece
+         |FROM e GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
 
     // q124: sequence assembly — q45's packing windows plus the
     // exclusive-prefix offsets (one window min per sequence) and the
