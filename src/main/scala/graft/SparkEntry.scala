@@ -1359,19 +1359,18 @@ object SparkEntry {
     // so the two engines cannot apply different tables by accident
     "q125_bpe_encode" -> {
       val folds = Bpe.docMerges.foldLeft(
-        "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' " +
-          Bpe.EndOfWord + " '") {
-        // two passes per rank — the operator's exhaustive-application
-        // convention (a single scan merges only alternate members of a
-        // back-to-back chain)
-        case (acc, (a, b)) =>
-          s"replace(replace($acc, ' $a $b ', ' $a$b '), ' $a $b ', ' $a$b ')"
+        "'  ' || regexp_replace(w, '(.)', '\\1  ', 'g') || '" +
+          Bpe.EndOfWord + "  '") {
+        // the double-space boundary representation: the pattern consumes
+        // one space per side, the replacement re-emits them, so one scan
+        // per rank is exhaustive (see Bpe.encode)
+        case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
       }
       s"""WITH w AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
          |  FROM documents),
          |e AS (SELECT doc_id, w,
-         |        CAST(len(string_split(trim($folds), ' ')) AS BIGINT) AS p,
+         |        CAST(len(string_split_regex(trim($folds), '\\s+')) AS BIGINT) AS p,
          |        CAST(length(w) AS BIGINT) AS c
          |      FROM w WHERE w <> '')
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,

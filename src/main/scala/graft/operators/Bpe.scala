@@ -108,25 +108,31 @@ object Bpe {
   }
 
   /** Encode one TOKEN column to its BPE piece array: char split + the
-    * end-of-word marker, then TWO `replace` passes per merge in rank
-    * order — exhaustive left-to-right application (the subword-nmt
-    * convention). Two passes suffice exactly: the pattern ` a b ` owns
-    * its boundary spaces, so one scan merges ALTERNATE members of any
-    * back-to-back chain (the shared space is consumed); the survivors
-    * are isolated occurrences with both spaces intact, and the second
-    * pass takes them all (spec-asserted on an `aaaa` run). Pure column
+    * end-of-word marker, then ONE `replace` per merge in rank order —
+    * EXHAUSTIVE left-to-right application (the subword-nmt
+    * convention), exactly.
+    *
+    * The representation makes a single scan exhaustive: symbols are
+    * separated by DOUBLE spaces and the pattern ` a  b ` consumes one
+    * space from each boundary while the replacement ` ab ` re-emits
+    * them — every boundary is double again after a substitution, so
+    * back-to-back chains keep matching as the scan proceeds
+    * (`a a a a a a` → `aa aa aa`, spec-asserted on runs). A single
+    * left-to-right scan equals exhaustive application because a
+    * substitution can never create a NEW occurrence of its own pair:
+    * the merged symbol `ab` is strictly longer than `a` and `b`, so
+    * any new adjacency involves `ab`, a different pair. Pure column
     * expressions, map-only, codegen'd. */
   def encode(tok: Column, merges: Seq[(String, String)]): Column = {
     require(merges.nonEmpty && merges.size <= maxEncodeMerges,
-      s"encode takes 1..$maxEncodeMerges merges (two expression nodes each; " +
+      s"encode takes 1..$maxEncodeMerges merges (one expression node each; " +
         s"larger tables want a native kernel), got ${merges.size}")
-    val chars = concat(lit(" "),
-      trim(regexp_replace(tok, "(.)", "$1 ")), lit(" " + EndOfWord + " "))
+    val chars = concat(lit("  "),
+      regexp_replace(tok, "(.)", "$1  "), lit(EndOfWord + "  "))
     val folded = merges.foldLeft(chars) { case (acc, (a, b)) =>
-      val once = call_function("replace", acc, lit(s" $a $b "), lit(s" $a$b "))
-      call_function("replace", once, lit(s" $a $b "), lit(s" $a$b "))
+      call_function("replace", acc, lit(s" $a  $b "), lit(s" $a$b "))
     }
-    split(trim(folded), " ")
+    split(trim(folded), "\\s+")
   }
 
   /** Per-document BPE length stats under a merge table: the real

@@ -267,13 +267,7 @@ object EventsStream {
         // first-run-only benign catch (the advice-r9 rule, same hazard
         // as the census guard): a swallowed read failure here would
         // REPLACE day partitions with batch-only sketches
-        val diskOpt =
-          try Some(spark.read.parquet(sketchPath))
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" ||
-                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
-          }
+        val diskOpt = readTableIfExists(spark, sketchPath)
         val merged = diskOpt match {
           case Some(existing) =>
             existing.join(broadcast(daily.select(col("day")).distinct()), Seq("day"))
@@ -325,13 +319,7 @@ object EventsStream {
         // failure must fail the query — merging against a silently
         // dropped disk state would REPLACE day partitions with
         // batch-only sketches
-        val diskOpt =
-          try Some(spark.read.parquet(sketchPath))
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" ||
-                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
-          }
+        val diskOpt = readTableIfExists(spark, sketchPath)
         val merged = diskOpt match {
           case Some(existing) =>
             graft.operators.Sketches.kmvMerge(
@@ -603,13 +591,7 @@ object EventsStream {
                                valueCols: Seq[String], opName: String): Unit = {
     val spark0 = delta.sparkSession
     val days = delta.select(col("day")).distinct().collect().map(_.getDate(0))
-    val diskOpt =
-      try Some(spark0.read.parquet(path))
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" ||
-               e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
-      }
+    val diskOpt = readTableIfExists(spark0, path)
     diskOpt.foreach { disk =>
       val cols = col("day") +: valueCols.map(col)
       val existing = disk
@@ -766,13 +748,7 @@ object EventsStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        def readOpt(path: String) =
-          try Some(spark.read.parquet(path))
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" ||
-                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
-          }
+        def readOpt(path: String) = readTableIfExists(spark, path)
         val vocab = readOpt(vocabPath).getOrElse {
           import spark.implicits._
           Seq.empty[(String, String, Boolean)]
@@ -816,13 +792,7 @@ object EventsStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        def readOpt(path: String) =
-          try Some(spark.read.parquet(path))
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" ||
-                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
-          }
+        def readOpt(path: String) = readTableIfExists(spark, path)
         val batchIdx = graft.operators.Urls
           .buildUrlIndex(batch, idCol, urlCol)
           .select(col("canon_url"), col("keep_id"))
@@ -843,13 +813,15 @@ object EventsStream {
     * stage (C45's ingest report, URL gating, dedup) probes instead of
     * re-parsing chunks.
     *
-    * Replay-idempotent at the CHUNK grain (the delivery unit of a
-    * crawl: a chunk file arrives whole or not at all): already-ingested
-    * chunk ids anti-join away, so a re-delivered chunk appends
-    * nothing; within-batch duplicate chunk ids collapse first.
-    * Records land with their (chunk_id, rec_idx) identity, so the
-    * C45 rec_id derivation is stable across the batch and streaming
-    * paths. */
+    * Replay-idempotent at the RECORD grain: the batch parses first and
+    * anti-joins on (chunk_id, rec_idx) — so a re-delivered chunk
+    * appends nothing, AND a crash that committed only part of a
+    * chunk's records before the checkpoint self-heals on replay (the
+    * missing records append, the present ones skip). A chunk-presence
+    * anti-join would silently drop the missing half forever — the
+    * postings-stream crash lesson at this sink's grain. Within-batch
+    * duplicate chunk ids collapse first; (chunk_id, rec_idx) identity
+    * is stable across the batch and streaming paths. */
   def wetIngestStream(chunks: DataFrame, recordsPath: String,
                       checkpointDir: String,
                       idCol: String = "chunk_id", contentCol: String = "content"):
@@ -860,23 +832,32 @@ object EventsStream {
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         val spark = batch0.sparkSession
         val batch = batch0.dropDuplicates(idCol)
-        val existing =
-          try Some(spark.read.parquet(recordsPath))
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" ||
-                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
-          }
-        val fresh = existing match {
+        val parsed = graft.sources.Warc.wetRecords(batch, idCol, contentCol)
+        val fresh = readTableIfExists(spark, recordsPath) match {
           case Some(r) =>
-            batch.join(r.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
-          case None => batch
+            parsed.join(r.select(col(idCol), col("rec_idx")).distinct(),
+              Seq(idCol, "rec_idx"), "left_anti")
+          case None => parsed
         }
         if (!fresh.isEmpty)
-          graft.sources.Warc.wetRecords(fresh, idCol, contentCol)
-            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(recordsPath)
+          fresh.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(recordsPath)
       }
       .start()
+
+  /** First-run-only benign read: Some(table) if `path` holds one, None
+    * when the path is missing or holds no files yet (the bootstrap
+    * states). Anything else — corruption, permissions, transient FS
+    * failures — PROPAGATES and fails the stream (the advice-r9 rule);
+    * ONE definition for every stream that bootstraps from an empty
+    * sink. */
+  private def readTableIfExists(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" ||
+             e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+    }
 
   /** D2→C30 bridge — streaming postings-index maintenance: each
     * micro-batch of new documents extends the BM25/phrase artifacts
@@ -919,13 +900,7 @@ object EventsStream {
         val spark = batch0.sparkSession
         val batch = batch0.dropDuplicates(idCol)
         // first-run-only benign catch (the advice-r9 rule)
-        def readOpt(path: String) =
-          try Some(spark.read.parquet(path))
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" ||
-                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
-          }
+        def readOpt(path: String) = readTableIfExists(spark, path)
         val fresh = readOpt(postingsPath) match {
           case Some(existing) =>
             batch.join(existing.select(col("doc_id")).distinct()
@@ -1119,13 +1094,7 @@ object EventsStream {
         val batch = batch0.dropDuplicates(idCol)
         val model = spark.read.parquet(modelPath) // loud if absent: fit-first
         // first-run-only benign catch on the SCORED table (advice-r9 rule)
-        val existing =
-          try Some(spark.read.parquet(scoredPath))
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" ||
-                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
-          }
+        val existing = readTableIfExists(spark, scoredPath)
         val fresh = existing match {
           case Some(s) =>
             batch.join(s.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
@@ -1169,13 +1138,7 @@ object EventsStream {
           .select(col("tok"), col("label"), col("c"))
         val classStats = spark.read.parquet(classStatsPath)
           .select(col("label"), col("n_docs"), col("n_tokens"))
-        val existing =
-          try Some(spark.read.parquet(scoredPath))
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" ||
-                   e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
-          }
+        val existing = readTableIfExists(spark, scoredPath)
         val fresh = existing match {
           case Some(s) =>
             batch.join(s.select(col(idCol)).distinct(), Seq(idCol), "left_anti")

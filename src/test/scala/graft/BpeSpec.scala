@@ -38,10 +38,16 @@ class BpeSpec extends SparkSpecBase {
     assert(enc("estes") === Seq("est", "es", Bpe.EndOfWord),
       "rank order: (e,s)'s pass merges BOTH pairs, then (es,t) chains at the front")
     assert(enc("x") === Seq("x", Bpe.EndOfWord))
-    // same-pair runs merge left-to-right within one rank's pass
+    // same-pair RUNS are the exhaustiveness stress case (a shared-
+    // delimiter replace skips alternate members): every run length
+    // must segment exactly as the canonical left-to-right loop does
     val mm = Seq(("a", "a"))
-    assert(Seq("aaaa").toDF("w").select(Bpe.encode(col("w"), mm).as("p"))
-      .as[Seq[String]].head() === Seq("aa", "aa", Bpe.EndOfWord))
+    def encRun(w: String) = Seq(w).toDF("w")
+      .select(Bpe.encode(col("w"), mm).as("p")).as[Seq[String]].head()
+    assert(encRun("aaaa") === Seq("aa", "aa", Bpe.EndOfWord))
+    assert(encRun("aaaaa") === Seq("aa", "aa", "a", Bpe.EndOfWord))
+    assert(encRun("aaaaaa") === Seq("aa", "aa", "aa", Bpe.EndOfWord))
+    assert(encRun("aaaaaaa") === Seq("aa", "aa", "aa", "a", Bpe.EndOfWord))
     intercept[IllegalArgumentException] { Bpe.encode(col("w"), Seq.empty) }
   }
 
