@@ -137,7 +137,7 @@ object Bpe {
 
   /** Per-document BPE length stats under a merge table: the real
     * subword counts token budgets and packing should use.
-    * (doc_id, n_words, n_pieces, n_chars_avg_piece 4-dp). */
+    * (doc_id, n_words, n_pieces, chars_per_piece 4-dp). */
   def encodeStats(docs: DataFrame, merges: Seq[(String, String)],
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs

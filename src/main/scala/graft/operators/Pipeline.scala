@@ -88,8 +88,16 @@ object Pipeline {
       .contains(chunks.schema(idCol).dataType),
       s"chunk id column '$idCol' must be integral (a string id would cast to " +
         "null rec_ids and silently join nothing) — hash string chunk names first")
+    // rec_id = (chunk_id << 32) | rec_idx — rec_idx is an int from
+    // posexplode (< 2^31 by construction), so indices can never alias
+    // across chunks; chunk ids at or past 2^31 would overflow the
+    // shift and fail loudly in-plan instead of colliding silently
     val recs = graft.sources.Warc.wetRecords(chunks, idCol, contentCol)
-      .withColumn("rec_id", col(idCol).cast("long") * 100000L + col("rec_idx"))
+      .withColumn("rec_id",
+        when(col(idCol).cast("long") >= (1L << 31) || col(idCol) < 0,
+          raise_error(concat(lit("crawlIngestReport: chunk id out of [0, 2^31) — "),
+            col(idCol).cast("string"), lit(" would overflow the rec_id encoding"))))
+          .otherwise(shiftleft(col(idCol).cast("long"), 32) + col("rec_idx")))
       .localCheckpoint()
     val gated = Urls.blocklistGate(
       recs.select(col("rec_id"), col("uri")), "rec_id", "uri", blocklist)

@@ -107,12 +107,24 @@ object Sharding {
     * group column; no shuffle, no join, reproducible on any cluster
     * size and any engine with md5.
     *
+    * Null group keys fail LOUDLY in-plan: md5(null) is null, so a null
+    * group would otherwise bucket to null and fall through the
+    * when-chain to 'test' — neither rejected nor co-assigned, the
+    * silent failure mode a leakage-safety primitive cannot have.
+    * Coalesce to a sentinel upstream if null really means "its own
+    * group".
+    *
     * @return `df` plus (bucket, split) columns */
   def leakageSafeSplit(df: DataFrame, groupCol: String, trainPct: Int = 80,
                        valPct: Int = 10, seed: Long = 7L): DataFrame = {
     require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
       s"need positive train/val and a non-empty test remainder, got train=$trainPct val=$valPct")
-    val bucket = (conv(substring(md5(concat(col(groupCol).cast("string"),
+    val key = when(col(groupCol).isNull, raise_error(lit(
+      s"leakageSafeSplit: null group key in '$groupCol' — a null group cannot be " +
+        "assigned safely (rows would silently land in 'test'); coalesce to a " +
+        "sentinel upstream if null means its own group")))
+      .otherwise(col(groupCol).cast("string"))
+    val bucket = (conv(substring(md5(concat(key,
       lit(s":split:$seed"))), 1, 13), 16, 10).cast("long") % 100L).as("bucket")
     df.withColumn("bucket", bucket)
       .withColumn("split",

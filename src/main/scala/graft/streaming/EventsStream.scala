@@ -656,7 +656,12 @@ object EventsStream {
           graft.sources.Sinks.writeDayPartitioned(
             batch, path, dateCol, ifExists = "replace", clean = false)
         else
-          batch
+          // per-row triage rides along (round-11 advice): `violations`
+          // names the rules EACH row fails (empty for clean rows swept
+          // up by the whole-batch policy), so an operator can inspect a
+          // poisoned batch without re-running the rules; `_failed_rules`
+          // stays the batch-level verdict that caused the diversion
+          graft.operators.Validation.flagViolations(batch, rules)
             .withColumn("_quarantine_batch", lit(batchId))
             .withColumn("_failed_rules", lit(failed))
             .write.mode(org.apache.spark.sql.SaveMode.Append)

@@ -432,6 +432,15 @@ class ShardingSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Sharding.leakageSafeSplit(rows, "grp", trainPct = 90, valPct = 10)
     }
+    // a null group key fails LOUDLY in-plan — it would otherwise bucket
+    // to null and silently land in 'test' (round-11 advice)
+    val withNull = Seq((7L, null: String), (8L, "g1")).toDF("doc_id", "grp")
+    val e = intercept[Exception] {
+      Sharding.leakageSafeSplit(withNull, "grp").collect()
+    }
+    assert(e.getMessage.contains("null group key")
+      || Option(e.getCause).exists(_.getMessage.contains("null group key")),
+      s"expected the null-group refusal, got: ${e.getMessage}")
   }
 
   test("q110 entry: recrawl URL groups co-travel and all three splits occur") {

@@ -798,6 +798,17 @@ class StreamingSpec extends SparkSpecBase {
       val flagged = quarantined.select(explode(col("_failed_rules")))
         .as[String].collect().toSet
       assert(flagged == Set("negative_total"))
+      // per-row triage (round-11 advice): each quarantined row carries
+      // the rules IT fails — the poisoned day-2 row names the rule, the
+      // clean day-1 row swept up by the whole-batch policy carries an
+      // empty array — so triage never re-runs the rules
+      val perRow = quarantined
+        .select(col("date"), col("violations"))
+        .as[(String, Seq[String])].collect().toMap
+      assert(perRow("2024-01-02") == Seq("negative_total"),
+        s"the dirty row must name its failed rules, got $perRow")
+      assert(perRow("2024-01-01").isEmpty,
+        s"the clean row rides with an empty violations array, got $perRow")
     } finally q.stop()
   }
 
