@@ -160,7 +160,8 @@ object SparkEntry {
     "q122_signal_battery"        -> ((s, d) => TextAnalysis.signalBatteryDocs(s, d)),
     "q123_epoch_expansion"       -> ((s, d) => Sharding.epochExpansionDocs(s, d)),
     "q124_packed_sequences"      -> ((s, d) => Sharding.packedSequencesDocs(s, d)),
-    "q125_bpe_encode"            -> ((s, d) => Bpe.bpeEncodeDocs(s, d))
+    "q125_bpe_encode"            -> ((s, d) => Bpe.bpeEncodeDocs(s, d)),
+    "q126_bpe_kernel"            -> ((s, d) => Bpe.bpeKernelDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1352,6 +1353,51 @@ object SparkEntry {
         |      FROM d JOIN r USING (source))
         |SELECT doc_id, source FROM u WHERE draw < rate
         |ORDER BY doc_id""".stripMargin,
+
+    // q126: the NATIVE BPE kernel at 1024 merges — 4× past the fold's
+    // 256-merge expression cap. The oracle regenerates the same
+    // formula-planted table (676 letter pairs + 348 end-of-word
+    // attachments, ranks = the same lexicographic index math) and
+    // replays the rank-order exhaustive fold as a recursive CTE — one
+    // double-space replace per rank over the DISTINCT-word table, 1024
+    // steps — then joins back to word instances and aggregates per doc.
+    // The kernel runs the min-rank loop; the table invariants (each
+    // multi-char side created earlier, outputs unique — validated
+    // loudly at table build) make the two formulations exactly equal,
+    // and this hash check certifies it on the full corpus.
+    "q126_bpe_kernel" ->
+      """WITH RECURSIVE
+        |letters AS (
+        |  SELECT chr(97 + CAST(i AS INTEGER)) AS c, CAST(i AS BIGINT) AS i
+        |  FROM range(26) t(i)),
+        |m AS (
+        |  SELECT x.i * 26 + y.i AS rank, x.c AS l, y.c AS r
+        |  FROM letters x, letters y
+        |  UNION ALL
+        |  SELECT 676 + x.i * 26 + y.i AS rank, x.c || y.c AS l, '</w>' AS r
+        |  FROM letters x, letters y WHERE x.i * 26 + y.i < 348),
+        |w AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |words AS (SELECT DISTINCT w FROM w WHERE w <> ''),
+        |it AS (
+        |  SELECT w, '  ' || regexp_replace(w, '(.)', '\1  ', 'g') || '</w>  ' AS s,
+        |         CAST(0 AS BIGINT) AS r
+        |  FROM words
+        |  UNION ALL
+        |  SELECT it.w, replace(it.s, ' ' || m.l || '  ' || m.r || ' ',
+        |                       ' ' || m.l || m.r || ' '), it.r + 1
+        |  FROM it JOIN m ON m.rank = it.r),
+        |fin AS (
+        |  SELECT w, CAST(len(string_split_regex(trim(s), '\s+')) AS BIGINT) AS p
+        |  FROM it WHERE r = 1024),
+        |e AS (
+        |  SELECT w.doc_id, fin.p, CAST(length(w.w) AS BIGINT) AS c
+        |  FROM w JOIN fin ON w.w = fin.w WHERE w.w <> '')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(p) AS BIGINT) AS n_pieces,
+        |       round(CAST(sum(c) AS DOUBLE) / sum(p), 4) AS chars_per_piece
+        |FROM e GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // q125: BPE encode — the oracle is GENERATED from the same planted
     // merge table the operator folds over (one replace per merge in

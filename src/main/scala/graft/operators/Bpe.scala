@@ -39,8 +39,13 @@ object Bpe {
   val EndOfWord = "</w>"
 
   /** Largest merge table [[encode]] accepts — one expression node per
-    * merge; past this, register a native kernel instead. */
+    * merge; past this, use [[encodeKernel]] (one node for the whole
+    * table). */
   val maxEncodeMerges = 256
+
+  /** Largest merge table [[train]] / [[encodeKernel]] accept — past
+    * GPT-class vocabularies (32k–100k merges) this is a config error. */
+  val maxTrainMerges: Int = graft.expressions.BpeTable.MaxMerges
 
   /** Train `numMerges` BPE merges from a corpus. One distributed
     * aggregation builds the (word, count) table under the corpus
@@ -50,12 +55,23 @@ object Bpe {
     * to the lexicographically smallest (left, right), so retrains are
     * bit-stable.
     *
+    * The greedy loop keeps pair statistics INCREMENTALLY (round 12):
+    * each merge touches only the words that CONTAIN the merged pair
+    * (their old adjacent-pair contributions retract, the merge
+    * applies, the new contributions add), and the argmax rides a
+    * lazy-deletion heap ordered (count desc, pair asc) — stale entries
+    * pop and drop when their stored count no longer matches. The
+    * previous full-recount loop was O(rounds × vocab × word-length):
+    * fine at 256 merges, hopeless at the 10k+ merges a production
+    * vocabulary needs. Selection order is bit-identical to the
+    * recount formulation (spec-asserted against a naive reference).
+    *
     * @return merges in rank order; fewer than `numMerges` if the
     *         vocabulary runs out of pairs */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             maxVocabWords: Int = 100000): Seq[(String, String)] = {
-    require(numMerges >= 1 && numMerges <= maxEncodeMerges,
-      s"numMerges must lie in [1, $maxEncodeMerges], got $numMerges")
+    require(numMerges >= 1 && numMerges <= maxTrainMerges,
+      s"numMerges must lie in [1, $maxTrainMerges], got $numMerges")
     require(maxVocabWords >= 1 && maxVocabWords <= 1000000,
       s"maxVocabWords must lie in [1, 1e6] (the table is collected), got $maxVocabWords")
     val words = docs
@@ -64,37 +80,91 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w")).limit(maxVocabWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    var reps: Array[(Array[String], Long)] =
-      words.map { case (w, n) => (w.map(_.toString).toArray :+ EndOfWord, n) }
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var round = 0
-    while (round < numMerges) {
-      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
-      reps.foreach { case (syms, n) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          pairCounts(p) = pairCounts.getOrElse(p, 0L) + n
-          i += 1
+    trainFromWordCounts(words, numMerges)
+  }
+
+  /** The driver-side greedy loop on a bounded (word, count) table —
+    * incremental pair statistics + lazy-deletion heap (see [[train]]). */
+  private[graft] def trainFromWordCounts(words: Array[(String, Long)],
+                                         numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val reps: Array[Array[String]] =
+      words.map { case (w, _) => w.map(_.toString).toArray :+ EndOfWord }
+    val cnt: Array[Long] = words.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // heap dequeues the MAX under: higher count first, then the
+    // lexicographically SMALLEST (left, right) — the recount loop's
+    // minBy((-n, a, b)) selection, exactly
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val a = y._2.compareTo(x._2)
+          if (a != 0) a else y._3.compareTo(x._3)
         }
       }
-      if (pairCounts.isEmpty) round = numMerges
-      else {
-        val (best, _) = pairCounts.toSeq
-          .minBy { case ((a, b), n) => (-n, a, b) }
-        merges += best
-        val merged = best._1 + best._2
-        reps = reps.map { case (syms, n) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
-              out += merged; i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          (out.toArray, n)
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    def addWordStats(idx: Int, sign: Long): Unit = {
+      val syms = reps(idx); val n = cnt(idx) * sign
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val c = counts.getOrElse(p, 0L) + n
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0) {
+          occ.getOrElseUpdate(p, mutable.Set.empty[Int]) += idx
+          heap.enqueue((c, p._1, p._2))
+        } else {
+          // retracted pairs may re-add below with their word's new
+          // shape; membership is corrected there. The heap entry for
+          // the lowered count lets the pair still win later rounds.
+          if (c != 0L) heap.enqueue((c, p._1, p._2))
         }
-        round += 1
+        i += 1
+      }
+      if (sign < 0) {
+        // drop stale occurrence memberships for pairs this word no
+        // longer contains (cheap: only this word's old pairs checked)
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          occ.get(p).foreach { s => s -= idx; if (s.isEmpty) occ.remove(p) }
+          j += 1
+        }
+      }
+    }
+    reps.indices.foreach(addWordStats(_, 1L))
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.length < numMerges) {
+      // lazy deletion: pop until the stored count matches the live one
+      var best: Option[(String, String)] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val (c, a, b) = heap.dequeue()
+        if (counts.getOrElse((a, b), 0L) == c && c > 0L) best = Some((a, b))
+      }
+      best match {
+        case None => continue = false
+        case Some(p @ (a, b)) =>
+          merges += p
+          val merged = a + b
+          val touched = occ.getOrElse(p, mutable.Set.empty[Int]).toArray
+          touched.foreach { idx =>
+            addWordStats(idx, -1L)
+            val syms = reps(idx)
+            val out = mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                out += merged; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            reps(idx) = out.toArray
+            addWordStats(idx, 1L)
+          }
       }
     }
     merges.toSeq
@@ -135,21 +205,49 @@ object Bpe {
     split(trim(folded), "\\s+")
   }
 
+  /** NATIVE-KERNEL encode (round 12 — the growth path [[encode]]
+    * documents, built): ONE [[graft.expressions.BpeEncodeExpr]] node
+    * applies the whole rank-ordered merge table — the table ships with
+    * the plan like a broadcast and compiles once into a validated
+    * pair→rank map with a per-thread encoded-word cache, so production
+    * vocabularies (32k–100k merges) run inside whole-stage codegen
+    * where the fold would need one expression node per merge.
+    * Semantics are EXACTLY [[encode]]'s rank-order exhaustive
+    * left-to-right convention (the table invariants that make the
+    * kernel's min-rank loop equivalent are VALIDATED loudly at build —
+    * see [[graft.expressions.BpeTable]]); kernel == fold is
+    * spec-asserted bit-exactly on [[docMerges]] and on trained
+    * tables. */
+  def encodeKernel(tok: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.nonEmpty && merges.size <= maxTrainMerges,
+      s"encodeKernel takes 1..$maxTrainMerges merges, got ${merges.size}")
+    call_function("graft_bpe_encode", tok,
+      typedlit(merges.map(_._1)), typedlit(merges.map(_._2)))
+  }
+
   /** Per-document BPE length stats under a merge table: the real
     * subword counts token budgets and packing should use.
-    * (doc_id, n_words, n_pieces, chars_per_piece 4-dp). */
+    * (doc_id, n_words, n_pieces, chars_per_piece 4-dp).
+    *
+    * `useKernel = true` routes the per-word encode through
+    * [[encodeKernel]] (required past [[maxEncodeMerges]] merges);
+    * default stays the q125-certified expression fold. */
   def encodeStats(docs: DataFrame, merges: Seq[(String, String)],
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+                  idCol: String = "doc_id", textCol: String = "text",
+                  useKernel: Boolean = false): DataFrame = {
+    val pieces: Column => Column =
+      if (useKernel) encodeKernel(_, merges) else encode(_, merges)
     docs
       .select(col(idCol),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("_w"))
       .filter(col("_w") =!= "")
-      .withColumn("_p", size(encode(col("_w"), merges)).cast("long"))
+      .withColumn("_p", size(pieces(col("_w"))).cast("long"))
       .withColumn("_c", length(col("_w")).cast("long"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(col("_p")).as("n_pieces"),
         round(sum(col("_c")).cast("double") / sum(col("_p")), 4).as("chars_per_piece"))
+  }
 
   /** The q125 planted merge table — SHARED constants (the oracle
     * interpolates the same pairs): frequent word-salad letter pairs
@@ -169,5 +267,38 @@ object Bpe {
     * oracles. */
   def bpeEncodeDocs(spark: SparkSession, dir: String): DataFrame =
     encodeStats(graft.Tables(spark, dir).documents, docMerges)
+      .orderBy(col("doc_id"))
+
+  /** The q126 planted 1024-merge table — generated by a FORMULA both
+    * engines implement independently (the q104/q125
+    * shared-table-definition convention, here as shared math): ranks
+    * 0..675 are every ordered single-letter pair (x, y) for a–z in
+    * lexicographic order (output "xy"), ranks 676..1023 attach the
+    * end-of-word marker to the first 348 two-letter outputs
+    * ("aa".."nj"). Every output is unique and every multi-char side is
+    * created at an earlier rank, so the table passes the kernel's
+    * training-invariant validation — and at 4× the fold's 256-merge
+    * cap it exercises exactly the regime only the kernel can run. */
+  val kernelMerges: Seq[(String, String)] = {
+    val letters = ('a' to 'z').map(_.toString)
+    val pairs = for (x <- letters; y <- letters) yield (x, y)
+    val eow = (for (x <- letters; y <- letters) yield x + y)
+      .take(348).map(s => (s, EndOfWord))
+    (pairs ++ eow).toSeq
+  }
+
+  /** C49 `q126_bpe_kernel` — [[encodeStats]] through the NATIVE kernel
+    * under the 1024-merge [[kernelMerges]] table (4× past the fold
+    * cap). The DuckDB oracle regenerates the same table from the same
+    * formula and replays the rank-order fold as a 1024-step recursive
+    * CTE over the distinct-word table — per published-trainer
+    * invariants (validated loudly in [[graft.expressions.BpeTable]])
+    * the kernel's min-rank loop and the fold agree exactly, and the
+    * hash check certifies it on the full corpus. TRAINING at this
+    * scale is certified by the BpeSpec incremental-vs-recount parity
+    * and the ≥1k-merge kernel==reference-fold assertions. */
+  def bpeKernelDocs(spark: SparkSession, dir: String): DataFrame =
+    encodeStats(graft.Tables(spark, dir).documents, kernelMerges,
+      useKernel = true)
       .orderBy(col("doc_id"))
 }

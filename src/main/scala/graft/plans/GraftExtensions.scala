@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expressions.{DotProduct, KllMergeAgg, KllQuantile, KllSketchAgg, KmvMergeAgg, KmvShingledAgg, KmvSketchAgg, MinHashShingled, MinHashSignature, NGramHashes, SimHash60Md5, SimHash64, SpanWindowHashes, TextEmbedMd5}
+import graft.expressions.{BpeEncodeExpr, DotProduct, KllMergeAgg, KllQuantile, KllSketchAgg, KmvMergeAgg, KmvShingledAgg, KmvSketchAgg, MinHashShingled, MinHashSignature, NGramHashes, SimHash60Md5, SimHash64, SpanWindowHashes, TextEmbedMd5}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -84,5 +84,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmvMergeAgg].getName, "graft_kmv_merge"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         KmvMergeAgg(children(0), children(1)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncodeExpr].getName, "graft_bpe_encode"),
+      // the merge-table sides must be foldable array literals: the
+      // builder evaluates them ONCE at analysis time into a validated
+      // BpeTable baked into the expression (see BpeEncodeExpr.build)
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BpeEncodeExpr.build(children)))
   }
 }

@@ -51,6 +51,156 @@ class BpeSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { Bpe.encode(col("w"), Seq.empty) }
   }
 
+  // ---- round 12: incremental trainer + native kernel ------------------
+
+  /** The pre-round-12 full-recount trainer, kept verbatim as the spec's
+    * reference: the incremental trainer must select the SAME merges in
+    * the SAME order (count desc, pair lexicographic asc ties). */
+  private def trainRecountReference(words: Array[(String, Long)],
+                                    numMerges: Int): Seq[(String, String)] = {
+    var reps: Array[(Array[String], Long)] =
+      words.map { case (w, n) => (w.map(_.toString).toArray :+ Bpe.EndOfWord, n) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    while (round < numMerges) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      reps.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + n
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) round = numMerges
+      else {
+        val (best, _) = pairCounts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += best
+        val merged = best._1 + best._2
+        reps = reps.map { case (syms, n) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              out += merged; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, n)
+        }
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  private def corpusWordCounts(limit: Int = 100000): Array[(String, Long)] =
+    Tables(spark, sfDir).documents
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(limit)
+      .as[(String, Long)].collect()
+
+  test("incremental trainer selects bit-identical merges to the full-recount reference") {
+    val words = corpusWordCounts()
+    val inc = Bpe.trainFromWordCounts(words, 120)
+    val ref = trainRecountReference(words, 120)
+    assert(inc === ref, "incremental pair statistics drifted from the recount truth")
+    // and through exhaustion on the hand vocabulary (retraction edge
+    // cases: runs, end-of-word chains, pairs dropping to zero)
+    val hand = Array(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val all = Bpe.trainFromWordCounts(hand, 10000)
+    assert(all === trainRecountReference(hand, 10000))
+    assert(all.take(3) === Seq(("e", "s"), ("es", "t"), ("est", Bpe.EndOfWord)))
+  }
+
+  test("kernel encode == expression fold bit-exactly on the planted and on a trained table") {
+    val docs = Tables(spark, sfDir).documents
+    val words = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    def parity(merges: Seq[(String, String)]): Unit = {
+      val diff = words
+        .select(col("w"),
+          Bpe.encode(col("w"), merges).as("fold"),
+          Bpe.encodeKernel(col("w"), merges).as("kern"))
+        .filter(col("fold") =!= col("kern"))
+      assert(diff.isEmpty, s"kernel diverged from the fold: ${diff.take(3).mkString(",")}")
+    }
+    parity(Bpe.docMerges)
+    val trained = Bpe.train(docs, "text", 200)
+    assert(trained.nonEmpty)
+    parity(trained)
+  }
+
+  test("kernel at >=1k merges matches a from-scratch string-fold reference (the oracle's formulation)") {
+    // the q126 regime the 256-merge fold cannot run: replay the
+    // rank-order double-space replace fold in plain Scala (the DuckDB
+    // oracle's exact formulation) and pin the kernel against it
+    val merges = Bpe.kernelMerges
+    assert(merges.size === 1024)
+    assert(merges.head === (("a", "a")))
+    assert(merges(675) === (("z", "z")))
+    assert(merges(676) === (("aa", Bpe.EndOfWord)))
+    assert(merges.last === (("nj", Bpe.EndOfWord)))
+    def foldRef(w: String): Seq[String] = {
+      val start = "  " + w.flatMap(c => s"$c  ") + Bpe.EndOfWord + "  "
+      val folded = merges.foldLeft(start) { case (s, (a, b)) =>
+        s.replace(s" $a  $b ", s" $a$b ")
+      }
+      folded.trim.split("\\s+").toSeq
+    }
+    val sample = Tables(spark, sfDir).documents
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "").distinct().limit(400)
+      .as[String].collect() ++ Seq("hello", "aaaa", "zzz", "x", "nj", "banana")
+    val kern = Seq(sample: _*).toDF("w")
+      .select(col("w"), Bpe.encodeKernel(col("w"), merges).as("p"))
+      .as[(String, Seq[String])].collect().toMap
+    sample.foreach { w =>
+      assert(kern(w) === foldRef(w), s"kernel/fold mismatch on '$w'")
+    }
+  }
+
+  test("kernel table validation refuses non-training-shaped tables loudly") {
+    def table(m: Seq[(String, String)]) =
+      new graft.expressions.BpeTable(m.map(_._1).toArray, m.map(_._2).toArray)
+    // a multi-char side never created earlier: min-rank would diverge
+    val e1 = intercept[IllegalArgumentException] {
+      table(Seq(("ab", "c")))
+    }
+    assert(e1.getMessage.contains("neither a base symbol"))
+    // duplicate pair
+    val e2 = intercept[IllegalArgumentException] {
+      table(Seq(("a", "b"), ("c", "d"), ("a", "b")))
+    }
+    assert(e2.getMessage.contains("output 'ab' duplicates")
+      || e2.getMessage.contains("duplicates the pair"))
+    // duplicate OUTPUT via two routes: ("a","bc") and ("ab","c") both
+    // make "abc" — a re-created operand would re-fire a processed rank
+    val e3 = intercept[IllegalArgumentException] {
+      table(Seq(("b", "c"), ("a", "b"), ("a", "bc"), ("ab", "c")))
+    }
+    assert(e3.getMessage.contains("duplicates an earlier output"))
+    // size guards on the Column entry point
+    intercept[IllegalArgumentException] { Bpe.encodeKernel(col("w"), Seq.empty) }
+    intercept[IllegalArgumentException] {
+      Bpe.encodeKernel(col("w"),
+        (1 to (Bpe.maxTrainMerges + 1)).map(i => (s"x$i", "y")))
+    }
+  }
+
+  test("q126 entry: kernel stats cover every doc with real multi-char pieces") {
+    val out = Bpe.bpeKernelDocs(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length === Tables(spark, sfDir).documents.count())
+    // the 1024-merge table genuinely compresses: pieces strictly fewer
+    // than the char count for every doc, and more than one per word
+    assert(out.forall { case (_, w, p, _) => p >= w && p > 0 })
+    assert(out.exists { case (_, _, _, cpp) => cpp > 1.0 },
+      "letter-pair merges must produce multi-char pieces somewhere")
+  }
+
   test("mergesTable persists the ranks; encodeStats sums pieces per doc, map-only after the explode") {
     val m = Bpe.train(corpus, "text", 3)
     val tbl = Bpe.mergesTable(spark, m).as[(Long, String, String)].collect().toList
