@@ -161,7 +161,8 @@ object SparkEntry {
     "q123_epoch_expansion"       -> ((s, d) => Sharding.epochExpansionDocs(s, d)),
     "q124_packed_sequences"      -> ((s, d) => Sharding.packedSequencesDocs(s, d)),
     "q125_bpe_encode"            -> ((s, d) => Bpe.bpeEncodeDocs(s, d)),
-    "q126_bpe_kernel"            -> ((s, d) => Bpe.bpeKernelDocs(s, d))
+    "q126_bpe_kernel"            -> ((s, d) => Bpe.bpeKernelDocs(s, d)),
+    "q128_dsir_incremental"      -> ((s, d) => Sharding.dsirIncrementalDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -273,6 +274,42 @@ object SparkEntry {
     * the same parquet tables. Omitted for the non-SQL-expressible ops
     * (q21/q22/q23 LSH candidate generation, q26 LSH ANN) → rows-only +
     * ScalaTest specs. */
+  /** DSIR selection derivation shared by q101 (one-shot fit) and q128
+    * (fit-in-halves + exact-long count merge): the Spark sides compute
+    * the same answer by the merge-equals-refit contract, so ONE oracle
+    * truth certifies both — the q09/q66 shared-oracle convention. */
+  private val dsirSelectionSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source = 'src0' AS t,
+      |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents),
+      |tb AS (SELECT doc_id, t,
+      |         CAST(('0x' || substr(md5('dsir:' || tok), 1, 15)) AS BIGINT) % 256 AS b
+      |       FROM tk),
+      |dist AS (SELECT b,
+      |           sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+      |           sum(CASE WHEN t THEN 0 ELSE 1 END) AS cr
+      |         FROM tb GROUP BY 1),
+      |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM dist),
+      |ratio AS (SELECT b,
+      |            CAST(round((ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))
+      |                      - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 256 AS DOUBLE)))
+      |                       * 100000000.0) AS BIGINT) AS lr
+      |          FROM dist CROSS JOIN tot),
+      |w AS (SELECT tb.doc_id, count(*) AS n_tokens, sum(r.lr) AS w
+      |      FROM tb JOIN ratio r USING (b) WHERE NOT tb.t GROUP BY 1),
+      |g AS (SELECT doc_id, n_tokens, w,
+      |        w + CAST(round(-ln(-ln(
+      |              (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':13'), 1, 13)) AS BIGINT)
+      |               + 0.5) / 4503599627370496.0)) * 100000000.0) AS BIGINT) AS s
+      |      FROM w),
+      |r AS (SELECT doc_id, n_tokens,
+      |        CAST(w AS DOUBLE) / 100000000.0 AS logweight,
+      |        CAST(s AS DOUBLE) / 100000000.0 AS score,
+      |        row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+      |      FROM g)
+      |SELECT * FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2556,37 +2593,14 @@ object SparkEntry {
     // conventions (15-hex bucket, 13-hex 52-bit uniform + 0.5 center,
     // 1e-8 scaled-long quantization, exact integer sums), so the
     // selected SET, its scores, and its ranking replay exactly
-    "q101_dsir_selection" ->
-      """WITH tk AS (
-        |  SELECT doc_id, source = 'src0' AS t,
-        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
-        |  FROM documents),
-        |tb AS (SELECT doc_id, t,
-        |         CAST(('0x' || substr(md5('dsir:' || tok), 1, 15)) AS BIGINT) % 256 AS b
-        |       FROM tk),
-        |dist AS (SELECT b,
-        |           sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
-        |           sum(CASE WHEN t THEN 0 ELSE 1 END) AS cr
-        |         FROM tb GROUP BY 1),
-        |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM dist),
-        |ratio AS (SELECT b,
-        |            CAST(round((ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))
-        |                      - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 256 AS DOUBLE)))
-        |                       * 100000000.0) AS BIGINT) AS lr
-        |          FROM dist CROSS JOIN tot),
-        |w AS (SELECT tb.doc_id, count(*) AS n_tokens, sum(r.lr) AS w
-        |      FROM tb JOIN ratio r USING (b) WHERE NOT tb.t GROUP BY 1),
-        |g AS (SELECT doc_id, n_tokens, w,
-        |        w + CAST(round(-ln(-ln(
-        |              (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':13'), 1, 13)) AS BIGINT)
-        |               + 0.5) / 4503599627370496.0)) * 100000000.0) AS BIGINT) AS s
-        |      FROM w),
-        |r AS (SELECT doc_id, n_tokens,
-        |        CAST(w AS DOUBLE) / 100000000.0 AS logweight,
-        |        CAST(s AS DOUBLE) / 100000000.0 AS score,
-        |        row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
-        |      FROM g)
-        |SELECT * FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    "q101_dsir_selection" -> dsirSelectionSql,
+
+    // q128: the day-2 DSIR growth path — fit-in-halves (count form) +
+    // mergeDsirModels (exact long adds) + ratios from the merged
+    // counts. The oracle is q101's full-corpus derivation VERBATIM:
+    // merge-equals-refit is the contract, bit-exact because counts sum
+    // as longs before any log is taken (the q112 NB convention).
+    "q128_dsir_incremental" -> dsirSelectionSql,
 
     // q102: C4/RefinedWeb line rules — the oracle rebuilds the planted
     // six-line page and re-derives every verdict (terminal punct, word

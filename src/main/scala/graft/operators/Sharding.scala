@@ -564,9 +564,24 @@ object Sharding {
   def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
                  isTarget: Column, k: Int, buckets: Int = 256,
                  seed: Long = 13L): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
     val model = dsirFit(docs, textCol, isTarget, buckets)
-    val scored = dsirWeigh(docs.filter(!isTarget), idCol, textCol, model, buckets)
+    dsirSelectWithModel(docs.filter(!isTarget), model, idCol, textCol, k, seed,
+      bucketsHint = Some(buckets))
+  }
+
+  /** [[dsirSelect]]'s resampling step against an ALREADY-FIT model
+    * (the ratio table [[dsirFit]] / [[dsirRatios]] emit) — the entry
+    * point a day-2 merged model ([[mergeDsirModels]]) feeds. Same
+    * Gumbel-top-k on the scaled-long grid; `bucketsHint` skips the
+    * model count when the caller already knows it. */
+  def dsirSelectWithModel(pool: DataFrame, model: DataFrame, idCol: String,
+                          textCol: String, k: Int, seed: Long = 13L,
+                          bucketsHint: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val buckets = bucketsHint.getOrElse(model.count().toInt)
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"model must be a dense bucket table with [2, 2^20] rows, got $buckets")
+    val scored = dsirWeigh(pool, idCol, textCol, model, buckets)
     // 52-bit exact uniform, centered off zero so ln(ln) never sees 0/1.
     val u = (conv(substring(md5(concat(col(idCol).cast("string"), lit(s":$seed"))), 1, 13), 16, 10)
       .cast("bigint").cast("double") + lit(0.5)) / lit(4503599627370496.0)
@@ -621,7 +636,22 @@ object Sharding {
     * both engines feed ln the same bits; the 1e-8 rounding absorbs ln
     * ulps (the q93 convention). */
   def dsirFit(docs: DataFrame, textCol: String, isTarget: Column,
-              buckets: Int = 256): DataFrame = {
+              buckets: Int = 256): DataFrame =
+    dsirRatios(dsirFitCounts(docs, textCol, isTarget, buckets),
+      bucketsHint = Some(buckets))
+
+  /** FIT the model in its COUNT form — the persistable, MERGEABLE
+    * artifact (round 12): a dense (bucket, ct, cr) table of raw
+    * target/raw token counts per feature bucket. Unlike the ratio form
+    * (logs of normalized distributions — they do not add), counts are
+    * associative under [[mergeDsirModels]]' exact long sums, so the
+    * importance model grows day-2 the way every other persisted
+    * artifact here does (the NB count frames, the census tables, the
+    * sketch tables): fit each ingest batch alone, merge, derive ratios
+    * at score time — merge-equals-refit bit for bit. Persist THIS
+    * table; [[dsirRatios]] is a cheap derivation, not an artifact. */
+  def dsirFitCounts(docs: DataFrame, textCol: String, isTarget: Column,
+                    buckets: Int = 256): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 20),
       s"buckets must lie in [2, 2^20], got $buckets")
     val spark = docs.sparkSession
@@ -629,14 +659,49 @@ object Sharding {
       .groupBy(col("_b")).agg(
         sum(when(col("_t"), 1L).otherwise(0L)).as("ct"),
         sum(when(col("_t"), 0L).otherwise(1L)).as("cr"))
-    val dense = spark.range(buckets).select(col("id").as("_b"))
-      .join(dist, Seq("_b"), "left")
-      .select(col("_b"),
+    spark.range(buckets).select(col("id").as("bucket"))
+      .join(dist.withColumnRenamed("_b", "bucket"), Seq("bucket"), "left")
+      .select(col("bucket"),
         coalesce(col("ct"), lit(0L)).as("ct"),
         coalesce(col("cr"), lit(0L)).as("cr"))
-    val tot = broadcast(dense.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr")))
-    dense.crossJoin(tot).select(
-      col("_b").as("bucket"),
+  }
+
+  /** Merge two count-form models ([[dsirFitCounts]]) over DISJOINT
+    * corpora: exact long adds per bucket (the
+    * [[Classify.mergeNbModels]] convention), so deriving ratios from
+    * the merged counts equals a from-scratch refit over the union —
+    * bit-exact, the q128 oracle contract. Both models must share the
+    * bucket count (they are dense by construction; a mismatch means
+    * they were fit under different feature maps and cannot merge). */
+  def mergeDsirModels(a: DataFrame, b: DataFrame): DataFrame = {
+    val expect = Seq("bucket", "ct", "cr")
+    Seq(a, b).foreach { m =>
+      require(m.columns.toSeq == expect,
+        s"mergeDsirModels takes count-form models (bucket, ct, cr), got ${m.columns.toSeq}")
+    }
+    val (na, nb) = (a.count(), b.count())
+    require(na == nb,
+      s"cannot merge DSIR models with different bucket counts ($na vs $nb) — " +
+        "they were fit under different feature maps")
+    a.unionByName(b).groupBy(col("bucket"))
+      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+  }
+
+  /** Derive the scoring RATIO table from a count-form model: the
+    * per-bucket quantized Laplace-smoothed log ratio
+    * log p̂_target(b) − log p̂_raw(b). All divisions are
+    * exact-integer-over-exact-integer doubles, so both engines feed ln
+    * the same bits; the 1e-8 rounding absorbs ln ulps (the q93
+    * convention). The model is DENSE, so day-2 documents whose tokens
+    * hash to fit-unseen buckets still score through the pure-Laplace
+    * fallback instead of silently dropping from the join. */
+  def dsirRatios(counts: DataFrame, bucketsHint: Option[Int] = None): DataFrame = {
+    val buckets = bucketsHint.getOrElse(counts.count().toInt)
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"count-form model must be a dense bucket table with [2, 2^20] rows, got $buckets")
+    val tot = broadcast(counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr")))
+    counts.crossJoin(tot).select(
+      col("bucket"),
       round((log((col("ct") + 1).cast("double") / (col("tt") + buckets).cast("double"))
            - log((col("cr") + 1).cast("double") / (col("tr") + buckets).cast("double")))
         * DsirScale).cast("long").as("log_ratio_e8"))
@@ -686,4 +751,29 @@ object Sharding {
                      targetSource: String = "src0", k: Int = 100): DataFrame =
     dsirSelect(Tables(spark, dir).documents, "doc_id", "text",
       col("source") === targetSource, k)
+
+  /** `q128_dsir_incremental` — the day-2 GROWTH path (the q112 NB
+    * pattern at the DSIR tier): the corpus arrives as two ingest
+    * batches (odd/even doc_id halves), each fitted ALONE in count form,
+    * merged with [[mergeDsirModels]] (exact long adds), ratios derived
+    * from the merged counts, and the q101 Gumbel-top-k selection run
+    * against that merged model. The oracle is q101's full-corpus
+    * reformulation VERBATIM — merge-equals-refit is the contract,
+    * bit-exact because counts sum as longs before any log is taken. */
+  def dsirIncrementalDocs(spark: SparkSession, dir: String,
+                          targetSource: String = "src0", k: Int = 100): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val isTarget = col("source") === targetSource
+    // localCheckpoint stands in for the persisted parquet artifact a
+    // production ingest writes per batch (256 rows each): the merge's
+    // bucket-count guard and the scoring join then read the tiny
+    // materialized tables instead of re-running the corpus fit scans
+    val half0 = dsirFitCounts(docs.filter(col("doc_id") % 2 === 0), "text", isTarget)
+      .localCheckpoint()
+    val half1 = dsirFitCounts(docs.filter(col("doc_id") % 2 === 1), "text", isTarget)
+      .localCheckpoint()
+    val model = dsirRatios(mergeDsirModels(half0, half1), bucketsHint = Some(256))
+    dsirSelectWithModel(docs.filter(!isTarget), model, "doc_id", "text", k,
+      bucketsHint = Some(256))
+  }
 }

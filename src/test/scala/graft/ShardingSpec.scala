@@ -328,6 +328,53 @@ class ShardingSpec extends SparkSpecBase {
     }
   }
 
+  test("count-form DSIR model merges day-2: merge-equals-refit bit-exactly (round 12)") {
+    import spark.implicits._
+    val vocabA = Seq("alpha", "bravo", "charlie", "delta", "echo")
+    val vocabB = Seq("zulu", "yankee", "xray", "whiskey", "victor")
+    def doc(id: Long, v: Seq[String], t: Boolean) =
+      (id, Seq.tabulate(40)(i => v(i % v.size)).mkString(" "), t)
+    val docs = (
+      (1L to 10L).map(doc(_, vocabA, true)) ++
+      (101L to 110L).map(doc(_, vocabA, false)) ++
+      (201L to 210L).map(doc(_, vocabB, false))
+    ).toDF("id", "text", "is_t")
+
+    // fit in halves (the two ingest days), merge, derive ratios —
+    // must equal the one-shot full fit bit for bit (exact long adds
+    // happen BEFORE any log)
+    val full = Sharding.dsirFit(docs, "text", col("is_t"), buckets = 64)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val h0 = Sharding.dsirFitCounts(docs.filter(col("id") % 2 === 0), "text", col("is_t"), 64)
+    val h1 = Sharding.dsirFitCounts(docs.filter(col("id") % 2 === 1), "text", col("is_t"), 64)
+    val merged = Sharding.mergeDsirModels(h0, h1)
+    val viaMerge = Sharding.dsirRatios(merged, bucketsHint = Some(64))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaMerge == full, "merged-counts ratios must equal the full refit exactly")
+
+    // the COUNT form is the persisted artifact: parquet round-trip,
+    // then merge + derive from the loaded tables alone
+    val p0 = java.nio.file.Files.createTempDirectory("graft_dsir_c0").toString
+    val p1 = java.nio.file.Files.createTempDirectory("graft_dsir_c1").toString
+    h0.write.mode("overwrite").parquet(p0)
+    h1.write.mode("overwrite").parquet(p1)
+    val fromDisk = Sharding.dsirRatios(Sharding.mergeDsirModels(
+      spark.read.parquet(p0).select("bucket", "ct", "cr"),
+      spark.read.parquet(p1).select("bucket", "ct", "cr")))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fromDisk == full, "persisted count halves must merge to the refit model")
+
+    // guards: bucket-count mismatch (different feature maps) and a
+    // ratio-form frame both refuse loudly
+    intercept[IllegalArgumentException] {
+      Sharding.mergeDsirModels(h0,
+        Sharding.dsirFitCounts(docs, "text", col("is_t"), 32))
+    }
+    intercept[IllegalArgumentException] {
+      Sharding.mergeDsirModels(h0, Sharding.dsirFit(docs, "text", col("is_t"), 64))
+    }
+  }
+
   test("sequence assembly: in-order members, exclusive-prefix offsets, budget respected") {
     // one shard (ids ≡ 0 mod 32? use shards=1), budget 10:
     // docs 1(4) 2(5) pack into seq 0 (offsets 0,4); 3(6) starts seq 0?
