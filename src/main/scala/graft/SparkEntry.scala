@@ -162,6 +162,7 @@ object SparkEntry {
     "q124_packed_sequences"      -> ((s, d) => Sharding.packedSequencesDocs(s, d)),
     "q125_bpe_encode"            -> ((s, d) => Bpe.bpeEncodeDocs(s, d)),
     "q126_bpe_kernel"            -> ((s, d) => Bpe.bpeKernelDocs(s, d)),
+    "q127_corpus_build"          -> ((s, d) => Pipeline.corpusBuildDocs(s, d)),
     "q128_dsir_incremental"      -> ((s, d) => Sharding.dsirIncrementalDocs(s, d))
   )
 
@@ -2601,6 +2602,122 @@ object SparkEntry {
     // merge-equals-refit is the contract, bit-exact because counts sum
     // as longs before any log is taken (the q112 NB convention).
     "q128_dsir_incremental" -> dsirSelectionSql,
+
+    // q127: the END-TO-END corpus build — the oracle re-serializes the
+    // line-dressed donor-planted WET chunks (q120/q121's serialization
+    // + q102's dressing + q116's donor rule) and replays ALL SIX
+    // stages from raw rows: parse/quarantine/blocklist/URL-election
+    // (the q121 derivation verbatim, rec_id on the shift-32 encoding),
+    // the line rules (q102 verbatim), the post-clean min-id text
+    // election, the integer-exact word-window + 4-dp dup-fraction
+    // gate, the q118 temperature rate chain under the portable md5
+    // draw, and the q124 packing windows with exclusive-prefix offsets
+    "q127_corpus_build" ->
+      (s"""WITH dn AS (
+         |  SELECT d.doc_id, d.source,
+         |    CASE WHEN d.doc_id % 10 = 9 THEN o.text ELSE d.text END AS body
+         |  FROM documents d LEFT JOIN documents o ON o.doc_id = d.doc_id - 4),
+         |pg AS (
+         |  SELECT doc_id, source,
+         |    body || '.' || chr(10) ||
+         |    'Please enable JavaScript and cookies to continue viewing.' || chr(10) ||
+         |    'continue reading more about' || chr(10) ||
+         |    'Copyright 2024 Example Corp id ' || CAST(doc_id AS VARCHAR) || '.' || chr(10) ||
+         |    'BREAKING NEWS ALERT READ THIS NOW!' || chr(10) ||
+         |    'Click here.' AS page
+         |  FROM dn),
+         |rec AS (
+         |  SELECT doc_id, doc_id % 25 AS chunk_id,
+         |    'WARC/1.0' || chr(10) ||
+         |    'WARC-Type: conversion' || chr(10) ||
+         |    'WARC-Target-URI: https://' || source || '.example.com/articles/'
+         |      || CAST(doc_id % 100 AS VARCHAR) || chr(10) ||
+         |    'WARC-Date: 2024-01-01T00:00:00Z' || chr(10) ||
+         |    'Content-Length: ' || CAST(CASE WHEN doc_id % 7 = 0 THEN strlen(page) + 5
+         |                                    ELSE strlen(page) END AS VARCHAR) || chr(10) ||
+         |    chr(10) || page || chr(10) || chr(10) AS r
+         |  FROM pg),
+         |chunks AS (
+         |  SELECT chunk_id,
+         |         'warcinfo preamble' || chr(10) || string_agg(r, '' ORDER BY doc_id) AS content
+         |  FROM rec GROUP BY 1),
+         |f AS (SELECT chunk_id, string_split(content, 'WARC/1.0' || chr(10)) AS fs FROM chunks),
+         |e2 AS (SELECT chunk_id, unnest(fs) AS frag, generate_subscripts(fs, 1) AS gi FROM f),
+         |g2 AS (SELECT chunk_id, gi - 1 AS rec_idx, frag,
+         |        strpos(frag, chr(10) || chr(10)) AS p
+         |      FROM e2 WHERE gi >= 2 AND strpos(frag, chr(10) || chr(10)) > 0),
+         |h2 AS (SELECT chunk_id, rec_idx,
+         |        substr(frag, 1, p - 1) AS hdr,
+         |        regexp_replace(substr(frag, p + 2), '\\n\\n$$', '') AS payload
+         |      FROM g2),
+         |pp AS (SELECT chunk_id * 4294967296 + rec_idx AS rec_id,
+         |        regexp_extract(hdr, '(?m)^WARC-Target-URI: (.*)$$', 1) AS uri,
+         |        payload,
+         |        coalesce(strlen(payload) = TRY_CAST(regexp_extract(hdr, '(?m)^Content-Length: ([0-9]+)$$', 1) AS BIGINT), false) AS length_ok
+         |      FROM h2),
+         |hh AS (SELECT *, regexp_extract(uri, '^https://([^/]*)', 1) AS host FROM pp),
+         |bl AS (SELECT unnest([${Urls.docBlocklist.map(p => s"'$p'").mkString(", ")}]) AS b),
+         |hits AS (SELECT DISTINCT hh.rec_id FROM hh
+         |         JOIN bl ON hh.host = bl.b OR hh.host LIKE '%.' || bl.b),
+         |cc AS (SELECT hh.*, (t.rec_id IS NOT NULL) AS blocked
+         |       FROM hh LEFT JOIN hits t USING (rec_id)),
+         |el AS (SELECT *,
+         |        min(CASE WHEN length_ok AND uri <> '' AND NOT blocked THEN rec_id END)
+         |          OVER (PARTITION BY uri) AS keep
+         |       FROM cc),
+         |kept AS (SELECT rec_id, host, payload FROM el
+         |         WHERE length_ok AND uri <> '' AND NOT blocked AND rec_id = keep),
+         |arr AS (SELECT rec_id, host, string_split(payload, chr(10)) AS ls FROM kept),
+         |ln AS (SELECT rec_id, host, trim(unnest(ls)) AS l,
+         |         unnest(generate_series(1, len(ls))) AS pos FROM arr),
+         |lf AS (SELECT rec_id, host, l, pos,
+         |         (regexp_matches(l, '[.!?"]$$')
+         |          AND len(string_split_regex(l, '\\s+')) >= 3
+         |          AND NOT (contains(lower(l), 'javascript')
+         |                OR contains(lower(l), 'cookie')
+         |                OR contains(lower(l), 'all rights reserved')
+         |                OR contains(lower(l), 'copyright')
+         |                OR contains(lower(l), '©'))
+         |          AND length(regexp_replace(l, '[^A-Z]', '', 'g')) * 100
+         |              <= length(l) * 40) AS keepl
+         |       FROM ln WHERE l <> ''),
+         |cl AS (SELECT rec_id, any_value(host) AS host,
+         |         coalesce(string_agg(l, chr(10) ORDER BY pos) FILTER (WHERE keepl), '') AS clean_text
+         |       FROM lf GROUP BY 1),
+         |dd AS (SELECT *, min(rec_id) OVER (PARTITION BY clean_text) AS keep2 FROM cl),
+         |sv AS (SELECT rec_id, host, clean_text FROM dd WHERE rec_id = keep2),
+         |gt AS (SELECT rec_id, host,
+         |        CASE WHEN trim(clean_text) = '' THEN CAST(0 AS BIGINT)
+         |             ELSE CAST(len(string_split_regex(trim(lower(clean_text)), '\\s+')) AS BIGINT) END AS n_tokens,
+         |        CASE WHEN trim(clean_text) = '' THEN 1.0
+         |             ELSE round(CAST(len(string_split_regex(trim(lower(clean_text)), '\\s+'))
+         |                           - len(list_distinct(string_split_regex(trim(lower(clean_text)), '\\s+'))) AS DOUBLE)
+         |                        / len(string_split_regex(trim(lower(clean_text)), '\\s+')), 4) END AS dupfrac
+         |       FROM sv),
+         |gd AS (SELECT rec_id, host, n_tokens FROM gt
+         |       WHERE n_tokens >= 20 AND n_tokens <= 200 AND dupfrac <= 0.65),
+         |c3 AS (SELECT host, CAST(count(*) AS BIGINT) AS ns FROM gd GROUP BY 1),
+         |t3 AS (SELECT host, ns,
+         |         CAST(round(pow(CAST(ns AS DOUBLE), 0.5) * 1000000.0) AS BIGINT) AS ts3 FROM c3),
+         |z3 AS (SELECT CAST(sum(ts3) AS BIGINT) AS z FROM t3),
+         |r3 AS (SELECT host,
+         |         least(1.0, 40.0 * (CAST(ts3 AS DOUBLE) / CAST((SELECT z FROM z3) AS DOUBLE))
+         |                    / CAST(ns AS DOUBLE)) AS rate FROM t3),
+         |mx AS (SELECT gd.rec_id, gd.n_tokens FROM gd JOIN r3 USING (host)
+         |       WHERE CAST(('0x' || substr(md5(CAST(gd.rec_id AS VARCHAR) || ':13'), 1, 13)) AS BIGINT)
+         |             / 4503599627370496.0 < rate),
+         |pk AS (SELECT rec_id, n_tokens, CAST(rec_id % 8 AS INTEGER) AS shard FROM mx),
+         |cm AS (SELECT rec_id, shard, n_tokens,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY rec_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |       FROM pk),
+         |ch AS (SELECT *, CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS chunk FROM cm),
+         |o3 AS (SELECT *, (cum - n_tokens) - min(cum - n_tokens) OVER (PARTITION BY shard, chunk) AS off FROM ch)
+         |SELECT shard, chunk, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |       array_to_string(list(rec_id ORDER BY rec_id), ',') AS doc_ids,
+         |       array_to_string(list(off ORDER BY rec_id), ',') AS offsets
+         |FROM o3 GROUP BY 1, 2 ORDER BY shard, chunk""").stripMargin,
 
     // q102: C4/RefinedWeb line rules — the oracle rebuilds the planted
     // six-line page and re-derives every verdict (terminal punct, word

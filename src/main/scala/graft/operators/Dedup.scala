@@ -122,7 +122,7 @@ object Dedup {
     * always corpus-side — planting genuine cross-document exact dups
     * into the otherwise dup-free word-salad corpus. All other columns
     * pass through untouched. */
-  private[operators] def donorPlantedText(docs: DataFrame): DataFrame =
+  private[graft] def donorPlantedText(docs: DataFrame): DataFrame =
     docs
       .join(docs.select((col("doc_id") + 4).as("doc_id"), col("text").as("_donor")),
         Seq("doc_id"), "left")

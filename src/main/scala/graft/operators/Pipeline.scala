@@ -80,9 +80,20 @@ object Pipeline {
     * production ingest writes first) before the gate's two scans and
     * the join-back would otherwise re-execute the regex-heavy parse
     * subtree three times; the record stream then shuffles only for
-    * the suffix-join, the election window, and the |domains| rollup. */
-  def crawlIngestReport(chunks: DataFrame, idCol: String, contentCol: String,
-                        blocklist: DataFrame): DataFrame = {
+    * the suffix-join, the election window, and the |domains| rollup.
+    *
+    * The record stage itself is [[crawlRecords]]; [[crawlIngestReport]]
+    * is its |domains|-row audit rollup, and [[corpusBuild]] chains the
+    * same records into the full back half. */
+  /** The q121 record stage as a reusable frame (round 12 — extracted so
+    * [[corpusBuild]] composes the same certified front half): per
+    * crawl record, (rec_id, uri, host, canon_url, payload, length_ok,
+    * blocked, _cat) with the disjoint ORDERED verdict in `_cat`
+    * (bad_envelope → blocked → url_dup → kept). The chunk parse runs
+    * ONCE (localCheckpoint standing in for the persisted records table
+    * a production ingest writes first). */
+  private[graft] def crawlRecords(chunks: DataFrame, idCol: String, contentCol: String,
+                                  blocklist: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(Seq(ByteType, ShortType, IntegerType, LongType)
       .contains(chunks.schema(idCol).dataType),
@@ -110,8 +121,6 @@ object Pipeline {
     val eligible = sound && !col("blocked")
     val keep = min(when(eligible, col("rec_id")))
       .over(Window.partitionBy(col("canon_url")))
-    val words = when(trim(col("payload")) === "", lit(0L))
-      .otherwise(size(split(trim(col("payload")), "\\s+")).cast("long"))
     base
       .withColumn("_dup", eligible && col("rec_id") =!= keep)
       .withColumn("_cat",
@@ -119,6 +128,14 @@ object Pipeline {
           .when(col("blocked"), "blocked")
           .when(col("_dup"), "url_dup")
           .otherwise("kept"))
+      .drop("_dup")
+  }
+
+  def crawlIngestReport(chunks: DataFrame, idCol: String, contentCol: String,
+                        blocklist: DataFrame): DataFrame = {
+    val words = when(trim(col("payload")) === "", lit(0L))
+      .otherwise(size(split(trim(col("payload")), "\\s+")).cast("long"))
+    crawlRecords(chunks, idCol, contentCol, blocklist)
       .withColumn("_w", words)
       .groupBy(col("host").as("domain"))
       .agg(
@@ -162,5 +179,113 @@ object Pipeline {
           concat(lit("(c) 2024 "), col("source"))
         ).as("text"))
     curationReport(pages, "doc_id", "source", "text").orderBy(col("domain"))
+  }
+
+  /** C50: the END-TO-END corpus build — raw WET crawl chunks to packed,
+    * offset-annotated training sequences in ONE declarative plan, the
+    * §8 claim made a single registered query instead of six certified
+    * stages a user must wire together:
+    *
+    *  1. [[crawlRecords]] — WET parse, envelope quarantine, blocklist
+    *     gate, canonical-URL dedup election (q120/q121, C44/C36b/C35);
+    *  2. [[TextClean.lineFilter]] on the survivors' payloads — the
+    *     C4/RefinedWeb line rules (q102, C32);
+    *  3. exact dedup AFTER cleaning — min-rec_id election on the clean
+    *     text (the published order: dedup after line corrections, or
+    *     page dressing masks true duplicates — q116's rule, C1);
+    *  4. quality gate — word-count window + duplicated-token fraction
+    *     (a q122/q100 subset, both integer-exact with 4-dp rounded
+    *     verdicts, C46/C9b);
+    *  5. temperature mixing over the per-HOST pools (q118, C42) under
+    *     the engine-portable md5 draw;
+    *  6. token-budget sequence assembly with exclusive-prefix offsets
+    *     (q124, C48) on the clean token counts.
+    *
+    * Stage order is the disjoint q121/q116 convention: a record
+    * quarantines first, gate-blocks only if intact, URL-dups only if
+    * unblocked, text-dups only among cleaned survivors, quality-gates
+    * only non-dups, mixes only gate passers — each document leaves the
+    * pipeline through exactly one door.
+    *
+    * Scale: the chunk parse materializes once (inside
+    * [[crawlRecords]]) and the gate-surviving THREE-COLUMN pool
+    * materializes once more before the mix (which reads its pool twice
+    * — counts + rate join-back — and would otherwise re-execute the
+    * whole parse→clean→dedup→gate subtree); past those, the back half
+    * adds only the clean-text election window, the |hosts|-row mix
+    * aggregate + broadcast join-back, the packing shard window, and
+    * the |sequences|-row rollup. No stage re-reads the chunks and
+    * nothing corpus-sized collects (PipelineSpec bounds the plan's
+    * exchange count).
+    *
+    * @return the training artifact: (shard, chunk, n_docs,
+    *         total_tokens, doc_ids, offsets) — [[Sharding.assembleSequences]]'
+    *         schema over the surviving records */
+  def corpusBuild(chunks: DataFrame, idCol: String, contentCol: String,
+                  blocklist: DataFrame,
+                  minWords: Int = 20, maxWords: Int = 200,
+                  maxDupFrac: Double = 0.65,
+                  alpha: Double = 0.5, targetDocs: Long = 150L, seed: Long = 13L,
+                  budget: Long = 2048L, shards: Int = 8): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords, got [$minWords, $maxWords]")
+    require(maxDupFrac >= 0.0 && maxDupFrac <= 1.0,
+      s"maxDupFrac must lie in [0,1], got $maxDupFrac")
+    val kept = crawlRecords(chunks, idCol, contentCol, blocklist)
+      .filter(col("_cat") === "kept")
+      .select(col("rec_id"), col("host"), col("payload").as("text"))
+    val cleaned = TextClean.lineFilter(kept, "text")
+      .select(col("rec_id"), col("host"), col("clean_text"))
+    // dedup AFTER cleaning: min-rec_id keeper per clean text (one
+    // window exchange, the q105/q116 election shape)
+    val keeper = min(col("rec_id"))
+      .over(Window.partitionBy(col("clean_text")))
+    val deduped = cleaned
+      .withColumn("_keep", keeper)
+      .filter(col("rec_id") === col("_keep"))
+      .drop("_keep")
+    // quality gate: exact-integer token stats over ONE materialized
+    // token array, verdicts on 4-dp rounded ratios (the q100 grid)
+    val toks = when(trim(col("clean_text")) === "",
+      array().cast("array<string>"))
+      .otherwise(split(lower(trim(col("clean_text"))), "\\s+"))
+    val gated = deduped
+      .withColumn("_toks", toks)
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .withColumn("_dupfrac",
+        when(col("n_tokens") === 0, lit(1.0)).otherwise(
+          round((col("n_tokens") - size(array_distinct(col("_toks")))).cast("double")
+            / col("n_tokens"), 4)))
+      .filter(col("n_tokens") >= minWords && col("n_tokens") <= maxWords &&
+        col("_dupfrac") <= maxDupFrac)
+      .select(col("rec_id"), col("host"), col("n_tokens"))
+      // the mix stage reads its pool TWICE (per-host counts + the rate
+      // join-back), so the three-column gated pool materializes once
+      // (localCheckpoint standing in for the persisted gated table a
+      // production build writes) — without this the whole
+      // parse→clean→dedup→gate subtree would execute twice
+      .localCheckpoint()
+    val mixed = Sharding.temperatureSample(gated, "rec_id", "host",
+      alpha, targetDocs, seed, draw = Some(Sharding.md5Unit(col("rec_id"), seed)))
+    Sharding.assembleSequences(mixed.select(col("rec_id"), col("n_tokens")),
+      "rec_id", "n_tokens", budget, shards)
+      .orderBy(col("shard"), col("chunk"))
+  }
+
+  /** C50 `q127_corpus_build` — [[corpusBuild]] over the q127 planted
+    * chunk files ([[graft.sources.Warc.plantedCorpusChunks]]: the q121
+    * WET envelopes around q102-style line-dressed pages, with q107
+    * donor bodies planted at doc_id ≡ 9 mod 10 so the post-clean exact
+    * dedup has REAL work the URL election cannot see). The oracle
+    * re-serializes the chunks and replays all six stages from raw
+    * rows. */
+  def corpusBuildDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // targetDocs 40 sits BELOW the post-gate pool at sf0.01, so the
+    // temperature stage genuinely thins (and small hosts still clamp)
+    corpusBuild(
+      graft.sources.Warc.plantedCorpusChunks(graft.Tables(spark, dir).documents),
+      "chunk_id", "content", Urls.docBlocklist.toDF("pattern"),
+      targetDocs = 40L)
   }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** C44: WET/WARC record extraction — the step BEFORE everything else
@@ -87,9 +87,17 @@ object Warc {
     * files (records in doc order behind a warcinfo preamble; docs with
     * doc_id ≡ 0 mod 7 declare five bytes too many). Shared with q121,
     * whose oracle re-serializes identically. */
-  private[graft] def plantedWetChunks(docs: DataFrame): DataFrame = {
-    val declared = when(col("doc_id") % 7 === 0, octet_length(col("text")) + 5)
-      .otherwise(octet_length(col("text")))
+  private[graft] def plantedWetChunks(docs: DataFrame): DataFrame =
+    chunksAroundPayload(docs, col("text"))
+
+  /** The shared q120/q127 envelope builder: WET chunk files around a
+    * caller-chosen per-doc `payload` column (records in doc order
+    * behind a warcinfo preamble; docs with doc_id ≡ 0 mod 7 declare
+    * five bytes too many — the declared length always refers to the
+    * ACTUAL payload, so the lie is the only envelope defect). */
+  private def chunksAroundPayload(docs: DataFrame, payload: Column): DataFrame = {
+    val declared = when(col("doc_id") % 7 === 0, octet_length(payload) + 5)
+      .otherwise(octet_length(payload))
     val rec = concat(
       lit("WARC/1.0\n"),
       lit("WARC-Type: conversion\n"),
@@ -97,7 +105,7 @@ object Warc {
         lit(".example.com/articles/"), (col("doc_id") % 100).cast("string"), lit("\n")),
       lit("WARC-Date: 2024-01-01T00:00:00Z\n"),
       concat(lit("Content-Length: "), declared.cast("string"), lit("\n")),
-      lit("\n"), col("text"), lit("\n\n"))
+      lit("\n"), payload, lit("\n\n"))
     docs
       .select((col("doc_id") % 25).as("chunk_id"), col("doc_id"), rec.as("_rec"))
       .groupBy(col("chunk_id"))
@@ -105,5 +113,23 @@ object Warc {
         array_join(transform(
           array_sort(collect_list(struct(col("doc_id"), col("_rec")))),
           s => s.getField("_rec")), "")).as("content"))
+  }
+
+  /** The q127 serialization — the q120 envelopes around LINE-DRESSED
+    * pages: the body line (terminal-punctuated) is the q107 donor
+    * planting (doc_id ≡ 9 mod 10 carries the doc_id−4 donor's text, so
+    * post-clean exact dups exist that the URL election cannot see),
+    * followed by the q102 boilerplate lines every line rule drops. The
+    * oracle re-serializes identically from raw rows. */
+  private[graft] def plantedCorpusChunks(docs: DataFrame): DataFrame = {
+    val page = concat_ws("\n",
+      concat(col("text"), lit(".")),
+      lit("Please enable JavaScript and cookies to continue viewing."),
+      lit("continue reading more about"),
+      concat(lit("Copyright 2024 Example Corp id "), col("doc_id").cast("string"), lit(".")),
+      lit("BREAKING NEWS ALERT READ THIS NOW!"),
+      lit("Click here."))
+    chunksAroundPayload(
+      graft.operators.Dedup.donorPlantedText(docs), page)
   }
 }

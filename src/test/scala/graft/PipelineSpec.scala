@@ -85,4 +85,44 @@ class PipelineSpec extends SparkSpecBase {
     out.foreach { case (d, n, dup, fail, kept, _) =>
       assert(dup + fail + kept === n, s"domain $d counts overlap") }
   }
+
+  test("q127 corpus build: one composed plan, packing invariants hold, exchanges bounded") {
+    import graft.operators.Sharding
+    val df = Pipeline.corpusBuildDocs(spark, sfDir)
+    val out = df.as[(Int, Long, Long, Long, String, String)].collect()
+    assert(out.nonEmpty, "the built corpus must contain sequences")
+    val budget = 2048L
+    out.foreach { case (shard, chunk, nDocs, total, ids, offs) =>
+      val idList = ids.split(",").map(_.toLong)
+      val offList = offs.split(",").map(_.toLong)
+      assert(idList.length === nDocs && offList.length === nDocs)
+      // member rec_ids sorted, offsets start at 0 and strictly increase
+      assert(idList.sorted.sameElements(idList), s"$shard/$chunk ids unsorted")
+      assert(offList.head === 0L, s"$shard/$chunk first offset must be 0")
+      assert(offList.sorted.sameElements(offList) && offList.distinct.length == nDocs,
+        s"$shard/$chunk offsets must strictly increase")
+      // the q45 budget-plus-one-document bound: every doc STARTS below
+      // the budget, so a sequence can overshoot by at most one doc
+      assert(offList.last < budget, s"$shard/$chunk last doc starts past the budget")
+      // offsets are exclusive token prefixes: last offset + its doc's
+      // tokens = total
+      assert(offList.last <= total - 1, s"$shard/$chunk offsets exceed tokens")
+      // members route to their shard
+      idList.foreach(i => assert((i % 8).toInt === shard))
+    }
+    // docs never repeat across sequences (the exact dedup + election
+    // upstream make rec_ids unique in the pool)
+    val allIds = out.flatMap(_._5.split(",").map(_.toLong))
+    assert(allIds.distinct.length === allIds.length, "a doc appeared in two sequences")
+    // the composed plan stays bounded: past the materialized record
+    // stage, the back half adds only the election window, the mix
+    // aggregate + broadcast join-back, the packing shard window, and
+    // the final rollup — single digits of exchanges total, no
+    // cartesian anywhere (the registered-query ExplainAudit re-checks
+    // the latter for every round)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 10, s"composed corpus build grew to $exchanges exchanges:\n${plan.take(900)}")
+    assert(!plan.contains("CartesianProduct"), "corpus build must not plan a cartesian")
+  }
 }
