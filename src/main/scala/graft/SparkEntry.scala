@@ -130,7 +130,10 @@ object SparkEntry {
     "q92_phrase_search"          -> ((s, d) => Search.phraseSearchDocs(s, d)),
     "q93_bigram_nll"             -> ((s, d) => TextAnalysis.bigramNll(s, d)),
     "q94_collocations"           -> ((s, d) => TextAnalysis.collocations(s, d)),
-    "q95_text_embed_neardup"     -> ((s, d) => TextEmbed.textEmbedNearDup(s, d)),
+    // dims = 60 (round 12): the FULL-width path — one md5's worth of
+    // sign bits — so the oracle pins the widest projection the kernel
+    // can emit, not just the 32-dim default
+    "q95_text_embed_neardup"     -> ((s, d) => TextEmbed.textEmbedNearDup(s, d, dims = 60)),
     "q96_timedecay_attribution"  -> ((s, d) => Analytics.timeDecayAttributionEvents(s, d)),
     "q97_ingest_gate"            -> ((s, d) => Validation.ingestGateOrders(s, d)),
     "q98_semantic_dedup_probe"   -> ((s, d) => Similarity.semanticDedupProbePortable(s, d)),
@@ -2392,7 +2395,7 @@ object SparkEntry {
         |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
         |comp AS (SELECT doc_id, j,
         |    CAST(sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS DOUBLE) AS cmp
-        |  FROM th CROSS JOIN generate_series(0, 31) AS dims(j)
+        |  FROM th CROSS JOIN generate_series(0, 59) AS dims(j)
         |  GROUP BY doc_id, j),
         |e AS (SELECT doc_id AS vec_id, list(cmp ORDER BY j) AS v
         |      FROM comp GROUP BY doc_id),

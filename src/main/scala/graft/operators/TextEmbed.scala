@@ -73,7 +73,11 @@ object TextEmbed {
     *
     * Threshold 0.92: at d=32 the planted near-dup pairs (token overlap
     * ≈ 1) survive JL noise while unrelated pairs (true cosine ≈ 0,
-    * noise σ ≈ 0.18) stay far below. */
+    * noise σ ≈ 0.18) stay far below. The REGISTERED q95 runs at
+    * dims=60 (round 12) — the full-width path, one md5's worth of sign
+    * bits, σ ≈ 0.13 — so the oracle pins the widest projection the
+    * kernel can emit; the JL tightening with dims is additionally
+    * measured on sf0.1 data in TextEmbedSpec. */
   def textEmbedNearDup(spark: SparkSession, dir: String,
                        dims: Int = DefaultDims,
                        threshold: Double = 0.92): DataFrame = {

@@ -86,4 +86,43 @@ class TextEmbedSpec extends SparkSpecBase {
       Option(t.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
     assert(msg(e).contains("[2, 60]"), s"wrong error: ${msg(e)}")
   }
+
+  test("JL contract at dims=60 on sf0.1 data: full-width cosine tracks true bag-of-tokens cosine (round 12)") {
+    // the q95 registered width, measured on REAL data at 10× the spec
+    // corpus: for sampled doc pairs, |cos_emb − cos_true| stays inside
+    // the JL envelope, and dims=60 approximates strictly tighter than a
+    // narrow dims=8 projection on average
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 120)
+    def bag(text: String): Map[String, Int] =
+      text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val texts = docs.as[(Long, String)].collect().toMap
+    def trueCos(a: Long, b: Long): Double = {
+      val (u, v) = (bag(texts(a)), bag(texts(b)))
+      val dot = u.keysIterator.map(t => u(t).toDouble * v.getOrElse(t, 0)).sum
+      dot / (math.sqrt(u.values.map(x => x.toDouble * x).sum) *
+        math.sqrt(v.values.map(x => x.toDouble * x).sum))
+    }
+    def embCos(dims: Int): Map[Long, Seq[Double]] =
+      TextEmbed.embedDocuments(docs, dims).as[(Long, Seq[Double])].collect().toMap
+    val (e60, e8) = (embCos(60), embCos(8))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = texts.keys.toSeq.sorted
+    val pairs = ids.zip(ids.tail) ++ ids.grouped(2).collect { case Seq(a, b) => (a, b) }
+    val errs = pairs.map { case (a, b) =>
+      val t = trueCos(a, b)
+      (math.abs(cos(e60(a), e60(b)) - t), math.abs(cos(e8(a), e8(b)) - t))
+    }
+    val (m60, m8) = (errs.map(_._1).sum / errs.size, errs.map(_._2).sum / errs.size)
+    assert(errs.map(_._1).max < 0.52,
+      s"dims=60 must stay inside ~4σ of the true cosine, worst=${errs.map(_._1).max}")
+    assert(m60 < m8,
+      s"dims=60 must approximate tighter than dims=8 on average: $m60 vs $m8")
+    assert(m60 < 0.15, s"dims=60 mean JL error too large: $m60")
+  }
 }
