@@ -166,7 +166,8 @@ object SparkEntry {
     "q125_bpe_encode"            -> ((s, d) => Bpe.bpeEncodeDocs(s, d)),
     "q126_bpe_kernel"            -> ((s, d) => Bpe.bpeKernelDocs(s, d)),
     "q127_corpus_build"          -> ((s, d) => Pipeline.corpusBuildDocs(s, d)),
-    "q128_dsir_incremental"      -> ((s, d) => Sharding.dsirIncrementalDocs(s, d))
+    "q128_dsir_incremental"      -> ((s, d) => Sharding.dsirIncrementalDocs(s, d)),
+    "q129_forecast_joint_cramer5" -> ((s, d) => Forecast.forecastJointCramer5(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -561,6 +562,51 @@ object SparkEntry {
     // and to fully-parenthesized SQL), so the two engines execute
     // bit-identical float expressions — the q18 convention one
     // dimension up, and the hash check covers a genuinely joint fit.
+    // q129: the q43 SHAPE (trend + weekly Fourier pair + regressor,
+    // 5×5) made oracle-backed — Cramer5 renders the SAME determinant
+    // and numerator float trees into the Spark plan and into this SQL
+    // (the q44 convention one size up); sin/cos arguments are x times
+    // the literal double 2π/7, identical bits on both engines
+    "q129_forecast_joint_cramer5" -> {
+      import operators.Forecast.{Cramer4, Cramer5}
+      val det = Cramer5.det(Cramer4.SqlAlg)
+      def num(i: Int) = Cramer5.num(Cramer4.SqlAlg, i)
+      val guard = "abs(det) <= 1e-9 * abs(n*sxx*sss*scc*srr)"
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS ds,
+         |         sum(value) AS y, CAST(count(*) AS DOUBLE) AS r
+         |  FROM events GROUP BY 1, 2),
+         |wx AS (SELECT *,
+         |         CAST(date_diff('day', min(ds) OVER (PARTITION BY event_type), ds) AS DOUBLE) AS x
+         |       FROM daily),
+         |wf AS (SELECT *, sin(x * 0.8975979010256552) AS s, cos(x * 0.8975979010256552) AS c FROM wx),
+         |sums AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         |  sum(x) AS sx, sum(s) AS ss, sum(c) AS sc, sum(r) AS sr,
+         |  sum(x*x) AS sxx, sum(x*s) AS sxs, sum(x*c) AS sxc, sum(x*r) AS sxr,
+         |  sum(s*s) AS sss, sum(s*c) AS ssc, sum(s*r) AS ssr,
+         |  sum(c*c) AS scc, sum(c*r) AS scr, sum(r*r) AS srr,
+         |  sum(y) AS sy, sum(x*y) AS sxy, sum(s*y) AS ssy, sum(c*y) AS scy, sum(r*y) AS sry,
+         |  max(x) AS xmax, max(ds) AS maxds, avg(r) AS rmean
+         |  FROM wf GROUP BY 1),
+         |dets AS (SELECT *, $det AS det, n*sxx - sx*sx AS den2 FROM sums),
+         |fb AS (SELECT *, CASE WHEN abs(den2) > 0 THEN (n*sxy - sx*sy) / den2 ELSE 0.0 END AS b1f FROM dets),
+         |betas AS (SELECT event_type, xmax, maxds, rmean,
+         |  CASE WHEN $guard THEN (sy - b1f*sx) / n ELSE ${num(0)} / det END AS b0,
+         |  CASE WHEN $guard THEN b1f ELSE ${num(1)} / det END AS b1,
+         |  CASE WHEN $guard THEN 0.0 ELSE ${num(2)} / det END AS b2,
+         |  CASE WHEN $guard THEN 0.0 ELSE ${num(3)} / det END AS b3,
+         |  CASE WHEN $guard THEN 0.0 ELSE ${num(4)} / det END AS b4
+         |  FROM fb),
+         |future AS (SELECT b.event_type, b.b0, b.b1, b.b2, b.b3, b.b4,
+         |                  b.maxds + t.hz AS ds, b.xmax + t.hz AS x, b.rmean
+         |           FROM betas b
+         |           CROSS JOIN (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS hz) t),
+         |ff AS (SELECT *, sin(x * 0.8975979010256552) AS s, cos(x * 0.8975979010256552) AS c FROM future)
+         |SELECT event_type, ds,
+         | round(greatest(0.0, b0 + b1*x + b2*s + b3*c + b4*rmean), 4) AS yhat
+         |FROM ff ORDER BY event_type, ds""".stripMargin
+    },
+
     "q44_forecast_joint_cramer" -> {
       import operators.Forecast.Cramer4
       val det = Cramer4.det(Cramer4.SqlAlg)

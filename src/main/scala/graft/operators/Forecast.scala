@@ -1147,6 +1147,138 @@ object Forecast {
       }.toVector))
   }
 
+  /** The q43-SHAPED 5×5 Cramer system (round 12): basis
+    * [1, x, s, c, r] — trend, the weekly Fourier PAIR, and an external
+    * regressor fit JOINTLY, Prophet's
+    * `forecast(regressor=..., weekly_seasonality=...)` combination as
+    * one normal-equation solve. Same structural-definition trick as
+    * [[Cramer4]]: ONE recursion renders the determinant and the five
+    * numerators into Column trees and into fully-parenthesized SQL, so
+    * the two engines run the IDENTICAL float expression tree. The
+    * recursion reproduces Cramer4's association exactly (cofactor
+    * terms fold left as ((t0−t1)+t2)−t3…), so sizes 3 and 4 are the
+    * proven q18/q44 trees and size 5 is their natural extension. */
+  private[graft] object Cramer5 {
+    import Cramer4.Alg
+    private val g = Vector(
+      Vector("n",  "sx",  "ss",  "sc",  "sr"),
+      Vector("sx", "sxx", "sxs", "sxc", "sxr"),
+      Vector("ss", "sxs", "sss", "ssc", "ssr"),
+      Vector("sc", "sxc", "ssc", "scc", "scr"),
+      Vector("sr", "sxr", "ssr", "scr", "srr"))
+    private val rhs = Vector("sy", "sxy", "ssy", "scy", "sry")
+
+    private def detRec[T](alg: Alg[T])(m: Vector[Vector[T]]): T = {
+      import alg._
+      if (m.size == 2) sub(mul(m(0)(0), m(1)(1)), mul(m(0)(1), m(1)(0)))
+      else {
+        val terms = m(0).indices.map { j =>
+          mul(m(0)(j), detRec(alg)(
+            m.tail.map(r => r.zipWithIndex.collect { case (x, jj) if jj != j => x })))
+        }
+        terms.zipWithIndex.tail.foldLeft(terms.head) { case (acc, (t, i)) =>
+          if (i % 2 == 1) alg.sub(acc, t) else alg.add(acc, t)
+        }
+      }
+    }
+    private def mat[T](alg: Alg[T])(names: Vector[Vector[String]]): Vector[Vector[T]] =
+      names.map(_.map(alg.v))
+
+    /** Cramer denominator det(G) over the 15 Gram-sum names. */
+    def det[T](alg: Alg[T]): T = detRec(alg)(mat(alg)(g))
+    /** Cramer numerator for coefficient `i` (column i ← moment vector). */
+    def num[T](alg: Alg[T], i: Int): T =
+      detRec(alg)(mat(alg)(g.indices.map { r =>
+        g(r).indices.map(c => if (c == i) rhs(r) else g(r)(c)).toVector
+      }.toVector))
+  }
+
+  /** `q129_forecast_joint_cramer5` — the q43 SHAPE made oracle-backed:
+    * y ~ b0 + b1·x + b2·sin(2πx/7) + b3·cos(2πx/7) + b4·r per key —
+    * trend, weekly Fourier seasonality, and an external regressor in
+    * ONE joint 5×5 solve ([[Cramer5]] renders identical formula trees
+    * into this plan and into the DuckDB oracle, so the driver
+    * hash-checks a genuinely joint Fourier+regressor fit — the
+    * combination q43 runs through the general dense-solve path, which
+    * stays rows-only because an LU solve is not ANSI-expressible).
+    * No day-of-week residual means here: the Fourier pair IS the
+    * weekly seasonality (adding dow means would double-count it).
+    * Degenerate systems fall back to the trend-only 2-parameter fit
+    * behind the q44 relative-determinant guard, mirrored in the SQL. */
+  def forecastJointCramer5(spark: SparkSession, dir: String, horizon: Int = 7): DataFrame = {
+    val t = Tables(spark, dir)
+    val daily = t.events
+      .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
+      .agg(sum(col("value")).as("y"), count(lit(1)).cast("double").as("r"))
+    forecastJointCramer5Frame(daily, Seq("event_type"), horizon)
+  }
+
+  /** Frame-level 5×5 joint fit over any (keyCols, ds, y, r) daily
+    * frame — the Fourier columns derive from x inside, so the future
+    * spine re-derives them the same way (the oracle-shared rule). */
+  def forecastJointCramer5Frame(daily: DataFrame, keyCols: Seq[String],
+                                horizon: Int): DataFrame = {
+    import Cramer4.ColAlg
+    val keys = keyCols.map(col)
+    val wk = Window.partitionBy(keys: _*)
+    val omega = 2.0 * math.Pi / 7.0
+    val wx = daily
+      .withColumn("x", datediff(col("ds"), min(col("ds")).over(wk)).cast("double"))
+      .withColumn("s", sin(col("x") * lit(omega)))
+      .withColumn("c", cos(col("x") * lit(omega)))
+      .localCheckpoint()
+    val sums = wx.groupBy(keys: _*).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("s")).as("ss"),
+      sum(col("c")).as("sc"), sum(col("r")).as("sr"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("s")).as("sxs"),
+      sum(col("x") * col("c")).as("sxc"), sum(col("x") * col("r")).as("sxr"),
+      sum(col("s") * col("s")).as("sss"), sum(col("s") * col("c")).as("ssc"),
+      sum(col("s") * col("r")).as("ssr"),
+      sum(col("c") * col("c")).as("scc"), sum(col("c") * col("r")).as("scr"),
+      sum(col("r") * col("r")).as("srr"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("s") * col("y")).as("ssy"), sum(col("c") * col("y")).as("scy"),
+      sum(col("r") * col("y")).as("sry"),
+      max(col("x")).as("xmax"), max(col("ds")).as("maxds"),
+      avg(col("r")).as("rmean"))
+    val betas = sums
+      .withColumn("det", Cramer5.det(ColAlg))
+      .withColumn("degen",
+        abs(col("det")) <= lit(1e-9) *
+          abs(col("n") * col("sxx") * col("sss") * col("scc") * col("srr")))
+      .withColumn("den2", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("b1f", when(abs(col("den2")) > lit(0.0),
+        (col("n") * col("sxy") - col("sx") * col("sy")) / col("den2")).otherwise(lit(0.0)))
+      .withColumn("b0f", (col("sy") - col("b1f") * col("sx")) / col("n"))
+      .withColumn("b0", when(col("degen"), col("b0f"))
+        .otherwise(Cramer5.num(ColAlg, 0) / col("det")))
+      .withColumn("b1", when(col("degen"), col("b1f"))
+        .otherwise(Cramer5.num(ColAlg, 1) / col("det")))
+      .withColumn("b2", when(col("degen"), lit(0.0))
+        .otherwise(Cramer5.num(ColAlg, 2) / col("det")))
+      .withColumn("b3", when(col("degen"), lit(0.0))
+        .otherwise(Cramer5.num(ColAlg, 3) / col("det")))
+      .withColumn("b4", when(col("degen"), lit(0.0))
+        .otherwise(Cramer5.num(ColAlg, 4) / col("det")))
+      .select(keys ++ Seq(col("b0"), col("b1"), col("b2"), col("b3"), col("b4"),
+        col("xmax"), col("maxds"), col("rmean")): _*)
+    betas
+      .select(keys ++ Seq(col("b0"), col("b1"), col("b2"), col("b3"), col("b4"),
+        col("xmax"), col("maxds"), col("rmean"),
+        explode(sequence(lit(1), lit(horizon))).as("hz")): _*)
+      .withColumn("ds", date_add(col("maxds"), col("hz")))
+      .withColumn("x", col("xmax") + col("hz"))
+      .withColumn("s", sin(col("x") * lit(omega)))
+      .withColumn("c", cos(col("x") * lit(omega)))
+      .select(keys ++ Seq(
+        col("ds"),
+        round(greatest(lit(0.0),
+          col("b0") + col("b1") * col("x") + col("b2") * col("s") +
+            col("b3") * col("c") + col("b4") * col("rmean")), 4).as("yhat")): _*)
+      .orderBy(keys :+ col("ds"): _*)
+  }
+
   /** `q44_forecast_joint_cramer` — the ORACLE-EXPRESSIBLE slice of the
     * joint surface (B11): y ~ b0 + b1·x + b2·r + b3·I(payday) per key —
     * an external regressor AND a holiday indicator fit JOINTLY in one

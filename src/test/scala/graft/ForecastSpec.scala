@@ -995,6 +995,41 @@ class ForecastSpec extends SparkSpecBase {
     }
   }
 
+  test("5x5 Cramer joint fit recovers planted trend+Fourier+regressor coefficients (the q43 shape)") {
+    // y = 3 + 0.4x + 6 sin(2πx/7) + 4 cos(2πx/7) + 2r exactly — the
+    // round-12 Cramer5 shared-formula solve must recover all FIVE
+    // coefficients jointly; the future spine re-derives the Fourier
+    // pair from x, so predictions replay the planted formula
+    val d0 = java.time.LocalDate.of(2024, 1, 3)
+    val omega = 2.0 * math.Pi / 7.0
+    val rs = (0 until 42).map(x => 1.0 + (x * 5 % 9))
+    val daily = rs.zipWithIndex.map { case (r, x) =>
+      val y = 3.0 + 0.4 * x + 6.0 * math.sin(omega * x) + 4.0 * math.cos(omega * x) + 2.0 * r
+      ("k1", Date.valueOf(d0.plusDays(x)), y, r)
+    }.toDF("key", "ds", "y", "r")
+    val rMean = rs.sum / rs.length
+    val out = Forecast.forecastJointCramer5Frame(daily, Seq("key"), horizon = 14)
+      .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
+    assert(out.length == 14)
+    out.foreach { case (ds, yhat) =>
+      val x = java.time.temporal.ChronoUnit.DAYS.between(d0, ds.toLocalDate).toDouble
+      val expected = 3.0 + 0.4 * x + 6.0 * math.sin(omega * x) + 4.0 * math.cos(omega * x) +
+        2.0 * rMean
+      assert(math.abs(yhat - expected) < 1e-3, s"$ds: $yhat vs $expected")
+    }
+    // degenerate guard: a constant regressor collapses the 5×5 — the
+    // trend-only fallback engages instead of dividing by ~0
+    val flat = (0 until 42).map { x =>
+      ("k1", Date.valueOf(d0.plusDays(x)), 1.0 + 2.0 * x, 5.0)
+    }.toDF("key", "ds", "y", "r")
+    val fb = Forecast.forecastJointCramer5Frame(flat, Seq("key"), horizon = 3)
+      .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
+    fb.zipWithIndex.foreach { case ((ds, yhat), i) =>
+      val expected = 1.0 + 2.0 * (42 + i)
+      assert(math.abs(yhat - expected) < 1e-6, s"fallback $ds: $yhat vs $expected")
+    }
+  }
+
   test("growth='logistic' is a true saturating fit, not a clamp") {
     // planted logistic curve toward cap=100: z = logit(y/100) is exactly
     // linear in x, so the log-odds fit recovers the curve and the
