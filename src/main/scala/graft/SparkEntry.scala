@@ -167,7 +167,8 @@ object SparkEntry {
     "q126_bpe_kernel"            -> ((s, d) => Bpe.bpeKernelDocs(s, d)),
     "q127_corpus_build"          -> ((s, d) => Pipeline.corpusBuildDocs(s, d)),
     "q128_dsir_incremental"      -> ((s, d) => Sharding.dsirIncrementalDocs(s, d)),
-    "q129_forecast_joint_cramer5" -> ((s, d) => Forecast.forecastJointCramer5(s, d))
+    "q129_forecast_joint_cramer5" -> ((s, d) => Forecast.forecastJointCramer5(s, d)),
+    "q130_bpe_packing"           -> ((s, d) => Bpe.bpePackedDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1440,6 +1441,60 @@ object SparkEntry {
         |      FROM d JOIN r USING (source))
         |SELECT doc_id, source FROM u WHERE draw < rate
         |ORDER BY doc_id""".stripMargin,
+
+    // q130: packing budgeted in REAL subwords — the q126 recursive-CTE
+    // encode supplies per-doc PIECE counts, and the q124 packing math
+    // (shard route, running cum, chunk floor, exclusive-prefix
+    // offsets, in-order member lists) runs on them in one derivation
+    "q130_bpe_packing" ->
+      """WITH RECURSIVE
+        |letters AS (
+        |  SELECT chr(97 + CAST(i AS INTEGER)) AS c, CAST(i AS BIGINT) AS i
+        |  FROM range(26) t(i)),
+        |m AS (
+        |  SELECT x.i * 26 + y.i AS rank, x.c AS l, y.c AS r
+        |  FROM letters x, letters y
+        |  UNION ALL
+        |  SELECT 676 + x.i * 26 + y.i AS rank, x.c || y.c AS l, '</w>' AS r
+        |  FROM letters x, letters y WHERE x.i * 26 + y.i < 348),
+        |w AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |words AS (SELECT DISTINCT w FROM w WHERE w <> ''),
+        |it AS (
+        |  SELECT w, '  ' || regexp_replace(w, '(.)', '\1  ', 'g') || '</w>  ' AS s,
+        |         CAST(0 AS BIGINT) AS r
+        |  FROM words
+        |  UNION ALL
+        |  SELECT it.w, replace(it.s, ' ' || m.l || '  ' || m.r || ' ',
+        |                       ' ' || m.l || m.r || ' '), it.r + 1
+        |  FROM it JOIN m ON m.rank = it.r),
+        |fin AS (
+        |  SELECT w, CAST(len(string_split_regex(trim(s), '\s+')) AS BIGINT) AS p
+        |  FROM it WHERE r = 1024),
+        |toks AS (
+        |  SELECT w.doc_id, CAST(sum(fin.p) AS BIGINT) AS n_tokens,
+        |         CAST(w.doc_id % 8 AS INTEGER) AS shard
+        |  FROM w JOIN fin ON w.w = fin.w WHERE w.w <> ''
+        |  GROUP BY w.doc_id),
+        |packed AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM toks),
+        |ch AS (SELECT *,
+        |         CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS chunk
+        |       FROM packed),
+        |o AS (SELECT *,
+        |        (cum_tokens - n_tokens)
+        |        - min(cum_tokens - n_tokens) OVER (PARTITION BY shard, chunk) AS off
+        |      FROM ch)
+        |SELECT shard, chunk,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids,
+        |       array_to_string(list(off ORDER BY doc_id), ',') AS offsets
+        |FROM o GROUP BY 1, 2 ORDER BY shard, chunk""".stripMargin,
 
     // q126: the NATIVE BPE kernel at 1024 merges — 4× past the fold's
     // 256-merge expression cap. The oracle regenerates the same

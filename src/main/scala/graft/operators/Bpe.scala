@@ -301,4 +301,25 @@ object Bpe {
     encodeStats(graft.Tables(spark, dir).documents, kernelMerges,
       useKernel = true)
       .orderBy(col("doc_id"))
+
+  /** C48→C49 `q130_bpe_packing` — sequence packing budgeted in REAL
+    * learned subwords: q124's assembly windows run on per-doc PIECE
+    * counts from the native kernel under the q126 table, so the packed
+    * artifact's budget is measured in the units a training loader
+    * actually consumes (whitespace tokens under-count short subwords
+    * by ~2× on this corpus — a whitespace-budgeted sequence overflows
+    * a model's context window). Budget 4096 ≈ the q124 token budget at
+    * the measured ~2 chars/piece rate; the oracle replays the q126
+    * recursive-CTE encode AND the q124 packing math in one derivation. */
+  def bpePackedDocs(spark: SparkSession, dir: String,
+                    budget: Long = 4096L, shards: Int = 8): DataFrame = {
+    val pieces = graft.Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("_w"))
+      .filter(col("_w") =!= "")
+      .withColumn("_p", size(encodeKernel(col("_w"), kernelMerges)).cast("long"))
+      .groupBy(col("doc_id")).agg(sum(col("_p")).as("n_tokens"))
+    Sharding.assembleSequences(pieces, "doc_id", "n_tokens", budget, shards)
+      .orderBy(col("shard"), col("chunk"))
+  }
 }

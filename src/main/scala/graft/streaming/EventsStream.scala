@@ -1154,4 +1154,53 @@ object EventsStream {
             .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(scoredPath)
       }
       .start()
+
+  /** D2→C49 bridge — streaming BPE length stats against the PERSISTED
+    * merges table (round 12): each micro-batch of new documents
+    * encodes through the production NATIVE kernel
+    * ([[graft.operators.Bpe.encodeStats]] with `useKernel = true` —
+    * the per-thread word cache makes streamed micro-batches of
+    * Zipfian text nearly free) and appends its
+    * (id, n_words, n_pieces, chars_per_piece) rows — the subword
+    * counts the packing/budget stages consume. Tokenize-first contract
+    * (the [[dsirScoreStream]] rule): a missing merges table fails
+    * LOUDLY — an empty table is not a valid identity tokenizer.
+    * A retrained table hot-swaps on the next trigger; already-written
+    * stats are NOT rewritten (stats are pure functions of (doc, frozen
+    * table), so re-encoding history is a batch backfill decision, not
+    * a stream concern).
+    *
+    * Replay-idempotent: already-encoded ids anti-join away.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def bpeStatsStream(docs: DataFrame, mergesPath: String, statsPath: String,
+                     checkpointDir: String,
+                     idCol: String = "doc_id", textCol: String = "text"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.dropDuplicates(idCol)
+        // loud if absent: train-first. The merges table is bounded by
+        // contract (maxTrainMerges), so the collect is tiny.
+        val merges = spark.read.parquet(mergesPath)
+          .select(col("rank"), col("left"), col("right"))
+          .orderBy(col("rank"))
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        require(merges.nonEmpty,
+          s"bpeStatsStream: merges table at $mergesPath is empty — train first " +
+            "(an empty table is not a valid identity tokenizer)")
+        val existing = readTableIfExists(spark, statsPath)
+        val fresh = existing match {
+          case Some(s) =>
+            batch.join(s.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+          case None => batch
+        }
+        if (!fresh.isEmpty)
+          graft.operators.Bpe.encodeStats(fresh, merges, idCol, textCol, useKernel = true)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(statsPath)
+      }
+      .start()
 }

@@ -661,6 +661,59 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C49: streaming BPE stats match the batch kernel, replay idempotently, train-first") {
+    import graft.operators.Bpe
+    import graft.streaming.EventsStream.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // a real trained table persisted as the frozen artifact
+    val merges = Bpe.train(
+      Seq((1L, "low low low lower newest newest widest")).toDF("doc_id", "text"),
+      "text", numMerges = 5)
+    val mp = java.nio.file.Files.createTempDirectory("graft_bpe_m").toString
+    Bpe.mergesTable(spark, merges).write.mode("overwrite").parquet(mp)
+    val stats = java.nio.file.Files.createTempDirectory("graft_bpe_s").toString + "/t"
+    val cp = java.nio.file.Files.createTempDirectory("graft_bpe_cp").toString
+    val mem = MemoryStream[StreamDoc]
+    val q = EventsStream.bpeStatsStream(mem.toDF(), mp, stats, cp)
+    try {
+      mem.addData(StreamDoc(10, "lowest newest"), StreamDoc(11, "widest low"))
+      q.processAllAvailable()
+      // batch 2 re-delivers doc 10 (must not re-encode) plus a new doc
+      mem.addData(StreamDoc(10, "lowest newest"), StreamDoc(12, "west"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(stats)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
+      val expect = Bpe.encodeStats(
+        Seq((10L, "lowest newest"), (11L, "widest low"), (12L, "west"))
+          .toDF("doc_id", "text"), merges, useKernel = true)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
+      assert(got === expect, "streamed stats must equal the batch kernel")
+      assert(got.map(_._1) === List(10L, 11L, 12L), "re-delivery must not duplicate")
+      // and the kernel path agrees with the certified fold on the same rows
+      val fold = Bpe.encodeStats(
+        Seq((10L, "lowest newest"), (11L, "widest low"), (12L, "west"))
+          .toDF("doc_id", "text"), merges)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
+      assert(got === fold, "kernel stats must equal the fold stats")
+    } finally q.stop()
+    // train-first contract: an empty merges table refuses loudly
+    val empty = java.nio.file.Files.createTempDirectory("graft_bpe_e").toString
+    Bpe.mergesTable(spark, Seq(("a", "b"))).limit(0)
+      .write.mode("overwrite").parquet(empty)
+    val cp2 = java.nio.file.Files.createTempDirectory("graft_bpe_cp2").toString
+    val mem2 = MemoryStream[StreamDoc]
+    val q2 = EventsStream.bpeStatsStream(mem2.toDF(), empty,
+      java.nio.file.Files.createTempDirectory("graft_bpe_s2").toString + "/t", cp2)
+    try {
+      mem2.addData(StreamDoc(1, "x"))
+      val e = intercept[Exception] { q2.processAllAvailable() }
+      assert(e.getMessage.contains("train first")
+        || Option(e.getCause).exists(_.getMessage.contains("train first")),
+        s"expected the train-first refusal, got: ${e.getMessage}")
+    } finally q2.stop()
+  }
+
   test("D2→C44: streaming WET ingest parses chunks once, replays idempotently, matches batch parse") {
     import graft.sources.Warc
     implicit val sqlCtx = spark.sqlContext
