@@ -168,7 +168,8 @@ object SparkEntry {
     "q127_corpus_build"          -> ((s, d) => Pipeline.corpusBuildDocs(s, d)),
     "q128_dsir_incremental"      -> ((s, d) => Sharding.dsirIncrementalDocs(s, d)),
     "q129_forecast_joint_cramer5" -> ((s, d) => Forecast.forecastJointCramer5(s, d)),
-    "q130_bpe_packing"           -> ((s, d) => Bpe.bpePackedDocs(s, d))
+    "q130_bpe_packing"           -> ((s, d) => Bpe.bpePackedDocs(s, d)),
+    "q131_tokenizer_parity"      -> ((s, d) => Bpe.tokenizerParityDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1441,6 +1442,44 @@ object SparkEntry {
         |      FROM d JOIN r USING (source))
         |SELECT doc_id, source FROM u WHERE draw < rate
         |ORDER BY doc_id""".stripMargin,
+
+    // q131: tokenizer parity — the q126 recursive-CTE encode feeding a
+    // per-language fertility rollup (exact integers + two 4-dp ratios)
+    "q131_tokenizer_parity" ->
+      """WITH RECURSIVE
+        |letters AS (
+        |  SELECT chr(97 + CAST(i AS INTEGER)) AS c, CAST(i AS BIGINT) AS i
+        |  FROM range(26) t(i)),
+        |m AS (
+        |  SELECT x.i * 26 + y.i AS rank, x.c AS l, y.c AS r
+        |  FROM letters x, letters y
+        |  UNION ALL
+        |  SELECT 676 + x.i * 26 + y.i AS rank, x.c || y.c AS l, '</w>' AS r
+        |  FROM letters x, letters y WHERE x.i * 26 + y.i < 348),
+        |w AS (
+        |  SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |words AS (SELECT DISTINCT w FROM w WHERE w <> ''),
+        |it AS (
+        |  SELECT w, '  ' || regexp_replace(w, '(.)', '\1  ', 'g') || '</w>  ' AS s,
+        |         CAST(0 AS BIGINT) AS r
+        |  FROM words
+        |  UNION ALL
+        |  SELECT it.w, replace(it.s, ' ' || m.l || '  ' || m.r || ' ',
+        |                       ' ' || m.l || m.r || ' '), it.r + 1
+        |  FROM it JOIN m ON m.rank = it.r),
+        |fin AS (
+        |  SELECT w, CAST(len(string_split_regex(trim(s), '\s+')) AS BIGINT) AS p
+        |  FROM it WHERE r = 1024),
+        |e AS (
+        |  SELECT w.lang, fin.p, CAST(length(w.w) AS BIGINT) AS c
+        |  FROM w JOIN fin ON w.w = fin.w WHERE w.w <> '')
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(p) AS BIGINT) AS n_pieces,
+        |       CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single_piece,
+        |       round(CAST(sum(p) AS DOUBLE) / count(*), 4) AS fertility,
+        |       round(CAST(sum(c) AS DOUBLE) / sum(p), 4) AS chars_per_piece
+        |FROM e GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // q130: packing budgeted in REAL subwords — the q126 recursive-CTE
     // encode supplies per-doc PIECE counts, and the q124 packing math

@@ -311,6 +311,38 @@ object Bpe {
     * a model's context window). Budget 4096 ≈ the q124 token budget at
     * the measured ~2 chars/piece rate; the oracle replays the q126
     * recursive-CTE encode AND the q124 packing math in one derivation. */
+  /** Tokenizer PARITY report — per-language fertility under a merge
+    * table (Petrov et al. 2023, "Language Model Tokenizers Introduce
+    * Unfairness Between Languages", arXiv:2305.15425 — fertility =
+    * subword pieces per word; a vocabulary trained on one language
+    * shreds the others, inflating their effective sequence lengths and
+    * training cost): one explode, one kernel encode per word, one
+    * |langs|-row aggregate. All columns exact integers except the two
+    * 4-dp ratios; `n_single_piece` counts words the vocabulary covers
+    * WHOLE (an end-of-word merge reached them). */
+  def tokenizerParity(docs: DataFrame, merges: Seq[(String, String)],
+                      langCol: String = "lang", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(langCol).as("lang"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("_w"))
+      .filter(col("_w") =!= "")
+      .withColumn("_p", size(encodeKernel(col("_w"), merges)).cast("long"))
+      .withColumn("_c", length(col("_w")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("_p")).as("n_pieces"),
+        sum(when(col("_p") === 1, 1L).otherwise(0L)).as("n_single_piece"),
+        round(sum(col("_p")).cast("double") / count(lit(1)), 4).as("fertility"),
+        round(sum(col("_c")).cast("double") / sum(col("_p")), 4).as("chars_per_piece"))
+      .orderBy(col("lang"))
+
+  /** C49 `q131_tokenizer_parity` — [[tokenizerParity]] over the
+    * documents corpus under the q126 planted table: the oracle replays
+    * the recursive-CTE encode and the |langs|-row rollup. */
+  def tokenizerParityDocs(spark: SparkSession, dir: String): DataFrame =
+    tokenizerParity(graft.Tables(spark, dir).documents, kernelMerges)
+
   def bpePackedDocs(spark: SparkSession, dir: String,
                     budget: Long = 4096L, shards: Int = 8): DataFrame = {
     val pieces = graft.Tables(spark, dir).documents

@@ -811,6 +811,43 @@ object EventsStream {
       }
       .start()
 
+  /** D2→C1b bridge — streaming EXACT-dedup index maintenance (round
+    * 12, completing the index-maintenance family at the exact tier the
+    * way [[urlIndexIngestStream]] does at the URL tier): each
+    * micro-batch elects its within-batch keepers through the
+    * production [[graft.operators.Dedup.buildExactIndex]] aggregate
+    * and APPENDS only never-seen fingerprints, so later batches (and
+    * the batch probe [[graft.operators.Dedup.dedupExactAgainstIndex]])
+    * dedup against them. Keepers are FIRST-ARRIVAL and stable for the
+    * index's life (the D2h contract — probes need only A stable
+    * keeper, not the global minimum); `n_copies` is deliberately not
+    * maintained (it would rewrite a corpus-sized artifact per trigger
+    * — recount it batch-side on the audit cadence).
+    *
+    * Replay-idempotent via the fingerprint anti-join; bootstraps from
+    * an empty path. */
+  def exactIndexIngestStream(docs: DataFrame, indexPath: String,
+                             checkpointDir: String,
+                             idCol: String = "doc_id", textCol: String = "text"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val batchIdx = graft.operators.Dedup
+          .buildExactIndex(batch, idCol, textCol)
+          .select(col("fingerprint"), col("keep_id"))
+        val fresh = readTableIfExists(spark, indexPath) match {
+          case Some(ix) =>
+            batchIdx.join(ix.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+          case None => batchIdx
+        }
+        if (!fresh.isEmpty)
+          fresh.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(indexPath)
+      }
+      .start()
+
   /** D2→C44 bridge — streaming WET chunk ingest: each micro-batch of
     * crawl chunk files parses through the production extractor
     * ([[graft.sources.Warc.wetRecords]]) and APPENDS its records to

@@ -201,6 +201,22 @@ class BpeSpec extends SparkSpecBase {
       "letter-pair merges must produce multi-char pieces somewhere")
   }
 
+  test("tokenizer parity: per-language fertility, single-piece words counted exactly") {
+    // under merges [(a,b), (ab,</w>)]: "ab" -> [ab</w>] = 1 piece
+    // (covered WHOLE); "abc" -> [ab, c, </w>] = 3; "x" -> [x, </w>] = 2
+    val m = Seq(("a", "b"), ("ab", Bpe.EndOfWord))
+    val docs = Seq(
+      (1L, "en", "ab ab abc"),  // en: pieces 1+1+3 = 5 over 3 words
+      (2L, "fr", "x ab")        // fr: pieces 2+1 = 3 over 2 words
+    ).toDF("doc_id", "lang", "text")
+    val out = Bpe.tokenizerParity(docs, m)
+      .as[(String, Long, Long, Long, Double, Double)].collect().sortBy(_._1).toList
+    // chars: en 2+2+3=7 over 5 pieces = 1.4; fr 1+2=3 over 3 pieces = 1.0
+    assert(out === List(
+      ("en", 3L, 5L, 2L, 1.6667, 1.4),
+      ("fr", 2L, 3L, 1L, 1.5, 1.0)))
+  }
+
   test("mergesTable persists the ranks; encodeStats sums pieces per doc, map-only after the explode") {
     val m = Bpe.train(corpus, "text", 3)
     val tbl = Bpe.mergesTable(spark, m).as[(Long, String, String)].collect().toList

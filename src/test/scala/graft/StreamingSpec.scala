@@ -630,6 +630,43 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C1b: streaming exact-index ingest bootstraps, keeps keepers stable, replays idempotently") {
+    import graft.operators.Dedup
+    import graft.streaming.EventsStream.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamDoc]
+    val idx = java.nio.file.Files.createTempDirectory("graft_ex_idx").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_ex_cp").toString
+    val q = EventsStream.exactIndexIngestStream(mem.toDF(), idx, cp)
+    def keepers() = spark.read.parquet(idx)
+      .as[(String, Long)].collect().map(_._2).toSet
+    try {
+      // batch 1 bootstraps: two copies of one text elect min-id within
+      // the batch, plus a distinct text
+      mem.addData(StreamDoc(5, "alpha beta"), StreamDoc(2, "alpha beta"),
+        StreamDoc(7, "gamma"))
+      q.processAllAvailable()
+      assert(keepers() === Set(2L, 7L))
+      // batch 2: a SMALLER-id copy of a known text must NOT steal the
+      // keepership (first-arrival is stable); a new text appends
+      mem.addData(StreamDoc(1, "alpha beta"), StreamDoc(9, "delta"))
+      q.processAllAvailable()
+      assert(keepers() === Set(2L, 7L, 9L))
+      assert(spark.read.parquet(idx).count() === 3, "re-seen texts must not duplicate")
+      // re-delivery of batch 2 appends nothing
+      mem.addData(StreamDoc(1, "alpha beta"), StreamDoc(9, "delta"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(idx).count() === 3)
+      // the maintained index drives the production day-2 probe
+      val verdicts = Dedup.dedupExactAgainstIndex(
+        Seq((20L, "gamma"), (21L, "epsilon")).toDF("doc_id", "text"),
+        spark.read.parquet(idx))
+        .as[(Long, Boolean, Long)].collect().sortBy(_._1).toList
+      assert(verdicts === List((20L, true, 7L), (21L, false, -1L)))
+    } finally q.stop()
+  }
+
   test("D2→C37: streaming NB scoring matches the batch kernel, replays idempotently, fit-first") {
     import graft.operators.Classify
     import graft.streaming.EventsStream.StreamDoc
