@@ -136,8 +136,20 @@ object Bench {
         second.foreach { case (n, m, f0) =>
           System.err.println(s"[bench] rerun $n median=${fmt(m)} first=${fmt(f0)}")
         }
+        // totals are only comparable over the SAME succeeded set: a run
+        // where a query crashed (median -1, excluded from its total)
+        // would otherwise win the headline BY the omission. Coverage
+        // beats speed — the run with more successes is the headline; a
+        // smaller total decides only between runs that succeeded on the
+        // same queries (ties on different equal-size sets keep run 1).
+        def okSet(r: Seq[(String, Double, Double)]): Set[String] =
+          r.collect { case (n, m, _) if m >= 0 => n }.toSet
+        val (fOk, sOk) = (okSet(first), okSet(second))
+        val pickSecond =
+          if (sOk == fOk) secondTotal <= firstTotal
+          else sOk.size > fOk.size
         val (head, headTotal, ctrl, ctrlTotal) =
-          if (secondTotal <= firstTotal) (second, secondTotal, first, firstTotal)
+          if (pickSecond) (second, secondTotal, first, firstTotal)
           else (first, firstTotal, second, secondTotal)
         val cMap = ctrl.map { case (n, m, _) => n -> m }.toMap
         // floor 0.5s (sub-second queries jitter by constant overheads,

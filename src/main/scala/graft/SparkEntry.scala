@@ -317,6 +317,40 @@ object SparkEntry {
       |      FROM g)
       |SELECT * FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
 
+  /** The q126/q130/q131 shared BPE-oracle prelude — ONE definition of
+    * the formula-planted 1024-merge table and its 1024-step
+    * recursive-CTE rank-order encode over the distinct-word table
+    * (`fin` = (word, pieces)); `keyCol` is the document attribute each
+    * consumer carries through (doc_id for stats/packing, lang for the
+    * parity report). Factored so the three oracles cannot drift from
+    * each other or from `Bpe.kernelMerges`. */
+  private def bpeKernelOracleCtes(keyCol: String): String =
+    s"""WITH RECURSIVE
+       |letters AS (
+       |  SELECT chr(97 + CAST(i AS INTEGER)) AS c, CAST(i AS BIGINT) AS i
+       |  FROM range(26) t(i)),
+       |m AS (
+       |  SELECT x.i * 26 + y.i AS rank, x.c AS l, y.c AS r
+       |  FROM letters x, letters y
+       |  UNION ALL
+       |  SELECT 676 + x.i * 26 + y.i AS rank, x.c || y.c AS l, '</w>' AS r
+       |  FROM letters x, letters y WHERE x.i * 26 + y.i < 348),
+       |w AS (
+       |  SELECT $keyCol, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents),
+       |words AS (SELECT DISTINCT w FROM w WHERE w <> ''),
+       |it AS (
+       |  SELECT w, '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') || '</w>  ' AS s,
+       |         CAST(0 AS BIGINT) AS r
+       |  FROM words
+       |  UNION ALL
+       |  SELECT it.w, replace(it.s, ' ' || m.l || '  ' || m.r || ' ',
+       |                       ' ' || m.l || m.r || ' '), it.r + 1
+       |  FROM it JOIN m ON m.rank = it.r),
+       |fin AS (
+       |  SELECT w, CAST(len(string_split_regex(trim(s), '\\s+')) AS BIGINT) AS p
+       |  FROM it WHERE r = 1024)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1445,32 +1479,8 @@ object SparkEntry {
 
     // q131: tokenizer parity — the q126 recursive-CTE encode feeding a
     // per-language fertility rollup (exact integers + two 4-dp ratios)
-    "q131_tokenizer_parity" ->
-      """WITH RECURSIVE
-        |letters AS (
-        |  SELECT chr(97 + CAST(i AS INTEGER)) AS c, CAST(i AS BIGINT) AS i
-        |  FROM range(26) t(i)),
-        |m AS (
-        |  SELECT x.i * 26 + y.i AS rank, x.c AS l, y.c AS r
-        |  FROM letters x, letters y
-        |  UNION ALL
-        |  SELECT 676 + x.i * 26 + y.i AS rank, x.c || y.c AS l, '</w>' AS r
-        |  FROM letters x, letters y WHERE x.i * 26 + y.i < 348),
-        |w AS (
-        |  SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-        |  FROM documents),
-        |words AS (SELECT DISTINCT w FROM w WHERE w <> ''),
-        |it AS (
-        |  SELECT w, '  ' || regexp_replace(w, '(.)', '\1  ', 'g') || '</w>  ' AS s,
-        |         CAST(0 AS BIGINT) AS r
-        |  FROM words
-        |  UNION ALL
-        |  SELECT it.w, replace(it.s, ' ' || m.l || '  ' || m.r || ' ',
-        |                       ' ' || m.l || m.r || ' '), it.r + 1
-        |  FROM it JOIN m ON m.rank = it.r),
-        |fin AS (
-        |  SELECT w, CAST(len(string_split_regex(trim(s), '\s+')) AS BIGINT) AS p
-        |  FROM it WHERE r = 1024),
+    "q131_tokenizer_parity" -> (bpeKernelOracleCtes("lang") +
+      """,
         |e AS (
         |  SELECT w.lang, fin.p, CAST(length(w.w) AS BIGINT) AS c
         |  FROM w JOIN fin ON w.w = fin.w WHERE w.w <> '')
@@ -1479,38 +1489,14 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single_piece,
         |       round(CAST(sum(p) AS DOUBLE) / count(*), 4) AS fertility,
         |       round(CAST(sum(c) AS DOUBLE) / sum(p), 4) AS chars_per_piece
-        |FROM e GROUP BY 1 ORDER BY lang""".stripMargin,
+        |FROM e GROUP BY 1 ORDER BY lang""".stripMargin),
 
     // q130: packing budgeted in REAL subwords — the q126 recursive-CTE
     // encode supplies per-doc PIECE counts, and the q124 packing math
     // (shard route, running cum, chunk floor, exclusive-prefix
     // offsets, in-order member lists) runs on them in one derivation
-    "q130_bpe_packing" ->
-      """WITH RECURSIVE
-        |letters AS (
-        |  SELECT chr(97 + CAST(i AS INTEGER)) AS c, CAST(i AS BIGINT) AS i
-        |  FROM range(26) t(i)),
-        |m AS (
-        |  SELECT x.i * 26 + y.i AS rank, x.c AS l, y.c AS r
-        |  FROM letters x, letters y
-        |  UNION ALL
-        |  SELECT 676 + x.i * 26 + y.i AS rank, x.c || y.c AS l, '</w>' AS r
-        |  FROM letters x, letters y WHERE x.i * 26 + y.i < 348),
-        |w AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-        |  FROM documents),
-        |words AS (SELECT DISTINCT w FROM w WHERE w <> ''),
-        |it AS (
-        |  SELECT w, '  ' || regexp_replace(w, '(.)', '\1  ', 'g') || '</w>  ' AS s,
-        |         CAST(0 AS BIGINT) AS r
-        |  FROM words
-        |  UNION ALL
-        |  SELECT it.w, replace(it.s, ' ' || m.l || '  ' || m.r || ' ',
-        |                       ' ' || m.l || m.r || ' '), it.r + 1
-        |  FROM it JOIN m ON m.rank = it.r),
-        |fin AS (
-        |  SELECT w, CAST(len(string_split_regex(trim(s), '\s+')) AS BIGINT) AS p
-        |  FROM it WHERE r = 1024),
+    "q130_bpe_packing" -> (bpeKernelOracleCtes("doc_id") +
+      """,
         |toks AS (
         |  SELECT w.doc_id, CAST(sum(fin.p) AS BIGINT) AS n_tokens,
         |         CAST(w.doc_id % 8 AS INTEGER) AS shard
@@ -1533,7 +1519,7 @@ object SparkEntry {
         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids,
         |       array_to_string(list(off ORDER BY doc_id), ',') AS offsets
-        |FROM o GROUP BY 1, 2 ORDER BY shard, chunk""".stripMargin,
+        |FROM o GROUP BY 1, 2 ORDER BY shard, chunk""".stripMargin),
 
     // q126: the NATIVE BPE kernel at 1024 merges — 4× past the fold's
     // 256-merge expression cap. The oracle regenerates the same
@@ -1546,39 +1532,15 @@ object SparkEntry {
     // multi-char side created earlier, outputs unique — validated
     // loudly at table build) make the two formulations exactly equal,
     // and this hash check certifies it on the full corpus.
-    "q126_bpe_kernel" ->
-      """WITH RECURSIVE
-        |letters AS (
-        |  SELECT chr(97 + CAST(i AS INTEGER)) AS c, CAST(i AS BIGINT) AS i
-        |  FROM range(26) t(i)),
-        |m AS (
-        |  SELECT x.i * 26 + y.i AS rank, x.c AS l, y.c AS r
-        |  FROM letters x, letters y
-        |  UNION ALL
-        |  SELECT 676 + x.i * 26 + y.i AS rank, x.c || y.c AS l, '</w>' AS r
-        |  FROM letters x, letters y WHERE x.i * 26 + y.i < 348),
-        |w AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-        |  FROM documents),
-        |words AS (SELECT DISTINCT w FROM w WHERE w <> ''),
-        |it AS (
-        |  SELECT w, '  ' || regexp_replace(w, '(.)', '\1  ', 'g') || '</w>  ' AS s,
-        |         CAST(0 AS BIGINT) AS r
-        |  FROM words
-        |  UNION ALL
-        |  SELECT it.w, replace(it.s, ' ' || m.l || '  ' || m.r || ' ',
-        |                       ' ' || m.l || m.r || ' '), it.r + 1
-        |  FROM it JOIN m ON m.rank = it.r),
-        |fin AS (
-        |  SELECT w, CAST(len(string_split_regex(trim(s), '\s+')) AS BIGINT) AS p
-        |  FROM it WHERE r = 1024),
+    "q126_bpe_kernel" -> (bpeKernelOracleCtes("doc_id") +
+      """,
         |e AS (
         |  SELECT w.doc_id, fin.p, CAST(length(w.w) AS BIGINT) AS c
         |  FROM w JOIN fin ON w.w = fin.w WHERE w.w <> '')
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
         |       CAST(sum(p) AS BIGINT) AS n_pieces,
         |       round(CAST(sum(c) AS DOUBLE) / sum(p), 4) AS chars_per_piece
-        |FROM e GROUP BY 1 ORDER BY doc_id""".stripMargin,
+        |FROM e GROUP BY 1 ORDER BY doc_id""".stripMargin),
 
     // q125: BPE encode — the oracle is GENERATED from the same planted
     // merge table the operator folds over (one replace per merge in

@@ -106,7 +106,7 @@ object Pipeline {
     val recs = graft.sources.Warc.wetRecords(chunks, idCol, contentCol)
       .withColumn("rec_id",
         when(col(idCol).cast("long") >= (1L << 31) || col(idCol) < 0,
-          raise_error(concat(lit("crawlIngestReport: chunk id out of [0, 2^31) — "),
+          raise_error(concat(lit("crawlRecords: chunk id out of [0, 2^31) — "),
             col(idCol).cast("string"), lit(" would overflow the rec_id encoding"))))
           .otherwise(shiftleft(col(idCol).cast("long"), 32) + col("rec_idx")))
       .localCheckpoint()

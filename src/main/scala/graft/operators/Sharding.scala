@@ -672,19 +672,28 @@ object Sharding {
     * the merged counts equals a from-scratch refit over the union —
     * bit-exact, the q128 oracle contract. Both models must share the
     * bucket count (they are dense by construction; a mismatch means
-    * they were fit under different feature maps and cannot merge). */
+    * they were fit under different feature maps and cannot merge) —
+    * checked IN-PLAN: dense spines over the same [0, buckets) range
+    * put every bucket in BOTH models, so any bucket appearing once
+    * fails loudly during the merge itself, with zero extra actions
+    * (a driver-side count() guard would re-execute both fit subtrees
+    * when the models aren't materialized yet). */
   def mergeDsirModels(a: DataFrame, b: DataFrame): DataFrame = {
     val expect = Seq("bucket", "ct", "cr")
     Seq(a, b).foreach { m =>
       require(m.columns.toSeq == expect,
         s"mergeDsirModels takes count-form models (bucket, ct, cr), got ${m.columns.toSeq}")
     }
-    val (na, nb) = (a.count(), b.count())
-    require(na == nb,
-      s"cannot merge DSIR models with different bucket counts ($na vs $nb) — " +
-        "they were fit under different feature maps")
     a.unionByName(b).groupBy(col("bucket"))
-      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
+      .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"),
+        count(lit(1)).as("_n"))
+      .select(col("bucket"),
+        when(col("_n") =!= 2, raise_error(concat(
+          lit("mergeDsirModels: bucket "), col("bucket").cast("string"),
+          lit(" present in only one model — the models were fit under different " +
+            "feature maps (bucket counts differ) and cannot merge"))))
+          .otherwise(col("ct")).as("ct"),
+        col("cr"))
   }
 
   /** Derive the scoring RATIO table from a count-form model: the
@@ -765,9 +774,10 @@ object Sharding {
     val docs = Tables(spark, dir).documents
     val isTarget = col("source") === targetSource
     // localCheckpoint stands in for the persisted parquet artifact a
-    // production ingest writes per batch (256 rows each): the merge's
-    // bucket-count guard and the scoring join then read the tiny
-    // materialized tables instead of re-running the corpus fit scans
+    // production ingest writes per batch (256 rows each): the merged
+    // model is read twice downstream (ratio derivation totals + the
+    // scoring broadcast), so the tiny materialized tables replace
+    // re-running the corpus fit scans
     val half0 = dsirFitCounts(docs.filter(col("doc_id") % 2 === 0), "text", isTarget)
       .localCheckpoint()
     val half1 = dsirFitCounts(docs.filter(col("doc_id") % 2 === 1), "text", isTarget)

@@ -364,12 +364,18 @@ class ShardingSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(fromDisk == full, "persisted count halves must merge to the refit model")
 
-    // guards: bucket-count mismatch (different feature maps) and a
-    // ratio-form frame both refuse loudly
-    intercept[IllegalArgumentException] {
+    // guards: bucket-count mismatch (different feature maps) fails
+    // IN-PLAN at merge time (no driver-side counts — they would
+    // re-execute unmaterialized fit subtrees); a ratio-form frame
+    // refuses at the API surface
+    val mm = intercept[Exception] {
       Sharding.mergeDsirModels(h0,
-        Sharding.dsirFitCounts(docs, "text", col("is_t"), 32))
+        Sharding.dsirFitCounts(docs, "text", col("is_t"), 32)).collect()
     }
+    def msg(t: Throwable): String = Option(t.getMessage).getOrElse("") +
+      Option(t.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg(mm).contains("present in only one model"),
+      s"expected the feature-map mismatch refusal, got: ${msg(mm)}")
     intercept[IllegalArgumentException] {
       Sharding.mergeDsirModels(h0, Sharding.dsirFit(docs, "text", col("is_t"), 64))
     }
