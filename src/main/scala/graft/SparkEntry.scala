@@ -169,7 +169,8 @@ object SparkEntry {
     "q128_dsir_incremental"      -> ((s, d) => Sharding.dsirIncrementalDocs(s, d)),
     "q129_forecast_joint_cramer5" -> ((s, d) => Forecast.forecastJointCramer5(s, d)),
     "q130_bpe_packing"           -> ((s, d) => Bpe.bpePackedDocs(s, d)),
-    "q131_tokenizer_parity"      -> ((s, d) => Bpe.tokenizerParityDocs(s, d))
+    "q131_tokenizer_parity"      -> ((s, d) => Bpe.tokenizerParityDocs(s, d)),
+    "q132_curation_probe"        -> ((s, d) => Pipeline.curationProbeDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1476,6 +1477,62 @@ object SparkEntry {
         |      FROM d JOIN r USING (source))
         |SELECT doc_id, source FROM u WHERE draw < rate
         |ORDER BY doc_id""".stripMargin,
+
+    // q132: the day-2 curation probe — block-crossing donor planting
+    // (odd batch pages take the previous block member's text) under
+    // the q115 site dressing, corpus-side census + blank-normalized
+    // clean-text index (text-keyed where the operator keys md5 — the
+    // C2e convention), batch strip + probe + gate replayed from raw
+    // rows; the split is the q117 block rule
+    "q132_curation_probe" ->
+      """WITH dn AS (
+        |  SELECT d.doc_id, d.source,
+        |    CASE WHEN (d.doc_id // 20) % 5 = 1 AND d.doc_id % 2 = 1
+        |              AND o.text IS NOT NULL
+        |         THEN o.text ELSE d.text END AS body
+        |  FROM documents d LEFT JOIN documents o ON o.doc_id = d.doc_id - 20),
+        |planted AS (
+        |  SELECT doc_id, source,
+        |    concat_ws(chr(10),
+        |      'SITE HEADER ' || source,
+        |      'home | about | contact',
+        |      CASE WHEN doc_id % 5 = 0 THEN 'subscribe to ' || source || ' today' ELSE body END,
+        |      CASE WHEN doc_id % 5 = 0 THEN body ELSE '' END,
+        |      CASE WHEN doc_id % 125 = 4 THEN 'rare notice ' || source ELSE '' END,
+        |      '(c) 2024 ' || source || ' all rights reserved') AS text
+        |  FROM dn),
+        |l AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM planted),
+        |ex AS (SELECT doc_id, source, unnest(ls) AS line FROM l
+        |       WHERE (doc_id // 20) % 5 <> 1),
+        |census AS (SELECT source, line, count(DISTINCT doc_id) AS nd
+        |           FROM ex WHERE trim(line) <> '' GROUP BY 1, 2),
+        |bp AS (SELECT source, list(line ORDER BY line) AS bls
+        |       FROM census WHERE nd >= 3 GROUP BY 1),
+        |sel AS (SELECT l.doc_id, l.source,
+        |          list_filter(l.ls, x -> NOT coalesce(list_contains(b.bls, x), false)) AS kept
+        |        FROM l LEFT JOIN bp b USING (source)),
+        |norm AS (SELECT doc_id, source, (doc_id // 20) % 5 = 1 AS is_batch,
+        |           array_to_string(list_filter(kept, x -> trim(x) <> ''), chr(10)) AS t
+        |         FROM sel),
+        |idx AS (SELECT t, min(doc_id) AS keep_id FROM norm WHERE NOT is_batch GROUP BY 1),
+        |v AS (SELECT n.doc_id, n.source, n.t,
+        |        (i.keep_id IS NOT NULL AND i.keep_id <> n.doc_id) AS is_dup
+        |      FROM norm n LEFT JOIN idx i USING (t) WHERE n.is_batch),
+        |g AS (SELECT *,
+        |        CASE WHEN trim(t) = '' THEN 0
+        |             ELSE len(string_split_regex(trim(t), '\s+')) END AS w
+        |      FROM v),
+        |c AS (SELECT source AS domain, w,
+        |        CASE WHEN is_dup THEN 'text_dup'
+        |             WHEN w < 20 OR w > 200 THEN 'gate_failed'
+        |             ELSE 'kept' END AS cat
+        |      FROM g)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
+        |       CAST(count(*) FILTER (cat = 'text_dup') AS BIGINT) AS n_text_dups,
+        |       CAST(count(*) FILTER (cat = 'gate_failed') AS BIGINT) AS n_gate_failed,
+        |       CAST(count(*) FILTER (cat = 'kept') AS BIGINT) AS n_kept,
+        |       CAST(coalesce(sum(CASE WHEN cat = 'kept' THEN w END), 0) AS BIGINT) AS kept_words
+        |FROM c GROUP BY 1 ORDER BY domain""".stripMargin,
 
     // q131: tokenizer parity — the q126 recursive-CTE encode feeding a
     // per-language fertility rollup (exact integers + two 4-dp ratios)
@@ -2946,11 +3003,20 @@ object SparkEntry {
     // q111: day-2 canonical-URL probe — the oracle re-derives the
     // canonicalization (shared CTEs), elects corpus-side keepers, and
     // replays the batch verdicts with the self-match exclusion
+    // the batch is the fifth recrawl COPY of each canonical group
+    // ((doc_id // 100) % 5 = 4 — group members share doc_id % 100, so
+    // only a copy-keyed split crosses the group boundary); fresh batch
+    // docs (doc_id ≡ 0 mod 3) swap in a never-seen resource whose URL
+    // is already canonical, so the override applies at the canon level
     "q111_url_probe" -> (urlCanonCtes +
       """,
         |idx AS (SELECT canon_url, min(doc_id) AS keep_id FROM p5
-        |        WHERE doc_id % 5 <> 4 GROUP BY 1),
-        |b AS (SELECT doc_id, canon_url FROM p5 WHERE doc_id % 5 = 4)
+        |        WHERE (doc_id // 100) % 5 <> 4 GROUP BY 1),
+        |b AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 3 = 0
+        |             THEN 'https://fresh.example.com/items/' || CAST(doc_id AS VARCHAR)
+        |             ELSE canon_url END AS canon_url
+        |      FROM p5 WHERE (doc_id // 100) % 5 = 4)
         |SELECT b.doc_id, b.canon_url,
         |       (i.keep_id IS NOT NULL AND i.keep_id <> b.doc_id) AS is_dup,
         |       CAST(CASE WHEN i.keep_id IS NOT NULL AND i.keep_id <> b.doc_id
@@ -3090,7 +3156,8 @@ object SparkEntry {
         |      '(c) 2024 ' || source || ' all rights reserved') AS text
         |  FROM documents),
         |l AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM planted),
-        |ex AS (SELECT doc_id, source, unnest(ls) AS line FROM l WHERE doc_id % 5 <> 4),
+        |ex AS (SELECT doc_id, source, unnest(ls) AS line FROM l
+        |       WHERE (doc_id // 20) % 5 <> 1),
         |census AS (SELECT source, line, count(DISTINCT doc_id) AS nd
         |           FROM ex WHERE trim(line) <> '' GROUP BY 1, 2),
         |bp AS (SELECT source, list(line ORDER BY line) AS bls
@@ -3098,7 +3165,7 @@ object SparkEntry {
         |sel AS (SELECT l.doc_id, l.source, l.ls,
         |          list_filter(l.ls, x -> NOT coalesce(list_contains(b.bls, x), false)) AS kept
         |        FROM l LEFT JOIN bp b USING (source)
-        |        WHERE l.doc_id % 5 = 4)
+        |        WHERE (l.doc_id // 20) % 5 = 1)
         |SELECT doc_id, source, CAST(len(ls) AS BIGINT) AS n_lines,
         |       CAST(len(ls) - len(kept) AS BIGINT) AS n_removed,
         |       array_to_string(kept, chr(10)) AS clean_text

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -279,6 +279,91 @@ object Pipeline {
     * dedup has REAL work the URL election cannot see). The oracle
     * re-serializes the chunks and replays all six stages from raw
     * rows. */
+  /** C41b: the DAY-2 curation probe (round 12 — q116's pipeline at the
+    * incremental tier): a new ingest batch runs the same curation
+    * stages against PERSISTED day-1 artifacts with ZERO corpus work —
+    * [[TextClean.stripAgainstCensus]] (the line census is the
+    * boilerplate state), [[Dedup.dedupExactAgainstIndex]] (the
+    * fingerprint index is the dedup state), then the word-window gate
+    * — and reports per domain. Only the batch shuffles; the census and
+    * index broadcast/join at their own (tiny) sizes.
+    *
+    * The exact tier fingerprints BLANK-NORMALIZED clean text (blank
+    * lines dropped before hashing, both at index build and at probe):
+    * stripping different boilerplate layouts leaves different blank
+    * residue around identical bodies, and a fingerprint that keyed on
+    * the residue would miss real duplicates.
+    *
+    * Disjoint ordered doors (the q116/q121 convention): text_dup →
+    * gate_failed → kept; columns sum to n_pages.
+    *
+    * @return (domain, n_pages, n_text_dups, n_gate_failed, n_kept,
+    *         kept_words) — all exact integers */
+  def curationProbe(batch: DataFrame, lineCensus: DataFrame, exactIndex: DataFrame,
+                    idCol: String, domainCol: String, textCol: String,
+                    minWords: Int = 20, maxWords: Int = 200,
+                    minBoilerDocs: Int = 3): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords, got [$minWords, $maxWords]")
+    val stripped = TextClean.stripAgainstCensus(
+      batch, lineCensus, domainCol, textCol, minBoilerDocs)
+      .withColumn("_norm", blankNormalized(col("clean_text")))
+    val verdict = Dedup.dedupExactAgainstIndex(
+      stripped.select(col(idCol), col("_norm").as("text")), exactIndex, idCol, "text")
+    val words = when(trim(col("_norm")) === "", lit(0L))
+      .otherwise(size(split(trim(col("_norm")), "\\s+")).cast("long"))
+    stripped.join(verdict.select(col(idCol), col("is_dup")), Seq(idCol))
+      .withColumn("_w", words)
+      .withColumn("_cat",
+        when(col("is_dup"), "text_dup")
+          .when(col("_w") < minWords || col("_w") > maxWords, "gate_failed")
+          .otherwise("kept"))
+      .groupBy(col(domainCol).as("domain"))
+      .agg(
+        count(lit(1)).as("n_pages"),
+        sum(when(col("_cat") === "text_dup", 1L).otherwise(0L)).as("n_text_dups"),
+        sum(when(col("_cat") === "gate_failed", 1L).otherwise(0L)).as("n_gate_failed"),
+        sum(when(col("_cat") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_cat") === "kept", col("_w")).otherwise(0L)).as("kept_words"))
+  }
+
+  /** Blank lines dropped, survivors re-joined — the exact-fingerprint
+    * normalization [[curationProbe]] applies on BOTH sides. */
+  private[graft] def blankNormalized(cleanText: Column): Column =
+    array_join(filter(split(cleanText, "\n"), l => trim(l) =!= ""), "\n")
+
+  /** C41b `q132_curation_probe` — the day-2 pipeline over the q117
+    * BLOCK split of the q115 planted site pages ((doc_id div 20) % 5 —
+    * the split that crosses the synthetic corpus's source assignment,
+    * so every source has census state on the corpus side; see
+    * [[TextClean.boilerplateProbeDocs]]). Donor planting is
+    * BLOCK-crossing by construction: odd batch pages take the text of
+    * doc (id − 20) — the same source's previous block member, always
+    * corpus-side — so the exact probe finds REAL cross-split dups
+    * hidden under the site dressing. Day-1 census + day-1 clean-text
+    * fingerprint index are built by the production builders, the batch
+    * probes both, and the oracle replays census, strip, normalization,
+    * text-keyed index, verdicts, and the gate from raw rows. */
+  def curationProbeDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+    val block = floor(col("doc_id") / 20).cast("long") % 5
+    val donors = docs.select((col("doc_id") + 20).as("doc_id"), col("text").as("_donor"))
+    val planted = docs.join(donors, Seq("doc_id"), "left")
+      .withColumn("text",
+        when(block === 1 && col("doc_id") % 2 === 1 && col("_donor").isNotNull,
+          col("_donor")).otherwise(col("text")))
+      .drop("_donor")
+    val pages = TextClean.plantedSitePages(planted)
+    val corpus = pages.filter(block =!= 1)
+    val batch = pages.filter(block === 1)
+    val census = TextClean.buildLineCensus(corpus, "doc_id", "source", "text")
+    val corpusClean = TextClean.stripAgainstCensus(corpus, census, "source", "text")
+      .withColumn("_norm", blankNormalized(col("clean_text")))
+    val exactIndex = Dedup.buildExactIndex(corpusClean, "doc_id", "_norm")
+    curationProbe(batch, census, exactIndex, "doc_id", "source", "text")
+      .orderBy(col("domain"))
+  }
+
   def corpusBuildDocs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // targetDocs 40 sits BELOW the post-gate pool at sf0.01, so the

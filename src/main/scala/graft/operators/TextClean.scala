@@ -386,7 +386,7 @@ object TextClean {
 
   /** The q115 site dressing — shared with q117 (which censuses the
     * 80% corpus side and probes the 20% batch). */
-  private def plantedSitePages(docs: DataFrame): DataFrame =
+  private[graft] def plantedSitePages(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"),
       concat_ws("\n",
         concat(lit("SITE HEADER "), col("source")),
@@ -400,21 +400,26 @@ object TextClean {
         concat(lit("(c) 2024 "), col("source"), lit(" all rights reserved"))
       ).as("text"))
 
-  /** C40b `q117_boilerplate_probe` — the day-2 line tier over the
-    * standard 80/20 split of the planted site pages: the corpus
-    * side's census is the persisted artifact, the held-out batch
-    * strips against it with zero corpus work. Header/nav/footer carry
-    * 20 corpus pages per source (≥ threshold → stripped from batch
-    * pages); the promo line lives only on corpus pages (doc_id ≡ 0
-    * mod 5 is never batch-side) so it proves census content beyond
-    * the batch's own lines; the rare-notice line (doc_id ≡ 4 mod 125
-    * ⇒ always batch-side) is ABSENT from the census and survives —
-    * the batch-only-line contract. */
+  /** C40b `q117_boilerplate_probe` — the day-2 line tier over an 80/20
+    * split of the planted site pages. The split keys on the PAGE BLOCK
+    * — `(doc_id div 20) % 5 = 1` (residue 1 so the tiny sf0.001 corpus, 50 docs, still has a batch) — NOT on `doc_id % 5`: the synthetic
+    * corpus assigns `source = src(doc_id % 20)`, which fixes
+    * `doc_id % 5` per source, so a `doc_id % 5` split would put every
+    * batch page in a source with ZERO corpus pages and the strip would
+    * silently never fire (caught in round 12 — the oracle replayed the
+    * same no-op, so only a did-anything-strip inspection exposed it).
+    * Under the block split every source keeps 20 corpus pages, so
+    * header/nav/footer (and the promo line, for the `doc_id % 5 ≡ 0`
+    * sources that carry it) are censused ≥ threshold and genuinely
+    * strip from batch pages; the rare-notice line stays sub-threshold
+    * (≤ 1 page per source at sf0.01) and survives — the threshold
+    * bites both ways. */
   def boilerplateProbeDocs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val pages = plantedSitePages(graft.Tables(spark, dir).documents)
-    val census = buildLineCensus(pages.filter(col("doc_id") % 5 =!= 4),
+    val block = floor(col("doc_id") / 20).cast("long") % 5
+    val census = buildLineCensus(pages.filter(block =!= 1),
       "doc_id", "source", "text")
-    stripAgainstCensus(pages.filter(col("doc_id") % 5 === 4), census, "source", "text")
+    stripAgainstCensus(pages.filter(block === 1), census, "source", "text")
       .select(col("doc_id"), col("source"), col("n_lines"), col("n_removed"),
         col("clean_text"))
       .orderBy(col("doc_id"))

@@ -261,10 +261,27 @@ object Urls {
     * hit corpus keepers while fresh resources exercise the -1 path.
     * The oracle re-derives canonicalization, the index election, and
     * the probe verdicts from raw rows. */
+  /** C35b `q111_url_probe` — the day-2 URL tier. The split keys on the
+    * RECRAWL COPY — `(doc_id div 100) % 5` — NOT on `doc_id % 5`: a
+    * canonical group's members share `doc_id % 100` (and the synthetic
+    * source is `doc_id % 20`), so any `doc_id mod k | 100`-derived
+    * split keeps whole groups on one side and the probe would silently
+    * never hit a corpus keeper (caught in round 12). Under the copy
+    * split each group sends exactly one member per five to the batch,
+    * so batch recrawls genuinely hit corpus keepers; batch docs with
+    * `doc_id ≡ 0 mod 3` swap in a NEVER-SEEN resource URL instead
+    * (already-canonical by construction, the oracle overrides the same
+    * canon), exercising the fresh path alongside. */
   def urlProbeDocs(spark: SparkSession, dir: String): DataFrame = {
     val urls = plantedUrls(graft.Tables(spark, dir).documents)
-    val index = buildUrlIndex(urls.filter(col("doc_id") % 5 =!= 4), "doc_id", "url")
-    urlDedupAgainstIndex(urls.filter(col("doc_id") % 5 === 4), index, "doc_id", "url")
+    val copy = floor(col("doc_id") / 100).cast("long") % 5
+    val batch = urls.filter(copy === 4)
+      .withColumn("url",
+        when(col("doc_id") % 3 === 0,
+          concat(lit("https://fresh.example.com/items/"), col("doc_id").cast("string")))
+          .otherwise(col("url")))
+    val index = buildUrlIndex(urls.filter(copy =!= 4), "doc_id", "url")
+    urlDedupAgainstIndex(batch, index, "doc_id", "url")
       .orderBy(col("doc_id"))
   }
 

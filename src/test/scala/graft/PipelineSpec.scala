@@ -86,6 +86,25 @@ class PipelineSpec extends SparkSpecBase {
       assert(dup + fail + kept === n, s"domain $d counts overlap") }
   }
 
+  test("q132 day-2 curation probe: block-crossing donors dup, counts disjoint, census strip fires") {
+    val out = Pipeline.curationProbeDocs(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty, "the block split must leave a batch even at sf0.001")
+    out.foreach { case (d, n, td, gf, k, _) =>
+      assert(td + gf + k === n, s"domain $d counts overlap") }
+    // odd batch pages carry the id−20 donor body → each is a probe hit
+    // against the day-1 index, EXCEPT pages whose rare-notice line
+    // (id ≡ 4 mod 125, sub-threshold → survives the strip) makes the
+    // normalized clean text differ from the donor's
+    val ids = Tables(spark, sfDir).documents
+      .select(col("doc_id")).as[Long].collect().toSet
+    val expected = ids.count(id => (id / 20) % 5 == 1 && id % 2 == 1 &&
+      ids.contains(id - 20) && id % 125 != 4)
+    assert(out.map(_._3).sum === expected.toLong,
+      s"every odd batch page must dup its corpus donor ($expected expected): ${out.toSeq}")
+    assert(out.map(_._5).sum > 0, "clean batch pages must survive the probe")
+  }
+
   test("q127 corpus build: one composed plan, packing invariants hold, exchanges bounded") {
     import graft.operators.Sharding
     val df = Pipeline.corpusBuildDocs(spark, sfDir)
