@@ -352,6 +352,36 @@ object SparkEntry {
        |  SELECT w, CAST(len(string_split_regex(trim(s), '\\s+')) AS BIGINT) AS p
        |  FROM it WHERE r = 1024)""".stripMargin
 
+  /** The q115/q117/q132 shared site-dressing oracle prelude — ONE
+    * definition of the planted dressing (mirroring
+    * `TextClean.plantedSitePages`), the line explode, the per-domain
+    * census, and the boilerplate sets, so the three oracles cannot
+    * drift from each other or from the Spark-side planting (the
+    * bpeKernelOracleCtes convention). `bodyCte` must define
+    * `src(doc_id, source, body)`; `censusWhere` restricts the census
+    * to the corpus side ('' = whole corpus, the q115 one-shot). */
+  private def sitePagesOracleCtes(bodyCte: String, censusWhere: String): String =
+    s"""WITH $bodyCte,
+       |planted AS (
+       |  SELECT doc_id, source,
+       |    concat_ws(chr(10),
+       |      'SITE HEADER ' || source,
+       |      'home | about | contact',
+       |      CASE WHEN doc_id % 5 = 0 THEN 'subscribe to ' || source || ' today' ELSE body END,
+       |      CASE WHEN doc_id % 5 = 0 THEN body ELSE '' END,
+       |      CASE WHEN doc_id % 125 = 4 THEN 'rare notice ' || source ELSE '' END,
+       |      '(c) 2024 ' || source || ' all rights reserved') AS text
+       |  FROM src),
+       |l AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM planted),
+       |ex AS (SELECT doc_id, source, unnest(ls) AS line FROM l$censusWhere),
+       |census AS (SELECT source, line, count(DISTINCT doc_id) AS nd
+       |           FROM ex WHERE trim(line) <> '' GROUP BY 1, 2),
+       |bp AS (SELECT source, list(line ORDER BY line) AS bls
+       |       FROM census WHERE nd >= 3 GROUP BY 1)""".stripMargin
+
+  private val plainBodyCte =
+    "src AS (SELECT doc_id, source, text AS body FROM documents)"
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1484,30 +1514,15 @@ object SparkEntry {
     // clean-text index (text-keyed where the operator keys md5 — the
     // C2e convention), batch strip + probe + gate replayed from raw
     // rows; the split is the q117 block rule
-    "q132_curation_probe" ->
-      """WITH dn AS (
+    "q132_curation_probe" -> (sitePagesOracleCtes(
+      """src AS (
         |  SELECT d.doc_id, d.source,
         |    CASE WHEN (d.doc_id // 20) % 5 = 1 AND d.doc_id % 2 = 1
         |              AND o.text IS NOT NULL
         |         THEN o.text ELSE d.text END AS body
-        |  FROM documents d LEFT JOIN documents o ON o.doc_id = d.doc_id - 20),
-        |planted AS (
-        |  SELECT doc_id, source,
-        |    concat_ws(chr(10),
-        |      'SITE HEADER ' || source,
-        |      'home | about | contact',
-        |      CASE WHEN doc_id % 5 = 0 THEN 'subscribe to ' || source || ' today' ELSE body END,
-        |      CASE WHEN doc_id % 5 = 0 THEN body ELSE '' END,
-        |      CASE WHEN doc_id % 125 = 4 THEN 'rare notice ' || source ELSE '' END,
-        |      '(c) 2024 ' || source || ' all rights reserved') AS text
-        |  FROM dn),
-        |l AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM planted),
-        |ex AS (SELECT doc_id, source, unnest(ls) AS line FROM l
-        |       WHERE (doc_id // 20) % 5 <> 1),
-        |census AS (SELECT source, line, count(DISTINCT doc_id) AS nd
-        |           FROM ex WHERE trim(line) <> '' GROUP BY 1, 2),
-        |bp AS (SELECT source, list(line ORDER BY line) AS bls
-        |       FROM census WHERE nd >= 3 GROUP BY 1),
+        |  FROM documents d LEFT JOIN documents o ON o.doc_id = d.doc_id - 20)""".stripMargin,
+      " WHERE (doc_id // 20) % 5 <> 1") +
+      """,
         |sel AS (SELECT l.doc_id, l.source,
         |          list_filter(l.ls, x -> NOT coalesce(list_contains(b.bls, x), false)) AS kept
         |        FROM l LEFT JOIN bp b USING (source)),
@@ -1532,7 +1547,7 @@ object SparkEntry {
         |       CAST(count(*) FILTER (cat = 'gate_failed') AS BIGINT) AS n_gate_failed,
         |       CAST(count(*) FILTER (cat = 'kept') AS BIGINT) AS n_kept,
         |       CAST(coalesce(sum(CASE WHEN cat = 'kept' THEN w END), 0) AS BIGINT) AS kept_words
-        |FROM c GROUP BY 1 ORDER BY domain""".stripMargin,
+        |FROM c GROUP BY 1 ORDER BY domain""".stripMargin),
 
     // q131: tokenizer parity — the q126 recursive-CTE encode feeding a
     // per-language fertility rollup (exact integers + two 4-dp ratios)
@@ -3076,30 +3091,15 @@ object SparkEntry {
     // q115: per-domain boilerplate line removal — planting, census
     // (blank lines exempt), per-domain boilerplate sets, and the
     // order-preserving strip all re-derived from raw rows
-    "q115_boilerplate_strip" ->
-      """WITH planted AS (
-        |  SELECT doc_id, source,
-        |    concat_ws(chr(10),
-        |      'SITE HEADER ' || source,
-        |      'home | about | contact',
-        |      CASE WHEN doc_id % 5 = 0 THEN 'subscribe to ' || source || ' today' ELSE text END,
-        |      CASE WHEN doc_id % 5 = 0 THEN text ELSE '' END,
-        |      CASE WHEN doc_id % 125 = 4 THEN 'rare notice ' || source ELSE '' END,
-        |      '(c) 2024 ' || source || ' all rights reserved') AS text
-        |  FROM documents),
-        |l AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM planted),
-        |ex AS (SELECT doc_id, source, unnest(ls) AS line FROM l),
-        |census AS (SELECT source, line, count(DISTINCT doc_id) AS nd
-        |           FROM ex WHERE trim(line) <> '' GROUP BY 1, 2),
-        |bp AS (SELECT source, list(line ORDER BY line) AS bls
-        |       FROM census WHERE nd >= 3 GROUP BY 1),
+    "q115_boilerplate_strip" -> (sitePagesOracleCtes(plainBodyCte, "") +
+      """,
         |sel AS (SELECT l.doc_id, l.source, l.ls,
         |          list_filter(l.ls, x -> NOT coalesce(list_contains(b.bls, x), false)) AS kept
         |        FROM l LEFT JOIN bp b USING (source))
         |SELECT doc_id, source, CAST(len(ls) AS BIGINT) AS n_lines,
         |       CAST(len(ls) - len(kept) AS BIGINT) AS n_removed,
         |       array_to_string(kept, chr(10)) AS clean_text
-        |FROM sel ORDER BY doc_id""".stripMargin,
+        |FROM sel ORDER BY doc_id""".stripMargin),
 
     // q116: the composed curation pipeline replayed from scratch —
     // donor planting under per-site templates, the line census +
@@ -3144,24 +3144,9 @@ object SparkEntry {
     // q117: day-2 boilerplate probe — the census builds from the
     // CORPUS side only, the batch strips against it; the batch-only
     // rare-notice line is absent from the census and must survive
-    "q117_boilerplate_probe" ->
-      """WITH planted AS (
-        |  SELECT doc_id, source,
-        |    concat_ws(chr(10),
-        |      'SITE HEADER ' || source,
-        |      'home | about | contact',
-        |      CASE WHEN doc_id % 5 = 0 THEN 'subscribe to ' || source || ' today' ELSE text END,
-        |      CASE WHEN doc_id % 5 = 0 THEN text ELSE '' END,
-        |      CASE WHEN doc_id % 125 = 4 THEN 'rare notice ' || source ELSE '' END,
-        |      '(c) 2024 ' || source || ' all rights reserved') AS text
-        |  FROM documents),
-        |l AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM planted),
-        |ex AS (SELECT doc_id, source, unnest(ls) AS line FROM l
-        |       WHERE (doc_id // 20) % 5 <> 1),
-        |census AS (SELECT source, line, count(DISTINCT doc_id) AS nd
-        |           FROM ex WHERE trim(line) <> '' GROUP BY 1, 2),
-        |bp AS (SELECT source, list(line ORDER BY line) AS bls
-        |       FROM census WHERE nd >= 3 GROUP BY 1),
+    "q117_boilerplate_probe" -> (sitePagesOracleCtes(plainBodyCte,
+      " WHERE (doc_id // 20) % 5 <> 1") +
+      """,
         |sel AS (SELECT l.doc_id, l.source, l.ls,
         |          list_filter(l.ls, x -> NOT coalesce(list_contains(b.bls, x), false)) AS kept
         |        FROM l LEFT JOIN bp b USING (source)
@@ -3169,7 +3154,7 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(len(ls) AS BIGINT) AS n_lines,
         |       CAST(len(ls) - len(kept) AS BIGINT) AS n_removed,
         |       array_to_string(kept, chr(10)) AS clean_text
-        |FROM sel ORDER BY doc_id""".stripMargin,
+        |FROM sel ORDER BY doc_id""".stripMargin),
 
     // q122: the one-pass signal battery — every family re-derived from
     // raw rows in one combined SQL built from the SAME modular pieces

@@ -234,19 +234,27 @@ object Bpe {
     * default stays the q125-certified expression fold. */
   def encodeStats(docs: DataFrame, merges: Seq[(String, String)],
                   idCol: String = "doc_id", textCol: String = "text",
-                  useKernel: Boolean = false): DataFrame = {
-    val pieces: Column => Column =
-      if (useKernel) encodeKernel(_, merges) else encode(_, merges)
-    docs
-      .select(col(idCol),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("_w"))
-      .filter(col("_w") =!= "")
-      .withColumn("_p", size(pieces(col("_w"))).cast("long"))
-      .withColumn("_c", length(col("_w")).cast("long"))
+                  useKernel: Boolean = false): DataFrame =
+    wordPieces(docs, merges, idCol, textCol, useKernel)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(col("_p")).as("n_pieces"),
         round(sum(col("_c")).cast("double") / sum(col("_p")), 4).as("chars_per_piece"))
+
+  /** ONE tokenize-and-encode body for [[encodeStats]], [[tokenizerParity]]
+    * and [[bpePackedDocs]] (the corpus word convention + per-word piece
+    * and char counts) — shared so the consumers cannot drift. */
+  private def wordPieces(docs: DataFrame, merges: Seq[(String, String)],
+                         keyCol: String, textCol: String,
+                         useKernel: Boolean): DataFrame = {
+    val pieces: Column => Column =
+      if (useKernel) encodeKernel(_, merges) else encode(_, merges)
+    docs
+      .select(col(keyCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("_w"))
+      .filter(col("_w") =!= "")
+      .withColumn("_p", size(pieces(col("_w"))).cast("long"))
+      .withColumn("_c", length(col("_w")).cast("long"))
   }
 
   /** The q125 planted merge table — SHARED constants (the oracle
@@ -322,12 +330,8 @@ object Bpe {
     * WHOLE (an end-of-word merge reached them). */
   def tokenizerParity(docs: DataFrame, merges: Seq[(String, String)],
                       langCol: String = "lang", textCol: String = "text"): DataFrame =
-    docs
-      .select(col(langCol).as("lang"),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("_w"))
-      .filter(col("_w") =!= "")
-      .withColumn("_p", size(encodeKernel(col("_w"), merges)).cast("long"))
-      .withColumn("_c", length(col("_w")).cast("long"))
+    wordPieces(docs.withColumnRenamed(langCol, "lang"), merges,
+      "lang", textCol, useKernel = true)
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_words"),
@@ -345,11 +349,8 @@ object Bpe {
 
   def bpePackedDocs(spark: SparkSession, dir: String,
                     budget: Long = 4096L, shards: Int = 8): DataFrame = {
-    val pieces = graft.Tables(spark, dir).documents
-      .select(col("doc_id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("_w"))
-      .filter(col("_w") =!= "")
-      .withColumn("_p", size(encodeKernel(col("_w"), kernelMerges)).cast("long"))
+    val pieces = wordPieces(graft.Tables(spark, dir).documents, kernelMerges,
+      "doc_id", "text", useKernel = true)
       .groupBy(col("doc_id")).agg(sum(col("_p")).as("n_tokens"))
     Sharding.assembleSequences(pieces, "doc_id", "n_tokens", budget, shards)
       .orderBy(col("shard"), col("chunk"))

@@ -684,16 +684,23 @@ object Sharding {
       require(m.columns.toSeq == expect,
         s"mergeDsirModels takes count-form models (bucket, ct, cr), got ${m.columns.toSeq}")
     }
+    // BOTH count columns carry the guard: Catalyst prunes unread
+    // columns, so a single guarded column would let a consumer that
+    // reads only the other one (or only `bucket`) skip the check.
+    // Every USE of a merged model reads ct or cr (ratio derivation
+    // reads both), so the guard fires on first real consumption; a
+    // pure row-count probe of a mismatched merge is the one surface
+    // that can still pass, and it cannot leak corrupted counts.
+    def guarded(c: Column): Column =
+      when(col("_n") =!= 2, raise_error(concat(
+        lit("mergeDsirModels: bucket "), col("bucket").cast("string"),
+        lit(" present in only one model — the models were fit under different " +
+          "feature maps (bucket counts differ) and cannot merge"))))
+        .otherwise(c)
     a.unionByName(b).groupBy(col("bucket"))
       .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"),
         count(lit(1)).as("_n"))
-      .select(col("bucket"),
-        when(col("_n") =!= 2, raise_error(concat(
-          lit("mergeDsirModels: bucket "), col("bucket").cast("string"),
-          lit(" present in only one model — the models were fit under different " +
-            "feature maps (bucket counts differ) and cannot merge"))))
-          .otherwise(col("ct")).as("ct"),
-        col("cr"))
+      .select(col("bucket"), guarded(col("ct")).as("ct"), guarded(col("cr")).as("cr"))
   }
 
   /** Derive the scoring RATIO table from a count-form model: the

@@ -402,7 +402,7 @@ object TextClean {
 
   /** C40b `q117_boilerplate_probe` — the day-2 line tier over an 80/20
     * split of the planted site pages. The split keys on the PAGE BLOCK
-    * — `(doc_id div 20) % 5 = 1` (residue 1 so the tiny sf0.001 corpus, 50 docs, still has a batch) — NOT on `doc_id % 5`: the synthetic
+    * — `(doc_id div 20) % 5 = 1` — NOT on `doc_id % 5`: the synthetic
     * corpus assigns `source = src(doc_id % 20)`, which fixes
     * `doc_id % 5` per source, so a `doc_id % 5` split would put every
     * batch page in a source with ZERO corpus pages and the strip would
