@@ -170,7 +170,8 @@ object SparkEntry {
     "q129_forecast_joint_cramer5" -> ((s, d) => Forecast.forecastJointCramer5(s, d)),
     "q130_bpe_packing"           -> ((s, d) => Bpe.bpePackedDocs(s, d)),
     "q131_tokenizer_parity"      -> ((s, d) => Bpe.tokenizerParityDocs(s, d)),
-    "q132_curation_probe"        -> ((s, d) => Pipeline.curationProbeDocs(s, d))
+    "q132_curation_probe"        -> ((s, d) => Pipeline.curationProbeDocs(s, d)),
+    "q133_forecast_joint_cramer6" -> ((s, d) => Forecast.forecastJointCramer6(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -629,6 +630,58 @@ object SparkEntry {
     // and to fully-parenthesized SQL), so the two engines execute
     // bit-identical float expressions — the q18 convention one
     // dimension up, and the hash check covers a genuinely joint fit.
+    // q133: the q19 SHAPE (trend + weekly + yearly Fourier pairs, 6×6)
+    // — Cramer6 renders the same determinant/numerator float trees
+    // into the Spark plan and into this SQL (the q129 convention one
+    // size up); both omegas are literal doubles, identical bits
+    "q133_forecast_joint_cramer6" -> {
+      import operators.Forecast.{Cramer4, Cramer6}
+      val det = Cramer6.det(Cramer4.SqlAlg)
+      def num(i: Int) = Cramer6.num(Cramer4.SqlAlg, i)
+      val guard = "abs(det) <= 1e-9 * abs(n*sxx*sss*scc*suu*svv)"
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS ds, sum(value) AS y
+         |  FROM events GROUP BY 1, 2),
+         |wx AS (SELECT *,
+         |         CAST(date_diff('day', min(ds) OVER (PARTITION BY event_type), ds) AS DOUBLE) AS x
+         |       FROM daily),
+         |wf AS (SELECT *,
+         |         sin(x * 0.8975979010256552) AS s, cos(x * 0.8975979010256552) AS c,
+         |         sin(x * 0.017202423838958484) AS u, cos(x * 0.017202423838958484) AS v
+         |       FROM wx),
+         |sums AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         |  sum(x) AS sx, sum(s) AS ss, sum(c) AS sc, sum(u) AS su, sum(v) AS sv,
+         |  sum(x*x) AS sxx, sum(x*s) AS sxs, sum(x*c) AS sxc, sum(x*u) AS sxu, sum(x*v) AS sxv,
+         |  sum(s*s) AS sss, sum(s*c) AS ssc, sum(s*u) AS ssu, sum(s*v) AS ssv,
+         |  sum(c*c) AS scc, sum(c*u) AS scu, sum(c*v) AS scv,
+         |  sum(u*u) AS suu, sum(u*v) AS suv, sum(v*v) AS svv,
+         |  sum(y) AS sy, sum(x*y) AS sxy, sum(s*y) AS ssy, sum(c*y) AS scy,
+         |  sum(u*y) AS suy, sum(v*y) AS svy,
+         |  max(x) AS xmax, max(ds) AS maxds
+         |  FROM wf GROUP BY 1),
+         |dets AS (SELECT *, $det AS det, n*sxx - sx*sx AS den2 FROM sums),
+         |fb AS (SELECT *, CASE WHEN abs(den2) > 0 THEN (n*sxy - sx*sy) / den2 ELSE 0.0 END AS b1f FROM dets),
+         |betas AS (SELECT event_type, xmax, maxds,
+         |  CASE WHEN $guard THEN (sy - b1f*sx) / n ELSE ${num(0)} / det END AS b0,
+         |  CASE WHEN $guard THEN b1f ELSE ${num(1)} / det END AS b1,
+         |  CASE WHEN $guard THEN 0.0 ELSE ${num(2)} / det END AS b2,
+         |  CASE WHEN $guard THEN 0.0 ELSE ${num(3)} / det END AS b3,
+         |  CASE WHEN $guard THEN 0.0 ELSE ${num(4)} / det END AS b4,
+         |  CASE WHEN $guard THEN 0.0 ELSE ${num(5)} / det END AS b5
+         |  FROM fb),
+         |future AS (SELECT b.event_type, b.b0, b.b1, b.b2, b.b3, b.b4, b.b5,
+         |                  b.maxds + t.hz AS ds, b.xmax + t.hz AS x
+         |           FROM betas b
+         |           CROSS JOIN (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS hz) t),
+         |ff AS (SELECT *,
+         |         sin(x * 0.8975979010256552) AS s, cos(x * 0.8975979010256552) AS c,
+         |         sin(x * 0.017202423838958484) AS u, cos(x * 0.017202423838958484) AS v
+         |       FROM future)
+         |SELECT event_type, ds,
+         | round(greatest(0.0, b0 + b1*x + b2*s + b3*c + b4*u + b5*v), 4) AS yhat
+         |FROM ff ORDER BY event_type, ds""".stripMargin
+    },
+
     // q129: the q43 SHAPE (trend + weekly Fourier pair + regressor,
     // 5×5) made oracle-backed — Cramer5 renders the SAME determinant
     // and numerator float trees into the Spark plan and into this SQL

@@ -1158,15 +1158,15 @@ object Forecast {
     * recursion reproduces Cramer4's association exactly (cofactor
     * terms fold left as ((t0−t1)+t2)−t3…), so sizes 3 and 4 are the
     * proven q18/q44 trees and size 5 is their natural extension. */
-  private[graft] object Cramer5 {
+  /** Generic Cramer-tree builder over a NAMED symmetric Gram matrix and
+    * moment vector (round 12): one cofactor-expansion recursion renders
+    * the determinant and per-coefficient numerators into whatever the
+    * algebra targets (Column trees or parenthesized SQL), with the
+    * proven Cramer4 associations (terms fold left as
+    * ((t0−t1)+t2)−t3…). [[Cramer5]] and [[Cramer6]] are instances. */
+  private[graft] class CramerTrees(g: Vector[Vector[String]],
+                                   rhs: Vector[String]) {
     import Cramer4.Alg
-    private val g = Vector(
-      Vector("n",  "sx",  "ss",  "sc",  "sr"),
-      Vector("sx", "sxx", "sxs", "sxc", "sxr"),
-      Vector("ss", "sxs", "sss", "ssc", "ssr"),
-      Vector("sc", "sxc", "ssc", "scc", "scr"),
-      Vector("sr", "sxr", "ssr", "scr", "srr"))
-    private val rhs = Vector("sy", "sxy", "ssy", "scy", "sry")
 
     private def detRec[T](alg: Alg[T])(m: Vector[Vector[T]]): T = {
       import alg._
@@ -1184,7 +1184,7 @@ object Forecast {
     private def mat[T](alg: Alg[T])(names: Vector[Vector[String]]): Vector[Vector[T]] =
       names.map(_.map(alg.v))
 
-    /** Cramer denominator det(G) over the 15 Gram-sum names. */
+    /** Cramer denominator det(G) over the Gram-sum names. */
     def det[T](alg: Alg[T]): T = detRec(alg)(mat(alg)(g))
     /** Cramer numerator for coefficient `i` (column i ← moment vector). */
     def num[T](alg: Alg[T], i: Int): T =
@@ -1192,6 +1192,29 @@ object Forecast {
         g(r).indices.map(c => if (c == i) rhs(r) else g(r)(c)).toVector
       }.toVector))
   }
+
+  private[graft] object Cramer5 extends CramerTrees(
+    Vector(
+      Vector("n",  "sx",  "ss",  "sc",  "sr"),
+      Vector("sx", "sxx", "sxs", "sxc", "sxr"),
+      Vector("ss", "sxs", "sss", "ssc", "ssr"),
+      Vector("sc", "sxc", "ssc", "scc", "scr"),
+      Vector("sr", "sxr", "ssr", "scr", "srr")),
+    Vector("sy", "sxy", "ssy", "scy", "sry"))
+
+  /** The q19 SHAPE's 6×6 system: basis [1, x, s, c, u, v] — trend plus
+    * the weekly (s, c) AND yearly (u, v) Fourier pairs fit JOINTLY,
+    * Prophet's `weekly_seasonality + yearly_seasonality` combination as
+    * one normal-equation solve. */
+  private[graft] object Cramer6 extends CramerTrees(
+    Vector(
+      Vector("n",  "sx",  "ss",  "sc",  "su",  "sv"),
+      Vector("sx", "sxx", "sxs", "sxc", "sxu", "sxv"),
+      Vector("ss", "sxs", "sss", "ssc", "ssu", "ssv"),
+      Vector("sc", "sxc", "ssc", "scc", "scu", "scv"),
+      Vector("su", "sxu", "ssu", "scu", "suu", "suv"),
+      Vector("sv", "sxv", "ssv", "scv", "suv", "svv")),
+    Vector("sy", "sxy", "ssy", "scy", "suy", "svy"))
 
   /** `q129_forecast_joint_cramer5` — the q43 SHAPE made oracle-backed:
     * y ~ b0 + b1·x + b2·sin(2πx/7) + b3·cos(2πx/7) + b4·r per key —
@@ -1276,6 +1299,104 @@ object Forecast {
         round(greatest(lit(0.0),
           col("b0") + col("b1") * col("x") + col("b2") * col("s") +
             col("b3") * col("c") + col("b4") * col("rmean")), 4).as("yhat")): _*)
+      .orderBy(keys :+ col("ds"): _*)
+  }
+
+  /** `q133_forecast_joint_cramer6` — the q19 SHAPE made oracle-backed
+    * (round 12, one size past q129): y ~ b0 + b1·x + b2·sin(2πx/7) +
+    * b3·cos(2πx/7) + b4·sin(2πx/365.25) + b5·cos(2πx/365.25) per key —
+    * trend, weekly AND yearly Fourier seasonality fit JOINTLY in one
+    * 6×6 solve. [[Cramer6]] renders identical formula trees into this
+    * plan and into the DuckDB oracle, so the driver hash-checks a
+    * genuinely joint two-period Fourier fit — the combination q19 runs
+    * through the general dense-solve path (which stays rows-only: an
+    * LU solve is not ANSI-expressible). The events span (~16 months)
+    * covers more than one yearly period, so the yearly pair is
+    * identified. Degenerate systems fall back to the trend-only fit
+    * behind the q44/q129 relative-determinant guard, mirrored in the
+    * SQL. */
+  def forecastJointCramer6(spark: SparkSession, dir: String, horizon: Int = 7): DataFrame = {
+    val t = Tables(spark, dir)
+    val daily = t.events
+      .groupBy(col("event_type"), to_date(col("ts")).as("ds"))
+      .agg(sum(col("value")).as("y"))
+    forecastJointCramer6Frame(daily, Seq("event_type"), horizon)
+  }
+
+  /** Frame-level 6×6 joint fit over any (keyCols, ds, y) daily frame —
+    * both Fourier pairs derive from x inside, so the future spine
+    * re-derives them the same way (the oracle-shared rule). */
+  def forecastJointCramer6Frame(daily: DataFrame, keyCols: Seq[String],
+                                horizon: Int): DataFrame = {
+    import Cramer4.ColAlg
+    val keys = keyCols.map(col)
+    val wk = Window.partitionBy(keys: _*)
+    val omegaW = 2.0 * math.Pi / 7.0
+    val omegaY = 2.0 * math.Pi / 365.25
+    val wx = daily
+      .withColumn("x", datediff(col("ds"), min(col("ds")).over(wk)).cast("double"))
+      .withColumn("s", sin(col("x") * lit(omegaW)))
+      .withColumn("c", cos(col("x") * lit(omegaW)))
+      .withColumn("u", sin(col("x") * lit(omegaY)))
+      .withColumn("v", cos(col("x") * lit(omegaY)))
+      .localCheckpoint()
+    val prods = Seq(
+      "sx" -> ("x", None), "ss" -> ("s", None), "sc" -> ("c", None),
+      "su" -> ("u", None), "sv" -> ("v", None),
+      "sxx" -> ("x", Some("x")), "sxs" -> ("x", Some("s")), "sxc" -> ("x", Some("c")),
+      "sxu" -> ("x", Some("u")), "sxv" -> ("x", Some("v")),
+      "sss" -> ("s", Some("s")), "ssc" -> ("s", Some("c")),
+      "ssu" -> ("s", Some("u")), "ssv" -> ("s", Some("v")),
+      "scc" -> ("c", Some("c")), "scu" -> ("c", Some("u")), "scv" -> ("c", Some("v")),
+      "suu" -> ("u", Some("u")), "suv" -> ("u", Some("v")),
+      "svv" -> ("v", Some("v")),
+      "sy" -> ("y", None), "sxy" -> ("x", Some("y")), "ssy" -> ("s", Some("y")),
+      "scy" -> ("c", Some("y")), "suy" -> ("u", Some("y")), "svy" -> ("v", Some("y")))
+    val aggs =
+      count(lit(1)).cast("double").as("n") +:
+        prods.map { case (name, (a, b)) =>
+          sum(b.fold(col(a))(bb => col(a) * col(bb))).as(name)
+        } :+ max(col("x")).as("xmax") :+ max(col("ds")).as("maxds")
+    val sums = wx.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val betas = sums
+      .withColumn("det", Cramer6.det(ColAlg))
+      .withColumn("degen",
+        abs(col("det")) <= lit(1e-9) *
+          abs(col("n") * col("sxx") * col("sss") * col("scc") * col("suu") * col("svv")))
+      .withColumn("den2", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("b1f", when(abs(col("den2")) > lit(0.0),
+        (col("n") * col("sxy") - col("sx") * col("sy")) / col("den2")).otherwise(lit(0.0)))
+      .withColumn("b0f", (col("sy") - col("b1f") * col("sx")) / col("n"))
+      .withColumn("b0", when(col("degen"), col("b0f"))
+        .otherwise(Cramer6.num(ColAlg, 0) / col("det")))
+      .withColumn("b1", when(col("degen"), col("b1f"))
+        .otherwise(Cramer6.num(ColAlg, 1) / col("det")))
+      .withColumn("b2", when(col("degen"), lit(0.0))
+        .otherwise(Cramer6.num(ColAlg, 2) / col("det")))
+      .withColumn("b3", when(col("degen"), lit(0.0))
+        .otherwise(Cramer6.num(ColAlg, 3) / col("det")))
+      .withColumn("b4", when(col("degen"), lit(0.0))
+        .otherwise(Cramer6.num(ColAlg, 4) / col("det")))
+      .withColumn("b5", when(col("degen"), lit(0.0))
+        .otherwise(Cramer6.num(ColAlg, 5) / col("det")))
+      .select(keys ++ Seq(col("b0"), col("b1"), col("b2"), col("b3"), col("b4"),
+        col("b5"), col("xmax"), col("maxds")): _*)
+    betas
+      .select(keys ++ Seq(col("b0"), col("b1"), col("b2"), col("b3"), col("b4"),
+        col("b5"), col("xmax"), col("maxds"),
+        explode(sequence(lit(1), lit(horizon))).as("hz")): _*)
+      .withColumn("ds", date_add(col("maxds"), col("hz")))
+      .withColumn("x", col("xmax") + col("hz"))
+      .withColumn("s", sin(col("x") * lit(omegaW)))
+      .withColumn("c", cos(col("x") * lit(omegaW)))
+      .withColumn("u", sin(col("x") * lit(omegaY)))
+      .withColumn("v", cos(col("x") * lit(omegaY)))
+      .select(keys ++ Seq(
+        col("ds"),
+        round(greatest(lit(0.0),
+          col("b0") + col("b1") * col("x") + col("b2") * col("s") +
+            col("b3") * col("c") + col("b4") * col("u") + col("b5") * col("v")),
+          4).as("yhat")): _*)
       .orderBy(keys :+ col("ds"): _*)
   }
 

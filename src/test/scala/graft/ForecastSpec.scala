@@ -1030,6 +1030,42 @@ class ForecastSpec extends SparkSpecBase {
     }
   }
 
+  test("6x6 Cramer joint fit recovers planted trend+weekly+yearly coefficients (the q19 shape)") {
+    // y = 3 + 0.05x + 6 sin(wx) + 4 cos(wx) + 9 sin(yx) + 7 cos(yx)
+    // exactly over 500 days (> one yearly period, so the yearly pair is
+    // identified) — the round-12 Cramer6 shared-formula solve must
+    // recover all SIX coefficients jointly
+    val d0 = java.time.LocalDate.of(2023, 1, 2)
+    val (ww, wy) = (2.0 * math.Pi / 7.0, 2.0 * math.Pi / 365.25)
+    def truth(x: Double): Double =
+      3.0 + 0.05 * x + 6.0 * math.sin(ww * x) + 4.0 * math.cos(ww * x) +
+        9.0 * math.sin(wy * x) + 7.0 * math.cos(wy * x)
+    val daily = (0 until 500).map { x =>
+      ("k1", Date.valueOf(d0.plusDays(x)), truth(x))
+    }.toDF("key", "ds", "y")
+    val out = Forecast.forecastJointCramer6Frame(daily, Seq("key"), horizon = 14)
+      .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
+    assert(out.length == 14)
+    out.foreach { case (ds, yhat) =>
+      val x = java.time.temporal.ChronoUnit.DAYS.between(d0, ds.toLocalDate).toDouble
+      assert(math.abs(yhat - truth(x)) < 1e-3, s"$ds: $yhat vs ${truth(x)}")
+    }
+    // degenerate guard: under 8 days of data the weekly pair is barely
+    // sampled but the REAL degeneracy trigger is a short constant
+    // series — span shorter than any yearly variation makes u ≈ 0 /
+    // v ≈ 1 collinear with the intercept, so the trend-only fallback
+    // engages instead of dividing by ~0
+    val flat = (0 until 6).map { x =>
+      ("k1", Date.valueOf(d0.plusDays(x)), 1.0 + 2.0 * x)
+    }.toDF("key", "ds", "y")
+    val fb = Forecast.forecastJointCramer6Frame(flat, Seq("key"), horizon = 3)
+      .select("ds", "yhat").as[(Date, Double)].collect().sortBy(_._1.toString)
+    fb.zipWithIndex.foreach { case ((ds, yhat), i) =>
+      val expected = 1.0 + 2.0 * (6 + i)
+      assert(math.abs(yhat - expected) < 1e-6, s"fallback $ds: $yhat vs $expected")
+    }
+  }
+
   test("growth='logistic' is a true saturating fit, not a clamp") {
     // planted logistic curve toward cap=100: z = logit(y/100) is exactly
     // linear in x, so the log-odds fit recovers the curve and the
