@@ -225,7 +225,11 @@ object Bench {
           if (kept.isEmpty) ""
           else kept.map { case (n, t) => "\"" + n.split("_").head + "\":" + fmt(t) }
             .mkString(""","suspects":{""", ",", "}")
-        s""","control":{"value":${fmt(ct)}$sus}"""
+        // protocol marker (round-12 advice): the headline is the
+        // quieter of two runs, a systematic few-percent downward bias
+        // vs pre-r12 run-1 headlines — cross-round trend readers
+        // should compare min2 artifacts to each other, or to controls
+        s""","headline":"min2","control":{"value":${fmt(ct)}$sus}"""
       }
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sf,"iters":$iters$bs$cs,"queries":$qs}"""
     }

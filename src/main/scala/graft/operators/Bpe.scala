@@ -310,15 +310,6 @@ object Bpe {
       useKernel = true)
       .orderBy(col("doc_id"))
 
-  /** C48→C49 `q130_bpe_packing` — sequence packing budgeted in REAL
-    * learned subwords: q124's assembly windows run on per-doc PIECE
-    * counts from the native kernel under the q126 table, so the packed
-    * artifact's budget is measured in the units a training loader
-    * actually consumes (whitespace tokens under-count short subwords
-    * by ~2× on this corpus — a whitespace-budgeted sequence overflows
-    * a model's context window). Budget 4096 ≈ the q124 token budget at
-    * the measured ~2 chars/piece rate; the oracle replays the q126
-    * recursive-CTE encode AND the q124 packing math in one derivation. */
   /** Tokenizer PARITY report — per-language fertility under a merge
     * table (Petrov et al. 2023, "Language Model Tokenizers Introduce
     * Unfairness Between Languages", arXiv:2305.15425 — fertility =
@@ -347,6 +338,15 @@ object Bpe {
   def tokenizerParityDocs(spark: SparkSession, dir: String): DataFrame =
     tokenizerParity(graft.Tables(spark, dir).documents, kernelMerges)
 
+  /** C48→C49 `q130_bpe_packing` — sequence packing budgeted in REAL
+    * learned subwords: q124's assembly windows run on per-doc PIECE
+    * counts from the native kernel under the q126 table, so the packed
+    * artifact's budget is measured in the units a training loader
+    * actually consumes (whitespace tokens under-count short subwords
+    * by ~2× on this corpus — a whitespace-budgeted sequence overflows
+    * a model's context window). Budget 4096 ≈ the q124 token budget at
+    * the measured ~2 chars/piece rate; the oracle replays the q126
+    * recursive-CTE encode AND the q124 packing math in one derivation. */
   def bpePackedDocs(spark: SparkSession, dir: String,
                     budget: Long = 4096L, shards: Int = 8): DataFrame = {
     val pieces = wordPieces(graft.Tables(spark, dir).documents, kernelMerges,

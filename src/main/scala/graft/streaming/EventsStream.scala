@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
@@ -633,6 +633,13 @@ object EventsStream {
     * Same output-mode contract as [[writeDayPartitionedStream]]
     * (complete snapshots by default).
     *
+    * Quarantine-path schema note: the append sink gained the per-row
+    * `violations` column mid-life, so a long-lived quarantine path can
+    * hold both old rows (without it) and new rows (with it). Plain
+    * `spark.read.parquet` picks ONE footer's schema and can silently
+    * drop the column — read the path through [[readQuarantine]], which
+    * merges schemas and backfills the pre-transition rows.
+    *
     * Returns the started query; callers own its lifecycle. */
   def gatedDayPartitionedStream(df: DataFrame, path: String, quarantinePath: String,
                                 dateCol: String, checkpointDir: String,
@@ -668,6 +675,24 @@ object EventsStream {
             .parquet(quarantinePath)
       }
       .start()
+  }
+
+  /** Schema-transition-safe reader for [[gatedDayPartitionedStream]]'s
+    * quarantine path: `mergeSchema` unions every footer's columns (so
+    * the per-row `violations` column survives mixed-era files), and
+    * rows written before the column existed backfill to an empty array
+    * — "no per-row triage recorded", distinct from a row that passed
+    * every rule only because those carry empty arrays too AND predate
+    * nothing (the `_failed_rules` batch verdict disambiguates). */
+  def readQuarantine(spark: SparkSession, quarantinePath: String): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(quarantinePath)
+    val empty = array().cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false))
+    // all-legacy path: the column is absent outright; mixed-era path:
+    // it exists but legacy rows read back null — both backfill to []
+    if (raw.columns.contains("violations"))
+      raw.withColumn("violations", coalesce(col("violations"), empty))
+    else raw.withColumn("violations", empty)
   }
 
   /** D2→C7b bridge — streaming IVF index ingest: each micro-batch of

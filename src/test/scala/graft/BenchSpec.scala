@@ -39,11 +39,11 @@ class BenchSpec extends AnyFunSuite {
       6.5, "0.1", 3,
       control = Some((4.2, Seq(("q37_dup_clusters", 3.0)))))
     assert(line ==
-      """{"metric":"total","value":6.500,"unit":"sec","sf":0.1,"iters":3,"control":{"value":4.200,"suspects":{"q37":3.000}},"queries":{"q37":5.500,"q01":1.000}}""",
+      """{"metric":"total","value":6.500,"unit":"sec","sf":0.1,"iters":3,"headline":"min2","control":{"value":4.200,"suspects":{"q37":3.000}},"queries":{"q37":5.500,"q01":1.000}}""",
       line)
     val noSus = Bench.metricsLine(Seq(("q01_a", 1.0)), 1.0, "0.1", 3,
       control = Some((1.05, Nil)))
-    assert(noSus.contains(""""control":{"value":1.050},"queries""""), noSus)
+    assert(noSus.contains(""""headline":"min2","control":{"value":1.050},"queries""""), noSus)
   }
 
   test("metricsLine holds 120 queries plus control-with-suspects inside the tail budget") {

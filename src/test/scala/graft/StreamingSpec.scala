@@ -883,8 +883,22 @@ class StreamingSpec extends SparkSpecBase {
       q.processAllAvailable()
       assert(lakeRows() == Set(("2024-01-01", 1L, 5.0), ("2024-01-02", 1L, 7.0)),
         "a failing batch must not replace good partitions")
-      val quarantined = spark.read.parquet(quar)
-      assert(quarantined.count() == 2) // the full bad snapshot
+      // read through the schema-transition-safe reader: plant a
+      // pre-round-12 "legacy" file (no violations column) alongside the
+      // new rows — plain spark.read.parquet could pick the legacy
+      // footer and silently drop the column; readQuarantine merges
+      // schemas and backfills the legacy row with an empty array
+      Seq(("2023-12-31", 9L, 1.0, 99L, Seq("negative_total")))
+        .toDF("date", "n", "total", "_quarantine_batch", "_failed_rules")
+        .write.mode("append").parquet(quar)
+      val quarantined = EventsStream.readQuarantine(spark, quar)
+      assert(quarantined.columns.contains("violations"),
+        "readQuarantine must surface the violations column across mixed-era files")
+      assert(quarantined.filter(col("date") === "2023-12-31")
+        .select(col("violations")).as[Seq[String]].head().isEmpty,
+        "legacy rows backfill to an empty violations array")
+      val quarantinedNew = quarantined.filter(col("date") >= "2024-01-01")
+      assert(quarantinedNew.count() == 2) // the full bad snapshot
       val flagged = quarantined.select(explode(col("_failed_rules")))
         .as[String].collect().toSet
       assert(flagged == Set("negative_total"))
