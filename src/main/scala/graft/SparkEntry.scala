@@ -171,7 +171,12 @@ object SparkEntry {
     "q130_bpe_packing"           -> ((s, d) => Bpe.bpePackedDocs(s, d)),
     "q131_tokenizer_parity"      -> ((s, d) => Bpe.tokenizerParityDocs(s, d)),
     "q132_curation_probe"        -> ((s, d) => Pipeline.curationProbeDocs(s, d)),
-    "q133_forecast_joint_cramer6" -> ((s, d) => Forecast.forecastJointCramer6(s, d))
+    "q133_forecast_joint_cramer6" -> ((s, d) => Forecast.forecastJointCramer6(s, d)),
+    // rows-only (KMeans training has no SQL oracle — C7b convention):
+    // the production-quantizer raw-text SemDeDup path q95 deliberately
+    // fixes away; semantics certified by q85/q95 hash-checks of the
+    // identical downstream stages + the planted-cluster TextEmbedSpec
+    "q134_text_semdedup_trained" -> ((s, d) => TextEmbed.textSemDedupTrained(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */

@@ -875,14 +875,27 @@ object Similarity {
     * quantizer with more cells. */
   def semanticDedup(embeddings: DataFrame, centroids: DataFrame,
                     threshold: Double = 0.25,
-                    maxCellSize: Int = 10000): DataFrame = {
+                    maxCellSize: Int = 10000): DataFrame =
+    semanticDedupAssigned(appendToIvfIndex(embeddings, centroids),
+      threshold, maxCellSize)
+
+  /** [[semanticDedup]] over an ALREADY-ASSIGNED corpus ((vec_id, v,
+    * nrm, cell) — [[buildIvfIndex]]'s first half, or the persisted
+    * cell-bucketed index table): skips the re-assignment pass entirely,
+    * so a pipeline that just trained the quantizer (q134) or reads the
+    * persisted index pays zero duplicate assignment work — at 100 TB
+    * the assignment scan is the second-largest cost after the pairing
+    * itself, and the index artifact already carries its result. */
+  def semanticDedupAssigned(assignedIn: DataFrame,
+                            threshold: Double = 0.25,
+                            maxCellSize: Int = 10000): DataFrame = {
     require(threshold > -1 && threshold <= 1,
       s"threshold must lie in (-1, 1], got $threshold")
     require(maxCellSize > 0, s"maxCellSize must be positive, got $maxCellSize")
     // MATERIALIZED: the census, both pair sides and the verdict join
-    // all fork this frame — lazily the assignment window would run four
-    // times per job
-    val assigned = appendToIvfIndex(embeddings, centroids).localCheckpoint()
+    // all fork this frame — lazily the upstream assignment (or KMeans
+    // transform) would run four times per job
+    val assigned = assignedIn.localCheckpoint()
     val census = assigned.groupBy(col("cell")).agg(count(lit(1)).as("_csz"))
     val sized = assigned.join(broadcast(census), Seq("cell"))
       .withColumn("cell",

@@ -85,4 +85,50 @@ object TextEmbed {
     val centroids = Similarity.formulaCentroids(emb)
     Similarity.semanticDedup(emb, centroids, threshold)
   }
+
+  /** C12→C26 `q134_text_semdedup_trained` — the PRODUCTION-quantizer
+    * raw-text SemDeDup path, end to end: embed documents
+    * ([[embedDocuments]], map-only), TRAIN a corpus-sized coarse
+    * quantizer ([[Similarity.buildIvfIndex]] — distributed KMeans,
+    * `nClusters` auto-sized so cells average `targetCellSize` members),
+    * and run the within-cell verdict on the build's OWN assigned frame
+    * ([[Similarity.semanticDedupAssigned]] — no duplicate assignment
+    * pass).
+    *
+    * This is the query shape a 100 TB operator actually runs, and the
+    * piece q95 deliberately does NOT cover: q95 pins a FIXED 16-cell
+    * formula quantizer so DuckDB can re-derive the centroids, which
+    * makes it hash-checkable but quadratic-within-cell as the corpus
+    * grows — its census guard refuses loudly at 10× data by design.
+    * Here the cell COUNT grows with the corpus instead (cells stay
+    * ~`targetCellSize` on average), so the Σ|cell|² pair bound stays
+    * ~linear in corpus size at a fixed target — the SemDeDup scaling
+    * argument (Abbas et al. 2023) made operational. Registered
+    * rows-only (KMeans training has no SQL oracle — the established
+    * C7b convention); verdict semantics are certified by q85/q95
+    * hash-checks of the IDENTICAL downstream stages and by the
+    * planted-cluster spec on the trained path (TextEmbedSpec).
+    *
+    * `maxCellSize` stays the loud skew guard: a degenerate fit that
+    * collapses the corpus into one cell fails in-plan instead of
+    * running the O(B²) pairing. */
+  def textSemDedupTrained(spark: SparkSession, dir: String): DataFrame =
+    textSemDedupTrainedFrame(Tables(spark, dir).documents)
+
+  /** [[textSemDedupTrained]] over any (doc_id, text) frame. */
+  def textSemDedupTrainedFrame(docs: DataFrame,
+                               dims: Int = 60,
+                               targetCellSize: Int = 125,
+                               threshold: Double = 0.92,
+                               maxCellSize: Int = 10000,
+                               seed: Long = 42L): DataFrame = {
+    require(targetCellSize > 0, s"targetCellSize must be positive, got $targetCellSize")
+    val emb = embedDocuments(docs, dims)
+    // one bounded aggregate (a single long) sizes the quantizer — the
+    // production rule: cells track the corpus, not a fixed constant
+    val n = emb.count()
+    val nClusters = math.max(4L, (n + targetCellSize - 1) / targetCellSize).toInt
+    val (assigned, _) = Similarity.buildIvfIndex(emb, nClusters, seed)
+    Similarity.semanticDedupAssigned(assigned, threshold, maxCellSize)
+  }
 }

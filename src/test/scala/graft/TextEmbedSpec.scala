@@ -55,6 +55,42 @@ class TextEmbedSpec extends SparkSpecBase {
     assert(base.forall(b => !out(b._1)._1), "unrelated originals keep themselves")
   }
 
+  test("trained-quantizer path (q134): planted near-dups verdict as dups across KMeans cells, originals survive") {
+    // 40 distinct "topic" docs (disjoint token universes → mutually
+    // near-orthogonal embeddings) force a multi-cell KMeans fit at
+    // targetCellSize=8; copies/near-copies of topics 3 and 17 must land
+    // in their original's cell (identical embeddings) and verdict as
+    // dups of it, everything else must survive. This certifies the
+    // TRAINED path end-to-end — embed → auto-sized KMeans quantizer →
+    // assigned-frame SemDeDup — where q85/q95 pin formula centroids.
+    val base = (0 until 40).map(i =>
+      (i.toLong, (1 to 12).map(k => s"topic${i}_w$k").mkString(" ")))
+    val docs = (base ++ Seq(
+      (200L, base(3)._2),                    // exact copy of topic 3
+      (201L, base(3)._2 + " stray"),         // near copy of topic 3
+      (202L, base(17)._2),                   // exact copy of topic 17
+      (203L, (1 to 12).map(k => s"fresh_w$k").mkString(" ")))) // novel
+      .toDF("doc_id", "text")
+    val out = TextEmbed.textSemDedupTrainedFrame(docs, targetCellSize = 8)
+      .select(col("vec_id"), col("cell"), col("is_dup"), col("dup_of"))
+      .as[(Long, Int, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // the quantizer really trained multi-cell (not one degenerate cell)
+    assert(out.values.map(_._1).toSet.size >= 4,
+      s"auto-sized KMeans must spread 44 docs over >=4 cells, got ${out.values.map(_._1).toSet}")
+    assert(out(200L)._2 && out(200L)._3 == Some(3L),
+      s"exact copy must dup onto 3: ${out(200L)}")
+    assert(out(201L)._2, s"near copy must verdict as dup: ${out(201L)}")
+    assert(out(202L)._2 && out(202L)._3 == Some(17L),
+      s"exact copy must dup onto 17: ${out(202L)}")
+    assert(!out(203L)._2, "novel doc must survive")
+    assert(base.forall(b => !out(b._1)._2),
+      "originals keep themselves (keep-lowest-id)")
+    // exact copies share their original's trained cell — identical
+    // embeddings cannot split across cells under any argmin rule
+    assert(out(200L)._1 == out(3L)._1 && out(202L)._1 == out(17L)._1)
+  }
+
   test("embedding cosine tracks token overlap (JL contract)") {
     val docs = Seq(
       (1L, "a b c d e f g h"),
