@@ -226,6 +226,31 @@ object Sketches {
       .agg(call_function("graft_kll_agg",
         col(valueCol).cast("double"), lit(k)).as("value_sketch"))
 
+  /** Shared kernel between the batch builder and the streaming twin
+    * ([[graft.streaming.EventsStream.kllIngestStream]]): per-(key, day)
+    * KLL sketches from FINALIZED per-value count rows
+    * (keyCol, day, value, cnt). The day's exact multiset reconstructs
+    * by sequence-explode, so stream and batch feed the identical
+    * values through the identical `graft_kll_agg` — range-merge
+    * correctness requires the two paths to sketch identically,
+    * forever (the cmsCountersFromCounts contract, for quantiles).
+    *
+    * Carries `n_values` alongside the sketch: the DETERMINISTIC day
+    * signature the streaming split-day guard compares — compacted
+    * sketch BYTES are legitimately run-varying (KLL compaction makes
+    * randomized keep/drop choices), so byte equality cannot
+    * distinguish a benign replay from a half day, but a half day can
+    * never replay the full day's per-key value count. */
+  def quantileSketchesFromCounts(counts: DataFrame, keyCol: String,
+                                 k: Int = 200): DataFrame =
+    counts
+      .select(col(keyCol), col("day"), col("value").cast("double").as("value"),
+        col("cnt"))
+      .withColumn("_i", explode(sequence(lit(1L), col("cnt"))))
+      .groupBy(col(keyCol), col("day"))
+      .agg(count(lit(1)).as("n_values"),
+        call_function("graft_kll_agg", col("value"), lit(k)).as("value_sketch"))
+
   /** Quantiles per key over [fromDay, toDay] from the daily sketch
     * table: ONE merge aggregate, then one scalar decode per requested
     * rank over the tiny per-key result. */

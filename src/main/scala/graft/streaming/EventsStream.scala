@@ -397,6 +397,64 @@ object EventsStream {
       .start()
   }
 
+  /** D1→C24 bridge — streaming maintenance of the daily KLL
+    * quantile-sketch table: each FINALIZED ingest day lands its
+    * per-key (n_values, value_sketch) row as a day partition, so
+    * [[graft.operators.Sketches.quantilesOverRange]] answers any-range
+    * p50/p95/p99 from tables that are always current — the last
+    * sketch-family twin (HLL D1c, KMV D1e, CMS D1f already stream).
+    *
+    * Replay semantics: KLL inserts are NOT value-idempotent (the
+    * CMS/census argument, not the HLL register one), so exactly-once
+    * comes from DAY COMPLETENESS — the streamed aggregate keys on
+    * (day window, key, value) under the watermark, a day's per-value
+    * counts emit only when the watermark finalizes the whole day, and
+    * the sketch is then a pure function of the finalized counts,
+    * built by the SAME kernel as the batch path
+    * ([[graft.operators.Sketches.quantileSketchesFromCounts]]).
+    *
+    * The split-day guard compares the deterministic (key, n_values)
+    * day signature, NOT sketch bytes: compacted KLL bytes are
+    * legitimately run-varying (randomized compaction choices), so a
+    * benign replay may rewrite a day with an EQUIVALENT sketch — but
+    * a half day can never replay the full day's value count, which is
+    * what the guard must catch.
+    *
+    * State cost: one in-flight row per (day, key, distinct value)
+    * until the day finalizes — the census bound, the price of feeding
+    * the exact multiset through the exact batch kernel.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def kllIngestStream(events: DataFrame, sketchPath: String,
+                      checkpointDir: String,
+                      keyCol: String = "event_type", tsCol: String = "ts",
+                      valueCol: String = "value", k: Int = 200,
+                      watermark: String = "1 day"):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val perDay = events.withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(keyCol),
+        col(valueCol).cast("double").as("value"))
+      .groupBy(window(col(tsCol), "1 day"), col(keyCol), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("date").as("day"), col(keyCol),
+        col("value"), col("cnt"))
+    perDay.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // checkpointed once: the guard and the overwrite both consume
+        // the finalized sketches
+        val sketches = graft.operators.Sketches
+          .quantileSketchesFromCounts(batch0, keyCol, k)
+          .localCheckpoint()
+        assertNoSplitDay(sketches, sketchPath, Seq(keyCol, "n_values"),
+          opName = "kllIngestStream")
+        graft.sources.Sinks.writeDayPartitioned(
+          sketches, sketchPath, "day", ifExists = "replace", clean = false)
+      }
+      .start()
+  }
+
   /** D1→C2d bridge — streaming maintenance of the PARAGRAPH CENSUS
     * (the day-2 boilerplate table): each finalized ingest day's
     * (para_hash, n_docs) delta lands as a day partition, so

@@ -566,6 +566,82 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D1→C24: streaming KLL ingest lands finalized days; range quantiles match the batch kernel; replay is silent") {
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamEvent]
+    val tbl = java.nio.file.Files.createTempDirectory("graft_kll_tbl").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_kll_cp").toString
+    val q = EventsStream.kllIngestStream(mem.toDF(), tbl, cp, k = 200)
+    val day1 = Seq(
+      StreamEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      StreamEvent(2, ts("2024-01-01 10:05:00"), 2, "click", 5.0),
+      StreamEvent(3, ts("2024-01-01 10:10:00"), 3, "click", 5.0),
+      StreamEvent(4, ts("2024-01-01 11:00:00"), 4, "click", 9.0),
+      StreamEvent(5, ts("2024-01-01 12:00:00"), 5, "view", 2.0))
+    val day3 = Seq(
+      StreamEvent(6, ts("2024-01-03 02:00:00"), 6, "click", 100.0),
+      StreamEvent(7, ts("2024-01-03 03:00:00"), 7, "view", 4.0))
+    val marker1 = StreamEvent(99, ts("2024-01-03 01:00:00"), 99, "marker", 0.0)
+    val marker2 = StreamEvent(98, ts("2024-01-05 01:00:00"), 98, "marker2", 0.0)
+    def decode(df: org.apache.spark.sql.DataFrame) =
+      Sketches.quantilesOverRange(df, "event_type", Seq(0.5, 0.9))
+        .as[(String, Long, Double, Double)].collect().toSet
+    try {
+      // a day-3 marker finalizes day 1; its sketches land as a partition
+      mem.addData(day1: _*); mem.addData(marker1)
+      q.processAllAvailable()
+      val afterDay1 = spark.read.parquet(tbl)
+      assert(afterDay1.select(col("day").cast("string")).distinct()
+        .as[String].collect().toSet == Set("2024-01-01"),
+        "only the finalized day may land")
+      // the streamed day-1 sketches decode exactly like the batch
+      // kernel over the same raw rows (exact mode at this size)
+      val batchBuilt = Sketches.dailyQuantileSketches(
+        day1.toDF(), "event_type", "ts", "value", k = 200)
+      assert(decode(afterDay1) == decode(batchBuilt),
+        "streamed sketches must decode exactly like the batch-built table")
+      // day 3 finalizes; cross-day range merge sees both days
+      mem.addData(day3: _*); mem.addData(marker2)
+      q.processAllAvailable()
+      val ranged = decode(spark.read.parquet(tbl))
+      // marker1 rides day 3, so it finalizes too; marker2's day never does
+      val allBatch = decode(Sketches.dailyQuantileSketches(
+        (day1 ++ day3 :+ marker1).toDF(), "event_type", "ts", "value", k = 200))
+      assert(ranged == allBatch,
+        s"cross-day merge must match the batch kernel: $ranged vs $allBatch")
+      // replay from scratch (fresh checkpoint, same table): finalized
+      // days rewrite with EQUIVALENT sketches (bytes may differ — the
+      // documented KLL compaction caveat), the (key, n_values) guard
+      // stays silent, and decoded quantiles are unchanged
+      val mem2 = MemoryStream[StreamEvent]
+      val cp2 = java.nio.file.Files.createTempDirectory("graft_kll_cp2").toString
+      val q2 = EventsStream.kllIngestStream(mem2.toDF(), tbl, cp2, k = 200)
+      try {
+        mem2.addData(day1 :+ marker1: _*)
+        mem2.addData(day3 :+ marker2: _*)
+        q2.processAllAvailable()
+        assert(decode(spark.read.parquet(tbl)) == ranged,
+          "replay must leave decoded artifacts unchanged")
+      } finally q2.stop()
+      // a half day must refuse: plant a conflicting day-1 partition
+      // with a different n_values and replay — the guard fires
+      val memBad = MemoryStream[StreamEvent]
+      val cpBad = java.nio.file.Files.createTempDirectory("graft_kll_cpb").toString
+      val qBad = EventsStream.kllIngestStream(memBad.toDF(), tbl, cpBad, k = 200)
+      try {
+        memBad.addData(day1.take(2) :+ marker1: _*) // half of day 1
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          qBad.processAllAvailable()
+        }
+        assert(e.getMessage.contains("kllIngestStream") ||
+          Option(e.getCause).exists(_.getMessage.contains("kllIngestStream")),
+          s"the split-day guard must name the operator: ${e.getMessage}")
+      } finally qBad.stop()
+    } finally q.stop()
+  }
+
   test("D2→C27b: streaming vocabulary ingest bootstraps, attaches, and replays idempotently") {
     import graft.streaming.EventsStream.StreamDoc
     implicit val sqlCtx = spark.sqlContext
