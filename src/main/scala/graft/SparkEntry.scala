@@ -176,7 +176,8 @@ object SparkEntry {
     // the production-quantizer raw-text SemDeDup path q95 deliberately
     // fixes away; semantics certified by q85/q95 hash-checks of the
     // identical downstream stages + the planted-cluster TextEmbedSpec
-    "q134_text_semdedup_trained" -> ((s, d) => TextEmbed.textSemDedupTrained(s, d))
+    "q134_text_semdedup_trained" -> ((s, d) => TextEmbed.textSemDedupTrained(s, d)),
+    "q135_phrase_incremental"    -> ((s, d) => Search.phraseIncrementalDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -275,6 +276,27 @@ object SparkEntry {
     * corpus's pair-similarity distribution is bimodal (nothing within
     * [0.15, 0.85] at sf0.01, measured), so estimate and truth agree at
     * the 0.5 threshold with a wide margin on both sides. */
+  /** Phrase-search derivation shared by q92 (one-shot build) and q135
+    * (80/20 split + positional append): the Spark sides compute the
+    * same answer by the append-equals-rebuild contract, so ONE oracle
+    * truth certifies both — the q09/q66/dsir shared-oracle convention. */
+  private val phraseSearchSql: String =
+    """WITH d AS (SELECT doc_id,
+      |             regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |           FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS term,
+      |          unnest(generate_series(1, len(w))) AS pos FROM d),
+      |occ AS (SELECT t0.doc_id, count(*) AS n_occ
+      |        FROM tok t0 JOIN tok t1
+      |          ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+      |         AND t1.term = 'hash'
+      |        WHERE t0.term = 'table' GROUP BY 1),
+      |ranked AS (SELECT doc_id, n_occ,
+      |    row_number() OVER (ORDER BY n_occ DESC, doc_id ASC) AS rank
+      |  FROM occ)
+      |SELECT CAST(rank AS BIGINT) AS rank, doc_id, n_occ
+      |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   private val jaccardCtes: String =
     """toks AS (
       | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -2227,22 +2249,12 @@ object SparkEntry {
     // q92: phrase matching is pure integer position arithmetic —
     // DuckDB re-derives (term, pos) pairs via zipped unnest and counts
     // consecutive-position joins; top-20 by (n_occ desc, doc_id)
-    "q92_phrase_search" ->
-      """WITH d AS (SELECT doc_id,
-        |             regexp_split_to_array(lower(trim(text)), '\s+') AS w
-        |           FROM documents),
-        |tok AS (SELECT doc_id, unnest(w) AS term,
-        |          unnest(generate_series(1, len(w))) AS pos FROM d),
-        |occ AS (SELECT t0.doc_id, count(*) AS n_occ
-        |        FROM tok t0 JOIN tok t1
-        |          ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
-        |         AND t1.term = 'hash'
-        |        WHERE t0.term = 'table' GROUP BY 1),
-        |ranked AS (SELECT doc_id, n_occ,
-        |    row_number() OVER (ORDER BY n_occ DESC, doc_id ASC) AS rank
-        |  FROM occ)
-        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, n_occ
-        |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "q92_phrase_search" -> phraseSearchSql,
+
+    // q135: append-equals-rebuild for the POSITIONAL tier — the Spark
+    // side splits 80/20 and extends through appendToPositionalPostings;
+    // ONE full-corpus oracle truth certifies both (the q91 convention)
+    "q135_phrase_incremental" -> phraseSearchSql,
 
     // q87: the KMV/theta estimator is a deterministic function of the
     // portable md5 hashes, so DuckDB rebuilds the identical sketches

@@ -157,6 +157,20 @@ object Search {
       .groupBy(col("term"), col("doc_id"))
       .agg(sort_array(collect_list(col("_p0") + 1)).as("positions"))
 
+  /** Day-2 growth for the phrase-search artifact — the
+    * [[appendToPostings]] convention on the positional table: index
+    * ONLY the new documents and extend by pure union. A positional row
+    * belongs to one (term, doc) and its positions array is a function
+    * of that doc alone, so there is nothing to merge and NO stats row
+    * to heal — append-equals-rebuild is bit-exact by construction
+    * (spec-asserted, and q135's oracle hash-checks the searched
+    * result). Same caller contract: new doc ids are disjoint from the
+    * indexed ones. */
+  def appendToPositionalPostings(newDocs: DataFrame, positional: DataFrame,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text"): DataFrame =
+    positional.unionByName(buildPositionalPostings(newDocs, idCol, textCol))
+
   /** Exact phrase search: documents containing `phrase`'s terms at
     * CONSECUTIVE positions, ranked by occurrence count. An anchor
     * position p matches iff term i of the phrase sits at p+i for every
@@ -195,6 +209,21 @@ object Search {
   def phraseSearchDocs(spark: SparkSession, dir: String): DataFrame =
     phraseSearch(buildPositionalPostings(Tables(spark, dir).documents),
       Seq("table", "hash"), k = 20)
+
+  /** C30c `q135_phrase_incremental` — the day-2 path for the phrase
+    * index (the q91 convention, positional tier): 80% of the corpus is
+    * the indexed artifact, the remaining 20% arrives through
+    * [[appendToPositionalPostings]], and the search answers from the
+    * extended index. The oracle is q92's FULL-corpus reformulation
+    * verbatim — append-equals-rebuild is the contract, bit-exact
+    * because a positional row is a pure function of its own doc. */
+  def phraseIncrementalDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val indexed = buildPositionalPostings(docs.filter(col("doc_id") % 5 =!= 0))
+    val extended = appendToPositionalPostings(
+      docs.filter(col("doc_id") % 5 === 0), indexed)
+    phraseSearch(extended, Seq("table", "hash"), k = 20)
+  }
 
   /** C30b `q91_bm25_incremental` — the day-2 path: 80% of the corpus
     * is the indexed artifact, the remaining 20% arrives as new docs

@@ -1051,6 +1051,45 @@ object EventsStream {
       }
       .start()
 
+  /** D2→C30c bridge — streaming POSITIONAL-postings maintenance: each
+    * micro-batch of new documents extends the phrase-search artifact
+    * through [[graft.operators.Search.appendToPositionalPostings]]'s
+    * kernel (index only the fresh docs, pure union — a positional row
+    * is a function of its own doc, so there is no stats row to heal
+    * and no merge), so [[graft.operators.Search.phraseSearch]] sees
+    * new documents within one trigger.
+    *
+    * Replay-idempotent the D2e way, but SELF-CONTAINED: already-indexed
+    * doc ids anti-join against the positional table's OWN ids (not a
+    * sibling artifact), so a replayed batch appends nothing twice and
+    * there is no cross-artifact crash window at all — the append is
+    * the sole commit point.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def positionalIngestStream(docs: DataFrame, positionalPath: String,
+                             checkpointDir: String,
+                             idCol: String = "doc_id", textCol: String = "text"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.dropDuplicates(idCol)
+        // first-run-only benign catch (the advice-r9 rule)
+        val fresh = readTableIfExists(spark, positionalPath) match {
+          case Some(existing) =>
+            batch.join(existing.select(col("doc_id")).distinct()
+                .withColumnRenamed("doc_id", idCol),
+              Seq(idCol), "left_anti")
+          case None => batch
+        }
+        graft.operators.Search.buildPositionalPostings(fresh, idCol, textCol)
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(positionalPath)
+      }
+      .start()
+
   /** D2→C7d bridge — streaming COMPOSED-index (residual IVFADC)
     * ingest: each micro-batch of new embeddings extends the corpus
     * table through the production day-2 append

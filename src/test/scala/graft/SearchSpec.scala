@@ -84,6 +84,27 @@ class SearchSpec extends SparkSpecBase {
     }
   }
 
+  test("positional day-2 append equals the from-scratch rebuild bit-exactly; phrase search identical") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val full = Search.buildPositionalPostings(docs)
+    val indexed = Search.buildPositionalPostings(docs.filter(col("doc_id") % 3 =!= 0))
+    val extended = Search.appendToPositionalPostings(
+      docs.filter(col("doc_id") % 3 === 0), indexed)
+    // row-level bit-exactness: same (term, doc, positions) set
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Seq[Long])].collect().toSet
+    assert(rows(extended) == rows(full),
+      "appended positional index must equal the full rebuild row-for-row")
+    // and the searched artifact answers identically
+    for (phrase <- Seq(Seq("table", "hash"), Seq("the"), Seq("a", "b", "a"))) {
+      val fromScratch = Search.phraseSearch(full, phrase, k = 30)
+        .as[(Long, Long, Long)].collect().toSeq
+      val appended = Search.phraseSearch(extended, phrase, k = 30)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(appended == fromScratch, s"phrase $phrase diverged after append")
+    }
+  }
+
   test("phrase search counts consecutive-position matches exactly") {
     val docs = Seq(
       (1L, "a b a b a"),    // "a b" twice, "b a" twice

@@ -889,6 +889,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C30c: streaming positional ingest extends the phrase index exactly once; search matches batch build") {
+    import graft.operators.Search
+    import graft.streaming.EventsStream.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamDoc]
+    val pos = java.nio.file.Files.createTempDirectory("graft_pos_tbl").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_pos_cp").toString
+    val q = EventsStream.positionalIngestStream(mem.toDF(), pos, cp)
+    try {
+      mem.addData(StreamDoc(1, "hash table wins"), StreamDoc(2, "hash join"))
+      q.processAllAvailable()
+      // batch 2 re-delivers doc 1 (must anti-join away) plus a new doc
+      mem.addData(StreamDoc(1, "hash table wins"), StreamDoc(3, "hash table hash table"))
+      q.processAllAvailable()
+      val p = spark.read.parquet(pos)
+      assert(p.filter(col("doc_id") === 1L).count() == 3,
+        "re-delivered doc must not duplicate its positional rows")
+      // streamed artifact answers EXACTLY like the one-shot batch build
+      val all = Seq((1L, "hash table wins"), (2L, "hash join"),
+        (3L, "hash table hash table")).toDF("doc_id", "text")
+      val streamed = Search.phraseSearch(p, Seq("hash", "table"), k = 10)
+        .as[(Long, Long, Long)].collect().toSeq
+      val batchBuilt = Search.phraseSearch(Search.buildPositionalPostings(all),
+        Seq("hash", "table"), k = 10).as[(Long, Long, Long)].collect().toSeq
+      assert(streamed == batchBuilt && streamed.head == ((1L, 3L, 2L)),
+        s"streamed $streamed vs batch $batchBuilt")
+    } finally q.stop()
+  }
+
   test("D2e crash-safety: stats rebuild heals a postings-appended/stats-lost crash window") {
     import graft.operators.Search
     import graft.streaming.EventsStream.StreamDoc
