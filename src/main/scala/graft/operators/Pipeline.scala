@@ -93,7 +93,8 @@ object Pipeline {
     * ONCE (localCheckpoint standing in for the persisted records table
     * a production ingest writes first). */
   private[graft] def crawlRecords(chunks: DataFrame, idCol: String, contentCol: String,
-                                  blocklist: DataFrame): DataFrame = {
+                                  blocklist: DataFrame,
+                                  materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(Seq(ByteType, ShortType, IntegerType, LongType)
       .contains(chunks.schema(idCol).dataType),
@@ -103,13 +104,13 @@ object Pipeline {
     // posexplode (< 2^31 by construction), so indices can never alias
     // across chunks; chunk ids at or past 2^31 would overflow the
     // shift and fail loudly in-plan instead of colliding silently
-    val recs = graft.sources.Warc.wetRecords(chunks, idCol, contentCol)
+    val recsPlan = graft.sources.Warc.wetRecords(chunks, idCol, contentCol)
       .withColumn("rec_id",
         when(col(idCol).cast("long") >= (1L << 31) || col(idCol) < 0,
           raise_error(concat(lit("crawlRecords: chunk id out of [0, 2^31) — "),
             col(idCol).cast("string"), lit(" would overflow the rec_id encoding"))))
           .otherwise(shiftleft(col(idCol).cast("long"), 32) + col("rec_idx")))
-      .localCheckpoint()
+    val recs = materialize(recsPlan)
     val gated = Urls.blocklistGate(
       recs.select(col("rec_id"), col("uri")), "rec_id", "uri", blocklist)
     val base = recs.join(gated, Seq("rec_id"))
@@ -226,12 +227,40 @@ object Pipeline {
                   minWords: Int = 20, maxWords: Int = 200,
                   maxDupFrac: Double = 0.65,
                   alpha: Double = 0.5, targetDocs: Long = 150L, seed: Long = 13L,
-                  budget: Long = 2048L, shards: Int = 8): DataFrame = {
+                  budget: Long = 2048L, shards: Int = 8,
+                  persistDir: Option[String] = None): DataFrame = {
     require(minWords >= 1 && maxWords >= minWords,
       s"need 1 <= minWords <= maxWords, got [$minWords, $maxWords]")
     require(maxDupFrac >= 0.0 && maxDupFrac <= 1.0,
       s"maxDupFrac must lie in [0,1], got $maxDupFrac")
-    val kept = crawlRecords(chunks, idCol, contentCol, blocklist)
+    // persistDir: the PRODUCTION form of the two waists. In-memory
+    // (None) the records table and the gated pool localCheckpoint —
+    // fine single-job, but executor-loss-fragile and gone at exit. With
+    // persistDir they write/read as real parquet tables
+    // ($persistDir/records, $persistDir/gated — the same records shape
+    // the C44→D2j ingest stream persists), so a crashed or resumed
+    // build SKIPS every stage upstream of an existing waist: a second
+    // run with both tables present runs zero chunk-scan jobs
+    // (spec-asserted with a poisoned chunk frame). The dir binds ONE
+    // (input, parameter) combination — delete it to rebuild; staleness
+    // is the caller's contract exactly as for any warehouse table.
+    def waist(name: String)(df: DataFrame): DataFrame = persistDir match {
+      case None => df.localCheckpoint()
+      case Some(dir) =>
+        val path = s"$dir/$name"
+        val spark = df.sparkSession
+        (try Some(spark.read.parquet(path))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" ||
+                 e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
+        }).getOrElse {
+          df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+          spark.read.parquet(path)
+        }
+    }
+    val kept = crawlRecords(chunks, idCol, contentCol, blocklist,
+      materialize = waist("records"))
       .filter(col("_cat") === "kept")
       .select(col("rec_id"), col("host"), col("payload").as("text"))
     val cleaned = TextClean.lineFilter(kept, "text")
@@ -259,13 +288,13 @@ object Pipeline {
       .filter(col("n_tokens") >= minWords && col("n_tokens") <= maxWords &&
         col("_dupfrac") <= maxDupFrac)
       .select(col("rec_id"), col("host"), col("n_tokens"))
-      // the mix stage reads its pool TWICE (per-host counts + the rate
-      // join-back), so the three-column gated pool materializes once
-      // (localCheckpoint standing in for the persisted gated table a
-      // production build writes) — without this the whole
-      // parse→clean→dedup→gate subtree would execute twice
-      .localCheckpoint()
-    val mixed = Sharding.temperatureSample(gated, "rec_id", "host",
+    // the mix stage reads its pool TWICE (per-host counts + the rate
+    // join-back), so the three-column gated pool materializes once —
+    // localCheckpoint in-memory, or the persisted gated table under
+    // persistDir — without this the whole parse→clean→dedup→gate
+    // subtree would execute twice
+    val gatedW = waist("gated")(gated)
+    val mixed = Sharding.temperatureSample(gatedW, "rec_id", "host",
       alpha, targetDocs, seed, draw = Some(Sharding.md5Unit(col("rec_id"), seed)))
     Sharding.assembleSequences(mixed.select(col("rec_id"), col("n_tokens")),
       "rec_id", "n_tokens", budget, shards)

@@ -144,4 +144,32 @@ class PipelineSpec extends SparkSpecBase {
     assert(exchanges <= 10, s"composed corpus build grew to $exchanges exchanges:\n${plan.take(900)}")
     assert(!plan.contains("CartesianProduct"), "corpus build must not plan a cartesian")
   }
+
+  test("q127 persistDir: persisted-waist run is bit-exact; a resumed run never scans the chunks") {
+    import graft.operators.Urls
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val chunks = graft.sources.Warc.plantedCorpusChunks(docs)
+    val blocklist = Urls.docBlocklist.toDF("pattern")
+    def run(c: org.apache.spark.sql.DataFrame, dir: Option[String]) =
+      Pipeline.corpusBuild(c, "chunk_id", "content", blocklist,
+        targetDocs = 40L, persistDir = dir)
+        .as[(Int, Long, Long, Long, String, String)].collect().toSeq
+    val inMem = run(chunks, None)
+    val dir = java.nio.file.Files.createTempDirectory("graft_waists").toString
+    // first persisted run writes both waists and answers identically
+    assert(run(chunks, Some(dir)) == inMem,
+      "persisted-waist run must equal the in-memory run bit-exactly")
+    assert(new java.io.File(s"$dir/records").exists && new java.io.File(s"$dir/gated").exists,
+      "both waists must persist as parquet tables")
+    // resumed run: the chunk frame is POISONED — any stage that scans
+    // it throws — so an identical answer PROVES the parse (and the
+    // whole parse→clean→dedup→gate subtree behind the gated waist)
+    // never re-executed: zero chunk-scan jobs
+    val poisoned = chunks.select(col("chunk_id"),
+      when(lit(true),
+        raise_error(lit("resumed corpusBuild scanned the chunks")).cast("string"))
+        .otherwise(col("content")).as("content"))
+    assert(run(poisoned, Some(dir)) == inMem,
+      "resumed run must answer from the persisted waists alone")
+  }
 }
