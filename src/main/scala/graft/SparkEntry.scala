@@ -177,7 +177,8 @@ object SparkEntry {
     // fixes away; semantics certified by q85/q95 hash-checks of the
     // identical downstream stages + the planted-cluster TextEmbedSpec
     "q134_text_semdedup_trained" -> ((s, d) => TextEmbed.textSemDedupTrained(s, d)),
-    "q135_phrase_incremental"    -> ((s, d) => Search.phraseIncrementalDocs(s, d))
+    "q135_phrase_incremental"    -> ((s, d) => Search.phraseIncrementalDocs(s, d)),
+    "q136_bpe_byte_kernel"       -> ((s, d) => Bpe.bpeByteStatsDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1693,6 +1694,53 @@ object SparkEntry {
         |       CAST(sum(p) AS BIGINT) AS n_pieces,
         |       round(CAST(sum(c) AS DOUBLE) / sum(p), 4) AS chars_per_piece
         |FROM e GROUP BY 1 ORDER BY doc_id""".stripMargin),
+
+    // q136: BYTE-LEVEL kernel encode — the oracle replays the a→ä/e→é
+    // dressing, the byte map restricted to the dressed corpus's
+    // alphabet (ASCII self-maps under the GPT-2 table; ä/é expand to
+    // their interpolated UTF-8 byte pairs — the first rows of
+    // Bpe.byteKernelMerges, so the two engines cannot disagree on the
+    // planted pairs), and the 680-rank fold as a recursive CTE (the
+    // q126 machinery over byte symbols)
+    "q136_bpe_byte_kernel" -> {
+      val byteRows = Bpe.byteKernelMerges.take(4).zipWithIndex
+        .map { case ((l, r), i) => s"(CAST($i AS BIGINT), '$l', '$r')" }
+        .mkString(", ")
+      val nRanks = Bpe.byteKernelMerges.size
+      s"""WITH RECURSIVE
+         |letters AS (
+         |  SELECT chr(97 + CAST(i AS INTEGER)) AS c, CAST(i AS BIGINT) AS i
+         |  FROM range(26) t(i)),
+         |m AS (
+         |  SELECT * FROM (VALUES $byteRows) AS v(rank, l, r)
+         |  UNION ALL
+         |  SELECT 4 + x.i * 26 + y.i AS rank, x.c AS l, y.c AS r
+         |  FROM letters x, letters y),
+         |w AS (
+         |  SELECT doc_id, unnest(string_split_regex(
+         |    trim(lower(translate(lower(text), 'ae', 'äé'))), '\\s+')) AS w
+         |  FROM documents),
+         |wb AS (SELECT doc_id, replace(replace(w, 'ä', 'Ã¤'), 'é', 'Ã©') AS b
+         |       FROM w WHERE w <> ''),
+         |words AS (SELECT DISTINCT b FROM wb),
+         |it AS (
+         |  SELECT b, '  ' || regexp_replace(b, '(.)', '\\1  ', 'g') || '</w>  ' AS s,
+         |         CAST(0 AS BIGINT) AS r
+         |  FROM words
+         |  UNION ALL
+         |  SELECT it.b, replace(it.s, ' ' || m.l || '  ' || m.r || ' ',
+         |                       ' ' || m.l || m.r || ' '), it.r + 1
+         |  FROM it JOIN m ON m.rank = it.r),
+         |fin AS (
+         |  SELECT b, CAST(len(string_split_regex(trim(s), '\\s+')) AS BIGINT) AS p
+         |  FROM it WHERE r = $nRanks),
+         |e AS (SELECT wb.doc_id, fin.p, CAST(length(wb.b) AS BIGINT) AS c
+         |      FROM wb JOIN fin ON wb.b = fin.b)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(p) AS BIGINT) AS n_pieces,
+         |       round(CAST(sum(c) AS DOUBLE) / sum(p), 4) AS chars_per_piece
+         |FROM e GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
 
     // q125: BPE encode — the oracle is GENERATED from the same planted
     // merge table the operator folds over (one replace per merge in

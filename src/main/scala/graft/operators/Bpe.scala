@@ -47,6 +47,42 @@ object Bpe {
     * GPT-class vocabularies (32k–100k merges) this is a config error. */
   val maxTrainMerges: Int = graft.expressions.BpeTable.MaxMerges
 
+  /** The GPT-2 byte→unicode symbol table (Radford et al. 2019,
+    * "Language Models are Unsupervised Multitask Learners" —
+    * `bytes_to_unicode`, the production BPE base-alphabet convention):
+    * every UTF-8 BYTE maps to one printable BMP code point — printable
+    * latin bytes (33–126, 161–172, 174–255) to themselves, the rest
+    * (controls, space, DEL, soft hyphen…) to 256+n in ascending byte
+    * order (so space → 'Ġ', newline → 'Ċ'). Under this map any string
+    * becomes a sequence over a FIXED 256-symbol alphabet: rare glyphs
+    * can no longer survive as out-of-vocabulary single-char pieces,
+    * the unbounded-below base alphabet the char-level mode has. Each
+    * mapped symbol is exactly one code point, so the char-level
+    * machinery (fold, kernel, trainer, validator) carries over
+    * UNCHANGED — byte level is a string pre-map, not a new engine. */
+  val byteSymbols: Array[String] = {
+    val self = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = -1
+    (0 until 256).map { b =>
+      if (self(b)) b.toChar.toString
+      else { n += 1; (256 + n).toChar.toString }
+    }.toArray
+  }
+
+  /** [[byteSymbols]] as a column transform: token string → its UTF-8
+    * bytes, each mapped to its symbol. Built-ins only (hex pairs →
+    * one map-literal lookup each → join), so it composes into the
+    * encode plan codegen'd and is reproducible in ANSI-ish SQL (the
+    * q136 oracle replays it). */
+  def byteRemap(tok: Column): Column = {
+    val m = typedlit(byteSymbols.zipWithIndex
+      .map { case (s, b) => f"$b%02X" -> s }.toMap)
+    array_join(
+      transform(regexp_extract_all(
+        hex(org.apache.spark.sql.functions.encode(tok, "UTF-8")), lit("(..)"), lit(1)),
+        h => element_at(m, h)), "")
+  }
+
   /** Train `numMerges` BPE merges from a corpus. One distributed
     * aggregation builds the (word, count) table under the corpus
     * tokenization (lower/trim/whitespace); the top `maxVocabWords`
@@ -69,14 +105,20 @@ object Bpe {
     * @return merges in rank order; fewer than `numMerges` if the
     *         vocabulary runs out of pairs */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            maxVocabWords: Int = 100000): Seq[(String, String)] = {
+            maxVocabWords: Int = 100000,
+            byteLevel: Boolean = false): Seq[(String, String)] = {
     require(numMerges >= 1 && numMerges <= maxTrainMerges,
       s"numMerges must lie in [1, $maxTrainMerges], got $numMerges")
     require(maxVocabWords >= 1 && maxVocabWords <= 1000000,
       s"maxVocabWords must lie in [1, 1e6] (the table is collected), got $maxVocabWords")
+    // byteLevel: words pre-map through [[byteRemap]] BEFORE counting,
+    // so the driver-side loop (code-point split) sees byte symbols —
+    // trained merges then live in byte-symbol space end to end
+    val wordCol = if (byteLevel) byteRemap(col("_w0")) else col("_w0")
     val words = docs
-      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
-      .filter(col("w") =!= "")
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("_w0"))
+      .filter(col("_w0") =!= "")
+      .select(wordCol.as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w")).limit(maxVocabWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -193,12 +235,14 @@ object Bpe {
     * the merged symbol `ab` is strictly longer than `a` and `b`, so
     * any new adjacency involves `ab`, a different pair. Pure column
     * expressions, map-only, codegen'd. */
-  def encode(tok: Column, merges: Seq[(String, String)]): Column = {
+  def encode(tok: Column, merges: Seq[(String, String)],
+             byteLevel: Boolean = false): Column = {
     require(merges.nonEmpty && merges.size <= maxEncodeMerges,
       s"encode takes 1..$maxEncodeMerges merges (one expression node each; " +
         s"larger tables want a native kernel), got ${merges.size}")
+    val base = if (byteLevel) byteRemap(tok) else tok
     val chars = concat(lit("  "),
-      regexp_replace(tok, "(.)", "$1  "), lit(EndOfWord + "  "))
+      regexp_replace(base, "(.)", "$1  "), lit(EndOfWord + "  "))
     val folded = merges.foldLeft(chars) { case (acc, (a, b)) =>
       call_function("replace", acc, lit(s" $a  $b "), lit(s" $a$b "))
     }
@@ -218,10 +262,14 @@ object Bpe {
     * see [[graft.expressions.BpeTable]]); kernel == fold is
     * spec-asserted bit-exactly on [[docMerges]] and on trained
     * tables. */
-  def encodeKernel(tok: Column, merges: Seq[(String, String)]): Column = {
+  def encodeKernel(tok: Column, merges: Seq[(String, String)],
+                   byteLevel: Boolean = false): Column = {
     require(merges.nonEmpty && merges.size <= maxTrainMerges,
       s"encodeKernel takes 1..$maxTrainMerges merges, got ${merges.size}")
-    call_function("graft_bpe_encode", tok,
+    // byte mode is a pre-map: mapped symbols are single code points,
+    // so the kernel (and its table validator) run UNCHANGED over them
+    val base = if (byteLevel) byteRemap(tok) else tok
+    call_function("graft_bpe_encode", base,
       typedlit(merges.map(_._1)), typedlit(merges.map(_._2)))
   }
 
@@ -234,8 +282,9 @@ object Bpe {
     * default stays the q125-certified expression fold. */
   def encodeStats(docs: DataFrame, merges: Seq[(String, String)],
                   idCol: String = "doc_id", textCol: String = "text",
-                  useKernel: Boolean = false): DataFrame =
-    wordPieces(docs, merges, idCol, textCol, useKernel)
+                  useKernel: Boolean = false,
+                  byteLevel: Boolean = false): DataFrame =
+    wordPieces(docs, merges, idCol, textCol, useKernel, byteLevel)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(col("_p")).as("n_pieces"),
@@ -246,13 +295,19 @@ object Bpe {
     * and char counts) — shared so the consumers cannot drift. */
   private def wordPieces(docs: DataFrame, merges: Seq[(String, String)],
                          keyCol: String, textCol: String,
-                         useKernel: Boolean): DataFrame = {
+                         useKernel: Boolean,
+                         byteLevel: Boolean = false): DataFrame = {
+    // byte mode maps the word ONCE and feeds the mapped form to both
+    // the encoder and the length stat, so `_c` counts BYTES (the unit
+    // the fixed 256-symbol alphabet measures in), chars otherwise
     val pieces: Column => Column =
       if (useKernel) encodeKernel(_, merges) else encode(_, merges)
-    docs
+    val base = docs
       .select(col(keyCol),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("_w"))
-      .filter(col("_w") =!= "")
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("_w0"))
+      .filter(col("_w0") =!= "")
+      .withColumn("_w", if (byteLevel) byteRemap(col("_w0")) else col("_w0"))
+    base
       .withColumn("_p", size(pieces(col("_w"))).cast("long"))
       .withColumn("_c", length(col("_w")).cast("long"))
   }
@@ -309,6 +364,38 @@ object Bpe {
     encodeStats(graft.Tables(spark, dir).documents, kernelMerges,
       useKernel = true)
       .orderBy(col("doc_id"))
+
+  /** The q136 byte-level planted table: the two UTF-8 byte pairs the
+    * q136 dressing plants (ä = Ã+¤, é = Ã+©) so byte RE-ASSEMBLY
+    * genuinely fires, one chain consuming a created byte symbol, one
+    * end-of-word merge on one, then the q126 letter-pair formula for
+    * bulk ranks — byte merges, chaining, the marker and a 680-rank
+    * table all exercise under byte-level mode. */
+  val byteKernelMerges: Seq[(String, String)] = {
+    val byteMerges = Seq(("Ã", "¤"), ("Ã", "©"), ("t", "Ã¤"), ("Ã©", EndOfWord))
+    val letters = ('a' to 'z').map(_.toString)
+    byteMerges ++ (for (x <- letters; y <- letters) yield (x, y))
+  }
+
+  /** C49 `q136_bpe_byte_kernel` — BYTE-LEVEL kernel encoding
+    * (GPT-2 base-alphabet convention) made a registered, oracle-backed
+    * query. The ASCII-only corpus dresses with real multi-byte UTF-8
+    * (a→ä, e→é via one `translate` — the site-dressing convention, so
+    * the byte path PROVABLY fires on every doc rather than no-op'ing
+    * into char-level agreement), then [[encodeStats]] runs the native
+    * kernel in `byteLevel` mode under [[byteKernelMerges]]. The DuckDB
+    * oracle replays the dressing, the byte map (restricted to this
+    * corpus's alphabet: ASCII self-maps, ä/é expand to their byte
+    * pairs — any out-of-contract character would hash-mismatch
+    * loudly), and the rank-order fold as a 680-step recursive CTE.
+    * `chars_per_piece` measures BYTES per piece here — the unit the
+    * fixed 256-symbol alphabet counts in. */
+  def bpeByteStatsDocs(spark: SparkSession, dir: String): DataFrame = {
+    val dressed = graft.Tables(spark, dir).documents
+      .withColumn("text", translate(lower(col("text")), "ae", "äé"))
+    encodeStats(dressed, byteKernelMerges, useKernel = true, byteLevel = true)
+      .orderBy(col("doc_id"))
+  }
 
   /** Tokenizer PARITY report — per-language fertility under a merge
     * table (Petrov et al. 2023, "Language Model Tokenizers Introduce

@@ -201,6 +201,78 @@ class BpeSpec extends SparkSpecBase {
       "letter-pair merges must produce multi-char pieces somewhere")
   }
 
+  test("byte remap follows the GPT-2 bytes_to_unicode rule exactly") {
+    // self-mapped printable latin; shifted controls/space/DEL
+    assert(Bpe.byteSymbols(97) == "a" && Bpe.byteSymbols(126) == "~")
+    assert(Bpe.byteSymbols(169) == "©" && Bpe.byteSymbols(255) == "ÿ")
+    assert(Bpe.byteSymbols(32) == "Ġ", "space is the famous Ġ")
+    assert(Bpe.byteSymbols(10) == "Ċ", "newline shifts to Ċ")
+    // DEL (127) is the 34th shifted byte: 33 controls+space precede it
+    assert(Bpe.byteSymbols(0) == "Ā" && Bpe.byteSymbols(127) == "ġ")
+    assert(Bpe.byteSymbols.distinct.length == 256, "the map is a bijection")
+    // the column transform applies it over real UTF-8 bytes
+    val out = Seq((1L, "abc"), (2L, "ä"), (3L, "日"), (4L, "a b"))
+      .toDF("id", "t")
+      .select(col("id"), Bpe.byteRemap(col("t")).as("b"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "abc", "ASCII printable is fixed")
+    assert(out(2L) == "Ã¤", "ä = 0xC3 0xA4, both self-mapped")
+    assert(out(3L) == "æĹ¥", "U+65E5 = E6 97 A5: self + two shifted bytes")
+    assert(out(4L) == "aĠb", "space maps through the shift")
+  }
+
+  test("byte-level mode: any string encodes within the fixed alphabet under a Latin-trained table") {
+    // train byte-level on Latin text; the merges live in byte-symbol
+    // space and pick up the multi-byte ä pair from the corpus
+    // "äää" maps to Ã¤Ã¤Ã¤: (Ã,¤) appears 3× per occurrence (27+2=29
+    // with läuft's), strictly ahead of every other pair — first merge
+    val latin = Seq(
+      (1L, Seq.fill(9)("äää").mkString(" ")),
+      (2L, Seq.fill(2)("läuft").mkString(" "))).toDF("doc_id", "text")
+    val m = Bpe.train(latin, "text", numMerges = 3, byteLevel = true)
+    assert(m.head == (("Ã", "¤")),
+      s"the most frequent pair is ä's byte pair, got $m")
+    // a NON-Latin string still encodes — every glyph decomposes into
+    // base byte symbols instead of surviving as an OOV single char —
+    // and kernel == fold holds in byte mode
+    val probe = Seq((1L, "日本 łódź"), (2L, "läuft")).toDF("doc_id", "text")
+    def enc(useKernel: Boolean) = probe
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .select(col("doc_id"), col("w"),
+        (if (useKernel) Bpe.encodeKernel(col("w"), m, byteLevel = true)
+         else Bpe.encode(col("w"), m, byteLevel = true)).as("pieces"))
+      .as[(Long, String, Seq[String])].collect().toSeq.sortBy(r => (r._1, r._2))
+    val k = enc(useKernel = true)
+    assert(k == enc(useKernel = false), "kernel == fold in byte mode")
+    k.foreach { case (_, w, pieces) =>
+      // pieces reassemble to the byte-mapped word + the marker
+      val flat = pieces.mkString
+      val expected = Seq((0L, w)).toDF("i", "t")
+        .select(Bpe.byteRemap(col("t"))).as[String].head() + Bpe.EndOfWord
+      assert(flat == expected, s"$w: $pieces must cover the byte symbols exactly")
+      // and every piece is built from the 256-symbol alphabet or the
+      // marker — nothing outside the fixed base survives
+      val alphabet = Bpe.byteSymbols.mkString.toSet
+      pieces.foreach(p => assert(
+        p == Bpe.EndOfWord || p.replace(Bpe.EndOfWord, "").forall(alphabet),
+        s"piece $p escapes the byte alphabet"))
+    }
+    // the trained ä merge genuinely fired on the byte stream
+    val laeuft = k.collect { case (_, "läuft", p) => p }.head
+    assert(laeuft.contains("Ã¤"), s"ä must re-assemble from its byte pair: $laeuft")
+  }
+
+  test("q136 entry: byte-level kernel stats — dressing plants multi-byte text, byte merges fire") {
+    val df = Bpe.bpeByteStatsDocs(spark, sfDir)
+    val rows = df.as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2 > 0))
+    // bytes-per-piece: the dressing guarantees multi-byte words
+    // corpus-wide, and the byte merges re-assemble ä/é — so pieces
+    // average MORE than one byte (merges fired) on every doc
+    assert(rows.forall(_._4 > 1.0),
+      "byte merges must fire (bytes per piece > 1 everywhere)")
+  }
+
   test("tokenizer parity: per-language fertility, single-piece words counted exactly") {
     // under merges [(a,b), (ab,</w>)]: "ab" -> [ab</w>] = 1 piece
     // (covered WHOLE); "abc" -> [ab, c, </w>] = 3; "x" -> [x, </w>] = 2
