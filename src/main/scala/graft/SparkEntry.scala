@@ -3060,7 +3060,9 @@ object SparkEntry {
         |      CASE WHEN doc_id % 2 = 0
         |        THEN '- second bullet item' || chr(10) || '- third bullet item' END,
         |      CASE WHEN doc_id % 3 = 0
-        |        THEN 'the story continues next week...' END) AS text
+        |        THEN 'the story continues next week...' END,
+        |      CASE WHEN doc_id % 5 <> 1
+        |        THEN 'to be continued with that and more of the usual' END) AS text
         |  FROM documents),
         |tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM p),
         |ts AS (SELECT doc_id, count(*) AS n, sum(length(w)) AS sl,
@@ -3323,7 +3325,7 @@ object SparkEntry {
           |       (go.gn BETWEEN 20 AND 100000 AND go.mean_word_len BETWEEN 3.0 AND 10.0
           |        AND go.symbol_ratio <= 0.10 AND go.bullet_frac <= 0.50
           |        AND go.ellipsis_frac <= 0.30 AND go.alpha_frac >= 0.80
-          |        AND go.stop_hits >= 2) AS gopher_pass
+          |        AND go.stop_hits >= 1) AS gopher_pass
           |FROM scored s JOIN lang ON lang.doc_id = s.doc_id
           |  JOIN bpe b ON b.doc_id = s.doc_id
           |  JOIN go ON go.doc_id = s.doc_id

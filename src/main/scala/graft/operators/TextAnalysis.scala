@@ -603,7 +603,15 @@ object TextAnalysis {
         col("text"),
         lit("- first bullet item"),
         when(col("doc_id") % 2 === 0, lit("- second bullet item\n- third bullet item")),
-        when(col("doc_id") % 3 === 0, lit("the story continues next week..."))
+        when(col("doc_id") % 3 === 0, lit("the story continues next week...")),
+        // the corpus vocabulary carries at most ONE distinct stopword
+        // ("the"), so without planting the stop rule fails EVERY doc
+        // and `pass` is a latent all-false (caught by the round-13
+        // registry-wide coverage sweep): plant seven stopwords for the
+        // doc_id % 5 != 1 slice so the stop rule fires both ways and
+        // clean latin docs genuinely pass
+        when(col("doc_id") % 5 =!= 1,
+          lit("to be continued with that and more of the usual"))
       ).as("text"))
     gopherFilters(planted)
       .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
@@ -628,7 +636,7 @@ object TextAnalysis {
     * certified definition: the battery calls the same shared
     * functions/formulas the individual q27/q28/q29/q103 entries
     * hash-check. */
-  def signalBattery(docs: DataFrame): DataFrame = {
+  def signalBattery(docs: DataFrame, minStopHits: Long = 2): DataFrame = {
     val withAttrs = docs
       .withColumn("_toks", T.tokens(col("text")))
       .withColumn("_packed", T.langScoresPackedToks(col("_toks")))
@@ -642,7 +650,7 @@ object TextAnalysis {
       .foldLeft(withScores.withColumn("pred_lang", langPredExpr)) {
         case (df, (n, c)) => df.withColumn(n, c)
       }
-    gopherFilters(staged)
+    gopherFilters(staged, minStopHits = minStopHits)
       .select(col("doc_id"), col("pred_lang"),
         col("n_chars"), col("n_tokens"), col("bpe_tokens"), col("chars_per_token"),
         col("punct_ratio"), col("stop_ratio"), col("quality_score"),
@@ -656,7 +664,14 @@ object TextAnalysis {
     * combined SQL (the same modular pieces the individual oracles
     * use), joined per document. */
   def signalBatteryDocs(spark: SparkSession, dir: String): DataFrame =
-    signalBattery(Tables(spark, dir).documents).orderBy(col("doc_id"))
+    // minStopHits = 1 (round 13): the raw corpus vocabulary carries at
+    // most one distinct stopword per doc, so the production default of
+    // 2 made gopher_pass a structurally-unsatisfiable all-false here
+    // (the registry-wide coverage sweep's finding); at 1 the stop rule
+    // splits the corpus (~3/4 carry "the") and the verdict fires both
+    // ways — q103 exercises the default threshold under its planting
+    signalBattery(Tables(spark, dir).documents, minStopHits = 1)
+      .orderBy(col("doc_id"))
 
   /** C43: token-entropy diversity signal — Shannon entropy of the
     * within-document token distribution, H = ln(n) − (Σ c·ln c)/n.

@@ -91,4 +91,25 @@ class ClassifySpec extends SparkSpecBase {
     val acc = rows.count(_.getBoolean(3)).toDouble / rows.length
     assert(acc > 0.9, s"NB marker recovery accuracy $acc — signal not learned")
   }
+
+  test("correct=false fires on a mislabeled holdout — the verdict is computed, not copied") {
+    // The registered q108/q112 show correct all-TRUE because the
+    // synthetic corpus is separable by construction (allowlisted in
+    // the coverage sweep); this planted case certifies the FALSE path:
+    // a holdout labeled B whose text carries A's markers must predict
+    // A and verdict correct = false
+    val train = Seq(
+      ("A", "alpha alpha alpha common"), ("A", "alpha common alpha"),
+      ("B", "beta beta beta common"), ("B", "beta common beta")
+    ).toDF("label", "text").withColumn("doc_id", monotonically_increasing_id())
+    val (tc, cs) = Classify.nbFit(train, "label", "text")
+    val holdout = Seq((100L, "B", "alpha alpha common alpha"),
+      (101L, "B", "beta beta common")).toDF("doc_id", "actual", "text")
+    val scored = Classify.nbScore(holdout, tc, cs)
+      .join(holdout.select(col("doc_id"), col("actual")), Seq("doc_id"))
+      .withColumn("correct", col("actual") === col("pred_label"))
+      .select(col("doc_id"), col("correct")).as[(Long, Boolean)].collect().toMap
+    assert(!scored(100L), "the mislabeled doc must verdict correct=false")
+    assert(scored(101L), "the true-labeled doc must verdict correct=true")
+  }
 }
