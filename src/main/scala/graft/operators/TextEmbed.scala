@@ -121,14 +121,26 @@ object TextEmbed {
                                targetCellSize: Int = 125,
                                threshold: Double = 0.92,
                                maxCellSize: Int = 10000,
-                               seed: Long = 42L): DataFrame = {
+                               seed: Long = 42L,
+                               fitSampleSize: Int = 16384): DataFrame = {
     require(targetCellSize > 0, s"targetCellSize must be positive, got $targetCellSize")
-    val emb = embedDocuments(docs, dims)
     // one bounded aggregate (a single long) sizes the quantizer — the
-    // production rule: cells track the corpus, not a fixed constant
-    val n = emb.count()
-    val nClusters = math.max(4L, (n + targetCellSize - 1) / targetCellSize).toInt
-    val (assigned, _) = Similarity.buildIvfIndex(emb, nClusters, seed)
+    // production rule: cells track the corpus, not a fixed constant —
+    // and the SAME materialized frame feeds the sampled fit and the
+    // one-pass probe-rule assignment (round 13: Lloyd's on the full
+    // corpus with k ∝ corpus made the build quadratic — 12× wall at
+    // 10× data, measured; the sampled build restores ~linear)
+    val e = Similarity.prepVectors(embedDocuments(docs, dims)).localCheckpoint()
+    val n = e.count()
+    // k caps at half the fit sample so Lloyd's always sees >= 2 vectors
+    // per centroid; past that scale, cells grow past targetCellSize and
+    // the census guard is the honest signal to raise fitSampleSize
+    val nClusters = math.max(4L,
+      math.min((n + targetCellSize - 1) / targetCellSize, fitSampleSize / 2L)).toInt
+    val fit = if (n <= fitSampleSize) e
+      else e.sample(withReplacement = false, fitSampleSize.toDouble / n, seed)
+    val (_, centroids) = Similarity.buildIvfIndexFrom(fit, nClusters, seed)
+    val assigned = Similarity.assignPrepped(e, centroids.localCheckpoint())
     Similarity.semanticDedupAssigned(assigned, threshold, maxCellSize)
   }
 }
