@@ -83,6 +83,21 @@ object Bpe {
         h => element_at(m, h)), "")
   }
 
+  /** Inverse of [[byteRemap]] — the GPT-2 DECODE step: a byte-symbol
+    * string maps back to its bytes (each symbol is one code point, so
+    * one lookup per char) and UTF-8-decodes to the original text.
+    * Pieces concatenate losslessly because the merge output is always
+    * the concatenation of its sides; strip the end-of-word marker
+    * first — it is a marker, not a byte symbol. */
+  def byteDecode(sym: Column): Column = {
+    val inv = typedlit(byteSymbols.zipWithIndex
+      .map { case (s, b) => s -> f"$b%02X" }.toMap)
+    val hexes = transform(sequence(lit(1), length(sym)),
+      i => element_at(inv, sym.substr(i, lit(1))))
+    when(length(sym) === 0, lit(""))
+      .otherwise(decode(unhex(array_join(hexes, "")), "UTF-8"))
+  }
+
   /** Train `numMerges` BPE merges from a corpus. One distributed
     * aggregation builds the (word, count) table under the corpus
     * tokenization (lower/trim/whitespace); the top `maxVocabWords`

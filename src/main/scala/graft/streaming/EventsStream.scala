@@ -1334,7 +1334,8 @@ object EventsStream {
     * Returns the started query; callers own its lifecycle. */
   def bpeStatsStream(docs: DataFrame, mergesPath: String, statsPath: String,
                      checkpointDir: String,
-                     idCol: String = "doc_id", textCol: String = "text"):
+                     idCol: String = "doc_id", textCol: String = "text",
+                     byteLevel: Boolean = false):
       org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
@@ -1358,7 +1359,12 @@ object EventsStream {
           case None => batch
         }
         if (!fresh.isEmpty)
-          graft.operators.Bpe.encodeStats(fresh, merges, idCol, textCol, useKernel = true)
+          // byteLevel must match how the merges table was TRAINED — a
+          // byte-space table applied char-level (or vice versa) would
+          // silently merge nothing; the caller owns that pairing the
+          // same way it owns the table path
+          graft.operators.Bpe.encodeStats(fresh, merges, idCol, textCol,
+            useKernel = true, byteLevel = byteLevel)
             .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(statsPath)
       }
       .start()

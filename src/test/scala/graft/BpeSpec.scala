@@ -221,6 +221,28 @@ class BpeSpec extends SparkSpecBase {
     assert(out(4L) == "aĠb", "space maps through the shift")
   }
 
+  test("byteDecode inverts byteRemap; kernel pieces round-trip to the original word") {
+    val probes = Seq((1L, "plain"), (2L, "ä ö"), (3L, "日本語"), (4L, "a\nb"),
+      (5L, ""), (6L, "łódź"))
+    val out = probes.toDF("id", "t")
+      .select(col("id"), Bpe.byteDecode(Bpe.byteRemap(col("t"))).as("rt"))
+      .as[(Long, String)].collect().toMap
+    probes.foreach { case (id, t) =>
+      assert(out(id) == t, s"round trip broke for ${t.take(20)}: ${out(id)}")
+    }
+    // and through the encoder: pieces (marker stripped) concatenate to
+    // the byte-mapped word, so byteDecode recovers the ORIGINAL word
+    val m = Seq(("Ã", "¤"), ("t", "Ã¤"))
+    val decoded = Seq((1L, "läuft")).toDF("id", "t")
+      .select(Bpe.byteDecode(
+        array_join(filter(
+          transform(Bpe.encodeKernel(col("t"), m, byteLevel = true),
+            p => regexp_replace(p, java.util.regex.Pattern.quote(Bpe.EndOfWord), "")),
+          p => p =!= ""), "")).as("w"))
+      .as[String].head()
+    assert(decoded == "läuft", s"piece round trip: $decoded")
+  }
+
   test("byte-level mode: any string encodes within the fixed alphabet under a Latin-trained table") {
     // train byte-level on Latin text; the merges live in byte-symbol
     // space and pick up the multi-byte ä pair from the corpus
