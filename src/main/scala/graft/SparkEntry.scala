@@ -178,7 +178,8 @@ object SparkEntry {
     // identical downstream stages + the planted-cluster TextEmbedSpec
     "q134_text_semdedup_trained" -> ((s, d) => TextEmbed.textSemDedupTrained(s, d)),
     "q135_phrase_incremental"    -> ((s, d) => Search.phraseIncrementalDocs(s, d)),
-    "q136_bpe_byte_kernel"       -> ((s, d) => Bpe.bpeByteStatsDocs(s, d))
+    "q136_bpe_byte_kernel"       -> ((s, d) => Bpe.bpeByteStatsDocs(s, d)),
+    "q137_ngram_decontamination" -> ((s, d) => Dedup.ngramDecontaminationDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1741,6 +1742,26 @@ object SparkEntry {
          |       round(CAST(sum(c) AS DOUBLE) / sum(p), 4) AS chars_per_piece
          |FROM e GROUP BY 1 ORDER BY doc_id""".stripMargin
     },
+
+    // q137: n-gram decontamination — the oracle replays the planted
+    // eval slice (first 20 words of doc_id % 10 = 7 docs) and flags by
+    // gram STRINGS where the operator joins xxhash64 gram keys: the
+    // verdicts agree unless xxhash64 collides on this corpus, which
+    // would flip a flag and hash-mismatch loudly
+    "q137_ngram_decontamination" ->
+      """WITH t AS (SELECT doc_id,
+        |             string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents),
+        |ev AS (SELECT w[1:20] AS w FROM t WHERE doc_id % 10 = 7),
+        |eg AS (SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS g
+        |       FROM ev, unnest(generate_series(1, greatest(len(w) - 12, 0))) AS u(i)),
+        |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS g
+        |       FROM t, unnest(generate_series(1, greatest(len(w) - 12, 0))) AS u(i)
+        |       WHERE len(w) >= 13),
+        |hits AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (g))
+        |SELECT t.doc_id, (hits.doc_id IS NOT NULL) AS contaminated
+        |FROM t LEFT JOIN hits ON hits.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // q125: BPE encode — the oracle is GENERATED from the same planted
     // merge table the operator folds over (one replace per merge in

@@ -421,6 +421,26 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** C2c `q137_ngram_decontamination` — [[flagNgramContamination]]
+    * registered and oracle-backed (round 13; previously spec-only):
+    * the eval suite derives in-query as the FIRST 20 WORDS of every
+    * doc_id ≡ 7 (mod 10) document — a planted "benchmark question"
+    * slice, so contamination provably fires on the source docs AND on
+    * their q107 donor copies while the rest of the corpus stays clean
+    * (both verdict paths, the registry coverage gate's requirement).
+    * The oracle compares gram STRINGS where the operator joins on
+    * xxhash64 gram keys — the verdicts are identical unless xxhash64
+    * collides on this corpus, and a collision would flip a verdict and
+    * fail the hash check loudly (the q40 hashed-window convention). */
+  def ngramDecontaminationDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val evalDocs = docs.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"),
+        array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 20), " ")
+          .as("text"))
+    flagNgramContamination(docs, evalDocs)
+  }
+
   /** 64-bit SimHash of the word multiset via the native kernel expression
     * [[graft.expressions.SimHash64]] (a HOF formulation would evaluate a
     * 64-wide lambda accumulator per token — orders of magnitude more
