@@ -795,6 +795,63 @@ object EventsStream {
       }
       .start()
 
+  /** D2→C26b bridge — streaming SEMANTIC dedup ingest: the D2b shape
+    * ([[dedupAgainstIndexStream]]) at the embedding tier. Each
+    * micro-batch of new vectors (1) self-deduplicates through the
+    * production [[graft.operators.Similarity.semanticDedup]] verdict
+    * (within-batch near-dups collapse before the index sees them — the
+    * stated batch-vs-corpus caveat of the one-shot probe, closed the
+    * same way D2b closes it), (2) verdicts the survivors against the
+    * PERSISTED cell-bucketed corpus
+    * ([[graft.operators.Similarity.semanticDedupAgainstIndex]] — only
+    * the batch shuffles), and (3) hands accepted vectors to `accept`
+    * and appends them to the index through the production day-2 rule,
+    * so the NEXT trigger's batches verdict against them.
+    *
+    * Replay-idempotent like [[ivfIngestStream]]: already-indexed ids
+    * anti-join away before the append. Quantizer drift stays the
+    * operational caveat (re-run the batch build when recall decays);
+    * the cell-size guard inside the probe fails loudly in-plan when a
+    * cell outgrows `maxCellSize`.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def semanticDedupIngestStream(embeddings: DataFrame, cellTable: String,
+                                centroidsPath: String, checkpointDir: String,
+                                accept: DataFrame => Unit,
+                                threshold: Double = 0.25,
+                                maxCellSize: Int = 10000,
+                                numBuckets: Int = 8):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        import graft.operators.Similarity
+        // materialized once: the self pass, the index probe and the
+        // append all fork the batch (the D2b convention)
+        val batch = batch0.localCheckpoint()
+        val spark = batch.sparkSession
+        val centroids = spark.read.parquet(centroidsPath)
+        val self = Similarity.semanticDedup(batch, centroids, threshold, maxCellSize)
+        val reps = batch.join(
+          self.filter(!col("is_dup")).select(col("vec_id")), Seq("vec_id"))
+        val verdicts = Similarity.semanticDedupAgainstIndex(
+          reps, spark.table(cellTable), centroids, threshold, maxCellSize)
+        val accepted = reps
+          .join(verdicts.filter(!col("is_dup")).select(col("vec_id")), Seq("vec_id"))
+          .localCheckpoint()
+        accept(accepted)
+        Similarity.appendToIvfIndex(accepted, centroids)
+          .join(spark.table(cellTable).select(col("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet")
+          .bucketBy(numBuckets, "cell")
+          .sortBy("cell")
+          .saveAsTable(cellTable)
+      }
+      .start()
+
   /** D2→C12b bridge — streaming RAW-TEXT embedding ingest: new
     * documents embed through the deterministic projection
     * ([[graft.operators.TextEmbed.embedDocuments]] — a map-only

@@ -1072,6 +1072,57 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C26b: streaming semantic-dedup ingest — self pass, index verdicts, exactly-once growth") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // seed: index the real embeddings table's first 300 ids
+    val all = Tables(spark, sfDir).embeddings
+    val (assigned, centroids) = Similarity.buildIvfIndex(
+      all.filter(col("vec_id") < 300))
+    graft.sources.Bucketing.writeBucketed(assigned, "stream_semdd", Seq("cell"), 8)
+    val centDir = java.nio.file.Files.createTempDirectory("graft_semdd_cent").toString
+    centroids.write.mode("overwrite").parquet(centDir)
+    val before = spark.table("stream_semdd").count()
+
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val cp = java.nio.file.Files.createTempDirectory("graft_semdd_cp").toString
+    val acceptedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = EventsStream.semanticDedupIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), "stream_semdd", centDir, cp,
+      accept = df => acceptedIds ++=
+        df.select(col("vec_id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect(),
+      threshold = 0.9999)
+    def indexCount() = {
+      spark.catalog.refreshTable("stream_semdd")
+      spark.table("stream_semdd").count()
+    }
+    try {
+      // batch 1: a twin of INDEXED vector 5 (id 500 — must be rejected
+      // by the index probe), a fresh never-indexed vector 400's data
+      // under id 501 (accepted), and a WITHIN-BATCH twin of that same
+      // vector under id 502 (the self pass must collapse it)
+      val donor5 = all.filter(col("vec_id") === 5L)
+        .select(col("embedding").cast("array<double>")).as[Seq[Double]].head()
+      val fresh = all.filter(col("vec_id") === 400L)
+        .select(col("embedding").cast("array<double>")).as[Seq[Double]].head()
+      mem.addData((500L, donor5), (501L, fresh), (502L, fresh))
+      q.processAllAvailable()
+      assert(acceptedIds.toSet == Set(501L),
+        s"index twin rejected, within-batch twin collapsed, fresh accepted: $acceptedIds")
+      assert(indexCount() == before + 1, "only the accepted vector appends")
+      // batch 2: a twin of the JUST-ACCEPTED 501 must now reject
+      // against the grown index; replaying 501 appends nothing
+      mem.addData((503L, fresh), (501L, fresh))
+      q.processAllAvailable()
+      assert(!acceptedIds.contains(503L),
+        s"a twin of a streamed-in vector must reject next trigger: $acceptedIds")
+      assert(indexCount() == before + 1,
+        "re-delivered and rejected ids must not grow the index")
+    } finally q.stop()
+  }
+
   test("D2→C12b: streaming raw-text ingest embeds and indexes; a copied doc is found at cos 1.0") {
     import graft.operators.{Similarity, TextEmbed}
     import graft.streaming.EventsStream.StreamDoc
