@@ -179,7 +179,12 @@ object SparkEntry {
     "q134_text_semdedup_trained" -> ((s, d) => TextEmbed.textSemDedupTrained(s, d)),
     "q135_phrase_incremental"    -> ((s, d) => Search.phraseIncrementalDocs(s, d)),
     "q136_bpe_byte_kernel"       -> ((s, d) => Bpe.bpeByteStatsDocs(s, d)),
-    "q137_ngram_decontamination" -> ((s, d) => Dedup.ngramDecontaminationDocs(s, d))
+    "q137_ngram_decontamination" -> ((s, d) => Dedup.ngramDecontaminationDocs(s, d)),
+    // rows-only (KMeans, the C7b convention): q134's pipeline on the
+    // two-level (inverted-multi-index) quantizer — assignment scores
+    // ~2·sqrt(cells) centroids instead of cells, the flat-IVF growth
+    // path measured in SCALING_r13
+    "q138_text_semdedup_imi"     -> ((s, d) => TextEmbed.textSemDedupImi(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */

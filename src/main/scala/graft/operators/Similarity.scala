@@ -269,6 +269,93 @@ object Similarity {
     (assignPrepped(e, cents), cents)
   }
 
+  /** TWO-LEVEL (inverted multi-index) quantizer — the flat-IVF growth
+    * path [[buildIvfIndexSampled]] documents, BUILT (Babenko &
+    * Lempitsky 2012, "The Inverted Multi-Index" — public): two
+    * INDEPENDENT coarse quantizers over the two vector halves; a
+    * vector's cell is the PRODUCT cell `c1 · k2 + c2`, giving k1 · k2
+    * effective cells while assignment scores only k1 + k2 ≈ 2·√cells
+    * centroids per vector. With cells ∝ corpus (the bounded-cell
+    * SemDeDup rule), flat assignment is O(n · cells) — the eventual
+    * 100 TB limiter — while this is O(n · √cells).
+    *
+    * Both sub-quantizers train on the SAME bounded seeded sample
+    * (Lloyd's cost corpus-independent); halves assign by the shared
+    * argmin probe rule, so [[assignTwoLevel]] reproduces build
+    * assignments for day-2 appends exactly. Product cells are plain
+    * ints — everything downstream ([[semanticDedupAssigned]],
+    * bucketed persistence, the census guard) consumes them unchanged.
+    * Cell-size balance is DATA-dependent (a product cell can be empty
+    * or hot); `maxCellSize` in the consumers stays the loud guard.
+    *
+    * @return (assigned (vec_id, v, nrm, cell), sub-centroid tables
+    *         (cell, cvec, c2) for each half — persist both next to
+    *         the index) */
+  def buildIvfIndexTwoLevel(embeddings: DataFrame, k1: Int, k2: Int,
+                            seed: Long = 42L,
+                            fitSampleSize: Int = 16384)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val e = prepVectors(embeddings).localCheckpoint()
+    buildTwoLevelFrom(e, e.count(), k1, k2, seed, fitSampleSize)
+  }
+
+  /** [[buildIvfIndexTwoLevel]] over an already-prepped, MATERIALIZED
+    * frame with a known count (shared with the q138 text path so the
+    * corpus preps and counts once). */
+  private[graft] def buildTwoLevelFrom(e: DataFrame, n: Long, k1: Int, k2: Int,
+                                       seed: Long, fitSampleSize: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(k1 >= 2 && k2 >= 2, s"need k1, k2 >= 2, got ($k1, $k2)")
+    require(fitSampleSize >= 2 * math.max(k1, k2),
+      s"fitSampleSize ($fitSampleSize) must be >= 2 * max(k1, k2)")
+    val fit = if (n <= fitSampleSize) e
+      else e.sample(withReplacement = false, fitSampleSize.toDouble / n, seed)
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    require(dim >= 4, s"two-level quantization needs dim >= 4, got $dim")
+    val h = dim / 2
+    def half(df: DataFrame, first: Boolean) = {
+      val hv = if (first) slice(col("v"), 1, h) else slice(col("v"), h + 1, dim - h)
+      df.select(col("vec_id"), hv.as("v"), vectors.norm(hv).as("nrm"))
+    }
+    val (_, cent1) = buildIvfIndexFrom(half(fit, first = true), k1, seed)
+    val (_, cent2) = buildIvfIndexFrom(half(fit, first = false), k2, seed + 1)
+    val (c1, c2) = (cent1.localCheckpoint(), cent2.localCheckpoint())
+    (assignTwoLevel(e, c1, c2, k2), c1, c2)
+  }
+
+  /** The two-level assignment rule — shared by the build and day-2
+    * appends (the [[appendToIvfIndex]] convention): each half probes
+    * its own sub-quantizer (argmin |c|²−2·v·c, tie → lower cell) and
+    * the product cell is `c1 · k2 + c2`. `k2` must be the second
+    * table's cell count (checked loudly). */
+  def assignTwoLevel(prepped: DataFrame, cent1: DataFrame, cent2: DataFrame,
+                     k2: Int): DataFrame = {
+    val e = prepped.select(col("vec_id"), col("v"), col("nrm"))
+    val dim2 = cent2.select(size(col("cvec"))).head().getInt(0)
+    val dim1 = cent1.select(size(col("cvec"))).head().getInt(0)
+    val nC2 = cent2.count()
+    require(nC2 == k2,
+      s"k2 ($k2) must equal the second sub-quantizer's cell count ($nC2) — " +
+        "a mismatched stride would alias product cells")
+    def probe(hv: Column, cents: DataFrame, name: String) =
+      probeNearestCells(
+        e.select(col("vec_id").as("q_id"), hv.as("qv")), cents, nProbe = 1)
+        .withColumnRenamed("cell", name)
+        .withColumnRenamed("q_id", "vec_id")
+    val a1 = probe(slice(col("v"), 1, dim1), cent1, "_c1")
+    val a2 = probe(slice(col("v"), dim1 + 1, dim2), cent2, "_c2")
+    e.join(a1, Seq("vec_id")).join(a2, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        (col("_c1") * k2 + col("_c2")).as("cell"))
+  }
+
+  /** Day-2 append for the two-level index: prep + the shared
+    * [[assignTwoLevel]] rule — appended vectors land in exactly the
+    * product cell the build would give them. */
+  def appendToIvfIndexTwoLevel(newEmbeddings: DataFrame, cent1: DataFrame,
+                               cent2: DataFrame, k2: Int): DataFrame =
+    assignTwoLevel(prepVectors(newEmbeddings), cent1, cent2, k2)
+
   def annIvfSearch(assigned: DataFrame, centroids: DataFrame,
                    k: Int = 10, numQueries: Int = 5, nProbe: Int = 4): DataFrame = {
     val queries = assigned.filter(col("vec_id") < numQueries)

@@ -115,6 +115,36 @@ object TextEmbed {
   def textSemDedupTrained(spark: SparkSession, dir: String): DataFrame =
     textSemDedupTrainedFrame(Tables(spark, dir).documents)
 
+  /** C26→C26c `q138_text_semdedup_imi` — q134's pipeline on the
+    * TWO-LEVEL quantizer ([[Similarity.buildIvfIndexTwoLevel]] — the
+    * inverted-multi-index growth path the flat build documents):
+    * k1 = k2 = ⌈√cells⌉ sub-quantizers over the vector halves, so
+    * assignment scores ~2·√cells centroids per vector instead of
+    * cells. Same auto-sizing rule, same assigned-frame SemDeDup, same
+    * rows-only certification convention; the spec pins that the
+    * planted verdicts MATCH the flat path's on clustered data. */
+  def textSemDedupImi(spark: SparkSession, dir: String): DataFrame =
+    textSemDedupImiFrame(Tables(spark, dir).documents)
+
+  /** [[textSemDedupImi]] over any (doc_id, text) frame. */
+  def textSemDedupImiFrame(docs: DataFrame,
+                           dims: Int = 60,
+                           targetCellSize: Int = 125,
+                           threshold: Double = 0.92,
+                           maxCellSize: Int = 10000,
+                           seed: Long = 42L,
+                           fitSampleSize: Int = 16384): DataFrame = {
+    require(targetCellSize > 0, s"targetCellSize must be positive, got $targetCellSize")
+    val e = Similarity.prepVectors(embedDocuments(docs, dims)).localCheckpoint()
+    val n = e.count()
+    val cells = math.max(4L,
+      math.min((n + targetCellSize - 1) / targetCellSize, fitSampleSize / 2L))
+    val k = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    val (assigned, _, _) =
+      Similarity.buildTwoLevelFrom(e, n, k, k, seed, fitSampleSize)
+    Similarity.semanticDedupAssigned(assigned, threshold, maxCellSize)
+  }
+
   /** [[textSemDedupTrained]] over any (doc_id, text) frame. */
   def textSemDedupTrainedFrame(docs: DataFrame,
                                dims: Int = 60,

@@ -632,4 +632,35 @@ class SimilaritySpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"),
       "sampling must never pair corpus rows with each other")
   }
+
+  test("two-level quantizer: product cells split both halves, day-2 append lands identically, stride mismatch refuses") {
+    // 4-dim vectors over a 2x2 product structure: the first half
+    // separates {A, B}, the second {X, Y} - the flat view of these
+    // four groups needs 4 centroids, the two-level view 2 + 2
+    def v(a: Double, b: Double, x: Double, y: Double) = Seq(a, b, x, y)
+    val pts = Seq(
+      (0L, v(10, 0, 10, 0)), (1L, v(10, 0, 0, 10)),
+      (2L, v(0, 10, 10, 0)), (3L, v(0, 10, 0, 10)),
+      (4L, v(11, 0, 11, 0)), (5L, v(11, 0, 0, 11)),
+      (6L, v(0, 11, 11, 0)), (7L, v(0, 11, 0, 11))
+    ).toDF("vec_id", "embedding")
+    val (assigned, c1, c2) = Similarity.buildIvfIndexTwoLevel(pts, 2, 2)
+    val cells = assigned.select(col("vec_id"), col("cell"))
+      .as[(Long, Int)].collect().toMap
+    // all four product cells populated, pairs land together
+    assert(cells.values.toSet.size == 4, s"expected 4 product cells: $cells")
+    assert(cells(0L) == cells(4L) && cells(1L) == cells(5L) &&
+      cells(2L) == cells(6L) && cells(3L) == cells(7L), s"grouping broke: $cells")
+    // the product arithmetic is c1 * k2 + c2 - every cell < k1 * k2
+    assert(cells.values.forall(c => c >= 0 && c < 4), s"cells out of range: $cells")
+    // day-2 append: a twin of vec 0 lands in exactly vec 0's cell
+    val twin = Seq((100L, v(10, 0, 10, 0))).toDF("vec_id", "embedding")
+    val appended = Similarity.appendToIvfIndexTwoLevel(twin, c1, c2, k2 = 2)
+      .select(col("cell")).as[Int].head()
+    assert(appended == cells(0L), s"append must reproduce the build cell: $appended vs ${cells(0L)}")
+    // a wrong k2 stride would alias product cells - loud refusal
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndexTwoLevel(twin, c1, c2, k2 = 3).collect()
+    }
+  }
 }

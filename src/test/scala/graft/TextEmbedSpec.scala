@@ -91,6 +91,31 @@ class TextEmbedSpec extends SparkSpecBase {
     assert(out(200L)._1 == out(3L)._1 && out(202L)._1 == out(17L)._1)
   }
 
+  test("two-level (IMI) trained path (q138): verdicts match the flat path on planted topics") {
+    // same planted corpus as the q134 spec: the product-cell quantizer
+    // must reach the SAME dup verdicts (identical embeddings share both
+    // sub-cells, so twins can never split across product cells) even
+    // though the cell ids themselves differ from the flat path's
+    val base = (0 until 40).map(i =>
+      (i.toLong, (1 to 12).map(k => s"topic${i}_w$k").mkString(" ")))
+    val docs = (base ++ Seq(
+      (200L, base(3)._2),
+      (201L, base(3)._2 + " stray"),
+      (202L, base(17)._2),
+      (203L, (1 to 12).map(k => s"fresh_w$k").mkString(" "))))
+      .toDF("doc_id", "text")
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("is_dup"), col("dup_of"))
+      .as[(Long, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val imi = verdicts(TextEmbed.textSemDedupImiFrame(docs, targetCellSize = 8))
+    val flat = verdicts(TextEmbed.textSemDedupTrainedFrame(docs, targetCellSize = 8))
+    assert(imi == flat,
+      s"IMI and flat verdicts must agree on clustered data: ${imi.toSeq.diff(flat.toSeq)}")
+    assert(imi(200L) == ((true, Some(3L))) && imi(202L) == ((true, Some(17L))))
+    assert(!imi(203L)._1 && base.forall(b => !imi(b._1)._1))
+  }
+
   test("embedding cosine tracks token overlap (JL contract)") {
     val docs = Seq(
       (1L, "a b c d e f g h"),
