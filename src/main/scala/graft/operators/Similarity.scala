@@ -1099,14 +1099,29 @@ object Similarity {
     *         highest matching cosine or -1) */
   def semanticDedupAgainstIndex(newEmbeddings: DataFrame, assigned: DataFrame,
                                 centroids: DataFrame, threshold: Double = 0.25,
-                                maxCellSize: Int = 10000): DataFrame = {
+                                maxCellSize: Int = 10000): DataFrame =
+    semanticDedupAgainstIndexAssigned(appendToIvfIndex(newEmbeddings, centroids),
+      assigned, threshold, maxCellSize)
+
+  /** [[semanticDedupAgainstIndex]] with the batch ALREADY assigned —
+    * the entry point for indexes whose assignment rule is not the flat
+    * probe (the two-level/IMI index: assign the batch with
+    * [[assignTwoLevel]] against the persisted sub-quantizers, then
+    * probe here), and for callers that persisted the batch assignment
+    * anyway. Batch and index must share ONE assignment rule or cells
+    * won't line up — that pairing is the caller's contract exactly as
+    * the quantizer artifact itself is. */
+  def semanticDedupAgainstIndexAssigned(probeAssigned: DataFrame,
+                                        assigned: DataFrame,
+                                        threshold: Double = 0.25,
+                                        maxCellSize: Int = 10000): DataFrame = {
     require(threshold > -1 && threshold <= 1,
       s"threshold must lie in (-1, 1], got $threshold")
     require(maxCellSize > 0, s"maxCellSize must be positive, got $maxCellSize")
     // MATERIALIZED (the semanticDedup convention): the probe forks into
     // the match join and the verdict select — lazily its assignment
-    // window would run twice per job
-    val probe = appendToIvfIndex(newEmbeddings, centroids).localCheckpoint()
+    // would run twice per job
+    val probe = probeAssigned.localCheckpoint()
     val census = assigned.groupBy(col("cell")).agg(count(lit(1)).as("_csz"))
     val corpus = assigned.join(broadcast(census), Seq("cell"))
       .withColumn("cell",

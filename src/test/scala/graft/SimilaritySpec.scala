@@ -662,5 +662,18 @@ class SimilaritySpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Similarity.appendToIvfIndexTwoLevel(twin, c1, c2, k2 = 3).collect()
     }
+    // day-2 semantic probe against the IMI index: assign the batch
+    // with the SAME two-level rule, then the shared probe body - the
+    // twin verdicts as a dup of vec 0, an orthogonal vector stays clean
+    val batch = Seq((100L, v(10, 0, 10, 0)), (101L, v(5, 5, 5, 5)))
+      .toDF("vec_id", "embedding")
+    val probed = Similarity.semanticDedupAgainstIndexAssigned(
+      Similarity.appendToIvfIndexTwoLevel(batch, c1, c2, k2 = 2),
+      assigned, threshold = 0.99)
+      .select(col("vec_id"), col("is_dup"), col("dup_of"))
+      .as[(Long, Boolean, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(probed(100L) == ((true, 0L)), s"the twin must dup onto 0: $probed")
+    assert(probed(101L)._1 == false, s"the diagonal vector (cos 0.707 to every group) stays clean: $probed")
   }
 }
