@@ -356,6 +356,42 @@ object Similarity {
                                cent2: DataFrame, k2: Int): DataFrame =
     assignTwoLevel(prepVectors(newEmbeddings), cent1, cent2, k2)
 
+  /** ANN search over the TWO-LEVEL index — IMI probing (Babenko &
+    * Lempitsky 2012): each query keeps its `nProbe` nearest cells PER
+    * HALF and probes their nProbe² PRODUCT cells. Squared distance
+    * decomposes over the halves (|v−c|² = |v₁−c₁|² + |v₂−c₂|²), so the
+    * probed set provably contains the nProbe²-best product centroids —
+    * the property that makes per-half probing sound. Candidates rerank
+    * by exact cosine via the cell equi-join, the [[annIvfSearch]]
+    * shape: the corpus never shuffles, the probe set broadcasts. */
+  def annImiSearch(assigned: DataFrame, cent1: DataFrame, cent2: DataFrame,
+                   k2: Int, k: Int = 10, numQueries: Int = 5,
+                   nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    val dim1 = cent1.select(size(col("cvec"))).head().getInt(0)
+    val dim2 = cent2.select(size(col("cvec"))).head().getInt(0)
+    val queries = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    def halfProbe(hv: Column, cents: DataFrame, name: String) =
+      probeNearestCells(
+        queries.select(col("q_id"), hv.as("qv")), cents, nProbe)
+        .withColumnRenamed("cell", name)
+    val probes = halfProbe(slice(col("qv"), 1, dim1), cent1, "_c1")
+      .join(halfProbe(slice(col("qv"), dim1 + 1, dim2), cent2, "_c2"), Seq("q_id"))
+      .select(col("q_id"), (col("_c1") * k2 + col("_c2")).as("cell"))
+      .join(queries, Seq("q_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    assigned.select(col("cell"), col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cos", round(
+        vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   def annIvfSearch(assigned: DataFrame, centroids: DataFrame,
                    k: Int = 10, numQueries: Int = 5, nProbe: Int = 4): DataFrame = {
     val queries = assigned.filter(col("vec_id") < numQueries)

@@ -676,4 +676,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(probed(100L) == ((true, 0L)), s"the twin must dup onto 0: $probed")
     assert(probed(101L)._1 == false, s"the diagonal vector (cos 0.707 to every group) stays clean: $probed")
   }
+
+  test("IMI ANN search: product-cell probing keeps useful recall vs brute force") {
+    val emb = graft.Tables(spark, sfDir).embeddings
+    val (assigned, c1, c2) = Similarity.buildIvfIndexTwoLevel(emb, k1 = 4, k2 = 4)
+    val a = assigned.localCheckpoint()
+    val out = Similarity.annImiSearch(a, c1, c2, k2 = 4, k = 10,
+      numQueries = 5, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    // ranks are contiguous per query and cosines non-increasing
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"q$q ranks gap")
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._4 >= p(1)._4),
+        s"q$q cosines must be non-increasing")
+    }
+    val bf = Similarity.annBruteForce(spark, sfDir, k = 10, numQueries = 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val got = out.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val recalls = bf.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean recall $mean too low for nProbe=2x2/16 product cells")
+  }
 }
