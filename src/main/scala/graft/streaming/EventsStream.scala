@@ -795,6 +795,38 @@ object EventsStream {
       }
       .start()
 
+  /** D2→C26d bridge — streaming TWO-LEVEL (IMI) index ingest:
+    * [[ivfIngestStream]]'s exact contract against the two-level
+    * artifact — each micro-batch assigns through the SHARED build/day-2
+    * rule ([[graft.operators.Similarity.appendToIvfIndexTwoLevel]]:
+    * per-half argmin against the two persisted sub-quantizers, product
+    * cell `c1 · k2 + c2`) and appends to the cell-bucketed table.
+    * Replay-idempotent via the vec_id anti-join; the k2 stride must
+    * match the build's (the append kernel refuses a mismatch loudly).
+    * Same visibility/bucket-spec/drift caveats as the flat twin.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def imiIngestStream(embeddings: DataFrame, cellTable: String,
+                      cent1Path: String, cent2Path: String, k2: Int,
+                      checkpointDir: String, numBuckets: Int = 8):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.operators.Similarity.appendToIvfIndexTwoLevel(batch,
+          spark.read.parquet(cent1Path), spark.read.parquet(cent2Path), k2)
+          .join(spark.table(cellTable).select(col("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet")
+          .bucketBy(numBuckets, "cell")
+          .sortBy("cell")
+          .saveAsTable(cellTable)
+      }
+      .start()
+
   /** D2→C26b bridge — streaming SEMANTIC dedup ingest: the D2b shape
     * ([[dedupAgainstIndexStream]]) at the embedding tier. Each
     * micro-batch of new vectors (1) self-deduplicates through the

@@ -1072,6 +1072,47 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C26d: streaming IMI ingest extends product cells exactly once, in the build's own cells") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = Tables(spark, sfDir).embeddings
+    val (assigned, c1, c2) = Similarity.buildIvfIndexTwoLevel(
+      all.filter(col("vec_id") < 300), k1 = 4, k2 = 4)
+    graft.sources.Bucketing.writeBucketed(assigned, "stream_imi", Seq("cell"), 8)
+    val d1 = java.nio.file.Files.createTempDirectory("graft_imi_c1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_imi_c2").toString
+    c1.write.mode("overwrite").parquet(d1)
+    c2.write.mode("overwrite").parquet(d2)
+    val before = spark.table("stream_imi").count()
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val cp = java.nio.file.Files.createTempDirectory("graft_imi_cp").toString
+    val q = EventsStream.imiIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), "stream_imi", d1, d2, k2 = 4, cp)
+    def count() = {
+      spark.catalog.refreshTable("stream_imi")
+      spark.table("stream_imi").count()
+    }
+    try {
+      // stream a twin of indexed vector 5 under a fresh id: it must
+      // land in EXACTLY vector 5's product cell (shared argmin rule)
+      val donor = all.filter(col("vec_id") === 5L)
+        .select(col("embedding").cast("array<double>")).as[Seq[Double]].head()
+      mem.addData((500L, donor))
+      q.processAllAvailable()
+      assert(count() == before + 1)
+      val cells = spark.table("stream_imi")
+        .filter(col("vec_id").isin(5L, 500L))
+        .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
+      assert(cells(500L) == cells(5L),
+        s"the streamed twin must land in its donor's product cell: $cells")
+      // re-delivery appends nothing
+      mem.addData((500L, donor))
+      q.processAllAvailable()
+      assert(count() == before + 1, "replayed ids must not duplicate index rows")
+    } finally q.stop()
+  }
+
   test("D2→C26b: streaming semantic-dedup ingest — self pass, index verdicts, exactly-once growth") {
     import graft.operators.Similarity
     implicit val sqlCtx = spark.sqlContext
