@@ -184,7 +184,8 @@ object SparkEntry {
     // two-level (inverted-multi-index) quantizer — assignment scores
     // ~2·sqrt(cells) centroids instead of cells, the flat-IVF growth
     // path measured in SCALING_r13
-    "q138_text_semdedup_imi"     -> ((s, d) => TextEmbed.textSemDedupImi(s, d))
+    "q138_text_semdedup_imi"     -> ((s, d) => TextEmbed.textSemDedupImi(s, d)),
+    "q139_semdedup_imi_portable" -> ((s, d) => Similarity.semanticDedupImiPortable(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -2125,6 +2126,44 @@ object SparkEntry {
         |           row_number() OVER (PARTITION BY e.vec_id
         |             ORDER BY c.c2 - 2.0 * list_dot_product(e.v, c.cvec) ASC, c.cell ASC) AS rn
         |         FROM e CROSS JOIN c) WHERE rn = 1),
+        |m AS (SELECT a.vec_id, a.cell, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm
+        |      FROM asg a JOIN e ON e.vec_id = a.vec_id),
+        |dups AS (SELECT id_b AS vec_id, min(id_a) AS dup_of FROM (
+        |          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |            round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cos
+        |          FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+        |         WHERE cos >= 0.25 GROUP BY 1)
+        |SELECT m.vec_id, m.cell, d.vec_id IS NOT NULL AS is_dup, d.dup_of
+        |FROM m LEFT JOIN dups d ON d.vec_id = m.vec_id
+        |ORDER BY m.vec_id""".stripMargin,
+
+    // q139: the two-level (IMI) SemDeDup SHAPE from scratch — formula
+    // sub-quantizers (cell j of each half = vector j's half, j < 4),
+    // per-half argmin, product cell c1*4+c2, then q85's pairing and
+    // verdict verbatim; halves are the 64-dim embedding's 32/32 split
+    // (a corpus dim change would hash-mismatch loudly — the shared-
+    // constant convention)
+    "q139_semdedup_imi_portable" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |h AS (SELECT vec_id, v[1:32] AS v1, v[33:64] AS v2, v FROM e),
+        |c1 AS (SELECT CAST(vec_id AS INT) AS cell, v1 AS cvec,
+        |         list_dot_product(v1, v1) AS c2 FROM h WHERE vec_id < 4),
+        |c2t AS (SELECT CAST(vec_id AS INT) AS cell, v2 AS cvec,
+        |          list_dot_product(v2, v2) AS c2 FROM h WHERE vec_id < 4),
+        |a1 AS (SELECT vec_id, cell AS cc1 FROM (
+        |        SELECT h.vec_id, c1.cell,
+        |          row_number() OVER (PARTITION BY h.vec_id
+        |            ORDER BY c1.c2 - 2.0 * list_dot_product(h.v1, c1.cvec) ASC,
+        |                     c1.cell ASC) AS rn
+        |        FROM h CROSS JOIN c1) WHERE rn = 1),
+        |a2 AS (SELECT vec_id, cell AS cc2 FROM (
+        |        SELECT h.vec_id, c2t.cell,
+        |          row_number() OVER (PARTITION BY h.vec_id
+        |            ORDER BY c2t.c2 - 2.0 * list_dot_product(h.v2, c2t.cvec) ASC,
+        |                     c2t.cell ASC) AS rn
+        |        FROM h CROSS JOIN c2t) WHERE rn = 1),
+        |asg AS (SELECT a1.vec_id, a1.cc1 * 4 + a2.cc2 AS cell
+        |        FROM a1 JOIN a2 USING (vec_id)),
         |m AS (SELECT a.vec_id, a.cell, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm
         |      FROM asg a JOIN e ON e.vec_id = a.vec_id),
         |dups AS (SELECT id_b AS vec_id, min(id_a) AS dup_of FROM (

@@ -1201,6 +1201,32 @@ object Similarity {
     semanticDedupAgainstIndex(batch, assigned, centroids, threshold)
   }
 
+  /** C26d `q139_semdedup_imi_portable` — the TWO-LEVEL SemDeDup SHAPE
+    * oracle-backed (the q85↔q134 relationship reproduced for the IMI
+    * tier): FORMULA sub-quantizers — cell j of each half is vector j's
+    * own half, j < k — replace the KMeans fits, so the per-half argmin
+    * assignment, the `c1 · k2 + c2` product-cell arithmetic, the
+    * within-cell pairing and the keep-lowest-id verdict are ALL
+    * re-derivable from scratch in DuckDB and hash-checked. Production
+    * feeds [[buildIvfIndexTwoLevel]] artifacts instead; the two differ
+    * ONLY in where the sub-centroid tables came from. */
+  def semanticDedupImiPortable(spark: SparkSession, dir: String,
+                               k1: Int = 4, k2: Int = 4,
+                               threshold: Double = 0.25): DataFrame = {
+    val e = prepVectors(Tables(spark, dir).embeddings).localCheckpoint()
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    val h = dim / 2
+    def halfCent(first: Boolean, k: Int) = {
+      val hv = if (first) slice(col("v"), 1, h) else slice(col("v"), h + 1, dim - h)
+      e.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cell"), hv.as("cvec"),
+          vectors.dot(hv, hv).as("c2"))
+    }
+    val assigned = assignTwoLevel(e,
+      halfCent(first = true, k1), halfCent(first = false, k2), k2)
+    semanticDedupAssigned(assigned, threshold)
+  }
+
   /** The q79 formula-chosen centroid table (first `n` corpus vectors as
     * cells) shared by every *Portable twin — deterministic, so the
     * full pipeline stays reproducible from scratch in an external
