@@ -218,24 +218,35 @@ object Bench {
     // plus control medians for only the >1.3× primary/control outliers
     // — the compact self-control that separates load noise (suspects
     // revert here) from real regressions (they reproduce)
-    def assemble(suspectCap: Int): String = {
+    def assemble(suspectCap: Int, withHeadline: Boolean): String = {
       val cs = control.fold("") { case (ct, suspects) =>
         val kept = suspects.take(suspectCap)
         val sus =
           if (kept.isEmpty) ""
           else kept.map { case (n, t) => "\"" + n.split("_").head + "\":" + fmt(t) }
             .mkString(""","suspects":{""", ",", "}")
-        // protocol marker (round-12 advice): the headline is the
-        // quieter of two runs, a systematic few-percent downward bias
-        // vs pre-r12 run-1 headlines — cross-round trend readers
-        // should compare min2 artifacts to each other, or to controls
-        s""","headline":"min2","control":{"value":${fmt(ct)}$sus}"""
+        s""","control":{"value":${fmt(ct)}$sus}"""
       }
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sf,"iters":$iters$bs$cs,"queries":$qs}"""
+      // protocol marker (round-12 advice; round-14 nit: emitted on EVERY
+      // line, not only inside the control block, so cross-round trend
+      // readers always know which protocol produced the value): "min2" =
+      // the quieter of two back-to-back runs (a systematic few-percent
+      // downward bias vs run-1 headlines — compare min2 artifacts to
+      // each other); "run1" = a single-run line (the crash-resilience
+      // early print, or SPARK_GRAFT_BENCH_CONTROL=0)
+      val hl =
+        if (!withHeadline) ""
+        else if (control.isDefined) ""","headline":"min2""""
+        else ""","headline":"run1""""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$hl,"sf":$sf,"iters":$iters$bs$cs,"queries":$qs}"""
     }
     // the harness keeps the LAST ~2000 chars: an over-budget line loses
-    // its HEAD and stops parsing, so suspects shed before anything else
+    // its HEAD and stops parsing — so shed diagnostics in priority
+    // order: suspects first (per-query control medians are the most
+    // expendable), the protocol marker last (only a pathological
+    // all-queries-slow line ever reaches it)
     val caps = control.map(_._2.size).getOrElse(0) to 0 by -1
-    caps.map(assemble).find(_.length <= 1950).getOrElse(assemble(0))
+    (caps.map(assemble(_, true)) ++ caps.map(assemble(_, false)))
+      .find(_.length <= 1950).getOrElse(assemble(0, withHeadline = false))
   }
 }

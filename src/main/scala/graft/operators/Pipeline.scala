@@ -249,12 +249,18 @@ object Pipeline {
       case Some(dir) =>
         val path = s"$dir/$name"
         val spark = df.sparkSession
-        (try Some(spark.read.parquet(path))
-        catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getCondition == "PATH_NOT_FOUND" ||
-                 e.getCondition == "UNABLE_TO_INFER_SCHEMA" => None
-        }).getOrElse {
+        // a waist is adopted ONLY behind its _SUCCESS marker (round-14
+        // advice): a run killed mid-commit can leave a readable but
+        // TRUNCATED parquet dir — some part files moved into place, no
+        // marker — and adopting it would silently build the corpus from
+        // partial records, exactly the crash the feature guards against.
+        // Spark's committer writes _SUCCESS last, so marker-present ⇒
+        // every task committed; marker-absent ⇒ rebuild (Overwrite
+        // clears the partial dir first).
+        val hPath = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(hPath)) spark.read.parquet(path)
+        else {
           df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
           spark.read.parquet(path)
         }

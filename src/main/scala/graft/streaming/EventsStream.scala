@@ -846,6 +846,16 @@ object EventsStream {
     * the cell-size guard inside the probe fails loudly in-plan when a
     * cell outgrows `maxCellSize`.
     *
+    * ORDER (round-14 advice): the index append commits BEFORE `accept`
+    * fires. A replayed batch then finds its vectors already in the
+    * index — they verdict as dups and never re-accept, so `accept` is
+    * never called twice for a row. The residual crash window is the
+    * converse: a crash between the append commit and `accept` leaves
+    * rows indexed but unreported; they are recoverable exactly (diff
+    * the index table's vec_ids against the accept sink's), whereas the
+    * old order's duplicate accepts were silent. Every accepted row is
+    * always in the index — the invariant downstream probes rely on.
+    *
     * Returns the started query; callers own its lifecycle. */
   def semanticDedupIngestStream(embeddings: DataFrame, cellTable: String,
                                 centroidsPath: String, checkpointDir: String,
@@ -872,7 +882,7 @@ object EventsStream {
         val accepted = reps
           .join(verdicts.filter(!col("is_dup")).select(col("vec_id")), Seq("vec_id"))
           .localCheckpoint()
-        accept(accepted)
+        // append FIRST (see the order contract above), report after
         Similarity.appendToIvfIndex(accepted, centroids)
           .join(spark.table(cellTable).select(col("vec_id")).distinct(),
             Seq("vec_id"), "left_anti")
@@ -881,6 +891,7 @@ object EventsStream {
           .bucketBy(numBuckets, "cell")
           .sortBy("cell")
           .saveAsTable(cellTable)
+        accept(accepted)
       }
       .start()
 

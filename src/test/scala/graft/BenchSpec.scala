@@ -13,15 +13,23 @@ class BenchSpec extends AnyFunSuite {
       Seq(("q01_pricing_summary", 1.23456), ("q70_span_dedup", 0.5)),
       1.73456, "0.1", 3)
     assert(line ==
-      """{"metric":"total","value":1.735,"unit":"sec","sf":0.1,"iters":3,"queries":{"q01":1.235,"q70":0.500}}""",
+      """{"metric":"total","value":1.735,"unit":"sec","headline":"run1","sf":0.1,"iters":3,"queries":{"q01":1.235,"q70":0.500}}""",
       line)
   }
 
   test("metricsLine holds 140 queries inside the 1950-char tail budget") {
+    // pathological width (every median 12.345 s): the protocol marker
+    // sheds — query medians always beat diagnostics for tail budget
     val many = (1 to 140).map(i => (f"q$i%02d_some_long_descriptive_name", 12.345))
     val line = Bench.metricsLine(many, 140 * 12.345, "1.0", 3)
     assert(line.length <= 1950, s"${line.length} chars")
     assert(line.contains("\"q140\":12.345"))
+    // realistic width (sub-10s medians, the actual suite's regime): the
+    // headline marker survives alongside all 140 queries
+    val typical = (1 to 140).map(i => (f"q$i%02d_some_long_descriptive_name", 1.234))
+    val tline = Bench.metricsLine(typical, 140 * 1.234, "1.0", 3)
+    assert(tline.length <= 1950, s"${tline.length} chars")
+    assert(tline.contains("\"headline\":\"run1\""), tline.take(120))
   }
 
   test("metricsLine carries one-time build costs separately from query medians") {
@@ -29,7 +37,7 @@ class BenchSpec extends AnyFunSuite {
       Seq(("q47_ann_pq", 0.4)), 0.4, "0.1", 3,
       builds = Seq(("q47_ann_pq", 2.1)))
     assert(line ==
-      """{"metric":"total","value":0.400,"unit":"sec","sf":0.1,"iters":3,"build":{"q47":2.100},"queries":{"q47":0.400}}""",
+      """{"metric":"total","value":0.400,"unit":"sec","headline":"run1","sf":0.1,"iters":3,"build":{"q47":2.100},"queries":{"q47":0.400}}""",
       line)
   }
 
@@ -39,11 +47,12 @@ class BenchSpec extends AnyFunSuite {
       6.5, "0.1", 3,
       control = Some((4.2, Seq(("q37_dup_clusters", 3.0)))))
     assert(line ==
-      """{"metric":"total","value":6.500,"unit":"sec","sf":0.1,"iters":3,"headline":"min2","control":{"value":4.200,"suspects":{"q37":3.000}},"queries":{"q37":5.500,"q01":1.000}}""",
+      """{"metric":"total","value":6.500,"unit":"sec","headline":"min2","sf":0.1,"iters":3,"control":{"value":4.200,"suspects":{"q37":3.000}},"queries":{"q37":5.500,"q01":1.000}}""",
       line)
     val noSus = Bench.metricsLine(Seq(("q01_a", 1.0)), 1.0, "0.1", 3,
       control = Some((1.05, Nil)))
-    assert(noSus.contains(""""headline":"min2","control":{"value":1.050},"queries""""), noSus)
+    assert(noSus.contains(""""headline":"min2","sf""""), noSus)
+    assert(noSus.contains(""""control":{"value":1.050},"queries""""), noSus)
   }
 
   test("metricsLine holds 120 queries plus control-with-suspects inside the tail budget") {

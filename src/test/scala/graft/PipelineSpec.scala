@@ -171,5 +171,24 @@ class PipelineSpec extends SparkSpecBase {
         .otherwise(col("content")).as("content"))
     assert(run(poisoned, Some(dir)) == inMem,
       "resumed run must answer from the persisted waists alone")
+    // crash-resume guard (round-14 advice): a waist dir WITHOUT its
+    // _SUCCESS marker is a mid-commit casualty — readable parquet, but
+    // possibly truncated. TRUNCATE the records waist to one row and
+    // delete its marker: an un-guarded resume would adopt the partial
+    // table and silently build a wrong corpus; the guard must rebuild
+    // from the (real) chunks and answer identically.
+    val recDir = new java.io.File(s"$dir/records")
+    val partFiles = recDir.listFiles.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    partFiles.drop(1).foreach(_.delete())
+    assert(new java.io.File(recDir, "_SUCCESS").delete(), "marker must exist to delete")
+    // the downstream gated waist goes too (the crash happened during
+    // the records commit, before gated ever wrote) — so adopting the
+    // truncated records table WOULD change the answer
+    val gatedDir = new java.io.File(s"$dir/gated")
+    gatedDir.listFiles.foreach(_.delete()); assert(gatedDir.delete())
+    assert(run(chunks, Some(dir)) == inMem,
+      "a markerless (partial) waist must be rebuilt, not adopted")
+    assert(new java.io.File(recDir, "_SUCCESS").exists,
+      "the rebuild must leave a complete, marked waist behind")
   }
 }

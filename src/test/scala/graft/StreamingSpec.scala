@@ -1161,6 +1161,10 @@ class StreamingSpec extends SparkSpecBase {
         s"a twin of a streamed-in vector must reject next trigger: $acceptedIds")
       assert(indexCount() == before + 1,
         "re-delivered and rejected ids must not grow the index")
+      // append-before-accept (round-14 advice): a re-delivered
+      // already-indexed id verdicts as a dup and never re-accepts
+      assert(acceptedIds.count(_ == 501L) == 1,
+        s"accept must fire at most once per row across re-deliveries: $acceptedIds")
     } finally q.stop()
   }
 
