@@ -111,7 +111,14 @@ object TextEmbed {
     *
     * `maxCellSize` stays the loud skew guard: a degenerate fit that
     * collapses the corpus into one cell fails in-plan instead of
-    * running the O(B²) pairing. */
+    * running the O(B²) pairing.
+    *
+    * Round 14: the quantizer STRUCTURE is now auto-selected from the
+    * same corpus-derived cell count (flat below
+    * [[FlatCellsCrossover]], two-level above it — [[useTwoLevel]]), so
+    * this registered default stays ~linear at any scale instead of
+    * quietly going quadratic past ~10³ cells (the round-13 measured
+    * failure mode: 38.8× wall at 30× data on flat assignment). */
   def textSemDedupTrained(spark: SparkSession, dir: String): DataFrame =
     textSemDedupTrainedFrame(Tables(spark, dir).documents)
 
@@ -126,33 +133,62 @@ object TextEmbed {
   def textSemDedupImi(spark: SparkSession, dir: String): DataFrame =
     textSemDedupImiFrame(Tables(spark, dir).documents)
 
-  /** [[textSemDedupImi]] over any (doc_id, text) frame. */
+  /** [[textSemDedupImi]] over any (doc_id, text) frame — the trained
+    * pipeline with the two-level quantizer FORCED (q138's contract:
+    * always the product-cell structure, whatever the cell count). */
   def textSemDedupImiFrame(docs: DataFrame,
                            dims: Int = 60,
                            targetCellSize: Int = 125,
                            threshold: Double = 0.92,
                            maxCellSize: Int = 10000,
                            seed: Long = 42L,
-                           fitSampleSize: Int = 16384): DataFrame = {
-    require(targetCellSize > 0, s"targetCellSize must be positive, got $targetCellSize")
-    val e = Similarity.prepVectors(embedDocuments(docs, dims)).localCheckpoint()
-    val n = e.count()
-    val cells = math.max(4L,
-      math.min((n + targetCellSize - 1) / targetCellSize, fitSampleSize / 2L))
-    val k = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
-    val (assigned, _, _) =
-      Similarity.buildTwoLevelFrom(e, n, k, k, seed, fitSampleSize)
-    Similarity.semanticDedupAssigned(assigned, threshold, maxCellSize)
-  }
+                           fitSampleSize: Int = 16384): DataFrame =
+    textSemDedupTrainedFrame(docs, dims, targetCellSize, threshold,
+      maxCellSize, seed, fitSampleSize, quantizer = "imi")
 
-  /** [[textSemDedupTrained]] over any (doc_id, text) frame. */
+  /** The measured flat→two-level crossover, in CELLS (SCALING_r13's
+    * q134/q138 legs, sf0.1→sf1→30×): at 40 cells flat and IMI tie
+    * (2.97 vs 3.88 s — IMI's two sub-fits cost more than they save);
+    * at 400 cells IMI wins 1.7× outright (13.0 vs 21.7 s); at 1200
+    * cells flat is the quadratic O(n·cells) term arriving (115.1 s =
+    * 38.8× at 30× data) while IMI holds 5.4×. 128 sits in the measured
+    * tie band: below it the flat build's single fit is the better
+    * constant, above it the √cells assignment term starts to pay. */
+  val FlatCellsCrossover = 128L
+
+  /** The quantizer-structure decision — PURE so the spec pins it
+    * without running a build. "auto" is the production rule the
+    * round-13 verdict demanded: the SAME corpus-derived cell count
+    * that sizes the quantizer now also picks its structure, so the
+    * registered q134 default can no longer quietly go quadratic at
+    * scale (flat assignment is O(n·cells) with cells ∝ n). */
+  private[graft] def useTwoLevel(cells: Long, quantizer: String): Boolean =
+    quantizer match {
+      case "flat" => false
+      case "imi"  => true
+      case "auto" => cells > FlatCellsCrossover
+      case other => throw new IllegalArgumentException(
+        s"quantizer must be one of auto|flat|imi, got '$other'")
+    }
+
+  /** [[textSemDedupTrained]] over any (doc_id, text) frame.
+    *
+    * `quantizer`: "auto" (default — flat below [[FlatCellsCrossover]]
+    * cells, two-level above it, decided by [[useTwoLevel]] from the
+    * same count that sizes the quantizer), "flat" or "imi" to force a
+    * structure (q138 forces "imi"; benchmarks force both to measure
+    * the crossover). Downstream semantics are structure-independent —
+    * [[Similarity.semanticDedupAssigned]] consumes (vec_id, v, nrm,
+    * cell) either way, and the flat-vs-IMI planted parity spec pins
+    * that verdicts agree across the switch. */
   def textSemDedupTrainedFrame(docs: DataFrame,
                                dims: Int = 60,
                                targetCellSize: Int = 125,
                                threshold: Double = 0.92,
                                maxCellSize: Int = 10000,
                                seed: Long = 42L,
-                               fitSampleSize: Int = 16384): DataFrame = {
+                               fitSampleSize: Int = 16384,
+                               quantizer: String = "auto"): DataFrame = {
     require(targetCellSize > 0, s"targetCellSize must be positive, got $targetCellSize")
     // one bounded aggregate (a single long) sizes the quantizer — the
     // production rule: cells track the corpus, not a fixed constant —
@@ -162,15 +198,22 @@ object TextEmbed {
     // 10× data, measured; the sampled build restores ~linear)
     val e = Similarity.prepVectors(embedDocuments(docs, dims)).localCheckpoint()
     val n = e.count()
-    // k caps at half the fit sample so Lloyd's always sees >= 2 vectors
-    // per centroid; past that scale, cells grow past targetCellSize and
-    // the census guard is the honest signal to raise fitSampleSize
-    val nClusters = math.max(4L,
-      math.min((n + targetCellSize - 1) / targetCellSize, fitSampleSize / 2L)).toInt
-    val fit = if (n <= fitSampleSize) e
-      else e.sample(withReplacement = false, fitSampleSize.toDouble / n, seed)
-    val (_, centroids) = Similarity.buildIvfIndexFrom(fit, nClusters, seed)
-    val assigned = Similarity.assignPrepped(e, centroids.localCheckpoint())
+    // cells cap at half the fit sample so Lloyd's always sees >= 2
+    // vectors per centroid; past that scale, cells grow past
+    // targetCellSize and the census guard is the honest signal to
+    // raise fitSampleSize
+    val cells = math.max(4L,
+      math.min((n + targetCellSize - 1) / targetCellSize, fitSampleSize / 2L))
+    val assigned =
+      if (useTwoLevel(cells, quantizer)) {
+        val k = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+        Similarity.buildTwoLevelFrom(e, n, k, k, seed, fitSampleSize)._1
+      } else {
+        val fit = if (n <= fitSampleSize) e
+          else e.sample(withReplacement = false, fitSampleSize.toDouble / n, seed)
+        val (_, centroids) = Similarity.buildIvfIndexFrom(fit, cells.toInt, seed)
+        Similarity.assignPrepped(e, centroids.localCheckpoint())
+      }
     Similarity.semanticDedupAssigned(assigned, threshold, maxCellSize)
   }
 }

@@ -116,6 +116,52 @@ class TextEmbedSpec extends SparkSpecBase {
     assert(!imi(203L)._1 && base.forall(b => !imi(b._1)._1))
   }
 
+  test("quantizer auto-switch (round 14): pure rule + both sides of the crossover") {
+    // the pure decision (no build): flat through the measured crossover,
+    // two-level past it, forced values obeyed, junk refused loudly
+    assert(!TextEmbed.useTwoLevel(4L, "auto"))
+    assert(!TextEmbed.useTwoLevel(TextEmbed.FlatCellsCrossover, "auto"))
+    assert(TextEmbed.useTwoLevel(TextEmbed.FlatCellsCrossover + 1, "auto"))
+    assert(!TextEmbed.useTwoLevel(100000L, "flat"))
+    assert(TextEmbed.useTwoLevel(4L, "imi"))
+    intercept[IllegalArgumentException] { TextEmbed.useTwoLevel(4L, "bogus") }
+
+    // integration, below the crossover (44 docs / tcs=8 → 6 cells):
+    // auto must BE the flat build — same seed, same pipeline, so the
+    // full (vec_id, cell, verdict) frame is bit-identical
+    val base = (0 until 40).map(i =>
+      (i.toLong, (1 to 12).map(k => s"topic${i}_w$k").mkString(" ")))
+    val docs = (base ++ Seq(
+      (200L, base(3)._2), (201L, base(3)._2 + " stray"),
+      (202L, base(17)._2),
+      (203L, (1 to 12).map(k => s"fresh_w$k").mkString(" "))))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cell"), col("is_dup"), col("dup_of"))
+      .as[(Long, Int, Boolean, Option[Long])].collect().toSet
+    assert(rows(TextEmbed.textSemDedupTrainedFrame(docs, targetCellSize = 8)) ==
+      rows(TextEmbed.textSemDedupTrainedFrame(docs, targetCellSize = 8, quantizer = "flat")),
+      "below the crossover, auto must take the flat build bit-exactly")
+
+    // integration, above the crossover (304 docs / tcs=2 → 152 cells):
+    // auto must BE the two-level build — product-cell ids and verdicts
+    // identical to the forced-imi run
+    val wide = (0 until 300).map(i =>
+      (i.toLong, (1 to 12).map(k => s"topic${i}_w$k").mkString(" ")))
+    val wideDocs = (wide ++ Seq(
+      (400L, wide(3)._2), (401L, wide(17)._2),
+      (402L, (1 to 12).map(k => s"fresh_w$k").mkString(" "))))
+      .toDF("doc_id", "text")
+    val auto = rows(TextEmbed.textSemDedupTrainedFrame(wideDocs, targetCellSize = 2))
+    assert(auto ==
+      rows(TextEmbed.textSemDedupImiFrame(wideDocs, targetCellSize = 2)),
+      "above the crossover, auto must take the two-level build bit-exactly")
+    val m = auto.map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(m(400L) == ((true, Some(3L))) && m(401L) == ((true, Some(17L))),
+      s"twins must still dup onto their donors across the switch: ${m(400L)}, ${m(401L)}")
+    assert(!m(402L)._1, "the novel doc must survive above the crossover")
+  }
+
   test("embedding cosine tracks token overlap (JL contract)") {
     val docs = Seq(
       (1L, "a b c d e f g h"),
