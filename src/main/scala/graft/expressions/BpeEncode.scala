@@ -40,7 +40,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * vocabulary per partition — identical words hit the cache instead of
   * re-running the merge loop.
   */
-final class BpeTable(val lefts: Array[String], val rights: Array[String])
+final class BpeTable(val lefts: Array[String], val rights: Array[String],
+                     val byteLevel: Boolean = false)
     extends Serializable {
   import BpeTable._
 
@@ -108,6 +109,12 @@ final class BpeTable(val lefts: Array[String], val rights: Array[String])
     }
 
   def encode(tok: UTF8String): ArrayData = {
+    // cache key = the RAW token (round 14): in byteLevel mode the
+    // byte→symbol pre-map runs INSIDE encodeUncached, so it amortizes
+    // over the per-thread Zipf word cache exactly like the merge loop —
+    // the previous column-level remap ran per token OCCURRENCE (hex
+    // split + 256-map lookup per byte) and was measured costing q136
+    // 27.2× at 30× data where the char-mode twin q126 held 4.5×
     val s = tok.toString
     val cache = cacheTL.get()
     val hit = cache.get(s)
@@ -118,14 +125,22 @@ final class BpeTable(val lefts: Array[String], val rights: Array[String])
   }
 
   private def encodeUncached(s: String): GenericArrayData = {
-    // char split by code point (the fold's regex `(.)` matches one code
-    // point) + the end-of-word marker as one symbol
     val syms = new java.util.ArrayList[String](s.length + 1)
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      syms.add(new String(Character.toChars(cp)))
-      i += Character.charCount(cp)
+    if (byteLevel) {
+      // GPT-2 bytes_to_unicode base alphabet: one symbol per UTF-8
+      // byte — a 256-entry array lookup, no hex round-trip
+      val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < bs.length) { syms.add(ByteSymbols(bs(i) & 0xFF)); i += 1 }
+    } else {
+      // char split by code point (the fold's regex `(.)` matches one
+      // code point)
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        syms.add(new String(Character.toChars(cp)))
+        i += Character.charCount(cp)
+      }
     }
     syms.add(EndOfWord)
     // min-rank loop: lowest-ranked present pair, merged exhaustively
@@ -161,13 +176,15 @@ final class BpeTable(val lefts: Array[String], val rights: Array[String])
 
   override def equals(o: Any): Boolean = o match {
     case t: BpeTable =>
-      java.util.Arrays.equals(lefts.asInstanceOf[Array[AnyRef]], t.lefts.asInstanceOf[Array[AnyRef]]) &&
+      byteLevel == t.byteLevel &&
+        java.util.Arrays.equals(lefts.asInstanceOf[Array[AnyRef]], t.lefts.asInstanceOf[Array[AnyRef]]) &&
         java.util.Arrays.equals(rights.asInstanceOf[Array[AnyRef]], t.rights.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
   override def hashCode(): Int =
-    java.util.Arrays.hashCode(lefts.asInstanceOf[Array[AnyRef]]) * 31 +
-      java.util.Arrays.hashCode(rights.asInstanceOf[Array[AnyRef]])
+    (java.util.Arrays.hashCode(lefts.asInstanceOf[Array[AnyRef]]) * 31 +
+      java.util.Arrays.hashCode(rights.asInstanceOf[Array[AnyRef]])) * 31 +
+      byteLevel.hashCode()
 }
 
 object BpeTable {
@@ -177,6 +194,21 @@ object BpeTable {
   val MaxMerges = 131072
   /** Per-thread encoded-word cache entries. */
   val CacheWords = 65536
+
+  /** The GPT-2 byte→unicode symbol table (Radford et al. 2019,
+    * `bytes_to_unicode`): printable latin bytes (33–126, 161–172,
+    * 174–255) map to themselves, the rest to 256+n in ascending byte
+    * order. Lives here (next to the kernel that consumes it per byte);
+    * [[graft.operators.Bpe.byteSymbols]] re-exposes it as the
+    * column-API constant. */
+  val ByteSymbols: Array[String] = {
+    val self = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = -1
+    (0 until 256).map { b =>
+      if (self(b)) b.toChar.toString
+      else { n += 1; (256 + n).toChar.toString }
+    }.toArray
+  }
 }
 
 /** Native BPE encode: `graft_bpe_encode(tok, lefts, rights)` →
@@ -207,12 +239,14 @@ object BpeEncodeExpr {
 
   /** Function builder for the SQL registration: children are
     * (tok, lefts: foldable array<string>, rights: foldable
-    * array<string>). The side arrays are required foldable because the
-    * table must validate and compile ONCE — a per-row table would
-    * re-validate 131k merges per record. */
+    * array<string>[, byteLevel: foldable boolean]). The side arrays are
+    * required foldable because the table must validate and compile
+    * ONCE — a per-row table would re-validate 131k merges per record;
+    * byteLevel likewise bakes into the table so the per-byte pre-map
+    * joins the per-distinct-word cached path. */
   def build(children: Seq[Expression]): Expression = {
-    require(children.size == 3,
-      s"graft_bpe_encode takes (tok, lefts, rights), got ${children.size} arguments")
+    require(children.size == 3 || children.size == 4,
+      s"graft_bpe_encode takes (tok, lefts, rights[, byteLevel]), got ${children.size} arguments")
     def sides(e: Expression, which: String): Array[String] = {
       require(e.foldable && e.dataType.isInstanceOf[ArrayType],
         s"graft_bpe_encode $which must be a foldable array<string> literal")
@@ -223,7 +257,15 @@ object BpeEncodeExpr {
         u.toString
       }
     }
+    val byteLevel = children.lift(3).exists { e =>
+      require(e.foldable && e.dataType == org.apache.spark.sql.types.BooleanType,
+        "graft_bpe_encode byteLevel must be a foldable boolean literal")
+      val v = e.eval(null)
+      require(v != null, "graft_bpe_encode byteLevel must not be null")
+      v.asInstanceOf[Boolean]
+    }
     BpeEncodeExpr(children.head,
-      new BpeTable(sides(children(1), "lefts"), sides(children(2), "rights")))
+      new BpeTable(sides(children(1), "lefts"), sides(children(2), "rights"),
+        byteLevel))
   }
 }

@@ -60,14 +60,7 @@ object Bpe {
     * mapped symbol is exactly one code point, so the char-level
     * machinery (fold, kernel, trainer, validator) carries over
     * UNCHANGED — byte level is a string pre-map, not a new engine. */
-  val byteSymbols: Array[String] = {
-    val self = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
-    var n = -1
-    (0 until 256).map { b =>
-      if (self(b)) b.toChar.toString
-      else { n += 1; (256 + n).toChar.toString }
-    }.toArray
-  }
+  val byteSymbols: Array[String] = graft.expressions.BpeTable.ByteSymbols
 
   /** [[byteSymbols]] as a column transform: token string → its UTF-8
     * bytes, each mapped to its symbol. Built-ins only (hex pairs →
@@ -126,15 +119,19 @@ object Bpe {
       s"numMerges must lie in [1, $maxTrainMerges], got $numMerges")
     require(maxVocabWords >= 1 && maxVocabWords <= 1000000,
       s"maxVocabWords must lie in [1, 1e6] (the table is collected), got $maxVocabWords")
-    // byteLevel: words pre-map through [[byteRemap]] BEFORE counting,
-    // so the driver-side loop (code-point split) sees byte symbols —
-    // trained merges then live in byte-symbol space end to end
-    val wordCol = if (byteLevel) byteRemap(col("_w0")) else col("_w0")
+    // byteLevel: words pre-map through [[byteRemap]] so the driver-side
+    // loop (code-point split) sees byte symbols — trained merges then
+    // live in byte-symbol space end to end. The remap runs AFTER the
+    // count aggregate (round 14): byteRemap is injective, so counting
+    // raw words and mapping the |vocab| distinct survivors is the same
+    // table at a fraction of the remap work (the corpus-sized side of
+    // the aggregate never touches the hex round-trip). The (n desc, w)
+    // tie-break still orders by the MAPPED word — bit-stable retrains.
     val words = docs
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("_w0"))
       .filter(col("_w0") =!= "")
-      .select(wordCol.as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .groupBy(col("_w0")).agg(count(lit(1)).as("n"))
+      .select((if (byteLevel) byteRemap(col("_w0")) else col("_w0")).as("w"), col("n"))
       .orderBy(col("n").desc, col("w")).limit(maxVocabWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     trainFromWordCounts(words, numMerges)
@@ -281,11 +278,15 @@ object Bpe {
                    byteLevel: Boolean = false): Column = {
     require(merges.nonEmpty && merges.size <= maxTrainMerges,
       s"encodeKernel takes 1..$maxTrainMerges merges, got ${merges.size}")
-    // byte mode is a pre-map: mapped symbols are single code points,
-    // so the kernel (and its table validator) run UNCHANGED over them
-    val base = if (byteLevel) byteRemap(tok) else tok
-    call_function("graft_bpe_encode", base,
-      typedlit(merges.map(_._1)), typedlit(merges.map(_._2)))
+    // byte mode rides INSIDE the kernel (round 14): the raw token is
+    // the cache key and the byte→symbol pre-map runs once per DISTINCT
+    // word per thread, next to the merge loop it feeds — the previous
+    // column-level [[byteRemap]] ran per token occurrence, outside the
+    // Zipf cache, and was the measured reason q136 scaled 27.2× at 30×
+    // data while the char-mode q126 held 4.5×. Mapped symbols are
+    // single code points, so the table validator runs unchanged.
+    call_function("graft_bpe_encode", tok,
+      typedlit(merges.map(_._1)), typedlit(merges.map(_._2)), lit(byteLevel))
   }
 
   /** Per-document BPE length stats under a merge table: the real
@@ -312,19 +313,24 @@ object Bpe {
                          keyCol: String, textCol: String,
                          useKernel: Boolean,
                          byteLevel: Boolean = false): DataFrame = {
-    // byte mode maps the word ONCE and feeds the mapped form to both
-    // the encoder and the length stat, so `_c` counts BYTES (the unit
-    // the fixed 256-symbol alphabet measures in), chars otherwise
+    // byte mode: the kernel path feeds the RAW word and remaps inside
+    // the expression (per-distinct-word, cached — round 14); the fold
+    // path keeps the column-level pre-map (its 256-node remap is the
+    // certified small-table formulation). `_c` counts BYTES in byte
+    // mode (the unit the fixed 256-symbol alphabet measures in — one
+    // symbol per UTF-8 byte, so octet_length(raw) == length(mapped)),
+    // chars otherwise.
     val pieces: Column => Column =
-      if (useKernel) encodeKernel(_, merges) else encode(_, merges)
-    val base = docs
+      if (useKernel) encodeKernel(_, merges, byteLevel)
+      else encode(_, merges, byteLevel)
+    val clen: Column => Column =
+      if (byteLevel) octet_length(_) else length(_)
+    docs
       .select(col(keyCol),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("_w0"))
       .filter(col("_w0") =!= "")
-      .withColumn("_w", if (byteLevel) byteRemap(col("_w0")) else col("_w0"))
-    base
-      .withColumn("_p", size(pieces(col("_w"))).cast("long"))
-      .withColumn("_c", length(col("_w")).cast("long"))
+      .withColumn("_p", size(pieces(col("_w0"))).cast("long"))
+      .withColumn("_c", clen(col("_w0")).cast("long"))
   }
 
   /** The q125 planted merge table — SHARED constants (the oracle
