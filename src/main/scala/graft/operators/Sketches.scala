@@ -251,6 +251,19 @@ object Sketches {
       .agg(count(lit(1)).as("n_values"),
         call_function("graft_kll_agg", col("value"), lit(k)).as("value_sketch"))
 
+  /** Rolls a PARTIAL-sketch table (one (day, key, n_values,
+    * value_sketch) row per micro-batch that touched the (day, key) —
+    * [[graft.streaming.EventsStream.kllPartialIngestStream]]'s
+    * artifact) up to the daily shape [[quantilesOverRange]] consumes.
+    * KLL merge is associative, so merging per-batch partials then
+    * range-merging days is the same sketch (same rank guarantees) as
+    * sketching each day's full multiset directly — the property that
+    * makes the sketch-bounded streaming form sound. */
+  def mergeKllPartials(partials: DataFrame, keyCol: String): DataFrame =
+    partials.groupBy(col(keyCol), col("day"))
+      .agg(sum(col("n_values")).as("n_values"),
+        call_function("graft_kll_merge", col("value_sketch")).as("value_sketch"))
+
   /** Quantiles per key over [fromDay, toDay] from the daily sketch
     * table: ONE merge aggregate, then one scalar decode per requested
     * rank over the tiny per-key result. */

@@ -422,7 +422,13 @@ object EventsStream {
     *
     * State cost: one in-flight row per (day, key, distinct value)
     * until the day finalizes — the census bound, the price of feeding
-    * the exact multiset through the exact batch kernel.
+    * the exact multiset through the exact batch kernel AND of
+    * day-complete finalized answers. For high-cardinality continuous
+    * values that is O(a day's rows); at that scale use
+    * [[kllPartialIngestStream]] — the sketch-bounded form (zero
+    * streaming state, per-batch partial sketches,
+    * batch-id-idempotent overwrite) whose trade is always-current
+    * answers over possibly-partial days.
     *
     * Returns the started query; callers own its lifecycle. */
   def kllIngestStream(events: DataFrame, sketchPath: String,
@@ -454,6 +460,75 @@ object EventsStream {
       }
       .start()
   }
+
+  /** The SKETCH-BOUNDED form of [[kllIngestStream]] (round 14): each
+    * micro-batch writes per-(day, key) PARTIAL KLL sketches under its
+    * own `batch_id` partition, and readers merge partials to daily
+    * sketches on demand ([[graft.operators.Sketches.mergeKllPartials]]
+    * — KLL merge is associative, so partials-then-days is the same
+    * sketch, same rank guarantees, as sketching each day whole).
+    *
+    * Why it exists: [[kllIngestStream]] holds one in-flight row per
+    * (day, key, DISTINCT VALUE) until the watermark closes the day —
+    * exact-multiset state, O(a day's distinct values), which defeats
+    * the point of a sketch at 100 TB/day of high-cardinality doubles.
+    * This form keeps ZERO streaming state (no watermark aggregate at
+    * all — the spec asserts `stateOperators` is empty): the per-batch
+    * aggregate is plain batch work inside `foreachBatch`, and the
+    * in-flight footprint is one sketch per (day, key) PER BATCH,
+    * bounded by keys · sketch size. The trades, stated honestly:
+    * answers include PARTIAL days (always-current, where the
+    * day-complete form answers only finalized days — pick per
+    * consumer), and the artifact grows one row per (batch, day, key)
+    * until compacted (re-write merged days on a maintenance cadence;
+    * day partitions close naturally once their events age out of
+    * arrival).
+    *
+    * Exactly-once: per-batch DYNAMIC PARTITION OVERWRITE keyed on
+    * `batch_id`. A crash-replay under the SAME checkpoint re-delivers
+    * the identical batch (the offset WAL pins batch boundaries) and
+    * rewrites only its own partition — equivalent sketches, identical
+    * counts, no duplication; value idempotency is never needed. A
+    * FRESH checkpoint re-ingest into the same path is a different
+    * operation: batch boundaries may differ, so start it on an empty
+    * `partialsPath` (the [[kllIngestStream]] fresh-replay tolerance
+    * comes from day-keyed overwrites, which this form gives up in
+    * exchange for bounded state).
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def kllPartialIngestStream(events: DataFrame, partialsPath: String,
+                             checkpointDir: String,
+                             keyCol: String = "event_type", tsCol: String = "ts",
+                             valueCol: String = "value", k: Int = 200):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeKllPartialBatch(batch, batchId, partialsPath, keyCol, tsCol,
+          valueCol, k)
+      }
+      .start()
+
+  /** One micro-batch of [[kllPartialIngestStream]] — factored out so
+    * the spec can replay a batch id directly (the WAL-replay
+    * simulation: same id + same rows must overwrite, not append). */
+  private[graft] def writeKllPartialBatch(batch: DataFrame, batchId: Long,
+                                          partialsPath: String, keyCol: String,
+                                          tsCol: String, valueCol: String,
+                                          k: Int): Unit =
+    batch
+      .select(col(tsCol).cast("date").as("day"), col(keyCol),
+        col(valueCol).cast("double").as("value"))
+      .groupBy(col("day"), col(keyCol))
+      .agg(count(lit(1)).as("n_values"),
+        call_function("graft_kll_agg", col("value"), lit(k)).as("value_sketch"))
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(partialsPath)
 
   /** D1→C2d bridge — streaming maintenance of the PARAGRAPH CENSUS
     * (the day-2 boilerplate table): each finalized ingest day's

@@ -642,6 +642,67 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D1h sketch-bounded: KLL partials match the batch kernel with ZERO streaming state; batch-id replay overwrites") {
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamEvent]
+    val tbl = java.nio.file.Files.createTempDirectory("graft_kllp_tbl").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_kllp_cp").toString
+    val q = EventsStream.kllPartialIngestStream(mem.toDF(), tbl, cp, k = 200)
+    val day1 = Seq(
+      StreamEvent(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      StreamEvent(2, ts("2024-01-01 10:05:00"), 2, "click", 5.0),
+      StreamEvent(3, ts("2024-01-01 10:10:00"), 3, "click", 5.0),
+      StreamEvent(4, ts("2024-01-01 11:00:00"), 4, "click", 9.0),
+      StreamEvent(5, ts("2024-01-01 12:00:00"), 5, "view", 2.0))
+    val day3 = Seq(
+      StreamEvent(6, ts("2024-01-03 02:00:00"), 6, "click", 100.0),
+      StreamEvent(7, ts("2024-01-03 03:00:00"), 7, "view", 4.0))
+    def decode(df: org.apache.spark.sql.DataFrame) =
+      Sketches.quantilesOverRange(df, "event_type", Seq(0.5, 0.9))
+        .as[(String, Long, Double, Double)].collect().toSet
+    def merged() =
+      Sketches.mergeKllPartials(spark.read.parquet(tbl), "event_type")
+    try {
+      // two batches land — NO day-finalization markers, no watermark:
+      // answers are current immediately, including the straddling batch
+      mem.addData(day1: _*)
+      q.processAllAvailable()
+      mem.addData(day1.take(2).map(e => e.copy(event_id = e.event_id + 100)) ++ day3: _*)
+      q.processAllAvailable()
+      // the partials merge to EXACTLY the batch kernel's answer over
+      // the same rows (exact mode at this size; in compacted mode the
+      // equivalence is rank-guarantee-level, the associativity of merge)
+      val allRows = (day1 ++ day1.take(2).map(e => e.copy(event_id = e.event_id + 100))
+        ++ day3).toDF()
+      val batchBuilt = Sketches.dailyQuantileSketches(
+        allRows, "event_type", "ts", "value", k = 200)
+      assert(decode(merged()) == decode(batchBuilt),
+        "merged partials must decode exactly like the batch-built table")
+      // THE BOUND: zero streaming state (no watermark aggregate — the
+      // whole point vs kllIngestStream's per-distinct-value rows) …
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"sketch-bounded form must keep no streaming state: ${q.lastProgress}")
+      // … and the artifact holds one sketch row per (batch, day, key)
+      val parts = spark.read.parquet(tbl)
+        .select(col("batch_id"), col("day"), col("event_type")).collect()
+      assert(parts.length == parts.distinct.length && parts.length == 5,
+        s"one partial row per (batch, day, key): ${parts.toSeq}")
+      // WAL-replay simulation: re-running batch 1 with the same rows
+      // (the crash-replay case — same checkpoint pins the boundaries)
+      // rewrites its own partition: row count and answers unchanged
+      val batch1Rows = (day1.take(2).map(e => e.copy(event_id = e.event_id + 100))
+        ++ day3).toDF()
+      EventsStream.writeKllPartialBatch(batch1Rows, 1L, tbl,
+        "event_type", "ts", "value", k = 200)
+      assert(spark.read.parquet(tbl).count() == 5,
+        "a replayed batch id must overwrite its partition, not append")
+      assert(decode(merged()) == decode(batchBuilt),
+        "replay must leave decoded answers unchanged")
+    } finally q.stop()
+  }
+
   test("D2→C27b: streaming vocabulary ingest bootstraps, attaches, and replays idempotently") {
     import graft.streaming.EventsStream.StreamDoc
     implicit val sqlCtx = spark.sqlContext
