@@ -1183,6 +1183,84 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Day-2 semantic dedup against a TWO-LEVEL (IMI) index, with the
+    * PROBE-SIDE recall knob (round 14): the batch assigns per half at
+    * its top-`nProbe` sub-cells and verdicts against all nProbe²
+    * PRODUCT cells, while the index's build assignment stays nProbe=1
+    * — the artifact is untouched, only probes widen. This buys back
+    * the boundary-pair recall the √cells assignment trades away
+    * (Babenko & Lempitsky's documented cost; SCALING_r13 measured it
+    * as 24 vs flat's 25 dups at 30× — one near-dup pair split across
+    * product cells): a probe whose half sits just across a sub-cell
+    * boundary from its twin still reaches the twin's product cell at
+    * nProbe=2. Squared distance decomposes over the halves, so the
+    * per-half top-nProbe probe set provably contains the nProbe²-best
+    * product centroids (the [[annImiSearch]] soundness argument).
+    *
+    * Scale shape: the corpus never shuffles (cell-bucketed reads, the
+    * probe set broadcasts); probe cost is nProbe² candidate cells per
+    * batch vector — at nProbe=2 that is 4 cells of ~targetCellSize
+    * members each, still ≪ the flat path's cells-per-vector scoring.
+    *
+    * Reported `cell` is the HOME (nProbe=1) product cell — the cell
+    * [[appendToIvfIndexTwoLevel]] would append the vector to, so
+    * accept-and-append pipelines stay consistent with the build rule.
+    *
+    * @return one verdict row per batch vector, the
+    *         [[semanticDedupAgainstIndex]] shape: (vec_id, cell,
+    *         is_dup, dup_of|-1, best_cos|-1) */
+  def semanticDedupAgainstImiIndex(newEmbeddings: DataFrame, assigned: DataFrame,
+                                   cent1: DataFrame, cent2: DataFrame, k2: Int,
+                                   threshold: Double = 0.25,
+                                   maxCellSize: Int = 10000,
+                                   nProbe: Int = 2): DataFrame = {
+    require(threshold > -1 && threshold <= 1,
+      s"threshold must lie in (-1, 1], got $threshold")
+    require(maxCellSize > 0, s"maxCellSize must be positive, got $maxCellSize")
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    // MATERIALIZED: the home assignment, the probe fan-out and the
+    // verdict select all fork the batch
+    val home = assignTwoLevel(prepVectors(newEmbeddings), cent1, cent2, k2)
+      .localCheckpoint()
+    val dim1 = cent1.select(size(col("cvec"))).head().getInt(0)
+    val dim2 = cent2.select(size(col("cvec"))).head().getInt(0)
+    def halfProbe(hv: Column, cents: DataFrame, name: String) =
+      probeNearestCells(
+        home.select(col("vec_id").as("q_id"), hv.as("qv")), cents, nProbe)
+        .withColumnRenamed("cell", name)
+    // nProbe² probed product cells per vector, vectors carried along
+    val probes = halfProbe(slice(col("v"), 1, dim1), cent1, "_c1")
+      .join(halfProbe(slice(col("v"), dim1 + 1, dim2), cent2, "_c2"), Seq("q_id"))
+      .select(col("q_id"), (col("_c1") * k2 + col("_c2")).as("cell"))
+      .join(home.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn")), Seq("q_id"))
+    val census = assigned.groupBy(col("cell")).agg(count(lit(1)).as("_csz"))
+    val corpus = assigned.join(broadcast(census), Seq("cell"))
+      .withColumn("cell",
+        when(col("_csz") > maxCellSize,
+          raise_error(concat(lit("semanticDedupAgainstImiIndex: cell "),
+            col("cell").cast("string"), lit(" holds "), col("_csz").cast("string"),
+            lit(s" vectors (maxCellSize $maxCellSize) — retrain the quantizer"))))
+          .otherwise(col("cell")))
+      .select(col("cell"), col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    // each corpus vector lives in exactly ONE cell, so a candidate can
+    // never be scored twice across the probed cells — min/max are safe
+    val matches = corpus
+      .join(broadcast(probes), Seq("cell"))
+      .withColumn("cos", round(
+        vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("q_id").as("vec_id"))
+      .agg(min(col("c_id")).as("_dup_of"), max(col("cos")).as("_best"))
+    home.select(col("vec_id"), col("cell"))
+      .join(matches, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("_dup_of").isNotNull.as("is_dup"),
+        coalesce(col("_dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("_best"), lit(-1.0)).as("best_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** C26b `q98_semantic_dedup_probe` — [[semanticDedupAgainstIndex]]
     * with the q71 80/20 split on the q79 formula centroids (built from
     * the CORPUS side, the artifact a day-2 batch actually probes), so

@@ -677,6 +677,47 @@ class SimilaritySpec extends SparkSpecBase {
     assert(probed(101L)._1 == false, s"the diagonal vector (cos 0.707 to every group) stays clean: $probed")
   }
 
+  test("IMI probe-side recall knob: nProbe=2 recovers the boundary pair flat catches and nProbe=1 misses") {
+    // planted 2x2 product structure with a BOUNDARY pair: corpus vector
+    // A = (1, .96 | 1, 0) sits in sub-cell 0 of half 1; its near-dup
+    // probe B = (.96, 1 | 1, 0) (cos ≈ .9995) argmins just across the
+    // boundary into sub-cell 1 — the exact recall loss the √cells
+    // assignment trades (one near-dup pair split across product cells)
+    val cent1 = Seq((0, Seq(1.0, 0.0), 1.0), (1, Seq(0.0, 1.0), 1.0))
+      .toDF("cell", "cvec", "c2")
+    val cent2 = Seq((0, Seq(1.0, 0.0), 1.0), (1, Seq(0.0, 1.0), 1.0))
+      .toDF("cell", "cvec", "c2")
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.96, 1.0, 0.0)),
+      (2L, Seq(-1.0, -1.0, -1.0, -1.0)))  // unrelated, shares A's cell
+      .toDF("vec_id", "embedding")
+    val assigned = Similarity
+      .appendToIvfIndexTwoLevel(corpus, cent1, cent2, k2 = 2).localCheckpoint()
+    val batch = Seq((10L, Seq(0.96, 1.0, 1.0, 0.0))).toDF("vec_id", "embedding")
+    def verdict(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cell"), col("is_dup"), col("dup_of"), col("best_cos"))
+      .as[(Long, Int, Boolean, Long, Double)].collect().head
+    // the FLAT reference catches the pair (both argmin to one flat cell)
+    val flatCent = Seq((0, Seq(1.0, 1.0, 1.0, 0.0), 3.0),
+      (1, Seq(-1.0, -1.0, -1.0, -1.0), 4.0)).toDF("cell", "cvec", "c2")
+    val flat = verdict(Similarity.semanticDedupAgainstIndex(
+      batch, Similarity.appendToIvfIndex(corpus, flatCent), flatCent,
+      threshold = 0.9))
+    assert(flat._3 && flat._4 == 1L, s"flat must catch the boundary pair: $flat")
+    // nProbe=1 IMI: B's home product cell (1·2+0 = 2) ≠ A's (0) — missed
+    val p1 = verdict(Similarity.semanticDedupAgainstImiIndex(
+      batch, assigned, cent1, cent2, k2 = 2, threshold = 0.9, nProbe = 1))
+    assert(p1._2 == 2, s"home cell must be the build-rule cell: $p1")
+    assert(!p1._3 && p1._4 == -1L && p1._5 == -1.0,
+      s"nProbe=1 must miss the split pair (the documented trade): $p1")
+    // nProbe=2: the per-half widened probe reaches A's product cell
+    val p2 = verdict(Similarity.semanticDedupAgainstImiIndex(
+      batch, assigned, cent1, cent2, k2 = 2, threshold = 0.9, nProbe = 2))
+    assert(p2._3 && p2._4 == 1L && p2._5 >= 0.999,
+      s"nProbe=2 must recover the boundary pair: $p2")
+    assert(p2._2 == 2, s"the reported cell stays the home (append-rule) cell: $p2")
+  }
+
   test("IMI ANN search: product-cell probing keeps useful recall vs brute force") {
     val emb = graft.Tables(spark, sfDir).embeddings
     val (assigned, c1, c2) = Similarity.buildIvfIndexTwoLevel(emb, k1 = 4, k2 = 4)
