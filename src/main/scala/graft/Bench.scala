@@ -84,6 +84,12 @@ object Bench {
           val (corpus, cents, cb) = Similarity.buildIvfPqIndex(Tables(spark, sfDir).embeddings)
           (_: SparkSession, _: String) => Similarity.annIvfPqSearch(corpus, cents, cb)
         }
+        case n @ "q140_ann_imipq" => tryBuild(n) {
+          val (corpus, c1b, c2b, cb) =
+            Similarity.buildImiPqIndex(Tables(spark, sfDir).embeddings)
+          (_: SparkSession, _: String) =>
+            Similarity.annImiPqSearch(corpus, c1b, c2b, 4, cb)
+        }
       }.flatten.toMap
     def runSuite(): Seq[(String, Double, Double)] =
       selected.sortBy(_._1).map { case (name, registered) =>

@@ -185,7 +185,13 @@ object SparkEntry {
     // ~2·sqrt(cells) centroids instead of cells, the flat-IVF growth
     // path measured in SCALING_r13
     "q138_text_semdedup_imi"     -> ((s, d) => TextEmbed.textSemDedupImi(s, d)),
-    "q139_semdedup_imi_portable" -> ((s, d) => Similarity.semanticDedupImiPortable(s, d))
+    "q139_semdedup_imi_portable" -> ((s, d) => Similarity.semanticDedupImiPortable(s, d)),
+    // rows-only (three KMeans fits — C7b/C7d convention): the composed
+    // IMI+ADC system — two-level coarse quantizer + residual PQ codes;
+    // q141 oracle-backs the identical search semantics on formula
+    // artifacts, recall/parity spec-tested
+    "q140_ann_imipq"             -> ((s, d) => Similarity.annImiPq(s, d)),
+    "q141_ann_imipq_portable"    -> ((s, d) => Similarity.annImiPqPortable(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1243,6 +1249,94 @@ object SparkEntry {
         |qres AS (SELECT p.q_id, p.cell,
         |           list_transform(range(1, 65), i -> e.v[i] - c.cvec[i]) AS qr
         |         FROM probes p JOIN e ON e.vec_id = p.q_id JOIN c ON c.cell = p.cell),
+        |qd AS (SELECT q.q_id, q.cell, cb.subspace, cb.code,
+        |         list_sum(list_transform(range(1, 9), i ->
+        |           (q.qr[cb.subspace*8 + i] - cb.centroid[i])
+        |           * (q.qr[cb.subspace*8 + i] - cb.centroid[i]))) AS dist
+        |       FROM qres q CROSS JOIN cb),
+        |adist AS (SELECT qd.q_id, co.vec_id AS c_id,
+        |            list_sum(list(qd.dist ORDER BY qd.subspace)) AS ad
+        |          FROM codes co JOIN qd ON qd.cell = co.cell
+        |            AND qd.subspace = co.subspace AND qd.code = co.code
+        |          WHERE co.vec_id <> qd.q_id
+        |          GROUP BY 1, 2),
+        |cand AS (SELECT q_id, c_id FROM (
+        |          SELECT q_id, c_id,
+        |            row_number() OVER (PARTITION BY q_id ORDER BY ad ASC, c_id ASC) AS ar
+        |          FROM adist) WHERE ar <= 50),
+        |scored AS (SELECT cand.q_id, cand.c_id,
+        |           round(list_dot_product(qe.v, ce.v) /
+        |             (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cos
+        |          FROM cand JOIN e qe ON qe.vec_id = cand.q_id JOIN e ce ON ce.vec_id = cand.c_id),
+        |ranked AS (SELECT q_id, c_id, cos,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM scored)
+        |SELECT q_id, rn AS rank, c_id, cos FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // q141: the composed IMI+ADC search from scratch — q139's per-half
+    // argmin + product-cell arithmetic (formula sub-quantizers: first
+    // 4 vectors' halves) feeding q81's residual-codebook ADC machinery
+    // (codebook entries = vectors 16..31's residuals against their
+    // PRODUCT-cell centroid, the two half-centroids concatenated);
+    // per-half top-2 probes give 4 probed product cells per query
+    "q141_ann_imipq_portable" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |h AS (SELECT vec_id, v[1:32] AS v1, v[33:64] AS v2, v FROM e),
+        |c1 AS (SELECT CAST(vec_id AS INT) AS cell, v1 AS cvec,
+        |         list_dot_product(v1, v1) AS cc FROM h WHERE vec_id < 4),
+        |c2t AS (SELECT CAST(vec_id AS INT) AS cell, v2 AS cvec,
+        |          list_dot_product(v2, v2) AS cc FROM h WHERE vec_id < 4),
+        |a1 AS (SELECT vec_id, cell AS cc1 FROM (
+        |        SELECT h.vec_id, c1.cell,
+        |          row_number() OVER (PARTITION BY h.vec_id
+        |            ORDER BY c1.cc - 2.0 * list_dot_product(h.v1, c1.cvec) ASC,
+        |                     c1.cell ASC) AS rn
+        |        FROM h CROSS JOIN c1) WHERE rn = 1),
+        |a2 AS (SELECT vec_id, cell AS cc2 FROM (
+        |        SELECT h.vec_id, c2t.cell,
+        |          row_number() OVER (PARTITION BY h.vec_id
+        |            ORDER BY c2t.cc - 2.0 * list_dot_product(h.v2, c2t.cvec) ASC,
+        |                     c2t.cell ASC) AS rn
+        |        FROM h CROSS JOIN c2t) WHERE rn = 1),
+        |asg AS (SELECT a1.vec_id, a1.cc1, a2.cc2, a1.cc1 * 4 + a2.cc2 AS cell
+        |        FROM a1 JOIN a2 USING (vec_id)),
+        |res AS (SELECT a.vec_id, a.cell,
+        |          list_transform(range(1, 33), i -> h.v1[i] - p1.cvec[i]) ||
+        |          list_transform(range(1, 33), i -> h.v2[i] - p2.cvec[i]) AS r
+        |        FROM asg a JOIN h ON h.vec_id = a.vec_id
+        |          JOIN c1 p1 ON p1.cell = a.cc1
+        |          JOIN c2t p2 ON p2.cell = a.cc2),
+        |cb AS (SELECT s.s AS subspace, CAST(r.vec_id - 16 AS INT) AS code,
+        |         r.r[s.s*8+1 : s.s*8+8] AS centroid
+        |       FROM res r CROSS JOIN range(0, 8) s(s) WHERE r.vec_id BETWEEN 16 AND 31),
+        |d AS (SELECT r.vec_id, r.cell, cb.subspace, cb.code,
+        |        list_sum(list_transform(range(1, 9), i ->
+        |          (r.r[cb.subspace*8 + i] - cb.centroid[i])
+        |          * (r.r[cb.subspace*8 + i] - cb.centroid[i]))) AS dist
+        |      FROM res r CROSS JOIN cb),
+        |codes AS (SELECT vec_id, cell, subspace, code FROM (
+        |           SELECT vec_id, cell, subspace, code,
+        |             row_number() OVER (PARTITION BY vec_id, subspace
+        |               ORDER BY dist ASC, code ASC) AS rn
+        |           FROM d) WHERE rn = 1),
+        |p1 AS (SELECT q_id, cell AS cc1 FROM (
+        |        SELECT h.vec_id AS q_id, c1.cell,
+        |          row_number() OVER (PARTITION BY h.vec_id
+        |            ORDER BY c1.cc - 2.0 * list_dot_product(h.v1, c1.cvec) ASC,
+        |                     c1.cell ASC) AS rn
+        |        FROM h CROSS JOIN c1 WHERE h.vec_id < 5) WHERE rn <= 2),
+        |p2 AS (SELECT q_id, cell AS cc2 FROM (
+        |        SELECT h.vec_id AS q_id, c2t.cell,
+        |          row_number() OVER (PARTITION BY h.vec_id
+        |            ORDER BY c2t.cc - 2.0 * list_dot_product(h.v2, c2t.cvec) ASC,
+        |                     c2t.cell ASC) AS rn
+        |        FROM h CROSS JOIN c2t WHERE h.vec_id < 5) WHERE rn <= 2),
+        |qres AS (SELECT p1.q_id, p1.cc1 * 4 + p2.cc2 AS cell,
+        |           list_transform(range(1, 33), i -> h.v1[i] - pc1.cvec[i]) ||
+        |           list_transform(range(1, 33), i -> h.v2[i] - pc2.cvec[i]) AS qr
+        |         FROM p1 JOIN p2 USING (q_id)
+        |           JOIN h ON h.vec_id = p1.q_id
+        |           JOIN c1 pc1 ON pc1.cell = p1.cc1
+        |           JOIN c2t pc2 ON pc2.cell = p2.cc2),
         |qd AS (SELECT q.q_id, q.cell, cb.subspace, cb.code,
         |         list_sum(list_transform(range(1, 9), i ->
         |           (q.qr[cb.subspace*8 + i] - cb.centroid[i])

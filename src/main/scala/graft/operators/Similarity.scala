@@ -948,6 +948,190 @@ object Similarity {
     (corpus, centroids, codebook)
   }
 
+  /** The composed IMI+ADC artifact build (round 14) — the TWO-LEVEL
+    * coarse quantizer (C26d) under the residual-PQ memory story (C7d),
+    * i.e. the full inverted multi-index system of Babenko & Lempitsky
+    * 2012 §5 with Jégou et al. 2011's IVFADC refinement: cells are
+    * PRODUCT cells (assignment scores ~2·√cells sub-centroids), and
+    * each vector's residual against its product-cell centroid — the
+    * CONCATENATION of its two half-centroids — is PQ-encoded. At 100 TB
+    * this is the published shape for both costs at once: assignment
+    * stays O(n·√cells) and the cells hold m-byte codes, not floats.
+    *
+    * @return (corpus (vec_id, v, nrm, cell, codes), cent1, cent2,
+    *         codebook) — persist all four next to the index */
+  def buildImiPqIndex(embeddings: DataFrame, k1: Int = 4, k2: Int = 4,
+                      seed: Long = 42L, fitSampleSize: Int = 16384,
+                      subspaces: Int = 8, codebookSize: Int = 16,
+                      dim: Int = 64): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val e = prepVectors(embeddings).localCheckpoint()
+    val (assigned, cent1, cent2) =
+      buildTwoLevelFrom(e, e.count(), k1, k2, seed, fitSampleSize)
+    // residual against the PRODUCT-cell centroid: the two half
+    // centroids concatenate — |v − (c1 ⧺ c2)|² = |v1−c1|² + |v2−c2|²,
+    // so the residual is exactly the per-half quantization error
+    val resid = assigned
+      .withColumn("_c1", (col("cell") / k2).cast("int"))
+      .withColumn("_c2", col("cell") % k2)
+      .join(broadcast(cent1.select(col("cell").as("_c1"), col("cvec").as("_v1"))), Seq("_c1"))
+      .join(broadcast(cent2.select(col("cell").as("_c2"), col("cvec").as("_v2"))), Seq("_c2"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        vectors.sub(col("v"), concat(col("_v1"), col("_v2"))).as("r"))
+      .localCheckpoint()
+    Dedup.freeBlocks(e)
+    val (encoded, codebook) = buildPqIndexFrom(resid, subspaces, codebookSize,
+      dim, seed, vecCol = "r")
+    val corpus = encoded
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("codes"))
+      .localCheckpoint()
+    Dedup.freeBlocks(resid)
+    (corpus, cent1, cent2, codebook)
+  }
+
+  /** Day-2 IMI+ADC maintenance — [[appendToIvfPqIndex]]'s contract on
+    * the two-level artifact: new vectors assign through the SHARED
+    * per-half argmin rule ([[assignTwoLevel]] — appended rows land in
+    * exactly the product cell the build gives them), their residuals
+    * against the product-cell centroid encode against the FROZEN
+    * persisted codebook (flat-table argmin, tie → lowest code). Only
+    * the parquet artifacts are needed; no model objects. */
+  def appendToImiPqIndex(newEmbeddings: DataFrame, cent1: DataFrame,
+                         cent2: DataFrame, k2: Int, codebook: DataFrame,
+                         subspaces: Int = 8, codebookSize: Int = 16,
+                         dim: Int = 64): DataFrame = {
+    require(dim % subspaces == 0, s"dim $dim must divide into $subspaces subspaces")
+    val assigned = assignTwoLevel(prepVectors(newEmbeddings), cent1, cent2, k2)
+      .withColumn("v",
+        when(size(col("v")) =!= dim,
+          raise_error(concat(lit("appendToImiPqIndex: vector length "),
+            size(col("v")).cast("string"), lit(s" != dim=$dim"))))
+          .otherwise(col("v")))
+    val resid = assigned
+      .withColumn("_c1", (col("cell") / k2).cast("int"))
+      .withColumn("_c2", col("cell") % k2)
+      .join(broadcast(cent1.select(col("cell").as("_c1"), col("cvec").as("_v1"))), Seq("_c1"))
+      .join(broadcast(cent2.select(col("cell").as("_c2"), col("cvec").as("_v2"))), Seq("_c2"))
+      .withColumn("r", vectors.sub(col("v"), concat(col("_v1"), col("_v2"))))
+      .localCheckpoint()
+    val tabbed = adcTable(resid.select(col("vec_id"), col("r")), Seq("vec_id"), "r",
+      codebook, dim / subspaces, codebookSize)
+    val out = resid.join(tabbed, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        argminCodes(subspaces, codebookSize)
+          .as("codes", pqCodesMeta(subspaces, codebookSize, dim, residual = true)))
+      .localCheckpoint()
+    Dedup.freeBlocks(resid)
+    out
+  }
+
+  /** Composed IMI+ADC search — [[annIvfPqSearch]]'s three-stage shape
+    * on the two-level index: per-half probing bounds WHICH product
+    * cells are scored (nProbe² cells from 2·nProbe sub-centroid
+    * scores — the [[annImiSearch]] soundness decomposition), residual
+    * ADC tables per (query, probed cell) bound WHAT the scan reads
+    * (m codes, no vector math), and the exact cosine rerank refetches
+    * full vectors by id for the top candidates only. */
+  def annImiPqSearch(corpus: DataFrame, cent1: DataFrame, cent2: DataFrame,
+                     k2: Int, codebook: DataFrame,
+                     k: Int = 10, numQueries: Int = 5, nProbe: Int = 2,
+                     rerank: Int = 50,
+                     subspaces: Int = 8, codebookSize: Int = 16,
+                     dim: Int = 64): DataFrame = {
+    checkPqParams(corpus, subspaces, codebookSize, dim, residual = true)
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    val qs = corpus.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val dim1 = cent1.select(size(col("cvec"))).head().getInt(0)
+    val dim2 = cent2.select(size(col("cvec"))).head().getInt(0)
+    def halfProbe(hv: Column, cents: DataFrame, name: String) =
+      probeNearestCells(
+        qs.select(col("q_id"), hv.as("qv")), cents, nProbe)
+        .withColumnRenamed("cell", name)
+    // nProbe² probed product cells; each probe's ADC table builds from
+    // the query's residual against THAT cell's concatenated centroid
+    val qres = halfProbe(slice(col("qv"), 1, dim1), cent1, "_c1")
+      .join(halfProbe(slice(col("qv"), dim1 + 1, dim2), cent2, "_c2"), Seq("q_id"))
+      .join(qs.select(col("q_id"), col("qv")), Seq("q_id"))
+      .join(broadcast(cent1.select(col("cell").as("_c1"), col("cvec").as("_v1"))), Seq("_c1"))
+      .join(broadcast(cent2.select(col("cell").as("_c2"), col("cvec").as("_v2"))), Seq("_c2"))
+      .select(col("q_id"), (col("_c1") * k2 + col("_c2")).as("cell"),
+        vectors.sub(col("qv"), concat(col("_v1"), col("_v2"))).as("qres"))
+    val probes = broadcast(adcTable(qres, Seq("q_id", "cell"), "qres",
+      codebook, dim / subspaces, codebookSize))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id").asc)
+    val cands = corpus.select(col("cell"), col("vec_id").as("c_id"), col("codes"))
+      .join(probes, Seq("cell"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("adist", adcScore(col("codes"), col("tab"), codebookSize))
+      .withColumn("ar", row_number().over(wAdc))
+      .filter(col("ar") <= rerank)
+      .select(col("q_id"), col("c_id"))
+    exactRerankById(cands, corpus, qs, k)
+  }
+
+  /** `q140_ann_imipq` — the full composed system in one shot: two-level
+    * coarse build + residual PQ + IMI-probed ADC search. Rows-only at
+    * the driver (three KMeans fits — the C7b/C7d convention); recall vs
+    * brute force and build==append code parity are spec-tested, and
+    * q141 oracle-backs the identical search semantics on formula
+    * artifacts. */
+  def annImiPq(spark: SparkSession, dir: String, k: Int = 10,
+               numQueries: Int = 5, k1: Int = 4, k2: Int = 4,
+               nProbe: Int = 2): DataFrame = {
+    val (corpus, c1, c2, codebook) =
+      buildImiPqIndex(Tables(spark, dir).embeddings, k1, k2)
+    annImiPqSearch(corpus, c1, c2, k2, codebook, k, numQueries, nProbe)
+  }
+
+  /** C7d→C26d `q141_ann_imipq_portable` — the composed IMI+ADC SEARCH
+    * semantics on formula artifacts (q81's convention composed with
+    * q139's): sub-quantizer cells are the first 4 corpus vectors'
+    * halves (per half), the residual codebook's entry (s, k) is the
+    * s-th sub-vector of corpus vector (16+k)'s residual against its
+    * own assigned PRODUCT-cell centroid, the whole corpus encodes
+    * through the production day-2 path ([[appendToImiPqIndex]]), and
+    * queries run the production [[annImiPqSearch]]. Every stage —
+    * per-half argmins, product arithmetic, residuals, codebook,
+    * flat-table encode, per-probe ADC, rerank — re-derives from
+    * scratch in the DuckDB oracle, hash-exact. */
+  def annImiPqPortable(spark: SparkSession, dir: String, k: Int = 10,
+                       numQueries: Int = 5, nProbe: Int = 2, rerank: Int = 50,
+                       k1: Int = 4, k2: Int = 4,
+                       subspaces: Int = 8, codebookSize: Int = 16,
+                       dim: Int = 64): DataFrame = {
+    val e = prepVectors(Tables(spark, dir).embeddings).localCheckpoint()
+    val h = dim / 2
+    def halfCent(first: Boolean, kk: Int) = {
+      val hv = if (first) slice(col("v"), 1, h) else slice(col("v"), h + 1, dim - h)
+      e.filter(col("vec_id") < kk)
+        .select(col("vec_id").cast("int").as("cell"), hv.as("cvec"),
+          vectors.dot(hv, hv).as("c2"))
+    }
+    val cent1 = halfCent(first = true, k1).localCheckpoint()
+    val cent2 = halfCent(first = false, k2).localCheckpoint()
+    // formula residual codebook: vectors 16..31's residuals against
+    // their own product-cell centroid, sliced per subspace
+    val dsub = dim / subspaces
+    val codebook = assignTwoLevel(
+        e.filter(col("vec_id") >= 16 && col("vec_id") < 16 + codebookSize),
+        cent1, cent2, k2)
+      .withColumn("_c1", (col("cell") / k2).cast("int"))
+      .withColumn("_c2", col("cell") % k2)
+      .join(broadcast(cent1.select(col("cell").as("_c1"), col("cvec").as("_v1"))), Seq("_c1"))
+      .join(broadcast(cent2.select(col("cell").as("_c2"), col("cvec").as("_v2"))), Seq("_c2"))
+      .select((col("vec_id") - 16).cast("int").as("code"),
+        vectors.sub(col("v"), concat(col("_v1"), col("_v2"))).as("r"))
+      .select(explode(array((0 until subspaces).map { s =>
+        struct(lit(s).as("subspace"), col("code"),
+          slice(col("r"), s * dsub + 1, dsub).as("centroid"))
+      }: _*)).as("cb"))
+      .select(col("cb.subspace"), col("cb.code"), col("cb.centroid"))
+    val corpus = appendToImiPqIndex(Tables(spark, dir).embeddings,
+      cent1, cent2, k2, codebook, subspaces, codebookSize, dim)
+    annImiPqSearch(corpus, cent1, cent2, k2, codebook, k, numQueries, nProbe,
+      rerank, subspaces, codebookSize, dim)
+  }
+
   /** C7 `q26_ann_lsh` — sign-random-projection LSH ANN: 16 hyperplanes,
     * 4 bands of 4 bits. The corpus is bucketed ONCE by (band, band-bits)
     * — at scale this bucketing is computed in a single map pass and can

@@ -718,6 +718,41 @@ class SimilaritySpec extends SparkSpecBase {
     assert(p2._2 == 2, s"the reported cell stays the home (append-rule) cell: $p2")
   }
 
+  test("IMI+ADC composed index: useful recall vs brute force; day-2 append encodes bit-identically") {
+    val emb = graft.Tables(spark, sfDir).embeddings
+    val (corpus0, c1, c2, cb) = Similarity.buildImiPqIndex(emb)
+    val corpus = corpus0.localCheckpoint()
+    val out = Similarity.annImiPqSearch(corpus, c1, c2, k2 = 4, cb,
+      k = 10, numQueries = 5, nProbe = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"q$q ranks gap")
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._4 >= p(1)._4),
+        s"q$q cosines must be non-increasing")
+    }
+    val bf = Similarity.annBruteForce(spark, sfDir, k = 10, numQueries = 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val got = out.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val recalls = bf.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean recall $mean too low for the composed IMI+ADC path")
+    // day-2 parity: re-encoding the whole corpus through the frozen
+    // artifacts must reproduce the build's cells AND codes bit-exactly
+    // (shared per-half argmin + shared flat-table code argmin)
+    val appended = Similarity.appendToImiPqIndex(emb, c1, c2, k2 = 4, cb)
+      .select(col("vec_id"), col("cell").as("a_cell"), col("codes").as("a_codes"))
+    val diff = corpus.select(col("vec_id"), col("cell"), col("codes"))
+      .join(appended, Seq("vec_id"))
+      .filter(col("cell") =!= col("a_cell") ||
+        col("codes") =!= col("a_codes"))
+      .count()
+    assert(diff == 0, s"$diff corpus rows re-encode differently through the day-2 path")
+  }
+
   test("IMI ANN search: product-cell probing keeps useful recall vs brute force") {
     val emb = graft.Tables(spark, sfDir).embeddings
     val (assigned, c1, c2) = Similarity.buildIvfIndexTwoLevel(emb, k1 = 4, k2 = 4)
