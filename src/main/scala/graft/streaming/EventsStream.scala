@@ -970,6 +970,48 @@ object EventsStream {
       }
       .start()
 
+  /** D2→C2c bridge — STREAMING DECONTAMINATION (round 14, the D-twin
+    * q137 implies): each micro-batch of incoming documents verdicts
+    * MAP-SIDE against the persisted eval gram index
+    * ([[graft.operators.Dedup.buildEvalGramIndex]] — the eval suite's
+    * distinct 13-gram keys, tiny, broadcast), via the IDENTICAL
+    * batch kernel ([[graft.operators.Dedup.flagAgainstEvalGrams]] —
+    * one derivation, so stream and batch verdicts cannot drift), and
+    * appends (doc_id, contaminated) to the verdict table. The corpus
+    * never shuffles: the gram set broadcasts and the batch-side gram
+    * stream joins map-side — the q137 100 TB shape, per trigger.
+    *
+    * Replay-idempotent like [[vocabIngestStream]]: already-verdicted
+    * doc_ids anti-join away, so a re-delivered batch appends nothing.
+    * Eval-suite updates: the gram index is re-read EVERY trigger, so
+    * appended gram rows take effect from the next batch; verdicts
+    * already written are frozen at their ingest-time suite (re-screen
+    * the corpus with the batch operator on a suite release — verdicts
+    * name a (doc, suite) pair, not a doc alone).
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def decontamIngestStream(docs: DataFrame, evalGramsPath: String,
+                           verdictPath: String, checkpointDir: String,
+                           n: Int = 13):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val evalGrams = spark.read.parquet(evalGramsPath)
+        val verdicts = graft.operators.Dedup
+          .flagAgainstEvalGrams(batch, evalGrams, n)
+        val fresh = readTableIfExists(spark, verdictPath) match {
+          case Some(existing) =>
+            verdicts.join(existing.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          case None => verdicts
+        }
+        if (!fresh.isEmpty)
+          fresh.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(verdictPath)
+      }
+      .start()
+
   /** D2→C12b bridge — streaming RAW-TEXT embedding ingest: new
     * documents embed through the deterministic projection
     * ([[graft.operators.TextEmbed.embedDocuments]] — a map-only

@@ -703,6 +703,53 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C2c: streaming decontamination — batch parity, replay idempotent, suite update next trigger") {
+    import graft.operators.Dedup
+    import graft.streaming.EventsStream.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // eval suite: one "benchmark question" of 13+ words
+    val evalText = (1 to 15).map(i => s"eval_w$i").mkString(" ")
+    val eval1 = Seq((1000L, evalText)).toDF("doc_id", "text")
+    val gramDir = java.nio.file.Files.createTempDirectory("graft_dc_grams").toString
+    Dedup.buildEvalGramIndex(eval1).write.mode("overwrite").parquet(gramDir)
+    val verdictDir = java.nio.file.Files.createTempDirectory("graft_dc_v").toString + "/v"
+    val cp = java.nio.file.Files.createTempDirectory("graft_dc_cp").toString
+    val mem = MemoryStream[StreamDoc]
+    val q = EventsStream.decontamIngestStream(mem.toDF(), gramDir, verdictDir, cp)
+    // batch 1: a contaminated doc (quotes the eval question inside an
+    // unrelated page) and a clean doc
+    val dirty = s"some page intro $evalText and unrelated trailing words"
+    val clean = (1 to 30).map(i => s"clean_w$i").mkString(" ")
+    def verdicts() = spark.read.parquet(verdictDir)
+      .as[(Long, Boolean)].collect().toMap
+    try {
+      mem.addData(StreamDoc(1L, dirty), StreamDoc(2L, clean))
+      q.processAllAvailable()
+      assert(verdicts() == Map(1L -> true, 2L -> false),
+        s"streamed verdicts: ${verdicts()}")
+      // parity: the batch kernel over the same docs agrees exactly
+      val batch = Dedup.flagNgramContamination(
+        Seq((1L, dirty), (2L, clean)).toDF("doc_id", "text"), eval1)
+        .as[(Long, Boolean)].collect().toMap
+      assert(verdicts() == batch, s"stream vs batch: ${verdicts()} vs $batch")
+      // replay: the same docs re-delivered append nothing
+      mem.addData(StreamDoc(1L, dirty), StreamDoc(2L, clean))
+      q.processAllAvailable()
+      assert(spark.read.parquet(verdictDir).count() == 2,
+        "re-delivered docs must not duplicate verdict rows")
+      // suite UPDATE: a second eval question appends its grams; a doc
+      // quoting it — clean under suite v1 — flags from the next trigger
+      val evalText2 = (1 to 15).map(i => s"extra_w$i").mkString(" ")
+      Dedup.buildEvalGramIndex(Seq((2000L, evalText2)).toDF("doc_id", "text"))
+        .write.mode("append").parquet(gramDir)
+      mem.addData(StreamDoc(3L, s"prefix $evalText2 suffix"), StreamDoc(4L, clean + " tail"))
+      q.processAllAvailable()
+      assert(verdicts() == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false),
+        s"updated suite must flag from the next trigger: ${verdicts()}")
+    } finally q.stop()
+  }
+
   test("D2→C27b: streaming vocabulary ingest bootstraps, attaches, and replays idempotently") {
     import graft.streaming.EventsStream.StreamDoc
     implicit val sqlCtx = spark.sqlContext
