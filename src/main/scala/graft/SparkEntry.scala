@@ -191,7 +191,8 @@ object SparkEntry {
     // q141 oracle-backs the identical search semantics on formula
     // artifacts, recall/parity spec-tested
     "q140_ann_imipq"             -> ((s, d) => Similarity.annImiPq(s, d)),
-    "q141_ann_imipq_portable"    -> ((s, d) => Similarity.annImiPqPortable(s, d))
+    "q141_ann_imipq_portable"    -> ((s, d) => Similarity.annImiPqPortable(s, d)),
+    "q142_bpe_packed_special"    -> ((s, d) => Bpe.bpePackedDelimitedDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1753,6 +1754,36 @@ object SparkEntry {
       """,
         |toks AS (
         |  SELECT w.doc_id, CAST(sum(fin.p) AS BIGINT) AS n_tokens,
+        |         CAST(w.doc_id % 8 AS INTEGER) AS shard
+        |  FROM w JOIN fin ON w.w = fin.w WHERE w.w <> ''
+        |  GROUP BY w.doc_id),
+        |packed AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM toks),
+        |ch AS (SELECT *,
+        |         CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS chunk
+        |       FROM packed),
+        |o AS (SELECT *,
+        |        (cum_tokens - n_tokens)
+        |        - min(cum_tokens - n_tokens) OVER (PARTITION BY shard, chunk) AS off
+        |      FROM ch)
+        |SELECT shard, chunk,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids,
+        |       array_to_string(list(off ORDER BY doc_id), ',') AS offsets
+        |FROM o GROUP BY 1, 2 ORDER BY shard, chunk""".stripMargin),
+
+    // q142: q130's packing under the document-delimiter contract —
+    // every doc costs its q126-CTE piece count PLUS 2 (BOS + EOS, the
+    // reserved specials the kernel can neither produce nor split);
+    // the +2 shift rides the identical packing derivation
+    "q142_bpe_packed_special" -> (bpeKernelOracleCtes("doc_id") +
+      """,
+        |toks AS (
+        |  SELECT w.doc_id, CAST(sum(fin.p) + 2 AS BIGINT) AS n_tokens,
         |         CAST(w.doc_id % 8 AS INTEGER) AS shard
         |  FROM w JOIN fin ON w.w = fin.w WHERE w.w <> ''
         |  GROUP BY w.doc_id),

@@ -41,7 +41,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * re-running the merge loop.
   */
 final class BpeTable(val lefts: Array[String], val rights: Array[String],
-                     val byteLevel: Boolean = false)
+                     val byteLevel: Boolean = false,
+                     val specials: Array[String] = Array.empty)
     extends Serializable {
   import BpeTable._
 
@@ -49,10 +50,29 @@ final class BpeTable(val lefts: Array[String], val rights: Array[String],
     s"merge table sides differ: ${lefts.length} lefts vs ${rights.length} rights")
   require(lefts.length >= 1 && lefts.length <= MaxMerges,
     s"merge table must hold [1, $MaxMerges] merges, got ${lefts.length}")
-  validate()
 
   private def isBase(s: String): Boolean =
     s == EndOfWord || (s.nonEmpty && s.codePointCount(0, s.length) == 1)
+
+  /** Reserved special tokens (round 14 — the production tokenizer
+    * contract): a token EQUAL to a special encodes atomically as one
+    * piece (no end-of-word marker, no merges, screened on the RAW
+    * string even in byte mode — the GPT-2 convention: specials are
+    * matched before byte encoding), and the validator refuses any
+    * table whose merges could produce or consume one — so no merge
+    * sequence over ordinary text can ever fabricate a special, and a
+    * downstream trainer can trust document boundaries. */
+  private val specialSet: java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String]()
+    specials.foreach { s =>
+      require(s != null && !isBase(s),
+        s"special token '$s' must be a multi-character string (a base " +
+          "symbol could appear inside ordinary words and break atomicity)")
+      require(set.add(s), s"special token '$s' is listed twice")
+    }
+    set
+  }
+  validate()
 
   /** Unambiguous pair key: the left side's length prefixes the
     * concatenation, so two distinct (left, right) pairs can never
@@ -70,6 +90,9 @@ final class BpeTable(val lefts: Array[String], val rights: Array[String],
       val l = lefts(r); val rt = rights(r)
       require(l != null && rt != null && l.nonEmpty && rt.nonEmpty,
         s"merge table rank $r has a null/empty side")
+      require(!specialSet.contains(l) && !specialSet.contains(rt),
+        s"merge table rank $r consumes a reserved special token — specials are " +
+          "atomic whole-word symbols and can never appear inside a merge")
       require(isBase(l) || created.contains(l),
         s"merge table rank $r left '$l' is neither a base symbol nor the output " +
           "of an earlier merge — min-rank encoding would diverge from the rank-order fold")
@@ -77,6 +100,9 @@ final class BpeTable(val lefts: Array[String], val rights: Array[String],
         s"merge table rank $r right '$rt' is neither a base symbol nor the output " +
           "of an earlier merge — min-rank encoding would diverge from the rank-order fold")
       val out = l + rt
+      require(!specialSet.contains(out),
+        s"merge table rank $r output '$out' would fabricate a reserved special " +
+          "token from ordinary text — document boundaries would be forgeable")
       require(!created.contains(out) && !isBase(out),
         s"merge table rank $r output '$out' duplicates an earlier output or a base " +
           "symbol — a re-created operand would let an already-processed rank re-fire")
@@ -119,7 +145,10 @@ final class BpeTable(val lefts: Array[String], val rights: Array[String],
     val cache = cacheTL.get()
     val hit = cache.get(s)
     if (hit != null) return hit
-    val out = encodeUncached(s)
+    val out =
+      if (specialSet.contains(s))
+        new GenericArrayData(Array[Any](UTF8String.fromString(s)))
+      else encodeUncached(s)
     cache.put(s, out)
     out
   }
@@ -178,13 +207,15 @@ final class BpeTable(val lefts: Array[String], val rights: Array[String],
     case t: BpeTable =>
       byteLevel == t.byteLevel &&
         java.util.Arrays.equals(lefts.asInstanceOf[Array[AnyRef]], t.lefts.asInstanceOf[Array[AnyRef]]) &&
-        java.util.Arrays.equals(rights.asInstanceOf[Array[AnyRef]], t.rights.asInstanceOf[Array[AnyRef]])
+        java.util.Arrays.equals(rights.asInstanceOf[Array[AnyRef]], t.rights.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(specials.asInstanceOf[Array[AnyRef]], t.specials.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
   override def hashCode(): Int =
-    (java.util.Arrays.hashCode(lefts.asInstanceOf[Array[AnyRef]]) * 31 +
+    ((java.util.Arrays.hashCode(lefts.asInstanceOf[Array[AnyRef]]) * 31 +
       java.util.Arrays.hashCode(rights.asInstanceOf[Array[AnyRef]])) * 31 +
-      byteLevel.hashCode()
+      byteLevel.hashCode()) * 31 +
+      java.util.Arrays.hashCode(specials.asInstanceOf[Array[AnyRef]])
 }
 
 object BpeTable {
@@ -245,8 +276,9 @@ object BpeEncodeExpr {
     * byteLevel likewise bakes into the table so the per-byte pre-map
     * joins the per-distinct-word cached path. */
   def build(children: Seq[Expression]): Expression = {
-    require(children.size == 3 || children.size == 4,
-      s"graft_bpe_encode takes (tok, lefts, rights[, byteLevel]), got ${children.size} arguments")
+    require(children.size >= 3 && children.size <= 5,
+      s"graft_bpe_encode takes (tok, lefts, rights[, byteLevel[, specials]]), " +
+        s"got ${children.size} arguments")
     def sides(e: Expression, which: String): Array[String] = {
       require(e.foldable && e.dataType.isInstanceOf[ArrayType],
         s"graft_bpe_encode $which must be a foldable array<string> literal")
@@ -264,8 +296,10 @@ object BpeEncodeExpr {
       require(v != null, "graft_bpe_encode byteLevel must not be null")
       v.asInstanceOf[Boolean]
     }
+    val specials = children.lift(4)
+      .map(sides(_, "specials")).getOrElse(Array.empty[String])
     BpeEncodeExpr(children.head,
       new BpeTable(sides(children(1), "lefts"), sides(children(2), "rights"),
-        byteLevel))
+        byteLevel, specials))
   }
 }

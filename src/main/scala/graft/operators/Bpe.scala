@@ -62,6 +62,22 @@ object Bpe {
     * UNCHANGED — byte level is a string pre-map, not a new engine. */
   val byteSymbols: Array[String] = graft.expressions.BpeTable.ByteSymbols
 
+  /** Reserved special tokens (round 14 — the production contract a
+    * training loader expects): document-boundary and padding ids that
+    * (a) encode ATOMICALLY — a word equal to a special emits exactly
+    * one piece, no end-of-word marker, merges never run on it — and
+    * (b) can never be PRODUCED by merges — the kernel's table
+    * validator refuses any table whose merge output or side equals a
+    * special, so no sequence of merges over ordinary text can forge a
+    * document boundary. Matched on the RAW token even in byte mode
+    * (specials are screened before byte encoding — the GPT-2
+    * convention). The `<|…|>` spelling survives the corpus tokenizer
+    * (lower/trim/whitespace) unchanged. */
+  val Bos = "<|bos|>"
+  val Eos = "<|eos|>"
+  val Pad = "<|pad|>"
+  val DefaultSpecials: Seq[String] = Seq(Bos, Eos, Pad)
+
   /** [[byteSymbols]] as a column transform: token string → its UTF-8
     * bytes, each mapped to its symbol. Built-ins only (hex pairs →
     * one map-literal lookup each → join), so it composes into the
@@ -248,7 +264,8 @@ object Bpe {
     * any new adjacency involves `ab`, a different pair. Pure column
     * expressions, map-only, codegen'd. */
   def encode(tok: Column, merges: Seq[(String, String)],
-             byteLevel: Boolean = false): Column = {
+             byteLevel: Boolean = false,
+             specials: Seq[String] = Nil): Column = {
     require(merges.nonEmpty && merges.size <= maxEncodeMerges,
       s"encode takes 1..$maxEncodeMerges merges (one expression node each; " +
         s"larger tables want a native kernel), got ${merges.size}")
@@ -258,7 +275,11 @@ object Bpe {
     val folded = merges.foldLeft(chars) { case (acc, (a, b)) =>
       call_function("replace", acc, lit(s" $a  $b "), lit(s" $a$b "))
     }
-    split(trim(folded), "\\s+")
+    val pieces = split(trim(folded), "\\s+")
+    // specials screen on the RAW token before the fold (and before the
+    // byte pre-map) — one atomic piece, the kernel's rule exactly
+    if (specials.isEmpty) pieces
+    else when(tok.isin(specials.map(s => s: Any): _*), array(tok)).otherwise(pieces)
   }
 
   /** NATIVE-KERNEL encode (round 12 — the growth path [[encode]]
@@ -275,7 +296,8 @@ object Bpe {
     * spec-asserted bit-exactly on [[docMerges]] and on trained
     * tables. */
   def encodeKernel(tok: Column, merges: Seq[(String, String)],
-                   byteLevel: Boolean = false): Column = {
+                   byteLevel: Boolean = false,
+                   specials: Seq[String] = Nil): Column = {
     require(merges.nonEmpty && merges.size <= maxTrainMerges,
       s"encodeKernel takes 1..$maxTrainMerges merges, got ${merges.size}")
     // byte mode rides INSIDE the kernel (round 14): the raw token is
@@ -285,8 +307,15 @@ object Bpe {
     // Zipf cache, and was the measured reason q136 scaled 27.2× at 30×
     // data while the char-mode q126 held 4.5×. Mapped symbols are
     // single code points, so the table validator runs unchanged.
-    call_function("graft_bpe_encode", tok,
-      typedlit(merges.map(_._1)), typedlit(merges.map(_._2)), lit(byteLevel))
+    // `specials` bake into the validated table ([[Bos]]/[[Eos]]/[[Pad]]
+    // atomicity + unforgeability — see [[DefaultSpecials]]).
+    if (specials.isEmpty)
+      call_function("graft_bpe_encode", tok,
+        typedlit(merges.map(_._1)), typedlit(merges.map(_._2)), lit(byteLevel))
+    else
+      call_function("graft_bpe_encode", tok,
+        typedlit(merges.map(_._1)), typedlit(merges.map(_._2)), lit(byteLevel),
+        typedlit(specials))
   }
 
   /** Per-document BPE length stats under a merge table: the real
@@ -312,7 +341,8 @@ object Bpe {
   private def wordPieces(docs: DataFrame, merges: Seq[(String, String)],
                          keyCol: String, textCol: String,
                          useKernel: Boolean,
-                         byteLevel: Boolean = false): DataFrame = {
+                         byteLevel: Boolean = false,
+                         specials: Seq[String] = Nil): DataFrame = {
     // byte mode: the kernel path feeds the RAW word and remaps inside
     // the expression (per-distinct-word, cached — round 14); the fold
     // path keeps the column-level pre-map (its 256-node remap is the
@@ -321,8 +351,8 @@ object Bpe {
     // symbol per UTF-8 byte, so octet_length(raw) == length(mapped)),
     // chars otherwise.
     val pieces: Column => Column =
-      if (useKernel) encodeKernel(_, merges, byteLevel)
-      else encode(_, merges, byteLevel)
+      if (useKernel) encodeKernel(_, merges, byteLevel, specials)
+      else encode(_, merges, byteLevel, specials)
     val clen: Column => Column =
       if (byteLevel) octet_length(_) else length(_)
     docs
@@ -460,6 +490,28 @@ object Bpe {
     val pieces = wordPieces(graft.Tables(spark, dir).documents, kernelMerges,
       "doc_id", "text", useKernel = true)
       .groupBy(col("doc_id")).agg(sum(col("_p")).as("n_tokens"))
+    Sharding.assembleSequences(pieces, "doc_id", "n_tokens", budget, shards)
+      .orderBy(col("shard"), col("chunk"))
+  }
+
+  /** C48→C49 `q142_bpe_packed_special` — q130's packing under the
+    * DOCUMENT-DELIMITER contract (round 14): each document's packed
+    * sequence is `BOS + pieces + EOS`, so its budget cost is its
+    * kernel piece count plus 2 — the boundary tokens a training loader
+    * needs to delimit documents the standard way, now counted by the
+    * packer instead of silently absent. The kernel encodes with
+    * [[DefaultSpecials]] REGISTERED: the table validator proves the
+    * q126 merge table can neither produce nor consume a special (so
+    * boundaries are unforgeable from ordinary text — refusal and
+    * atomicity are spec-certified on a hostile table in BpeSpec), and
+    * the oracle replays the q126 recursive-CTE encode with the
+    * constant per-doc +2 shift through the q124 packing math. */
+  def bpePackedDelimitedDocs(spark: SparkSession, dir: String,
+                             budget: Long = 4096L, shards: Int = 8): DataFrame = {
+    val pieces = wordPieces(graft.Tables(spark, dir).documents, kernelMerges,
+      "doc_id", "text", useKernel = true, specials = DefaultSpecials)
+      .groupBy(col("doc_id"))
+      .agg((sum(col("_p")) + lit(2L)).as("n_tokens"))
     Sharding.assembleSequences(pieces, "doc_id", "n_tokens", budget, shards)
       .orderBy(col("shard"), col("chunk"))
   }

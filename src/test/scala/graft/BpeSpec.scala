@@ -201,6 +201,60 @@ class BpeSpec extends SparkSpecBase {
       "letter-pair merges must produce multi-char pieces somewhere")
   }
 
+  test("special tokens: atomic under a hostile table, unforgeable by merges, counted by the packer") {
+    // HOSTILE table: merges that would chew the BOS spelling char by
+    // char — each side base or created earlier, so it passes training
+    // validation. Without specials the word shreds; with specials it
+    // is one atomic piece, in the fold AND the kernel, char and byte
+    // mode alike (specials screen on the RAW token).
+    val hostile = Seq(("<", "|"), ("<|", "b"), ("<|b", "o"), ("<|bo", "s"))
+    val words = Seq((1L, Bpe.Bos), (2L, "bos")).toDF("id", "w")
+    def run(c: org.apache.spark.sql.Column) = words.select(col("id"), c.as("p"))
+      .as[(Long, Seq[String])].collect().toMap
+    for (byteLevel <- Seq(false, true)) {
+      val kernel = run(Bpe.encodeKernel(col("w"), hostile, byteLevel, Bpe.DefaultSpecials))
+      assert(kernel(1L) == Seq(Bpe.Bos),
+        s"special must encode atomically (byteLevel=$byteLevel): ${kernel(1L)}")
+      assert(kernel(1L) != run(Bpe.encodeKernel(col("w"), hostile, byteLevel))(1L),
+        "the hostile table must genuinely shred the spelling without specials")
+      assert(kernel(2L).nonEmpty && kernel(2L) != Seq("bos"),
+        s"ordinary words still encode normally: ${kernel(2L)}")
+    }
+    // fold == kernel on the special and the ordinary word
+    assert(run(Bpe.encode(col("w"), hostile, specials = Bpe.DefaultSpecials)) ==
+      run(Bpe.encodeKernel(col("w"), hostile, specials = Bpe.DefaultSpecials)),
+      "fold and kernel must agree under specials")
+    // UNFORGEABLE: a table whose merges would PRODUCE the special (the
+    // full spelling chain) or CONSUME one refuses loudly
+    val forging = hostile ++ Seq(("<|bos", "|"), ("<|bos|", ">"))
+    val eF = intercept[Exception] {
+      words.select(Bpe.encodeKernel(col("w"), forging,
+        specials = Bpe.DefaultSpecials)).collect()
+    }
+    assert(eF.getMessage.contains("special"), eF.getMessage)
+    val eC = intercept[Exception] {
+      words.select(Bpe.encodeKernel(col("w"), Seq((Bpe.Eos, "x")),
+        specials = Bpe.DefaultSpecials)).collect()
+    }
+    assert(eC.getMessage.contains("special"), eC.getMessage)
+    // the same forging table is FINE without specials registered —
+    // reservation is a property of the special set, not the table
+    assert(run(Bpe.encodeKernel(col("w"), forging))(1L) == Seq(Bpe.Bos, Bpe.EndOfWord),
+      "without specials the forged spelling is just another merge output")
+    // a single-char special could hide inside ordinary words — refused
+    val e1 = intercept[Exception] {
+      words.select(Bpe.encodeKernel(col("w"), hostile, specials = Seq("x"))).collect()
+    }
+    assert(e1.getMessage.contains("special"), e1.getMessage)
+    // q142: delimiter arithmetic — every doc costs its q130 count + 2
+    val plain = Bpe.bpePackedDocs(spark, sfDir)
+      .agg(sum(col("total_tokens")), sum(col("n_docs"))).as[(Long, Long)].head()
+    val delim = Bpe.bpePackedDelimitedDocs(spark, sfDir)
+      .agg(sum(col("total_tokens")), sum(col("n_docs"))).as[(Long, Long)].head()
+    assert(delim._2 == plain._2 && delim._1 == plain._1 + 2 * plain._2,
+      s"BOS+EOS must cost exactly 2 per doc: $delim vs $plain")
+  }
+
   test("byte remap follows the GPT-2 bytes_to_unicode rule exactly") {
     // self-mapped printable latin; shifted controls/space/DEL
     assert(Bpe.byteSymbols(97) == "a" && Bpe.byteSymbols(126) == "~")
