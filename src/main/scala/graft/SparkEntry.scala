@@ -192,7 +192,8 @@ object SparkEntry {
     // artifacts, recall/parity spec-tested
     "q140_ann_imipq"             -> ((s, d) => Similarity.annImiPq(s, d)),
     "q141_ann_imipq_portable"    -> ((s, d) => Similarity.annImiPqPortable(s, d)),
-    "q142_bpe_packed_special"    -> ((s, d) => Bpe.bpePackedDelimitedDocs(s, d))
+    "q142_bpe_packed_special"    -> ((s, d) => Bpe.bpePackedDelimitedDocs(s, d)),
+    "q143_bpe_token_ids"         -> ((s, d) => Bpe.bpeTokenIdsDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1871,6 +1872,70 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |       CAST(sum(p) AS BIGINT) AS n_pieces,
          |       round(CAST(sum(c) AS DOUBLE) / sum(p), 4) AS chars_per_piece
+         |FROM e GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+
+    // q143: the tokenizer ID SPACE from scratch — the q136 byte-mode
+    // recursive-CTE fold produces the piece strings, and the id rule
+    // replays as pure SQL: marker → 3, single-symbol piece → lookup in
+    // the interpolated 256-entry bytes_to_unicode table (shared Scala
+    // constants, the q104/q121 convention), multi-char piece → 260 +
+    // its merge rank (outputs unique by the validator's invariant, so
+    // the join is exact); every doc adds BOS(0) + EOS(1) — +2 pieces,
+    // +1 to id_sum — so the reserved ids participate in the hash
+    "q143_bpe_token_ids" -> {
+      val byteRows = Bpe.byteKernelMerges.take(4).zipWithIndex
+        .map { case ((l, r), i) => s"(CAST($i AS BIGINT), '$l', '$r')" }
+        .mkString(", ")
+      val nRanks = Bpe.byteKernelMerges.size
+      val symRows = Bpe.byteSymbols.zipWithIndex
+        .map { case (s, b) => s"(CAST($b AS BIGINT), '${s.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH RECURSIVE
+         |letters AS (
+         |  SELECT chr(97 + CAST(i AS INTEGER)) AS c, CAST(i AS BIGINT) AS i
+         |  FROM range(26) t(i)),
+         |m AS (
+         |  SELECT * FROM (VALUES $byteRows) AS v(rank, l, r)
+         |  UNION ALL
+         |  SELECT 4 + x.i * 26 + y.i AS rank, x.c AS l, y.c AS r
+         |  FROM letters x, letters y),
+         |mo AS (SELECT rank, l || r AS pout FROM m),
+         |bytesyms AS (SELECT * FROM (VALUES $symRows) AS v(idx, sym)),
+         |w AS (
+         |  SELECT doc_id, unnest(string_split_regex(
+         |    trim(lower(translate(lower(text), 'ae', 'äé'))), '\\s+')) AS w
+         |  FROM documents),
+         |wb AS (SELECT doc_id, replace(replace(w, 'ä', 'Ã¤'), 'é', 'Ã©') AS b
+         |       FROM w WHERE w <> ''),
+         |words AS (SELECT DISTINCT b FROM wb),
+         |it AS (
+         |  SELECT b, '  ' || regexp_replace(b, '(.)', '\\1  ', 'g') || '</w>  ' AS s,
+         |         CAST(0 AS BIGINT) AS r
+         |  FROM words
+         |  UNION ALL
+         |  SELECT it.b, replace(it.s, ' ' || m.l || '  ' || m.r || ' ',
+         |                       ' ' || m.l || m.r || ' '), it.r + 1
+         |  FROM it JOIN m ON m.rank = it.r),
+         |pw AS (
+         |  SELECT b, unnest(string_split_regex(trim(s), '\\s+')) AS piece
+         |  FROM it WHERE r = $nRanks),
+         |ids AS (
+         |  SELECT pw.b, CASE
+         |           WHEN pw.piece = '</w>' THEN 3
+         |           WHEN length(pw.piece) = 1 THEN 4 + bs.idx
+         |           ELSE 260 + mo.rank END AS id
+         |  FROM pw
+         |  LEFT JOIN bytesyms bs ON bs.sym = pw.piece
+         |  LEFT JOIN mo ON mo.pout = pw.piece),
+         |wordids AS (
+         |  SELECT b, count(*) AS np, sum(id) AS ids, max(id) AS mx
+         |  FROM ids GROUP BY b),
+         |e AS (SELECT wb.doc_id, wi.np, wi.ids, wi.mx
+         |      FROM wb JOIN wordids wi ON wi.b = wb.b)
+         |SELECT doc_id, CAST(sum(np) + 2 AS BIGINT) AS n_pieces,
+         |       CAST(sum(ids) + 1 AS BIGINT) AS id_sum,
+         |       CAST(max(mx) AS BIGINT) AS max_id
          |FROM e GROUP BY 1 ORDER BY doc_id""".stripMargin
     },
 

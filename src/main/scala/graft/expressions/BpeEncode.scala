@@ -203,6 +203,71 @@ final class BpeTable(val lefts: Array[String], val rights: Array[String],
     new GenericArrayData(arr)
   }
 
+  /** The deterministic ID SPACE over this table's closed piece
+    * universe (round 14 — the half of the tokenizer contract a
+    * training loader actually consumes; requires `byteLevel`, the only
+    * mode whose base alphabet is CLOSED): specials take the reserved
+    * low ids 0..s−1 in declaration order (BOS first by convention),
+    * the end-of-word marker id s, the 256 byte symbols ids s+1..s+256
+    * in byte order, and merge outputs id s+257+rank. A bijection by
+    * the validator's own invariants: outputs are unique, never base
+    * symbols, never specials; specials are never single code points.
+    * Pure arithmetic over (specials, merges) — any engine re-derives
+    * the identical ids, which is what makes the id assignment
+    * oracle-checkable. */
+  @transient lazy val idOf: java.util.HashMap[String, Integer] = {
+    require(byteLevel,
+      "token ids need the CLOSED byte-level alphabet — char-level base " +
+        "symbols are unbounded, so no finite id space exists for them")
+    val m = new java.util.HashMap[String, Integer](specials.length + 257 + lefts.length)
+    specials.zipWithIndex.foreach { case (s, i) => m.put(s, Integer.valueOf(i)) }
+    val s0 = specials.length
+    m.put(EndOfWord, Integer.valueOf(s0))
+    var b = 0
+    while (b < 256) { m.put(ByteSymbols(b), Integer.valueOf(s0 + 1 + b)); b += 1 }
+    var r = 0
+    while (r < lefts.length) {
+      m.put(lefts(r) + rights(r), Integer.valueOf(s0 + 257 + r)); r += 1
+    }
+    m
+  }
+
+  @transient private lazy val idsCacheTL: ThreadLocal[java.util.LinkedHashMap[String, GenericArrayData]] =
+    new ThreadLocal[java.util.LinkedHashMap[String, GenericArrayData]] {
+      override def initialValue(): java.util.LinkedHashMap[String, GenericArrayData] =
+        new java.util.LinkedHashMap[String, GenericArrayData](1024, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, GenericArrayData]): Boolean =
+            size() > CacheWords
+        }
+    }
+
+  /** [[encode]] composed with [[idOf]] — pieces to ids in one kernel
+    * call, its own per-thread cache on the raw token (the id array is
+    * what a packing/export scan reads; caching the string pieces AND
+    * re-mapping per occurrence would forfeit half the amortization). */
+  def encodeIds(tok: UTF8String): ArrayData = {
+    val s = tok.toString
+    val cache = idsCacheTL.get()
+    val hit = cache.get(s)
+    if (hit != null) return hit
+    val pieces = encode(tok)
+    val n = pieces.numElements()
+    val arr = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val p = pieces.getUTF8String(i).toString
+      val id = idOf.get(p)
+      // unreachable in byte mode by construction — loud beats wrong
+      require(id != null, s"piece '$p' has no id in this table's vocabulary")
+      arr(i) = id.intValue()
+      i += 1
+    }
+    val out = new GenericArrayData(arr)
+    cache.put(s, out)
+    out
+  }
+
   override def equals(o: Any): Boolean = o match {
     case t: BpeTable =>
       byteLevel == t.byteLevel &&
@@ -266,6 +331,30 @@ case class BpeEncodeExpr(child: Expression, table: BpeTable) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** Native id-level BPE encode: `graft_bpe_encode_ids(tok, lefts,
+  * rights, byteLevel, specials)` → `array<int>` token ids under the
+  * table's deterministic id space ([[BpeTable.idOf]]). Same plan-
+  * shipped validated table, same per-thread caching; byteLevel must be
+  * TRUE (the closed-alphabet mode — the id space is a bijection only
+  * there, checked loudly at first evaluation). */
+case class BpeEncodeIdsExpr(child: Expression, table: BpeTable) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode_ids"
+
+  override protected def nullSafeEval(tok: Any): Any =
+    table.encodeIds(tok.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.encodeIds($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIdsExpr =
+    copy(child = newChild)
+}
+
 object BpeEncodeExpr {
 
   /** Function builder for the SQL registration: children are
@@ -302,4 +391,17 @@ object BpeEncodeExpr {
       new BpeTable(sides(children(1), "lefts"), sides(children(2), "rights"),
         byteLevel, specials))
   }
+
+  /** Builder for `graft_bpe_encode_ids` — the same five children, the
+    * id-emitting expression. Shares every validation path with
+    * [[build]] through the common table construction. */
+  def buildIds(children: Seq[Expression]): Expression =
+    build(children) match {
+      case BpeEncodeExpr(child, table) =>
+        require(table.byteLevel,
+          "graft_bpe_encode_ids requires byteLevel=true — only the closed " +
+            "256-symbol byte alphabet admits a finite id space")
+        BpeEncodeIdsExpr(child, table)
+      case other => other
+    }
 }

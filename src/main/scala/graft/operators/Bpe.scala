@@ -494,6 +494,68 @@ object Bpe {
       .orderBy(col("shard"), col("chunk"))
   }
 
+  /** Id-level NATIVE encode (round 14 — the other half of the
+    * tokenizer contract: a training loader consumes INT IDS, not piece
+    * strings): one [[graft.expressions.BpeEncodeIdsExpr]] node maps
+    * each word to its id array under the table's deterministic id
+    * space — specials at the reserved low ids 0..s−1 (BOS first), the
+    * end-of-word marker at s, the 256 byte symbols at s+1..s+256, and
+    * merge outputs at s+257+rank. Pure arithmetic over (specials,
+    * merges), so any engine re-derives identical ids — the q143 oracle
+    * does, from scratch. Byte-level only (the sole CLOSED base
+    * alphabet; char mode refuses loudly). */
+  def encodeIdsKernel(tok: Column, merges: Seq[(String, String)],
+                      specials: Seq[String] = DefaultSpecials): Column = {
+    require(merges.nonEmpty && merges.size <= maxTrainMerges,
+      s"encodeIdsKernel takes 1..$maxTrainMerges merges, got ${merges.size}")
+    call_function("graft_bpe_encode_ids", tok,
+      typedlit(merges.map(_._1)), typedlit(merges.map(_._2)), lit(true),
+      typedlit(specials))
+  }
+
+  /** The id space as a persistable (id, piece) table — the vocabulary
+    * artifact shipped next to a trained merge table (the same rule
+    * [[encodeIdsKernel]] bakes into the kernel; built driver-side, the
+    * row count is bounded by |specials| + 257 + |merges|). */
+  def vocabularySeq(merges: Seq[(String, String)],
+                    specials: Seq[String] = DefaultSpecials): Seq[(Int, String)] = {
+    val s0 = specials.size
+    specials.zipWithIndex.map { case (s, i) => (i, s) } ++
+      Seq((s0, EndOfWord)) ++
+      byteSymbols.zipWithIndex.map { case (s, b) => (s0 + 1 + b, s) } ++
+      merges.zipWithIndex.map { case ((l, r), k) => (s0 + 257 + k, l + r) }
+  }
+
+  /** C49d→C49e `q143_bpe_token_ids` — the id assignment, oracle-backed
+    * end to end on the q136 byte-dressed corpus: every word encodes to
+    * ids through the kernel, every document carries its BOS/EOS
+    * delimiters (+2 pieces, +BOS+EOS = +1 to the id sum — the reserved
+    * ids 0 and 1 participating in real arithmetic), and the DuckDB
+    * oracle re-derives the SAME ids from scratch: the recursive-CTE
+    * fold produces the piece strings, and the id rule replays as pure
+    * SQL — marker → s, single-symbol piece → byte-table lookup
+    * (interpolated from the shared [[byteSymbols]] constants, the
+    * q104/q121 convention), multi-char piece → merge-output rank join
+    * (outputs are unique by the validator's invariant, so the join is
+    * exact). A drifted id anywhere flips `id_sum` and fails the hash. */
+  def bpeTokenIdsDocs(spark: SparkSession, dir: String): DataFrame = {
+    val dressed = graft.Tables(spark, dir).documents
+      .withColumn("text", translate(lower(col("text")), "ae", "äé"))
+    val bosEos = DefaultSpecials.indexOf(Bos).toLong + DefaultSpecials.indexOf(Eos)
+    dressed
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("_w0"))
+      .filter(col("_w0") =!= "")
+      .withColumn("_ids", encodeIdsKernel(col("_w0"), byteKernelMerges))
+      .groupBy(col("doc_id"))
+      .agg(
+        (sum(size(col("_ids"))) + lit(2L)).as("n_pieces"),
+        (sum(aggregate(col("_ids"), lit(0L), (acc, x) => acc + x))
+          + lit(bosEos)).as("id_sum"),
+        max(array_max(col("_ids"))).cast("long").as("max_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C48→C49 `q142_bpe_packed_special` — q130's packing under the
     * DOCUMENT-DELIMITER contract (round 14): each document's packed
     * sequence is `BOS + pieces + EOS`, so its budget cost is its

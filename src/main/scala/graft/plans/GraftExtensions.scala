@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expressions.{BpeEncodeExpr, DotProduct, KllMergeAgg, KllQuantile, KllSketchAgg, KmvMergeAgg, KmvShingledAgg, KmvSketchAgg, MinHashShingled, MinHashSignature, NGramHashes, SimHash60Md5, SimHash64, SpanWindowHashes, TextEmbedMd5}
+import graft.expressions.{BpeEncodeExpr, BpeEncodeIdsExpr, DotProduct, KllMergeAgg, KllQuantile, KllSketchAgg, KmvMergeAgg, KmvShingledAgg, KmvSketchAgg, MinHashShingled, MinHashSignature, NGramHashes, SimHash60Md5, SimHash64, SpanWindowHashes, TextEmbedMd5}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -92,5 +92,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // BpeTable baked into the expression (see BpeEncodeExpr.build)
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BpeEncodeExpr.build(children)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bpe_encode_ids"),
+      new ExpressionInfo(classOf[BpeEncodeIdsExpr].getName, "graft_bpe_encode_ids"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BpeEncodeExpr.buildIds(children)))
   }
 }

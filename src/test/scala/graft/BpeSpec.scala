@@ -255,6 +255,39 @@ class BpeSpec extends SparkSpecBase {
       s"BOS+EOS must cost exactly 2 per doc: $delim vs $plain")
   }
 
+  test("token ids: reserved layout, kernel ids == pieces through the vocabulary, char mode refused") {
+    val merges = Bpe.byteKernelMerges
+    val vocab = Bpe.vocabularySeq(merges)
+    // dense bijection with the reserved layout: specials 0..2, marker
+    // 3, byte symbols 4..259 in byte order, merge outputs 260+rank
+    assert(vocab.map(_._1) == vocab.indices.toSeq, "ids must be dense 0..N-1")
+    assert(vocab.map(_._2).distinct.size == vocab.size, "pieces must be unique")
+    assert(vocab.take(3).map(_._2) == Bpe.DefaultSpecials)
+    assert(vocab(3)._2 == Bpe.EndOfWord)
+    assert(vocab(4 + 'a'.toInt)._2 == "a" && vocab(4 + 'z'.toInt)._2 == "z")
+    assert(vocab(260)._2 == "Ã¤", "first merge output sits at specials+257")
+    // kernel ids are exactly the pieces mapped through the vocabulary
+    val idOf = vocab.map(_.swap).toMap
+    val words = Seq((1L, "tät"), (2L, Bpe.Bos), (3L, "zebra")).toDF("id", "w")
+    val out = words.select(col("id"),
+        Bpe.encodeKernel(col("w"), merges, byteLevel = true,
+          specials = Bpe.DefaultSpecials).as("p"),
+        Bpe.encodeIdsKernel(col("w"), merges).as("i"))
+      .as[(Long, Seq[String], Seq[Int])].collect()
+    out.foreach { case (id, p, i) =>
+      assert(i == p.map(idOf), s"word $id: ids $i != mapped pieces $p")
+    }
+    assert(out.find(_._1 == 2L).get._3 == Seq(0), "BOS encodes to the reserved id 0")
+    // char mode has no finite id space — refused loudly
+    val e = intercept[Exception] {
+      words.select(call_function("graft_bpe_encode_ids", col("w"),
+        typedlit(merges.map(_._1)), typedlit(merges.map(_._2)), lit(false)))
+        .collect()
+    }
+    assert(e.getMessage.contains("byteLevel") ||
+      Option(e.getCause).exists(_.getMessage.contains("byteLevel")), e.getMessage)
+  }
+
   test("byte remap follows the GPT-2 bytes_to_unicode rule exactly") {
     // self-mapped printable latin; shifted controls/space/DEL
     assert(Bpe.byteSymbols(97) == "a" && Bpe.byteSymbols(126) == "~")
