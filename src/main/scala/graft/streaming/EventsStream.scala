@@ -1342,6 +1342,43 @@ object EventsStream {
       }
       .start()
 
+  /** D2→C7e bridge — streaming IMI+ADC ingest (round 14, the composed
+    * index's streaming twin: D2d is flat IVFADC, D2o the bare
+    * two-level index — this is both at once): each micro-batch extends
+    * the (vec_id, v, nrm, cell, codes) corpus through the production
+    * day-2 append ([[graft.operators.Similarity.appendToImiPqIndex]] —
+    * shared per-half argmin to the PRODUCT cell, residual against the
+    * concatenated half-centroids, frozen-codebook flat-table encode;
+    * only parquet artifacts cross the boundary), so composed IMI+ADC
+    * searches see new vectors within one trigger. Replay-idempotent
+    * via the vec_id anti-join; a mismatched k2 stride refuses loudly
+    * in the shared assignment rule. Same drift caveat as every index
+    * stream: re-run the batch build when recall decays.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def imiPqIngestStream(embeddings: DataFrame, corpusTable: String,
+                        cent1Path: String, cent2Path: String, k2: Int,
+                        codebookPath: String, checkpointDir: String,
+                        numBuckets: Int = 8):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.operators.Similarity.appendToImiPqIndex(batch,
+          spark.read.parquet(cent1Path), spark.read.parquet(cent2Path), k2,
+          spark.read.parquet(codebookPath))
+          .join(spark.table(corpusTable).select(col("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet")
+          .bucketBy(numBuckets, "cell")
+          .sortBy("cell")
+          .saveAsTable(corpusTable)
+      }
+      .start()
+
   /** D1→A20 bridge — streaming anomaly flags: the q58 semantics
     * (daily counts z-scored against the trailing `baselineDays`-day
     * baseline, current day excluded) applied IN-FLIGHT.

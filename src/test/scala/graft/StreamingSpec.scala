@@ -1221,6 +1221,58 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C7e: streaming IMI+ADC ingest — product cell + codes match the build, exactly-once") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = Tables(spark, sfDir).embeddings
+    val (corpus, c1, c2, cb) = Similarity.buildImiPqIndex(
+      all.filter(col("vec_id") < 300), k1 = 4, k2 = 4)
+    graft.sources.Bucketing.writeBucketed(corpus, "stream_imipq", Seq("cell"), 8)
+    val d1 = java.nio.file.Files.createTempDirectory("graft_imipq_c1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_imipq_c2").toString
+    val dcb = java.nio.file.Files.createTempDirectory("graft_imipq_cb").toString
+    c1.write.mode("overwrite").parquet(d1)
+    c2.write.mode("overwrite").parquet(d2)
+    cb.write.mode("overwrite").parquet(dcb)
+    val before = spark.table("stream_imipq").count()
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val cp = java.nio.file.Files.createTempDirectory("graft_imipq_cp").toString
+    val q = EventsStream.imiPqIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), "stream_imipq", d1, d2, 4, dcb, cp)
+    def count() = {
+      spark.catalog.refreshTable("stream_imipq")
+      spark.table("stream_imipq").count()
+    }
+    try {
+      // a twin of indexed vector 5 under a fresh id: identical product
+      // cell AND identical residual codes (shared argmin + frozen
+      // codebook make the whole encode a pure function of the vector)
+      val donor = all.filter(col("vec_id") === 5L)
+        .select(col("embedding").cast("array<double>")).as[Seq[Double]].head()
+      mem.addData((500L, donor))
+      q.processAllAvailable()
+      assert(count() == before + 1)
+      val rows = spark.table("stream_imipq")
+        .filter(col("vec_id").isin(5L, 500L))
+        .select(col("vec_id"), col("cell"), col("codes"))
+        .as[(Long, Int, Seq[Int])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(rows(500L) == rows(5L),
+        s"the streamed twin must reproduce its donor's cell AND codes: $rows")
+      // re-delivery appends nothing
+      mem.addData((500L, donor))
+      q.processAllAvailable()
+      assert(count() == before + 1, "replayed ids must not duplicate index rows")
+      // the composed search sees the streamed vector: the donor finds
+      // its twin at exact cosine 1.0 after the rerank
+      val found = Similarity.annImiPqSearch(
+        spark.table("stream_imipq"), c1, c2, 4, cb, k = 3, numQueries = 10)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(found.exists(r => r._1 == 5L && r._3 == 500L && r._4 == 1.0),
+        s"vector 5 must see its streamed twin at cos 1.0: ${found.filter(_._1 == 5L).toSeq}")
+    } finally q.stop()
+  }
+
   test("D2→C26b: streaming semantic-dedup ingest — self pass, index verdicts, exactly-once growth") {
     import graft.operators.Similarity
     implicit val sqlCtx = spark.sqlContext
