@@ -264,6 +264,56 @@ object Sketches {
       .agg(sum(col("n_values")).as("n_values"),
         call_function("graft_kll_merge", col("value_sketch")).as("value_sketch"))
 
+  /** Maintenance COMPACTION for the KLL partials table (the growth
+    * debt [[graft.streaming.EventsStream.kllPartialIngestStream]]
+    * documents: one artifact row per (batch, day, key)): merges every
+    * batch partition EXCEPT THE HIGHEST into one reserved
+    * `batch_id = -1` partition — KLL merge is associative, so readers
+    * decode identically before and after, and re-compaction is
+    * idempotent (the -1 partition just re-merges with itself).
+    *
+    * The highest batch partition is deliberately left alone: it is the
+    * ONLY one a restarted stream can re-deliver (a crash between the
+    * sink write and the checkpoint commit replays exactly the last
+    * batch), and its replay must land as a partition OVERWRITE — if
+    * its rows were already folded into -1, the replay would
+    * double-count. Run on a maintenance cadence with the stream
+    * stopped or between triggers (compaction and a concurrent batch
+    * write race on the directory listing, like any file-table
+    * compactor — the E3 contract).
+    *
+    * The swap is staged-then-rename (write the compacted table to
+    * `path.compact_tmp`, swap directories) so a crash mid-compaction
+    * leaves either the old table or a complete new one, never a
+    * half-merged mix. @return number of batch partitions folded. */
+  def compactKllPartials(spark: SparkSession, path: String,
+                         keyCol: String): Long = {
+    val parts = spark.read.parquet(path)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .localCheckpoint()
+    val batches = parts.select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val maxBatch = batches.last
+    val fold = batches.filter(_ != maxBatch)
+    if (fold.length <= 1) return 0L
+    val merged = mergeKllPartials(parts.filter(col("batch_id") =!= maxBatch), keyCol)
+      .select(col(keyCol), col("day"), col("n_values"), col("value_sketch"))
+      .withColumn("batch_id", lit(-1L))
+    val keep = parts.filter(col("batch_id") === maxBatch)
+    val tmp = path + ".compact_tmp"
+    merged.unionByName(keep.select(merged.columns.map(col): _*))
+      .write.partitionBy("batch_id")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"compactKllPartials: rename $tmp -> $path failed; the compacted " +
+        "table is intact at the tmp path")
+    fold.length.toLong
+  }
+
   /** Quantiles per key over [fromDay, toDay] from the daily sketch
     * table: ONE merge aggregate, then one scalar decode per requested
     * rank over the tiny per-key result. */

@@ -700,6 +700,28 @@ class StreamingSpec extends SparkSpecBase {
         "a replayed batch id must overwrite its partition, not append")
       assert(decode(merged()) == decode(batchBuilt),
         "replay must leave decoded answers unchanged")
+      // a third batch so compaction has something to fold (batches 0
+      // and 1 fold into -1; batch 2 — the only replayable one — stays)
+      mem.addData(day1.take(1).map(e => e.copy(event_id = e.event_id + 200)): _*)
+      q.processAllAvailable()
+      val pre = decode(merged())
+      val folded = Sketches.compactKllPartials(spark, tbl, "event_type")
+      assert(folded == 2, s"batches 0 and 1 must fold, got $folded")
+      val batchIds = spark.read.parquet(tbl)
+        .select(col("batch_id").cast("long"))
+        .distinct().as[Long].collect().toSet
+      assert(batchIds == Set(-1L, 2L),
+        s"compaction keeps -1 plus the newest (replayable) batch: $batchIds")
+      assert(decode(merged()) == pre, "compaction must not change any answer")
+      // the kept newest batch can still replay as an overwrite
+      EventsStream.writeKllPartialBatch(
+        day1.take(1).map(e => e.copy(event_id = e.event_id + 200)).toDF(), 2L,
+        tbl, "event_type", "ts", "value", k = 200)
+      assert(decode(merged()) == pre,
+        "a replay of the kept batch must still be an overwrite, not a double count")
+      // re-compaction is a no-op at this state (only -1 and max remain)
+      assert(Sketches.compactKllPartials(spark, tbl, "event_type") == 0L)
+      assert(decode(merged()) == pre)
     } finally q.stop()
   }
 
