@@ -1012,6 +1012,65 @@ object EventsStream {
       }
       .start()
 
+  /** D2→C26e bridge — streaming SEMANTIC-dedup ingest at the
+    * TWO-LEVEL (IMI) tier (round 14; D2n is this shape on the flat
+    * quantizer): each micro-batch (1) assigns through the SHARED
+    * per-half argmin rule and self-deduplicates within its product
+    * cells ([[graft.operators.Similarity.semanticDedupAssigned]] on
+    * the batch's own assigned frame), (2) verdicts survivors against
+    * the persisted cell-bucketed corpus through the PROBE-SIDE recall
+    * knob ([[graft.operators.Similarity.semanticDedupAgainstImiIndex]]
+    * — nProbe=2 per half by default, so boundary pairs the √cells
+    * assignment splits still verdict as dups; the INDEX stays
+    * nProbe=1), and (3) appends accepted vectors through the shared
+    * build rule BEFORE handing them to `accept` (the round-14 D2n
+    * order: replayed ids verdict as dups and never re-accept).
+    *
+    * Replay-idempotent via the vec_id anti-join; the k2 stride and
+    * cell-size guards refuse loudly. Quantizer drift stays the
+    * operational caveat.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def semanticDedupImiIngestStream(embeddings: DataFrame, cellTable: String,
+                                   cent1Path: String, cent2Path: String, k2: Int,
+                                   checkpointDir: String,
+                                   accept: DataFrame => Unit,
+                                   threshold: Double = 0.25,
+                                   maxCellSize: Int = 10000,
+                                   nProbe: Int = 2,
+                                   numBuckets: Int = 8):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        import graft.operators.Similarity
+        val batch = batch0.localCheckpoint()
+        val spark = batch.sparkSession
+        val c1 = spark.read.parquet(cent1Path)
+        val c2 = spark.read.parquet(cent2Path)
+        // ONE assignment pass serves the self pass and the append
+        val batchAssigned = Similarity
+          .appendToIvfIndexTwoLevel(batch, c1, c2, k2).localCheckpoint()
+        val self = Similarity.semanticDedupAssigned(batchAssigned, threshold, maxCellSize)
+        val reps = batch.join(
+          self.filter(!col("is_dup")).select(col("vec_id")), Seq("vec_id"))
+        val verdicts = Similarity.semanticDedupAgainstImiIndex(
+          reps, spark.table(cellTable), c1, c2, k2, threshold, maxCellSize, nProbe)
+        val acceptedIds = verdicts.filter(!col("is_dup")).select(col("vec_id"))
+        val accepted = reps.join(acceptedIds, Seq("vec_id")).localCheckpoint()
+        batchAssigned.join(acceptedIds, Seq("vec_id"))
+          .join(spark.table(cellTable).select(col("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet")
+          .bucketBy(numBuckets, "cell")
+          .sortBy("cell")
+          .saveAsTable(cellTable)
+        accept(accepted)
+      }
+      .start()
+
   /** D2→C12b bridge — streaming RAW-TEXT embedding ingest: new
     * documents embed through the deterministic projection
     * ([[graft.operators.TextEmbed.embedDocuments]] — a map-only

@@ -1350,6 +1350,57 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C26e: streaming IMI semantic-dedup ingest — self pass, knobbed probe, append-then-accept") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = Tables(spark, sfDir).embeddings
+    val (assigned, c1, c2) = Similarity.buildIvfIndexTwoLevel(
+      all.filter(col("vec_id") < 300), k1 = 4, k2 = 4)
+    graft.sources.Bucketing.writeBucketed(assigned, "stream_semdd_imi", Seq("cell"), 8)
+    val d1 = java.nio.file.Files.createTempDirectory("graft_sdi_c1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_sdi_c2").toString
+    c1.write.mode("overwrite").parquet(d1)
+    c2.write.mode("overwrite").parquet(d2)
+    val before = spark.table("stream_semdd_imi").count()
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val cp = java.nio.file.Files.createTempDirectory("graft_sdi_cp").toString
+    val acceptedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = EventsStream.semanticDedupImiIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), "stream_semdd_imi", d1, d2, 4, cp,
+      accept = df => acceptedIds ++=
+        df.select(col("vec_id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect(),
+      threshold = 0.9999)
+    def indexCount() = {
+      spark.catalog.refreshTable("stream_semdd_imi")
+      spark.table("stream_semdd_imi").count()
+    }
+    try {
+      val donor5 = all.filter(col("vec_id") === 5L)
+        .select(col("embedding").cast("array<double>")).as[Seq[Double]].head()
+      val fresh = all.filter(col("vec_id") === 400L)
+        .select(col("embedding").cast("array<double>")).as[Seq[Double]].head()
+      // index twin rejects (the shared argmin lands it in the donor's
+      // product cell), within-batch twin collapses, fresh accepts
+      mem.addData((500L, donor5), (501L, fresh), (502L, fresh))
+      q.processAllAvailable()
+      assert(acceptedIds.toSet == Set(501L),
+        s"index twin rejected, self twin collapsed, fresh accepted: $acceptedIds")
+      assert(indexCount() == before + 1, "only the accepted vector appends")
+      // a twin of the streamed-in 501 rejects next trigger; replaying
+      // 501 appends nothing and never re-accepts (append-then-accept)
+      mem.addData((503L, fresh), (501L, fresh))
+      q.processAllAvailable()
+      assert(!acceptedIds.contains(503L),
+        s"a twin of a streamed-in vector must reject next trigger: $acceptedIds")
+      assert(indexCount() == before + 1,
+        "re-delivered and rejected ids must not grow the index")
+      assert(acceptedIds.count(_ == 501L) == 1,
+        s"accept must fire at most once per row: $acceptedIds")
+    } finally q.stop()
+  }
+
   test("D2→C12b: streaming raw-text ingest embeds and indexes; a copied doc is found at cos 1.0") {
     import graft.operators.{Similarity, TextEmbed}
     import graft.streaming.EventsStream.StreamDoc
