@@ -269,6 +269,99 @@ object Similarity {
     (assignPrepped(e, cents), cents)
   }
 
+  /** A trained coarse-quantizer artifact with its STRUCTURE abstracted
+    * (round 14 — the auto rule generalized off the text path): one
+    * `assigned` (vec_id, v, nrm, cell) corpus frame plus the
+    * structure's own day-2 rules, so every vector pipeline (ANN
+    * corpus, SemDeDup, streaming ingest) can consume "a trained index"
+    * without hard-coding flat vs two-level — the choice that
+    * SCALING_r13 measured turning quadratic when hard-coded wrong. */
+  sealed trait VectorIndex {
+    /** (vec_id, v, nrm, cell) — persist bucketed by cell. */
+    def assigned: DataFrame
+    /** Day-2 append: new vectors through the structure's SHARED build
+      * rule — appended rows land exactly where the build puts them. */
+    def assign(newEmbeddings: DataFrame): DataFrame
+    /** Day-2 semantic-dedup probe against a persisted corpus frame of
+      * this structure (probe-side recall widening where the structure
+      * supports it — the two-level case probes nProbe=2 per half). */
+    def dedupProbe(newEmbeddings: DataFrame, corpus: DataFrame,
+                   threshold: Double = 0.25, maxCellSize: Int = 10000): DataFrame
+  }
+
+  /** Flat IVF: one centroid table, O(n·cells) assignment — the right
+    * constant below [[FlatCellsCrossover]] cells. */
+  final case class FlatVectorIndex(assigned: DataFrame, centroids: DataFrame)
+      extends VectorIndex {
+    def assign(newEmbeddings: DataFrame): DataFrame =
+      appendToIvfIndex(newEmbeddings, centroids)
+    def dedupProbe(newEmbeddings: DataFrame, corpus: DataFrame,
+                   threshold: Double, maxCellSize: Int): DataFrame =
+      semanticDedupAgainstIndex(newEmbeddings, corpus, centroids,
+        threshold, maxCellSize)
+  }
+
+  /** Two-level (IMI): per-half sub-quantizers, product cells,
+    * O(n·√cells) assignment — the growth structure past the
+    * crossover. */
+  final case class TwoLevelVectorIndex(assigned: DataFrame, cent1: DataFrame,
+                                       cent2: DataFrame, k2: Int)
+      extends VectorIndex {
+    def assign(newEmbeddings: DataFrame): DataFrame =
+      appendToIvfIndexTwoLevel(newEmbeddings, cent1, cent2, k2)
+    def dedupProbe(newEmbeddings: DataFrame, corpus: DataFrame,
+                   threshold: Double, maxCellSize: Int): DataFrame =
+      semanticDedupAgainstImiIndex(newEmbeddings, corpus, cent1, cent2, k2,
+        threshold, maxCellSize)
+  }
+
+  /** The measured flat→two-level crossover in CELLS (SCALING_r13: tie
+    * at 40 cells, IMI wins 1.7× at 400, flat quadratics at 1200) —
+    * [[graft.operators.TextEmbed.FlatCellsCrossover]] re-exposes it
+    * where the text pipeline documents the measurement. */
+  val FlatCellsCrossover = 128L
+
+  /** The structure decision, PURE (spec-pinned without a build):
+    * "auto" = flat through [[FlatCellsCrossover]] cells, two-level
+    * past it; "flat"/"imi" force. */
+  private[graft] def useTwoLevel(cells: Long, quantizer: String): Boolean =
+    quantizer match {
+      case "flat" => false
+      case "imi"  => true
+      case "auto" => cells > FlatCellsCrossover
+      case other => throw new IllegalArgumentException(
+        s"quantizer must be one of auto|flat|imi, got '$other'")
+    }
+
+  /** Build a trained coarse quantizer with the STRUCTURE picked from
+    * the same corpus-derived cell count that sizes it (the round-14
+    * production rule, generalized from q134's text path): cells =
+    * corpus / targetCellSize (capped so Lloyd's always sees ≥ 2
+    * vectors per centroid), flat below the measured crossover,
+    * two-level above — so no embedding pipeline hard-codes the
+    * structure that goes quadratic when the corpus outgrows it. Both
+    * branches fit on the same bounded seeded sample. */
+  def buildVectorIndexAuto(embeddings: DataFrame, targetCellSize: Int = 125,
+                           seed: Long = 42L, fitSampleSize: Int = 16384,
+                           quantizer: String = "auto"): VectorIndex = {
+    require(targetCellSize > 0, s"targetCellSize must be positive, got $targetCellSize")
+    val e = prepVectors(embeddings).localCheckpoint()
+    val n = e.count()
+    val cells = math.max(4L,
+      math.min((n + targetCellSize - 1) / targetCellSize, fitSampleSize / 2L))
+    if (useTwoLevel(cells, quantizer)) {
+      val k = math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+      val (assigned, c1, c2) = buildTwoLevelFrom(e, n, k, k, seed, fitSampleSize)
+      TwoLevelVectorIndex(assigned, c1, c2, k)
+    } else {
+      val fit = if (n <= fitSampleSize) e
+        else e.sample(withReplacement = false, fitSampleSize.toDouble / n, seed)
+      val (_, centroids) = buildIvfIndexFrom(fit, cells.toInt, seed)
+      val cents = centroids.localCheckpoint()
+      FlatVectorIndex(assignPrepped(e, cents), cents)
+    }
+  }
+
   /** TWO-LEVEL (inverted multi-index) quantizer — the flat-IVF growth
     * path [[buildIvfIndexSampled]] documents, BUILT (Babenko &
     * Lempitsky 2012, "The Inverted Multi-Index" — public): two

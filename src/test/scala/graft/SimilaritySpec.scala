@@ -677,6 +677,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(probed(101L)._1 == false, s"the diagonal vector (cos 0.707 to every group) stays clean: $probed")
   }
 
+  test("buildVectorIndexAuto: structure picked from the corpus, day-2 rules dispatch per structure") {
+    val emb = graft.Tables(spark, sfDir).embeddings
+    def twinOf(id: Long) = emb.filter(col("vec_id") === id)
+      .select(lit(9000L).as("vec_id"), col("embedding"))
+    def check(ix: Similarity.VectorIndex): Unit = {
+      val donorCell = ix.assigned.filter(col("vec_id") === 5L)
+        .select(col("cell")).as[Int].head()
+      // the structure's shared rule: a twin lands in its donor's cell
+      val appended = ix.assign(twinOf(5L)).select(col("cell")).as[Int].head()
+      assert(appended == donorCell, s"twin must land in the donor's cell: $appended vs $donorCell")
+      // the structure's probe: the twin verdicts as a dup of the donor
+      val v = ix.dedupProbe(twinOf(5L), ix.assigned, threshold = 0.9999)
+        .select(col("is_dup"), col("dup_of")).as[(Boolean, Long)].head()
+      assert(v == ((true, 5L)), s"twin must dup onto its donor: $v")
+    }
+    // 500 vectors / 125 → 4 cells → flat
+    val flat = Similarity.buildVectorIndexAuto(emb)
+    assert(flat.isInstanceOf[Similarity.FlatVectorIndex],
+      s"below the crossover auto must build flat: $flat")
+    check(flat)
+    // 500 vectors / 2 → 250 cells → two-level (16 sub-cells per half)
+    val imi = Similarity.buildVectorIndexAuto(emb, targetCellSize = 2)
+    assert(imi.isInstanceOf[Similarity.TwoLevelVectorIndex],
+      s"past the crossover auto must build two-level: $imi")
+    check(imi)
+  }
+
   test("IMI probe-side recall knob: nProbe=2 recovers the boundary pair flat catches and nProbe=1 misses") {
     // planted 2x2 product structure with a BOUNDARY pair: corpus vector
     // A = (1, .96 | 1, 0) sits in sub-cell 0 of half 1; its near-dup
