@@ -193,7 +193,8 @@ object SparkEntry {
     "q140_ann_imipq"             -> ((s, d) => Similarity.annImiPq(s, d)),
     "q141_ann_imipq_portable"    -> ((s, d) => Similarity.annImiPqPortable(s, d)),
     "q142_bpe_packed_special"    -> ((s, d) => Bpe.bpePackedDelimitedDocs(s, d)),
-    "q143_bpe_token_ids"         -> ((s, d) => Bpe.bpeTokenIdsDocs(s, d))
+    "q143_bpe_token_ids"         -> ((s, d) => Bpe.bpeTokenIdsDocs(s, d)),
+    "q144_bpe_packed_ids"        -> ((s, d) => Bpe.bpePackedIdsDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1937,6 +1938,90 @@ object SparkEntry {
          |       CAST(sum(ids) + 1 AS BIGINT) AS id_sum,
          |       CAST(max(mx) AS BIGINT) AS max_id
          |FROM e GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+
+    // q144: the packed TRAINING EXPORT — every chunk's delimited
+    // token-id stream, re-derived entirely from scratch: the q143 id
+    // rule with word order preserved (position-keyed lists), BOS/EOS
+    // wrapping each doc, the q130 packing math, and in-chunk
+    // concatenation in doc-id order; streams compare as comma-joined
+    // strings (the q124 exact-element-order convention)
+    "q144_bpe_packed_ids" -> {
+      val byteRows = Bpe.byteKernelMerges.take(4).zipWithIndex
+        .map { case ((l, r), i) => s"(CAST($i AS BIGINT), '$l', '$r')" }
+        .mkString(", ")
+      val nRanks = Bpe.byteKernelMerges.size
+      val symRows = Bpe.byteSymbols.zipWithIndex
+        .map { case (s, b) => s"(CAST($b AS BIGINT), '${s.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH RECURSIVE
+         |letters AS (
+         |  SELECT chr(97 + CAST(i AS INTEGER)) AS c, CAST(i AS BIGINT) AS i
+         |  FROM range(26) t(i)),
+         |m AS (
+         |  SELECT * FROM (VALUES $byteRows) AS v(rank, l, r)
+         |  UNION ALL
+         |  SELECT 4 + x.i * 26 + y.i AS rank, x.c AS l, y.c AS r
+         |  FROM letters x, letters y),
+         |mo AS (SELECT rank, l || r AS pout FROM m),
+         |bytesyms AS (SELECT * FROM (VALUES $symRows) AS v(idx, sym)),
+         |wd AS (
+         |  SELECT doc_id, string_split_regex(
+         |    trim(lower(translate(lower(text), 'ae', 'äé'))), '\\s+') AS ws
+         |  FROM documents),
+         |w AS (
+         |  SELECT wd.doc_id, u.i AS pos,
+         |         replace(replace(wd.ws[u.i], 'ä', 'Ã¤'), 'é', 'Ã©') AS b
+         |  FROM wd, unnest(generate_series(1, len(wd.ws))) u(i)
+         |  WHERE wd.ws[u.i] <> ''),
+         |words AS (SELECT DISTINCT b FROM w),
+         |it AS (
+         |  SELECT b, '  ' || regexp_replace(b, '(.)', '\\1  ', 'g') || '</w>  ' AS s,
+         |         CAST(0 AS BIGINT) AS r
+         |  FROM words
+         |  UNION ALL
+         |  SELECT it.b, replace(it.s, ' ' || m.l || '  ' || m.r || ' ',
+         |                       ' ' || m.l || m.r || ' '), it.r + 1
+         |  FROM it JOIN m ON m.rank = it.r),
+         |fin2 AS (
+         |  SELECT b, string_split_regex(trim(s), '\\s+') AS ps
+         |  FROM it WHERE r = $nRanks),
+         |pw AS (
+         |  SELECT b, u.i AS ppos, ps[u.i] AS piece
+         |  FROM fin2, unnest(generate_series(1, len(ps))) u(i)),
+         |pids AS (
+         |  SELECT pw.b, pw.ppos, CASE
+         |           WHEN pw.piece = '</w>' THEN 3
+         |           WHEN length(pw.piece) = 1 THEN 4 + bs.idx
+         |           ELSE 260 + mo.rank END AS id
+         |  FROM pw
+         |  LEFT JOIN bytesyms bs ON bs.sym = pw.piece
+         |  LEFT JOIN mo ON mo.pout = pw.piece),
+         |wordids AS (
+         |  SELECT b, list(id ORDER BY ppos) AS wids FROM pids GROUP BY b),
+         |docids AS (
+         |  SELECT w.doc_id,
+         |         [CAST(0 AS BIGINT)] || flatten(list(wi.wids ORDER BY w.pos))
+         |           || [CAST(1 AS BIGINT)] AS dseq
+         |  FROM w JOIN wordids wi ON wi.b = w.b GROUP BY w.doc_id),
+         |toks AS (
+         |  SELECT doc_id, CAST(len(dseq) AS BIGINT) AS n_tokens,
+         |         CAST(doc_id % 8 AS INTEGER) AS shard
+         |  FROM docids),
+         |packed AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM toks),
+         |ch AS (SELECT *,
+         |         CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS chunk
+         |       FROM packed)
+         |SELECT ch.shard, ch.chunk,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(ch.n_tokens) AS BIGINT) AS total_tokens,
+         |       array_to_string(flatten(list(d.dseq ORDER BY ch.doc_id)), ',') AS ids
+         |FROM ch JOIN docids d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY shard, chunk""".stripMargin
     },
 
     // q137: n-gram decontamination — the oracle replays the planted

@@ -556,6 +556,56 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
+  /** C48→C49e `q144_bpe_packed_ids` — the TRAINING EXPORT itself
+    * (round 14): every packed chunk's actual token-id stream, ready
+    * for a loader — each document rides as `BOS ++ ids ++ EOS`
+    * (word-order preserved via the position-keyed assembly), documents
+    * concatenate in id order inside their chunk, and the stream is
+    * emitted as the comma-joined id list (the q124 list convention, so
+    * both engines compare exact element order). This is the artifact
+    * every upstream stage exists for: dedup → filter → pack →
+    * delimited id sequences; the oracle re-derives the ENTIRE chain —
+    * byte dressing, fold, id rule, per-doc order, packing, chunk
+    * concatenation — from scratch, hash-exact. */
+  def bpePackedIdsDocs(spark: SparkSession, dir: String,
+                       budget: Long = 4096L, shards: Int = 8): DataFrame = {
+    val dressed = graft.Tables(spark, dir).documents
+      .withColumn("text", translate(lower(col("text")), "ae", "äé"))
+    val bosId = DefaultSpecials.indexOf(Bos)
+    val eosId = DefaultSpecials.indexOf(Eos)
+    // position-keyed: the id stream must preserve word order, which
+    // the bag-shaped groupBy of the stats queries never needed
+    val words = dressed
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("_pos", "_w0")))
+      .filter(col("_w0") =!= "")
+      .withColumn("_ids", encodeIdsKernel(col("_w0"), byteKernelMerges))
+    // materialized: the packing pass and the chunk join both read it
+    val perDoc = words.groupBy(col("doc_id"))
+      .agg(concat(
+        array(lit(bosId)),
+        flatten(transform(
+          sort_array(collect_list(struct(col("_pos").as("p"), col("_ids").as("x")))),
+          s => s.getField("x"))),
+        array(lit(eosId))).as("dseq"))
+      .withColumn("n_tokens", size(col("dseq")).cast("long"))
+      .localCheckpoint()
+    Sharding.packByTokenBudget(
+        perDoc.select(col("doc_id"), col("n_tokens")),
+        "doc_id", "n_tokens", budget, shards)
+      .join(perDoc.select(col("doc_id"), col("dseq")), Seq("doc_id"))
+      .groupBy(col("shard"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sort_array(collect_list(struct(col("doc_id").as("i"), col("dseq").as("s"))))
+          .as("_d"))
+      .withColumn("ids", array_join(
+        transform(flatten(transform(col("_d"), s => s.getField("s"))),
+          x => x.cast("string")), ","))
+      .drop("_d")
+      .orderBy(col("shard"), col("chunk"))
+  }
+
   /** C48→C49 `q142_bpe_packed_special` — q130's packing under the
     * DOCUMENT-DELIMITER contract (round 14): each document's packed
     * sequence is `BOS + pieces + EOS`, so its budget cost is its

@@ -288,6 +288,41 @@ class BpeSpec extends SparkSpecBase {
       Option(e.getCause).exists(_.getMessage.contains("byteLevel")), e.getMessage)
   }
 
+  test("packed id export (q144): BOS/EOS framing exact, ids round-trip to the dressed text") {
+    val out = Bpe.bpePackedIdsDocs(spark, sfDir)
+      .select(col("shard"), col("chunk"), col("n_docs"), col("ids"))
+      .as[(Int, Long, Long, String)].collect()
+    assert(out.nonEmpty)
+    val pieceOf = Bpe.vocabularySeq(Bpe.byteKernelMerges).toMap
+    // every chunk is a clean (BOS body EOS)* stream: specials can never
+    // appear inside a body (ids 0..2 are reserved; body ids are ≥ 3)
+    out.foreach { case (s, c, nDocs, idsStr) =>
+      val ids = idsStr.split(",").map(_.toInt)
+      assert(ids.count(_ == 0) == nDocs && ids.count(_ == 1) == nDocs,
+        s"chunk ($s,$c) must frame exactly $nDocs documents")
+      assert(ids.head == 0 && ids.last == 1, s"chunk ($s,$c) must start BOS, end EOS")
+    }
+    // round trip: the first document of shard 0 / chunk 0 is doc_id 0
+    // (shard = id % 8, in-chunk order by id) — its ids decode back to
+    // the dressed corpus text exactly: ids → pieces → strip markers →
+    // byte symbols → UTF-8
+    val first = out.find(r => r._1 == 0 && r._2 == 0L).get._4
+      .split(",").map(_.toInt).drop(1).takeWhile(_ != 1)
+    val words = first.map(pieceOf).mkString("")
+      .split(java.util.regex.Pattern.quote(Bpe.EndOfWord)).filter(_.nonEmpty)
+    val symToByte = Bpe.byteSymbols.zipWithIndex
+      .map { case (sym, b) => (sym.head, b) }.toMap
+    def decodeWord(w: String) =
+      new String(w.map(ch => symToByte(ch).toByte).toArray, "UTF-8")
+    val got = words.map(decodeWord).toSeq
+    val expected = Tables(spark, sfDir).documents
+      .filter(col("doc_id") === 0L).select(col("text")).as[String].head()
+      .toLowerCase.replace('a', 'ä').replace('e', 'é')
+      .trim.toLowerCase.split("\\s+").toSeq
+    assert(got == expected,
+      s"ids must round-trip to the dressed text: ${got.take(5)} vs ${expected.take(5)}")
+  }
+
   test("byte remap follows the GPT-2 bytes_to_unicode rule exactly") {
     // self-mapped printable latin; shifted controls/space/DEL
     assert(Bpe.byteSymbols(97) == "a" && Bpe.byteSymbols(126) == "~")
