@@ -8,12 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * line builder is pure. */
 class BenchSpec extends AnyFunSuite {
 
-  test("metricsLine keys are qNN prefixes, values 3-decimal, envelope intact") {
+  test("metricsLine keys are qNN prefixes, map values trim trailing zeros, envelope intact") {
     val line = Bench.metricsLine(
       Seq(("q01_pricing_summary", 1.23456), ("q70_span_dedup", 0.5)),
       1.73456, "0.1", 3)
     assert(line ==
-      """{"metric":"total","value":1.735,"unit":"sec","headline":"run1","sf":0.1,"iters":3,"queries":{"q01":1.235,"q70":0.500}}""",
+      """{"metric":"total","value":1.735,"unit":"sec","headline":"run1","sf":0.1,"iters":3,"queries":{"q01":1.235,"q70":0.5}}""",
       line)
   }
 
@@ -37,7 +37,7 @@ class BenchSpec extends AnyFunSuite {
       Seq(("q47_ann_pq", 0.4)), 0.4, "0.1", 3,
       builds = Seq(("q47_ann_pq", 2.1)))
     assert(line ==
-      """{"metric":"total","value":0.400,"unit":"sec","headline":"run1","sf":0.1,"iters":3,"build":{"q47":2.100},"queries":{"q47":0.400}}""",
+      """{"metric":"total","value":0.400,"unit":"sec","headline":"run1","sf":0.1,"iters":3,"build":{"q47":2.1},"queries":{"q47":0.4}}""",
       line)
   }
 
@@ -47,7 +47,7 @@ class BenchSpec extends AnyFunSuite {
       6.5, "0.1", 3,
       control = Some((4.2, Seq(("q37_dup_clusters", 3.0)))))
     assert(line ==
-      """{"metric":"total","value":6.500,"unit":"sec","headline":"min2","sf":0.1,"iters":3,"control":{"value":4.200,"suspects":{"q37":3.000}},"queries":{"q37":5.500,"q01":1.000}}""",
+      """{"metric":"total","value":6.500,"unit":"sec","headline":"min2","sf":0.1,"iters":3,"control":{"value":4.200,"suspects":{"q37":3}},"queries":{"q37":5.5,"q01":1}}""",
       line)
     val noSus = Bench.metricsLine(Seq(("q01_a", 1.0)), 1.0, "0.1", 3,
       control = Some((1.05, Nil)))
