@@ -401,6 +401,47 @@ object Multimodal {
     spark.createDataFrame(rdd, imageFeatureSchema)
   }
 
+  /** C12c — IMAGE near-duplicate detection through the vector family
+    * (round 14): real pixel decode → grid-luma descriptor
+    * ([[imageFeatures]]) → MEAN-CENTERING → the auto-structured
+    * quantizer ([[Similarity.buildVectorIndexAuto]]: flat below the
+    * measured crossover, two-level above) → the production SemDeDup
+    * verdict. The centering matters: raw luma features are
+    * all-positive, so cosines between ANY two images sit near 1;
+    * centered, the cosine is the grid-pattern CORRELATION — an exact
+    * copy scores 1.0, a re-render/resize of the same content stays
+    * ≈ 1 (the descriptor is resolution-invariant by construction),
+    * and unrelated patterns land near 0. Swap [[imageFeatures]] for a
+    * neural embedder and NOTHING downstream changes — this is the
+    * C12→C26 composition at the image tier, exactly as
+    * [[graft.operators.TextEmbed]] is at the text tier.
+    *
+    * Stated limitations, honestly: a structurally-flat image centers
+    * to the zero vector (its cosine is NULL — it never verdicts as
+    * anyone's dup, never absorbs others); grid-luma is luminance-only
+    * (a pure recolor of the same luma pattern reads as a dup — the
+    * classical descriptor's known blind spot, closed only by a
+    * learned embedder). Corrupt payloads drop at the decode_ok gate.
+    *
+    * @return the [[Similarity.semanticDedupAssigned]] verdict frame
+    *         (vec_id = doc_id, cell, is_dup, dup_of) over decodable
+    *         images */
+  def imageSemDedup(images: DataFrame, grid: Int = 8,
+                    threshold: Double = 0.98, targetCellSize: Int = 125,
+                    maxCellSize: Int = 10000): DataFrame = {
+    val emb = imageFeatures(images, grid)
+      .filter(col("decode_ok"))
+      .withColumn("_m",
+        aggregate(col("features"), lit(0.0d), (a, x) => a + x)
+          / size(col("features")))
+      .select(col("doc_id").as("vec_id"),
+        transform(col("features"), x => x.cast("double") - col("_m"))
+          .as("embedding"))
+    Similarity.semanticDedupAssigned(
+      Similarity.buildVectorIndexAuto(emb, targetCellSize).assigned,
+      threshold, maxCellSize)
+  }
+
   /** Output schema of the REAL audio featurizer. */
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -211,6 +211,48 @@ class MultimodalSpec extends SparkSpecBase {
       Seq((0L, 0.0), (12L, 400.0), (24L, 800.0), (36L, 1400.0)))
   }
 
+  test("C12c image semantic dedup: copy and re-render dup onto the original, patterns survive, corrupt drops") {
+    // render REAL PNGs of deterministic gray patterns: f(u, v) in
+    // [0, 255] over normalized coordinates, so the same content
+    // re-renders identically at any resolution
+    def render(w: Int, h: Int)(f: (Double, Double) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = math.max(0, math.min(255, f(x.toDouble / w, y.toDouble / h)))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val grad = render(64, 64)((u, _) => (u * 255).toInt)
+    val gradSmall = render(32, 32)((u, _) => (u * 255).toInt) // same content, half res
+    val check = render(64, 64)((u, v) =>
+      if (((u * 8).toInt + (v * 8).toInt) % 2 == 0) 230 else 25)
+    // distinct stripe patterns fill out the corpus (mutually
+    // low-correlation under the centered grid-luma descriptor)
+    val stripes = (0 until 8).map { i =>
+      (10L + i, render(64, 64)((u, _) =>
+        (127 + 120 * math.sin(2 * math.Pi * (i + 2) * u)).toInt))
+    }
+    val images = (Seq(
+      (1L, grad), (2L, grad), (3L, gradSmall), (4L, check),
+      (5L, "not a png".getBytes("UTF-8"))) ++ stripes)
+      .toDF("doc_id", "payload")
+    val out = Multimodal.imageSemDedup(images)
+      .select(col("vec_id"), col("is_dup"), col("dup_of"))
+      .as[(Long, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(2L) == ((true, Some(1L))), s"the byte-identical copy must dup onto 1: ${out(2L)}")
+    assert(out(3L) == ((true, Some(1L))),
+      s"the half-resolution re-render of the same content must dup onto 1: ${out(3L)}")
+    assert(!out(1L)._1, "the original keeps itself (keep-lowest-id)")
+    assert(!out(4L)._1 && stripes.forall(s => !out(s._1)._1),
+      s"unrelated patterns must survive: ${out.filter(_._2._1)}")
+    assert(!out.contains(5L), "corrupt payloads drop at the decode gate")
+  }
+
   test("q31 metadata stays typed and payload-independent sizes line up") {
     val out = Multimodal.multimodalMeta(spark, sfDir)
     val docs = Tables(spark, sfDir).documents.count()
