@@ -579,6 +579,255 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** C4b `q145_jaccard_prefix` — EXACT set-similarity self-join via
+    * prefix filtering (AllPairs, Bayardo et al. WWW'07; positional
+    * filter from PPJoin, Xiao et al. WWW'08) over the 3-word shingle
+    * sets q21's MinHash ESTIMATES: this is the exact verifier of the
+    * same similarity, with no estimator variance and no df-cap
+    * approximation (q23's inverted index drops any pair whose shared
+    * grams are all frequent). Prefix filtering is lossless — tokens are
+    * globally ordered rarest-first and only the first
+    * |x| − ⌈t·|x|⌉ + 1 of each document's ordered set are indexed,
+    * which provably cannot miss a pair at Jaccard ≥ t. Exactness is
+    * what lets the oracle be the PURE all-pairs shingle Jaccard with no
+    * candidate-scheme mirroring (q21's oracle needs the corpus's
+    * bimodality argument; this one needs nothing).
+    *
+    * Scale shape: the index is the PREFIX posting list — per-doc
+    * (1−t)·|x|+1 rarest shingles instead of all |x| — and word-shingle
+    * vocabularies are Zipf-sparse (measured here: max prefix bucket 10
+    * at 10×, median 1), so bucket sizes concentrate near 1. Candidates
+    * are pruned before verification by the length filter (min ≥ t·max)
+    * and the per-collision positional filter (1 + min remaining ≥
+    * required overlap t/(1+t)·(|x|+|y|)) — both provably non-dropping
+    * (the minimal shared token's collision always survives), with a
+    * 1e-9 slack so float noise in t·|x| can only widen, never narrow,
+    * prefix or bound. Shingles travel as xxhash64 longs (the q23
+    * convention — the oracle certifies verdict semantics, not the
+    * hash). */
+  def shingleJaccardPrefix(spark: SparkSession, dir: String): DataFrame =
+    shingleJaccardPrefixDocs(Tables(spark, dir).documents)
+
+  /** Prefix-filtered exact Jaccard dedup over any (doc_id, text) frame. */
+  def shingleJaccardPrefixDocs(documents: DataFrame,
+                               k: Int = 3, jaccardThreshold: Double = 0.5): DataFrame = {
+    val docs = documents.select(col("doc_id"),
+      array_distinct(transform(wordShingles(col("text"), k), x => xxhash64(x)))
+        .as("grams"))
+      .localCheckpoint()
+    val cand = prefixCandidatePairs(docs, jaccardThreshold)
+    val ga = docs.select(col("doc_id").as("id_a"), col("grams").as("grams_a"))
+    val gb = docs.select(col("doc_id").as("id_b"), col("grams").as("grams_b"))
+    val pairs = cand.join(ga, Seq("id_a")).join(gb, Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b"))))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    perDocVerdict(documents.select(col("doc_id")), pairs)
+      .select(col("doc_id"), col("rep_id"), col("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Candidate pairs from the prefix index: every pair at Jaccard ≥ t is
+    * guaranteed present (lossless); pairs that cannot reach t are pruned
+    * by the length and positional filters before verification. Exposed
+    * package-private so the spec can count candidates against the full
+    * inverted index. Input: (doc_id, grams) with grams distinct per doc. */
+  /** Canonical-order shingle arrays: each doc's distinct gram hashes
+    * sorted by (vocab df asc, gram asc) — rarest first. Grams absent
+    * from `vocab` order as df 0 (rarest of all): harmless for
+    * exactness — the lemma needs a CONSISTENT total order, not a fresh
+    * one — which is what lets a frozen build-time vocabulary serve
+    * every later batch. Re-aggregating (one shuffle on doc_id) beats a
+    * window sort: the order materializes once into the array. */
+  private[graft] def orderedGrams(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(vocab, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(coalesce(col("df"), lit(0L)).as("df"), col("g")))).as("toks"))
+      .select(col("doc_id"),
+        transform(col("toks"), x => x.getField("g")).as("toks"))
+      .withColumn("len", size(col("toks")))
+
+  /** The PREFIX posting list of ordered docs: (g, doc_id, len, pos) for
+    * the first |x| − ⌈t·|x|⌉ + 1 tokens. The −1e-9 slack means float
+    * error can only shrink the ceil → LONGER prefix → still lossless. */
+  private[graft] def prefixPostings(ordered: DataFrame, t: Double): DataFrame = {
+    val prefLen = (col("len") -
+      ceil(col("len") * t - lit(1e-9)).cast("int") + lit(1))
+    ordered
+      .select(col("doc_id"), col("len"),
+        posexplode(slice(col("toks"), lit(1), prefLen)))
+      .toDF("doc_id", "len", "pos", "g")
+  }
+
+  /** Length filter: J ≥ t forces min(|x|,|y|) ≥ t·max(|x|,|y|). */
+  private def lengthFilter(la: Column, lb: Column, t: Double): Column =
+    least(la, lb).cast("double") >= lit(t) * greatest(la, lb) - lit(1e-9)
+
+  /** PPJoin positional filter for a prefix collision at (posA, posB):
+    * the best still-possible overlap 1 + min(remaining) must reach the
+    * required overlap t/(1+t)·(|x|+|y|). Provably non-dropping: the
+    * collision on the pair's MINIMAL shared token always survives. */
+  private def positionalFilter(la: Column, pa: Column, lb: Column, pb: Column,
+                               t: Double): Column =
+    (lit(1) + least(la - pa - lit(1), lb - pb - lit(1))).cast("double") >=
+      lit(t / (1.0 + t)) * (la + lb) - lit(1e-9)
+
+  private[graft] def prefixCandidatePairs(docs: DataFrame, t: Double): DataFrame = {
+    val posting = docs.select(col("doc_id"), explode(col("grams")).as("g"))
+    val vocab = posting.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val prefix = prefixPostings(orderedGrams(docs, vocab), t)
+    // uncapped by design: exactness forbids dropping buckets. Rarest-
+    // first ordering bounds bucket sizes in practice (a gram lands in a
+    // prefix only when it is among that doc's rarest); the positional
+    // filter below kills the degenerate-bucket pairs before the
+    // expensive verification join.
+    bucketPairs(prefix, Seq("g"),
+        struct(col("doc_id"), col("len"), col("pos")), Int.MaxValue)
+      .filter(lengthFilter(col("p.a.len"), col("p.b.len"), t))
+      .filter(positionalFilter(col("p.a.len"), col("p.a.pos"),
+        col("p.b.len"), col("p.b.pos"), t))
+      .select(least(col("p.a.doc_id"), col("p.b.doc_id")).as("id_a"),
+        greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("id_b"))
+      .distinct()
+  }
+
+  // ---- C4c: incremental prefix-Jaccard (day-2 exact dedup) -----------
+
+  /** Hashed distinct shingle sets of a (doc_id, text) frame — the input
+    * shape of the prefix family. */
+  private def shingleSets(documents: DataFrame, k: Int): DataFrame =
+    documents.select(col("doc_id"),
+      array_distinct(transform(wordShingles(col("text"), k), x => xxhash64(x)))
+        .as("grams"))
+
+  /** Build the persistable three-part prefix index over (doc_id, text) —
+    * the day-2 artifact of [[shingleJaccardPrefixDocs]]'s EXACT
+    * set-similarity tier (the C2b convention lifted from estimate to
+    * exact):
+    *  - `postings` (g, doc_id, len, pos): the prefix posting list —
+    *    persist bucketed on g so batch probes scan it with zero
+    *    corpus-side exchanges
+    *  - `grams` (doc_id, grams, len): full shingle-hash arrays for
+    *    exact verification — persist bucketed on doc_id
+    *  - `vocab` (g, df): corpus document frequencies, FROZEN at build
+    *    time, defining the global token order every later prefix
+    *    (corpus and batch alike) is computed under. Exactness needs a
+    *    CONSISTENT order, not a fresh one, so growth never invalidates
+    *    the index; rebuild when drift makes prefixes wastefully long.
+    * Build params (k, t) travel in the postings g column's metadata —
+    * a probe with different parameters computes misaligned prefixes
+    * and MUST fail loudly (q71 convention). */
+  def buildPrefixIndex(documents: DataFrame, k: Int = 3, t: Double = 0.5)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(t > 0.0 && t <= 1.0, s"threshold must be in (0,1], got $t")
+    val docs = shingleSets(documents, k)
+    val vocab = docs.select(explode(col("grams")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val ordered = orderedGrams(docs, vocab)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.prefix.k", k.toLong)
+      .putDouble("graft.prefix.t", t).build()
+    val postings = prefixPostings(ordered, t)
+      .select(col("g").as("g", meta), col("doc_id"), col("len"), col("pos"))
+    (postings, ordered.select(col("doc_id"), col("toks").as("grams"), col("len")),
+      vocab)
+  }
+
+  /** Postings + grams rows for an ACCEPTED batch, under the index's
+    * frozen vocabulary — append these to the persisted artifacts and
+    * the next batch's probe sees today's accepts (the C2b/C30e growth
+    * convention). Pure derivation: append-then-probe equals
+    * rebuild-then-probe only on the prefix SELECTION the frozen order
+    * pins, which is exactly why the vocab freezes. */
+  def appendToPrefixIndex(accepted: DataFrame, vocab: DataFrame,
+                          k: Int = 3, t: Double = 0.5)
+      : (DataFrame, DataFrame) = {
+    val ordered = orderedGrams(shingleSets(accepted, k), vocab)
+    (prefixPostings(ordered, t),
+      ordered.select(col("doc_id"), col("toks").as("grams"), col("len")))
+  }
+
+  /** Day-2 EXACT Jaccard dedup: verdict an incoming batch against the
+    * persisted prefix index without re-pairing (or even re-reading the
+    * text of) the corpus. Batch docs shingle, order under the index's
+    * frozen vocabulary, prefix-index themselves, and join the corpus
+    * postings on the shared prefix token — read cell-bucketed, the
+    * corpus side never exchanges; only the small batch shuffles.
+    * Candidates prune by the length and positional filters (provably
+    * non-dropping, as in [[prefixCandidatePairs]]), then verify EXACTLY
+    * against the corpus grams table. Unlike the q71 MinHash tier the
+    * verdict carries no estimator variance: is_dup is true iff a
+    * corpus doc with true Jaccard ≥ t exists.
+    *
+    * A batch doc matching its own id in the index is a replayed
+    * delivery, not a duplicate — excluded, so replays are idempotent
+    * (the q71 rule).
+    *
+    * @return one row per batch doc: (doc_id, is_dup, dup_of = smallest
+    *         matching corpus id or -1, best_sim = highest matching
+    *         4-dp Jaccard or -1) */
+  def dedupAgainstPrefixIndex(newDocs: DataFrame, postings: DataFrame,
+                              corpusGrams: DataFrame, vocab: DataFrame,
+                              k: Int = 3, t: Double = 0.5): DataFrame = {
+    val gField = postings.schema.fields.find(_.name == "g").getOrElse(
+      throw new IllegalArgumentException(
+        "postings must carry a 'g' column — build them with buildPrefixIndex"))
+    if (gField.metadata.contains("graft.prefix.k")) {
+      val ik = gField.metadata.getLong("graft.prefix.k")
+      val it = gField.metadata.getDouble("graft.prefix.t")
+      require(ik == k && it == t,
+        s"index was built with k=$ik t=$it but the probe asked for k=$k t=$t — " +
+          "prefixes would misalign and duplicates would silently pass")
+    }
+    val batchDocs = shingleSets(newDocs, k)
+    val batchOrdered = orderedGrams(batchDocs, vocab).localCheckpoint()
+    val batchPrefix = prefixPostings(batchOrdered, t)
+      .select(col("g"), col("doc_id").as("new_id"),
+        col("len").as("new_len"), col("pos").as("new_pos"))
+    val cand = batchPrefix
+      .join(postings.select(col("g"), col("doc_id").as("corpus_id"),
+        col("len").as("c_len"), col("pos").as("c_pos")), Seq("g"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .filter(lengthFilter(col("new_len"), col("c_len"), t))
+      .filter(positionalFilter(col("new_len"), col("new_pos"),
+        col("c_len"), col("c_pos"), t))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    val verified = cand
+      .join(batchOrdered.select(col("doc_id").as("new_id"), col("toks").as("ga")),
+        Seq("new_id"))
+      .join(corpusGrams.select(col("doc_id").as("corpus_id"), col("grams").as("gb")),
+        Seq("corpus_id"))
+      .withColumn("j",
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))))
+      .filter(col("j") >= t)
+    newDocs.select(col("doc_id"))
+      .join(verified.groupBy(col("new_id").as("doc_id"))
+        .agg(min(col("corpus_id")).as("dup_of"), max(col("j")).as("best_sim")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(round(col("best_sim"), 4), lit(-1.0)).as("best_sim"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C4c `q147_prefix_verdicts` — [[dedupAgainstPrefixIndex]] over the
+    * q71 deterministic 80/20 corpus/batch split. The oracle is the
+    * exact batch-vs-corpus shingle Jaccard INCLUDING best_sim — the
+    * estimator-free strengthening of q71's verdict (q71 must drop
+    * est_sim; the exact tier hash-checks it). */
+  def prefixVerdicts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    val (postings, grams, vocab) = buildPrefixIndex(corpus)
+    dedupAgainstPrefixIndex(batch, postings, grams, vocab)
+  }
+
   /** Duplicate-CLUSTER resolution: transitive closure over candidate
     * pairs. Near-dup pair generation finds edges; an LLM-corpus dedup
     * must then collapse each connected component to one canonical

@@ -74,6 +74,90 @@ class DedupSpec extends SparkSpecBase {
     assert(!out(3)._3 && !out(4)._3)
   }
 
+  test("prefix-filtered Jaccard join matches brute force exactly") {
+    // varied-length corpus with word overlap (mid-range similarities),
+    // plus planted certain-dups: 24=copy of 0, 25=near-copy of 1, and an
+    // identical tiny-doc pair (fewer tokens than the shingle width
+    // exercises the padded short-doc shingle)
+    val docs = ((0 until 24).map { i =>
+      val words = (0 until (6 + i % 7)).map(j => s"w${(i * 3 + j * 5) % 17}")
+      (i.toLong, words.mkString(" "))
+    } ++ Seq(
+      (24L, (0 until 6).map(j => s"w${(j * 5) % 17}").mkString(" ")),
+      (25L, ((0 until 12).map(j => s"w${(3 + j * 5) % 17}") :+ "zz").mkString(" ")),
+      (26L, "ab"), (27L, "ab"))).toDF("doc_id", "text")
+
+    val out = Dedup.shingleJaccardPrefixDocs(docs)
+      .select("doc_id", "rep_id", "is_dup").as[(Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+
+    val g = docs.select(col("doc_id"),
+      array_distinct(transform(Dedup.wordShingles(col("text")),
+        x => xxhash64(x))).as("grams"))
+    val brute = g.as("a").crossJoin(g.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j",
+        size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+          size(array_union(col("a.grams"), col("b.grams"))))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect()
+    val nbMin = brute.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+    val expected = (0L until 28L).map { id =>
+      val rep = math.min(id, nbMin.getOrElse(id, id))
+      (id, rep, rep < id)
+    }
+    assert(out.toSeq == expected)
+    assert(out.count(_._3) >= 3, "planted dups must actually fire")
+  }
+
+  test("prefix join catches all-common-gram dups the df-capped index misses") {
+    // 12 identical docs: every gram has df=12 > dfCap=10, so q23's
+    // inverted index drops every bucket and verdicts nobody — the
+    // documented approximation. The prefix index is lossless: rarest-
+    // first ordering still indexes each doc's first prefix shingles,
+    // and all 12 collapse onto doc 0.
+    val twelve = (0 until 12).map(i => (i.toLong, base)).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardDocs(twelve, dfCap = 10)
+      .filter(col("is_dup")).count()
+    assert(capped == 0, "df-capped index should miss the all-common corpus")
+    val exact = Dedup.shingleJaccardPrefixDocs(twelve)
+      .select("doc_id", "rep_id", "is_dup").as[(Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    assert(exact.forall(r => r._2 == 0L))
+    assert(exact.count(_._3) == 11)
+  }
+
+  test("prefix index is lossless on real data and prunes candidates") {
+    val docs = Tables(spark, sfDir).documents.filter(col("doc_id") < 150)
+    val g = docs.select(col("doc_id"),
+      array_distinct(transform(Dedup.wordShingles(col("text")),
+        x => xxhash64(x))).as("grams")).localCheckpoint()
+    // full inverted index: every pair sharing ANY gram (uncapped)
+    val post = g.select(col("doc_id"), explode(col("grams")).as("gr"))
+    val candFull = post.as("a").join(post.as("b"), Seq("gr"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val candPrefix = Dedup.prefixCandidatePairs(g, 0.5)
+    val nFull = candFull.count(); val nPrefix = candPrefix.count()
+    assert(nPrefix < nFull,
+      s"prefix filter should prune the candidate space ($nPrefix vs $nFull)")
+    // losslessness: every TRUE pair (verified J >= 0.5 over the full
+    // candidate superset) must appear among the prefix candidates
+    def verify(cand: org.apache.spark.sql.DataFrame) = cand
+      .join(g.select(col("doc_id").as("id_a"), col("grams").as("ga")), Seq("id_a"))
+      .join(g.select(col("doc_id").as("id_b"), col("grams").as("gb")), Seq("id_b"))
+      .filter(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+        size(array_union(col("ga"), col("gb"))) >= 0.5)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val truePairs = verify(candFull)
+    assert(verify(candPrefix) == truePairs)
+    val plan = Dedup.shingleJaccardPrefixDocs(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "prefix join must stay bucketed")
+  }
+
   test("dedupLatest keeps exactly one row per key, the latest") {
     val out = Dedup.dedupLatest(spark, sfDir)
     val counts = out.groupBy("user_id", "event_type").count()
@@ -155,6 +239,57 @@ class DedupSpec extends SparkSpecBase {
     val cleaned = Dedup.decontaminate(batch, index, numHashes = 32, bands = 8)
       .select("doc_id").as[Long].collect().toSet
     assert(cleaned == Set(102L), s"near-matches of indexed docs must drop: $cleaned")
+  }
+
+  test("prefix index: day-2 exact verdicts, frozen-vocab growth, param guard") {
+    import graft.sources.Bucketing
+    val (postings, grams, vocab) = Dedup.buildPrefixIndex(planted)
+    Bucketing.writeBucketed(postings, "pfx_postings", Seq("g"), numBuckets = 8)
+    Bucketing.writeBucketed(grams, "pfx_grams", Seq("doc_id"), numBuckets = 8)
+    val post = spark.table("pfx_postings"); val gr = spark.table("pfx_grams")
+    // day-2 batch: one-word edit of doc 0 (shingle J ≈ 25/31), exact
+    // copy of doc 3, a genuinely novel doc, and an identical novel PAIR
+    // (within-batch dups are out of scope by the q71 contract)
+    val novel = "entirely novel passage with no counterpart in the corpus at all whatsoever"
+    val batch = Seq(
+      (100L, base.replace("morning", "evening")),
+      (101L, "completely different content about spark catalyst optimizer rules and codegen stages"),
+      (102L, novel), (103L, novel)
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstPrefixIndex(batch, post, gr, vocab)
+    val rows = out.as[(Long, Boolean, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rows(100L)._2 && rows(100L)._3 == 0L && rows(100L)._4 >= 0.5,
+      s"near-dup must match doc 0 with its true Jaccard: ${rows(100L)}")
+    assert(rows(101L)._2 && rows(101L)._3 == 3L && rows(101L)._4 == 1.0,
+      s"exact copy must match doc 3 at J=1.0: ${rows(101L)}")
+    assert(!rows(102L)._2 && rows(102L)._3 == -1L && !rows(103L)._2,
+      "novel docs (and within-batch twins) must pass")
+
+    // the probe may shuffle only the BATCH side on g — the bucketed
+    // corpus postings never re-exchange on the probe key
+    val probePlan = out.queryExecution.executedPlan.toString
+    val gExchanges = """Exchange hashpartitioning\(g""".r.findAllIn(probePlan).length
+    assert(gExchanges <= 1,
+      s"only the batch side may shuffle on g, saw $gExchanges:\n${probePlan.take(1500)}")
+
+    // frozen-vocab growth: append the accepted batch under the SAME
+    // vocabulary, and a day-3 twin of an appended doc is caught even
+    // though its shingles never appeared in the build-time corpus
+    val accepted = batch.join(out.filter(!col("is_dup")).select("doc_id"), Seq("doc_id"))
+    val (addPost, addGrams) = Dedup.appendToPrefixIndex(accepted, vocab)
+    val day3 = Seq((200L, novel)).toDF("doc_id", "text")
+    val out3 = Dedup.dedupAgainstPrefixIndex(day3,
+      post.unionByName(addPost), gr.unionByName(addGrams), vocab)
+      .as[(Long, Boolean, Long, Double)].collect()
+    assert(out3.head == ((200L, true, 102L, 1.0)),
+      s"twin of an appended doc must dup onto the smallest accepted id: ${out3.head}")
+
+    // probing with parameters the index wasn't built with fails loudly —
+    // the build params survive the bucketed-table round-trip in metadata
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstPrefixIndex(batch, post, gr, vocab, t = 0.7)
+    }
+    assert(ex.getMessage.contains("built with"), ex.getMessage)
   }
 
   test("exact n-gram contamination flags verbatim quotes, not paraphrases") {
