@@ -194,7 +194,17 @@ object SparkEntry {
     "q141_ann_imipq_portable"    -> ((s, d) => Similarity.annImiPqPortable(s, d)),
     "q142_bpe_packed_special"    -> ((s, d) => Bpe.bpePackedDelimitedDocs(s, d)),
     "q143_bpe_token_ids"         -> ((s, d) => Bpe.bpeTokenIdsDocs(s, d)),
-    "q144_bpe_packed_ids"        -> ((s, d) => Bpe.bpePackedIdsDocs(s, d))
+    "q144_bpe_packed_ids"        -> ((s, d) => Bpe.bpePackedIdsDocs(s, d)),
+    // EXACT prefix-filtered Jaccard join (AllPairs/PPJoin): same verdict
+    // family as q23 but lossless, so the oracle is the PURE all-pairs
+    // Jaccard with no candidate-scheme mirroring
+    "q145_jaccard_prefix"        -> ((s, d) => Dedup.shingleJaccardPrefix(s, d)),
+    // mixture-proportional deterministic training order: stride
+    // interleave on dyadic keys, position-exact across engines
+    "q146_mixture_order"         -> ((s, d) => Sharding.mixtureOrderDocs(s, d)),
+    // day-2 EXACT Jaccard: batch vs the persisted three-part prefix
+    // index (postings + grams + frozen vocab), estimator-free q71
+    "q147_prefix_verdicts"       -> ((s, d) => Dedup.prefixVerdicts(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -993,6 +1003,86 @@ object SparkEntry {
         | least(d.doc_id, coalesce(r.min_nb, d.doc_id)) < d.doc_id AS is_dup
         |FROM documents d LEFT JOIN rep r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q145: the PURE exact all-pairs 3-word-shingle Jaccard verdict —
+    // no df cap, no candidate scheme, no bimodality argument (q21's
+    // oracle needs one; the prefix join is exact by construction). The
+    // Spark side's prefix filter is provably lossless (AllPairs lemma),
+    // so this oracle certifies both the verdict AND the losslessness
+    // claim: any pair the prefix index missed would hash-mismatch here.
+    "q145_jaccard_prefix" ->
+      s"""WITH $jaccardCtes,
+         |inter AS (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+         | FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2),
+         |pairs AS (
+         | SELECT id_a, id_b FROM inter
+         | JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         | WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.5),
+         |nb AS (SELECT id_a AS doc_id, id_b AS nb FROM pairs
+         |       UNION ALL SELECT id_b, id_a FROM pairs),
+         |rep AS (SELECT doc_id, min(nb) AS min_nb FROM nb GROUP BY 1)
+         |SELECT d.doc_id,
+         | least(d.doc_id, coalesce(r.min_nb, d.doc_id)) AS rep_id,
+         | least(d.doc_id, coalesce(r.min_nb, d.doc_id)) < d.doc_id AS is_dup
+         |FROM documents d LEFT JOIN rep r USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // q147: q71's batch-vs-corpus split at the EXACT tier — and because
+    // the operator is estimator-free, best_sim itself (the true 4-dp
+    // Jaccard) joins the hash check, which the MinHash tier cannot offer
+    "q147_prefix_verdicts" ->
+      s"""WITH $jaccardCtes,
+         |inter AS (
+         | SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, count(*) AS ix
+         | FROM grams a JOIN grams b ON a.g = b.g
+         | WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+         | GROUP BY 1, 2),
+         |pairs AS (
+         | SELECT batch_id, corpus_id, ix * 1.0 / (sa.n + sb.n - ix) AS jv
+         | FROM inter
+         | JOIN sizes sa ON sa.doc_id = batch_id JOIN sizes sb ON sb.doc_id = corpus_id
+         | WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.5),
+         |agg AS (SELECT batch_id AS doc_id, min(corpus_id) AS dup_of,
+         |        round(max(jv), 4) AS best_sim FROM pairs GROUP BY 1)
+         |SELECT d.doc_id, a.dup_of IS NOT NULL AS is_dup,
+         | CAST(coalesce(a.dup_of, -1) AS BIGINT) AS dup_of,
+         | coalesce(a.best_sim, -1.0) AS best_sim
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |WHERE d.doc_id % 5 = 4
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // q146: the mixture-interleaved training order replayed position-
+    // for-position — md5 within-source shuffle (the q72 idiom), dyadic
+    // stride keys (float-EXACT: half-integer rank × half-integer stride
+    // never rounds), global merge with the (key, source, id) tiebreak.
+    // The stride CASE is interpolated from the SAME Scala constant the
+    // query uses (the q104/q121 shared-constant convention).
+    "q146_mixture_order" -> {
+      val strideCase = Sharding.mixtureStrides.toSeq.sortBy(_._1)
+        .map { case (s, m) => f"WHEN '$s' THEN $m%.1f" }.mkString(" ")
+      s"""WITH u AS (
+         |  SELECT doc_id, source,
+         |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 13)) AS BIGINT)
+         |     / 4503599627370496.0 AS draw
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source,
+         |   CAST(row_number() OVER (PARTITION BY source ORDER BY draw, doc_id) AS BIGINT)
+         |     AS src_rank
+         |  FROM u),
+         |k AS (
+         |  SELECT doc_id, source, src_rank,
+         |   (src_rank - 0.5) * (CASE source $strideCase END) AS pos_key
+         |  FROM r)
+         |SELECT
+         | CAST(row_number() OVER (ORDER BY pos_key, source, doc_id) AS BIGINT) - 1
+         |   AS global_pos,
+         | doc_id, source, src_rank
+         |FROM k
+         |ORDER BY global_pos""".stripMargin
+    },
 
     // q74: the ENTIRE simhash pipeline — signature, banding, bucket cap,
     // hamming verification, verdict — recomputed from scratch in SQL.

@@ -330,6 +330,78 @@ object Sharding {
       .orderBy(col("doc_id"))
   }
 
+  /** Mixture-proportional deterministic training ORDER — the step after
+    * the mixing/resampling family decides WHAT to train on: a loader
+    * wants sources blended THROUGHOUT the epoch, not concatenated in
+    * blocks (block order = distribution shift mid-epoch). This is the
+    * deterministic stride interleave (the rational-Bresenham merge
+    * behind multi-dataset blending in public training loaders, e.g.
+    * Megatron-LM's BlendableDataset weighting): each source's k-th
+    * document sits at key (k − ½)·stride(source), and the global order
+    * is the merge of those arithmetic progressions — every prefix of
+    * length P holds ≈ P/stride_s documents of source s (off by < 1.5
+    * per source until the source exhausts), so mixture proportions hold
+    * at every training step, not just in aggregate.
+    *
+    * Determinism: within-source order is a seeded-hash shuffle
+    * ([[hashUnit]], or the portable [[md5Unit]] for oracle replay) —
+    * retry- and cluster-size-stable like everything in this file. Keys
+    * are EXACT doubles when strides are dyadic rationals (halves,
+    * quarters): (k − ½)·(m/2) has no rounding, so the total order — and
+    * hence every global position — is bit-identical across engines.
+    *
+    * Scale shape: one window per source (shuffle on source), then the
+    * ONE intended range exchange (global sort on the key); the global
+    * ordinal comes from `zipWithIndex` — a per-partition count pass +
+    * offset map over the sorted partitions, NOT a single-partition
+    * window and NOT a driver collect. Unknown sources fail loudly
+    * in-plan (a join would silently drop them). */
+  def mixtureInterleave(df: DataFrame, idCol: String, sourceCol: String,
+                        strides: Map[String, Double], seed: Long = 0L,
+                        draw: Option[Column] = None): DataFrame = {
+    require(strides.nonEmpty && strides.values.forall(_ > 0.0),
+      s"strides must be positive, got $strides")
+    val strideCol = strides.toSeq.sortBy(_._1).foldLeft(
+      raise_error(concat(lit("mixtureInterleave: source "), col(sourceCol),
+        lit(" has no stride"))).cast("double")) {
+      case (acc, (s, m)) => when(col(sourceCol) === s, lit(m)).otherwise(acc)
+    }
+    val u = draw.getOrElse(hashUnit(col(idCol), seed))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(u.asc, col(idCol).asc)
+    val sorted = df.select(col(idCol), col(sourceCol))
+      .withColumn("src_rank", row_number().over(wSrc).cast("long"))
+      .withColumn("pos_key",
+        (col("src_rank").cast("double") - lit(0.5)) * strideCol)
+      .orderBy(col("pos_key"), col(sourceCol), col(idCol))
+    // the sort key is a total order (id breaks every tie), so the
+    // ordinal is determined by the KEY alone — stable under any
+    // partition-boundary placement the range exchange picks
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "global_pos", org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(rows, schema)
+      .select(col("global_pos"), col(idCol), col(sourceCol), col("src_rank"))
+  }
+
+  /** The q146 stride table: 20 sources, dyadic strides 2.0 … 5.5 (so
+    * mixture weights vary 2.75× and every pos_key is float-exact).
+    * Shared with the oracle's interpolated CASE chain. */
+  val mixtureStrides: Map[String, Double] =
+    (0 until 20).map(k => s"src$k" -> (2.0 + (k % 8) * 0.5)).toMap
+
+  /** C15b `q146_mixture_order` — [[mixtureInterleave]] over the
+    * documents table with the portable [[md5Unit]] shuffle, so the
+    * ENTIRE order — seeded within-source shuffle, stride keys, global
+    * merge — replays in DuckDB position-for-position. */
+  def mixtureOrderDocs(spark: SparkSession, dir: String): DataFrame =
+    mixtureInterleave(Tables(spark, dir).documents, "doc_id", "source",
+      mixtureStrides, seed = 11L, draw = Some(md5Unit(col("doc_id"), 11L)))
+      .orderBy(col("global_pos"))
+
   /** C15 `q73_weighted_sample` — [[sampleByWeight]] with the portable
     * draw: longer documents are proportionally likelier to survive and
     * docs past 400 chars saturate at certain keep (the clamp leg). */

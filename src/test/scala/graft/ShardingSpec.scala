@@ -505,4 +505,53 @@ class ShardingSpec extends SparkSpecBase {
       "a canonical group straddled splits")
     assert(out.map(_._4).distinct.sorted.toSeq === Seq("test", "train", "val"))
   }
+
+  test("mixtureInterleave: every prefix holds mixture proportions within 1.5") {
+    val docs = (0 until 120).map(i => (i.toLong, s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    val strides = Map("s0" -> 1.0, "s1" -> 2.0, "s2" -> 4.0)
+    val out = Sharding.mixtureInterleave(docs, "doc_id", "source", strides, seed = 3L)
+      .select("global_pos", "doc_id", "source", "src_rank")
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until 120L), "global_pos must be a 0-based permutation")
+    // per-source ranks are 1..n with no gaps
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length))
+    }
+    // stride weights: q ∝ 1/stride → (4/7, 2/7, 1/7). Until the first
+    // source exhausts (s0 at P≈70), every prefix tracks P·q within 1.5
+    val q = Map("s0" -> 4.0 / 7, "s1" -> 2.0 / 7, "s2" -> 1.0 / 7)
+    val running = scala.collection.mutable.Map("s0" -> 0, "s1" -> 0, "s2" -> 0)
+    out.take(65).zipWithIndex.foreach { case (row, idx) =>
+      running(row._3) += 1
+      val p = idx + 1
+      q.foreach { case (s, w) =>
+        assert(math.abs(running(s) - p * w) <= 1.5,
+          s"prefix $p: source $s count ${running(s)} vs expected ${p * w}")
+      }
+    }
+  }
+
+  test("mixtureInterleave is deterministic and partitioning-independent") {
+    val docs = (0 until 90).map(i => (i.toLong, s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    val strides = Map("s0" -> 1.0, "s1" -> 1.5, "s2" -> 2.5)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sharding.mixtureInterleave(df, "doc_id", "source", strides, seed = 5L)
+        .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+    val a = run(docs)
+    assert(a == run(docs), "same input must reproduce the same order")
+    assert(a == run(docs.repartition(7)),
+      "order must not depend on input partitioning")
+  }
+
+  test("mixtureInterleave fails loudly on a source with no stride") {
+    val docs = Seq((0L, "known"), (1L, "mystery")).toDF("doc_id", "source")
+    val ex = intercept[Exception] {
+      Sharding.mixtureInterleave(docs, "doc_id", "source",
+        Map("known" -> 1.0)).collect()
+    }
+    assert(ex.getMessage.contains("no stride") ||
+      Option(ex.getCause).exists(_.getMessage.contains("no stride")))
+  }
 }
