@@ -90,6 +90,22 @@ object Bench {
           (_: SparkSession, _: String) =>
             Similarity.annImiPqSearch(corpus, c1b, c2b, 4, cb)
         }
+        // same convention at the exact-Jaccard tier: the three-part
+        // prefix index is a one-time persistable artifact (day-2
+        // batches probe it; appendToPrefixIndex grows it) — rebuilding
+        // it per iteration would time the build, not the probe a user
+        // pays per batch
+        case n @ "q147_prefix_verdicts" => tryBuild(n) {
+          import org.apache.spark.sql.functions.col
+          import graft.operators.Dedup
+          val docs = Tables(spark, sfDir).documents
+          val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+          val batch = docs.filter(col("doc_id") % 5 === 4).localCheckpoint()
+          val (p, g, v) = Dedup.buildPrefixIndex(corpus)
+          val (pc, gc) = (p.localCheckpoint(), g.localCheckpoint())
+          (_: SparkSession, _: String) =>
+            Dedup.dedupAgainstPrefixIndex(batch, pc, gc, v)
+        }
       }.flatten.toMap
     def runSuite(): Seq[(String, Double, Double)] =
       selected.sortBy(_._1).map { case (name, registered) =>

@@ -679,20 +679,38 @@ object Dedup {
   private[graft] def prefixCandidatePairs(docs: DataFrame, t: Double): DataFrame = {
     val posting = docs.select(col("doc_id"), explode(col("grams")).as("g"))
     val vocab = posting.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val prefix = prefixPostings(orderedGrams(docs, vocab), t)
-    // uncapped by design: exactness forbids dropping buckets. Rarest-
-    // first ordering bounds bucket sizes in practice (a gram lands in a
-    // prefix only when it is among that doc's rarest); the positional
-    // filter below kills the degenerate-bucket pairs before the
-    // expensive verification join.
-    bucketPairs(prefix, Seq("g"),
-        struct(col("doc_id"), col("len"), col("pos")), Int.MaxValue)
-      .filter(lengthFilter(col("p.a.len"), col("p.b.len"), t))
-      .filter(positionalFilter(col("p.a.len"), col("p.a.pos"),
-        col("p.b.len"), col("p.b.pos"), t))
-      .select(least(col("p.a.doc_id"), col("p.b.doc_id")).as("id_a"),
-        greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("id_b"))
-      .distinct()
+    // the one-shot self-join derives its prefix via a WINDOW over the
+    // df-annotated posting stream (row_number under the same (df, g)
+    // order the index build materializes as arrays): same selection,
+    // same shuffle count, but no per-doc array build + posexplode —
+    // measured ~1.5 s cheaper at 10×. The index build keeps the array
+    // form because the ordered arrays ARE its grams artifact.
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val wOrd = wDoc.orderBy(col("df").asc, col("g").asc)
+    // materialized: the self-join forks this frame (house rule) — and a
+    // plain equi-join on g beats the grouped collect_list pair
+    // expansion here, because rarest-first ordering makes prefix
+    // buckets near-singletons (measured median 1 at 10×): the grouped
+    // form pays nested array-transform codegen per mostly-empty bucket
+    // (measured 4× slower). Uncapped by design: exactness forbids
+    // dropping buckets; the filters below prune before verification.
+    val prefix = posting.join(vocab, Seq("g"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("len", count(lit(1)).over(wDoc))
+      .withColumn("pos", row_number().over(wOrd) - lit(1))
+      .filter(col("pos") <
+        col("len") - ceil(col("len") * t - lit(1e-9)).cast("int") + lit(1))
+      .select(col("doc_id"), col("len"), col("pos"), col("g"))
+      .localCheckpoint()
+    val a = prefix.select(col("g"), col("doc_id").as("id_a"),
+      col("len").as("la"), col("pos").as("pa"))
+    val b = prefix.select(col("g"), col("doc_id").as("id_b"),
+      col("len").as("lb"), col("pos").as("pb"))
+    a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(lengthFilter(col("la"), col("lb"), t))
+      .filter(positionalFilter(col("la"), col("pa"), col("lb"), col("pb"), t))
+      .select(col("id_a"), col("id_b")).distinct()
   }
 
   // ---- C4c: incremental prefix-Jaccard (day-2 exact dedup) -----------
@@ -724,10 +742,16 @@ object Dedup {
   def buildPrefixIndex(documents: DataFrame, k: Int = 3, t: Double = 0.5)
       : (DataFrame, DataFrame, DataFrame) = {
     require(t > 0.0 && t <= 1.0, s"threshold must be in (0,1], got $t")
-    val docs = shingleSets(documents, k)
+    // MATERIALIZED at every fork: postings, grams and vocab all hang
+    // off the ordered frame, and a query-time (unpersisted) build would
+    // otherwise re-shingle the corpus once per consumer — in production
+    // these three are written once and the point is moot
+    val docs = shingleSets(documents, k).localCheckpoint()
     val vocab = docs.select(explode(col("grams")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val ordered = orderedGrams(docs, vocab)
+      .localCheckpoint()
+    val ordered = orderedGrams(docs, vocab).localCheckpoint()
+    freeBlocks(docs)
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("graft.prefix.k", k.toLong)
       .putDouble("graft.prefix.t", t).build()
