@@ -192,6 +192,56 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C4c: streaming prefix-Jaccard ingest — self pass, exact verdicts, converging growth") {
+    import graft.streaming.EventsStream.StreamDoc
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today " +
+      "while morning light spreads across quiet fields and distant hills beyond the water line"
+    val novel = "a totally distinct passage about catalyst rules codegen stages and " +
+      "adaptive query execution with partition pruning runtime filters and shuffle reuse"
+    val (p0, g0, v0) = Dedup.buildPrefixIndex(Seq((0L, base)).toDF("doc_id", "text"))
+    graft.sources.Bucketing.writeBucketed(p0, "stream_pfx_post", Seq("g"), 8)
+    graft.sources.Bucketing.writeBucketed(g0, "stream_pfx_grams", Seq("doc_id"), 8)
+    val vocabDir = java.nio.file.Files.createTempDirectory("graft_pfx_vocab").toString
+    v0.write.mode("overwrite").parquet(vocabDir)
+    val acceptedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[StreamDoc]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pfx_ck").toString
+    val q = EventsStream.prefixDedupIngestStream(
+      mem.toDF().toDF("doc_id", "text"), "stream_pfx_post", "stream_pfx_grams",
+      vocabDir, ckpt,
+      accept = df => acceptedIds.synchronized {
+        acceptedIds ++= df.select("doc_id").as[Long](implicitly).collect()
+      })
+    def ids(table: String) = {
+      spark.catalog.refreshTable(table)
+      spark.table(table).select("doc_id").distinct().as[Long].collect().toSet
+    }
+    try {
+      // batch 1: exact twin of the indexed corpus doc (rejected), a
+      // NOVEL doc whose shingles are absent from the frozen vocabulary
+      // (accepted — the df-0 ordering path), and its within-batch twin
+      // (the self pass collapses it before the probe)
+      mem.addData(StreamDoc(100, base), StreamDoc(101, novel), StreamDoc(102, novel))
+      q.processAllAvailable()
+      assert(acceptedIds.toSeq == Seq(101L), s"got $acceptedIds")
+      assert(ids("stream_pfx_post") == Set(0L, 101L), "postings grow by the accept only")
+      assert(ids("stream_pfx_grams") == Set(0L, 101L), "grams grow by the accept only")
+      // batch 2: a twin of the JUST-accepted doc must reject against
+      // the grown index — its candidates come entirely from df-0
+      // (frozen-vocab-unseen) prefix tokens; replaying 101 appends
+      // nothing and never re-accepts
+      mem.addData(StreamDoc(200, novel), StreamDoc(101, novel))
+      q.processAllAvailable()
+      assert(acceptedIds.toSeq == Seq(101L),
+        s"twin rejected, replay never re-accepts: $acceptedIds")
+      assert(ids("stream_pfx_post") == Set(0L, 101L) &&
+        ids("stream_pfx_grams") == Set(0L, 101L), "replays append nothing")
+    } finally q.stop()
+  }
+
   test("D1→E: streaming into the day-partitioned lake replaces only updated dates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
