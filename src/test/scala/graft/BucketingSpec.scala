@@ -36,4 +36,43 @@ class BucketingSpec extends SparkSpecBase {
     assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
       s"bucketed groupBy must not shuffle:\n${plan.take(1500)}")
   }
+
+  test("compactBucketed heals append fragmentation and preserves the bucket contract") {
+    import spark.implicits._
+    def seed(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"v$i")).toDF("k", "v")
+    Bucketing.writeBucketed(seed(0, 200), "b_compact", Seq("k"), numBuckets = 4)
+    // three streaming-style appends: one file per bucket per trigger
+    (1 to 3).foreach { b =>
+      seed(200L * b, 200L * (b + 1))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .format("parquet").bucketBy(4, "k").sortBy("k").saveAsTable("b_compact")
+    }
+    def files() = spark.table("b_compact").select(input_file_name().as("f"))
+      .distinct().count()
+    def rows() = spark.table("b_compact").as[(Long, String)].collect().toSet
+    val before = rows()
+    assert(before.size == 800)
+    assert(files() > 4, s"appends should fragment past one file per bucket: ${files()}")
+    assert(Bucketing.compactBucketed(spark, "b_compact"), "fragmented table must rewrite")
+    assert(files() <= 4, s"compacted to at most one file per bucket: ${files()}")
+    assert(rows() == before, "compaction must not change a single row")
+    // the table is still genuinely bucketed: key groupBy plans no shuffle
+    val agg = spark.table("b_compact").groupBy("k").count()
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketing must survive compaction:\n${plan.take(1200)}")
+    // healthy table → idempotent no-op
+    assert(!Bucketing.compactBucketed(spark, "b_compact"), "healthy table must no-op")
+    assert(rows() == before)
+    // a plain (unbucketed) table refuses: this compactor exists to
+    // preserve bucketing, silently losing it would be the failure mode
+    seed(0, 10).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable("b_plain")
+    val ex = intercept[IllegalArgumentException] {
+      Bucketing.compactBucketed(spark, "b_plain")
+    }
+    assert(ex.getMessage.contains("no bucket spec"))
+  }
 }
