@@ -768,4 +768,60 @@ object TextAnalysis {
     corpusDatasheet(Dedup.donorPlantedText(Tables(spark, dir).documents)
       .select(col("doc_id"), col("source"), col("lang"), col("text")))
       .orderBy(col("source"))
+
+  /** C39b: VOCABULARY-GROWTH curve (Heaps' law samples) — the corpus
+    * diagnostic next to the datasheet: distinct types, running tokens,
+    * hapax count and type/token ratio at fixed document-prefix
+    * milestones. A healthy natural corpus grows types ~ tokens^β
+    * (β ≈ 0.5–0.7) with a hapax share near half the vocabulary;
+    * template/synthetic/boilerplate-heavy corpora saturate early
+    * (types flat while tokens grow) and the curve is how a data
+    * engineer sees that BEFORE training on it. No curve FIT is
+    * emitted by design: slope fitting sums logs whose float totals are
+    * summation-order-dependent across engines — the milestone counts
+    * are exact integers (plus one 4-dp ratio of two longs), so the
+    * whole output hash-checks.
+    *
+    * Scale shape: one token explode, a broadcast theta-join against
+    * the tiny milestone list (each token row lands in the ≤
+    * |milestones| prefixes containing it — a fixed ≤8× map-side
+    * expansion, NOT a window), then one (milestone, token) → milestone
+    * aggregation chain; aggregation state is bounded by types ×
+    * milestones, sublinear in corpus bytes by exactly the Heaps
+    * exponent being measured. Milestones beyond the corpus drop (both
+    * engines filter against the doc count, so rows never depend on
+    * out-of-range duplicates). */
+  def vocabularyGrowth(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       milestones: Seq[Long] =
+                         Seq(50L, 100L, 200L, 500L, 1000L, 2000L, 5000L)): DataFrame = {
+    require(milestones.nonEmpty && milestones.forall(_ > 0),
+      s"milestones must be positive, got $milestones")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nDocs = docs.select(count(lit(1)).as("_n"))
+    val ms = milestones.distinct.sorted.toDF("prefix_docs")
+      .crossJoin(nDocs).filter(col("prefix_docs") <= col("_n"))
+      .select(col("prefix_docs"))
+    val toks = docs.select(col(idCol).as("_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    toks.join(broadcast(ms), col("_id") < col("prefix_docs"))
+      .groupBy(col("prefix_docs"), col("tok"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("prefix_docs"))
+      .agg(count(lit(1)).as("types"),
+        sum(col("_c")).as("tokens"),
+        sum(when(col("_c") === 1, 1L).otherwise(0L)).as("hapax"))
+      .withColumn("ttr",
+        round(col("types").cast("double") / col("tokens"), 4))
+      .orderBy(col("prefix_docs"))
+  }
+
+  /** C39b `q148_vocab_growth` — [[vocabularyGrowth]] over the documents
+    * corpus: the oracle re-derives tokenization, the prefix theta-join
+    * and both aggregation tiers; every column is an exact integer but
+    * the one 4-dp ratio of two longs. */
+  def vocabGrowthDocs(spark: SparkSession, dir: String): DataFrame =
+    vocabularyGrowth(Tables(spark, dir).documents)
 }

@@ -350,4 +350,27 @@ class TextAnalysisSpec extends SparkSpecBase {
       TextAnalysis.corpusDatasheet(docs).queryExecution.executedPlan.toString).size
     assert(nEx <= 3, s"datasheet plan grew unexpected exchanges: $nEx")
   }
+
+  test("vocabularyGrowth: hand-computed Heaps curve, saturation visible, bounds enforced") {
+    val docs = Seq(
+      (0L, "a b a"), (1L, "b c"), (2L, "c c c"), (3L, "d"), (4L, "   ")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabularyGrowth(docs,
+        milestones = Seq(1L, 2L, 3L, 4L, 5L, 99L))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 3L, 1L, 0.6667),   // {a×2, b}: 2 types, hapax b
+      (2L, 3L, 5L, 1L, 0.6),      // +{b, c}: c is the hapax now
+      (3L, 3L, 8L, 0L, 0.375),    // +{c×3}: types SATURATE, hapax gone
+      (4L, 4L, 9L, 1L, 0.4444),   // +{d}: fresh type, fresh hapax
+      (5L, 4L, 9L, 1L, 0.4444)    // the whitespace-only doc adds nothing
+    ), s"got $out")
+    // milestone 99 > corpus dropped (no phantom whole-corpus duplicate
+    // row beyond the real ones)
+    assert(out.size == 5)
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.vocabularyGrowth(docs, milestones = Seq(-1L))
+    }
+    assert(ex.getMessage.contains("positive"))
+  }
 }
