@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Layout
+
+class LayoutSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("zValue: hand-computed bit interleave, 2-dim and 3-dim") {
+    // x = 101b, y = 011b, bits = 3: output bit i*2 takes x's bit i,
+    // i*2+1 takes y's bit i -> x0=1(b0) y0=1(b1) x1=0(b2) y1=1(b3)
+    // x2=1(b4) y2=0(b5) = 1+2+8+16 = 27
+    val out = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), 3).as("z"))
+      .as[Long].head()
+    assert(out == 27L, s"interleave(101, 011) = $out, want 27")
+    // 3-dim, bits=1: (1,1,1) -> bits 0,1,2 all set
+    val out3 = Seq((1L, 1L, 1L)).toDF("x", "y", "z")
+      .select(Layout.zValue(Seq(col("x"), col("y"), col("z")), 1).as("v"))
+      .as[Long].head()
+    assert(out3 == 7L)
+    // lane order: coords(0) holds the LSB
+    val lane = Seq((1L, 0L)).toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), 1).as("z"))
+      .as[Long].head()
+    assert(lane == 1L, "coords(0) must land on bit 0")
+  }
+
+  test("zorderFrame: exact grid scaling, constant column lands on cell 0, loud guards") {
+    // x spans exactly the 16-cell grid at bits=4: grid == value
+    val df = Seq((0L, 7L), (15L, 7L), (8L, 7L)).toDF("x", "c")
+    val out = Layout.zorderFrame(df, Seq("x", "c"), bits = 4)
+      .select(col("x"), col("x_grid"), col("c_grid")).as[(Long, Long, Long)]
+      .collect().toMap2
+    assert(out == Map(0L -> (0L, 0L), 15L -> (15L, 0L), 8L -> (8L, 0L)),
+      s"got $out") // constant column c -> cell 0 everywhere
+    intercept[IllegalArgumentException] {
+      Layout.zorderFrame(df, Seq("x"), bits = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zorderFrame(df, Seq("x", "c"), bits = 32)
+    }
+    // range wider than 2^(53-bits) raises loudly instead of rounding
+    val wide = Seq(0L, 1L << 50).toDF("x").withColumn("y", lit(1L))
+    val ex = intercept[Exception] {
+      Layout.zorderFrame(wide, Seq("x", "y"), bits = 4).collect()
+    }
+    assert(ex.getMessage.contains("exceeds"), s"got: ${ex.getMessage}")
+  }
+
+  test("zorderWrite: z-prefix buckets are axis-aligned boxes; zone-map scan prunes to the predicate's stripe") {
+    // a full 32x32 grid at bits=5, fileBits=4 -> 16 buckets, each an
+    // 8x8 box (top 2 bits of each dim fixed per bucket)
+    val grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString + "/layout"
+    Layout.zorderWrite(grid, Seq("x", "y"), dir, fileBits = 4, bits = 5)
+    val back = spark.read.parquet(dir)
+      .groupBy(col("zbucket").cast("long").as("zbucket"))
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(back.length == 16, s"want 16 buckets, got ${back.length}")
+    back.foreach { case (b, x0, x1, y0, y1, n) =>
+      assert(n == 64, s"bucket $b holds $n rows, want 64")
+      assert(x1 - x0 == 7 && y1 - y0 == 7,
+        s"bucket $b spans [$x0,$x1]x[$y0,$y1] — not an 8x8 box")
+    }
+    // a linear sort on x leaves y unconstrained per file — the z
+    // layout's per-bucket y-span (7) is 4x tighter than y's range (31)
+    val zm = Layout.zoneMap(spark, dir, Seq("x", "y"))
+    assert(zm.count() == 16)
+    // y-only predicate: the zone map must select exactly the 4 buckets
+    // whose y-box intersects [0, 7], and the pruned rows must equal a
+    // brute-force filter
+    val hit = zm.filter(!(col("max_y") < 0 || col("min_y") > 7)).count()
+    assert(hit == 4, s"zone map consulted $hit buckets for the y-stripe, want 4")
+    val pruned = Layout.prunedScan(spark, dir, "y", 0L, 7L)
+      .select(col("x").cast("long"), col("y").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val brute = grid.filter(col("y").between(0, 7))
+      .as[(Long, Long)].collect().toSet
+    assert(pruned == brute, "pruned scan must return exactly the predicate rows")
+    assert(pruned.size == 32 * 8)
+  }
+
+  test("zorderDocs: q149 shape — grid bounds, bucket = top 6 bits, z recomputes from the grids") {
+    val out = Layout.zorderDocs(spark, sfDir)
+    val rows = out.as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, xg, yg, z, b) =>
+      assert(xg >= 0 && xg < 65536 && yg >= 0 && yg < 65536)
+      assert(b == (z >> 26), s"doc $id bucket $b != zvalue prefix ${z >> 26}")
+      // recompute the interleave on the driver
+      val want = (0 until 16).map(i =>
+        (((xg >> i) & 1L) << (2 * i)) + (((yg >> i) & 1L) << (2 * i + 1))).sum
+      assert(z == want, s"doc $id zvalue $z != recomputed $want")
+    }
+    // the output is z-sorted (the layout order IS the deliverable)
+    assert(rows.map(_._4).sliding(2).forall(p => p.head <= p.last))
+  }
+
+  private implicit class ToMap2(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long)] =
+      rows.map { case (k, a, b) => k -> (a, b) }.toMap
+  }
+}
