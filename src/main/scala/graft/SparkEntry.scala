@@ -204,7 +204,13 @@ object SparkEntry {
     "q146_mixture_order"         -> ((s, d) => Sharding.mixtureOrderDocs(s, d)),
     // day-2 EXACT Jaccard: batch vs the persisted three-part prefix
     // index (postings + grams + frozen vocab), estimator-free q71
-    "q147_prefix_verdicts"       -> ((s, d) => Dedup.prefixVerdicts(s, d))
+    "q147_prefix_verdicts"       -> ((s, d) => Dedup.prefixVerdicts(s, d)),
+    // vocabulary-growth (Heaps) curve: exact type/token/hapax counts
+    // at document-prefix milestones — the corpus-health diagnostic
+    "q148_vocab_growth"          -> ((s, d) => TextAnalysis.vocabGrowthDocs(s, d)),
+    // z-order layout: min/max grid scaling + Morton bit interleave +
+    // prefix bucket — the multi-column file-skipping sort key
+    "q149_zorder_layout"         -> ((s, d) => graft.sources.Layout.zorderDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1052,6 +1058,58 @@ object SparkEntry {
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |WHERE d.doc_id % 5 = 4
          |ORDER BY d.doc_id""".stripMargin,
+
+    // q148: the Heaps curve re-derived — tokenization, the prefix
+    // theta-join, both aggregation tiers; every column an exact
+    // integer but the one 4-dp ratio of two longs (deterministic:
+    // double division of identical ints rounds identically). Milestone
+    // literals appear in both engines; any drift changes row counts
+    // and fails the compare.
+    "q148_vocab_growth" ->
+      """WITH n AS (SELECT count(*) AS c FROM documents),
+        |ms(prefix_docs) AS (VALUES (50), (100), (200), (500), (1000), (2000), (5000)),
+        |m2 AS (SELECT CAST(prefix_docs AS BIGINT) AS prefix_docs
+        |       FROM ms, n WHERE prefix_docs <= n.c),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |per AS (
+        |  SELECT m.prefix_docs, t.tok, count(*) AS c
+        |  FROM t2 t JOIN m2 m ON t.doc_id < m.prefix_docs
+        |  GROUP BY 1, 2)
+        |SELECT prefix_docs,
+        | CAST(count(*) AS BIGINT) AS types,
+        | CAST(sum(c) AS BIGINT) AS tokens,
+        | CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        | round(count(*) * 1.0 / sum(c), 4) AS ttr
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q149: the z-curve replayed as pure integer SQL — min/max range
+    // scaling (the 2^(53-bits) guard makes the double quotient exact,
+    // so floor == integer division on both engines), a 16-step bit
+    // interleave via a range lateral join, and the 6-bit prefix shift.
+    "q149_zorder_layout" ->
+      """WITH mm AS (
+        |  SELECT min(length(text)) AS xmin, max(length(text)) AS xmax,
+        |         min(doc_id) AS ymin, max(doc_id) AS ymax
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST((CAST(length(text) - xmin AS BIGINT) * 65536)
+        |         // CAST(xmax - xmin + 1 AS BIGINT) AS BIGINT) AS x_grid,
+        |    CAST((CAST(doc_id - ymin AS BIGINT) * 65536)
+        |         // CAST(ymax - ymin + 1 AS BIGINT) AS BIGINT) AS y_grid
+        |  FROM documents, mm),
+        |z AS (
+        |  SELECT doc_id, x_grid, y_grid,
+        |    CAST(sum((((x_grid >> i) & 1) << (2 * i))
+        |           + (((y_grid >> i) & 1) << ((2 * i) + 1))) AS BIGINT) AS zvalue
+        |  FROM s, range(0, 16) t(i)
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, x_grid, y_grid, zvalue,
+        |       CAST(zvalue >> 26 AS BIGINT) AS zbucket
+        |FROM z ORDER BY zvalue, doc_id""".stripMargin,
 
     // q146: the mixture-interleaved training order replayed position-
     // for-position — md5 within-source shuffle (the q72 idiom), dyadic
