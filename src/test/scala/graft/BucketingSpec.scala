@@ -67,7 +67,15 @@ class BucketingSpec extends SparkSpecBase {
     assert(!Bucketing.compactBucketed(spark, "b_compact"), "healthy table must no-op")
     assert(rows() == before)
     // a plain (unbucketed) table refuses: this compactor exists to
-    // preserve bucketing, silently losing it would be the failure mode
+    // preserve bucketing, silently losing it would be the failure mode.
+    // Clear any stale managed location first — a previous JVM's
+    // warehouse files survive the in-memory catalog (the same hygiene
+    // writeBucketed applies), and CTAS refuses an occupied location.
+    spark.sql("DROP TABLE IF EXISTS `b_plain`")
+    val plainLoc = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/b_plain")
+    val plainFs = plainLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (plainFs.exists(plainLoc)) plainFs.delete(plainLoc, true)
     seed(0, 10).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable("b_plain")
     val ex = intercept[IllegalArgumentException] {
