@@ -210,7 +210,10 @@ object SparkEntry {
     "q148_vocab_growth"          -> ((s, d) => TextAnalysis.vocabGrowthDocs(s, d)),
     // z-order layout: min/max grid scaling + Morton bit interleave +
     // prefix bucket — the multi-column file-skipping sort key
-    "q149_zorder_layout"         -> ((s, d) => graft.sources.Layout.zorderDocs(s, d))
+    "q149_zorder_layout"         -> ((s, d) => graft.sources.Layout.zorderDocs(s, d)),
+    // tokenizer DECODE: decode(encode(word)) == word corpus-wide —
+    // the identity pins the id space, merge fold and byte map at once
+    "q150_bpe_decode_roundtrip"  -> ((s, d) => Bpe.bpeDecodeDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1084,6 +1087,23 @@ object SparkEntry {
         | CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
         | round(count(*) * 1.0 / sum(c), 4) AS ttr
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q150: the round-trip identity — the oracle is deliberately just
+    // the dressing (split → position-ordered rejoin): the engine side
+    // runs the FULL encode→decode chain, so any drift in the id
+    // space, merge fold, byte map or its inverse fails the hash.
+    "q150_bpe_decode_roundtrip" ->
+      """WITH wd AS (
+        |  SELECT doc_id, string_split_regex(
+        |    trim(lower(translate(lower(text), 'ae', 'äé'))), '\s+') AS ws
+        |  FROM documents),
+        |w AS (
+        |  SELECT wd.doc_id, u.i AS pos, wd.ws[u.i] AS w
+        |  FROM wd, unnest(generate_series(1, len(wd.ws))) u(i)
+        |  WHERE wd.ws[u.i] <> '')
+        |SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text,
+        |       CAST(count(*) AS BIGINT) AS n_words
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q149: the z-curve replayed as pure integer SQL — min/max range
     // scaling (the 2^(53-bits) guard makes the double quotient exact,

@@ -606,6 +606,57 @@ object Bpe {
       .orderBy(col("shard"), col("chunk"))
   }
 
+  /** Inverse of [[encodeIdsKernel]] — the DECODE half of the tokenizer
+    * contract (round 14): an id array maps back through the
+    * deterministic id space to its piece strings ([[vocabularySeq]],
+    * broadcast as one bounded map literal), pieces concatenate
+    * losslessly (a merge output is always the concatenation of its
+    * sides), the single end-of-word marker strips as a suffix, and the
+    * byte symbols UTF-8-decode ([[byteDecode]]). Specials decode to
+    * their literal `<|…|>` spelling — printable-latin bytes are fixed
+    * points of the GPT-2 byte map, so the atomic round trip falls out
+    * of the same table. Map-only column arithmetic, no UDF. Stated
+    * limitation (Sennrich's own): text whose final word literally ends
+    * in `</w>` would collide with the marker suffix — the corpus-wide
+    * q150 identity check is exactly the proof this never bites. */
+  def decodeIds(ids: Column, merges: Seq[(String, String)],
+                specials: Seq[String] = DefaultSpecials): Column = {
+    require(merges.nonEmpty && merges.size <= maxTrainMerges,
+      s"decodeIds takes 1..$maxTrainMerges merges, got ${merges.size}")
+    val vocab = typedlit(vocabularySeq(merges, specials)
+      .map { case (i, p) => i -> p }.toMap)
+    byteDecode(regexp_replace(
+      array_join(transform(ids, id => element_at(vocab, id.cast("int"))), ""),
+      "</w>\\z", ""))
+  }
+
+  /** C49g `q150_bpe_decode_roundtrip` — decode(encode(word)) == word,
+    * CORPUS-WIDE: every dressed word encodes to ids through the native
+    * kernel and decodes back through [[decodeIds]]; documents
+    * reassemble in word order. The oracle side is deliberately just
+    * the dressing (split → rejoin) — the IDENTITY is the check: any
+    * drift anywhere in the id space, the merge fold, the byte map or
+    * its inverse leaves some word unable to round-trip and flips the
+    * hash. This closes the tokenizer's production surface: train
+    * (q125) → encode (q126/q136) → ids (q143) → pack (q144) → decode. */
+  def bpeDecodeDocs(spark: SparkSession, dir: String): DataFrame = {
+    val dressed = graft.Tables(spark, dir).documents
+      .withColumn("text", translate(lower(col("text")), "ae", "äé"))
+    dressed
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("_pos", "_w0")))
+      .filter(col("_w0") =!= "")
+      .withColumn("_dec",
+        decodeIds(encodeIdsKernel(col("_w0"), byteKernelMerges), byteKernelMerges))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("_pos").as("p"), col("_dec").as("w")))),
+          s => s.getField("w")), " ").as("text"),
+        count(lit(1)).as("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C48→C49 `q142_bpe_packed_special` — q130's packing under the
     * DOCUMENT-DELIMITER contract (round 14): each document's packed
     * sequence is `BOS + pieces + EOS`, so its budget cost is its

@@ -444,4 +444,24 @@ class BpeSpec extends SparkSpecBase {
     // low = l o w </w> → 4 pieces (no merge applies) × 5 words
     assert(stats.find(_._1 == 1L).get === ((1L, 5L, 20L, 0.75)))
   }
+
+  test("decodeIds inverts encodeIdsKernel: merged, unmerged, multibyte and special words all round-trip") {
+    val merges = Bpe.byteKernelMerges
+    // unmerged (every piece a lone byte symbol + standalone marker),
+    // merge-covered, multibyte, digits/punct outside the trained
+    // merges, and an atomic special decoding to its literal spelling
+    val probes = Seq((1L, "zzz"), (2L, "the"), (3L, "läuft"),
+      (4L, "a1-b!"), (5L, Bpe.Bos), (6L, "日本"))
+    val out = probes.toDF("id", "w")
+      .select(col("id"),
+        Bpe.decodeIds(Bpe.encodeIdsKernel(col("w"), merges), merges).as("rt"))
+      .as[(Long, String)].collect().toMap
+    probes.foreach { case (id, w) =>
+      assert(out(id) == w, s"decode(encode($w)) = ${out(id)}")
+    }
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.decodeIds(col("w"), Seq.empty)
+    }
+    assert(ex.getMessage.contains("merges"))
+  }
 }
