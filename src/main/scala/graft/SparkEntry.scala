@@ -213,7 +213,10 @@ object SparkEntry {
     "q149_zorder_layout"         -> ((s, d) => graft.sources.Layout.zorderDocs(s, d)),
     // tokenizer DECODE: decode(encode(word)) == word corpus-wide —
     // the identity pins the id space, merge fold and byte map at once
-    "q150_bpe_decode_roundtrip"  -> ((s, d) => Bpe.bpeDecodeDocs(s, d))
+    "q150_bpe_decode_roundtrip"  -> ((s, d) => Bpe.bpeDecodeDocs(s, d)),
+    // winnowing (MOSS) local fingerprints: per-window min-hash
+    // selection, pairwise shared-span evidence at ~2/(w+1) density
+    "q151_winnow_overlap"        -> ((s, d) => Dedup.winnowOverlapDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1087,6 +1090,39 @@ object SparkEntry {
         | CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
         | round(count(*) * 1.0 / sum(c), 4) AS ttr
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q151: winnowing replayed from raw rows — donor planting, the
+    // normalized char grams, the portable 60-bit md5 hashes, the
+    // window argmin (min, then rightmost occurrence as its own
+    // two-step where the engine uses one lexicographic struct-min),
+    // distinct fingerprint sets, pairing and the minShared gate.
+    "q151_winnow_overlap" ->
+      """WITH planted AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN d.doc_id % 10 = 9 THEN dn.text ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents dn ON dn.doc_id = d.doc_id - 4),
+        |t AS (SELECT doc_id,
+        |        regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |      FROM planted),
+        |g AS (SELECT doc_id, length(t) - 11 AS ng, u.i AS pos,
+        |        CAST(('0x' || substr(md5(substr(t, CAST(u.i AS INTEGER), 12)), 1, 15))
+        |             AS BIGINT) AS h
+        |      FROM t, unnest(generate_series(1, length(t) - 11)) u(i)
+        |      WHERE length(t) >= 15),
+        |mem AS (SELECT doc_id, pos, h, u.s AS s
+        |        FROM g, unnest(generate_series(greatest(pos - 3, 1),
+        |                                       least(pos, ng - 3))) u(s)),
+        |wm AS (SELECT doc_id, s, min(h) AS mh FROM mem GROUP BY 1, 2),
+        |sel AS (SELECT DISTINCT m.doc_id, m.h
+        |        FROM mem m JOIN wm ON wm.doc_id = m.doc_id AND wm.s = m.s
+        |        WHERE m.h = wm.mh),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared FROM p
+        |WHERE n_shared >= 8 ORDER BY doc_a, doc_b""".stripMargin,
 
     // q150: the round-trip identity — the oracle is deliberately just
     // the dressing (split → position-ordered rejoin): the engine side

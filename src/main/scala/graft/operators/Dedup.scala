@@ -1651,4 +1651,91 @@ object Dedup {
       "page_id", "text", maxDocs = 2)
       .orderBy(col("page_id"))
   }
+
+  // ---- C11b: winnowing local fingerprints ------------------------------
+
+  /** C11b: WINNOWING local fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): character k-gram hashes, one
+    * selected per window of w consecutive grams (the minimum; ties
+    * break to the RIGHTMOST occurrence — the paper's robust-winnowing
+    * rule, which makes the selection a pure function of the local
+    * hash landscape). The selected set is POSITION-AWARE partial-
+    * overlap evidence the document-level families can't give: C11
+    * fingerprints whole documents, minhash estimates whole-set
+    * Jaccard, the 13-gram decontamination rule targets a fixed eval
+    * suite — winnowing finds a shared SPAN between any two corpus
+    * documents while retaining only ~2/(w+1) of the grams (the
+    * paper's density bound; the q145 exact tier keeps every gram).
+    * Guarantees: any shared substring of length ≥ k + w − 1 yields at
+    * least one common fingerprint, and no shared fingerprint arises
+    * without a shared k-gram (hash collisions aside — hashes ride the
+    * portable 60-bit md5 convention, so the oracle selects the SAME
+    * minima and a collision would fail the hash compare loudly).
+    *
+    * Scale shape: a per-doc gram explode (the token-explode budget
+    * every C-block text operator pays), a bounded ≤w× window-
+    * membership expansion — NOT a per-window join against all of the
+    * doc's grams, which would be quadratic in document length — and
+    * doc-local aggregation keys (doc, window) throughout, so the
+    * shuffles co-partition by doc_id. Docs shorter than k + w − 1
+    * normalized chars carry no window and drop (stated, not padded).
+    *
+    * @return (doc_id, pos, h): 1-based gram position and selected hash */
+  def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         k: Int = 12, w: Int = 4): DataFrame = {
+    require(k >= 2 && k <= 64, s"gram size k must be in 2..64, got $k")
+    require(w >= 2 && w <= 64, s"window w must be in 2..64, got $w")
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), norm.as("_t"))
+      .filter(length(col("_t")) >= k + w - 1)
+      .select(col("doc_id"), (length(col("_t")) - (k - 1)).as("_ng"),
+        posexplode(transform(sequence(lit(1), length(col("_t")) - (k - 1)),
+          p => conv(substring(md5(col("_t").substr(p, lit(k))), 1, 15), 16, 10)
+            .cast("long"))).as(Seq("_i", "h")))
+      .select(col("doc_id"), col("_ng"), (col("_i") + 1).as("pos"), col("h"))
+    // each gram sits in <= w windows: explode the membership (bounded
+    // map-side fan-out), then one (doc, window) argmin — (h, -pos)
+    // lexicographic min IS min-hash-rightmost-tie
+    grams
+      .select(col("doc_id"), col("pos"), col("h"),
+        explode(sequence(
+          greatest(col("pos") - (w - 1), lit(1)),
+          least(col("pos"), col("_ng") - (w - 1)))).as("_s"))
+      .groupBy(col("doc_id"), col("_s"))
+      .agg(min(struct(col("h"), (-col("pos")).as("_np"))).as("_m"))
+      .select(col("doc_id"), (-col("_m._np")).as("pos"), col("_m.h").as("h"))
+      .distinct()
+  }
+
+  /** C11b: pairwise partial-overlap report over the winnowed sets —
+    * fingerprints group by hash (the posting), co-occurring docs pair
+    * within a posting, pairs aggregate to a distinct-shared count and
+    * gate on `minShared`. Posting sizes are the usual hot-key caveat
+    * (a boilerplate phrase selected everywhere pairs quadratically —
+    * the C2c rule: capping would silently LEAK overlap, so this
+    * doesn't; strip boilerplate first, that operator exists). */
+  def winnowOverlap(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", k: Int = 12, w: Int = 4,
+                    minShared: Long = 8L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), col("h")).distinct()
+    fp.as("a").join(fp.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** C11b `q151_winnow_overlap` — [[winnowOverlap]] on the q107
+    * donor-planted corpus (so full-copy pairs provably clear the
+    * gate) plus whatever template overlap the corpus naturally
+    * carries; the oracle re-derives planting, normalization, gram
+    * hashes, window argmin (min-then-rightmost via its own two-step),
+    * distinct sets, pairing and the gate from raw rows. */
+  def winnowOverlapDocs(spark: SparkSession, dir: String): DataFrame =
+    winnowOverlap(donorPlantedText(Tables(spark, dir).documents))
+      .orderBy(col("doc_a"), col("doc_b"))
 }
