@@ -216,7 +216,16 @@ object SparkEntry {
     "q150_bpe_decode_roundtrip"  -> ((s, d) => Bpe.bpeDecodeDocs(s, d)),
     // winnowing (MOSS) local fingerprints: per-window min-hash
     // selection, pairwise shared-span evidence at ~2/(w+1) density
-    "q151_winnow_overlap"        -> ((s, d) => Dedup.winnowOverlapDocs(s, d))
+    "q151_winnow_overlap"        -> ((s, d) => Dedup.winnowOverlapDocs(s, d)),
+    // winnowing day-2 probe: batch docs verdict against the persisted
+    // fingerprint index — the one index family with NO frozen state
+    "q152_winnow_probe"          -> ((s, d) => Dedup.winnowProbeVerdicts(s, d)),
+    // shared-span localization: matched winnow prints → diagonal
+    // islands → character intervals, the excision-ready coordinates
+    "q153_winnow_spans"          -> ((s, d) => Dedup.winnowSpansDocs(s, d)),
+    // span excision: merge each doc's b-side intervals, stitch the
+    // kept segments in one higher-order fold — ExactSubstr's removal
+    "q154_winnow_excise"         -> ((s, d) => Dedup.winnowExciseDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1123,6 +1132,165 @@ object SparkEntry {
         |      GROUP BY 1, 2)
         |SELECT doc_a, doc_b, n_shared FROM p
         |WHERE n_shared >= 8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q152: the day-2 winnow probe replayed — the q151 selection chain
+    // verbatim (selection is doc-local, so the split changes nothing
+    // about what each side selects), then batch-vs-corpus pairing,
+    // the minShared gate, and the (max shared, min id) witness pick
+    // as its own two-step where the engine uses one struct-min
+    "q152_winnow_probe" ->
+      """WITH planted AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN d.doc_id % 10 = 9 THEN dn.text ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents dn ON dn.doc_id = d.doc_id - 4),
+        |t AS (SELECT doc_id,
+        |        regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |      FROM planted),
+        |g AS (SELECT doc_id, length(t) - 11 AS ng, u.i AS pos,
+        |        CAST(('0x' || substr(md5(substr(t, CAST(u.i AS INTEGER), 12)), 1, 15))
+        |             AS BIGINT) AS h
+        |      FROM t, unnest(generate_series(1, length(t) - 11)) u(i)
+        |      WHERE length(t) >= 15),
+        |mem AS (SELECT doc_id, pos, h, u.s AS s
+        |        FROM g, unnest(generate_series(greatest(pos - 3, 1),
+        |                                       least(pos, ng - 3))) u(s)),
+        |wm AS (SELECT doc_id, s, min(h) AS mh FROM mem GROUP BY 1, 2),
+        |sel AS (SELECT DISTINCT m.doc_id, m.h
+        |        FROM mem m JOIN wm ON wm.doc_id = m.doc_id AND wm.s = m.s
+        |        WHERE m.h = wm.mh),
+        |p AS (SELECT b.doc_id AS doc_id, c.doc_id AS corpus_id,
+        |        CAST(count(*) AS BIGINT) AS ns
+        |      FROM sel b JOIN sel c ON b.h = c.h
+        |      WHERE b.doc_id % 5 = 4 AND c.doc_id % 5 <> 4
+        |      GROUP BY 1, 2
+        |      HAVING count(*) >= 8),
+        |mx AS (SELECT doc_id, max(ns) AS max_shared FROM p GROUP BY 1),
+        |bm AS (SELECT p.doc_id, min(p.corpus_id) AS best_match
+        |       FROM p JOIN mx ON mx.doc_id = p.doc_id AND p.ns = mx.max_shared
+        |       GROUP BY 1)
+        |SELECT d.doc_id, mx.doc_id IS NOT NULL AS has_overlap,
+        |       CAST(coalesce(bm.best_match, -1) AS BIGINT) AS best_match,
+        |       CAST(coalesce(mx.max_shared, 0) AS BIGINT) AS max_shared
+        |FROM documents d LEFT JOIN mx USING (doc_id) LEFT JOIN bm USING (doc_id)
+        |WHERE d.doc_id % 5 = 4
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q153: span localization replayed — the q151 selection chain WITH
+    // positions, diagonal pairing (pos_b − pos_a), the lag/sum islands
+    // split at tolerance w, interval arithmetic and the minPrints gate
+    "q153_winnow_spans" ->
+      """WITH planted AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN d.doc_id % 10 = 9 THEN dn.text ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents dn ON dn.doc_id = d.doc_id - 4),
+        |t AS (SELECT doc_id,
+        |        regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |      FROM planted),
+        |g AS (SELECT doc_id, length(t) - 11 AS ng, u.i AS pos,
+        |        CAST(('0x' || substr(md5(substr(t, CAST(u.i AS INTEGER), 12)), 1, 15))
+        |             AS BIGINT) AS h
+        |      FROM t, unnest(generate_series(1, length(t) - 11)) u(i)
+        |      WHERE length(t) >= 15),
+        |mem AS (SELECT doc_id, pos, h, u.s AS s
+        |        FROM g, unnest(generate_series(greatest(pos - 3, 1),
+        |                                       least(pos, ng - 3))) u(s)),
+        |wm AS (SELECT doc_id, s, min(h) AS mh FROM mem GROUP BY 1, 2),
+        |sel AS (SELECT DISTINCT m.doc_id, m.pos, m.h
+        |        FROM mem m JOIN wm ON wm.doc_id = m.doc_id AND wm.s = m.s
+        |        WHERE m.h = wm.mh),
+        |pts AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |          a.pos AS pa, b.pos - a.pos AS diag
+        |        FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |brks AS (SELECT doc_a, doc_b, diag, pa,
+        |          CASE WHEN pa - lag(pa) OVER
+        |                 (PARTITION BY doc_a, doc_b, diag ORDER BY pa) > 4
+        |               THEN 1 ELSE 0 END AS brk
+        |         FROM pts),
+        |isl AS (SELECT doc_a, doc_b, diag, pa,
+        |          sum(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+        |                         ROWS UNBOUNDED PRECEDING) AS isl_id
+        |        FROM brks),
+        |sp AS (SELECT doc_a, doc_b, diag,
+        |         min(pa) AS a_start, max(pa) + 11 AS a_end,
+        |         CAST(count(*) AS BIGINT) AS n_prints
+        |       FROM isl GROUP BY doc_a, doc_b, diag, isl_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(a_start AS BIGINT) AS a_start, CAST(a_end AS BIGINT) AS a_end,
+        |  CAST(a_start + diag AS BIGINT) AS b_start,
+        |  CAST(a_end + diag AS BIGINT) AS b_end, n_prints
+        |FROM sp WHERE n_prints >= 3
+        |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
+
+    // q154: excision replayed — the q153 span chain, the b-side
+    // interval union (window merge over (s, e)), and the kept-segment
+    // stitch (lag-based pieces + tail where the engine uses one fold)
+    "q154_winnow_excise" ->
+      """WITH planted AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN d.doc_id % 10 = 9 THEN dn.text ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents dn ON dn.doc_id = d.doc_id - 4),
+        |t AS (SELECT doc_id,
+        |        regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |      FROM planted),
+        |g AS (SELECT doc_id, length(t) - 11 AS ng, u.i AS pos,
+        |        CAST(('0x' || substr(md5(substr(t, CAST(u.i AS INTEGER), 12)), 1, 15))
+        |             AS BIGINT) AS h
+        |      FROM t, unnest(generate_series(1, length(t) - 11)) u(i)
+        |      WHERE length(t) >= 15),
+        |mem AS (SELECT doc_id, pos, h, u.s AS s
+        |        FROM g, unnest(generate_series(greatest(pos - 3, 1),
+        |                                       least(pos, ng - 3))) u(s)),
+        |wm AS (SELECT doc_id, s, min(h) AS mh FROM mem GROUP BY 1, 2),
+        |sel AS (SELECT DISTINCT m.doc_id, m.pos, m.h
+        |        FROM mem m JOIN wm ON wm.doc_id = m.doc_id AND wm.s = m.s
+        |        WHERE m.h = wm.mh),
+        |pts AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |          a.pos AS pa, b.pos - a.pos AS diag
+        |        FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |brks AS (SELECT doc_a, doc_b, diag, pa,
+        |          CASE WHEN pa - lag(pa) OVER
+        |                 (PARTITION BY doc_a, doc_b, diag ORDER BY pa) > 4
+        |               THEN 1 ELSE 0 END AS brk
+        |         FROM pts),
+        |isl AS (SELECT doc_a, doc_b, diag, pa,
+        |          sum(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+        |                         ROWS UNBOUNDED PRECEDING) AS isl_id
+        |        FROM brks),
+        |sp AS (SELECT doc_a, doc_b, diag,
+        |         min(pa) AS a_start, max(pa) + 11 AS a_end, count(*) AS np
+        |       FROM isl GROUP BY doc_a, doc_b, diag, isl_id),
+        |iv AS (SELECT doc_b AS doc_id, a_start + diag AS s, a_end + diag AS e
+        |       FROM sp WHERE np >= 3),
+        |om AS (SELECT doc_id, s, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |       FROM iv),
+        |grp AS (SELECT doc_id, s, e,
+        |         sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY s, e
+        |                 ROWS UNBOUNDED PRECEDING) AS gid
+        |        FROM om),
+        |m AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM grp GROUP BY doc_id, gid),
+        |segs AS (SELECT doc_id, s, e,
+        |          lag(e, 1, CAST(0 AS BIGINT)) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+        |         FROM m),
+        |pieces AS (SELECT sg.doc_id,
+        |            substr(t.t, CAST(sg.pe + 1 AS INTEGER),
+        |                   CAST(sg.s - sg.pe - 1 AS INTEGER)) AS piece, sg.s AS ord
+        |           FROM segs sg JOIN t ON t.doc_id = sg.doc_id),
+        |agg AS (SELECT doc_id, max(e) AS le, CAST(count(*) AS BIGINT) AS n_spans,
+        |         CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+        |        FROM m GROUP BY 1),
+        |stitched AS (SELECT p.doc_id, string_agg(p.piece, '' ORDER BY p.ord) AS head
+        |             FROM pieces p GROUP BY 1)
+        |SELECT t.doc_id,
+        | coalesce(st.head, '') || substr(t.t, CAST(a.le + 1 AS INTEGER)) AS clean_text,
+        | a.removed_chars, a.n_spans
+        |FROM t JOIN agg a USING (doc_id) LEFT JOIN stitched st USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     // q150: the round-trip identity — the oracle is deliberately just
     // the dressing (split → position-ordered rejoin): the engine side

@@ -1738,4 +1738,254 @@ object Dedup {
   def winnowOverlapDocs(spark: SparkSession, dir: String): DataFrame =
     winnowOverlap(donorPlantedText(Tables(spark, dir).documents))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  // ---- C11d: shared-span localization ----------------------------------
+
+  /** C11d: shared-span LOCALIZATION — lift winnowing evidence from
+    * counts ([[winnowOverlap]]) to contiguous character INTERVALS,
+    * the coordinates an exact-substring removal pass (Lee et al.
+    * 2022, arXiv:2107.06499 §4 "ExactSubstr") actually needs: you
+    * cannot excise "37 shared fingerprints", you excise [start, end).
+    *
+    * Geometry: matched fingerprints of a doc pair are points
+    * (pos_a, pos_b); a genuinely shared span puts all its points on
+    * ONE DIAGONAL (pos_b − pos_a constant — both docs select the
+    * same interior grams at a fixed offset, because robust-winnowing
+    * selection is content-determined). So: join selected prints on h,
+    * group by (doc_a, doc_b, diagonal), and split each diagonal into
+    * islands wherever consecutive selected positions gap by more
+    * than w — inside a truly shared span the winnowing guarantee
+    * bounds selection gaps by w, so a larger gap means the span
+    * ended. Each island reports [a_start, a_end] (1-based char
+    * interval over the NORMALIZED text — the same coordinates the
+    * gram positions live in), the b-side interval at the diagonal
+    * offset, and its print count, gated on `minPrints`.
+    *
+    * Boundary honesty: the first/last w windows of a shared span can
+    * select grams influenced by surrounding (unshared) text, so
+    * reported intervals cover the span's INTERIOR and may undercover
+    * the true shared extent by up to ~(k + w) chars per edge — every
+    * reported position IS a real shared k-gram (collisions aside),
+    * never the reverse. Shuffle shape: the h posting join (the C11b
+    * caveat on hot prints applies), then windows partitioned by
+    * (doc_a, doc_b, diag) — pair-local keys, no corpus-wide state.
+    *
+    * @return (doc_a, doc_b, a_start, a_end, b_start, b_end, n_prints) */
+  def winnowSharedSpans(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", k: Int = 12, w: Int = 4,
+                        minPrints: Long = 3L): DataFrame = {
+    require(minPrints >= 1, s"minPrints must be >= 1, got $minPrints")
+    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+      .localCheckpoint() // forked by the self-join below (house rule)
+    val pts = fp.as("a").join(fp.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), (col("b.pos") - col("a.pos")).as("diag"))
+      .distinct()
+    val wDiag = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    val wRun = wDiag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts
+      .withColumn("brk",
+        when(col("pa") - lag(col("pa"), 1).over(wDiag) > w, 1).otherwise(0))
+      .withColumn("isl", sum(col("brk")).over(wRun))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg(min(col("pa")).as("a_start"),
+        (max(col("pa")) + (k - 1)).as("a_end"),
+        count(lit(1)).as("n_prints"))
+      .filter(col("n_prints") >= minPrints)
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("a_end"),
+        (col("a_start") + col("diag")).as("b_start"),
+        (col("a_end") + col("diag")).as("b_end"), col("n_prints"))
+  }
+
+  /** C11d `q153_winnow_spans` — [[winnowSharedSpans]] on the donor-
+    * planted corpus: each planted full copy must localize as one long
+    * island on its pair's single diagonal, plus whatever template
+    * spans the corpus naturally carries. The oracle replays the q151
+    * selection chain WITH positions, the diagonal pairing, the
+    * lag/sum islands split (tolerance w) and the interval arithmetic
+    * from raw rows. */
+  def winnowSpansDocs(spark: SparkSession, dir: String): DataFrame =
+    winnowSharedSpans(donorPlantedText(Tables(spark, dir).documents))
+      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+
+  // ---- C11e: shared-span excision ---------------------------------------
+
+  /** C11e: shared-span EXCISION — the removal pass [[winnowSharedSpans]]
+    * localizes for (Lee et al. 2022's ExactSubstr policy: of each
+    * duplicated span, ONE copy survives). Policy here: the LOWER doc
+    * id of a pair keeps its text untouched; the higher id excises its
+    * b-side intervals — deterministic, and consistent with every
+    * first-writer-wins rule in this repo. A doc that is doc_b in many
+    * pairs excises the UNION of its intervals: overlapping/adjacent
+    * intervals merge first (one doc-keyed window + aggregation — the
+    * same gaps-and-islands shape as the localization), then the kept
+    * segments rebuild in ONE map-side higher-order `aggregate` fold
+    * over the doc's sorted interval array — no per-segment explode,
+    * no re-shuffle after the merge.
+    *
+    * Coordinates: intervals live in NORMALIZED text (where the span
+    * positions are defined), so the clean text is normalized too —
+    * stated, not hidden; the normalization is the corpus-standard
+    * lower/trim/whitespace-collapse every text operator here applies
+    * first anyway.
+    *
+    * @param spans the [[winnowSharedSpans]] frame (or any
+    *              (doc_b, b_start, b_end) interval evidence)
+    * @return docs that lost at least one span: (doc_id, clean_text,
+    *         removed_chars, n_spans) — n_spans counts MERGED intervals */
+  def exciseSharedSpans(docs: DataFrame, spans: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val iv = spans.select(col("doc_b").as("doc_id"),
+      col("b_start").as("s"), col("b_end").as("e"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val wPrev = wDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = iv
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax") + 1, 1).otherwise(0))
+      .withColumn("gid", sum(col("brk")).over(wRun))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"),
+        sum(col("e") - col("s") + 1).as("removed_chars"),
+        count(lit(1)).as("n_spans"))
+    val t = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    docs.select(col(idCol).as("doc_id"), t.as("_t"))
+      .join(merged, Seq("doc_id"))
+      .withColumn("_f", aggregate(col("ivs"),
+        struct(lit(0L).as("last"), lit("").as("out")),
+        (acc, i) => struct(
+          greatest(acc.getField("last"), i.getField("e")).as("last"),
+          concat(acc.getField("out"),
+            col("_t").substr((acc.getField("last") + 1).cast("int"),
+              (i.getField("s") - acc.getField("last") - 1).cast("int")))
+            .as("out"))))
+      .select(col("doc_id"),
+        concat(col("_f.out"),
+          col("_t").substr((col("_f.last") + 1).cast("int"),
+            (length(col("_t"))).cast("int"))).as("clean_text"),
+        col("removed_chars"), col("n_spans"))
+  }
+
+  /** C11e `q154_winnow_excise` — localize ([[winnowSharedSpans]]) then
+    * excise ([[exciseSharedSpans]]) over the donor-planted corpus: each
+    * planted copier (the higher id of its pair) loses the copied span;
+    * the oracle replays localization, the b-side interval union (its
+    * own window merge), and the segment-stitch reconstruction. */
+  def winnowExciseDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = donorPlantedText(Tables(spark, dir).documents)
+      .localCheckpoint() // forked: span evidence + excision input
+    exciseSharedSpans(docs, winnowSharedSpans(docs))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- C11c: incremental winnowing (day-2 span overlap) ----------------
+
+  /** Build the persistable winnow fingerprint index over (doc_id,
+    * text): the distinct selected (h, doc_id) postings of
+    * [[winnowFingerprints]], with the build parameters riding the h
+    * column's metadata (the q71 loud-mismatch convention). Persist
+    * bucketed on h so batch probes join corpus-side exchange-free.
+    *
+    * The winnowing index is the ONE dedup artifact in this repo with
+    * NO frozen global state: prefix-Jaccard freezes a vocabulary
+    * (token order), IVF/IMI freeze centroids, MinHash freezes seeds —
+    * but robust-winnowing selection is a pure function of a document's
+    * OWN local hash landscape (SIGMOD 2003 §4: window minima with
+    * rightmost ties), so corpus growth can never change what a later
+    * document selects. Append therefore IS build-on-the-increment
+    * ([[appendToWinnowIndex]]), and day-2 probe-then-append equals a
+    * full rebuild exactly, with no drift clause to manage. */
+  def buildWinnowIndex(documents: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       k: Int = 12, w: Int = 4): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.winnow.k", k.toLong)
+      .putLong("graft.winnow.w", w.toLong).build()
+    winnowFingerprints(documents, idCol, textCol, k, w)
+      .select(col("h").as("h", meta), col("doc_id")).distinct()
+  }
+
+  /** Index rows for an accepted batch — literally the build on the
+    * increment (see [[buildWinnowIndex]]: selection is doc-local, so
+    * there is no frozen state to thread through). Kept as a named
+    * alias so ingest call-sites read as the same append/probe protocol
+    * every other day-2 family uses. */
+  def appendToWinnowIndex(accepted: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text",
+                          k: Int = 12, w: Int = 4): DataFrame =
+    buildWinnowIndex(accepted, idCol, textCol, k, w)
+
+  /** Day-2 SPAN-OVERLAP probe: verdict an incoming batch against the
+    * persisted winnow index without re-fingerprinting (or re-reading)
+    * the corpus. Batch docs winnow under the index's (k, w) — enforced
+    * loudly from the h column metadata, since a mismatched k hashes
+    * different grams and a mismatched w selects different minima, and
+    * either silently hides real overlap — then join the corpus
+    * postings on h (read bucketed: only the small batch exchanges),
+    * aggregate distinct-shared counts per (batch, corpus) pair and
+    * gate on `minShared`. A batch doc matching its own id is a
+    * replayed delivery, not overlap — excluded (the q71 rule).
+    *
+    * This is the REPORT-shaped verdict (who do I overlap, how much),
+    * not a Jaccard: winnowing evidence is positional span sharing, so
+    * the right day-2 answer names the strongest witness. Ties on
+    * n_shared break to the smallest corpus id (deterministic).
+    *
+    * @return one row per batch doc: (doc_id, has_overlap, best_match =
+    *         witness corpus id or -1, max_shared = its distinct shared
+    *         fingerprint count or 0) */
+  def winnowOverlapAgainstIndex(newDocs: DataFrame, index: DataFrame,
+                                idCol: String = "doc_id",
+                                textCol: String = "text",
+                                k: Int = 12, w: Int = 4,
+                                minShared: Long = 8L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val hField = index.schema.fields.find(_.name == "h").getOrElse(
+      throw new IllegalArgumentException(
+        "index must carry an 'h' column — build it with buildWinnowIndex"))
+    if (hField.metadata.contains("graft.winnow.k")) {
+      val ik = hField.metadata.getLong("graft.winnow.k")
+      val iw = hField.metadata.getLong("graft.winnow.w")
+      require(ik == k && iw == w,
+        s"index was built with k=$ik w=$iw but the probe asked for k=$k w=$w — " +
+          "selections would misalign and shared spans would silently vanish")
+    }
+    val batchFp = winnowFingerprints(newDocs, idCol, textCol, k, w)
+      .select(col("doc_id").as("new_id"), col("h")).distinct()
+    val gated = batchFp
+      .join(index.select(col("h"), col("doc_id").as("corpus_id")), Seq("h"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("ns"))
+      .filter(col("ns") >= minShared)
+      // strongest witness: max shared count, ties to the SMALLEST id —
+      // one struct-min, no second aggregation pass
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(min(struct((-col("ns")).as("_nn"), col("corpus_id"))).as("_b"))
+    newDocs.select(col(idCol).as("doc_id"))
+      .join(gated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("_b").isNotNull.as("has_overlap"),
+        coalesce(col("_b.corpus_id"), lit(-1L)).as("best_match"),
+        coalesce(-col("_b._nn"), lit(0L)).as("max_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C11c `q152_winnow_probe` — [[winnowOverlapAgainstIndex]] over the
+    * q71 deterministic 80/20 corpus/batch split of the donor-planted
+    * corpus. The planting lands every copier (doc_id % 10 == 9, hence
+    * % 5 == 4) in the BATCH and every donor (doc_id − 4 ≡ 0 mod 5) in
+    * the CORPUS, so each planted copy must surface as a batch-side
+    * overlap with its corpus donor as witness. The oracle replays the
+    * whole chain from raw rows, split included. */
+  def winnowProbeVerdicts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = donorPlantedText(Tables(spark, dir).documents)
+    val index = buildWinnowIndex(docs.filter(col("doc_id") % 5 =!= 4))
+    winnowOverlapAgainstIndex(docs.filter(col("doc_id") % 5 === 4), index)
+  }
 }

@@ -1039,6 +1039,64 @@ object EventsStream {
       }
       .start()
 
+  /** D2→C11c bridge — streaming WINNOW-overlap ingest (round 14): the
+    * D2s shape at the span-evidence tier. Each micro-batch of
+    * (doc_id, text) (1) self-screens within the batch
+    * ([[graft.operators.Dedup.winnowOverlap]] — of each gated pair the
+    * LOWER id survives, first-writer-wins), (2) verdicts survivors
+    * against the persisted fingerprint index
+    * ([[graft.operators.Dedup.winnowOverlapAgainstIndex]] — the corpus
+    * side reads bucketed on h, zero corpus exchanges; a gated overlap
+    * means a shared span ≥ minShared prints, i.e. paste/near-copy
+    * evidence, and the doc is REJECTED), (3) appends the accepted
+    * docs' fingerprints BEFORE accept (the round-14 order rule). The
+    * simplest ingest of the family: selection is doc-local (see
+    * [[graft.operators.Dedup.buildWinnowIndex]]), so there is no
+    * frozen vocabulary/centroid artifact to thread — the index table
+    * is the WHOLE day-2 state.
+    *
+    * Replay-idempotent: already-indexed ids anti-join away up front
+    * (the probe's self-exclusion would otherwise hide a replayed id
+    * from itself and re-accept it — the D2s lesson), and the append
+    * anti-joins its own table's ids, so a crash after append and
+    * before accept degrades to at-least-once accept while the index
+    * never double-counts. */
+  def winnowIngestStream(docs: DataFrame, indexTable: String,
+                         checkpointDir: String,
+                         accept: DataFrame => Unit,
+                         k: Int = 12, w: Int = 4, minShared: Long = 8L,
+                         numBuckets: Int = 8):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        import graft.operators.Dedup
+        val spark = batch0.sparkSession
+        val batch = batch0
+          .join(spark.table(indexTable).select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val selfDrop = Dedup.winnowOverlap(batch, k = k, w = w,
+          minShared = minShared)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val reps = batch.join(selfDrop, Seq("doc_id"), "left_anti")
+        val verdicts = Dedup.winnowOverlapAgainstIndex(reps,
+          spark.table(indexTable), k = k, w = w, minShared = minShared)
+        val accepted = reps
+          .join(verdicts.filter(!col("has_overlap")).select(col("doc_id")),
+            Seq("doc_id"))
+          .localCheckpoint()
+        Dedup.appendToWinnowIndex(accepted, k = k, w = w)
+          .join(spark.table(indexTable).select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").bucketBy(numBuckets, "h").sortBy("h")
+          .saveAsTable(indexTable)
+        accept(accepted)
+      }
+      .start()
+
   /** D2→C2c bridge — STREAMING DECONTAMINATION (round 14, the D-twin
     * q137 implies): each micro-batch of incoming documents verdicts
     * MAP-SIDE against the persisted eval gram index

@@ -242,6 +242,51 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C11c: streaming winnow ingest — self pass, span verdicts, doc-local growth") {
+    import graft.streaming.EventsStream.StreamDoc
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today " +
+      "while morning light spreads across quiet fields and distant hills beyond the water line"
+    val novel = "a totally distinct passage about catalyst rules codegen stages and " +
+      "adaptive query execution with partition pruning runtime filters and shuffle reuse"
+    spark.sql("DROP TABLE IF EXISTS stream_winnow_idx")
+    graft.sources.Bucketing.writeBucketed(
+      Dedup.buildWinnowIndex(Seq((0L, base)).toDF("doc_id", "text")),
+      "stream_winnow_idx", Seq("h"), 8)
+    val acceptedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[StreamDoc]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_win_ck").toString
+    val q = EventsStream.winnowIngestStream(
+      mem.toDF().toDF("doc_id", "text"), "stream_winnow_idx", ckpt,
+      accept = df => acceptedIds.synchronized {
+        acceptedIds ++= df.select("doc_id").as[Long](implicitly).collect()
+      })
+    def ids() = {
+      spark.catalog.refreshTable("stream_winnow_idx")
+      spark.table("stream_winnow_idx").select("doc_id").distinct()
+        .as[Long].collect().toSet
+    }
+    try {
+      // batch 1: exact twin of the indexed doc (rejected — full span
+      // overlap), a novel doc (accepted), its within-batch twin (the
+      // self pass keeps the LOWER id)
+      mem.addData(StreamDoc(100, base), StreamDoc(101, novel), StreamDoc(102, novel))
+      q.processAllAvailable()
+      assert(acceptedIds.toSeq == Seq(101L), s"got $acceptedIds")
+      assert(ids() == Set(0L, 101L), "index grows by the accept only")
+      // batch 2: a paste of the JUST-accepted doc — caught only if the
+      // index grew — plus a replay of 101 (appends nothing, no re-accept)
+      mem.addData(StreamDoc(200, novel + " with a few extra trailing words"),
+        StreamDoc(101, novel))
+      q.processAllAvailable()
+      assert(acceptedIds.toSeq == Seq(101L),
+        s"paste rejected, replay never re-accepts: $acceptedIds")
+      assert(ids() == Set(0L, 101L), "replays append nothing")
+    } finally q.stop()
+  }
+
   test("D1→E: streaming into the day-partitioned lake replaces only updated dates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -63,6 +63,101 @@ class WinnowSpec extends SparkSpecBase {
     }
   }
 
+  test("span localization: one island per shared span, exact diagonal, interior coverage") {
+    val shared = junk("span", 12) // 131 chars
+    val s2 = junk("other", 12)
+    val docA = junk("p", 20) + " " + shared + " " + junk("q", 20)
+    val docB = junk("r", 30) + " " + shared + " " + junk("s", 10)
+    val one = Seq((3L, docA), (4L, docB)).toDF("doc_id", "text")
+    val rows = Dedup.winnowSharedSpans(one)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 1, s"one shared span must be ONE island: ${rows.toSeq}")
+    val (a, b, aStart, aEnd, bStart, bEnd, n) = rows.head
+    assert(a == 3L && b == 4L && n >= 3)
+    // the diagonal is exact: both texts are already normalized, so the
+    // offset difference of the planted span is the reported shift
+    val expectedDiag = docB.indexOf(shared) - docA.indexOf(shared)
+    assert(bStart - aStart == expectedDiag && bEnd - aEnd == expectedDiag,
+      s"diag ${bStart - aStart} != $expectedDiag")
+    // interior coverage: within the shared region (±1 matched space),
+    // undercovering each edge by at most ~(k + w) chars
+    assert(aStart >= docA.indexOf(shared) - 1 + 1 && aEnd <= docA.indexOf(shared) + shared.length + 1 + 1,
+      s"[$aStart,$aEnd] escapes the planted region")
+    assert(aEnd - aStart + 1 >= shared.length - 40, s"span [$aStart,$aEnd] undercovers")
+    // two disjoint shared spans at DIFFERENT offsets -> two islands on
+    // two diagonals
+    val docC = junk("c1", 15) + " " + shared + " " + junk("c2", 25) + " " + s2 + " " + junk("c3", 5)
+    val docD = junk("d1", 28) + " " + shared + " " + junk("d2", 6) + " " + s2 + " " + junk("d3", 18)
+    val two = Seq((5L, docC), (6L, docD)).toDF("doc_id", "text")
+    val r2 = Dedup.winnowSharedSpans(two)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(r2.length == 2, s"two spans must be TWO islands: ${r2.toSeq}")
+    assert(r2.map(r => r._5 - r._3).distinct.length == 2, "distinct diagonals")
+    intercept[IllegalArgumentException] {
+      Dedup.winnowSharedSpans(one, minPrints = 0L)
+    }
+  }
+
+  test("excision: the higher id loses span interiors, lengths reconcile, untouched docs absent") {
+    val shared = junk("span", 12)
+    val s2 = junk("other", 12)
+    val docA = junk("p", 20) + " " + shared + " " + junk("q", 20) // donor, id 3
+    val docC = junk("c", 10) + " " + s2 + " " + junk("cc", 10)    // donor, id 5
+    val docB = junk("r", 10) + " " + shared + " " + junk("mid", 8) +
+      " " + s2 + " " + junk("s", 10)                              // id 9 loses both
+    val docs = Seq((3L, docA), (5L, docC), (9L, docB)).toDF("doc_id", "text")
+    val out = Dedup.exciseSharedSpans(docs, Dedup.winnowSharedSpans(docs))
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(9L),
+      s"only the higher id excises, donors never appear: ${out.map(_._1).toSeq}")
+    val (_, clean, removed, n) = out.head
+    assert(n == 2, s"two disjoint spans stay two merged intervals: $n")
+    assert(clean.length == docB.length - removed, "every removed char is accounted for")
+    assert(!clean.contains(shared.substring(30, 100)) &&
+      !clean.contains(s2.substring(30, 100)), "span interiors must be gone")
+    assert(clean.startsWith(junk("r", 10)) && clean.endsWith(junk("s", 10)),
+      "unshared prefix and suffix survive")
+  }
+
+  test("day-2 probe: planted span surfaces with its witness, replays excluded, params guarded") {
+    val shared = junk("span", 12)
+    val corpus = Seq(
+      (10L, junk("c1", 40)),
+      (11L, junk("p", 20) + " " + shared + " " + junk("q", 20)), // donor
+      (12L, junk("c3", 40))
+    ).toDF("doc_id", "text")
+    val index = Dedup.buildWinnowIndex(corpus)
+    val batch = Seq(
+      (20L, junk("r", 20) + " " + shared + " " + junk("s", 20)), // sharer
+      (21L, junk("fresh", 40)),                                  // no overlap
+      (11L, junk("p", 20) + " " + shared + " " + junk("q", 20))  // REPLAY of 11
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowOverlapAgainstIndex(batch, index, minShared = 3L)
+      .as[(Long, Boolean, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(20L)._2 && out(20L)._3 == 11L && out(20L)._4 >= 3,
+      s"the planted span must name its donor: ${out(20L)}")
+    assert(!out(21L)._2 && out(21L)._3 == -1L && out(21L)._4 == 0L)
+    // a replayed id never pairs with itself; its text overlaps nothing else
+    assert(!out(11L)._2, s"replay must be self-excluded: ${out(11L)}")
+    intercept[IllegalArgumentException] {
+      Dedup.winnowOverlapAgainstIndex(batch, index, k = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.winnowOverlapAgainstIndex(batch, index, w = 5)
+    }
+  }
+
+  test("append == build on the increment: day-2 index equals the full rebuild exactly") {
+    val docs = (1L to 30L).map(i => (i, junk(s"d$i", 30))).toDF("doc_id", "text")
+    val day1 = docs.filter(col("doc_id") <= 20)
+    val day2 = docs.filter(col("doc_id") > 20)
+    val grown = Dedup.buildWinnowIndex(day1)
+      .unionAll(Dedup.appendToWinnowIndex(day2))
+    val rebuilt = Dedup.buildWinnowIndex(docs)
+    assert(grown.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(grown).isEmpty,
+      "winnow selection is doc-local: growth must never change the index")
+  }
+
   test("q151 entry: donor-planted copies clear the gate with substantial shared counts") {
     val out = Dedup.winnowOverlapDocs(spark, sfDir)
       .as[(Long, Long, Long)].collect()
