@@ -207,6 +207,62 @@ object Kernels {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Winnowing selection (Schleimer/Wilkerson/Aiken 2003) in one pass
+    * per document: char k-gram hashes on the portable 60-bit md5
+    * domain (bytes 0–7 big-endian >>> 4 — see [[simhash60Md5]]), one
+    * selected per w-window of consecutive grams (minimum; ties to the
+    * RIGHTMOST, the robust-winnowing rule). The text must already be
+    * normalized. Grams are k CODE POINTS (matching SQL substr/length
+    * char semantics — offsets walk UTF-8 sequence starts), digested
+    * straight from the byte range with a thread-local md5, no gram
+    * strings. Selections advance monotonically with the window, so
+    * duplicates are only ever adjacent — suppressed inline, no
+    * distinct pass.
+    * @return array<struct<h: long, pos: int>>, pos 1-based */
+  def winnowSelect(t: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = t.getBytes
+    var n = 0
+    var i = 0
+    while (i < bytes.length) { if ((bytes(i) & 0xC0) != 0x80) n += 1; i += 1 }
+    val offs = new Array[Int](n + 1)
+    var c = 0; i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(c) = i; c += 1 }
+      i += 1
+    }
+    offs(n) = bytes.length
+    val ng = n - k + 1
+    if (ng < w) return new GenericArrayData(Array.empty[Any])
+    val h = new Array[Long](ng)
+    val md = md5Digest.get()
+    i = 0
+    while (i < ng) {
+      md.reset()
+      md.update(bytes, offs(i), offs(i + k) - offs(i))
+      val d = md.digest()
+      var top = 0L
+      var j = 0
+      while (j < 8) { top = (top << 8) | (d(j) & 0xffL); j += 1 }
+      h(i) = top >>> 4
+      i += 1
+    }
+    val sel = new scala.collection.mutable.ArrayBuffer[Any](2 * ng / (w + 1) + 4)
+    var last = -1
+    var s = 0
+    while (s <= ng - w) {
+      var best = s
+      var j = s + 1
+      while (j < s + w) { if (h(j) <= h(best)) best = j; j += 1 }
+      if (best != last) {
+        sel += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](h(best), best + 1))
+        last = best
+      }
+      s += 1
+    }
+    new GenericArrayData(sel.toArray)
+  }
+
   /** 60-bit SimHash over md5-derived token hashes — the ENGINE-PORTABLE
     * variant. Per token, the hash is the first 15 hex nibbles of
     * md5(token) (= the big-endian long of digest bytes 0–7, >>> 4),
@@ -416,4 +472,35 @@ case class SimHash60Md5(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): SimHash60Md5 =
     copy(child = newChild)
+}
+
+/** Winnow selection expression: `graft_winnow_select(text, k, w)` →
+  * `array<struct<h: bigint, pos: int>>` — see [[Kernels.winnowSelect]].
+  * Text must be pre-normalized; children 2 and 3 are foldable ints
+  * (the library entry point in
+  * [[graft.operators.Dedup.winnowFingerprints]] guarantees all three).
+  * Bit-identical to the declarative md5/conv/fold formulation on the
+  * portable 60-bit md5 domain, so the DuckDB oracles replay the SAME
+  * selection — WinnowSpec pins the equivalence. */
+case class WinnowSelect(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_winnow_select"
+
+  override protected def nullSafeEval(t: Any, k: Any, w: Any): Any =
+    Kernels.winnowSelect(t.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, k, w) =>
+      s"${ev.value} = graft.expressions.Kernels.winnowSelect($t, (int)$k, (int)$w);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): WinnowSelect =
+    copy(first = f, second = s, third = t)
 }

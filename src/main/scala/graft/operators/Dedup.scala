@@ -1672,13 +1672,21 @@ object Dedup {
     * portable 60-bit md5 convention, so the oracle selects the SAME
     * minima and a collision would fail the hash compare loudly).
     *
-    * Scale shape: a per-doc gram explode (the token-explode budget
-    * every C-block text operator pays), a bounded ≤w× window-
-    * membership expansion — NOT a per-window join against all of the
-    * doc's grams, which would be quadratic in document length — and
-    * doc-local aggregation keys (doc, window) throughout, so the
-    * shuffles co-partition by doc_id. Docs shorter than k + w − 1
-    * normalized chars carry no window and drop (stated, not padded).
+    * Scale shape: selection NEVER LEAVES THE ROW. The native kernel
+    * expression ([[graft.expressions.Kernels.winnowSelect]], inside
+    * whole-stage codegen) hashes each doc's grams and picks every
+    * window minimum in one JVM pass, and only the ~2/(w+1)-dense
+    * SELECTED set explodes to rows — zero shuffles until a consumer
+    * joins postings. (The first cut exploded every gram through a ×w
+    * window-membership fan-out and a (doc, window) exchange — at 10×
+    * that exchange dominated, and selection being doc-local means it
+    * never needed to exist. The declarative rewrite — per-window
+    * `aggregate` folds over an array slice — still paid ~10 s at 10×
+    * in interpreted higher-order lambdas and `conv`'s per-gram hex
+    * parse; the kernel is bit-identical and sub-second, and the
+    * equivalence is spec-pinned against the declarative formulation.)
+    * Docs shorter than k + w − 1 normalized chars carry no window and
+    * drop (stated, not padded).
     *
     * @return (doc_id, pos, h): 1-based gram position and selected hash */
   def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
@@ -1687,27 +1695,56 @@ object Dedup {
     require(k >= 2 && k <= 64, s"gram size k must be in 2..64, got $k")
     require(w >= 2 && w <= 64, s"window w must be in 2..64, got $w")
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    val grams = docs
+    docs
       .select(col(idCol).as("doc_id"), norm.as("_t"))
       .filter(length(col("_t")) >= k + w - 1)
-      .select(col("doc_id"), (length(col("_t")) - (k - 1)).as("_ng"),
-        posexplode(transform(sequence(lit(1), length(col("_t")) - (k - 1)),
-          p => conv(substring(md5(col("_t").substr(p, lit(k))), 1, 15), 16, 10)
-            .cast("long"))).as(Seq("_i", "h")))
-      .select(col("doc_id"), col("_ng"), (col("_i") + 1).as("pos"), col("h"))
-    // each gram sits in <= w windows: explode the membership (bounded
-    // map-side fan-out), then one (doc, window) argmin — (h, -pos)
-    // lexicographic min IS min-hash-rightmost-tie
-    grams
-      .select(col("doc_id"), col("pos"), col("h"),
-        explode(sequence(
-          greatest(col("pos") - (w - 1), lit(1)),
-          least(col("pos"), col("_ng") - (w - 1)))).as("_s"))
-      .groupBy(col("doc_id"), col("_s"))
-      .agg(min(struct(col("h"), (-col("pos")).as("_np"))).as("_m"))
-      .select(col("doc_id"), (-col("_m._np")).as("pos"), col("_m.h").as("h"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(call_function("graft_winnow_select",
+          col("_t"), lit(k), lit(w))).as("_m"))
+      .select(col("doc_id"), col("_m.pos").as("pos"), col("_m.h").as("h"))
   }
+
+  /** The declarative winnow selection — the SPEC REFERENCE the native
+    * kernel is pinned against (never the production path: interpreted
+    * higher-order lambdas + `conv`'s hex parse cost ~10 s at 10×).
+    * Same md5-60 domain, same min-with-rightmost-tie rule: the
+    * ascending fold takes x on h <= acc.h — strictly smaller h
+    * replaces, equal h at a LATER position replaces. */
+  private[graft] def winnowFingerprintsDeclarative(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 12, w: Int = 4): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val selection = letBind(col("_t")) { t =>
+      letBind(transform(sequence(lit(1), length(t) - (k - 1)),
+        p => struct(
+          conv(substring(md5(t.substr(p, lit(k))), 1, 15), 16, 10)
+            .cast("long").as("h"),
+          p.as("pos")))) { hs =>
+        array_distinct(transform(
+          sequence(lit(1), size(hs) - (w - 1)),
+          s => aggregate(slice(hs, s, lit(w)),
+            struct(lit(Long.MaxValue).as("h"), lit(0).as("pos")),
+            (acc, x) =>
+              when(x.getField("h") <= acc.getField("h"), x).otherwise(acc))))
+      }
+    }
+    docs
+      .select(col(idCol).as("doc_id"), norm.as("_t"))
+      .filter(length(col("_t")) >= k + w - 1) // stays below the selection
+      .select(col("doc_id"), explode(selection).as("_m"))
+      .select(col("doc_id"), col("_m.pos").as("pos"), col("_m.h").as("h"))
+  }
+
+  /** Bind `e` once per row as a lambda variable — higher-order-function
+    * lambdas are interpreted (no codegen, no common-subexpression
+    * elimination), and CollapseProject can inline projected aliases
+    * into every reference, so WITHOUT this a per-window fold may
+    * re-evaluate its whole upstream expression per window. `transform`
+    * evaluates its input array ONCE, then the lambda per element —
+    * wrapping `e` in a one-element array makes the lambda variable a
+    * true let binding. */
+  private def letBind(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
 
   /** C11b: pairwise partial-overlap report over the winnowed sets —
     * fingerprints group by hash (the posting), co-occurring docs pair
@@ -1777,11 +1814,14 @@ object Dedup {
     require(minPrints >= 1, s"minPrints must be >= 1, got $minPrints")
     val fp = winnowFingerprints(docs, idCol, textCol, k, w)
       .localCheckpoint() // forked by the self-join below (house rule)
+    // no distinct: fingerprint rows are unique by (doc, pos), so join
+    // products are unique by (doc_a, doc_b, pa, pb) and (pa, pb) ↔
+    // (pa, diag) is a bijection — a distinct here would be a full
+    // exchange of the largest frame in the operator for nothing
     val pts = fp.as("a").join(fp.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pa"), (col("b.pos") - col("a.pos")).as("diag"))
-      .distinct()
     val wDiag = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pa"))
     val wRun = wDiag.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expressions.{BpeEncodeExpr, BpeEncodeIdsExpr, DotProduct, KllMergeAgg, KllQuantile, KllSketchAgg, KmvMergeAgg, KmvShingledAgg, KmvSketchAgg, MinHashShingled, MinHashSignature, NGramHashes, SimHash60Md5, SimHash64, SpanWindowHashes, TextEmbedMd5}
+import graft.expressions.{BpeEncodeExpr, BpeEncodeIdsExpr, DotProduct, KllMergeAgg, KllQuantile, KllSketchAgg, KmvMergeAgg, KmvShingledAgg, KmvSketchAgg, MinHashShingled, MinHashSignature, NGramHashes, SimHash60Md5, SimHash64, SpanWindowHashes, TextEmbedMd5, WinnowSelect}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NGramHashes].getName, "graft_ngrams"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NGramHashes(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow_select"),
+      new ExpressionInfo(classOf[WinnowSelect].getName, "graft_winnow_select"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WinnowSelect(children(0), children(1), children(2))))
     ext.injectFunction((
       FunctionIdentifier("graft_span_windows"),
       new ExpressionInfo(classOf[SpanWindowHashes].getName, "graft_span_windows"),

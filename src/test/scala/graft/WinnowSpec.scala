@@ -63,6 +63,25 @@ class WinnowSpec extends SparkSpecBase {
     }
   }
 
+  test("native kernel == declarative md5/conv selection, row for row, on real corpus text") {
+    val docs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).limit(300)
+    val kernel = Dedup.winnowFingerprints(docs)
+    val decl = Dedup.winnowFingerprintsDeclarative(docs)
+    assert(kernel.exceptAll(decl).isEmpty && decl.exceptAll(kernel).isEmpty,
+      "the kernel must reproduce the portable md5-60 selection exactly")
+    // non-default params too (different gram size, window, tie paths)
+    val k2 = Dedup.winnowFingerprints(docs, k = 7, w = 9)
+    val d2 = Dedup.winnowFingerprintsDeclarative(docs, k = 7, w = 9)
+    assert(k2.exceptAll(d2).isEmpty && d2.exceptAll(k2).isEmpty)
+    // multi-byte text: é/ä are 2 UTF-8 bytes but ONE char in both
+    // engines' substr — the kernel's code-point offsets must agree
+    val accented = Seq((1L, "héllo wörld räin ärt däy über " * 4)).toDF("doc_id", "text")
+    val ka = Dedup.winnowFingerprints(accented)
+    val da = Dedup.winnowFingerprintsDeclarative(accented)
+    assert(ka.exceptAll(da).isEmpty && da.exceptAll(ka).isEmpty && ka.count() > 0)
+  }
+
   test("span localization: one island per shared span, exact diagonal, interior coverage") {
     val shared = junk("span", 12) // 131 chars
     val s2 = junk("other", 12)
