@@ -226,13 +226,15 @@ object Bench {
                   builds: Seq[(String, Double)] = Nil,
                   control: Option[(Double, Seq[(String, Double)])] = None): String = {
     def fmt(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // map values trim trailing zeros (round 14: at 144 registered
-    // queries the fixed-width line crossed the 1950-char tail budget
-    // and shed its protocol marker IN PRACTICE — "0.500" → "0.5" buys
-    // back ~1 char per affected entry, ~50+ per real suite, while the
-    // envelope totals stay fixed-3 for cross-round trend continuity)
-    def fmtq(d: Double) = {
-      val s = fmt(d)
+    // map values: 2 decimals, trailing zeros trimmed (round 14 twice
+    // over: at 144 registered queries the fixed-width line crossed the
+    // 1950-char tail budget and shed its protocol marker IN PRACTICE;
+    // at 154 not even shedding saved it. 10 ms quantization is far
+    // below run-to-run noise, and the envelope totals stay fixed-3 for
+    // cross-round trend continuity). `dp` drops to 1 only as the
+    // second-to-last shed step below.
+    def fmtq(d: Double, dp: Int = 2) = {
+      val s = BigDecimal(d).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
       if (s.contains('.')) {
         val t = s.reverse.dropWhile(_ == '0').reverse
         if (t.endsWith(".")) t.dropRight(1) else t
@@ -241,23 +243,25 @@ object Bench {
     val keyed = medians.map { case (n, m) => (n.split("_").head, m) }
     val dups = keyed.groupBy(_._1).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"qNN key collision in registered queries: ${dups.mkString(",")}")
-    val qs = keyed.map { case (k, m) => "\"" + k + "\":" + fmtq(m) }.mkString("{", ",", "}")
-    // one-time index-build costs (ANN KMeans fits) ride separately so
-    // the per-query medians stay the recurring search cost
-    val bs =
-      if (builds.isEmpty) ""
-      else builds.map { case (n, t) => "\"" + n.split("_").head + "\":" + fmtq(t) }
-        .mkString(""","build":{""", ",", "}")
     // back-to-back control (round 11): total of the in-session rerun,
     // plus control medians for only the >1.3× primary/control outliers
     // — the compact self-control that separates load noise (suspects
     // revert here) from real regressions (they reproduce)
-    def assemble(suspectCap: Int, withHeadline: Boolean): String = {
+    def assemble(suspectCap: Int, withBuilds: Boolean, qdp: Int,
+                 withHeadline: Boolean): String = {
+      val qs = keyed.map { case (k, m) => "\"" + k + "\":" + fmtq(m, qdp) }
+        .mkString("{", ",", "}")
+      // one-time index-build costs (ANN KMeans fits) ride separately so
+      // the per-query medians stay the recurring search cost
+      val bs =
+        if (builds.isEmpty || !withBuilds) ""
+        else builds.map { case (n, t) => "\"" + n.split("_").head + "\":" + fmtq(t, qdp) }
+          .mkString(""","build":{""", ",", "}")
       val cs = control.fold("") { case (ct, suspects) =>
         val kept = suspects.take(suspectCap)
         val sus =
           if (kept.isEmpty) ""
-          else kept.map { case (n, t) => "\"" + n.split("_").head + "\":" + fmtq(t) }
+          else kept.map { case (n, t) => "\"" + n.split("_").head + "\":" + fmtq(t, qdp) }
             .mkString(""","suspects":{""", ",", "}")
         s""","control":{"value":${fmt(ct)}$sus}"""
       }
@@ -277,10 +281,16 @@ object Bench {
     // the harness keeps the LAST ~2000 chars: an over-budget line loses
     // its HEAD and stops parsing — so shed diagnostics in priority
     // order: suspects first (per-query control medians are the most
-    // expendable), the protocol marker last (only a pathological
-    // all-queries-slow line ever reaches it)
+    // expendable), then the one-time build costs, then query precision
+    // drops to 1 dp, and the protocol marker last (only a pathological
+    // all-queries-slow line ever reaches the final steps)
     val caps = control.map(_._2.size).getOrElse(0) to 0 by -1
-    (caps.map(assemble(_, true)) ++ caps.map(assemble(_, false)))
-      .find(_.length <= 1950).getOrElse(assemble(0, withHeadline = false))
+    (caps.map(assemble(_, withBuilds = true, qdp = 2, withHeadline = true)) ++ Seq(
+      assemble(0, withBuilds = false, qdp = 2, withHeadline = true),
+      assemble(0, withBuilds = false, qdp = 1, withHeadline = true),
+      assemble(0, withBuilds = false, qdp = 0, withHeadline = true),
+      assemble(0, withBuilds = false, qdp = 0, withHeadline = false)))
+      .find(_.length <= 1950)
+      .getOrElse(assemble(0, withBuilds = false, qdp = 0, withHeadline = false))
   }
 }

@@ -1751,20 +1751,49 @@ object Dedup {
     * within a posting, pairs aggregate to a distinct-shared count and
     * gate on `minShared`. Posting sizes are the usual hot-key caveat
     * (a boilerplate phrase selected everywhere pairs quadratically —
-    * the C2c rule: capping would silently LEAK overlap, so this
-    * doesn't; strip boilerplate first, that operator exists). */
+    * the C2c rule: capping would silently LEAK overlap, so by DEFAULT
+    * this doesn't).
+    *
+    * `maxDf` is the paper's own answer to ubiquitous matches (MOSS's
+    * "ignore matches appearing in more than N files"): a fingerprint
+    * present in more than maxDf documents is template/boilerplate
+    * evidence, and reporting it as span overlap is noise. Setting it
+    * CHANGES THE CONTRACT — from "all shared spans" to "all shared
+    * spans except those carried only by > maxDf-ubiquitous grams" —
+    * which is why it defaults to None (exact) and why the registered
+    * queries never set it. It is the scale path for corpora whose
+    * duplication structure makes exact pairing quadratically large
+    * (a corpus with C copies of everything has O(C²) TRUE pairs —
+    * no algorithm shrinks true output; suppression changes the
+    * question to one with a small answer). */
   def winnowOverlap(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", k: Int = 12, w: Int = 4,
-                    minShared: Long = 8L): DataFrame = {
+                    minShared: Long = 8L,
+                    maxDf: Option[Long] = None): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+    require(maxDf.forall(_ >= 2), s"maxDf must be >= 2, got $maxDf")
+    val fpAll = winnowFingerprints(docs, idCol, textCol, k, w)
       .select(col("doc_id"), col("h")).distinct()
+    // the df pass forks the frame a second time — materialize then
+    val fp = dfFiltered(
+      if (maxDf.isDefined) fpAll.localCheckpoint() else fpAll, maxDf)
     fp.as("a").join(fp.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Drop fingerprints whose DOCUMENT frequency exceeds maxDf — the
+    * MOSS ubiquity suppression. One h-keyed aggregation + semi join,
+    * co-partitioned with the posting join that always follows.
+    * Distinct doc count, not row count: the position-carrying frames
+    * repeat an h within a doc. */
+  private def dfFiltered(fp: DataFrame, maxDf: Option[Long]): DataFrame =
+    maxDf.fold(fp) { m =>
+      fp.join(fp.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("_df"))
+        .filter(col("_df") <= m).select(col("h")), Seq("h"), "left_semi")
+    }
 
   /** C11b `q151_winnow_overlap` — [[winnowOverlap]] on the q107
     * donor-planted corpus (so full-copy pairs provably clear the
@@ -1810,10 +1839,14 @@ object Dedup {
     * @return (doc_a, doc_b, a_start, a_end, b_start, b_end, n_prints) */
   def winnowSharedSpans(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", k: Int = 12, w: Int = 4,
-                        minPrints: Long = 3L): DataFrame = {
+                        minPrints: Long = 3L,
+                        maxDf: Option[Long] = None): DataFrame = {
     require(minPrints >= 1, s"minPrints must be >= 1, got $minPrints")
-    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
-      .localCheckpoint() // forked by the self-join below (house rule)
+    require(maxDf.forall(_ >= 2), s"maxDf must be >= 2, got $maxDf")
+    val fp = dfFiltered(
+      winnowFingerprints(docs, idCol, textCol, k, w)
+        .localCheckpoint(), // forked by the self-join below (house rule)
+      maxDf)
     // no distinct: fingerprint rows are unique by (doc, pos), so join
     // products are unique by (doc_a, doc_b, pa, pb) and (pa, pb) ↔
     // (pa, diag) is a bijection — a distinct here would be a full
@@ -1984,8 +2017,10 @@ object Dedup {
                                 idCol: String = "doc_id",
                                 textCol: String = "text",
                                 k: Int = 12, w: Int = 4,
-                                minShared: Long = 8L): DataFrame = {
+                                minShared: Long = 8L,
+                                maxDf: Option[Long] = None): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf.forall(_ >= 2), s"maxDf must be >= 2, got $maxDf")
     val hField = index.schema.fields.find(_.name == "h").getOrElse(
       throw new IllegalArgumentException(
         "index must carry an 'h' column — build it with buildWinnowIndex"))
@@ -1998,8 +2033,13 @@ object Dedup {
     }
     val batchFp = winnowFingerprints(newDocs, idCol, textCol, k, w)
       .select(col("doc_id").as("new_id"), col("h")).distinct()
+    // maxDf (the [[winnowOverlap]] ubiquity-suppression contract, df
+    // measured on the CORPUS index): suppressed postings pair with
+    // nothing, so filtering the index side alone suffices
+    val posting = dfFiltered(
+      index.select(col("h"), col("doc_id")), maxDf)
     val gated = batchFp
-      .join(index.select(col("h"), col("doc_id").as("corpus_id")), Seq("h"))
+      .join(posting.select(col("h"), col("doc_id").as("corpus_id")), Seq("h"))
       .filter(col("new_id") =!= col("corpus_id"))
       .groupBy(col("new_id"), col("corpus_id"))
       .agg(count(lit(1)).as("ns"))

@@ -13,8 +13,33 @@ class BenchSpec extends AnyFunSuite {
       Seq(("q01_pricing_summary", 1.23456), ("q70_span_dedup", 0.5)),
       1.73456, "0.1", 3)
     assert(line ==
-      """{"metric":"total","value":1.735,"unit":"sec","headline":"run1","sf":0.1,"iters":3,"queries":{"q01":1.235,"q70":0.5}}""",
+      """{"metric":"total","value":1.735,"unit":"sec","headline":"run1","sf":0.1,"iters":3,"queries":{"q01":1.23,"q70":0.5}}""",
       line)
+  }
+
+  test("metricsLine holds 170 queries inside the tail budget, marker intact at realistic widths") {
+    // the round-14 regime: 154 registered and growing. Realistic widths
+    // (sub-10s medians) must keep the protocol marker AND build costs;
+    // pathological all-slow lines may shed down to 1-dp queries but
+    // must still fit
+    val many = (1 to 170).map(i => (f"q$i%02d_n", 12.345))
+    val line = Bench.metricsLine(many, 170 * 12.345, "1.0", 3,
+      builds = (1 to 6).map(i => (f"q$i%02d_n", 3.456)))
+    assert(line.length <= 1950, s"${line.length} chars")
+    val typical = (1 to 170).map(i => (f"q$i%02d_n", 1.234))
+    val tline = Bench.metricsLine(typical, 170 * 1.234, "1.0", 3,
+      builds = (1 to 6).map(i => (f"q$i%02d_n", 3.456)))
+    assert(tline.length <= 1950, s"${tline.length} chars")
+    assert(tline.contains("\"headline\":\"run1\""), tline.take(120))
+    // the CURRENT suite's shape: 154 queries, most sub-second, a few
+    // heavy — marker AND build costs must both survive
+    val real = (1 to 154).map(i =>
+      (f"q$i%02d_n", if (i % 10 == 0) 4.321 else 0.678))
+    val rline = Bench.metricsLine(real, real.map(_._2).sum, "0.1", 3,
+      builds = (1 to 6).map(i => (f"q$i%02d_n", 3.456)))
+    assert(rline.length <= 1950, s"${rline.length} chars")
+    assert(rline.contains("\"headline\":\"run1\"") && rline.contains("\"build\":{"),
+      rline.take(120))
   }
 
   test("metricsLine holds 140 queries inside the 1950-char tail budget") {
@@ -23,7 +48,7 @@ class BenchSpec extends AnyFunSuite {
     val many = (1 to 140).map(i => (f"q$i%02d_some_long_descriptive_name", 12.345))
     val line = Bench.metricsLine(many, 140 * 12.345, "1.0", 3)
     assert(line.length <= 1950, s"${line.length} chars")
-    assert(line.contains("\"q140\":12.345"))
+    assert(line.contains("\"q140\":12.35") || line.contains("\"q140\":12.3"), line.takeRight(40))
     // realistic width (sub-10s medians, the actual suite's regime): the
     // headline marker survives alongside all 140 queries
     val typical = (1 to 140).map(i => (f"q$i%02d_some_long_descriptive_name", 1.234))

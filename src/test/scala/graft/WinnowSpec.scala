@@ -138,6 +138,50 @@ class WinnowSpec extends SparkSpecBase {
       "unshared prefix and suffix survive")
   }
 
+  test("maxDf ubiquity suppression: boilerplate spans vanish, rare spans survive, None stays exact") {
+    val boiler = junk("boiler", 12)
+    val rare = junk("rare", 12)
+    // boiler in ALL 5 docs (df 5); rare in exactly docs 1 and 2 (df 2)
+    val docs = (1L to 5L).map { i =>
+      val mid = if (i <= 2) " " + rare + " " else " "
+      (i, junk(s"u$i", 15) + " " + boiler + mid + junk(s"v$i", 15))
+    }.toDF("doc_id", "text")
+    val exact = Dedup.winnowOverlap(docs, minShared = 1L)
+      .as[(Long, Long, Long)].collect()
+    assert(exact.length == 10, s"all 10 pairs share the boilerplate: ${exact.length}")
+    // df counts docs where a print was SELECTED: interior boilerplate
+    // prints (selected identically in all 5 docs) suppress at df 5;
+    // EDGE-zone selections are context-dependent, so a few low-df edge
+    // residues may survive — with tiny counts the minShared gate (8 by
+    // default) exists to drop. The rare span's evidence stays large.
+    val sup = Dedup.winnowOverlap(docs, minShared = 1L, maxDf = Some(4L))
+      .as[(Long, Long, Long)].collect()
+    val supMap = sup.map(p => (p._1, p._2) -> p._3).toMap
+    assert(supMap.getOrElse((1L, 2L), 0L) >= 20,
+      s"the rare span keeps its full evidence: ${sup.toSeq}")
+    assert(sup.filter(p => (p._1, p._2) != (1L, 2L)).forall(_._3 <= 3),
+      s"everything else is edge residue under the default gate: ${sup.toSeq}")
+    assert(Dedup.winnowOverlap(docs, maxDf = Some(4L)) // default minShared = 8
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      "at the default gate only the rare pair survives")
+    // probe side: df measured on the corpus index
+    val idx = Dedup.buildWinnowIndex(docs)
+    val batch = Seq((6L, junk("w", 15) + " " + boiler + " " + rare + " " +
+      junk("x", 15))).toDF("doc_id", "text")
+    val pv = Dedup.winnowOverlapAgainstIndex(batch, idx,
+      minShared = 1L, maxDf = Some(4L))
+      .as[(Long, Boolean, Long, Long)].collect().head
+    assert(pv._2 && Set(1L, 2L).contains(pv._3), s"rare evidence only: $pv")
+    // span localization under suppression (minPrints over the edge
+    // residue): only the rare diagonal remains
+    val sp = Dedup.winnowSharedSpans(docs, minPrints = 4L, maxDf = Some(4L))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(sp.nonEmpty && sp.forall(r => (r._1, r._2) == (1L, 2L)), s"${sp.toSeq}")
+    intercept[IllegalArgumentException] {
+      Dedup.winnowOverlap(docs, maxDf = Some(1L))
+    }
+  }
+
   test("day-2 probe: planted span surfaces with its witness, replays excluded, params guarded") {
     val shared = junk("span", 12)
     val corpus = Seq(
