@@ -225,7 +225,13 @@ object SparkEntry {
     "q153_winnow_spans"          -> ((s, d) => Dedup.winnowSpansDocs(s, d)),
     // span excision: merge each doc's b-side intervals, stitch the
     // kept segments in one higher-order fold — ExactSubstr's removal
-    "q154_winnow_excise"         -> ((s, d) => Dedup.winnowExciseDocs(s, d))
+    "q154_winnow_excise"         -> ((s, d) => Dedup.winnowExciseDocs(s, d)),
+    // day-2 span probe: batch spans localize against the persisted
+    // positional index — incremental ExactSubstr, corpus never re-read
+    "q155_winnow_span_probe"     -> ((s, d) => Dedup.winnowSpanProbe(s, d)),
+    // clean ingest, batch form: probe spans vs the index, excise them
+    // from the batch — every doc survives with only its novel text
+    "q156_winnow_clean"          -> ((s, d) => Dedup.winnowCleanDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1222,6 +1228,128 @@ object SparkEntry {
         |  CAST(a_end + diag AS BIGINT) AS b_end, n_prints
         |FROM sp WHERE n_prints >= 3
         |ORDER BY doc_a, doc_b, a_start, b_start""".stripMargin,
+
+    // q155: the day-2 span probe replayed — the q153 selection chain
+    // WITH positions, the batch-vs-corpus role pairing (no a<b — the
+    // split defines the roles), islands at tolerance w, intervals
+    "q155_winnow_span_probe" ->
+      """WITH planted AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN d.doc_id % 10 = 9 THEN dn.text ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents dn ON dn.doc_id = d.doc_id - 4),
+        |t AS (SELECT doc_id,
+        |        regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |      FROM planted),
+        |g AS (SELECT doc_id, length(t) - 11 AS ng, u.i AS pos,
+        |        CAST(('0x' || substr(md5(substr(t, CAST(u.i AS INTEGER), 12)), 1, 15))
+        |             AS BIGINT) AS h
+        |      FROM t, unnest(generate_series(1, length(t) - 11)) u(i)
+        |      WHERE length(t) >= 15),
+        |mem AS (SELECT doc_id, pos, h, u.s AS s
+        |        FROM g, unnest(generate_series(greatest(pos - 3, 1),
+        |                                       least(pos, ng - 3))) u(s)),
+        |wm AS (SELECT doc_id, s, min(h) AS mh FROM mem GROUP BY 1, 2),
+        |sel AS (SELECT DISTINCT m.doc_id, m.pos, m.h
+        |        FROM mem m JOIN wm ON wm.doc_id = m.doc_id AND wm.s = m.s
+        |        WHERE m.h = wm.mh),
+        |pts AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS corpus_id,
+        |          a.pos AS pa, b.pos - a.pos AS diag
+        |        FROM sel a JOIN sel b ON a.h = b.h
+        |        WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4),
+        |brks AS (SELECT doc_id, corpus_id, diag, pa,
+        |          CASE WHEN pa - lag(pa) OVER
+        |                 (PARTITION BY doc_id, corpus_id, diag ORDER BY pa) > 4
+        |               THEN 1 ELSE 0 END AS brk
+        |         FROM pts),
+        |isl AS (SELECT doc_id, corpus_id, diag, pa,
+        |          sum(brk) OVER (PARTITION BY doc_id, corpus_id, diag ORDER BY pa
+        |                         ROWS UNBOUNDED PRECEDING) AS isl_id
+        |        FROM brks),
+        |sp AS (SELECT doc_id, corpus_id, diag,
+        |         min(pa) AS st, max(pa) + 11 AS en,
+        |         CAST(count(*) AS BIGINT) AS n_prints
+        |       FROM isl GROUP BY doc_id, corpus_id, diag, isl_id)
+        |SELECT doc_id, corpus_id,
+        |  CAST(st AS BIGINT) AS start, CAST(en AS BIGINT) AS "end",
+        |  CAST(st + diag AS BIGINT) AS c_start,
+        |  CAST(en + diag AS BIGINT) AS c_end, n_prints
+        |FROM sp WHERE n_prints >= 3
+        |ORDER BY doc_id, corpus_id, start, c_start""".stripMargin,
+
+    // q156: the clean ingest replayed — the q155 probe chain down to
+    // batch-side intervals, the q154 union + stitch, then a LEFT join
+    // over the whole batch (untouched docs pass through normalized)
+    "q156_winnow_clean" ->
+      """WITH planted AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN d.doc_id % 10 = 9 THEN dn.text ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents dn ON dn.doc_id = d.doc_id - 4),
+        |t AS (SELECT doc_id,
+        |        regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |      FROM planted),
+        |g AS (SELECT doc_id, length(t) - 11 AS ng, u.i AS pos,
+        |        CAST(('0x' || substr(md5(substr(t, CAST(u.i AS INTEGER), 12)), 1, 15))
+        |             AS BIGINT) AS h
+        |      FROM t, unnest(generate_series(1, length(t) - 11)) u(i)
+        |      WHERE length(t) >= 15),
+        |mem AS (SELECT doc_id, pos, h, u.s AS s
+        |        FROM g, unnest(generate_series(greatest(pos - 3, 1),
+        |                                       least(pos, ng - 3))) u(s)),
+        |wm AS (SELECT doc_id, s, min(h) AS mh FROM mem GROUP BY 1, 2),
+        |sel AS (SELECT DISTINCT m.doc_id, m.pos, m.h
+        |        FROM mem m JOIN wm ON wm.doc_id = m.doc_id AND wm.s = m.s
+        |        WHERE m.h = wm.mh),
+        |pts AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS corpus_id,
+        |          a.pos AS pa, b.pos - a.pos AS diag
+        |        FROM sel a JOIN sel b ON a.h = b.h
+        |        WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4),
+        |brks AS (SELECT doc_id, corpus_id, diag, pa,
+        |          CASE WHEN pa - lag(pa) OVER
+        |                 (PARTITION BY doc_id, corpus_id, diag ORDER BY pa) > 4
+        |               THEN 1 ELSE 0 END AS brk
+        |         FROM pts),
+        |isl AS (SELECT doc_id, corpus_id, diag, pa,
+        |          sum(brk) OVER (PARTITION BY doc_id, corpus_id, diag ORDER BY pa
+        |                         ROWS UNBOUNDED PRECEDING) AS isl_id
+        |        FROM brks),
+        |sp AS (SELECT doc_id, corpus_id, diag,
+        |         min(pa) AS st, max(pa) + 11 AS en, count(*) AS np
+        |       FROM isl GROUP BY doc_id, corpus_id, diag, isl_id),
+        |iv AS (SELECT doc_id, st AS s, en AS e FROM sp WHERE np >= 3),
+        |om AS (SELECT doc_id, s, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |       FROM iv),
+        |grp AS (SELECT doc_id, s, e,
+        |         sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY s, e
+        |                 ROWS UNBOUNDED PRECEDING) AS gid
+        |        FROM om),
+        |m AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM grp GROUP BY doc_id, gid),
+        |segs AS (SELECT doc_id, s, e,
+        |          lag(e, 1, CAST(0 AS BIGINT)) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+        |         FROM m),
+        |pieces AS (SELECT sg.doc_id,
+        |            substr(t.t, CAST(sg.pe + 1 AS INTEGER),
+        |                   CAST(sg.s - sg.pe - 1 AS INTEGER)) AS piece, sg.s AS ord
+        |           FROM segs sg JOIN t ON t.doc_id = sg.doc_id),
+        |agg AS (SELECT doc_id, max(e) AS le, CAST(count(*) AS BIGINT) AS n_spans,
+        |         CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+        |        FROM m GROUP BY 1),
+        |stitched AS (SELECT p.doc_id, string_agg(p.piece, '' ORDER BY p.ord) AS head
+        |             FROM pieces p GROUP BY 1)
+        |SELECT t.doc_id,
+        | CASE WHEN a.le IS NULL THEN t.t
+        |      ELSE coalesce(st.head, '') || substr(t.t, CAST(a.le + 1 AS INTEGER)) END
+        |   AS clean_text,
+        | CAST(coalesce(a.removed_chars, 0) AS BIGINT) AS removed_chars,
+        | CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans
+        |FROM t LEFT JOIN agg a USING (doc_id) LEFT JOIN stitched st USING (doc_id)
+        |WHERE t.doc_id % 5 = 4
+        |ORDER BY t.doc_id""".stripMargin,
+
 
     // q154: excision replayed — the q153 span chain, the b-side
     // interval union (window merge over (s, e)), and the kept-segment

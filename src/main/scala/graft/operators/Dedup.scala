@@ -1784,6 +1784,22 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The q71 loud-mismatch guard at the winnow tier: a probe under
+    * different (k, w) hashes different grams / selects different
+    * minima, and either silently hides real overlap. */
+  private def requireWinnowParams(index: DataFrame, k: Int, w: Int): Unit = {
+    val hField = index.schema.fields.find(_.name == "h").getOrElse(
+      throw new IllegalArgumentException(
+        "index must carry an 'h' column — build it with buildWinnowIndex"))
+    if (hField.metadata.contains("graft.winnow.k")) {
+      val ik = hField.metadata.getLong("graft.winnow.k")
+      val iw = hField.metadata.getLong("graft.winnow.w")
+      require(ik == k && iw == w,
+        s"index was built with k=$ik w=$iw but the probe asked for k=$k w=$w — " +
+          "selections would misalign and shared spans would silently vanish")
+    }
+  }
+
   /** Drop fingerprints whose DOCUMENT frequency exceeds maxDf — the
     * MOSS ubiquity suppression. One h-keyed aggregation + semi join,
     * co-partitioned with the posting join that always follows.
@@ -1855,6 +1871,16 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pa"), (col("b.pos") - col("a.pos")).as("diag"))
+    diagonalIslands(pts, k, w, minPrints)
+  }
+
+  /** The islands core shared by the one-shot ([[winnowSharedSpans]])
+    * and day-2 ([[winnowSpansAgainstIndex]]) span tiers: split each
+    * (doc_a, doc_b, diagonal) run of matched print positions wherever
+    * consecutive positions gap by more than w, then aggregate islands
+    * to intervals. Windows partition by pair-local keys only. */
+  private def diagonalIslands(pts: DataFrame, k: Int, w: Int,
+                              minPrints: Long): DataFrame = {
     val wDiag = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pa"))
     val wRun = wDiag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1980,8 +2006,12 @@ object Dedup {
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("graft.winnow.k", k.toLong)
       .putLong("graft.winnow.w", w.toLong).build()
+    // positions ride along (round 14, second pass): the overlap probe
+    // dedups them away, but the day-2 SPAN probe needs the corpus-side
+    // diagonal coordinates — one int per row the index was already
+    // storing per selected print
     winnowFingerprints(documents, idCol, textCol, k, w)
-      .select(col("h").as("h", meta), col("doc_id")).distinct()
+      .select(col("h").as("h", meta), col("doc_id"), col("pos"))
   }
 
   /** Index rows for an accepted batch — literally the build on the
@@ -2021,28 +2051,23 @@ object Dedup {
                                 maxDf: Option[Long] = None): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDf.forall(_ >= 2), s"maxDf must be >= 2, got $maxDf")
-    val hField = index.schema.fields.find(_.name == "h").getOrElse(
-      throw new IllegalArgumentException(
-        "index must carry an 'h' column — build it with buildWinnowIndex"))
-    if (hField.metadata.contains("graft.winnow.k")) {
-      val ik = hField.metadata.getLong("graft.winnow.k")
-      val iw = hField.metadata.getLong("graft.winnow.w")
-      require(ik == k && iw == w,
-        s"index was built with k=$ik w=$iw but the probe asked for k=$k w=$w — " +
-          "selections would misalign and shared spans would silently vanish")
-    }
+    requireWinnowParams(index, k, w)
     val batchFp = winnowFingerprints(newDocs, idCol, textCol, k, w)
       .select(col("doc_id").as("new_id"), col("h")).distinct()
     // maxDf (the [[winnowOverlap]] ubiquity-suppression contract, df
     // measured on the CORPUS index): suppressed postings pair with
-    // nothing, so filtering the index side alone suffices
-    val posting = dfFiltered(
-      index.select(col("h"), col("doc_id")), maxDf)
+    // nothing, so filtering the index side alone suffices. The index
+    // carries positions (for the span probe): a doc selecting the
+    // same h at several positions repeats (h, doc_id) — dedup on the
+    // JOIN OUTPUT (batch-sized) via countDistinct, never by
+    // distinct-ing the corpus index (a full corpus exchange the
+    // bucketed-on-h layout exists to avoid)
+    val posting = dfFiltered(index.select(col("h"), col("doc_id")), maxDf)
     val gated = batchFp
       .join(posting.select(col("h"), col("doc_id").as("corpus_id")), Seq("h"))
       .filter(col("new_id") =!= col("corpus_id"))
       .groupBy(col("new_id"), col("corpus_id"))
-      .agg(count(lit(1)).as("ns"))
+      .agg(countDistinct(col("h")).as("ns"))
       .filter(col("ns") >= minShared)
       // strongest witness: max shared count, ties to the SMALLEST id —
       // one struct-min, no second aggregation pass
@@ -2053,6 +2078,119 @@ object Dedup {
       .select(col("doc_id"), col("_b").isNotNull.as("has_overlap"),
         coalesce(col("_b.corpus_id"), lit(-1L)).as("best_match"),
         coalesce(-col("_b._nn"), lit(0L)).as("max_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C11f: day-2 span LOCALIZATION — [[winnowSharedSpans]]'s diagonal
+    * islands between an incoming batch and the persisted fingerprint
+    * index (which carries per-print positions precisely for this).
+    * This is the production shape of exact-substring dedup at ingest
+    * (Lee et al. 2022's flow run incrementally): new data localizes
+    * its shared spans against the EXISTING training corpus without
+    * re-pairing or re-reading it — only the batch winnows and
+    * exchanges — and the output rows feed [[exciseSharedSpans]]
+    * directly (`doc_id/start/end` are the batch-side intervals:
+    * select them as `doc_b/b_start/b_end` and the batch sheds exactly
+    * the corpus-duplicated spans, keeping its novel text). Same param
+    * guard, replay self-exclusion and `maxDf` contract as the count
+    * probe ([[winnowOverlapAgainstIndex]]).
+    *
+    * @return (doc_id, corpus_id, start, end, c_start, c_end,
+    *         n_prints): batch-side and corpus-side 1-based char
+    *         intervals over normalized text, per island */
+  def winnowSpansAgainstIndex(newDocs: DataFrame, index: DataFrame,
+                              idCol: String = "doc_id",
+                              textCol: String = "text",
+                              k: Int = 12, w: Int = 4,
+                              minPrints: Long = 3L,
+                              maxDf: Option[Long] = None): DataFrame = {
+    require(minPrints >= 1, s"minPrints must be >= 1, got $minPrints")
+    require(maxDf.forall(_ >= 2), s"maxDf must be >= 2, got $maxDf")
+    requireWinnowParams(index, k, w)
+    require(index.columns.contains("pos"),
+      "index carries no positions — rebuild it with this round's buildWinnowIndex")
+    val batchFp = winnowFingerprints(newDocs, idCol, textCol, k, w)
+    val posting = dfFiltered(index.select(col("h"), col("doc_id"), col("pos")), maxDf)
+    val pts = batchFp.as("a").join(posting.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), (col("b.pos") - col("a.pos")).as("diag"))
+    diagonalIslands(pts, k, w, minPrints)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("corpus_id"),
+        col("a_start").as("start"), col("a_end").as("end"),
+        col("b_start").as("c_start"), col("b_end").as("c_end"),
+        col("n_prints"))
+  }
+
+  /** C11f `q155_winnow_span_probe` — [[winnowSpansAgainstIndex]] over
+    * the q152 80/20 split: each planted batch copier localizes its
+    * copied span against its corpus donor through the index alone.
+    * The oracle replays selection WITH positions, the role-split
+    * pairing, islands and interval arithmetic. */
+  def winnowSpanProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = donorPlantedText(Tables(spark, dir).documents)
+    val index = buildWinnowIndex(docs.filter(col("doc_id") % 5 =!= 4))
+    winnowSpansAgainstIndex(docs.filter(col("doc_id") % 5 === 4), index)
+      .orderBy(col("doc_id"), col("corpus_id"), col("start"), col("c_start"))
+  }
+
+  /** [[exciseSharedSpans]] lifted to ingest shape — EVERY input doc
+    * comes back: docs with no interval evidence pass through with
+    * their normalized text unchanged (removed_chars = 0, n_spans = 0).
+    * The clean-ingest paths need the whole batch, not only the docs
+    * that lost spans. */
+  def exciseKeepAll(docs: DataFrame, spans: DataFrame,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val t = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    docs.select(col(idCol).as("doc_id"), t.as("_t"))
+      .join(exciseSharedSpans(docs, spans, idCol, textCol), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), col("_t")).as("clean_text"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+
+  /** C11g: day-2 CLEAN ingest, batch form — the composed removal pass
+    * incremental ExactSubstr (Lee et al. 2022, arXiv:2107.06499)
+    * actually runs per ingest unit: localize the batch's shared spans
+    * against the persisted index ([[winnowSpansAgainstIndex]] — only
+    * the batch winnows and exchanges) and excise exactly those spans
+    * from the batch ([[exciseSharedSpans]] on the batch-side
+    * intervals), keeping every doc's novel text. Documents are never
+    * rejected — SPANS are: the corpus keeps ONE copy of every
+    * duplicated span (the indexed one), which is the paper's stated
+    * removal policy, and the batch contributes only text the corpus
+    * has not seen. Same param guard, replay self-exclusion and
+    * `maxDf` contract as the span probe.
+    *
+    * @return every batch doc: (doc_id, clean_text, removed_chars,
+    *         n_spans) in normalized coordinates */
+  def winnowCleanAgainstIndex(newDocs: DataFrame, index: DataFrame,
+                              idCol: String = "doc_id",
+                              textCol: String = "text",
+                              k: Int = 12, w: Int = 4,
+                              minPrints: Long = 3L,
+                              maxDf: Option[Long] = None): DataFrame = {
+    val spans = winnowSpansAgainstIndex(newDocs, index, idCol, textCol,
+        k, w, minPrints, maxDf)
+      .select(col("doc_id").as("doc_b"), col("start").as("b_start"),
+        col("end").as("b_end"))
+    exciseKeepAll(newDocs, spans, idCol, textCol)
+  }
+
+  /** C11g `q156_winnow_clean` — [[winnowCleanAgainstIndex]] over the
+    * q152 80/20 split: the WHOLE batch comes back clean — planted
+    * copiers shed their donor spans (down to the edge residue the
+    * interior-coverage bound leaves), novel docs pass through
+    * normalized-identical with zero counters. The oracle replays
+    * probe + interval union + segment stitch and left-joins the
+    * untouched remainder. */
+  def winnowCleanDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = donorPlantedText(Tables(spark, dir).documents)
+      .localCheckpoint() // forked: index build + probe + excision base
+    val index = buildWinnowIndex(docs.filter(col("doc_id") % 5 =!= 4))
+    winnowCleanAgainstIndex(docs.filter(col("doc_id") % 5 === 4), index)
       .orderBy(col("doc_id"))
   }
 

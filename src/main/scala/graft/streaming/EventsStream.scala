@@ -1097,6 +1097,67 @@ object EventsStream {
       }
       .start()
 
+  /** D2→C11g bridge — streaming CLEAN ingest (round 14): where
+    * [[winnowIngestStream]] REJECTS a doc on span overlap, this stream
+    * runs ExactSubstr's removal policy instead — incremental
+    * exact-substring dedup per trigger, nothing rejected. (1)
+    * within-batch: localize shared spans among the batch docs
+    * ([[graft.operators.Dedup.winnowSharedSpans]]) and excise them
+    * from the HIGHER id of each pair
+    * ([[graft.operators.Dedup.exciseKeepAll]] — one copy of every
+    * span survives, first-writer-wins); (2) corpus pass: localize the
+    * self-cleaned text's spans against the persisted index and excise
+    * those too ([[graft.operators.Dedup.winnowCleanAgainstIndex]] —
+    * corpus side reads bucketed on h, zero corpus exchanges); (3)
+    * append the CLEAN text's fingerprints BEFORE accept — the clean
+    * text is what entered the corpus, so later batches must shed
+    * against it, not against spans that were never kept. Every doc is
+    * accepted exactly once, carrying only its novel text.
+    *
+    * Replay-idempotent by the house rule: already-indexed ids
+    * anti-join away up front and the append anti-joins its own ids.
+    * Stated edge (shared with [[winnowIngestStream]]): a doc whose
+    * clean text is too short to fingerprint (< k + w − 1 chars) never
+    * lands in the index, so a replayed delivery re-accepts it —
+    * accept is at-least-once for span-less fragments, exactly-once
+    * for everything the index can witness. */
+  def winnowCleanIngestStream(docs: DataFrame, indexTable: String,
+                              checkpointDir: String,
+                              accept: DataFrame => Unit,
+                              k: Int = 12, w: Int = 4,
+                              minPrints: Long = 3L,
+                              numBuckets: Int = 8):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        import graft.operators.Dedup
+        val spark = batch0.sparkSession
+        val batch = batch0
+          .join(spark.table(indexTable).select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val selfSpans = Dedup.winnowSharedSpans(batch, k = k, w = w,
+            minPrints = minPrints)
+          .select(col("doc_b"), col("b_start"), col("b_end"))
+        val selfClean = Dedup.exciseKeepAll(batch, selfSpans)
+          .select(col("doc_id"), col("clean_text").as("text"))
+        val cleaned = Dedup.winnowCleanAgainstIndex(selfClean,
+            spark.table(indexTable), k = k, w = w, minPrints = minPrints)
+          .localCheckpoint()
+        Dedup.appendToWinnowIndex(
+            cleaned.select(col("doc_id"), col("clean_text").as("text")),
+            k = k, w = w)
+          .join(spark.table(indexTable).select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").bucketBy(numBuckets, "h").sortBy("h")
+          .saveAsTable(indexTable)
+        accept(cleaned)
+      }
+      .start()
+
   /** D2→C2c bridge — STREAMING DECONTAMINATION (round 14, the D-twin
     * q137 implies): each micro-batch of incoming documents verdicts
     * MAP-SIDE against the persisted eval gram index

@@ -287,6 +287,75 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C11g: streaming clean ingest — spans shed, docs kept, the index grows by clean text") {
+    import graft.streaming.EventsStream.StreamDoc
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def junk(seed: String, words: Int): String =
+      (0 until words).map(i =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(10)).mkString(" ")
+    val span = junk("shared", 12)
+    val base = junk("b1", 15) + " " + span + " " + junk("b2", 15)
+    spark.sql("DROP TABLE IF EXISTS stream_winclean_idx")
+    graft.sources.Bucketing.writeBucketed(
+      Dedup.buildWinnowIndex(Seq((0L, base)).toDF("doc_id", "text")),
+      "stream_winclean_idx", Seq("h"), 8)
+    val acceptedRows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    def accepted = acceptedRows.map(r => r._1 -> ((r._2, r._3))).toMap
+    val mem = MemoryStream[StreamDoc]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_winclean_ck").toString
+    val q = EventsStream.winnowCleanIngestStream(
+      mem.toDF().toDF("doc_id", "text"), "stream_winclean_idx", ckpt,
+      accept = df => acceptedRows.synchronized {
+        acceptedRows ++= df.select("doc_id", "clean_text", "n_spans")
+          .as[(Long, String, Long)].collect()
+      })
+    try {
+      // batch 1: a doc pasting the corpus span (kept, span excised), a
+      // novel doc (kept untouched), and a within-batch pair sharing
+      // their own span (the higher id sheds it, the lower keeps it)
+      val novel = junk("novel", 40)
+      val batchSpan = junk("bs", 12)
+      val lo = junk("lo", 20) + " " + batchSpan
+      val hi = batchSpan + " " + junk("hi", 20)
+      val paster = junk("pre", 20) + " " + span + " " + junk("post", 20)
+      mem.addData(StreamDoc(100, paster), StreamDoc(101, novel),
+        StreamDoc(102, lo), StreamDoc(103, hi))
+      q.processAllAvailable()
+      assert(acceptedRows.map(_._1).sorted == Seq(100L, 101L, 102L, 103L),
+        s"nothing is rejected, each doc accepted once: $acceptedRows")
+      assert(accepted(101L) == (novel, 0L), "novel doc untouched")
+      assert(accepted(100L)._2 >= 1L &&
+        !accepted(100L)._1.contains(span.substring(20, 110)),
+        s"the corpus span is shed: ${accepted(100L)}")
+      assert(accepted(102L)._1.contains(batchSpan) &&
+        !accepted(103L)._1.contains(batchSpan.substring(20, 110)),
+        "within the batch the lower id keeps the span, the higher sheds it")
+      // batch 2: a paste of batch-1 CLEAN text is caught only because
+      // the index grew by the accepted clean text; replaying 101
+      // appends nothing and re-delivers nothing
+      spark.catalog.refreshTable("stream_winclean_idx")
+      val before = spark.table("stream_winclean_idx").count()
+      mem.addData(StreamDoc(200, novel + " " + junk("tail", 10)),
+        StreamDoc(101, novel))
+      q.processAllAvailable()
+      assert(!accepted(200L)._1.contains(novel.substring(20, 200)),
+        s"day-2 paste sheds the just-ingested clean span: ${accepted(200L)}")
+      assert(acceptedRows.count(_._1 == 101L) == 1,
+        s"the replayed id is never re-accepted: $acceptedRows")
+      spark.catalog.refreshTable("stream_winclean_idx")
+      val idx = spark.table("stream_winclean_idx")
+      val ids = idx.select("doc_id").distinct().as[Long].collect().toSet
+      assert(ids == Set(0L, 100L, 101L, 102L, 103L, 200L),
+        s"index grew by accepts only: $ids")
+      assert(idx.count() > before && idx.count() == idx.distinct().count(),
+        "the replay of 101 did not duplicate its postings")
+    } finally q.stop()
+  }
+
   test("D1→E: streaming into the day-partitioned lake replaces only updated dates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

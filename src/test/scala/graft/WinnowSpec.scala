@@ -210,6 +210,61 @@ class WinnowSpec extends SparkSpecBase {
     }
   }
 
+  test("day-2 span probe: the batch localizes its copied span against the donor via the index alone") {
+    val shared = junk("span", 12)
+    val corpusDoc = junk("p", 20) + " " + shared + " " + junk("q", 20)
+    val corpus = Seq((10L, junk("c1", 40)), (11L, corpusDoc)).toDF("doc_id", "text")
+    val idx = Dedup.buildWinnowIndex(corpus)
+    val batchDoc = junk("r", 30) + " " + shared + " " + junk("s", 10)
+    val batch = Seq((20L, batchDoc), (11L, corpusDoc)).toDF("doc_id", "text")
+    val out = Dedup.winnowSpansAgainstIndex(batch, idx)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.forall(_._1 == 20L), s"replayed 11 self-excludes: ${out.toSeq}")
+    val row = out.filter(_._2 == 11L)
+    assert(row.length == 1, s"one island on one diagonal: ${out.toSeq}")
+    val (_, _, st, en, cs, ce, n) = row.head
+    val expectedDiag = corpusDoc.indexOf(shared) - batchDoc.indexOf(shared)
+    assert(cs - st == expectedDiag && ce - en == expectedDiag,
+      s"corpus-side interval rides the exact diagonal: ${row.head}")
+    assert(en - st + 1 >= shared.length - 40 && n >= 3)
+    // the output IS excision input: batch doc 20 sheds the copied span
+    val clean = Dedup.exciseSharedSpans(batch,
+      Dedup.winnowSpansAgainstIndex(batch, idx).select(
+        col("doc_id").as("doc_b"), col("start").as("b_start"), col("end").as("b_end")))
+      .as[(Long, String, Long, Long)].collect()
+    assert(clean.map(_._1).toSeq == Seq(20L) &&
+      !clean.head._2.contains(shared.substring(30, 100)),
+      "the corpus-duplicated span is gone from the batch doc")
+    intercept[IllegalArgumentException] {
+      Dedup.winnowSpansAgainstIndex(batch, idx.drop("pos"))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.winnowSpansAgainstIndex(batch, idx, k = 10)
+    }
+  }
+
+  test("clean ingest: the whole batch survives, only corpus-duplicated spans are shed") {
+    val shared = junk("span", 12)
+    val corpus = Seq((10L, junk("p", 20) + " " + shared + " " + junk("q", 20)))
+      .toDF("doc_id", "text")
+    val idx = Dedup.buildWinnowIndex(corpus)
+    val novel = junk("n", 40)
+    val copier = junk("r", 25) + " " + shared + " " + junk("s", 15)
+    val batch = Seq((20L, copier), (21L, novel)).toDF("doc_id", "text")
+    val out = Dedup.winnowCleanAgainstIndex(batch, idx)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(20L, 21L), "every batch doc comes back")
+    val Array(cleaned, untouched) = out
+    assert(untouched._3 == 0L && untouched._4 == 0L &&
+      untouched._2 == novel.toLowerCase.trim.replaceAll("\\s+", " "),
+      "the novel doc passes through normalized-identical with zero counters")
+    assert(cleaned._3 > 0L && cleaned._4 >= 1L &&
+      !cleaned._2.contains(shared.substring(30, 100)),
+      s"the copier sheds the donor span interior: $cleaned")
+    assert(cleaned._2.startsWith(junk("r", 25).toLowerCase.substring(0, 20)),
+      "the copier's novel prefix survives excision")
+  }
+
   test("append == build on the increment: day-2 index equals the full rebuild exactly") {
     val docs = (1L to 30L).map(i => (i, junk(s"d$i", 30))).toDF("doc_id", "text")
     val day1 = docs.filter(col("doc_id") <= 20)
