@@ -231,7 +231,10 @@ object SparkEntry {
     "q155_winnow_span_probe"     -> ((s, d) => Dedup.winnowSpanProbe(s, d)),
     // clean ingest, batch form: probe spans vs the index, excise them
     // from the batch — every doc survives with only its novel text
-    "q156_winnow_clean"          -> ((s, d) => Dedup.winnowCleanDocs(s, d))
+    "q156_winnow_clean"          -> ((s, d) => Dedup.winnowCleanDocs(s, d)),
+    // within-doc repeated-line removal: first occurrence kept, order
+    // preserved — one zero-shuffle HOF projection per row
+    "q157_line_dedup"            -> ((s, d) => TextClean.lineDedupDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1349,6 +1352,33 @@ object SparkEntry {
         |FROM t LEFT JOIN agg a USING (doc_id) LEFT JOIN stitched st USING (doc_id)
         |WHERE t.doc_id % 5 = 4
         |ORDER BY t.doc_id""".stripMargin,
+    // q157: the within-doc line dedup replayed — the identical
+    // planting, then the first-index keep rule via list_position
+    // (1-based, like the engine's array_position = i + 1)
+    "q157_line_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'Subscribe to our newsletter today'
+        |         || chr(10) || 'section ' || CAST(doc_id % 7 AS VARCHAR)
+        |         || chr(10) || 'Subscribe to our newsletter today'
+        |         || chr(10) || CASE WHEN doc_id % 3 = 0 THEN text
+        |                       ELSE 'unique tail ' || CAST(doc_id AS VARCHAR) END
+        |      AS text
+        |  FROM documents),
+        |lt AS (SELECT doc_id,
+        |         list_filter(list_transform(string_split(text, chr(10)),
+        |                                    x -> trim(x)),
+        |                     x -> x <> '') AS ls
+        |       FROM p),
+        |k AS (SELECT doc_id, ls,
+        |        list_filter(list_transform(ls, (x, i) ->
+        |          CASE WHEN list_position(ls, x) = i THEN x END),
+        |          x -> x IS NOT NULL) AS ks
+        |      FROM lt)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |       CAST(len(ks) AS BIGINT) AS n_kept,
+        |       array_to_string(ks, chr(10)) AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin,
 
 
     // q154: excision replayed — the q153 span chain, the b-side

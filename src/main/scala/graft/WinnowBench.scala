@@ -42,11 +42,40 @@ object WinnowBench {
       println(s"""{"leg":"$name","copies":$copies,"maxDf":${maxDf.getOrElse(-1L)},"pairs":$pairs,"wall_sec":$w}""")
       System.out.flush()
     }
+    // day-2 legs: FIXED batch (the 1× corpus's 20% slice) against a
+    // GROWING persisted index — the incremental-ingest claim is that
+    // probe cost follows the batch and its true matches, never the
+    // corpus (which the bucketed-on-h layout joins exchange-free).
+    // Timed per leg: span probe (q155 shape) and the composed clean
+    // ingest (q156 shape), search-only — the index build is outside.
+    def probeLeg(name: String, corpusDir: String, copies: Int): Unit = {
+      val corpus = spark.read.parquet(corpusDir + "/documents.parquet")
+        .select(col("doc_id"), col("text")).filter(col("doc_id") % 5 =!= 4)
+      val batch = spark.read.parquet(args(0) + "/documents.parquet")
+        .select(col("doc_id"), col("text")).filter(col("doc_id") % 5 === 4)
+        .localCheckpoint()
+      val tbl = s"winnow_bench_idx_$name"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.sources.Bucketing.writeBucketed(
+        Dedup.buildWinnowIndex(corpus), tbl, Seq("h"), 32)
+      val idx = spark.table(tbl)
+      val t0 = System.nanoTime()
+      val spans = Dedup.winnowSpansAgainstIndex(batch, idx).count()
+      val w1 = math.round((System.nanoTime() - t0) / 1e6) / 1e3
+      val t1 = System.nanoTime()
+      val cleaned = Dedup.winnowCleanAgainstIndex(batch, idx)
+        .filter(col("n_spans") > 0).count()
+      val w2 = math.round((System.nanoTime() - t1) / 1e6) / 1e3
+      println(s"""{"leg":"probe_$name","copies":$copies,"spans":$spans,"span_wall_sec":$w1,"cleaned_docs":$cleaned,"clean_wall_sec":$w2}""")
+      System.out.flush()
+    }
     leg("exact_1x", args(0), 1, None)
     leg("exact_3x", args(1), 3, None)
     leg("exact_10x", args(2), 10, None)
     leg("maxdf_10x", args(2), 10, Some(16L))
     leg("maxdf_30x", args(3), 30, Some(16L))
+    probeLeg("1x", args(0), 1)
+    probeLeg("10x", args(2), 10)
     spark.stop()
   }
 }

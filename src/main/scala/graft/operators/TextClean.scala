@@ -186,6 +186,61 @@ object TextClean {
       .drop("_lines", "_kept")
   }
 
+  /** C32b: WITHIN-document repeated-line removal — keep the FIRST
+    * occurrence of every exact line, preserve document order. The
+    * intra-page counterpart of the cross-corpus boilerplate census
+    * (C40): nav menus, cookie banners and footer blocks repeat INSIDE
+    * a page too, and Gopher's repetition signals (q100) only DETECT
+    * them — this is the removal pass.
+    *
+    * Scale shape: same as [[lineFilter]] — no explode, no shuffle;
+    * the keep rule is `array_position(lines, x) = i + 1`
+    * (array_position is each value's FIRST 1-based index, so a line
+    * survives exactly when it IS the first occurrence), one codegen'd
+    * projection per row, stateless and so trivially streaming-valid.
+    * Matching is on the TRIMMED line (leading/trailing space is
+    * presentation, not content); blank lines drop (the [[lineFilter]]
+    * contract). Per-doc cost is O(lines²) in the worst case — lines
+    * per page are dozens, not thousands, and the scan never leaves
+    * the row.
+    *
+    * Returns (…, n_lines, n_kept, clean_text). */
+  def dedupLinesWithin(df: DataFrame, textCol: String): DataFrame = {
+    val lines = filter(
+      transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
+    df.withColumn("_lines", lines)
+      .withColumn("_kept", filter(col("_lines"),
+        (l, i) => array_position(col("_lines"), l) === (i + lit(1)).cast("long")))
+      .withColumn("n_lines", size(col("_lines")).cast("long"))
+      .withColumn("n_kept", size(col("_kept")).cast("long"))
+      .withColumn("clean_text", array_join(col("_kept"), "\n"))
+      .drop("_lines", "_kept")
+  }
+
+  /** C32b `q157_line_dedup` — [[dedupLinesWithin]] over a planted
+    * five-line page per doc: an always-repeated boilerplate line (the
+    * banner), a doc-varying line, and a CONDITIONAL repeat of the
+    * content line (doc_id % 3 == 0), so both the drop and keep paths
+    * fire on every doc and the conditional path splits the corpus.
+    * The oracle replants and replays the first-index rule with
+    * `list_position`. */
+  def lineDedupDocs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+    val planted = docs.select(
+      col("doc_id"),
+      concat_ws("\n",
+        col("text"),
+        lit("Subscribe to our newsletter today"),
+        concat(lit("section "), (col("doc_id") % 7).cast("string")),
+        lit("Subscribe to our newsletter today"),
+        when(col("doc_id") % 3 === 0, col("text"))
+          .otherwise(concat(lit("unique tail "), col("doc_id").cast("string")))
+      ).as("text"))
+    dedupLinesWithin(planted, "text")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- mojibake / encoding repair ------------------------------------
 
   /** UTF-8-read-as-Latin-1 double-encoding artifacts and their

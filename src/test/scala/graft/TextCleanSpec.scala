@@ -127,6 +127,37 @@ class TextCleanSpec extends SparkSpecBase {
     }
   }
 
+  test("dedupLinesWithin keeps first occurrences in order, trims before matching, map-only") {
+    import spark.implicits._
+    val page = Seq(
+      "the banner line",            // kept (first)
+      "real content sentence one",  // kept
+      "  the banner line  ",        // repeat (trimmed match) → dropped
+      "real content sentence two",  // kept
+      "the banner line",            // repeat → dropped
+      "   ",                        // blank: not a line at all
+      "real content sentence one"   // repeat of line 2 → dropped
+    ).mkString("\n")
+    val out = TextClean.dedupLinesWithin(Seq((1L, page)).toDF("id", "text"), "text")
+    val row = out.select("n_lines", "n_kept", "clean_text").head()
+    assert(row.getLong(0) == 6L, "blank lines never count")
+    assert(row.getLong(1) == 3L, s"one copy of each line survives: ${row.getString(2)}")
+    assert(row.getString(2) ==
+      "the banner line\nreal content sentence one\nreal content sentence two",
+      "document order is the first-occurrence order")
+
+    // a page with no repeats passes through trimmed-identical
+    val clean = TextClean.dedupLinesWithin(
+      Seq((1L, "alpha one\nbeta two")).toDF("id", "text"), "text").head()
+    assert(clean.getAs[String]("clean_text") == "alpha one\nbeta two" &&
+      clean.getAs[Long]("n_kept") == 2L)
+
+    // stateless scale shape: a single projection, no Exchange anywhere
+    val plan = TextClean.dedupLinesWithin(
+      Tables(spark, sfDir).documents, "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"line dedup must not shuffle:\n${plan.take(600)}")
+  }
+
   test("fixMojibake repairs every table entry, counts sequentially, map-only") {
     import spark.implicits._
     // one instance of every artifact, built FROM the table itself so
