@@ -234,7 +234,10 @@ object SparkEntry {
     "q156_winnow_clean"          -> ((s, d) => Dedup.winnowCleanDocs(s, d)),
     // within-doc repeated-line removal: first occurrence kept, order
     // preserved — one zero-shuffle HOF projection per row
-    "q157_line_dedup"            -> ((s, d) => TextClean.lineDedupDocs(s, d))
+    "q157_line_dedup"            -> ((s, d) => TextClean.lineDedupDocs(s, d)),
+    // token-budget mixture planning: water-filling under an epoch cap,
+    // integer-exact on a #sources-row frame
+    "q158_mixture_plan"          -> ((s, d) => Sharding.mixturePlanDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1379,6 +1382,48 @@ object SparkEntry {
         |       CAST(len(ks) AS BIGINT) AS n_kept,
         |       array_to_string(ks, chr(10)) AS clean_text
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // q158: the mixture plan replayed — weights interpolated from the
+    // SAME Scala map (q104 convention), then grouping, the ratio sort,
+    // the prefix cap test, the running AND, and both floor divisions
+    // (Spark DIV and DuckDB // agree on positives) — integer-exact
+    "q158_mixture_plan" -> {
+      val cases = graft.operators.Sharding.mixturePlanWeights.toSeq.sortBy(_._1)
+        .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
+      s"""WITH per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+         |         CAST(CASE source $cases ELSE 0 END AS BIGINT) AS weight
+         |  FROM documents GROUP BY source),
+         |b AS (SELECT CAST(sum(n_chars) * 9 // 5 AS BIGINT) AS bt FROM documents),
+         |st AS (SELECT per.*, (n_tokens * 200) // 100 AS capacity
+         |       FROM per WHERE weight > 0),
+         |o AS (SELECT *, CAST(capacity AS DOUBLE) / weight AS r FROM st),
+         |w1 AS (SELECT *,
+         |        coalesce(sum(capacity) OVER pw, 0) AS csum_prev,
+         |        coalesce(sum(weight) OVER pw, 0) AS wsum_prev,
+         |        sum(weight) OVER () AS wtot
+         |       FROM o WINDOW pw AS (ORDER BY r, source
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |w2 AS (SELECT *, CASE WHEN capacity * (wtot - wsum_prev) <=
+         |                      weight * ((SELECT bt FROM b) - csum_prev)
+         |                 THEN 1 ELSE 0 END AS f FROM w1),
+         |w3 AS (SELECT *, min(f) OVER (ORDER BY r, source
+         |         ROWS UNBOUNDED PRECEDING) = 1 AS capped FROM w2),
+         |w4 AS (SELECT *,
+         |        (SELECT bt FROM b) -
+         |          coalesce(sum(CASE WHEN capped THEN capacity END) OVER (), 0) AS b_rem,
+         |        coalesce(sum(CASE WHEN NOT capped THEN weight END) OVER (), 0) AS w_rem
+         |       FROM w3),
+         |a AS (SELECT *, CASE WHEN capped THEN capacity
+         |                ELSE (weight * b_rem) // greatest(w_rem, 1) END AS alloc_tokens
+         |      FROM w4)
+         |SELECT source, n_docs, n_tokens, weight,
+         |  CAST(capacity AS BIGINT) AS capacity,
+         |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens, capped,
+         |  CAST((alloc_tokens * 10000) // n_tokens AS BIGINT) AS epochs_bp
+         |FROM a ORDER BY source""".stripMargin
+    },
 
 
     // q154: excision replayed — the q153 span chain, the b-side

@@ -69,13 +69,18 @@ object WinnowBench {
       println(s"""{"leg":"probe_$name","copies":$copies,"spans":$spans,"span_wall_sec":$w1,"cleaned_docs":$cleaned,"clean_wall_sec":$w2}""")
       System.out.flush()
     }
-    leg("exact_1x", args(0), 1, None)
-    leg("exact_3x", args(1), 3, None)
-    leg("exact_10x", args(2), 10, None)
-    leg("maxdf_10x", args(2), 10, Some(16L))
-    leg("maxdf_30x", args(3), 30, Some(16L))
-    probeLeg("1x", args(0), 1)
-    probeLeg("10x", args(2), 10)
+    // SPARK_GRAFT_WINNOW_LEGS: comma list of leg names to run
+    // (prefix match); unset = all legs
+    val only = sys.env.get("SPARK_GRAFT_WINNOW_LEGS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def want(name: String): Boolean = only.forall(_.exists(name.startsWith))
+    if (want("exact_1x")) leg("exact_1x", args(0), 1, None)
+    if (want("exact_3x")) leg("exact_3x", args(1), 3, None)
+    if (want("exact_10x")) leg("exact_10x", args(2), 10, None)
+    if (want("maxdf_10x")) leg("maxdf_10x", args(2), 10, Some(16L))
+    if (want("maxdf_30x")) leg("maxdf_30x", args(3), 30, Some(16L))
+    if (want("probe_1x")) probeLeg("1x", args(0), 1)
+    if (want("probe_10x")) probeLeg("10x", args(2), 10)
     spark.stop()
   }
 }

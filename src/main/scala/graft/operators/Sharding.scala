@@ -402,6 +402,106 @@ object Sharding {
       mixtureStrides, seed = 11L, draw = Some(md5Unit(col("doc_id"), 11L)))
       .orderBy(col("global_pos"))
 
+  /** C15c: token-budget mixture PLANNING under an epoch cap — the
+    * allocation step BEFORE the mixing family decides per-row fates
+    * ([[mixCorpora]] keeps rows at a rate, [[temperatureSample]]
+    * flattens, [[mixtureInterleave]] orders; THIS computes how many
+    * tokens each source may contribute in the first place). Given
+    * per-source target weights, a total training-token budget, and a
+    * repetition ceiling (`epochCapPct`% of a source's tokens — 200 =
+    * "repeat nothing more than twice", the data-constrained-scaling
+    * hygiene rule of Muennighoff et al. 2023, arXiv:2305.16264), the
+    * naive `w·B/W` share overshoots small sources, and the standard
+    * answer is WATER-FILLING: capped sources take their capacity, and
+    * the surplus redistributes to the rest in weight proportion.
+    *
+    * Sorted by capacity/weight ascending, the capped set is a PREFIX
+    * (a source caps only if the water level at its position exceeds
+    * its capacity, and the level only rises as earlier caps free
+    * budget) — so one window pass finds it: cumulative-prefix cap
+    * test, running-AND to mask past the first failure. The cap test
+    * cross-multiplies longs (exact — no float boundary; fits while
+    * `max(weight) · budget` < 2^63, i.e. comfortably past 10^14
+    * tokens at weight 10^4), allocations floor-divide, and the epochs
+    * report is exact integer basis points. Scale shape: one
+    * aggregation to a #sources-row frame, then single-partition
+    * windows over THAT (sources are dozens, never rows) — the plan
+    * never re-touches the corpus.
+    *
+    * Sources absent from `weights` take no budget and are dropped
+    * from the plan (the [[mixCorpora]] drop-unknown default).
+    *
+    * @return one row per weighted source: (source, n_docs, n_tokens,
+    *         weight, capacity, alloc_tokens, capped, epochs_bp —
+    *         allocated epochs in basis points, 10000 = one epoch) */
+  def planMixture(docs: DataFrame, sourceCol: String, tokensCol: String,
+                  weights: Map[String, Long], budgetTokens: Long,
+                  epochCapPct: Long = 200L): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(epochCapPct > 0, s"epochCapPct must be positive, got $epochCapPct")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"weights must be a nonempty positive map, got $weights")
+    val wExpr = weights.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, wgt)) => when(col("source") === s, lit(wgt)).otherwise(acc)
+    }
+    val W = org.apache.spark.sql.expressions.Window
+    val wOrd = W.orderBy(col("_ratio"), col("source"))
+    val wPrev = wOrd.rowsBetween(W.unboundedPreceding, -1)
+    val wRun = wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wAll = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    docs
+      .select(col(sourceCol).as("source"), col(tokensCol).cast("long").as("_tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_tk")).as("n_tokens"))
+      .withColumn("weight", wExpr)
+      .filter(col("weight") > 0)
+      .withColumn("capacity",
+        expr(s"CAST((n_tokens * $epochCapPct) DIV 100 AS BIGINT)"))
+      .withColumn("_ratio", col("capacity").cast("double") / col("weight"))
+      .withColumn("_csum_prev", coalesce(sum(col("capacity")).over(wPrev), lit(0L)))
+      .withColumn("_wsum_prev", coalesce(sum(col("weight")).over(wPrev), lit(0L)))
+      .withColumn("_wtot", sum(col("weight")).over(wAll))
+      .withColumn("_f",
+        (col("capacity") * (col("_wtot") - col("_wsum_prev")) <=
+          col("weight") * (lit(budgetTokens) - col("_csum_prev"))).cast("int"))
+      .withColumn("capped", min(col("_f")).over(wRun) === 1)
+      .withColumn("_b_rem", lit(budgetTokens) -
+        coalesce(sum(when(col("capped"), col("capacity"))).over(wAll), lit(0L)))
+      .withColumn("_w_rem",
+        coalesce(sum(when(!col("capped"), col("weight"))).over(wAll), lit(0L)))
+      .withColumn("alloc_tokens", when(col("capped"), col("capacity"))
+        .otherwise(expr(
+          "CAST((weight * _b_rem) DIV greatest(_w_rem, CAST(1 AS BIGINT)) AS BIGINT)")))
+      .withColumn("epochs_bp",
+        expr("CAST((alloc_tokens * 10000) DIV n_tokens AS BIGINT)"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("capacity"), col("alloc_tokens"), col("capped"), col("epochs_bp"))
+  }
+
+  /** The q158 planted weight table — src0 is the deliberately
+    * over-weighted "tiny high-quality source" (weight 50: wiki-like),
+    * the rest cycle 1..7; the oracle's CASE chain is GENERATED from
+    * this map (the q104 shared-constant convention). With the budget
+    * pinned at 9/5 of the corpus (below the 2-epoch total capacity),
+    * src0 always caps and at least one source never does — both
+    * verdict paths fire at every SF. */
+  val mixturePlanWeights: Map[String, Long] =
+    (0 to 19).map(i => s"src$i" -> (if (i == 0) 50L else (i % 7) + 1L)).toMap
+
+  /** C15c `q158_mixture_plan` — [[planMixture]] over the documents
+    * table, n_chars as the token-cost column, budget = 90% of the
+    * 2-epoch capacity (9/5 of corpus tokens, scale-free), weights
+    * from [[mixturePlanWeights]]. The oracle replays grouping, the
+    * ratio sort, the prefix cap test, the running AND and both
+    * divisions — all integer-exact. */
+  def mixturePlanDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val total = d.agg(sum(col("n_chars").cast("long"))).first().getLong(0)
+    planMixture(d, "source", "n_chars", mixturePlanWeights,
+      budgetTokens = total * 9L / 5L)
+      .orderBy(col("source"))
+  }
+
   /** C15 `q73_weighted_sample` — [[sampleByWeight]] with the portable
     * draw: longer documents are proportionally likelier to survive and
     * docs past 400 chars saturate at certain keep (the clamp leg). */

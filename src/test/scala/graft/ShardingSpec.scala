@@ -545,6 +545,44 @@ class ShardingSpec extends SparkSpecBase {
       "order must not depend on input partitioning")
   }
 
+  test("planMixture water-fills: caps are exact, surplus redistributes, budget conserved") {
+    val docs = Seq(
+      ("A", 60L), ("A", 40L),      // 100 tokens, weight 6, capacity 200
+      ("B", 1000L),                // 1000 tokens, weight 1, capacity 2000
+      ("C", 250L), ("C", 250L),    // 500 tokens, weight 3, capacity 1000
+      ("X", 99L)                   // unlisted: takes no budget, dropped
+    ).toDF("source", "toks")
+    val w = Map("A" -> 6L, "B" -> 1L, "C" -> 3L)
+    val plan = Sharding.planMixture(docs, "source", "toks", w,
+        budgetTokens = 1200L)
+      .select("source", "n_tokens", "capacity", "alloc_tokens", "capped", "epochs_bp")
+      .as[(String, Long, Long, Long, Boolean, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!plan.contains("X"), "unlisted sources are dropped from the plan")
+    // hand-checked: A's naive share 6·1200/10 = 720 > 200 caps it; the
+    // freed budget re-levels to 1000 over weight 4 → C 750, B 250
+    assert(plan("A") == ("A", 100L, 200L, 200L, true, 20000L), s"${plan("A")}")
+    assert(plan("C") == ("C", 500L, 1000L, 750L, false, 15000L), s"${plan("C")}")
+    assert(plan("B") == ("B", 1000L, 2000L, 250L, false, 2500L), s"${plan("B")}")
+    assert(plan.values.map(_._4).sum == 1200L,
+      "with an uncapped source left, every budget token is allocated")
+
+    // budget past total capacity: everything caps, leftover is honest
+    val all = Sharding.planMixture(docs, "source", "toks", w,
+        budgetTokens = 100000L)
+      .select("source", "alloc_tokens", "capped")
+      .as[(String, Long, Boolean)].collect()
+    assert(all.forall(_._3) && all.map(_._2).sum == 3200L,
+      s"all sources cap at capacity, the rest of the budget is unspent: ${all.toSeq}")
+
+    intercept[IllegalArgumentException] {
+      Sharding.planMixture(docs, "source", "toks", w, budgetTokens = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Sharding.planMixture(docs, "source", "toks", Map.empty, budgetTokens = 10L)
+    }
+  }
+
   test("mixtureInterleave fails loudly on a source with no stride") {
     val docs = Seq((0L, "known"), (1L, "mystery")).toDF("doc_id", "source")
     val ex = intercept[Exception] {
