@@ -237,7 +237,10 @@ object SparkEntry {
     "q157_line_dedup"            -> ((s, d) => TextClean.lineDedupDocs(s, d)),
     // token-budget mixture planning: water-filling under an epoch cap,
     // integer-exact on a #sources-row frame
-    "q158_mixture_plan"          -> ((s, d) => Sharding.mixturePlanDocs(s, d))
+    "q158_mixture_plan"          -> ((s, d) => Sharding.mixturePlanDocs(s, d)),
+    // the plan executed: whole copies + basis-point fractional coin,
+    // one broadcast join + map-side explode over the corpus
+    "q159_mixture_execute"       -> ((s, d) => Sharding.mixturePlanExecuteDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -283,6 +286,46 @@ object SparkEntry {
   /** Quality-score CTEs shared by q28 and q53 — ONE source of truth for
     * the scoring formula on the oracle side (the Spark side shares
     * `TextAnalysis.qualityScoreDocs` the same way). */
+  /** q158/q159 shared oracle prefix: the whole water-filling plan —
+    * weights CASE-chain GENERATED from [[graft.operators.Sharding
+    * .mixturePlanWeights]] (the q104 shared-constant convention),
+    * budget = 9/5 of corpus tokens, the ratio sort, prefix cap test,
+    * running AND and the floor-divided allocations, all integer-exact.
+    * Ends at CTE `a` carrying (source, n_docs, n_tokens, weight,
+    * capacity, capped, alloc_tokens). */
+  private val mixturePlanOracleCtes: String = {
+    val cases = graft.operators.Sharding.mixturePlanWeights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
+    s"""WITH per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+       |         CAST(CASE source $cases ELSE 0 END AS BIGINT) AS weight
+       |  FROM documents GROUP BY source),
+       |b AS (SELECT CAST(sum(n_chars) * 9 // 5 AS BIGINT) AS bt FROM documents),
+       |st AS (SELECT per.*, (n_tokens * 200) // 100 AS capacity
+       |       FROM per WHERE weight > 0),
+       |o AS (SELECT *, CAST(capacity AS DOUBLE) / weight AS r FROM st),
+       |w1 AS (SELECT *,
+       |        coalesce(sum(capacity) OVER pw, 0) AS csum_prev,
+       |        coalesce(sum(weight) OVER pw, 0) AS wsum_prev,
+       |        sum(weight) OVER () AS wtot
+       |       FROM o WINDOW pw AS (ORDER BY r, source
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |w2 AS (SELECT *, CASE WHEN capacity * (wtot - wsum_prev) <=
+       |                      weight * ((SELECT bt FROM b) - csum_prev)
+       |                 THEN 1 ELSE 0 END AS f FROM w1),
+       |w3 AS (SELECT *, min(f) OVER (ORDER BY r, source
+       |         ROWS UNBOUNDED PRECEDING) = 1 AS capped FROM w2),
+       |w4 AS (SELECT *,
+       |        (SELECT bt FROM b) -
+       |          coalesce(sum(CASE WHEN capped THEN capacity END) OVER (), 0) AS b_rem,
+       |        coalesce(sum(CASE WHEN NOT capped THEN weight END) OVER (), 0) AS w_rem
+       |       FROM w3),
+       |a AS (SELECT *, CASE WHEN capped THEN capacity
+       |                ELSE (weight * b_rem) // greatest(w_rem, 1) END AS alloc_tokens
+       |      FROM w4)""".stripMargin
+  }
+
   private val qualityCtes: String =
     s"""base AS (
        |  SELECT doc_id,
@@ -1387,43 +1430,33 @@ object SparkEntry {
     // SAME Scala map (q104 convention), then grouping, the ratio sort,
     // the prefix cap test, the running AND, and both floor divisions
     // (Spark DIV and DuckDB // agree on positives) — integer-exact
-    "q158_mixture_plan" -> {
-      val cases = graft.operators.Sharding.mixturePlanWeights.toSeq.sortBy(_._1)
-        .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
-      s"""WITH per AS (
-         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |         CAST(sum(n_chars) AS BIGINT) AS n_tokens,
-         |         CAST(CASE source $cases ELSE 0 END AS BIGINT) AS weight
-         |  FROM documents GROUP BY source),
-         |b AS (SELECT CAST(sum(n_chars) * 9 // 5 AS BIGINT) AS bt FROM documents),
-         |st AS (SELECT per.*, (n_tokens * 200) // 100 AS capacity
-         |       FROM per WHERE weight > 0),
-         |o AS (SELECT *, CAST(capacity AS DOUBLE) / weight AS r FROM st),
-         |w1 AS (SELECT *,
-         |        coalesce(sum(capacity) OVER pw, 0) AS csum_prev,
-         |        coalesce(sum(weight) OVER pw, 0) AS wsum_prev,
-         |        sum(weight) OVER () AS wtot
-         |       FROM o WINDOW pw AS (ORDER BY r, source
-         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-         |w2 AS (SELECT *, CASE WHEN capacity * (wtot - wsum_prev) <=
-         |                      weight * ((SELECT bt FROM b) - csum_prev)
-         |                 THEN 1 ELSE 0 END AS f FROM w1),
-         |w3 AS (SELECT *, min(f) OVER (ORDER BY r, source
-         |         ROWS UNBOUNDED PRECEDING) = 1 AS capped FROM w2),
-         |w4 AS (SELECT *,
-         |        (SELECT bt FROM b) -
-         |          coalesce(sum(CASE WHEN capped THEN capacity END) OVER (), 0) AS b_rem,
-         |        coalesce(sum(CASE WHEN NOT capped THEN weight END) OVER (), 0) AS w_rem
-         |       FROM w3),
-         |a AS (SELECT *, CASE WHEN capped THEN capacity
-         |                ELSE (weight * b_rem) // greatest(w_rem, 1) END AS alloc_tokens
-         |      FROM w4)
+    "q158_mixture_plan" ->
+      s"""$mixturePlanOracleCtes
          |SELECT source, n_docs, n_tokens, weight,
          |  CAST(capacity AS BIGINT) AS capacity,
          |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens, capped,
          |  CAST((alloc_tokens * 10000) // n_tokens AS BIGINT) AS epochs_bp
-         |FROM a ORDER BY source""".stripMargin
-    },
+         |FROM a ORDER BY source""".stripMargin,
+
+    // q159: the plan EXECUTED — the q158 CTEs, then per-doc whole
+    // copies + the basis-point fractional coin (the q123 expansion
+    // shape with the target joined from the plan)
+    "q159_mixture_execute" ->
+      s"""$mixturePlanOracleCtes,
+         |pl AS (SELECT source,
+         |         CAST((alloc_tokens * 10000) // n_tokens AS BIGINT) AS ebp
+         |       FROM a),
+         |dd AS (SELECT d.doc_id, d.source, pl.ebp,
+         |        CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':19'), 1, 13))
+         |             AS BIGINT) / 4503599627370496.0 AS u
+         |       FROM documents d JOIN pl ON pl.source = d.source),
+         |n AS (SELECT doc_id, source,
+         |        ebp // 10000
+         |        + CASE WHEN u < (ebp % 10000) / 10000.0 THEN 1 ELSE 0 END AS n
+         |      FROM dd)
+         |SELECT doc_id, source, CAST(i AS BIGINT) AS epoch
+         |FROM n CROSS JOIN generate_series(0, 7) AS g(i)
+         |WHERE i < n ORDER BY doc_id, epoch""".stripMargin,
 
 
     // q154: excision replayed — the q153 span chain, the b-side

@@ -502,6 +502,56 @@ object Sharding {
       .orderBy(col("source"))
   }
 
+  /** C15d: EXECUTE a mixture plan — materialize [[planMixture]]'s
+    * per-source allocations as the deterministic training multiset
+    * the loader reads: every doc of a planned source emits
+    * `epochs_bp DIV 10000` whole copies plus one more iff its
+    * portable coin lands under the fractional remainder
+    * (`epochs_bp % 10000` basis points) — the [[expandEpochs]]
+    * mechanics with the epoch target JOINED from the plan instead of
+    * a constant map. The plan is a #sources-row frame, so the join
+    * broadcasts and execution stays one map-side pass over the corpus
+    * (filter + explode, no shuffle); per source the realized token
+    * count matches the allocation in expectation at basis-point
+    * resolution, row-deterministically (same inputs + seed ⇒ the same
+    * multiset on any cluster). Sources absent from the plan drop —
+    * the plan IS the mix ([[mixCorpora]]'s drop-unknown default). */
+  def executeMixturePlan(docs: DataFrame, plan: DataFrame,
+                         idCol: String = "doc_id",
+                         sourceCol: String = "source",
+                         seed: Long = 0L,
+                         draw: Option[Column] = None): DataFrame = {
+    require(plan.columns.contains("epochs_bp"),
+      "plan must carry epochs_bp — build it with planMixture")
+    val p = broadcast(plan.select(col("source").as("_plan_source"),
+      col("epochs_bp")))
+    val extra = when(
+      draw.getOrElse(hashUnit(col(idCol), seed)) <
+        (col("epochs_bp") % 10000L).cast("double") / lit(10000.0), 1L)
+      .otherwise(0L)
+    docs.join(p, col(sourceCol) === col("_plan_source"))
+      .withColumn("_n", expr("CAST(epochs_bp DIV 10000 AS BIGINT)") + extra)
+      .filter(col("_n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_n") - 1)))
+      .drop("_n", "_plan_source", "epochs_bp")
+  }
+
+  /** C15d `q159_mixture_execute` — [[planMixture]] ∘
+    * [[executeMixturePlan]] over the q158 plant: the whole
+    * plan-then-materialize chain, portable [[md5Unit]] coin, epoch
+    * tags per copy. The oracle replays the q158 CTEs and the
+    * expansion position-for-position. */
+  def mixturePlanExecuteDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val total = d.agg(sum(col("n_chars").cast("long"))).first().getLong(0)
+    val plan = planMixture(d, "source", "n_chars", mixturePlanWeights,
+      budgetTokens = total * 9L / 5L)
+    executeMixturePlan(d, plan, seed = 19L,
+      draw = Some(md5Unit(col("doc_id"), 19L)))
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
   /** C15 `q73_weighted_sample` — [[sampleByWeight]] with the portable
     * draw: longer documents are proportionally likelier to survive and
     * docs past 400 chars saturate at certain keep (the clamp leg). */

@@ -583,6 +583,28 @@ class ShardingSpec extends SparkSpecBase {
     }
   }
 
+  test("executeMixturePlan: whole copies + basis-point coin, unplanned sources drop") {
+    val docs = Seq((1L, "A"), (2L, "B"), (3L, "C"), (4L, "D"))
+      .toDF("doc_id", "source")
+    val plan = Seq(("A", 25000L), ("B", 10000L), ("C", 2500L))
+      .toDF("source", "epochs_bp")
+    def run(u: Double) = Sharding.executeMixturePlan(docs, plan,
+        draw = Some(lit(u)))
+      .select("doc_id", "epoch").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // coin at 0.2: A's 0.5 frac fires (3 copies), C's 0.25 fires (1)
+    val low = run(0.2)
+    assert(low == Map(1L -> Seq(0L, 1L, 2L), 2L -> Seq(0L), 3L -> Seq(0L)),
+      s"epoch tags are 0..n-1 and D is dropped: $low")
+    // coin at 0.9: no fractional copy fires — C emits nothing at all
+    val high = run(0.9)
+    assert(high == Map(1L -> Seq(0L, 1L), 2L -> Seq(0L)),
+      s"whole copies only, the 0-whole source vanishes: $high")
+    intercept[IllegalArgumentException] {
+      Sharding.executeMixturePlan(docs, plan.drop("epochs_bp"))
+    }
+  }
+
   test("mixtureInterleave fails loudly on a source with no stride") {
     val docs = Seq((0L, "known"), (1L, "mystery")).toDF("doc_id", "source")
     val ex = intercept[Exception] {
