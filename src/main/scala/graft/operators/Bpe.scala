@@ -642,12 +642,20 @@ object Bpe {
   def bpeDecodeDocs(spark: SparkSession, dir: String): DataFrame = {
     val dressed = graft.Tables(spark, dir).documents
       .withColumn("text", translate(lower(col("text")), "ae", "äé"))
-    dressed
+    val words = dressed
       .select(col("doc_id"),
         posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("_pos", "_w0")))
       .filter(col("_w0") =!= "")
+    // round-trip once per DISTINCT word, broadcast back onto the
+    // occurrences: the encode kernel caches per distinct word already,
+    // but decodeIds' map-lookup/regex column chain ran per OCCURRENCE
+    // — Zipf makes occurrences ≫ distinct (270k vs 31 at sf0.1;
+    // 16.7 s → the encode-side ~1 s), and a real corpus vocabulary
+    // (millions of words) still broadcasts in tens of MB
+    val uniq = words.select(col("_w0")).distinct()
       .withColumn("_dec",
         decodeIds(encodeIdsKernel(col("_w0"), byteKernelMerges), byteKernelMerges))
+    words.join(broadcast(uniq), Seq("_w0"))
       .groupBy(col("doc_id"))
       .agg(
         array_join(transform(
