@@ -240,7 +240,10 @@ object SparkEntry {
     "q158_mixture_plan"          -> ((s, d) => Sharding.mixturePlanDocs(s, d)),
     // the plan executed: whole copies + basis-point fractional coin,
     // one broadcast join + map-side explode over the corpus
-    "q159_mixture_execute"       -> ((s, d) => Sharding.mixturePlanExecuteDocs(s, d))
+    "q159_mixture_execute"       -> ((s, d) => Sharding.mixturePlanExecuteDocs(s, d)),
+    // frozen-grid z-order increment: day-2 rows grid/route under the
+    // build's bounds, out-of-range values clamp to the grid edge
+    "q160_zorder_append"         -> ((s, d) => graft.sources.Layout.zorderAppendDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1561,6 +1564,31 @@ object SparkEntry {
         |    CAST((CAST(doc_id - ymin AS BIGINT) * 65536)
         |         // CAST(ymax - ymin + 1 AS BIGINT) AS BIGINT) AS y_grid
         |  FROM documents, mm),
+        |z AS (
+        |  SELECT doc_id, x_grid, y_grid,
+        |    CAST(sum((((x_grid >> i) & 1) << (2 * i))
+        |           + (((y_grid >> i) & 1) << ((2 * i) + 1))) AS BIGINT) AS zvalue
+        |  FROM s, range(0, 16) t(i)
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, x_grid, y_grid, zvalue,
+        |       CAST(zvalue >> 26 AS BIGINT) AS zbucket
+        |FROM z ORDER BY zvalue, doc_id""".stripMargin,
+
+    // q160: the frozen-grid increment replayed — bounds from the
+    // corpus slice, the batch clamped onto them (greatest/least), then
+    // the q149 grid/interleave/shift chain verbatim
+    "q160_zorder_append" ->
+      """WITH mm AS (
+        |  SELECT min(length(text)) AS xmin, max(length(text)) AS xmax,
+        |         min(doc_id) AS ymin, max(doc_id) AS ymax
+        |  FROM documents WHERE doc_id % 5 <> 4),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST((CAST(least(greatest(length(text), xmin), xmax) - xmin AS BIGINT)
+        |          * 65536) // CAST(xmax - xmin + 1 AS BIGINT) AS BIGINT) AS x_grid,
+        |    CAST((CAST(least(greatest(doc_id, ymin), ymax) - ymin AS BIGINT)
+        |          * 65536) // CAST(ymax - ymin + 1 AS BIGINT) AS BIGINT) AS y_grid
+        |  FROM documents, mm WHERE doc_id % 5 = 4),
         |z AS (
         |  SELECT doc_id, x_grid, y_grid,
         |    CAST(sum((((x_grid >> i) & 1) << (2 * i))

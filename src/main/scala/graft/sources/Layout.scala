@@ -88,6 +88,71 @@ object Layout {
       .drop(cols.flatMap(c => Seq(s"_min_$c", s"_max_$c")): _*)
   }
 
+  /** Grid `df`'s layout columns onto a FROZEN [0, 2^bits) grid given
+    * per-column (min, max) bounds — the increment path of the layout
+    * family's frozen-state rule (the C4c vocabulary / C7 centroid
+    * convention brought to LAYOUT): the grid is defined ONCE at build
+    * and appends map onto it, because re-deriving min/max from
+    * corpus + increment would re-grid every historical row (silent
+    * whole-table drift). Values outside the frozen range CLAMP to the
+    * grid edge: clamping only costs CLUSTERING for those rows (they
+    * pile into edge buckets) — never correctness, because the zone
+    * map ([[zoneMap]]) aggregates ACTUAL column values, so a bucket
+    * holding clamped extremes advertises their true range and
+    * [[prunedScan]] still finds them. Same exact-arithmetic window as
+    * [[zorderFrame]], guarded loudly. */
+  def frozenGridFrame(df: DataFrame, cols: Seq[String], bits: Int,
+                      bounds: Seq[(Long, Long)]): DataFrame = {
+    require(cols.size >= 2, s"z-order needs >= 2 columns, got $cols")
+    require(cols.size == bounds.size,
+      s"${cols.size} cols but ${bounds.size} bounds")
+    require(bits >= 1 && bits <= 30, s"bits must be in 1..30, got $bits")
+    require(cols.size * bits <= 62,
+      s"${cols.size} cols x $bits bits exceeds the 62-bit long budget")
+    val maxRange = 1L << (53 - bits)
+    bounds.zip(cols).foreach { case ((lo, hi), c) =>
+      require(hi >= lo, s"bound of '$c' is empty: [$lo, $hi]")
+      require(hi - lo + 1 <= maxRange,
+        s"frozenGridFrame: range of '$c' (${hi - lo + 1}) exceeds " +
+          s"2^${53 - bits} — lower bits or pre-bucket the column")
+    }
+    val gridded = cols.zip(bounds).foldLeft(df) { case (d, (c, (lo, hi))) =>
+      d.withColumn(s"${c}_grid",
+        ((least(greatest(col(c).cast("long"), lit(lo)), lit(hi)) - lit(lo))
+          * lit(1L << bits) / lit(hi - lo + 1L)).cast("long"))
+    }
+    gridded.withColumn("zvalue", zValue(cols.map(c => col(s"${c}_grid")), bits))
+  }
+
+  /** The frozen-grid contract riding the written layout itself: cols,
+    * bits, fileBits and per-column bounds in the zvalue column's
+    * metadata (the q71/winnow h-column convention — parquet round-trips
+    * Spark column metadata, so the layout is self-describing and
+    * [[appendZOrdered]] needs no sidecar file). */
+  private def zorderMeta(cols: Seq[String], bits: Int, fileBits: Int,
+                         bounds: Seq[(Long, Long)])
+      : org.apache.spark.sql.types.Metadata = {
+    val b = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.zorder.bits", bits.toLong)
+      .putLong("graft.zorder.fileBits", fileBits.toLong)
+      .putString("graft.zorder.cols", cols.mkString(","))
+    cols.zip(bounds).foreach { case (c, (lo, hi)) =>
+      b.putLong(s"graft.zorder.min_$c", lo)
+      b.putLong(s"graft.zorder.max_$c", hi)
+    }
+    b.build()
+  }
+
+  private def writeZOrdered(df: DataFrame, cols: Seq[String], outDir: String,
+                            fileBits: Int, bits: Int,
+                            bounds: Seq[(Long, Long)], mode: SaveMode): Unit =
+    frozenGridFrame(df, cols, bits, bounds)
+      .withMetadata("zvalue", zorderMeta(cols, bits, fileBits, bounds))
+      .withColumn("zbucket", shiftright(col("zvalue"), cols.size * bits - fileBits))
+      .repartition(col("zbucket"))
+      .sortWithinPartitions(col("zbucket"), col("zvalue"))
+      .write.mode(mode).partitionBy("zbucket").parquet(outDir)
+
   /** Write `df` z-ordered on `cols` into 2^fileBits z-PREFIX buckets:
     * `zbucket = zvalue >> (d·bits − fileBits)` is a deterministic
     * map-side route (no sampled boundaries), each bucket is a compact
@@ -98,16 +163,53 @@ object Layout {
     * row-group min/max stay tight below the directory level. The one
     * shuffle is on the bucket key; at a fixed 2^fileBits ≪ cores the
     * write is intentionally few large files — raise fileBits with
-    * data volume (the knob IS the file count). */
+    * data volume (the knob IS the file count).
+    *
+    * The build FREEZES its grid (round 14): per-column min/max land in
+    * the zvalue column's metadata, and [[appendZOrdered]] grows the
+    * layout under exactly that grid. */
   def zorderWrite(df: DataFrame, cols: Seq[String], outDir: String,
                   fileBits: Int, bits: Int = 16): Unit = {
     require(fileBits >= 1 && fileBits <= cols.size * bits,
       s"fileBits must be in 1..${cols.size * bits}, got $fileBits")
-    zorderFrame(df, cols, bits)
-      .withColumn("zbucket", shiftright(col("zvalue"), cols.size * bits - fileBits))
-      .repartition(col("zbucket"))
-      .sortWithinPartitions(col("zbucket"), col("zvalue"))
-      .write.mode(SaveMode.Overwrite).partitionBy("zbucket").parquet(outDir)
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"_min_$c"),
+      max(col(c).cast("long")).as(s"_max_$c")))
+    val mm = df.agg(aggs.head, aggs.tail: _*).first()
+    require(!mm.anyNull, "zorderWrite needs a nonempty frame to derive its grid")
+    val bounds = cols.indices.map(i => (mm.getLong(2 * i), mm.getLong(2 * i + 1)))
+    writeZOrdered(df, cols, outDir, fileBits, bits, bounds, SaveMode.Overwrite)
+  }
+
+  /** E8: grow a z-ordered layout INCREMENTALLY — the `OPTIMIZE ZORDER`
+    * maintenance problem at ingest: day-2 data must land in the same
+    * multi-dimensional clustering WITHOUT rewriting (or even reading)
+    * the existing data. The layout's own metadata carries the frozen
+    * grid ([[zorderWrite]] stored it), so the increment grids, routes
+    * and sorts EXACTLY like the build did — one pass over the
+    * increment only, appended as new files under the same zbucket
+    * directories; readers, [[zoneMap]] and [[prunedScan]] are
+    * unchanged because the layout stays self-describing. Out-of-range
+    * values clamp to the frozen grid's edge ([[frozenGridFrame]]'s
+    * documented trade: clustering, never correctness). Fails loudly on
+    * a layout written without grid metadata or an increment missing a
+    * layout column. */
+  def appendZOrdered(spark: SparkSession, dir: String,
+                     increment: DataFrame): Unit = {
+    val zf = spark.read.parquet(dir).schema.fields.find(_.name == "zvalue")
+      .getOrElse(throw new IllegalArgumentException(
+        s"$dir carries no zvalue column — not a z-ordered layout"))
+    require(zf.metadata.contains("graft.zorder.bits"),
+      s"$dir carries no frozen grid — rebuild it with this round's zorderWrite")
+    val md = zf.metadata
+    val bits = md.getLong("graft.zorder.bits").toInt
+    val fileBits = md.getLong("graft.zorder.fileBits").toInt
+    val cols = md.getString("graft.zorder.cols").split(",").toSeq
+    cols.foreach(c => require(increment.columns.contains(c),
+      s"increment is missing layout column '$c'"))
+    val bounds = cols.map(c =>
+      (md.getLong(s"graft.zorder.min_$c"), md.getLong(s"graft.zorder.max_$c")))
+    writeZOrdered(increment, cols, dir, fileBits, bits, bounds, SaveMode.Append)
   }
 
   /** The zone map of a z-ordered layout: per-bucket min/max of each
@@ -158,6 +260,33 @@ object Layout {
         length(col("text")).cast("long").as("_x"),
         col("doc_id").cast("long").as("_y"))
     zorderFrame(docs, Seq("_x", "_y"), bits = 16)
+      .withColumn("zbucket", shiftright(col("zvalue"), 32 - 6))
+      .select(col("doc_id"), col("_x_grid").as("x_grid"),
+        col("_y_grid").as("y_grid"), col("zvalue"), col("zbucket"))
+      .orderBy(col("zvalue"), col("doc_id"))
+  }
+
+  /** E8 `q160_zorder_append` — the frozen-grid increment computation,
+    * oracle-backed: the q152 80/20 split freezes the grid on the
+    * corpus slice (doc_id % 5 ≠ 4) and grids the batch under those
+    * bounds. The corpus max doc_id is ≡ 4 (mod 5) whenever it exists,
+    * so the batch's top ids exceed the frozen y-range at every SF and
+    * the CLAMP leg provably fires; the oracle replays bounds,
+    * clamping, grid scaling, the bit interleave and the prefix shift
+    * as pure SQL. */
+  def zorderAppendDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("_x"),
+        col("doc_id").cast("long").as("_y"))
+      .localCheckpoint() // forked: frozen bounds + the batch side
+    val mm = docs.filter(col("doc_id") % 5 =!= 4)
+      .agg(min(col("_x")), max(col("_x")), min(col("_y")), max(col("_y")))
+      .first()
+    val bounds = Seq((mm.getLong(0), mm.getLong(1)),
+      (mm.getLong(2), mm.getLong(3)))
+    frozenGridFrame(docs.filter(col("doc_id") % 5 === 4),
+        Seq("_x", "_y"), bits = 16, bounds)
       .withColumn("zbucket", shiftright(col("zvalue"), 32 - 6))
       .select(col("doc_id"), col("_x_grid").as("x_grid"),
         col("_y_grid").as("y_grid"), col("zvalue"), col("zbucket"))

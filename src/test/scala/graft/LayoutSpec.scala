@@ -100,6 +100,62 @@ class LayoutSpec extends SparkSpecBase {
     assert(rows.map(_._4).sliding(2).forall(p => p.head <= p.last))
   }
 
+  test("appendZOrdered: increments grid under the frozen bounds; clamped extremes still found") {
+    val day1 = (0 until 16).flatMap(x => (0 until 16).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zappend").toString + "/layout"
+    Layout.zorderWrite(day1, Seq("x", "y"), dir, fileBits = 4, bits = 4)
+    // day-2: in-range rows + an extreme far past the frozen x-range
+    val day2 = Seq((3L, 12L), (1000L, 5L)).toDF("x", "y")
+    Layout.appendZOrdered(spark, dir, day2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 258L, "the append never rewrites day-1 rows")
+    // the in-range increment row lands in the SAME bucket as its day-1
+    // twin — the frozen grid is what build-day used
+    val bucketOf = back.filter(col("x") === 3 && col("y") === 12)
+      .select(col("zbucket").cast("long")).distinct().as[Long].collect()
+    assert(bucketOf.length == 1, s"increment twin co-locates: ${bucketOf.toSeq}")
+    // the clamped extreme sits in an edge bucket but its TRUE value is
+    // in the zone map, so a pruned scan still finds it
+    val found = Layout.prunedScan(spark, dir, "x", 500L, 2000L)
+      .select(col("x").cast("long")).as[Long].collect()
+    assert(found.toSeq == Seq(1000L),
+      s"clamping costs clustering, never correctness: ${found.toSeq}")
+    // equivalence over the union for an ordinary range too
+    val pruned = Layout.prunedScan(spark, dir, "y", 10L, 15L)
+      .select(col("x").cast("long"), col("y").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(pruned == (0 until 16).flatMap(x => (10 until 16).map(y =>
+      (x.toLong, y.toLong))).toSet + ((3L, 12L)), "pruned == brute over the union")
+    // loud guards: a layout without grid metadata, a missing column
+    val plain = java.nio.file.Files.createTempDirectory("zplain").toString + "/t"
+    day1.withColumn("zvalue", lit(0L)).write.parquet(plain)
+    intercept[IllegalArgumentException] {
+      Layout.appendZOrdered(spark, plain, day2)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.appendZOrdered(spark, dir, day2.drop("y"))
+    }
+  }
+
+  test("zorderAppendDocs: q160 shape — batch grids under corpus bounds, clamp leg fires") {
+    val out = Layout.zorderAppendDocs(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty && out.forall(_._1 % 5 == 4), "batch rows only")
+    // the corpus y-max is below the batch's top id, so the top batch
+    // id must clamp to the frozen grid's LAST occupied cell — the cell
+    // the corpus maximum itself sits on
+    val docs = Tables(spark, sfDir).documents
+      .filter(col("doc_id") % 5 =!= 4)
+      .agg(min(col("doc_id")), max(col("doc_id"))).as[(Long, Long)].head()
+    val (ymin, ymax) = docs
+    val lastCell = (ymax - ymin) * 65536L / (ymax - ymin + 1L)
+    val topId = out.map(_._1).max
+    assert(topId > ymax, "the plant: the global max doc_id is batch-side")
+    assert(out.filter(_._1 == topId).forall(_._3 == lastCell),
+      s"the out-of-range id clamps to the corpus max's cell ($lastCell)")
+  }
+
   private implicit class ToMap2(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] =
       rows.map { case (k, a, b) => k -> (a, b) }.toMap
