@@ -243,7 +243,10 @@ object SparkEntry {
     "q159_mixture_execute"       -> ((s, d) => Sharding.mixturePlanExecuteDocs(s, d)),
     // frozen-grid z-order increment: day-2 rows grid/route under the
     // build's bounds, out-of-range values clamp to the grid edge
-    "q160_zorder_append"         -> ((s, d) => graft.sources.Layout.zorderAppendDocs(s, d))
+    "q160_zorder_append"         -> ((s, d) => graft.sources.Layout.zorderAppendDocs(s, d)),
+    // recall@k meter: the IVF tier at nProbe 1 and 4 vs exact brute
+    // force — the probe knob's measured effect, integer basis points
+    "q161_ann_recall"            -> ((s, d) => Similarity.annRecallReport(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1598,6 +1601,58 @@ object SparkEntry {
         |SELECT doc_id, x_grid, y_grid, zvalue,
         |       CAST(zvalue >> 26 AS BIGINT) AS zbucket
         |FROM z ORDER BY zvalue, doc_id""".stripMargin,
+
+    // q161: the recall meter replayed — the q25 brute chain as ground
+    // truth, the q79 IVF chain at both probe widths, then the
+    // (q_id, c_id) intersection counts in integer basis points
+    "q161_ann_recall" -> {
+      def ivfTier(np: Int): String =
+        s"""probes$np AS (SELECT q_id, cell FROM (
+           |  SELECT e.vec_id AS q_id, c.cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY c.c2 - 2.0 * list_dot_product(e.v, c.cvec) ASC, c.cell ASC) AS rn
+           |  FROM e CROSS JOIN c WHERE e.vec_id < 5) WHERE rn <= $np),
+           |cand$np AS (SELECT p.q_id, a.vec_id AS c_id
+           |  FROM probes$np p JOIN asg a ON a.cell = p.cell WHERE a.vec_id <> p.q_id),
+           |scored$np AS (SELECT cand$np.q_id, cand$np.c_id,
+           |    round(list_dot_product(qe.v, ce.v) /
+           |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cos
+           |  FROM cand$np JOIN e qe ON qe.vec_id = cand$np.q_id
+           |  JOIN e ce ON ce.vec_id = cand$np.c_id),
+           |appr$np AS (SELECT q_id, c_id FROM (
+           |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cos DESC, c_id ASC) AS rn FROM scored$np) WHERE rn <= 10),
+           |hits$np AS (SELECT t.q_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM truth t JOIN appr$np a ON a.q_id = t.q_id AND a.c_id = t.c_id
+           |  GROUP BY 1)""".stripMargin
+      def tierSelect(np: Int): String =
+        s"""SELECT 'ivf_np$np' AS tier, q.q_id, CAST(10 AS BIGINT) AS k,
+           |  coalesce(h.n, 0) AS n_hits,
+           |  CAST((coalesce(h.n, 0) * 10000) // 10 AS BIGINT) AS recall_bp
+           |FROM (SELECT DISTINCT q_id FROM truth) q
+           |LEFT JOIN hits$np h ON h.q_id = q.q_id""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec, list_dot_product(v, v) AS c2
+         |      FROM e WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, cell FROM (
+         |         SELECT e.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY c.c2 - 2.0 * list_dot_product(e.v, c.cvec) ASC, c.cell ASC) AS rn
+         |         FROM e CROSS JOIN c) WHERE rn = 1),
+         |bscored AS (SELECT q.vec_id AS q_id, cd.vec_id AS c_id,
+         |    round(list_dot_product(q.v, cd.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(cd.v, cd.v))), 4) AS cos
+         |  FROM e q JOIN e cd ON q.vec_id < 5 AND cd.vec_id <> q.vec_id),
+         |truth AS (SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, c_id ASC) AS rn FROM bscored) WHERE rn <= 10),
+         |${ivfTier(1)},
+         |${ivfTier(4)}
+         |${tierSelect(1)}
+         |UNION ALL
+         |${tierSelect(4)}
+         |ORDER BY tier, q_id""".stripMargin
+    },
 
     // q146: the mixture-interleaved training order replayed position-
     // for-position — md5 within-source shuffle (the q72 idiom), dyadic

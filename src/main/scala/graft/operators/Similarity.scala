@@ -535,6 +535,44 @@ object Similarity {
     annIvfSearch(assigned, centroids, k, numQueries, nProbe)
   }
 
+  /** C7f: recall@k EVALUATION of an approximate search result against
+    * exact ground truth — the index-quality meter read before choosing
+    * nProbe/cells: an approximate tier is only shippable with a
+    * MEASURED recall, and the measurement is itself one distributed
+    * query (truth ⋈ approx on (q_id, c_id), one count per query
+    * point). Every search in this family breaks ties identically
+    * (cos DESC, id ASC), so top-k SETS are well-defined and recall is
+    * exact integer basis points — no float boundary in the metric.
+    * Queries the approx tier missed entirely still report (recall 0):
+    * an evaluation that silently drops its worst rows isn't one. */
+  def annRecall(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hits = truth.select(col("q_id"), col("c_id"))
+      .join(approx.select(col("q_id"), col("c_id")), Seq("q_id", "c_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("_h"))
+    truth.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .withColumn("n_hits", coalesce(col("_h"), lit(0L)))
+      .select(col("q_id"), lit(k.toLong).as("k"), col("n_hits"),
+        expr(s"CAST((n_hits * 10000) DIV $k AS BIGINT)").as("recall_bp"))
+  }
+
+  /** C7f `q161_ann_recall` — [[annRecall]] of the q79 portable IVF
+    * tier at nProbe 1 and 4 against the q25 exact brute force, on the
+    * same formula-chosen centroids: the measured effect of the probe
+    * knob, per query point, oracle-replayed end to end (brute chain +
+    * the q79 chain at both widths + the intersection counts). */
+  def annRecallReport(spark: SparkSession, dir: String, k: Int = 10,
+                      numQueries: Int = 5): DataFrame = {
+    val truth = annBruteForce(spark, dir, k, numQueries).localCheckpoint()
+    def tier(nProbe: Int): DataFrame =
+      annRecall(truth, annIvfPortable(spark, dir, k, numQueries, nProbe), k)
+        .withColumn("tier", lit(s"ivf_np$nProbe"))
+    tier(1).unionByName(tier(4))
+      .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp"))
+      .orderBy(col("tier"), col("q_id"))
+  }
+
   /** PQ (product quantization) index build — the memory-side scale path
     * of the ANN family: split each vector into `subspaces` sub-vectors,
     * k-means each subspace into a `codebookSize`-entry codebook (one

@@ -804,4 +804,26 @@ class SimilaritySpec extends SparkSpecBase {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.2, s"mean recall $mean too low for nProbe=2x2/16 product cells")
   }
+  test("annRecall: exact basis points, missing queries report zero, probe widening is monotone") {
+    import spark.implicits._
+    val truth = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L), (2L, 6L))
+      .toDF("q_id", "c_id")
+    val approx = Seq((1L, 1L), (1L, 2L), (1L, 9L))
+      .toDF("q_id", "c_id")
+    val out = Similarity.annRecall(truth, approx, k = 3)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 6666L)), s"2 of 3 = 6666 bp exactly: $out")
+    assert(out(2L) == ((0L, 0L)), s"a query the tier missed entirely still reports: $out")
+    intercept[IllegalArgumentException] { Similarity.annRecall(truth, approx, 0) }
+
+    // q161 shape: widening the probe never loses a true neighbor (the
+    // rerank is exact cosine, so candidate supersets dominate)
+    val rep = Similarity.annRecallReport(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val byQ = rep.groupBy(_._2).view.mapValues(_.map(r => r._1 -> r._5).toMap)
+    byQ.foreach { case (q, m) =>
+      assert(m("ivf_np4") >= m("ivf_np1"), s"monotone at q=$q: $m")
+    }
+    assert(rep.map(_._1).distinct.sorted.toSeq == Seq("ivf_np1", "ivf_np4"))
+  }
 }
