@@ -246,7 +246,9 @@ object SparkEntry {
     "q160_zorder_append"         -> ((s, d) => graft.sources.Layout.zorderAppendDocs(s, d)),
     // recall@k meter: the IVF tier at nProbe 1 and 4 vs exact brute
     // force — the probe knob's measured effect, integer basis points
-    "q161_ann_recall"            -> ((s, d) => Similarity.annRecallReport(s, d))
+    "q161_ann_recall"            -> ((s, d) => Similarity.annRecallReport(s, d)),
+    // the PQ tier's knob measured the same way: ADC rerank cut 10 vs 50
+    "q162_ann_pq_recall"         -> ((s, d) => Similarity.annPqRecallReport(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1651,6 +1653,66 @@ object SparkEntry {
          |${tierSelect(1)}
          |UNION ALL
          |${tierSelect(4)}
+         |ORDER BY tier, q_id""".stripMargin
+    },
+
+    // q162: the PQ tier's recall meter — the q80 chain at ADC cuts
+    // 10 and 50, the brute truth, the intersection counts
+    "q162_ann_pq_recall" -> {
+      def pqTier(r: Int): String =
+        s"""cand$r AS (SELECT q_id, c_id FROM (
+           |  SELECT q_id, c_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY ad ASC, c_id ASC) AS ar
+           |  FROM adist) WHERE ar <= $r),
+           |scored$r AS (SELECT cand$r.q_id, cand$r.c_id,
+           |    round(list_dot_product(qe.v, ce.v) /
+           |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cos
+           |  FROM cand$r JOIN e qe ON qe.vec_id = cand$r.q_id
+           |  JOIN e ce ON ce.vec_id = cand$r.c_id),
+           |appr$r AS (SELECT q_id, c_id FROM (
+           |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cos DESC, c_id ASC) AS rn FROM scored$r) WHERE rn <= 10),
+           |hits$r AS (SELECT t.q_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM truth t JOIN appr$r a ON a.q_id = t.q_id AND a.c_id = t.c_id
+           |  GROUP BY 1)""".stripMargin
+      def tierSelect(r: Int): String =
+        s"""SELECT 'pq_r${f"$r%02d"}' AS tier, q.q_id, CAST(10 AS BIGINT) AS k,
+           |  coalesce(h.n, 0) AS n_hits,
+           |  CAST((coalesce(h.n, 0) * 10000) // 10 AS BIGINT) AS recall_bp
+           |FROM (SELECT DISTINCT q_id FROM truth) q
+           |LEFT JOIN hits$r h ON h.q_id = q.q_id""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cb AS (SELECT s.s AS subspace, CAST(c.vec_id AS INT) AS code,
+         |         c.v[s.s*8+1 : s.s*8+8] AS centroid
+         |       FROM e c CROSS JOIN range(0, 8) s(s) WHERE c.vec_id < 16),
+         |d AS (SELECT e.vec_id, cb.subspace, cb.code,
+         |        list_sum(list_transform(range(1, 9), i ->
+         |          (e.v[cb.subspace*8 + i] - cb.centroid[i])
+         |          * (e.v[cb.subspace*8 + i] - cb.centroid[i]))) AS dist
+         |      FROM e CROSS JOIN cb),
+         |codes AS (SELECT vec_id, subspace, code FROM (
+         |           SELECT vec_id, subspace, code,
+         |             row_number() OVER (PARTITION BY vec_id, subspace
+         |               ORDER BY dist ASC, code ASC) AS rn
+         |           FROM d) WHERE rn = 1),
+         |adist AS (SELECT qd.vec_id AS q_id, co.vec_id AS c_id,
+         |            list_sum(list(qd.dist ORDER BY qd.subspace)) AS ad
+         |          FROM codes co JOIN d qd
+         |            ON qd.subspace = co.subspace AND qd.code = co.code
+         |          WHERE qd.vec_id < 5 AND co.vec_id <> qd.vec_id
+         |          GROUP BY 1, 2),
+         |bscored AS (SELECT q.vec_id AS q_id, cd.vec_id AS c_id,
+         |    round(list_dot_product(q.v, cd.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(cd.v, cd.v))), 4) AS cos
+         |  FROM e q JOIN e cd ON q.vec_id < 5 AND cd.vec_id <> q.vec_id),
+         |truth AS (SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, c_id ASC) AS rn FROM bscored) WHERE rn <= 10),
+         |${pqTier(10)},
+         |${pqTier(50)}
+         |${tierSelect(10)}
+         |UNION ALL
+         |${tierSelect(50)}
          |ORDER BY tier, q_id""".stripMargin
     },
 

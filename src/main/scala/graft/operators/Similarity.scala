@@ -573,6 +573,24 @@ object Similarity {
       .orderBy(col("tier"), col("q_id"))
   }
 
+  /** C7f `q162_ann_pq_recall` — [[annRecall]] of the q80 portable PQ
+    * tier at ADC rerank cuts 10 and 50 against exact brute force: the
+    * OTHER recall knob the family exposes (how many ADC-ranked
+    * candidates reach the exact-cosine rerank), measured the same way
+    * the IVF probe knob is (q161). Monotone for the same reason —
+    * the rerank is exact, so a wider cut's candidate superset
+    * dominates. */
+  def annPqRecallReport(spark: SparkSession, dir: String, k: Int = 10,
+                        numQueries: Int = 5): DataFrame = {
+    val truth = annBruteForce(spark, dir, k, numQueries).localCheckpoint()
+    def tier(rerank: Int): DataFrame =
+      annRecall(truth, annPqPortable(spark, dir, k, numQueries, rerank), k)
+        .withColumn("tier", lit(f"pq_r$rerank%02d"))
+    tier(10).unionByName(tier(50))
+      .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp"))
+      .orderBy(col("tier"), col("q_id"))
+  }
+
   /** PQ (product quantization) index build — the memory-side scale path
     * of the ANN family: split each vector into `subspaces` sub-vectors,
     * k-means each subspace into a `codebookSize`-entry codebook (one

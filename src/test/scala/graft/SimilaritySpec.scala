@@ -826,4 +826,14 @@ class SimilaritySpec extends SparkSpecBase {
     }
     assert(rep.map(_._1).distinct.sorted.toSeq == Seq("ivf_np1", "ivf_np4"))
   }
+  test("annPqRecallReport: widening the ADC cut is monotone, both tiers present") {
+    import spark.implicits._
+    val rep = Similarity.annPqRecallReport(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rep.map(_._1).distinct.sorted.toSeq == Seq("pq_r10", "pq_r50"))
+    val byQ = rep.groupBy(_._2).view.mapValues(_.map(r => r._1 -> r._5).toMap)
+    byQ.foreach { case (q, m) =>
+      assert(m("pq_r50") >= m("pq_r10"), s"monotone at q=$q: $m")
+    }
+  }
 }
