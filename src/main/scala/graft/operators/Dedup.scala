@@ -610,12 +610,13 @@ object Dedup {
 
   /** Prefix-filtered exact Jaccard dedup over any (doc_id, text) frame. */
   def shingleJaccardPrefixDocs(documents: DataFrame,
-                               k: Int = 3, jaccardThreshold: Double = 0.5): DataFrame = {
+                               k: Int = 3, jaccardThreshold: Double = 0.5,
+                               pairBudget: Long = DefaultPairBudget): DataFrame = {
     val docs = documents.select(col("doc_id"),
       array_distinct(transform(wordShingles(col("text"), k), x => xxhash64(x)))
         .as("grams"))
       .localCheckpoint()
-    val cand = prefixCandidatePairs(docs, jaccardThreshold)
+    val cand = prefixCandidatePairs(docs, jaccardThreshold, pairBudget)
     val ga = docs.select(col("doc_id").as("id_a"), col("grams").as("grams_a"))
     val gb = docs.select(col("doc_id").as("id_b"), col("grams").as("grams_b"))
     val pairs = cand.join(ga, Seq("id_a")).join(gb, Seq("id_b"))
@@ -676,7 +677,8 @@ object Dedup {
     (lit(1) + least(la - pa - lit(1), lb - pb - lit(1))).cast("double") >=
       lit(t / (1.0 + t)) * (la + lb) - lit(1e-9)
 
-  private[graft] def prefixCandidatePairs(docs: DataFrame, t: Double): DataFrame = {
+  private[graft] def prefixCandidatePairs(docs: DataFrame, t: Double,
+                                          pairBudget: Long = DefaultPairBudget): DataFrame = {
     val posting = docs.select(col("doc_id"), explode(col("grams")).as("g"))
     val vocab = posting.groupBy(col("g")).agg(count(lit(1)).as("df"))
     // the one-shot self-join derives its prefix via a WINDOW over the
@@ -702,6 +704,17 @@ object Dedup {
         col("len") - ceil(col("len") * t - lit(1e-9)).cast("int") + lit(1))
       .select(col("doc_id"), col("len"), col("pos"), col("g"))
       .localCheckpoint()
+    // pre-flight: the g-collision volume IS the join's output row count
+    // before the length/positional prunes — the memory driver on a
+    // pair-explosive corpus (near-threshold pairs provably escape the
+    // prunes, so the budget must gate the raw collisions)
+    requirePairBudget(candidatePairVolume(prefix, "g", "doc_id"), pairBudget,
+      "shingleJaccardPrefix",
+      "probe a persisted prefix index day-2 batch-by-batch " +
+        "(buildPrefixIndex + dedupAgainstPrefixIndex — cost follows the " +
+        "batch, not the corpus), use MinHash (minhashLshDocs) for " +
+        "discovery grade, or dedup first (dedupExact) so only one copy " +
+        "per duplicate cluster enters the exact tier.")
     val a = prefix.select(col("g"), col("doc_id").as("id_a"),
       col("len").as("la"), col("pos").as("pa"))
     val b = prefix.select(col("g"), col("doc_id").as("id_b"),
@@ -1746,6 +1759,54 @@ object Dedup {
   private def letBind(e: Column)(f: Column => Column): Column =
     element_at(transform(array(e), f), 1)
 
+  /** Default candidate-pair budget for the one-shot exact tiers.
+    * Sized from WinnowBench's measured legs (BENCH_r14_winnow_scaling):
+    * the 10× copy corpus materialized 4.5M pairs in ~506 s comfortably
+    * within heap, while the 30× corpus (≈40M pairs) exhausted it
+    * mid-aggregation. 20M sits ~4× above every measured-working point
+    * and ~2× below the measured failure regime on the local[32]
+    * reference host; a real cluster raises it explicitly per job. */
+  val DefaultPairBudget: Long = 20_000_000L
+
+  /** EXACT candidate volume of an equi-join on `keyCol` with the
+    * `idA < idB` cross-id predicate: Σ_key (S² − Σ_id c²) / 2, where S
+    * is the key's row count and c each id's rows under it — counts
+    * position multiplicity (the span tier repeats a hash within a doc)
+    * and excludes same-id products, so it is the row count the pair
+    * join will actually emit BEFORE any downstream gate. Two light
+    * aggregations over the (already materialized) posting frame — at
+    * 100 TB this is the histogram pass, never the join. */
+  private[graft] def candidatePairVolume(fp: DataFrame, keyCol: String,
+                                         idCol: String): Long = {
+    val perId = fp.groupBy(col(keyCol), col(idCol)).agg(count(lit(1)).as("c"))
+    // exact long arithmetic (the mixture-plan convention): s²−Σc² is
+    // even by construction, so the halving at the end loses nothing
+    val row = perId.groupBy(col(keyCol))
+      .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("ss"))
+      .agg(coalesce(sum(col("s") * col("s") - col("ss")), lit(0L)).as("v"))
+      .first()
+    row.getLong(0) / 2
+  }
+
+  /** The q95-census-guard precedent at the pair tier: quadratic paths
+    * refuse LOUDLY before launching, they don't die mid-stage. The
+    * one-shot exact tiers' pair volume is TRUE OUTPUT on a duplicated
+    * corpus (C copies of everything ⇒ O(C²) genuine pairs — no plan
+    * change shrinks it), so past the budget the only honest moves are
+    * the ones the message names: suppress ubiquitous keys (`maxDf`),
+    * probe a persisted index day-2 batch-by-batch, or dedup first. */
+  private def requirePairBudget(volume: Long, budget: Long,
+                                what: String, remedies: String): Unit = {
+    require(budget > 0, s"pairBudget must be positive, got $budget")
+    if (volume > budget) throw new IllegalStateException(
+      s"$what: the exact pair join would materialize $volume candidate pairs, " +
+        s"over the pairBudget of $budget. This is genuine quadratic output " +
+        s"(duplicated corpora have quadratically many TRUE pairs) and the job " +
+        s"would exhaust executor memory mid-stage rather than fail here. " +
+        s"Either raise pairBudget explicitly for a cluster sized for it, or " +
+        s"change the question: $remedies")
+  }
+
   /** C11b: pairwise partial-overlap report over the winnowed sets —
     * fingerprints group by hash (the posting), co-occurring docs pair
     * within a posting, pairs aggregate to a distinct-shared count and
@@ -1769,20 +1830,35 @@ object Dedup {
   def winnowOverlap(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", k: Int = 12, w: Int = 4,
                     minShared: Long = 8L,
-                    maxDf: Option[Long] = None): DataFrame = {
+                    maxDf: Option[Long] = None,
+                    pairBudget: Long = DefaultPairBudget): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDf.forall(_ >= 2), s"maxDf must be >= 2, got $maxDf")
+    // materialized: forked by the df pass, the pre-flight guard and the
+    // self-join (house rule)
     val fpAll = winnowFingerprints(docs, idCol, textCol, k, w)
-      .select(col("doc_id"), col("h")).distinct()
-    // the df pass forks the frame a second time — materialize then
-    val fp = dfFiltered(
-      if (maxDf.isDefined) fpAll.localCheckpoint() else fpAll, maxDf)
+      .select(col("doc_id"), col("h")).distinct().localCheckpoint()
+    val fpF = dfFiltered(fpAll, maxDf)
+    val fp = if (maxDf.isDefined) fpF.localCheckpoint() else fpF
+    requirePairBudget(candidatePairVolume(fp, "h", "doc_id"), pairBudget,
+      "winnowOverlap", winnowRemedies)
     fp.as("a").join(fp.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** The remedies every winnow-tier budget refusal names — each one a
+    * registered, green alternative, not a suggestion. */
+  private val winnowRemedies: String =
+    "set maxDf to suppress ubiquitous fingerprints (MOSS's own knob — " +
+      "changes the contract to spans carried by <= maxDf-frequent grams), " +
+      "probe a persisted index day-2 batch-by-batch (buildWinnowIndex + " +
+      "winnowOverlapAgainstIndex / winnowSpansAgainstIndex — cost follows " +
+      "the batch, not the corpus), or dedup first (dedupExact / " +
+      "minhashLshDocs) so only one copy per duplicate cluster enters " +
+      "the pair tier."
 
   /** The q71 loud-mismatch guard at the winnow tier: a probe under
     * different (k, w) hashes different grams / selects different
@@ -1856,13 +1932,19 @@ object Dedup {
   def winnowSharedSpans(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", k: Int = 12, w: Int = 4,
                         minPrints: Long = 3L,
-                        maxDf: Option[Long] = None): DataFrame = {
+                        maxDf: Option[Long] = None,
+                        pairBudget: Long = DefaultPairBudget): DataFrame = {
     require(minPrints >= 1, s"minPrints must be >= 1, got $minPrints")
     require(maxDf.forall(_ >= 2), s"maxDf must be >= 2, got $maxDf")
-    val fp = dfFiltered(
+    val fpF = dfFiltered(
       winnowFingerprints(docs, idCol, textCol, k, w)
         .localCheckpoint(), // forked by the self-join below (house rule)
       maxDf)
+    val fp = if (maxDf.isDefined) fpF.localCheckpoint() else fpF
+    // position-carrying frame: the volume counts multiplicity, i.e. the
+    // exact matched-point count the diagonal join will emit
+    requirePairBudget(candidatePairVolume(fp, "h", "doc_id"), pairBudget,
+      "winnowSharedSpans", winnowRemedies)
     // no distinct: fingerprint rows are unique by (doc, pos), so join
     // products are unique by (doc_a, doc_b, pa, pb) and (pa, pb) ↔
     // (pa, diag) is a bijection — a distinct here would be a full

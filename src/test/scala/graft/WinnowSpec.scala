@@ -287,4 +287,42 @@ class WinnowSpec extends SparkSpecBase {
     // sorted output, a < b throughout
     assert(out.forall { case (a, b, _) => a < b })
   }
+
+  test("pair-budget guard: copy corpus refuses loudly naming the remedies, normal corpus passes, volume exact") {
+    val base = junk("guard", 40)
+    val copies = (1L to 30L).map(i => (i, base)).toDF("doc_id", "text")
+    // the 30x-copy shape that OOMed WinnowBench: the guard fires BEFORE
+    // the pair join launches, naming every registered alternative
+    val ex = intercept[IllegalStateException] {
+      Dedup.winnowOverlap(copies, minShared = 1L, pairBudget = 1000L)
+    }
+    assert(ex.getMessage.contains("maxDf"), ex.getMessage)
+    assert(ex.getMessage.contains("winnowOverlapAgainstIndex"), ex.getMessage)
+    assert(ex.getMessage.contains("dedupExact"), ex.getMessage)
+    intercept[IllegalStateException] {
+      Dedup.winnowSharedSpans(copies, pairBudget = 1000L)
+    }
+    val exP = intercept[IllegalStateException] {
+      Dedup.shingleJaccardPrefixDocs(copies, pairBudget = 100L)
+    }
+    assert(exP.getMessage.contains("dedupAgainstPrefixIndex"), exP.getMessage)
+    // the estimate is EXACT, not a bound: 30 identical docs sharing all
+    // nFp prints yield nFp * C(30,2) candidate pairs
+    val nFp = Dedup.winnowFingerprints(copies.filter(col("doc_id") === 1L))
+      .select("h").distinct().count()
+    val fp = Dedup.winnowFingerprints(copies)
+      .select(col("doc_id"), col("h")).distinct()
+    assert(Dedup.candidatePairVolume(fp, "h", "doc_id") == nFp * 435L,
+      s"expected ${nFp * 435L}")
+    // a disjoint corpus sails through the same tight budget
+    val normal = (1L to 10L).map(i => (i, junk(s"n$i", 40))).toDF("doc_id", "text")
+    assert(Dedup.winnowOverlap(normal, minShared = 1L, pairBudget = 1000L)
+      .count() == 0L)
+    assert(Dedup.shingleJaccardPrefixDocs(normal, pairBudget = 1000L)
+      .count() == 10L)
+    // and the named remedy works: maxDf=16 suppresses every df-30 print,
+    // bringing the copy corpus back under the very same budget
+    assert(Dedup.winnowOverlap(copies, minShared = 1L, maxDf = Some(16L),
+      pairBudget = 1000L).count() == 0L)
+  }
 }
