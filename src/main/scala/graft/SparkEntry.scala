@@ -1259,10 +1259,10 @@ object SparkEntry {
         |mem AS (SELECT doc_id, pos, h, u.s AS s
         |        FROM g, unnest(generate_series(greatest(pos - 3, 1),
         |                                       least(pos, ng - 3))) u(s)),
-        |wm AS (SELECT doc_id, s, min(h) AS mh FROM mem GROUP BY 1, 2),
-        |sel AS (SELECT DISTINCT m.doc_id, m.pos, m.h
-        |        FROM mem m JOIN wm ON wm.doc_id = m.doc_id AND wm.s = m.s
-        |        WHERE m.h = wm.mh),
+        |sel AS (SELECT DISTINCT doc_id, pos, h FROM (
+        |          SELECT doc_id, pos, h, row_number() OVER
+        |            (PARTITION BY doc_id, s ORDER BY h ASC, pos DESC) AS rn
+        |          FROM mem) WHERE rn = 1),
         |pts AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |          a.pos AS pa, b.pos - a.pos AS diag
         |        FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id),
@@ -1306,10 +1306,10 @@ object SparkEntry {
         |mem AS (SELECT doc_id, pos, h, u.s AS s
         |        FROM g, unnest(generate_series(greatest(pos - 3, 1),
         |                                       least(pos, ng - 3))) u(s)),
-        |wm AS (SELECT doc_id, s, min(h) AS mh FROM mem GROUP BY 1, 2),
-        |sel AS (SELECT DISTINCT m.doc_id, m.pos, m.h
-        |        FROM mem m JOIN wm ON wm.doc_id = m.doc_id AND wm.s = m.s
-        |        WHERE m.h = wm.mh),
+        |sel AS (SELECT DISTINCT doc_id, pos, h FROM (
+        |          SELECT doc_id, pos, h, row_number() OVER
+        |            (PARTITION BY doc_id, s ORDER BY h ASC, pos DESC) AS rn
+        |          FROM mem) WHERE rn = 1),
         |pts AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS corpus_id,
         |          a.pos AS pa, b.pos - a.pos AS diag
         |        FROM sel a JOIN sel b ON a.h = b.h
@@ -1354,10 +1354,10 @@ object SparkEntry {
         |mem AS (SELECT doc_id, pos, h, u.s AS s
         |        FROM g, unnest(generate_series(greatest(pos - 3, 1),
         |                                       least(pos, ng - 3))) u(s)),
-        |wm AS (SELECT doc_id, s, min(h) AS mh FROM mem GROUP BY 1, 2),
-        |sel AS (SELECT DISTINCT m.doc_id, m.pos, m.h
-        |        FROM mem m JOIN wm ON wm.doc_id = m.doc_id AND wm.s = m.s
-        |        WHERE m.h = wm.mh),
+        |sel AS (SELECT DISTINCT doc_id, pos, h FROM (
+        |          SELECT doc_id, pos, h, row_number() OVER
+        |            (PARTITION BY doc_id, s ORDER BY h ASC, pos DESC) AS rn
+        |          FROM mem) WHERE rn = 1),
         |pts AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS corpus_id,
         |          a.pos AS pa, b.pos - a.pos AS diag
         |        FROM sel a JOIN sel b ON a.h = b.h
@@ -1374,7 +1374,7 @@ object SparkEntry {
         |sp AS (SELECT doc_id, corpus_id, diag,
         |         min(pa) AS st, max(pa) + 11 AS en, count(*) AS np
         |       FROM isl GROUP BY doc_id, corpus_id, diag, isl_id),
-        |iv AS (SELECT doc_id, st AS s, en AS e FROM sp WHERE np >= 3),
+        |iv AS (SELECT DISTINCT doc_id, st AS s, en AS e FROM sp WHERE np >= 3),
         |om AS (SELECT doc_id, s, e,
         |        max(e) OVER (PARTITION BY doc_id ORDER BY s, e
         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
@@ -1487,10 +1487,10 @@ object SparkEntry {
         |mem AS (SELECT doc_id, pos, h, u.s AS s
         |        FROM g, unnest(generate_series(greatest(pos - 3, 1),
         |                                       least(pos, ng - 3))) u(s)),
-        |wm AS (SELECT doc_id, s, min(h) AS mh FROM mem GROUP BY 1, 2),
-        |sel AS (SELECT DISTINCT m.doc_id, m.pos, m.h
-        |        FROM mem m JOIN wm ON wm.doc_id = m.doc_id AND wm.s = m.s
-        |        WHERE m.h = wm.mh),
+        |sel AS (SELECT DISTINCT doc_id, pos, h FROM (
+        |          SELECT doc_id, pos, h, row_number() OVER
+        |            (PARTITION BY doc_id, s ORDER BY h ASC, pos DESC) AS rn
+        |          FROM mem) WHERE rn = 1),
         |pts AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |          a.pos AS pa, b.pos - a.pos AS diag
         |        FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id),
@@ -1506,7 +1506,7 @@ object SparkEntry {
         |sp AS (SELECT doc_a, doc_b, diag,
         |         min(pa) AS a_start, max(pa) + 11 AS a_end, count(*) AS np
         |       FROM isl GROUP BY doc_a, doc_b, diag, isl_id),
-        |iv AS (SELECT doc_b AS doc_id, a_start + diag AS s, a_end + diag AS e
+        |iv AS (SELECT DISTINCT doc_b AS doc_id, a_start + diag AS s, a_end + diag AS e
         |       FROM sp WHERE np >= 3),
         |om AS (SELECT doc_id, s, e,
         |        max(e) OVER (PARTITION BY doc_id ORDER BY s, e

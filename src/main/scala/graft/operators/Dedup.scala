@@ -427,7 +427,12 @@ object Dedup {
     * between releases is harmless). */
   def buildEvalGramIndex(evalDocs: DataFrame, n: Int = 13): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
-    wordGrams(evalDocs, n).select(col("g")).distinct()
+    // n travels in the g column's metadata (the q71/winnow convention —
+    // parquet round-trips it): probing an n=13 index with n=7 windows
+    // would hash disjoint gram streams and verdict everything clean
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.decontam.n", n.toLong).build()
+    wordGrams(evalDocs, n).select(col("g").as("g", meta)).distinct()
   }
 
   /** [[flagNgramContamination]] against a PRE-BUILT (or reloaded) eval
@@ -437,6 +442,15 @@ object Dedup {
   def flagAgainstEvalGrams(train: DataFrame, evalGrams: DataFrame,
                            n: Int = 13): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
+    evalGrams.schema.fields.find(_.name == "g").foreach { gField =>
+      if (gField.metadata.contains("graft.decontam.n")) {
+        val in = gField.metadata.getLong("graft.decontam.n")
+        require(in == n,
+          s"eval gram index was built with n=$in but the probe asked for " +
+            s"n=$n — gram streams would be disjoint and every doc would " +
+            "silently verdict clean")
+      }
+    }
     val hits = wordGrams(train, n)
       .join(broadcast(evalGrams.select(col("g")).distinct()), Seq("g"))
       .select(col("doc_id")).distinct()
@@ -2019,8 +2033,13 @@ object Dedup {
   def exciseSharedSpans(docs: DataFrame, spans: DataFrame,
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
+    // distinct: many pairs can report the SAME b-side interval (one
+    // per doc_a) — duplicates add nothing to the union, and removing
+    // them leaves (s, e) a total order per doc, so the pmax/gid window
+    // chain below never depends on tie order (the r15 oracle lesson:
+    // DuckDB's two-sort form of this chain split groups on ties)
     val iv = spans.select(col("doc_b").as("doc_id"),
-      col("b_start").as("s"), col("b_end").as("e"))
+      col("b_start").as("s"), col("b_end").as("e")).distinct()
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
     val wPrev = wDoc.rowsBetween(Window.unboundedPreceding, -1)
     val wRun = wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -282,10 +282,17 @@ object Sketches {
     * write race on the directory listing, like any file-table
     * compactor — the E3 contract).
     *
-    * The swap is staged-then-rename (write the compacted table to
-    * `path.compact_tmp`, swap directories) so a crash mid-compaction
-    * leaves either the old table or a complete new one, never a
-    * half-merged mix. @return number of batch partitions folded. */
+    * The swap is the rename-aside protocol [[graft.sources.Bucketing
+    * .compactBucketed]] uses: write the compacted table to
+    * `path.compact_tmp`, rename the live table aside to `path__old`,
+    * rename the staged table in, then drop the aside copy. The two
+    * renames are each metadata-only but not jointly atomic — a crash
+    * between them leaves the data intact under `path__old` (recovery =
+    * one rename), and a crash before the first rename leaves the live
+    * table untouched; at no point is the canonical path empty with the
+    * only copy in a tmp directory. A leftover `path__old` from a prior
+    * crash is reclaimed on the next run. @return number of batch
+    * partitions folded. */
   def compactKllPartials(spark: SparkSession, path: String,
                          keyCol: String): Long = {
     val parts = spark.read.parquet(path)
@@ -307,10 +314,15 @@ object Sketches {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    fs.delete(p, true)
+    val aside = new org.apache.hadoop.fs.Path(path + "__old")
+    if (fs.exists(aside)) fs.delete(aside, true) // leftover from a prior crash
+    require(fs.rename(p, aside),
+      s"compactKllPartials: rename $path -> $aside failed; the live table " +
+        "is untouched and the compacted copy sits at the tmp path")
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
-      s"compactKllPartials: rename $tmp -> $path failed; the compacted " +
-        "table is intact at the tmp path")
+      s"compactKllPartials: rename $tmp -> $path failed; recover by " +
+        s"renaming $aside back to $path — no data was deleted")
+    fs.delete(aside, true)
     fold.length.toLong
   }
 

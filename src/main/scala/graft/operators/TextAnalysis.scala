@@ -799,14 +799,27 @@ object TextAnalysis {
       s"milestones must be positive, got $milestones")
     val spark = docs.sparkSession
     import spark.implicits._
+    // "first N documents" needs a rank in idCol order. Dense 0-based
+    // ids (the corpus-build convention here) ARE that rank, checked
+    // with one tiny aggregation; any other id space falls back to an
+    // explicit row_number — a single-partition sort, so at real scale
+    // pre-rank upstream (or keep ids dense) rather than relying on it.
+    val idStats = docs.agg(min(col(idCol).cast("long")).as("mn"),
+      max(col(idCol).cast("long")).as("mx"), count(lit(1)).as("n")).first()
+    val dense = !idStats.isNullAt(0) && !idStats.isNullAt(1) &&
+      idStats.getLong(0) == 0L && idStats.getLong(1) == idStats.getLong(2) - 1L
+    val ranked =
+      if (dense) docs.select(col(idCol).cast("long").as("_rk"), col(textCol))
+      else docs.select((row_number().over(
+          Window.orderBy(col(idCol))) - 1).cast("long").as("_rk"), col(textCol))
     val nDocs = docs.select(count(lit(1)).as("_n"))
     val ms = milestones.distinct.sorted.toDF("prefix_docs")
       .crossJoin(nDocs).filter(col("prefix_docs") <= col("_n"))
       .select(col("prefix_docs"))
-    val toks = docs.select(col(idCol).as("_id"),
+    val toks = ranked.select(col("_rk"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
-    toks.join(broadcast(ms), col("_id") < col("prefix_docs"))
+    toks.join(broadcast(ms), col("_rk") < col("prefix_docs"))
       .groupBy(col("prefix_docs"), col("tok"))
       .agg(count(lit(1)).as("_c"))
       .groupBy(col("prefix_docs"))

@@ -983,19 +983,27 @@ object EventsStream {
     * `accept`.
     *
     * Exactly-once contract: a re-delivered id is a REPLAY, not a
-    * candidate — the batch anti-joins the grams table's ids up front
-    * (the probe's own self-pair exclusion would otherwise hide a
-    * replayed id from itself and re-accept it); append BEFORE accept
-    * (the round-14 order rule); and each artifact append anti-joins
-    * its OWN table's doc_ids, so either append is individually
-    * idempotent. A crash BETWEEN the two appends degrades that batch
-    * to at-least-once accept: on replay the half-indexed doc cannot
-    * fully verdict (its candidates lack grams rows, or never
-    * candidate-match), so it re-accepts while the anti-joins heal
-    * whichever artifact is missing — the index converges, duplicates
-    * never leak INTO it. The vocabulary is frozen at build time and
-    * only read here, never written — the exactness-under-growth
-    * invariant. */
+    * candidate — the batch anti-joins the POSTINGS table's ids up
+    * front (the probe's own self-pair exclusion would otherwise hide
+    * a replayed id from itself and re-accept it); append BEFORE
+    * accept (the round-14 order rule); and each artifact append
+    * anti-joins its OWN table's doc_ids, so either append is
+    * individually idempotent. Append ORDER is load-bearing (the r14
+    * advice fix): grams are written FIRST, postings SECOND, and
+    * replay detection reads postings — the LAST artifact. Candidate
+    * generation reads postings and verification reads grams, so any
+    * doc a later batch can candidate-match always verifies (its grams
+    * landed first); a doc crashed between the appends is simply
+    * invisible to candidates until its replay heals the postings.
+    * The one crash-window asymmetry: if a true duplicate arrives
+    * BEFORE the replay, it cannot see the half-indexed doc and is
+    * accepted — and the replayed original then candidate-matches the
+    * newcomer and is REJECTED, leaving exactly one copy in the corpus
+    * plus one orphaned grams row (never consulted: verification only
+    * reads grams for ids found in postings). Duplicates never leak
+    * INTO the index; accept stays at-most-once per id. The vocabulary
+    * is frozen at build time and only read here, never written — the
+    * exactness-under-growth invariant. */
   def prefixDedupIngestStream(docs: DataFrame, postingsTable: String,
                               gramsTable: String, vocabPath: String,
                               checkpointDir: String,
@@ -1010,7 +1018,7 @@ object EventsStream {
         import graft.operators.Dedup
         val spark = batch0.sparkSession
         val batch = batch0
-          .join(spark.table(gramsTable).select(col("doc_id")).distinct(),
+          .join(spark.table(postingsTable).select(col("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
           .localCheckpoint()
         val vocab = spark.read.parquet(vocabPath)
@@ -1023,18 +1031,19 @@ object EventsStream {
           .join(verdicts.filter(!col("is_dup")).select(col("doc_id")), Seq("doc_id"))
           .localCheckpoint()
         val (addPost, addGrams) = Dedup.appendToPrefixIndex(accepted, vocab, k, t)
-        addPost
-          .join(spark.table(postingsTable).select(col("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti")
-          .write.mode(org.apache.spark.sql.SaveMode.Append)
-          .format("parquet").bucketBy(numBuckets, "g").sortBy("g")
-          .saveAsTable(postingsTable)
+        // grams FIRST, postings SECOND — see the order contract above
         addGrams
           .join(spark.table(gramsTable).select(col("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
           .write.mode(org.apache.spark.sql.SaveMode.Append)
           .format("parquet").bucketBy(numBuckets, "doc_id").sortBy("doc_id")
           .saveAsTable(gramsTable)
+        addPost
+          .join(spark.table(postingsTable).select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").bucketBy(numBuckets, "g").sortBy("g")
+          .saveAsTable(postingsTable)
         accept(accepted)
       }
       .start()

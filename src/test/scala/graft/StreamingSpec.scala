@@ -242,6 +242,71 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C4c crash window: grams-first append order never leaks a duplicate into the index") {
+    import graft.streaming.EventsStream.StreamDoc
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today " +
+      "while morning light spreads across quiet fields and distant hills beyond the water line"
+    val novel = "a totally distinct passage about catalyst rules codegen stages and " +
+      "adaptive query execution with partition pruning runtime filters and shuffle reuse"
+    spark.sql("DROP TABLE IF EXISTS stream_pfx2_post")
+    spark.sql("DROP TABLE IF EXISTS stream_pfx2_grams")
+    val (p0, g0, v0) = Dedup.buildPrefixIndex(Seq((0L, base)).toDF("doc_id", "text"))
+    graft.sources.Bucketing.writeBucketed(p0, "stream_pfx2_post", Seq("g"), 8)
+    graft.sources.Bucketing.writeBucketed(g0, "stream_pfx2_grams", Seq("doc_id"), 8)
+    val vocabDir = java.nio.file.Files.createTempDirectory("graft_pfx2_vocab").toString
+    v0.write.mode("overwrite").parquet(vocabDir)
+    // simulate the crash: doc 50's GRAMS landed (the first append of
+    // the r14-advice order) but the process died before its postings —
+    // a half-indexed doc, invisible to candidate generation
+    val (addP50, addG50) = Dedup.appendToPrefixIndex(
+      Seq((50L, novel)).toDF("doc_id", "text"),
+      spark.read.parquet(vocabDir))
+    assert(addP50.count() > 0, "the crash simulation needs real postings to lose")
+    addG50.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").bucketBy(8, "doc_id").sortBy("doc_id")
+      .saveAsTable("stream_pfx2_grams")
+    val acceptedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[StreamDoc]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pfx2_ck").toString
+    val q = EventsStream.prefixDedupIngestStream(
+      mem.toDF().toDF("doc_id", "text"), "stream_pfx2_post", "stream_pfx2_grams",
+      vocabDir, ckpt,
+      accept = df => acceptedIds.synchronized {
+        acceptedIds ++= df.select("doc_id").as[Long](implicitly).collect()
+      })
+    def ids(table: String) = {
+      spark.catalog.refreshTable(table)
+      spark.table(table).select("doc_id").distinct().as[Long].collect().toSet
+    }
+    try {
+      // a true duplicate of the half-indexed doc arrives BEFORE the
+      // replay: it cannot see doc 50 (no postings) and is accepted —
+      // and because its OWN grams+postings land fully, the corpus now
+      // carries a complete copy of the content
+      mem.addData(StreamDoc(60, novel))
+      q.processAllAvailable()
+      assert(acceptedIds.toSeq == Seq(60L), s"got $acceptedIds")
+      assert(ids("stream_pfx2_post") == Set(0L, 60L), s"${ids("stream_pfx2_post")}")
+      // the crashed batch replays: doc 50 is absent from POSTINGS (the
+      // replay-detection artifact) so it re-processes — and now
+      // candidate-matches the fully-indexed 60, verdicts dup, REJECTS.
+      // Exactly one copy of the content lives in the index; 50's
+      // orphaned grams row is never consulted (verification only reads
+      // grams for ids found in postings)
+      mem.addData(StreamDoc(50, novel))
+      q.processAllAvailable()
+      assert(acceptedIds.toSeq == Seq(60L),
+        s"the replayed original must reject against the newcomer: $acceptedIds")
+      assert(ids("stream_pfx2_post") == Set(0L, 60L),
+        "no second copy of the content may enter the postings")
+      assert(ids("stream_pfx2_grams") == Set(0L, 50L, 60L),
+        "the orphan grams row stays, harmlessly")
+    } finally q.stop()
+  }
+
   test("D2→C11c: streaming winnow ingest — self pass, span verdicts, doc-local growth") {
     import graft.streaming.EventsStream.StreamDoc
     import graft.operators.Dedup
@@ -934,6 +999,16 @@ class StreamingSpec extends SparkSpecBase {
       assert(verdicts() == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false),
         s"updated suite must flag from the next trigger: ${verdicts()}")
     } finally q.stop()
+    // the n-metadata guard (r14 advice fix): probing an n=13 index with
+    // n=7 would hash disjoint gram streams and verdict everything clean
+    // — parquet round-trips the stamp, so the reloaded index refuses
+    val reloaded = spark.read.parquet(gramDir)
+    val exN = intercept[IllegalArgumentException] {
+      Dedup.flagAgainstEvalGrams(
+        Seq((9L, dirty)).toDF("doc_id", "text"), reloaded, n = 7)
+    }
+    assert(exN.getMessage.contains("n=13") && exN.getMessage.contains("n=7"),
+      exN.getMessage)
   }
 
   test("D2→C27b: streaming vocabulary ingest bootstraps, attaches, and replays idempotently") {

@@ -372,5 +372,15 @@ class TextAnalysisSpec extends SparkSpecBase {
       TextAnalysis.vocabularyGrowth(docs, milestones = Seq(-1L))
     }
     assert(ex.getMessage.contains("positive"))
+    // non-dense ids take the explicit rank fallback: the curve depends
+    // on idCol ORDER, never on id VALUES (r14 advice fix — before it,
+    // sparse ids silently measured a different subset than documented)
+    val shifted = Seq(
+      (10L, "a b a"), (21L, "b c"), (32L, "c c c"), (43L, "d"), (54L, "   ")
+    ).toDF("doc_id", "text")
+    val outS = TextAnalysis.vocabularyGrowth(shifted,
+        milestones = Seq(1L, 2L, 3L, 4L, 5L, 99L))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(outS == out, s"sparse-id curve must equal the dense one: $outS")
   }
 }
