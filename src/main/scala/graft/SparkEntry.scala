@@ -248,7 +248,13 @@ object SparkEntry {
     // force — the probe knob's measured effect, integer basis points
     "q161_ann_recall"            -> ((s, d) => Similarity.annRecallReport(s, d)),
     // the PQ tier's knob measured the same way: ADC rerank cut 10 vs 50
-    "q162_ann_pq_recall"         -> ((s, d) => Similarity.annPqRecallReport(s, d))
+    "q162_ann_pq_recall"         -> ((s, d) => Similarity.annPqRecallReport(s, d)),
+    // the TWO-LEVEL (IMI) tier metered on the q161 convention: per-half
+    // probe width 1 vs 2 on the q139 formula chain
+    "q163_ann_imi_recall"        -> ((s, d) => Similarity.annImiRecallReport(s, d)),
+    // the composed IMI+ADC tier (q141's chain) at ADC cuts 10 vs 50 —
+    // the headline 100 TB configuration, now metered
+    "q164_ann_imipq_recall"      -> ((s, d) => Similarity.annImiPqRecallReport(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -333,6 +339,100 @@ object SparkEntry {
        |                ELSE (weight * b_rem) // greatest(w_rem, 1) END AS alloc_tokens
        |      FROM w4)""".stripMargin
   }
+
+  /** The q141 IMI chain's shared CTE prefix — formula per-half
+    * sub-quantizers (first 4 vectors' halves), per-half argmin
+    * assignment and the product-cell arithmetic. Shared verbatim by
+    * q141 (composed search), q163 (IMI recall meter) and q164 (IMI+ADC
+    * recall meter), the mixturePlanOracleCtes convention. */
+  private val imiCellCtes: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |h AS (SELECT vec_id, v[1:32] AS v1, v[33:64] AS v2, v FROM e),
+      |c1 AS (SELECT CAST(vec_id AS INT) AS cell, v1 AS cvec,
+      |         list_dot_product(v1, v1) AS cc FROM h WHERE vec_id < 4),
+      |c2t AS (SELECT CAST(vec_id AS INT) AS cell, v2 AS cvec,
+      |          list_dot_product(v2, v2) AS cc FROM h WHERE vec_id < 4),
+      |a1 AS (SELECT vec_id, cell AS cc1 FROM (
+      |        SELECT h.vec_id, c1.cell,
+      |          row_number() OVER (PARTITION BY h.vec_id
+      |            ORDER BY c1.cc - 2.0 * list_dot_product(h.v1, c1.cvec) ASC,
+      |                     c1.cell ASC) AS rn
+      |        FROM h CROSS JOIN c1) WHERE rn = 1),
+      |a2 AS (SELECT vec_id, cell AS cc2 FROM (
+      |        SELECT h.vec_id, c2t.cell,
+      |          row_number() OVER (PARTITION BY h.vec_id
+      |            ORDER BY c2t.cc - 2.0 * list_dot_product(h.v2, c2t.cvec) ASC,
+      |                     c2t.cell ASC) AS rn
+      |        FROM h CROSS JOIN c2t) WHERE rn = 1),
+      |asg AS (SELECT a1.vec_id, a1.cc1, a2.cc2, a1.cc1 * 4 + a2.cc2 AS cell
+      |        FROM a1 JOIN a2 USING (vec_id))""".stripMargin
+
+  /** q141's residual-PQ continuation: residuals against the assigned
+    * PRODUCT-cell centroid, the formula codebook (vectors 16..31's
+    * residuals), corpus encoding, per-half top-2 query probes and the
+    * per-probe ADC distances. Appended to [[imiCellCtes]] by q141 and
+    * q164. */
+  private val imiPqAdcCtes: String =
+    """res AS (SELECT a.vec_id, a.cell,
+      |          list_transform(range(1, 33), i -> h.v1[i] - p1.cvec[i]) ||
+      |          list_transform(range(1, 33), i -> h.v2[i] - p2.cvec[i]) AS r
+      |        FROM asg a JOIN h ON h.vec_id = a.vec_id
+      |          JOIN c1 p1 ON p1.cell = a.cc1
+      |          JOIN c2t p2 ON p2.cell = a.cc2),
+      |cb AS (SELECT s.s AS subspace, CAST(r.vec_id - 16 AS INT) AS code,
+      |         r.r[s.s*8+1 : s.s*8+8] AS centroid
+      |       FROM res r CROSS JOIN range(0, 8) s(s) WHERE r.vec_id BETWEEN 16 AND 31),
+      |d AS (SELECT r.vec_id, r.cell, cb.subspace, cb.code,
+      |        list_sum(list_transform(range(1, 9), i ->
+      |          (r.r[cb.subspace*8 + i] - cb.centroid[i])
+      |          * (r.r[cb.subspace*8 + i] - cb.centroid[i]))) AS dist
+      |      FROM res r CROSS JOIN cb),
+      |codes AS (SELECT vec_id, cell, subspace, code FROM (
+      |           SELECT vec_id, cell, subspace, code,
+      |             row_number() OVER (PARTITION BY vec_id, subspace
+      |               ORDER BY dist ASC, code ASC) AS rn
+      |           FROM d) WHERE rn = 1),
+      |p1 AS (SELECT q_id, cell AS cc1 FROM (
+      |        SELECT h.vec_id AS q_id, c1.cell,
+      |          row_number() OVER (PARTITION BY h.vec_id
+      |            ORDER BY c1.cc - 2.0 * list_dot_product(h.v1, c1.cvec) ASC,
+      |                     c1.cell ASC) AS rn
+      |        FROM h CROSS JOIN c1 WHERE h.vec_id < 5) WHERE rn <= 2),
+      |p2 AS (SELECT q_id, cell AS cc2 FROM (
+      |        SELECT h.vec_id AS q_id, c2t.cell,
+      |          row_number() OVER (PARTITION BY h.vec_id
+      |            ORDER BY c2t.cc - 2.0 * list_dot_product(h.v2, c2t.cvec) ASC,
+      |                     c2t.cell ASC) AS rn
+      |        FROM h CROSS JOIN c2t WHERE h.vec_id < 5) WHERE rn <= 2),
+      |qres AS (SELECT p1.q_id, p1.cc1 * 4 + p2.cc2 AS cell,
+      |           list_transform(range(1, 33), i -> h.v1[i] - pc1.cvec[i]) ||
+      |           list_transform(range(1, 33), i -> h.v2[i] - pc2.cvec[i]) AS qr
+      |         FROM p1 JOIN p2 USING (q_id)
+      |           JOIN h ON h.vec_id = p1.q_id
+      |           JOIN c1 pc1 ON pc1.cell = p1.cc1
+      |           JOIN c2t pc2 ON pc2.cell = p2.cc2),
+      |qd AS (SELECT q.q_id, q.cell, cb.subspace, cb.code,
+      |         list_sum(list_transform(range(1, 9), i ->
+      |           (q.qr[cb.subspace*8 + i] - cb.centroid[i])
+      |           * (q.qr[cb.subspace*8 + i] - cb.centroid[i]))) AS dist
+      |       FROM qres q CROSS JOIN cb),
+      |adist AS (SELECT qd.q_id, co.vec_id AS c_id,
+      |            list_sum(list(qd.dist ORDER BY qd.subspace)) AS ad
+      |          FROM codes co JOIN qd ON qd.cell = co.cell
+      |            AND qd.subspace = co.subspace AND qd.code = co.code
+      |          WHERE co.vec_id <> qd.q_id
+      |          GROUP BY 1, 2)""".stripMargin
+
+  /** The q161 brute-force ground-truth CTEs (exact cosine over all
+    * pairs, top-10 per query) — reusable wherever `e` is in scope. */
+  private val annTruthCtes: String =
+    """bscored AS (SELECT q.vec_id AS q_id, cd.vec_id AS c_id,
+      |    round(list_dot_product(q.v, cd.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(cd.v, cd.v))), 4) AS cos
+      |  FROM e q JOIN e cd ON q.vec_id < 5 AND cd.vec_id <> q.vec_id),
+      |truth AS (SELECT q_id, c_id FROM (
+      |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos DESC, c_id ASC) AS rn FROM bscored) WHERE rn <= 10)""".stripMargin
 
   private val qualityCtes: String =
     s"""base AS (
@@ -2035,76 +2135,8 @@ object SparkEntry {
     // PRODUCT-cell centroid, the two half-centroids concatenated);
     // per-half top-2 probes give 4 probed product cells per query
     "q141_ann_imipq_portable" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |h AS (SELECT vec_id, v[1:32] AS v1, v[33:64] AS v2, v FROM e),
-        |c1 AS (SELECT CAST(vec_id AS INT) AS cell, v1 AS cvec,
-        |         list_dot_product(v1, v1) AS cc FROM h WHERE vec_id < 4),
-        |c2t AS (SELECT CAST(vec_id AS INT) AS cell, v2 AS cvec,
-        |          list_dot_product(v2, v2) AS cc FROM h WHERE vec_id < 4),
-        |a1 AS (SELECT vec_id, cell AS cc1 FROM (
-        |        SELECT h.vec_id, c1.cell,
-        |          row_number() OVER (PARTITION BY h.vec_id
-        |            ORDER BY c1.cc - 2.0 * list_dot_product(h.v1, c1.cvec) ASC,
-        |                     c1.cell ASC) AS rn
-        |        FROM h CROSS JOIN c1) WHERE rn = 1),
-        |a2 AS (SELECT vec_id, cell AS cc2 FROM (
-        |        SELECT h.vec_id, c2t.cell,
-        |          row_number() OVER (PARTITION BY h.vec_id
-        |            ORDER BY c2t.cc - 2.0 * list_dot_product(h.v2, c2t.cvec) ASC,
-        |                     c2t.cell ASC) AS rn
-        |        FROM h CROSS JOIN c2t) WHERE rn = 1),
-        |asg AS (SELECT a1.vec_id, a1.cc1, a2.cc2, a1.cc1 * 4 + a2.cc2 AS cell
-        |        FROM a1 JOIN a2 USING (vec_id)),
-        |res AS (SELECT a.vec_id, a.cell,
-        |          list_transform(range(1, 33), i -> h.v1[i] - p1.cvec[i]) ||
-        |          list_transform(range(1, 33), i -> h.v2[i] - p2.cvec[i]) AS r
-        |        FROM asg a JOIN h ON h.vec_id = a.vec_id
-        |          JOIN c1 p1 ON p1.cell = a.cc1
-        |          JOIN c2t p2 ON p2.cell = a.cc2),
-        |cb AS (SELECT s.s AS subspace, CAST(r.vec_id - 16 AS INT) AS code,
-        |         r.r[s.s*8+1 : s.s*8+8] AS centroid
-        |       FROM res r CROSS JOIN range(0, 8) s(s) WHERE r.vec_id BETWEEN 16 AND 31),
-        |d AS (SELECT r.vec_id, r.cell, cb.subspace, cb.code,
-        |        list_sum(list_transform(range(1, 9), i ->
-        |          (r.r[cb.subspace*8 + i] - cb.centroid[i])
-        |          * (r.r[cb.subspace*8 + i] - cb.centroid[i]))) AS dist
-        |      FROM res r CROSS JOIN cb),
-        |codes AS (SELECT vec_id, cell, subspace, code FROM (
-        |           SELECT vec_id, cell, subspace, code,
-        |             row_number() OVER (PARTITION BY vec_id, subspace
-        |               ORDER BY dist ASC, code ASC) AS rn
-        |           FROM d) WHERE rn = 1),
-        |p1 AS (SELECT q_id, cell AS cc1 FROM (
-        |        SELECT h.vec_id AS q_id, c1.cell,
-        |          row_number() OVER (PARTITION BY h.vec_id
-        |            ORDER BY c1.cc - 2.0 * list_dot_product(h.v1, c1.cvec) ASC,
-        |                     c1.cell ASC) AS rn
-        |        FROM h CROSS JOIN c1 WHERE h.vec_id < 5) WHERE rn <= 2),
-        |p2 AS (SELECT q_id, cell AS cc2 FROM (
-        |        SELECT h.vec_id AS q_id, c2t.cell,
-        |          row_number() OVER (PARTITION BY h.vec_id
-        |            ORDER BY c2t.cc - 2.0 * list_dot_product(h.v2, c2t.cvec) ASC,
-        |                     c2t.cell ASC) AS rn
-        |        FROM h CROSS JOIN c2t WHERE h.vec_id < 5) WHERE rn <= 2),
-        |qres AS (SELECT p1.q_id, p1.cc1 * 4 + p2.cc2 AS cell,
-        |           list_transform(range(1, 33), i -> h.v1[i] - pc1.cvec[i]) ||
-        |           list_transform(range(1, 33), i -> h.v2[i] - pc2.cvec[i]) AS qr
-        |         FROM p1 JOIN p2 USING (q_id)
-        |           JOIN h ON h.vec_id = p1.q_id
-        |           JOIN c1 pc1 ON pc1.cell = p1.cc1
-        |           JOIN c2t pc2 ON pc2.cell = p2.cc2),
-        |qd AS (SELECT q.q_id, q.cell, cb.subspace, cb.code,
-        |         list_sum(list_transform(range(1, 9), i ->
-        |           (q.qr[cb.subspace*8 + i] - cb.centroid[i])
-        |           * (q.qr[cb.subspace*8 + i] - cb.centroid[i]))) AS dist
-        |       FROM qres q CROSS JOIN cb),
-        |adist AS (SELECT qd.q_id, co.vec_id AS c_id,
-        |            list_sum(list(qd.dist ORDER BY qd.subspace)) AS ad
-        |          FROM codes co JOIN qd ON qd.cell = co.cell
-        |            AND qd.subspace = co.subspace AND qd.code = co.code
-        |          WHERE co.vec_id <> qd.q_id
-        |          GROUP BY 1, 2),
-        |cand AS (SELECT q_id, c_id FROM (
+      (imiCellCtes + ",\n" + imiPqAdcCtes + ",\n" +
+      """cand AS (SELECT q_id, c_id FROM (
         |          SELECT q_id, c_id,
         |            row_number() OVER (PARTITION BY q_id ORDER BY ad ASC, c_id ASC) AS ar
         |          FROM adist) WHERE ar <= 50),
@@ -2114,7 +2146,84 @@ object SparkEntry {
         |          FROM cand JOIN e qe ON qe.vec_id = cand.q_id JOIN e ce ON ce.vec_id = cand.c_id),
         |ranked AS (SELECT q_id, c_id, cos,
         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM scored)
-        |SELECT q_id, rn AS rank, c_id, cos FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin,
+        |SELECT q_id, rn AS rank, c_id, cos FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin),
+
+    // q163: the TWO-LEVEL tier's recall meter — the q141 cell CTEs
+    // (formula per-half sub-quantizers + production assignment), the
+    // per-half probe at widths 1 and 2, nProbe² product cells per
+    // query, exact-cosine rerank, then the q161 intersection counts
+    "q163_ann_imi_recall" -> {
+      def imiTier(np: Int): String =
+        s"""pr1n$np AS (SELECT q_id, cell AS cc1 FROM (
+           |  SELECT h.vec_id AS q_id, c1.cell,
+           |    row_number() OVER (PARTITION BY h.vec_id
+           |      ORDER BY c1.cc - 2.0 * list_dot_product(h.v1, c1.cvec) ASC,
+           |               c1.cell ASC) AS rn
+           |  FROM h CROSS JOIN c1 WHERE h.vec_id < 5) WHERE rn <= $np),
+           |pr2n$np AS (SELECT q_id, cell AS cc2 FROM (
+           |  SELECT h.vec_id AS q_id, c2t.cell,
+           |    row_number() OVER (PARTITION BY h.vec_id
+           |      ORDER BY c2t.cc - 2.0 * list_dot_product(h.v2, c2t.cvec) ASC,
+           |               c2t.cell ASC) AS rn
+           |  FROM h CROSS JOIN c2t WHERE h.vec_id < 5) WHERE rn <= $np),
+           |cand$np AS (SELECT p.q_id, a.vec_id AS c_id
+           |  FROM (SELECT pr1n$np.q_id, pr1n$np.cc1 * 4 + pr2n$np.cc2 AS cell
+           |        FROM pr1n$np JOIN pr2n$np USING (q_id)) p
+           |  JOIN asg a ON a.cell = p.cell WHERE a.vec_id <> p.q_id),
+           |scored$np AS (SELECT cand$np.q_id, cand$np.c_id,
+           |    round(list_dot_product(qe.v, ce.v) /
+           |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cos
+           |  FROM cand$np JOIN e qe ON qe.vec_id = cand$np.q_id
+           |  JOIN e ce ON ce.vec_id = cand$np.c_id),
+           |appr$np AS (SELECT q_id, c_id FROM (
+           |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cos DESC, c_id ASC) AS rn FROM scored$np) WHERE rn <= 10),
+           |hits$np AS (SELECT t.q_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM truth t JOIN appr$np a ON a.q_id = t.q_id AND a.c_id = t.c_id
+           |  GROUP BY 1)""".stripMargin
+      def tierSelect(np: Int): String =
+        s"""SELECT 'imi_np$np' AS tier, q.q_id, CAST(10 AS BIGINT) AS k,
+           |  coalesce(h.n, 0) AS n_hits,
+           |  CAST((coalesce(h.n, 0) * 10000) // 10 AS BIGINT) AS recall_bp
+           |FROM (SELECT DISTINCT q_id FROM truth) q
+           |LEFT JOIN hits$np h ON h.q_id = q.q_id""".stripMargin
+      imiCellCtes + ",\n" + annTruthCtes + ",\n" +
+        imiTier(1) + ",\n" + imiTier(2) + "\n" +
+        tierSelect(1) + "\nUNION ALL\n" + tierSelect(2) +
+        "\nORDER BY tier, q_id"
+    },
+
+    // q164: the composed IMI+ADC tier's recall meter — the full q141
+    // chain (cells, residual codebook, codes, per-half top-2 probes,
+    // per-probe ADC) at rerank cuts 10 and 50, vs the brute truth
+    "q164_ann_imipq_recall" -> {
+      def cutTier(r: Int): String =
+        s"""candr$r AS (SELECT q_id, c_id FROM (
+           |  SELECT q_id, c_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY ad ASC, c_id ASC) AS ar
+           |  FROM adist) WHERE ar <= $r),
+           |scored$r AS (SELECT candr$r.q_id, candr$r.c_id,
+           |    round(list_dot_product(qe.v, ce.v) /
+           |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cos
+           |  FROM candr$r JOIN e qe ON qe.vec_id = candr$r.q_id
+           |  JOIN e ce ON ce.vec_id = candr$r.c_id),
+           |appr$r AS (SELECT q_id, c_id FROM (
+           |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cos DESC, c_id ASC) AS rn FROM scored$r) WHERE rn <= 10),
+           |hits$r AS (SELECT t.q_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM truth t JOIN appr$r a ON a.q_id = t.q_id AND a.c_id = t.c_id
+           |  GROUP BY 1)""".stripMargin
+      def tierSelect(r: Int): String =
+        s"""SELECT 'imipq_r${f"$r%02d"}' AS tier, q.q_id, CAST(10 AS BIGINT) AS k,
+           |  coalesce(h.n, 0) AS n_hits,
+           |  CAST((coalesce(h.n, 0) * 10000) // 10 AS BIGINT) AS recall_bp
+           |FROM (SELECT DISTINCT q_id FROM truth) q
+           |LEFT JOIN hits$r h ON h.q_id = q.q_id""".stripMargin
+      imiCellCtes + ",\n" + imiPqAdcCtes + ",\n" + annTruthCtes + ",\n" +
+        cutTier(10) + ",\n" + cutTier(50) + "\n" +
+        tierSelect(10) + "\nUNION ALL\n" + tierSelect(50) +
+        "\nORDER BY tier, q_id"
+    },
 
     // q82: planted-coefficient certification of the dense-solve
     // forecast path. The oracle regenerates the noiseless truth from

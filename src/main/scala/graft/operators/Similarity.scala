@@ -591,6 +591,68 @@ object Similarity {
       .orderBy(col("tier"), col("q_id"))
   }
 
+  /** C7f: the q139 formula-twin IMI SEARCH chain — sub-quantizer cell j
+    * of each half is corpus vector j's own half (j < k1/k2), the whole
+    * corpus assigns through the PRODUCTION two-level rule
+    * ([[assignTwoLevel]]) and queries run the production
+    * [[annImiSearch]] — so the two-level tier's recall is
+    * oracle-measurable end to end (q163), the way q79 made the flat
+    * IVF tier measurable (q161). Production feeds
+    * [[buildIvfIndexTwoLevel]] artifacts instead; the two differ ONLY
+    * in where the sub-centroid tables came from. */
+  def annImiPortable(spark: SparkSession, dir: String, k: Int = 10,
+                     numQueries: Int = 5, nProbe: Int = 2,
+                     k1: Int = 4, k2: Int = 4, dim: Int = 64): DataFrame = {
+    val e = prepVectors(Tables(spark, dir).embeddings).localCheckpoint()
+    val h = dim / 2
+    def halfCent(first: Boolean, kk: Int) = {
+      val hv = if (first) slice(col("v"), 1, h) else slice(col("v"), h + 1, dim - h)
+      e.filter(col("vec_id") < kk)
+        .select(col("vec_id").cast("int").as("cell"), hv.as("cvec"),
+          vectors.dot(hv, hv).as("c2"))
+    }
+    val cent1 = halfCent(first = true, k1)
+    val cent2 = halfCent(first = false, k2)
+    annImiSearch(assignTwoLevel(e, cent1, cent2, k2), cent1, cent2, k2,
+      k, numQueries, nProbe)
+  }
+
+  /** C7f `q163_ann_imi_recall` — [[annRecall]] of the TWO-LEVEL (IMI)
+    * tier at per-half probe widths 1 and 2 against exact brute force:
+    * the tier a 100 TB deployment actually ships (q139's index shape)
+    * gets the same measured operating points the flat IVF tier got in
+    * q161. nProbe=1 probes ONE product cell per query; nProbe=2 probes
+    * the 4 best per-half combinations — monotone by the same
+    * exact-rerank superset dominance. */
+  def annImiRecallReport(spark: SparkSession, dir: String, k: Int = 10,
+                         numQueries: Int = 5): DataFrame = {
+    val truth = annBruteForce(spark, dir, k, numQueries).localCheckpoint()
+    def tier(nProbe: Int): DataFrame =
+      annRecall(truth, annImiPortable(spark, dir, k, numQueries, nProbe), k)
+        .withColumn("tier", lit(s"imi_np$nProbe"))
+    tier(1).unionByName(tier(2))
+      .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp"))
+      .orderBy(col("tier"), col("q_id"))
+  }
+
+  /** C7f `q164_ann_imipq_recall` — [[annRecall]] of the COMPOSED
+    * IMI+ADC tier (q141's formula chain: two-level coarse cells +
+    * residual PQ codes) at ADC rerank cuts 10 and 50 against exact
+    * brute force. This is the headline 100 TB configuration — codes,
+    * not vectors, scanned in the probed product cells — so its recall
+    * knob is the one that matters most to meter. */
+  def annImiPqRecallReport(spark: SparkSession, dir: String, k: Int = 10,
+                           numQueries: Int = 5): DataFrame = {
+    val truth = annBruteForce(spark, dir, k, numQueries).localCheckpoint()
+    def tier(rerank: Int): DataFrame =
+      annRecall(truth,
+        annImiPqPortable(spark, dir, k, numQueries, nProbe = 2, rerank = rerank), k)
+        .withColumn("tier", lit(f"imipq_r$rerank%02d"))
+    tier(10).unionByName(tier(50))
+      .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp"))
+      .orderBy(col("tier"), col("q_id"))
+  }
+
   /** PQ (product quantization) index build — the memory-side scale path
     * of the ANN family: split each vector into `subspaces` sub-vectors,
     * k-means each subspace into a `codebookSize`-entry codebook (one

@@ -836,4 +836,31 @@ class SimilaritySpec extends SparkSpecBase {
       assert(m("pq_r50") >= m("pq_r10"), s"monotone at q=$q: $m")
     }
   }
+  test("annImiRecallReport: per-half probe widening is monotone on the two-level tier") {
+    import spark.implicits._
+    // q163 shape: nProbe=2's 4 probed product cells are a superset of
+    // nProbe=1's single cell (per-half top-1 is always inside per-half
+    // top-2) and the rerank is exact cosine — superset dominance again
+    val rep = Similarity.annImiRecallReport(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rep.map(_._1).distinct.sorted.toSeq == Seq("imi_np1", "imi_np2"))
+    val byQ = rep.groupBy(_._2).view.mapValues(_.map(r => r._1 -> r._5).toMap)
+    byQ.foreach { case (q, m) =>
+      assert(m("imi_np2") >= m("imi_np1"), s"monotone at q=$q: $m")
+    }
+    // the twin really runs the production search: every query point
+    // reports at both widths (5 queries x 2 tiers)
+    assert(rep.length == 10, s"expected 10 meter rows, got ${rep.length}")
+  }
+  test("annImiPqRecallReport: widening the ADC cut is monotone on the composed tier") {
+    import spark.implicits._
+    val rep = Similarity.annImiPqRecallReport(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rep.map(_._1).distinct.sorted.toSeq == Seq("imipq_r10", "imipq_r50"))
+    val byQ = rep.groupBy(_._2).view.mapValues(_.map(r => r._1 -> r._5).toMap)
+    byQ.foreach { case (q, m) =>
+      assert(m("imipq_r50") >= m("imipq_r10"), s"monotone at q=$q: $m")
+    }
+    assert(rep.length == 10, s"expected 10 meter rows, got ${rep.length}")
+  }
 }
