@@ -254,7 +254,10 @@ object SparkEntry {
     "q163_ann_imi_recall"        -> ((s, d) => Similarity.annImiRecallReport(s, d)),
     // the composed IMI+ADC tier (q141's chain) at ADC cuts 10 vs 50 —
     // the headline 100 TB configuration, now metered
-    "q164_ann_imipq_recall"      -> ((s, d) => Similarity.annImiPqRecallReport(s, d))
+    "q164_ann_imipq_recall"      -> ((s, d) => Similarity.annImiPqRecallReport(s, d)),
+    // the mixture loop composed: q158 plan → q159 multiset → the
+    // interleaved training order with REALIZED-count strides
+    "q165_mixture_interleaved"   -> ((s, d) => Sharding.mixtureTrainingOrderDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1565,6 +1568,45 @@ object SparkEntry {
          |SELECT doc_id, source, CAST(i AS BIGINT) AS epoch
          |FROM n CROSS JOIN generate_series(0, 7) AS g(i)
          |WHERE i < n ORDER BY doc_id, epoch""".stripMargin,
+
+    // q165: the composed mixture loop replayed end to end — the q158
+    // plan CTEs, the q159 expansion, then realized per-source counts,
+    // the md5 within-source shuffle, the exact integer stride keys
+    // ((2k−1)·2³²) // (2·n_s) and the global merge, position for
+    // position (global_pos = row_number over the total key order)
+    "q165_mixture_interleaved" ->
+      s"""$mixturePlanOracleCtes,
+         |pl AS (SELECT source,
+         |         CAST((alloc_tokens * 10000) // n_tokens AS BIGINT) AS ebp
+         |       FROM a),
+         |dd AS (SELECT d.doc_id, d.source, pl.ebp,
+         |        CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':19'), 1, 13))
+         |             AS BIGINT) / 4503599627370496.0 AS u
+         |       FROM documents d JOIN pl ON pl.source = d.source),
+         |n AS (SELECT doc_id, source,
+         |        ebp // 10000
+         |        + CASE WHEN u < (ebp % 10000) / 10000.0 THEN 1 ELSE 0 END AS n
+         |      FROM dd),
+         |ms AS (SELECT doc_id, source, CAST(i AS BIGINT) AS epoch
+         |       FROM n CROSS JOIN generate_series(0, 7) AS g(i) WHERE i < n),
+         |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+         |        FROM ms GROUP BY source),
+         |rk AS (SELECT ms.doc_id, ms.source, ms.epoch,
+         |         CAST(('0x' || substr(md5(CAST(ms.doc_id AS VARCHAR) || '#'
+         |              || CAST(ms.epoch AS VARCHAR) || ':23'), 1, 13))
+         |              AS BIGINT) / 4503599627370496.0 AS u2
+         |       FROM ms),
+         |r2 AS (SELECT doc_id, source, epoch,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY u2 ASC, doc_id ASC, epoch ASC) AS BIGINT) AS src_rank
+         |       FROM rk),
+         |ky AS (SELECT r2.doc_id, r2.source, r2.epoch, r2.src_rank,
+         |         ((2 * r2.src_rank - 1) * 4294967296) // (2 * cnt.n_src) AS pos_key
+         |       FROM r2 JOIN cnt USING (source))
+         |SELECT CAST(row_number() OVER (
+         |         ORDER BY pos_key, source, doc_id, epoch) - 1 AS BIGINT) AS global_pos,
+         |       doc_id, source, epoch, src_rank
+         |FROM ky ORDER BY global_pos""".stripMargin,
 
 
     // q154: excision replayed — the q153 span chain, the b-side

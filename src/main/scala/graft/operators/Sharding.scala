@@ -552,6 +552,76 @@ object Sharding {
       .orderBy(col("doc_id"), col("epoch"))
   }
 
+  /** C15e: interleave a training MULTISET by its REALIZED per-source
+    * counts — the link that closes the mixture loop plan → execute →
+    * order: [[mixtureInterleave]] takes a STATIC stride map, but the
+    * proportions a loader must see are the ones [[planMixture]]
+    * actually allocated and [[executeMixturePlan]] actually
+    * materialized (whole copies plus the fractional coin move realized
+    * counts off any static table). Deriving the stride from the
+    * multiset itself — stride_s = T / n_s — makes the consumed order
+    * reflect the BUDGETED mix by construction.
+    *
+    * Exactness: instead of a float stride, copy k of source s sorts by
+    * the integer key ((2k−1)·2³²) DIV (2·n_s) — the normalized
+    * position (k−½)/n_s on a 2³² grid in exact long arithmetic (no
+    * float boundary anywhere; n_s < 2²⁹ keeps the numerator under
+    * 2⁶²), ties broken by (source, id, epoch) into a total order.
+    * Every prefix of length P then holds ≈ P·n_s/T rows of source s —
+    * proportions hold at every training step, not just in aggregate.
+    *
+    * Scale shape: the per-source count and rank share ONE window
+    * partitioning (the source exchange), then the single intended
+    * range exchange (global key sort) with `zipWithIndex` for the
+    * ordinal — [[mixtureInterleave]]'s shape, nothing corpus-wide
+    * beyond it. */
+  def mixtureInterleaveRealized(multiset: DataFrame, idCol: String,
+                                sourceCol: String, epochCol: String,
+                                seed: Long = 0L,
+                                draw: Option[Column] = None): DataFrame = {
+    val u = draw.getOrElse(
+      hashUnit(concat_ws("#", col(idCol), col(epochCol)), seed))
+    val W = org.apache.spark.sql.expressions.Window
+    val wSrc = W.partitionBy(col(sourceCol))
+    val wRank = wSrc.orderBy(u.asc, col(idCol).asc, col(epochCol).asc)
+    val sorted = multiset.select(col(idCol), col(sourceCol), col(epochCol))
+      .withColumn("src_rank", row_number().over(wRank).cast("long"))
+      .withColumn("_n_src", count(lit(1)).over(wSrc))
+      .withColumn("pos_key", expr(
+        "CAST(((2 * src_rank - 1) * 4294967296) DIV (2 * _n_src) AS BIGINT)"))
+      .orderBy(col("pos_key"), col(sourceCol), col(idCol), col(epochCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "global_pos", org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    multiset.sparkSession.createDataFrame(rows, schema)
+      .select(col("global_pos"), col(idCol), col(sourceCol), col(epochCol),
+        col("src_rank"))
+  }
+
+  /** C15e `q165_mixture_interleaved` — the mixture loop COMPOSED end to
+    * end: the q158 plan (water-filling under the epoch cap) → the q159
+    * multiset (whole copies + basis-point coin) → the interleaved
+    * training order a loader would actually consume, with strides
+    * derived from the REALIZED counts. Portable md5 draws at both
+    * random steps, so the entire chain — allocation, expansion,
+    * within-source shuffle, integer stride keys, global merge —
+    * replays in DuckDB position-for-position. */
+  def mixtureTrainingOrderDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val total = d.agg(sum(col("n_chars").cast("long"))).first().getLong(0)
+    val plan = planMixture(d, "source", "n_chars", mixturePlanWeights,
+      budgetTokens = total * 9L / 5L)
+    val multiset = executeMixturePlan(d, plan, seed = 19L,
+      draw = Some(md5Unit(col("doc_id"), 19L)))
+      .select(col("doc_id"), col("source"), col("epoch"))
+    mixtureInterleaveRealized(multiset, "doc_id", "source", "epoch",
+      draw = Some(md5Unit(concat_ws("#", col("doc_id"), col("epoch")), 23L)))
+      .orderBy(col("global_pos"))
+  }
+
   /** C15 `q73_weighted_sample` — [[sampleByWeight]] with the portable
     * draw: longer documents are proportionally likelier to survive and
     * docs past 400 chars saturate at certain keep (the clamp leg). */

@@ -605,6 +605,78 @@ class ShardingSpec extends SparkSpecBase {
     }
   }
 
+  test("mixtureInterleaveRealized: realized proportions hold in every prefix, copies spread") {
+    // a multiset the execute step could have produced: source a 3
+    // copies/doc, b 1, c 1 — realized counts 30/20/10 (q ∝ n_s/T)
+    val multiset = (
+      (0 until 10).flatMap(i => Seq(0L, 1L, 2L).map(e => (i.toLong, "a", e))) ++
+      (10 until 30).map(i => (i.toLong, "b", 0L)) ++
+      (30 until 40).map(i => (i.toLong, "c", 0L))
+    ).toDF("doc_id", "source", "epoch")
+    val out = Sharding.mixtureInterleaveRealized(
+        multiset, "doc_id", "source", "epoch", seed = 7L)
+      .as[(Long, Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until 60L),
+      "global_pos must be a dense 0-based permutation of the multiset")
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._5).sorted.toSeq == (1L to rows.length),
+        "per-source ranks are 1..n_s with no gaps")
+    }
+    // every prefix tracks the REALIZED mix 30/20/10 within 2 rows —
+    // no source exhausts early, so the whole order is checkable
+    val q = Map("a" -> 30.0 / 60, "b" -> 20.0 / 60, "c" -> 10.0 / 60)
+    val running = scala.collection.mutable.Map("a" -> 0, "b" -> 0, "c" -> 0)
+    out.zipWithIndex.foreach { case (row, idx) =>
+      running(row._3) += 1
+      val p = idx + 1
+      q.foreach { case (s, w) =>
+        assert(math.abs(running(s) - p * w) <= 2.0,
+          s"prefix $p: source $s count ${running(s)} vs expected ${p * w}")
+      }
+    }
+    // copies of one doc must not sit adjacent: the draw keys on
+    // (id, epoch), so the three copies of doc 0 land apart
+    val doc0 = out.filter(r => r._2 == 0L && r._3 == "a").map(_._1).sorted
+    assert(doc0.length == 3 && doc0.sliding(2).forall(w => w(1) - w(0) > 1),
+      s"copies of a doc spread through the order: ${doc0.toSeq}")
+    // determinism under repartitioning (the mixtureInterleave contract)
+    val again = Sharding.mixtureInterleaveRealized(
+        multiset.repartition(7), "doc_id", "source", "epoch", seed = 7L)
+      .as[(Long, Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == again.toSeq, "order must not depend on partitioning")
+  }
+
+  test("mixtureTrainingOrderDocs: the consumed order reflects the budgeted mix") {
+    val out = Sharding.mixtureTrainingOrderDocs(spark, sfDir)
+      .as[(Long, Long, String, Long, Long)].collect().sortBy(_._1)
+    val total = out.length
+    assert(out.map(_._1).toSeq == (0L until total.toLong), "dense order")
+    // the realized per-source counts ARE the plan's materialization
+    // (q159's multiset) — check the interleave preserved them exactly
+    val bySrc = out.groupBy(_._3).view.mapValues(_.length).toMap
+    val multiset = {
+      val d = Tables(spark, sfDir).documents
+      val totalTokens = d.agg(org.apache.spark.sql.functions.sum(
+        col("n_chars").cast("long"))).first().getLong(0)
+      val plan = Sharding.planMixture(d, "source", "n_chars",
+        Sharding.mixturePlanWeights, budgetTokens = totalTokens * 9L / 5L)
+      Sharding.executeMixturePlan(d, plan, seed = 19L,
+          draw = Some(Sharding.md5Unit(col("doc_id"), 19L)))
+        .groupBy("source").count()
+        .as[(String, Long)].collect().toMap
+    }
+    assert(bySrc.map { case (s, n) => s -> n.toLong } == multiset,
+      s"interleave must be a permutation of the executed multiset")
+    // prefix fidelity at the half-way point: each source's share of the
+    // first half tracks its overall share within 2 rows
+    val half = out.take(total / 2)
+    bySrc.foreach { case (s, n) =>
+      val expect = (total / 2).toDouble * n / total
+      val got = half.count(_._3 == s)
+      assert(math.abs(got - expect) <= 2.0, s"$s: $got vs $expect in the half prefix")
+    }
+  }
+
   test("mixtureInterleave fails loudly on a source with no stride") {
     val docs = Seq((0L, "known"), (1L, "mystery")).toDF("doc_id", "source")
     val ex = intercept[Exception] {
