@@ -257,7 +257,10 @@ object SparkEntry {
     "q164_ann_imipq_recall"      -> ((s, d) => Similarity.annImiPqRecallReport(s, d)),
     // the mixture loop composed: q158 plan → q159 multiset → the
     // interleaved training order with REALIZED-count strides
-    "q165_mixture_interleaved"   -> ((s, d) => Sharding.mixtureTrainingOrderDocs(s, d))
+    "q165_mixture_interleaved"   -> ((s, d) => Sharding.mixtureTrainingOrderDocs(s, d)),
+    // the z-order grid-drift meter: clamp counts + actual ranges vs the
+    // frozen bounds, one row per layout column (q160's scenario)
+    "q166_zorder_drift"          -> ((s, d) => graft.sources.Layout.zorderDriftDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1745,6 +1748,37 @@ object SparkEntry {
         |SELECT doc_id, x_grid, y_grid, zvalue,
         |       CAST(zvalue >> 26 AS BIGINT) AS zbucket
         |FROM z ORDER BY zvalue, doc_id""".stripMargin,
+
+    // q166: the grid-drift meter replayed — frozen bounds from the
+    // corpus slice, then one aggregation over the WHOLE table (clamp
+    // counts below/above each bound, actual min/max), one row per
+    // layout column, clamp_bp as exact integer basis points
+    "q166_zorder_drift" ->
+      """WITH t AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS x,
+        |                  CAST(doc_id AS BIGINT) AS y
+        |           FROM documents),
+        |b AS (SELECT min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1
+        |      FROM t WHERE doc_id % 5 <> 4),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN t.x < b.x0 THEN 1 ELSE 0 END) AS BIGINT) AS lox,
+        |        CAST(sum(CASE WHEN t.x > b.x1 THEN 1 ELSE 0 END) AS BIGINT) AS hix,
+        |        CAST(sum(CASE WHEN t.y < b.y0 THEN 1 ELSE 0 END) AS BIGINT) AS loy,
+        |        CAST(sum(CASE WHEN t.y > b.y1 THEN 1 ELSE 0 END) AS BIGINT) AS hiy,
+        |        CAST(min(t.x) AS BIGINT) AS mnx, CAST(max(t.x) AS BIGINT) AS mxx,
+        |        CAST(min(t.y) AS BIGINT) AS mny, CAST(max(t.y) AS BIGINT) AS mxy
+        |      FROM t, b)
+        |SELECT '_x' AS col_name, n AS n_rows, lox AS n_clamped_lo,
+        |       hix AS n_clamped_hi,
+        |       CAST(((lox + hix) * 10000) // n AS BIGINT) AS clamp_bp,
+        |       (SELECT x0 FROM b) AS frozen_min, (SELECT x1 FROM b) AS frozen_max,
+        |       mnx AS data_min, mxx AS data_max
+        |FROM s
+        |UNION ALL
+        |SELECT '_y', n, loy, hiy,
+        |       CAST(((loy + hiy) * 10000) // n AS BIGINT),
+        |       (SELECT y0 FROM b), (SELECT y1 FROM b), mny, mxy
+        |FROM s
+        |ORDER BY col_name""".stripMargin,
 
     // q161: the recall meter replayed — the q25 brute chain as ground
     // truth, the q79 IVF chain at both probe widths, then the

@@ -196,6 +196,17 @@ object Layout {
     * layout column. */
   def appendZOrdered(spark: SparkSession, dir: String,
                      increment: DataFrame): Unit = {
+    val (cols, bits, fileBits, bounds) = readZorderMeta(spark, dir)
+    cols.foreach(c => require(increment.columns.contains(c),
+      s"increment is missing layout column '$c'"))
+    writeZOrdered(increment, cols, dir, fileBits, bits, bounds, SaveMode.Append)
+  }
+
+  /** Read the frozen-grid contract back off a written layout —
+    * (cols, bits, fileBits, per-column bounds) — failing loudly on a
+    * directory that is not a self-describing z-ordered layout. */
+  private def readZorderMeta(spark: SparkSession, dir: String)
+      : (Seq[String], Int, Int, Seq[(Long, Long)]) = {
     val zf = spark.read.parquet(dir).schema.fields.find(_.name == "zvalue")
       .getOrElse(throw new IllegalArgumentException(
         s"$dir carries no zvalue column — not a z-ordered layout"))
@@ -205,11 +216,86 @@ object Layout {
     val bits = md.getLong("graft.zorder.bits").toInt
     val fileBits = md.getLong("graft.zorder.fileBits").toInt
     val cols = md.getString("graft.zorder.cols").split(",").toSeq
-    cols.foreach(c => require(increment.columns.contains(c),
-      s"increment is missing layout column '$c'"))
     val bounds = cols.map(c =>
       (md.getLong(s"graft.zorder.min_$c"), md.getLong(s"graft.zorder.max_$c")))
-    writeZOrdered(increment, cols, dir, fileBits, bits, bounds, SaveMode.Append)
+    (cols, bits, fileBits, bounds)
+  }
+
+  /** E8b: grid-DRIFT meter — per layout column, how much of the table
+    * now lies OUTSIDE the frozen grid ([[appendZOrdered]] clamped those
+    * rows to edge cells, piling them into ever-fatter edge buckets).
+    * Clamping never costs correctness (zone maps aggregate actual
+    * values), but accumulated clamp mass degrades CLUSTERING — the
+    * pruned scan reads a widening edge bucket — with nothing to say so
+    * until this meter: one aggregation over the layout (counts below /
+    * above the frozen bound, actual min/max), one row per column,
+    * clamp_bp in exact integer basis points. Read it on the
+    * maintenance schedule; past a budget, run [[regridZOrdered]]. */
+  def zorderDrift(spark: SparkSession, dir: String): DataFrame = {
+    val (cols, _, _, bounds) = readZorderMeta(spark, dir)
+    gridDrift(spark.read.parquet(dir), cols, bounds)
+  }
+
+  /** The drift computation itself, frame-side (shared by
+    * [[zorderDrift]] and the q166 oracle row): clamp counts and actual
+    * ranges of `cols` against frozen `bounds` — one aggregation to a
+    * single row, exploded to one row per column. */
+  def gridDrift(df: DataFrame, cols: Seq[String],
+                bounds: Seq[(Long, Long)]): DataFrame = {
+    require(cols.nonEmpty && cols.size == bounds.size,
+      s"${cols.size} cols but ${bounds.size} bounds")
+    val aggs = cols.zip(bounds).zipWithIndex.flatMap { case ((c, (lo, hi)), i) => Seq(
+      sum(when(col(c).cast("long") < lit(lo), 1L).otherwise(0L)).as(s"_lo_$i"),
+      sum(when(col(c).cast("long") > lit(hi), 1L).otherwise(0L)).as(s"_hi_$i"),
+      min(col(c).cast("long")).as(s"_mn_$i"),
+      max(col(c).cast("long")).as(s"_mx_$i"))
+    } :+ count(lit(1)).as("_n")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.zip(bounds).zipWithIndex.map { case ((c, (lo, hi)), i) =>
+        struct(lit(c).as("col_name"), col("_n").as("n_rows"),
+          col(s"_lo_$i").as("n_clamped_lo"), col(s"_hi_$i").as("n_clamped_hi"),
+          expr(s"CAST(((_lo_$i + _hi_$i) * 10000) DIV _n AS BIGINT)").as("clamp_bp"),
+          lit(lo).as("frozen_min"), lit(hi).as("frozen_max"),
+          col(s"_mn_$i").as("data_min"), col(s"_mx_$i").as("data_max"))
+      }: _*)).as("d"))
+      .select(col("d.*"))
+      .orderBy(col("col_name"))
+  }
+
+  /** E8b: heal grid drift — re-derive fresh per-column bounds from the
+    * data actually present (the build rule re-run over build + every
+    * append) and REWRITE the layout under the new frozen grid, so
+    * clamped edge mass spreads back over real cells and pruned-scan
+    * selectivity is restored. The E3/E6 staged-then-rename protocol:
+    * write `dir__regrid` completely, rename the live layout aside to
+    * `dir__old`, rename the staging in, drop the old — a crash at any
+    * point leaves either the old or the new COMPLETE layout reachable
+    * (recovery is one rename, never a data loss). [[appendZOrdered]]
+    * keeps working afterwards: the rewrite re-freezes its (new) grid in
+    * the column metadata. */
+  def regridZOrdered(spark: SparkSession, dir: String): Unit = {
+    val (cols, bits, fileBits, _) = readZorderMeta(spark, dir)
+    val derived = cols.map(c => s"${c}_grid") ++ Seq("zvalue", "zbucket")
+    // materialized before the swap: the rewrite reads the very files
+    // the renames retire
+    val data = spark.read.parquet(dir).drop(derived: _*).localCheckpoint()
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"_min_$c"),
+      max(col(c).cast("long")).as(s"_max_$c")))
+    val mm = data.agg(aggs.head, aggs.tail: _*).first()
+    require(!mm.anyNull, "regridZOrdered needs a nonempty layout")
+    val bounds = cols.indices.map(i => (mm.getLong(2 * i), mm.getLong(2 * i + 1)))
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__regrid")
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    writeZOrdered(data, cols, tmp.toString, fileBits, bits, bounds,
+      SaveMode.Overwrite)
+    require(fs.rename(live, old), s"regrid: could not rename $dir aside")
+    require(fs.rename(tmp, live), s"regrid: could not install the new layout")
+    fs.delete(old, true)
   }
 
   /** The zone map of a z-ordered layout: per-bucket min/max of each
@@ -291,5 +377,26 @@ object Layout {
       .select(col("doc_id"), col("_x_grid").as("x_grid"),
         col("_y_grid").as("y_grid"), col("zvalue"), col("zbucket"))
       .orderBy(col("zvalue"), col("doc_id"))
+  }
+
+  /** E8b `q166_zorder_drift` — the drift METER on the q160 scenario,
+    * oracle-backed: bounds freeze on the corpus slice (doc_id % 5 ≠ 4)
+    * and the meter reads the WHOLE table (corpus + appended batch).
+    * The y (doc_id) column provably drifts at every SF — the global
+    * max doc_id is batch-side, so n_clamped_hi ≥ 1 — while x (text
+    * length) usually reads zero clamp: both the firing and the quiet
+    * leg of the meter hash-check against pure SQL. */
+  def zorderDriftDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("_x"),
+        col("doc_id").cast("long").as("_y"))
+      .localCheckpoint() // forked: frozen bounds + the metered union
+    val mm = docs.filter(col("doc_id") % 5 =!= 4)
+      .agg(min(col("_x")), max(col("_x")), min(col("_y")), max(col("_y")))
+      .first()
+    val bounds = Seq((mm.getLong(0), mm.getLong(1)),
+      (mm.getLong(2), mm.getLong(3)))
+    gridDrift(docs, Seq("_x", "_y"), bounds)
   }
 }

@@ -156,6 +156,66 @@ class LayoutSpec extends SparkSpecBase {
       s"the out-of-range id clamps to the corpus max's cell ($lastCell)")
   }
 
+  test("zorderDrift + regridZOrdered: drifted appends trip the meter, the re-grid heals and restores selectivity") {
+    val day1 = (0 until 16).flatMap(x => (0 until 16).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zregrid").toString + "/layout"
+    Layout.zorderWrite(day1, Seq("x", "y"), dir, fileBits = 4, bits = 4)
+    // a healthy layout meters clean
+    val clean = Layout.zorderDrift(spark, dir)
+      .select("col_name", "clamp_bp").as[(String, Long)].collect().toMap
+    assert(clean == Map("x" -> 0L, "y" -> 0L), s"fresh layout drifts: $clean")
+    // day-2 rows far past the frozen x-range: the meter must fire
+    val day2 = (0 until 32).map(i => (1000L + i, (i % 16).toLong)).toDF("x", "y")
+    Layout.appendZOrdered(spark, dir, day2)
+    val drift = Layout.zorderDrift(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(drift("x")._4 == 32L && drift("x")._5 == 1111L,
+      s"32 of 288 rows clamped high = 1111 bp exactly: ${drift("x")}")
+    assert(drift("x")._9 == 1031L, "actual max rides the meter")
+    assert(drift("y")._5 == 0L, "the undrifted column stays quiet")
+    // clamped mass piles into ONE edge bucket: the pruned scan for the
+    // drifted range reads day-1 edge rows it doesn't want
+    def consultedRows(lo: Long, hi: Long): Long = {
+      val zm = Layout.zoneMap(spark, dir, Seq("x"))
+      val buckets = zm.filter(!(col("max_x") < lo || col("min_x") > hi))
+        .select(col("zbucket")).as[Long].collect()
+      spark.read.parquet(dir)
+        .filter(col("zbucket").cast("long").isin(buckets: _*)).count()
+    }
+    val before = consultedRows(1000L, 2000L)
+    assert(before > 32L,
+      s"pre-regrid the edge bucket mixes day-1 and clamped rows: $before")
+    Layout.regridZOrdered(spark, dir)
+    // healed: the meter reads zero, nothing was lost, appends still work
+    val healed = Layout.zorderDrift(spark, dir)
+      .select("col_name", "clamp_bp").as[(String, Long)].collect().toMap
+    assert(healed == Map("x" -> 0L, "y" -> 0L), s"regrid must clear drift: $healed")
+    assert(spark.read.parquet(dir).count() == 288L, "regrid preserves every row")
+    val after = consultedRows(1000L, 2000L)
+    assert(after == 32L,
+      s"post-regrid the drifted range's buckets hold exactly its rows: $after")
+    // pruned-scan equivalence survives the rewrite
+    val pruned = Layout.prunedScan(spark, dir, "x", 1000L, 2000L)
+      .select(col("x").cast("long")).as[Long].collect().sorted.toSeq
+    assert(pruned == (1000L until 1032L).toSeq)
+    // the re-frozen grid accepts increments under the NEW bounds
+    Layout.appendZOrdered(spark, dir, Seq((500L, 3L)).toDF("x", "y"))
+    assert(Layout.prunedScan(spark, dir, "x", 499L, 501L).count() == 1L)
+  }
+
+  test("zorderDriftDocs: q166 shape — y drifts by the plant, clamp_bp is exact") {
+    val out = Layout.zorderDriftDocs(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set("_x", "_y"))
+    val y = out("_y")
+    assert(y._4 >= 1L, "the global max doc_id is batch-side, so y clamps high")
+    assert(y._5 == (y._3 + y._4) * 10000L / y._2, "clamp_bp is exact integer bp")
+    assert(y._9 > y._7, "actual y max exceeds the frozen bound")
+  }
+
   private implicit class ToMap2(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[Long, (Long, Long)] =
       rows.map { case (k, a, b) => k -> (a, b) }.toMap
