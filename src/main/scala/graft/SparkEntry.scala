@@ -260,7 +260,10 @@ object SparkEntry {
     "q165_mixture_interleaved"   -> ((s, d) => Sharding.mixtureTrainingOrderDocs(s, d)),
     // the z-order grid-drift meter: clamp counts + actual ranges vs the
     // frozen bounds, one row per layout column (q160's scenario)
-    "q166_zorder_drift"          -> ((s, d) => graft.sources.Layout.zorderDriftDocs(s, d))
+    "q166_zorder_drift"          -> ((s, d) => graft.sources.Layout.zorderDriftDocs(s, d)),
+    // the PQ tier's OTHER knob: codebook size 16 vs 64 at a fixed ADC
+    // cut — recall bought at constant per-query scan cost
+    "q167_ann_pq_codebook"       -> ((s, d) => Similarity.annPqCodebookRecallReport(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1890,6 +1893,57 @@ object SparkEntry {
          |UNION ALL
          |${tierSelect(50)}
          |ORDER BY tier, q_id""".stripMargin
+    },
+
+    // q167: the PQ codebook-size leg — the q162 chain twice, codebooks
+    // from the first 16 vs the first 64 vectors, fixed ADC cut 50
+    "q167_ann_pq_codebook" -> {
+      def cbTier(cb: Int): String =
+        s"""cb$cb AS (SELECT s.s AS subspace, CAST(c.vec_id AS INT) AS code,
+           |         c.v[s.s*8+1 : s.s*8+8] AS centroid
+           |       FROM e c CROSS JOIN range(0, 8) s(s) WHERE c.vec_id < $cb),
+           |d$cb AS (SELECT e.vec_id, cb$cb.subspace, cb$cb.code,
+           |        list_sum(list_transform(range(1, 9), i ->
+           |          (e.v[cb$cb.subspace*8 + i] - cb$cb.centroid[i])
+           |          * (e.v[cb$cb.subspace*8 + i] - cb$cb.centroid[i]))) AS dist
+           |      FROM e CROSS JOIN cb$cb),
+           |codes$cb AS (SELECT vec_id, subspace, code FROM (
+           |           SELECT vec_id, subspace, code,
+           |             row_number() OVER (PARTITION BY vec_id, subspace
+           |               ORDER BY dist ASC, code ASC) AS rn
+           |           FROM d$cb) WHERE rn = 1),
+           |adist$cb AS (SELECT qd.vec_id AS q_id, co.vec_id AS c_id,
+           |            list_sum(list(qd.dist ORDER BY qd.subspace)) AS ad
+           |          FROM codes$cb co JOIN d$cb qd
+           |            ON qd.subspace = co.subspace AND qd.code = co.code
+           |          WHERE qd.vec_id < 5 AND co.vec_id <> qd.vec_id
+           |          GROUP BY 1, 2),
+           |cand$cb AS (SELECT q_id, c_id FROM (
+           |  SELECT q_id, c_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY ad ASC, c_id ASC) AS ar
+           |  FROM adist$cb) WHERE ar <= 50),
+           |scored$cb AS (SELECT cand$cb.q_id, cand$cb.c_id,
+           |    round(list_dot_product(qe.v, ce.v) /
+           |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cos
+           |  FROM cand$cb JOIN e qe ON qe.vec_id = cand$cb.q_id
+           |  JOIN e ce ON ce.vec_id = cand$cb.c_id),
+           |appr$cb AS (SELECT q_id, c_id FROM (
+           |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cos DESC, c_id ASC) AS rn FROM scored$cb) WHERE rn <= 10),
+           |hits$cb AS (SELECT t.q_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM truth t JOIN appr$cb a ON a.q_id = t.q_id AND a.c_id = t.c_id
+           |  GROUP BY 1)""".stripMargin
+      def tierSelect(cb: Int): String =
+        s"""SELECT 'pq_cb${f"$cb%02d"}' AS tier, q.q_id, CAST(10 AS BIGINT) AS k,
+           |  coalesce(h.n, 0) AS n_hits,
+           |  CAST((coalesce(h.n, 0) * 10000) // 10 AS BIGINT) AS recall_bp
+           |FROM (SELECT DISTINCT q_id FROM truth) q
+           |LEFT JOIN hits$cb h ON h.q_id = q.q_id""".stripMargin
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n" +
+        annTruthCtes + ",\n" +
+        cbTier(16) + ",\n" + cbTier(64) + "\n" +
+        tierSelect(16) + "\nUNION ALL\n" + tierSelect(64) +
+        "\nORDER BY tier, q_id"
     },
 
     // q146: the mixture-interleaved training order replayed position-

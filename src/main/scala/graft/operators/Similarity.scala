@@ -653,6 +653,25 @@ object Similarity {
       .orderBy(col("tier"), col("q_id"))
   }
 
+  /** C7f `q167_ann_pq_codebook` — [[annRecall]] of the PQ tier at
+    * codebook sizes 16 and 64 (fixed ADC cut 50) against exact brute
+    * force: the OTHER PQ knob. q162 showed the ADC cut buys recall
+    * linearly in rerank cost; this row shows what a BIGGER CODEBOOK
+    * buys at constant search cost — the operating-point choice a
+    * deployment actually makes (codebook size prices the one-time
+    * encode + table memory, not the per-query scan). */
+  def annPqCodebookRecallReport(spark: SparkSession, dir: String, k: Int = 10,
+                                numQueries: Int = 5): DataFrame = {
+    val truth = annBruteForce(spark, dir, k, numQueries).localCheckpoint()
+    def tier(cb: Int): DataFrame =
+      annRecall(truth,
+        annPqPortable(spark, dir, k, numQueries, rerank = 50, codebookSize = cb), k)
+        .withColumn("tier", lit(f"pq_cb$cb%02d"))
+    tier(16).unionByName(tier(64))
+      .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp"))
+      .orderBy(col("tier"), col("q_id"))
+  }
+
   /** PQ (product quantization) index build — the memory-side scale path
     * of the ANN family: split each vector into `subspaces` sub-vectors,
     * k-means each subspace into a `codebookSize`-entry codebook (one

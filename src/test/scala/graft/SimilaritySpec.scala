@@ -836,6 +836,17 @@ class SimilaritySpec extends SparkSpecBase {
       assert(m("pq_r50") >= m("pq_r10"), s"monotone at q=$q: $m")
     }
   }
+  test("annPqCodebookRecallReport: both codebook tiers report every query point") {
+    import spark.implicits._
+    // NO monotonicity claim here — a bigger codebook changes the ADC
+    // geometry rather than widening a candidate superset, so per-query
+    // recall may move either way; the meter's job is to MEASURE it
+    val rep = Similarity.annPqCodebookRecallReport(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rep.map(_._1).distinct.sorted.toSeq == Seq("pq_cb16", "pq_cb64"))
+    assert(rep.length == 10, s"5 queries x 2 tiers: ${rep.length}")
+    assert(rep.forall(r => r._5 >= 0 && r._5 <= 10000), "recall_bp in range")
+  }
   test("annImiRecallReport: per-half probe widening is monotone on the two-level tier") {
     import spark.implicits._
     // q163 shape: nProbe=2's 4 probed product cells are a superset of

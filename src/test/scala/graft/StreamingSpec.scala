@@ -352,6 +352,65 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("E6 ∘ D2t: compaction heals the streamed winnow index; probes bit-identical, ≤1 file/bucket") {
+    import graft.streaming.EventsStream.StreamDoc
+    import graft.operators.Dedup
+    import graft.sources.Bucketing
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def junk(seed: String, words: Int): String =
+      (0 until words).map(i =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(10)).mkString(" ")
+    spark.sql("DROP TABLE IF EXISTS stream_wincomp_idx")
+    Bucketing.writeBucketed(
+      Dedup.buildWinnowIndex(Seq((0L, junk("c0", 40))).toDF("doc_id", "text")),
+      "stream_wincomp_idx", Seq("h"), 8)
+    val mem = MemoryStream[StreamDoc]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_wincomp_ck").toString
+    val q = EventsStream.winnowIngestStream(
+      mem.toDF().toDF("doc_id", "text"), "stream_wincomp_idx", ckpt,
+      accept = _ => ())
+    try {
+      // five triggers of novel docs: each append adds one file per
+      // touched bucket, so the day-2 index fragments — the exact E6
+      // scenario the verdict named
+      (1 to 5).foreach { i =>
+        mem.addData(StreamDoc(100L + i, junk(s"n$i", 40)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def files(): Long = {
+      spark.catalog.refreshTable("stream_wincomp_idx")
+      spark.table("stream_wincomp_idx")
+        .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+        .distinct().count()
+    }
+    val fragmented = files()
+    assert(fragmented > 8, s"five appends must fragment past 1 file/bucket: $fragmented")
+    // probe harness: one doc pasting indexed content (accepted batch
+    // 3's text), one novel — snapshot BOTH probe families pre-compact
+    val probe = Seq(
+      (900L, junk("n3", 40) + " " + junk("tail", 10)),
+      (901L, junk("fresh", 40))).toDF("doc_id", "text")
+    def overlaps() = Dedup.winnowOverlapAgainstIndex(
+        probe, spark.table("stream_wincomp_idx"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+    def spans() = Dedup.winnowSpansAgainstIndex(
+        probe, spark.table("stream_wincomp_idx"))
+      .collect().map(_.toSeq).toSeq
+      .sortBy(r => (r.head.asInstanceOf[Long], r(2).asInstanceOf[Long]))
+    val (o1, s1) = (overlaps(), spans())
+    assert(o1.exists(r => r(1) == true) && s1.nonEmpty,
+      "the paste must register overlap + spans against the streamed index")
+    assert(Bucketing.compactBucketed(spark, "stream_wincomp_idx"),
+      "a fragmented day-2 index must rewrite")
+    assert(files() <= 8, s"post-compact the index holds ≤1 file/bucket: ${files()}")
+    assert(overlaps() == o1 && spans() == s1,
+      "probe answers must be bit-identical across the compaction")
+  }
+
   test("D2→C11g: streaming clean ingest — spans shed, docs kept, the index grows by clean text") {
     import graft.streaming.EventsStream.StreamDoc
     import graft.operators.Dedup
