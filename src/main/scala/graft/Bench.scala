@@ -150,8 +150,9 @@ object Bench {
     // control medians for only the queries whose two runs disagree
     // >1.3× (the suspects) — full duplication would blow the harness's
     // ~1950-char tail budget.
-    val (results, total, control) =
-      if (sys.env.get("SPARK_GRAFT_BENCH_CONTROL").contains("0")) (first, firstTotal, None)
+    val (results, total, control, ctrlFull) =
+      if (sys.env.get("SPARK_GRAFT_BENCH_CONTROL").contains("0"))
+        (first, firstTotal, None, None)
       else {
         val second = runSuite()
         val secondTotal = second.collect { case (_, m, _) if m >= 0 => m }.sum
@@ -183,8 +184,36 @@ object Bench {
             math.max(p, cMap(n)) / math.min(p, cMap(n)) > 1.3 => (n, p, cMap(n))
         }.sortBy { case (_, p, c) => -math.max(p, c) }.take(10)
           .map { case (n, _, c) => (n, c) }
-        (head, headTotal, Some((ctrlTotal, suspects)))
+        (head, headTotal, Some((ctrlTotal, suspects)),
+          Some((ctrlTotal, ctrl.map { case (n, m, _) => (n, m) })))
       }
+    // side artifact (round 15): the FULL-precision per-query record —
+    // full names, medians, first-run times, builds, the complete
+    // control map — so the in-band line can shed diagnostics safely as
+    // the registry grows. The line carries name#md5-prefix; a reader
+    // that finds the pointer verifies the file is THIS run's.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_latest.json")
+    val fullPointer: Option[String] = try {
+      def m(entries: Seq[(String, Double)]) =
+        entries.map { case (n, v) => "\"" + n + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val ctrlJson = ctrlFull.fold("") { case (ct, rows) =>
+        s""","control_value":${fmt(ct)},"control":${m(rows)}"""
+      }
+      val content =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sf,"iters":$iters""" +
+          s""","queries":${m(results.map { case (n, md, _) => (n, md) })}""" +
+          s""","first_run":${m(results.map { case (n, _, f0) => (n, f0) })}""" +
+          s""","build":${m(annBuilds.toSeq.map { case (n, (t, _)) => (n, t) }.sortBy(_._1))}""" +
+          ctrlJson + "}\n"
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+        content.getBytes("UTF-8"))
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(content.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      Some(s"${new java.io.File(fullPath).getName}#$h")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] side artifact write failed: ${e.getMessage}")
+      None
+    }
     // The round harness keeps only the LAST 2000 chars of the log and
     // parses the JSON line out of that tail. Rounds 1-6 printed a
     // ~3.5k-char line (medians + first-run at full double precision),
@@ -205,7 +234,7 @@ object Bench {
     }
     val out = metricsLine(results.map { case (n, m, _) => (n, m) }, total, sf, iters,
       builds = annBuilds.toSeq.map { case (n, (t, _)) => (n, t) }.sortBy(_._1),
-      control = control)
+      control = control, full = fullPointer)
     spark.stop()
     println(out)
     System.out.flush()
@@ -224,7 +253,8 @@ object Bench {
     * qNN) would silently merge keys, so they fail loud here. */
   def metricsLine(medians: Seq[(String, Double)], total: Double, sf: String, iters: Int,
                   builds: Seq[(String, Double)] = Nil,
-                  control: Option[(Double, Seq[(String, Double)])] = None): String = {
+                  control: Option[(Double, Seq[(String, Double)])] = None,
+                  full: Option[String] = None): String = {
     def fmt(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // map values: 2 decimals, trailing zeros trimmed (round 14 twice
     // over: at 144 registered queries the fixed-width line crossed the
@@ -276,7 +306,11 @@ object Bench {
         if (!withHeadline) ""
         else if (control.isDefined) ""","headline":"min2""""
         else ""","headline":"run1""""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$hl,"sf":$sf,"iters":$iters$bs$cs,"queries":$qs}"""
+      // the side-artifact pointer (name#md5-prefix of the full-precision
+      // per-query record) rides EVERY shed level — it is what makes
+      // shedding the in-band diagnostics safe
+      val fp = full.fold("")(p => s""","full":"$p"""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$hl$fp,"sf":$sf,"iters":$iters$bs$cs,"queries":$qs}"""
     }
     // the harness keeps the LAST ~2000 chars: an over-budget line loses
     // its HEAD and stops parsing — so shed diagnostics in priority

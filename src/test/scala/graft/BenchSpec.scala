@@ -90,6 +90,26 @@ class BenchSpec extends AnyFunSuite {
     assert(line.length <= 1950, s"${line.length} chars")
   }
 
+  test("metricsLine holds 180 queries with marker AND side-artifact pointer intact") {
+    // the round-15 growth headroom: at 180 registered queries the
+    // in-band line must still parse with the protocol marker and the
+    // full-precision side-artifact pointer — shedding may drop query
+    // precision, but never the pointer that makes shedding safe
+    val ptr = Some("bench_full_latest.json#ab12cd34")
+    val typical = (1 to 180).map(i =>
+      (f"q$i%03d_n", if (i % 10 == 0) 4.321 else 0.678))
+    val line = Bench.metricsLine(typical, typical.map(_._2).sum, "0.1", 3,
+      builds = (1 to 6).map(i => (f"q$i%02d_b", 3.456)), full = ptr)
+    assert(line.length <= 1950, s"${line.length} chars")
+    assert(line.contains("\"headline\":\"run1\""), line.take(160))
+    assert(line.contains("\"full\":\"bench_full_latest.json#ab12cd34\""), line.take(160))
+    // pathological all-slow widths: pointer still survives every shed
+    val slow = (1 to 180).map(i => (f"q$i%03d_n", 12.345))
+    val sline = Bench.metricsLine(slow, slow.map(_._2).sum, "0.1", 3, full = ptr)
+    assert(sline.length <= 1950, s"${sline.length} chars")
+    assert(sline.contains("\"full\":\"bench_full_latest.json#ab12cd34\""), sline.take(160))
+  }
+
   test("metricsLine fails loud on qNN prefix collisions") {
     val e = intercept[IllegalArgumentException] {
       Bench.metricsLine(Seq(("q07_a", 1.0), ("q07_b", 2.0)), 3.0, "0.1", 3)
