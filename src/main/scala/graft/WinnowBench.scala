@@ -69,6 +69,27 @@ object WinnowBench {
       println(s"""{"leg":"probe_$name","copies":$copies,"spans":$spans,"span_wall_sec":$w1,"cleaned_docs":$cleaned,"clean_wall_sec":$w2}""")
       System.out.flush()
     }
+    // guard leg (round 15): the exact one-shot run at 30× copies used
+    // to exhaust the heap mid-aggregation; the pre-flight pair budget
+    // must now refuse BEFORE the pair join launches — timed, with the
+    // refusal's estimated candidate volume surfaced
+    def guardLeg(name: String, dir: String, copies: Int): Unit = {
+      val docs = spark.read.parquet(dir + "/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val t0 = System.nanoTime()
+      val outcome =
+        try {
+          val p = Dedup.winnowOverlap(docs).count()
+          s""""pairs":$p,"refused":false"""
+        } catch { case e: IllegalStateException =>
+          val vol = "materialize (\\d+)".r.findFirstMatchIn(e.getMessage)
+            .map(_.group(1)).getOrElse("-1")
+          s""""est_pairs":$vol,"refused":true"""
+        }
+      val w = math.round((System.nanoTime() - t0) / 1e6) / 1e3
+      println(s"""{"leg":"$name","copies":$copies,$outcome,"wall_sec":$w}""")
+      System.out.flush()
+    }
     // SPARK_GRAFT_WINNOW_LEGS: comma list of leg names to run
     // (prefix match); unset = all legs
     val only = sys.env.get("SPARK_GRAFT_WINNOW_LEGS")
@@ -81,6 +102,7 @@ object WinnowBench {
     if (want("maxdf_30x")) leg("maxdf_30x", args(3), 30, Some(16L))
     if (want("probe_1x")) probeLeg("1x", args(0), 1)
     if (want("probe_10x")) probeLeg("10x", args(2), 10)
+    if (want("guard_30x")) guardLeg("guard_30x", args(3), 30)
     spark.stop()
   }
 }
