@@ -263,7 +263,10 @@ object SparkEntry {
     "q166_zorder_drift"          -> ((s, d) => graft.sources.Layout.zorderDriftDocs(s, d)),
     // the PQ tier's OTHER knob: codebook size 16 vs 64 at a fixed ADC
     // cut — recall bought at constant per-query scan cost
-    "q167_ann_pq_codebook"       -> ((s, d) => Similarity.annPqCodebookRecallReport(s, d))
+    "q167_ann_pq_codebook"       -> ((s, d) => Similarity.annPqCodebookRecallReport(s, d)),
+    // the LSH tier's knob: band split 2 vs 4 over 16 bits — with this
+    // row every ANN tier in the family is metered
+    "q168_ann_lsh_recall"        -> ((s, d) => Similarity.annLshRecallReport(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -1943,6 +1946,51 @@ object SparkEntry {
         annTruthCtes + ",\n" +
         cbTier(16) + ",\n" + cbTier(64) + "\n" +
         tierSelect(16) + "\nUNION ALL\n" + tierSelect(64) +
+        "\nORDER BY tier, q_id"
+    },
+
+    // q168: the LSH tier's recall meter — the q78 md5-sign chain at
+    // band splits 2 and 4 (nested boundaries: an 8-bit band match
+    // implies both 4-bit sub-band matches), vs the brute truth
+    "q168_ann_lsh_recall" -> {
+      def lshTier(b: Int): String = {
+        val w = 16 / b
+        s"""bands$b AS (SELECT vec_id, j // $w AS band,
+           |           string_agg(CAST(bit AS VARCHAR), '' ORDER BY j) AS bh
+           |         FROM bits GROUP BY 1, 2),
+           |cand$b AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+           |        FROM bands$b q JOIN bands$b c ON q.band = c.band AND q.bh = c.bh
+           |        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+           |scored$b AS (SELECT cand$b.q_id, cand$b.c_id,
+           |    round(list_dot_product(qe.v, ce.v) /
+           |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cos
+           |  FROM cand$b JOIN e qe ON qe.vec_id = cand$b.q_id
+           |  JOIN e ce ON ce.vec_id = cand$b.c_id),
+           |appr$b AS (SELECT q_id, c_id FROM (
+           |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cos DESC, c_id ASC) AS rn FROM scored$b) WHERE rn <= 10),
+           |hits$b AS (SELECT t.q_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM truth t JOIN appr$b a ON a.q_id = t.q_id AND a.c_id = t.c_id
+           |  GROUP BY 1)""".stripMargin
+      }
+      def tierSelect(b: Int): String =
+        s"""SELECT 'lsh_b$b' AS tier, q.q_id, CAST(10 AS BIGINT) AS k,
+           |  coalesce(h.n, 0) AS n_hits,
+           |  CAST((coalesce(h.n, 0) * 10000) // 10 AS BIGINT) AS recall_bp
+           |FROM (SELECT DISTINCT q_id FROM truth) q
+           |LEFT JOIN hits$b h ON h.q_id = q.q_id""".stripMargin
+      """WITH planes AS (
+        | SELECT j, list_transform(range(0, 64), d ->
+        |   CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) AS INT) % 2 = 1
+        |        THEN 1.0 ELSE -1.0 END) AS plane
+        | FROM range(0, 16) t(j)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bits AS (SELECT e.vec_id, p.j,
+        |          CASE WHEN list_dot_product(e.v, p.plane) > 0 THEN 1 ELSE 0 END AS bit
+        |        FROM e CROSS JOIN planes p),""".stripMargin + "\n" +
+        annTruthCtes + ",\n" +
+        lshTier(2) + ",\n" + lshTier(4) + "\n" +
+        tierSelect(2) + "\nUNION ALL\n" + tierSelect(4) +
         "\nORDER BY tier, q_id"
     },
 

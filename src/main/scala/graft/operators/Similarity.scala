@@ -653,6 +653,24 @@ object Similarity {
       .orderBy(col("tier"), col("q_id"))
   }
 
+  /** C7f `q168_ann_lsh_recall` — [[annRecall]] of the LSH tier (q78's
+    * md5-sign plane chain) at band splits 2 vs 4 over the 16 signature
+    * bits: the LSH recall knob. Band boundaries nest (bands of 8 bits
+    * are pairs of adjacent 4-bit bands), so a 2-band collision implies
+    * both constituent 4-band collisions — candidate superset, monotone
+    * under the exact rerank, same dominance argument as the probe
+    * knobs. With this row every ANN tier in the family is metered. */
+  def annLshRecallReport(spark: SparkSession, dir: String, k: Int = 10,
+                         numQueries: Int = 5): DataFrame = {
+    val truth = annBruteForce(spark, dir, k, numQueries).localCheckpoint()
+    def tier(bands: Int): DataFrame =
+      annRecall(truth, annLshPortable(spark, dir, k, numQueries, bands = bands), k)
+        .withColumn("tier", lit(s"lsh_b$bands"))
+    tier(2).unionByName(tier(4))
+      .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp"))
+      .orderBy(col("tier"), col("q_id"))
+  }
+
   /** C7f `q167_ann_pq_codebook` — [[annRecall]] of the PQ tier at
     * codebook sizes 16 and 64 (fixed ADC cut 50) against exact brute
     * force: the OTHER PQ knob. q162 showed the ADC cut buys recall

@@ -332,6 +332,20 @@ object Layout {
       .filter(col(predCol).cast("long").between(lo, hi))
   }
 
+  /** E8b: the SCHEDULABLE maintenance entry (the E6 `compactBucketed`
+    * convention at the layout): meter first, heal only past the
+    * budget — an idempotent no-op on a healthy layout, so it can run
+    * on a schedule next to the compactor.
+    * @return true when a re-grid rewrite happened */
+  def maintainZOrdered(spark: SparkSession, dir: String,
+                       driftBudgetBp: Long = 100L): Boolean = {
+    require(driftBudgetBp >= 0, s"driftBudgetBp must be >= 0, got $driftBudgetBp")
+    val worst = zorderDrift(spark, dir)
+      .agg(max(col("clamp_bp"))).first().getLong(0)
+    if (worst <= driftBudgetBp) false
+    else { regridZOrdered(spark, dir); true }
+  }
+
   /** E7 `q149_zorder_layout` — the z-curve computation itself, oracle-
     * backed end to end on the documents corpus: x = text length,
     * y = doc_id (the "size × recency" layout a curator actually

@@ -205,6 +205,24 @@ class LayoutSpec extends SparkSpecBase {
     assert(Layout.prunedScan(spark, dir, "x", 499L, 501L).count() == 1L)
   }
 
+  test("maintainZOrdered: healthy no-op, drifted heals, schedulable twice") {
+    val day1 = (0 until 16).flatMap(x => (0 until 16).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zmaint").toString + "/layout"
+    Layout.zorderWrite(day1, Seq("x", "y"), dir, fileBits = 4, bits = 4)
+    assert(!Layout.maintainZOrdered(spark, dir), "healthy layout must no-op")
+    // 32 of 288 rows clamp = 1111 bp, past the 100 bp default budget
+    Layout.appendZOrdered(spark, dir,
+      (0 until 32).map(i => (1000L + i, (i % 16).toLong)).toDF("x", "y"))
+    assert(Layout.maintainZOrdered(spark, dir), "drifted layout must rewrite")
+    assert(spark.read.parquet(dir).count() == 288L, "heal preserves every row")
+    assert(!Layout.maintainZOrdered(spark, dir),
+      "the schedule's next tick is a no-op again")
+    intercept[IllegalArgumentException] {
+      Layout.maintainZOrdered(spark, dir, driftBudgetBp = -1L)
+    }
+  }
+
   test("zorderDriftDocs: q166 shape — y drifts by the plant, clamp_bp is exact") {
     val out = Layout.zorderDriftDocs(spark, sfDir)
       .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect()

@@ -836,6 +836,20 @@ class SimilaritySpec extends SparkSpecBase {
       assert(m("pq_r50") >= m("pq_r10"), s"monotone at q=$q: $m")
     }
   }
+  test("annLshRecallReport: widening the band split is monotone (nested band boundaries)") {
+    import spark.implicits._
+    // bands of 8 bits are pairs of adjacent 4-bit bands, so every
+    // 2-band collision is also a 4-band collision — candidate superset,
+    // exact rerank ⇒ dominance
+    val rep = Similarity.annLshRecallReport(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rep.map(_._1).distinct.sorted.toSeq == Seq("lsh_b2", "lsh_b4"))
+    val byQ = rep.groupBy(_._2).view.mapValues(_.map(r => r._1 -> r._5).toMap)
+    byQ.foreach { case (q, m) =>
+      assert(m("lsh_b4") >= m("lsh_b2"), s"monotone at q=$q: $m")
+    }
+    assert(rep.length == 10, s"5 queries x 2 tiers: ${rep.length}")
+  }
   test("annPqCodebookRecallReport: both codebook tiers report every query point") {
     import spark.implicits._
     // NO monotonicity claim here — a bigger codebook changes the ADC
