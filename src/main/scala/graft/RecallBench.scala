@@ -70,6 +70,7 @@ object RecallBench {
       nProbe = 2, rerank = 10))
     leg("imipq_r50")(Similarity.annImiPqPortable(spark, sfDir, k, numQueries,
       nProbe = 2, rerank = 50))
+    leg("jl_r50")(Similarity.annJlSearch(spark, sfDir, k, numQueries, rerank = 50))
 
     // the TRAINED composed system: build + search + append walls (the
     // q140 production path, auto-sized halves), and its measured recall

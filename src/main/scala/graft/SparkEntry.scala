@@ -266,7 +266,10 @@ object SparkEntry {
     "q167_ann_pq_codebook"       -> ((s, d) => Similarity.annPqCodebookRecallReport(s, d)),
     // the LSH tier's knob: band split 2 vs 4 over 16 bits — with this
     // row every ANN tier in the family is metered
-    "q168_ann_lsh_recall"        -> ((s, d) => Similarity.annLshRecallReport(s, d))
+    "q168_ann_lsh_recall"        -> ((s, d) => Similarity.annLshRecallReport(s, d)),
+    // deterministic JL sign projection: the 64→16 scan-width lever,
+    // every component oracle-replayed from the md5 plane formula
+    "q169_jl_projection"         -> ((s, d) => Similarity.jlProjectionDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -2164,6 +2167,20 @@ object SparkEntry {
         |ranked AS (SELECT q_id, c_id, cos,
         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM scored)
         |SELECT q_id, rn AS rank, c_id, cos FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // q169: the JL projection replayed — planes from the shared md5
+    // formula, index-order dot fold, the float-exact 0.25 scale
+    "q169_jl_projection" ->
+      """WITH planes AS (
+        | SELECT j, list_transform(range(0, 64), d ->
+        |   CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) AS INT) % 2 = 1
+        |        THEN 1.0 ELSE -1.0 END) AS plane
+        | FROM range(0, 16) t(j)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT e.vec_id, CAST(p.j AS BIGINT) AS j,
+        |       round(list_dot_product(e.v, p.plane) * 0.25, 4) AS p
+        |FROM e CROSS JOIN planes p
+        |ORDER BY vec_id, j""".stripMargin,
 
     // q79: the IVF ANN search path on formula-chosen centroids (the
     // first 16 corpus vectors). KMeans training is the only part of

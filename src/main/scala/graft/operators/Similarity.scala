@@ -653,6 +653,71 @@ object Similarity {
       .orderBy(col("tier"), col("q_id"))
   }
 
+  /** C6b: deterministic Johnson–Lindenstrauss SIGN random projection —
+    * dimensionality reduction for the embedding family (Achlioptas
+    * 2003, "Database-friendly random projections": ±1 entries are a
+    * valid JL family): p[j] = (v · plane_j) / √outDim over the
+    * [[md5SignPlanes]] formula planes, so ANY engine regenerates the
+    * identical projection and the operator is oracle-backable end to
+    * end (q169). At 100 TB this is the scan-width lever BEFORE any ANN
+    * tier: a 64→16 projection cuts the candidate-scoring scan's bytes
+    * 4× while JL keeps pairwise geometry within the usual ±O(1/√outDim)
+    * distortion — and it is one map-only projection, no shuffle, no
+    * training, retry-deterministic.
+    *
+    * `outDim` must be a power of FOUR so the 1/√outDim scale is a
+    * negative power of two — float-EXACT, keeping engine parity free of
+    * a rounding boundary. */
+  def projectVectors(embeddings: DataFrame, outDim: Int = 16,
+                     dim: Int = 64): DataFrame = {
+    require(outDim >= 4 && Integer.bitCount(outDim) == 1 &&
+      Integer.numberOfTrailingZeros(outDim) % 2 == 0,
+      s"outDim must be a power of four (4, 16, 64, …) so 1/√outDim is " +
+        s"float-exact, got $outDim")
+    val planes = md5SignPlanes(outDim, dim)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    prepVectors(embeddings).select(col("vec_id"), col("v"), col("nrm"),
+      array(planes.map { p =>
+        vectors.dot(col("v"), array(p.map(lit): _*)) * lit(scale)
+      }: _*).as("pvec"))
+  }
+
+  /** C6b `q169_jl_projection` — [[projectVectors]] exploded to
+    * (vec_id, j, p) scalar rows, every component hash-checked against
+    * the DuckDB re-derivation (planes from the shared md5 formula,
+    * index-order dot fold, the exact 0.25 scale, 4-dp rounding). */
+  def jlProjectionDocs(spark: SparkSession, dir: String): DataFrame =
+    projectVectors(Tables(spark, dir).embeddings)
+      .select(col("vec_id"), posexplode(col("pvec")))
+      .select(col("vec_id"), col("pos").cast("long").as("j"),
+        round(col("col"), 4).as("p"))
+      .orderBy(col("vec_id"), col("j"))
+
+  /** C6b: ANN THROUGH the projection — candidates scored in the
+    * outDim-wide projected space (the 4×-narrower scan), top `rerank`
+    * per query exact-reranked in the original space. The same
+    * score-cheap-then-rerank-exact shape as the PQ tier, with a
+    * training-free, one-pass "encode". */
+  def annJlSearch(spark: SparkSession, dir: String, k: Int = 10,
+                  numQueries: Int = 5, rerank: Int = 50,
+                  outDim: Int = 16): DataFrame = {
+    val p = projectVectors(Tables(spark, dir).embeddings, outDim)
+      .localCheckpoint()
+    val qs = broadcast(p.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("pvec").as("qp")))
+    val wP = Window.partitionBy(col("q_id"))
+      .orderBy(col("pdot").desc, col("c_id").asc)
+    val cands = p.select(col("vec_id").as("c_id"), col("pvec").as("cp"))
+      .join(qs, col("c_id") =!= col("q_id"))
+      .withColumn("pdot", vectors.dot(col("qp"), col("cp")))
+      .withColumn("pr", row_number().over(wP))
+      .filter(col("pr") <= rerank)
+      .select(col("q_id"), col("c_id"))
+    val full = p.select(col("vec_id"), col("v"), col("nrm"))
+    exactRerankById(cands, full, full.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")), k)
+  }
+
   /** C7f `q168_ann_lsh_recall` — [[annRecall]] of the LSH tier (q78's
     * md5-sign plane chain) at band splits 2 vs 4 over the 16 signature
     * bits: the LSH recall knob. Band boundaries nest (bands of 8 bits

@@ -108,6 +108,9 @@ object EventsStream {
   /** Timestamped document record for the streaming census maintenance. */
   case class StreamDocTs(doc_id: Long, ts: Timestamp, text: String)
 
+  /** 2-D point record for the streaming z-order layout ingest. */
+  case class StreamPoint(doc_id: Long, x: Long, y: Long)
+
   /** Shared first-occurrence state machine for the dedup streams: the
     * first element per key passes, repeats drop. GroupState's timeout
     * contract CLEARS any pending timeout on every invocation of the
@@ -1876,6 +1879,37 @@ object EventsStream {
           graft.operators.Bpe.encodeStats(fresh, merges, idCol, textCol,
             useKernel = true, byteLevel = byteLevel)
             .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(statsPath)
+      }
+      .start()
+
+  /** D2v — streaming z-ordered LAYOUT ingest (E8 as a stream): each
+    * micro-batch grids, routes and sorts under the layout's FROZEN
+    * grid metadata through the production [[graft.sources.Layout.appendZOrdered]]
+    * — the increment lands in exactly the zbucket directories a batch
+    * append would give it, readers / zone maps / pruned scans are
+    * unchanged mid-stream, and out-of-range rows clamp to edge cells
+    * (the E8 trade: clustering, never correctness — run
+    * `maintainZOrdered` on the schedule to heal accumulated drift).
+    * Replay-idempotent per the postings convention: already-landed ids
+    * anti-join away against the layout's own id column, so a crashed
+    * trigger's re-delivery appends nothing. The anti-join reads one
+    * column of the layout (column-pruned scan) — the same per-trigger
+    * cost class as every D2 index ingest. */
+  def zorderIngestStream(rows: DataFrame, layoutDir: String,
+                         checkpointDir: String,
+                         idCol: String = "doc_id"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val landed = spark.read.parquet(layoutDir)
+          .select(col(idCol)).distinct()
+        val fresh = batch0.join(landed, Seq(idCol), "left_anti")
+          .localCheckpoint()
+        if (!fresh.isEmpty)
+          graft.sources.Layout.appendZOrdered(spark, layoutDir, fresh)
       }
       .start()
 }

@@ -836,6 +836,38 @@ class SimilaritySpec extends SparkSpecBase {
       assert(m("pq_r50") >= m("pq_r10"), s"monotone at q=$q: $m")
     }
   }
+  test("JL projection: norms preserved in expectation, search through it keeps useful recall, loud guards") {
+    import spark.implicits._
+    val p = Similarity.projectVectors(Tables(spark, sfDir).embeddings)
+    // E[|p|²] = |v|² for the ±1/√k family — per-vector ratios
+    // concentrate around 1 within the JL distortion band, and the
+    // corpus mean sits tight
+    val ratios = p.select(
+        (graft.functions.vectors.dot(col("pvec"), col("pvec")) /
+          (col("nrm") * col("nrm"))).as("r"))
+      .as[Double].collect()
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.2, s"mean norm ratio $mean drifted from 1")
+    assert(ratios.forall(r => r > 0.2 && r < 3.0),
+      s"a per-vector ratio left the JL band: ${ratios.min} .. ${ratios.max}")
+    // search through the projection: candidates from 16-dim scores,
+    // exact rerank — recall floor vs brute force, the LSH convention
+    val bf = Similarity.annBruteForce(spark, sfDir)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val got = Similarity.annJlSearch(spark, sfDir)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = bf.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    assert(recalls.sum / recalls.size >= 0.4,
+      s"mean recall ${recalls.sum / recalls.size} too low for a 4x-narrower scan + rerank 50")
+    // non-power-of-four outDim would make 1/√outDim inexact — refused
+    intercept[IllegalArgumentException] {
+      Similarity.projectVectors(Tables(spark, sfDir).embeddings, outDim = 8)
+    }
+  }
   test("annLshRecallReport: widening the band split is monotone (nested band boundaries)") {
     import spark.implicits._
     // bands of 8 bits are pairs of adjacent 4-bit bands, so every

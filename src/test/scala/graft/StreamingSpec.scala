@@ -352,6 +352,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2v: streaming z-order ingest — frozen-grid routing, replay appends nothing, clamp found") {
+    import graft.streaming.EventsStream.StreamPoint
+    import graft.sources.Layout
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day1 = (0 until 16).flatMap(x => (0 until 16).map(y =>
+      (1000L + x * 16 + y, x.toLong, y.toLong))).toDF("doc_id", "x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zstream").toString + "/layout"
+    Layout.zorderWrite(day1, Seq("x", "y"), dir, fileBits = 4, bits = 4)
+    val mem = MemoryStream[StreamPoint]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_zing_ck").toString
+    val q = EventsStream.zorderIngestStream(mem.toDF(), dir, ckpt)
+    def layout = spark.read.parquet(dir)
+    try {
+      // trigger 1: an in-range point + an out-of-range extreme
+      mem.addData(StreamPoint(1L, 3L, 12L), StreamPoint(2L, 2000L, 5L))
+      q.processAllAvailable()
+      assert(layout.count() == 258L, "both stream rows land")
+      // frozen-grid routing: the streamed twin co-locates with its
+      // day-1 twin's bucket
+      val buckets = layout.filter(col("x") === 3 && col("y") === 12)
+        .select(col("zbucket").cast("long")).distinct().as[Long].collect()
+      assert(buckets.length == 1, s"streamed twin co-locates: ${buckets.toSeq}")
+      // trigger 2: a REPLAY of id 1 plus one fresh point — replays
+      // append nothing
+      mem.addData(StreamPoint(1L, 3L, 12L), StreamPoint(3L, 7L, 7L))
+      q.processAllAvailable()
+      assert(layout.count() == 259L, "the replayed id appends nothing")
+      assert(layout.filter(col("doc_id") === 1L).count() == 1L)
+      // the clamped extreme is still FOUND (zone maps carry true values)
+      val found = Layout.prunedScan(spark, dir, "x", 1500L, 3000L)
+        .select(col("doc_id")).as[Long].collect()
+      assert(found.toSeq == Seq(2L), s"clamp costs clustering, never correctness: $found")
+    } finally q.stop()
+  }
+
   test("E6 ∘ D2t: compaction heals the streamed winnow index; probes bit-identical, ≤1 file/bucket") {
     import graft.streaming.EventsStream.StreamDoc
     import graft.operators.Dedup
