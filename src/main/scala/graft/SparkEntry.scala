@@ -269,7 +269,10 @@ object SparkEntry {
     "q168_ann_lsh_recall"        -> ((s, d) => Similarity.annLshRecallReport(s, d)),
     // deterministic JL sign projection: the 64→16 scan-width lever,
     // every component oracle-replayed from the md5 plane formula
-    "q169_jl_projection"         -> ((s, d) => Similarity.jlProjectionDocs(s, d))
+    "q169_jl_projection"         -> ((s, d) => Similarity.jlProjectionDocs(s, d)),
+    // the eval-leakage firewall composed: grouped split → held-out
+    // gram artifact → train-side contamination flags
+    "q170_split_decontam"        -> ((s, d) => Dedup.splitDecontamDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -3099,6 +3102,38 @@ object SparkEntry {
         |hits AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (g))
         |SELECT t.doc_id, (hits.doc_id IS NOT NULL) AS contaminated
         |FROM t LEFT JOIN hits ON hits.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // q170: the firewall chain replayed — the q153 donor plant, the
+    // md5 source-bucket split at seed 9, the held-out first-20-word
+    // gram artifact, and the train-side flags by gram STRINGS (the
+    // q137 convention: the operator joins xxhash64 keys; a collision
+    // would flip a verdict and hash-mismatch loudly)
+    "q170_split_decontam" ->
+      """WITH d0 AS (SELECT d.doc_id, d.source,
+        |             CASE WHEN d.doc_id % 10 = 9 THEN dn.text ELSE d.text END AS text
+        |            FROM documents d
+        |            LEFT JOIN documents dn ON dn.doc_id = d.doc_id - 4),
+        |sp AS (SELECT doc_id, source, text,
+        |         CAST(('0x' || substr(md5(source || ':split:9'), 1, 13)) AS BIGINT)
+        |           % 100 AS b
+        |       FROM d0),
+        |t AS (SELECT doc_id, source,
+        |        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |             ELSE 'test' END AS split,
+        |        string_split_regex(trim(lower(text)), '\s+') AS w
+        |      FROM sp),
+        |ev AS (SELECT w[1:20] AS w FROM t WHERE split <> 'train'),
+        |eg AS (SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS g
+        |       FROM ev, unnest(generate_series(1, greatest(len(w) - 12, 0))) AS u(i)),
+        |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS g
+        |       FROM t, unnest(generate_series(1, greatest(len(w) - 12, 0))) AS u(i)
+        |       WHERE split = 'train' AND len(w) >= 13),
+        |hits AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (g))
+        |SELECT t.doc_id, t.source, t.split,
+        |       (hits.doc_id IS NOT NULL) AS contaminated
+        |FROM t LEFT JOIN hits ON hits.doc_id = t.doc_id
+        |WHERE t.split = 'train'
         |ORDER BY t.doc_id""".stripMargin,
 
     // q125: BPE encode — the oracle is GENERATED from the same planted

@@ -481,6 +481,37 @@ object Dedup {
     flagNgramContamination(docs, evalDocs)
   }
 
+  /** C2c∘C38 `q170_split_decontam` — the eval-leakage FIREWALL
+    * composed: leakage-safe grouped split (C38 — whole sources held
+    * out) → the held-out docs' leading 20 words become the q137
+    * decontamination artifact ([[buildEvalGramIndex]]) → the TRAIN
+    * side flags against it map-side ([[flagAgainstEvalGrams]]). This
+    * is the chain a training run actually executes between splitting
+    * and shipping: the eval suite is whatever the split held out, so
+    * the firewall and the split can never drift apart. The q153 donor
+    * plant + split seed 9 make both verdict paths fire DETERMINISTICALLY
+    * at every SF: source = doc_id mod 20 and the seed-9 source buckets
+    * put src19 (all of whose docs are planted copies of src15 = train
+    * originals) in VAL and src5 (whose copies live in src9 = train) in
+    * TEST — so train originals AND train copies both flag, while
+    * unrelated train sources stay clean. */
+  def splitDecontamDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = donorPlantedText(Tables(spark, dir).documents)
+    // forked: the eval derivation and both train-side reads
+    val parts = Sharding.leakageSafeSplit(docs, "source", seed = 9L)
+      .localCheckpoint()
+    val evalDocs = parts.filter(col("split") =!= "train")
+      .select(col("doc_id"),
+        array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 20), " ")
+          .as("text"))
+    val train = parts.filter(col("split") === "train")
+    flagAgainstEvalGrams(train.select(col("doc_id"), col("text")),
+        buildEvalGramIndex(evalDocs))
+      .join(train.select(col("doc_id"), col("source"), col("split")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("split"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash of the word multiset via the native kernel expression
     * [[graft.expressions.SimHash64]] (a HOF formulation would evaluate a
     * 64-wide lambda accumulator per token — orders of magnitude more

@@ -318,6 +318,29 @@ class DedupSpec extends SparkSpecBase {
       s"train grams must join map-side, saw $gramExchanges gram exchanges:\n${plan.take(1500)}")
   }
 
+  test("splitDecontamDocs: the firewall fires on both sides of the plant, train rows only") {
+    import spark.implicits._
+    val out = Dedup.splitDecontamDocs(spark, sfDir)
+      .as[(Long, String, String, Boolean)].collect()
+    assert(out.nonEmpty && out.forall(_._3 == "train"),
+      "the firewall reports the TRAIN side only")
+    // the seed-9 plant: src15 originals (their text copied into src19 =
+    // val) and src9 copies (carrying src5 = test text) must flag; the
+    // split is by whole sources
+    val bySrc = out.groupBy(_._2)
+    assert(!bySrc.contains("src19") && !bySrc.contains("src5"),
+      "held-out sources never appear on the train side")
+    def mostly(src: String) = {
+      val rows = bySrc(src)
+      rows.count(_._4).toDouble / rows.size
+    }
+    assert(mostly("src15") > 0.8, "train originals of val copies flag")
+    assert(mostly("src9") > 0.8, "train copies of test originals flag")
+    val clean = out.filter(r => r._2 != "src15" && r._2 != "src9")
+    assert(clean.count(!_._4).toDouble / clean.size > 0.8,
+      "unrelated train sources stay overwhelmingly clean")
+  }
+
   test("dupClusters resolves TRANSITIVE chains to the component minimum") {
     import spark.implicits._
     // chain 1-2-3-4 (no direct 1-4 edge!), pair 10-11, singleton edge 20-21
