@@ -269,6 +269,72 @@ object Similarity {
     (assignPrepped(e, cents), cents)
   }
 
+  /** C7i: day-2 IVF cell REBALANCING — the hot-cell healer (round 15;
+    * the index-maintenance sibling of E6's bucket compaction and E8b's
+    * grid re-fit): appends never re-fit the quantizer, so a shifting
+    * distribution piles mass into a few cells until the O(|cell|²)
+    * pair paths blow their loud guards — [[semanticDedup]]'s
+    * oversized-cell raise says "retrain the quantizer with more cells",
+    * and this is the TARGETED fix: cells past `maxCellSize` are
+    * re-quantized LOCALLY (one bounded KMeans over just the fat cell's
+    * vectors, k = ⌈size/targetCellSize⌉ sub-cells, sampled fit past
+    * `fitSampleSize`), their rows reassign through the production
+    * argmin, and the new sub-centroids APPEND to the centroid table
+    * under fresh ids. Every other cell, row and centroid is untouched
+    * — searches and probes need no migration, the argmin simply has
+    * finer candidates where it was drowning.
+    *
+    * Scale shape: the census is one aggregation; each fat cell costs
+    * one bounded fit + one assignment over ITS rows only; the fat-cell
+    * list collects to the driver (bounded by the cell count — the
+    * zoneMap convention). One pass per invocation, schedulable like
+    * [[graft.sources.Bucketing.compactBucketed]]: a healthy index
+    * no-ops. Honest limit: a fat cell of near-identical vectors cannot
+    * split (sub-centroids collapse, rows re-land together) — that mass
+    * is DUPLICATION, and the remedy is the dedup family, not finer
+    * quantization.
+    *
+    * @return (assigned', centroids', rebalanced?) — false = no-op */
+  def rebalanceIvfIndex(assigned: DataFrame, centroids: DataFrame,
+                        maxCellSize: Long, targetCellSize: Int = 125,
+                        seed: Long = 42L, fitSampleSize: Int = 16384)
+      : (DataFrame, DataFrame, Boolean) = {
+    require(maxCellSize > 0, s"maxCellSize must be positive, got $maxCellSize")
+    require(targetCellSize > 0 && targetCellSize <= maxCellSize,
+      s"targetCellSize ($targetCellSize) must lie in [1, maxCellSize=$maxCellSize]")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    // materialized: the census, every fat-cell slice and the keep side
+    // all fork this frame
+    val a = assigned.select(col("vec_id"), col("v"), col("nrm"),
+      col("cell").cast("int").as("cell")).localCheckpoint()
+    val fat = a.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCellSize)
+      .as[(Int, Long)].collect().sortBy(_._1)
+    if (fat.isEmpty) return (assigned, centroids, false)
+    val cents = centroids.select(col("cell").cast("int").as("cell"),
+      col("cvec"), col("c2")).localCheckpoint()
+    var nextId = cents.agg(max(col("cell"))).first().getInt(0) + 1
+    val fatDf = broadcast(fat.map(_._1).toSeq.toDF("cell"))
+    var outA = a.join(fatDf, Seq("cell"), "left_anti")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    var outC = cents.join(fatDf, Seq("cell"), "left_anti")
+    fat.foreach { case (cellId, n) =>
+      val rows = a.filter(col("cell") === cellId)
+        .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
+      val k = math.max(2, ((n + targetCellSize - 1) / targetCellSize).toInt)
+      val fit = if (n <= fitSampleSize) rows
+        else rows.sample(withReplacement = false, fitSampleSize.toDouble / n, seed)
+      val (_, sub0) = buildIvfIndexFrom(fit, k, seed)
+      val sub = sub0.select((col("cell") + lit(nextId)).cast("int").as("cell"),
+        col("cvec"), col("c2")).localCheckpoint()
+      nextId += k
+      outA = outA.unionByName(assignPrepped(rows, sub))
+      outC = outC.unionByName(sub)
+    }
+    (outA, outC, true)
+  }
+
   /** A trained coarse-quantizer artifact with its STRUCTURE abstracted
     * (round 14 — the auto rule generalized off the text path): one
     * `assigned` (vec_id, v, nrm, cell) corpus frame plus the

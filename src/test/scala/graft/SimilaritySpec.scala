@@ -836,6 +836,68 @@ class SimilaritySpec extends SparkSpecBase {
       assert(m("pq_r50") >= m("pq_r10"), s"monotone at q=$q: $m")
     }
   }
+  test("rebalanceIvfIndex: fat cells split locally, the rest untouched, the dedup guard's remedy works") {
+    import spark.implicits._
+    // planted: two tight 10-vector blobs + one FAT cell of 60 vectors
+    // that itself carries 4 sub-blobs of 15 — splittable substructure
+    def blob(center: Seq[Double], n: Int, base: Long): Seq[(Long, Seq[Float])] =
+      (0 until n).map { i =>
+        (base + i, center.zipWithIndex.map { case (c, d) =>
+          (c + 0.01 * ((i * 7 + d * 3) % 5)).toFloat })
+      }
+    val dim = 8
+    def c(hot: Int*): Seq[Double] =
+      (0 until dim).map(d => if (hot.contains(d)) 10.0 else 0.0)
+    val vecs = blob(c(0), 10, 0L) ++ blob(c(1), 10, 100L) ++
+      (0 until 4).flatMap(s => blob(c(2, 3 + s), 15, 200L + s * 15))
+    val emb = vecs.toDF("vec_id", "embedding")
+      .withColumn("label", lit(0L))
+    val (assigned0, cents0) = Similarity.buildIvfIndex(emb, nClusters = 3)
+    val assigned = assigned0.localCheckpoint()
+    val cents = cents0.localCheckpoint()
+    val census0 = assigned.groupBy("cell").count().as[(Int, Long)].collect().toMap
+    assert(census0.values.max == 60L, s"the plant must make one fat cell: $census0")
+    // the oversized-cell guard trips BEFORE the heal...
+    intercept[Exception] {
+      Similarity.semanticDedupAssigned(assigned, maxCellSize = 20).collect()
+    }
+    val (a1, c1, did) = Similarity.rebalanceIvfIndex(assigned, cents,
+      maxCellSize = 20L, targetCellSize = 15)
+    assert(did, "a fat cell must trigger the rewrite")
+    val a1ck = a1.localCheckpoint(); val c1ck = c1.localCheckpoint()
+    val census1 = a1ck.groupBy("cell").count().as[(Int, Long)].collect().toMap
+    assert(census1.values.max <= 20L, s"no cell may stay fat: $census1")
+    assert(a1ck.count() == 80L &&
+      a1ck.select("vec_id").distinct().count() == 80L, "every row preserved once")
+    // untouched cells keep their rows AND their centroid bytes
+    val smallCells = census0.filter(_._2 == 10L).keys.toSet
+    smallCells.foreach { cc =>
+      val before = assigned.filter(col("cell") === cc)
+        .select("vec_id").as[Long].collect().sorted.toSeq
+      val after = a1ck.filter(col("cell") === cc)
+        .select("vec_id").as[Long].collect().sorted.toSeq
+      assert(before == after, s"cell $cc must be untouched")
+    }
+    assert(c1ck.count() > cents.count(), "sub-centroids append under fresh ids")
+    assert(c1ck.select("cell").distinct().count() == c1ck.count(),
+      "centroid ids stay unique")
+    // ...and no longer trips AFTER it — the guard's named remedy
+    val dedup = Similarity.semanticDedupAssigned(a1ck, maxCellSize = 20)
+    assert(dedup.count() == 80L, "the dedup pass runs clean post-rebalance")
+    // a fat-blob member still finds its sub-blob twin through the
+    // rebalanced index (search semantics survive the split)
+    val hit = Similarity.annIvfSearch(a1ck, c1ck, k = 1, numQueries = 1, nProbe = 2)
+      .select("c_id").as[Long].collect()
+    assert(hit.nonEmpty, "search still answers through the rebalanced artifact")
+    // healthy index: the next scheduled tick no-ops
+    val (_, _, again) = Similarity.rebalanceIvfIndex(a1ck, c1ck,
+      maxCellSize = 20L, targetCellSize = 15)
+    assert(!again, "a balanced index must no-op")
+    intercept[IllegalArgumentException] {
+      Similarity.rebalanceIvfIndex(a1ck, c1ck, maxCellSize = 10L, targetCellSize = 15)
+    }
+  }
+
   test("JL projection: norms preserved in expectation, search through it keeps useful recall, loud guards") {
     import spark.implicits._
     val p = Similarity.projectVectors(Tables(spark, sfDir).embeddings)
