@@ -275,7 +275,10 @@ object SparkEntry {
     "q170_split_decontam"        -> ((s, d) => Dedup.splitDecontamDocs(s, d)),
     // interpolated Kneser–Ney bigram scoring — the KenLM-style
     // smoothing behind the CCNet-family filters
-    "q171_kneser_ney"            -> ((s, d) => TextAnalysis.knBigramNll(s, d))
+    "q171_kneser_ney"            -> ((s, d) => TextAnalysis.knBigramNll(s, d)),
+    // the day-2 KN flow: fit on the 80% slice, score the batch against
+    // the frozen model — unseen events priced by smoothed continuation
+    "q172_kn_score"              -> ((s, d) => TextAnalysis.knScoreDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -3755,6 +3758,48 @@ object SparkEntry {
          |                    * 100000000.0) AS BIGINT) AS lps
          |       FROM bg g JOIN bc c ON c.a = g.a AND c.b = g.b
          |       JOIN ctx x ON x.a = g.a JOIN cont k ON k.b = g.b CROSS JOIN tot t)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(-(CAST(sum(lps) AS DOUBLE) / 100000000.0) / count(*)
+         |        + 1e-9, 4) AS kn_nll
+         |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // q172: the day-2 KN flow replayed — the model's counts off the
+    // 80% slice only, the batch's bigrams left-joined against them,
+    // all three scoring branches (seen / unseen-bigram / unseen-
+    // context) as one CASE, the smoothed continuation, the shared
+    // discount constant, ln parity, grid sums
+    "q172_kn_score" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+         |           FROM documents),
+         |tok AS (SELECT doc_id, unnest(w) AS tok,
+         |          unnest(generate_series(1, len(w))) AS pos FROM d),
+         |bg AS (SELECT t0.doc_id, t0.tok AS a, t1.tok AS b
+         |       FROM tok t0 JOIN tok t1
+         |         ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1),
+         |bc AS (SELECT a, b, count(*) AS cab FROM bg
+         |       WHERE doc_id % 5 <> 4 GROUP BY 1, 2),
+         |ctx AS (SELECT a, sum(cab) AS ca, count(*) AS n1a FROM bc GROUP BY 1),
+         |cont AS (SELECT b, count(*) AS n1b FROM bc GROUP BY 1),
+         |sc AS (SELECT (SELECT count(*) FROM bc) AS n1tot,
+         |         (SELECT count(DISTINCT t) FROM
+         |           (SELECT a AS t FROM bc UNION ALL SELECT b FROM bc)) AS v),
+         |q AS (SELECT g.doc_id, c.cab, x.ca, x.n1a, k.n1b
+         |      FROM bg g LEFT JOIN bc c ON c.a = g.a AND c.b = g.b
+         |      LEFT JOIN ctx x ON x.a = g.a
+         |      LEFT JOIN cont k ON k.b = g.b
+         |      WHERE g.doc_id % 5 = 4),
+         |lp AS (SELECT doc_id,
+         |         CAST(round(ln(
+         |           CASE WHEN ca IS NOT NULL THEN
+         |             (greatest(coalesce(cab, 0) - ${TextAnalysis.KnDiscount}, 0.0)
+         |              + ${TextAnalysis.KnDiscount} * n1a
+         |                * (CAST(coalesce(n1b, 0) + 1 AS DOUBLE)
+         |                   / (s.n1tot + s.v + 1))) / ca
+         |           ELSE CAST(coalesce(n1b, 0) + 1 AS DOUBLE)
+         |                / (s.n1tot + s.v + 1) END)
+         |                    * 100000000.0) AS BIGINT) AS lps
+         |       FROM q, sc s)
          |SELECT doc_id, count(*) AS n_bigrams,
          |  round(-(CAST(sum(lps) AS DOUBLE) / 100000000.0) / count(*)
          |        + 1e-9, 4) AS kn_nll

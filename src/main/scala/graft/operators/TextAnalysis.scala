@@ -406,6 +406,89 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The persistable KN MODEL artifact: the one bigram count table —
+    * every marginal the scorer needs (context totals, continuation
+    * fan-ins, the row count, the vocabulary) derives from it, so
+    * "fit once, score forever" ships a single tiny parquet table (the
+    * dsirFit convention at the LM tier). */
+  def knFit(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def tok = docs.select(col(idCol).as("doc_id"),
+      posexplode(T.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tok.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("tok").as("a"), col("nxt").as("b"))
+      .agg(count(lit(1)).as("cab"))
+  }
+
+  /** C17d day-2: score NEW documents against a FROZEN [[knFit]] model —
+    * the flow the CCNet-family filters actually run (the model trains
+    * on a reference corpus once; incoming data scores against it), so
+    * unlike the self-scored [[knBigramNll]] this must price UNSEEN
+    * events: the continuation distribution is Laplace-smoothed over
+    * the open vocabulary (Pcont(b) = (N1+(·b)+1)/(N1+(··)+V+1) — an
+    * unseen continuation gets the +1 floor instead of ln 0), an unseen
+    * bigram under a seen context takes only the backoff mass
+    * (d·N1+(a·)·Pcont(b)/c(a·)), and an unseen CONTEXT backs off to
+    * Pcont(b) entirely. All model quantities stay exact integer counts
+    * off the one table; ln parity and grid sums as in q93/q171. The
+    * model broadcasts (distinct-bigram-sized) and the corpus never
+    * shuffles on model keys — the q137 map-side shape. */
+  def knScoreAgainstModel(newDocs: DataFrame, model: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text",
+                          discount: Double = KnDiscount): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(discount > 0.0 && discount < 1.0,
+      s"absolute discount must lie in (0, 1), got $discount")
+    val bc = model.select(col("a"), col("b"), col("cab")).localCheckpoint()
+    val ctx = bc.groupBy(col("a"))
+      .agg(sum(col("cab")).as("ca"), count(lit(1)).as("n1a"))
+    val cont = bc.groupBy(col("b")).agg(count(lit(1)).as("n1b"))
+    val scalars = broadcast(bc.agg(count(lit(1)).as("n1tot"))
+      .crossJoin(bc.select(explode(array(col("a"), col("b"))).as("t"))
+        .agg(countDistinct(col("t")).as("v"))))
+    def tok = newDocs.select(col(idCol).as("doc_id"),
+      posexplode(T.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = tok.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("tok").as("a"), col("nxt").as("b"))
+    bigrams
+      .join(broadcast(bc), Seq("a", "b"), "left")
+      .join(broadcast(ctx), Seq("a"), "left")
+      .join(broadcast(cont), Seq("b"), "left")
+      .crossJoin(scalars)
+      .withColumn("_pc",
+        (coalesce(col("n1b"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n1tot") + col("v") + lit(1L)))
+      .withColumn("_p", when(col("ca").isNotNull,
+        (greatest(coalesce(col("cab"), lit(0L)) - lit(discount), lit(0.0)) +
+          lit(discount) * col("n1a") * col("_pc")) / col("ca"))
+        .otherwise(col("_pc")))
+      .withColumn("_lps", round(log(col("_p")) * 100000000.0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_lps")).as("_s"))
+      .withColumn("kn_nll", round(
+        -(col("_s").cast("double") / 100000000.0) / col("n_bigrams") + lit(1e-9), 4))
+      .select(col("doc_id"), col("n_bigrams"), col("kn_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C17d `q172_kn_score` — the day-2 KN flow over the 80/20 split:
+    * [[knFit]] on the corpus slice (doc_id % 5 ≠ 4), the batch scored
+    * against the frozen model. Batch docs routinely carry bigrams,
+    * continuations and contexts the model never saw, so all three
+    * scoring branches exercise on real data (the spec plants each
+    * deterministically). */
+  def knScoreDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    knScoreAgainstModel(docs.filter(col("doc_id") % 5 === 4),
+      knFit(docs.filter(col("doc_id") % 5 =!= 4)))
+  }
+
   /** `q100_repetition_signals` — Gopher-family within-document
     * REPETITION filters (Rae et al. 2021, "Scaling Language Models:
     * Methods, Analysis & Insights from Training Gopher",

@@ -192,6 +192,44 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+  test("KN day-2 scorer: all three branches hand-exact against the frozen model") {
+    import org.apache.spark.sql.functions._
+    // model corpus: "a b a b" + "b c" → bc (a,b)=2 (b,a)=1 (b,c)=1;
+    // ctx a: ca=2 n1a=1; b: ca=2 n1a=2; cont a/b/c = 1 each;
+    // N1+(··)=3, V={a,b,c}=3 → smoothed Pcont(x) = (n1b(x)+1)/7
+    val model = TextAnalysis.knFit(
+      Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text"))
+    val batch = Seq(
+      (1L, "a b b"), // seen (a,b) then unseen bigram (b,b): seen ctx+cont
+      (2L, "z b"),   // unseen CONTEXT z → full backoff to Pcont(b)
+      (3L, "a z")    // seen ctx, unseen continuation z → the +1 floor
+    ).toDF("doc_id", "text")
+    def grid(ps: Seq[Double]) = {
+      val s = ps.map(p => math.round(math.log(p) * 1e8)).sum
+      BigDecimal(-(s.toDouble / 1e8) / ps.size + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val pcB = 2.0 / 7.0; val pcZ = 1.0 / 7.0
+    val pSeen = (2.0 - 0.75 + 0.75 * 1 * pcB) / 2.0 // (a,b)
+    val pBB = (0.75 * 2 * pcB) / 2.0                // (b,b) backoff mass
+    val pAZ = (0.75 * 1 * pcZ) / 2.0                // (a,z) unseen cont
+    val out = TextAnalysis.knScoreAgainstModel(batch, model)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, grid(Seq(pSeen, pBB))),
+      (2L, 1L, grid(Seq(pcB))),
+      (3L, 1L, grid(Seq(pAZ)))), s"got $out")
+    // a plausible in-domain doc outscores out-of-domain junk under the
+    // frozen model — the filtering property the scorer exists for
+    val rank = TextAnalysis.knScoreAgainstModel(
+        Seq((10L, "a b a b"), (11L, "z q w r")).toDF("doc_id", "text"), model)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(rank(10L) < rank(11L), s"in-domain must score lower NLL: $rank")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.knScoreAgainstModel(batch, model, discount = 0.0)
+    }
+  }
+
   test("collocations rank exclusive pairs above promiscuous ones; minCount floors hapaxes") {
     import org.apache.spark.sql.functions._
     // "x y" is exclusive (x only precedes y, y only follows x);
