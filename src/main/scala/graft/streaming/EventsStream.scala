@@ -1783,6 +1783,42 @@ object EventsStream {
       }
       .start()
 
+  /** D2→C17d bridge — streaming Kneser–Ney LM scoring: each
+    * micro-batch of new documents scores against the PERSISTED
+    * [[graft.operators.TextAnalysis.knFit]] model (the one bigram
+    * count table — fit once from the reference corpus, never touched
+    * by the stream) through the production day-2 kernel
+    * ([[graft.operators.TextAnalysis.knScoreAgainstModel]] — smoothed
+    * continuation, all three unseen branches priced, model broadcast)
+    * and APPENDS (doc_id, n_bigrams, kn_nll) to the scored table —
+    * the continuously-maintained perplexity ranking the CCNet-style
+    * selection thresholds downstream. Fit-first contract and
+    * replay-idempotence exactly per [[dsirScoreStream]] (scores are
+    * pure functions of (doc, frozen model): no stats row to heal). */
+  def knScoreStream(docs: DataFrame, modelPath: String, scoredPath: String,
+                    checkpointDir: String,
+                    idCol: String = "doc_id", textCol: String = "text"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.dropDuplicates(idCol)
+        val model = spark.read.parquet(modelPath) // loud if absent: fit-first
+        val existing = readTableIfExists(spark, scoredPath)
+        val fresh = existing match {
+          case Some(s) =>
+            batch.join(s.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+          case None => batch
+        }
+        if (!fresh.isEmpty)
+          graft.operators.TextAnalysis.knScoreAgainstModel(
+              fresh, model, idCol, textCol)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(scoredPath)
+      }
+      .start()
+
   /** D2→C37 bridge — streaming Naive Bayes classification against the
     * PERSISTED model: each micro-batch of new documents scores through
     * the production kernel ([[graft.operators.Classify.nbScore]] —
