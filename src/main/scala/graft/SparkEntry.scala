@@ -278,7 +278,10 @@ object SparkEntry {
     "q171_kneser_ney"            -> ((s, d) => TextAnalysis.knBigramNll(s, d)),
     // the day-2 KN flow: fit on the 80% slice, score the batch against
     // the frozen model — unseen events priced by smoothed continuation
-    "q172_kn_score"              -> ((s, d) => TextAnalysis.knScoreDocs(s, d))
+    "q172_kn_score"              -> ((s, d) => TextAnalysis.knScoreDocs(s, d)),
+    // Cavnar–Trenkle rank-profile language ID: frozen profiles from
+    // the corpus slice, the batch identified by out-of-place distance
+    "q173_langid_profiles"       -> ((s, d) => TextAnalysis.langIdProfileDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -3804,6 +3807,45 @@ object SparkEntry {
          |  round(-(CAST(sum(lps) AS DOUBLE) / 100000000.0) / count(*)
          |        + 1e-9, 4) AS kn_nll
          |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // q173: the rank-profile langid replayed — normalized char
+    // trigrams via generate_series+substr, per-lang counts, the
+    // (count desc, gram asc) rank tie-break, top-100 profiles, top-20
+    // doc profiles, out-of-place sums with the n-penalty for misses,
+    // argmin with the lexicographic lang tie-break
+    "q173_langid_profiles" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |           FROM documents),
+        |g AS (SELECT doc_id, lang, substr(t, CAST(u.i AS INTEGER), 3) AS g
+        |      FROM t, unnest(generate_series(1, length(t) - 2)) u(i)
+        |      WHERE length(t) >= 3),
+        |pc AS (SELECT lang, g, count(*) AS cnt FROM g
+        |       WHERE doc_id % 5 <> 4 GROUP BY 1, 2),
+        |prof AS (SELECT lang, g, rn AS rank FROM (
+        |          SELECT lang, g, CAST(row_number() OVER (PARTITION BY lang
+        |            ORDER BY cnt DESC, g ASC) AS BIGINT) AS rn
+        |          FROM pc) WHERE rn <= 100),
+        |dc AS (SELECT doc_id, g, count(*) AS cnt FROM g
+        |       WHERE doc_id % 5 = 4 GROUP BY 1, 2),
+        |dr AS (SELECT doc_id, g, rn AS r_doc FROM (
+        |        SELECT doc_id, g, CAST(row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY cnt DESC, g ASC) AS BIGINT) AS rn
+        |        FROM dc) WHERE rn <= 20),
+        |langs AS (SELECT DISTINCT lang FROM prof),
+        |dist AS (SELECT dr.doc_id, l.lang,
+        |           CAST(sum(coalesce(abs(dr.r_doc - p.rank), 100)) AS BIGINT) AS dist
+        |         FROM dr CROSS JOIN langs l
+        |         LEFT JOIN prof p ON p.lang = l.lang AND p.g = dr.g
+        |         GROUP BY 1, 2),
+        |best AS (SELECT doc_id, lang AS pred_lang, dist FROM (
+        |          SELECT doc_id, lang, dist,
+        |            row_number() OVER (PARTITION BY doc_id
+        |              ORDER BY dist ASC, lang ASC) AS rn
+        |          FROM dist) WHERE rn = 1)
+        |SELECT b.doc_id, t.lang, b.pred_lang, b.dist
+        |FROM best b JOIN t ON t.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     // q92: phrase matching is pure integer position arithmetic —
     // DuckDB re-derives (term, pos) pairs via zipped unnest and counts

@@ -406,6 +406,89 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** C8b: char-trigram stream of normalized text — the shared
+    * derivation of the Cavnar–Trenkle family (profiles and probes must
+    * window identically, forever — the winnow/decontam rule). */
+  private def charTrigrams(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val t = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    df.select(col(idCol).as("_id"), t.as("_t"))
+      .filter(length(col("_t")) >= 3)
+      .select(col("_id"), explode(transform(
+        sequence(lit(1), length(col("_t")) - 2),
+        i => col("_t").substr(i, lit(3)))).as("g"))
+  }
+
+  /** C8b: Cavnar–Trenkle N-GRAM PROFILES (Cavnar & Trenkle 1994,
+    * "N-Gram-Based Text Categorization" — the rank-profile method
+    * behind classic langid, and the shape char-ngram production
+    * identifiers still use): per language, the top-`n` char trigrams
+    * by count, RANKED — a tiny persistable artifact (|langs| · n
+    * rows) trained distributed from labeled text in two grouped
+    * aggregations. Ties rank deterministically (count DESC, gram ASC)
+    * so the artifact is engine-reproducible. */
+  def langProfiles(docs: DataFrame, langCol: String = "lang",
+                   textCol: String = "text", n: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"profile size must be positive, got $n")
+    val w = Window.partitionBy(col("_id")).orderBy(col("cnt").desc, col("g").asc)
+    charTrigrams(docs, langCol, textCol)
+      .groupBy(col("_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .select(col("_id").as("lang"), col("g"), col("rank"))
+  }
+
+  /** C8b day-2: identify NEW documents against FROZEN [[langProfiles]]
+    * — the out-of-place measure: the doc's own top-`m` trigram ranks
+    * compare against each language's profile ranks, a profile miss
+    * paying the maximum displacement `n`; the language with the
+    * smallest total displacement wins (ties to the lexicographically
+    * smallest language — deterministic verdicts). The profile table
+    * broadcasts (|langs| · n rows); per doc the work is its own m-row
+    * profile × |langs| — the corpus never shuffles on gram keys. */
+  def langIdAgainstProfiles(newDocs: DataFrame, profiles: DataFrame,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            m: Int = 20, n: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= 1 && n >= m,
+      s"need 1 <= m <= n (doc profile can't outrank the model's), got m=$m n=$n")
+    val w = Window.partitionBy(col("_id")).orderBy(col("cnt").desc, col("g").asc)
+    val docRanks = charTrigrams(newDocs, idCol, textCol)
+      .groupBy(col("_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .withColumn("r_doc", row_number().over(w).cast("long"))
+      .filter(col("r_doc") <= m)
+    val langs = profiles.select(col("lang")).distinct()
+    docRanks
+      .crossJoin(broadcast(langs))
+      .join(broadcast(profiles), Seq("lang", "g"), "left")
+      .withColumn("_d", coalesce(abs(col("r_doc") - col("rank")), lit(n.toLong)))
+      .groupBy(col("_id"), col("lang")).agg(sum(col("_d")).as("_dist"))
+      .groupBy(col("_id").as(idCol))
+      .agg(min(struct(col("_dist"), col("lang"))).as("_b"))
+      .select(col(idCol), col("_b.lang").as("pred_lang"),
+        col("_b._dist").as("dist"))
+  }
+
+  /** C8b `q173_langid_profiles` — profiles trained on the corpus slice
+    * (doc_id % 5 ≠ 4), the batch identified against them, the true
+    * label carried for the report. The synthetic corpus's labels are
+    * uncorrelated with its text (every lang draws the same vocabulary),
+    * so this certifies the MECHANICS — counts, rank ties, the
+    * out-of-place sums, the argmin — not accuracy; the spec plants
+    * genuinely distinct character distributions for the discrimination
+    * property. */
+  def langIdProfileDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    langIdAgainstProfiles(batch, langProfiles(corpus))
+      .join(batch.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("dist"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The persistable KN MODEL artifact: the one bigram count table —
     * every marginal the scorer needs (context totals, continuation
     * fan-ins, the row count, the vocabulary) derives from it, so

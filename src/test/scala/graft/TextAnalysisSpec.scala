@@ -192,6 +192,37 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+  test("Cavnar–Trenkle profiles discriminate planted character distributions") {
+    import org.apache.spark.sql.functions._
+    // three planted "languages" with distinct trigram inventories —
+    // the discrimination property the synthetic corpus (labels
+    // uncorrelated with text) cannot exercise
+    val train = Seq(
+      (1L, "aa", "der die das und der die ein das der und der die das"),
+      (2L, "bb", "le la les une le la des une le les le la des"),
+      (3L, "cc", "zhong wen pian zhong wen duan zhong pian wen zhong")
+    ).toDF("doc_id", "lang", "text")
+    val profiles = TextAnalysis.langProfiles(train).localCheckpoint()
+    assert(profiles.select("lang").distinct().count() == 3)
+    val batch = Seq(
+      (10L, "die der das und ein der die"),
+      (11L, "la le une les des la le"),
+      (12L, "wen zhong pian duan wen zhong")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langIdAgainstProfiles(batch, profiles)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(out == Map(10L -> "aa", 11L -> "bb", 12L -> "cc"), s"got $out")
+    // deterministic tie-break: a doc matching nothing pays the full
+    // n-penalty for every lang equally and ties to the smallest lang
+    val none = TextAnalysis.langIdAgainstProfiles(
+        Seq((20L, "0123456789 9876543210")).toDF("doc_id", "text"), profiles)
+      .as[(Long, String, Long)].collect().head
+    assert(none._2 == "aa", s"full-miss ties lexicographically: $none")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.langIdAgainstProfiles(batch, profiles, m = 200, n = 100)
+    }
+  }
+
   test("KN day-2 scorer: all three branches hand-exact against the frozen model") {
     import org.apache.spark.sql.functions._
     // model corpus: "a b a b" + "b c" → bc (a,b)=2 (b,a)=1 (b,c)=1;
