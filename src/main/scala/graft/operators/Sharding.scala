@@ -587,8 +587,19 @@ object Sharding {
     val sorted = multiset.select(col(idCol), col(sourceCol), col(epochCol))
       .withColumn("src_rank", row_number().over(wRank).cast("long"))
       .withColumn("_n_src", count(lit(1)).over(wSrc))
-      .withColumn("pos_key", expr(
-        "CAST(((2 * src_rank - 1) * 4294967296) DIV (2 * _n_src) AS BIGINT)"))
+      // the 2^32-grid numerator (2·n_s−1)·2^32 stays under 2^62 only
+      // while n_s < 2^29 — past that the long key would overflow and
+      // silently corrupt the global order, so refuse loudly in-plan
+      // (the pair-budget-guard convention)
+      .withColumn("pos_key",
+        when(col("_n_src") >= lit(1L << 29), raise_error(concat(
+          lit("mixtureInterleaveRealized: source "), col(sourceCol),
+          lit(" has "), col("_n_src").cast("string"),
+          lit(" multiset rows >= 2^29 - the 2^32-grid integer key would " +
+            "overflow; split the source or coarsen the grid")))
+          .cast("long"))
+        .otherwise(expr(
+          "CAST(((2 * src_rank - 1) * 4294967296) DIV (2 * _n_src) AS BIGINT)")))
       .orderBy(col("pos_key"), col(sourceCol), col(idCol), col(epochCol))
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(

@@ -314,11 +314,20 @@ object Similarity {
     if (fat.isEmpty) return (assigned, centroids, false)
     val cents = centroids.select(col("cell").cast("int").as("cell"),
       col("cvec"), col("c2")).localCheckpoint()
-    var nextId = cents.agg(max(col("cell"))).first().getInt(0) + 1
+    val maxCell = cents.agg(max(col("cell"))).first()
+    require(!maxCell.isNullAt(0),
+      "rebalanceIvfIndex: centroid table is empty — nothing to rebalance " +
+        "against (build the index first)")
+    var nextId = maxCell.getInt(0) + 1
     val fatDf = broadcast(fat.map(_._1).toSeq.toDF("cell"))
-    var outA = a.join(fatDf, Seq("cell"), "left_anti")
+    val keepA = a.join(fatDf, Seq("cell"), "left_anti")
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    var outC = cents.join(fatDf, Seq("cell"), "left_anti")
+    val keepC = cents.join(fatDf, Seq("cell"), "left_anti")
+    // per-cell pieces accumulate in buffers and union ONCE at the end —
+    // the plan depth is one flat union of #fat+1 checkpointed legs, not
+    // a #fat-deep left-leaning chain
+    val subA = Seq.newBuilder[DataFrame]
+    val subC = Seq.newBuilder[DataFrame]
     fat.foreach { case (cellId, n) =>
       val rows = a.filter(col("cell") === cellId)
         .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
@@ -329,9 +338,11 @@ object Similarity {
       val sub = sub0.select((col("cell") + lit(nextId)).cast("int").as("cell"),
         col("cvec"), col("c2")).localCheckpoint()
       nextId += k
-      outA = outA.unionByName(assignPrepped(rows, sub))
-      outC = outC.unionByName(sub)
+      subA += assignPrepped(rows, sub)
+      subC += sub
     }
+    val outA = (keepA +: subA.result()).reduce(_ unionByName _)
+    val outC = (keepC +: subC.result()).reduce(_ unionByName _)
     (outA, outC, true)
   }
 

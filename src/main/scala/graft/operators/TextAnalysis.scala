@@ -1039,10 +1039,15 @@ object TextAnalysis {
     // with one tiny aggregation; any other id space falls back to an
     // explicit row_number — a single-partition sort, so at real scale
     // pre-rank upstream (or keep ids dense) rather than relying on it.
+    // min=0 ∧ max=n−1 alone would accept a duplicate-plus-gap corpus
+    // (ids 0,2,2,3) and silently corrupt prefix membership — the
+    // distinct count closes that hole for one more cheap aggregate
     val idStats = docs.agg(min(col(idCol).cast("long")).as("mn"),
-      max(col(idCol).cast("long")).as("mx"), count(lit(1)).as("n")).first()
+      max(col(idCol).cast("long")).as("mx"), count(lit(1)).as("n"),
+      countDistinct(col(idCol)).as("nd")).first()
     val dense = !idStats.isNullAt(0) && !idStats.isNullAt(1) &&
-      idStats.getLong(0) == 0L && idStats.getLong(1) == idStats.getLong(2) - 1L
+      idStats.getLong(0) == 0L && idStats.getLong(1) == idStats.getLong(2) - 1L &&
+      idStats.getLong(3) == idStats.getLong(2)
     val ranked =
       if (dense) docs.select(col(idCol).cast("long").as("_rk"), col(textCol))
       else docs.select((row_number().over(

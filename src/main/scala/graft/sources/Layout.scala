@@ -202,6 +202,23 @@ object Layout {
     writeZOrdered(increment, cols, dir, fileBits, bits, bounds, SaveMode.Append)
   }
 
+  /** Route an increment onto `dir`'s frozen grid WITHOUT writing —
+    * the increment plus its `zvalue`/`zbucket` under exactly the grid
+    * [[appendZOrdered]] would use. The D2v replay-pruning consult
+    * rides this: a re-delivered row re-routes to the SAME bucket
+    * deterministically, so an anti-join against only the touched
+    * buckets' ids is exact while reading a batch-bounded slice of the
+    * layout instead of the whole id column. */
+  def routeZBuckets(spark: SparkSession, dir: String,
+                    increment: DataFrame): DataFrame = {
+    val (cols, bits, fileBits, bounds) = readZorderMeta(spark, dir)
+    cols.foreach(c => require(increment.columns.contains(c),
+      s"increment is missing layout column '$c'"))
+    frozenGridFrame(increment, cols, bits, bounds)
+      .withColumn("zbucket",
+        shiftright(col("zvalue"), cols.size * bits - fileBits))
+  }
+
   /** Read the frozen-grid contract back off a written layout —
     * (cols, bits, fileBits, per-column bounds) — failing loudly on a
     * directory that is not a self-describing z-ordered layout. */
@@ -274,6 +291,7 @@ object Layout {
     * keeps working afterwards: the rewrite re-freezes its (new) grid in
     * the column metadata. */
   def regridZOrdered(spark: SparkSession, dir: String): Unit = {
+    reclaimRegridCrash(spark, dir)
     val (cols, bits, fileBits, _) = readZorderMeta(spark, dir)
     val derived = cols.map(c => s"${c}_grid") ++ Seq("zvalue", "zbucket")
     // materialized before the swap: the rewrite reads the very files
@@ -296,6 +314,24 @@ object Layout {
     require(fs.rename(live, old), s"regrid: could not rename $dir aside")
     require(fs.rename(tmp, live), s"regrid: could not install the new layout")
     fs.delete(old, true)
+  }
+
+  /** Self-heal the one crash window [[regridZOrdered]] leaves open:
+    * between rename(live→old) and rename(tmp→live) the canonical dir
+    * is ABSENT while `dir__old` holds the complete pre-regrid layout.
+    * Recovery is a single rename back (the staging dir, possibly
+    * complete but unproven, is dropped and the regrid simply re-runs)
+    * — the same reclaim spirit as the leftover-`__old` delete on
+    * entry. Called on entry by [[regridZOrdered]] and
+    * [[maintainZOrdered]], so the next scheduled pass heals instead of
+    * failing at the meta read. */
+  private def reclaimRegridCrash(spark: SparkSession, dir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
+    if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live),
+        s"regrid reclaim: could not rename $old back to $dir")
   }
 
   /** The zone map of a z-ordered layout: per-bucket min/max of each
@@ -340,6 +376,7 @@ object Layout {
   def maintainZOrdered(spark: SparkSession, dir: String,
                        driftBudgetBp: Long = 100L): Boolean = {
     require(driftBudgetBp >= 0, s"driftBudgetBp must be >= 0, got $driftBudgetBp")
+    reclaimRegridCrash(spark, dir)
     val worst = zorderDrift(spark, dir)
       .agg(max(col("clamp_bp"))).first().getLong(0)
     if (worst <= driftBudgetBp) false

@@ -1926,11 +1926,15 @@ object EventsStream {
     * unchanged mid-stream, and out-of-range rows clamp to edge cells
     * (the E8 trade: clustering, never correctness — run
     * `maintainZOrdered` on the schedule to heal accumulated drift).
-    * Replay-idempotent per the postings convention: already-landed ids
-    * anti-join away against the layout's own id column, so a crashed
-    * trigger's re-delivery appends nothing. The anti-join reads one
-    * column of the layout (column-pruned scan) — the same per-trigger
-    * cost class as every D2 index ingest. */
+    * Replay-idempotent per the postings convention, with the consult
+    * BUCKET-PRUNED (round 16): the batch first routes onto the frozen
+    * grid ([[graft.sources.Layout.routeZBuckets]]), and the anti-join
+    * reads only the zbucket DIRECTORIES the batch touches — a
+    * re-delivered row re-routes to the same bucket deterministically,
+    * so the pruned consult is exact while its cost follows the batch's
+    * bucket spread instead of the whole accreting layout (the D2
+    * cost-class contract; the touched-bucket list is bounded by
+    * 2^fileBits, the zone-map collect convention). */
   def zorderIngestStream(rows: DataFrame, layoutDir: String,
                          checkpointDir: String,
                          idCol: String = "doc_id"):
@@ -1940,7 +1944,12 @@ object EventsStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         val spark = batch0.sparkSession
+        val touched = graft.sources.Layout
+          .routeZBuckets(spark, layoutDir, batch0)
+          .select(col("zbucket")).distinct()
+          .collect().map(_.getLong(0))
         val landed = spark.read.parquet(layoutDir)
+          .filter(col("zbucket").cast("long").isin(touched: _*))
           .select(col(idCol)).distinct()
         val fresh = batch0.join(landed, Seq(idCol), "left_anti")
           .localCheckpoint()

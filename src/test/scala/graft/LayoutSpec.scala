@@ -223,6 +223,27 @@ class LayoutSpec extends SparkSpecBase {
     }
   }
 
+  test("regrid crash window: dir absent + dir__old present self-heals on the next maintenance tick") {
+    val day1 = (0 until 16).flatMap(x => (0 until 16).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zreclaim").toString + "/layout"
+    Layout.zorderWrite(day1, Seq("x", "y"), dir, fileBits = 4, bits = 4)
+    Layout.appendZOrdered(spark, dir,
+      (0 until 32).map(i => (1000L + i, (i % 16).toLong)).toDF("x", "y"))
+    // simulate the crash between rename(live→old) and rename(tmp→live):
+    // the canonical dir is gone, the complete pre-regrid layout sits aside
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(live, new org.apache.hadoop.fs.Path(dir + "__old")))
+    // the next scheduled tick reclaims, meters the drift, and heals —
+    // instead of failing at the meta read
+    assert(Layout.maintainZOrdered(spark, dir),
+      "reclaimed layout still carries the drift and must rewrite")
+    assert(spark.read.parquet(dir).count() == 288L, "reclaim loses nothing")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__old")))
+    assert(!Layout.maintainZOrdered(spark, dir), "healed tick no-ops")
+  }
+
   test("zorderDriftDocs: q166 shape — y drifts by the plant, clamp_bp is exact") {
     val out = Layout.zorderDriftDocs(spark, sfDir)
       .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect()

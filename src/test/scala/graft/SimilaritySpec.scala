@@ -896,6 +896,14 @@ class SimilaritySpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Similarity.rebalanceIvfIndex(a1ck, c1ck, maxCellSize = 10L, targetCellSize = 15)
     }
+    // an empty centroid table refuses loudly instead of NPE-ing on the
+    // max-cell read (r15 advice fix)
+    val emptyCents = cents.filter(lit(false))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.rebalanceIvfIndex(assigned, emptyCents,
+        maxCellSize = 20L, targetCellSize = 15)
+    }
+    assert(ex.getMessage.contains("empty"), s"got: ${ex.getMessage}")
   }
 
   test("JL projection: norms preserved in expectation, search through it keeps useful recall, loud guards") {

@@ -488,5 +488,17 @@ class TextAnalysisSpec extends SparkSpecBase {
         milestones = Seq(1L, 2L, 3L, 4L, 5L, 99L))
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
     assert(outS == out, s"sparse-id curve must equal the dense one: $outS")
+    // duplicate ids with a matching gap (0,2,2,3) pass the min/max/count
+    // screen but NOT the distinct-count check (r15 advice fix): the
+    // fallback rank still measures a well-defined id-ordered prefix
+    val dupGap = Seq(
+      (0L, "a b a"), (2L, "b c"), (2L, "c c c"), (3L, "d")
+    ).toDF("doc_id", "text")
+    val outD = TextAnalysis.vocabularyGrowth(dupGap, milestones = Seq(1L, 4L))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(outD.head == (1L, 2L, 3L, 1L, 0.6667),
+      s"prefix 1 must hold exactly the first id-ordered doc: $outD")
+    assert(outD(1) == (4L, 4L, 9L, 1L, 0.4444),
+      s"prefix 4 must hold all four docs: $outD")
   }
 }
