@@ -190,7 +190,8 @@ object SparkEntry {
     // IMI+ADC system — two-level coarse quantizer + residual PQ codes;
     // q141 oracle-backs the identical search semantics on formula
     // artifacts, recall/parity spec-tested
-    "q140_ann_imipq"             -> ((s, d) => Similarity.annImiPq(s, d)),
+    "q140_ann_imipq"             -> ((s, d) => Similarity.annImiPq(s, d,
+      artifactDir = Some(s"${Similarity.TrainedArtifactRoot}/imipq"))),
     "q141_ann_imipq_portable"    -> ((s, d) => Similarity.annImiPqPortable(s, d)),
     "q142_bpe_packed_special"    -> ((s, d) => Bpe.bpePackedDelimitedDocs(s, d)),
     "q143_bpe_token_ids"         -> ((s, d) => Bpe.bpeTokenIdsDocs(s, d)),
@@ -281,7 +282,22 @@ object SparkEntry {
     "q172_kn_score"              -> ((s, d) => TextAnalysis.knScoreDocs(s, d)),
     // Cavnar–Trenkle rank-profile language ID: frozen profiles from
     // the corpus slice, the batch identified by out-of-place distance
-    "q173_langid_profiles"       -> ((s, d) => TextAnalysis.langIdProfileDocs(s, d))
+    "q173_langid_profiles"       -> ((s, d) => TextAnalysis.langIdProfileDocs(s, d)),
+    // the MASTER pipeline: raw crawl chunks → packed BOS/EOS
+    // training-id shards as ONE operator — ingest, clean, exact+near
+    // dedup, winnow excision, gate, firewall, mixture, interleave, pack
+    "q174_master_pipeline"       -> ((s, d) => Pipeline.masterPipelineDocs(s, d)),
+    // the TRAINED IMI+ADC tier's recall meter, from the q140 persisted
+    // artifacts at the production knobs — the tier a deployment ships
+    // joins the q161-q168 oracle-backed meter family
+    "q175_ann_trained_recall"    -> ((s, d) => Similarity.annImiPqTrainedRecallReport(s, d)),
+    // interpolated Kneser-Ney at ORDER 3 — the KenLM-family filter
+    // order production CCNet-style pipelines actually ship
+    "q176_kn_trigram"            -> ((s, d) => TextAnalysis.knTrigramNll(s, d)),
+    // the day-2 order-3 flow: fit on the 80% slice, score the batch
+    // with every backoff rung priced (trigram mass, continuation
+    // bigram mass, Laplace-floored continuation unigram)
+    "q177_kn3_score"             -> ((s, d) => TextAnalysis.kn3ScoreDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -366,6 +382,438 @@ object SparkEntry {
        |                ELSE (weight * b_rem) // greatest(w_rem, 1) END AS alloc_tokens
        |      FROM w4)""".stripMargin
   }
+
+  /** The q174 MASTER-pipeline oracle — the ENTIRE raw-chunks →
+    * packed-training-id-shards chain replayed from raw rows in one
+    * query, every stage the verbatim CTE shape of the oracle that
+    * certifies it alone: the q127 serialize/parse/gate/election front,
+    * q102's line rules, the q20 clean-text election, q145's all-pairs
+    * exact Jaccard, the q154/q156 winnow span geometry + keep-all
+    * excision stitch, q116's word-window/dupfrac gate, the q170
+    * md5-split + 13-gram firewall, the q144 recursive BPE fold + id
+    * space, the q158 water-filling plan (budget from the SURVIVING
+    * train pool's real id counts), the q159 expansion, the q165
+    * integer-key interleave, and the q144 packed id streams — so a
+    * drifted value at ANY stage interface flips the final hash. */
+  private val masterPipelineOracleSql: String = {
+    val blRows = graft.operators.Urls.docBlocklist.map(p => s"'$p'").mkString(", ")
+    val wCases = graft.operators.Pipeline.masterWeights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
+    val byteRows = Bpe.byteKernelMerges.take(4).zipWithIndex
+      .map { case ((l, r), i) => s"(CAST($i AS BIGINT), '$l', '$r')" }
+      .mkString(", ")
+    val nRanks = Bpe.byteKernelMerges.size
+    val symRows = Bpe.byteSymbols.zipWithIndex
+      .map { case (s, b) => s"(CAST($b AS BIGINT), '${s.replace("'", "''")}')" }
+      .mkString(", ")
+    // every fan-out CTE is MATERIALIZED: DuckDB inlines plain CTEs by
+    // reference, and with ~10 fan-out layers the serialization subtree
+    // would duplicate exponentially (measured: >20k parquet opens —
+    // fd exhaustion — before this)
+    val mats = Seq("chunks", "cl", "sv", "jg", "jp", "nk", "wt", "wsel",
+      "wm", "gd", "ft", "tc", "m", "bw", "docids", "toks2", "ms")
+    val raw = s"""WITH RECURSIVE
+       |dn AS (
+       |  SELECT d.doc_id, d.source, d.text,
+       |    d2.text AS t2, d4.text AS t4, d6.text AS t6
+       |  FROM documents d
+       |  LEFT JOIN documents d2 ON d2.doc_id = d.doc_id - 2
+       |  LEFT JOIN documents d4 ON d4.doc_id = d.doc_id - 4
+       |  LEFT JOIN documents d6 ON d6.doc_id = d.doc_id - 6),
+       |bd AS (
+       |  SELECT doc_id, source,
+       |    CASE
+       |      WHEN doc_id % 10 = 9 AND t4 IS NOT NULL THEN t4 || '.'
+       |      WHEN doc_id % 10 = 3 AND t2 IS NOT NULL
+       |        THEN t2 || '.' || chr(10) || text || '.'
+       |      WHEN doc_id % 10 = 7 AND t6 IS NOT NULL
+       |        THEN array_to_string(string_split_regex(trim(t6), '\\s+')[1:14], ' ')
+       |             || '.' || chr(10) || text || '.'
+       |      WHEN doc_id % 10 = 4 AND t2 IS NOT NULL
+       |        THEN array_to_string(string_split_regex(trim(t2), '\\s+')[1:14], ' ')
+       |             || '.' || chr(10) || text || '.'
+       |      ELSE text || '.'
+       |    END AS body
+       |  FROM dn),
+       |pg AS (
+       |  SELECT doc_id, source,
+       |    body || chr(10) ||
+       |    'Please enable JavaScript and cookies to continue viewing.' || chr(10) ||
+       |    'continue reading more about' || chr(10) ||
+       |    'Copyright 2024 Example Corp id ' || CAST(doc_id AS VARCHAR) || '.' || chr(10) ||
+       |    'BREAKING NEWS ALERT READ THIS NOW!' || chr(10) ||
+       |    'Click here.' AS page
+       |  FROM bd),
+       |rec AS (
+       |  SELECT doc_id, doc_id // 40 AS chunk_id,
+       |    'WARC/1.0' || chr(10) ||
+       |    'WARC-Type: conversion' || chr(10) ||
+       |    'WARC-Target-URI: https://' || source || '.example.com/articles/'
+       |      || CAST(CASE WHEN doc_id % 10 = 8 THEN doc_id - 2 ELSE doc_id END AS VARCHAR) || chr(10) ||
+       |    'WARC-Date: 2024-01-01T00:00:00Z' || chr(10) ||
+       |    'Content-Length: ' || CAST(CASE WHEN doc_id % 7 = 0 THEN strlen(page) + 5
+       |                                    ELSE strlen(page) END AS VARCHAR) || chr(10) ||
+       |    chr(10) || page || chr(10) || chr(10) AS r
+       |  FROM pg),
+       |chunks AS (
+       |  SELECT chunk_id,
+       |         'warcinfo preamble' || chr(10) || string_agg(r, '' ORDER BY doc_id) AS content
+       |  FROM rec GROUP BY 1),
+       |f AS (SELECT chunk_id, string_split(content, 'WARC/1.0' || chr(10)) AS fs FROM chunks),
+       |e2 AS (SELECT chunk_id, unnest(fs) AS frag, generate_subscripts(fs, 1) AS gi FROM f),
+       |g2 AS (SELECT chunk_id, gi - 1 AS rec_idx, frag,
+       |        strpos(frag, chr(10) || chr(10)) AS p
+       |      FROM e2 WHERE gi >= 2 AND strpos(frag, chr(10) || chr(10)) > 0),
+       |h2 AS (SELECT chunk_id, rec_idx,
+       |        substr(frag, 1, p - 1) AS hdr,
+       |        regexp_replace(substr(frag, p + 2), '\\n\\n$$', '') AS payload
+       |      FROM g2),
+       |pp AS (SELECT chunk_id * 4294967296 + rec_idx AS rec_id,
+       |        regexp_extract(hdr, '(?m)^WARC-Target-URI: (.*)$$', 1) AS uri,
+       |        payload,
+       |        coalesce(strlen(payload) = TRY_CAST(regexp_extract(hdr, '(?m)^Content-Length: ([0-9]+)$$', 1) AS BIGINT), false) AS length_ok
+       |      FROM h2),
+       |hh AS (SELECT *, regexp_extract(uri, '^https://([^/]*)', 1) AS host FROM pp),
+       |bl AS (SELECT unnest([$blRows]) AS b),
+       |hits AS (SELECT DISTINCT hh.rec_id FROM hh
+       |         JOIN bl ON hh.host = bl.b OR hh.host LIKE '%.' || bl.b),
+       |cc AS (SELECT hh.*, (t.rec_id IS NOT NULL) AS blocked
+       |       FROM hh LEFT JOIN hits t USING (rec_id)),
+       |el AS (SELECT *,
+       |        min(CASE WHEN length_ok AND uri <> '' AND NOT blocked THEN rec_id END)
+       |          OVER (PARTITION BY uri) AS keep
+       |       FROM cc),
+       |kept AS (SELECT rec_id, host, payload FROM el
+       |         WHERE length_ok AND uri <> '' AND NOT blocked AND rec_id = keep),
+       |arr AS (SELECT rec_id, host, string_split(payload, chr(10)) AS ls FROM kept),
+       |ln AS (SELECT rec_id, host, trim(unnest(ls)) AS l,
+       |         unnest(generate_series(1, len(ls))) AS pos FROM arr),
+       |lf AS (SELECT rec_id, host, l, pos,
+       |         (regexp_matches(l, '[.!?"]$$')
+       |          AND len(string_split_regex(l, '\\s+')) >= 3
+       |          AND NOT (contains(lower(l), 'javascript')
+       |                OR contains(lower(l), 'cookie')
+       |                OR contains(lower(l), 'all rights reserved')
+       |                OR contains(lower(l), 'copyright')
+       |                OR contains(lower(l), '©'))
+       |          AND length(regexp_replace(l, '[^A-Z]', '', 'g')) * 100
+       |              <= length(l) * 40) AS keepl
+       |       FROM ln WHERE l <> ''),
+       |cl AS (SELECT rec_id, any_value(host) AS host,
+       |         coalesce(string_agg(l, chr(10) ORDER BY pos) FILTER (WHERE keepl), '') AS clean_text
+       |       FROM lf GROUP BY 1),
+       |ne AS (SELECT * FROM cl WHERE trim(clean_text) <> ''),
+       |dd AS (SELECT *, min(rec_id) OVER (PARTITION BY clean_text) AS keep2 FROM ne),
+       |sv AS (SELECT rec_id, host, clean_text FROM dd WHERE rec_id = keep2),
+       |jt AS (SELECT rec_id, string_split_regex(lower(trim(clean_text)), '\\s+') AS t FROM sv),
+       |jg AS (SELECT DISTINCT rec_id, array_to_string(t[i:i+2], ' ') AS g
+       |       FROM jt, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+       |jsz AS (SELECT rec_id, count(*) AS n FROM jg GROUP BY 1),
+       |ji AS (SELECT a.rec_id AS id_a, b.rec_id AS id_b, count(*) AS ix
+       |       FROM jg a JOIN jg b ON a.g = b.g AND a.rec_id < b.rec_id
+       |       GROUP BY 1, 2),
+       |jp AS (SELECT id_a, id_b FROM ji
+       |       JOIN jsz sa ON sa.rec_id = id_a JOIN jsz sb ON sb.rec_id = id_b
+       |       WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.8),
+       |jnb AS (SELECT id_a AS rec_id, id_b AS nb FROM jp
+       |        UNION ALL SELECT id_b, id_a FROM jp),
+       |jrep AS (SELECT rec_id, min(nb) AS mn FROM jnb GROUP BY 1),
+       |nk AS (SELECT sv.* FROM sv LEFT JOIN jrep USING (rec_id)
+       |       WHERE least(sv.rec_id, coalesce(jrep.mn, sv.rec_id)) = sv.rec_id),
+       |wt AS (SELECT rec_id,
+       |         regexp_replace(lower(trim(clean_text)), '\\s+', ' ', 'g') AS t
+       |       FROM nk),
+       |wg AS (SELECT rec_id, length(t) - 11 AS ng, u.i AS pos,
+       |        CAST(('0x' || substr(md5(substr(t, CAST(u.i AS INTEGER), 12)), 1, 15))
+       |             AS BIGINT) AS h
+       |      FROM wt, unnest(generate_series(1, length(t) - 11)) u(i)
+       |      WHERE length(t) >= 15),
+       |wmem AS (SELECT rec_id, pos, h, u.s AS s
+       |         FROM wg, unnest(generate_series(greatest(pos - 3, 1),
+       |                                         least(pos, ng - 3))) u(s)),
+       |wsel AS (SELECT DISTINCT rec_id, pos, h FROM (
+       |          SELECT rec_id, pos, h, row_number() OVER
+       |            (PARTITION BY rec_id, s ORDER BY h ASC, pos DESC) AS rn
+       |          FROM wmem) WHERE rn = 1),
+       |wpts AS (SELECT a.rec_id AS doc_a, b.rec_id AS doc_b,
+       |          a.pos AS pa, b.pos - a.pos AS diag
+       |         FROM wsel a JOIN wsel b ON a.h = b.h AND a.rec_id < b.rec_id),
+       |wbrk AS (SELECT doc_a, doc_b, diag, pa,
+       |          CASE WHEN pa - lag(pa) OVER
+       |                 (PARTITION BY doc_a, doc_b, diag ORDER BY pa) > 4
+       |               THEN 1 ELSE 0 END AS brk
+       |         FROM wpts),
+       |wisl AS (SELECT doc_a, doc_b, diag, pa,
+       |          sum(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+       |                         ROWS UNBOUNDED PRECEDING) AS isl_id
+       |         FROM wbrk),
+       |wsp AS (SELECT doc_a, doc_b, diag,
+       |         min(pa) AS a_start, max(pa) + 11 AS a_end, count(*) AS np
+       |        FROM wisl GROUP BY doc_a, doc_b, diag, isl_id),
+       |wiv AS (SELECT DISTINCT doc_b AS rec_id, a_start + diag AS s, a_end + diag AS e
+       |        FROM wsp WHERE np >= 60),
+       |wom AS (SELECT rec_id, s, e,
+       |         max(e) OVER (PARTITION BY rec_id ORDER BY s, e
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |        FROM wiv),
+       |wgrp AS (SELECT rec_id, s, e,
+       |          sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+       |            OVER (PARTITION BY rec_id ORDER BY s, e
+       |                  ROWS UNBOUNDED PRECEDING) AS gid
+       |         FROM wom),
+       |wm AS (SELECT rec_id, min(s) AS s, max(e) AS e FROM wgrp GROUP BY rec_id, gid),
+       |wsegs AS (SELECT rec_id, s, e,
+       |           lag(e, 1, CAST(0 AS BIGINT)) OVER (PARTITION BY rec_id ORDER BY s) AS pe
+       |          FROM wm),
+       |wpieces AS (SELECT sg.rec_id,
+       |             substr(wt.t, CAST(sg.pe + 1 AS INTEGER),
+       |                    CAST(sg.s - sg.pe - 1 AS INTEGER)) AS piece, sg.s AS ord
+       |            FROM wsegs sg JOIN wt ON wt.rec_id = sg.rec_id),
+       |wagg AS (SELECT rec_id, max(e) AS le FROM wm GROUP BY 1),
+       |wst AS (SELECT p.rec_id, string_agg(p.piece, '' ORDER BY p.ord) AS head
+       |        FROM wpieces p GROUP BY 1),
+       |wex AS (SELECT wt.rec_id,
+       |         CASE WHEN a.le IS NULL THEN wt.t
+       |              ELSE coalesce(st.head, '') || substr(wt.t, CAST(a.le + 1 AS INTEGER)) END
+       |           AS ct2
+       |        FROM wt LEFT JOIN wagg a USING (rec_id) LEFT JOIN wst st USING (rec_id)),
+       |gt AS (SELECT rec_id, ct2,
+       |        CASE WHEN trim(ct2) = '' THEN CAST(0 AS BIGINT)
+       |             ELSE CAST(len(string_split_regex(ct2, '\\s+')) AS BIGINT) END AS nw,
+       |        CASE WHEN trim(ct2) = '' THEN 1.0
+       |             ELSE round(CAST(len(string_split_regex(ct2, '\\s+'))
+       |                           - len(list_distinct(string_split_regex(ct2, '\\s+'))) AS DOUBLE)
+       |                        / len(string_split_regex(ct2, '\\s+')), 4) END AS dupfrac
+       |       FROM wex),
+       |gd AS (SELECT gt.rec_id, nk.host, gt.ct2 FROM gt JOIN nk USING (rec_id)
+       |       WHERE nw >= 15 AND nw <= 120 AND dupfrac <= 0.65),
+       |ft AS (SELECT rec_id, host, ct2,
+       |        CASE WHEN CAST(('0x' || substr(md5(host || ':split:40'), 1, 13)) AS BIGINT) % 100 < 80 THEN 'train'
+       |             WHEN CAST(('0x' || substr(md5(host || ':split:40'), 1, 13)) AS BIGINT) % 100 < 90 THEN 'val'
+       |             ELSE 'test' END AS sp
+       |       FROM gd),
+       |fev AS (SELECT string_split_regex(ct2, '\\s+')[1:20] AS w FROM ft WHERE sp <> 'train'),
+       |feg AS (SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS g
+       |        FROM fev, unnest(generate_series(1, greatest(len(w) - 12, 0))) AS u(i)),
+       |ftw AS (SELECT rec_id, string_split_regex(ct2, '\\s+') AS w FROM ft WHERE sp = 'train'),
+       |ftg AS (SELECT DISTINCT rec_id, array_to_string(w[i:i+12], ' ') AS g
+       |        FROM ftw, unnest(generate_series(1, greatest(len(w) - 12, 0))) AS u(i)
+       |        WHERE len(w) >= 13),
+       |fhits AS (SELECT DISTINCT ftg.rec_id FROM ftg JOIN feg USING (g)),
+       |tc AS (SELECT ft.rec_id, ft.host, ft.ct2 FROM ft LEFT JOIN fhits USING (rec_id)
+       |       WHERE ft.sp = 'train' AND fhits.rec_id IS NULL),
+       |letters AS (
+       |  SELECT chr(97 + CAST(i AS INTEGER)) AS c, CAST(i AS BIGINT) AS i
+       |  FROM range(26) t(i)),
+       |m AS (
+       |  SELECT * FROM (VALUES $byteRows) AS v(rank, l, r)
+       |  UNION ALL
+       |  SELECT 4 + x.i * 26 + y.i AS rank, x.c AS l, y.c AS r
+       |  FROM letters x, letters y),
+       |mo AS (SELECT rank, l || r AS pout FROM m),
+       |bytesyms AS (SELECT * FROM (VALUES $symRows) AS v(idx, sym)),
+       |bwd AS (SELECT rec_id, string_split_regex(trim(ct2), '\\s+') AS ws FROM tc),
+       |bw AS (SELECT bwd.rec_id, u.i AS pos, bwd.ws[u.i] AS b
+       |       FROM bwd, unnest(generate_series(1, len(bwd.ws))) u(i)
+       |       WHERE bwd.ws[u.i] <> ''),
+       |bwords AS (SELECT DISTINCT b FROM bw),
+       |it AS (
+       |  SELECT b, '  ' || regexp_replace(b, '(.)', '\\1  ', 'g') || '</w>  ' AS s,
+       |         CAST(0 AS BIGINT) AS r
+       |  FROM bwords
+       |  UNION ALL
+       |  SELECT it.b, replace(it.s, ' ' || m.l || '  ' || m.r || ' ',
+       |                       ' ' || m.l || m.r || ' '), it.r + 1
+       |  FROM it JOIN m ON m.rank = it.r),
+       |fin2 AS (
+       |  SELECT b, string_split_regex(trim(s), '\\s+') AS ps
+       |  FROM it WHERE r = $nRanks),
+       |pw AS (
+       |  SELECT b, u.i AS ppos, ps[u.i] AS piece
+       |  FROM fin2, unnest(generate_series(1, len(ps))) u(i)),
+       |pids AS (
+       |  SELECT pw.b, pw.ppos, CASE
+       |           WHEN pw.piece = '</w>' THEN 3
+       |           WHEN length(pw.piece) = 1 THEN 4 + bs.idx
+       |           ELSE 260 + mo.rank END AS id
+       |  FROM pw
+       |  LEFT JOIN bytesyms bs ON bs.sym = pw.piece
+       |  LEFT JOIN mo ON mo.pout = pw.piece),
+       |wordids AS (
+       |  SELECT b, list(id ORDER BY ppos) AS wids FROM pids GROUP BY b),
+       |docids AS (
+       |  SELECT bw.rec_id,
+       |         [CAST(0 AS BIGINT)] || flatten(list(wi.wids ORDER BY bw.pos))
+       |           || [CAST(1 AS BIGINT)] AS dseq
+       |  FROM bw JOIN wordids wi ON wi.b = bw.b GROUP BY bw.rec_id),
+       |toks2 AS (SELECT d.rec_id, tc.host,
+       |           CAST(len(d.dseq) AS BIGINT) AS nt
+       |          FROM docids d JOIN tc USING (rec_id)),
+       |per AS (
+       |  SELECT host AS source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |         CAST(CASE host $wCases ELSE 0 END AS BIGINT) AS weight
+       |  FROM toks2 GROUP BY host),
+       |bgt AS (SELECT CAST(sum(nt) * 3 // 2 AS BIGINT) AS bt FROM toks2),
+       |st AS (SELECT per.*, (n_tokens * 200) // 100 AS capacity
+       |       FROM per WHERE weight > 0),
+       |o AS (SELECT *, CAST(capacity AS DOUBLE) / weight AS r FROM st),
+       |w1 AS (SELECT *,
+       |        coalesce(sum(capacity) OVER pw, 0) AS csum_prev,
+       |        coalesce(sum(weight) OVER pw, 0) AS wsum_prev,
+       |        sum(weight) OVER () AS wtot
+       |       FROM o WINDOW pw AS (ORDER BY r, source
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |w2 AS (SELECT *, CASE WHEN capacity * (wtot - wsum_prev) <=
+       |                      weight * ((SELECT bt FROM bgt) - csum_prev)
+       |                 THEN 1 ELSE 0 END AS fl FROM w1),
+       |w3 AS (SELECT *, min(fl) OVER (ORDER BY r, source
+       |         ROWS UNBOUNDED PRECEDING) = 1 AS capped FROM w2),
+       |w4 AS (SELECT *,
+       |        (SELECT bt FROM bgt) -
+       |          coalesce(sum(CASE WHEN capped THEN capacity END) OVER (), 0) AS b_rem,
+       |        coalesce(sum(CASE WHEN NOT capped THEN weight END) OVER (), 0) AS w_rem
+       |       FROM w3),
+       |al AS (SELECT *, CASE WHEN capped THEN capacity
+       |                 ELSE (weight * b_rem) // greatest(w_rem, 1) END AS alloc_tokens
+       |       FROM w4),
+       |pl AS (SELECT source,
+       |         CAST((alloc_tokens * 10000) // n_tokens AS BIGINT) AS ebp
+       |       FROM al),
+       |ddx AS (SELECT t.rec_id, t.host AS source, pl.ebp,
+       |         CAST(('0x' || substr(md5(CAST(t.rec_id AS VARCHAR) || ':19'), 1, 13))
+       |              AS BIGINT) / 4503599627370496.0 AS u
+       |        FROM toks2 t JOIN pl ON pl.source = t.host),
+       |nx AS (SELECT rec_id, source,
+       |        ebp // 10000
+       |        + CASE WHEN u < (ebp % 10000) / 10000.0 THEN 1 ELSE 0 END AS n
+       |       FROM ddx),
+       |ms AS (SELECT rec_id, source, CAST(i AS BIGINT) AS epoch
+       |       FROM nx CROSS JOIN generate_series(0, 7) AS g(i) WHERE i < n),
+       |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+       |        FROM ms GROUP BY source),
+       |rk AS (SELECT ms.rec_id, ms.source, ms.epoch,
+       |         CAST(('0x' || substr(md5(CAST(ms.rec_id AS VARCHAR) || '#'
+       |              || CAST(ms.epoch AS VARCHAR) || ':23'), 1, 13))
+       |              AS BIGINT) / 4503599627370496.0 AS u2
+       |       FROM ms),
+       |r2 AS (SELECT rec_id, source, epoch,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY u2 ASC, rec_id ASC, epoch ASC) AS BIGINT) AS src_rank
+       |       FROM rk),
+       |ky AS (SELECT r2.rec_id, r2.source, r2.epoch,
+       |         ((2 * r2.src_rank - 1) * 4294967296) // (2 * cnt.n_src) AS pos_key
+       |       FROM r2 JOIN cnt USING (source)),
+       |ordx AS (SELECT CAST(row_number() OVER (
+       |           ORDER BY pos_key, source, rec_id, epoch) - 1 AS BIGINT) AS global_pos,
+       |          rec_id
+       |         FROM ky),
+       |pk AS (SELECT o2.global_pos, o2.rec_id,
+       |         CAST(o2.global_pos % 8 AS INTEGER) AS shard,
+       |         d.dseq, CAST(len(d.dseq) AS BIGINT) AS nt
+       |       FROM ordx o2 JOIN docids d USING (rec_id)),
+       |cm AS (SELECT *,
+       |         CAST(sum(nt) OVER (PARTITION BY shard ORDER BY global_pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |       FROM pk),
+       |ch AS (SELECT *, CAST(floor(CAST(cum - nt AS DOUBLE) / 2048) AS BIGINT) AS chunk FROM cm)
+       |SELECT shard, chunk, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       |       array_to_string(flatten(list(dseq ORDER BY global_pos)), ',') AS ids
+       |FROM ch GROUP BY 1, 2 ORDER BY shard, chunk""".stripMargin
+    mats.foldLeft(raw)((s, n) => s.replace(s"\n$n AS (", s"\n$n AS MATERIALIZED ("))
+  }
+
+  /** The TRAINED IMI+ADC chain's shared CTE prefix (round 16 — the
+    * oracle boundary moved onto the production path): the q141 chain
+    * with the formula sub-quantizers and codebook replaced by the
+    * PERSISTED TRAINED ARTIFACTS the registered q140 writes under
+    * `Similarity.TrainedArtifactRoot`, key-guarded by the portable
+    * corpus key (Σ⌊1000·embedding[0]⌋ + count) so an artifact from a
+    * different SF or a stale run can never be silently adopted.
+    * Assignment, residuals, corpus ENCODE, per-half probes and the
+    * per-probe ADC all re-derive from the parquet bytes — only the
+    * KMeans fits stay outside the boundary. Shared by q140 and q175. */
+  private val trainedImiPqCtes: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ck AS (SELECT CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT))
+      |         + count(*) AS BIGINT) AS k FROM embeddings),
+      |h AS (SELECT vec_id, v[1:32] AS v1, v[33:64] AS v2, v FROM e),
+      |c1 AS (SELECT CAST(cell AS INT) AS cell, CAST(cvec AS DOUBLE[]) AS cvec,
+      |         CAST(c2 AS DOUBLE) AS cc
+      |       FROM read_parquet('/tmp/graft_trained/imipq/cent1/*/*.parquet',
+      |                         hive_partitioning = true)
+      |       WHERE CAST(k AS BIGINT) = (SELECT k FROM ck)),
+      |c2t AS (SELECT CAST(cell AS INT) AS cell, CAST(cvec AS DOUBLE[]) AS cvec,
+      |          CAST(c2 AS DOUBLE) AS cc
+      |        FROM read_parquet('/tmp/graft_trained/imipq/cent2/*/*.parquet',
+      |                          hive_partitioning = true)
+      |        WHERE CAST(k AS BIGINT) = (SELECT k FROM ck)),
+      |a1 AS (SELECT vec_id, cell AS cc1 FROM (
+      |        SELECT h.vec_id, c1.cell,
+      |          row_number() OVER (PARTITION BY h.vec_id
+      |            ORDER BY c1.cc - 2.0 * list_dot_product(h.v1, c1.cvec) ASC,
+      |                     c1.cell ASC) AS rn
+      |        FROM h CROSS JOIN c1) WHERE rn = 1),
+      |a2 AS (SELECT vec_id, cell AS cc2 FROM (
+      |        SELECT h.vec_id, c2t.cell,
+      |          row_number() OVER (PARTITION BY h.vec_id
+      |            ORDER BY c2t.cc - 2.0 * list_dot_product(h.v2, c2t.cvec) ASC,
+      |                     c2t.cell ASC) AS rn
+      |        FROM h CROSS JOIN c2t) WHERE rn = 1),
+      |asg AS (SELECT a1.vec_id, a1.cc1, a2.cc2, a1.cc1 * 4 + a2.cc2 AS cell
+      |        FROM a1 JOIN a2 USING (vec_id)),
+      |res AS (SELECT a.vec_id, a.cell,
+      |          list_transform(range(1, 33), i -> h.v1[i] - p1.cvec[i]) ||
+      |          list_transform(range(1, 33), i -> h.v2[i] - p2.cvec[i]) AS r
+      |        FROM asg a JOIN h ON h.vec_id = a.vec_id
+      |          JOIN c1 p1 ON p1.cell = a.cc1
+      |          JOIN c2t p2 ON p2.cell = a.cc2),
+      |cb AS (SELECT CAST(subspace AS INT) AS subspace, CAST(code AS INT) AS code,
+      |         CAST(centroid AS DOUBLE[]) AS centroid
+      |       FROM read_parquet('/tmp/graft_trained/imipq/codebook/*/*.parquet',
+      |                         hive_partitioning = true)
+      |       WHERE CAST(k AS BIGINT) = (SELECT k FROM ck)),
+      |d AS (SELECT r.vec_id, r.cell, cb.subspace, cb.code,
+      |        list_sum(list_transform(range(1, 9), i ->
+      |          (r.r[cb.subspace*8 + i] - cb.centroid[i])
+      |          * (r.r[cb.subspace*8 + i] - cb.centroid[i]))) AS dist
+      |      FROM res r CROSS JOIN cb),
+      |codes AS (SELECT vec_id, cell, subspace, code FROM (
+      |           SELECT vec_id, cell, subspace, code,
+      |             row_number() OVER (PARTITION BY vec_id, subspace
+      |               ORDER BY dist ASC, code ASC) AS rn
+      |           FROM d) WHERE rn = 1),
+      |p1 AS (SELECT q_id, cell AS cc1 FROM (
+      |        SELECT h.vec_id AS q_id, c1.cell,
+      |          row_number() OVER (PARTITION BY h.vec_id
+      |            ORDER BY c1.cc - 2.0 * list_dot_product(h.v1, c1.cvec) ASC,
+      |                     c1.cell ASC) AS rn
+      |        FROM h CROSS JOIN c1 WHERE h.vec_id < 5) WHERE rn <= 2),
+      |p2 AS (SELECT q_id, cell AS cc2 FROM (
+      |        SELECT h.vec_id AS q_id, c2t.cell,
+      |          row_number() OVER (PARTITION BY h.vec_id
+      |            ORDER BY c2t.cc - 2.0 * list_dot_product(h.v2, c2t.cvec) ASC,
+      |                     c2t.cell ASC) AS rn
+      |        FROM h CROSS JOIN c2t WHERE h.vec_id < 5) WHERE rn <= 2),
+      |qres AS (SELECT p1.q_id, p1.cc1 * 4 + p2.cc2 AS cell,
+      |           list_transform(range(1, 33), i -> h.v1[i] - pc1.cvec[i]) ||
+      |           list_transform(range(1, 33), i -> h.v2[i] - pc2.cvec[i]) AS qr
+      |         FROM p1 JOIN p2 USING (q_id)
+      |           JOIN h ON h.vec_id = p1.q_id
+      |           JOIN c1 pc1 ON pc1.cell = p1.cc1
+      |           JOIN c2t pc2 ON pc2.cell = p2.cc2),
+      |qd AS (SELECT q.q_id, q.cell, cb.subspace, cb.code,
+      |         list_sum(list_transform(range(1, 9), i ->
+      |           (q.qr[cb.subspace*8 + i] - cb.centroid[i])
+      |           * (q.qr[cb.subspace*8 + i] - cb.centroid[i]))) AS dist
+      |       FROM qres q CROSS JOIN cb),
+      |adist AS (SELECT qd.q_id, co.vec_id AS c_id,
+      |            list_sum(list(qd.dist ORDER BY qd.subspace)) AS ad
+      |          FROM codes co JOIN qd ON qd.cell = co.cell
+      |            AND qd.subspace = co.subspace AND qd.code = co.code
+      |          WHERE co.vec_id <> qd.q_id
+      |          GROUP BY 1, 2)""".stripMargin
 
   /** The q141 IMI chain's shared CTE prefix — formula per-half
     * sub-quantizers (first 4 vectors' halves), per-half argmin
@@ -2355,6 +2803,96 @@ object SparkEntry {
         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM scored)
         |SELECT q_id, rn AS rank, c_id, cos FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin),
 
+    // q140: the TRAINED composed system replayed from its persisted
+    // artifacts (round 16) — assignment, residuals, corpus encode,
+    // probes, ADC and rerank all from the parquet bytes the registered
+    // query wrote; only the KMeans fits stay outside the boundary
+    "q140_ann_imipq" ->
+      (trainedImiPqCtes + ",\n" +
+      """cand AS (SELECT q_id, c_id FROM (
+        |          SELECT q_id, c_id,
+        |            row_number() OVER (PARTITION BY q_id ORDER BY ad ASC, c_id ASC) AS ar
+        |          FROM adist) WHERE ar <= 50),
+        |scored AS (SELECT cand.q_id, cand.c_id,
+        |           round(list_dot_product(qe.v, ce.v) /
+        |             (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cos
+        |          FROM cand JOIN e qe ON qe.vec_id = cand.q_id JOIN e ce ON ce.vec_id = cand.c_id),
+        |ranked AS (SELECT q_id, c_id, cos,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM scored)
+        |SELECT q_id, rn AS rank, c_id, cos FROM ranked WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin),
+
+    // q175: the TRAINED tier's recall meter from the same artifacts —
+    // the q164 cut shape (rerank 10 vs 50) against the brute truth, so
+    // the production operating point is the one the meter certifies
+    "q175_ann_trained_recall" -> {
+      def cutTier(r: Int): String =
+        s"""candr$r AS (SELECT q_id, c_id FROM (
+           |  SELECT q_id, c_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY ad ASC, c_id ASC) AS ar
+           |  FROM adist) WHERE ar <= $r),
+           |scored$r AS (SELECT candr$r.q_id, candr$r.c_id,
+           |    round(list_dot_product(qe.v, ce.v) /
+           |      (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))), 4) AS cos
+           |  FROM candr$r JOIN e qe ON qe.vec_id = candr$r.q_id
+           |  JOIN e ce ON ce.vec_id = candr$r.c_id),
+           |appr$r AS (SELECT q_id, c_id FROM (
+           |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cos DESC, c_id ASC) AS rn FROM scored$r) WHERE rn <= 10),
+           |hits$r AS (SELECT t.q_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM truth t JOIN appr$r a ON a.q_id = t.q_id AND a.c_id = t.c_id
+           |  GROUP BY 1)""".stripMargin
+      def tierSelect(r: Int): String =
+        s"""SELECT 'trained_r${f"$r%02d"}' AS tier, q.q_id, CAST(10 AS BIGINT) AS k,
+           |  coalesce(h.n, 0) AS n_hits,
+           |  CAST((coalesce(h.n, 0) * 10000) // 10 AS BIGINT) AS recall_bp
+           |FROM (SELECT DISTINCT q_id FROM truth) q
+           |LEFT JOIN hits$r h ON h.q_id = q.q_id""".stripMargin
+      trainedImiPqCtes + ",\n" + annTruthCtes + ",\n" +
+        cutTier(10) + ",\n" + cutTier(50) + "\n" +
+        tierSelect(10) + "\nUNION ALL\n" + tierSelect(50) +
+        "\nORDER BY tier, q_id"
+    },
+
+    // q134: the PRODUCTION-quantizer SemDeDup replayed from its
+    // persisted trained centroid artifact (round 16) — the q95 embed
+    // chain, artifact-keyed assignment argmin, within-cell pairing and
+    // min-id verdict; only the KMeans fit stays outside the boundary
+    "q134_text_semdedup_trained" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |dk AS (SELECT CAST(sum(length(text)) + count(*) AS BIGINT) AS k FROM documents),
+        |th AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+        |comp AS (SELECT doc_id, j,
+        |    CAST(sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS DOUBLE) AS cmp
+        |  FROM th CROSS JOIN generate_series(0, 59) AS dims(j)
+        |  GROUP BY doc_id, j),
+        |e AS (SELECT doc_id AS vec_id, list(cmp ORDER BY j) AS v
+        |      FROM comp GROUP BY doc_id),
+        |c AS (SELECT CAST(cell AS INT) AS cell, CAST(cvec AS DOUBLE[]) AS cvec,
+        |        CAST(c2 AS DOUBLE) AS c2
+        |      FROM read_parquet('/tmp/graft_trained/semdedup/centroids/*/*.parquet',
+        |                        hive_partitioning = true)
+        |      WHERE CAST(k AS BIGINT) = (SELECT k FROM dk)),
+        |asg AS (SELECT vec_id, cell FROM (
+        |         SELECT e.vec_id, c.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY c.c2 - 2.0 * list_dot_product(e.v, c.cvec) ASC,
+        |                      c.cell ASC) AS rn
+        |         FROM e CROSS JOIN c) WHERE rn = 1),
+        |m AS (SELECT a.vec_id, a.cell, e.v,
+        |        sqrt(list_dot_product(e.v, e.v)) AS nrm
+        |      FROM asg a JOIN e ON e.vec_id = a.vec_id),
+        |dups AS (SELECT id_b AS vec_id, min(id_a) AS dup_of FROM (
+        |          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |            round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cos
+        |          FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+        |         WHERE cos >= 0.92 GROUP BY 1)
+        |SELECT m.vec_id, m.cell, d.vec_id IS NOT NULL AS is_dup, d.dup_of
+        |FROM m LEFT JOIN dups d ON d.vec_id = m.vec_id
+        |ORDER BY m.vec_id""".stripMargin,
+
     // q163: the TWO-LEVEL tier's recall meter — the q141 cell CTEs
     // (formula per-half sub-quantizers + production assignment), the
     // per-half probe at widths 1 and 2, nProbe² product cells per
@@ -3145,6 +3683,112 @@ object SparkEntry {
         |WHERE t.split = 'train'
         |ORDER BY t.doc_id""".stripMargin,
 
+    // q176: order-3 interpolated KN replayed — the trigram table, both
+    // continuation levels (per-(b,c) row counts ARE distinct-a counts),
+    // the two-rung recursion, grid sums; d interpolated from the Scala
+    // constant (the q171 convention one order up)
+    "q176_kn_trigram" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+         |           FROM documents),
+         |tok AS (SELECT doc_id, unnest(w) AS tok,
+         |          unnest(generate_series(1, len(w))) AS pos FROM d),
+         |tg AS (SELECT t0.doc_id, t0.tok AS a, t1.tok AS b, t2.tok AS c
+         |       FROM tok t0 JOIN tok t1
+         |         ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+         |       JOIN tok t2
+         |         ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2),
+         |tc AS (SELECT a, b, c, count(*) AS cabc FROM tg GROUP BY 1, 2, 3),
+         |ctx2 AS (SELECT a, b, sum(cabc) AS cab, count(*) AS n1ab
+         |         FROM tc GROUP BY 1, 2),
+         |mid AS (SELECT b, c, count(*) AS mbc FROM tc GROUP BY 1, 2),
+         |ctx1 AS (SELECT b, sum(mbc) AS totb, count(*) AS n1b
+         |         FROM mid GROUP BY 1),
+         |uni AS (SELECT c, count(*) AS n1pc FROM mid GROUP BY 1),
+         |tot AS (SELECT count(*) AS n1tot FROM mid),
+         |lp AS (SELECT g.doc_id,
+         |         CAST(round(ln(
+         |           (greatest(t3.cabc - ${TextAnalysis.KnDiscount}, 0.0)
+         |            + ${TextAnalysis.KnDiscount} * x2.n1ab
+         |              * ((greatest(m.mbc - ${TextAnalysis.KnDiscount}, 0.0)
+         |                  + ${TextAnalysis.KnDiscount} * x1.n1b
+         |                    * (CAST(u.n1pc AS DOUBLE) / t.n1tot)) / x1.totb))
+         |           / x2.cab)
+         |                    * 100000000.0) AS BIGINT) AS lps
+         |       FROM tg g
+         |       JOIN tc t3 ON t3.a = g.a AND t3.b = g.b AND t3.c = g.c
+         |       JOIN ctx2 x2 ON x2.a = g.a AND x2.b = g.b
+         |       JOIN mid m ON m.b = g.b AND m.c = g.c
+         |       JOIN ctx1 x1 ON x1.b = g.b
+         |       JOIN uni u ON u.c = g.c CROSS JOIN tot t)
+         |SELECT doc_id, count(*) AS n_trigrams,
+         |  round(-(CAST(sum(lps) AS DOUBLE) / 100000000.0) / count(*)
+         |        + 1e-9, 4) AS kn3_nll
+         |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // q177: the day-2 order-3 flow replayed — the frozen trigram model
+    // off the 80% slice, the batch's three-rung CASE ladder (seen
+    // context → trigram mass; unseen context but seen middle →
+    // continuation-bigram mass; unseen middle → Laplace-floored
+    // continuation unigram), the q172 conventions one order up
+    "q177_kn3_score" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+         |           FROM documents),
+         |tok AS (SELECT doc_id, unnest(w) AS tok,
+         |          unnest(generate_series(1, len(w))) AS pos FROM d),
+         |tg AS (SELECT t0.doc_id, t0.tok AS a, t1.tok AS b, t2.tok AS c
+         |       FROM tok t0 JOIN tok t1
+         |         ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+         |       JOIN tok t2
+         |         ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2),
+         |tc AS (SELECT a, b, c, count(*) AS cabc FROM tg
+         |       WHERE doc_id % 5 <> 4 GROUP BY 1, 2, 3),
+         |ctx2 AS (SELECT a, b, sum(cabc) AS cab, count(*) AS n1ab
+         |         FROM tc GROUP BY 1, 2),
+         |mid AS (SELECT b, c, count(*) AS mbc FROM tc GROUP BY 1, 2),
+         |ctx1 AS (SELECT b, sum(mbc) AS totb, count(*) AS n1b
+         |         FROM mid GROUP BY 1),
+         |uni AS (SELECT c, count(*) AS n1pc FROM mid GROUP BY 1),
+         |sc AS (SELECT (SELECT count(*) FROM mid) AS n1tot,
+         |         (SELECT count(DISTINCT t) FROM
+         |           (SELECT a AS t FROM tc UNION ALL SELECT b FROM tc
+         |            UNION ALL SELECT c FROM tc)) AS v),
+         |q AS (SELECT g.doc_id, t3.cabc, x2.cab, x2.n1ab,
+         |        m.mbc, x1.totb, x1.n1b, u.n1pc
+         |      FROM tg g
+         |      LEFT JOIN tc t3 ON t3.a = g.a AND t3.b = g.b AND t3.c = g.c
+         |      LEFT JOIN ctx2 x2 ON x2.a = g.a AND x2.b = g.b
+         |      LEFT JOIN mid m ON m.b = g.b AND m.c = g.c
+         |      LEFT JOIN ctx1 x1 ON x1.b = g.b
+         |      LEFT JOIN uni u ON u.c = g.c
+         |      WHERE g.doc_id % 5 = 4),
+         |lp AS (SELECT doc_id,
+         |         CAST(round(ln(
+         |           CASE WHEN cab IS NOT NULL THEN
+         |             (greatest(coalesce(cabc, 0) - ${TextAnalysis.KnDiscount}, 0.0)
+         |              + ${TextAnalysis.KnDiscount} * n1ab *
+         |                CASE WHEN totb IS NOT NULL THEN
+         |                  (greatest(coalesce(mbc, 0) - ${TextAnalysis.KnDiscount}, 0.0)
+         |                   + ${TextAnalysis.KnDiscount} * n1b
+         |                     * (CAST(coalesce(n1pc, 0) + 1 AS DOUBLE)
+         |                        / (s.n1tot + s.v + 1))) / totb
+         |                ELSE CAST(coalesce(n1pc, 0) + 1 AS DOUBLE)
+         |                     / (s.n1tot + s.v + 1) END) / cab
+         |           WHEN totb IS NOT NULL THEN
+         |             (greatest(coalesce(mbc, 0) - ${TextAnalysis.KnDiscount}, 0.0)
+         |              + ${TextAnalysis.KnDiscount} * n1b
+         |                * (CAST(coalesce(n1pc, 0) + 1 AS DOUBLE)
+         |                   / (s.n1tot + s.v + 1))) / totb
+         |           ELSE CAST(coalesce(n1pc, 0) + 1 AS DOUBLE)
+         |                / (s.n1tot + s.v + 1) END)
+         |                    * 100000000.0) AS BIGINT) AS lps
+         |       FROM q, sc s)
+         |SELECT doc_id, count(*) AS n_trigrams,
+         |  round(-(CAST(sum(lps) AS DOUBLE) / 100000000.0) / count(*)
+         |        + 1e-9, 4) AS kn3_nll
+         |FROM lp GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     // q125: BPE encode — the oracle is GENERATED from the same planted
     // merge table the operator folds over (one replace per merge in
     // rank order, the subword-nmt left-to-right exhaustive convention),
@@ -3846,6 +4490,11 @@ object SparkEntry {
         |SELECT b.doc_id, t.lang, b.pred_lang, b.dist
         |FROM best b JOIN t ON t.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    // q174: the master pipeline replayed end to end — every stage
+    // interface crossed by one from-scratch chain (see
+    // masterPipelineOracleSql's Scaladoc for the stage-by-stage map)
+    "q174_master_pipeline" -> masterPipelineOracleSql,
 
     // q92: phrase matching is pure integer position arithmetic —
     // DuckDB re-derives (term, pos) pairs via zipped unnest and counts

@@ -20,7 +20,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1))).foreach { case (name, fn) =>
+    // name-sorted: deterministic dump order, and the trained-artifact
+    // family's producer (q140 persists) precedes its consumers (q175)
+    SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1)))
+      .toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

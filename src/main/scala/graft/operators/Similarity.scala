@@ -346,6 +346,46 @@ object Similarity {
     (outA, outC, true)
   }
 
+  /** C7i at the PERSISTED index (round 16 — the form the schedulable
+    * composed maintenance pass consumes): an IVF index home directory
+    * holding `assigned/` and `centroids/` parquet tables rebalances
+    * in place under the E3/E6/E8b staged-then-rename protocol — both
+    * tables stage COMPLETELY under `dir__rebal`, the live home renames
+    * aside, the staging renames in, the old drops — so the
+    * assigned/centroid PAIR swaps together (swapping them separately
+    * would open a window where probes read an assignment against a
+    * centroid table that no longer carries its cells). The one crash
+    * window (home absent, `dir__old` present) self-heals on entry,
+    * the Layout.regrid reclaim rule.
+    * @return true when a rebalance rewrite happened */
+  def rebalanceIvfIndexDir(spark: SparkSession, dir: String,
+                           maxCellSize: Long, targetCellSize: Int = 125,
+                           seed: Long = 42L): Boolean = {
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
+    if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live),
+        s"rebalance reclaim: could not rename $old back to $dir")
+    val (a2, c2, did) = rebalanceIvfIndex(
+      spark.read.parquet(s"$dir/assigned"),
+      spark.read.parquet(s"$dir/centroids"),
+      maxCellSize, targetCellSize, seed)
+    if (!did) return false
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__rebal")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    // localCheckpoint upstream (rebalanceIvfIndex materializes its
+    // inputs), so the staging write never reads the files the renames
+    // retire
+    a2.write.parquet(s"$tmp/assigned")
+    c2.write.parquet(s"$tmp/centroids")
+    require(fs.rename(live, old), s"rebalance: could not rename $dir aside")
+    require(fs.rename(tmp, live), s"rebalance: could not install the new index")
+    fs.delete(old, true)
+    true
+  }
+
   /** A trained coarse-quantizer artifact with its STRUCTURE abstracted
     * (round 14 — the auto rule generalized off the text path): one
     * `assigned` (vec_id, v, nrm, cell) corpus frame plus the
@@ -1459,18 +1499,126 @@ object Similarity {
     exactRerankById(cands, corpus, qs, k)
   }
 
+  /** Round 16 — the ORACLE BOUNDARY MOVES ONTO THE TRAINED PATH. The
+    * deterministic artifact root the oracle-side replay reads: a query
+    * run with an `artifactDir` under this root persists its trained
+    * centroid/codebook tables here (hive-keyed by [[embeddingsCorpusKey]]
+    * so runs at different SFs coexist), and the DuckDB oracle
+    * re-derives assignment, encode, ADC search and recall FROM those
+    * parquet artifacts — only the KMeans fit itself stays outside the
+    * boundary. Contract: the oracle compare must follow the Verify run
+    * that wrote the artifacts (the driver's standing order). */
+  val TrainedArtifactRoot = "/tmp/graft_trained"
+
+  /** The portable corpus key binding a persisted trained artifact to
+    * the EXACT corpus that trained it: Σ ⌊1000·embedding[0]⌋ + count —
+    * pure integer arithmetic over exactly-widened floats, so both
+    * engines compute the identical long and an artifact from a
+    * different SF (or stale run) can never be silently adopted. */
+  private[graft] def embeddingsCorpusKey(raw: DataFrame): Long =
+    raw.agg((sum(floor(element_at(col("embedding"), 1).cast("double") * 1000)
+      .cast("long")) + count(lit(1))).as("k")).first().getLong(0)
+
+  /** [[embeddingsCorpusKey]]'s documents-table sibling:
+    * Σ length(text) + count (chars — the corpus is ASCII by contract,
+    * and both engines count identically). */
+  private[graft] def documentsCorpusKey(docs: DataFrame): Long =
+    docs.agg((sum(length(col("text")).cast("long")) + count(lit(1))).as("k"))
+      .first().getLong(0)
+
+  /** Persist one trained artifact table under its corpus key and read
+    * it back — everything downstream of the returned frame is a
+    * deterministic function of parquet bytes the oracle can also
+    * read. */
+  private[graft] def persistTrainedArtifact(df: DataFrame, path: String,
+                                            key: Long): DataFrame = {
+    val full = s"$path/k=$key"
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(full)
+    df.sparkSession.read.parquet(full)
+  }
+
   /** `q140_ann_imipq` — the full composed system in one shot: two-level
-    * coarse build + residual PQ + IMI-probed ADC search. Rows-only at
-    * the driver (three KMeans fits — the C7b/C7d convention); recall vs
-    * brute force and build==append code parity are spec-tested, and
-    * q141 oracle-backs the identical search semantics on formula
-    * artifacts. */
+    * coarse build + residual PQ + IMI-probed ADC search, at the
+    * PRODUCTION operating point (codebookSize 64 — SCALING_r15's
+    * documented recommendation, registered now that the oracle reads
+    * artifacts and its cost no longer grows with the codebook).
+    *
+    * With `artifactDir` (the registered form, round 16): the trained
+    * sub-quantizers and codebook PERSIST under [[TrainedArtifactRoot]],
+    * the corpus re-encodes from the reloaded artifacts through the
+    * production day-2 path ([[appendToImiPqIndex]] — build==append
+    * parity is spec-pinned), and the search runs from those artifacts —
+    * so the DuckDB oracle replays assignment, residuals, encode, ADC
+    * and rerank from the SAME parquet bytes, and only the KMeans fits
+    * stay outside the oracle boundary (closing the r15 formula-twin
+    * understatement: twins measured 24.8 % where the trained system
+    * reads 38.6 %). Without it: the in-memory build, for specs and
+    * benches. */
   def annImiPq(spark: SparkSession, dir: String, k: Int = 10,
                numQueries: Int = 5, k1: Int = 4, k2: Int = 4,
-               nProbe: Int = 2): DataFrame = {
-    val (corpus, c1, c2, codebook) =
-      buildImiPqIndex(Tables(spark, dir).embeddings, k1, k2)
-    annImiPqSearch(corpus, c1, c2, k2, codebook, k, numQueries, nProbe)
+               nProbe: Int = 2, codebookSize: Int = 64,
+               artifactDir: Option[String] = None): DataFrame = {
+    val raw = Tables(spark, dir).embeddings
+    val (corpus0, c10, c20, cb0) =
+      buildImiPqIndex(raw, k1, k2, codebookSize = codebookSize)
+    artifactDir match {
+      case None =>
+        annImiPqSearch(corpus0, c10, c20, k2, cb0, k, numQueries, nProbe,
+          codebookSize = codebookSize)
+      case Some(root) =>
+        val key = embeddingsCorpusKey(raw)
+        val c1 = persistTrainedArtifact(c10, s"$root/cent1", key)
+        val c2 = persistTrainedArtifact(c20, s"$root/cent2", key)
+        val cb = persistTrainedArtifact(cb0, s"$root/codebook", key)
+        val corpus = appendToImiPqIndex(raw, c1, c2, k2, cb,
+          codebookSize = codebookSize)
+        annImiPqSearch(corpus, c1, c2, k2, cb, k, numQueries, nProbe,
+          codebookSize = codebookSize)
+    }
+  }
+
+  /** C7f `q175_ann_trained_recall` — [[annRecall]] of the TRAINED
+    * IMI+ADC system (q140's artifact-backed chain, production knobs)
+    * at ADC rerank cuts 10 and 50 against exact brute force: the
+    * trained tier joins the q161–q168 meter family, with the oracle
+    * replaying search + recall FROM the persisted artifacts — the
+    * operating point a deployment actually ships is now the one the
+    * meter certifies (r15's documented cb16-default-vs-cb64-production
+    * tension closed). Monotone by the same exact-rerank superset
+    * dominance as q164. */
+  def annImiPqTrainedRecallReport(spark: SparkSession, dir: String,
+                                  k: Int = 10, numQueries: Int = 5,
+                                  artifactDir: String =
+                                    s"$TrainedArtifactRoot/imipq"): DataFrame = {
+    val raw = Tables(spark, dir).embeddings
+    val key = embeddingsCorpusKey(raw)
+    // adopt the artifacts the q140 run persisted for THIS corpus key
+    // (Verify runs queries name-sorted, so q140 precedes q175 in the
+    // gate); when absent — a standalone run — build and persist them
+    // ourselves. Never overwrite an existing key: q140's oracle compare
+    // reads these same bytes.
+    def artPath(name: String) = s"$artifactDir/$name/k=$key"
+    val fs = new org.apache.hadoop.fs.Path(artifactDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(artPath("codebook"), "_SUCCESS"))) {
+      val (_, c10, c20, cb0) = buildImiPqIndex(raw, 4, 4, codebookSize = 64)
+      persistTrainedArtifact(c10, s"$artifactDir/cent1", key)
+      persistTrainedArtifact(c20, s"$artifactDir/cent2", key)
+      persistTrainedArtifact(cb0, s"$artifactDir/codebook", key)
+    }
+    def art(name: String) = spark.read.parquet(artPath(name))
+    val (c1, c2, cb) = (art("cent1"), art("cent2"), art("codebook"))
+    val corpus = appendToImiPqIndex(raw, c1, c2, k2 = 4, cb, codebookSize = 64)
+      .localCheckpoint()
+    val truth = annBruteForce(spark, dir, k, numQueries).localCheckpoint()
+    def tier(rerank: Int): DataFrame =
+      annRecall(truth,
+        annImiPqSearch(corpus, c1, c2, 4, cb, k, numQueries, nProbe = 2,
+          rerank = rerank, codebookSize = 64), k)
+        .withColumn("tier", lit(f"trained_r$rerank%02d"))
+    tier(10).unionByName(tier(50))
+      .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp"))
+      .orderBy(col("tier"), col("q_id"))
   }
 
   /** C7d→C26d `q141_ann_imipq_portable` — the composed IMI+ADC SEARCH

@@ -572,6 +572,171 @@ object TextAnalysis {
       knFit(docs.filter(col("doc_id") % 5 =!= 4)))
   }
 
+  /** C17e `q176_kn_trigram` — interpolated Kneser–Ney at ORDER 3
+    * (Chen & Goodman 1999's recursive form, one more continuation
+    * level than q171): production KenLM-family filters ship order
+    * 3–5, and the recursion is mechanical — the middle level replaces
+    * raw counts with CONTINUATION counts off the SAME trigram table:
+    *
+    *   P(c|a,b) = (max(c(abc) − d, 0) + d · N1+(ab·) · P(c|b)) / c(ab·)
+    *   P(c|b)   = (max(N1+(·bc) − d, 0) + d · N1+(b·) · Pcont(c)) / N1+(·b·)
+    *   Pcont(c) = N1+(·c) / N1+(··)
+    *
+    * where every N1+ is a group size of the ONE trigram count table
+    * (rows are distinct (a,b,c), so per-(b,c) row counts ARE the
+    * distinct-predecessor counts) — the q171 exact-integer-model
+    * property preserved at order 3. Self-scored, so every denominator
+    * is attested. Grid sums and ln parity per the q93/q171 convention.
+    *
+    * Scale shape: TWO lead() columns over the one per-doc window, one
+    * grouped count to the trigram table, and every marginal aggregates
+    * that already-small table; the scoring joins broadcast at model
+    * size, the corpus never shuffles on model keys. */
+  def knTrigramNll(spark: SparkSession, dir: String,
+                   discount: Double = KnDiscount): DataFrame =
+    knTrigramNllDocs(Tables(spark, dir).documents, discount)
+
+  /** [[knTrigramNll]] over an arbitrary (doc_id, text) frame. */
+  def knTrigramNllDocs(docs: DataFrame,
+                       discount: Double = KnDiscount): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(discount > 0.0 && discount < 1.0,
+      s"absolute discount must lie in (0, 1), got $discount")
+    def tok = docs.select(col("doc_id"),
+      posexplode(T.tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    def tris = tok
+      .withColumn("b", lead(col("tok"), 1).over(w))
+      .withColumn("c", lead(col("tok"), 2).over(w))
+      .filter(col("c").isNotNull)
+      .select(col("doc_id"), col("tok").as("a"), col("b"), col("c"))
+    // the one count table: every level's marginals derive from it
+    val tc = tris.groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("cabc")).localCheckpoint()
+    val ctx2 = tc.groupBy(col("a"), col("b"))
+      .agg(sum(col("cabc")).as("cab"), count(lit(1)).as("n1ab"))
+    val mid = tc.groupBy(col("b"), col("c")).agg(count(lit(1)).as("mbc"))
+    val ctx1 = mid.groupBy(col("b"))
+      .agg(sum(col("mbc")).as("totb"), count(lit(1)).as("n1b"))
+    val uni = mid.groupBy(col("c")).agg(count(lit(1)).as("n1pc"))
+    val tot = broadcast(mid.agg(count(lit(1)).as("n1tot")))
+    tris
+      .join(tc, Seq("a", "b", "c"))
+      .join(ctx2, Seq("a", "b"))
+      .join(mid, Seq("b", "c"))
+      .join(ctx1, Seq("b"))
+      .join(uni, Seq("c"))
+      .crossJoin(tot)
+      .withColumn("_pmid",
+        (greatest(col("mbc") - lit(discount), lit(0.0)) +
+          lit(discount) * col("n1b") *
+            (col("n1pc").cast("double") / col("n1tot"))) / col("totb"))
+      .withColumn("_p",
+        (greatest(col("cabc") - lit(discount), lit(0.0)) +
+          lit(discount) * col("n1ab") * col("_pmid")) / col("cab"))
+      .withColumn("_lps", round(log(col("_p")) * 100000000.0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("_lps")).as("_s"))
+      .withColumn("kn3_nll", round(
+        -(col("_s").cast("double") / 100000000.0) / col("n_trigrams") + lit(1e-9), 4))
+      .select(col("doc_id"), col("n_trigrams"), col("kn3_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The persistable order-3 KN MODEL artifact — the one trigram count
+    * table, [[knFit]]'s convention one order up: every level's
+    * marginals (context totals, continuation type counts at both
+    * levels, the vocabulary) derive from it. */
+  def kn3Fit(docs: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def tok = docs.select(col(idCol).as("doc_id"),
+      posexplode(T.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tok.withColumn("b", lead(col("tok"), 1).over(w))
+      .withColumn("c", lead(col("tok"), 2).over(w))
+      .filter(col("c").isNotNull)
+      .groupBy(col("tok").as("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("cabc"))
+  }
+
+  /** C17e day-2: score NEW documents against a FROZEN [[kn3Fit]] model
+    * — the q172 flow at order 3, pricing unseen events on every rung
+    * of the backoff ladder: an unseen trigram under a seen (a,b)
+    * context takes only the trigram backoff mass; an unseen (a,b)
+    * context falls to the continuation-bigram level, where an unseen
+    * (b,c) likewise takes only ITS backoff mass; an unseen middle
+    * token b falls all the way to the Laplace-floored continuation
+    * unigram ((N1+(·c)+1)/(N1+(··)+V+1) — the q172 +1 floor, so no
+    * scored trigram is ever ln 0). All model quantities stay exact
+    * integer counts off the one table; ln parity and grid sums as in
+    * q172. Model marginals broadcast; the batch never shuffles on
+    * model keys. */
+  def kn3ScoreAgainstModel(newDocs: DataFrame, model: DataFrame,
+                           idCol: String = "doc_id",
+                           textCol: String = "text",
+                           discount: Double = KnDiscount): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(discount > 0.0 && discount < 1.0,
+      s"absolute discount must lie in (0, 1), got $discount")
+    val tc = model.select(col("a"), col("b"), col("c"), col("cabc"))
+      .localCheckpoint()
+    val ctx2 = tc.groupBy(col("a"), col("b"))
+      .agg(sum(col("cabc")).as("cab"), count(lit(1)).as("n1ab"))
+    val mid = tc.groupBy(col("b"), col("c")).agg(count(lit(1)).as("mbc"))
+    val ctx1 = mid.groupBy(col("b"))
+      .agg(sum(col("mbc")).as("totb"), count(lit(1)).as("n1b"))
+    val uni = mid.groupBy(col("c")).agg(count(lit(1)).as("n1pc"))
+    val scalars = broadcast(mid.agg(count(lit(1)).as("n1tot"))
+      .crossJoin(tc.select(explode(array(col("a"), col("b"), col("c"))).as("t"))
+        .agg(countDistinct(col("t")).as("v"))))
+    def tok = newDocs.select(col(idCol).as("doc_id"),
+      posexplode(T.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tris = tok
+      .withColumn("b", lead(col("tok"), 1).over(w))
+      .withColumn("c", lead(col("tok"), 2).over(w))
+      .filter(col("c").isNotNull)
+      .select(col("doc_id"), col("tok").as("a"), col("b"), col("c"))
+    tris
+      .join(broadcast(tc), Seq("a", "b", "c"), "left")
+      .join(broadcast(ctx2), Seq("a", "b"), "left")
+      .join(broadcast(mid), Seq("b", "c"), "left")
+      .join(broadcast(ctx1), Seq("b"), "left")
+      .join(broadcast(uni), Seq("c"), "left")
+      .crossJoin(scalars)
+      .withColumn("_pc",
+        (coalesce(col("n1pc"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n1tot") + col("v") + lit(1L)))
+      .withColumn("_pmid", when(col("totb").isNotNull,
+        (greatest(coalesce(col("mbc"), lit(0L)) - lit(discount), lit(0.0)) +
+          lit(discount) * col("n1b") * col("_pc")) / col("totb"))
+        .otherwise(col("_pc")))
+      .withColumn("_p", when(col("cab").isNotNull,
+        (greatest(coalesce(col("cabc"), lit(0L)) - lit(discount), lit(0.0)) +
+          lit(discount) * col("n1ab") * col("_pmid")) / col("cab"))
+        .otherwise(col("_pmid")))
+      .withColumn("_lps", round(log(col("_p")) * 100000000.0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("_lps")).as("_s"))
+      .withColumn("kn3_nll", round(
+        -(col("_s").cast("double") / 100000000.0) / col("n_trigrams") + lit(1e-9), 4))
+      .select(col("doc_id"), col("n_trigrams"), col("kn3_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C17e `q177_kn3_score` — the day-2 order-3 flow over the 80/20
+    * split: [[kn3Fit]] on the corpus slice, the batch scored against
+    * the frozen model. Word-salad batch docs routinely carry unseen
+    * trigrams, contexts, continuation bigrams and unseen middles, so
+    * every rung of the backoff ladder fires on real data (the spec
+    * plants each deterministically). */
+  def kn3ScoreDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    kn3ScoreAgainstModel(docs.filter(col("doc_id") % 5 === 4),
+      kn3Fit(docs.filter(col("doc_id") % 5 =!= 4)))
+  }
+
   /** `q100_repetition_signals` — Gopher-family within-document
     * REPETITION filters (Rae et al. 2021, "Scaling Language Models:
     * Methods, Analysis & Insights from Training Gopher",

@@ -118,9 +118,22 @@ object TextEmbed {
     * [[FlatCellsCrossover]], two-level above it — [[useTwoLevel]]), so
     * this registered default stays ~linear at any scale instead of
     * quietly going quadratic past ~10³ cells (the round-13 measured
-    * failure mode: 38.8× wall at 30× data on flat assignment). */
+    * failure mode: 38.8× wall at 30× data on flat assignment).
+    *
+    * Round 16: the registered entry is ARTIFACT-BACKED — the trained
+    * centroid table persists under [[Similarity.TrainedArtifactRoot]]
+    * (hive-keyed by [[Similarity.documentsCorpusKey]]), the corpus
+    * RE-ASSIGNS from the reloaded artifact through the production
+    * day-2 rule, and the DuckDB oracle replays embed → assignment →
+    * within-cell verdict from those parquet bytes — q134 leaves the
+    * rows-only list; only the KMeans fit stays outside the boundary.
+    * The oracle covers the FLAT regime (the auto rule's choice at
+    * every gate SF — cells = n/125 ≪ the 128-cell crossover); the
+    * two-level regime's identical downstream semantics remain
+    * q138/q141/q163-certified. */
   def textSemDedupTrained(spark: SparkSession, dir: String): DataFrame =
-    textSemDedupTrainedFrame(Tables(spark, dir).documents)
+    textSemDedupTrainedFrame(Tables(spark, dir).documents,
+      artifactDir = Some(s"${Similarity.TrainedArtifactRoot}/semdedup"))
 
   /** C26→C26c `q138_text_semdedup_imi` — q134's pipeline on the
     * TWO-LEVEL quantizer ([[Similarity.buildIvfIndexTwoLevel]] — the
@@ -185,7 +198,8 @@ object TextEmbed {
                                maxCellSize: Int = 10000,
                                seed: Long = 42L,
                                fitSampleSize: Int = 16384,
-                               quantizer: String = "auto"): DataFrame = {
+                               quantizer: String = "auto",
+                               artifactDir: Option[String] = None): DataFrame = {
     // one bounded aggregate (a single long) sizes the quantizer — the
     // production rule: cells track the corpus, not a fixed constant —
     // and the SAME materialized frame feeds the sampled fit and the
@@ -195,9 +209,30 @@ object TextEmbed {
     // build itself is the GENERIC auto-structured one
     // ([[Similarity.buildVectorIndexAuto]]) — this path contributes
     // the embedding and the SemDeDup verdict, nothing quantizer-shaped
-    Similarity.semanticDedupAssigned(
-      Similarity.buildVectorIndexAuto(embedDocuments(docs, dims),
-        targetCellSize, seed, fitSampleSize, quantizer).assigned,
-      threshold, maxCellSize)
+    val emb = embedDocuments(docs, dims)
+    val idx = Similarity.buildVectorIndexAuto(emb, targetCellSize, seed,
+      fitSampleSize, quantizer)
+    artifactDir match {
+      case None =>
+        Similarity.semanticDedupAssigned(idx.assigned, threshold, maxCellSize)
+      case Some(root) =>
+        // the artifact boundary: persist the trained quantizer tables,
+        // RE-ASSIGN the corpus from the reloaded bytes through the
+        // production day-2 rule (assign==build parity is spec-pinned),
+        // and verdict from there — the oracle replays this exact path
+        val key = Similarity.documentsCorpusKey(docs)
+        val assigned = idx match {
+          case f: Similarity.FlatVectorIndex =>
+            Similarity.appendToIvfIndex(emb,
+              Similarity.persistTrainedArtifact(f.centroids,
+                s"$root/centroids", key))
+          case t: Similarity.TwoLevelVectorIndex =>
+            Similarity.appendToIvfIndexTwoLevel(emb,
+              Similarity.persistTrainedArtifact(t.cent1, s"$root/cent1", key),
+              Similarity.persistTrainedArtifact(t.cent2, s"$root/cent2", key),
+              t.k2)
+        }
+        Similarity.semanticDedupAssigned(assigned, threshold, maxCellSize)
+    }
   }
 }

@@ -95,24 +95,91 @@ object Warc {
     * behind a warcinfo preamble; docs with doc_id ≡ 0 mod 7 declare
     * five bytes too many — the declared length always refers to the
     * ACTUAL payload, so the lie is the only envelope defect). */
-  private def chunksAroundPayload(docs: DataFrame, payload: Column): DataFrame = {
+  private def chunksAroundPayload(docs: DataFrame, payload: Column,
+                                  chunkId: Column = col("doc_id") % 25,
+                                  path: Column =
+                                    (col("doc_id") % 100).cast("string")): DataFrame = {
     val declared = when(col("doc_id") % 7 === 0, octet_length(payload) + 5)
       .otherwise(octet_length(payload))
     val rec = concat(
       lit("WARC/1.0\n"),
       lit("WARC-Type: conversion\n"),
       concat(lit("WARC-Target-URI: https://"), col("source"),
-        lit(".example.com/articles/"), (col("doc_id") % 100).cast("string"), lit("\n")),
+        lit(".example.com/articles/"), path, lit("\n")),
       lit("WARC-Date: 2024-01-01T00:00:00Z\n"),
       concat(lit("Content-Length: "), declared.cast("string"), lit("\n")),
       lit("\n"), payload, lit("\n\n"))
     docs
-      .select((col("doc_id") % 25).as("chunk_id"), col("doc_id"), rec.as("_rec"))
+      .select(chunkId.as("chunk_id"), col("doc_id"), rec.as("_rec"))
       .groupBy(col("chunk_id"))
       .agg(concat(lit("warcinfo preamble\n"),
         array_join(transform(
           array_sort(collect_list(struct(col("doc_id"), col("_rec")))),
           s => s.getField("_rec")), "")).as("content"))
+  }
+
+  /** The q174 MASTER-pipeline serialization — WET envelopes around
+    * line-dressed pages with one plant family per downstream stage, so
+    * every stage of the full curation→training-export chain does REAL,
+    * deterministic work at every SF:
+    *
+    *  - doc_id ≡ 9 (mod 10): WHOLE-copy body (text of doc−4, class 5)
+    *    — post-clean exact dups for the election (q107's rule);
+    *  - doc_id ≡ 3 (mod 10): LONG-SPAN copier — the doc−2 donor's full
+    *    text as a first body line, own text second: Jaccard ≈
+    *    |donor|/(|donor|+|own|), so SHORT own texts push pairs past
+    *    the exact-Jaccard near-dup threshold while the rest survive to
+    *    the winnow tier, which excises the donor span;
+    *  - doc_id ≡ 7 / ≡ 4 (mod 10): CONTAMINATION copiers — the FIRST
+    *    14 WORDS of doc−6 / doc−2 prepended as their own line (14, so
+    *    the appended period rides the 14th token and words 1–13 stay
+    *    an intact shared 13-gram); spans this short sit below the
+    *    master chain's winnow `minPrints`, so they reach the firewall,
+    *    where the seed-40 source split puts (src11→src17) across
+    *    train→val and (src2→src4) across test→train — BOTH leak
+    *    directions fire;
+    *  - doc_id ≡ 8 (mod 10): URL RECRAWL — publishes doc−2's article
+    *    path, so the canonical-URL election drops it at ingest;
+    *  - doc_id ≡ 0 (mod 7): lying Content-Length (the q120 envelope
+    *    quarantine); src3/src7/src12 hosts are blocklist-gated.
+    *
+    * URI paths carry the FULL doc_id (no q127 %100 collapse: the
+    * surviving corpus must scale with SF) and chunk_id = doc_id DIV 40,
+    * which makes rec_id = (chunk << 32) | idx MONOTONE in doc_id — so
+    * every min-id election and excise-the-higher-id rule downstream
+    * behaves exactly as the doc_id arithmetic reads. */
+  private[graft] def plantedMasterChunks(docs: DataFrame): DataFrame = {
+    def donor(off: Int) = docs.select((col("doc_id") + off).as("doc_id"),
+      col("text").as(s"_d$off"))
+    def first14(c: Column): Column =
+      concat(array_join(slice(split(trim(c), "\\s+"), 1, 14), " "), lit("."))
+    val planted = docs
+      .join(donor(4), Seq("doc_id"), "left")
+      .join(donor(2), Seq("doc_id"), "left")
+      .join(donor(6), Seq("doc_id"), "left")
+      .withColumn("body",
+        when(col("doc_id") % 10 === 9 && col("_d4").isNotNull,
+          concat(col("_d4"), lit(".")))
+        .when(col("doc_id") % 10 === 3 && col("_d2").isNotNull,
+          concat(col("_d2"), lit(".\n"), col("text"), lit(".")))
+        .when(col("doc_id") % 10 === 7 && col("_d6").isNotNull,
+          concat(first14(col("_d6")), lit("\n"), col("text"), lit(".")))
+        .when(col("doc_id") % 10 === 4 && col("_d2").isNotNull,
+          concat(first14(col("_d2")), lit("\n"), col("text"), lit(".")))
+        .otherwise(concat(col("text"), lit("."))))
+      .drop("_d4", "_d2", "_d6")
+    val page = concat_ws("\n",
+      col("body"),
+      lit("Please enable JavaScript and cookies to continue viewing."),
+      lit("continue reading more about"),
+      concat(lit("Copyright 2024 Example Corp id "), col("doc_id").cast("string"), lit(".")),
+      lit("BREAKING NEWS ALERT READ THIS NOW!"),
+      lit("Click here."))
+    val pathId = when(col("doc_id") % 10 === 8, col("doc_id") - 2)
+      .otherwise(col("doc_id"))
+    chunksAroundPayload(planted, page,
+      chunkId = (col("doc_id") / 40).cast("long"),
+      path = pathId.cast("string"))
   }
 
   /** The q127 serialization — the q120 envelopes around LINE-DRESSED

@@ -1819,6 +1819,37 @@ object EventsStream {
       }
       .start()
 
+  /** D2→C17e bridge — [[knScoreStream]] at ORDER 3: each micro-batch
+    * scores against the PERSISTED [[graft.operators.TextAnalysis.kn3Fit]]
+    * trigram table through the production day-2 kernel
+    * ([[graft.operators.TextAnalysis.kn3ScoreAgainstModel]] — every
+    * backoff rung priced, model marginals broadcast) and appends
+    * (doc_id, n_trigrams, kn3_nll). Fit-first contract and
+    * replay-idempotence exactly per [[knScoreStream]]. */
+  def kn3ScoreStream(docs: DataFrame, modelPath: String, scoredPath: String,
+                     checkpointDir: String,
+                     idCol: String = "doc_id", textCol: String = "text"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.dropDuplicates(idCol)
+        val model = spark.read.parquet(modelPath) // loud if absent: fit-first
+        val existing = readTableIfExists(spark, scoredPath)
+        val fresh = existing match {
+          case Some(s) =>
+            batch.join(s.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+          case None => batch
+        }
+        if (!fresh.isEmpty)
+          graft.operators.TextAnalysis.kn3ScoreAgainstModel(
+              fresh, model, idCol, textCol)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(scoredPath)
+      }
+      .start()
+
   /** D2→C37 bridge — streaming Naive Bayes classification against the
     * PERSISTED model: each micro-batch of new documents scores through
     * the production kernel ([[graft.operators.Classify.nbScore]] —

@@ -191,4 +191,136 @@ class PipelineSpec extends SparkSpecBase {
     assert(new java.io.File(recDir, "_SUCCESS").exists,
       "the rebuild must leave a complete, marked waist behind")
   }
+
+  // rec_id is closed-form under the q174 serializer: chunk = doc DIV 40,
+  // every doc 0..N-1 present, records in doc order behind the preamble
+  private def recId(d: Long): Long = (d / 40) * (1L << 32) + d % 40 + 1
+
+  test("q174 master pipeline: every stage does certified work and the shipped pool satisfies its own post-conditions") {
+    import graft.operators.{Dedup, Urls}
+    val docs = Tables(spark, sfDir).documents
+    val chunks = graft.sources.Warc.plantedMasterChunks(docs)
+    val dir = java.nio.file.Files.createTempDirectory("graft_master").toString
+    val out = Pipeline.masterPipeline(chunks, "chunk_id", "content",
+      Urls.docBlocklist.toDF("pattern"), Pipeline.masterWeights,
+      persistDir = Some(dir))
+    val rows = out.as[(Int, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty, "the export must contain chunks")
+    // ---- output invariants: BOS/EOS-delimited streams, exact budgets
+    rows.foreach { case (shard, chunk, nDocs, total, ids) =>
+      val idList = ids.split(",").map(_.toLong)
+      assert(idList.length == total, s"$shard/$chunk total_tokens must equal the stream length")
+      assert(idList.count(_ == 0L) == nDocs && idList.count(_ == 1L) == nDocs,
+        s"$shard/$chunk must carry exactly one BOS and one EOS per doc")
+      assert(idList.head == 0L && idList.last == 1L,
+        s"$shard/$chunk stream must open with BOS and close with EOS")
+    }
+    // per-shard chunk ids contiguous from 0 (greedy packing in order)
+    rows.groupBy(_._1).foreach { case (s, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(rs.indices.map(_.toLong)),
+        s"shard $s chunk ids must be contiguous from 0")
+    }
+    // ---- the clean waist satisfies the dedup tiers' own post-conditions
+    val clean = spark.read.parquet(s"$dir/clean").localCheckpoint()
+    assert(clean.select("clean_text").distinct().count() == clean.count(),
+      "exact election: no two shipped docs share a clean text")
+    assert(Dedup.shingleJaccardPrefixDocs(
+        clean.select(col("doc_id"), col("clean_text").as("text")),
+        jaccardThreshold = 0.8)
+      .filter(col("is_dup")).count() == 0L,
+      "near dedup: the shipped pool carries no pair at Jaccard >= tau")
+    assert(Dedup.winnowSharedSpans(
+        clean.select(col("doc_id"), col("clean_text").as("text")),
+        minPrints = 60L).count() == 0L,
+      "winnow: the shipped pool carries no duplicated span at the policy grain")
+    // ---- plant fates (sf0.001-pinned, the LayoutSpec convention)
+    val cleanIds = clean.select(col("doc_id")).as[Long].collect().toSet
+    // exact: doc 9 (whole copy of doc 5) died at the election, donor lives
+    assert(!cleanIds.contains(recId(9)) && cleanIds.contains(recId(5)),
+      "the whole-copy plant must lose to its donor at the exact election")
+    // winnow: doc 73 (long-span copier carrying doc 71's full text
+    // before its own) kept ONLY its novel text — the donor span is
+    // excised, the donor intact (doc 13's donor 11 fails the word gate
+    // at this SF, so the 73/71 pair is the stable pin)
+    val norm = (s: String) => s.toLowerCase.trim.replaceAll("\\s+", " ")
+    val t71 = norm(docs.filter(col("doc_id") === 71).select("text").as[String].head())
+    val t73own = norm(docs.filter(col("doc_id") === 73).select("text").as[String].head())
+    val c73 = clean.filter(col("doc_id") === recId(73))
+      .select("clean_text").as[String].head()
+    assert(!c73.contains(t71) && c73.contains(t73own),
+      "the long-span copier must shed the donor span and keep its own text")
+    val c71 = clean.filter(col("doc_id") === recId(71))
+      .select("clean_text").as[String].head()
+    assert(c71.contains(t71), "the span donor keeps its copy (one survives)")
+    // ---- the firewall fired in BOTH leak directions (seed-40 split:
+    // src11 train / src17 val, src2 test / src4 train)
+    val trainW = spark.read.parquet(s"$dir/train")
+    val trainIds = trainW.select(col("doc_id")).as[Long].collect().toSet
+    // val→train: doc 51 (src11, train) is the donor whose 14-word
+    // opening doc 57 (src17, val) quotes — it must flag OUT of train
+    assert(cleanIds.contains(recId(51)) && !trainIds.contains(recId(51)),
+      "val→train leak: the quoted train donor must be firewalled")
+    assert(trainIds.contains(recId(71)),
+      "an unquoted src11 sibling stays in train (the control)")
+    // train→test: doc 4 (src4, train) quotes doc 2's (src2, test)
+    // opening — the quoting train doc must flag out
+    assert(cleanIds.contains(recId(4)) && !trainIds.contains(recId(4)),
+      "train→test leak: the quoting train doc must be firewalled")
+    assert(trainIds.contains(recId(24)),
+      "a src4 sibling whose donor quote healed or never fired stays (the control)")
+    // blocked hosts never ship
+    assert(clean.filter(col("source").isin(
+      "src3.example.com", "src7.example.com", "src12.example.com")).count() == 0L,
+      "blocklisted hosts must not reach the pool")
+    // ---- no cartesian in the composed plan
+    assert(!out.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "the master pipeline must not plan a cartesian")
+  }
+
+  test("q174 persistDir: the three-waist ladder resumes mid-chain, byte-identical shards, zero upstream re-execution") {
+    import graft.operators.Urls
+    val docs = Tables(spark, sfDir).documents
+    val chunks = graft.sources.Warc.plantedMasterChunks(docs)
+    val blocklist = Urls.docBlocklist.toDF("pattern")
+    def run(c: org.apache.spark.sql.DataFrame, dir: Option[String]) =
+      Pipeline.masterPipeline(c, "chunk_id", "content", blocklist,
+        Pipeline.masterWeights, persistDir = dir)
+        .as[(Int, Long, Long, Long, String)].collect().toSeq
+    val inMem = run(chunks, None)
+    val dir = java.nio.file.Files.createTempDirectory("graft_master_w").toString
+    assert(run(chunks, Some(dir)) == inMem,
+      "persisted-waist run must equal the in-memory run value-exactly")
+    Seq("records", "clean", "train").foreach(w =>
+      assert(new java.io.File(s"$dir/$w/_SUCCESS").exists, s"waist $w must persist marked"))
+    // full resume: poisoned chunks prove zero chunk-scan jobs
+    val poisoned = chunks.select(col("chunk_id"),
+      when(lit(true),
+        raise_error(lit("resumed masterPipeline scanned the chunks")).cast("string"))
+        .otherwise(col("content")).as("content"))
+    assert(run(poisoned, Some(dir)) == inMem,
+      "a fully-resumed run answers from the waists alone")
+    // MID-CHAIN restart: the crash hit between the records commit and
+    // the clean commit — downstream waists are gone, records stands.
+    // The rerun must rebuild clean+train FROM the records waist (the
+    // chunks stay poisoned: equality also proves the parse never reran)
+    // and ship byte-identical shards.
+    def rmWaist(name: String): Unit = {
+      val d = new java.io.File(s"$dir/$name")
+      d.listFiles.foreach(_.delete()); assert(d.delete(), s"cleanup of $name failed")
+    }
+    rmWaist("clean"); rmWaist("train")
+    assert(run(poisoned, Some(dir)) == inMem,
+      "a mid-chain restart must resume from the records waist and ship identical shards")
+    // markerless downstream waist = mid-commit casualty: truncate train,
+    // drop its marker — the rerun must rebuild it from clean (chunks
+    // still poisoned), never adopt the partial table
+    val trainDir = new java.io.File(s"$dir/train")
+    trainDir.listFiles.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .drop(1).foreach(_.delete())
+    assert(new java.io.File(trainDir, "_SUCCESS").delete(), "marker must exist")
+    assert(run(poisoned, Some(dir)) == inMem,
+      "a markerless (partial) train waist must be rebuilt, not adopted")
+    assert(new java.io.File(trainDir, "_SUCCESS").exists,
+      "the rebuild leaves a complete, marked waist behind")
+  }
 }

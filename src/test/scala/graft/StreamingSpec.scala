@@ -1959,6 +1959,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("D2→C17e: streaming KN3 scoring appends exactly once and matches the batch kernel") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.EventsStream.StreamDoc
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val modelPath = java.nio.file.Files.createTempDirectory("graft_kn3_model").toString
+    TextAnalysis.kn3Fit(Seq((1L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(modelPath)
+    val mem = MemoryStream[StreamDoc]
+    val scored = java.nio.file.Files.createTempDirectory("graft_kn3_scored").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_kn3_cp").toString
+    val q = EventsStream.kn3ScoreStream(mem.toDF(), modelPath, scored, cp)
+    def read() = spark.read.parquet(scored)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    try {
+      // batch 1: an in-domain doc and junk walking the backoff ladder
+      mem.addData(StreamDoc(10, "a b c a b c"), StreamDoc(11, "z q w r"))
+      q.processAllAvailable()
+      val s1 = read()
+      assert(s1.map(_._1) == Seq(10L, 11L), s"both docs scored: $s1")
+      val batchScores = TextAnalysis.kn3ScoreAgainstModel(
+        Seq((10L, "a b c a b c"), (11L, "z q w r")).toDF("doc_id", "text"),
+        spark.read.parquet(modelPath))
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(s1 == batchScores, s"stream $s1 vs batch $batchScores")
+      assert(s1(0)._3 < s1(1)._3, s"in-domain doc must score lower NLL: $s1")
+      // batch 2: replay of doc 10 (appends nothing) + one new doc
+      mem.addData(StreamDoc(10, "a b c a b c"), StreamDoc(12, "a b z"))
+      q.processAllAvailable()
+      val s2 = read()
+      assert(s2.map(_._1) == Seq(10L, 11L, 12L),
+        s"re-delivered doc must not duplicate: $s2")
+      assert(s2.take(2) == s1, "existing scores are never rewritten")
+    } finally q.stop()
+  }
+
   test("D2→C31: streaming DSIR scoring appends exactly once and matches batch day-2 scores") {
     import graft.operators.Sharding
     import graft.streaming.EventsStream.StreamDoc

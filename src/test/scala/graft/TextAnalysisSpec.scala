@@ -261,6 +261,78 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+  test("KN order 3 matches the hand-computed two-rung recursion") {
+    import org.apache.spark.sql.functions._
+    // corpus: doc1 "a b c a b c", doc2 "a b d" →
+    // tc: (a,b,c)=2 (b,c,a)=1 (c,a,b)=1 (a,b,d)=1
+    // ctx2 (a,b): cab=3 n1ab=2; (b,c)/(c,a): 1,1
+    // mid rows all 1: (b,c) (c,a) (a,b) (b,d); ctx1 b: totb=2 n1b=2,
+    // a/c: totb=1 n1b=1; uni all 1; N1+(··)=4 → Pcont = 1/4 each
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kn3").toString
+    docs.write.parquet(s"$tmp/documents.parquet")
+    def grid(ps: Seq[Double]) = {
+      val s = ps.map(p => math.round(math.log(p) * 1e8)).sum
+      BigDecimal(-(s.toDouble / 1e8) / ps.size + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // mirrored op order: pmid = (max(mbc−d,0) + (d·n1b)·(n1pc/n1tot))/totb
+    val pmidCgivenB = (0.25 + (0.75 * 2) * (1.0 / 4)) / 2  // = 0.3125
+    val pmidOne = 0.25 + (0.75 * 1) * (1.0 / 4)            // totb=1 cases
+    val pABC = (1.25 + (0.75 * 2) * pmidCgivenB) / 3
+    val pMid3 = 0.25 + (0.75 * 1) * pmidOne                // (b,c,a)/(c,a,b)
+    val pABD = (0.25 + (0.75 * 2) * pmidCgivenB) / 3       // pmid(d|b)=pmid(c|b)
+    val out = TextAnalysis.knTrigramNll(spark, tmp)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, grid(Seq(pABC, pMid3, pMid3, pABC))),
+      (2L, 1L, grid(Seq(pABD)))), s"got $out")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.knTrigramNllDocs(docs, discount = 1.5)
+    }
+  }
+
+  test("KN3 day-2 scorer: every backoff rung hand-exact against the frozen model") {
+    import org.apache.spark.sql.functions._
+    // model = the q176 hand corpus: V = {a,b,c,d} = 4, N1+(··) = 4 →
+    // Laplace Pcont(seen) = 2/9, Pcont(unseen) = 1/9
+    val model = TextAnalysis.kn3Fit(
+      Seq((1L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text"))
+    val batch = Seq(
+      (1L, "a b c"), // rung 0: fully seen trigram
+      (2L, "a b z"), // seen ctx (a,b), unseen trigram AND unseen (b,z)
+      (3L, "z b c"), // unseen ctx → continuation-bigram level (seen b)
+      (4L, "z q c"), // unseen middle q → Laplace unigram, seen c
+      (5L, "z q w")  // unseen middle, unseen c → the 1/9 floor
+    ).toDF("doc_id", "text")
+    def grid(ps: Seq[Double]) = {
+      val s = ps.map(p => math.round(math.log(p) * 1e8)).sum
+      BigDecimal(-(s.toDouble / 1e8) / ps.size + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val pcSeen = 2.0 / 9; val pcUnseen = 1.0 / 9
+    val pmidCB = (0.25 + (0.75 * 2) * pcSeen) / 2   // (b,c) seen, Laplace base
+    val pmidZB = (0.0 + (0.75 * 2) * pcUnseen) / 2  // (b,z) unseen, backoff mass
+    val p1 = (1.25 + (0.75 * 2) * pmidCB) / 3
+    val p2 = (0.0 + (0.75 * 2) * pmidZB) / 3
+    val got = TextAnalysis.kn3ScoreAgainstModel(batch, model)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, grid(Seq(p1))),
+      (2L, 1L, grid(Seq(p2))),
+      (3L, 1L, grid(Seq(pmidCB))),
+      (4L, 1L, grid(Seq(pcSeen))),
+      (5L, 1L, grid(Seq(pcUnseen)))), s"got $got")
+    // the filter property: in-domain text outscores junk at order 3
+    val rank = TextAnalysis.kn3ScoreAgainstModel(
+        Seq((10L, "a b c a b c"), (11L, "z q w r t")).toDF("doc_id", "text"), model)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(rank(10L) < rank(11L), s"in-domain must score lower NLL: $rank")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.kn3ScoreAgainstModel(batch, model, discount = 0.0)
+    }
+  }
+
   test("collocations rank exclusive pairs above promiscuous ones; minCount floors hapaxes") {
     import org.apache.spark.sql.functions._
     // "x y" is exclusive (x only precedes y, y only follows x);
