@@ -4457,11 +4457,18 @@ object SparkEntry {
     // (count desc, gram asc) rank tie-break, top-100 profiles, top-20
     // doc profiles, out-of-place sums with the n-penalty for misses,
     // argmin with the lexicographic lang tie-break
-    "q173_langid_profiles" ->
-      """WITH t AS (SELECT doc_id, lang,
-        |             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-        |           FROM documents),
-        |g AS (SELECT doc_id, lang, substr(t, CAST(u.i AS INTEGER), 3) AS g
+    "q173_langid_profiles" -> {
+      val rotCases = TextAnalysis.langPlantRot.toSeq.sortBy(_._1)
+        .map { case (l, r) =>
+          s"WHEN '$l' THEN translate(lower(text), '${TextAnalysis.langPlantFrom}', " +
+            s"'${TextAnalysis.langPlantTo(r)}')"
+        }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang,
+        |             regexp_replace(lower(trim(
+        |               CASE lang $rotCases ELSE lower(text) END
+        |             )), '\\s+', ' ', 'g') AS t
+        |           FROM documents),""".stripMargin + "\n" +
+      """g AS (SELECT doc_id, lang, substr(t, CAST(u.i AS INTEGER), 3) AS g
         |      FROM t, unnest(generate_series(1, length(t) - 2)) u(i)
         |      WHERE length(t) >= 3),
         |pc AS (SELECT lang, g, count(*) AS cnt FROM g
@@ -4489,7 +4496,8 @@ object SparkEntry {
         |          FROM dist) WHERE rn = 1)
         |SELECT b.doc_id, t.lang, b.pred_lang, b.dist
         |FROM best b JOIN t ON t.doc_id = b.doc_id
-        |ORDER BY b.doc_id""".stripMargin,
+        |ORDER BY b.doc_id""".stripMargin
+    },
 
     // q174: the master pipeline replayed end to end — every stage
     // interface crossed by one from-scratch chain (see

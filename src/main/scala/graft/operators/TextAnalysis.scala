@@ -471,16 +471,45 @@ object TextAnalysis {
         col("_b._dist").as("dist"))
   }
 
+  /** The q173 DISCRIMINATION plant (round 16 — the r15 verdict's item
+    * 7): the synthetic corpus's lang labels are uncorrelated with its
+    * text (every lang draws one vocabulary), so an undressed q173
+    * could only certify mechanics. Each language now dresses its text
+    * with its own CAESAR ROTATION of the alphabet — distinct rotations
+    * give (near-)disjoint trigram inventories, so the profiles carry
+    * REAL per-language signal and the oracle certifies that they
+    * DISCRIMINATE (planted docs classify to their plant), not just
+    * that the arithmetic agrees. Shared constants: the oracle's CASE
+    * chain interpolates the SAME rotations (the q104 convention). */
+  val langPlantFrom: String = "abcdefghijklmnopqrstuvwxyz"
+  val langPlantRot: Map[String, Int] =
+    Map("en" -> 0, "de" -> 5, "es" -> 11, "fr" -> 17, "zh" -> 23)
+  def langPlantTo(rot: Int): String =
+    langPlantFrom.drop(rot) + langPlantFrom.take(rot)
+
+  /** [[langPlantRot]] applied to a (lang, text) frame — lowercased
+    * first so the rotation sees the alphabet it permutes; unknown
+    * langs pass through. */
+  private def langPlantDressed(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      langPlantRot.toSeq.sortBy(_._1).foldLeft(lower(col("text"))) {
+        case (acc, (l, r)) => when(col("lang") === l,
+          translate(lower(col("text")), langPlantFrom, langPlantTo(r)))
+          .otherwise(acc)
+      })
+
   /** C8b `q173_langid_profiles` — profiles trained on the corpus slice
-    * (doc_id % 5 ≠ 4), the batch identified against them, the true
-    * label carried for the report. The synthetic corpus's labels are
-    * uncorrelated with its text (every lang draws the same vocabulary),
-    * so this certifies the MECHANICS — counts, rank ties, the
-    * out-of-place sums, the argmin — not accuracy; the spec plants
-    * genuinely distinct character distributions for the discrimination
-    * property. */
+    * (doc_id % 5 ≠ 4) of the PLANT-DRESSED corpus ([[langPlantRot]]),
+    * the batch identified against them, the true label carried. The
+    * oracle replays the dressing, the counts, the rank ties, the
+    * out-of-place sums and the argmin — and because the plant makes
+    * the labels text-correlated, a profile that failed to discriminate
+    * would flip pred_lang rows and fail the hash: accuracy itself is
+    * inside the certified surface now (the spec additionally pins
+    * zero cross-language confusion). */
   def langIdProfileDocs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
+    val docs = langPlantDressed(Tables(spark, dir).documents)
+      .localCheckpoint() // forked: profiles + batch + label join
     val corpus = docs.filter(col("doc_id") % 5 =!= 4)
     val batch = docs.filter(col("doc_id") % 5 === 4)
     langIdAgainstProfiles(batch, langProfiles(corpus))

@@ -223,6 +223,18 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+  test("q173 plant: the rotated-alphabet corpus classifies with ZERO cross-language confusion") {
+    // round 16 (verdict item 7): the registered entry now dresses each
+    // language with its own Caesar rotation, so discrimination itself
+    // is certified — every batch doc must classify to its plant
+    val out = TextAnalysis.langIdProfileDocs(spark, sfDir)
+      .as[(Long, String, String, Long)].collect()
+    assert(out.length == 100, s"the sf0.001 batch is 100 docs: ${out.length}")
+    val confused = out.filter(r => r._2 != r._3)
+    assert(confused.isEmpty,
+      s"cross-language confusion on the plant: ${confused.take(5).toSeq}")
+  }
+
   test("KN day-2 scorer: all three branches hand-exact against the frozen model") {
     import org.apache.spark.sql.functions._
     // model corpus: "a b a b" + "b c" → bc (a,b)=2 (b,a)=1 (b,c)=1;
