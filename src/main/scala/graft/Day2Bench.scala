@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Day-2 probe scaling measurement (round 16, verdict item 5's
+  * 30×→100× legs): the incremental-ingest claim under test is that a
+  * probe's cost follows the BATCH and its true matches, never the
+  * corpus — the corpus side of every join is a persisted index read
+  * bucketed (or a broadcast dim) and never exchanges. This main holds
+  * the batch FIXED (the 1× corpus's 20 % slice, the q71/q152
+  * convention) while the corpus behind the index grows 1×→10×→100×,
+  * and times the four probe families the master ingest (C51b) chains:
+  *
+  *  - exact:  [[graft.operators.Dedup.dedupExactAgainstIndex]] (C1b)
+  *  - prefix: [[graft.operators.Dedup.dedupAgainstPrefixIndex]] (C4c)
+  *  - spans:  [[graft.operators.Dedup.winnowSpansAgainstIndex]] (C11f)
+  *  - clean:  [[graft.operators.Dedup.winnowCleanAgainstIndex]] (C11g)
+  *
+  * Index builds are timed separately (one-time artifacts by contract —
+  * the thing the day-2 paths exist to amortize). One JSON line per
+  * leg: `{"leg":…,"copies":…,"build":{…},"probe":{…}}`.
+  *
+  * Usage: `runMain graft.Day2Bench COPIES:DIR [COPIES:DIR …]` with
+  * document parquet dirs from dev/make_docs_scale.py; the first dir
+  * must be the 1× corpus (it donates the fixed batch slice). */
+object Day2Bench {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Day2Bench COPIES:DIR [COPIES:DIR ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Dedup
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def fmt(d: Double) = math.round(d * 1000) / 1000.0
+    val legs = args.toSeq.map { a =>
+      val Array(c, d) = a.split(":", 2); (c.toInt, d)
+    }
+    val batch = spark.read.parquet(legs.head._2 + "/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") % 5 === 4)
+      .localCheckpoint()
+    val nBatch = batch.count()
+    for ((copies, dir) <- legs) {
+      val corpus = spark.read.parquet(dir + "/documents.parquet")
+        .select(col("doc_id"), col("text")).filter(col("doc_id") % 5 =!= 4)
+      val nCorpus = corpus.count()
+      // builds: linear one-time passes, reported not contested
+      val (exactIdx, wbE) = timed(
+        Dedup.buildExactIndex(corpus).localCheckpoint())
+      val ((post, grams, vocab), wbP) = timed {
+        val (p, g, v) = Dedup.buildPrefixIndex(corpus)
+        (p.localCheckpoint(), g.localCheckpoint(), v.localCheckpoint())
+      }
+      val (winIdx, wbW) = timed(
+        Dedup.buildWinnowIndex(corpus).localCheckpoint())
+      // probes: the fixed batch against the grown indexes
+      val (nE, wE) = timed(
+        Dedup.dedupExactAgainstIndex(batch, exactIdx)
+          .filter(col("is_dup")).count())
+      val (nP, wP) = timed(
+        Dedup.dedupAgainstPrefixIndex(batch, post, grams, vocab)
+          .filter(col("is_dup")).count())
+      val (nS, wS) = timed(
+        Dedup.winnowSpansAgainstIndex(batch, winIdx).count())
+      val (nC, wC) = timed(
+        Dedup.winnowCleanAgainstIndex(batch, winIdx)
+          .filter(col("n_spans") > 0).count())
+      println(s"""{"leg":"day2_${copies}x","copies":$copies,""" +
+        s""""n_corpus":$nCorpus,"n_batch":$nBatch,""" +
+        s""""build":{"exact":${fmt(wbE)},"prefix":${fmt(wbP)},"winnow":${fmt(wbW)}},""" +
+        s""""probe":{"exact":${fmt(wE)},"prefix":${fmt(wP)},"spans":${fmt(wS)},"clean":${fmt(wC)}},""" +
+        s""""hits":{"exact":$nE,"prefix":$nP,"spans":$nS,"clean":$nC}}""")
+      System.out.flush()
+    }
+    spark.stop()
+  }
+}

@@ -297,7 +297,11 @@ object SparkEntry {
     // the day-2 order-3 flow: fit on the 80% slice, score the batch
     // with every backoff rung priced (trigram mass, continuation
     // bigram mass, Laplace-floored continuation unigram)
-    "q177_kn3_score"             -> ((s, d) => TextAnalysis.kn3ScoreDocs(s, d))
+    "q177_kn3_score"             -> ((s, d) => TextAnalysis.kn3ScoreDocs(s, d)),
+    // the DAY-2 master ingest: the whole curation chain run against
+    // the FROZEN day-1 artifacts — every batch record fated, both
+    // firewall leak directions live, shipped docs encoded
+    "q178_master_ingest"         -> ((s, d) => Pipeline.masterIngestDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -395,31 +399,26 @@ object SparkEntry {
     * train pool's real id counts), the q159 expansion, the q165
     * integer-key interleave, and the q144 packed id streams — so a
     * drifted value at ANY stage interface flips the final hash. */
-  private val masterPipelineOracleSql: String = {
+  /** The day-1 master-front CTE block (dn..feg) — serialization,
+    * parse, envelope/blocklist gates, URL election, line rules, exact
+    * election, all-pairs near dedup, winnow selection/spans/excision,
+    * quality gate, md5 split and the heldout eval-gram set — shared
+    * VERBATIM by the q174 and q178 oracles (the imiCellCtes
+    * convention: one maintained chain, never two drifting copies).
+    * `docWhere` filters the serialized corpus (q178 holds the block-4
+    * chunks out of day 1); `splitSeed` parameterizes the firewall
+    * split. Callers prepend WITH RECURSIVE, append their own chains
+    * and apply their own MATERIALIZED marks. */
+  private def masterFrontCtes(docWhere: String, splitSeed: Long): String = {
     val blRows = graft.operators.Urls.docBlocklist.map(p => s"'$p'").mkString(", ")
-    val wCases = graft.operators.Pipeline.masterWeights.toSeq.sortBy(_._1)
-      .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
-    val byteRows = Bpe.byteKernelMerges.take(4).zipWithIndex
-      .map { case ((l, r), i) => s"(CAST($i AS BIGINT), '$l', '$r')" }
-      .mkString(", ")
-    val nRanks = Bpe.byteKernelMerges.size
-    val symRows = Bpe.byteSymbols.zipWithIndex
-      .map { case (s, b) => s"(CAST($b AS BIGINT), '${s.replace("'", "''")}')" }
-      .mkString(", ")
-    // every fan-out CTE is MATERIALIZED: DuckDB inlines plain CTEs by
-    // reference, and with ~10 fan-out layers the serialization subtree
-    // would duplicate exponentially (measured: >20k parquet opens —
-    // fd exhaustion — before this)
-    val mats = Seq("chunks", "cl", "sv", "jg", "jp", "nk", "wt", "wsel",
-      "wm", "gd", "ft", "tc", "m", "bw", "docids", "toks2", "ms")
-    val raw = s"""WITH RECURSIVE
+    s"""
        |dn AS (
        |  SELECT d.doc_id, d.source, d.text,
        |    d2.text AS t2, d4.text AS t4, d6.text AS t6
        |  FROM documents d
        |  LEFT JOIN documents d2 ON d2.doc_id = d.doc_id - 2
        |  LEFT JOIN documents d4 ON d4.doc_id = d.doc_id - 4
-       |  LEFT JOIN documents d6 ON d6.doc_id = d.doc_id - 6),
+       |  LEFT JOIN documents d6 ON d6.doc_id = d.doc_id - 6$docWhere),
        |bd AS (
        |  SELECT doc_id, source,
        |    CASE
@@ -588,20 +587,29 @@ object SparkEntry {
        |gd AS (SELECT gt.rec_id, nk.host, gt.ct2 FROM gt JOIN nk USING (rec_id)
        |       WHERE nw >= 15 AND nw <= 120 AND dupfrac <= 0.65),
        |ft AS (SELECT rec_id, host, ct2,
-       |        CASE WHEN CAST(('0x' || substr(md5(host || ':split:40'), 1, 13)) AS BIGINT) % 100 < 80 THEN 'train'
-       |             WHEN CAST(('0x' || substr(md5(host || ':split:40'), 1, 13)) AS BIGINT) % 100 < 90 THEN 'val'
+       |        CASE WHEN CAST(('0x' || substr(md5(host || ':split:$splitSeed'), 1, 13)) AS BIGINT) % 100 < 80 THEN 'train'
+       |             WHEN CAST(('0x' || substr(md5(host || ':split:$splitSeed'), 1, 13)) AS BIGINT) % 100 < 90 THEN 'val'
        |             ELSE 'test' END AS sp
        |       FROM gd),
        |fev AS (SELECT string_split_regex(ct2, '\\s+')[1:20] AS w FROM ft WHERE sp <> 'train'),
        |feg AS (SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS g
-       |        FROM fev, unnest(generate_series(1, greatest(len(w) - 12, 0))) AS u(i)),
-       |ftw AS (SELECT rec_id, string_split_regex(ct2, '\\s+') AS w FROM ft WHERE sp = 'train'),
-       |ftg AS (SELECT DISTINCT rec_id, array_to_string(w[i:i+12], ' ') AS g
-       |        FROM ftw, unnest(generate_series(1, greatest(len(w) - 12, 0))) AS u(i)
-       |        WHERE len(w) >= 13),
-       |fhits AS (SELECT DISTINCT ftg.rec_id FROM ftg JOIN feg USING (g)),
-       |tc AS (SELECT ft.rec_id, ft.host, ft.ct2 FROM ft LEFT JOIN fhits USING (rec_id)
-       |       WHERE ft.sp = 'train' AND fhits.rec_id IS NULL),
+       |        FROM fev, unnest(generate_series(1, greatest(len(w) - 12, 0))) AS u(i)),""".stripMargin
+  }
+
+  /** The byte-level BPE fold + id-space CTE block (q143/q144's shape):
+    * the static merge/symbol tables plus the recursive fold reading
+    * (rec_id, ct2) from `srcCte`, ending at docids (rec_id, dseq).
+    * Shared by q174 (srcCte = tc, the day-1 train pool) and q178
+    * (tcb, the day-2 shipped pool). */
+  private def masterBpeCtes(srcCte: String): String = {
+    val byteRows = Bpe.byteKernelMerges.take(4).zipWithIndex
+      .map { case ((l, r), i) => s"(CAST($i AS BIGINT), '$l', '$r')" }
+      .mkString(", ")
+    val nRanks = Bpe.byteKernelMerges.size
+    val symRows = Bpe.byteSymbols.zipWithIndex
+      .map { case (s, b) => s"(CAST($b AS BIGINT), '${s.replace("'", "''")}')" }
+      .mkString(", ")
+    s"""
        |letters AS (
        |  SELECT chr(97 + CAST(i AS INTEGER)) AS c, CAST(i AS BIGINT) AS i
        |  FROM range(26) t(i)),
@@ -612,7 +620,7 @@ object SparkEntry {
        |  FROM letters x, letters y),
        |mo AS (SELECT rank, l || r AS pout FROM m),
        |bytesyms AS (SELECT * FROM (VALUES $symRows) AS v(idx, sym)),
-       |bwd AS (SELECT rec_id, string_split_regex(trim(ct2), '\\s+') AS ws FROM tc),
+       |bwd AS (SELECT rec_id, string_split_regex(trim(ct2), '\\s+') AS ws FROM $srcCte),
        |bw AS (SELECT bwd.rec_id, u.i AS pos, bwd.ws[u.i] AS b
        |       FROM bwd, unnest(generate_series(1, len(bwd.ws))) u(i)
        |       WHERE bwd.ws[u.i] <> ''),
@@ -645,7 +653,40 @@ object SparkEntry {
        |  SELECT bw.rec_id,
        |         [CAST(0 AS BIGINT)] || flatten(list(wi.wids ORDER BY bw.pos))
        |           || [CAST(1 AS BIGINT)] AS dseq
-       |  FROM bw JOIN wordids wi ON wi.b = bw.b GROUP BY bw.rec_id),
+       |  FROM bw JOIN wordids wi ON wi.b = bw.b GROUP BY bw.rec_id),""".stripMargin
+  }
+
+  /** The q174 MASTER-pipeline oracle — the ENTIRE raw-chunks →
+    * packed-training-id-shards chain replayed from raw rows in one
+    * query, every stage the verbatim CTE shape of the oracle that
+    * certifies it alone: the q127 serialize/parse/gate/election front,
+    * q102's line rules, the q20 clean-text election, q145's all-pairs
+    * exact Jaccard, the q154/q156 winnow span geometry + keep-all
+    * excision stitch, q116's word-window/dupfrac gate, the q170
+    * md5-split + 13-gram firewall, the q144 recursive BPE fold + id
+    * space, the q158 water-filling plan (budget from the SURVIVING
+    * train pool's real id counts), the q159 expansion, the q165
+    * integer-key interleave, and the q144 packed id streams — so a
+    * drifted value at ANY stage interface flips the final hash. */
+  private val masterPipelineOracleSql: String = {
+    val wCases = graft.operators.Pipeline.masterWeights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
+    // every fan-out CTE is MATERIALIZED: DuckDB inlines plain CTEs by
+    // reference, and with ~10 fan-out layers the serialization subtree
+    // would duplicate exponentially (measured: >20k parquet opens —
+    // fd exhaustion — before this)
+    val mats = Seq("chunks", "cl", "sv", "jg", "jp", "nk", "wt", "wsel",
+      "wm", "gd", "ft", "tc", "m", "bw", "docids", "toks2", "ms")
+    val raw = "WITH RECURSIVE" + masterFrontCtes("", 40L) +
+      s"""
+       |ftw AS (SELECT rec_id, string_split_regex(ct2, '\\s+') AS w FROM ft WHERE sp = 'train'),
+       |ftg AS (SELECT DISTINCT rec_id, array_to_string(w[i:i+12], ' ') AS g
+       |        FROM ftw, unnest(generate_series(1, greatest(len(w) - 12, 0))) AS u(i)
+       |        WHERE len(w) >= 13),
+       |fhits AS (SELECT DISTINCT ftg.rec_id FROM ftg JOIN feg USING (g)),
+       |tc AS (SELECT ft.rec_id, ft.host, ft.ct2 FROM ft LEFT JOIN fhits USING (rec_id)
+       |       WHERE ft.sp = 'train' AND fhits.rec_id IS NULL),""".stripMargin + masterBpeCtes("tc") +
+      s"""
        |toks2 AS (SELECT d.rec_id, tc.host,
        |           CAST(len(d.dseq) AS BIGINT) AS nt
        |          FROM docids d JOIN tc USING (rec_id)),
@@ -721,6 +762,325 @@ object SparkEntry {
        |       CAST(sum(nt) AS BIGINT) AS total_tokens,
        |       array_to_string(flatten(list(dseq ORDER BY global_pos)), ',') AS ids
        |FROM ch GROUP BY 1, 2 ORDER BY shard, chunk""".stripMargin
+    mats.foldLeft(raw)((s, n) => s.replace(s"\n$n AS (", s"\n$n AS MATERIALIZED ("))
+  }
+
+  /** The q178 DAY-2 MASTER-ingest oracle — the ENTIRE two-day chain
+    * from raw rows in one query: the shared day-1 front (block-4
+    * chunks held out, seed 4) derives every FROZEN artifact exactly as
+    * [[graft.operators.Pipeline.masterArtifacts]] freezes it — the
+    * eligible-record URL keepers (uix), the exact clean-text
+    * fingerprints (sv), the near-kept Jaccard pool (nk via jg/jsz),
+    * the winnow print index WITH positions (wsel), and the heldout
+    * eval grams (feg) — then the batch's own serialization
+    * ([[graft.sources.Warc.plantedMasterBatchChunks]]'s plant
+    * families), parse, gates, its internal elections, every
+    * batch-vs-frozen-index probe, the corpus-witnessed ∪ within-batch
+    * span union + keep-all excision stitch, the gate, the SAME-seed
+    * split, the firewall against frozen ∪ batch-extended grams, and
+    * the BPE id streams. Every batch record's terminal fate, keeper,
+    * span counters and id stream hash-check — a drift at ANY
+    * day-1→day-2 interface flips a row. */
+  private val masterIngestOracleSql: String = {
+    val seed = graft.operators.Pipeline.MasterIngestSeed
+    val mats = Seq("chunks", "cl", "sv", "jg", "jp", "nk", "wt", "wsel",
+      "wm", "gd", "ft", "feg",
+      "chunksb", "clb", "neb", "exs", "s3", "s4a", "s4", "jgb",
+      "wtb", "wselb", "wmb", "gq", "ftb", "tcb", "m", "bw", "docids", "bb")
+    val raw = "WITH RECURSIVE" +
+      masterFrontCtes(" WHERE (d.doc_id // 40) % 5 <> 4", seed) +
+      s"""
+       |dnb AS (
+       |  SELECT d.doc_id, d.source, d.text,
+       |    m40.text AS t40, m38.text AS t38, dh.text AS tdh, bh.text AS tbh,
+       |    m2.text AS tb2, m3.text AS tb3, m4.text AS tb4
+       |  FROM documents d
+       |  LEFT JOIN documents m40 ON m40.doc_id = d.doc_id - 40
+       |  LEFT JOIN documents m38 ON m38.doc_id = d.doc_id - 38
+       |  LEFT JOIN documents dh ON dh.doc_id = d.doc_id - (d.doc_id % 20) - 35
+       |  LEFT JOIN documents bh ON bh.doc_id = d.doc_id - (d.doc_id % 20) + 5
+       |  LEFT JOIN documents m2 ON m2.doc_id = d.doc_id - 2
+       |  LEFT JOIN documents m3 ON m3.doc_id = d.doc_id - 3
+       |  LEFT JOIN documents m4 ON m4.doc_id = d.doc_id - 4
+       |  WHERE (d.doc_id // 40) % 5 = 4),
+       |bdb AS (
+       |  SELECT doc_id, source,
+       |    CASE
+       |      WHEN doc_id % 10 = 1 AND t40 IS NOT NULL THEN t40 || '.'
+       |      WHEN doc_id % 10 = 2 AND t40 IS NOT NULL
+       |        THEN t40 || '. Indeed truly remarkable.'
+       |      WHEN doc_id % 10 = 3 AND t38 IS NOT NULL
+       |        THEN t38 || '.' || chr(10) || text || '.'
+       |      WHEN doc_id % 10 = 4 AND tdh IS NOT NULL
+       |        THEN array_to_string(string_split_regex(trim(tdh), '\\s+')[1:14], ' ')
+       |             || '.' || chr(10) || text || '.'
+       |      WHEN doc_id % 10 = 6 AND tbh IS NOT NULL
+       |        THEN array_to_string(string_split_regex(trim(tbh), '\\s+')[1:14], ' ')
+       |             || '.' || chr(10) || text || '.'
+       |      WHEN doc_id % 10 = 7 AND tb2 IS NOT NULL
+       |        THEN tb2 || '. Extra closing remark.'
+       |      WHEN doc_id % 10 = 8 AND tb3 IS NOT NULL
+       |        THEN tb3 || '.' || chr(10) || text || '.'
+       |      WHEN doc_id % 10 = 9 AND tb4 IS NOT NULL THEN tb4 || '.'
+       |      ELSE text || '.'
+       |    END AS body
+       |  FROM dnb),
+       |pgb AS (
+       |  SELECT doc_id, source,
+       |    body || chr(10) ||
+       |    'Please enable JavaScript and cookies to continue viewing.' || chr(10) ||
+       |    'continue reading more about' || chr(10) ||
+       |    'Copyright 2024 Example Corp id ' || CAST(doc_id AS VARCHAR) || '.' || chr(10) ||
+       |    'BREAKING NEWS ALERT READ THIS NOW!' || chr(10) ||
+       |    'Click here.' AS page
+       |  FROM bdb),
+       |recb AS (
+       |  SELECT doc_id, doc_id // 40 AS chunk_id,
+       |    'WARC/1.0' || chr(10) ||
+       |    'WARC-Type: conversion' || chr(10) ||
+       |    'WARC-Target-URI: https://' || source || '.example.com/articles/'
+       |      || CAST(CASE WHEN doc_id % 20 = 0 THEN doc_id - 40
+       |                    WHEN doc_id % 40 = 10 THEN doc_id + 20
+       |                    ELSE doc_id END AS VARCHAR) || chr(10) ||
+       |    'WARC-Date: 2024-01-01T00:00:00Z' || chr(10) ||
+       |    'Content-Length: ' || CAST(CASE WHEN doc_id % 7 = 0 THEN strlen(page) + 5
+       |                                    ELSE strlen(page) END AS VARCHAR) || chr(10) ||
+       |    chr(10) || page || chr(10) || chr(10) AS r
+       |  FROM pgb),
+       |chunksb AS (
+       |  SELECT chunk_id,
+       |         'warcinfo preamble' || chr(10) || string_agg(r, '' ORDER BY doc_id) AS content
+       |  FROM recb GROUP BY 1),
+       |fb AS (SELECT chunk_id, string_split(content, 'WARC/1.0' || chr(10)) AS fs FROM chunksb),
+       |e2b AS (SELECT chunk_id, unnest(fs) AS frag, generate_subscripts(fs, 1) AS gi FROM fb),
+       |g2b AS (SELECT chunk_id, gi - 1 AS rec_idx, frag,
+       |         strpos(frag, chr(10) || chr(10)) AS p
+       |       FROM e2b WHERE gi >= 2 AND strpos(frag, chr(10) || chr(10)) > 0),
+       |h2b AS (SELECT chunk_id, rec_idx,
+       |         substr(frag, 1, p - 1) AS hdr,
+       |         regexp_replace(substr(frag, p + 2), '\\n\\n$$', '') AS payload
+       |       FROM g2b),
+       |ppb AS (SELECT chunk_id * 4294967296 + rec_idx AS rec_id,
+       |         regexp_extract(hdr, '(?m)^WARC-Target-URI: (.*)$$', 1) AS uri,
+       |         payload,
+       |         coalesce(strlen(payload) = TRY_CAST(regexp_extract(hdr, '(?m)^Content-Length: ([0-9]+)$$', 1) AS BIGINT), false) AS length_ok
+       |       FROM h2b),
+       |hhb AS (SELECT *, regexp_extract(uri, '^https://([^/]*)', 1) AS host FROM ppb),
+       |hitsb AS (SELECT DISTINCT hhb.rec_id FROM hhb
+       |          JOIN bl ON hhb.host = bl.b OR hhb.host LIKE '%.' || bl.b),
+       |ccb AS (SELECT hhb.*, (t.rec_id IS NOT NULL) AS blocked
+       |        FROM hhb LEFT JOIN hitsb t USING (rec_id)),
+       |uix AS (SELECT uri, min(rec_id) AS keep_id FROM cc
+       |        WHERE length_ok AND uri <> '' AND NOT blocked GROUP BY 1),
+       |bb AS (SELECT c.*, u.keep_id AS url_corp,
+       |         min(CASE WHEN c.length_ok AND c.uri <> '' AND NOT c.blocked
+       |                  THEN c.rec_id END) OVER (PARTITION BY c.uri) AS bk
+       |       FROM ccb c LEFT JOIN uix u
+       |         ON u.uri = c.uri AND c.length_ok AND c.uri <> '' AND NOT c.blocked),
+       |sv1 AS (SELECT rec_id, host, payload FROM bb
+       |        WHERE length_ok AND uri <> '' AND NOT blocked
+       |          AND url_corp IS NULL AND rec_id = bk),
+       |arrb AS (SELECT rec_id, host, string_split(payload, chr(10)) AS ls FROM sv1),
+       |lnb AS (SELECT rec_id, host, trim(unnest(ls)) AS l,
+       |          unnest(generate_series(1, len(ls))) AS pos FROM arrb),
+       |lfb AS (SELECT rec_id, host, l, pos,
+       |          (regexp_matches(l, '[.!?"]$$')
+       |           AND len(string_split_regex(l, '\\s+')) >= 3
+       |           AND NOT (contains(lower(l), 'javascript')
+       |                 OR contains(lower(l), 'cookie')
+       |                 OR contains(lower(l), 'all rights reserved')
+       |                 OR contains(lower(l), 'copyright')
+       |                 OR contains(lower(l), '©'))
+       |           AND length(regexp_replace(l, '[^A-Z]', '', 'g')) * 100
+       |               <= length(l) * 40) AS keepl
+       |        FROM lnb WHERE l <> ''),
+       |clb AS (SELECT rec_id, any_value(host) AS host,
+       |          coalesce(string_agg(l, chr(10) ORDER BY pos) FILTER (WHERE keepl), '') AS clean_text
+       |        FROM lfb GROUP BY 1),
+       |neb AS (SELECT * FROM clb WHERE trim(clean_text) <> ''),
+       |exc AS (SELECT n.rec_id, s.rec_id AS ex_corp
+       |        FROM neb n JOIN sv s ON s.clean_text = n.clean_text),
+       |exs AS (SELECT n.*, min(n.rec_id) OVER (PARTITION BY n.clean_text) AS ek
+       |        FROM neb n LEFT JOIN exc ON exc.rec_id = n.rec_id
+       |        WHERE exc.ex_corp IS NULL),
+       |s3 AS (SELECT rec_id, host, clean_text FROM exs WHERE rec_id = ek),
+       |jgk AS (SELECT j.rec_id, j.g FROM jg j JOIN nk ON nk.rec_id = j.rec_id),
+       |jszk AS (SELECT z.rec_id, z.n FROM jsz z JOIN nk ON nk.rec_id = z.rec_id),
+       |jtb AS (SELECT rec_id, string_split_regex(lower(trim(clean_text)), '\\s+') AS t FROM s3),
+       |jgb AS (SELECT DISTINCT rec_id, array_to_string(t[i:i+2], ' ') AS g
+       |        FROM jtb, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+       |jszb AS (SELECT rec_id, count(*) AS n FROM jgb GROUP BY 1),
+       |jixc AS (SELECT b.rec_id AS id_b, a.rec_id AS id_a, count(*) AS ix
+       |         FROM jgb b JOIN jgk a ON a.g = b.g GROUP BY 1, 2),
+       |ndc AS (SELECT id_b AS rec_id, min(id_a) AS nd_corp
+       |        FROM jixc
+       |        JOIN jszk sa ON sa.rec_id = id_a JOIN jszb sb ON sb.rec_id = id_b
+       |        WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.8 GROUP BY 1),
+       |s4a AS (SELECT s3.* FROM s3 LEFT JOIN ndc ON ndc.rec_id = s3.rec_id
+       |        WHERE ndc.nd_corp IS NULL),
+       |jgb2 AS (SELECT j.* FROM jgb j JOIN s4a ON s4a.rec_id = j.rec_id),
+       |jix2 AS (SELECT a.rec_id AS id_a, b.rec_id AS id_b, count(*) AS ix
+       |         FROM jgb2 a JOIN jgb2 b ON a.g = b.g AND a.rec_id < b.rec_id
+       |         GROUP BY 1, 2),
+       |jp2 AS (SELECT id_a, id_b FROM jix2
+       |        JOIN jszb sa ON sa.rec_id = id_a JOIN jszb sb ON sb.rec_id = id_b
+       |        WHERE ix * 1.0 / (sa.n + sb.n - ix) >= 0.8),
+       |jnb2 AS (SELECT id_a AS rec_id, id_b AS nb FROM jp2
+       |         UNION ALL SELECT id_b, id_a FROM jp2),
+       |ndb AS (SELECT rec_id, min(nb) AS nd_batch FROM jnb2 GROUP BY 1
+       |        HAVING min(nb) < rec_id),
+       |s4 AS (SELECT s4a.* FROM s4a LEFT JOIN ndb ON ndb.rec_id = s4a.rec_id
+       |       WHERE ndb.nd_batch IS NULL),
+       |wtb AS (SELECT rec_id,
+       |          regexp_replace(lower(trim(clean_text)), '\\s+', ' ', 'g') AS t
+       |        FROM s4),
+       |wgb AS (SELECT rec_id, length(t) - 11 AS ng, u.i AS pos,
+       |         CAST(('0x' || substr(md5(substr(t, CAST(u.i AS INTEGER), 12)), 1, 15))
+       |              AS BIGINT) AS h
+       |       FROM wtb, unnest(generate_series(1, length(t) - 11)) u(i)
+       |       WHERE length(t) >= 15),
+       |wmemb AS (SELECT rec_id, pos, h, u.s AS s
+       |          FROM wgb, unnest(generate_series(greatest(pos - 3, 1),
+       |                                           least(pos, ng - 3))) u(s)),
+       |wselb AS (SELECT DISTINCT rec_id, pos, h FROM (
+       |           SELECT rec_id, pos, h, row_number() OVER
+       |             (PARTITION BY rec_id, s ORDER BY h ASC, pos DESC) AS rn
+       |           FROM wmemb) WHERE rn = 1),
+       |wptsc AS (SELECT a.rec_id AS doc_a, b.rec_id AS doc_b,
+       |           a.pos AS pa, b.pos - a.pos AS diag
+       |          FROM wselb a JOIN wsel b ON a.h = b.h),
+       |wbrkc AS (SELECT doc_a, doc_b, diag, pa,
+       |           CASE WHEN pa - lag(pa) OVER
+       |                  (PARTITION BY doc_a, doc_b, diag ORDER BY pa) > 4
+       |                THEN 1 ELSE 0 END AS brk
+       |          FROM wptsc),
+       |wislc AS (SELECT doc_a, doc_b, diag, pa,
+       |           sum(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+       |                          ROWS UNBOUNDED PRECEDING) AS isl_id
+       |          FROM wbrkc),
+       |wspc AS (SELECT doc_a, doc_b, diag,
+       |          min(pa) AS a_start, max(pa) + 11 AS a_end, count(*) AS np
+       |         FROM wislc GROUP BY doc_a, doc_b, diag, isl_id),
+       |wivc AS (SELECT DISTINCT doc_a AS rec_id, a_start AS s, a_end AS e
+       |         FROM wspc WHERE np >= 60),
+       |wptsb AS (SELECT a.rec_id AS doc_a, b.rec_id AS doc_b,
+       |           a.pos AS pa, b.pos - a.pos AS diag
+       |          FROM wselb a JOIN wselb b ON a.h = b.h AND a.rec_id < b.rec_id),
+       |wbrkb AS (SELECT doc_a, doc_b, diag, pa,
+       |           CASE WHEN pa - lag(pa) OVER
+       |                  (PARTITION BY doc_a, doc_b, diag ORDER BY pa) > 4
+       |                THEN 1 ELSE 0 END AS brk
+       |          FROM wptsb),
+       |wislb AS (SELECT doc_a, doc_b, diag, pa,
+       |           sum(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+       |                          ROWS UNBOUNDED PRECEDING) AS isl_id
+       |          FROM wbrkb),
+       |wspb AS (SELECT doc_a, doc_b, diag,
+       |          min(pa) AS a_start, max(pa) + 11 AS a_end, count(*) AS np
+       |         FROM wislb GROUP BY doc_a, doc_b, diag, isl_id),
+       |wivb AS (SELECT DISTINCT doc_b AS rec_id, a_start + diag AS s, a_end + diag AS e
+       |         FROM wspb WHERE np >= 60),
+       |wivu AS (SELECT DISTINCT rec_id, s, e FROM
+       |          (SELECT * FROM wivc UNION ALL SELECT * FROM wivb)),
+       |womb AS (SELECT rec_id, s, e,
+       |          max(e) OVER (PARTITION BY rec_id ORDER BY s, e
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |         FROM wivu),
+       |wgrpb AS (SELECT rec_id, s, e,
+       |           sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+       |             OVER (PARTITION BY rec_id ORDER BY s, e
+       |                   ROWS UNBOUNDED PRECEDING) AS gid
+       |          FROM womb),
+       |wmb AS (SELECT rec_id, min(s) AS s, max(e) AS e FROM wgrpb GROUP BY rec_id, gid),
+       |wcnt AS (SELECT rec_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |          CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+       |         FROM wmb GROUP BY 1),
+       |wsegsb AS (SELECT rec_id, s, e,
+       |            lag(e, 1, CAST(0 AS BIGINT)) OVER (PARTITION BY rec_id ORDER BY s) AS pe
+       |           FROM wmb),
+       |wpiecesb AS (SELECT sg.rec_id,
+       |              substr(wtb.t, CAST(sg.pe + 1 AS INTEGER),
+       |                     CAST(sg.s - sg.pe - 1 AS INTEGER)) AS piece, sg.s AS ord
+       |             FROM wsegsb sg JOIN wtb ON wtb.rec_id = sg.rec_id),
+       |waggb AS (SELECT rec_id, max(e) AS le FROM wmb GROUP BY 1),
+       |wstb AS (SELECT p.rec_id, string_agg(p.piece, '' ORDER BY p.ord) AS head
+       |         FROM wpiecesb p GROUP BY 1),
+       |wexb AS (SELECT wtb.rec_id,
+       |          CASE WHEN a.le IS NULL THEN wtb.t
+       |               ELSE coalesce(st.head, '') || substr(wtb.t, CAST(a.le + 1 AS INTEGER)) END
+       |            AS ct2
+       |         FROM wtb LEFT JOIN waggb a ON a.rec_id = wtb.rec_id
+       |         LEFT JOIN wstb st ON st.rec_id = wtb.rec_id),
+       |gtb AS (SELECT rec_id, ct2,
+       |         CASE WHEN trim(ct2) = '' THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(len(string_split_regex(ct2, '\\s+')) AS BIGINT) END AS nw,
+       |         CASE WHEN trim(ct2) = '' THEN 1.0
+       |              ELSE round(CAST(len(string_split_regex(ct2, '\\s+'))
+       |                            - len(list_distinct(string_split_regex(ct2, '\\s+'))) AS DOUBLE)
+       |                         / len(string_split_regex(ct2, '\\s+')), 4) END AS dupfrac
+       |        FROM wexb),
+       |gq AS (SELECT g.rec_id, s4.host, g.ct2,
+       |         (g.nw >= 15 AND g.nw <= 120 AND g.dupfrac <= 0.65) AS gate_ok
+       |        FROM gtb g JOIN s4 ON s4.rec_id = g.rec_id),
+       |ftb AS (SELECT rec_id, host, ct2,
+       |         CASE WHEN CAST(('0x' || substr(md5(host || ':split:$seed'), 1, 13)) AS BIGINT) % 100 < 80 THEN 'train'
+       |              WHEN CAST(('0x' || substr(md5(host || ':split:$seed'), 1, 13)) AS BIGINT) % 100 < 90 THEN 'val'
+       |              ELSE 'test' END AS sp
+       |        FROM gq WHERE gate_ok),
+       |fevb AS (SELECT string_split_regex(ct2, '\\s+')[1:20] AS w FROM ftb WHERE sp <> 'train'),
+       |fegb AS (SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS g
+       |         FROM fevb, unnest(generate_series(1, greatest(len(w) - 12, 0))) AS u(i)),
+       |fega AS (SELECT g FROM feg UNION SELECT g FROM fegb),
+       |ftwb AS (SELECT rec_id, string_split_regex(ct2, '\\s+') AS w FROM ftb WHERE sp = 'train'),
+       |ftgb AS (SELECT DISTINCT rec_id, array_to_string(w[i:i+12], ' ') AS g
+       |         FROM ftwb, unnest(generate_series(1, greatest(len(w) - 12, 0))) AS u(i)
+       |         WHERE len(w) >= 13),
+       |fhitsb AS (SELECT DISTINCT ftgb.rec_id FROM ftgb JOIN fega USING (g)),
+       |tcb AS (SELECT ftb.rec_id, ftb.host, ftb.ct2 FROM ftb
+       |        LEFT JOIN fhitsb ON fhitsb.rec_id = ftb.rec_id
+       |        WHERE ftb.sp = 'train' AND fhitsb.rec_id IS NULL),""".stripMargin + masterBpeCtes("tcb") +
+      s"""
+       |encb AS (SELECT d.rec_id, CAST(len(d.dseq) AS BIGINT) AS n_tokens,
+       |          array_to_string(d.dseq, ',') AS ids
+       |         FROM docids d)
+       |SELECT bb.rec_id, bb.host,
+       |  CASE
+       |    WHEN NOT (bb.length_ok AND bb.uri <> '') THEN 'bad_envelope'
+       |    WHEN bb.blocked THEN 'blocked'
+       |    WHEN bb.url_corp IS NOT NULL THEN 'url_dup_corpus'
+       |    WHEN bb.rec_id <> bb.bk THEN 'url_dup_batch'
+       |    WHEN clb.rec_id IS NULL OR trim(clb.clean_text) = '' THEN 'empty'
+       |    WHEN exc.ex_corp IS NOT NULL THEN 'exact_dup_corpus'
+       |    WHEN exs.rec_id IS NOT NULL AND exs.rec_id <> exs.ek THEN 'exact_dup_batch'
+       |    WHEN ndc.nd_corp IS NOT NULL THEN 'near_dup_corpus'
+       |    WHEN ndb.nd_batch IS NOT NULL THEN 'near_dup_batch'
+       |    WHEN gq.rec_id IS NOT NULL AND NOT gq.gate_ok THEN 'gate_failed'
+       |    WHEN ftb.sp IS NOT NULL AND ftb.sp <> 'train' THEN 'eval_heldout'
+       |    WHEN fhitsb.rec_id IS NOT NULL THEN 'contaminated'
+       |    ELSE 'shipped'
+       |  END AS fate,
+       |  CAST(coalesce(bb.url_corp,
+       |    CASE WHEN bb.length_ok AND bb.uri <> '' AND NOT bb.blocked
+       |              AND bb.rec_id <> bb.bk THEN bb.bk END,
+       |    exc.ex_corp,
+       |    CASE WHEN exs.rec_id <> exs.ek THEN exs.ek END,
+       |    ndc.nd_corp, ndb.nd_batch, -1) AS BIGINT) AS dup_of,
+       |  CAST(coalesce(wcnt.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(wcnt.removed_chars, 0) AS BIGINT) AS removed_chars,
+       |  CAST(coalesce(encb.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  coalesce(encb.ids, '') AS ids
+       |FROM bb
+       |LEFT JOIN clb ON clb.rec_id = bb.rec_id
+       |LEFT JOIN exc ON exc.rec_id = bb.rec_id
+       |LEFT JOIN exs ON exs.rec_id = bb.rec_id
+       |LEFT JOIN ndc ON ndc.rec_id = bb.rec_id
+       |LEFT JOIN ndb ON ndb.rec_id = bb.rec_id
+       |LEFT JOIN gq ON gq.rec_id = bb.rec_id
+       |LEFT JOIN wcnt ON wcnt.rec_id = bb.rec_id
+       |LEFT JOIN ftb ON ftb.rec_id = bb.rec_id
+       |LEFT JOIN fhitsb ON fhitsb.rec_id = bb.rec_id
+       |LEFT JOIN encb ON encb.rec_id = bb.rec_id
+       |ORDER BY bb.rec_id""".stripMargin
     mats.foldLeft(raw)((s, n) => s.replace(s"\n$n AS (", s"\n$n AS MATERIALIZED ("))
   }
 
@@ -4503,6 +4863,11 @@ object SparkEntry {
     // interface crossed by one from-scratch chain (see
     // masterPipelineOracleSql's Scaladoc for the stage-by-stage map)
     "q174_master_pipeline" -> masterPipelineOracleSql,
+
+    // q178: the DAY-2 master ingest replayed — the shared day-1 front
+    // derives every frozen artifact, then the batch's whole chain
+    // probes them (see masterIngestOracleSql's Scaladoc)
+    "q178_master_ingest" -> masterIngestOracleSql,
 
     // q92: phrase matching is pure integer position arithmetic —
     // DuckDB re-derives (term, pos) pairs via zipped unnest and counts

@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   * (maxDf = 16) at 10× and 30×. One JSON line per leg:
   * `{"leg":…,"copies":…,"maxDf":…,"pairs":…,"wall_sec":…}`.
   *
-  * Usage: `runMain graft.WinnowBench DIR1X DIR3X DIR10X DIR30X`
-  * (document parquet dirs from dev/make_docs_scale.py). */
+  * Usage: `runMain graft.WinnowBench DIR1X DIR3X DIR10X DIR30X
+  * [DIR100X]` (document parquet dirs from dev/make_docs_scale.py;
+  * the optional fifth dir adds the round-16 100× legs). */
 object WinnowBench {
   def main(args: Array[String]): Unit = {
     require(args.length == 4, "usage: WinnowBench DIR1X DIR3X DIR10X DIR30X")
@@ -103,6 +104,14 @@ object WinnowBench {
     if (want("probe_1x")) probeLeg("1x", args(0), 1)
     if (want("probe_10x")) probeLeg("10x", args(2), 10)
     if (want("guard_30x")) guardLeg("guard_30x", args(3), 30)
+    // round 16: an optional fifth dir extends the curve to 100× — the
+    // guard must still refuse pre-flight (naming the exact volume) and
+    // the suppressed run must still pair tractably
+    if (args.length > 4) {
+      if (want("guard_100x")) guardLeg("guard_100x", args(4), 100)
+      if (want("maxdf_100x")) leg("maxdf_100x", args(4), 100, Some(16L))
+      if (want("probe_100x")) probeLeg("100x", args(4), 100)
+    }
     spark.stop()
   }
 }

@@ -413,6 +413,115 @@ object Pipeline {
         }
     }
 
+  /** The day-1 stage-1..7 outputs shared by [[masterPipeline]] (which
+    * continues into encode/mixture/pack) and [[masterArtifacts]] (which
+    * freezes them as the day-2 probe indexes). Field = the stage's
+    * survivor pool; see masterPipeline's chain doc for the stage map. */
+  private[graft] case class MasterFront(
+    records: DataFrame,   // crawlRecords output, ALL categories
+    cleaned: DataFrame,   // (doc_id, source, clean_text), non-empty
+    exact: DataFrame,     // exact-elected winners
+    nearKept: DataFrame,  // (doc_id, text) near-dedup representatives
+    cleanW: DataFrame,    // gated post-excision pool
+    parts: DataFrame,     // cleanW + split label
+    evalDocs: DataFrame,  // heldout leading-20-words (doc_id, text)
+    cleanTrain: DataFrame) // train ∖ contaminated
+
+  /** Stages 1–7 of the master chain, verbatim (see [[masterPipeline]]
+    * for the per-stage contract). `waist` is the persist protocol the
+    * caller owns ([[waistFn]] under a persistDir, or localCheckpoint). */
+  private[graft] def masterFront(chunks: DataFrame, idCol: String,
+      contentCol: String, blocklist: DataFrame, splitSeed: Long,
+      minWords: Int, maxWords: Int, maxDupFrac: Double,
+      jaccardTau: Double, winnowMinPrints: Long,
+      waist: String => DataFrame => DataFrame): MasterFront = {
+    // 1. ingest (waist: records)
+    val records = crawlRecords(chunks, idCol, contentCol, blocklist,
+      materialize = waist("records"))
+    val kept = records
+      .filter(col("_cat") === "kept")
+      .select(col("rec_id").as("doc_id"), col("host").as("source"),
+        col("payload").as("text"))
+    // 2. clean; empty survivors drop
+    val cleaned = TextClean.lineFilter(kept, "text")
+      .filter(trim(col("clean_text")) =!= "")
+      .select(col("doc_id"), col("source"), col("clean_text"))
+    // 3. exact election on clean text (one window exchange)
+    val exact = cleaned
+      .withColumn("_k",
+        min(col("doc_id")).over(Window.partitionBy(col("clean_text"))))
+      .filter(col("doc_id") === col("_k")).drop("_k")
+      // forked: the near-dup verdict join + the winnow stage + the
+      // source map all read this frame
+      .localCheckpoint()
+    // 4. near dedup: exact Jaccard at tau, min-id representatives keep
+    val ndKeep = Dedup.shingleJaccardPrefixDocs(
+        exact.select(col("doc_id"), col("clean_text").as("text")),
+        jaccardThreshold = jaccardTau)
+      .filter(!col("is_dup")).select(col("doc_id"))
+    val nearKept = exact.join(ndKeep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .localCheckpoint() // forked: span evidence + excision base
+    // 5. winnow clean: localize long shared spans, excise keep-all
+    val excised = Dedup.exciseKeepAll(nearKept,
+      Dedup.winnowSharedSpans(nearKept, minPrints = winnowMinPrints))
+    // 6. quality gate on the post-excision text (waist: clean)
+    val toks = when(trim(col("clean_text")) === "",
+      array().cast("array<string>"))
+      .otherwise(split(col("clean_text"), "\\s+"))
+    val gated = excised
+      .withColumn("_toks", toks)
+      .withColumn("_nw", size(col("_toks")).cast("long"))
+      .withColumn("_dupfrac",
+        when(col("_nw") === 0, lit(1.0)).otherwise(
+          round((col("_nw") - size(array_distinct(col("_toks")))).cast("double")
+            / col("_nw"), 4)))
+      .filter(col("_nw") >= minWords && col("_nw") <= maxWords &&
+        col("_dupfrac") <= maxDupFrac)
+      .join(exact.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("clean_text"))
+    val cleanW = waist("clean")(gated)
+    // 7. firewall: split, held-out 20-word grams, train-side flags
+    val parts = Sharding.leakageSafeSplit(cleanW, "source", seed = splitSeed)
+    val evalDocs = parts.filter(col("split") =!= "train")
+      .select(col("doc_id"),
+        array_join(slice(split(col("clean_text"), "\\s+"), 1, 20), " ")
+          .as("text"))
+    val train = parts.filter(col("split") === "train")
+    val cleanTrain = train.join(
+      Dedup.flagAgainstEvalGrams(
+          train.select(col("doc_id"), col("clean_text").as("text")),
+          Dedup.buildEvalGramIndex(evalDocs))
+        .filter(!col("contaminated")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("clean_text"))
+    MasterFront(records, cleaned, exact, nearKept, cleanW, parts,
+      evalDocs, cleanTrain)
+  }
+
+  /** Stage 8 of the master chain: every (doc_id, source, clean_text)
+    * row's text to BOS ++ ids ++ EOS through the byte-level BPE kernel
+    * (q143/q144's id space), position-keyed so the id stream is exact.
+    * `n_tokens` is the REAL id-stream length every budget downstream
+    * consumes. */
+  private[graft] def encodeBosEos(docs: DataFrame): DataFrame = {
+    val bosId = Bpe.DefaultSpecials.indexOf(Bpe.Bos)
+    val eosId = Bpe.DefaultSpecials.indexOf(Bpe.Eos)
+    docs
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("clean_text"), "\\s+")).as(Seq("_pos", "_w0")))
+      .filter(col("_w0") =!= "")
+      .withColumn("_ids", Bpe.encodeIdsKernel(col("_w0"), Bpe.byteKernelMerges))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(concat(
+        array(lit(bosId)),
+        flatten(transform(
+          sort_array(collect_list(struct(col("_pos").as("p"), col("_ids").as("x")))),
+          s => s.getField("x"))),
+        array(lit(eosId))).as("dseq"))
+      .withColumn("n_tokens", size(col("dseq")).cast("long"))
+  }
+
   /** C51: the MASTER pipeline — raw crawl chunks to packed BOS/EOS
     * training-id shards as ONE operator, the end-to-end job every
     * piece of this library exists for (and the round-15 verdict's top
@@ -502,81 +611,10 @@ object Pipeline {
     require(packBudget > 0 && shards > 0,
       s"packBudget/shards must be positive, got $packBudget/$shards")
     def waist(name: String)(df: DataFrame): DataFrame = waistFn(persistDir)(name)(df)
-    // 1. ingest (waist: records)
-    val kept = crawlRecords(chunks, idCol, contentCol, blocklist,
-      materialize = waist("records"))
-      .filter(col("_cat") === "kept")
-      .select(col("rec_id").as("doc_id"), col("host").as("source"),
-        col("payload").as("text"))
-    // 2. clean; empty survivors drop
-    val cleaned = TextClean.lineFilter(kept, "text")
-      .filter(trim(col("clean_text")) =!= "")
-      .select(col("doc_id"), col("source"), col("clean_text"))
-    // 3. exact election on clean text (one window exchange)
-    val exact = cleaned
-      .withColumn("_k",
-        min(col("doc_id")).over(Window.partitionBy(col("clean_text"))))
-      .filter(col("doc_id") === col("_k")).drop("_k")
-      // forked: the near-dup verdict join + the winnow stage + the
-      // source map all read this frame
-      .localCheckpoint()
-    // 4. near dedup: exact Jaccard at tau, min-id representatives keep
-    val ndKeep = Dedup.shingleJaccardPrefixDocs(
-        exact.select(col("doc_id"), col("clean_text").as("text")),
-        jaccardThreshold = jaccardTau)
-      .filter(!col("is_dup")).select(col("doc_id"))
-    val nearKept = exact.join(ndKeep, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("clean_text").as("text"))
-      .localCheckpoint() // forked: span evidence + excision base
-    // 5. winnow clean: localize long shared spans, excise keep-all
-    val excised = Dedup.exciseKeepAll(nearKept,
-      Dedup.winnowSharedSpans(nearKept, minPrints = winnowMinPrints))
-    // 6. quality gate on the post-excision text (waist: clean)
-    val toks = when(trim(col("clean_text")) === "",
-      array().cast("array<string>"))
-      .otherwise(split(col("clean_text"), "\\s+"))
-    val gated = excised
-      .withColumn("_toks", toks)
-      .withColumn("_nw", size(col("_toks")).cast("long"))
-      .withColumn("_dupfrac",
-        when(col("_nw") === 0, lit(1.0)).otherwise(
-          round((col("_nw") - size(array_distinct(col("_toks")))).cast("double")
-            / col("_nw"), 4)))
-      .filter(col("_nw") >= minWords && col("_nw") <= maxWords &&
-        col("_dupfrac") <= maxDupFrac)
-      .join(exact.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("doc_id"), col("source"), col("clean_text"))
-    val cleanW = waist("clean")(gated)
-    // 7. firewall: split, held-out 20-word grams, train-side flags
-    val parts = Sharding.leakageSafeSplit(cleanW, "source", seed = splitSeed)
-    val evalDocs = parts.filter(col("split") =!= "train")
-      .select(col("doc_id"),
-        array_join(slice(split(col("clean_text"), "\\s+"), 1, 20), " ")
-          .as("text"))
-    val train = parts.filter(col("split") === "train")
-    val cleanTrain = train.join(
-      Dedup.flagAgainstEvalGrams(
-          train.select(col("doc_id"), col("clean_text").as("text")),
-          Dedup.buildEvalGramIndex(evalDocs))
-        .filter(!col("contaminated")).select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
+    val f = masterFront(chunks, idCol, contentCol, blocklist, splitSeed,
+      minWords, maxWords, maxDupFrac, jaccardTau, winnowMinPrints, waist)
     // 8. encode: BOS ++ ids ++ EOS, position-keyed (waist: train)
-    val bosId = Bpe.DefaultSpecials.indexOf(Bpe.Bos)
-    val eosId = Bpe.DefaultSpecials.indexOf(Bpe.Eos)
-    val words = cleanTrain
-      .select(col("doc_id"), col("source"),
-        posexplode(split(col("clean_text"), "\\s+")).as(Seq("_pos", "_w0")))
-      .filter(col("_w0") =!= "")
-      .withColumn("_ids", Bpe.encodeIdsKernel(col("_w0"), Bpe.byteKernelMerges))
-    val trainEnc = waist("train")(words
-      .groupBy(col("doc_id"), col("source"))
-      .agg(concat(
-        array(lit(bosId)),
-        flatten(transform(
-          sort_array(collect_list(struct(col("_pos").as("p"), col("_ids").as("x")))),
-          s => s.getField("x"))),
-        array(lit(eosId))).as("dseq"))
-      .withColumn("n_tokens", size(col("dseq")).cast("long")))
+    val trainEnc = waist("train")(encodeBosEos(f.cleanTrain))
     // 9. mixture: plan on the REAL id counts, execute, interleave
     val totTokens = trainEnc.agg(sum(col("n_tokens"))).first().getLong(0)
     val plan = Sharding.planMixture(trainEnc, "source", "n_tokens", weights,
@@ -637,4 +675,350 @@ object Pipeline {
     * master chain's sources actually carry. */
   val masterWeights: Map[String, Long] =
     Sharding.mixturePlanWeights.map { case (s, w) => s"$s.example.com" -> w }
+
+  /** The frozen day-1 state [[masterIngest]] probes — one artifact per
+    * dedup/firewall family, each the PERSISTED index its own day-2
+    * operator already certifies (C35b, C1b, C4c, C11f, C2c). In
+    * production these are parquet dirs (postings bucketed on g/h, the
+    * URL and fingerprint dims hash-keyed); here they are the frames the
+    * writer would persist. */
+  case class MasterArtifacts(
+    urlIndex: DataFrame,       // (canon_url, keep_id, n_copies)
+    exactIndex: DataFrame,     // (fingerprint, keep_id, n_copies)
+    prefixPostings: DataFrame, // (g, doc_id, len, pos) — frozen-vocab prefixes
+    prefixGrams: DataFrame,    // (doc_id, grams, len) — exact verification side
+    prefixVocab: DataFrame,    // (g, df) — the FROZEN gram order
+    winnowIndex: DataFrame,    // (h, doc_id, pos)
+    evalGrams: DataFrame)      // (g) — the heldout 13-gram firewall set
+
+  /** Freeze the day-1 master front as the day-2 probe artifacts:
+    * run [[masterFront]] (stages 1–7, the exact frames
+    * [[masterPipeline]] ships from) and build each family's persistable
+    * index over its stage pool — canonical URLs over every ELIGIBLE
+    * record (the election's own candidate set), exact fingerprints over
+    * the non-empty cleaned pool, the frozen-vocab prefix index and the
+    * winnow print index over the near-kept representatives, and the
+    * eval-gram firewall over the heldout docs' leading 20 words. */
+  def masterArtifacts(chunks: DataFrame, idCol: String, contentCol: String,
+                      blocklist: DataFrame, splitSeed: Long = 40L,
+                      minWords: Int = 15, maxWords: Int = 120,
+                      maxDupFrac: Double = 0.65, jaccardTau: Double = 0.8,
+                      winnowMinPrints: Long = 60L): MasterArtifacts = {
+    val f = masterFront(chunks, idCol, contentCol, blocklist, splitSeed,
+      minWords, maxWords, maxDupFrac, jaccardTau, winnowMinPrints,
+      _ => _.localCheckpoint())
+    val (postings, grams, vocab) =
+      Dedup.buildPrefixIndex(f.nearKept, k = 3, t = jaccardTau)
+    MasterArtifacts(
+      Urls.buildUrlIndex(
+        f.records.filter(col("_cat").isin("kept", "url_dup")), "rec_id", "uri"),
+      Dedup.buildExactIndex(f.cleaned, "doc_id", "clean_text"),
+      postings, grams, vocab,
+      Dedup.buildWinnowIndex(f.nearKept),
+      Dedup.buildEvalGramIndex(f.evalDocs))
+  }
+
+  /** C51b: the day-2 MASTER ingest — [[masterPipeline]]'s chain as it
+    * runs every day AFTER the corpus first ships: the batch alone does
+    * work, every probe consults a FROZEN [[MasterArtifacts]] index, and
+    * every batch record comes back with a terminal FATE plus, for the
+    * accepted pool, its encoded id stream (append-ready for the train
+    * waist; the next mixture run re-plans over the grown pool). Stage
+    * symmetry with day 1:
+    *
+    *  1. ingest — the batch's own envelope/blocklist/URL-election pass
+    *     ([[crawlRecords]]), then [[Urls.urlDedupAgainstIndex]] (C35b):
+    *     a recrawl of ANY day-1 resource drops with the corpus keeper
+    *     as `dup_of`;
+    *  2. clean — [[TextClean.lineFilter]]; blank survivors = `empty`;
+    *  3. exact — [[Dedup.dedupExactAgainstIndex]] (C1b) against the
+    *     frozen fingerprints, then the day-1 min-id election WITHIN the
+    *     batch;
+    *  4. near — [[Dedup.dedupAgainstPrefixIndex]] (C4c) under the
+    *     frozen vocabulary (only the batch shuffles), then the one-shot
+    *     [[Dedup.shingleJaccardPrefixDocs]] on the batch remainder;
+    *  5. winnow — corpus-witnessed spans ([[Dedup.winnowSpansAgainstIndex]],
+    *     C11f: the batch side always excises — the corpus is frozen)
+    *     UNIONED with within-batch spans ([[Dedup.winnowSharedSpans]],
+    *     higher id excises), ONE [[Dedup.exciseKeepAll]] stitch;
+    *  6. gate — the day-1 word-window/dupfrac expression on the
+    *     post-excision text;
+    *  7. firewall — the SAME md5 source split (a host's assignment
+    *     never drifts across days), and the batch's own heldout docs
+    *     EXTEND the frozen eval-gram index BEFORE the batch's train
+    *     side probes it — both leak directions live on day 2 exactly
+    *     as q170 certifies them on day 1;
+    *  8. encode — BOS ++ ids ++ EOS through the byte-level kernel
+    *     ([[encodeBosEos]]), `ids` = the comma-joined stream.
+    *
+    * Scale shape: the day-1 corpus NEVER exchanges — every corpus probe
+    * joins the batch against a persisted index (bucketed posting joins
+    * on g/h, a hash-keyed URL/fingerprint dim, a broadcast gram set);
+    * the within-batch stages cost the batch alone, and both
+    * quadratic-capable tiers keep their pre-flight pair-budget guards.
+    * This is the 100 TB daily-ingest shape: cost follows the batch,
+    * not the corpus.
+    *
+    * @return one row per batch WARC record, ordered by rec_id:
+    *         (rec_id, host, fate, dup_of, n_spans, removed_chars,
+    *         n_tokens, ids) — fate ∈ {bad_envelope, blocked,
+    *         url_dup_corpus, url_dup_batch, empty, exact_dup_corpus,
+    *         exact_dup_batch, near_dup_corpus, near_dup_batch,
+    *         gate_failed, eval_heldout, contaminated, shipped};
+    *         `dup_of` = the winning keeper (-1 when none), span/token
+    *         counters 0 and ids '' for rows that never reach their
+    *         stage. */
+  def masterIngest(batch: DataFrame, idCol: String, contentCol: String,
+                   blocklist: DataFrame, art: MasterArtifacts,
+                   splitSeed: Long = 40L, minWords: Int = 15,
+                   maxWords: Int = 120, maxDupFrac: Double = 0.65,
+                   jaccardTau: Double = 0.8,
+                   winnowMinPrints: Long = 60L): DataFrame =
+    masterIngestFull(batch, idCol, contentCol, blocklist, art, splitSeed,
+      minWords, maxWords, maxDupFrac, jaccardTau, winnowMinPrints).fates
+
+  /** [[masterIngest]]'s intermediates, exposed for the streaming twin's
+    * index growth: `records` (the batch's crawlRecords frame — canon
+    * URLs for the url-index append), `cleaned` (every record that
+    * reached the exact tier, with its clean text — the fingerprint
+    * append), `evalDocs` (the batch's heldout leading-20-word docs —
+    * the eval-gram extension the in-batch firewall already consumed). */
+  private[graft] case class MasterIngestResult(
+    records: DataFrame, cleaned: DataFrame, evalDocs: DataFrame,
+    fates: DataFrame)
+
+  private[graft] def masterIngestFull(batch: DataFrame, idCol: String,
+                   contentCol: String,
+                   blocklist: DataFrame, art: MasterArtifacts,
+                   splitSeed: Long = 40L, minWords: Int = 15,
+                   maxWords: Int = 120, maxDupFrac: Double = 0.65,
+                   jaccardTau: Double = 0.8,
+                   winnowMinPrints: Long = 60L): MasterIngestResult = {
+    // 1. parse + envelope/blocklist + batch URL election + frozen index
+    val recs = crawlRecords(batch, idCol, contentCol, blocklist)
+      .localCheckpoint() // forked: url probe + fate assembly + survivors
+    val eligible = col("_cat").isin("kept", "url_dup")
+    val urlHits = Urls.urlDedupAgainstIndex(
+        recs.filter(eligible).select(col("rec_id"), col("uri")),
+        art.urlIndex, "rec_id", "uri")
+      .filter(col("is_dup"))
+      .select(col("rec_id"), col("dup_of").as("_url_corp"))
+    val base = recs
+      .join(urlHits, Seq("rec_id"), "left")
+      .withColumn("_bk", min(when(eligible, col("rec_id")))
+        .over(Window.partitionBy(col("canon_url"))))
+      .localCheckpoint() // forked: every stage's survivor pool + assembly
+    val survivors1 = base
+      .filter(col("_cat") === "kept" && col("_url_corp").isNull)
+      .select(col("rec_id").as("doc_id"), col("host"),
+        col("payload").as("text"))
+    // 2. clean
+    val cleanedAll = TextClean.lineFilter(survivors1, "text")
+      .select(col("doc_id"), col("host"), col("clean_text"))
+      .localCheckpoint()
+    val cleaned = cleanedAll.filter(trim(col("clean_text")) =!= "")
+    // 3. exact: frozen fingerprints, then the within-batch election
+    val exCorp = Dedup.dedupExactAgainstIndex(cleaned, art.exactIndex,
+        "doc_id", "clean_text")
+      .filter(col("is_dup"))
+      .select(col("doc_id"), col("dup_of").as("_ex_corp"))
+    val exSurv = cleaned.join(exCorp, Seq("doc_id"), "left_anti")
+      .withColumn("_ek",
+        min(col("doc_id")).over(Window.partitionBy(col("clean_text"))))
+      .localCheckpoint() // forked: batch-dup fate rows + survivors
+    val survivors3 = exSurv.filter(col("doc_id") === col("_ek"))
+      .select(col("doc_id"), col("host"), col("clean_text"))
+    // 4. near: frozen prefix index, then the within-batch one-shot
+    val nearCorp = Dedup.dedupAgainstPrefixIndex(
+        survivors3.select(col("doc_id"), col("clean_text").as("text")),
+        art.prefixPostings, art.prefixGrams, art.prefixVocab,
+        k = 3, t = jaccardTau)
+      .filter(col("is_dup"))
+      .select(col("doc_id"), col("dup_of").as("_nd_corp"))
+    val survivors4a = survivors3.join(nearCorp, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // forked: batch self-join + survivors
+    val nearBatch = Dedup.shingleJaccardPrefixDocs(
+        survivors4a.select(col("doc_id"), col("clean_text").as("text")),
+        jaccardThreshold = jaccardTau)
+      .filter(col("is_dup"))
+      .select(col("doc_id"), col("rep_id").as("_nd_batch"))
+    val survivors4 = survivors4a.join(nearBatch, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // forked: two span sources + excision + host map
+    // 5. winnow: corpus-witnessed ∪ within-batch spans, one excision
+    val sdocs = survivors4.select(col("doc_id"), col("clean_text").as("text"))
+    val corpusSpans = Dedup.winnowSpansAgainstIndex(sdocs, art.winnowIndex,
+        minPrints = winnowMinPrints)
+      .select(col("doc_id").as("doc_b"), col("start").as("b_start"),
+        col("end").as("b_end"))
+    val batchSpans = Dedup.winnowSharedSpans(sdocs,
+        minPrints = winnowMinPrints)
+      .select(col("doc_b"), col("b_start"), col("b_end"))
+    val excised = Dedup.exciseKeepAll(sdocs,
+      corpusSpans.unionByName(batchSpans))
+    // 6. gate (the day-1 expression, post-excision text)
+    val toks = when(trim(col("clean_text")) === "",
+      array().cast("array<string>"))
+      .otherwise(split(col("clean_text"), "\\s+"))
+    val gatedAll = excised
+      .withColumn("_toks", toks)
+      .withColumn("_nw", size(col("_toks")).cast("long"))
+      .withColumn("_dupfrac",
+        when(col("_nw") === 0, lit(1.0)).otherwise(
+          round((col("_nw") - size(array_distinct(col("_toks")))).cast("double")
+            / col("_nw"), 4)))
+      .withColumn("_gate_ok",
+        col("_nw") >= minWords && col("_nw") <= maxWords &&
+          col("_dupfrac") <= maxDupFrac)
+      .join(survivors4.select(col("doc_id"), col("host")), Seq("doc_id"))
+      .select(col("doc_id"), col("host"), col("clean_text"),
+        col("removed_chars"), col("n_spans"), col("_gate_ok"))
+      .localCheckpoint() // forked: fate assembly + firewall pool
+    // 7. firewall: same split seed; batch heldout grams EXTEND the index
+    val parts = Sharding.leakageSafeSplit(
+        gatedAll.filter(col("_gate_ok")), "host", seed = splitSeed)
+      .localCheckpoint() // forked: eval extension + train probe + fates
+    val evalDocs = parts.filter(col("split") =!= "train")
+      .select(col("doc_id"),
+        array_join(slice(split(col("clean_text"), "\\s+"), 1, 20), " ")
+          .as("text"))
+    val allGrams = art.evalGrams
+      .unionByName(Dedup.buildEvalGramIndex(evalDocs)).distinct()
+    val train = parts.filter(col("split") === "train")
+    val contam = Dedup.flagAgainstEvalGrams(
+        train.select(col("doc_id"), col("clean_text").as("text")), allGrams)
+      .filter(col("contaminated"))
+      .select(col("doc_id"), lit(true).as("_contam"))
+    // 8. encode the shipped pool
+    val enc = encodeBosEos(
+        train.join(contam, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("host").as("source"), col("clean_text")))
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(transform(col("dseq"), x => x.cast("string")), ",")
+          .as("ids"))
+    // fate assembly: one row per record, first matching stage wins
+    def byRec(df: DataFrame): DataFrame = df.withColumnRenamed("doc_id", "rec_id")
+    val fate =
+      when(col("_cat") === "bad_envelope", "bad_envelope")
+        .when(col("_cat") === "blocked", "blocked")
+        .when(col("_url_corp").isNotNull, "url_dup_corpus")
+        .when(col("_cat") === "url_dup", "url_dup_batch")
+        .when(col("_empty"), "empty")
+        .when(col("_ex_corp").isNotNull, "exact_dup_corpus")
+        .when(col("_ex_batch").isNotNull, "exact_dup_batch")
+        .when(col("_nd_corp").isNotNull, "near_dup_corpus")
+        .when(col("_nd_batch").isNotNull, "near_dup_batch")
+        .when(!col("_gate_ok"), "gate_failed")
+        .when(col("_split") =!= "train", "eval_heldout")
+        .when(col("_contam"), "contaminated")
+        .otherwise("shipped")
+    val dupOf = coalesce(
+      col("_url_corp"),
+      when(col("_cat") === "url_dup", col("_bk")),
+      col("_ex_corp"), col("_ex_batch"),
+      col("_nd_corp"), col("_nd_batch"), lit(-1L))
+    val fates = base
+      .select(col("rec_id"), col("host"), col("_cat"), col("_bk"),
+        col("_url_corp"))
+      .join(byRec(cleanedAll.filter(trim(col("clean_text")) === "")
+        .select(col("doc_id"), lit(true).as("_empty"))), Seq("rec_id"), "left")
+      .join(byRec(exCorp), Seq("rec_id"), "left")
+      .join(byRec(exSurv.filter(col("doc_id") =!= col("_ek"))
+        .select(col("doc_id"), col("_ek").as("_ex_batch"))), Seq("rec_id"), "left")
+      .join(byRec(nearCorp), Seq("rec_id"), "left")
+      .join(byRec(nearBatch), Seq("rec_id"), "left")
+      .join(byRec(gatedAll.select(col("doc_id"), col("removed_chars"),
+        col("n_spans"), col("_gate_ok"))), Seq("rec_id"), "left")
+      .join(byRec(parts.select(col("doc_id"), col("split").as("_split"))),
+        Seq("rec_id"), "left")
+      .join(byRec(contam), Seq("rec_id"), "left")
+      .join(byRec(enc), Seq("rec_id"), "left")
+      .select(col("rec_id"), col("host"), fate.as("fate"),
+        dupOf.as("dup_of"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("ids"), lit("")).as("ids"))
+      .orderBy(col("rec_id"))
+    MasterIngestResult(base, cleaned, evalDocs, fates)
+  }
+
+  /** Persist a [[MasterArtifacts]] bundle as parquet dirs under `dir`
+    * (one per index, the shapes their own day-2 operators read back;
+    * the g/h column metadata — prefix k/t, winnow k/w, decontam n —
+    * round-trips through parquet, so the loaded probes keep their
+    * loud param guards). */
+  def persistMasterArtifacts(art: MasterArtifacts, dir: String): Unit = {
+    def w(df: DataFrame, name: String): Unit =
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dir/$name")
+    w(art.urlIndex, "url_index"); w(art.exactIndex, "exact_index")
+    w(art.prefixPostings, "prefix_postings")
+    w(art.prefixGrams, "prefix_grams"); w(art.prefixVocab, "prefix_vocab")
+    w(art.winnowIndex, "winnow_index"); w(art.evalGrams, "eval_grams")
+  }
+
+  /** Reload a [[persistMasterArtifacts]] bundle. */
+  def loadMasterArtifacts(spark: SparkSession, dir: String): MasterArtifacts =
+    MasterArtifacts(
+      spark.read.parquet(s"$dir/url_index"),
+      spark.read.parquet(s"$dir/exact_index"),
+      spark.read.parquet(s"$dir/prefix_postings"),
+      spark.read.parquet(s"$dir/prefix_grams"),
+      spark.read.parquet(s"$dir/prefix_vocab"),
+      spark.read.parquet(s"$dir/winnow_index"),
+      spark.read.parquet(s"$dir/eval_grams"))
+
+  /** The q178 chain's split seed: 4, NOT q174's 40 — the day-2 leak
+    * plants need a HELD-OUT, unblocked host at a plain plant residue
+    * (src5 under seed 4; seed 40 holds out only src2/src3/src17/src18,
+    * none of which is both plain-bodied and eligible on day 1).
+    * [[masterIngestDocs]] require-guards the assumption. */
+  val MasterIngestSeed = 4L
+
+  /** Driver-side twin of [[Sharding.leakageSafeSplit]]'s bucket (the
+    * md5 formula is the portability contract both engines already
+    * replay), for plant-assumption guards. */
+  private[graft] def splitOfKey(key: String, seed: Long,
+                                trainPct: Int = 80, valPct: Int = 10): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$key:split:$seed".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(13)
+    val b = java.lang.Long.parseLong(hex, 16) % 100L
+    if (b < trainPct) "train" else if (b < trainPct + valPct) "val" else "test"
+  }
+
+  /** C51b `q178_master_ingest` — [[masterIngest]] over the BLOCK split
+    * of the master corpus: day 1 = the q174 chunks with chunk_id % 5 ≠ 4
+    * frozen through [[masterArtifacts]]; day 2 =
+    * [[graft.sources.Warc.plantedMasterBatchChunks]] (the held-out
+    * block-4 chunks re-dressed with one plant family per day-2 fate,
+    * donors reaching INTO day-1 chunks for every corpus-witnessed
+    * family and into the batch itself for the within-batch ones — see
+    * its Scaladoc for the residue map). Seed 4 holds out src5 (require-
+    * guarded), so BOTH leak legs fire: train-host batch docs carrying
+    * day-1 host-5 grams hit the FROZEN index, and batch docs carrying
+    * the batch's own host-5 doc's grams hit the index AS EXTENDED this
+    * ingest. The DuckDB oracle replays the ENTIRE two-day chain from
+    * raw rows — the full day-1 front (serialization through the
+    * firewall) to derive every frozen artifact, then the batch's
+    * serialization, parse, gates, elections, index probes, span
+    * geometry + excision stitch, split, gram firewall (frozen ∪
+    * extension), and the BPE id streams — a drift at ANY day-1→day-2
+    * interface flips the final hash. */
+  def masterIngestDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    require(splitOfKey("src5.example.com", MasterIngestSeed) != "train",
+      s"q178 plant contract broken: src5 must be held out under seed " +
+        s"$MasterIngestSeed or both leak families go dark")
+    val docs = graft.Tables(spark, dir).documents
+      .localCheckpoint() // forked: day-1 serialization + batch plants
+    val bl = Urls.docBlocklist.toDF("pattern")
+    val day1 = graft.sources.Warc.plantedMasterChunks(docs)
+      .filter(col("chunk_id") % 5 =!= 4)
+    masterIngest(graft.sources.Warc.plantedMasterBatchChunks(docs),
+      "chunk_id", "content", bl,
+      masterArtifacts(day1, "chunk_id", "content", bl,
+        splitSeed = MasterIngestSeed),
+      splitSeed = MasterIngestSeed)
+  }
 }

@@ -182,6 +182,103 @@ object Warc {
       path = pathId.cast("string"))
   }
 
+  /** The q178 DAY-2 batch serialization — WET envelopes around the
+    * BLOCK-4 documents (chunk_id = doc_id div 40 ≡ 4 mod 5, exactly
+    * the chunks the q178 day-1 corpus filter holds out of
+    * [[plantedMasterChunks]]), with one plant family per day-2 fate.
+    * Day-1 donors sit in chunk c−1 (block 3 — always corpus-side);
+    * same-batch donors sit in the doc's own chunk. Residues mod 10:
+    *
+    *  - 0: plain body, path plants split by b mod 20 — b ≡ 0 publishes
+    *    doc (b−40)'s article path, a RECRAWL of a day-1 resource
+    *    (url_dup_corpus via the frozen canonical index); b ≡ 10
+    *    (mod 40) publishes the path of b+20 — its SAME-HOST sibling in
+    *    the same chunk (hosts repeat every 20 ids), so a fresh
+    *    resource is crawled twice this batch and the batch's own
+    *    election fires (the sibling, higher rec_id, lands
+    *    url_dup_batch);
+    *  - 1: whole-copy of day-1 plain doc (b−40)'s body — the batch
+    *    clean text lands EXACTLY on a frozen fingerprint
+    *    (exact_dup_corpus);
+    *  - 2: day-1 doc (b−40)'s text plus a three-word tail — off the
+    *    exact fingerprint but past the Jaccard threshold against the
+    *    frozen prefix index (near_dup_corpus);
+    *  - 3: day-1 plain doc (b−38)'s full text as a first line, own
+    *    text second — the copied LONG span excises against the frozen
+    *    winnow index (short own texts tip the pair past the Jaccard
+    *    threshold instead, the q174 ≡3 duality);
+    *  - 4: the FIRST 14 WORDS of the day-1 host-5 doc in chunk c−1
+    *    (id b − b%20 − 35) prepended — host 5 is HELD OUT under the
+    *    q178 split seed, so train-host copiers hit the FROZEN
+    *    eval-gram index (contaminated, the day-1→day-2 leak leg);
+    *  - 5: plain (the same-batch donor pool);
+    *  - 6: the first 14 words of the SAME-BATCH host-5 doc
+    *    (id b − b%20 + 5) prepended — that donor lands eval_heldout
+    *    in THIS batch and extends the index before the train side
+    *    probes it, so train-host copiers flag (the within-day-2 leak
+    *    leg);
+    *  - 7: batch doc (b−2)'s text plus a three-word tail
+    *    (near_dup_batch);
+    *  - 8: batch doc (b−3)'s full text as a first line, own second
+    *    (within-batch winnow excision, same ≡3 duality);
+    *  - 9: whole-copy of batch doc (b−4)'s body (exact_dup_batch);
+    *
+    * plus the standing envelope plants: doc_id ≡ 0 (mod 7) lies about
+    * Content-Length (bad_envelope), blocklisted hosts gate out whole.
+    * Every family is CONDITIONAL on its donor surviving its own day-1
+    * or batch fates — the oracle replays those conditions exactly; the
+    * spec asserts each fate fires at sf0.001. */
+  private[graft] def plantedMasterBatchChunks(docs: DataFrame): DataFrame = {
+    def withDonor(base: DataFrame, idExpr: Column, outCol: String): DataFrame =
+      base.join(
+        docs.select(col("doc_id").as(s"_${outCol}_id"), col("text").as(outCol)),
+        idExpr === col(s"_${outCol}_id"), "left").drop(s"_${outCol}_id")
+    def first14(c: Column): Column =
+      concat(array_join(slice(split(trim(c), "\\s+"), 1, 14), " "), lit("."))
+    val batch = docs.filter((col("doc_id") / 40).cast("long") % 5 === 4)
+    val b = col("doc_id")
+    val withDonors = Seq[(Column, String)](
+      (b - 40, "_m40"),
+      (b - 38, "_m38"),
+      (b - (b % 20) - 35, "_dh"), // day-1 host-5 doc, chunk c−1
+      (b - (b % 20) + 5, "_bh"),  // same-batch host-5 doc
+      (b - 2, "_m2"), (b - 3, "_m3"), (b - 4, "_m4"))
+      .foldLeft(batch) { case (df, (e, n)) => withDonor(df, e, n) }
+    val planted = withDonors
+      .withColumn("body",
+        when(b % 10 === 1 && col("_m40").isNotNull,
+          concat(col("_m40"), lit(".")))
+        .when(b % 10 === 2 && col("_m40").isNotNull,
+          concat(col("_m40"), lit(". Indeed truly remarkable.")))
+        .when(b % 10 === 3 && col("_m38").isNotNull,
+          concat(col("_m38"), lit(".\n"), col("text"), lit(".")))
+        .when(b % 10 === 4 && col("_dh").isNotNull,
+          concat(first14(col("_dh")), lit("\n"), col("text"), lit(".")))
+        .when(b % 10 === 6 && col("_bh").isNotNull,
+          concat(first14(col("_bh")), lit("\n"), col("text"), lit(".")))
+        .when(b % 10 === 7 && col("_m2").isNotNull,
+          concat(col("_m2"), lit(". Extra closing remark.")))
+        .when(b % 10 === 8 && col("_m3").isNotNull,
+          concat(col("_m3"), lit(".\n"), col("text"), lit(".")))
+        .when(b % 10 === 9 && col("_m4").isNotNull,
+          concat(col("_m4"), lit(".")))
+        .otherwise(concat(col("text"), lit("."))))
+      .drop("_m40", "_m38", "_dh", "_bh", "_m2", "_m3", "_m4")
+    val page = concat_ws("\n",
+      col("body"),
+      lit("Please enable JavaScript and cookies to continue viewing."),
+      lit("continue reading more about"),
+      concat(lit("Copyright 2024 Example Corp id "), col("doc_id").cast("string"), lit(".")),
+      lit("BREAKING NEWS ALERT READ THIS NOW!"),
+      lit("Click here."))
+    val pathId = when(b % 20 === 0, b - 40)
+      .when(b % 40 === 10, b + 20)
+      .otherwise(b)
+    chunksAroundPayload(planted, page,
+      chunkId = (col("doc_id") / 40).cast("long"),
+      path = pathId.cast("string"))
+  }
+
   /** The q127 serialization — the q120 envelopes around LINE-DRESSED
     * pages: the body line (terminal-punctuated) is the q107 donor
     * planting (doc_id ≡ 9 mod 10 carries the doc_id−4 donor's text, so

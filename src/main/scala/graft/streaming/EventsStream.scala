@@ -111,6 +111,8 @@ object EventsStream {
   /** 2-D point record for the streaming z-order layout ingest. */
   case class StreamPoint(doc_id: Long, x: Long, y: Long)
 
+  case class StreamChunk(chunk_id: Long, content: String)
+
   /** Shared first-occurrence state machine for the dedup streams: the
     * first element per key passes, repeats drop. GroupState's timeout
     * contract CLEARS any pending timeout on every invocation of the
@@ -1986,6 +1988,93 @@ object EventsStream {
           .localCheckpoint()
         if (!fresh.isEmpty)
           graft.sources.Layout.appendZOrdered(spark, layoutDir, fresh)
+      }
+      .start()
+
+  /** D2y — streaming MASTER ingest (C51b's stream form): each
+    * micro-batch of raw WET chunks runs the ENTIRE day-2 curation
+    * chain ([[graft.operators.Pipeline.masterIngestFull]]) against the
+    * artifacts persisted at `artifactsDir`, appends every record's
+    * fate row to `fatesTable`, and GROWS the map-side day-2 state
+    * BEFORE the fates land (the append-before-accept rule every D2
+    * twin follows), so the next micro-batch's probes see this one's
+    * accepts:
+    *
+    *  - `eval_grams` — the batch's heldout docs' 13-grams (the leak
+    *    firewall is CUMULATIVE across batches: an eval doc ingested at
+    *    10:00 firewalls a train doc ingested at 10:05);
+    *  - `exact_index` — fingerprints of every NEW clean text that
+    *    reached the exact tier (a text accepted in batch N is an
+    *    exact_dup_corpus verdict in batch N+1);
+    *  - `url_index` — every new eligible canonical resource (a
+    *    recrawl of a batch-N URL dedups in batch N+1).
+    *
+    * The heavy posting indexes (prefix, winnow) stay FROZEN intra-day
+    * by design — their vocab-freeze/print-selection contracts make
+    * probe exactness independent of growth, and the rebuild cadence
+    * belongs to the scheduled maintenance pass
+    * ([[graft.operators.Maintain]]'s jurisdiction), exactly how a
+    * production corpus runs its nightly index rebuild.
+    *
+    * Replay-idempotent at the DELIVERY grain: a chunk whose records
+    * already carry fates anti-joins away whole, so a replayed
+    * micro-batch appends nothing — fates, grams, fingerprints or
+    * URLs. */
+  def masterIngestStream(chunks: DataFrame, artifactsDir: String,
+                         fatesTable: String, checkpointDir: String,
+                         blocklist: Seq[String],
+                         splitSeed: Long, minWords: Int = 15,
+                         maxWords: Int = 120, maxDupFrac: Double = 0.65,
+                         jaccardTau: Double = 0.8,
+                         winnowMinPrints: Long = 60L):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    chunks.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        import graft.operators.{Dedup, Pipeline, Urls}
+        val spark = batch0.sparkSession
+        import spark.implicits._
+        val seen = spark.table(fatesTable)
+          .select(shiftright(col("rec_id"), 32).as("chunk_id")).distinct()
+        val batch = batch0.join(seen, Seq("chunk_id"), "left_anti")
+          .localCheckpoint()
+        if (!batch.isEmpty) {
+          val art = Pipeline.loadMasterArtifacts(spark, artifactsDir)
+          val r = Pipeline.masterIngestFull(batch, "chunk_id", "content",
+            blocklist.toDF("pattern"), art, splitSeed,
+            minWords, maxWords, maxDupFrac, jaccardTau, winnowMinPrints)
+          val fates = r.fates.localCheckpoint()
+          // 1. eval grams: the batch's heldout 13-grams, new ones only
+          Dedup.buildEvalGramIndex(r.evalDocs)
+            .join(art.evalGrams.select(col("g")), Seq("g"), "left_anti")
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(s"$artifactsDir/eval_grams")
+          // 2. exact fingerprints: every NEW text that reached the
+          //    exact tier (corpus-dup texts already have their entry)
+          val newTexts = r.cleaned.join(
+            fates.filter(col("fate").isin("bad_envelope", "blocked",
+              "url_dup_corpus", "url_dup_batch", "empty",
+              "exact_dup_corpus")).select(col("rec_id").as("doc_id")),
+            Seq("doc_id"), "left_anti")
+          Dedup.buildExactIndex(newTexts, "doc_id", "clean_text")
+            .join(art.exactIndex.select(col("fingerprint")),
+              Seq("fingerprint"), "left_anti")
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(s"$artifactsDir/exact_index")
+          // 3. canonical URLs: every new eligible resource's keeper
+          Urls.buildUrlIndex(
+              r.records.filter(col("_cat").isin("kept", "url_dup")),
+              "rec_id", "uri")
+            .join(art.urlIndex.select(col("canon_url")),
+              Seq("canon_url"), "left_anti")
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(s"$artifactsDir/url_index")
+          // 4. accept: fates land LAST — a crash above degrades to
+          //    at-least-once state growth, never to a lost verdict
+          fates.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .format("parquet").saveAsTable(fatesTable)
+        }
       }
       .start()
 }

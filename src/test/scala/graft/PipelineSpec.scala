@@ -323,4 +323,64 @@ class PipelineSpec extends SparkSpecBase {
     assert(new java.io.File(trainDir, "_SUCCESS").exists,
       "the rebuild leaves a complete, marked waist behind")
   }
+
+  test("q178 day-2 master ingest: every fate fires, keepers point at the right day, both leak directions live") {
+    val out = Pipeline.masterIngestDocs(spark, sfDir)
+      .withColumn("doc_id",
+        (col("rec_id") / 4294967296L).cast("long") * 40 +
+          col("rec_id") % 4294967296L - 1)
+      .localCheckpoint()
+    val fates = out.groupBy(col("fate")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every plantable fate fires at the smallest SF ('empty' is the one
+    // defensive fate these pages cannot produce: the body line always
+    // survives the line rules)
+    for (f <- Seq("bad_envelope", "blocked", "url_dup_corpus",
+        "url_dup_batch", "exact_dup_corpus", "exact_dup_batch",
+        "near_dup_corpus", "near_dup_batch", "gate_failed",
+        "eval_heldout", "contaminated", "shipped"))
+      assert(fates.getOrElse(f, 0L) >= 1L, s"fate '$f' never fired")
+    // keeper DAY discipline: *_corpus keepers are day-1 rec_ids
+    // (chunk ≢ 4 mod 5), *_batch keepers are batch rec_ids (chunk ≡ 4)
+    val dayOf = (col("dup_of") / 4294967296L).cast("long") % 5
+    assert(out.filter(col("fate").endsWith("_corpus") && dayOf === 4)
+      .count() === 0, "a corpus-dup keeper pointed into the batch")
+    assert(out.filter(col("fate").endsWith("_batch") && dayOf =!= 4)
+      .count() === 0, "a batch-dup keeper pointed outside the batch")
+    // BOTH leak directions: residue 4 (frozen day-1 host-5 grams) and
+    // residue 6 (the batch's own heldout host-5 doc extends the index)
+    val contamRes = out.filter(col("fate") === "contaminated")
+      .select((col("doc_id") % 10).as("r")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(contamRes.contains(4L), "the day-1→day-2 leak leg never fired")
+    assert(contamRes.contains(6L), "the within-day-2 leak leg never fired")
+    // eval_heldout is EXACTLY the seed-4 heldout host set
+    val heldHosts = out.filter(col("fate") === "eval_heldout")
+      .select((col("doc_id") % 20).as("h")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expected = (0L until 20L).filter(h =>
+      Pipeline.splitOfKey(s"src$h.example.com",
+        Pipeline.MasterIngestSeed) != "train").toSet
+    assert(heldHosts.subsetOf(expected),
+      s"a train host leaked into eval_heldout: ${heldHosts -- expected}")
+    assert(heldHosts.contains(5L),
+      "the src5 donor host must land heldout — the leak plants depend on it")
+    // shipped docs carry real BOS/EOS-delimited id streams; winnow
+    // excision fired on both the corpus-witnessed and batch-internal
+    // residues before they shipped
+    val shipped = out.filter(col("fate") === "shipped").localCheckpoint()
+    assert(shipped.filter(!col("ids").startsWith("0,")).count() === 0,
+      "a shipped id stream does not start with BOS")
+    assert(shipped.filter(!col("ids").endsWith(",1")).count() === 0,
+      "a shipped id stream does not end with EOS")
+    assert(shipped.filter(col("n_tokens") <= 2).count() === 0,
+      "a shipped doc encoded to an empty id stream")
+    val spanRes = out.filter(col("n_spans") > 0)
+      .select((col("doc_id") % 10).as("r")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(spanRes.contains(3L),
+      "no corpus-witnessed span excision reached the output")
+    assert(spanRes.contains(8L),
+      "no within-batch span excision reached the output")
+  }
 }

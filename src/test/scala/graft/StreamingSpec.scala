@@ -2040,4 +2040,93 @@ class StreamingSpec extends SparkSpecBase {
       assert(s2.take(2) == s1, "existing scores are never rewritten")
     } finally q.stop()
   }
+
+  test("D2y master ingest stream: fates append, the day-2 state grows across batches, replays add nothing") {
+    import graft.streaming.EventsStream.StreamChunk
+    import graft.operators.Pipeline
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val seed = Pipeline.MasterIngestSeed // 4: src5 heldout, src0/src1 train
+    def salad(tag: String, n: Int): String =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    def page(host: Int, path: Long, body: String): String = {
+      val payload = body + "."
+      s"WARC/1.0\nWARC-Type: conversion\n" +
+        s"WARC-Target-URI: https://src$host.example.com/articles/$path\n" +
+        "WARC-Date: 2024-01-01T00:00:00Z\n" +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}\n\n$payload\n\n"
+    }
+    def chunk(id: Long, recs: String*): StreamChunk =
+      StreamChunk(id, "warcinfo preamble\n" + recs.mkString(""))
+    // day-1 corpus: four plain docs, one on the heldout host
+    val day1 = Seq(chunk(0L,
+      page(0, 1, salad("cat", 30)), page(1, 2, salad("dog", 30)),
+      page(5, 3, salad("owl", 30)), page(6, 4, salad("fox", 30))))
+      .toDF("chunk_id", "content")
+    val bl = Seq.empty[String].toDF("pattern")
+    val artDir = java.nio.file.Files.createTempDirectory("graft_mia").toString
+    Pipeline.persistMasterArtifacts(
+      Pipeline.masterArtifacts(day1, "chunk_id", "content", bl,
+        splitSeed = seed), artDir)
+    spark.sql("DROP TABLE IF EXISTS stream_master_fates")
+    // DROP leaves the location behind when the table vanished from the
+    // catalog without its dir (a prior JVM's run) — clear it or CTAS
+    // refuses with LOCATION_ALREADY_EXISTS
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/stream_master_fates")
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "rec_id BIGINT, host STRING, fate STRING, dup_of BIGINT, " +
+            "n_spans BIGINT, removed_chars BIGINT, n_tokens BIGINT, ids STRING"))
+      .write.format("parquet").saveAsTable("stream_master_fates")
+    val mem = MemoryStream[StreamChunk]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mia_ck").toString
+    val q = EventsStream.masterIngestStream(mem.toDF(), artDir,
+      "stream_master_fates", ckpt, Nil, splitSeed = seed)
+    def fates = {
+      spark.catalog.refreshTable("stream_master_fates")
+      spark.table("stream_master_fates")
+    }
+    try {
+      val tA1 = salad("kit", 32)            // train host, fresh → ships
+      val tA2 = salad("emu", 32)            // heldout host → eval + grams
+      val batchA = chunk(100L,
+        page(0, 100, tA1), page(5, 101, tA2))
+      mem.addData(batchA)
+      q.processAllAvailable()
+      val a = fates.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      val a1Rec = (100L << 32) + 1; val a2Rec = (100L << 32) + 2
+      assert(a == Map(a1Rec -> "shipped", a2Rec -> "eval_heldout"), s"got $a")
+      // batch B probes the state batch A just grew: an exact copy of
+      // A's shipped text, a recrawl of A's URL, and a train doc
+      // carrying A's EVAL doc's leading 13-gram (cumulative firewall)
+      val leak = tA2.split(" ").take(14).mkString(" ") + ".\n" + salad("yak", 24)
+      mem.addData(chunk(101L,
+        page(1, 200, tA1),          // same clean text as a1
+        page(0, 100, salad("ant", 32)), // same canonical resource as a1
+        page(1, 201, leak),         // train host + A's eval gram
+        page(6, 202, salad("gnu", 32)))) // fresh → ships
+      q.processAllAvailable()
+      val b = fates.collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+      assert(b((101L << 32) + 1) == ("exact_dup_corpus", a1Rec),
+        s"grown exact index must catch A's text: ${b((101L << 32) + 1)}")
+      assert(b((101L << 32) + 2) == ("url_dup_corpus", a1Rec),
+        s"grown url index must catch A's resource: ${b((101L << 32) + 2)}")
+      assert(b((101L << 32) + 3)._1 == "contaminated",
+        s"grown eval grams must firewall the leak: ${b((101L << 32) + 3)}")
+      assert(b((101L << 32) + 4)._1 == "shipped")
+      // replay: the whole of batch A again — nothing lands anywhere
+      val nFates = fates.count()
+      val nGrams = spark.read.parquet(s"$artDir/eval_grams").count()
+      val nExact = spark.read.parquet(s"$artDir/exact_index").count()
+      mem.addData(batchA)
+      q.processAllAvailable()
+      assert(fates.count() == nFates, "replayed chunk appended fates")
+      assert(spark.read.parquet(s"$artDir/eval_grams").count() == nGrams,
+        "replayed chunk grew the eval grams")
+      assert(spark.read.parquet(s"$artDir/exact_index").count() == nExact,
+        "replayed chunk grew the exact index")
+    } finally q.stop()
+  }
 }
