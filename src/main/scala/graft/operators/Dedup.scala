@@ -1926,11 +1926,32 @@ object Dedup {
     * co-partitioned with the posting join that always follows.
     * Distinct doc count, not row count: the position-carrying frames
     * repeat an h within a doc. */
-  private def dfFiltered(fp: DataFrame, maxDf: Option[Long]): DataFrame =
+  private def dfFiltered(fp: DataFrame, maxDf: Option[Long],
+                         dfHist: Option[DataFrame] = None): DataFrame =
     maxDf.fold(fp) { m =>
-      fp.join(fp.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("_df"))
-        .filter(col("_df") <= m).select(col("h")), Seq("h"), "left_semi")
+      // the suppression histogram: recomputed from the frame by
+      // default; a PERSISTED [[winnowDfHistogram]] skips the full
+      // re-aggregation a day-2 probe would otherwise pay per trigger
+      // (measured at 100×: the histogram exchange, not the probe join,
+      // dominated the suppressed probe's wall)
+      val hist = dfHist.getOrElse(
+        fp.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df")))
+      fp.join(hist.filter(col("df") <= m).select(col("h")),
+        Seq("h"), "left_semi")
     }
+
+  /** The winnow index's df histogram — one row per distinct
+    * fingerprint with its distinct-document count, the build-time
+    * artifact that makes day-2 `maxDf` suppression batch-bounded:
+    * persist it next to the index (bucketed on h like the index) and
+    * pass it to the probes, and the suppression becomes a co-located
+    * semi-join instead of a full index re-aggregation per trigger.
+    * Goes stale only UPWARD under appends (true df can only grow), so
+    * a stale histogram suppresses LESS than a fresh one — rebuild it
+    * with the index at the maintenance cadence. */
+  def winnowDfHistogram(index: DataFrame): DataFrame =
+    index.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
 
   /** C11b `q151_winnow_overlap` — [[winnowOverlap]] on the q107
     * donor-planted corpus (so full-copy pairs provably clear the
@@ -2180,7 +2201,8 @@ object Dedup {
                                 textCol: String = "text",
                                 k: Int = 12, w: Int = 4,
                                 minShared: Long = 8L,
-                                maxDf: Option[Long] = None): DataFrame = {
+                                maxDf: Option[Long] = None,
+                                dfHist: Option[DataFrame] = None): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDf.forall(_ >= 2), s"maxDf must be >= 2, got $maxDf")
     requireWinnowParams(index, k, w)
@@ -2194,7 +2216,8 @@ object Dedup {
     // JOIN OUTPUT (batch-sized) via countDistinct, never by
     // distinct-ing the corpus index (a full corpus exchange the
     // bucketed-on-h layout exists to avoid)
-    val posting = dfFiltered(index.select(col("h"), col("doc_id")), maxDf)
+    val posting = dfFiltered(index.select(col("h"), col("doc_id")), maxDf,
+      dfHist)
     val gated = batchFp
       .join(posting.select(col("h"), col("doc_id").as("corpus_id")), Seq("h"))
       .filter(col("new_id") =!= col("corpus_id"))
@@ -2235,14 +2258,16 @@ object Dedup {
                               textCol: String = "text",
                               k: Int = 12, w: Int = 4,
                               minPrints: Long = 3L,
-                              maxDf: Option[Long] = None): DataFrame = {
+                              maxDf: Option[Long] = None,
+                              dfHist: Option[DataFrame] = None): DataFrame = {
     require(minPrints >= 1, s"minPrints must be >= 1, got $minPrints")
     require(maxDf.forall(_ >= 2), s"maxDf must be >= 2, got $maxDf")
     requireWinnowParams(index, k, w)
     require(index.columns.contains("pos"),
       "index carries no positions — rebuild it with this round's buildWinnowIndex")
     val batchFp = winnowFingerprints(newDocs, idCol, textCol, k, w)
-    val posting = dfFiltered(index.select(col("h"), col("doc_id"), col("pos")), maxDf)
+    val posting = dfFiltered(
+      index.select(col("h"), col("doc_id"), col("pos")), maxDf, dfHist)
     val pts = batchFp.as("a").join(posting.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -2303,9 +2328,10 @@ object Dedup {
                               textCol: String = "text",
                               k: Int = 12, w: Int = 4,
                               minPrints: Long = 3L,
-                              maxDf: Option[Long] = None): DataFrame = {
+                              maxDf: Option[Long] = None,
+                              dfHist: Option[DataFrame] = None): DataFrame = {
     val spans = winnowSpansAgainstIndex(newDocs, index, idCol, textCol,
-        k, w, minPrints, maxDf)
+        k, w, minPrints, maxDf, dfHist)
       .select(col("doc_id").as("doc_b"), col("start").as("b_start"),
         col("end").as("b_end"))
     exciseKeepAll(newDocs, spans, idCol, textCol)

@@ -325,4 +325,43 @@ class WinnowSpec extends SparkSpecBase {
     assert(Dedup.winnowOverlap(copies, minShared = 1L, maxDf = Some(16L),
       pairBudget = 1000L).count() == 0L)
   }
+
+  test("df histogram: persisted-histogram suppression is bit-identical to the recompute, and goes stale only upward") {
+    val boiler = junk("boiler", 10)
+    val rare = junk("rare", 10)
+    val corpus = (1L to 6L).map(i =>
+      (i, junk(s"own$i", 10) + " " + boiler + " " +
+        (if (i <= 2) rare + " " else "") + junk(s"tail$i", 10)))
+      .toDF("doc_id", "text")
+    val idx = Dedup.buildWinnowIndex(corpus)
+    val hist = Dedup.winnowDfHistogram(idx)
+    val batch = Seq((20L, junk("b", 8) + " " + boiler + " " + rare + " " +
+      junk("b2", 8))).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id"), col("corpus_id"), col("start"), col("c_start"))
+        .collect().toSeq
+    val fresh = rows(Dedup.winnowSpansAgainstIndex(batch, idx,
+      minPrints = 2L, maxDf = Some(4L)))
+    val viaHist = rows(Dedup.winnowSpansAgainstIndex(batch, idx,
+      minPrints = 2L, maxDf = Some(4L), dfHist = Some(hist)))
+    assert(fresh == viaHist,
+      "histogram-backed suppression must verdict bit-identically")
+    assert(fresh.nonEmpty && fresh.forall(r => Set(1L, 2L)(r.getLong(1))),
+      s"only the rare (df=2) span survives df<=4: $fresh")
+    // the overlap probe takes the same artifact
+    val ov = Dedup.winnowOverlapAgainstIndex(batch, idx, minShared = 1L,
+      maxDf = Some(4L), dfHist = Some(hist)).collect().head
+    assert(ov.getBoolean(1) && Set(1L, 2L)(ov.getLong(2)), s"$ov")
+    // staleness is one-directional: appends only RAISE true df, so a
+    // stale histogram suppresses less, never more — the clean probe
+    // with a stale histogram still sheds the rare span it knows about
+    val grown = idx.unionByName(
+      Dedup.appendToWinnowIndex(Seq((30L, junk("new", 5) + " " + rare))
+        .toDF("doc_id", "text")))
+    val staleRows = rows(Dedup.winnowSpansAgainstIndex(batch, grown,
+      minPrints = 2L, maxDf = Some(4L), dfHist = Some(hist)))
+    assert(staleRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(Set((20L, 1L), (20L, 2L))).nonEmpty,
+      "a stale histogram keeps suppressing what it knew — it errs open, not closed")
+  }
 }
