@@ -18,10 +18,75 @@ import org.apache.spark.sql.SparkSession
   * excluded from the total instead of being timed in.
   */
 object Bench {
+
+  /** The pids of FOREIGN JVMs: java processes that are neither this
+    * process nor one of its ancestors (the sbt chain that forked this
+    * run is expected and harmless; anything else is competing for the
+    * same cores and contaminates every wall-clock in the artifact —
+    * the r16 lesson, where 4 stale JVMs turned an 8 s query into a
+    * committed 91 s "regression"). Pure so BenchSpec can pin the
+    * classification: `procs` = (pid, ppid, comm). */
+  private[graft] def foreignJvms(procs: Seq[(Long, Long, String)],
+                                 self: Long): Seq[Long] = {
+    val parentOf = procs.map(p => p._1 -> p._2).toMap
+    @annotation.tailrec
+    def ancestors(p: Long, acc: Set[Long]): Set[Long] =
+      parentOf.get(p) match {
+        case Some(pp) if pp > 0 && !acc.contains(pp) => ancestors(pp, acc + pp)
+        case _ => acc
+      }
+    val keep = ancestors(self, Set(self))
+    procs.collect {
+      case (pid, _, comm) if comm.contains("java") && !keep.contains(pid) => pid
+    }.sorted
+  }
+
+  /** /proc census → [[foreignJvms]]. Unreadable entries (racing exits,
+    * permissions) drop silently — the preflight is a best-effort
+    * honesty stamp, never a crash path. */
+  private def scanForeignJvms(): Seq[Long] = try {
+    val self = ProcessHandle.current().pid()
+    val procs = Option(new java.io.File("/proc").listFiles()).getOrElse(Array.empty)
+      .toSeq.filter(_.getName.forall(_.isDigit)).flatMap { f =>
+        try {
+          val pid = f.getName.toLong
+          val stat = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"/proc/$pid/stat")), "UTF-8")
+          val rest = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
+          val comm = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"/proc/$pid/comm")), "UTF-8").trim
+          Some((pid, rest(1).toLong, comm))
+        } catch { case _: Throwable => None }
+      }
+    foreignJvms(procs, self)
+  } catch { case _: Throwable => Nil }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // wall-budget + heavy-query shedding (round 17, verdict item 8: the
+    // driver's bench window timed out at 178 registered queries × 3
+    // iters × 2 runs — an artifact that never prints is worse than one
+    // with fewer iterations). A query whose FIRST iteration runs past
+    // `heavySec` keeps that single measurement (the certification
+    // composites are plan-compile-bound — iterating them 3× buys noise
+    // reduction nobody reads at 20 s scale); once total elapsed passes
+    // `budgetSec` every remaining query drops to 1 iteration; and the
+    // back-to-back control run is skipped entirely when the projected
+    // finish would overrun the budget.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
+    val heavySec = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_SEC", "6").toDouble
+    val benchStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
+    // idle preflight (round 17, verdict item 1): a dirty window must
+    // never again produce a protocol-shaped artifact that READS clean.
+    // Foreign JVMs found before or after the run ride the JSON line as
+    // "dirty":N — readers discard or re-run, per the house protocol.
+    val dirtyBefore = scanForeignJvms()
+    if (dirtyBefore.nonEmpty)
+      System.err.println(s"[bench] DIRTY WINDOW: foreign JVMs alive at start: " +
+        dirtyBefore.mkString(","))
     val spark = GraftSession.configure(
       SparkSession.builder()
         .master(s"local[$cpus]")
@@ -110,22 +175,39 @@ object Bench {
     def runSuite(): Seq[(String, Double, Double)] =
       selected.sortBy(_._1).map { case (name, registered) =>
         val fn = annBuilds.get(name).map(_._2).getOrElse(registered)
-        val times = (0 until iters).flatMap { _ =>
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var want = iters
+        var it = 0
+        while (it < want) {
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Some((System.nanoTime() - t0) / 1e9)
+            val t = (System.nanoTime() - t0) / 1e9
+            times += t
+            // shed: heavy single-query (first iteration past heavySec)
+            // or a suite already past its wall budget — either way the
+            // remaining iterations buy noise reduction the window
+            // can't afford
+            if (it == 0 && want > 1 && (t >= heavySec || elapsedSec >= budgetSec)) {
+              if (t >= heavySec)
+                System.err.println(s"[bench] $name heavy (${fmt(t)}s >= ${heavySec}s) — 1 iter")
+              else
+                System.err.println(s"[bench] budget ${budgetSec}s exceeded — $name drops to 1 iter")
+              want = 1
+            }
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            None
           }
+          it += 1
         }
         val median =
           if (times.isEmpty) -1.0
           else times.sorted.apply(times.size / 2)
         (name, median, times.headOption.getOrElse(-1.0))
       }
+    val run1Start = elapsedSec
     val first = runSuite()
+    val run1Wall = elapsedSec - run1Start
     val firstTotal = first.collect { case (_, m, _) if m >= 0 => m }.sum
     // crash-resilience: the harness parses the LAST JSON line of the
     // stdout tail, and Spark logs ride stderr in the forked run — so
@@ -137,7 +219,8 @@ object Bench {
     val sf = scala.util.Try(sfDir.split("sf").last.toDouble.toString)
       .getOrElse("\"" + sfDir.takeRight(24) + "\"")
     println(metricsLine(first.map { case (n, m, _) => (n, m) }, firstTotal, sf, iters,
-      builds = annBuilds.toSeq.map { case (n, (t, _)) => (n, t) }.sortBy(_._1)))
+      builds = annBuilds.toSeq.map { case (n, (t, _)) => (n, t) }.sortBy(_._1),
+      dirty = Some(dirtyBefore.size).filter(_ > 0)))
     System.out.flush()
     // back-to-back second run (round 11), HEADLINE = the quieter run BY
     // CONSTRUCTION (round 12, verdict protocol item): two rounds
@@ -153,7 +236,14 @@ object Bench {
     val (results, total, control, ctrlFull) =
       if (sys.env.get("SPARK_GRAFT_BENCH_CONTROL").contains("0"))
         (first, firstTotal, None, None)
-      else {
+      else if (elapsedSec + run1Wall > budgetSec) {
+        // the control run costs ≈ run 1 again; projecting past the
+        // wall budget means the driver's window would kill the run
+        // before ANY line prints — a run1 artifact beats a timeout
+        System.err.println(s"[bench] budget: skipping control run " +
+          s"(${fmt(elapsedSec)}s elapsed + ~${fmt(run1Wall)}s projected > ${budgetSec}s)")
+        (first, firstTotal, None, None)
+      } else {
         val second = runSuite()
         val secondTotal = second.collect { case (_, m, _) if m >= 0 => m }.sum
         second.foreach { case (n, m, f0) =>
@@ -192,6 +282,12 @@ object Bench {
     // control map — so the in-band line can shed diagnostics safely as
     // the registry grows. The line carries name#md5-prefix; a reader
     // that finds the pointer verifies the file is THIS run's.
+    // end-of-run re-scan: a JVM that APPEARED mid-run contaminated the
+    // tail of the suite just as surely as a stale one at the start
+    val dirtyAll = (dirtyBefore ++ scanForeignJvms()).distinct.sorted
+    if (dirtyAll.nonEmpty)
+      System.err.println(s"[bench] DIRTY WINDOW: foreign JVMs seen: ${dirtyAll.mkString(",")}")
+    val dirtyStamp = Some(dirtyAll.size).filter(_ > 0)
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_latest.json")
     val fullPointer: Option[String] = try {
       def m(entries: Seq[(String, Double)]) =
@@ -199,8 +295,9 @@ object Bench {
       val ctrlJson = ctrlFull.fold("") { case (ct, rows) =>
         s""","control_value":${fmt(ct)},"control":${m(rows)}"""
       }
+      val dirtyJson = dirtyStamp.fold("")(d => s""","dirty":$d""")
       val content =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sf,"iters":$iters""" +
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$dirtyJson,"sf":$sf,"iters":$iters""" +
           s""","queries":${m(results.map { case (n, md, _) => (n, md) })}""" +
           s""","first_run":${m(results.map { case (n, _, f0) => (n, f0) })}""" +
           s""","build":${m(annBuilds.toSeq.map { case (n, (t, _)) => (n, t) }.sortBy(_._1))}""" +
@@ -234,7 +331,7 @@ object Bench {
     }
     val out = metricsLine(results.map { case (n, m, _) => (n, m) }, total, sf, iters,
       builds = annBuilds.toSeq.map { case (n, (t, _)) => (n, t) }.sortBy(_._1),
-      control = control, full = fullPointer)
+      control = control, full = fullPointer, dirty = dirtyStamp)
     spark.stop()
     println(out)
     System.out.flush()
@@ -254,7 +351,8 @@ object Bench {
   def metricsLine(medians: Seq[(String, Double)], total: Double, sf: String, iters: Int,
                   builds: Seq[(String, Double)] = Nil,
                   control: Option[(Double, Seq[(String, Double)])] = None,
-                  full: Option[String] = None): String = {
+                  full: Option[String] = None,
+                  dirty: Option[Int] = None): String = {
     def fmt(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // map values: 2 decimals, trailing zeros trimmed (round 14 twice
     // over: at 144 registered queries the fixed-width line crossed the
@@ -310,7 +408,11 @@ object Bench {
       // per-query record) rides EVERY shed level — it is what makes
       // shedding the in-band diagnostics safe
       val fp = full.fold("")(p => s""","full":"$p"""")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$hl$fp,"sf":$sf,"iters":$iters$bs$cs,"queries":$qs}"""
+      // the dirty stamp NEVER sheds: a contaminated-window artifact
+      // that dropped its own contamination marker is the exact failure
+      // the preflight exists to prevent (round 17, verdict item 1)
+      val dj = dirty.fold("")(d => s""","dirty":$d""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$hl$dj$fp,"sf":$sf,"iters":$iters$bs$cs,"queries":$qs}"""
     }
     // the harness keeps the LAST ~2000 chars: an over-budget line loses
     // its HEAD and stops parsing — so shed diagnostics in priority

@@ -42,6 +42,12 @@ object Day2Bench {
     val legs = args.toSeq.map { a =>
       val Array(c, d) = a.split(":", 2); (c.toInt, d)
     }
+    // the batch-bounded claim is only measured if the batch is FIXED:
+    // the first leg donates the batch slice, so it must be the 1×
+    // corpus (round-17 advice — wrong order silently benchmarks a
+    // scaled batch and invalidates the whole artifact)
+    require(legs.head._1 == 1,
+      s"first leg must be the 1x corpus (it donates the fixed batch), got ${legs.head._1}x")
     val batch = spark.read.parquet(legs.head._2 + "/documents.parquet")
       .select(col("doc_id"), col("text")).filter(col("doc_id") % 5 === 4)
       .localCheckpoint()

@@ -435,13 +435,39 @@ object Dedup {
     wordGrams(evalDocs, n).select(col("g").as("g", meta)).distinct()
   }
 
+  /** The largest eval-gram set [[flagAgainstEvalGrams]] will broadcast
+    * before falling back to a shuffled hash join: 32M distinct 64-bit
+    * keys ≈ 256 MB of payload — comfortably inside an executor's
+    * broadcast budget, far past any benchmark-suite gram count, and
+    * small enough that the fallback trips long before the driver
+    * would OOM assembling the broadcast. */
+  val DefaultEvalGramBroadcastLimit: Long = 32L * 1000 * 1000
+
   /** [[flagNgramContamination]] against a PRE-BUILT (or reloaded) eval
-    * gram index — the day-2/streaming entry point: the tiny gram set
-    * broadcasts, the train-side gram stream joins map-side, and the
-    * corpus never shuffles (the 100 TB shape q137 certifies). */
+    * gram index — the day-2/streaming entry point.
+    *
+    * Join strategy is CENSUS-GATED (round 17 — the r16 `weak`): for
+    * the operator's original decontamination role the eval side is a
+    * benchmark suite's gram set — tiny by design — and broadcasting it
+    * keeps the corpus exchange-free (the 100 TB shape q137 certifies).
+    * But the master chain (C51/C51b/D2y) reuses this probe as the
+    * LEAKAGE firewall, where the "eval" side is the leading-gram set
+    * of the ENTIRE heldout split — O(corpus), and CUMULATIVE under
+    * streaming ingest. An unconditional broadcast there grows with the
+    * corpus until the driver/executors OOM. So the probe counts the
+    * distinct gram keys first (one aggregation over the gram index —
+    * the count never lands on the driver as rows) and broadcasts only
+    * under `broadcastGramLimit`; past it, both sides shuffle on `g`
+    * into a hash join whose per-partition state is |grams|/shuffle
+    * partitions — linear, spill-safe, and skew-free (the keys are
+    * xxhash64 outputs). Verdicts are strategy-independent, so the two
+    * regimes are bit-identical (DedupSpec pins both directions). */
   def flagAgainstEvalGrams(train: DataFrame, evalGrams: DataFrame,
-                           n: Int = 13): DataFrame = {
+                           n: Int = 13,
+                           broadcastGramLimit: Long = DefaultEvalGramBroadcastLimit): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
+    require(broadcastGramLimit >= 0,
+      s"broadcastGramLimit must be >= 0, got $broadcastGramLimit")
     evalGrams.schema.fields.find(_.name == "g").foreach { gField =>
       if (gField.metadata.contains("graft.decontam.n")) {
         val in = gField.metadata.getLong("graft.decontam.n")
@@ -451,8 +477,17 @@ object Dedup {
             "silently verdict clean")
       }
     }
+    val grams = evalGrams.select(col("g")).distinct()
+    val census = grams.count()
+    val probe =
+      if (census <= broadcastGramLimit) broadcast(grams)
+      // build the hash table from the gram side (it is still the
+      // smaller relation — the train gram stream is O(corpus tokens));
+      // the hint also stops AQE from re-promoting a just-over-limit
+      // gram set back into a broadcast
+      else grams.hint("shuffle_hash")
     val hits = wordGrams(train, n)
-      .join(broadcast(evalGrams.select(col("g")).distinct()), Seq("g"))
+      .join(probe, Seq("g"))
       .select(col("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
     train.select(col("doc_id"))
@@ -1934,10 +1969,33 @@ object Dedup {
       // re-aggregation a day-2 probe would otherwise pay per trigger
       // (measured at 100×: the histogram exchange, not the probe join,
       // dominated the suppressed probe's wall)
+      dfHist.foreach { hist =>
+        // loud provenance guard (the requireWinnowParams convention):
+        // a histogram built over a different index's (k, w) counts
+        // different grams and mis-suppresses silently without this
+        val fpMeta = fp.schema.fields.find(_.name == "h").map(_.metadata)
+        val hMeta = hist.schema.fields.find(_.name == "h").map(_.metadata)
+        for {
+          fm <- fpMeta if fm.contains("graft.winnow.k")
+          hm <- hMeta if hm.contains("graft.winnow.k")
+        } require(fm.getLong("graft.winnow.k") == hm.getLong("graft.winnow.k") &&
+            fm.getLong("graft.winnow.w") == hm.getLong("graft.winnow.w"),
+          s"df histogram was built over an index with k=${hm.getLong("graft.winnow.k")} " +
+            s"w=${hm.getLong("graft.winnow.w")} but the probed index carries " +
+            s"k=${fm.getLong("graft.winnow.k")} w=${fm.getLong("graft.winnow.w")} — " +
+            "suppression would consult the wrong gram population")
+      }
       val hist = dfHist.getOrElse(
         fp.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df")))
-      fp.join(hist.filter(col("df") <= m).select(col("h")),
-        Seq("h"), "left_semi")
+      // anti-join the OVER-threshold prints (round-17 advice): a
+      // fingerprint the histogram has never seen (appended after the
+      // histogram build) passes through — bit-identical to the semi
+      // form when the histogram is fresh (every probe h then has a df
+      // row), and errs OPEN when stale, which is the documented
+      // staleness direction (a stale histogram may suppress less,
+      // never hide a duplicate)
+      fp.join(hist.filter(col("df") > m).select(col("h")),
+        Seq("h"), "left_anti")
     }
 
   /** The winnow index's df histogram — one row per distinct
@@ -1946,12 +2004,23 @@ object Dedup {
     * persist it next to the index (bucketed on h like the index) and
     * pass it to the probes, and the suppression becomes a co-located
     * semi-join instead of a full index re-aggregation per trigger.
-    * Goes stale only UPWARD under appends (true df can only grow), so
-    * a stale histogram suppresses LESS than a fresh one — rebuild it
-    * with the index at the maintenance cadence. */
-  def winnowDfHistogram(index: DataFrame): DataFrame =
+    * Goes stale only UPWARD under appends (true df can only grow) AND
+    * open under them (a print the histogram never saw passes the
+    * probe's anti-join unsuppressed), so a stale histogram suppresses
+    * LESS than a fresh one — rebuild it with the index at the
+    * maintenance cadence ([[Maintain.maintainCorpus]]'s bundle pass).
+    * The index's (k, w) ride the h column's metadata into the
+    * histogram, so a probe against a histogram from a DIFFERENT
+    * index's params fails loudly (the requireWinnowParams
+    * convention). */
+  def winnowDfHistogram(index: DataFrame): DataFrame = {
+    val hField = index.schema.fields.find(_.name == "h").getOrElse(
+      throw new IllegalArgumentException(
+        "index must carry an 'h' column — build it with buildWinnowIndex"))
     index.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
+      .select(col("h").as("h", hField.metadata), col("df"))
+  }
 
   /** C11b `q151_winnow_overlap` — [[winnowOverlap]] on the q107
     * donor-planted corpus (so full-copy pairs provably clear the

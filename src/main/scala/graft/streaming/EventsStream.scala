@@ -2045,9 +2045,18 @@ object EventsStream {
             blocklist.toDF("pattern"), art, splitSeed,
             minWords, maxWords, maxDupFrac, jaccardTau, winnowMinPrints)
           val fates = r.fates.localCheckpoint()
+          // each growth frame MATERIALIZES (localCheckpoint) before its
+          // append lands (round-17 advice): the anti-join's right side
+          // is a lazy read of the SAME directory the append targets,
+          // and a write whose input plan still references its own
+          // output path only works while file listing snapshots at
+          // planning time — fragile across Spark versions and listing
+          // strategies, so no write here targets a path a live plan
+          // still reads
           // 1. eval grams: the batch's heldout 13-grams, new ones only
           Dedup.buildEvalGramIndex(r.evalDocs)
             .join(art.evalGrams.select(col("g")), Seq("g"), "left_anti")
+            .localCheckpoint()
             .write.mode(org.apache.spark.sql.SaveMode.Append)
             .parquet(s"$artifactsDir/eval_grams")
           // 2. exact fingerprints: every NEW text that reached the
@@ -2060,6 +2069,7 @@ object EventsStream {
           Dedup.buildExactIndex(newTexts, "doc_id", "clean_text")
             .join(art.exactIndex.select(col("fingerprint")),
               Seq("fingerprint"), "left_anti")
+            .localCheckpoint()
             .write.mode(org.apache.spark.sql.SaveMode.Append)
             .parquet(s"$artifactsDir/exact_index")
           // 3. canonical URLs: every new eligible resource's keeper
@@ -2068,6 +2078,7 @@ object EventsStream {
               "rec_id", "uri")
             .join(art.urlIndex.select(col("canon_url")),
               Seq("canon_url"), "left_anti")
+            .localCheckpoint()
             .write.mode(org.apache.spark.sql.SaveMode.Append)
             .parquet(s"$artifactsDir/url_index")
           // 4. accept: fates land LAST — a crash above degrades to

@@ -8,6 +8,41 @@ import org.scalatest.funsuite.AnyFunSuite
   * line builder is pure. */
 class BenchSpec extends AnyFunSuite {
 
+  test("preflight: foreign JVMs are java processes outside this run's ancestor chain") {
+    // self = 100, forked by sbt (50), forked by a shell (10): the
+    // chain is clean; a stale bench JVM (200) and its child (201) are
+    // foreign; non-java processes never count
+    val procs = Seq(
+      (1L, 0L, "systemd"),
+      (10L, 1L, "bash"),
+      (50L, 10L, "java"),   // sbt launcher — ancestor, expected
+      (100L, 50L, "java"),  // self
+      (200L, 1L, "java"),   // stale bench JVM — foreign
+      (201L, 200L, "java"), // its executor child — foreign
+      (300L, 1L, "python3"))
+    assert(Bench.foreignJvms(procs, self = 100L) == Seq(200L, 201L))
+    // a clean window reports nothing
+    assert(Bench.foreignJvms(procs.filterNot(p => Set(200L, 201L)(p._1)),
+      self = 100L).isEmpty)
+    // a ppid cycle (pid reuse race) terminates instead of spinning
+    val cyclic = Seq((100L, 50L, "java"), (50L, 100L, "java"))
+    assert(Bench.foreignJvms(cyclic, self = 100L).isEmpty)
+  }
+
+  test("metricsLine: the dirty stamp rides the line and survives shedding") {
+    val line = Bench.metricsLine(
+      Seq(("q01_pricing_summary", 1.0)), 1.0, "0.1", 3, dirty = Some(4))
+    assert(line.contains(""""dirty":4"""), line)
+    // clean runs carry no stamp at all — absence IS the clean signal
+    val clean = Bench.metricsLine(
+      Seq(("q01_pricing_summary", 1.0)), 1.0, "0.1", 3)
+    assert(!clean.contains("dirty"), clean)
+    // shedding pressure (170 wide-median queries) keeps the stamp
+    val many = (1 to 170).map(i => (f"q$i%02d_some_long_descriptive_name", 12.345))
+    val shed = Bench.metricsLine(many, 170 * 12.345, "1.0", 3, dirty = Some(2))
+    assert(shed.length <= 1950 && shed.contains(""""dirty":2"""), shed.take(120))
+  }
+
   test("metricsLine keys are qNN prefixes, map values trim trailing zeros, envelope intact") {
     val line = Bench.metricsLine(
       Seq(("q01_pricing_summary", 1.23456), ("q70_span_dedup", 0.5)),

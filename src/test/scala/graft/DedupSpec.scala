@@ -318,6 +318,41 @@ class DedupSpec extends SparkSpecBase {
       s"train grams must join map-side, saw $gramExchanges gram exchanges:\n${plan.take(1500)}")
   }
 
+  test("firewall census gate: an over-limit gram set refuses the broadcast, verdicts bit-identical") {
+    import spark.implicits._
+    val benchmark = Seq(
+      (0L, "what is the capital city of the ancient kingdom of lydia in western anatolia today")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "some page discussing trivia like what is the capital city of the ancient kingdom of lydia in western anatolia and more"),
+      (11L, "a page about lydia an ancient kingdom whose capital sardis lay in western anatolia near the pactolus river"),
+      (12L, "entirely unrelated content about spark shuffle partitions and memory tuning")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.buildEvalGramIndex(benchmark)
+    val small = Dedup.flagAgainstEvalGrams(train, idx)
+    val large = Dedup.flagAgainstEvalGrams(train, idx, broadcastGramLimit = 0L)
+    // same verdicts either side of the gate — join strategy must never
+    // change WHO is contaminated
+    assert(small.as[(Long, Boolean)].collect().toMap ===
+      large.as[(Long, Boolean)].collect().toMap)
+    assert(large.as[(Long, Boolean)].collect().toMap ==
+      Map(10L -> true, 11L -> false, 12L -> false))
+    // the scale regime's contract: the GRAM join carries no broadcast —
+    // an eval set past the census limit is O(heldout corpus) in the
+    // master chain and a forced broadcast there is an OOM by
+    // construction (the r16 weak). The hits-side doc_id join may still
+    // broadcast (it is bounded by the batch's contaminated set).
+    val plan = large.queryExecution.executedPlan.toString
+    assert("""BroadcastHashJoin \[g#""".r.findFirstIn(plan).isEmpty,
+      s"gram join must not broadcast past the census limit:\n${plan.take(2000)}")
+    assert("""ShuffledHashJoin \[g#""".r.findFirstIn(plan).isDefined,
+      s"over-limit gram join must be a shuffled hash join:\n${plan.take(2000)}")
+    // and the small regime keeps the certified map-side shape
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert("""BroadcastHashJoin \[g#""".r.findFirstIn(smallPlan).isDefined,
+      s"under-limit gram set must still broadcast:\n${smallPlan.take(2000)}")
+  }
+
   test("splitDecontamDocs: the firewall fires on both sides of the plant, train rows only") {
     import spark.implicits._
     val out = Dedup.splitDecontamDocs(spark, sfDir)

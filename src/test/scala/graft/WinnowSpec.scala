@@ -363,5 +363,25 @@ class WinnowSpec extends SparkSpecBase {
     assert(staleRows.map(r => (r.getLong(0), r.getLong(1))).toSet
       .intersect(Set((20L, 1L), (20L, 2L))).nonEmpty,
       "a stale histogram keeps suppressing what it knew — it errs open, not closed")
+    // errs-open is probed on a fingerprint the histogram has NEVER
+    // seen (round-17 advice): a batch doc copying the APPENDED doc's
+    // novel text must still localize its span through the stale
+    // histogram — those prints have no df row, and hiding them would
+    // hide a real duplicate
+    val novelBatch = Seq((40L, junk("pre", 8) + " " + junk("new", 5) + " " +
+      junk("post", 8))).toDF("doc_id", "text")
+    val novelRows = rows(Dedup.winnowSpansAgainstIndex(novelBatch, grown,
+      minPrints = 2L, maxDf = Some(4L), dfHist = Some(hist)))
+    assert(novelRows.exists(r => r.getLong(0) == 40L && r.getLong(1) == 30L),
+      s"append-only fingerprints must pass a stale histogram unsuppressed: $novelRows")
+    // and the provenance guard is loud: a histogram from a
+    // different-(k,w) index refuses instead of mis-suppressing
+    val wrongHist = Dedup.winnowDfHistogram(
+      Dedup.buildWinnowIndex(corpus, k = 7, w = 3))
+    val exM = intercept[IllegalArgumentException] {
+      Dedup.winnowSpansAgainstIndex(batch, idx, minPrints = 2L,
+        maxDf = Some(4L), dfHist = Some(wrongHist)).collect()
+    }
+    assert(exM.getMessage.contains("wrong gram population"), exM.getMessage)
   }
 }
