@@ -96,12 +96,35 @@ object Day2Bench {
         Dedup.winnowCleanAgainstIndex(batch, winIdx, maxDf = Some(16L),
           dfHist = Some(hist))
           .filter(col("n_spans") > 0).count())
+      // firewall (round 17, the r16 weak's regime): the eval-gram side
+      // GROWS with the corpus — every corpus doc's leading 20 words
+      // stands in for the heldout split (a strict upper bound on its
+      // size) — while the batch stays fixed. Timed in BOTH regimes:
+      // the census-gated default (broadcast under the limit at these
+      // scales) and the forced shuffled-hash fallback the 100 TB
+      // corpus would take, so the leg shows the fallback's cost stays
+      // batch-bounded as the gram set grows 1×→100×.
+      val (evalIdx, wbF) = timed(
+        Dedup.buildEvalGramIndex(corpus.select(col("doc_id"),
+            array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 20), " ")
+              .as("text")))
+          .localCheckpoint())
+      val nGrams = evalIdx.count()
+      val (nF, wF) = timed(
+        Dedup.flagAgainstEvalGrams(batch, evalIdx)
+          .filter(col("contaminated")).count())
+      val (nFs, wFs) = timed(
+        Dedup.flagAgainstEvalGrams(batch, evalIdx, broadcastGramLimit = 0L)
+          .filter(col("contaminated")).count())
+      require(nF == nFs,
+        s"firewall verdicts must be join-strategy-independent: $nF vs $nFs")
       println(s"""{"leg":"day2_${copies}x","copies":$copies,""" +
-        s""""n_corpus":$nCorpus,"n_batch":$nBatch,""" +
-        s""""build":{"exact":${fmt(wbE)},"prefix":${fmt(wbP)},"winnow":${fmt(wbW)},"df_hist":${fmt(wbH)}},""" +
+        s""""n_corpus":$nCorpus,"n_batch":$nBatch,"n_eval_grams":$nGrams,""" +
+        s""""build":{"exact":${fmt(wbE)},"prefix":${fmt(wbP)},"winnow":${fmt(wbW)},"df_hist":${fmt(wbH)},"eval_grams":${fmt(wbF)}},""" +
         s""""probe":{"exact":${fmt(wE)},"prefix":${fmt(wP)},"spans":${fmt(wS)},""" +
-        s""""spans_maxdf":${fmt(wSm)},"spans_hist":${fmt(wSh)},"clean_maxdf":${fmt(wC)}},""" +
-        s""""hits":{"exact":$nE,"prefix":$nP,"spans":$nS,"spans_maxdf":$nSm,"spans_hist":$nSh,"clean_maxdf":$nC}}""")
+        s""""spans_maxdf":${fmt(wSm)},"spans_hist":${fmt(wSh)},"clean_maxdf":${fmt(wC)},""" +
+        s""""firewall_bcast":${fmt(wF)},"firewall_shuffle":${fmt(wFs)}},""" +
+        s""""hits":{"exact":$nE,"prefix":$nP,"spans":$nS,"spans_maxdf":$nSm,"spans_hist":$nSh,"clean_maxdf":$nC,"firewall":$nF}}""")
       System.out.flush()
     }
     spark.stop()

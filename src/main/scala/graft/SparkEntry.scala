@@ -301,7 +301,11 @@ object SparkEntry {
     // the DAY-2 master ingest: the whole curation chain run against
     // the FROZEN day-1 artifacts — every batch record fated, both
     // firewall leak directions live, shipped docs encoded
-    "q178_master_ingest"         -> ((s, d) => Pipeline.masterIngestDocs(s, d))
+    "q178_master_ingest"         -> ((s, d) => Pipeline.masterIngestDocs(s, d)),
+    // the DAY-2 mixture REFRESH: day-1 train pool ∪ the ingest's
+    // accepted batch → fresh water-fill, expansion, interleave and
+    // DDP pack — the daily re-plan masterIngest only promised in prose
+    "q179_master_refresh"        -> ((s, d) => Pipeline.masterRefreshDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -678,18 +682,33 @@ object SparkEntry {
     val mats = Seq("chunks", "cl", "sv", "jg", "jp", "nk", "wt", "wsel",
       "wm", "gd", "ft", "tc", "m", "bw", "docids", "toks2", "ms")
     val raw = "WITH RECURSIVE" + masterFrontCtes("", 40L) +
-      s"""
+      masterDay1TrainCtes + masterBpeCtes("tc") +
+      masterMixPackCtes("tc", wCases)
+    mats.foldLeft(raw)((s, n) => s.replace(s"\n$n AS (", s"\n$n AS MATERIALIZED ("))
+  }
+
+  /** Day-1 firewall tail: the train side's 13-gram probe against the
+    * heldout gram set and the surviving (uncontaminated) train pool
+    * `tc` — shared verbatim by q174 and q179. */
+  private def masterDay1TrainCtes: String =
+    s"""
        |ftw AS (SELECT rec_id, string_split_regex(ct2, '\\s+') AS w FROM ft WHERE sp = 'train'),
        |ftg AS (SELECT DISTINCT rec_id, array_to_string(w[i:i+12], ' ') AS g
        |        FROM ftw, unnest(generate_series(1, greatest(len(w) - 12, 0))) AS u(i)
        |        WHERE len(w) >= 13),
        |fhits AS (SELECT DISTINCT ftg.rec_id FROM ftg JOIN feg USING (g)),
        |tc AS (SELECT ft.rec_id, ft.host, ft.ct2 FROM ft LEFT JOIN fhits USING (rec_id)
-       |       WHERE ft.sp = 'train' AND fhits.rec_id IS NULL),""".stripMargin + masterBpeCtes("tc") +
+       |       WHERE ft.sp = 'train' AND fhits.rec_id IS NULL),""".stripMargin
+
+  /** The mixture/pack tail (q158 water-fill → q159 expansion → q165
+    * interleave → q144 pack) over the encoded pool `docids` joined
+    * back to `srcCte` for its source host — shared by q174 (srcCte =
+    * tc, the day-1 pool) and q179 (tcall, day-1 ∪ accepted batch). */
+  private def masterMixPackCtes(srcCte: String, wCases: String): String =
       s"""
-       |toks2 AS (SELECT d.rec_id, tc.host,
+       |toks2 AS (SELECT d.rec_id, $srcCte.host,
        |           CAST(len(d.dseq) AS BIGINT) AS nt
-       |          FROM docids d JOIN tc USING (rec_id)),
+       |          FROM docids d JOIN $srcCte USING (rec_id)),
        |per AS (
        |  SELECT host AS source, CAST(count(*) AS BIGINT) AS n_docs,
        |         CAST(sum(nt) AS BIGINT) AS n_tokens,
@@ -762,8 +781,6 @@ object SparkEntry {
        |       CAST(sum(nt) AS BIGINT) AS total_tokens,
        |       array_to_string(flatten(list(dseq ORDER BY global_pos)), ',') AS ids
        |FROM ch GROUP BY 1, 2 ORDER BY shard, chunk""".stripMargin
-    mats.foldLeft(raw)((s, n) => s.replace(s"\n$n AS (", s"\n$n AS MATERIALIZED ("))
-  }
 
   /** The q178 DAY-2 MASTER-ingest oracle — the ENTIRE two-day chain
     * from raw rows in one query: the shared day-1 front (block-4
@@ -789,7 +806,61 @@ object SparkEntry {
       "wtb", "wselb", "wmb", "gq", "ftb", "tcb", "m", "bw", "docids", "bb")
     val raw = "WITH RECURSIVE" +
       masterFrontCtes(" WHERE (d.doc_id // 40) % 5 <> 4", seed) +
+      masterBatchCtes(seed) + masterBpeCtes("tcb") +
       s"""
+       |encb AS (SELECT d.rec_id, CAST(len(d.dseq) AS BIGINT) AS n_tokens,
+       |          array_to_string(d.dseq, ',') AS ids
+       |         FROM docids d)
+       |SELECT bb.rec_id, bb.host,
+       |  CASE
+       |    WHEN NOT (bb.length_ok AND bb.uri <> '') THEN 'bad_envelope'
+       |    WHEN bb.blocked THEN 'blocked'
+       |    WHEN bb.url_corp IS NOT NULL THEN 'url_dup_corpus'
+       |    WHEN bb.rec_id <> bb.bk THEN 'url_dup_batch'
+       |    WHEN clb.rec_id IS NULL OR trim(clb.clean_text) = '' THEN 'empty'
+       |    WHEN exc.ex_corp IS NOT NULL THEN 'exact_dup_corpus'
+       |    WHEN exs.rec_id IS NOT NULL AND exs.rec_id <> exs.ek THEN 'exact_dup_batch'
+       |    WHEN ndc.nd_corp IS NOT NULL THEN 'near_dup_corpus'
+       |    WHEN ndb.nd_batch IS NOT NULL THEN 'near_dup_batch'
+       |    WHEN gq.rec_id IS NOT NULL AND NOT gq.gate_ok THEN 'gate_failed'
+       |    WHEN ftb.sp IS NOT NULL AND ftb.sp <> 'train' THEN 'eval_heldout'
+       |    WHEN fhitsb.rec_id IS NOT NULL THEN 'contaminated'
+       |    ELSE 'shipped'
+       |  END AS fate,
+       |  CAST(coalesce(bb.url_corp,
+       |    CASE WHEN bb.length_ok AND bb.uri <> '' AND NOT bb.blocked
+       |              AND bb.rec_id <> bb.bk THEN bb.bk END,
+       |    exc.ex_corp,
+       |    CASE WHEN exs.rec_id <> exs.ek THEN exs.ek END,
+       |    ndc.nd_corp, ndb.nd_batch, -1) AS BIGINT) AS dup_of,
+       |  CAST(coalesce(wcnt.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(wcnt.removed_chars, 0) AS BIGINT) AS removed_chars,
+       |  CAST(coalesce(encb.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  coalesce(encb.ids, '') AS ids
+       |FROM bb
+       |LEFT JOIN clb ON clb.rec_id = bb.rec_id
+       |LEFT JOIN exc ON exc.rec_id = bb.rec_id
+       |LEFT JOIN exs ON exs.rec_id = bb.rec_id
+       |LEFT JOIN ndc ON ndc.rec_id = bb.rec_id
+       |LEFT JOIN ndb ON ndb.rec_id = bb.rec_id
+       |LEFT JOIN gq ON gq.rec_id = bb.rec_id
+       |LEFT JOIN wcnt ON wcnt.rec_id = bb.rec_id
+       |LEFT JOIN ftb ON ftb.rec_id = bb.rec_id
+       |LEFT JOIN fhitsb ON fhitsb.rec_id = bb.rec_id
+       |LEFT JOIN encb ON encb.rec_id = bb.rec_id
+       |ORDER BY bb.rec_id""".stripMargin
+    mats.foldLeft(raw)((s, n) => s.replace(s"\n$n AS (", s"\n$n AS MATERIALIZED ("))
+  }
+
+  /** The day-2 BATCH chain (q178's plant families → serialization →
+    * parse → envelope/blocklist gates → batch + frozen-index URL and
+    * exact elections → frozen-vocab prefix probe + within-batch
+    * Jaccard → corpus-witnessed ∪ within-batch span union + keep-all
+    * excision → gate → same-seed split → firewall against frozen ∪
+    * batch-extended grams), ending at the shipped pool `tcb` —
+    * shared verbatim by q178 and q179. */
+  private def masterBatchCtes(seed: Long): String =
+    s"""
        |dnb AS (
        |  SELECT d.doc_id, d.source, d.text,
        |    m40.text AS t40, m38.text AS t38, dh.text AS tdh, bh.text AS tbh,
@@ -1038,49 +1109,36 @@ object SparkEntry {
        |fhitsb AS (SELECT DISTINCT ftgb.rec_id FROM ftgb JOIN fega USING (g)),
        |tcb AS (SELECT ftb.rec_id, ftb.host, ftb.ct2 FROM ftb
        |        LEFT JOIN fhitsb ON fhitsb.rec_id = ftb.rec_id
-       |        WHERE ftb.sp = 'train' AND fhitsb.rec_id IS NULL),""".stripMargin + masterBpeCtes("tcb") +
+       |        WHERE ftb.sp = 'train' AND fhitsb.rec_id IS NULL),""".stripMargin
+
+  /** The q179 DAY-2 MIXTURE-REFRESH oracle — the two-day chain of
+    * q178 CONTINUED through the re-plan: the day-1 front (block-4
+    * held out, seed 4) and its firewall-surviving train pool `tc`,
+    * the entire batch fate ladder down to the shipped pool `tcb`,
+    * ONE BPE id space over the UNION (`tcall` — rec_id spaces are
+    * chunk-keyed and disjoint), and the q174 mixture/pack tail
+    * (water-fill on the grown per-source pools, expansion coins and
+    * order keys unchanged per doc, fresh interleave, DDP-striped
+    * pack). A drift anywhere — a batch fate, a day-1 gram, a
+    * re-levelled allocation — flips the packed id streams. */
+  private val masterRefreshOracleSql: String = {
+    val seed = graft.operators.Pipeline.MasterIngestSeed
+    val wCases = graft.operators.Pipeline.masterWeights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
+    val mats = Seq("chunks", "cl", "sv", "jg", "jp", "nk", "wt", "wsel",
+      "wm", "gd", "ft", "feg", "tc",
+      "chunksb", "clb", "neb", "exs", "s3", "s4a", "s4", "jgb",
+      "wtb", "wselb", "wmb", "gq", "ftb", "tcb", "bb",
+      "tcall", "m", "bw", "docids", "toks2", "ms")
+    val raw = "WITH RECURSIVE" +
+      masterFrontCtes(" WHERE (d.doc_id // 40) % 5 <> 4", seed) +
+      masterDay1TrainCtes +
+      masterBatchCtes(seed) +
       s"""
-       |encb AS (SELECT d.rec_id, CAST(len(d.dseq) AS BIGINT) AS n_tokens,
-       |          array_to_string(d.dseq, ',') AS ids
-       |         FROM docids d)
-       |SELECT bb.rec_id, bb.host,
-       |  CASE
-       |    WHEN NOT (bb.length_ok AND bb.uri <> '') THEN 'bad_envelope'
-       |    WHEN bb.blocked THEN 'blocked'
-       |    WHEN bb.url_corp IS NOT NULL THEN 'url_dup_corpus'
-       |    WHEN bb.rec_id <> bb.bk THEN 'url_dup_batch'
-       |    WHEN clb.rec_id IS NULL OR trim(clb.clean_text) = '' THEN 'empty'
-       |    WHEN exc.ex_corp IS NOT NULL THEN 'exact_dup_corpus'
-       |    WHEN exs.rec_id IS NOT NULL AND exs.rec_id <> exs.ek THEN 'exact_dup_batch'
-       |    WHEN ndc.nd_corp IS NOT NULL THEN 'near_dup_corpus'
-       |    WHEN ndb.nd_batch IS NOT NULL THEN 'near_dup_batch'
-       |    WHEN gq.rec_id IS NOT NULL AND NOT gq.gate_ok THEN 'gate_failed'
-       |    WHEN ftb.sp IS NOT NULL AND ftb.sp <> 'train' THEN 'eval_heldout'
-       |    WHEN fhitsb.rec_id IS NOT NULL THEN 'contaminated'
-       |    ELSE 'shipped'
-       |  END AS fate,
-       |  CAST(coalesce(bb.url_corp,
-       |    CASE WHEN bb.length_ok AND bb.uri <> '' AND NOT bb.blocked
-       |              AND bb.rec_id <> bb.bk THEN bb.bk END,
-       |    exc.ex_corp,
-       |    CASE WHEN exs.rec_id <> exs.ek THEN exs.ek END,
-       |    ndc.nd_corp, ndb.nd_batch, -1) AS BIGINT) AS dup_of,
-       |  CAST(coalesce(wcnt.n_spans, 0) AS BIGINT) AS n_spans,
-       |  CAST(coalesce(wcnt.removed_chars, 0) AS BIGINT) AS removed_chars,
-       |  CAST(coalesce(encb.n_tokens, 0) AS BIGINT) AS n_tokens,
-       |  coalesce(encb.ids, '') AS ids
-       |FROM bb
-       |LEFT JOIN clb ON clb.rec_id = bb.rec_id
-       |LEFT JOIN exc ON exc.rec_id = bb.rec_id
-       |LEFT JOIN exs ON exs.rec_id = bb.rec_id
-       |LEFT JOIN ndc ON ndc.rec_id = bb.rec_id
-       |LEFT JOIN ndb ON ndb.rec_id = bb.rec_id
-       |LEFT JOIN gq ON gq.rec_id = bb.rec_id
-       |LEFT JOIN wcnt ON wcnt.rec_id = bb.rec_id
-       |LEFT JOIN ftb ON ftb.rec_id = bb.rec_id
-       |LEFT JOIN fhitsb ON fhitsb.rec_id = bb.rec_id
-       |LEFT JOIN encb ON encb.rec_id = bb.rec_id
-       |ORDER BY bb.rec_id""".stripMargin
+       |tcall AS (SELECT rec_id, host, ct2 FROM tc
+       |          UNION ALL SELECT rec_id, host, ct2 FROM tcb),""".stripMargin +
+      masterBpeCtes("tcall") +
+      masterMixPackCtes("tcall", wCases)
     mats.foldLeft(raw)((s, n) => s.replace(s"\n$n AS (", s"\n$n AS MATERIALIZED ("))
   }
 
@@ -4868,6 +4926,10 @@ object SparkEntry {
     // derives every frozen artifact, then the batch's whole chain
     // probes them (see masterIngestOracleSql's Scaladoc)
     "q178_master_ingest" -> masterIngestOracleSql,
+    // the day-2 mixture refresh: q178's two-day chain continued
+    // through the re-plan over the grown pool (see
+    // masterRefreshOracleSql's Scaladoc)
+    "q179_master_refresh" -> masterRefreshOracleSql,
 
     // q92: phrase matching is pure integer position arithmetic —
     // DuckDB re-derives (term, pos) pairs via zipped unnest and counts

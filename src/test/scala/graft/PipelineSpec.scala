@@ -383,4 +383,70 @@ class PipelineSpec extends SparkSpecBase {
     assert(spanRes.contains(8L),
       "no within-batch span excision reached the output")
   }
+
+  test("q179 master refresh: empty batch ships day-1 shards byte-identically, accepted docs join the order, the water-fill re-levels") {
+    import graft.operators.{Sharding, Urls}
+    val docs = Tables(spark, sfDir).documents.localCheckpoint()
+    val bl = Urls.docBlocklist.toDF("pattern")
+    val day1Chunks = graft.sources.Warc.plantedMasterChunks(docs)
+      .filter(col("chunk_id") % 5 =!= 4)
+    val f = Pipeline.masterFront(day1Chunks, "chunk_id", "content", bl,
+      Pipeline.MasterIngestSeed, 15, 120, 0.65, 0.8, 60L,
+      _ => _.localCheckpoint())
+    val day1Enc = Pipeline.encodeBosEos(f.cleanTrain).localCheckpoint()
+    // 1. the no-op contract: an EMPTY batch ships the day-1 shards
+    //    byte-identically (mixAndPack is shared code, so this pins the
+    //    union/select plumbing, not a re-implementation)
+    val day1Shards = Pipeline.masterPipeline(day1Chunks, "chunk_id",
+      "content", bl, Pipeline.masterWeights,
+      splitSeed = Pipeline.MasterIngestSeed)
+      .as[(Int, Long, Long, Long, String)].collect().toSeq
+    val emptyRefresh = Pipeline.masterRefresh(day1Enc, day1Enc.limit(0),
+      Pipeline.masterWeights)
+      .as[(Int, Long, Long, Long, String)].collect().toSeq
+    assert(emptyRefresh == day1Shards,
+      "an empty batch must ship byte-identical day-1 shards")
+    // 2. the real refresh: accepted batch docs appear in the new order
+    val r = Pipeline.masterIngestFull(
+      graft.sources.Warc.plantedMasterBatchChunks(docs),
+      "chunk_id", "content", bl, Pipeline.masterArtifactsOf(f, 0.8),
+      splitSeed = Pipeline.MasterIngestSeed)
+    val accepted = r.accepted.localCheckpoint()
+    assert(accepted.count() >= 1, "the q178 plants must ship ≥1 batch doc")
+    val refreshed = Pipeline.masterRefresh(day1Enc, accepted,
+      Pipeline.masterWeights)
+      .as[(Int, Long, Long, Long, String)].collect().toSeq
+    assert(refreshed != day1Shards, "the refresh must move the pack")
+    val allIds = refreshed.map(_._5).mkString("|")
+    val acceptedStreams = accepted
+      .select(array_join(transform(col("dseq"), x => x.cast("string")), ","))
+      .as[String].collect()
+    assert(acceptedStreams.exists(allIds.contains),
+      "no accepted batch doc's id stream reached the packed shards")
+    // 3. the water-fill re-levels: every accepted doc grows its
+    //    source's pool, and that source's allocation must move (capped:
+    //    capacity grew; uncapped: the budget grew) — the re-plan is
+    //    real, not a replay of day-1 allocations
+    def planOf(pool: org.apache.spark.sql.DataFrame) = {
+      val tot = pool.agg(sum(col("n_tokens"))).first().getLong(0)
+      Sharding.planMixture(pool, "source", "n_tokens",
+        Pipeline.masterWeights, budgetTokens = tot * 3L / 2L)
+        .select(col("source"), col("alloc_tokens"), col("capped"))
+        .as[(String, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    }
+    val p1 = planOf(day1Enc)
+    val pu = planOf(day1Enc.unionByName(
+      accepted.select(col("doc_id"), col("source"), col("dseq"),
+        col("n_tokens"))))
+    val grownSources = accepted.select(col("source")).distinct()
+      .as[String].collect().toSet
+    assert(grownSources.exists(s =>
+      pu.get(s).map(_._1).getOrElse(0L) > p1.get(s).map(_._1).getOrElse(0L)),
+      s"no grown source re-levelled: day1=$p1 union=$pu grown=$grownSources")
+    // both verdict paths stay live after the refresh (the q158 plant
+    // contract carries to the union pool)
+    assert(pu.values.exists(_._2) && pu.values.exists(!_._2),
+      s"union plan must keep capped AND uncapped sources: $pu")
+  }
 }
