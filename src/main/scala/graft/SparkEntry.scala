@@ -180,10 +180,11 @@ object SparkEntry {
     "q135_phrase_incremental"    -> ((s, d) => Search.phraseIncrementalDocs(s, d)),
     "q136_bpe_byte_kernel"       -> ((s, d) => Bpe.bpeByteStatsDocs(s, d)),
     "q137_ngram_decontamination" -> ((s, d) => Dedup.ngramDecontaminationDocs(s, d)),
-    // rows-only (KMeans, the C7b convention): q134's pipeline on the
-    // two-level (inverted-multi-index) quantizer — assignment scores
-    // ~2·sqrt(cells) centroids instead of cells, the flat-IVF growth
-    // path measured in SCALING_r13
+    // q134's pipeline on the two-level (inverted-multi-index)
+    // quantizer — assignment scores ~2·sqrt(cells) centroids instead
+    // of cells, the flat-IVF growth path measured in SCALING_r13.
+    // Round 17: ORACLE-BACKED from its persisted half sub-quantizers
+    // (the q134/q140 trained-artifact convention)
     "q138_text_semdedup_imi"     -> ((s, d) => TextEmbed.textSemDedupImi(s, d)),
     "q139_semdedup_imi_portable" -> ((s, d) => Similarity.semanticDedupImiPortable(s, d)),
     // rows-only (three KMeans fits — C7b/C7d convention): the composed
@@ -3299,6 +3300,63 @@ object SparkEntry {
         |             ORDER BY c.c2 - 2.0 * list_dot_product(e.v, c.cvec) ASC,
         |                      c.cell ASC) AS rn
         |         FROM e CROSS JOIN c) WHERE rn = 1),
+        |m AS (SELECT a.vec_id, a.cell, e.v,
+        |        sqrt(list_dot_product(e.v, e.v)) AS nrm
+        |      FROM asg a JOIN e ON e.vec_id = a.vec_id),
+        |dups AS (SELECT id_b AS vec_id, min(id_a) AS dup_of FROM (
+        |          SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |            round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cos
+        |          FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+        |         WHERE cos >= 0.92 GROUP BY 1)
+        |SELECT m.vec_id, m.cell, d.vec_id IS NOT NULL AS is_dup, d.dup_of
+        |FROM m LEFT JOIN dups d ON d.vec_id = m.vec_id
+        |ORDER BY m.vec_id""".stripMargin,
+
+    // q138: the TWO-LEVEL SemDeDup replayed from its persisted trained
+    // half sub-quantizers (round 17 — q134's convention verbatim, one
+    // level up): the q95 embed chain, per-half artifact-keyed
+    // assignment argmins, the product cell cc1·k2+cc2 with k2 read off
+    // the artifact itself, within-cell pairing and min-id verdict;
+    // only the two KMeans fits stay outside the boundary
+    "q138_text_semdedup_imi" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |dk AS (SELECT CAST(sum(length(text)) + count(*) AS BIGINT) AS k FROM documents),
+        |th AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+        |comp AS (SELECT doc_id, j,
+        |    CAST(sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS DOUBLE) AS cmp
+        |  FROM th CROSS JOIN generate_series(0, 59) AS dims(j)
+        |  GROUP BY doc_id, j),
+        |e AS (SELECT doc_id AS vec_id, list(cmp ORDER BY j) AS v
+        |      FROM comp GROUP BY doc_id),
+        |c1 AS (SELECT CAST(cell AS INT) AS cell, CAST(cvec AS DOUBLE[]) AS cvec,
+        |        CAST(c2 AS DOUBLE) AS c2
+        |      FROM read_parquet('/tmp/graft_trained/semdedup_imi/cent1/*/*.parquet',
+        |                        hive_partitioning = true)
+        |      WHERE CAST(k AS BIGINT) = (SELECT k FROM dk)),
+        |c2t AS (SELECT CAST(cell AS INT) AS cell, CAST(cvec AS DOUBLE[]) AS cvec,
+        |        CAST(c2 AS DOUBLE) AS c2
+        |      FROM read_parquet('/tmp/graft_trained/semdedup_imi/cent2/*/*.parquet',
+        |                        hive_partitioning = true)
+        |      WHERE CAST(k AS BIGINT) = (SELECT k FROM dk)),
+        |k2v AS (SELECT CAST(count(*) AS INT) AS k2 FROM c2t),
+        |a1 AS (SELECT vec_id, cell AS cc1 FROM (
+        |        SELECT e.vec_id, c1.cell,
+        |          row_number() OVER (PARTITION BY e.vec_id
+        |            ORDER BY c1.c2 - 2.0 * list_dot_product(e.v[1:30], c1.cvec) ASC,
+        |                     c1.cell ASC) AS rn
+        |        FROM e CROSS JOIN c1) WHERE rn = 1),
+        |a2 AS (SELECT vec_id, cell AS cc2 FROM (
+        |        SELECT e.vec_id, c2t.cell,
+        |          row_number() OVER (PARTITION BY e.vec_id
+        |            ORDER BY c2t.c2 - 2.0 * list_dot_product(e.v[31:60], c2t.cvec) ASC,
+        |                     c2t.cell ASC) AS rn
+        |        FROM e CROSS JOIN c2t) WHERE rn = 1),
+        |asg AS (SELECT a1.vec_id,
+        |         a1.cc1 * (SELECT k2 FROM k2v) + a2.cc2 AS cell
+        |        FROM a1 JOIN a2 USING (vec_id)),
         |m AS (SELECT a.vec_id, a.cell, e.v,
         |        sqrt(list_dot_product(e.v, e.v)) AS nrm
         |      FROM asg a JOIN e ON e.vec_id = a.vec_id),

@@ -854,6 +854,34 @@ object Dedup {
       vocab)
   }
 
+  /** Rebuild the prefix triple from a PERSISTED grams table under a
+    * FRESH vocabulary — the maintenance heal for vocab drift
+    * ([[Maintain.maintainMasterBundle]]): the stored gram arrays are
+    * the full shingle-hash SETS (their order is vocab-derived and
+    * discarded by re-ordering), so this equals [[buildPrefixIndex]] on
+    * the original texts exactly — same verdicts, shorter prefixes —
+    * without re-reading or re-shingling a byte of text. `gMeta` is the
+    * live postings' g metadata (k, t travel with the index so the
+    * probes' loud param guards survive the heal). */
+  def rebuildPrefixIndex(gramsTable: DataFrame,
+                         gMeta: org.apache.spark.sql.types.Metadata,
+                         t: Double): (DataFrame, DataFrame, DataFrame) = {
+    require(t > 0.0 && t <= 1.0, s"threshold must be in (0,1], got $t")
+    val docs = gramsTable
+      .select(col("doc_id"), array_distinct(col("grams")).as("grams"))
+      .localCheckpoint() // forked: vocab + ordering
+    val vocab = docs.select(explode(col("grams")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val ordered = orderedGrams(docs, vocab).localCheckpoint()
+    freeBlocks(docs)
+    val postings = prefixPostings(ordered, t)
+      .select(col("g").as("g", gMeta), col("doc_id"), col("len"), col("pos"))
+    (postings,
+      ordered.select(col("doc_id"), col("toks").as("grams"), col("len")),
+      vocab)
+  }
+
   /** Postings + grams rows for an ACCEPTED batch, under the index's
     * frozen vocabulary — append these to the persisted artifacts and
     * the next batch's probe sees today's accepts (the C2b/C30e growth

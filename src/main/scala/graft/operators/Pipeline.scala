@@ -981,6 +981,11 @@ object Pipeline {
     w(art.prefixPostings, "prefix_postings")
     w(art.prefixGrams, "prefix_grams"); w(art.prefixVocab, "prefix_vocab")
     w(art.winnowIndex, "winnow_index"); w(art.evalGrams, "eval_grams")
+    // the suppression histogram rides the bundle from birth (round 17):
+    // maxDf probes read it co-located, and the maintenance pass
+    // ([[Maintain.maintainMasterBundle]]) meters its staleness instead
+    // of healing it into existence on the first tick
+    w(Dedup.winnowDfHistogram(art.winnowIndex), "winnow_hist")
   }
 
   /** Reload a [[persistMasterArtifacts]] bundle. */

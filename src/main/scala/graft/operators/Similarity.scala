@@ -318,32 +318,116 @@ object Similarity {
     require(!maxCell.isNullAt(0),
       "rebalanceIvfIndex: centroid table is empty — nothing to rebalance " +
         "against (build the index first)")
-    var nextId = maxCell.getInt(0) + 1
     val fatDf = broadcast(fat.map(_._1).toSeq.toDF("cell"))
     val keepA = a.join(fatDf, Seq("cell"), "left_anti")
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
     val keepC = cents.join(fatDf, Seq("cell"), "left_anti")
-    // per-cell pieces accumulate in buffers and union ONCE at the end —
-    // the plan depth is one flat union of #fat+1 checkpointed legs, not
-    // a #fat-deep left-leaning chain
-    val subA = Seq.newBuilder[DataFrame]
-    val subC = Seq.newBuilder[DataFrame]
-    fat.foreach { case (cellId, n) =>
-      val rows = a.filter(col("cell") === cellId)
-        .select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
-      val k = math.max(2, ((n + targetCellSize - 1) / targetCellSize).toInt)
-      val fit = if (n <= fitSampleSize) rows
-        else rows.sample(withReplacement = false, fitSampleSize.toDouble / n, seed)
-      val (_, sub0) = buildIvfIndexFrom(fit, k, seed)
-      val sub = sub0.select((col("cell") + lit(nextId)).cast("int").as("cell"),
-        col("cvec"), col("c2")).localCheckpoint()
-      nextId += k
-      subA += assignPrepped(rows, sub)
-      subC += sub
+    // ONE distributed pass (round 17 — the carried r14 nit retired):
+    // each fat cell's SAMPLE (≤ fitSampleSize vectors, a few MB)
+    // groups to a single executor task and a local deterministic
+    // Lloyd's splits every fat cell inside the SAME job — the driver
+    // no longer schedules O(#fat-cells) sequential KMeans fits. The
+    // driver-side state is the census it already collected (bounded
+    // by #cells) plus the fresh-id block map derived from it.
+    val kOf: Map[Int, Int] = fat.map { case (cellId, n) =>
+      cellId -> math.max(2, ((n + targetCellSize - 1) / targetCellSize).toInt)
+    }.toMap
+    val baseOf: Map[Int, Int] = {
+      var next = maxCell.getInt(0) + 1
+      fat.map { case (cellId, _) =>
+        val b = cellId -> next; next += kOf(cellId); b
+      }.toMap
     }
-    val outA = (keepA +: subA.result()).reduce(_ unionByName _)
-    val outC = (keepC +: subC.result()).reduce(_ unionByName _)
-    (outA, outC, true)
+    val rateDf = broadcast(fat.map { case (cellId, n) =>
+      (cellId, math.min(1.0, fitSampleSize.toDouble / n))
+    }.toSeq.toDF("cell", "_rate"))
+    val fatRows = a.join(fatDf, Seq("cell"), "left_semi")
+      .localCheckpoint() // forked: the sampled fit + the assignment
+    val kOfB = spark.sparkContext.broadcast(kOf)
+    val baseOfB = spark.sparkContext.broadcast(baseOf)
+    val subCents = fatRows.join(rateDf, Seq("cell"))
+      .filter(Sharding.md5Unit(col("vec_id"), seed) < col("_rate"))
+      .select(col("cell"), col("vec_id"), col("v"))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cellId, it) =>
+        // id-sorted for determinism: same rows ⇒ same init ⇒ same split
+        val pts = it.map { case (_, id, v) => (id, v.toArray) }
+          .toArray.sortBy(_._1).map(_._2)
+        localLloyd(pts, kOfB.value(cellId)).zipWithIndex.map { case (cv, i) =>
+          (cellId, baseOfB.value(cellId) + i, cv.toSeq, cv.map(x => x * x).sum)
+        }
+      }
+      .toDF("orig", "cell", "cvec", "c2")
+      .localCheckpoint() // forked: the assignment scoring + the union
+    require(subCents.select(col("orig")).distinct().count() == fat.size,
+      "rebalanceIvfIndex: a fat cell produced no sub-centroids — its " +
+        "sample came back empty (raise fitSampleSize)")
+    // assignment: each fat row scores ONLY its own cell's sub-centroids
+    // — a broadcast join (Σ k rows) + map-side min-struct argmin, the
+    // probeNearestCells rule; the corpus side never shuffles
+    val best = fatRows.alias("r")
+      .join(broadcast(subCents.alias("s")), col("r.cell") === col("s.orig"))
+      .select(col("r.vec_id").as("vec_id"),
+        col("s.cell").as("_sc"),
+        (col("s.c2") - lit(2.0) * vectors.dot(col("r.v"), col("s.cvec")))
+          .as("_d"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("_d"), col("_sc"))).as("_m"))
+      .select(col("vec_id"), col("_m").getField("_sc").as("cell"))
+    val newA = fatRows.select(col("vec_id"), col("v"), col("nrm"))
+      .join(best, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    (keepA.unionByName(newA),
+      keepC.unionByName(subCents.select(col("cell"), col("cvec"), col("c2"))),
+      true)
+  }
+
+  /** Deterministic local Lloyd's over ONE fat cell's sample (runs
+    * inside a single [[rebalanceIvfIndex]] executor task; the sample
+    * is bounded by fitSampleSize, so the working set is a few MB).
+    * Init = k evenly-spaced points of the id-sorted sample (a fat
+    * cell's substructure is id-blocked in every planted fixture and
+    * uniformly interleaved otherwise — either way the spread beats a
+    * random draw for determinism at equal quality); 20 fixed
+    * iterations; ties break to the lower center; an emptied center
+    * keeps its position (the standard guard). */
+  private def localLloyd(points: Array[Array[Double]], k: Int,
+                         iters: Int = 20): Array[Array[Double]] = {
+    val n = points.length
+    if (n == 0) return Array.empty
+    val kk = math.min(k, n)
+    val dim = points(0).length
+    var centers = Array.tabulate(kk)(i => points((i.toLong * n / kk).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val cnts = new Array[Long](kk)
+      var pi = 0
+      while (pi < n) {
+        val p = points(pi)
+        var bestC = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          val cv = centers(c)
+          var d = 0.0
+          var j = 0
+          while (j < dim) { val t = p(j) - cv(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; bestC = c }
+          c += 1
+        }
+        val s = sums(bestC)
+        var j = 0
+        while (j < dim) { s(j) += p(j); j += 1 }
+        cnts(bestC) += 1
+        pi += 1
+      }
+      centers = Array.tabulate(kk)(c =>
+        if (cnts(c) == 0) centers(c) else sums(c).map(_ / cnts(c)))
+      it += 1
+    }
+    centers
   }
 
   /** C7i at the PERSISTED index (round 16 — the form the schedulable

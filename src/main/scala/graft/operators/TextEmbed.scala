@@ -140,11 +140,19 @@ object TextEmbed {
     * inverted-multi-index growth path the flat build documents):
     * k1 = k2 = ⌈√cells⌉ sub-quantizers over the vector halves, so
     * assignment scores ~2·√cells centroids per vector instead of
-    * cells. Same auto-sizing rule, same assigned-frame SemDeDup, same
-    * rows-only certification convention; the spec pins that the
-    * planted verdicts MATCH the flat path's on clustered data. */
+    * cells. Same auto-sizing rule, same assigned-frame SemDeDup.
+    * Round 17: ORACLE-BACKED via the q134/q140 trained-artifact
+    * convention — the two half sub-quantizers persist under
+    * `semdedup_imi` (hive-keyed by the documents corpus key), the
+    * corpus re-assigns from the reloaded bytes through the production
+    * day-2 rule ([[Similarity.appendToIvfIndexTwoLevel]]), and the
+    * DuckDB oracle replays embed → per-half argmin → product cell →
+    * within-cell verdict from those parquet bytes; only the two
+    * KMeans fits stay outside the boundary. The spec still pins that
+    * the planted verdicts MATCH the flat path's on clustered data. */
   def textSemDedupImi(spark: SparkSession, dir: String): DataFrame =
-    textSemDedupImiFrame(Tables(spark, dir).documents)
+    textSemDedupImiFrame(Tables(spark, dir).documents,
+      artifactDir = Some(s"${Similarity.TrainedArtifactRoot}/semdedup_imi"))
 
   /** [[textSemDedupImi]] over any (doc_id, text) frame — the trained
     * pipeline with the two-level quantizer FORCED (q138's contract:
@@ -155,9 +163,11 @@ object TextEmbed {
                            threshold: Double = 0.92,
                            maxCellSize: Int = 10000,
                            seed: Long = 42L,
-                           fitSampleSize: Int = 16384): DataFrame =
+                           fitSampleSize: Int = 16384,
+                           artifactDir: Option[String] = None): DataFrame =
     textSemDedupTrainedFrame(docs, dims, targetCellSize, threshold,
-      maxCellSize, seed, fitSampleSize, quantizer = "imi")
+      maxCellSize, seed, fitSampleSize, quantizer = "imi",
+      artifactDir = artifactDir)
 
   /** The measured flat→two-level crossover, in CELLS (SCALING_r13's
     * q134/q138 legs, sf0.1→sf1→30×): at 40 cells flat and IMI tie

@@ -98,6 +98,103 @@ class MaintainSpec extends SparkSpecBase {
     assert(!again.healedAnything, s"healthy corpus must no-op: $again")
   }
 
+  test("maintainMasterBundle: stale histogram + fragmented eval grams + drifted vocab heal in one pass, probes identical, healthy tick no-ops") {
+    import graft.operators.Dedup
+    def words(seed: String, n: Int): String =
+      (0 until n).map(i =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(10)).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("maint_bundle").toString + "/bundle"
+    val boiler = words("boiler", 12)
+    val corpus = (1L to 12L).map(i =>
+      (i, words(s"own$i", 10) + " " + boiler + " " + words(s"tail$i", 10)))
+      .toDF("doc_id", "text").localCheckpoint()
+    val (p0, g0, v0) = Dedup.buildPrefixIndex(corpus)
+    p0.write.parquet(s"$dir/prefix_postings")
+    g0.write.parquet(s"$dir/prefix_grams")
+    v0.write.parquet(s"$dir/prefix_vocab")
+    val idx0 = Dedup.buildWinnowIndex(corpus).localCheckpoint()
+    idx0.write.parquet(s"$dir/winnow_index")
+    Dedup.winnowDfHistogram(idx0).write.parquet(s"$dir/winnow_hist")
+    val evalText = words("eval", 25)
+    Dedup.buildEvalGramIndex(Seq((900L, evalText)).toDF("doc_id", "text"))
+      .coalesce(1).write.parquet(s"$dir/eval_grams")
+
+    // a FRESH bundle no-ops — the meters are censuses, not rebuilds
+    val fresh = Maintain.maintainCorpus(spark, masterBundleDirs = Seq(dir))
+    assert(!fresh.healedAnything, s"fresh bundle must no-op: $fresh")
+
+    // ---- decay, exactly the D2y modes -------------------------------
+    // 1. the winnow index grows (histogram goes stale)
+    Dedup.appendToWinnowIndex(
+        Seq((50L, words("novelw", 10) + " " + boiler)).toDF("doc_id", "text"))
+      .write.mode(SaveMode.Append).parquet(s"$dir/winnow_index")
+    // 2. ten micro-batch appends fragment the eval-gram artifact
+    (1 to 10).foreach { i =>
+      Dedup.buildEvalGramIndex(
+          Seq((1000L + i, words(s"ev$i", 25))).toDF("doc_id", "text"))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/eval_grams")
+    }
+    // 3. novel-vocabulary accepts append under the FROZEN gram order
+    val (ap, ag) = Dedup.appendToPrefixIndex(
+      (60L to 69L).map(i => (i, words(s"nv$i", 40))).toDF("doc_id", "text"),
+      spark.read.parquet(s"$dir/prefix_vocab"))
+    ap.write.mode(SaveMode.Append).parquet(s"$dir/prefix_postings")
+    ag.write.mode(SaveMode.Append).parquet(s"$dir/prefix_grams")
+
+    // ---- probes BEFORE the heal -------------------------------------
+    val batch = Seq(
+      (200L, words("own3", 10) + " " + boiler + " " + words("tail3", 10)),
+      (201L, words("freshb", 30))).toDF("doc_id", "text").localCheckpoint()
+    def prefixProbe(): Seq[org.apache.spark.sql.Row] =
+      Dedup.dedupAgainstPrefixIndex(batch,
+        spark.read.parquet(s"$dir/prefix_postings"),
+        spark.read.parquet(s"$dir/prefix_grams"),
+        spark.read.parquet(s"$dir/prefix_vocab")).collect().toSeq
+    val train = Seq(
+      (300L, words("pre", 3) + " " + evalText + " " + words("post", 3)),
+      (301L, words("cleantr", 30))).toDF("doc_id", "text").localCheckpoint()
+    def firewallProbe(): Seq[org.apache.spark.sql.Row] =
+      Dedup.flagAgainstEvalGrams(train,
+        spark.read.parquet(s"$dir/eval_grams")).collect().toSeq
+    val pb = prefixProbe()
+    assert(pb.exists(r => r.getLong(0) == 200L && r.getBoolean(1) &&
+      r.getLong(2) == 3L), s"the planted dup must verdict against doc 3: $pb")
+    val fb = firewallProbe()
+    assert(fb.map(r => (r.getLong(0), r.getBoolean(1))).toMap ==
+      Map(300L -> true, 301L -> false), s"$fb")
+
+    // ---- ONE pass heals all three -----------------------------------
+    val report = Maintain.maintainCorpus(spark, masterBundleDirs = Seq(dir))
+    assert(report.bundleHeals.toSet ==
+      Set(s"$dir:winnow_hist", s"$dir:eval_grams", s"$dir:prefix_index"),
+      s"got $report")
+
+    // probes bit-identical across the heal
+    assert(prefixProbe() == pb, "prefix verdicts must survive the vocab heal")
+    assert(firewallProbe() == fb, "firewall verdicts must survive the compaction")
+    // the histogram is FRESH again: hist-backed suppression equals the
+    // recompute on the grown index, appended prints included
+    val idx2 = spark.read.parquet(s"$dir/winnow_index")
+    val hist2 = spark.read.parquet(s"$dir/winnow_hist")
+    def spanRows(h: Option[org.apache.spark.sql.DataFrame]) =
+      Dedup.winnowSpansAgainstIndex(batch, idx2, minPrints = 2L,
+          maxDf = Some(4L), dfHist = h)
+        .orderBy(col("doc_id"), col("corpus_id"), col("start"), col("c_start"))
+        .collect().toSeq
+    assert(spanRows(Some(hist2)) == spanRows(None),
+      "the healed histogram must suppress exactly like a recompute")
+    // fragmentation cleared
+    val egFiles = new java.io.File(s"$dir/eval_grams").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(egFiles <= 8, s"eval grams still fragmented: $egFiles files")
+
+    // ---- the next tick is a NO-OP ------------------------------------
+    val again = Maintain.maintainCorpus(spark, masterBundleDirs = Seq(dir))
+    assert(!again.healedAnything, s"healed bundle must no-op: $again")
+  }
+
   test("rebalanceIvfIndexDir: the crash window (home absent, __old present) self-heals on entry") {
     def vec(i: Long, hot: Int): (Long, Seq[Float]) =
       (i, (0 until 8).map(d =>
