@@ -445,10 +445,17 @@ object Sharding {
       case (acc, (s, wgt)) => when(col("source") === s, lit(wgt)).otherwise(acc)
     }
     val W = org.apache.spark.sql.expressions.Window
-    val wOrd = W.orderBy(col("_ratio"), col("source"))
+    // constant partition key (round-17 nit): these windows run over
+    // the #sources-row aggregate — never the corpus — and the
+    // empty-spec form logs a WindowExec single-partition warning per
+    // execution, hundreds per bench run, burying any REAL
+    // single-partition regression; lit(0) is the same one-partition
+    // plan with quiet logs
+    val wOrd = W.partitionBy(lit(0)).orderBy(col("_ratio"), col("source"))
     val wPrev = wOrd.rowsBetween(W.unboundedPreceding, -1)
     val wRun = wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)
-    val wAll = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val wAll = W.partitionBy(lit(0))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     docs
       .select(col(sourceCol).as("source"), col(tokensCol).cast("long").as("_tk"))
       .groupBy(col("source"))
