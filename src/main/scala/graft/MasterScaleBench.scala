@@ -67,23 +67,36 @@ object MasterScaleBench {
         .filter(col("chunk_id") % 5 =!= 4)
         .localCheckpoint() // forked: the pipeline run + the front/artifacts run
       // 1. the full day-1 chain, raw chunks → packed shards
+      // winnowMaxDf = 8: the copy corpora are template-heavy by
+      // construction (C salted copies share every ≥12-char gram run
+      // between salt points, df = C), so the exact winnow tier's
+      // candidate volume grows with C² and the pair-budget guard
+      // refuses — measured: 438,738,557 pairs at 10×. maxDf below the
+      // smallest copy multiplicity (10) suppresses the cross-copy
+      // prints while the plant-grade spans (df 2) survive — the
+      // guard's own named remedy, applied at the chain grain.
+      val maxDf = Some(8L)
       val (_, wPipe) = timed(noop(
         Pipeline.masterPipeline(day1, "chunk_id", "content", bl,
-          Pipeline.masterWeights, splitSeed = seed)))
+          Pipeline.masterWeights, splitSeed = seed, winnowMaxDf = maxDf)))
       // 2. day-1 front ONCE (the q179 shape) + the persisted bundle
       val bundleDir = s"/tmp/graft_scale_bundle_${copies}x"
       val (day1Enc, wArt) = timed {
         val fr = Pipeline.masterFront(day1, "chunk_id", "content", bl, seed,
-          15, 120, 0.65, 0.8, 60L, _ => _.localCheckpoint())
+          15, 120, 0.65, 0.8, 60L, _ => _.localCheckpoint(), maxDf)
         Pipeline.persistMasterArtifacts(
           Pipeline.masterArtifactsOf(fr, jaccardTau = 0.8), bundleDir)
         Pipeline.encodeBosEos(fr.cleanTrain).localCheckpoint()
       }
       val art = Pipeline.loadMasterArtifacts(spark, bundleDir)
-      // 3. the fixed batch against the scaled frozen bundle
+      val hist = spark.read.parquet(s"$bundleDir/winnow_hist")
+      // 3. the fixed batch against the scaled frozen bundle; the
+      // suppression consults the bundle's persisted df histogram (the
+      // r16 fix — without it the probe re-aggregates the scaled index)
       val (r, wIng) = timed {
         val res = Pipeline.masterIngestFull(batch, "chunk_id", "content",
-          bl, art, splitSeed = seed)
+          bl, art, splitSeed = seed, winnowMaxDf = maxDf,
+          winnowDfHist = Some(hist))
         noop(res.fates)
         res
       }

@@ -434,7 +434,8 @@ object Pipeline {
       contentCol: String, blocklist: DataFrame, splitSeed: Long,
       minWords: Int, maxWords: Int, maxDupFrac: Double,
       jaccardTau: Double, winnowMinPrints: Long,
-      waist: String => DataFrame => DataFrame): MasterFront = {
+      waist: String => DataFrame => DataFrame,
+      winnowMaxDf: Option[Long] = None): MasterFront = {
     // 1. ingest (waist: records)
     val records = crawlRecords(chunks, idCol, contentCol, blocklist,
       materialize = waist("records"))
@@ -464,7 +465,8 @@ object Pipeline {
       .localCheckpoint() // forked: span evidence + excision base
     // 5. winnow clean: localize long shared spans, excise keep-all
     val excised = Dedup.exciseKeepAll(nearKept,
-      Dedup.winnowSharedSpans(nearKept, minPrints = winnowMinPrints))
+      Dedup.winnowSharedSpans(nearKept, minPrints = winnowMinPrints,
+        maxDf = winnowMaxDf))
     // 6. quality gate on the post-excision text (waist: clean)
     val toks = when(trim(col("clean_text")) === "",
       array().cast("array<string>"))
@@ -583,7 +585,15 @@ object Pipeline {
     * corpus-global structure is the interleave's range sort, which IS
     * the deliverable (a global training order); both quadratic-capable
     * tiers (4, 5) carry their pre-flight pair-budget guards and refuse
-    * loudly instead of exploding.
+    * loudly instead of exploding. `winnowMaxDf` (round 17) is the
+    * guard's own named remedy made REACHABLE at the chain grain: on a
+    * template-heavy crawl the winnow tier's candidate volume grows
+    * with duplication² and the guard refuses — setting maxDf below
+    * the template multiplicity suppresses the ubiquitous prints
+    * (MOSS's knob; the C11d contract narrows to spans carried by
+    * ≤ maxDf-frequent grams) while true plant-grade spans (df 2)
+    * always survive; None (the certified default) keeps the exact
+    * contract.
     *
     * @return (shard, chunk, n_docs, total_tokens, ids) — `ids` is the
     *         comma-joined BOS/EOS-delimited token-id stream of the
@@ -595,6 +605,7 @@ object Pipeline {
                      maxDupFrac: Double = 0.65,
                      jaccardTau: Double = 0.8,
                      winnowMinPrints: Long = 60L,
+                     winnowMaxDf: Option[Long] = None,
                      budgetNumer: Long = 3L, budgetDenom: Long = 2L,
                      epochCapPct: Long = 200L,
                      mixSeed: Long = 19L, orderSeed: Long = 23L,
@@ -612,7 +623,8 @@ object Pipeline {
       s"packBudget/shards must be positive, got $packBudget/$shards")
     def waist(name: String)(df: DataFrame): DataFrame = waistFn(persistDir)(name)(df)
     val f = masterFront(chunks, idCol, contentCol, blocklist, splitSeed,
-      minWords, maxWords, maxDupFrac, jaccardTau, winnowMinPrints, waist)
+      minWords, maxWords, maxDupFrac, jaccardTau, winnowMinPrints, waist,
+      winnowMaxDf)
     // 8. encode: BOS ++ ids ++ EOS, position-keyed (waist: train)
     val trainEnc = waist("train")(encodeBosEos(f.cleanTrain))
     mixAndPack(trainEnc, weights, budgetNumer, budgetDenom, epochCapPct,
@@ -718,11 +730,12 @@ object Pipeline {
                       blocklist: DataFrame, splitSeed: Long = 40L,
                       minWords: Int = 15, maxWords: Int = 120,
                       maxDupFrac: Double = 0.65, jaccardTau: Double = 0.8,
-                      winnowMinPrints: Long = 60L): MasterArtifacts =
+                      winnowMinPrints: Long = 60L,
+                      winnowMaxDf: Option[Long] = None): MasterArtifacts =
     masterArtifactsOf(
       masterFront(chunks, idCol, contentCol, blocklist, splitSeed,
         minWords, maxWords, maxDupFrac, jaccardTau, winnowMinPrints,
-        _ => _.localCheckpoint()),
+        _ => _.localCheckpoint(), winnowMaxDf),
       jaccardTau)
 
   /** The artifact freeze over an ALREADY-RUN day-1 front — callers
@@ -797,9 +810,12 @@ object Pipeline {
                    splitSeed: Long = 40L, minWords: Int = 15,
                    maxWords: Int = 120, maxDupFrac: Double = 0.65,
                    jaccardTau: Double = 0.8,
-                   winnowMinPrints: Long = 60L): DataFrame =
+                   winnowMinPrints: Long = 60L,
+                   winnowMaxDf: Option[Long] = None,
+                   winnowDfHist: Option[DataFrame] = None): DataFrame =
     masterIngestFull(batch, idCol, contentCol, blocklist, art, splitSeed,
-      minWords, maxWords, maxDupFrac, jaccardTau, winnowMinPrints).fates
+      minWords, maxWords, maxDupFrac, jaccardTau, winnowMinPrints,
+      winnowMaxDf, winnowDfHist).fates
 
   /** [[masterIngest]]'s intermediates, exposed for the streaming twin's
     * index growth: `records` (the batch's crawlRecords frame — canon
@@ -817,7 +833,9 @@ object Pipeline {
                    splitSeed: Long = 40L, minWords: Int = 15,
                    maxWords: Int = 120, maxDupFrac: Double = 0.65,
                    jaccardTau: Double = 0.8,
-                   winnowMinPrints: Long = 60L): MasterIngestResult = {
+                   winnowMinPrints: Long = 60L,
+                   winnowMaxDf: Option[Long] = None,
+                   winnowDfHist: Option[DataFrame] = None): MasterIngestResult = {
     // 1. parse + envelope/blocklist + batch URL election + frozen index
     val recs = crawlRecords(batch, idCol, contentCol, blocklist)
       .localCheckpoint() // forked: url probe + fate assembly + survivors
@@ -870,12 +888,17 @@ object Pipeline {
       .localCheckpoint() // forked: two span sources + excision + host map
     // 5. winnow: corpus-witnessed ∪ within-batch spans, one excision
     val sdocs = survivors4.select(col("doc_id"), col("clean_text").as("text"))
+    // suppression consults the PERSISTED df histogram when the caller
+    // ships one (the r16 measured fix: without it a suppressed day-2
+    // probe re-aggregates the full index per trigger — index-bound,
+    // not batch-bounded)
     val corpusSpans = Dedup.winnowSpansAgainstIndex(sdocs, art.winnowIndex,
-        minPrints = winnowMinPrints)
+        minPrints = winnowMinPrints, maxDf = winnowMaxDf,
+        dfHist = winnowDfHist)
       .select(col("doc_id").as("doc_b"), col("start").as("b_start"),
         col("end").as("b_end"))
     val batchSpans = Dedup.winnowSharedSpans(sdocs,
-        minPrints = winnowMinPrints)
+        minPrints = winnowMinPrints, maxDf = winnowMaxDf)
       .select(col("doc_b"), col("b_start"), col("b_end"))
     val excised = Dedup.exciseKeepAll(sdocs,
       corpusSpans.unionByName(batchSpans))

@@ -384,6 +384,39 @@ class PipelineSpec extends SparkSpecBase {
       "no within-batch span excision reached the output")
   }
 
+  test("winnowMaxDf: the guard's remedy is reachable at the chain grain and the chain stays live across its range") {
+    import graft.operators.Urls
+    // the knob exists for the template regime (MasterScaleBench's copy
+    // corpora: the default chain refuses at 438M winnow candidate
+    // pairs, maxDf completes). The per-span semantics — boilerplate
+    // spans vanish, rare plant-grade spans survive, bit-identity with
+    // a fresh histogram — are WinnowSpec's oracle-backed jurisdiction;
+    // what the CHAIN owes is reachability: every stage downstream of a
+    // suppressed winnow still runs, ships, and reacts (suppression is
+    // NOT token-monotone at the chain grain — sparing a template span
+    // can push a doc past maxWords and the gate drops it whole, which
+    // is exactly the published dedup-before-gate order doing its job)
+    val docs = Tables(spark, sfDir).documents
+    val chunks = graft.sources.Warc.plantedMasterChunks(docs).localCheckpoint()
+    val bl = Urls.docBlocklist.toDF("pattern")
+    def run(maxDf: Option[Long]) =
+      Pipeline.masterPipeline(chunks, "chunk_id", "content", bl,
+        Pipeline.masterWeights, winnowMaxDf = maxDf)
+        .as[(Int, Long, Long, Long, String)].collect().toSeq
+    def tokens(r: Seq[(Int, Long, Long, Long, String)]) = r.map(_._4).sum
+    val dflt = run(None)
+    val s16 = run(Some(16L))
+    val s2 = run(Some(2L))
+    assert(dflt.nonEmpty && s16.nonEmpty && s2.nonEmpty,
+      "the chain must ship at every suppression setting")
+    // the knob is LIVE end to end: this corpus's natural template
+    // overlap rides >16-df prints, so suppressing them must change
+    // what ships (a knob the chain silently ignored would pass a
+    // pure reachability probe)
+    assert(tokens(s16) != tokens(dflt) || s16 != dflt,
+      "maxDf=16 must actually reach the winnow stage")
+  }
+
   test("q179 master refresh: empty batch ships day-1 shards byte-identically, accepted docs join the order, the water-fill re-levels") {
     import graft.operators.{Sharding, Urls}
     val docs = Tables(spark, sfDir).documents.localCheckpoint()
