@@ -26,6 +26,7 @@ import org.apache.spark.sql.functions._
   * must be the 1× corpus (it donates the fixed batch slice). */
 object Day2Bench {
   def main(args: Array[String]): Unit = {
+    GraftSession.warnHugeHeap("Day2Bench")
     require(args.nonEmpty, "usage: Day2Bench COPIES:DIR [COPIES:DIR ...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(

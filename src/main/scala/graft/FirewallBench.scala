@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   * first leg = the 1× corpus. One JSON line per leg. */
 object FirewallBench {
   def main(args: Array[String]): Unit = {
+    GraftSession.warnHugeHeap("FirewallBench")
     require(args.nonEmpty, "usage: FirewallBench COPIES:DIR [COPIES:DIR ...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(

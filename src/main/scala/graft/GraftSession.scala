@@ -37,6 +37,20 @@ object GraftSession {
       s"${sys.props("java.io.tmpdir")}/graft_warehouse")
     .config("spark.ui.enabled", "false")
 
+  /** Guard for the measured 64 g heap CLIFF (round 18, verdict item 6):
+    * SCALING_r17 reproduced `SPARK_DRIVER_MEM=64g` running 2–15×
+    * SLOWER than 8–24 g on this box (1× master-chain artifacts phase:
+    * 679 s at 64 g vs 25 s at 24 g; G1 at huge heap the suspect, THP
+    * is madvise). Every bench main calls this so a scale leg never
+    * silently pays the cliff again — prefer 8–24 g. */
+  def warnHugeHeap(tag: String): Unit = {
+    val g = Runtime.getRuntime.maxMemory.toDouble / (1L << 30)
+    if (g > 32.5)
+      System.err.println(f"[$tag] WARNING: JVM max heap ${g}%.1f g exceeds " +
+        "32 g — SCALING_r17 measured 64 g 2-15x SLOWER than 8-24 g on this " +
+        "box (G1-at-huge-heap suspect); set SPARK_DRIVER_MEM to 24g or less")
+  }
+
   /** Local session for tests / ad-hoc runs. */
   def local(cores: String = "*"): SparkSession = {
     val s = configure(SparkSession.builder().master(s"local[$cores]")).getOrCreate()

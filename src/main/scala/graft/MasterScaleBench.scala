@@ -31,6 +31,7 @@ import org.apache.spark.sql.functions._
   * One JSON line per leg. */
 object MasterScaleBench {
   def main(args: Array[String]): Unit = {
+    GraftSession.warnHugeHeap("MasterScaleBench")
     require(args.nonEmpty, "usage: MasterScaleBench COPIES:DIR [COPIES:DIR ...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(
@@ -89,7 +90,9 @@ object MasterScaleBench {
         Pipeline.encodeBosEos(fr.cleanTrain).localCheckpoint()
       }
       val art = Pipeline.loadMasterArtifacts(spark, bundleDir)
-      val hist = spark.read.parquet(s"$bundleDir/winnow_hist")
+      // the histogram reads through the bundle layout (bucketed on h,
+      // round 18) so suppression's anti-join co-locates with the index
+      val hist = Pipeline.bundleMember(spark, bundleDir, "winnow_hist")
       // 3. the fixed batch against the scaled frozen bundle; the
       // suppression consults the bundle's persisted df histogram (the
       // r16 fix — without it the probe re-aggregates the scaled index)

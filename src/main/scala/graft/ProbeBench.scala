@@ -23,6 +23,7 @@ import org.apache.spark.sql.functions._
   * [targetCellSize] [threshold]`. */
 object ProbeBench {
   def main(args: Array[String]): Unit = {
+    GraftSession.warnHugeHeap("ProbeBench")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val targetCellSize = args.headOption.map(_.toInt).getOrElse(125)

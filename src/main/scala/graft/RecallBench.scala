@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   * [numQueries] [targetCellSize]`. */
 object RecallBench {
   def main(args: Array[String]): Unit = {
+    GraftSession.warnHugeHeap("RecallBench")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val numQueries = args.headOption.map(_.toInt).getOrElse(50)

@@ -28,6 +28,7 @@ import org.apache.spark.sql.SparkSession
   * [byteLevel]`; prints one JSON line per leg. */
 object TrainBench {
   def main(args: Array[String]): Unit = {
+    GraftSession.warnHugeHeap("TrainBench")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val numMerges = args.headOption.map(_.toInt).getOrElse(32768)

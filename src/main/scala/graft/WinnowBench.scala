@@ -25,6 +25,7 @@ import org.apache.spark.sql.functions._
   * the optional fifth dir adds the round-16 100× legs). */
 object WinnowBench {
   def main(args: Array[String]): Unit = {
+    GraftSession.warnHugeHeap("WinnowBench")
     require(args.length == 4 || args.length == 5,
       "usage: WinnowBench DIR1X DIR3X DIR10X DIR30X [DIR100X]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

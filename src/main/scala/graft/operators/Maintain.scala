@@ -27,11 +27,15 @@ import org.apache.spark.sql.functions._
   */
 object Maintain {
 
-  /** What one pass healed — empty everywhere = the no-op tick. */
+  /** What one pass healed — empty everywhere = the no-op tick.
+    * `refreshRecommended` is a RECOMMENDATION, not a heal (the heal is
+    * [[Pipeline.masterRefresh]], scheduled by the operator), so it
+    * does not count toward [[healedAnything]]. */
   final case class MaintainReport(compacted: Seq[String],
                                   regridded: Seq[String],
                                   rebalanced: Seq[String],
-                                  bundleHeals: Seq[String] = Nil) {
+                                  bundleHeals: Seq[String] = Nil,
+                                  refreshRecommended: Seq[String] = Nil) {
     def healedAnything: Boolean =
       compacted.nonEmpty || regridded.nonEmpty || rebalanced.nonEmpty ||
         bundleHeals.nonEmpty
@@ -48,16 +52,25 @@ object Maintain {
     * @param ivfDirs        IVF index homes (`assigned/` + `centroids/`)
     *                       — rebalanced when any cell exceeds
     *                       `maxCellSize`
+    * @param refreshChecks  (poolDir, planDir) pairs — the encoded train
+    *                       pool vs its persisted mixture plan; pools
+    *                       grown past the growth budget (or carrying a
+    *                       source the plan never saw) come back in
+    *                       [[MaintainReport.refreshRecommended]]
+    *                       (round 18 — report-only, see
+    *                       [[refreshRecommended]])
     * @return which artifacts healed, by name */
   def maintainCorpus(spark: SparkSession,
                      bucketedTables: Seq[String] = Nil,
                      layoutDirs: Seq[String] = Nil,
                      ivfDirs: Seq[String] = Nil,
                      masterBundleDirs: Seq[String] = Nil,
+                     refreshChecks: Seq[(String, String)] = Nil,
                      targetFilesPerBucket: Int = 1,
                      driftBudgetBp: Long = 100L,
                      maxCellSize: Long = 10000L,
-                     targetCellSize: Int = 125): MaintainReport =
+                     targetCellSize: Int = 125,
+                     refreshGrowthBudgetBp: Long = 500L): MaintainReport =
     MaintainReport(
       bucketedTables.filter(t =>
         graft.sources.Bucketing.compactBucketed(spark, t, targetFilesPerBucket)),
@@ -66,7 +79,59 @@ object Maintain {
       ivfDirs.filter(d =>
         Similarity.rebalanceIvfIndexDir(spark, d, maxCellSize, targetCellSize)),
       masterBundleDirs.flatMap(d =>
-        maintainMasterBundle(spark, d).map(m => s"$d:$m")))
+        maintainMasterBundle(spark, d,
+          targetFilesPerBucket = targetFilesPerBucket).map(m => s"$d:$m")),
+      refreshChecks.collect {
+        case (poolDir, planDir) if refreshRecommended(spark,
+          spark.read.parquet(poolDir), spark.read.parquet(planDir),
+          growthBudgetBp = refreshGrowthBudgetBp) => poolDir
+      })
+
+  /** E9b (round 18, verdict item 7): the REFRESH-CADENCE meter.
+    * [[Pipeline.masterRefresh]] is certified (C51c); WHEN to run it was
+    * operational prose. This compares the training pool's CURRENT
+    * per-source token mass against the totals the persisted mixture
+    * plan recorded at plan time ([[Sharding.planMixture]]'s `n_tokens`
+    * column) — ONE aggregation over the pool to a #sources-row frame,
+    * one tiny plan read, never the corpus twice — and recommends a
+    * refresh when the pool grew past `growthBudgetBp` basis points of
+    * the planned mass, or when a source the plan never saw appears (a
+    * stale plan allocates a new source nothing). Pass the same
+    * weighted pool the plan was computed over: [[Sharding.planMixture]]
+    * drops unweighted sources from the plan, so an unweighted source in
+    * `pool` would read as "new" here.
+    *
+    * Report-only by design: the heal is a re-plan + re-pack
+    * ([[Pipeline.masterRefresh]]), which rewrites the TRAINING ORDER a
+    * downstream consumer may be mid-epoch on — that decision belongs
+    * to the operator's schedule, not a maintenance tick. A fresh plan
+    * no-ops (MaintainSpec pins both directions).
+    *
+    * @return true = the pool outgrew its plan, refresh recommended */
+  def refreshRecommended(spark: SparkSession, pool: DataFrame,
+                         plan: DataFrame,
+                         sourceCol: String = "source",
+                         tokensCol: String = "n_tokens",
+                         growthBudgetBp: Long = 500L): Boolean = {
+    require(growthBudgetBp >= 0,
+      s"growthBudgetBp must be >= 0, got $growthBudgetBp")
+    val row = pool
+      .select(col(sourceCol).as("source"), col(tokensCol).cast("long").as("_tk"))
+      .groupBy(col("source")).agg(sum(col("_tk")).as("cur_tokens"))
+      .join(plan.select(col("source"), col("n_tokens").as("plan_tokens")),
+        Seq("source"), "left")
+      .agg(
+        coalesce(sum(when(col("plan_tokens").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("new_sources"),
+        coalesce(sum(col("cur_tokens")), lit(0L)).as("cur"),
+        coalesce(sum(col("plan_tokens")), lit(0L)).as("planned"))
+      .first()
+    val (newSources, cur, planned) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    if (newSources > 0) true
+    else if (planned == 0) cur > 0
+    else cur > planned && (cur - planned) * 10000L / planned > growthBudgetBp
+  }
 
   // ---- the MASTER artifact bundle (round 17, verdict item 4):
   // the five day-2 probe indexes Pipeline.persistMasterArtifacts
@@ -106,84 +171,180 @@ object Maintain {
     * the same batch (MaintainSpec pins all three). On a healthy bundle
     * the pass reads three cheap censuses and writes NOTHING.
     *
+    *  - bucket FRAGMENTATION of the BUNDLE's own members (round 18 —
+    *    the layout moved to bucketed tables, so the trilogy's E6 duty
+    *    applies here too): every D2y trigger appends one file per
+    *    bucket to eval_grams / exact_index / url_index, and the
+    *    zero-exchange probe property rides on the members staying
+    *    bucketed. Meter: data-file census vs numBuckets ·
+    *    `targetFilesPerBucket`. Heal: identical-rows rewrite THROUGH
+    *    the bundle's bucket spec (≤1 file/bucket by construction)
+    *    behind the staged swap.
+    *
     * @return healed member names (subset of "winnow_hist",
-    *         "eval_grams", "prefix_index"); empty = the no-op tick */
+    *         "eval_grams", "prefix_index", plus "<member>_files" for
+    *         fragmentation rewrites); empty = the no-op tick */
   def maintainMasterBundle(spark: SparkSession, dir: String,
                            evalGramTargetFiles: Int = 8,
-                           vocabDriftBudgetBp: Long = 100L): Seq[String] = {
+                           vocabDriftBudgetBp: Long = 100L,
+                           targetFilesPerBucket: Int = 1): Seq[String] = {
     require(evalGramTargetFiles >= 1,
       s"evalGramTargetFiles must be >= 1, got $evalGramTargetFiles")
     require(vocabDriftBudgetBp >= 0,
       s"vocabDriftBudgetBp must be >= 0, got $vocabDriftBudgetBp")
+    require(targetFilesPerBucket >= 1,
+      s"targetFilesPerBucket must be >= 1, got $targetFilesPerBucket")
     val healed = scala.collection.mutable.ArrayBuffer.empty[String]
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     reclaimSwaps(spark, fs, dir)
-    // 1. winnow df histogram
-    val histPath = s"$dir/winnow_hist"
-    val idx = spark.read.parquet(s"$dir/winnow_index")
+    val buckets = Pipeline.readBundleBuckets(spark, dir)
+    def member(name: String) = Pipeline.bundleMember(spark, dir, name)
+    def dataFiles(name: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p)
+        .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    }
+    // 1. winnow df histogram (the bucketed reads keep both the distinct
+    // mass meter and the rebuild exchange-free: the index scan is
+    // already hash-partitioned on h)
+    val idx = member("winnow_index")
     val trueMass = idx.select(col("h"), col("doc_id")).distinct().count()
     val histMass =
-      if (fs.exists(new org.apache.hadoop.fs.Path(histPath)))
-        spark.read.parquet(histPath)
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/winnow_hist")))
+        member("winnow_hist")
           .agg(coalesce(sum(col("df")), lit(0L))).first().getLong(0)
       else -1L
     if (histMass != trueMass) {
       val fresh = Dedup.winnowDfHistogram(idx).localCheckpoint()
-      swapIn(fs, histPath)(p => fresh.write.parquet(p))
+      swapMember(spark, fs, dir, "winnow_hist", fresh, buckets)
       healed += "winnow_hist"
     }
-    // 2. eval-gram compaction
-    val egPath = new org.apache.hadoop.fs.Path(s"$dir/eval_grams")
-    val egFiles = fs.listStatus(egPath)
-      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
-    if (egFiles > evalGramTargetFiles) {
-      val g = spark.read.parquet(egPath.toString).distinct().localCheckpoint()
-      swapIn(fs, egPath.toString)(p => g.coalesce(1).write.parquet(p))
+    // 2. eval-gram compaction — distinct-rewrite (bit-identical probes:
+    // the firewall reads distinct keys). On a bucketed bundle the file
+    // budget is the bucket count × target (a fresh member already holds
+    // one file per bucket), and the heal RESETS the persisted census to
+    // the exact distinct count (the upper bound re-tightens here, the
+    // one place the whole set is re-read anyway).
+    val egBudget = buckets.fold(evalGramTargetFiles)(_ * targetFilesPerBucket)
+    if (dataFiles("eval_grams") > egBudget) {
+      val g = member("eval_grams").distinct().localCheckpoint()
+      swapMember(spark, fs, dir, "eval_grams", g, buckets,
+        plainWrite = df => p => df.coalesce(1).write.parquet(p))
+      Dedup.writeEvalGramCensus(spark, s"$dir/eval_grams", g.count())
       healed += "eval_grams"
     }
     // 3. prefix vocab drift
-    val postings = spark.read.parquet(s"$dir/prefix_postings")
+    val postings = member("prefix_postings")
     val vocab = spark.read.parquet(s"$dir/prefix_vocab")
     val pg = postings.select(col("g")).distinct().localCheckpoint()
     val totalG = pg.count()
     val novelG = pg.join(vocab.select(col("g")), Seq("g"), "left_anti").count()
     val driftBp = if (totalG == 0) 0L else novelG * 10000L / totalG
     if (driftBp > vocabDriftBudgetBp) {
-      rebuildPrefixTriple(spark, fs, dir, postings)
+      rebuildPrefixTriple(spark, fs, dir, postings, buckets)
       healed += "prefix_index"
+    }
+    // 4. member fragmentation (bucketed bundles only): identical-rows
+    // rewrite through the bucket spec for every member the passes above
+    // did not already rewrite this tick
+    buckets.foreach { n =>
+      val already = Set(
+        if (healed.contains("winnow_hist")) "winnow_hist" else "",
+        if (healed.contains("eval_grams")) "eval_grams" else "") ++
+        (if (healed.contains("prefix_index"))
+          Set("prefix_postings", "prefix_grams") else Set.empty[String])
+      for (name <- Pipeline.BundleBucketKeys.keys.toSeq.sorted
+           if !already.contains(name)
+           if dataFiles(name) > n * targetFilesPerBucket) {
+        val rows = spark.read.parquet(s"$dir/$name").localCheckpoint()
+        swapMember(spark, fs, dir, name, rows, buckets)
+        healed += s"${name}_files"
+      }
     }
     healed.toSeq
   }
 
+  /** Staged swap of one bundle member THROUGH its persisted layout:
+    * bucketed bundles rewrite via the bucket spec (a stage table whose
+    * files carry their bucket ids, so the file-level rename installs a
+    * valid bucketed member), plain bundles via `plainWrite` (default: a
+    * plain parquet write). Registered tables refresh after install so
+    * live sessions see the new files. */
+  private def swapMember(spark: SparkSession,
+                         fs: org.apache.hadoop.fs.FileSystem,
+                         dir: String, name: String, df: DataFrame,
+                         buckets: Option[Int],
+                         plainWrite: DataFrame => String => Unit =
+                           df => p => df.write.parquet(p)): Unit = {
+    val path = s"$dir/$name"
+    buckets match {
+      case Some(n) if Pipeline.BundleBucketKeys.contains(name) =>
+        val stageTable = Pipeline.bundleTable(dir, name) + "__stage"
+        swapIn(fs, path) { p =>
+          Pipeline.writeBucketedAt(spark, df, p, stageTable,
+            Pipeline.BundleBucketKeys(name), n)
+          // external table: dropping the entry never touches the files
+          // the rename is about to install
+          spark.sql(s"DROP TABLE IF EXISTS `$stageTable`")
+        }
+      case _ => swapIn(fs, path)(plainWrite(df))
+    }
+    val live = Pipeline.bundleTable(dir, name)
+    if (spark.catalog.tableExists(live)) spark.catalog.refreshTable(live)
+  }
+
   /** Rebuild the prefix triple from the persisted grams table under a
     * fresh vocabulary, installed behind the `prefix__SWAP` redo
-    * marker (see [[maintainMasterBundle]]'s crash contract). */
+    * marker (see [[maintainMasterBundle]]'s crash contract). On a
+    * bucketed bundle the postings/grams stages write THROUGH the
+    * bucket spec, so the installed triple keeps its co-located probe
+    * property. */
   private def rebuildPrefixTriple(spark: SparkSession,
                                   fs: org.apache.hadoop.fs.FileSystem,
-                                  dir: String, postings: DataFrame): Unit = {
+                                  dir: String, postings: DataFrame,
+                                  buckets: Option[Int]): Unit = {
     // the build params travel in the live postings' g metadata — the
-    // rebuild must keep them or every probe's loud guard fires
+    // rebuild must keep them or every probe's loud guard fires. An
+    // ABSENT t is metadata LOSS, not a default to paper over (round-18
+    // advice): rebuilding under a guessed threshold would silently
+    // install an index with different prefix lengths than every
+    // already-issued probe assumes — fail loudly instead, like the
+    // probes themselves do on a param mismatch.
     val gField = postings.schema.fields.find(_.name == "g").getOrElse(
       throw new IllegalArgumentException(
         s"$dir/prefix_postings carries no g column — not a prefix index"))
-    val t =
-      if (gField.metadata.contains("graft.prefix.t"))
-        gField.metadata.getDouble("graft.prefix.t")
-      else 0.5
+    require(gField.metadata.contains("graft.prefix.t"),
+      s"$dir/prefix_postings carries no graft.prefix.t metadata — the " +
+        "build threshold was lost (a foreign rewrite dropped the column " +
+        "metadata?); rebuild the index from text with buildPrefixIndex " +
+        "rather than guessing a threshold here")
+    val t = gField.metadata.getDouble("graft.prefix.t")
     val (p2, g2, v2) = Dedup.rebuildPrefixIndex(
-      spark.read.parquet(s"$dir/prefix_grams"), gField.metadata, t)
+      Pipeline.bundleMember(spark, dir, "prefix_grams"), gField.metadata, t)
     val members = Seq("prefix_postings" -> p2, "prefix_grams" -> g2,
       "prefix_vocab" -> v2)
     members.foreach { case (n, df) =>
       val stage = new org.apache.hadoop.fs.Path(s"$dir/${n}__stage")
       if (fs.exists(stage)) fs.delete(stage, true)
-      df.write.parquet(stage.toString)
+      buckets match {
+        case Some(b) if Pipeline.BundleBucketKeys.contains(n) =>
+          val stageTable = Pipeline.bundleTable(dir, n) + "__stage"
+          Pipeline.writeBucketedAt(spark, df, stage.toString, stageTable,
+            Pipeline.BundleBucketKeys(n), b)
+          spark.sql(s"DROP TABLE IF EXISTS `$stageTable`")
+        case _ => df.write.parquet(stage.toString)
+      }
     }
     val marker = new org.apache.hadoop.fs.Path(s"$dir/prefix__SWAP")
     fs.create(marker, true).close()
     installPrefixStages(fs, dir)
     fs.delete(marker, false)
+    members.foreach { case (n, _) =>
+      val live = Pipeline.bundleTable(dir, n)
+      if (spark.catalog.tableExists(live)) spark.catalog.refreshTable(live)
+    }
   }
 
   /** Install any complete `prefix_*__stage` dirs (the redo step — safe

@@ -716,7 +716,14 @@ object Pipeline {
     prefixGrams: DataFrame,    // (doc_id, grams, len) — exact verification side
     prefixVocab: DataFrame,    // (g, df) — the FROZEN gram order
     winnowIndex: DataFrame,    // (h, doc_id, pos)
-    evalGrams: DataFrame)      // (g) — the heldout 13-gram firewall set
+    evalGrams: DataFrame,      // (g) — the heldout 13-gram firewall set
+    // distinct-gram census of evalGrams, carried from the persisted
+    // bundle (round 18, verdict item 2): an UPPER bound on the true
+    // distinct count (exact at persist; appends bump it by their own
+    // new-gram counts), so the firewall's broadcast-vs-shuffle gate is
+    // O(1) per probe instead of an index aggregation per batch. None
+    // (the in-memory build) falls back to the probe's own count.
+    evalGramCensus: Option[Long] = None)
 
   /** Freeze the day-1 master front as the day-2 probe artifacts:
     * run [[masterFront]] (stages 1–7, the exact frames
@@ -928,11 +935,23 @@ object Pipeline {
       .select(col("doc_id"),
         array_join(slice(split(col("clean_text"), "\\s+"), 1, 20), " ")
           .as("text"))
-    val allGrams = art.evalGrams
-      .unionByName(Dedup.buildEvalGramIndex(evalDocs)).distinct()
+    // census arithmetic (round 18): with a bundle-carried census the
+    // firewall's gate costs one BATCH-sized count (the extension's own
+    // distinct grams) instead of an index-sized aggregation per ingest
+    // — bundle + extension is an upper bound on the union's distinct
+    // count, which errs toward the shuffled regime (the safe direction)
+    val extGrams0 = Dedup.buildEvalGramIndex(evalDocs)
+    val (extGrams, gramCensus) = art.evalGramCensus match {
+      case Some(c) =>
+        val e = extGrams0.localCheckpoint()
+        (e, Some(c + e.count()))
+      case None => (extGrams0, None)
+    }
+    val allGrams = art.evalGrams.unionByName(extGrams).distinct()
     val train = parts.filter(col("split") === "train")
     val contam = Dedup.flagAgainstEvalGrams(
-        train.select(col("doc_id"), col("clean_text").as("text")), allGrams)
+        train.select(col("doc_id"), col("clean_text").as("text")), allGrams,
+        knownCensus = gramCensus)
       .filter(col("contaminated"))
       .select(col("doc_id"), lit(true).as("_contam"))
     // 8. encode the shipped pool; the typed frame (dseq intact) is the
@@ -991,36 +1010,218 @@ object Pipeline {
     MasterIngestResult(base, cleaned, evalDocs, accepted, fates)
   }
 
-  /** Persist a [[MasterArtifacts]] bundle as parquet dirs under `dir`
-    * (one per index, the shapes their own day-2 operators read back;
-    * the g/h column metadata — prefix k/t, winnow k/w, decontam n —
-    * round-trips through parquet, so the loaded probes keep their
-    * loud param guards). */
-  def persistMasterArtifacts(art: MasterArtifacts, dir: String): Unit = {
-    def w(df: DataFrame, name: String): Unit =
-      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$dir/$name")
-    w(art.urlIndex, "url_index"); w(art.exactIndex, "exact_index")
-    w(art.prefixPostings, "prefix_postings")
-    w(art.prefixGrams, "prefix_grams"); w(art.prefixVocab, "prefix_vocab")
-    w(art.winnowIndex, "winnow_index"); w(art.evalGrams, "eval_grams")
-    // the suppression histogram rides the bundle from birth (round 17):
-    // maxDf probes read it co-located, and the maintenance pass
-    // ([[Maintain.maintainMasterBundle]]) meters its staleness instead
-    // of healing it into existence on the first tick
-    w(Dedup.winnowDfHistogram(art.winnowIndex), "winnow_hist")
+  // ---- the persisted bundle's BUCKETED layout (round 18 — the r17
+  // `weak`): persistMasterArtifacts wrote plain parquet dirs, so at
+  // 100× every day-2 probe re-SHUFFLED the scaled index side per batch
+  // (MasterScaleBench's own leg: fixed-batch ingest 12.4 s at 1× →
+  // 48.1 s at 100×, while the same probes read batch-bounded in their
+  // bucketed forms). The bundle now writes each probe-side member
+  // bucketed+sorted on exactly the key its probe joins (the D2-stream
+  // bucketBy/saveAsTable house convention), so the probes read the
+  // index co-located — only the batch exchanges, at any corpus scale.
+
+  /** Default bucket count for persisted bundles: matches the session
+    * shuffle width here; on a cluster size it to the index (buckets ≈
+    * index bytes / target partition bytes) — the count is a layout
+    * stamp ([[bundleMetaPath]]) so probes never have to guess. */
+  val MasterBundleBuckets: Int = 32
+
+  /** Each bucketed member and its probe JOIN key: canon_url
+    * ([[Urls.urlDedupAgainstIndex]]), fingerprint
+    * ([[Dedup.dedupExactAgainstIndex]]), g posting joins
+    * ([[Dedup.dedupAgainstPrefixIndex]], [[Dedup.flagAgainstEvalGrams]]),
+    * doc_id (the prefix tier's exact-verification side), h
+    * ([[Dedup.winnowSpansAgainstIndex]]; the df histogram buckets on h
+    * too, so `maxDf` suppression's anti-join co-locates with the index
+    * it filters). `prefix_vocab` stays plain — a broadcast-sized
+    * ordering dim with no per-row probe join. */
+  private[graft] val BundleBucketKeys: Map[String, String] = Map(
+    "url_index" -> "canon_url",
+    "exact_index" -> "fingerprint",
+    "prefix_postings" -> "g",
+    "prefix_grams" -> "doc_id",
+    "winnow_index" -> "h",
+    "eval_grams" -> "g",
+    "winnow_hist" -> "h")
+
+  /** Catalog name for a bundle member's external table — dir-keyed so
+    * bundles never collide, stable so a reload in the same session
+    * reuses the registration. */
+  private[graft] def bundleTable(dir: String, member: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"graft_bundle_${h}_$member"
   }
 
-  /** Reload a [[persistMasterArtifacts]] bundle. */
+  /** The layout stamp — written LAST by [[persistMasterArtifacts]], so
+    * its presence doubles as the bundle's success marker (the q175
+    * adopt-or-build convention). */
+  private[graft] def bundleMetaPath(dir: String): String =
+    s"$dir/_graft_bundle.json"
+
+  private def bundleFs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Bucket count of a persisted bundle; None = a legacy plain-parquet
+    * bundle (pre-round-18), which keeps reading as plain dirs. */
+  private[graft] def readBundleBuckets(spark: SparkSession,
+                                       dir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(bundleMetaPath(dir))
+    val fs = bundleFs(spark, dir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
+    }
+  }
+
+  private def writeBundleMeta(spark: SparkSession, dir: String,
+                              numBuckets: Int): Unit = {
+    val out = bundleFs(spark, dir).create(
+      new org.apache.hadoop.fs.Path(bundleMetaPath(dir)), true)
+    try out.write(s"""{"version":2,"buckets":$numBuckets}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Bucketed external write at an explicit path: `repartition` on the
+    * bucket hash first, so each task holds exactly one bucket's rows
+    * and the member lands at ≤1 file per bucket (the layout E9's
+    * compaction maintains). The path is cleared first — CTAS refuses a
+    * non-empty location — and the table is EXTERNAL, so dropping the
+    * catalog entry never touches the files. */
+  private[graft] def writeBucketedAt(spark: SparkSession, df: DataFrame,
+                                     path: String, table: String,
+                                     key: String, numBuckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    df.repartition(numBuckets, col(key))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").option("path", path)
+      .bucketBy(numBuckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
+  private def writeBundleMember(spark: SparkSession, dir: String,
+                                name: String, df: DataFrame,
+                                numBuckets: Int): Unit =
+    writeBucketedAt(spark, df, s"$dir/$name", bundleTable(dir, name),
+      BundleBucketKeys(name), numBuckets)
+
+  /** Register (idempotently) a bundle member's external bucketed table
+    * on a session whose catalog has never seen it — the cold-start
+    * path: bucketing lives in the CATALOG, not the files, so a fresh
+    * session re-creates the table over the existing files (which carry
+    * their bucket ids in their names, the Spark layout contract). */
+  private[graft] def ensureBundleTable(spark: SparkSession, dir: String,
+                                       name: String, numBuckets: Int): String = {
+    val t = bundleTable(dir, name)
+    if (!spark.catalog.tableExists(t)) {
+      val key = BundleBucketKeys(name)
+      val ddl = spark.read.parquet(s"$dir/$name").schema.toDDL
+      spark.sql(s"CREATE TABLE `$t` ($ddl) USING PARQUET " +
+        s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $numBuckets BUCKETS " +
+        s"LOCATION '$dir/$name'")
+    }
+    t
+  }
+
+  /** One member as its bucketed table, with the g/h column METADATA
+    * (prefix k/t, winnow k/w, decontam n — the probes' loud param
+    * guards) re-attached from the parquet footers: DDL-registered
+    * tables lose field metadata, and the alias-only projection that
+    * restores it preserves the scan's bucketed output partitioning
+    * (Catalyst's alias-aware distribution), so co-location survives. */
+  private def bundleMemberAt(spark: SparkSession, dir: String,
+                             name: String, numBuckets: Int): DataFrame = {
+    val t = ensureBundleTable(spark, dir, name, numBuckets)
+    val pq = spark.read.parquet(s"$dir/$name").schema
+    spark.table(t).select(pq.map(f => col(f.name).as(f.name, f.metadata)): _*)
+  }
+
+  /** A bundle member by its persisted layout: the registered bucketed
+    * table when the layout stamp says so, the plain dir otherwise
+    * (legacy bundles keep working, just without co-location). */
+  private[graft] def bundleMember(spark: SparkSession, dir: String,
+                                  name: String): DataFrame =
+    readBundleBuckets(spark, dir) match {
+      case Some(n) if BundleBucketKeys.contains(name) =>
+        bundleMemberAt(spark, dir, name, n)
+      case _ => spark.read.parquet(s"$dir/$name")
+    }
+
+  /** Append rows to a persisted bundle member THROUGH its layout: the
+    * bucketed writer on a stamped bundle (one file per bucket per
+    * append — E9's compaction owns the accumulation), a plain parquet
+    * append on a legacy one. The streaming master ingest (D2y) grows
+    * eval_grams / exact_index / url_index this way. */
+  private[graft] def appendBundleMember(spark: SparkSession, dir: String,
+                                        name: String, df: DataFrame): Unit =
+    readBundleBuckets(spark, dir) match {
+      case Some(n) if BundleBucketKeys.contains(name) =>
+        val key = BundleBucketKeys(name)
+        val t = ensureBundleTable(spark, dir, name, n)
+        df.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").bucketBy(n, key).sortBy(key).saveAsTable(t)
+        spark.catalog.refreshTable(t)
+      case _ =>
+        df.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/$name")
+    }
+
+  /** Persist a [[MasterArtifacts]] bundle under `dir` — each probe-side
+    * member BUCKETED on its probe key (see [[BundleBucketKeys]]), the
+    * g/h column metadata riding the parquet footers so the loaded
+    * probes keep their loud param guards. Also written: the
+    * suppression histogram (round 17 — maxDf probes read it co-located
+    * with the index, both bucketed on h) and the eval-gram census stat
+    * (round 18 — exact here; [[Dedup.bumpEvalGramCensus]] keeps it an
+    * upper bound under appends, so the firewall's join-strategy gate
+    * is O(1) per probe). The layout stamp writes LAST = the bundle's
+    * success marker. */
+  def persistMasterArtifacts(art: MasterArtifacts, dir: String,
+                             numBuckets: Int = MasterBundleBuckets): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val spark = art.urlIndex.sparkSession
+    writeBundleMember(spark, dir, "url_index", art.urlIndex, numBuckets)
+    writeBundleMember(spark, dir, "exact_index", art.exactIndex, numBuckets)
+    writeBundleMember(spark, dir, "prefix_postings", art.prefixPostings, numBuckets)
+    writeBundleMember(spark, dir, "prefix_grams", art.prefixGrams, numBuckets)
+    art.prefixVocab.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/prefix_vocab")
+    writeBundleMember(spark, dir, "winnow_index", art.winnowIndex, numBuckets)
+    writeBundleMember(spark, dir, "eval_grams", art.evalGrams, numBuckets)
+    // derive the histogram FROM the persisted index: the bucketed scan
+    // already hash-partitions on h, so the groupBy runs exchange-free
+    writeBundleMember(spark, dir, "winnow_hist",
+      Dedup.winnowDfHistogram(bundleMemberAt(spark, dir, "winnow_index", numBuckets)),
+      numBuckets)
+    Dedup.writeEvalGramCensus(spark, s"$dir/eval_grams",
+      bundleMemberAt(spark, dir, "eval_grams", numBuckets)
+        .select(col("g")).distinct().count())
+    writeBundleMeta(spark, dir, numBuckets)
+  }
+
+  /** Reload a [[persistMasterArtifacts]] bundle. On a stamped bundle
+    * the members come back as their bucketed tables (re-registered on
+    * a cold session), so every day-2 probe reads the index co-located
+    * — the corpus side carries no Exchange at any scale (spec-pinned);
+    * legacy plain bundles read as before. The persisted census rides
+    * [[MasterArtifacts.evalGramCensus]]. */
   def loadMasterArtifacts(spark: SparkSession, dir: String): MasterArtifacts =
     MasterArtifacts(
-      spark.read.parquet(s"$dir/url_index"),
-      spark.read.parquet(s"$dir/exact_index"),
-      spark.read.parquet(s"$dir/prefix_postings"),
-      spark.read.parquet(s"$dir/prefix_grams"),
+      bundleMember(spark, dir, "url_index"),
+      bundleMember(spark, dir, "exact_index"),
+      bundleMember(spark, dir, "prefix_postings"),
+      bundleMember(spark, dir, "prefix_grams"),
       spark.read.parquet(s"$dir/prefix_vocab"),
-      spark.read.parquet(s"$dir/winnow_index"),
-      spark.read.parquet(s"$dir/eval_grams"))
+      bundleMember(spark, dir, "winnow_index"),
+      bundleMember(spark, dir, "eval_grams"),
+      evalGramCensus = Dedup.readEvalGramCensus(spark, s"$dir/eval_grams"))
 
   /** The q178 chain's split seed: 4, NOT q174's 40 — the day-2 leak
     * plants need a HELD-OUT, unblocked host at a plain plant residue
@@ -1059,7 +1260,19 @@ object Pipeline {
     * geometry + excision stitch, split, gram firewall (frozen ∪
     * extension), and the BPE id streams — a drift at ANY day-1→day-2
     * interface flips the final hash. */
-  def masterIngestDocs(spark: SparkSession, dir: String): DataFrame = {
+  def masterIngestDocs(spark: SparkSession, dir: String): DataFrame =
+    masterIngestDocsSplit(spark, dir)()
+
+  /** [[masterIngestDocs]] split at the artifact boundary (the bench
+    * build-stamp convention, round 18): invoking this freezes day 1 —
+    * building OR adopting the PERSISTED BUCKETED bundle
+    * ([[masterBundleFor]]) and loading it back — and returns the probe
+    * closure, the per-batch [[masterIngest]] a production day actually
+    * pays. The registered query composes the two verbatim, so the
+    * oracle gate certifies persist → cold load → co-located probes end
+    * to end. */
+  private[graft] def masterIngestDocsSplit(spark: SparkSession,
+                                           dir: String): () => DataFrame = {
     import spark.implicits._
     require(splitOfKey("src5.example.com", MasterIngestSeed) != "train",
       s"q178 plant contract broken: src5 must be held out under seed " +
@@ -1069,11 +1282,32 @@ object Pipeline {
     val bl = Urls.docBlocklist.toDF("pattern")
     val day1 = graft.sources.Warc.plantedMasterChunks(docs)
       .filter(col("chunk_id") % 5 =!= 4)
-    masterIngest(graft.sources.Warc.plantedMasterBatchChunks(docs),
-      "chunk_id", "content", bl,
-      masterArtifacts(day1, "chunk_id", "content", bl,
-        splitSeed = MasterIngestSeed),
+    val art = masterBundleFor(spark, docs, bl, day1)
+    val batch = graft.sources.Warc.plantedMasterBatchChunks(docs)
+      .localCheckpoint()
+    () => masterIngest(batch, "chunk_id", "content", bl, art,
       splitSeed = MasterIngestSeed)
+  }
+
+  /** Build-or-adopt the q178/q179 day-1 PERSISTED bundle: keyed by the
+    * documents corpus key under [[Similarity.TrainedArtifactRoot]] (the
+    * q175 adopt-or-build convention — the layout stamp written last is
+    * the success marker, and an existing key is never overwritten), and
+    * loaded back BUCKETED, so the registered day-2 queries run the
+    * production artifact path — persist, cold load, co-located probes —
+    * under the oracle hash. */
+  private[graft] def masterBundleFor(spark: SparkSession, docs: DataFrame,
+                                     blocklist: DataFrame,
+                                     day1: DataFrame): MasterArtifacts = {
+    val bdir = s"${Similarity.TrainedArtifactRoot}/master_bundle/" +
+      s"k=${Similarity.documentsCorpusKey(docs)}"
+    val fs = new org.apache.hadoop.fs.Path(bdir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(bundleMetaPath(bdir))))
+      persistMasterArtifacts(
+        masterArtifacts(day1, "chunk_id", "content", blocklist,
+          splitSeed = MasterIngestSeed), bdir)
+    loadMasterArtifacts(spark, bdir)
   }
 
   /** C51c: the day-2 MIXTURE REFRESH — the step [[masterIngest]]'s doc
@@ -1132,7 +1366,18 @@ object Pipeline {
     * 13-fate ladder, the BPE id space over BOTH pools, and the re-plan
     * / expansion / interleave / pack over the union — a drift at any
     * day-1→day-2→refresh interface flips the final hash. */
-  def masterRefreshDocs(spark: SparkSession, dir: String): DataFrame = {
+  def masterRefreshDocs(spark: SparkSession, dir: String): DataFrame =
+    masterRefreshDocsSplit(spark, dir)()
+
+  /** [[masterRefreshDocs]] split at the refresh boundary (the bench
+    * build-stamp convention, round 18): invoking this runs the whole
+    * two-day build — day-1 front, the persisted bundle (adopted from
+    * q178's key when warm), the batch ingest, both encoded pools — and
+    * returns the probe closure, the [[masterRefresh]] re-plan a daily
+    * job actually pays after its ingest accepts. The registered query
+    * composes the two verbatim. */
+  private[graft] def masterRefreshDocsSplit(spark: SparkSession,
+                                            dir: String): () => DataFrame = {
     import spark.implicits._
     require(splitOfKey("src5.example.com", MasterIngestSeed) != "train",
       s"q179 plant contract broken: src5 must be held out under seed " +
@@ -1140,16 +1385,17 @@ object Pipeline {
     val docs = graft.Tables(spark, dir).documents
       .localCheckpoint() // forked: day-1 serialization + batch plants
     val bl = Urls.docBlocklist.toDF("pattern")
-    val f = masterFront(
-      graft.sources.Warc.plantedMasterChunks(docs)
-        .filter(col("chunk_id") % 5 =!= 4),
-      "chunk_id", "content", bl, MasterIngestSeed,
+    val day1 = graft.sources.Warc.plantedMasterChunks(docs)
+      .filter(col("chunk_id") % 5 =!= 4)
+    val f = masterFront(day1, "chunk_id", "content", bl, MasterIngestSeed,
       minWords = 15, maxWords = 120, maxDupFrac = 0.65,
       jaccardTau = 0.8, winnowMinPrints = 60L,
       _ => _.localCheckpoint())
     val r = masterIngestFull(graft.sources.Warc.plantedMasterBatchChunks(docs),
-      "chunk_id", "content", bl, masterArtifactsOf(f, jaccardTau = 0.8),
+      "chunk_id", "content", bl, masterBundleFor(spark, docs, bl, day1),
       splitSeed = MasterIngestSeed)
-    masterRefresh(encodeBosEos(f.cleanTrain), r.accepted, masterWeights)
+    val day1Enc = encodeBosEos(f.cleanTrain).localCheckpoint()
+    val accepted = r.accepted.localCheckpoint()
+    () => masterRefresh(day1Enc, accepted, masterWeights)
   }
 }

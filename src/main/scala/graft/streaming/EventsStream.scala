@@ -1200,10 +1200,23 @@ object EventsStream {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.Dedup
         val spark = batch.sparkSession
         val evalGrams = spark.read.parquet(evalGramsPath)
-        val verdicts = graft.operators.Dedup
-          .flagAgainstEvalGrams(batch, evalGrams, n)
+        // O(1) join-strategy gate (round 18, verdict item 2): read the
+        // persisted census beside the index; cold-start seeds it with
+        // one exact count so every LATER trigger skips the index-sized
+        // aggregation — suite releases grow the index through
+        // [[graft.operators.Dedup.appendEvalGrams]], which keeps the
+        // stat an upper bound (the safe, shuffle-erring direction)
+        val census = Dedup.readEvalGramCensus(spark, evalGramsPath)
+          .getOrElse {
+            val c = evalGrams.select(col("g")).distinct().count()
+            Dedup.writeEvalGramCensus(spark, evalGramsPath, c)
+            c
+          }
+        val verdicts = Dedup
+          .flagAgainstEvalGrams(batch, evalGrams, n, knownCensus = Some(census))
         val fresh = readTableIfExists(spark, verdictPath) match {
           case Some(existing) =>
             verdicts.join(existing.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -2054,11 +2067,17 @@ object EventsStream {
           // strategies, so no write here targets a path a live plan
           // still reads
           // 1. eval grams: the batch's heldout 13-grams, new ones only
-          Dedup.buildEvalGramIndex(r.evalDocs)
+          //    — appended THROUGH the bundle's layout (bucketed on g
+          //    when stamped; round 18), and the persisted census bumps
+          //    by exactly the appended count (the anti-join makes the
+          //    appended set genuinely new, so the bound stays exact)
+          val newGrams = Dedup.buildEvalGramIndex(r.evalDocs)
             .join(art.evalGrams.select(col("g")), Seq("g"), "left_anti")
             .localCheckpoint()
-            .write.mode(org.apache.spark.sql.SaveMode.Append)
-            .parquet(s"$artifactsDir/eval_grams")
+          Pipeline.appendBundleMember(spark, artifactsDir, "eval_grams",
+            newGrams)
+          Dedup.bumpEvalGramCensus(spark, s"$artifactsDir/eval_grams",
+            newGrams.count())
           // 2. exact fingerprints: every NEW text that reached the
           //    exact tier (corpus-dup texts already have their entry)
           val newTexts = r.cleaned.join(
@@ -2066,21 +2085,19 @@ object EventsStream {
               "url_dup_corpus", "url_dup_batch", "empty",
               "exact_dup_corpus")).select(col("rec_id").as("doc_id")),
             Seq("doc_id"), "left_anti")
-          Dedup.buildExactIndex(newTexts, "doc_id", "clean_text")
-            .join(art.exactIndex.select(col("fingerprint")),
-              Seq("fingerprint"), "left_anti")
-            .localCheckpoint()
-            .write.mode(org.apache.spark.sql.SaveMode.Append)
-            .parquet(s"$artifactsDir/exact_index")
+          Pipeline.appendBundleMember(spark, artifactsDir, "exact_index",
+            Dedup.buildExactIndex(newTexts, "doc_id", "clean_text")
+              .join(art.exactIndex.select(col("fingerprint")),
+                Seq("fingerprint"), "left_anti")
+              .localCheckpoint())
           // 3. canonical URLs: every new eligible resource's keeper
-          Urls.buildUrlIndex(
-              r.records.filter(col("_cat").isin("kept", "url_dup")),
-              "rec_id", "uri")
-            .join(art.urlIndex.select(col("canon_url")),
-              Seq("canon_url"), "left_anti")
-            .localCheckpoint()
-            .write.mode(org.apache.spark.sql.SaveMode.Append)
-            .parquet(s"$artifactsDir/url_index")
+          Pipeline.appendBundleMember(spark, artifactsDir, "url_index",
+            Urls.buildUrlIndex(
+                r.records.filter(col("_cat").isin("kept", "url_dup")),
+                "rec_id", "uri")
+              .join(art.urlIndex.select(col("canon_url")),
+                Seq("canon_url"), "left_anti")
+              .localCheckpoint())
           // 4. accept: fates land LAST — a crash above degrades to
           //    at-least-once state growth, never to a lost verdict
           fates.write.mode(org.apache.spark.sql.SaveMode.Append)

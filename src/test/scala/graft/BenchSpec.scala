@@ -102,17 +102,42 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("metricsLine carries the back-to-back control total and only outlier suspects") {
+    // round 18: two-run lines carry the "minq" marker — the queries map
+    // is per-query min across the suites, control.value the quieter
+    // SUITE total (the r15–r17 protocol's headline, for trend
+    // continuity), suspects the slow-side medians of >1.3× disagreers
     val line = Bench.metricsLine(
       Seq(("q37_dup_clusters", 5.5), ("q01_pricing_summary", 1.0)),
       6.5, "0.1", 3,
       control = Some((4.2, Seq(("q37_dup_clusters", 3.0)))))
     assert(line ==
-      """{"metric":"total","value":6.500,"unit":"sec","headline":"min2","sf":0.1,"iters":3,"control":{"value":4.200,"suspects":{"q37":3}},"queries":{"q37":5.5,"q01":1}}""",
+      """{"metric":"total","value":6.500,"unit":"sec","headline":"minq","sf":0.1,"iters":3,"control":{"value":4.200,"suspects":{"q37":3}},"queries":{"q37":5.5,"q01":1}}""",
       line)
     val noSus = Bench.metricsLine(Seq(("q01_a", 1.0)), 1.0, "0.1", 3,
       control = Some((1.05, Nil)))
-    assert(noSus.contains(""""headline":"min2","sf""""), noSus)
+    assert(noSus.contains(""""headline":"minq","sf""""), noSus)
     assert(noSus.contains(""""control":{"value":1.050},"queries""""), noSus)
+  }
+
+  test("metricsLine: the shed and load stamps ride the line and survive shedding") {
+    // round 18 (verdict items 5 + 8): single-sample medians and
+    // non-JVM load must be machine-detectable in-band, like dirty
+    val line = Bench.metricsLine(
+      Seq(("q01_pricing_summary", 1.0)), 1.0, "0.1", 3,
+      shed = Some(3), load = Some((0.41, 6.02)))
+    assert(line.contains(""""shed":3""") && line.contains(""""load":[0.41,6.02]"""),
+      line)
+    // a quiet, unshed run carries neither stamp-absence ambiguity:
+    // shed absent = every median is iters-sample; load always prints
+    val clean = Bench.metricsLine(Seq(("q01_a", 1.0)), 1.0, "0.1", 3,
+      load = Some((0.0, 0.5)))
+    assert(!clean.contains("shed") && clean.contains(""""load":[0,0.5]"""), clean)
+    // shedding pressure keeps both stamps
+    val many = (1 to 170).map(i => (f"q$i%02d_some_long_descriptive_name", 12.345))
+    val shedLine = Bench.metricsLine(many, 170 * 12.345, "1.0", 3,
+      shed = Some(12), load = Some((1.25, 1.5)))
+    assert(shedLine.length <= 1950 && shedLine.contains(""""shed":12""") &&
+      shedLine.contains(""""load":[1.25,1.5]"""), shedLine.take(160))
   }
 
   test("metricsLine holds 120 queries plus control-with-suspects inside the tail budget") {

@@ -351,6 +351,49 @@ class DedupSpec extends SparkSpecBase {
     val smallPlan = small.queryExecution.executedPlan.toString
     assert("""BroadcastHashJoin \[g#""".r.findFirstIn(smallPlan).isDefined,
       s"under-limit gram set must still broadcast:\n${smallPlan.take(2000)}")
+    // knownCensus (round 18): a caller-supplied census skips the
+    // per-call count; a STALE-BUT-LARGER stat (the upper-bound
+    // maintenance rule's only staleness direction) gates toward the
+    // SHUFFLED regime — safe: verdicts stay bit-identical
+    val stale = Dedup.flagAgainstEvalGrams(train, idx,
+      knownCensus = Some(Dedup.DefaultEvalGramBroadcastLimit + 1))
+    assert(stale.as[(Long, Boolean)].collect().toMap ===
+      small.as[(Long, Boolean)].collect().toMap,
+      "a stale-large census changed verdicts")
+    val stalePlan = stale.queryExecution.executedPlan.toString
+    assert("""BroadcastHashJoin \[g#""".r.findFirstIn(stalePlan).isEmpty &&
+      """ShuffledHashJoin \[g#""".r.findFirstIn(stalePlan).isDefined,
+      s"a stale-large census must err toward shuffle:\n${stalePlan.take(2000)}")
+  }
+
+  test("eval-gram census side file: write/read/bump round-trips; appendEvalGrams keeps the bound exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_census").toString
+    val idxPath = s"$dir/eval_grams"
+    val day1 = Seq((0L, (1 to 14).map(i => s"alpha$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.buildEvalGramIndex(day1).write.parquet(idxPath)
+    assert(Dedup.readEvalGramCensus(spark, idxPath).isEmpty,
+      "no census file yet — read must be None, not a guess")
+    val c0 = spark.read.parquet(idxPath).distinct().count()
+    Dedup.writeEvalGramCensus(spark, idxPath, c0)
+    assert(Dedup.readEvalGramCensus(spark, idxPath).contains(c0))
+    // a suite release appends NEW grams only and bumps by exactly that
+    // count (re-appending the same docs adds nothing)
+    val day2 = Seq(
+      (1L, (1 to 14).map(i => s"alpha$i").mkString(" ")), // all grams known
+      (2L, (1 to 14).map(i => s"beta$i").mkString(" ")))  // 2 new grams
+      .toDF("doc_id", "text")
+    val added = Dedup.appendEvalGrams(spark, day2, idxPath)
+    assert(added == 2L, s"expected 2 novel 13-grams, got $added")
+    val trueCensus = spark.read.parquet(idxPath).distinct().count()
+    assert(Dedup.readEvalGramCensus(spark, idxPath).contains(trueCensus),
+      "the appender must keep the census exact")
+    assert(Dedup.appendEvalGrams(spark, day1, idxPath) == 0L,
+      "replayed docs must append nothing")
+    assert(Dedup.readEvalGramCensus(spark, idxPath).contains(trueCensus))
+    // bump is the raw merge rule: stored + added (upper bound)
+    assert(Dedup.bumpEvalGramCensus(spark, idxPath, 5L) == trueCensus + 5L)
   }
 
   test("splitDecontamDocs: the firewall fires on both sides of the plant, train rows only") {

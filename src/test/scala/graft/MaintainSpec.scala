@@ -195,6 +195,138 @@ class MaintainSpec extends SparkSpecBase {
     assert(!again.healedAnything, s"healed bundle must no-op: $again")
   }
 
+  test("BUCKETED bundle maintenance: D2y-shaped appends heal through the bucket spec, probes identical, census re-tightens, members back to ≤1 file/bucket") {
+    import graft.operators.{Dedup, Pipeline, Urls}
+    def words(seed: String, n: Int): String =
+      (0 until n).map(i =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(10)).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("maint_bb").toString + "/bundle"
+    val boiler = words("boiler", 12)
+    val corpus = (1L to 12L).map(i =>
+      (i, words(s"own$i", 10) + " " + boiler + " " + words(s"tail$i", 10)))
+      .toDF("doc_id", "text").localCheckpoint()
+    val recs = (1L to 12L).map(i =>
+      (i, s"https://src${i % 3}.example.com/a/$i")).toDF("rec_id", "uri")
+    val (p0, g0, v0) = Dedup.buildPrefixIndex(corpus)
+    val evalText = words("eval", 25)
+    Pipeline.persistMasterArtifacts(Pipeline.MasterArtifacts(
+      Urls.buildUrlIndex(recs, "rec_id", "uri"),
+      Dedup.buildExactIndex(corpus, "doc_id", "text"),
+      p0, g0, v0,
+      Dedup.buildWinnowIndex(corpus),
+      Dedup.buildEvalGramIndex(Seq((900L, evalText)).toDF("doc_id", "text"))),
+      dir, numBuckets = 4)
+    val fresh = Maintain.maintainCorpus(spark, masterBundleDirs = Seq(dir))
+    assert(!fresh.healedAnything, s"fresh bucketed bundle must no-op: $fresh")
+    // ---- decay through the D2y append path (all bucketed writers) ----
+    (1 to 6).foreach { i =>
+      Pipeline.appendBundleMember(spark, dir, "eval_grams",
+        Dedup.buildEvalGramIndex(
+          Seq((1000L + i, words(s"ev$i", 25))).toDF("doc_id", "text"))
+          .localCheckpoint())
+      Dedup.bumpEvalGramCensus(spark, s"$dir/eval_grams", 13L)
+      Pipeline.appendBundleMember(spark, dir, "url_index",
+        Seq((s"https://new$i.example.com/x", 2000L + i, 1L))
+          .toDF("canon_url", "keep_id", "n_copies"))
+    }
+    Pipeline.appendBundleMember(spark, dir, "winnow_index",
+      Dedup.appendToWinnowIndex(
+        Seq((50L, words("novelw", 10) + " " + boiler)).toDF("doc_id", "text"))
+        .localCheckpoint())
+    val (ap, ag) = Dedup.appendToPrefixIndex(
+      (60L to 69L).map(i => (i, words(s"nv$i", 40))).toDF("doc_id", "text"),
+      Pipeline.bundleMember(spark, dir, "prefix_vocab").localCheckpoint())
+    Pipeline.appendBundleMember(spark, dir, "prefix_postings", ap.localCheckpoint())
+    Pipeline.appendBundleMember(spark, dir, "prefix_grams", ag.localCheckpoint())
+    // ---- probes BEFORE the heal (through the LOADED bundle) ----------
+    val batch = Seq(
+      (200L, words("own3", 10) + " " + boiler + " " + words("tail3", 10)),
+      (201L, words("freshb", 30))).toDF("doc_id", "text").localCheckpoint()
+    val train = Seq(
+      (300L, words("pre", 3) + " " + evalText + " " + words("post", 3)),
+      (301L, words("cleantr", 30))).toDF("doc_id", "text").localCheckpoint()
+    def probes(): (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row]) = {
+      val art = Pipeline.loadMasterArtifacts(spark, dir)
+      (Dedup.dedupAgainstPrefixIndex(batch, art.prefixPostings,
+        art.prefixGrams, art.prefixVocab).collect().toSeq,
+        Dedup.flagAgainstEvalGrams(train, art.evalGrams,
+          knownCensus = art.evalGramCensus).collect().toSeq,
+        Urls.urlDedupAgainstIndex(
+          Seq((500L, "https://src1.example.com/a/1"), (501L, "https://new3.example.com/x"))
+            .toDF("rec_id", "uri"), art.urlIndex, "rec_id", "uri")
+          .orderBy(col("rec_id")).collect().toSeq)
+    }
+    val before = probes()
+    assert(before._2.map(r => (r.getLong(0), r.getBoolean(1))).toMap ==
+      Map(300L -> true, 301L -> false), s"${before._2}")
+    assert(before._3.map(_.getBoolean(2)) == Seq(true, true),
+      s"both planted url dups must verdict: ${before._3}")
+    // ---- ONE pass heals; every heal writes through the bucket spec ----
+    val report = Maintain.maintainCorpus(spark, masterBundleDirs = Seq(dir))
+    val heals = report.bundleHeals.map(_.stripPrefix(s"$dir:")).toSet
+    assert(Set("winnow_hist", "eval_grams", "prefix_index").subsetOf(heals),
+      s"got $report")
+    assert(heals.contains("url_index_files"),
+      s"the appended url index must compact: $report")
+    assert(probes() == before,
+      "verdicts must be bit-identical across the bucketed heal")
+    // census re-tightened to exact (the bumps were upper bounds)
+    val exactCensus = spark.read.parquet(s"$dir/eval_grams").distinct().count()
+    assert(Dedup.readEvalGramCensus(spark, s"$dir/eval_grams").contains(exactCensus),
+      "the compaction must reset the census to the exact count")
+    // every healed member is back to ≤1 file/bucket and still BUCKETED
+    // (reads come back co-located through the re-registered tables)
+    for (m <- Seq("eval_grams", "url_index", "prefix_postings", "winnow_hist")) {
+      val files = new java.io.File(s"$dir/$m").listFiles()
+        .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(files <= 4, s"$m still fragmented after the heal: $files files")
+    }
+    val again = Maintain.maintainCorpus(spark, masterBundleDirs = Seq(dir))
+    assert(!again.healedAnything, s"healed bucketed bundle must no-op: $again")
+  }
+
+  test("refresh meter (E9b): a grown pool or a new source flags, a fresh plan no-ops") {
+    import graft.operators.Sharding
+    val weights = Map("srcA" -> 5L, "srcB" -> 1L)
+    val pool0 = ((1 to 40).map(i => (i.toLong, "srcA", 100L)) ++
+      (41 to 60).map(i => (i.toLong, "srcB", 50L)))
+      .toDF("doc_id", "source", "n_tokens").localCheckpoint()
+    val plan = Sharding.planMixture(pool0, "source", "n_tokens", weights,
+      budgetTokens = 6000L).localCheckpoint()
+    // fresh plan over the same pool: no-op, and through maintainCorpus
+    // the tick reports nothing
+    assert(!Maintain.refreshRecommended(spark, pool0, plan))
+    val home = java.nio.file.Files.createTempDirectory("maint_rf").toString
+    pool0.write.parquet(s"$home/pool"); plan.write.parquet(s"$home/plan")
+    val tick = Maintain.maintainCorpus(spark,
+      refreshChecks = Seq((s"$home/pool", s"$home/plan")))
+    assert(tick.refreshRecommended.isEmpty && !tick.healedAnything,
+      s"fresh plan must no-op: $tick")
+    // the pool grows 10% (> the 5% default budget): flags — but only
+    // past the budget (4% stays quiet: the meter is a budget, not a
+    // tripwire on every accepted batch)
+    val grown4 = pool0.unionByName(
+      Seq((100L, "srcA", 200L)).toDF("doc_id", "source", "n_tokens"))
+    assert(!Maintain.refreshRecommended(spark, grown4, plan),
+      "4% growth is inside the default 5% budget")
+    val grown10 = pool0.unionByName(
+      Seq((100L, "srcA", 500L)).toDF("doc_id", "source", "n_tokens"))
+    assert(Maintain.refreshRecommended(spark, grown10, plan),
+      "10% growth must recommend a refresh")
+    grown10.write.parquet(s"$home/pool10")
+    val tick10 = Maintain.maintainCorpus(spark,
+      refreshChecks = Seq((s"$home/pool10", s"$home/plan")))
+    assert(tick10.refreshRecommended == Seq(s"$home/pool10") &&
+      !tick10.healedAnything, s"grown pool must flag, heal nothing: $tick10")
+    // a NEW source flags at any size — a stale plan allocates it nothing
+    val newSrc = pool0.unionByName(
+      Seq((101L, "srcC", 1L)).toDF("doc_id", "source", "n_tokens"))
+    assert(Maintain.refreshRecommended(spark, newSrc, plan),
+      "a plan-unseen source must recommend a refresh")
+  }
+
   test("rebalanceIvfIndexDir: the crash window (home absent, __old present) self-heals on entry") {
     def vec(i: Long, hot: Int): (Long, Seq[Float]) =
       (i, (0 until 8).map(d =>
