@@ -59,10 +59,29 @@ object FirewallBench {
           .filter(col("contaminated")).count())
       require(nB == nS,
         s"firewall verdicts must be join-strategy-independent: $nB vs $nS")
+      // the persisted-census path (round 18, verdict item 2): the D2p
+      // per-trigger shape — gram index + census side stat persisted,
+      // the probe reads the stat instead of re-counting the index. Two
+      // walls per leg: the stat-backed probe (should track the probe
+      // alone as grams grow) and the per-call census aggregation it
+      // retires (the cost a growing index charged EVERY trigger).
+      val idxPath = s"/tmp/graft_firewall_idx_${copies}x"
+      idx.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(idxPath)
+      Dedup.writeEvalGramCensus(spark, idxPath, nGrams)
+      val pIdx = spark.read.parquet(idxPath)
+      val (nC, wCensusProbe) = timed {
+        val c = Dedup.readEvalGramCensus(spark, idxPath)
+        Dedup.flagAgainstEvalGrams(batch, pIdx, knownCensus = c)
+          .filter(col("contaminated")).count()
+      }
+      require(nC == nB,
+        s"census-stat probe verdicts must match: $nC vs $nB")
+      val (_, wGateCount) = timed(pIdx.select(col("g")).distinct().count())
       println(s"""{"leg":"firewall_${copies}x","copies":$copies,""" +
         s""""n_batch":$nBatch,"n_eval_grams":$nGrams,""" +
         s""""build":${fmt(wBuild)},"probe_bcast":${fmt(wBcast)},""" +
-        s""""probe_shuffle":${fmt(wShuffle)},"contaminated":$nB}""")
+        s""""probe_shuffle":${fmt(wShuffle)},"probe_census_stat":${fmt(wCensusProbe)},""" +
+        s""""retired_gate_count":${fmt(wGateCount)},"contaminated":$nB}""")
       System.out.flush()
     }
     spark.stop()

@@ -237,7 +237,7 @@ object Maintain {
     }
     // 3. prefix vocab drift
     val postings = member("prefix_postings")
-    val vocab = spark.read.parquet(s"$dir/prefix_vocab")
+    val vocab = member("prefix_vocab")
     val pg = postings.select(col("g")).distinct().localCheckpoint()
     val totalG = pg.count()
     val novelG = pg.join(vocab.select(col("g")), Seq("g"), "left_anti").count()
@@ -254,7 +254,8 @@ object Maintain {
         if (healed.contains("winnow_hist")) "winnow_hist" else "",
         if (healed.contains("eval_grams")) "eval_grams" else "") ++
         (if (healed.contains("prefix_index"))
-          Set("prefix_postings", "prefix_grams") else Set.empty[String])
+          Set("prefix_postings", "prefix_grams", "prefix_vocab")
+        else Set.empty[String])
       for (name <- Pipeline.BundleBucketKeys.keys.toSeq.sorted
            if !already.contains(name)
            if dataFiles(name) > n * targetFilesPerBucket) {

@@ -935,24 +935,29 @@ object Pipeline {
       .select(col("doc_id"),
         array_join(slice(split(col("clean_text"), "\\s+"), 1, 20), " ")
           .as("text"))
-    // census arithmetic (round 18): with a bundle-carried census the
-    // firewall's gate costs one BATCH-sized count (the extension's own
-    // distinct grams) instead of an index-sized aggregation per ingest
-    // — bundle + extension is an upper bound on the union's distinct
-    // count, which errs toward the shuffled regime (the safe direction)
-    val extGrams0 = Dedup.buildEvalGramIndex(evalDocs)
-    val (extGrams, gramCensus) = art.evalGramCensus match {
-      case Some(c) =>
-        val e = extGrams0.localCheckpoint()
-        (e, Some(c + e.count()))
-      case None => (extGrams0, None)
-    }
-    val allGrams = art.evalGrams.unionByName(extGrams).distinct()
+    // the firewall probes the FROZEN index and the batch's own
+    // extension SEPARATELY and ORs the verdicts (round 18):
+    // contaminated = ∃ shared gram in (frozen ∪ ext) decomposes
+    // exactly over the union, and the split keeps the frozen side's
+    // layout — the probe's internal distinct runs on the BUCKETED
+    // index scan exchange-free, where a union would re-shuffle the
+    // O(heldout-corpus) gram set per ingest (measured: the last
+    // index-sized term in the 100× fixed-batch ingest). The frozen
+    // probe's join-strategy gate reads the bundle census (O(1)); the
+    // extension is batch-sized and probes on its own.
+    val extGrams = Dedup.buildEvalGramIndex(evalDocs)
+      .localCheckpoint() // forked: the ext probe + the D2y growth append
     val train = parts.filter(col("split") === "train")
-    val contam = Dedup.flagAgainstEvalGrams(
-        train.select(col("doc_id"), col("clean_text").as("text")), allGrams,
-        knownCensus = gramCensus)
-      .filter(col("contaminated"))
+    val probeDocs = train
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .localCheckpoint() // forked: both firewall probes
+    val cFrozen = Dedup.flagAgainstEvalGrams(probeDocs, art.evalGrams,
+        knownCensus = art.evalGramCensus)
+      .select(col("doc_id"), col("contaminated").as("_c1"))
+    val cExt = Dedup.flagAgainstEvalGrams(probeDocs, extGrams)
+      .select(col("doc_id"), col("contaminated").as("_c2"))
+    val contam = cFrozen.join(cExt, Seq("doc_id"))
+      .filter(col("_c1") || col("_c2"))
       .select(col("doc_id"), lit(true).as("_contam"))
     // 8. encode the shipped pool; the typed frame (dseq intact) is the
     //    refresh pool [[masterRefresh]] unions into the next plan
@@ -1033,13 +1038,19 @@ object Pipeline {
     * doc_id (the prefix tier's exact-verification side), h
     * ([[Dedup.winnowSpansAgainstIndex]]; the df histogram buckets on h
     * too, so `maxDf` suppression's anti-join co-locates with the index
-    * it filters). `prefix_vocab` stays plain — a broadcast-sized
-    * ordering dim with no per-row probe join. */
+    * it filters). `prefix_vocab` buckets on g as well: it is NOT a
+    * broadcast dim — the frozen gram order is O(corpus distinct
+    * shingles) (4.2M rows at the 100× leg, just past the broadcast
+    * threshold), and the batch-ordering join (`orderedGrams`) consults
+    * it per ingest, so an unbucketed vocab re-shuffles a corpus-sized
+    * frame per batch — the exact defect class the layout exists to
+    * kill. */
   private[graft] val BundleBucketKeys: Map[String, String] = Map(
     "url_index" -> "canon_url",
     "exact_index" -> "fingerprint",
     "prefix_postings" -> "g",
     "prefix_grams" -> "doc_id",
+    "prefix_vocab" -> "g",
     "winnow_index" -> "h",
     "eval_grams" -> "g",
     "winnow_hist" -> "h")
@@ -1191,8 +1202,7 @@ object Pipeline {
     writeBundleMember(spark, dir, "exact_index", art.exactIndex, numBuckets)
     writeBundleMember(spark, dir, "prefix_postings", art.prefixPostings, numBuckets)
     writeBundleMember(spark, dir, "prefix_grams", art.prefixGrams, numBuckets)
-    art.prefixVocab.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$dir/prefix_vocab")
+    writeBundleMember(spark, dir, "prefix_vocab", art.prefixVocab, numBuckets)
     writeBundleMember(spark, dir, "winnow_index", art.winnowIndex, numBuckets)
     writeBundleMember(spark, dir, "eval_grams", art.evalGrams, numBuckets)
     // derive the histogram FROM the persisted index: the bucketed scan
@@ -1218,7 +1228,7 @@ object Pipeline {
       bundleMember(spark, dir, "exact_index"),
       bundleMember(spark, dir, "prefix_postings"),
       bundleMember(spark, dir, "prefix_grams"),
-      spark.read.parquet(s"$dir/prefix_vocab"),
+      bundleMember(spark, dir, "prefix_vocab"),
       bundleMember(spark, dir, "winnow_index"),
       bundleMember(spark, dir, "eval_grams"),
       evalGramCensus = Dedup.readEvalGramCensus(spark, s"$dir/eval_grams"))
