@@ -306,7 +306,11 @@ object SparkEntry {
     // the DAY-2 mixture REFRESH: day-1 train pool ∪ the ingest's
     // accepted batch → fresh water-fill, expansion, interleave and
     // DDP pack — the daily re-plan masterIngest only promised in prose
-    "q179_master_refresh"        -> ((s, d) => Pipeline.masterRefreshDocs(s, d))
+    "q179_master_refresh"        -> ((s, d) => Pipeline.masterRefreshDocs(s, d)),
+    // the REFRESH-CADENCE meter (E9b): per-source pool mass vs the
+    // persisted plan's recorded totals — grown sources, a plan-unseen
+    // source, and a vanished source all report, integer-exact
+    "q180_refresh_meter"         -> ((s, d) => Maintain.refreshMeterDocs(s, d))
   )
 
   /** A11 — JSON column flattening via the generic JsonReports source. */
@@ -359,6 +363,41 @@ object SparkEntry {
     * running AND and the floor-divided allocations, all integer-exact.
     * Ends at CTE `a` carrying (source, n_docs, n_tokens, weight,
     * capacity, capped, alloc_tokens). */
+  /** The q180 refresh-meter oracle: the plan-time per-source totals
+    * over the DAY-1 pool (doc_id % 10 ≠ 7, weighted sources only —
+    * exactly the rows planMixture's plan carries; the meter consumes
+    * only the plan's recorded n_tokens, never its allocations), then
+    * the meter's full-outer arithmetic against the CURRENT pool (all
+    * docs, src13 remapped to src_day2): is_new = the plan never saw
+    * it, in_pool = the pool still carries it, growth_bp =
+    * floor(10000 · max(cur − plan, 0) / plan) for defined rows, −1
+    * otherwise — integer-exact (`//` and Spark DIV agree on
+    * non-negatives). */
+  private val refreshMeterOracleSql: String = {
+    val cases = graft.operators.Sharding.mixturePlanWeights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
+    s"""WITH pln AS (
+       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE doc_id % 10 <> 7
+       |    AND CAST(CASE source $cases ELSE 0 END AS BIGINT) > 0
+       |  GROUP BY source),
+       |cur AS (SELECT CASE WHEN source = 'src13' THEN 'src_day2'
+       |               ELSE source END AS source,
+       |         CAST(sum(n_chars) AS BIGINT) AS cur_tokens
+       |        FROM documents GROUP BY 1),
+       |rep AS (SELECT coalesce(cur.source, pln.source) AS source,
+       |          pln.source IS NULL AS is_new,
+       |          cur.source IS NOT NULL AS in_pool,
+       |          CAST(coalesce(pln.n_tokens, 0) AS BIGINT) AS plan_tokens,
+       |          CAST(coalesce(cur.cur_tokens, 0) AS BIGINT) AS cur_tokens
+       |        FROM cur FULL OUTER JOIN pln ON pln.source = cur.source)
+       |SELECT source, is_new, in_pool, plan_tokens, cur_tokens,
+       |  CAST(CASE WHEN is_new OR NOT in_pool THEN -1
+       |       ELSE greatest(cur_tokens - plan_tokens, 0) * 10000
+       |            // greatest(plan_tokens, 1) END AS BIGINT) AS growth_bp
+       |FROM rep ORDER BY source""".stripMargin
+  }
+
   private val mixturePlanOracleCtes: String = {
     val cases = graft.operators.Sharding.mixturePlanWeights.toSeq.sortBy(_._1)
       .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
@@ -4988,6 +5027,13 @@ object SparkEntry {
     // through the re-plan over the grown pool (see
     // masterRefreshOracleSql's Scaladoc)
     "q179_master_refresh" -> masterRefreshOracleSql,
+
+    // q180: the refresh-cadence meter replayed — the q158 water-fill
+    // CTE chain over the DAY-1 subset (doc_id % 10 ≠ 7) derives the
+    // plan, the current pool remaps src13 → src_day2, and the
+    // full-outer meter arithmetic (new / vanished / grown sources,
+    // integer basis points) re-derives per source
+    "q180_refresh_meter" -> refreshMeterOracleSql,
 
     // q92: phrase matching is pure integer position arithmetic —
     // DuckDB re-derives (term, pos) pairs via zipped unnest and counts

@@ -115,22 +115,76 @@ object Maintain {
                          growthBudgetBp: Long = 500L): Boolean = {
     require(growthBudgetBp >= 0,
       s"growthBudgetBp must be >= 0, got $growthBudgetBp")
-    val row = pool
-      .select(col(sourceCol).as("source"), col(tokensCol).cast("long").as("_tk"))
-      .groupBy(col("source")).agg(sum(col("_tk")).as("cur_tokens"))
-      .join(plan.select(col("source"), col("n_tokens").as("plan_tokens")),
-        Seq("source"), "left")
+    // one derivation: the boolean aggregates the REPORT, restricted to
+    // pool-present rows (a plan-only source — one that vanished from
+    // the pool — is a mixture-shape change the next refresh handles,
+    // but it contributes nothing to the growth arithmetic)
+    val row = refreshMeterReport(pool, plan, sourceCol, tokensCol)
       .agg(
-        coalesce(sum(when(col("plan_tokens").isNull, 1L).otherwise(0L)), lit(0L))
-          .as("new_sources"),
-        coalesce(sum(col("cur_tokens")), lit(0L)).as("cur"),
-        coalesce(sum(col("plan_tokens")), lit(0L)).as("planned"))
+        coalesce(sum(when(col("in_pool") && col("is_new"), 1L)
+          .otherwise(0L)), lit(0L)).as("new_sources"),
+        coalesce(sum(when(col("in_pool"), col("cur_tokens"))
+          .otherwise(0L)), lit(0L)).as("cur"),
+        coalesce(sum(when(col("in_pool"), col("plan_tokens"))
+          .otherwise(0L)), lit(0L)).as("planned"))
       .first()
     val (newSources, cur, planned) =
       (row.getLong(0), row.getLong(1), row.getLong(2))
     if (newSources > 0) true
     else if (planned == 0) cur > 0
     else cur > planned && (cur - planned) * 10000L / planned > growthBudgetBp
+  }
+
+  /** E9b's REPORT form — the per-source meter [[refreshRecommended]]'s
+    * boolean aggregates, registered as `q180_refresh_meter`: one row
+    * per source present in the pool OR the plan, with the plan-time
+    * and current token masses, the new-source / vanished-source flags
+    * and the integer-exact growth in basis points (−1 where growth is
+    * undefined: a source the plan never saw, or one the pool no longer
+    * carries). This is what a production dashboard actually renders
+    * next to the refresh recommendation.
+    *
+    * @return (source, is_new, in_pool, plan_tokens, cur_tokens,
+    *         growth_bp), ordered by source */
+  def refreshMeterReport(pool: DataFrame, plan: DataFrame,
+                         sourceCol: String = "source",
+                         tokensCol: String = "n_tokens"): DataFrame =
+    pool
+      .select(col(sourceCol).as("source"), col(tokensCol).cast("long").as("_tk"))
+      .groupBy(col("source")).agg(sum(col("_tk")).as("_cur"))
+      .join(plan.select(col("source"), col("n_tokens").as("_plan")),
+        Seq("source"), "full_outer")
+      .select(col("source"),
+        col("_plan").isNull.as("is_new"),
+        col("_cur").isNotNull.as("in_pool"),
+        coalesce(col("_plan"), lit(0L)).as("plan_tokens"),
+        coalesce(col("_cur"), lit(0L)).as("cur_tokens"))
+      .withColumn("growth_bp",
+        when(col("is_new") || !col("in_pool"), lit(-1L))
+          .otherwise(expr("CAST(greatest(cur_tokens - plan_tokens, 0) * 10000 " +
+            "DIV greatest(plan_tokens, 1) AS BIGINT)")))
+      .orderBy(col("source"))
+
+  /** E9b `q180_refresh_meter` — [[refreshMeterReport]] over a planted
+    * two-day shape: the plan is the q158 water-fill over the DAY-1
+    * pool (doc_id % 10 ≠ 7, n_chars as the token cost, the q158
+    * weights and 9/5 budget); the CURRENT pool is the full corpus with
+    * source src13 REMAPPED to src_day2 — so every original source grew
+    * by its held-back slice (growth_bp > 0), src_day2 is plan-unseen
+    * (is_new, the allocation a stale plan gives it is zero), and src13
+    * vanished from the pool (in_pool = false) — every verdict path
+    * fires at every SF. The DuckDB oracle replays the day-1 water-fill
+    * (the q158 CTE chain over the subset) and the full-outer meter
+    * arithmetic, integer-exact. */
+  def refreshMeterDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables(spark, dir).documents
+    val day1 = d.filter(col("doc_id") % 10 =!= 7)
+    val budget = day1.agg(sum(col("n_chars").cast("long"))).first().getLong(0) * 9L / 5L
+    val plan = Sharding.planMixture(day1, "source", "n_chars",
+      Sharding.mixturePlanWeights, budgetTokens = budget)
+    val pool = d.withColumn("source",
+      when(col("source") === "src13", lit("src_day2")).otherwise(col("source")))
+    refreshMeterReport(pool, plan, tokensCol = "n_chars")
   }
 
   // ---- the MASTER artifact bundle (round 17, verdict item 4):
