@@ -1074,6 +1074,12 @@ class StreamingSpec extends SparkSpecBase {
       q.processAllAvailable()
       assert(verdicts() == Map(1L -> true, 2L -> false),
         s"streamed verdicts: ${verdicts()}")
+      // the COLD-START trigger seeds the census side stat (round 18):
+      // every later trigger reads it in O(1) instead of re-counting
+      // the gram index per micro-batch
+      val seeded = Dedup.readEvalGramCensus(spark, gramDir)
+      assert(seeded.contains(spark.read.parquet(gramDir).distinct().count()),
+        s"first trigger must seed an exact census, got $seeded")
       // parity: the batch kernel over the same docs agrees exactly
       val batch = Dedup.flagNgramContamination(
         Seq((1L, dirty), (2L, clean)).toDF("doc_id", "text"), eval1)
@@ -1093,6 +1099,13 @@ class StreamingSpec extends SparkSpecBase {
       q.processAllAvailable()
       assert(verdicts() == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false),
         s"updated suite must flag from the next trigger: ${verdicts()}")
+      // this raw append bypassed the census bump (appendEvalGrams is
+      // the protocol appender) — the stored stat is now STALE-SMALL,
+      // and the verdicts above prove the documented safety property:
+      // the census picks only the JOIN STRATEGY, never who flags
+      assert(Dedup.readEvalGramCensus(spark, gramDir).exists(
+        _ < spark.read.parquet(gramDir).distinct().count()),
+        "the raw append should have left the census stale-small for this assert")
     } finally q.stop()
     // the n-metadata guard (r14 advice fix): probing an n=13 index with
     // n=7 would hash disjoint gram streams and verdict everything clean
