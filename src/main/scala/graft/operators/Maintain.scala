@@ -430,8 +430,11 @@ object Maintain {
       installPrefixStages(fs, dir)
       fs.delete(marker, false)
     }
-    Seq("winnow_hist", "eval_grams", "prefix_postings", "prefix_grams",
-      "prefix_vocab").foreach { n =>
+    // every member any heal can swap (round 18: the fragmentation pass
+    // swaps the url/exact/winnow members too) — a crash window on any
+    // of them must self-heal on the next entry
+    (Pipeline.BundleBucketKeys.keys.toSeq :+ "prefix_vocab")
+      .distinct.sorted.foreach { n =>
       val live = new org.apache.hadoop.fs.Path(s"$dir/$n")
       val old = new org.apache.hadoop.fs.Path(s"$dir/${n}__old")
       val stage = new org.apache.hadoop.fs.Path(s"$dir/${n}__stage")
