@@ -32,6 +32,13 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+    // batch-keyed probe pruning (r19, the r18 `weak`): the day-2 probes
+    // push the batch's distinct keys at the bundle member scans as an
+    // In predicate. Past this threshold parquet-mr collapses In to a
+    // [min,max] range check, which prunes NOTHING on hash-domain keys
+    // (g/h are xxhash64 outputs — the batch's range spans the space);
+    // 1024 keeps realistic batch key sets exact at the row-group gate.
+    .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.warehouse.dir",
       s"${sys.props("java.io.tmpdir")}/graft_warehouse")

@@ -317,8 +317,9 @@ object SparkEntry {
   private def jsonProps(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val ev = Tables(spark, dir).events.select(col("event_id"), col("props"))
-    JsonReports.flattenJson(ev, "props", JsonReports.schemaOf("k INT"))
-      .orderBy(col("event_id"))
+    graft.operators.Perf.sortedOnce(
+      JsonReports.flattenJson(ev, "props", JsonReports.schemaOf("k INT")),
+      col("event_id"))
   }
 
   // ---- oracle SQL ------------------------------------------------------

@@ -61,7 +61,7 @@ object Analytics {
           .over(Window.partitionBy(col("cohort_week"))))
       .withColumn("retention_pct",
         round(col("active_users").cast("double") / col("cohort_size"), 4))
-      .orderBy(col("cohort_week"), col("week_offset"))
+      .transform(d => Perf.sortedOnce(d, col("cohort_week"), col("week_offset")))
   }
 
   /** `q55_cohort_retention` on the events table. */
@@ -114,7 +114,7 @@ object Analytics {
         round(col("users").cast("double") / first(col("users")).over(w), 4))
       .withColumn("pct_of_prev",
         round(col("users").cast("double") / lag(col("users"), 1).over(w), 4))
-      .orderBy(col("step"))
+      .transform(d => Perf.sortedOnce(d, col("step")))
   }
 
   /** `q56_funnel_conversion`: view → click → purchase over events. */
@@ -142,7 +142,7 @@ object Analytics {
       .withColumn(s"rolling_${days}d_events", sum(col("n_events")).over(w))
       .withColumn("daily_value", round(col("_daily"), 4))
       .drop("_daily", "_day_num")
-      .orderBy(col(keyCol), col("day"))
+      .transform(d => Perf.sortedOnce(d, col(keyCol), col("day")))
   }
 
   /** `q57_rolling_metrics`: 7-day rolling value/events per event_type. */
@@ -180,7 +180,7 @@ object Analytics {
       .withColumn("baseline_mean", round(col("_mean"), 4))
       .withColumn("baseline_std", round(col("_std"), 4))
       .drop("_mean", "_std", "_day_num")
-      .orderBy(col(keyCol), col("day"))
+      .transform(d => Perf.sortedOnce(d, col(keyCol), col("day")))
   }
 
   /** `q58_anomaly_flags`: daily per-type counts vs 7-day baseline. */
@@ -315,7 +315,7 @@ object Analytics {
           / 100000000.0 + lit(1e-9), 4).as("credited_value"),
         count(lit(1)).as("n_credited_touches"),
         countDistinct(col("_conv_id")).as("n_conversions"))
-      .orderBy(col("touch_day"))
+      .transform(d => Perf.sortedOnce(d, col("touch_day")))
   }
 
   /** [[attribution]] with the equal-credit model (kept as the named

@@ -90,6 +90,6 @@ object AsOfJoin {
       .agg(max(col("event_id")).as("click_id"))
     asOf(purchases, clicks, keys = Seq("user_id"),
       leftTs = "ts", rightTs = "click_ts", rightCols = Seq("click_id", "click_ts"))
-      .orderBy(col("event_id"))
+      .transform(d => Perf.sortedOnce(d, col("event_id")))
   }
 }

@@ -445,7 +445,7 @@ object Bpe {
     val dressed = graft.Tables(spark, dir).documents
       .withColumn("text", translate(lower(col("text")), "ae", "äé"))
     encodeStats(dressed, byteKernelMerges, useKernel = true, byteLevel = true)
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** Tokenizer PARITY report — per-language fertility under a merge
@@ -491,7 +491,7 @@ object Bpe {
       "doc_id", "text", useKernel = true)
       .groupBy(col("doc_id")).agg(sum(col("_p")).as("n_tokens"))
     Sharding.assembleSequences(pieces, "doc_id", "n_tokens", budget, shards)
-      .orderBy(col("shard"), col("chunk"))
+      .transform(d => Perf.sortedOnce(d, col("shard"), col("chunk")))
   }
 
   /** Id-level NATIVE encode (round 14 — the other half of the
@@ -553,7 +553,7 @@ object Bpe {
         (sum(aggregate(col("_ids"), lit(0L), (acc, x) => acc + x))
           + lit(bosEos)).as("id_sum"),
         max(array_max(col("_ids"))).cast("long").as("max_id"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** C48→C49e `q144_bpe_packed_ids` — the TRAINING EXPORT itself
@@ -575,7 +575,7 @@ object Bpe {
     val eosId = DefaultSpecials.indexOf(Eos)
     // position-keyed: the id stream must preserve word order, which
     // the bag-shaped groupBy of the stats queries never needed
-    val words = dressed
+    val words = Perf.kernelSpread(dressed.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("_pos", "_w0")))
       .filter(col("_w0") =!= "")
@@ -603,7 +603,7 @@ object Bpe {
         transform(flatten(transform(col("_d"), s => s.getField("s"))),
           x => x.cast("string")), ","))
       .drop("_d")
-      .orderBy(col("shard"), col("chunk"))
+      .transform(d => Perf.sortedOnce(d, col("shard"), col("chunk")))
   }
 
   /** Inverse of [[encodeIdsKernel]] — the DECODE half of the tokenizer
@@ -642,7 +642,7 @@ object Bpe {
   def bpeDecodeDocs(spark: SparkSession, dir: String): DataFrame = {
     val dressed = graft.Tables(spark, dir).documents
       .withColumn("text", translate(lower(col("text")), "ae", "äé"))
-    val words = dressed
+    val words = Perf.kernelSpread(dressed.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("_pos", "_w0")))
       .filter(col("_w0") =!= "")
@@ -662,7 +662,7 @@ object Bpe {
           sort_array(collect_list(struct(col("_pos").as("p"), col("_dec").as("w")))),
           s => s.getField("w")), " ").as("text"),
         count(lit(1)).as("n_words"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** C48→C49 `q142_bpe_packed_special` — q130's packing under the
@@ -684,6 +684,6 @@ object Bpe {
       .groupBy(col("doc_id"))
       .agg((sum(col("_p")) + lit(2L)).as("n_tokens"))
     Sharding.assembleSequences(pieces, "doc_id", "n_tokens", budget, shards)
-      .orderBy(col("shard"), col("chunk"))
+      .transform(d => Perf.sortedOnce(d, col("shard"), col("chunk")))
   }
 }

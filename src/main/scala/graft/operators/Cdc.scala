@@ -65,7 +65,7 @@ object Cdc {
     snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
       .withColumn("old_o_totalprice", round(col("old_o_totalprice"), 4))
       .withColumn("new_o_totalprice", round(col("new_o_totalprice"), 4))
-      .orderBy(col("o_orderkey"))
+      .transform(d => Perf.sortedOnce(d, col("o_orderkey")))
   }
 
   /** SCD type-2 merge: apply an update batch to a versioned dimension.
@@ -152,6 +152,6 @@ object Cdc {
     // None vs NaT across the two oracle engines' pandas frames)
     scd2Merge(dim, updates, Seq("c_custkey"), Seq("c_mktsegment"), "eff")
       .withColumn("valid_to", coalesce(col("valid_to"), lit("9999-12-31").cast("date")))
-      .orderBy(col("c_custkey"), col("valid_from"))
+      .transform(d => Perf.sortedOnce(d, col("c_custkey"), col("valid_from")))
   }
 }

@@ -57,7 +57,7 @@ object Dedup {
       .select(col("doc_id"), md5(col("text")).as("fingerprint"))
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy(col("keep_id"))
+      .transform(d => Perf.sortedOnce(d, col("keep_id")))
   }
 
   /** C1b: persistable exact-dedup index — (fingerprint, keep_id,
@@ -91,8 +91,16 @@ object Dedup {
     require(index.columns.contains("fingerprint") && index.columns.contains("keep_id"),
       "index must carry (fingerprint, keep_id) — build it with buildExactIndex")
     val hit = col("keep_id").isNotNull && col("keep_id") =!= col(idCol)
-    batch.select(col(idCol), md5(col(textCol)).as("fingerprint"))
-      .join(index.select(col("fingerprint"), col("keep_id")), Seq("fingerprint"), "left")
+    // materialized once: the fingerprint projection feeds BOTH the
+    // batch-key prune (a collect of the batch's distinct fingerprints
+    // — batch-bounded) and the verdict join
+    val fp = batch.select(col(idCol), md5(col(textCol)).as("fingerprint"))
+      .localCheckpoint()
+    // index-scan pruning (r18 verdict item 1): a left join keeps every
+    // batch row; index rows with no batch fingerprint can never match
+    val idx = Perf.prunedByKeys(
+      index.select(col("fingerprint"), col("keep_id")), "fingerprint", fp)
+    fp.join(idx, Seq("fingerprint"), "left")
       .select(col(idCol), hit.as("is_dup"),
         when(hit, col("keep_id")).otherwise(lit(-1L)).as("dup_of"))
   }
@@ -112,7 +120,7 @@ object Dedup {
     dedupExactAgainstIndex(
       planted.filter(col("doc_id") % 5 === 4).select(col("doc_id"), col("text")),
       buildExactIndex(planted.filter(col("doc_id") % 5 =!= 4)))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** The standard donor planting, ONE definition for q107/q114/q116
@@ -223,7 +231,7 @@ object Dedup {
       .putLong("graft.minhash.numHashes", numHashes.toLong)
       .putLong("graft.minhash.bands", bands.toLong)
       .build()
-    documents
+    Perf.kernelSpread(documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         call_function("graft_minhash_shingled",
           split(lower(trim(col("text"))), "\\s+"), lit(3), lit(numHashes)).as("sig"))
@@ -258,7 +266,7 @@ object Dedup {
 
     perDocVerdict(docsMeta, pairs)
       .select(col("doc_id"), col("rep_id"), col("is_dup"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** C2b `q71_neardup_verdicts` — the INCREMENTAL pipeline's per-doc
@@ -282,7 +290,7 @@ object Dedup {
     dedupAgainstIndex(batch, minhashIndexDocs(corpus))
       .select(col("doc_id"), col("is_dup"),
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** Incremental (batch-vs-corpus) near-dup dedup — how a 100 TB
@@ -358,7 +366,7 @@ object Dedup {
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"),
         round(col("best_sim"), 4).as("best_sim"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** Benchmark DECONTAMINATION — the near-dup machinery pointed at
@@ -409,8 +417,9 @@ object Dedup {
     * eval-index build and the train-side probe (round 14 refactor for
     * the streaming twin): verdict correctness requires both sides to
     * tokenize/window/hash identically, forever. */
-  private def wordGrams(df: DataFrame, n: Int): DataFrame = df
-    .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("_t"))
+  private def wordGrams(df: DataFrame, n: Int): DataFrame =
+    Perf.kernelSpread(df.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("_t"))
     .select(col("doc_id"), explode(
       when(size(col("_t")) >= n,
         transform(sequence(lit(1), size(col("_t")) - (n - 1)),
@@ -492,14 +501,25 @@ object Dedup {
   }
 
   /** Merge an append into the persisted census: stored + added (the
-    * upper-bound maintenance rule). A bundle with no census yet gets
-    * one seeded at `added` only if the caller knows the index was
-    * empty — otherwise seed with a full count first. Returns the new
+    * upper-bound maintenance rule). A bundle with NO census yet (a
+    * legacy pre-census index) seeds from a full distinct count of the
+    * LIVE index first (r18 advice, high): seeding at 0 + added would
+    * record just the batch's grams as the whole census, and every
+    * later probe would read that under-count and broadcast a gram set
+    * that may be far past the limit — the exact OOM the gate exists to
+    * prevent. The one-time seed scan runs only on the first bump of a
+    * legacy index; every later bump is O(1) again. Returns the new
     * stored value. */
   def bumpEvalGramCensus(spark: SparkSession, indexPath: String,
                          added: Long): Long = {
     require(added >= 0, s"added must be >= 0, got $added")
-    val next = readEvalGramCensus(spark, indexPath).getOrElse(0L) + added
+    val base = readEvalGramCensus(spark, indexPath).getOrElse {
+      val p = new org.apache.hadoop.fs.Path(indexPath)
+      if (censusFs(spark, indexPath).exists(p))
+        spark.read.parquet(indexPath).select(col("g")).distinct().count()
+      else 0L
+    }
+    val next = base + added
     writeEvalGramCensus(spark, indexPath, next)
     next
   }
@@ -584,7 +604,7 @@ object Dedup {
     train.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** C2c `q137_ngram_decontamination` — [[flagNgramContamination]]
@@ -635,7 +655,7 @@ object Dedup {
         buildEvalGramIndex(evalDocs))
       .join(train.select(col("doc_id"), col("source"), col("split")), Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("split"), col("contaminated"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** 64-bit SimHash of the word multiset via the native kernel expression
@@ -683,7 +703,8 @@ object Dedup {
                                bucketCap: Int): DataFrame = {
     // materialized for the same reason as the minhash path: the pair
     // expansion forks this frame, re-hashing every document per side
-    val sigs = documents.select(col("doc_id"), sigExpr.as("simhash"))
+    val sigs = Perf.kernelSpread(documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), sigExpr.as("simhash"))
       .localCheckpoint()
     val mask = (1L << bandBits) - 1L
     val banded = sigs.select(col("doc_id"), col("simhash"),
@@ -701,7 +722,7 @@ object Dedup {
       .distinct()
     perDocVerdict(sigs, pairs)
       .select(col("doc_id"), col("simhash"), col("rep_id"), col("is_dup"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** C4 `q23_ngram_jaccard` — character-3-gram Jaccard near-dup via an
@@ -723,8 +744,9 @@ object Dedup {
     // Jaccard threshold).
     // materialized: the posting explode and BOTH verification sides
     // fork this frame — lazily the gram kernel ran three times per doc
-    val docs = documents.select(col("doc_id"),
-      call_function("graft_ngrams", lower(trim(col("text"))), lit(n)).as("grams"))
+    val docs = Perf.kernelSpread(documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        call_function("graft_ngrams", lower(trim(col("text"))), lit(n)).as("grams"))
       .localCheckpoint()
 
     val posting = docs.select(col("doc_id"), explode(col("grams")).as("g"))
@@ -747,7 +769,7 @@ object Dedup {
 
     perDocVerdict(documents.select(col("doc_id")), pairs)
       .select(col("doc_id"), col("rep_id"), col("is_dup"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** C4b `q145_jaccard_prefix` — EXACT set-similarity self-join via
@@ -783,9 +805,10 @@ object Dedup {
   def shingleJaccardPrefixDocs(documents: DataFrame,
                                k: Int = 3, jaccardThreshold: Double = 0.5,
                                pairBudget: Long = DefaultPairBudget): DataFrame = {
-    val docs = documents.select(col("doc_id"),
-      array_distinct(transform(wordShingles(col("text"), k), x => xxhash64(x)))
-        .as("grams"))
+    val docs = Perf.kernelSpread(documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        array_distinct(transform(wordShingles(col("text"), k), x => xxhash64(x)))
+          .as("grams"))
       .localCheckpoint()
     val cand = prefixCandidatePairs(docs, jaccardThreshold, pairBudget)
     val ga = docs.select(col("doc_id").as("id_a"), col("grams").as("grams_a"))
@@ -796,9 +819,10 @@ object Dedup {
           size(array_union(col("grams_a"), col("grams_b"))))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"))
-    perDocVerdict(documents.select(col("doc_id")), pairs)
-      .select(col("doc_id"), col("rep_id"), col("is_dup"))
-      .orderBy(col("doc_id"))
+    Perf.sortedOnce(
+      perDocVerdict(documents.select(col("doc_id")), pairs)
+        .select(col("doc_id"), col("rep_id"), col("is_dup")),
+      col("doc_id"))
   }
 
   /** Candidate pairs from the prefix index: every pair at Jaccard ≥ t is
@@ -902,9 +926,10 @@ object Dedup {
   /** Hashed distinct shingle sets of a (doc_id, text) frame — the input
     * shape of the prefix family. */
   private def shingleSets(documents: DataFrame, k: Int): DataFrame =
-    documents.select(col("doc_id"),
-      array_distinct(transform(wordShingles(col("text"), k), x => xxhash64(x)))
-        .as("grams"))
+    Perf.kernelSpread(documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        array_distinct(transform(wordShingles(col("text"), k), x => xxhash64(x)))
+          .as("grams"))
 
   /** Build the persistable three-part prefix index over (doc_id, text) —
     * the day-2 artifact of [[shingleJaccardPrefixDocs]]'s EXACT
@@ -1033,9 +1058,16 @@ object Dedup {
     val batchPrefix = prefixPostings(batchOrdered, t)
       .select(col("g"), col("doc_id").as("new_id"),
         col("len").as("new_len"), col("pos").as("new_pos"))
+    // index-scan pruning (r18 verdict item 1): corpus postings whose g
+    // no batch prefix carries can never collide — push the batch's
+    // prefix-token set at the bucketed scan so index bytes-read tracks
+    // the batch (the prefix posting join is inner on g)
+    val corpusPostings = Perf.prunedByKeys(
+      postings.select(col("g"), col("doc_id").as("corpus_id"),
+        col("len").as("c_len"), col("pos").as("c_pos")),
+      "g", batchPrefix)
     val cand = batchPrefix
-      .join(postings.select(col("g"), col("doc_id").as("corpus_id"),
-        col("len").as("c_len"), col("pos").as("c_pos")), Seq("g"))
+      .join(corpusPostings, Seq("g"))
       .filter(col("new_id") =!= col("corpus_id"))
       .filter(lengthFilter(col("new_len"), col("c_len"), t))
       .filter(positionalFilter(col("new_len"), col("new_pos"),
@@ -1050,14 +1082,15 @@ object Dedup {
         size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb"))))
       .filter(col("j") >= t)
-    newDocs.select(col("doc_id"))
-      .join(verified.groupBy(col("new_id").as("doc_id"))
-        .agg(min(col("corpus_id")).as("dup_of"), max(col("j")).as("best_sim")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
-        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
-        coalesce(round(col("best_sim"), 4), lit(-1.0)).as("best_sim"))
-      .orderBy(col("doc_id"))
+    Perf.sortedOnce(
+      newDocs.select(col("doc_id"))
+        .join(verified.groupBy(col("new_id").as("doc_id"))
+          .agg(min(col("corpus_id")).as("dup_of"), max(col("j")).as("best_sim")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+          coalesce(round(col("best_sim"), 4), lit(-1.0)).as("best_sim")),
+      col("doc_id"))
   }
 
   /** C4c `q147_prefix_verdicts` — [[dedupAgainstPrefixIndex]] over the
@@ -1301,23 +1334,26 @@ object Dedup {
     * maps to the cluster's minimum vec_id. Oracle: DuckDB recursive CTE
     * reachability over the same pair predicate. */
   def dupClustersEmbeddings(spark: SparkSession, dir: String): DataFrame =
-    dupClusters(Similarity.embeddingNearDup(spark, dir).select(col("id_a"), col("id_b")))
-      .orderBy(col("id"))
+    Perf.sortedOnce(
+      dupClusters(Similarity.embeddingNearDup(spark, dir).select(col("id_a"), col("id_b"))),
+      col("id"))
 
   /** `q39_dup_clusters_logn` — the same connected-components contract
     * computed by the large-star/small-star variant; shares q37's
     * recursive-CTE oracle, so BOTH algorithms are value-checked against
     * the same ground truth. */
   def dupClustersEmbeddingsLogN(spark: SparkSession, dir: String): DataFrame =
-    dupClustersLogN(Similarity.embeddingNearDup(spark, dir).select(col("id_a"), col("id_b")))
-      .orderBy(col("id"))
+    Perf.sortedOnce(
+      dupClustersLogN(Similarity.embeddingNearDup(spark, dir).select(col("id_a"), col("id_b"))),
+      col("id"))
 
   /** `q42_dup_clusters_auto` — the self-tuning variant on the same
     * edges, again sharing q37's recursive-CTE oracle: all THREE cluster
     * algorithms are value-checked against one ground truth. */
   def dupClustersEmbeddingsAuto(spark: SparkSession, dir: String): DataFrame =
-    dupClustersAuto(Similarity.embeddingNearDup(spark, dir).select(col("id_a"), col("id_b")))
-      .orderBy(col("id"))
+    Perf.sortedOnce(
+      dupClustersAuto(Similarity.embeddingNearDup(spark, dir).select(col("id_a"), col("id_b"))),
+      col("id"))
 
   /** Exact repeated-SUBSTRING removal — the ExactSubstr rule (Lee et
     * al., "Deduplicating Training Data Makes Language Models Better"):
@@ -1393,8 +1429,13 @@ object Dedup {
     * splitting identically. */
   private def tokenArrays(docs: DataFrame, idCol: String, textCol: String,
                           sep: String, extraCols: Seq[String] = Nil): DataFrame =
-    docs.select(col(idCol) +: extraCols.map(col) :+
-      split(col(textCol), java.util.regex.Pattern.quote(sep)).as("_toks"): _*)
+    // kernelSpread (r19): the span-window kernel downstream hashes
+    // every k-token window — spread the doc stream off the
+    // single-row-group scan first (guide §2.5)
+    Perf.kernelSpread(docs.select(col(idCol) +: extraCols.map(col) :+
+        col(textCol): _*))
+      .select(col(idCol) +: extraCols.map(col) :+
+        split(col(textCol), java.util.regex.Pattern.quote(sep)).as("_toks"): _*)
 
   /** (id, wstart, whash) per k-token window. The native kernel emits
     * one 64-bit hash per window start (array index = start; empty below
@@ -1470,9 +1511,10 @@ object Dedup {
     * (the corpus's planted near-duplicates share long runs, so the rule
     * has real work: ~1k hot windows across ~50 docs at sf0.01). */
   def spanDedupDocs(spark: SparkSession, dir: String): DataFrame =
-    dropRepeatedSpans(Tables(spark, dir).documents.select(col("doc_id"), col("text")),
-      "doc_id", "text", k = 6, maxDocs = 1)
-      .orderBy(col("doc_id"))
+    Perf.sortedOnce(
+      dropRepeatedSpans(Tables(spark, dir).documents.select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 6, maxDocs = 1),
+      col("doc_id"))
 
   /** Persistable SPAN census — ExactSubstr's day-2 shape, the window-
     * grain sibling of [[buildParagraphCensus]]: (whash, n_docs)
@@ -1565,9 +1607,10 @@ object Dedup {
   def spanCensusProbeDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
     val census = buildSpanCensus(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", k = 6)
-    dropRepeatedSpansAgainstCensus(docs.filter(col("doc_id") % 5 === 0), census,
-      "doc_id", "text", k = 6, maxDocs = 1)
-      .orderBy(col("doc_id"))
+    Perf.sortedOnce(
+      dropRepeatedSpansAgainstCensus(docs.filter(col("doc_id") % 5 === 0), census,
+        "doc_id", "text", k = 6, maxDocs = 1),
+      col("doc_id"))
   }
 
   private def spanCensusParams(census: DataFrame): Option[(Int, String)] = {
@@ -1618,11 +1661,12 @@ object Dedup {
         .withColumnRenamed("rep_id", "cluster_id")
     val scores = TextAnalysis.qualityScoreDocs(Tables(spark, dir).documents)
       .select(col("doc_id").as("id"), col("quality_score"))
-    pickRepresentatives(clusters, scores,
-      idCol = "id", clusterCol = "cluster_id", scoreCol = "quality_score")
-      .select(col("id"), col("cluster_id"), col("quality_score"),
-        col("canonical_id"), col("is_canonical"))
-      .orderBy(col("id"))
+    Perf.sortedOnce(
+      pickRepresentatives(clusters, scores,
+        idCol = "id", clusterCol = "cluster_id", scoreCol = "quality_score")
+        .select(col("id"), col("cluster_id"), col("quality_score"),
+          col("canonical_id"), col("is_canonical")),
+      col("id"))
   }
 
   /** Corpus-level repeated-paragraph removal — the RefinedWeb/CCNet
@@ -1870,7 +1914,7 @@ object Dedup {
     val census = buildParagraphCensus(pages.filter(col("page_id") % 5 =!= 0), "page_id", "text")
     dropRepeatedParagraphsAgainstCensus(pages.filter(col("page_id") % 5 === 0), census,
       "page_id", "text", maxDocs = 2)
-      .orderBy(col("page_id"))
+      .transform(d => Perf.sortedOnce(d, col("page_id")))
   }
 
   // ---- C11b: winnowing local fingerprints ------------------------------
@@ -1915,9 +1959,14 @@ object Dedup {
                          k: Int = 12, w: Int = 4): DataFrame = {
     require(k >= 2 && k <= 64, s"gram size k must be in 2..64, got $k")
     require(w >= 2 && w <= 64, s"window w must be in 2..64, got $w")
-    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    docs
-      .select(col(idCol).as("doc_id"), norm.as("_t"))
+    val norm = regexp_replace(lower(trim(col("_raw"))), "\\s+", " ")
+    // kernelSpread (r19): the selection kernel md5-hashes EVERY gram
+    // position of every doc — the most CPU per input byte of any text
+    // kernel here — and a single-row-group scan would run it on one
+    // core (guide §2.5; measured 1-task 2.5 s at sf0.1 on 32 cores)
+    Perf.kernelSpread(docs.select(col(idCol).as("doc_id"),
+        col(textCol).as("_raw")))
+      .select(col("doc_id"), norm.as("_t"))
       .filter(length(col("_t")) >= k + w - 1)
       .select(col("doc_id"),
         explode(call_function("graft_winnow_select",
@@ -2157,8 +2206,8 @@ object Dedup {
     * hashes, window argmin (min-then-rightmost via its own two-step),
     * distinct sets, pairing and the gate from raw rows. */
   def winnowOverlapDocs(spark: SparkSession, dir: String): DataFrame =
-    winnowOverlap(donorPlantedText(Tables(spark, dir).documents))
-      .orderBy(col("doc_a"), col("doc_b"))
+    Perf.sortedOnce(winnowOverlap(donorPlantedText(Tables(spark, dir).documents)),
+      col("doc_a"), col("doc_b"))
 
   // ---- C11d: shared-span localization ----------------------------------
 
@@ -2251,8 +2300,8 @@ object Dedup {
     * lag/sum islands split (tolerance w) and the interval arithmetic
     * from raw rows. */
   def winnowSpansDocs(spark: SparkSession, dir: String): DataFrame =
-    winnowSharedSpans(donorPlantedText(Tables(spark, dir).documents))
-      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+    Perf.sortedOnce(winnowSharedSpans(donorPlantedText(Tables(spark, dir).documents)),
+      col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
 
   // ---- C11e: shared-span excision ---------------------------------------
 
@@ -2329,8 +2378,8 @@ object Dedup {
   def winnowExciseDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = donorPlantedText(Tables(spark, dir).documents)
       .localCheckpoint() // forked: span evidence + excision input
-    exciseSharedSpans(docs, winnowSharedSpans(docs))
-      .orderBy(col("doc_id"))
+    Perf.sortedOnce(exciseSharedSpans(docs, winnowSharedSpans(docs)),
+      col("doc_id"))
   }
 
   // ---- C11c: incremental winnowing (day-2 span overlap) ----------------
@@ -2403,8 +2452,12 @@ object Dedup {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDf.forall(_ >= 2), s"maxDf must be >= 2, got $maxDf")
     requireWinnowParams(index, k, w)
+    // materialized once: the batch's print set feeds both the
+    // index-scan prune (a batch-bounded distinct-h collect) and the
+    // posting join
     val batchFp = winnowFingerprints(newDocs, idCol, textCol, k, w)
       .select(col("doc_id").as("new_id"), col("h")).distinct()
+      .localCheckpoint()
     // maxDf (the [[winnowOverlap]] ubiquity-suppression contract, df
     // measured on the CORPUS index): suppressed postings pair with
     // nothing, so filtering the index side alone suffices. The index
@@ -2413,8 +2466,13 @@ object Dedup {
     // JOIN OUTPUT (batch-sized) via countDistinct, never by
     // distinct-ing the corpus index (a full corpus exchange the
     // bucketed-on-h layout exists to avoid)
-    val posting = dfFiltered(index.select(col("h"), col("doc_id")), maxDf,
-      dfHist)
+    // index-scan pruning BEFORE suppression (r18 verdict item 1): the
+    // probe's posting join is inner on h, so corpus prints whose h the
+    // batch never selected cannot pair — push the batch's h set at the
+    // bucketed scan so index bytes-read tracks the batch
+    val posting = dfFiltered(
+      Perf.prunedByKeys(index.select(col("h"), col("doc_id")), "h", batchFp),
+      maxDf, dfHist)
     val gated = batchFp
       .join(posting.select(col("h"), col("doc_id").as("corpus_id")), Seq("h"))
       .filter(col("new_id") =!= col("corpus_id"))
@@ -2425,12 +2483,13 @@ object Dedup {
       // one struct-min, no second aggregation pass
       .groupBy(col("new_id").as("doc_id"))
       .agg(min(struct((-col("ns")).as("_nn"), col("corpus_id"))).as("_b"))
-    newDocs.select(col(idCol).as("doc_id"))
-      .join(gated, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("_b").isNotNull.as("has_overlap"),
-        coalesce(col("_b.corpus_id"), lit(-1L)).as("best_match"),
-        coalesce(-col("_b._nn"), lit(0L)).as("max_shared"))
-      .orderBy(col("doc_id"))
+    Perf.sortedOnce(
+      newDocs.select(col(idCol).as("doc_id"))
+        .join(gated, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("_b").isNotNull.as("has_overlap"),
+          coalesce(col("_b.corpus_id"), lit(-1L)).as("best_match"),
+          coalesce(-col("_b._nn"), lit(0L)).as("max_shared")),
+      col("doc_id"))
   }
 
   /** C11f: day-2 span LOCALIZATION — [[winnowSharedSpans]]'s diagonal
@@ -2462,9 +2521,18 @@ object Dedup {
     requireWinnowParams(index, k, w)
     require(index.columns.contains("pos"),
       "index carries no positions — rebuild it with this round's buildWinnowIndex")
+    // materialized once: the batch prints feed the index-scan prune
+    // (batch-bounded distinct-h collect) and the diagonal join
     val batchFp = winnowFingerprints(newDocs, idCol, textCol, k, w)
+      .localCheckpoint()
+    // index-scan pruning BEFORE suppression (r18 verdict item 1): the
+    // diagonal join is inner on h — corpus prints at h values the
+    // batch never selected cannot pair, so the batch's h set pushes at
+    // the bucketed scan and index bytes-read tracks the batch
     val posting = dfFiltered(
-      index.select(col("h"), col("doc_id"), col("pos")), maxDf, dfHist)
+      Perf.prunedByKeys(
+        index.select(col("h"), col("doc_id"), col("pos")), "h", batchFp),
+      maxDf, dfHist)
     val pts = batchFp.as("a").join(posting.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -2484,8 +2552,9 @@ object Dedup {
   def winnowSpanProbe(spark: SparkSession, dir: String): DataFrame = {
     val docs = donorPlantedText(Tables(spark, dir).documents)
     val index = buildWinnowIndex(docs.filter(col("doc_id") % 5 =!= 4))
-    winnowSpansAgainstIndex(docs.filter(col("doc_id") % 5 === 4), index)
-      .orderBy(col("doc_id"), col("corpus_id"), col("start"), col("c_start"))
+    Perf.sortedOnce(
+      winnowSpansAgainstIndex(docs.filter(col("doc_id") % 5 === 4), index),
+      col("doc_id"), col("corpus_id"), col("start"), col("c_start"))
   }
 
   /** [[exciseSharedSpans]] lifted to ingest shape — EVERY input doc
@@ -2545,8 +2614,9 @@ object Dedup {
     val docs = donorPlantedText(Tables(spark, dir).documents)
       .localCheckpoint() // forked: index build + probe + excision base
     val index = buildWinnowIndex(docs.filter(col("doc_id") % 5 =!= 4))
-    winnowCleanAgainstIndex(docs.filter(col("doc_id") % 5 === 4), index)
-      .orderBy(col("doc_id"))
+    Perf.sortedOnce(
+      winnowCleanAgainstIndex(docs.filter(col("doc_id") % 5 === 4), index),
+      col("doc_id"))
   }
 
   /** C11c `q152_winnow_probe` — [[winnowOverlapAgainstIndex]] over the

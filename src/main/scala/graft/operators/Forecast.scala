@@ -321,7 +321,7 @@ object Forecast {
             round(bounded(toY(col("raw") - lit(z) * col("sigma")), cap, floor, nonNegative), 4).as("yhat_lower"),
             round(bounded(toY(col("raw") + lit(z) * col("sigma")), cap, floor, nonNegative), 4).as("yhat_upper")): _*)
       }
-    out.orderBy(keys :+ col("ds"): _*)
+    Perf.sortedOnce(out, keys :+ col("ds"): _*)
   }
 
   /** B1+B2 `q15_forecast_daily` — 7-day forecast of daily event value per
@@ -460,7 +460,7 @@ object Forecast {
         round(greatest(lit(0.0),
           col("b0") + col("b1") * col("x") + col("b2") * col("r") +
             coalesce(col("dow_mean"), lit(0.0))), 4).as("yhat")): _*)
-      .orderBy(keys :+ col("ds"): _*)
+      .transform(d => Perf.sortedOnce(d, keys :+ col("ds"): _*))
   }
 
   /** `q18_forecast_regressor` — daily event value per type with the
@@ -525,7 +525,7 @@ object Forecast {
         round(greatest(lit(0.0),
           col("icept") + col("slope") * col("x") +
             element_at(col("dows"), col("dow") + 1)), 4).as("yhat")): _*)
-      .orderBy(keys :+ col("ds"): _*)
+      .transform(d => Perf.sortedOnce(d, keys :+ col("ds"): _*))
   }
 
   /** Holiday-effects forecaster (`add_country_holidays` /
@@ -594,7 +594,7 @@ object Forecast {
           col("icept") + col("slope") * col("x") +
             coalesce(col("h_mean"), lit(0.0)) +
             coalesce(col("dow_mean"), lit(0.0))), 4).as("yhat")): _*)
-      .orderBy(keys :+ col("ds"): _*)
+      .transform(d => Perf.sortedOnce(d, keys :+ col("ds"): _*))
   }
 
   /** `add_country_holidays` convenience (ProphetForecaster.py:161,
@@ -960,7 +960,7 @@ object Forecast {
             round(bounded(toY(col("fitdot") - lit(z) * col("sigma")), cap, floor, nonNegative), 4).as("yhat_lower"),
             round(bounded(toY(col("fitdot") + lit(z) * col("sigma")), cap, floor, nonNegative), 4).as("yhat_upper")): _*)
       }
-    out.orderBy(keys :+ col("ds"): _*)
+    Perf.sortedOnce(out, keys :+ col("ds"): _*)
   }
 
   /** `q19_forecast_yearly` — Fourier-seasonality forecast of daily event
@@ -1029,7 +1029,7 @@ object Forecast {
     out.join(truthed.select(col("grp"), col("ds"), col("y_true")), Seq("grp", "ds"))
       .select(col("grp"), col("ds"), round(col("y_true"), 4).as("y_true"),
         (abs(col("yhat") - col("y_true")) < 0.001).as("recovered_ok"))
-      .orderBy(col("grp"), col("ds"))
+      .transform(d => Perf.sortedOnce(d, col("grp"), col("ds")))
   }
 
   /** `q83_forecast_planted_mult` — [[forecastPlanted]]'s twin for the
@@ -1078,7 +1078,7 @@ object Forecast {
     out.join(truthed.select(col("grp"), col("ds"), col("y_true")), Seq("grp", "ds"))
       .select(col("grp"), col("ds"), round(col("y_true"), 4).as("y_true"),
         (abs(col("yhat") / col("y_true") - 1.0) < 1e-4).as("recovered_ok"))
-      .orderBy(col("grp"), col("ds"))
+      .transform(d => Perf.sortedOnce(d, col("grp"), col("ds")))
   }
 
   /** Shared 4×4 Cramer formula trees for the ORACLE-EXPRESSIBLE joint
@@ -1299,7 +1299,7 @@ object Forecast {
         round(greatest(lit(0.0),
           col("b0") + col("b1") * col("x") + col("b2") * col("s") +
             col("b3") * col("c") + col("b4") * col("rmean")), 4).as("yhat")): _*)
-      .orderBy(keys :+ col("ds"): _*)
+      .transform(d => Perf.sortedOnce(d, keys :+ col("ds"): _*))
   }
 
   /** `q133_forecast_joint_cramer6` — the q19 SHAPE made oracle-backed
@@ -1397,7 +1397,7 @@ object Forecast {
           col("b0") + col("b1") * col("x") + col("b2") * col("s") +
             col("b3") * col("c") + col("b4") * col("u") + col("b5") * col("v")),
           4).as("yhat")): _*)
-      .orderBy(keys :+ col("ds"): _*)
+      .transform(d => Perf.sortedOnce(d, keys :+ col("ds"): _*))
   }
 
   /** `q44_forecast_joint_cramer` — the ORACLE-EXPRESSIBLE slice of the
@@ -1483,7 +1483,7 @@ object Forecast {
         round(greatest(lit(0.0),
           col("b0") + col("b1") * col("x") + col("b2") * col("rmean") + col("b3") * col("h") +
             coalesce(col("dow_mean"), lit(0.0))), 4).as("yhat")): _*)
-      .orderBy(keys :+ col("ds"): _*)
+      .transform(d => Perf.sortedOnce(d, keys :+ col("ds"): _*))
   }
 
   /** `q43_forecast_joint` — the JOINT Gram-basis fit on real data:

@@ -475,6 +475,6 @@ class Forecaster(data: DataFrame, dateCol: String = "ds",
       .groupBy((keyCols :+ "ds").map(col): _*)
       .pivot("metric", ms)
       .agg(first(col("yhat")))
-      .orderBy((keyCols :+ "ds").map(col): _*)
+      .transform(d => Perf.sortedOnce(d, (keyCols :+ "ds").map(col): _*))
   }
 }

@@ -100,7 +100,7 @@ object FuzzyJoin {
       .filter(col("dist") >= 1)
       .distinct()
       .select(col("name_a"), col("name_b"), col("dist").cast("long"))
-      .orderBy(col("name_a"), col("name_b"))
+      .transform(d => Perf.sortedOnce(d, col("name_a"), col("name_b")))
   }
 
   /** C27 `q86_edit_join` — variant pairs of the customer-name
@@ -141,7 +141,7 @@ object FuzzyJoin {
       .select(col("name"),
         coalesce(col("rep_id"), col("name")).as("canonical"),
         coalesce(col("rep_id"), col("name")).=!=(col("name")).as("is_variant"))
-      .orderBy(col("name"))
+      .transform(d => Perf.sortedOnce(d, col("name")))
   }
 
   /** C27b `q89_fuzzy_canonical` — the part-name vocabulary resolved at
@@ -211,6 +211,6 @@ object FuzzyJoin {
       .select(col("name"),
         coalesce(col("_exist_min"), col("rep_id"), col("name")).as("canonical"))
       .withColumn("is_variant", col("canonical") =!= col("name"))
-      .orderBy(col("name"))
+      .transform(d => Perf.sortedOnce(d, col("name")))
   }
 }

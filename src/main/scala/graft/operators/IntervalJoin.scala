@@ -90,6 +90,6 @@ object IntervalJoin {
         col("session_start"), col("session_end"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("session_value"))
-      .orderBy(col("user_id"), col("session_id"))
+      .transform(d => Perf.sortedOnce(d, col("user_id"), col("session_id")))
   }
 }

@@ -59,7 +59,7 @@ object Multimodal {
         sha2(col("payload"), 256).as("content_sha256"),
         (lit(64) + (col("doc_id") % 16) * 32).cast("long").as("width"),
         (lit(64) + (col("doc_id") % 9) * 32).cast("long").as("height"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** Output schema of the decode stage: doc_id, modality, and a

@@ -160,7 +160,7 @@ object Pipeline {
     crawlIngestReport(
       graft.sources.Warc.plantedWetChunks(graft.Tables(spark, dir).documents),
       "chunk_id", "content", Urls.docBlocklist.toDF("pattern"))
-      .orderBy(col("domain"))
+      .transform(d => Perf.sortedOnce(d, col("domain")))
   }
 
   /** C41 `q116_curation_pipeline` — the documents corpus dressed as a
@@ -284,7 +284,7 @@ object Pipeline {
       alpha, targetDocs, seed, draw = Some(Sharding.md5Unit(col("rec_id"), seed)))
     Sharding.assembleSequences(mixed.select(col("rec_id"), col("n_tokens")),
       "rec_id", "n_tokens", budget, shards)
-      .orderBy(col("shard"), col("chunk"))
+      .transform(d => Perf.sortedOnce(d, col("shard"), col("chunk")))
   }
 
   /** C50 `q127_corpus_build` — [[corpusBuild]] over the q127 planted
@@ -376,7 +376,7 @@ object Pipeline {
       .withColumn("_norm", blankNormalized(col("clean_text")))
     val exactIndex = Dedup.buildExactIndex(corpusClean, "doc_id", "_norm")
     curationProbe(batch, census, exactIndex, "doc_id", "source", "text")
-      .orderBy(col("domain"))
+      .transform(d => Perf.sortedOnce(d, col("domain")))
   }
 
   def corpusBuildDocs(spark: SparkSession, dir: String): DataFrame = {
@@ -509,7 +509,10 @@ object Pipeline {
   private[graft] def encodeBosEos(docs: DataFrame): DataFrame = {
     val bosId = Bpe.DefaultSpecials.indexOf(Bpe.Bos)
     val eosId = Bpe.DefaultSpecials.indexOf(Bpe.Eos)
-    docs
+    // kernelSpread (r19): the BPE merge fold runs per word — spread
+    // the doc stream first so a narrow upstream (a single-row-group
+    // scan, or a post-filter single partition) doesn't serialize it
+    Perf.kernelSpread(docs.select(col("doc_id"), col("source"), col("clean_text")))
       .select(col("doc_id"), col("source"),
         posexplode(split(col("clean_text"), "\\s+")).as(Seq("_pos", "_w0")))
       .filter(col("_w0") =!= "")
@@ -657,24 +660,25 @@ object Pipeline {
     // 10. pack: DDP-striped shards, greedy chunks in global order
     val wShard = Window.partitionBy(col("shard")).orderBy(col("global_pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ordered
-      .withColumn("shard", pmod(col("global_pos"), lit(shards)).cast("int"))
-      .join(trainEnc.select(col("doc_id"), col("dseq"), col("n_tokens")),
-        Seq("doc_id"))
-      .withColumn("_cum", sum(col("n_tokens")).over(wShard))
-      .withColumn("chunk",
-        floor((col("_cum") - col("n_tokens")).cast("double") / packBudget)
-          .cast("long"))
-      .groupBy(col("shard"), col("chunk"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"),
-        sort_array(collect_list(struct(col("global_pos").as("p"),
-          col("dseq").as("s")))).as("_d"))
-      .withColumn("ids", array_join(
-        transform(flatten(transform(col("_d"), s => s.getField("s"))),
-          x => x.cast("string")), ","))
-      .drop("_d")
-      .orderBy(col("shard"), col("chunk"))
+    Perf.sortedOnce(
+      ordered
+        .withColumn("shard", pmod(col("global_pos"), lit(shards)).cast("int"))
+        .join(trainEnc.select(col("doc_id"), col("dseq"), col("n_tokens")),
+          Seq("doc_id"))
+        .withColumn("_cum", sum(col("n_tokens")).over(wShard))
+        .withColumn("chunk",
+          floor((col("_cum") - col("n_tokens")).cast("double") / packBudget)
+            .cast("long"))
+        .groupBy(col("shard"), col("chunk"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sort_array(collect_list(struct(col("global_pos").as("p"),
+            col("dseq").as("s")))).as("_d"))
+        .withColumn("ids", array_join(
+          transform(flatten(transform(col("_d"), s => s.getField("s"))),
+            x => x.cast("string")), ","))
+        .drop("_d"),
+      col("shard"), col("chunk"))
   }
 
   /** C51 `q174_master_pipeline` — [[masterPipeline]] over the q174
@@ -1011,8 +1015,8 @@ object Pipeline {
         coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("ids"), lit("")).as("ids"))
-      .orderBy(col("rec_id"))
-    MasterIngestResult(base, cleaned, evalDocs, accepted, fates)
+    MasterIngestResult(base, cleaned, evalDocs, accepted,
+      Perf.sortedOnce(fates, col("rec_id")))
   }
 
   // ---- the persisted bundle's BUCKETED layout (round 18 — the r17
@@ -1030,6 +1034,22 @@ object Pipeline {
     * index bytes / target partition bytes) — the count is a layout
     * stamp ([[bundleMetaPath]]) so probes never have to guess. */
   val MasterBundleBuckets: Int = 32
+
+  /** Buckets from the DATA, not the box (r18 verdict item 5): a
+    * bundle's bucket count should track its biggest member's size —
+    * buckets ≈ bytes / target split — not the local core count. A
+    * 100 TB index wants thousands of buckets for spill-safe
+    * co-located probes; a test-scale bundle wants a handful, not 32
+    * near-empty files per member (8 members × 32 buckets = 256 files
+    * of KBs at sf0.1 — pure open/commit overhead at persist AND at
+    * every probe scan). Clamped to [4, 4096]; the stamp records
+    * whatever was chosen, so probes read co-located either way. */
+  private[graft] def bucketsForBytes(bytes: Long,
+                                     targetSplit: Long = 128L << 20): Int = {
+    require(targetSplit > 0, s"targetSplit must be positive, got $targetSplit")
+    val raw = (bytes + targetSplit - 1) / targetSplit
+    math.min(4096L, math.max(4L, raw)).toInt
+  }
 
   /** Each bucketed member and its probe JOIN key: canon_url
     * ([[Urls.urlDedupAgainstIndex]]), fingerprint
@@ -1135,9 +1155,13 @@ object Pipeline {
     if (!spark.catalog.tableExists(t)) {
       val key = BundleBucketKeys(name)
       val ddl = spark.read.parquet(s"$dir/$name").schema.toDDL
+      // escape single quotes in the LOCATION literal (r18 advice, low):
+      // a path containing ' would otherwise break the DDL and fail
+      // cold-session reloads of an otherwise valid bundle
+      val loc = s"$dir/$name".replace("'", "''")
       spark.sql(s"CREATE TABLE `$t` ($ddl) USING PARQUET " +
         s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $numBuckets BUCKETS " +
-        s"LOCATION '$dir/$name'")
+        s"LOCATION '$loc'")
     }
     t
   }
@@ -1177,7 +1201,13 @@ object Pipeline {
       case Some(n) if BundleBucketKeys.contains(name) =>
         val key = BundleBucketKeys(name)
         val t = ensureBundleTable(spark, dir, name, n)
-        df.write.mode(org.apache.spark.sql.SaveMode.Append)
+        // repartition on the bucket key first (r18 advice, low — the
+        // writeBucketedAt convention): without it each input partition
+        // emits one file per bucket it touches, up to partitions ×
+        // buckets files per append instead of the ≤1 file/bucket the
+        // E9 fragmentation meter assumes
+        df.repartition(n, col(key))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
           .format("parquet").bucketBy(n, key).sortBy(key).saveAsTable(t)
         spark.catalog.refreshTable(t)
       case _ =>
@@ -1195,25 +1225,44 @@ object Pipeline {
     * is O(1) per probe). The layout stamp writes LAST = the bundle's
     * success marker. */
   def persistMasterArtifacts(art: MasterArtifacts, dir: String,
-                             numBuckets: Int = MasterBundleBuckets): Unit = {
-    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+                             numBuckets: Int = 0): Unit = {
+    require(numBuckets >= 0, s"numBuckets must be >= 0, got $numBuckets")
     val spark = art.urlIndex.sparkSession
-    writeBundleMember(spark, dir, "url_index", art.urlIndex, numBuckets)
-    writeBundleMember(spark, dir, "exact_index", art.exactIndex, numBuckets)
-    writeBundleMember(spark, dir, "prefix_postings", art.prefixPostings, numBuckets)
-    writeBundleMember(spark, dir, "prefix_grams", art.prefixGrams, numBuckets)
-    writeBundleMember(spark, dir, "prefix_vocab", art.prefixVocab, numBuckets)
-    writeBundleMember(spark, dir, "winnow_index", art.winnowIndex, numBuckets)
-    writeBundleMember(spark, dir, "eval_grams", art.evalGrams, numBuckets)
+    // numBuckets 0 = derive from the data (r18 verdict item 5): the
+    // winnow print index is the bundle's row-count-largest member (one
+    // row per selected print), so its count × a conservative 32 B/row
+    // sizes the whole bundle's bucket grid. One counting pass over the
+    // (checkpoint-backed) index frame, paid once per persist; callers
+    // that know better pass the knob explicitly.
+    val buckets =
+      if (numBuckets > 0) numBuckets
+      else bucketsForBytes(art.winnowIndex.count() * 32L)
+    // invalidate any EXISTING stamp before the first member rewrite
+    // (r18 advice, medium): a crash mid-re-persist would otherwise
+    // leave the OLD stamp over a bundle mixing old and new members
+    // (possibly at different bucket counts), and masterBundleFor would
+    // adopt the corrupt mix as valid. Stamp-absent = unstamped =
+    // rebuilt, per the adopt-or-build convention; the new stamp still
+    // writes LAST as the success marker.
+    val stamp = new org.apache.hadoop.fs.Path(bundleMetaPath(dir))
+    val sfs = bundleFs(spark, dir)
+    if (sfs.exists(stamp)) sfs.delete(stamp, false)
+    writeBundleMember(spark, dir, "url_index", art.urlIndex, buckets)
+    writeBundleMember(spark, dir, "exact_index", art.exactIndex, buckets)
+    writeBundleMember(spark, dir, "prefix_postings", art.prefixPostings, buckets)
+    writeBundleMember(spark, dir, "prefix_grams", art.prefixGrams, buckets)
+    writeBundleMember(spark, dir, "prefix_vocab", art.prefixVocab, buckets)
+    writeBundleMember(spark, dir, "winnow_index", art.winnowIndex, buckets)
+    writeBundleMember(spark, dir, "eval_grams", art.evalGrams, buckets)
     // derive the histogram FROM the persisted index: the bucketed scan
     // already hash-partitions on h, so the groupBy runs exchange-free
     writeBundleMember(spark, dir, "winnow_hist",
-      Dedup.winnowDfHistogram(bundleMemberAt(spark, dir, "winnow_index", numBuckets)),
-      numBuckets)
+      Dedup.winnowDfHistogram(bundleMemberAt(spark, dir, "winnow_index", buckets)),
+      buckets)
     Dedup.writeEvalGramCensus(spark, s"$dir/eval_grams",
-      bundleMemberAt(spark, dir, "eval_grams", numBuckets)
+      bundleMemberAt(spark, dir, "eval_grams", buckets)
         .select(col("g")).distinct().count())
-    writeBundleMeta(spark, dir, numBuckets)
+    writeBundleMeta(spark, dir, buckets)
   }
 
   /** Reload a [[persistMasterArtifacts]] bundle. On a stamped bundle

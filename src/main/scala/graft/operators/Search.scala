@@ -130,7 +130,7 @@ object Search {
     scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("doc_id"), col("score"))
-      .orderBy(col("rank"))
+      .transform(d => Perf.sortedOnce(d, col("rank")))
   }
 
   /** C30 `q90_bm25_search` — top-20 documents for a three-term query
@@ -200,7 +200,7 @@ object Search {
     scored.orderBy(col("n_occ").desc, col("doc_id").asc).limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("doc_id"), col("n_occ"))
-      .orderBy(col("rank"))
+      .transform(d => Perf.sortedOnce(d, col("rank")))
   }
 
   /** C30c `q92_phrase_search` — docs containing the exact phrase
@@ -308,7 +308,7 @@ object Search {
       .withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("doc_id"), col("rrf_score"),
         col("bm25_rank"), col("dense_rank"))
-      .orderBy(col("rank"))
+      .transform(d => Perf.sortedOnce(d, col("rank")))
   }
 
   /** C30d `q109_hybrid_rrf` — fused top-20 for the q90 query over the

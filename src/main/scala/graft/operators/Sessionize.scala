@@ -41,6 +41,6 @@ object Sessionize {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         round(sum(col("value")), 4).as("session_value"))
-      .orderBy(col("user_id"), col("session_id"))
+      .transform(d => Perf.sortedOnce(d, col("user_id"), col("session_id")))
   }
 }

@@ -143,7 +143,7 @@ object Sharding {
     val urls = Urls.plantedUrls(Tables(spark, dir).documents)
     val canon = urls.select(col("doc_id"),
       Urls.canonicalizeUrl(col("url")).as("canon_url"))
-    leakageSafeSplit(canon, "canon_url").orderBy(col("doc_id"))
+    Perf.sortedOnce(leakageSafeSplit(canon, "canon_url"), col("doc_id"))
   }
 
   /** C42: temperature (α) source resampling — the multilingual mixing
@@ -243,7 +243,7 @@ object Sharding {
     temperatureSample(d, "doc_id", "source", alpha = 0.5, targetDocs = 200L,
       seed = 13L, draw = Some(md5Unit(col("doc_id"), 13L)))
       .select(col("doc_id"), col("source"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** Seeded hash mapped to uniform [0, 1) — the shared primitive behind
@@ -327,7 +327,7 @@ object Sharding {
       defaultRate = 0.1, seed = 7L,
       draw = Some(md5Unit(col("doc_id"), 7L)))
       .select(col("doc_id"), col("source"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** Mixture-proportional deterministic training ORDER — the step after
@@ -506,7 +506,7 @@ object Sharding {
     val total = d.agg(sum(col("n_chars").cast("long"))).first().getLong(0)
     planMixture(d, "source", "n_chars", mixturePlanWeights,
       budgetTokens = total * 9L / 5L)
-      .orderBy(col("source"))
+      .transform(d => Perf.sortedOnce(d, col("source")))
   }
 
   /** C15d: EXECUTE a mixture plan — materialize [[planMixture]]'s
@@ -556,7 +556,7 @@ object Sharding {
     executeMixturePlan(d, plan, seed = 19L,
       draw = Some(md5Unit(col("doc_id"), 19L)))
       .select(col("doc_id"), col("source"), col("epoch"))
-      .orderBy(col("doc_id"), col("epoch"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id"), col("epoch")))
   }
 
   /** C15e: interleave a training MULTISET by its REALIZED per-source
@@ -637,7 +637,7 @@ object Sharding {
       .select(col("doc_id"), col("source"), col("epoch"))
     mixtureInterleaveRealized(multiset, "doc_id", "source", "epoch",
       draw = Some(md5Unit(concat_ws("#", col("doc_id"), col("epoch")), 23L)))
-      .orderBy(col("global_pos"))
+      .transform(d => Perf.sortedOnce(d, col("global_pos")))
   }
 
   /** C15 `q73_weighted_sample` — [[sampleByWeight]] with the portable
@@ -648,7 +648,7 @@ object Sharding {
     sampleByWeight(d, "doc_id", "n_chars", scale = 1.0 / 400.0, seed = 11L,
       draw = Some(md5Unit(col("doc_id"), 11L)))
       .select(col("doc_id"), col("source"), col("n_chars"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** Sequence-PACKING layout (`q45_token_packing`): assign documents to
@@ -736,7 +736,7 @@ object Sharding {
       .select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
     assembleSequences(docs, "doc_id", "n_tokens", budget = 2048L, shards = 8)
-      .orderBy(col("shard"), col("chunk"))
+      .transform(d => Perf.sortedOnce(d, col("shard"), col("chunk")))
   }
 
   /** Deterministic STRATIFIED sampling (`q54_stratified_sample`): the
@@ -826,7 +826,7 @@ object Sharding {
       .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
     packByTokenBudget(docs, "doc_id", "n_tokens", budget, shards)
       .select(col("doc_id"), col("shard"), col("chunk"), col("n_tokens"), col("cum_tokens"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   // ---- DSIR data selection (importance resampling) -------------------
@@ -906,7 +906,7 @@ object Sharding {
         (col("_s").cast("double") / DsirScale).as("score"),
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("_s").desc, col(idCol))).cast("long").as("rank"))
-      .orderBy(col("rank"))
+      .transform(d => Perf.sortedOnce(d, col("rank")))
   }
 
   /** The shared 1e-8 quantization grid (the q93 ln-parity convention). */

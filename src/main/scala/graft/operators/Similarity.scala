@@ -109,7 +109,7 @@ object Similarity {
         vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select(col("label"), col("id_a"), col("id_b"), col("cos"))
-      .orderBy(col("id_a"), col("id_b"))
+      .transform(d => Perf.sortedOnce(d, col("id_a"), col("id_b")))
   }
 
   /** C6 `q25_ann_bruteforce` — exact top-k cosine ANN baseline. The query
@@ -132,8 +132,9 @@ object Similarity {
         vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
+      .transform(d => Perf.sortedOnce(
+        d.select(col("q_id"), col("rank"), col("c_id"), col("cos")),
+        col("q_id"), col("rank")))
   }
 
   /** Deterministic pseudo-random hyperplanes (LCG, fixed seed) — public
@@ -685,8 +686,9 @@ object Similarity {
         vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
+      .transform(d => Perf.sortedOnce(
+        d.select(col("q_id"), col("rank"), col("c_id"), col("cos")),
+        col("q_id"), col("rank")))
   }
 
   def annIvfSearch(assigned: DataFrame, centroids: DataFrame,
@@ -703,8 +705,9 @@ object Similarity {
         vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
+      .transform(d => Perf.sortedOnce(
+        d.select(col("q_id"), col("rank"), col("c_id"), col("cos")),
+        col("q_id"), col("rank")))
   }
 
   /** `q36_ann_ivf` — IVF (inverted-file) ANN, the other scale path the
@@ -772,9 +775,10 @@ object Similarity {
     def tier(nProbe: Int): DataFrame =
       annRecall(truth, annIvfPortable(spark, dir, k, numQueries, nProbe), k)
         .withColumn("tier", lit(s"ivf_np$nProbe"))
-    tier(1).unionByName(tier(4))
-      .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp"))
-      .orderBy(col("tier"), col("q_id"))
+    Perf.sortedOnce(
+      tier(1).unionByName(tier(4))
+        .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp")),
+      col("tier"), col("q_id"))
   }
 
   /** C7f `q162_ann_pq_recall` — [[annRecall]] of the q80 portable PQ
@@ -790,9 +794,10 @@ object Similarity {
     def tier(rerank: Int): DataFrame =
       annRecall(truth, annPqPortable(spark, dir, k, numQueries, rerank), k)
         .withColumn("tier", lit(f"pq_r$rerank%02d"))
-    tier(10).unionByName(tier(50))
-      .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp"))
-      .orderBy(col("tier"), col("q_id"))
+    Perf.sortedOnce(
+      tier(10).unionByName(tier(50))
+        .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp")),
+      col("tier"), col("q_id"))
   }
 
   /** C7f: the q139 formula-twin IMI SEARCH chain — sub-quantizer cell j
@@ -834,9 +839,10 @@ object Similarity {
     def tier(nProbe: Int): DataFrame =
       annRecall(truth, annImiPortable(spark, dir, k, numQueries, nProbe), k)
         .withColumn("tier", lit(s"imi_np$nProbe"))
-    tier(1).unionByName(tier(2))
-      .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp"))
-      .orderBy(col("tier"), col("q_id"))
+    Perf.sortedOnce(
+      tier(1).unionByName(tier(2))
+        .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp")),
+      col("tier"), col("q_id"))
   }
 
   /** C7f `q164_ann_imipq_recall` — [[annRecall]] of the COMPOSED
@@ -852,9 +858,10 @@ object Similarity {
       annRecall(truth,
         annImiPqPortable(spark, dir, k, numQueries, nProbe = 2, rerank = rerank), k)
         .withColumn("tier", lit(f"imipq_r$rerank%02d"))
-    tier(10).unionByName(tier(50))
-      .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp"))
-      .orderBy(col("tier"), col("q_id"))
+    Perf.sortedOnce(
+      tier(10).unionByName(tier(50))
+        .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp")),
+      col("tier"), col("q_id"))
   }
 
   /** C6b: deterministic Johnson–Lindenstrauss SIGN random projection —
@@ -935,9 +942,10 @@ object Similarity {
     def tier(bands: Int): DataFrame =
       annRecall(truth, annLshPortable(spark, dir, k, numQueries, bands = bands), k)
         .withColumn("tier", lit(s"lsh_b$bands"))
-    tier(2).unionByName(tier(4))
-      .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp"))
-      .orderBy(col("tier"), col("q_id"))
+    Perf.sortedOnce(
+      tier(2).unionByName(tier(4))
+        .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp")),
+      col("tier"), col("q_id"))
   }
 
   /** C7f `q167_ann_pq_codebook` — [[annRecall]] of the PQ tier at
@@ -954,9 +962,10 @@ object Similarity {
       annRecall(truth,
         annPqPortable(spark, dir, k, numQueries, rerank = 50, codebookSize = cb), k)
         .withColumn("tier", lit(f"pq_cb$cb%02d"))
-    tier(16).unionByName(tier(64))
-      .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp"))
-      .orderBy(col("tier"), col("q_id"))
+    Perf.sortedOnce(
+      tier(16).unionByName(tier(64))
+        .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp")),
+      col("tier"), col("q_id"))
   }
 
   /** PQ (product quantization) index build — the memory-side scale path
@@ -1162,15 +1171,16 @@ object Similarity {
   private def exactRerankById(cands: DataFrame, corpus: DataFrame,
                               queries: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    cands
-      .join(corpus.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")), Seq("c_id"))
-      .join(broadcast(queries), Seq("q_id"))
-      .withColumn("cos", round(
-        vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
+    Perf.sortedOnce(
+      cands
+        .join(corpus.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")), Seq("c_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .withColumn("cos", round(
+          vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col("c_id"), col("cos")),
+      col("q_id"), col("rank"))
   }
 
   /** PQ search via ADC (asymmetric distance computation): each query
@@ -1716,9 +1726,10 @@ object Similarity {
         annImiPqSearch(corpus, c1, c2, 4, cb, k, numQueries, nProbe = 2,
           rerank = rerank, codebookSize = 64), k)
         .withColumn("tier", lit(f"trained_r$rerank%02d"))
-    () => tier(10).unionByName(tier(50))
-      .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp"))
-      .orderBy(col("tier"), col("q_id"))
+    () => Perf.sortedOnce(
+      tier(10).unionByName(tier(50))
+        .select(col("tier"), col("q_id"), col("k"), col("n_hits"), col("recall_bp")),
+      col("tier"), col("q_id"))
   }
 
   /** C7d→C26d `q141_ann_imipq_portable` — the composed IMI+ADC SEARCH
@@ -1857,8 +1868,9 @@ object Similarity {
       .withColumn("cos", round(vectors.cosine(col("qv"), col("cv")), 4))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
+      .transform(d => Perf.sortedOnce(
+        d.select(col("q_id"), col("rank"), col("c_id"), col("cos")),
+        col("q_id"), col("rank")))
   }
 
   // ---- C26: semantic dedup (SemDeDup) ------------------------------
@@ -1929,11 +1941,12 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .groupBy(col("id_b").as("vec_id"))
       .agg(min(col("id_a")).as("dup_of"))
-    assigned.select(col("vec_id"), col("cell"))
-      .join(dups, Seq("vec_id"), "left")
-      .withColumn("is_dup", col("dup_of").isNotNull)
-      .select(col("vec_id"), col("cell"), col("is_dup"), col("dup_of"))
-      .orderBy(col("vec_id"))
+    Perf.sortedOnce(
+      assigned.select(col("vec_id"), col("cell"))
+        .join(dups, Seq("vec_id"), "left")
+        .withColumn("is_dup", col("dup_of").isNotNull)
+        .select(col("vec_id"), col("cell"), col("is_dup"), col("dup_of")),
+      col("vec_id"))
   }
 
   /** C26 `q85_semantic_dedup` — [[semanticDedup]] on the q79
@@ -2013,13 +2026,14 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .groupBy(col("vec_id"))
       .agg(min(col("c_id")).as("_dup_of"), max(col("cos")).as("_best"))
-    probe.select(col("vec_id"), col("cell"))
-      .join(matches, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"),
-        col("_dup_of").isNotNull.as("is_dup"),
-        coalesce(col("_dup_of"), lit(-1L)).as("dup_of"),
-        coalesce(col("_best"), lit(-1.0)).as("best_cos"))
-      .orderBy(col("vec_id"))
+    Perf.sortedOnce(
+      probe.select(col("vec_id"), col("cell"))
+        .join(matches, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          col("_dup_of").isNotNull.as("is_dup"),
+          coalesce(col("_dup_of"), lit(-1L)).as("dup_of"),
+          coalesce(col("_best"), lit(-1.0)).as("best_cos")),
+      col("vec_id"))
   }
 
   /** Day-2 semantic dedup against a TWO-LEVEL (IMI) index, with the
@@ -2091,13 +2105,14 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .groupBy(col("q_id").as("vec_id"))
       .agg(min(col("c_id")).as("_dup_of"), max(col("cos")).as("_best"))
-    home.select(col("vec_id"), col("cell"))
-      .join(matches, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"),
-        col("_dup_of").isNotNull.as("is_dup"),
-        coalesce(col("_dup_of"), lit(-1L)).as("dup_of"),
-        coalesce(col("_best"), lit(-1.0)).as("best_cos"))
-      .orderBy(col("vec_id"))
+    Perf.sortedOnce(
+      home.select(col("vec_id"), col("cell"))
+        .join(matches, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          col("_dup_of").isNotNull.as("is_dup"),
+          coalesce(col("_dup_of"), lit(-1L)).as("dup_of"),
+          coalesce(col("_best"), lit(-1.0)).as("best_cos")),
+      col("vec_id"))
   }
 
   /** C26b `q98_semantic_dedup_probe` — [[semanticDedupAgainstIndex]]
@@ -2200,7 +2215,7 @@ object Similarity {
       .withColumn("_keep", ceil(lit(fraction) * count(lit(1)).over(wc)))
       .filter(col("cell_rank") <= col("_keep"))
       .select(col("vec_id"), col("cell"), col("cos_c"), col("cell_rank"))
-      .orderBy(col("vec_id"))
+      .transform(d => Perf.sortedOnce(d, col("vec_id")))
   }
 
   /** C29 `q88_cluster_sample` — [[clusterBalancedSample]] keeping the

@@ -84,7 +84,7 @@ object Sketches {
       .agg(
         count(lit(1)).as("n_lines"),
         round(sum(col("l_extendedprice")), 4).as("revenue"))
-      .orderBy(col("l_returnflag"))
+      .transform(d => Perf.sortedOnce(d, col("l_returnflag")))
   }
 
   /** Once-per-day mergeable HLL sketch table: (key, day, user sketch,
@@ -127,7 +127,7 @@ object Sketches {
   def hllUsersByType(spark: SparkSession, dir: String): DataFrame = {
     val daily = dailySketches(Tables(spark, dir).events, "event_type", "ts", "user_id")
     distinctOverRange(daily, "event_type", fromDay = Some("2024-01-16"))
-      .orderBy(col("event_type"))
+      .transform(d => Perf.sortedOnce(d, col("event_type")))
   }
 
   // ---- portable-hash HLL twin (the q74 pattern for sketches) -------
@@ -212,7 +212,7 @@ object Sketches {
     val regs = portableDailyRegisters(Tables(spark, dir).events,
       "event_type", "ts", "user_id")
     portableDistinctOverRange(regs, "event_type", fromDay = Some("2024-01-16"))
-      .orderBy(col("event_type"))
+      .transform(d => Perf.sortedOnce(d, col("event_type")))
   }
 
   /** Once-per-day mergeable KLL quantile sketch table — the percentile
@@ -361,7 +361,7 @@ object Sketches {
     val daily = dailyQuantileSketches(Tables(spark, dir).events,
       "event_type", "ts", "value", k = 4096)
     quantilesOverRange(daily, "event_type", fromDay = Some("2024-01-16"))
-      .orderBy(col("event_type"))
+      .transform(d => Perf.sortedOnce(d, col("event_type")))
   }
 
   // ---- C25: mergeable Count-Min heavy-hitter rollups ---------------
@@ -493,7 +493,7 @@ object Sketches {
     est.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("rank"), col("item"), col("est_count"))
-      .orderBy(col("rank"))
+      .transform(d => Perf.sortedOnce(d, col("rank")))
   }
 
   /** `q84_cms_heavy_hitters`: top-20 users by event count for the back
@@ -643,7 +643,7 @@ object Sketches {
         col("est_b").cast("long").as("est_b"),
         col("est_inter").cast("long").as("est_inter"),
         round(col("est_inter") / col("est_union"), 4).as("jaccard_est"))
-      .orderBy(col("key_a"), col("key_b"))
+      .transform(d => Perf.sortedOnce(d, col("key_a"), col("key_b")))
   }
 
   /** C28 `q87_kmv_overlap`: shingle-set overlap between every pair of

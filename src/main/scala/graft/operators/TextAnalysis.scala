@@ -49,7 +49,7 @@ object TextAnalysis {
   /** C9 `q28_quality_score` — length/punct/stopword-ratio quality score
     * (the standard pretraining-corpus quality heuristics). */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
-    qualityScoreDocs(Tables(spark, dir).documents).orderBy(col("doc_id"))
+    Perf.sortedOnce(qualityScoreDocs(Tables(spark, dir).documents), col("doc_id"))
 
   /** DataFrame-level quality scoring over any (doc_id, text) frame;
     * unsorted so composing operators (q53's percentile filter) don't
@@ -105,7 +105,7 @@ object TextAnalysis {
       .filter(col("pr") <= keep)
       .select(col("doc_id"), col("lang"), col("quality_score"),
         round(col("pr"), 4).as("q_rank"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** BPE-ish token regex: letter runs, digit runs, single punctuation —
@@ -122,7 +122,7 @@ object TextAnalysis {
       .select(col("doc_id") +: (("ws_tokens", ws) +: tokenCountExprs).map {
         case (n, c) => c.as(n)
       }: _*)
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** The q29 BPE-ish formulas — ONE definition for [[tokenCounts]] and
@@ -173,7 +173,7 @@ object TextAnalysis {
         round(dupRatio(col("_t")) + lit(1e-9), 4).as("dup_word_ratio"),
         round(dupRatio(col("_g2")) + lit(1e-9), 4).as("dup_2gram_ratio"),
         round(dupRatio(col("_g3")) + lit(1e-9), 4).as("dup_3gram_ratio"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** Extension `q32_doc_stats` — per-language corpus length statistics:
@@ -201,7 +201,7 @@ object TextAnalysis {
         round(avg(col("n_chars")) + lit(1e-9), 4).as("avg_chars"),
         round(pct(0.5) + lit(1e-9), 4).as("median_chars"),
         round(pct(0.9) + lit(1e-9), 4).as("p90_chars"))
-      .orderBy(col("lang"))
+      .transform(d => Perf.sortedOnce(d, col("lang")))
   }
 
   /** `q46_unigram_logprob` — unigram language-model quality scoring:
@@ -286,7 +286,7 @@ object TextAnalysis {
       .select(col("lang"), col("avg_logprob"), col("bucket"))
     scored.join(broadcast(labeled), Seq("lang", "avg_logprob"))
       .select(col("doc_id"), col("lang"), col("avg_logprob"), col("bucket"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** `q93_bigram_nll` — bigram language-model quality scoring: each
@@ -334,7 +334,7 @@ object TextAnalysis {
       .withColumn("nll", round(
         -(col("_s").cast("double") / 100000000.0) / col("n_bigrams") + lit(1e-9), 4))
       .select(col("doc_id"), col("n_bigrams"), col("nll"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** C17d `q171_kneser_ney` — interpolated KNESER–NEY bigram scoring
@@ -403,7 +403,7 @@ object TextAnalysis {
       .withColumn("kn_nll", round(
         -(col("_s").cast("double") / 100000000.0) / col("n_bigrams") + lit(1e-9), 4))
       .select(col("doc_id"), col("n_bigrams"), col("kn_nll"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** C8b: char-trigram stream of normalized text — the shared
@@ -515,7 +515,7 @@ object TextAnalysis {
     langIdAgainstProfiles(batch, langProfiles(corpus))
       .join(batch.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("pred_lang"), col("dist"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** The persistable KN MODEL artifact: the one bigram count table —
@@ -586,7 +586,7 @@ object TextAnalysis {
       .withColumn("kn_nll", round(
         -(col("_s").cast("double") / 100000000.0) / col("n_bigrams") + lit(1e-9), 4))
       .select(col("doc_id"), col("n_bigrams"), col("kn_nll"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** C17d `q172_kn_score` — the day-2 KN flow over the 80/20 split:
@@ -669,7 +669,7 @@ object TextAnalysis {
       .withColumn("kn3_nll", round(
         -(col("_s").cast("double") / 100000000.0) / col("n_trigrams") + lit(1e-9), 4))
       .select(col("doc_id"), col("n_trigrams"), col("kn3_nll"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** The persistable order-3 KN MODEL artifact — the one trigram count
@@ -751,7 +751,7 @@ object TextAnalysis {
       .withColumn("kn3_nll", round(
         -(col("_s").cast("double") / 100000000.0) / col("n_trigrams") + lit(1e-9), 4))
       .select(col("doc_id"), col("n_trigrams"), col("kn3_nll"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** C17e `q177_kn3_score` — the day-2 order-3 flow over the 80/20
@@ -836,7 +836,7 @@ object TextAnalysis {
         col("dup_token_frac") > tokenRepMax ||
         col("top2_char_frac") > topFracMax ||
         col("dup2_mass_frac") > dupMassMax)
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** `q94_collocations` — PMI collocation extraction (Church & Hanks
@@ -880,7 +880,7 @@ object TextAnalysis {
     scored.orderBy(col("pmi").desc, col("a").asc, col("b").asc).limit(k)
       .withColumn("rank", row_number().over(wr).cast("long"))
       .select(col("rank"), col("a"), col("b"), col("cab"), col("pmi"))
-      .orderBy(col("rank"))
+      .transform(d => Perf.sortedOnce(d, col("rank")))
   }
 
   /** `q52_tfidf_terms` — TF-IDF top terms per language: the
@@ -923,7 +923,7 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("lang"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
-      .orderBy(col("lang"), col("rank"))
+      .transform(d => Perf.sortedOnce(d, col("lang"), col("rank")))
   }
 
   /** C11 `q30_fingerprint` — normalized content fingerprint (md5 of the
@@ -933,7 +933,7 @@ object TextAnalysis {
     t.documents
       .select(col("doc_id"), T.fingerprint(col("text")).as("fingerprint"),
         T.normalizeText(col("text")).substr(lit(1), lit(32)).as("norm_prefix"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   // ---- Gopher document-level rule filters ----------------------------
@@ -1046,7 +1046,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
         col("symbol_ratio"), col("bullet_frac"), col("ellipsis_frac"),
         col("alpha_frac"), col("stop_hits"), col("pass"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** C46: the one-pass QUALITY-SIGNAL BATTERY — language ID (C8),
@@ -1262,7 +1262,7 @@ object TextAnalysis {
         sum(when(col("_c") === 1, 1L).otherwise(0L)).as("hapax"))
       .withColumn("ttr",
         round(col("types").cast("double") / col("tokens"), 4))
-      .orderBy(col("prefix_docs"))
+      .transform(d => Perf.sortedOnce(d, col("prefix_docs")))
   }
 
   /** C39b `q148_vocab_growth` — [[vocabularyGrowth]] over the documents

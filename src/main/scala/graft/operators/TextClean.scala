@@ -100,7 +100,7 @@ object TextClean {
     piiRedact(planted, "text")
       .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
         col("n_ids"), col("redacted"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** `q50_html_strip` — same planting idea: wrap each document in
@@ -117,7 +117,7 @@ object TextClean {
       ).as("text"))
     htmlStrip(planted, "text")
       .select(col("doc_id"), col("n_tags"), col("clean_text"), col("clean_chars"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   // ---- line-level rule filtering (C4/RefinedWeb) ---------------------
@@ -238,7 +238,7 @@ object TextClean {
       ).as("text"))
     dedupLinesWithin(planted, "text")
       .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean_text"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   // ---- mojibake / encoding repair ------------------------------------
@@ -314,7 +314,7 @@ object TextClean {
           .otherwise(lit(mojibakeCleanTail))).as("text"))
     fixMojibake(planted, "text")
       .select(col("doc_id"), col("n_fixes"), col("fixed_text"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** `q102_line_filter` — the documents table is single-line word
@@ -477,7 +477,7 @@ object TextClean {
     stripAgainstCensus(pages.filter(block === 1), census, "source", "text")
       .select(col("doc_id"), col("source"), col("n_lines"), col("n_removed"),
         col("clean_text"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   def lineFilterDocs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
@@ -494,6 +494,6 @@ object TextClean {
       ).as("text"))
     lineFilter(planted, "text")
       .select(col("doc_id"), col("n_lines"), col("n_kept"), col("clean_text"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 }

@@ -52,7 +52,9 @@ object TextEmbed {
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(dims >= 2 && dims <= 60,
       s"dims must lie in [2, 60] (one md5's worth of sign bits), got $dims")
-    docs.select(
+    // kernelSpread (r19): the embed kernel md5-hashes every token of
+    // every doc — single-row-group scans would run it on one core
+    Perf.kernelSpread(docs.select(col(idCol), col(textCol))).select(
       col(idCol).cast("long").as("vec_id"),
       transform(
         call_function("graft_text_embed",

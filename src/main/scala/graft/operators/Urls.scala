@@ -218,7 +218,7 @@ object Urls {
     import spark.implicits._
     val urls = plantedUrls(graft.Tables(spark, dir).documents)
     blocklistGate(urls, "doc_id", "url", docBlocklist.toDF("pattern"))
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** Persistable canonical-URL index — (canon_url, keep_id, n_copies),
@@ -248,8 +248,14 @@ object Urls {
     require(index.columns.contains("canon_url") && index.columns.contains("keep_id"),
       "index must carry (canon_url, keep_id) — build it with buildUrlIndex")
     val hit = col("keep_id").isNotNull && col("keep_id") =!= col(idCol)
-    batch.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canon_url"))
-      .join(index.select(col("canon_url"), col("keep_id")), Seq("canon_url"), "left")
+    // materialized once: the canonical projection feeds BOTH the
+    // batch-key prune (r18 verdict item 1 — index rows whose canon_url
+    // no batch row carries can never match the left join) and the join
+    val canon = batch.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canon_url"))
+      .localCheckpoint()
+    val idx = Perf.prunedByKeys(
+      index.select(col("canon_url"), col("keep_id")), "canon_url", canon)
+    canon.join(idx, Seq("canon_url"), "left")
       .select(col(idCol), col("canon_url"), hit.as("is_dup"),
         when(hit, col("keep_id")).otherwise(lit(-1L)).as("dup_of"))
   }
@@ -282,7 +288,7 @@ object Urls {
           .otherwise(col("url")))
     val index = buildUrlIndex(urls.filter(copy =!= 4), "doc_id", "url")
     urlDedupAgainstIndex(batch, index, "doc_id", "url")
-      .orderBy(col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("doc_id")))
   }
 
   /** Domain-reputation gate: aggregate per-document signals to a

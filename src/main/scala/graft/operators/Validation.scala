@@ -49,7 +49,7 @@ object Validation {
       .withColumn("violation_pct",
         round(col("n_violations") * 100.0 / col("n_rows"), 4))
       .withColumn("passed", col("violation_pct") <= maxViolationPct)
-      .orderBy(col("rule"))
+      .transform(d => Perf.sortedOnce(d, col("rule")))
   }
 
   /** Row-level routing: append `violations` (the names of the rules

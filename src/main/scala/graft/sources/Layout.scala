@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.Perf
 
 /** E7: multi-dimensional Z-ORDER layout clustering — the
   * `OPTIMIZE ZORDER BY` capability of the lakehouse table formats
@@ -276,7 +277,7 @@ object Layout {
           col(s"_mn_$i").as("data_min"), col(s"_mx_$i").as("data_max"))
       }: _*)).as("d"))
       .select(col("d.*"))
-      .orderBy(col("col_name"))
+      .transform(d => Perf.sortedOnce(d, col("col_name")))
   }
 
   /** E8b: heal grid drift — re-derive fresh per-column bounds from the
@@ -400,7 +401,7 @@ object Layout {
       .withColumn("zbucket", shiftright(col("zvalue"), 32 - 6))
       .select(col("doc_id"), col("_x_grid").as("x_grid"),
         col("_y_grid").as("y_grid"), col("zvalue"), col("zbucket"))
-      .orderBy(col("zvalue"), col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("zvalue"), col("doc_id")))
   }
 
   /** E8 `q160_zorder_append` — the frozen-grid increment computation,
@@ -427,7 +428,7 @@ object Layout {
       .withColumn("zbucket", shiftright(col("zvalue"), 32 - 6))
       .select(col("doc_id"), col("_x_grid").as("x_grid"),
         col("_y_grid").as("y_grid"), col("zvalue"), col("zbucket"))
-      .orderBy(col("zvalue"), col("doc_id"))
+      .transform(d => Perf.sortedOnce(d, col("zvalue"), col("doc_id")))
   }
 
   /** E8b `q166_zorder_drift` — the drift METER on the q160 scenario,
