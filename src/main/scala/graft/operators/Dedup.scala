@@ -2452,12 +2452,13 @@ object Dedup {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDf.forall(_ >= 2), s"maxDf must be >= 2, got $maxDf")
     requireWinnowParams(index, k, w)
-    // materialized once: the batch's print set feeds both the
-    // index-scan prune (a batch-bounded distinct-h collect) and the
-    // posting join
-    val batchFp = winnowFingerprints(newDocs, idCol, textCol, k, w)
+    // checkpointed ONLY when the index is file-backed (the prune then
+    // collects the batch's h set — a second consumer); otherwise the
+    // join is the sole consumer and the checkpoint is pure overhead
+    val pruneable = Perf.isFileBacked(index)
+    val batchFp0 = winnowFingerprints(newDocs, idCol, textCol, k, w)
       .select(col("doc_id").as("new_id"), col("h")).distinct()
-      .localCheckpoint()
+    val batchFp = if (pruneable) batchFp0.localCheckpoint() else batchFp0
     // maxDf (the [[winnowOverlap]] ubiquity-suppression contract, df
     // measured on the CORPUS index): suppressed postings pair with
     // nothing, so filtering the index side alone suffices. The index
@@ -2521,10 +2522,11 @@ object Dedup {
     requireWinnowParams(index, k, w)
     require(index.columns.contains("pos"),
       "index carries no positions — rebuild it with this round's buildWinnowIndex")
-    // materialized once: the batch prints feed the index-scan prune
-    // (batch-bounded distinct-h collect) and the diagonal join
-    val batchFp = winnowFingerprints(newDocs, idCol, textCol, k, w)
-      .localCheckpoint()
+    // checkpointed ONLY when the index is file-backed (see the overlap
+    // probe): the prune's collect is the second consumer
+    val pruneable = Perf.isFileBacked(index)
+    val batchFp0 = winnowFingerprints(newDocs, idCol, textCol, k, w)
+    val batchFp = if (pruneable) batchFp0.localCheckpoint() else batchFp0
     // index-scan pruning BEFORE suppression (r18 verdict item 1): the
     // diagonal join is inner on h — corpus prints at h values the
     // batch never selected cannot pair, so the batch's h set pushes at

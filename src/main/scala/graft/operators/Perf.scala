@@ -79,13 +79,39 @@ private[graft] object Perf {
     * `keys` should be cheap to evaluate twice or already materialized
     * (the probes checkpoint their batch-side frames); an empty batch
     * prunes the index to nothing, which is exactly what joins it. */
+  /** True when some leaf of `df`'s plan is a file/table relation —
+    * i.e. there is scan I/O a pushed predicate could skip. */
+  def isFileBacked(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves().exists { l =>
+      val n = l.getClass.getSimpleName
+      n.contains("LogicalRelation") || n.contains("HiveTableRelation") ||
+        n.contains("DataSourceV2Relation")
+    }
+
   def prunedByKeys(index: DataFrame, keyCol: String, keys: DataFrame,
-                   maxKeys: Int = 100000): DataFrame = {
-    val collected = keys.select(col(keyCol)).distinct()
-      .limit(maxKeys + 1).collect().map(_.get(0)).toSeq
-    if (collected.size > maxKeys) index
-    else if (collected.isEmpty)
-      index.filter(org.apache.spark.sql.functions.lit(false))
-    else index.filter(col(keyCol).isInCollection(collected))
+                   maxKeys: Int = 0): DataFrame = {
+    // only a FILE-backed index has scan I/O to prune: for an in-memory
+    // (checkpointed/local) index the In filter is pure overhead — a
+    // collect job plus a literal list the analyzer must walk (measured
+    // r19: +3 s on the in-memory winnow probes for zero bytes saved)
+    val fileBacked = isFileBacked(index)
+    // key cap: past it the prune is skipped — a 50k-literal In costs
+    // more in plan analysis than row-group skipping returns at test
+    // scale, and at 100 TB a batch that large wants a runtime Bloom
+    // filter, not literals (documented next step). Conf-able so a
+    // cluster sized for bigger literal lists can raise it.
+    val cap =
+      if (maxKeys > 0) maxKeys
+      else index.sparkSession.conf
+        .get("spark.graft.probePrune.maxKeys", "8192").toInt
+    if (!fileBacked) index
+    else {
+      val collected = keys.select(col(keyCol)).distinct()
+        .limit(cap + 1).collect().map(_.get(0)).toSeq
+      if (collected.size > cap) index
+      else if (collected.isEmpty)
+        index.filter(org.apache.spark.sql.functions.lit(false))
+      else index.filter(col(keyCol).isInCollection(collected))
+    }
   }
 }

@@ -1355,17 +1355,32 @@ object Pipeline {
     * loaded back BUCKETED, so the registered day-2 queries run the
     * production artifact path — persist, cold load, co-located probes —
     * under the oracle hash. */
+  private[graft] def masterBundleDir(docs: DataFrame): String =
+    s"${Similarity.TrainedArtifactRoot}/master_bundle/" +
+      s"k=${Similarity.documentsCorpusKey(docs)}"
+
   private[graft] def masterBundleFor(spark: SparkSession, docs: DataFrame,
                                      blocklist: DataFrame,
                                      day1: DataFrame): MasterArtifacts = {
-    val bdir = s"${Similarity.TrainedArtifactRoot}/master_bundle/" +
-      s"k=${Similarity.documentsCorpusKey(docs)}"
+    val bdir = masterBundleDir(docs)
     val fs = new org.apache.hadoop.fs.Path(bdir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(bundleMetaPath(bdir))))
-      persistMasterArtifacts(
-        masterArtifacts(day1, "chunk_id", "content", blocklist,
-          splitSeed = MasterIngestSeed), bdir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(bundleMetaPath(bdir)))) {
+      val f = masterFront(day1, "chunk_id", "content", blocklist,
+        MasterIngestSeed, minWords = 15, maxWords = 120, maxDupFrac = 0.65,
+        jaccardTau = 0.8, winnowMinPrints = 60L, _ => _.localCheckpoint())
+      // the day-1 encoded TRAIN pool persists beside the probe bundle
+      // (r19): it is masterPipeline's production `train` waist — the
+      // pool a day-N refresh re-plans over — and without it q179's
+      // build re-ran the ENTIRE day-1 front (parse→clean→dedup→winnow→
+      // gate→firewall→encode) a second time just to recover the frame
+      // the bundle build had already computed. Written BEFORE the
+      // stamp, so the stamp stays the bundle's success marker.
+      encodeBosEos(f.cleanTrain).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$bdir/train_enc")
+      persistMasterArtifacts(masterArtifactsOf(f, jaccardTau = 0.8), bdir)
+    }
     loadMasterArtifacts(spark, bdir)
   }
 
@@ -1446,14 +1461,27 @@ object Pipeline {
     val bl = Urls.docBlocklist.toDF("pattern")
     val day1 = graft.sources.Warc.plantedMasterChunks(docs)
       .filter(col("chunk_id") % 5 =!= 4)
-    val f = masterFront(day1, "chunk_id", "content", bl, MasterIngestSeed,
-      minWords = 15, maxWords = 120, maxDupFrac = 0.65,
-      jaccardTau = 0.8, winnowMinPrints = 60L,
-      _ => _.localCheckpoint())
+    // the bundle build (or adoption) also persists the day-1 encoded
+    // train pool (`train_enc` — the production `train` waist), so the
+    // refresh build no longer re-runs the whole day-1 front for a
+    // frame the bundle build had already computed (r19: the q179
+    // build's largest term). Reading it back is exact: dseq is an
+    // int-array column and encodeBosEos is deterministic.
+    val art = masterBundleFor(spark, docs, bl, day1)
     val r = masterIngestFull(graft.sources.Warc.plantedMasterBatchChunks(docs),
-      "chunk_id", "content", bl, masterBundleFor(spark, docs, bl, day1),
+      "chunk_id", "content", bl, art,
       splitSeed = MasterIngestSeed)
-    val day1Enc = encodeBosEos(f.cleanTrain).localCheckpoint()
+    val tePath = s"${masterBundleDir(docs)}/train_enc"
+    val teFs = new org.apache.hadoop.fs.Path(tePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val day1Enc =
+      if (teFs.exists(new org.apache.hadoop.fs.Path(tePath, "_SUCCESS")))
+        spark.read.parquet(tePath)
+      else // a legacy bundle without the waist: pay the front once
+        encodeBosEos(masterFront(day1, "chunk_id", "content", bl,
+          MasterIngestSeed, minWords = 15, maxWords = 120,
+          maxDupFrac = 0.65, jaccardTau = 0.8, winnowMinPrints = 60L,
+          _ => _.localCheckpoint()).cleanTrain).localCheckpoint()
     val accepted = r.accepted.localCheckpoint()
     () => masterRefresh(day1Enc, accepted, masterWeights)
   }

@@ -772,8 +772,18 @@ object Similarity {
   def annRecallReport(spark: SparkSession, dir: String, k: Int = 10,
                       numQueries: Int = 5): DataFrame = {
     val truth = annBruteForce(spark, dir, k, numQueries).localCheckpoint()
+    // ONE formula build shared by both tiers (r19): the q79 centroid
+    // table and the production day-2 assignment are nProbe-independent
+    // — re-running annIvfPortable per tier paid the corpus assignment
+    // twice for an identical frame (only the probe width differs)
+    val emb = Tables(spark, dir).embeddings
+    val centroids = prepVectors(emb).filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cvec"),
+        vectors.dot(col("v"), col("v")).as("c2"))
+      .localCheckpoint()
+    val assigned = appendToIvfIndex(emb, centroids).localCheckpoint()
     def tier(nProbe: Int): DataFrame =
-      annRecall(truth, annIvfPortable(spark, dir, k, numQueries, nProbe), k)
+      annRecall(truth, annIvfSearch(assigned, centroids, k, numQueries, nProbe), k)
         .withColumn("tier", lit(s"ivf_np$nProbe"))
     Perf.sortedOnce(
       tier(1).unionByName(tier(4))
@@ -791,8 +801,16 @@ object Similarity {
   def annPqRecallReport(spark: SparkSession, dir: String, k: Int = 10,
                         numQueries: Int = 5): DataFrame = {
     val truth = annBruteForce(spark, dir, k, numQueries).localCheckpoint()
+    // ONE formula codebook + corpus encode shared by both tiers (r19):
+    // the rerank cut is applied at SEARCH time, so re-running
+    // annPqPortable per tier re-encoded the identical corpus twice
+    val emb = Tables(spark, dir).embeddings
+    val codebook = formulaPqCodebook(prepVectors(emb), 8, 16, 8)
+      .localCheckpoint()
+    val encoded = appendToPqIndex(emb, codebook, 8, 16, 64).localCheckpoint()
     def tier(rerank: Int): DataFrame =
-      annRecall(truth, annPqPortable(spark, dir, k, numQueries, rerank), k)
+      annRecall(truth,
+        annPqSearch(encoded, codebook, k, numQueries, rerank, 8, 16, 64), k)
         .withColumn("tier", lit(f"pq_r$rerank%02d"))
     Perf.sortedOnce(
       tier(10).unionByName(tier(50))
@@ -836,8 +854,24 @@ object Similarity {
   def annImiRecallReport(spark: SparkSession, dir: String, k: Int = 10,
                          numQueries: Int = 5): DataFrame = {
     val truth = annBruteForce(spark, dir, k, numQueries).localCheckpoint()
+    // ONE two-level assignment shared by both tiers (r19): nProbe is a
+    // pure search-time knob — re-running annImiPortable per tier paid
+    // the per-half argmin corpus assignment twice (q163's measured
+    // cost is the assignment, not the query-batch probe)
+    val e = prepVectors(Tables(spark, dir).embeddings).localCheckpoint()
+    val h = 32
+    def halfCent(first: Boolean, kk: Int) = {
+      val hv = if (first) slice(col("v"), 1, h) else slice(col("v"), h + 1, h)
+      e.filter(col("vec_id") < kk)
+        .select(col("vec_id").cast("int").as("cell"), hv.as("cvec"),
+          vectors.dot(hv, hv).as("c2"))
+    }
+    val cent1 = halfCent(first = true, 4).localCheckpoint()
+    val cent2 = halfCent(first = false, 4).localCheckpoint()
+    val assigned = assignTwoLevel(e, cent1, cent2, 4).localCheckpoint()
     def tier(nProbe: Int): DataFrame =
-      annRecall(truth, annImiPortable(spark, dir, k, numQueries, nProbe), k)
+      annRecall(truth,
+        annImiSearch(assigned, cent1, cent2, 4, k, numQueries, nProbe), k)
         .withColumn("tier", lit(s"imi_np$nProbe"))
     Perf.sortedOnce(
       tier(1).unionByName(tier(2))
@@ -854,9 +888,11 @@ object Similarity {
   def annImiPqRecallReport(spark: SparkSession, dir: String, k: Int = 10,
                            numQueries: Int = 5): DataFrame = {
     val truth = annBruteForce(spark, dir, k, numQueries).localCheckpoint()
+    // ONE formula build + corpus encode shared by both tiers (r19):
+    // only the search-time rerank cut differs between them
+    val search = annImiPqPortableBuild(spark, dir, k, numQueries, nProbe = 2)
     def tier(rerank: Int): DataFrame =
-      annRecall(truth,
-        annImiPqPortable(spark, dir, k, numQueries, nProbe = 2, rerank = rerank), k)
+      annRecall(truth, search(rerank), k)
         .withColumn("tier", lit(f"imipq_r$rerank%02d"))
     Perf.sortedOnce(
       tier(10).unionByName(tier(50))
@@ -1763,6 +1799,21 @@ object Similarity {
                        k1: Int = 4, k2: Int = 4,
                        subspaces: Int = 8, codebookSize: Int = 16,
                        dim: Int = 64): () => DataFrame = {
+    val search = annImiPqPortableBuild(spark, dir, k, numQueries, nProbe,
+      k1, k2, subspaces, codebookSize, dim)
+    () => search(rerank)
+  }
+
+  /** [[annImiPqPortableSplit]]'s build half with the RERANK knob left
+    * open (r19): the q164 recall report runs BOTH rerank tiers against
+    * ONE encoded corpus — the cut is applied at search time, so
+    * re-encoding per tier was pure duplicate work. */
+  private[graft] def annImiPqPortableBuild(
+                       spark: SparkSession, dir: String, k: Int = 10,
+                       numQueries: Int = 5, nProbe: Int = 2,
+                       k1: Int = 4, k2: Int = 4,
+                       subspaces: Int = 8, codebookSize: Int = 16,
+                       dim: Int = 64): Int => DataFrame = {
     val e = prepVectors(Tables(spark, dir).embeddings).localCheckpoint()
     val h = dim / 2
     def halfCent(first: Boolean, kk: Int) = {
@@ -1794,8 +1845,8 @@ object Similarity {
     val corpus = appendToImiPqIndex(Tables(spark, dir).embeddings,
       cent1, cent2, k2, cbMat, subspaces, codebookSize, dim)
       .localCheckpoint()
-    () => annImiPqSearch(corpus, cent1, cent2, k2, cbMat, k, numQueries, nProbe,
-      rerank, subspaces, codebookSize, dim)
+    (rerank: Int) => annImiPqSearch(corpus, cent1, cent2, k2, cbMat, k,
+      numQueries, nProbe, rerank, subspaces, codebookSize, dim)
   }
 
   /** C7 `q26_ann_lsh` — sign-random-projection LSH ANN: 16 hyperplanes,

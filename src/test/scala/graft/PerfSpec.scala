@@ -43,6 +43,11 @@ class PerfSpec extends SparkSpecBase {
     assert(skipped.count() == 500L, "over-cap prune must be a no-op")
     // an empty batch prunes to nothing (what an inner join would keep)
     assert(Perf.prunedByKeys(idx, "k", batch.limit(0)).count() == 0L)
+    // an in-memory index has no scan I/O to prune — the prune is a
+    // no-op (no collect job, no literal list)
+    val mem = index.localCheckpoint()
+    assert(Perf.prunedByKeys(mem, "k", batch).count() == 500L,
+      "in-memory index must skip the prune")
   }
 
   test("bucketsForBytes: buckets track the data, not the box") {
