@@ -44,6 +44,7 @@ object FirewallBench {
       .localCheckpoint()
     val nBatch = batch.count()
     for ((copies, dir) <- legs) {
+      val legLoad0 = GraftSession.loadAvg1m()
       val heldout = spark.read.parquet(dir + "/documents.parquet")
         .select(col("doc_id"),
           array_join(slice(split(lower(trim(col("text"))), "\\s+"), 1, 20), " ")
@@ -78,6 +79,7 @@ object FirewallBench {
         s"census-stat probe verdicts must match: $nC vs $nB")
       val (_, wGateCount) = timed(pIdx.select(col("g")).distinct().count())
       println(s"""{"leg":"firewall_${copies}x","copies":$copies,""" +
+        s""""load":[${fmt(legLoad0)},${fmt(GraftSession.loadAvg1m())}],""" +
         s""""n_batch":$nBatch,"n_eval_grams":$nGrams,""" +
         s""""build":${fmt(wBuild)},"probe_bcast":${fmt(wBcast)},""" +
         s""""probe_shuffle":${fmt(wShuffle)},"probe_census_stat":${fmt(wCensusProbe)},""" +

@@ -58,6 +58,15 @@ object GraftSession {
         "box (G1-at-huge-heap suspect); set SPARK_DRIVER_MEM to 24g or less")
   }
 
+  /** 1-minute loadavg for bench line stamps (r18 item 6, closed r20:
+    * the scale benches' JSON lines carry `"load"` so their windows are
+    * auditable like the main bench's). Best-effort: -1 when unreadable. */
+  def loadAvg1m(): Double = try {
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split(" ").head.toDouble
+  } catch { case _: Throwable => -1.0 }
+
   /** Local session for tests / ad-hoc runs. */
   def local(cores: String = "*"): SparkSession = {
     val s = configure(SparkSession.builder().master(s"local[$cores]")).getOrCreate()

@@ -62,6 +62,7 @@ object MasterScaleBench {
       .localCheckpoint()
     val nBatch = batch.count()
     for ((copies, dir) <- legs) {
+      val legLoad0 = GraftSession.loadAvg1m()
       val docs = spark.read.parquet(dir + "/documents.parquet").localCheckpoint()
       val nDocs = docs.count()
       val day1 = graft.sources.Warc.plantedMasterChunks(docs)
@@ -110,6 +111,7 @@ object MasterScaleBench {
         Pipeline.masterRefresh(day1Enc, accepted, Pipeline.masterWeights)))
       println(s"""{"leg":"master_${copies}x","copies":$copies,""" +
         s""""n_docs":$nDocs,"n_batch":$nBatch,"n_shipped":$nShipped,""" +
+        s""""load":[${fmt(legLoad0)},${fmt(GraftSession.loadAvg1m())}],""" +
         s""""wall":{"pipeline":${fmt(wPipe)},"artifacts":${fmt(wArt)},""" +
         s""""ingest":${fmt(wIng)},"refresh":${fmt(wRef)}}}""")
       System.out.flush()

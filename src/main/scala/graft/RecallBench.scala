@@ -40,7 +40,11 @@ object RecallBench {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
     def fmt(d: Double) = math.round(d * 1000) / 1000.0
-    val tag = s""""queries":$numQueries,"k":$k,"sf_dir":"${sfDir.takeRight(24)}""""
+    // load stamp per line (r18 item 6, closed r20): the leg's window is
+    // auditable like the main bench's — stamped at line time, 1-min avg
+    def tag = s""""queries":$numQueries,"k":$k,""" +
+      s""""load":${fmt(GraftSession.loadAvg1m())},""" +
+      s""""sf_dir":"${sfDir.takeRight(24)}""""
 
     val (truth, wTruth) = timed(
       Similarity.annBruteForce(spark, sfDir, k, numQueries).localCheckpoint())

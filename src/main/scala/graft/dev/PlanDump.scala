@@ -22,6 +22,10 @@ object PlanDump {
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.get("GRAFT_PLANDUMP_MATERIALIZE").contains("0"))
       spark.conf.set("spark.graft.sortedOnce.materialize", "false")
+    // r20: arbitrary session confs for plan dumps, e.g. forcing the
+    // probe-prune size gates open to show the at-scale plan shape
+    sys.env.get("GRAFT_PLANDUMP_CONFS").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => prefixes.exists(n.startsWith) }

@@ -2455,7 +2455,7 @@ object Dedup {
     // checkpointed ONLY when the index is file-backed (the prune then
     // collects the batch's h set — a second consumer); otherwise the
     // join is the sole consumer and the checkpoint is pure overhead
-    val pruneable = Perf.isFileBacked(index)
+    val pruneable = Perf.willPrune(index)
     val batchFp0 = winnowFingerprints(newDocs, idCol, textCol, k, w)
       .select(col("doc_id").as("new_id"), col("h")).distinct()
     val batchFp = if (pruneable) batchFp0.localCheckpoint() else batchFp0
@@ -2524,7 +2524,7 @@ object Dedup {
       "index carries no positions — rebuild it with this round's buildWinnowIndex")
     // checkpointed ONLY when the index is file-backed (see the overlap
     // probe): the prune's collect is the second consumer
-    val pruneable = Perf.isFileBacked(index)
+    val pruneable = Perf.willPrune(index)
     val batchFp0 = winnowFingerprints(newDocs, idCol, textCol, k, w)
     val batchFp = if (pruneable) batchFp0.localCheckpoint() else batchFp0
     // index-scan pruning BEFORE suppression (r18 verdict item 1): the

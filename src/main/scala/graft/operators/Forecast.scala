@@ -1168,6 +1168,14 @@ object Forecast {
                                    rhs: Vector[String]) {
     import Cramer4.Alg
 
+    /** The Gram-matrix / moment-vector NAME grids, row-major — the
+      * exact child order [[graft.expressions.CramerSolve]] consumes
+      * (r20: q133 evaluates these trees in the compiled kernel instead
+      * of a 3.3 MB codegen projection; the SQL renderings below stay
+      * the oracle's side of the contract). */
+    def gramNames: Vector[Vector[String]] = g
+    def rhsNames: Vector[String] = rhs
+
     private def detRec[T](alg: Alg[T])(m: Vector[Vector[T]]): T = {
       import alg._
       if (m.size == 2) sub(mul(m(0)(0), m(1)(1)), mul(m(0)(1), m(1)(0)))
@@ -1328,7 +1336,6 @@ object Forecast {
     * re-derives them the same way (the oracle-shared rule). */
   def forecastJointCramer6Frame(daily: DataFrame, keyCols: Seq[String],
                                 horizon: Int): DataFrame = {
-    import Cramer4.ColAlg
     val keys = keyCols.map(col)
     val wk = Window.partitionBy(keys: _*)
     val omegaW = 2.0 * math.Pi / 7.0
@@ -1358,8 +1365,18 @@ object Forecast {
           sum(b.fold(col(a))(bb => col(a) * col(bb))).as(name)
         } :+ max(col("x")).as("xmax") :+ max(col("ds")).as("maxds")
     val sums = wx.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    // r20 (q133): det + six numerators through the compiled
+    // [[graft.expressions.CramerSolve]] kernel — the SAME cofactor
+    // trees ([[Cramer6]]) evaluated in Scala, bit-identical
+    // (CramerSpec pins it against the Column rendering), instead of a
+    // 3.3 MB whole-stage-codegen projection that paid seconds of
+    // Janino compilation per run for ~35 rows. The SQL rendering of
+    // the same trees stays the oracle's side of the contract.
+    val solved = call_function("graft_cramer_solve",
+      (Cramer6.gramNames.flatten ++ Cramer6.rhsNames).map(col): _*)
     val betas = sums
-      .withColumn("det", Cramer6.det(ColAlg))
+      .withColumn("_cs", solved)
+      .withColumn("det", col("_cs").getItem(0))
       .withColumn("degen",
         abs(col("det")) <= lit(1e-9) *
           abs(col("n") * col("sxx") * col("sss") * col("scc") * col("suu") * col("svv")))
@@ -1368,17 +1385,17 @@ object Forecast {
         (col("n") * col("sxy") - col("sx") * col("sy")) / col("den2")).otherwise(lit(0.0)))
       .withColumn("b0f", (col("sy") - col("b1f") * col("sx")) / col("n"))
       .withColumn("b0", when(col("degen"), col("b0f"))
-        .otherwise(Cramer6.num(ColAlg, 0) / col("det")))
+        .otherwise(col("_cs").getItem(1) / col("det")))
       .withColumn("b1", when(col("degen"), col("b1f"))
-        .otherwise(Cramer6.num(ColAlg, 1) / col("det")))
+        .otherwise(col("_cs").getItem(2) / col("det")))
       .withColumn("b2", when(col("degen"), lit(0.0))
-        .otherwise(Cramer6.num(ColAlg, 2) / col("det")))
+        .otherwise(col("_cs").getItem(3) / col("det")))
       .withColumn("b3", when(col("degen"), lit(0.0))
-        .otherwise(Cramer6.num(ColAlg, 3) / col("det")))
+        .otherwise(col("_cs").getItem(4) / col("det")))
       .withColumn("b4", when(col("degen"), lit(0.0))
-        .otherwise(Cramer6.num(ColAlg, 4) / col("det")))
+        .otherwise(col("_cs").getItem(5) / col("det")))
       .withColumn("b5", when(col("degen"), lit(0.0))
-        .otherwise(Cramer6.num(ColAlg, 5) / col("det")))
+        .otherwise(col("_cs").getItem(6) / col("det")))
       .select(keys ++ Seq(col("b0"), col("b1"), col("b2"), col("b3"), col("b4"),
         col("b5"), col("xmax"), col("maxds")): _*)
     betas

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.col
 
 /** Shared physical-execution helpers for the registered query surface
-  * (r19 optimization round). */
+  * (r19 optimization round, hardened for cluster scale in r20). */
 private[graft] object Perf {
 
   /** A deterministic final sort WITHOUT the range-sampling double
@@ -17,26 +17,47 @@ private[graft] object Perf {
     * q153_winnow_spans at sf0.1: the 19M-row islands pipeline executed
     * once for the sample pass at 1251 task-seconds cold and again for
     * the real pass — guide §7.2, count executions, not just
-    * exchanges). Materializing the final output-sized frame first
-    * makes both passes read checkpointed blocks instead.
+    * exchanges). Putting a materialization barrier under the sort
+    * makes both passes read materialized data instead.
     *
-    * Use on FINAL frames only (the checkpoint costs one
-    * materialization of `df` and pins its blocks until GC): the row
-    * SET and the sorted order are unchanged — localCheckpoint
-    * preserves schema, field metadata and values, and the sort key
-    * still defines the output order.
-    */
-  /** `spark.graft.sortedOnce.materialize=false` keeps the full plan
-    * visible under the sort instead of materializing (an execution-
-    * strategy toggle only — the row set and order are identical
-    * either way). The spec base sets it so plan-shape assertions
-    * (pushed filters, join strategies, scan counts) keep seeing the
-    * real subtree; production and bench paths keep the default. */
+    * r20 (verdict item 3): the barrier is an EXCHANGE by default — a
+    * round-robin `repartition()` under the `orderBy`. Shuffle map
+    * output is materialized once per query execution (the scheduler
+    * reuses the map stage across the sampling pass and the real
+    * exchange; with AQE the child is a finished query stage), so the
+    * sampling pass costs one shuffle READ of the output-sized frame
+    * instead of a re-execution of the whole lineage. Unlike the r19
+    * `localCheckpoint` barrier this is fault-tolerant on a real
+    * cluster (no lineage truncation — an executor loss recomputes the
+    * map stage from lineage), compatible with dynamic allocation, and
+    * pins nothing in executor memory across a long session.
+    *
+    * Use on FINAL frames only (the barrier shuffles `df` once): the
+    * row SET and the sorted order are unchanged — the sort key still
+    * defines the output order (registered tails sort on keys that are
+    * total over their output rows; the oracle compare is positional
+    * and stays green).
+    *
+    * `spark.graft.sortedOnce.strategy`: `exchange` (default),
+    * `checkpoint` (the r19 behavior — correct in local mode, kept for
+    * A/B), `none` (plain orderBy; the spec base sets it so plan-shape
+    * assertions keep seeing the real subtree). The legacy
+    * `spark.graft.sortedOnce.materialize=false` conf maps to `none`.
+    * Execution-strategy toggles only — the row set and order are
+    * identical under all three. */
   def sortedOnce(df: DataFrame, cols: Column*): DataFrame = {
-    val materialize = df.sparkSession.conf
-      .get("spark.graft.sortedOnce.materialize", "true") == "true"
-    if (materialize) df.localCheckpoint().orderBy(cols: _*)
-    else df.orderBy(cols: _*)
+    val conf = df.sparkSession.conf
+    val legacyOff = conf.get("spark.graft.sortedOnce.materialize", "true") != "true"
+    val strategy =
+      if (legacyOff) "none"
+      else conf.get("spark.graft.sortedOnce.strategy", "exchange")
+    strategy match {
+      case "none" => df.orderBy(cols: _*)
+      case "checkpoint" => df.localCheckpoint().orderBy(cols: _*)
+      case _ =>
+        val n = conf.get("spark.sql.shuffle.partitions", "200").toInt
+        df.repartition(n).orderBy(cols: _*)
+    }
   }
 
   /** Spread a per-row KERNEL's CPU across the session's full width.
@@ -49,36 +70,50 @@ private[graft] object Perf {
     * fingerprint pass was a 1-task, 2.5 s stage on a 32-core box).
     * One round-robin exchange of the kernel's INPUT buys full-width
     * parallelism; these kernels cost orders of magnitude more CPU per
-    * byte than one shuffle pass of their input, so the trade holds at
-    * any scale (§8's rule: move the bytes once so the expensive pass
-    * parallelizes). Project to the kernel's columns BEFORE calling
-    * (§2.3: never widen an exchange). */
-  def kernelSpread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * byte than one shuffle pass of their input, so the trade holds
+    * whenever the scan is narrow. Project to the kernel's columns
+    * BEFORE calling (§2.3: never widen an exchange).
+    *
+    * r20 (verdict item 5): the exchange is GATED on the input's
+    * observed/estimated parallelism — at 100 TB the input arrives in
+    * thousands of splits and a round-robin re-shuffle of the whole
+    * corpus would buy parallelism the scan already has. The gate: skip
+    * the exchange when the input already carries at least
+    * defaultParallelism/2 slices (in-memory frames report their real
+    * partition count; file-backed frames estimate splits as
+    * leaf bytes / `spark.sql.files.maxPartitionBytes`, exactly the
+    * quantity FilePartition packing divides). Single-row-group test
+    * inputs estimate ~1 slice and still spread; a corpus-scale scan
+    * estimates thousands and passes through unexchanged. */
+  def kernelSpread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // a STREAMING frame cannot be batch-analyzed for the gate (its
+    // micro-batch parallelism is not knowable at build time): keep the
+    // r19 unconditional spread — per-trigger inputs are batch-bounded,
+    // so the exchange stays batch-sized at any corpus scale
+    if (df.isStreaming) df.repartition(target)
+    else if (estimatedInputSlices(df) >= math.max(1, target / 2)) df
+    else df.repartition(target)
+  }
 
-  /** Batch-keyed pruning of a day-2 probe's INDEX-side scan (r18
-    * verdict item 1 — the round's one `weak`): the bundle members are
-    * bucketed AND sorted on their probe key, but Spark cannot
-    * bucket-prune a JOIN side, so every batch probe re-scanned the
-    * full index — O(index) I/O per batch, the one term still linear
-    * in corpus size on the day-2 hot path. The batch's distinct join
-    * keys are batch-bounded by the day-2 contract, so COLLECT them
-    * (capped at `maxKeys` — past the cap the prune is skipped and the
-    * probe reads the full co-located index exactly as before) and
-    * push them at the index scan as an `In` predicate: bucket-file
-    * pruning and parquet row-group min/max stats on the sorted member
-    * files skip everything the batch cannot touch, so index
-    * bytes-read tracks the BATCH, not the index.
-    *
-    * Equivalence is by construction: every probe joins the index on
-    * exactly `keyCol` (inner or left with the index on the right), so
-    * an index row whose key no batch row carries can never influence
-    * the result. The filter preserves schema, field metadata and the
-    * scan's bucketed output partitioning — co-location survives.
-    *
-    * `keys` should be cheap to evaluate twice or already materialized
-    * (the probes checkpoint their batch-side frames); an empty batch
-    * prunes the index to nothing, which is exactly what joins it. */
+  /** Estimated parallelism of `df`'s leaves: the real partition count
+    * for in-memory (checkpointed/local) leaves, ceil(bytes / maxSplit)
+    * for file-backed ones. MAX over leaves — the kernel stage's width
+    * is set by its widest input when no exchange intervenes. */
+  private[graft] def estimatedInputSlices(df: DataFrame): Int = {
+    val maxSplit = math.max(1L,
+      df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        .stripSuffix("b").toLong)
+    val slices = df.queryExecution.optimizedPlan.collectLeaves().map {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.getNumPartitions
+      case l =>
+        val bytes = l.stats.sizeInBytes
+        ((bytes + maxSplit - 1) / maxSplit).min(BigInt(Int.MaxValue)).toInt
+    }
+    if (slices.isEmpty) 1 else slices.max
+  }
+
   /** True when some leaf of `df`'s plan is a file/table relation —
     * i.e. there is scan I/O a pushed predicate could skip. */
   def isFileBacked(df: DataFrame): Boolean =
@@ -88,30 +123,129 @@ private[graft] object Perf {
         n.contains("DataSourceV2Relation")
     }
 
+  /** True when [[prunedByKeys]] would actually prune this index —
+    * file-backed AND past the size gate. The probes consult this
+    * before checkpointing their batch side for the prune's second
+    * consumer (the r19 finding-1 rule: never pay a materialization for
+    * a consumer that won't exist). */
+  def willPrune(index: DataFrame): Boolean =
+    isFileBacked(index) && {
+      val minBytes = BigInt(index.sparkSession.conf
+        .get("spark.graft.probePrune.minIndexBytes",
+          (32L * 1024 * 1024).toString).toLong)
+      index.queryExecution.optimizedPlan.collectLeaves()
+        .map(_.stats.sizeInBytes).sum >= minBytes
+    }
+
+  /** Batch-keyed pruning of a day-2 probe's INDEX-side scan (r18
+    * verdict item 1): the bundle members are bucketed AND sorted on
+    * their probe key, but Spark cannot bucket-prune a JOIN side, so
+    * every batch probe re-scanned the full index — O(index) I/O per
+    * batch, the one term still linear in corpus size on the day-2 hot
+    * path. The batch's distinct join keys are batch-bounded by the
+    * day-2 contract, so COLLECT them (capped at `maxKeys`) and push
+    * them at the index scan as an `In` predicate: bucket-file pruning
+    * and parquet row-group min/max stats on the sorted member files
+    * skip everything the batch cannot touch, so index bytes-read
+    * tracks the BATCH, not the index.
+    *
+    * r20 (verdict item 4): PAST the literal cap the prune no longer
+    * silently reverts to a full index scan — it falls back to a
+    * runtime BLOOM FILTER over the batch's keys (guide §3.2's manual
+    * Bloom pre-filter): one aggregation over the batch builds the
+    * sketch, and the index side drops definitely-non-matching rows
+    * BEFORE the join. The bloom cannot skip scan bytes (no pushdown),
+    * but a batch large enough to blow the literal cap touches most
+    * buckets anyway — the scale win is the join/aggregate input
+    * shrinking to ~the batch's true match set (false positives only
+    * add rows the join then discards, so results are unchanged).
+    * `spark.graft.probePrune.bloomFpp` (default 0.01) sizes it.
+    *
+    * Equivalence is by construction either way: every probe joins the
+    * index on exactly `keyCol` (inner or left with the index on the
+    * right), so an index row whose key no batch row carries can never
+    * influence the result — and a bloom has no false negatives. The
+    * filter preserves schema, field metadata and the scan's bucketed
+    * output partitioning — co-location survives.
+    *
+    * `keys` should be cheap to evaluate twice or already materialized
+    * (the probes checkpoint their batch-side frames); an empty batch
+    * prunes the index to nothing, which is exactly what joins it.
+    * Only a FILE-backed index has scan I/O (or a corpus-sized
+    * in-executor frame) worth pruning: for an in-memory index the
+    * collect/aggregation is pure overhead (measured r19: +3 s on the
+    * in-memory winnow probes for zero bytes saved), so the prune
+    * no-ops there. */
   def prunedByKeys(index: DataFrame, keyCol: String, keys: DataFrame,
                    maxKeys: Int = 0): DataFrame = {
-    // only a FILE-backed index has scan I/O to prune: for an in-memory
-    // (checkpointed/local) index the In filter is pure overhead — a
-    // collect job plus a literal list the analyzer must walk (measured
-    // r19: +3 s on the in-memory winnow probes for zero bytes saved)
+    val conf = index.sparkSession.conf
+    // SIZE gate first (r20): the prune exists so index bytes-read /
+    // join input tracks the BATCH as the index grows — against a SMALL
+    // index its own costs (one collect job per probe for the literal
+    // path, two batch jobs + a per-row membership test for the bloom)
+    // exceed everything they save. Interleaved A/B at sf0.1 (~MB
+    // members): r18's unpruned q178 ran 14.5 s, the r19 literal prune
+    // 17.1 s, an ungated bloom 25 s — the prune only pays past real
+    // index size. Defaults: literal In from 32 MB of index leaf bytes
+    // (`spark.graft.probePrune.minIndexBytes`), bloom from 256 MB
+    // (`...bloomMinIndexBytes`) — at 100 TB every member is far past
+    // both, at test scale both skip and the probe is exactly the
+    // unpruned co-located join.
     val fileBacked = isFileBacked(index)
-    // key cap: past it the prune is skipped — a 50k-literal In costs
-    // more in plan analysis than row-group skipping returns at test
-    // scale, and at 100 TB a batch that large wants a runtime Bloom
-    // filter, not literals (documented next step). Conf-able so a
-    // cluster sized for bigger literal lists can raise it.
+    if (!fileBacked) return index
+    val leafBytes = index.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    val minBytes = BigInt(conf.get("spark.graft.probePrune.minIndexBytes",
+      (32L * 1024 * 1024).toString).toLong)
+    if (leafBytes < minBytes) return index
+    // literal-In cap: past it a 50k-literal In costs more in plan
+    // analysis than row-group skipping returns (measured r19), so the
+    // prune switches to the bloom fallback. Conf-able so a cluster
+    // sized for bigger literal lists can raise it.
     val cap =
       if (maxKeys > 0) maxKeys
-      else index.sparkSession.conf
-        .get("spark.graft.probePrune.maxKeys", "8192").toInt
-    if (!fileBacked) index
+      else conf.get("spark.graft.probePrune.maxKeys", "8192").toInt
+    val collected = keys.select(col(keyCol)).distinct()
+      .limit(cap + 1).collect().map(_.get(0)).toSeq
+    if (collected.isEmpty)
+      index.filter(org.apache.spark.sql.functions.lit(false))
+    else if (collected.size <= cap)
+      index.filter(col(keyCol).isInCollection(collected))
     else {
-      val collected = keys.select(col(keyCol)).distinct()
-        .limit(cap + 1).collect().map(_.get(0)).toSeq
-      if (collected.size > cap) index
-      else if (collected.isEmpty)
-        index.filter(org.apache.spark.sql.functions.lit(false))
-      else index.filter(col(keyCol).isInCollection(collected))
+      val bloomMin = BigInt(conf.get("spark.graft.probePrune.bloomMinIndexBytes",
+        (256L * 1024 * 1024).toString).toLong)
+      if (leafBytes >= bloomMin) bloomPruned(index, keyCol, keys)
+      else index
+    }
+  }
+
+  /** The above-cap branch: build a Bloom filter over the batch's keys
+    * and filter the index side through it. Key domains here are long
+    * (xxhash64 g/h, fingerprints) or string (canon_url); anything else
+    * passes through unpruned (never wrong, just unoptimized). */
+  private def bloomPruned(index: DataFrame, keyCol: String,
+                          keys: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, IntegerType}
+    val spark = index.sparkSession
+    val fpp = spark.conf.get("spark.graft.probePrune.bloomFpp", "0.01").toDouble
+    val keyField = keys.schema.fields.find(_.name == keyCol).getOrElse(
+      return index)
+    // expectedNumItems >= true distinct count (guide §3.2): one cheap
+    // exact count over the (already materialized) batch keys
+    val n = math.max(1L,
+      keys.select(col(keyCol)).distinct().count())
+    val bf = keys.stat.bloomFilter(keyCol, n, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    keyField.dataType match {
+      case LongType | IntegerType =>
+        val f = org.apache.spark.sql.functions.udf(
+          (k: Long) => bfB.value.mightContainLong(k))
+        index.filter(f(col(keyCol).cast("long")))
+      case StringType =>
+        val f = org.apache.spark.sql.functions.udf(
+          (k: String) => k != null && bfB.value.mightContainString(k))
+        index.filter(f(col(keyCol)))
+      case _ => index
     }
   }
 }

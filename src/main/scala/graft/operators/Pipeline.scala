@@ -1196,7 +1196,7 @@ object Pipeline {
     * append on a legacy one. The streaming master ingest (D2y) grows
     * eval_grams / exact_index / url_index this way. */
   private[graft] def appendBundleMember(spark: SparkSession, dir: String,
-                                        name: String, df: DataFrame): Unit =
+                                        name: String, df: DataFrame): Unit = {
     readBundleBuckets(spark, dir) match {
       case Some(n) if BundleBucketKeys.contains(name) =>
         val key = BundleBucketKeys(name)
@@ -1213,6 +1213,35 @@ object Pipeline {
       case _ =>
         df.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/$name")
     }
+    // maintenance-meter census bumps (r20): STAMPED bundles only — there
+    // this is the one append door, so the meters' persisted inputs stay
+    // current for any in-contract caller (a legacy plain bundle can be
+    // grown by raw writes the door never sees, so its meters keep
+    // MEASURING and no census exists to poison). Batch-sized
+    // aggregations only. Crash between the append above and the bump
+    // below under-counts — the meter then heals one tick late, and the
+    // heal re-derives the census exactly (the same at-least-once
+    // degradation the fate ledger documents).
+    if (readBundleBuckets(spark, dir).isDefined) name match {
+      case "winnow_index" =>
+        // day-2 doc_id spaces are disjoint from the corpus (chunk-keyed
+        // rec_ids), so the batch's own distinct (h, doc_id) mass is the
+        // exact growth; an overlapping caller only over-counts, which
+        // heals the histogram EARLY, never late
+        Dedup.bumpEvalGramCensus(spark, s"$dir/winnow_index",
+          df.select(col("h"), col("doc_id")).distinct().count())
+      case "prefix_postings" =>
+        // novel-g bound grows by the append's vocab-unseen distinct g —
+        // a co-located anti-join (both sides bucketed on g); repeats
+        // across appends over-count, which trips the drift heal early
+        // (the rebuild resets the bound exactly)
+        Dedup.bumpEvalGramCensus(spark, s"$dir/prefix_postings",
+          df.select(col("g")).distinct()
+            .join(bundleMember(spark, dir, "prefix_vocab").select(col("g")),
+              Seq("g"), "left_anti").count())
+      case _ => ()
+    }
+  }
 
   /** Persist a [[MasterArtifacts]] bundle under `dir` — each probe-side
     * member BUCKETED on its probe key (see [[BundleBucketKeys]]), the
@@ -1262,6 +1291,26 @@ object Pipeline {
     Dedup.writeEvalGramCensus(spark, s"$dir/eval_grams",
       bundleMemberAt(spark, dir, "eval_grams", buckets)
         .select(col("g")).distinct().count())
+    // maintenance-meter censuses (r20 — the r18 item-4 close-out): the
+    // E9 tick's freshness meters used to re-aggregate the FULL winnow
+    // index (distinct (h, doc_id) mass) and the FULL prefix postings
+    // (distinct g + anti-join) on EVERY tick — O(index) per tick on a
+    // healthy bundle. Persist the meter inputs beside the members (the
+    // eval-gram census convention): the index's print mass (≡ Σ df over
+    // the fresh histogram — exact at build), the histogram's own mass
+    // (equal at build; appends bump only the index side), and the
+    // prefix pair (total distinct g at build, novel-g bound 0).
+    // [[appendBundleMember]] bumps them, Maintain heals re-derive them
+    // exactly, and a healthy tick reads four tiny side files instead of
+    // aggregating the bundle.
+    val builtMass = bundleMemberAt(spark, dir, "winnow_hist", buckets)
+      .agg(coalesce(sum(col("df")), lit(0L))).first().getLong(0)
+    Dedup.writeEvalGramCensus(spark, s"$dir/winnow_index", builtMass)
+    Dedup.writeEvalGramCensus(spark, s"$dir/winnow_hist", builtMass)
+    Dedup.writeEvalGramCensus(spark, s"$dir/prefix_vocab",
+      bundleMemberAt(spark, dir, "prefix_postings", buckets)
+        .select(col("g")).distinct().count())
+    Dedup.writeEvalGramCensus(spark, s"$dir/prefix_postings", 0L)
     writeBundleMeta(spark, dir, buckets)
   }
 

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expressions.{BpeEncodeExpr, BpeEncodeIdsExpr, DotProduct, KllMergeAgg, KllQuantile, KllSketchAgg, KmvMergeAgg, KmvShingledAgg, KmvSketchAgg, MinHashShingled, MinHashSignature, NGramHashes, SimHash60Md5, SimHash64, SpanWindowHashes, TextEmbedMd5, WinnowSelect}
+import graft.expressions.{BpeEncodeExpr, BpeEncodeIdsExpr, CramerSolve, DotProduct, KllMergeAgg, KllQuantile, KllSketchAgg, KmvMergeAgg, KmvShingledAgg, KmvSketchAgg, MinHashShingled, MinHashSignature, NGramHashes, SimHash60Md5, SimHash64, SpanWindowHashes, TextEmbedMd5, WinnowSelect}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -89,6 +89,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmvMergeAgg].getName, "graft_kmv_merge"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         KmvMergeAgg(children(0), children(1)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cramer_solve"),
+      new ExpressionInfo(classOf[CramerSolve].getName, "graft_cramer_solve"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CramerSolve(children)))
     ext.injectFunction((
       FunctionIdentifier("graft_bpe_encode"),
       new ExpressionInfo(classOf[BpeEncodeExpr].getName, "graft_bpe_encode"),

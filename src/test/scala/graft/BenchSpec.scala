@@ -132,12 +132,14 @@ class BenchSpec extends AnyFunSuite {
     val clean = Bench.metricsLine(Seq(("q01_a", 1.0)), 1.0, "0.1", 3,
       load = Some((0.0, 0.5)))
     assert(!clean.contains("shed") && clean.contains(""""load":[0,0.5]"""), clean)
-    // shedding pressure keeps both stamps
+    // shedding pressure keeps both stamps (the slim rungs may narrow
+    // load to 1 dp — the stamp survives, never drops)
     val many = (1 to 170).map(i => (f"q$i%02d_some_long_descriptive_name", 12.345))
     val shedLine = Bench.metricsLine(many, 170 * 12.345, "1.0", 3,
       shed = Some(12), load = Some((1.25, 1.5)))
-    assert(shedLine.length <= 1950 && shedLine.contains(""""shed":12""") &&
-      shedLine.contains(""""load":[1.25,1.5]"""), shedLine.take(160))
+    assert(shedLine.length <= 1985 && shedLine.contains(""""shed":12""") &&
+      (shedLine.contains(""""load":[1.25,1.5]""") ||
+        shedLine.contains(""""load":[1.3,1.5]""")), shedLine.take(160))
   }
 
   test("metricsLine holds 120 queries plus control-with-suspects inside the tail budget") {
@@ -160,14 +162,56 @@ class BenchSpec extends AnyFunSuite {
       (f"q$i%03d_n", if (i % 10 == 0) 4.321 else 0.678))
     val line = Bench.metricsLine(typical, typical.map(_._2).sum, "0.1", 3,
       builds = (1 to 6).map(i => (f"q$i%02d_b", 3.456)), full = ptr)
-    assert(line.length <= 1950, s"${line.length} chars")
-    assert(line.contains("\"headline\":\"run1\""), line.take(160))
-    assert(line.contains("\"full\":\"bench_full_latest.json#ab12cd34\""), line.take(160))
-    // pathological all-slow widths: pointer still survives every shed
+    assert(line.length <= 1992, s"${line.length} chars")
+    assert(line.contains("\"full\":\"#ab12cd34\"") ||
+      line.contains("\"full\":\"bench_full_latest.json#ab12cd34\""), line.take(160))
+    assert(!line.matches("""(?s).*":0[,}].*"""), "a measured query printed as 0:\n" + line)
+    // pathological all-slow widths: the pointer survives every shed —
+    // narrowed to its #hash form on the slim rungs (the file name is
+    // the fixed default; the hash still verifies the file)
     val slow = (1 to 180).map(i => (f"q$i%03d_n", 12.345))
     val sline = Bench.metricsLine(slow, slow.map(_._2).sum, "0.1", 3, full = ptr)
-    assert(sline.length <= 1950, s"${sline.length} chars")
-    assert(sline.contains("\"full\":\"bench_full_latest.json#ab12cd34\""), sline.take(160))
+    assert(sline.length <= 1985, s"${sline.length} chars")
+    assert(sline.contains("\"full\":\"#ab12cd34\"") ||
+      sline.contains("\"full\":\"bench_full_latest.json#ab12cd34\""), sline.take(160))
+  }
+
+  test("metricsLine never prints 0 for a measured query (r19 verdict item 2)") {
+    // the r19 regime: 180 registered queries, the realistic value mix
+    // (most at/under a second, a heavy tail), where the old 0-dp shed
+    // step printed every sub-0.5 s query as `0` and the driver read 36
+    // real improvements as dropped_from_bench. Every measured value
+    // must now be nonzero at every shed level; failures stay -1.
+    val real = (1 to 180).map { i =>
+      val name = if (i <= 99) f"q$i%02d_n" else f"q$i%03d_n"
+      val v =
+        if (i == 7) -1.0
+        else if (i % 20 == 0) 23.456
+        else if (i % 3 == 0) 0.234
+        else 1.044
+      (name, v)
+    }
+    val line = Bench.metricsLine(real, 200.0, "0.1", 3,
+      builds = (1 to 8).map(i => (f"q$i%02d_b", 3.456)),
+      full = Some("bench_full_latest.json#ab12cd34"),
+      control = Some((275.51, Nil)),
+      shed = Some(12), load = Some((0.41, 6.02)))
+    assert(line.length <= 1992, s"${line.length} chars")
+    assert(!line.matches("""(?s).*":0[,}].*"""), "a measured query printed as 0:\n" + line)
+    assert(line.contains("\"q07\":-1"), "failed query must stay -1:\n" + line.take(200))
+    // sub-0.5 s queries keep >= 1 decimal of real signal at this width
+    assert(line.contains("\"q03\":0.2"), line.takeRight(400))
+    // and the stamps survive
+    assert(line.contains("\"shed\":12") && line.contains("\"load\":["), line.take(200))
+    // the EXTREME width (every query sub-second at 4-char keys) cannot
+    // hold 1 dp inside the tail: the final rung floors to 1 — coarse
+    // and conservative, but never the ambiguous 0
+    val flood = (1 to 180).map(i => (f"q$i%03d_n", 0.234))
+    val fline = Bench.metricsLine(flood, 42.12, "0.1", 3,
+      full = Some("bench_full_latest.json#ab12cd34"))
+    assert(fline.length <= 1992, s"${fline.length} chars")
+    assert(!fline.matches("""(?s).*":0[,}].*"""), "flood line printed a 0:\n" + fline)
+    assert(fline.contains("\"q001\":1"), fline.takeRight(200))
   }
 
   test("metricsLine fails loud on qNN prefix collisions") {

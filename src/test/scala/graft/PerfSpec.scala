@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 class PerfSpec extends SparkSpecBase {
   import spark.implicits._
 
-  test("sortedOnce: materialized and plain sorts return identical rows in order") {
+  test("sortedOnce: every strategy returns identical rows in order") {
     val df = spark.range(0, 1000).select(
       (col("id") % 7).as("k"), col("id").as("v"))
     val plain = df.orderBy(col("k"), col("v")).collect().toSeq
@@ -17,9 +17,40 @@ class PerfSpec extends SparkSpecBase {
     val was = spark.conf.get("spark.graft.sortedOnce.materialize", "true")
     try {
       spark.conf.set("spark.graft.sortedOnce.materialize", "true")
-      val mat = Perf.sortedOnce(df, col("k"), col("v")).collect().toSeq
-      assert(mat == plain, "materialized sort drifted from plain orderBy")
-    } finally spark.conf.set("spark.graft.sortedOnce.materialize", was)
+      for (s <- Seq("exchange", "checkpoint")) {
+        spark.conf.set("spark.graft.sortedOnce.strategy", s)
+        val mat = Perf.sortedOnce(df, col("k"), col("v")).collect().toSeq
+        assert(mat == plain, s"$s sort drifted from plain orderBy")
+      }
+      // the default (exchange) barrier puts a round-robin exchange
+      // under the sort — the range sampler then reads materialized
+      // shuffle output instead of re-executing the lineage — and,
+      // unlike the r19 checkpoint barrier, truncates no lineage
+      spark.conf.set("spark.graft.sortedOnce.strategy", "exchange")
+      val plan = Perf.sortedOnce(df, col("k"), col("v"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ROUND_ROBIN") || plan.contains("RoundRobin"),
+        s"exchange barrier missing under the sort:\n$plan")
+    } finally {
+      spark.conf.set("spark.graft.sortedOnce.materialize", was)
+      spark.conf.unset("spark.graft.sortedOnce.strategy")
+    }
+  }
+
+  test("kernelSpread: gated on observed input parallelism") {
+    val target = spark.sparkContext.defaultParallelism
+    // a single-partition in-memory input spreads to full width
+    val narrow = spark.range(0, 100).toDF("id").repartition(1).localCheckpoint()
+    assert(Perf.kernelSpread(narrow).rdd.getNumPartitions == target,
+      "single-slice input must spread")
+    // an input already at >= half the session width passes through
+    // UNEXCHANGED (verdict item 5: at 100 TB the scan arrives in
+    // thousands of splits and a re-shuffle buys nothing)
+    val wide = spark.range(0, 1000).toDF("id")
+      .repartition(math.max(1, target / 2)).localCheckpoint()
+    val spread = Perf.kernelSpread(wide)
+    assert(spread.queryExecution.optimizedPlan.toString == wide.queryExecution.optimizedPlan.toString,
+      "already-parallel input must pass through unexchanged")
   }
 
   test("prunedByKeys: equivalence under join, In pushed at the scan, cap skips") {
@@ -28,6 +59,17 @@ class PerfSpec extends SparkSpecBase {
     index.write.mode("overwrite").parquet(dir)
     val idx = spark.read.parquet(dir)
     val batch = Seq(3L, 7L, 7L, 499L, 1000L).toDF("k")
+    // size gate (r20): by DEFAULT an index this small skips the prune
+    // entirely — the collect job costs more than ~KB of scan it saves
+    // (the r18-vs-r19 interleaved A/B on q178) — and the probes'
+    // batch-side checkpoint gate agrees
+    assert(Perf.prunedByKeys(idx, "k", batch).queryExecution.optimizedPlan.toString
+      == idx.queryExecution.optimizedPlan.toString,
+      "a small index must skip the prune by default")
+    assert(!Perf.willPrune(idx), "willPrune must agree with the size gate")
+    // force the prune on (threshold 0) to pin its semantics
+    spark.conf.set("spark.graft.probePrune.minIndexBytes", "0")
+    assert(Perf.willPrune(idx))
     val pruned = Perf.prunedByKeys(idx, "k", batch)
     // equivalence: inner join results identical with and without the prune
     val a = batch.join(idx, Seq("k")).orderBy(col("k"), col("payload")).collect().toSeq
@@ -37,10 +79,30 @@ class PerfSpec extends SparkSpecBase {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("In(k"),
       s"batch-key In not pushed at the scan:\n$plan")
-    // past the cap the prune is skipped — the index reads whole
+    // past the cap the prune falls back to a runtime BLOOM filter
+    // (r20, verdict item 4) — but ONLY against an index big enough for
+    // the row-dropping to beat the bloom's own jobs (measured r20: an
+    // unconditional bloom regressed q178 14.5 → 25 s at sf0.1). Against
+    // this tiny index the default gate makes the over-cap prune a
+    // no-op, exactly the r19 behavior:
     val big = spark.range(0, 50).select(col("id").as("k"))
-    val skipped = Perf.prunedByKeys(idx, "k", big, maxKeys = 10)
-    assert(skipped.count() == 500L, "over-cap prune must be a no-op")
+    assert(Perf.prunedByKeys(idx, "k", big, maxKeys = 10).count() == 500L,
+      "over-cap prune against a small index must be a no-op")
+    // force the bloom (threshold 0) to pin its semantics: no false
+    // negatives — every index row the batch can join survives, so join
+    // results are identical — and most non-matching rows drop
+    spark.conf.set("spark.graft.probePrune.bloomMinIndexBytes", "0")
+    try {
+      val bloomed = Perf.prunedByKeys(idx, "k", big, maxKeys = 10)
+      val viaBloom = big.join(bloomed, Seq("k")).orderBy(col("k")).collect().toSeq
+      val exact = big.join(idx, Seq("k")).orderBy(col("k")).collect().toSeq
+      assert(viaBloom == exact, "bloom prune dropped a matching index row")
+      val kept = bloomed.count()
+      assert(kept >= 50L && kept < 500L,
+        s"bloom prune should keep the ~50 matches and drop most of the rest, kept $kept")
+      assert(!bloomed.queryExecution.executedPlan.toString.contains("In(k"),
+        "over-cap prune must not push a literal In list")
+    } finally spark.conf.unset("spark.graft.probePrune.bloomMinIndexBytes")
     // an empty batch prunes to nothing (what an inner join would keep)
     assert(Perf.prunedByKeys(idx, "k", batch.limit(0)).count() == 0L)
     // an in-memory index has no scan I/O to prune — the prune is a
@@ -48,6 +110,7 @@ class PerfSpec extends SparkSpecBase {
     val mem = index.localCheckpoint()
     assert(Perf.prunedByKeys(mem, "k", batch).count() == 500L,
       "in-memory index must skip the prune")
+    spark.conf.unset("spark.graft.probePrune.minIndexBytes")
   }
 
   test("bucketsForBytes: buckets track the data, not the box") {
